@@ -1,0 +1,47 @@
+"""Text scalar helpers (JVM-side) for the text-analysis operator family.
+
+No counterpart in the reference (SURVEY.md §2.7) — these are the
+training-data-pipeline additions. All are per-row Catalyst expressions:
+deterministic, codegen-friendly, shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_WS = r"\s+"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text → array<string>."""
+    return F.split(F.trim(_c(col)), _WS)
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count, 0 for empty/blank strings."""
+    t = F.trim(_c(col))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, _WS))).cast("long")
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """(punctuation chars) / (total chars), double; 0 for empty text."""
+    c = _c(col)
+    total = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"]", ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise(punct.cast("double") / total.cast("double"))
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), _WS, " "))
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 hex of the normalized text.
+    Used by exact dedup; identical output to any standard md5 (oracle-safe)."""
+    return F.md5(normalized_text(col))

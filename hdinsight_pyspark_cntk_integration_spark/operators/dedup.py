@@ -1,0 +1,294 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.7).
+
+No counterpart in the reference — these are the BASELINE.json scale-out
+additions. Five families:
+
+* exact          — fingerprint (md5 of normalized text) + keep-min-id
+* MinHash + LSH  — char-shingles → 128 minhashes → banded buckets → pair join
+* SimHash        — 64-bit token-hash sign aggregate, hamming-radius pairs
+* n-gram Jaccard — exact verify on candidate pairs (array_intersect/union)
+* embedding      — cosine near-dup via random-hyperplane sign buckets
+
+Scale design: everything is hash-partitioned work. Exact dedup is one
+shuffle on the fingerprint. MinHash signatures are per-row JVM
+expressions (xxhash64 + array transforms — no Python). LSH candidate
+generation explodes each doc into `bands` rows (constant factor) and
+self-joins per bucket, so cost is Σ|bucket|², bounded by band-hash
+cardinality rather than n² — the standard 100 TB-safe near-dup plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hdinsight_pyspark_cntk_integration_spark.functions.textfns import fingerprint_md5, normalized_text
+
+# Deterministic affine minhash parameters: h_j(x) = (a_j*x + b_j) mod p.
+# p is the 31-bit Mersenne prime so a_j * x stays well under 2^63 (Spark 4
+# runs ANSI mode: long overflow raises instead of wrapping).
+_P = (1 << 31) - 1
+_A_MULT = 2654435761
+_B_MULT = 40503
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per distinct normalized text. One shuffle on
+    the fingerprint; map-side partial agg shrinks it. Returns
+    (fingerprint, doc_id keeper, n_copies)."""
+    return (
+        df.select(fingerprint_md5(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def char_shingles(text: Column | str, k: int = 5) -> Column:
+    """Distinct character k-shingles of normalized text, as array<string>.
+    Pure Catalyst: substring over a generated index sequence."""
+    t = normalized_text(text)
+    n = F.length(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, k)))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text, as array<string>.
+
+    ~10× fewer elements per document than char shingles — the right
+    default for document-level near-dedup, since every downstream minhash
+    transform is O(|shingles|) per hash function.
+    """
+    toks = F.split(normalized_text(text), r"\s+")
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - F.lit(n), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )
+
+
+def hashed_shingles(text: Column | str, k: int = 3, mode: str = "word") -> Column:
+    """Distinct shingles reduced to the 31-bit hash field (one xxhash64
+    per shingle) — the input to all minhash/jaccard computations.
+    ``mode``: 'word' (n-gram of tokens, default) or 'char'."""
+    sh = word_shingles(text, k) if mode == "word" else char_shingles(text, k)
+    return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+
+
+def minhash_cols(hashes: Column, num_hashes: int = 128) -> list[Column]:
+    """The ``num_hashes`` minhash expressions over a hashed-shingle array.
+
+    Returned as separate columns (not one array) so callers can consume
+    each expression exactly once — Catalyst's projection collapse
+    duplicates expression trees per use, and these are the expensive ones.
+    """
+
+    def affine(j: int):
+        a = F.lit((j * 2 + 1) * _A_MULT % _P)
+        b = F.lit((j + 1) * _B_MULT % _P)
+        return lambda h: F.pmod(a * h + b, F.lit(_P))
+
+    return [F.array_min(F.transform(hashes, affine(j))) for j in range(num_hashes)]
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
+    """MinHash signature as array<bigint>, length ``num_hashes``. All
+    codegen'd JVM expressions — no Python worker in the loop."""
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+
+    def affine(j: int):
+        a = F.lit((j * 2 + 1) * _A_MULT % _P)
+        b = F.lit((j + 1) * _B_MULT % _P)
+        return lambda h: F.pmod(a * h + b, F.lit(_P))
+
+    return F.array(*[F.array_min(F.transform(base, affine(j))) for j in range(num_hashes)])
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    shingle_mode: str = "word",
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via banded MinHash-LSH.
+
+    rows = num_hashes/bands hashes per band; docs colliding on any band's
+    hash become candidates. With r=4, b=32 the S-curve threshold is
+    ≈ (1/b)^(1/r) ≈ 0.42 Jaccard.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+    # Exchange barrier after shingle hashing: projection collapse would
+    # otherwise inline the (regexp + split + xxhash64) shingle tree
+    # into every downstream minhash use — a num_hashes× recompute.
+    hashed = df.select(
+        F.col(id_col), hashed_shingles(text_col, shingle_k, shingle_mode).alias("hs")
+    ).repartition(F.col(id_col))
+    mins = minhash_cols(F.col("hs"), num_hashes)
+    # One projection: every minhash expression feeds exactly one band hash.
+    banded = hashed.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.array(*mins[b * r : (b + 1) * r])).alias("bh"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("x"),
+    ).select(id_col, "x.band", "x.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "bh"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    shingle_mode: str = "word",
+) -> DataFrame:
+    """n-gram Jaccard verification of candidate pairs: |A∩B| / |A∪B| via
+    array_intersect/array_union over hashed shingle sets (31-bit hashes —
+    collision effect on Jaccard is ≤ |A|²/2³¹, negligible).
+    Two hash joins keyed by doc id — linear in candidates, never n²."""
+    sh = df.select(
+        F.col(id_col), hashed_shingles(text_col, shingle_k, shingle_mode).alias("sh")
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    shingle_mode: str = "word",
+) -> DataFrame:
+    """End-to-end near-dedup: LSH candidates → exact Jaccard filter →
+    survivors (drop the higher id of each confirmed pair). Returns the
+    deduplicated rows of ``df``.
+
+    Note: uses single-link "drop any row matched to a smaller id", the
+    standard one-pass approximation of connected components — a full
+    transitive closure needs an iterative step (see GraphFrames-style
+    large-star/small-star if exactness across chains matters).
+    """
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, bands, shingle_k, shingle_mode
+    )
+    dups = (
+        jaccard_pairs(df, cands, id_col, text_col, shingle_k, threshold, shingle_mode)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dups, on=id_col, how="left_anti")
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document, pure Catalyst expressions.
+
+    Token → xxhash64; bit b of the signature is the sign of
+    Σ_tokens (±1 depending on bit b of the token hash). Expressed as 64
+    aggregate-over-array folds — wide but codegen'd, no shuffle, no
+    Python. Near-dup pairs = hamming distance ≤ radius via
+    ``bit_count(sig_a ^ sig_b)``.
+    """
+    toks = F.split(normalized_text(text_col), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_merge(b: int):
+        # closure factory: pyspark introspects lambda arity, so the bit
+        # index must be captured, not passed as a defaulted third arg
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bit_sums = [F.aggregate(hashes, F.lit(0), bit_merge(b)) for b in range(64)]
+    sig = F.aggregate(
+        F.array(*[
+            F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << b).cast("long")
+            if b < 63
+            else F.when(s > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+            for b, s in enumerate(bit_sums)
+        ]),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,  # bit values are disjoint, so sum == bitwise OR
+    )
+    return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def embedding_near_dup_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-dup buckets via random-hyperplane LSH: sign bits of
+    ⟨v, r_k⟩ for ``num_planes`` pseudo-random planes form a bucket key;
+    same-bucket pairs are candidates for exact cosine verification
+    (similarity.cosine_topk / functions.vector.cosine_similarity).
+
+    Planes are generated per-row from deterministic per-(plane, dim)
+    hashes, so the whole thing is Catalyst expressions — equivalent to
+    broadcasting a plane matrix, without shipping one.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    dim_idx = F.sequence(F.lit(0), F.size(v) - 1)
+
+    def plane_dot(k: int) -> Column:
+        # pseudo-random ±{1,3,5,...,15}/8 weights from xxhash64(k, dim)
+        prods = F.zip_with(
+            v,
+            dim_idx,
+            lambda x, i: x
+            * (
+                (F.pmod(F.xxhash64(F.lit(seed), F.lit(k), i), F.lit(16)) - F.lit(7.5))
+                / F.lit(8.0)
+            ),
+        )
+        return F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
+
+    bucket = F.concat_ws(
+        "",
+        *[F.when(plane_dot(k) >= 0, F.lit("1")).otherwise(F.lit("0")) for k in range(num_planes)],
+    )
+    bucketed = df.select(F.col(id_col), bucket.alias("bucket"))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    )

@@ -1,0 +1,157 @@
+"""Multimodal (image/audio/video) column plumbing (SURVEY.md §2.7).
+
+Media are opaque ``binary`` columns + typed metadata structs — the
+generalization of the reference's CIFAR ingestion, where images arrive as
+raw bytes and are decoded/preprocessed in a partition-parallel UDF
+(reference README.md:69-84, 154-160).
+
+The decode kernels themselves (JPEG/PNG/audio codecs) are STUBBED — the
+container has no imaging libraries — behind ``set_decoder``. Everything
+Spark-side is real and tested: schemas, mapInPandas batch shape,
+partitioning, metadata extraction. A deterministic fake decoder ships for
+tests: it expands bytes into a fixed-shape float tensor reproducibly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# decoder: bytes -> np.ndarray (H, W, C) float32. Swappable at runtime.
+Decoder = Callable[[bytes], np.ndarray]
+
+_DECODER: Decoder | None = None
+
+
+def set_decoder(decoder: Decoder | None) -> None:
+    """Install a real image decoder (e.g. PIL/cv2-based) when available."""
+    global _DECODER
+    _DECODER = decoder
+
+
+def deterministic_fake_decoder(shape: tuple[int, int, int] = (8, 8, 3)) -> Decoder:
+    """Test decoder: bytes → reproducible pseudo-image via sha256 expansion.
+    Stands in for the real codec so the Spark plumbing is fully testable."""
+
+    def decode(data: bytes) -> np.ndarray:
+        n = int(np.prod(shape))
+        out = np.empty(n, dtype=np.float32)
+        i = 0
+        counter = 0
+        while i < n:
+            block = hashlib.sha256(data + counter.to_bytes(4, "little")).digest()
+            vals = np.frombuffer(block, dtype=np.uint8).astype(np.float32)
+            take = min(n - i, len(vals))
+            out[i : i + take] = vals[:take]
+            i += take
+            counter += 1
+        return out.reshape(shape)
+
+    return decode
+
+
+def _get_decoder() -> Decoder:
+    if _DECODER is None:
+        raise NotImplementedError(
+            "No media decoder installed in this environment; call "
+            "set_decoder(...) with a real codec, or use "
+            "deterministic_fake_decoder() in tests."
+        )
+    return _DECODER
+
+
+def with_media_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Cheap metadata without decoding: byte length + content hash +
+    magic-number format sniff. Pure Catalyst expressions."""
+    c = F.col(content_col)
+    magic = F.hex(F.substring(c, 1, 4))
+    fmt = (
+        F.when(magic.startswith("89504E47"), F.lit("png"))
+        .when(magic.startswith("FFD8FF"), F.lit("jpeg"))
+        .when(magic.startswith("47494638"), F.lit("gif"))
+        .when(magic.startswith("52494646"), F.lit("riff"))
+        .otherwise(F.lit("unknown"))
+    )
+    return df.withColumn("media_bytes", F.length(c).cast("long")).withColumn(
+        "media_sha256", F.sha2(c, 256)
+    ).withColumn("media_format", fmt)
+
+
+def decode_to_tensor(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "path",
+    decoder: Decoder | None = None,
+) -> DataFrame:
+    """binary → (id, shape array<int>, tensor array<float>) via mapInPandas.
+
+    Same operator shape as scoring.score: iterator-of-batches so any
+    per-task decoder setup happens once; Arrow moves the bytes in and the
+    flat tensors out. Output is flat + explicit shape column — the
+    engine's standard tensor representation (SURVEY.md §1.3).
+    """
+    dec = decoder or _get_decoder()
+    schema = f"{id_col} string, shape array<int>, tensor array<float>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            shapes, tensors = [], []
+            for data in pdf[content_col]:
+                arr = dec(bytes(data))
+                shapes.append(list(arr.shape))
+                tensors.append(arr.astype(np.float32).ravel())
+            yield pd.DataFrame({id_col: pdf[id_col], "shape": shapes, "tensor": tensors})
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+
+
+def resize_tensor(
+    df: DataFrame,
+    out_hw: tuple[int, int],
+    tensor_col: str = "tensor",
+    shape_col: str = "shape",
+) -> DataFrame:
+    """Nearest-neighbor resize of HWC tensors (pure NumPy — no codec needed).
+    Real pipelines swap in a library kernel; the batch plumbing is identical."""
+    oh, ow = out_hw
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for tens, shp in zip(pdf[tensor_col], pdf[shape_col]):
+                h, w, c = (int(s) for s in shp)
+                img = np.asarray(tens, dtype=np.float32).reshape(h, w, c)
+                ri = (np.arange(oh) * h // oh).clip(0, h - 1)
+                ci = (np.arange(ow) * w // ow).clip(0, w - 1)
+                out.append(img[ri][:, ci].ravel())
+            pdf = pdf.copy()
+            pdf[tensor_col] = out
+            pdf[shape_col] = [[oh, ow, int(s[2])] for s in pdf[shape_col]]
+            yield pdf
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInPandas(run, schema=fields)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int,
+    frames_col: str = "frames",
+) -> DataFrame:
+    """Frame sampling for video-like array<binary> columns: keep every
+    n-th element. Catalyst-only (filter on transform index) — sampling
+    happens before any decode, which is the right order at scale."""
+    frames = F.col(frames_col)
+    idx = F.sequence(F.lit(0), F.size(frames) - 1)
+    kept = F.filter(
+        F.zip_with(frames, idx, lambda fr, i: F.struct(fr.alias("fr"), i.alias("i"))),
+        lambda s: s["i"] % every_n == 0,
+    )
+    return df.withColumn(frames_col, F.transform(kept, lambda s: s["fr"]))

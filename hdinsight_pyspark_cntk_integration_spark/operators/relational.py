@@ -1,0 +1,177 @@
+"""Relational operators: the reference's evaluation semantics, distributed.
+
+The reference computes accuracy, distinct labels, a label-name lookup and
+a confusion matrix in driver-side pandas after a full ``collect()``
+(reference README.md:204-249). Here each is one distributed DataFrame
+query (SURVEY.md §2.5 R1-R7), plus the join/window helpers the reference
+lacks (§2.7): top-n per group, as-of join, range join.
+
+Scale notes are attached per operator — every helper is designed to be a
+single shuffle (or zero, via broadcast) at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def accuracy(scores: DataFrame, true_col: str = "true_label", pred_col: str = "predicted_label") -> DataFrame:
+    """R1-R4: correct count, total, accuracy percent — one partial+final
+    hash aggregate, no shuffle of raw rows beyond the 1-row combine.
+
+    Mirrors reference README.md:204-211 (``num_correct/num_total``,
+    printed as e.g. '91.65%'), but distributed: sum-of-boolean instead of
+    a driver loop.
+    """
+    return scores.agg(
+        F.sum((F.col(true_col) == F.col(pred_col)).cast("long")).alias("num_correct"),
+        F.count(F.lit(1)).alias("num_total"),
+        (
+            F.lit(100.0)
+            * F.sum((F.col(true_col) == F.col(pred_col)).cast("long"))
+            / F.count(F.lit(1))
+        ).alias("accuracy_pct"),
+    )
+
+
+def distinct_sorted(df: DataFrame, col: str) -> DataFrame:
+    """R5: ``np.sort(df[col].unique())`` distributed — partial-agg dedup
+    then a tiny sort (reference README.md:247)."""
+    return df.select(col).distinct().orderBy(col)
+
+
+def dim_lookup(df: DataFrame, dim: DataFrame, on: str | Column, how: str = "inner") -> DataFrame:
+    """R6: the reference's ``label_to_name_dict`` indexing
+    (README.md:236-248) as an explicit broadcast hash join — zero
+    shuffle of the fact side."""
+    return df.join(F.broadcast(dim), on=on, how=how)
+
+
+def confusion_counts(
+    scores: DataFrame, true_col: str = "true_label", pred_col: str = "predicted_label"
+) -> DataFrame:
+    """R7 (long form): group-by-2-keys count. Map-side partial agg then a
+    shuffle of at most |labels|² rows."""
+    return scores.groupBy(true_col, pred_col).agg(F.count(F.lit(1)).alias("n"))
+
+
+def confusion_matrix(
+    scores: DataFrame,
+    labels: Sequence,
+    true_col: str = "true_label",
+    pred_col: str = "predicted_label",
+) -> DataFrame:
+    """R7 (dense form): confusion matrix via pivot with an explicit label
+    list, missing cells filled with 0 (reference fixes ``labels=`` the
+    same way — README.md:249; explicit values avoid the extra
+    distinct-scan and unbounded-column risk, SURVEY.md §7).
+    """
+    wide = (
+        confusion_counts(scores, true_col, pred_col)
+        .groupBy(true_col)
+        .pivot(pred_col, list(labels))
+        .sum("n")
+        .orderBy(true_col)
+    )
+    return wide.na.fill(0)
+
+
+def topn_per_group(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    n: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-n rows per group via ``row_number``. Single shuffle on the
+    partition keys; Spark's WindowExec applies the limit per-group after
+    an in-partition sort. Pass deterministic ``order_cols`` (include a
+    unique tie-break key) so results are stable."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n)
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str],
+    strict: bool = False,
+) -> DataFrame:
+    """As-of join (backward): for each left row, the most recent right row
+    with the same keys and ``right_ts <= left_ts`` (``<`` when strict).
+
+    Implementation is the union + last-value-carry-forward trick: tag both
+    sides, union, and window ``last(value, ignorenulls=True)`` ordered by
+    timestamp. Exactly ONE shuffle (on the keys) and no range-join row
+    explosion — this is the 100 TB-safe plan; a naive
+    ``ON key AND r.ts <= l.ts`` inequality join degenerates to a per-key
+    cross product.
+
+    Ties: at equal timestamps the right row sorts before the left row
+    (side 0 < side 1) so non-strict semantics include same-instant
+    matches; ``strict=True`` orders the left row first instead. If the
+    right side has duplicate (keys, ts) rows, the last one in its sort
+    order wins — dedup the right side first for full determinism.
+    """
+    keys = list(keys)
+    lcols = left.columns
+    side_right, side_left = (0, 1) if not strict else (1, 0)
+
+    l_tagged = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("__ts"),
+        F.lit(side_left).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_value_cols],
+    )
+    r_tagged = right.select(
+        *[F.col(k) for k in keys],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(side_right).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+    ).select(*lcols, "__ts", "__side", *[f"__r_{c}" for c in right_value_cols])
+
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        F.col("__ts"),
+        F.col("__side"),
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(c)
+            for c in right_value_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == side_left).drop("__ts", "__side")
+
+
+def range_join_broadcast(
+    fact: DataFrame,
+    dim: DataFrame,
+    value: Column,
+    lo_col: str,
+    hi_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Band/range join of a fact value into small-dim [lo, hi] buckets.
+
+    The dim side is broadcast, so this is a BroadcastNestedLoopJoin with a
+    cheap per-row predicate — no shuffle of the fact table. Only valid
+    when the dim is small (bucket tables, tier tables); a big-big range
+    join should bucket both sides on a coarse grid first.
+    """
+    cond = value.between(F.col(lo_col), F.col(hi_col))
+    return fact.join(F.broadcast(dim), on=cond, how=how)

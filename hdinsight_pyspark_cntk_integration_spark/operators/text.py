@@ -1,0 +1,112 @@
+"""Text-analysis operators over document tables (SURVEY.md §2.7 addition).
+
+All per-row Catalyst expressions (functions.textfns) — shuffle-free,
+codegen'd, and each exactly reproducible in ANSI SQL for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hdinsight_pyspark_cntk_integration_spark.functions.textfns import (
+    fingerprint_md5,
+    punct_ratio,
+    token_count,
+)
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small so the oracle SQL stays writable.
+_STOPWORDS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "y", "los"),
+}
+
+
+def _word_hits(col: Column | str, words: tuple[str, ...]) -> Column:
+    """Occurrences of any of ``words`` as whole tokens in lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    hits = [
+        F.size(F.split(padded, f" {w} ")) - F.lit(1)
+        for w in words
+    ]
+    total = hits[0]
+    for h in hits[1:]:
+        total = total + h
+    return total
+
+
+def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics: char count, token count, mean token
+    length, punctuation ratio, uppercase ratio. One projection pass."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    n_tokens = token_count(t)
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.when(n_tokens == 0, F.lit(0.0))
+        .otherwise(F.length(F.regexp_replace(F.trim(t), r"\s+", "")).cast("double") / n_tokens.cast("double"))
+        .alias("mean_token_len"),
+        punct_ratio(t).alias("punct_ratio"),
+        F.when(n_chars == 0, F.lit(0.0))
+        .otherwise(F.length(F.regexp_replace(t, r"[^A-Z]", "")).cast("double") / n_chars.cast("double"))
+        .alias("upper_ratio"),
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.3,
+) -> DataFrame:
+    """Gopher-style keep/drop filter on cheap heuristics — the standard
+    first pass of an LLM data pipeline. Pure filter: pushdown-friendly."""
+    return df.filter(
+        (token_count(text_col) >= min_tokens) & (punct_ratio(text_col) <= max_punct_ratio)
+    )
+
+
+def language_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language ID: per language, hits/tokens; prediction =
+    argmax language with deterministic tie order (en>de>fr>es),
+    'unknown' when no stopword hits at all."""
+    n_tokens = token_count(text_col)
+    cols = [F.col(id_col)]
+    for lang, words in _STOPWORDS.items():
+        score = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+            _word_hits(text_col, words).cast("double") / n_tokens.cast("double")
+        )
+        cols.append(score.alias(f"score_{lang}"))
+    scored = df.select(*cols)
+    langs = list(_STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("unknown")
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return scored.withColumn("lang_pred", F.when(best > 0, pred).otherwise(F.lit("unknown")))
+
+
+def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprints (md5 of normalized text) for exact dedup /
+    lineage joins."""
+    return df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
+
+
+def token_histogram(df: DataFrame, text_col: str = "text", top_n: int = 100) -> DataFrame:
+    """Corpus-level token frequency: explode tokens → count → top-n.
+    Partial aggregation combines map-side, so the shuffle carries one row
+    per distinct token per partition, not one per token occurrence."""
+    return (
+        df.select(F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(top_n)
+    )

@@ -1,0 +1,46 @@
+"""Plan-inspection helpers: make physical-plan expectations testable.
+
+The reference's optimizations are hand-placed (SURVEY.md §4); ours are
+Catalyst's, so the engine asserts they actually fire — filters reach the
+parquet scan, small dims broadcast, shuffles stay bounded. Used by tests
+and by bench diagnostics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def simple_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+
+
+def count_shuffles(df: DataFrame) -> int:
+    """Number of Exchange (shuffle) operators in the physical plan.
+    AQE may later coalesce them, but the count is the design property."""
+    return formatted_plan(df).count("Exchange")
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    plan = formatted_plan(df)
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def pushed_filters(df: DataFrame) -> str:
+    """The PushedFilters lines of every FileScan in the plan."""
+    return "\n".join(
+        line.strip() for line in formatted_plan(df).splitlines() if "PushedFilters" in line
+    )
+
+
+def scan_read_schema(df: DataFrame) -> str:
+    """ReadSchema lines — verifies column pruning reached the scan."""
+    return "\n".join(
+        line.strip() for line in formatted_plan(df).splitlines() if "ReadSchema" in line
+    )

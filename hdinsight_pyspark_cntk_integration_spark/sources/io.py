@@ -1,0 +1,65 @@
+"""Generic readers and sinks.
+
+Covers the reference's sinks (SURVEY.md §2.6): K1 is the single-file CSV
+write with header + overwrite the reference uses for its client bridge
+(reference README.md:95,217 — ``coalesce(1).write.mode("overwrite")
+.csv(path, header=True)``); K2's read-back becomes a plain header/schema
+CSV reader. ``read_binary_files`` is the modern ingest path for opaque
+media blobs (SURVEY.md §2.1 S2): at scale the bytes live on blob storage
+and are read directly, not unpickled on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV reader; pass an explicit schema in production paths —
+    ``inferSchema`` triggers an extra full scan of the input."""
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Distributed binary ingest: (path, modificationTime, length, content).
+
+    Replacement for the reference's driver-side tar+pickle load
+    (reference README.md:69-70): content is an opaque ``binary`` column
+    decoded downstream by a mapInPandas UDF (operators.multimodal).
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_single_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K1: deliberate single-partition CSV rewrite (reference README.md:95,217).
+
+    ``coalesce(1)`` is an explicit user intent — one output file for a
+    client to read back — not a scale path. For large results use
+    ``write_parquet`` with natural parallelism.
+    """
+    df.coalesce(1).write.mode(mode).option("header", True).csv(path)

@@ -1,0 +1,112 @@
+"""Structured Streaming layer (SURVEY.md §7 Phase 5 — capability superset,
+no reference counterpart §2.7).
+
+Builders over an events-shaped stream (event_id, ts, user_id, event_type,
+value, props): tumbling/sliding/session windowed aggregations with
+watermarks, plus foreachBatch scoring that reuses operators.scoring.
+
+Each builder takes and returns DataFrames so the same code path works on
+a batch frame (for oracle tests) and a streaming frame (readStream).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_watermark(events: DataFrame, ts_col: str = "ts", delay: str = "10 minutes") -> DataFrame:
+    """Late-data bound: state for windows older than max(event time) - delay
+    is dropped; rows later than that are ignored. No-op on batch frames."""
+    if events.isStreaming:
+        return events.withWatermark(ts_col, delay)
+    return events
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window count+sum per key. On a stream this is an
+    incremental stateful agg (partial per micro-batch); on a batch frame
+    the identical groupBy. State size = windows-in-watermark × keys."""
+    return (
+        events.groupBy(F.window(ts_col, window_len).alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    slide: str = "15 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Sliding-window counts: each row lands in window_len/slide windows."""
+    return (
+        events.groupBy(F.window(ts_col, window_len, slide).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows (gap-based): merges events within ``gap`` per key.
+    Streaming uses Spark's session_window state merge; same call works in
+    batch."""
+    return (
+        events.groupBy(F.session_window(ts_col, gap).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            key_col,
+            "n",
+        )
+    )
+
+
+def score_stream_foreach_batch(
+    stream: DataFrame,
+    batch_scorer: Callable[[DataFrame], DataFrame],
+    sink_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """foreachBatch scoring sink: apply a batch scoring pipeline (e.g.
+    operators.scoring.score) to each micro-batch and append parquet —
+    the streaming reuse of the Phase-2 scorer (SURVEY.md §7 Phase 5).
+    Returns the started StreamingQuery."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_scorer(batch_df).write.mode("append").parquet(sink_path)
+
+    writer = stream.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,103 @@
+"""Dedup + text operators: planted-duplicate recall, idempotence,
+fingerprint determinism (SURVEY.md §5 property tests)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hdinsight_pyspark_cntk_integration_spark.operators import dedup as dd
+from hdinsight_pyspark_cntk_integration_spark.operators import text as tx
+from hdinsight_pyspark_cntk_integration_spark.sources.catalog import load_table
+
+
+def _docs_with_planted_dups(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "a completely different document about spark query engines and shuffles"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+        (4, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup of 1
+        (5, "unrelated text mentioning embeddings vectors and cosine similarity search"),
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+def test_exact_dedup_planted(spark):
+    docs = _docs_with_planted_dups(spark)
+    out = dd.exact_dedup(docs).toPandas()
+    assert len(out) == 4  # 5 docs, one exact dup collapsed
+    dup_group = out[out["n_copies"] == 2]
+    assert len(dup_group) == 1
+    assert int(dup_group["doc_id"].iloc[0]) == 1  # min-id keeper
+
+
+def test_minhash_near_dup_recall_and_precision(spark):
+    docs = _docs_with_planted_dups(spark)
+    cands = dd.minhash_lsh_candidates(docs, num_hashes=64, bands=16)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 3) in pairs  # exact dup must collide
+    assert (1, 4) in pairs or (3, 4) in pairs  # near dup should collide
+    verified = dd.jaccard_pairs(docs, cands, threshold=0.6)
+    vp = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert vp[(1, 3)] == 1.0
+    assert all(a != 2 and b != 2 for a, b in vp)  # unrelated doc never verified
+
+
+def test_minhash_dedup_idempotent(spark):
+    docs = _docs_with_planted_dups(spark)
+    once = dd.minhash_dedup(docs, threshold=0.6, num_hashes=64, bands=16)
+    once_ids = {r["doc_id"] for r in once.collect()}
+    assert 3 not in once_ids  # dup dropped, keeper stays
+    assert 1 in once_ids
+    twice = dd.minhash_dedup(once, threshold=0.6, num_hashes=64, bands=16)
+    assert {r["doc_id"] for r in twice.collect()} == once_ids
+
+
+def test_simhash_near_for_near_dups(spark):
+    docs = _docs_with_planted_dups(spark)
+    sigs = {r["doc_id"]: r["simhash"] for r in dd.simhash64(docs).collect()}
+    assert sigs[1] == sigs[3]  # identical text -> identical simhash
+    ham_near = bin(sigs[1] ^ sigs[4]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[2]).count("1")
+    assert ham_near < ham_far  # near-dup closer than unrelated
+
+
+def test_embedding_near_dup_buckets(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [-1.0, 0.0, 0.0, 0.0]),    # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]) for r in dd.embedding_near_dup_candidates(df, num_planes=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_quality_filter_and_features(spark):
+    docs = spark.createDataFrame(
+        [(1, "good document with plenty of clean tokens here"), (2, "!!! ... ???"), (3, "short")],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in tx.quality_filter(docs, min_tokens=4).select("doc_id").collect()}
+    assert kept == {1}
+    feats = tx.quality_features(docs).toPandas().set_index("doc_id")
+    assert feats.loc[1, "n_tokens"] == 8
+    assert feats.loc[2, "punct_ratio"] > 0.5
+    assert feats.loc[3, "n_tokens"] == 1
+
+
+def test_fingerprints_normalization(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    fps = tx.fingerprints(docs).toPandas().set_index("doc_id")["fingerprint"]
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_token_histogram_on_fixture(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    hist = tx.token_histogram(docs, top_n=10).toPandas()
+    assert len(hist) == 10
+    assert (hist["freq"].to_numpy()[:-1] >= hist["freq"].to_numpy()[1:]).all()

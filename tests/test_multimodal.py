@@ -1,0 +1,61 @@
+"""Multimodal plumbing: binary columns, metadata, decode/resize/sample.
+The codec is a deterministic fake (container has no imaging libs); the
+Spark-side schema/batching/partitioning is fully real (SURVEY.md §2.7)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hdinsight_pyspark_cntk_integration_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        ("a.png", b"\x89PNG\r\n\x1a\n" + b"fakepng"),
+        ("b.jpg", b"\xff\xd8\xff\xe0" + b"fakejpg"),
+        ("c.bin", b"\x00\x01\x02\x03rawbytes"),
+    ]
+    return spark.createDataFrame(rows, "path string, content binary")
+
+
+def test_metadata_without_decode(media_df):
+    out = mm.with_media_metadata(media_df).toPandas().set_index("path")
+    assert out.loc["a.png", "media_format"] == "png"
+    assert out.loc["b.jpg", "media_format"] == "jpeg"
+    assert out.loc["c.bin", "media_format"] == "unknown"
+    assert (out["media_bytes"] > 0).all()
+    assert out["media_sha256"].nunique() == 3
+
+
+def test_decode_requires_decoder(media_df):
+    mm.set_decoder(None)
+    with pytest.raises(NotImplementedError):
+        mm.decode_to_tensor(media_df)
+
+
+def test_fake_decode_deterministic(spark, media_df):
+    dec = mm.deterministic_fake_decoder(shape=(8, 8, 3))
+    out1 = mm.decode_to_tensor(media_df, decoder=dec).toPandas().set_index("path")
+    out2 = mm.decode_to_tensor(media_df, decoder=dec).toPandas().set_index("path")
+    for p in ("a.png", "b.jpg", "c.bin"):
+        assert list(out1.loc[p, "shape"]) == [8, 8, 3]
+        assert np.array_equal(out1.loc[p, "tensor"], out2.loc[p, "tensor"])
+    assert not np.array_equal(out1.loc["a.png", "tensor"], out1.loc["b.jpg", "tensor"])
+
+
+def test_resize_tensor(spark, media_df):
+    dec = mm.deterministic_fake_decoder(shape=(8, 8, 3))
+    decoded = mm.decode_to_tensor(media_df, decoder=dec)
+    resized = mm.resize_tensor(decoded, (4, 4)).toPandas().set_index("path")
+    for p in resized.index:
+        assert list(resized.loc[p, "shape"]) == [4, 4, 3]
+        assert len(resized.loc[p, "tensor"]) == 4 * 4 * 3
+
+
+def test_frame_sampling(spark):
+    rows = [("v1", [b"f0", b"f1", b"f2", b"f3", b"f4", b"f5"])]
+    df = spark.createDataFrame(rows, "vid string, frames array<binary>")
+    out = mm.sample_frames(df, every_n=2).collect()[0]
+    assert [bytes(b) for b in out["frames"]] == [b"f0", b"f2", b"f4"]

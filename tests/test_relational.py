@@ -1,0 +1,103 @@
+"""Unit tests for relational operators on tiny literal frames, plus
+property tests (SURVEY.md §5: count preservation under repartition,
+pivot row/col sums)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from hdinsight_pyspark_cntk_integration_spark.operators import relational as rel
+from hdinsight_pyspark_cntk_integration_spark.sources.catalog import load_table
+
+
+def test_accuracy_literal(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 4)], "true_label int, predicted_label int"
+    )
+    row = rel.accuracy(df).collect()[0]
+    assert row["num_correct"] == 2
+    assert row["num_total"] == 3
+    assert abs(row["accuracy_pct"] - 200.0 / 3) < 1e-12
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (3, 7, "d")],
+        "k int, ts int, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, 9, 100), (1, 15, 200), (2, 5, 300), (3, 8, 400)],
+        "k int, rts int, val int",
+    )
+    out = rel.asof_join(
+        left, right, keys=["k"], left_ts="ts", right_ts="rts", right_value_cols=["val"]
+    )
+    got = {r["name"]: r["val"] for r in out.collect()}
+    # a@10 -> 9/100; b@20 -> 15/200; c@5 -> 5/300 (same-instant matches); d@7 -> none
+    assert got == {"a": 100, "b": 200, "c": 300, "d": None}
+
+
+def test_asof_join_strict(spark):
+    left = spark.createDataFrame([(1, 5, "x")], "k int, ts int, name string")
+    right = spark.createDataFrame([(1, 5, 42)], "k int, rts int, val int")
+    non_strict = rel.asof_join(left, right, ["k"], "ts", "rts", ["val"])
+    strict = rel.asof_join(left, right, ["k"], "ts", "rts", ["val"], strict=True)
+    assert non_strict.collect()[0]["val"] == 42
+    assert strict.collect()[0]["val"] is None
+
+
+def test_asof_join_single_shuffle(spark):
+    left = spark.createDataFrame([(1, 5, "x")], "k int, ts int, name string")
+    right = spark.createDataFrame([(1, 5, 42)], "k int, rts int, val int")
+    from hdinsight_pyspark_cntk_integration_spark.plans import count_shuffles
+
+    out = rel.asof_join(left, right, ["k"], "ts", "rts", ["val"])
+    # union of two local relations + one window shuffle — no join explosion
+    assert count_shuffles(out) <= 2
+
+
+def test_topn_per_group_ties(spark):
+    df = spark.createDataFrame(
+        [("g", 5, 1), ("g", 5, 2), ("g", 3, 3), ("h", 9, 4)],
+        "grp string, score int, id int",
+    )
+    out = rel.topn_per_group(df, ["grp"], [F.desc("score"), F.asc("id")], 2)
+    got = sorted((r["grp"], r["id"], r["rn"]) for r in out.collect())
+    assert got == [("g", 1, 1), ("g", 2, 2), ("h", 4, 1)]
+
+
+def test_confusion_matrix_dense(spark):
+    df = spark.createDataFrame(
+        [(0, 0), (0, 1), (1, 1), (1, 1)], "true_label int, predicted_label int"
+    )
+    cm = rel.confusion_matrix(df, [0, 1, 2]).toPandas().set_index("true_label")
+    assert cm.loc[0, "0"] == 1 and cm.loc[0, "1"] == 1 and cm.loc[0, "2"] == 0
+    assert cm.loc[1, "1"] == 2
+    assert int(cm.to_numpy().sum()) == 4
+
+
+def test_count_preserved_under_repartition(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    assert li.repartition(13).count() == n
+    assert li.coalesce(1).count() == n
+
+
+def test_range_join_covers_all_rows(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    tiers = spark.createDataFrame(
+        [(1.0, 25.0, "lo"), (26.0, 50.0, "hi")], "lo double, hi double, tier string"
+    )
+    joined = rel.range_join_broadcast(li, tiers, F.col("l_quantity"), "lo", "hi")
+    assert joined.count() == li.count()  # quantities are integers in [1, 50]
+
+
+def test_dim_lookup_broadcasts(spark, sf_dir):
+    from hdinsight_pyspark_cntk_integration_spark.plans import has_broadcast_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    out = rel.dim_lookup(cust, nation, cust.c_nationkey == nation.n_nationkey)
+    assert has_broadcast_join(out)

@@ -1,0 +1,44 @@
+"""Phase-0 smoke: every fixture table loads and counts (SURVEY.md §7)."""
+
+from __future__ import annotations
+
+from hdinsight_pyspark_cntk_integration_spark.sources.catalog import TABLE_NAMES, load_tables
+
+EXPECTED_MIN_ROWS = {
+    "region": 5,
+    "nation": 25,
+    "customer": 150,
+    "supplier": 10,
+    "part": 200,
+    "orders": 1500,
+    "lineitem": 6000,
+    "events": 1000,
+    "documents": 500,
+    "embeddings": 500,
+}
+
+
+def test_all_tables_load_and_count(spark, sf_dir):
+    tables = load_tables(spark, sf_dir)
+    assert set(tables) == set(TABLE_NAMES)
+    for name, df in tables.items():
+        assert df.count() >= EXPECTED_MIN_ROWS[name], name
+
+
+def test_events_ts_is_timestamp(spark, sf_dir):
+    tables = load_tables(spark, sf_dir)
+    assert tables["events"].schema["ts"].dataType.typeName().startswith("timestamp")
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"label", "label_name", "predicted_label", "n"}
+    # queries/oracle contract shape
+    qs = e.queries()
+    os_ = e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 25

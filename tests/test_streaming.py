@@ -1,0 +1,85 @@
+"""Structured Streaming: file-source micro-batch runs of the windowed
+builders, checked against their batch equivalents (same builder, batch
+frame), plus foreachBatch scoring reuse (SURVEY.md §7 Phase 5)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hdinsight_pyspark_cntk_integration_spark import streaming as st
+from hdinsight_pyspark_cntk_integration_spark.operators import scoring as sc
+from hdinsight_pyspark_cntk_integration_spark.sources.catalog import load_table
+
+
+def _stream_events(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "events_src")
+    batch = load_table(spark, sf_dir, "events")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    return batch, stream
+
+
+def _run_to_memory(stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, tmp_path):
+    batch, stream = _stream_events(spark, sf_dir, tmp_path)
+    agg = st.tumbling_counts(st.with_watermark(stream, delay="1 hour"))
+    q = _run_to_memory(agg, "tumbling_t")
+    got = spark.sql("select * from tumbling_t").toPandas()
+    exp = st.tumbling_counts(batch).toPandas()
+    key = ["window_start", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
+    q.stop()
+
+
+def test_session_window_stream_runs(spark, sf_dir, tmp_path):
+    batch, stream = _stream_events(spark, sf_dir, tmp_path)
+    agg = st.session_counts(st.with_watermark(stream, delay="1 hour"), gap="10 minutes")
+    q = _run_to_memory(agg, "sessions_t")
+    got = spark.sql("select * from sessions_t").toPandas()
+    exp = st.session_counts(batch, gap="10 minutes").toPandas()
+    assert len(got) == len(exp)
+    assert int(got["n"].sum()) == int(exp["n"].sum())
+    q.stop()
+
+
+def test_foreach_batch_scoring(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = str(tmp_path / "emb_src")
+    emb.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+
+    def scorer(df):
+        return sc.score(
+            df,
+            sc.make_linear_stub_loader(64, 10),
+            input_col="embedding",
+            pass_through=["vec_id", "label"],
+        )
+
+    sink = str(tmp_path / "scored_sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = st.score_stream_foreach_batch(stream, scorer, sink, ckpt)
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink).toPandas()
+    assert len(out) == emb.count()
+    assert set(out.columns) == {"vec_id", "label", "predicted_label"}
+    # spot-check against local predictions
+    w = sc.linear_stub_weights(64, 10)
+    pdf = emb.toPandas().sort_values("vec_id")
+    preds = (np.stack(pdf["embedding"].to_numpy()).astype(np.float64) @ w.T).argmax(axis=1)
+    got = out.sort_values("vec_id")["predicted_label"].to_numpy()
+    assert (got == preds).all()
