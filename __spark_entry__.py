@@ -395,6 +395,7 @@ def q_score_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         sc.make_linear_stub_loader(_EMB_DIM, _N_CLASSES),
         input_col="embedding",
         pass_through=["label"],
+        repartition=spark.sparkContext.defaultParallelism,
     )
     return (
         scored.groupBy("label", "predicted_label")
@@ -411,11 +412,334 @@ def q_score_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         sc.make_linear_stub_loader(_EMB_DIM, _N_CLASSES),
         input_col="embedding",
         pass_through=["label"],
+        repartition=spark.sparkContext.defaultParallelism,
     )
     return rel.accuracy(scored, "label", "predicted_label")
 
 
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame: running decimal-exact total per customer (ROWS
+    UNBOUNDED PRECEDING..CURRENT)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_total"),
+    )
+
+
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead: previous order date and day-gap per customer (first order
+    gap = -1; sentinel timestamps avoid nullable-dtype ambiguity)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    nxt = F.lead("o_orderdate").over(w)
+    sentinel = F.lit("1900-01-01").cast("timestamp")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.coalesce(prev, sentinel).alias("prev_order_date"),
+        F.coalesce(nxt, sentinel).alias("next_order_date"),
+        F.coalesce(F.datediff(F.col("o_orderdate"), prev), F.lit(-1)).cast("long").alias("gap_days"),
+    )
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over the last 3 orders per customer — decimal-exact
+    window sum / window count."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg_3"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) via window islands: lag-gap mark
+    + running sum. One shuffle on user_id; the batch twin of
+    streaming.session_counts."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    new_sess = F.when(
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > gap_us), 1
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id", "ts", "event_id", F.sum(new_sess).over(w).alias("session_idx")
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_dedup_keep_first_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dropDuplicates: keep the min-doc_id row per
+    fingerprint via row_number (dropDuplicates itself is partition-order
+    dependent, so the engine's canonical dedup uses an explicit rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(fingerprint_md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+def q_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the engine's SQL interface (spark.sql over
+    registered views) — the SQL layer the reference lacks (SURVEY §2.7)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n, SUM(l_quantity) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def q_having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation + HAVING (TPC-H Q18 shape): orders whose total quantity
+    exceeds 150, with the customer name joined in."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("l_orderkey", "c_name", "o_totalprice", "total_qty")
+    )
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (TPC-H Q14 shape): PROMO revenue share per
+    ship-year; both sums decimal-exact, ratio computed on double casts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(18,4)")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    return (
+        joined.groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .withColumn(
+            "promo_share_pct",
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"),
+        )
+    )
+
+
+def q_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS semi join with an inequality (TPC-H Q4 shape): orders having
+    any lineitem shipped >60 days after the order date."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (orders.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles of quantity per return flag
+    (order-insensitive: computed on the sorted group)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+    )
+
+
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered distinct string aggregation per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias("statuses"),
+        F.countDistinct("l_linestatus").cast("long").alias("n_statuses"),
+    )
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long form (label, dim position,
+    mean) — posexplode + decimal-exact per-position sums. At scale this is
+    the shuffle-light layout: |labels|×dim rows move, not vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    # widen float->double BEFORE the decimal cast: engines disagree on
+    # direct float->decimal rounding (string-repr vs exact-value paths)
+    return (
+        exploded.groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            (
+                F.sum(F.col("val").cast("double").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid")
+        )
+    )
+
+
+def q_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row vector math: L2 norm + first normalized component
+    (functions.vector, codegen'd fold — no Python)."""
+    from hdinsight_pyspark_cntk_integration_spark.functions.vector import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = l2_norm("embedding")
+    return emb.select(
+        "vec_id",
+        norm.alias("l2_norm"),
+        (F.element_at("embedding", 1).cast("double") / norm).alias("e0_normalized"),
+    )
+
+
+def q_bigram_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram frequencies, top-50 — the n-gram generalization of the
+    token histogram (explode stays after the cheap split projection)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "bigram")
+        .limit(50)
+    )
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel: first view → first purchase at-or-after it, per user, with
+    a converted flag. Two grouped scans + one left join on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    sentinel = F.lit("1900-01-01").cast("timestamp")
+    return (
+        fv.join(fp, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view",
+            F.coalesce("first_purchase", sentinel).alias("first_purchase"),
+            F.when(F.col("first_purchase").isNull(), 0).otherwise(1).cast("long").alias("converted"),
+        )
+    )
+
+
+def q_sql_yearly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL-text interface end to end: revenue per order-year
+    over registered views."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        f"""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               {_SQL_REVENUE} AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY year(o_orderdate)
+        """
+    )
+
+
+def q_merge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big join under an explicit MERGE hint (sort-merge join): the
+    engine's co-shuffle path for fact-fact joins where neither side
+    broadcasts (at 100 TB: pre-bucket both sides on the key instead)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.hint("MERGE")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_lines"), F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+def q_union_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of heterogeneous sources into one frame + global top-20 by
+    balance (deterministic tie-break)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.col("c_acctbal").alias("acctbal"), F.lit("customer").alias("kind")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.col("s_acctbal").alias("acctbal"), F.lit("supplier").alias("kind")
+    )
+    return cust.unionByName(supp).orderBy(F.desc("acctbal"), "name").limit(20)
+
+
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLIF/COALESCE/CASE null semantics as per-row projections."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(d.isNull(), 0).otherwise(1).cast("long").alias("has_discount"),
+        F.coalesce(d, F.lit(-1.0)).alias("discount_or_neg1"),
+    )
+
+
 # --- weaker (rows-only) checks: not SQL-expressible -----------------------
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr/stddev/variance) — rows-only check:
+    float reductions are summation-order-dependent across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
+        F.stddev_samp("l_extendedprice").alias("stddev_price"),
+        F.var_samp("l_discount").alias("var_discount"),
+    )
+
+
+
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs + exact Jaccard verify (rows-only
     check; LSH banding isn't ANSI-SQL-expressible)."""
@@ -494,6 +818,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "approx_distinct": q_approx_distinct,
         "lang_id": q_lang_id,
+        "running_total": q_running_total,
+        "lag_lead": q_lag_lead,
+        "moving_avg": q_moving_avg,
+        "sessionize": q_sessionize,
+        "dedup_keep_first_rows": q_dedup_keep_first_rows,
+        "grouping_sets_sql": q_grouping_sets_sql,
+        "having_big_orders": q_having_big_orders,
+        "promo_revenue_share": q_promo_revenue_share,
+        "exists_late_ship": q_exists_late_ship,
+        "percentiles": q_percentiles,
+        "string_agg": q_string_agg,
+        "embedding_centroids": q_embedding_centroids,
+        "l2_normalize": q_l2_normalize,
+        "bigram_histogram": q_bigram_histogram,
+        "funnel_conversion": q_funnel_conversion,
+        "sql_yearly_revenue": q_sql_yearly_revenue,
+        "merge_join": q_merge_join,
+        "union_accounts": q_union_accounts,
+        "null_handling": q_null_handling,
+        "corr_stats": q_corr_stats,
     }
 
 
@@ -802,4 +1146,186 @@ def oracle_sql() -> dict[str, str]:
         "score_confusion": _score_confusion_sql(),
         "score_accuracy": _score_accuracy_sql(),
         "lang_id": _lang_scores_sql(),
+        "running_total": """
+            SELECT o_custkey, o_orderkey,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) AS DOUBLE) AS running_total
+            FROM orders
+        """,
+        "lag_lead": """
+            SELECT o_custkey, o_orderkey,
+              COALESCE(lag(o_orderdate) OVER w, TIMESTAMP '1900-01-01') AS prev_order_date,
+              COALESCE(lead(o_orderdate) OVER w, TIMESTAMP '1900-01-01') AS next_order_date,
+              COALESCE(date_diff('day', lag(o_orderdate) OVER w, o_orderdate), -1) AS gap_days
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "moving_avg": """
+            SELECT o_custkey, o_orderkey,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                / COUNT(*) OVER w AS moving_avg_3
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "sessionize": """
+            WITH e AS (
+              SELECT user_id, make_timestamp(epoch_ns(ts)//1000) AS ts, event_id
+              FROM events
+            ), marked AS (
+              SELECT user_id, ts, event_id,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts,
+                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+              FROM marked
+            )
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+              MIN(ts) AS session_start, MAX(ts) AS session_end,
+              CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM sess GROUP BY user_id, session_idx
+        """,
+        "dedup_keep_first_rows": f"""
+            SELECT doc_id, lang, source FROM (
+              SELECT doc_id, lang, source,
+                row_number() OVER (PARTITION BY md5({_NORM_TEXT}) ORDER BY doc_id) AS rn
+              FROM documents
+            ) WHERE rn = 1
+        """,
+        "grouping_sets_sql": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(COUNT(*) AS BIGINT) AS n, SUM(l_quantity) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        "having_big_orders": """
+            SELECT l_orderkey, c_name, o_totalprice, total_qty
+            FROM (
+              SELECT l_orderkey, SUM(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+            )
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "promo_revenue_share": """
+            WITH j AS (
+              SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS ship_year, p_type,
+                CAST(l_extendedprice AS DECIMAL(18,4))
+                  * CAST(1.0 - l_discount AS DECIMAL(18,4)) AS rev
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+            )
+            SELECT ship_year,
+              CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev END) AS DOUBLE) AS promo_revenue,
+              CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+              100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev END) AS DOUBLE)
+                / CAST(SUM(rev) AS DOUBLE) AS promo_share_pct
+            FROM j GROUP BY ship_year
+        """,
+        "exists_late_ship": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            )
+            GROUP BY o_orderpriority
+        """,
+        "percentiles": """
+            SELECT l_returnflag,
+              quantile_cont(l_quantity, 0.25) AS p25,
+              quantile_cont(l_quantity, 0.5) AS p50,
+              quantile_cont(l_quantity, 0.75) AS p75
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "string_agg": """
+            SELECT l_returnflag,
+              string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+              CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS n_statuses
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "embedding_centroids": """
+            WITH x AS (
+              SELECT label, unnest(embedding) AS val,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings
+            )
+            SELECT label, CAST(pos - 1 AS BIGINT) AS pos,
+              CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+                / COUNT(*) AS centroid
+            FROM x GROUP BY label, pos
+        """,
+        "l2_normalize": """
+            SELECT vec_id,
+              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS l2_norm,
+              CAST(embedding[1] AS DOUBLE)
+                / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS e0_normalized
+            FROM embeddings
+        """,
+        "bigram_histogram": r"""
+            WITH toks AS (
+              SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents
+            )
+            SELECT bigram, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (
+              SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                           i -> t[i] || ' ' || t[i + 1])) AS bigram
+              FROM toks
+            )
+            GROUP BY bigram
+            ORDER BY freq DESC, bigram
+            LIMIT 50
+        """,
+        "funnel_conversion": """
+            WITH e AS (
+              SELECT user_id, event_type, make_timestamp(epoch_ns(ts)//1000) AS ts FROM events
+            ), fv AS (
+              SELECT user_id, MIN(ts) AS first_view FROM e
+              WHERE event_type = 'view' GROUP BY user_id
+            ), fp AS (
+              SELECT e.user_id, MIN(e.ts) AS first_purchase
+              FROM e JOIN fv ON e.user_id = fv.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view
+              GROUP BY e.user_id
+            )
+            SELECT fv.user_id, fv.first_view,
+              COALESCE(fp.first_purchase, TIMESTAMP '1900-01-01') AS first_purchase,
+              CAST(CASE WHEN fp.first_purchase IS NULL THEN 0 ELSE 1 END AS BIGINT) AS converted
+            FROM fv LEFT JOIN fp ON fv.user_id = fp.user_id
+        """,
+        "sql_yearly_revenue": f"""
+            SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                   {_SQL_REVENUE} AS revenue
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY 1
+        """,
+        "merge_join": """
+            SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   SUM(l_quantity) AS sum_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderstatus
+        """,
+        "union_accounts": """
+            SELECT name, acctbal, kind FROM (
+              SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+              UNION ALL
+              SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind FROM supplier
+            )
+            ORDER BY acctbal DESC, name
+            LIMIT 20
+        """,
+        "null_handling": """
+            SELECT l_orderkey, l_linenumber,
+              CAST(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 0 ELSE 1 END AS BIGINT) AS has_discount,
+              COALESCE(NULLIF(l_discount, 0.0), -1.0) AS discount_or_neg1
+            FROM lineitem
+        """,
     }

@@ -122,12 +122,19 @@ def minhash_lsh_candidates(
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
-    # Exchange barrier after shingle hashing: projection collapse would
-    # otherwise inline the (regexp + split + xxhash64) shingle tree
-    # into every downstream minhash use — a num_hashes× recompute.
-    hashed = df.select(
-        F.col(id_col), hashed_shingles(text_col, shingle_k, shingle_mode).alias("hs")
-    ).repartition(F.col(id_col))
+    # Round-robin repartition FIRST: the fixtures arrive as one file/one
+    # partition, and shingling is the expensive projection — spread it
+    # across cores. Then an exchange barrier AFTER shingle hashing:
+    # projection collapse would otherwise inline the (regexp + split +
+    # xxhash64) shingle tree into every downstream minhash use — a
+    # num_hashes× recompute. Two different partitionings, so neither
+    # exchange is optimized away.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    hashed = (
+        df.repartition(par)
+        .select(F.col(id_col), hashed_shingles(text_col, shingle_k, shingle_mode).alias("hs"))
+        .repartition(F.col(id_col))
+    )
     mins = minhash_cols(F.col("hs"), num_hashes)
     # One projection: every minhash expression feeds exactly one band hash.
     banded = hashed.select(
@@ -168,7 +175,7 @@ def jaccard_pairs(
     array_intersect/array_union over hashed shingle sets (31-bit hashes —
     collision effect on Jaccard is ≤ |A|²/2³¹, negligible).
     Two hash joins keyed by doc id — linear in candidates, never n²."""
-    sh = df.select(
+    sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
         F.col(id_col), hashed_shingles(text_col, shingle_k, shingle_mode).alias("sh")
     )
     out = (
@@ -225,6 +232,7 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     Python. Near-dup pairs = hamming distance ≤ radius via
     ``bit_count(sig_a ^ sig_b)``.
     """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     toks = F.split(normalized_text(text_col), r"\s+")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
 

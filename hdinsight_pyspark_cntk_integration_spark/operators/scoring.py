@@ -124,6 +124,7 @@ def score(
     preprocess: Callable[[np.ndarray], np.ndarray] | None = None,
     scores_col: str | None = None,
     pred_col: str = "predicted_label",
+    repartition: int | None = None,
 ) -> DataFrame:
     """Distributed batch inference over an ``array<float>`` column.
 
@@ -157,4 +158,13 @@ def score(
             yield pd.DataFrame(out)
 
     cols_needed = [*pass_through, input_col]
-    return df.select(*cols_needed).mapInPandas(run_batches, schema=out_schema)
+    narrow = df.select(*cols_needed)
+    if repartition:
+        # The reference hand-tunes one partition per worker (README.md:76);
+        # the inverse problem matters for small sources: one parquet file
+        # arrives as ONE partition, serializing inference on one core.
+        # Pass an explicit count for such inputs; leave None for big scans
+        # (their file splits already provide parallelism, and a shuffle of
+        # the full input ahead of inference would dominate at scale).
+        narrow = narrow.repartition(repartition)
+    return narrow.mapInPandas(run_batches, schema=out_schema)
