@@ -37,6 +37,46 @@ HEADLINE = [
 ]
 
 
+N_BENCH_IMAGES = 10_000  # the reference's benchmark cardinality (README.md:194)
+
+
+def inference_throughput(spark) -> float:
+    """Reference-comparable inference bench: score 10k synthetic 3072-dim
+    'images' (deterministic JVM-generated values) through the mapInPandas
+    scorer with the full P1-P5 preprocessing chain + linear stub model.
+    Baseline to beat: ≈102.2 images/s (BASELINE.md)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import scoring as sc
+
+    par = spark.sparkContext.defaultParallelism
+    images = (
+        spark.range(N_BENCH_IMAGES)
+        .repartition(par)
+        .select(
+            F.col("id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3071)),
+                lambda i: F.pmod(F.col("id") * 3072 + i.cast("long") * 2654435761, F.lit(256)).cast("float"),
+            ).alias("image"),
+        )
+    )
+    mean = np.zeros((3, 32, 32), dtype=np.float32)
+    scored = sc.score(
+        images,
+        sc.make_linear_stub_loader(3072, 10),
+        input_col="image",
+        pass_through=["id"],
+        preprocess=lambda b: sc.cifar_preprocess(b, mean),
+    )
+    scored.write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    scored.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    return N_BENCH_IMAGES / dt
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -60,6 +100,8 @@ def main() -> None:
         per_query[name] = round(dt, 3)
         total += dt
 
+    images_per_sec = inference_throughput(spark)
+
     print(
         json.dumps(
             {
@@ -68,6 +110,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "images_per_sec": round(images_per_sec, 1),
+                "reference_images_per_sec": 102.2,
             }
         )
     )

@@ -8,6 +8,8 @@ and by bench diagnostics.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -23,8 +25,15 @@ def simple_plan(df: DataFrame) -> str:
 
 def count_shuffles(df: DataFrame) -> int:
     """Number of Exchange (shuffle) operators in the physical plan.
-    AQE may later coalesce them, but the count is the design property."""
-    return formatted_plan(df).count("Exchange")
+    AQE may later coalesce them, but the count is the design property.
+    (Counts the detail-section headings — the formatted output lists each
+    operator twice, once in the tree and once in the details.)"""
+    plan = formatted_plan(df)
+    n = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.MULTILINE))
+    if n == 0 and "Exchange" in plan:
+        # fallback for plan shapes without a details section
+        n = sum(1 for line in plan.splitlines() if "Exchange" in line)
+    return n
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
