@@ -158,6 +158,31 @@ def asof_join(
     return carried.filter(F.col("__side") == side_left).drop("__ts", "__side")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: the (skewed) left side gets a
+    deterministic salt derived from its full row hash; the right side is
+    replicated ``salt_buckets`` times; the join key becomes (key, salt).
+
+    A hot key's rows now spread over ``salt_buckets`` reducers instead of
+    one. Cost: right side inflated by the bucket count — use when the
+    right side is modest but too big to broadcast, and AQE's runtime skew
+    split (on by default in the engine session) isn't enough. Result
+    equals the plain join (row-for-row).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets))
+    l_salted = left.withColumn("__salt", salt)
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<bigint>"))
+    )
+    return l_salted.join(r_salted, on=[key, "__salt"], how=how).drop("__salt")
+
+
 def range_join_broadcast(
     fact: DataFrame,
     dim: DataFrame,

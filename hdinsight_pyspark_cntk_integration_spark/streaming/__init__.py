@@ -91,6 +91,37 @@ def session_counts(
     )
 
 
+def running_counts_stateful(
+    events: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: cumulative
+    per-key event count, updated each micro-batch.
+
+    This is the arbitrary-state escape hatch for operators the built-in
+    windowed aggs can't express (per-key ML state, custom sessionizers,
+    CEP-ish logic). State is one row per key (a long), partitioned by the
+    grouping key — scales with |keys|, not |events|.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_fn(key, pdfs, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({key_col: [key[0]], "total": [total]})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update_fn,
+        outputStructType=f"{key_col} long, total long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def score_stream_foreach_batch(
     stream: DataFrame,
     batch_scorer: Callable[[DataFrame], DataFrame],

@@ -1,0 +1,135 @@
+"""K1/K2 sink round-trips, watermark late-data semantics, stateful
+streaming, and the skew-salting join."""
+
+from __future__ import annotations
+
+import glob
+import time
+
+from pyspark.sql import functions as F
+
+from hdinsight_pyspark_cntk_integration_spark import streaming as st
+from hdinsight_pyspark_cntk_integration_spark.operators import relational as rel
+from hdinsight_pyspark_cntk_integration_spark.sources import io as eio
+from hdinsight_pyspark_cntk_integration_spark.sources.catalog import load_table
+
+
+def test_single_csv_roundtrip(spark, tmp_path, sf_dir):
+    """K1 (reference README.md:95,217): one CSV file with header,
+    overwrite mode; K2: schema'd read-back."""
+    nation = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_csv")
+    eio.write_single_csv(nation, out)
+    files = glob.glob(f"{out}/part-*.csv")
+    assert len(files) == 1  # coalesce(1) => exactly one data file
+    back = eio.read_csv(
+        spark, out, schema="n_nationkey int, n_name string, n_regionkey int"
+    )
+    assert back.count() == nation.count()
+    a = {tuple(r) for r in nation.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+    # overwrite is idempotent
+    eio.write_single_csv(nation, out)
+    assert len(glob.glob(f"{out}/part-*.csv")) == 1
+
+
+def test_partitioned_parquet_write(spark, tmp_path, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    eio.write_parquet(docs, out, partition_by=["lang"])
+    assert glob.glob(f"{out}/lang=*"), "hive-style partition dirs expected"
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # partition pruning: a lang filter should scan only one partition dir
+    from hdinsight_pyspark_cntk_integration_spark.plans import formatted_plan
+
+    pruned = back.filter(F.col("lang") == "en")
+    assert pruned.count() == docs.filter(F.col("lang") == "en").count()
+    assert "PartitionFilters: [isnotnull(lang" in formatted_plan(pruned)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data policy: rows older than watermark are dropped from the
+    stateful agg (SURVEY.md §7 Phase 5)."""
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    raw_schema = "event_id long, ts string, user_id long, event_type string, value double, props string"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, raw_schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+
+    fresh = [
+        (1, "2024-01-02 10:05:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-02 10:45:00", 1, "view", 1.0, "{}"),
+        (3, "2024-01-02 11:20:00", 2, "view", 1.0, "{}"),
+    ]
+    mk(fresh).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(mk(fresh).schema).option("maxFilesPerTrigger", 1).parquet(src)
+    agg = st.tumbling_counts(st.with_watermark(stream, delay="0 seconds"), "1 hour")
+    # append mode: a window is emitted once the watermark passes its end,
+    # and rows behind the watermark are dropped from state entirely.
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_t")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    # watermark is now ~2024-01-02 11:20; append a file with much older rows
+    very_late = [(99, "2024-01-01 05:00:00", 3, "view", 1.0, "{}")]
+    mk(very_late).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    # one more empty-ish batch so closed windows flush
+    mk(fresh[-1:]).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    got = spark.sql("select * from late_t").toPandas()
+    q.stop()
+    days = {str(d)[:10] for d in got["window_start"]}
+    assert "2024-01-02" in days
+    assert "2024-01-01" not in days, "row behind the watermark must be dropped"
+
+
+def test_stateful_running_counts(spark, tmp_path, sf_dir):
+    """applyInPandasWithState: per-user cumulative counts across multiple
+    micro-batches converge to the batch group counts."""
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "stateful_src")
+    # several files => several micro-batches under maxFilesPerTrigger=1
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = st.running_counts_stateful(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "stateful_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.sql("select user_id, max(total) as total from stateful_t group by user_id")
+        .toPandas()
+        .set_index("user_id")["total"]
+    )
+    exp = ev.groupBy("user_id").count().toPandas().set_index("user_id")["count"]
+    assert len(got) == len(exp)
+    for uid, n in exp.items():
+        assert int(got[uid]) == int(n)
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plain = li.join(orders.select("o_orderkey", "o_orderstatus"),
+                    li.l_orderkey == F.col("o_orderkey")).count()
+    # salted variant with renamed key on both sides
+    left = li.withColumnRenamed("l_orderkey", "k")
+    right = orders.select(F.col("o_orderkey").alias("k"), "o_orderstatus")
+    salted = rel.salted_join(left, right, "k", salt_buckets=4)
+    assert salted.count() == plain
