@@ -769,6 +769,379 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.language_scores(docs)
 
 
+def q_correlated_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): lineitems below 20% of
+    their part's average quantity. The per-part average is decorrelated
+    into a grouped aggregate + co-partitioned join on l_partkey — at
+    scale both sides shuffle once on the same key (no re-scan per row).
+    avg = exact-fp64 sum / count (l_quantity is integer-valued)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    avgq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avgq, li.l_partkey == avgq.pk)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((_dec_sum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op: nation keys present in BOTH customer and supplier."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        cust.select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(supp.select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot via stack(): per-status min/max price as
+    (status, stat, value) rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    return wide.select(
+        "o_orderstatus",
+        F.expr(
+            "stack(2, 'min_price', min_price, 'max_price', max_price) AS (stat, value)"
+        ),
+    )
+
+
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column family: create_map, element_at, size, sorted keys."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("prio"), F.col("o_orderpriority"),
+    )
+    return orders.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_v"),
+        F.size(m).cast("long").alias("map_size"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+    )
+
+
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family over the embedding column: size, min/max,
+    element access, explicit left-assoc float→double sums (deterministic
+    on both engines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+
+    def el(i: int) -> F.Column:
+        return F.element_at(e, i).cast("double")
+
+    return emb.select(
+        "vec_id",
+        F.size(e).cast("long").alias("n_dims"),
+        F.array_max(e).cast("double").alias("arr_max"),
+        F.array_min(e).cast("double").alias("arr_min"),
+        (((el(1) + el(2)) + el(3)) + el(4)).alias("sum_first4"),
+        F.element_at(e, F.size(e)).cast("double").alias("last_val"),
+    )
+
+
+def q_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp family: extract the numeric id from c_name, digit masking,
+    boolean regexp match."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"(\d+)", 1).cast("long").alias("cust_num"),
+        F.regexp_replace("c_name", r"\d", "#").alias("masked"),
+        F.col("c_name").rlike(r"^Customer#0*1?\d{2}$").cast("long").alias("low_id"),
+    )
+
+
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window family: dense_rank, percent_rank, ntile(4),
+    cume_dist over a fully-deterministic ordering."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.percent_rank().over(w).alias("prank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+def q_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an unbounded frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w).alias("last_ok"),
+        F.coalesce(F.nth_value("o_orderkey", 2).over(w), F.lit(-1)).alias("second_ok"),
+    )
+
+
+def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar family: month arithmetic (clamping), last_day,
+    quarter, ISO week, day-of-week, day arithmetic. Date results are cast
+    to timestamp so both engines hash the same dtype."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.add_months(d, 3).cast("timestamp").alias("plus3m"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        F.dayofweek(d).cast("long").alias("dow"),
+        F.date_add(d.cast("date"), 30).cast("timestamp").alias("plus30d"),
+    )
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: two-level aggregation — orders per customer
+    (left join keeps zero-order customers), then the distribution of
+    those counts."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs join predicate across both tables.
+    The join key (partkey) is still conjunctive, so this stays a hash
+    join with a post-join residual filter — no cartesian blowup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#33") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond).agg(
+        _revenue().alias("revenue"), F.count(F.lit(1)).alias("n_lines")
+    )
+
+
+def q_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-count suppliers per part attribute
+    bucket with NOT-equal / IN-list filters. countDistinct expands to a
+    two-phase (dedup shuffle + count) plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    return (
+        part.join(li, part.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+def q_high_balance_light_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global positive-balance average,
+    computed exactly in decimal then broadcast) + per-customer order
+    counts; customers above the average with <8 orders, by nation."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (_dec_sum(F.col("c_acctbal"), 2) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    oc = orders.groupBy(F.col("o_custkey")).agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(oc, cust.c_custkey == oc.o_custkey)
+        .filter(F.col("n_orders") < 8)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            _dec_sum(F.col("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
+def q_nation_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: grouped value per nation filtered against a
+    fraction of the global total (scalar subquery broadcast into the
+    HAVING predicate); both sums decimal-exact."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    total = supp.agg(_dec_sum(F.col("s_acctbal"), 2).alias("total_bal"))
+    return (
+        supp.groupBy("s_nationkey")
+        .agg(_dec_sum(F.col("s_acctbal"), 2).alias("value"))
+        .join(F.broadcast(total))
+        .filter(F.col("value") > 0.02 * F.col("total_bal"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("n_name", "value")
+    )
+
+
+def q_nation_trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue between supplier-nation and customer-nation
+    pairs per ship year. Dims broadcast twice under different aliases;
+    facts join on their natural keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = F.col("supp_nation").isin("NATION_1", "NATION_2") & F.col(
+        "cust_nation"
+    ).isin("NATION_1", "NATION_2") & (F.col("supp_nation") != F.col("cust_nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(_revenue().alias("revenue"))
+    )
+
+
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: most frequent lang per source with an
+    explicit tie-break (count desc, lang asc) — Spark's builtin mode() is
+    tie-nondeterministic, so the engine's canonical form is count +
+    row_number."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), "lang")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), "n")
+    )
+
+
+def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard similarity of adjacent doc pairs
+    (operators.dedup.word_shingles + array_intersect/union). The same
+    verify kernel runs on LSH candidate pairs at scale; the adjacent-pair
+    form makes it oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id"), dd.word_shingles("text", 3).alias("sa"))
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), dd.word_shingles("text", 3).alias("sb")
+    )
+    return a.join(b, "doc_id").select(
+        "doc_id",
+        (
+            F.size(F.array_intersect("sa", "sb")).cast("double")
+            / F.size(F.array_union("sa", "sb"))
+        ).alias("jaccard"),
+    )
+
+
+def q_near_dup_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, exact all-pairs baseline: pairs with cosine
+    ≥ 0.4 via broadcast nested-loop self-join. This is the verification
+    baseline; the 100 TB path is q_near_dup_cosine_lsh (hyperplane
+    bucketing bounds candidate pairs instead of n²)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_similarity("va", "vb").alias("cos"))
+        .filter(F.col("cos") >= 0.4)
+    )
+
+
+def q_near_dup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, LSH scale path (rows-only check): random-
+    hyperplane sign buckets generate candidates, exact cosine verifies.
+    Candidate count is Σ|bucket|² — bounded by bucket granularity, not
+    n²."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = dd.embedding_near_dup_candidates(emb, id_col="vec_id", vec_col="embedding")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cosine_similarity("va", "vb").alias("cos"))
+        .filter(F.col("cos") >= 0.4)
+    )
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata pass (no decode): byte length, sha256 content
+    hash, magic-number sniff over binary payloads — pure Catalyst
+    expressions (operators.multimodal.with_media_metadata). Payloads are
+    the documents' utf-8 bytes standing in for media blobs."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select("doc_id", F.encode("text", "utf-8").alias("content"))
+    return mm.with_media_metadata(payload).select(
+        "doc_id", "media_bytes", "media_sha256", "media_format"
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode→resize pipeline (rows-only check: the stub codec
+    is a sha256 expansion, not SQL-expressible). Exercises the real Spark
+    plumbing: binary column → mapInPandas decode to (shape, flat tensor)
+    → nearest-neighbor resize → per-row tensor stats."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    tens = mm.decode_to_tensor(
+        payload,
+        content_col="content",
+        id_col="doc_id",
+        decoder=mm.deterministic_fake_decoder((8, 8, 3)),
+    )
+    resized = mm.resize_tensor(tens, (4, 4))
+    mean = F.aggregate(
+        "tensor", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    ) / F.size("tensor")
+    return resized.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.array_join(F.transform("shape", lambda s: s.cast("string")), "x").alias("shape"),
+        mean.alias("tensor_mean"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -838,6 +1211,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_accounts": q_union_accounts,
         "null_handling": q_null_handling,
         "corr_stats": q_corr_stats,
+        "correlated_avg_qty": q_correlated_avg_qty,
+        "intersect": q_intersect,
+        "unpivot": q_unpivot,
+        "map_functions": q_map_functions,
+        "array_functions": q_array_functions,
+        "regexp_functions": q_regexp_functions,
+        "rank_functions": q_rank_functions,
+        "first_last_value": q_first_last_value,
+        "datetime_functions": q_datetime_functions,
+        "order_count_distribution": q_order_count_distribution,
+        "disjunctive_filter": q_disjunctive_filter,
+        "parts_supplier_count": q_parts_supplier_count,
+        "high_balance_light_buyers": q_high_balance_light_buyers,
+        "nation_value_share": q_nation_value_share,
+        "nation_trade_pairs": q_nation_trade_pairs,
+        "mode_per_group": q_mode_per_group,
+        "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
+        "near_dup_cosine_exact": q_near_dup_cosine_exact,
+        "near_dup_cosine_lsh": q_near_dup_cosine_lsh,
+        "media_metadata": q_media_metadata,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -1327,5 +1721,195 @@ def oracle_sql() -> dict[str, str]:
               CAST(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 0 ELSE 1 END AS BIGINT) AS has_discount,
               COALESCE(NULLIF(l_discount, 0.0), -1.0) AS discount_or_neg1
             FROM lineitem
+        """,
+        "correlated_avg_qty": """
+            WITH a AS (
+              SELECT l_partkey AS pk, SUM(l_quantity)/COUNT(*) AS avg_qty
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN a ON pk = l_partkey
+            WHERE p_brand = 'Brand#11' AND l_quantity < 0.2 * avg_qty
+        """,
+        "intersect": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey AS nationkey FROM supplier
+        """,
+        "unpivot": """
+            WITH w AS (
+              SELECT o_orderstatus,
+                MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+              FROM orders GROUP BY o_orderstatus
+            )
+            SELECT o_orderstatus, 'min_price' AS stat, min_price AS value FROM w
+            UNION ALL
+            SELECT o_orderstatus, 'max_price' AS stat, max_price AS value FROM w
+        """,
+        "map_functions": """
+            SELECT o_orderkey, o_orderstatus AS status_v,
+              CAST(2 AS BIGINT) AS map_size,
+              'prio,status' AS keys_sorted
+            FROM orders
+        """,
+        "array_functions": """
+            SELECT vec_id,
+              CAST(len(embedding) AS BIGINT) AS n_dims,
+              CAST(list_max(embedding) AS DOUBLE) AS arr_max,
+              CAST(list_min(embedding) AS DOUBLE) AS arr_min,
+              ((CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE))
+                + CAST(embedding[3] AS DOUBLE)) + CAST(embedding[4] AS DOUBLE) AS sum_first4,
+              CAST(embedding[len(embedding)] AS DOUBLE) AS last_val
+            FROM embeddings
+        """,
+        "regexp_functions": r"""
+            SELECT c_custkey,
+              CAST(regexp_extract(c_name, '(\d+)', 1) AS BIGINT) AS cust_num,
+              regexp_replace(c_name, '\d', '#', 'g') AS masked,
+              CAST(CASE WHEN regexp_matches(c_name, '^Customer#0*1?\d{2}$')
+                   THEN 1 ELSE 0 END AS BIGINT) AS low_id
+            FROM customer
+        """,
+        "rank_functions": """
+            SELECT o_custkey, o_orderkey,
+              CAST(dense_rank() OVER w AS BIGINT) AS drank,
+              percent_rank() OVER w AS prank,
+              CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+              cume_dist() OVER w AS cdist
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        """,
+        "first_last_value": """
+            SELECT o_custkey, o_orderkey,
+              first_value(o_orderkey) OVER w AS first_ok,
+              last_value(o_orderkey) OVER w AS last_ok,
+              COALESCE(nth_value(o_orderkey, 2) OVER w, -1) AS second_ok
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """,
+        "datetime_functions": """
+            SELECT o_orderkey,
+              CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3m,
+              CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+              CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
+              CAST(EXTRACT(WEEK FROM o_orderdate) AS BIGINT) AS iso_week,
+              CAST(EXTRACT(DOW FROM o_orderdate) + 1 AS BIGINT) AS dow,
+              CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS plus30d
+            FROM orders
+        """,
+        "order_count_distribution": """
+            WITH per_cust AS (
+              SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer
+              LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+                ON c_custkey = o.o_custkey
+              GROUP BY c_custkey
+            )
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM per_cust GROUP BY c_count
+        """,
+        "disjunctive_filter": f"""
+            SELECT {_SQL_REVENUE} AS revenue, CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "parts_supplier_count": """
+            SELECT p_brand, p_type, p_size,
+              CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM part JOIN lineitem ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#11' AND p_size IN (1,5,9,13,17,21,25,29)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "high_balance_light_buyers": """
+            WITH avg_bal AS (
+              SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS ab
+              FROM customer WHERE c_acctbal > 0
+            ), oc AS (
+              SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+            )
+            SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+            FROM customer, avg_bal
+            JOIN oc ON o_custkey = c_custkey
+            WHERE c_acctbal > ab AND n_orders < 8
+            GROUP BY c_nationkey
+        """,
+        "nation_value_share": """
+            WITH t AS (
+              SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+              FROM supplier
+            )
+            SELECT n_name, value FROM (
+              SELECT s_nationkey,
+                CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS value
+              FROM supplier GROUP BY s_nationkey
+            ), t
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE value > 0.02 * total_bal
+        """,
+        "nation_trade_pairs": f"""
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS ship_year,
+              {_SQL_REVENUE} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name IN ('NATION_1','NATION_2')
+              AND n2.n_name IN ('NATION_1','NATION_2')
+              AND n1.n_name <> n2.n_name
+            GROUP BY 1, 2, 3
+        """,
+        "mode_per_group": """
+            SELECT source, lang AS top_lang, n FROM (
+              SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n,
+                row_number() OVER (PARTITION BY source ORDER BY COUNT(*) DESC, lang) AS rn
+              FROM documents GROUP BY source, lang
+            ) WHERE rn = 1
+        """,
+        "ngram_jaccard_adjacent": f"""
+            WITH sh AS (
+              SELECT doc_id,
+                list_distinct(list_transform(
+                  generate_series(1, greatest(len(string_split({_NORM_TEXT}, ' ')) - 2, 1)),
+                  i -> array_to_string(string_split({_NORM_TEXT}, ' ')[i:i+2], ' ')
+                )) AS s
+              FROM documents
+            )
+            SELECT a.doc_id,
+              CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        """,
+        "near_dup_cosine_exact": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        """,
+        "media_metadata": """
+            SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS media_bytes,
+              sha256(text) AS media_sha256,
+              CASE
+                WHEN upper(hex(encode(text)))[1:8] = '89504E47' THEN 'png'
+                WHEN upper(hex(encode(text)))[1:6] = 'FFD8FF' THEN 'jpeg'
+                WHEN upper(hex(encode(text)))[1:8] = '47494638' THEN 'gif'
+                WHEN upper(hex(encode(text)))[1:8] = '52494646' THEN 'riff'
+                ELSE 'unknown'
+              END AS media_format
+            FROM documents
         """,
     }

@@ -261,42 +261,68 @@ def embedding_near_dup_candidates(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 16,
+    num_planes: int = 6,
+    bands: int = 16,
     seed: int = 42,
 ) -> DataFrame:
-    """Cosine near-dup buckets via random-hyperplane LSH: sign bits of
-    ⟨v, r_k⟩ for ``num_planes`` pseudo-random planes form a bucket key;
-    same-bucket pairs are candidates for exact cosine verification
-    (similarity.cosine_topk / functions.vector.cosine_similarity).
+    """Cosine near-dup candidates via banded random-hyperplane LSH.
 
-    Planes are generated per-row from deterministic per-(plane, dim)
-    hashes, so the whole thing is Catalyst expressions — equivalent to
-    broadcasting a plane matrix, without shipping one.
+    Each band hashes the vector to the sign bits of ``num_planes``
+    pseudo-random hyperplane dots; same-(band, bucket) pairs become
+    candidates for exact cosine verification (functions.vector.
+    cosine_similarity). Banding amplifies recall the same way MinHash-LSH
+    banding does: P(candidate) = 1 - (1 - p^r)^b for per-plane agreement
+    p = 1 - θ/π. With r=6, b=16 a cosine-0.9 pair is caught with
+    probability ≈1, a cosine-0.4 pair ≈0.65, and orthogonal pairs rarely
+    collide — so candidate volume is Σ|bucket|² per band, not n².
+
+    Planes are generated per-row from deterministic per-(band, plane,
+    dim) hashes, so the whole thing is Catalyst expressions — equivalent
+    to broadcasting a plane matrix, without shipping one. Each vector
+    explodes into ``bands`` rows (constant factor) before the bucket
+    self-join; dedup of the pair list is one extra shuffle.
     """
     v = F.col(vec_col).cast("array<double>")
     dim_idx = F.sequence(F.lit(0), F.size(v) - 1)
 
-    def plane_dot(k: int) -> Column:
-        # pseudo-random ±{1,3,5,...,15}/8 weights from xxhash64(k, dim)
+    def plane_dot(band: int, k: int) -> Column:
+        # pseudo-random ±{1,3,5,...,15}/8 weights from xxhash64(band, k, dim)
         prods = F.zip_with(
             v,
             dim_idx,
             lambda x, i: x
             * (
-                (F.pmod(F.xxhash64(F.lit(seed), F.lit(k), i), F.lit(16)) - F.lit(7.5))
+                (
+                    F.pmod(
+                        F.xxhash64(F.lit(seed), F.lit(band), F.lit(k), i), F.lit(16)
+                    )
+                    - F.lit(7.5)
+                )
                 / F.lit(8.0)
             ),
         )
         return F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
 
-    bucket = F.concat_ws(
-        "",
-        *[F.when(plane_dot(k) >= 0, F.lit("1")).otherwise(F.lit("0")) for k in range(num_planes)],
+    def band_bucket(band: int) -> Column:
+        bits = F.concat_ws(
+            "",
+            *[
+                F.when(plane_dot(band, k) >= 0, F.lit("1")).otherwise(F.lit("0"))
+                for k in range(num_planes)
+            ],
+        )
+        return F.concat(F.lit(f"{band}:"), bits)
+
+    bucketed = df.select(
+        F.col(id_col),
+        F.explode(F.array(*[band_bucket(band) for band in range(bands)])).alias(
+            "bucket"
+        ),
     )
-    bucketed = df.select(F.col(id_col), bucket.alias("bucket"))
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
         a.join(b, "bucket")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
     )
