@@ -1142,6 +1142,75 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simple_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight scan-side range filters + single global
+    aggregate — the canonical predicate-pushdown query (filters reach the
+    parquet scan; one row crosses the final exchange)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & F.col("l_discount").between(0.03, 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * F.col("l_discount").cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar family: initcap, lpad, translate, levenshtein,
+    split_part, repeat, reverse — per-row codegen projections."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.initcap(F.lower("c_name")).alias("titled"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded"),
+        F.translate("c_name", "#0", "-O").alias("translated"),
+        F.levenshtein("c_name", F.lit("Customer#000000000")).cast("long").alias("edit_dist"),
+        F.split_part("c_name", F.lit("#"), F.lit(2)).alias("num_part"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+        F.reverse(F.split_part("c_name", F.lit("#"), F.lit(1))).alias("reversed_word"),
+    )
+
+
+def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar family over lineitem: abs/sign/sqrt/ceil/floor/pmod/
+    pow — all deterministic IEEE ops (no libm-divergent fns like exp/ln
+    in the oracle-checked surface)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.04).alias("abs_dev"),
+        F.signum(F.col("l_discount") - 0.04).alias("dev_sign"),
+        F.sqrt("l_extendedprice").alias("sqrt_price"),
+        F.ceil(F.col("l_extendedprice") * 1.1).cast("long").alias("ceil_110"),
+        F.floor(F.col("l_quantity") / 7.0).cast("long").alias("floor_q7"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("key_mod7"),
+        F.pow(F.col("l_quantity"), 2).alias("qty_sq"),
+    )
+
+
+def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (order-independent by construction):
+    bit_and/bit_or/bit_xor per return flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and(F.col("l_linenumber").cast("long")).alias("and_linenum"),
+        F.bit_or(F.col("l_linenumber").cast("long")).alias("or_linenum"),
+        F.bit_xor(F.col("l_orderkey")).alias("xor_orderkey"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1232,6 +1301,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_cosine_lsh": q_near_dup_cosine_lsh,
         "media_metadata": q_media_metadata,
         "multimodal_decode": q_multimodal_decode,
+        "simple_filter_agg": q_simple_filter_agg,
+        "string_functions": q_string_functions,
+        "math_functions": q_math_functions,
+        "bitwise_agg": q_bitwise_agg,
     }
 
 
@@ -1911,5 +1984,45 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 'unknown'
               END AS media_format
             FROM documents
+        """,
+        "simple_filter_agg": """
+            SELECT
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+              CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+              AND l_discount BETWEEN 0.03 AND 0.05
+              AND l_quantity < 24
+        """,
+        "string_functions": """
+            SELECT c_custkey,
+              upper(lower(c_name)[1:1]) || lower(c_name)[2:] AS titled,
+              lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+              translate(c_name, '#0', '-O') AS translated,
+              CAST(levenshtein(c_name, 'Customer#000000000') AS BIGINT) AS edit_dist,
+              split_part(c_name, '#', 2) AS num_part,
+              repeat('ab', 3) AS repeated,
+              reverse(split_part(c_name, '#', 1)) AS reversed_word
+            FROM customer
+        """,
+        "math_functions": """
+            SELECT l_orderkey, l_linenumber,
+              abs(l_discount - 0.04) AS abs_dev,
+              CAST(sign(l_discount - 0.04) AS DOUBLE) AS dev_sign,
+              sqrt(l_extendedprice) AS sqrt_price,
+              CAST(ceil(l_extendedprice * 1.1) AS BIGINT) AS ceil_110,
+              CAST(floor(l_quantity / 7.0) AS BIGINT) AS floor_q7,
+              l_orderkey % 7 AS key_mod7,
+              pow(l_quantity, 2) AS qty_sq
+            FROM lineitem
+        """,
+        "bitwise_agg": """
+            SELECT l_returnflag,
+              bit_and(CAST(l_linenumber AS BIGINT)) AS and_linenum,
+              bit_or(CAST(l_linenumber AS BIGINT)) AS or_linenum,
+              bit_xor(l_orderkey) AS xor_orderkey
+            FROM lineitem GROUP BY l_returnflag
         """,
     }
