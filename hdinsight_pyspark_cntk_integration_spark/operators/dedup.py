@@ -34,6 +34,18 @@ _A_MULT = 2654435761
 _B_MULT = 40503
 
 
+def _spread(df: DataFrame) -> tuple[DataFrame, int]:
+    """(df at ≥default parallelism, its partition count). Repartitions
+    ONLY when the input is narrower than the core count — CPU-heavy
+    per-row projections (shingling, hashing) must not serialize on a
+    single-file scan, but a wide 100 TB scan must not round-trip either."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    n = df.rdd.getNumPartitions()
+    if n < par:
+        return df.repartition(par), par
+    return df, n
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one row (min id) per distinct normalized text. One shuffle on
     the fingerprint; map-side partial agg shrinks it. Returns
@@ -148,21 +160,24 @@ def minhash_lsh_candidates(
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
-    # Round-robin repartition FIRST: the fixtures arrive as one file/one
-    # partition, and shingling is the expensive projection — spread it
-    # across cores. Then an exchange barrier AFTER shingle hashing:
-    # projection collapse would otherwise inline the (regexp + split +
-    # xxhash64) shingle tree into every downstream minhash use — a
-    # num_hashes× recompute. Two different partitionings, so neither
-    # exchange is optimized away.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    hashed = (
-        df.repartition(par)
-        .selectExpr(id_col, f"{_hashed_shingles_sql(text_col, shingle_k, shingle_mode)} AS hs")
-        .repartition(F.col(id_col))
-    )
-    # One projection, one SQL parse: every minhash expression feeds
-    # exactly one band hash (see _hashed_shingles_sql on why SQL text).
+    # Shingling is the CPU-heavy projection; _spread makes sure it runs at
+    # full parallelism (fixtures arrive as one file = one partition)
+    # without ever round-tripping raw text when the scan is already wide.
+    # Then ONE exchange with an EXPLICIT partition count (AQE would
+    # otherwise coalesce the tiny-bytes shingle exchange to one partition
+    # and serialize the minhash projection, which is CPU-bound, not
+    # bytes-bound) acting as the anti-collapse barrier: without it,
+    # projection collapse would inline the (regexp + split + xxhash64)
+    # shingle tree into every minhash use — a num_hashes× recompute. (A
+    # barrier-free single-pass fold formulation was tried and is ~25×
+    # slower: expressions inside higher-order-function lambdas are
+    # re-evaluated per element and allocate per shingle; see git
+    # history.) All expressions are SQL text parsed JVM-side in one call —
+    # ~10× cheaper to build than the equivalent py4j Column tree.
+    src, n_parts = _spread(df)
+    hashed = src.selectExpr(
+        id_col, f"{_hashed_shingles_sql(text_col, shingle_k, shingle_mode)} AS hs"
+    ).repartition(n_parts, F.col(id_col))
     mins = [
         f"array_min(transform(hs, h -> pmod({(j * 2 + 1) * _A_MULT % _P}L * h"
         f" + {(j + 1) * _B_MULT % _P}L, {_P}L)))"
@@ -201,7 +216,12 @@ def jaccard_pairs(
     array_intersect/array_union over hashed shingle sets (31-bit hashes —
     collision effect on Jaccard is ≤ |A|²/2³¹, negligible).
     Two hash joins keyed by doc id — linear in candidates, never n²."""
-    sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism).selectExpr(
+    # _spread parallelizes the CPU-heavy shingle projection; the join's
+    # own exchange then materializes the shingle arrays, so the post-join
+    # jaccard projection (which references each side twice: intersect +
+    # union) reads computed values instead of recomputing the tree.
+    src, _ = _spread(df)
+    sh = src.selectExpr(
         id_col, f"{_hashed_shingles_sql(text_col, shingle_k, shingle_mode)} AS sh"
     )
     out = (
