@@ -86,9 +86,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entrymod.queries()
-    # JVM/codegen warmup on a trivial action so per-query numbers measure
-    # the plan, not first-call initialization.
+    # JVM/codegen + Python-worker-pool warmup on trivial actions so
+    # per-query numbers measure the plan, not first-call initialization
+    # (workers are reused across jobs; starting one per core is a fixed
+    # ~2s cost that would otherwise land on the first pandas-UDF query).
     spark.range(1000).selectExpr("sum(id)").collect()
+    par = spark.sparkContext.defaultParallelism
+
+    def _noop(batches):
+        yield from batches
+
+    spark.range(par).repartition(par).mapInPandas(_noop, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     per_query: dict[str, float] = {}
     total = 0.0

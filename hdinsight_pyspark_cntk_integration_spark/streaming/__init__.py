@@ -122,6 +122,35 @@ def running_counts_stateful(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact-dedup: drop repeats of the same key seen within the
+    watermark horizon (state is bounded by the watermark — the unbounded
+    `dropDuplicates` would grow state forever on a stream). Batch frames
+    fall back to plain dropDuplicates for oracle comparison."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
+def enrich_stream_static(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: the static dim side is broadcast
+    into every micro-batch (re-read per batch, so slowly-changing dims
+    pick up updates); the stream side never shuffles. The streaming twin
+    of relational.dim_lookup (reference R6)."""
+    return events.join(F.broadcast(dim), on=on, how=how)
+
+
 def score_stream_foreach_batch(
     stream: DataFrame,
     batch_scorer: Callable[[DataFrame], DataFrame],

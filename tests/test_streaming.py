@@ -83,3 +83,46 @@ def test_foreach_batch_scoring(spark, sf_dir, tmp_path):
     preds = (np.stack(pdf["embedding"].to_numpy()).astype(np.float64) @ w.T).argmax(axis=1)
     got = out.sort_values("vec_id")["predicted_label"].to_numpy()
     assert (got == preds).all()
+
+
+def test_dedup_within_watermark_stream(spark, sf_dir, tmp_path):
+    batch, stream = _stream_events(spark, sf_dir, tmp_path)
+    # duplicate the source rows: dedup must collapse them back
+    dup_src = str(tmp_path / "events_dup")
+    batch.unionAll(batch).write.mode("overwrite").parquet(dup_src)
+    dup_stream = spark.readStream.schema(batch.schema).parquet(dup_src)
+    out = st.dedup_within_watermark(dup_stream, keys=["event_id"], delay="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select count(*) n, count(distinct event_id) d from dedup_wm").collect()[0]
+    assert got["n"] == batch.count()
+    assert got["d"] == got["n"]
+
+
+def test_enrich_stream_static_join(spark, sf_dir, tmp_path):
+    batch, stream = _stream_events(spark, sf_dir, tmp_path)
+    dim = spark.createDataFrame(
+        [("view", "browse"), ("purchase", "convert"), ("click", "browse")],
+        "event_type string, stage string",
+    )
+    out = st.enrich_stream_static(stream, dim, on="event_type")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select count(*) n, sum(case when stage is null then 1 else 0 end) missing from enriched"
+    ).collect()[0]
+    assert got["n"] == batch.count()
+    exp_missing = batch.filter(~batch.event_type.isin("view", "purchase", "click")).count()
+    assert got["missing"] == exp_missing
