@@ -1211,6 +1211,90 @@ def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF end to end (SURVEY §2.7 — the reference has no UDTF
+    surface): LATERAL-join sentence explosion of the documents corpus,
+    with per-sentence token counts computed inside the UDTF."""
+    from hdinsight_pyspark_cntk_integration_spark.functions.udtf import split_sentences
+
+    spark.udtf.register("split_sentences", split_sentences())
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence, CAST(s.n_tokens AS BIGINT) AS n_tokens
+        FROM documents d, LATERAL split_sentences(d.text) s
+        """
+    )
+
+
+def q_higher_order_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: filter / exists / transform over the
+    embedding column (order-free outputs so both engines agree)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.exists(e, lambda x: x < -2.0).cast("long").alias("has_extreme_neg"),
+        F.array_max(F.transform(e, lambda x: F.abs(x))).cast("double").alias("max_abs"),
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (rows-only check): deterministic
+    grid centroids, corpus assigned to nearest cell once, queries probe
+    nprobe cells — the bucketed/partition-pruned scale path next to the
+    exact q_similarity_topk baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = sim.self_queries(emb, [0, 1, 2])
+    centroids = sim.grid_centroids(emb, num=8)
+    return sim.ivf_topk(emb, queries, centroids, k=10, nprobe=2)
+
+
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer,
+    top 20 — fact-fact join + broadcast dims + bounded top-k."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_revenue().alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of total revenue per order
+    year — conditional decimal sum over the joined facts; share ratio on
+    double casts of exact sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("n_name") == "NATION_3", rev)).cast("double").alias("nation_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .withColumn(
+            "mkt_share", F.col("nation_revenue") / F.col("total_revenue")
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1305,6 +1389,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_functions": q_string_functions,
         "math_functions": q_math_functions,
         "bitwise_agg": q_bitwise_agg,
+        "sentence_split": q_sentence_split,
+        "higher_order_fns": q_higher_order_fns,
+        "ivf_topk": q_ivf_topk,
+        "returned_item_revenue": q_returned_item_revenue,
+        "market_share": q_market_share,
     }
 
 
@@ -2024,5 +2113,51 @@ def oracle_sql() -> dict[str, str]:
               bit_or(CAST(l_linenumber AS BIGINT)) AS or_linenum,
               bit_xor(l_orderkey) AS xor_orderkey
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "sentence_split": r"""
+            SELECT doc_id, sentence,
+              CAST(len(string_split_regex(sentence, '\s+')) AS BIGINT) AS n_tokens
+            FROM (
+              SELECT doc_id, trim(u.s) AS sentence
+              FROM documents d,
+                   LATERAL (SELECT unnest(string_split_regex(d.text, '[.!?]+')) AS s) u
+            )
+            WHERE length(sentence) > 0
+        """,
+        "higher_order_fns": """
+            SELECT vec_id,
+              CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+              CAST(CASE WHEN len(list_filter(embedding, x -> x < -2.0)) > 0
+                   THEN 1 ELSE 0 END AS BIGINT) AS has_extreme_neg,
+              CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS max_abs
+            FROM embeddings
+        """,
+        "returned_item_revenue": f"""
+            SELECT c_custkey, c_name, n_name, {_SQL_REVENUE} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "market_share": """
+            WITH j AS (
+              SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year, n_name,
+                CAST(l_extendedprice AS DECIMAL(18,4))
+                  * CAST(1.0 - l_discount AS DECIMAL(18,4)) AS rev
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+            )
+            SELECT o_year,
+              CAST(SUM(CASE WHEN n_name = 'NATION_3' THEN rev END) AS DOUBLE) AS nation_revenue,
+              CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+              CAST(SUM(CASE WHEN n_name = 'NATION_3' THEN rev END) AS DOUBLE)
+                / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+            FROM j GROUP BY o_year
         """,
     }
