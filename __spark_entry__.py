@@ -1295,6 +1295,28 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frame: per customer, order count and
+    exact decimal spend within the trailing 30 days of each order —
+    rangeBetween on an epoch-seconds ordering key."""
+    orders = load_table(spark, sf_dir, "orders")
+    secs = F.unix_timestamp("o_orderdate")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(secs)
+        .rangeBetween(-30 * 86400, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_last30d"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_last30d"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1394,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "returned_item_revenue": q_returned_item_revenue,
         "market_share": q_market_share,
+        "range_frame_window": q_range_frame_window,
     }
 
 
@@ -2159,5 +2182,15 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM(CASE WHEN n_name = 'NATION_3' THEN rev END) AS DOUBLE)
                 / CAST(SUM(rev) AS DOUBLE) AS mkt_share
             FROM j GROUP BY o_year
+        """,
+        "range_frame_window": """
+            SELECT o_custkey, o_orderkey,
+              CAST(COUNT(*) OVER w AS BIGINT) AS n_last30d,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_last30d
+            FROM orders
+            WINDOW w AS (
+              PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+              RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+            )
         """,
     }
