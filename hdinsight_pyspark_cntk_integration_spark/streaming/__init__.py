@@ -151,6 +151,37 @@ def enrich_stream_static(
     return events.join(F.broadcast(dim), on=on, how=how)
 
 
+def join_streams_within(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "1 hour",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream inner join: same key, right event at-or-before the
+    left event and within ``within`` of it (e.g. purchase joined to the
+    views that preceded it). Both sides carry watermarks plus the time-
+    range predicate, which is what lets Spark expire join state — an
+    unconstrained stream-stream join would buffer forever. Columns are
+    prefixed to keep the output schema unambiguous. Works identically on
+    batch frames (the range condition is just a join predicate there)."""
+    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    l = lw.select([F.col(c).alias(f"{left_prefix}{c}") for c in lw.columns])
+    r = rw.select([F.col(c).alias(f"{right_prefix}{c}") for c in rw.columns])
+    lts, rts = F.col(f"{left_prefix}{left_ts}"), F.col(f"{right_prefix}{right_ts}")
+    cond = (
+        (F.col(f"{left_prefix}{key}") == F.col(f"{right_prefix}{key}"))
+        & (rts <= lts)
+        & (rts >= lts - F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond)
+
+
 def score_stream_foreach_batch(
     stream: DataFrame,
     batch_scorer: Callable[[DataFrame], DataFrame],

@@ -126,3 +126,25 @@ def test_enrich_stream_static_join(spark, sf_dir, tmp_path):
     assert got["n"] == batch.count()
     exp_missing = batch.filter(~batch.event_type.isin("view", "purchase", "click")).count()
     assert got["missing"] == exp_missing
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    batch, stream = _stream_events(spark, sf_dir, tmp_path)
+    purchases_b = batch.filter(batch.event_type == "purchase")
+    views_b = batch.filter(batch.event_type == "view")
+    purchases_s = stream.filter(stream.event_type == "purchase")
+    views_s = stream.filter(stream.event_type == "view")
+
+    out = st.join_streams_within(purchases_s, views_s, within="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select count(*) n from ss_join").collect()[0]["n"]
+    exp = st.join_streams_within(purchases_b, views_b, within="30 minutes").count()
+    assert got == exp
+    assert exp > 0
