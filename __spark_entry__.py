@@ -395,7 +395,7 @@ def q_score_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         sc.make_linear_stub_loader(_EMB_DIM, _N_CLASSES),
         input_col="embedding",
         pass_through=["label"],
-        repartition=spark.sparkContext.defaultParallelism,
+        repartition="auto",
     )
     return (
         scored.groupBy("label", "predicted_label")
@@ -412,7 +412,7 @@ def q_score_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         sc.make_linear_stub_loader(_EMB_DIM, _N_CLASSES),
         input_col="embedding",
         pass_through=["label"],
-        repartition=spark.sparkContext.defaultParallelism,
+        repartition="auto",
     )
     return rel.accuracy(scored, "label", "predicted_label")
 

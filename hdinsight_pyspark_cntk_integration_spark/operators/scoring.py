@@ -124,7 +124,7 @@ def score(
     preprocess: Callable[[np.ndarray], np.ndarray] | None = None,
     scores_col: str | None = None,
     pred_col: str = "predicted_label",
-    repartition: int | None = None,
+    repartition: int | str | None = None,
 ) -> DataFrame:
     """Distributed batch inference over an ``array<float>`` column.
 
@@ -159,12 +159,17 @@ def score(
 
     cols_needed = [*pass_through, input_col]
     narrow = df.select(*cols_needed)
-    if repartition:
-        # The reference hand-tunes one partition per worker (README.md:76);
-        # the inverse problem matters for small sources: one parquet file
-        # arrives as ONE partition, serializing inference on one core.
-        # Pass an explicit count for such inputs; leave None for big scans
-        # (their file splits already provide parallelism, and a shuffle of
-        # the full input ahead of inference would dominate at scale).
+    # The reference hand-tunes one partition per worker (README.md:76);
+    # the inverse problem matters for small sources: one parquet file
+    # arrives as ONE partition, serializing inference on one core.
+    # "auto" repartitions ONLY when the input is narrower than the core
+    # count; an explicit int forces that count; None never shuffles (big
+    # scans already have file-split parallelism, and a shuffle of the
+    # full input ahead of inference would dominate at scale).
+    if repartition == "auto":
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if narrow.rdd.getNumPartitions() < par:
+            narrow = narrow.repartition(par)
+    elif repartition:
         narrow = narrow.repartition(repartition)
     return narrow.mapInPandas(run_batches, schema=out_schema)
