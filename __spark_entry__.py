@@ -1317,6 +1317,38 @@ def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct family: struct construction, field access, and inline
+    (explode of an array of structs → rows)."""
+    orders = load_table(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_orderstatus").alias("st"), F.col("o_totalprice").alias("tp")
+    )
+    pair = F.array(
+        F.struct(F.lit("base").alias("tag"), F.col("o_totalprice").alias("amount")),
+        F.struct(F.lit("with_fee").alias("tag"), (F.col("o_totalprice").cast("decimal(18,2)") * F.lit(1.05).cast("decimal(6,2)")).cast("double").alias("amount")),
+    )
+    return orders.select(
+        "o_orderkey",
+        s.getField("st").alias("status_f"),
+        F.inline(pair),
+    )
+
+
+def q_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime formatting + truncation: date_format patterns, day-of-year,
+    week truncation (Monday-start on both engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM").alias("ym"),
+        F.date_format(d, "yyyy-MM-dd").alias("ymd"),
+        F.dayofyear(d).cast("long").alias("doy"),
+        F.date_trunc("week", d).alias("week_start"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1417,6 +1449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_item_revenue": q_returned_item_revenue,
         "market_share": q_market_share,
         "range_frame_window": q_range_frame_window,
+        "struct_functions": q_struct_functions,
+        "date_format": q_date_format,
     }
 
 
@@ -2192,5 +2226,22 @@ def oracle_sql() -> dict[str, str]:
               PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
             )
+        """,
+        "struct_functions": """
+            SELECT o_orderkey, o_orderstatus AS status_f, 'base' AS tag,
+                   o_totalprice AS amount
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus AS status_f, 'with_fee' AS tag,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(6,2)) AS DOUBLE) AS amount
+            FROM orders
+        """,
+        "date_format": """
+            SELECT o_orderkey,
+              strftime(o_orderdate, '%Y-%m') AS ym,
+              strftime(o_orderdate, '%Y-%m-%d') AS ymd,
+              CAST(EXTRACT(DOY FROM o_orderdate) AS BIGINT) AS doy,
+              date_trunc('week', o_orderdate) AS week_start
+            FROM orders
         """,
     }
