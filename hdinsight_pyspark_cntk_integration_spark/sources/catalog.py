@@ -24,11 +24,28 @@ TABLE_NAMES = (
 )
 
 
+# (session-id, sf_dir, table) -> DataFrame. A DataFrame is just a lazy
+# plan, so reusing it skips the repeated footer/schema read that
+# spark.read.parquet performs (~0.5 s per call on this fixture set) while
+# every action still runs a fresh pushdown-capable FileScan.
+_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Plain ``spark.read.parquet`` so Catalyst
     sees a pushdown-capable FileScan (ReadSchema/PushedFilters)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    key = (id(spark), sf_dir, name)
+    cached = _CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _read_table(spark, sf_dir, name)
+    _CACHE[key] = df
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # The fixture stores ts as TIMESTAMP(NANOS), which Spark's parquet
         # reader rejects; read it as int64 ns (legacy conf) and floor to
