@@ -1349,6 +1349,30 @@ def q_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact-fact join (operators.relational.salted_join):
+    hot keys spread over salt buckets; result is row-identical to the
+    plain join, which is exactly what the oracle asserts."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    joined = rel.salted_join(li, orders, key="l_orderkey", salt_buckets=8)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile sketch (rows-only: sketch internals are
+    engine-specific): p50/p95 of extended price per return flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("p95_approx"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1451,6 +1475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_frame_window": q_range_frame_window,
         "struct_functions": q_struct_functions,
         "date_format": q_date_format,
+        "salted_join": q_salted_join,
+        "approx_percentile": q_approx_percentile,
     }
 
 
@@ -2243,5 +2269,11 @@ def oracle_sql() -> dict[str, str]:
               CAST(EXTRACT(DOY FROM o_orderdate) AS BIGINT) AS doy,
               date_trunc('week', o_orderdate) AS week_start
             FROM orders
+        """,
+        "salted_join": """
+            SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(l_quantity) AS sum_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderstatus
         """,
     }
