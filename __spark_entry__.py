@@ -1373,6 +1373,49 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map explode: per-row map → (key, value) rows via explode(map)."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("prio"), F.col("o_orderpriority"),
+    )
+    return orders.select("o_orderkey", F.explode(m).alias("k", "v"))
+
+
+def q_arrays_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arrays_zip + posexplode: pair each embedding value with its
+    reversed counterpart, keep the diagonal-adjacent products."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    zipped = F.arrays_zip(F.col("embedding"), F.reverse(F.col("embedding")))
+    return (
+        emb.select("vec_id", F.posexplode(zipped).alias("pos", "pair"))
+        .filter(F.col("pos") < 4)
+        .select(
+            "vec_id",
+            F.col("pos").cast("long").alias("pos"),
+            (
+                F.col("pair.embedding").cast("double")
+                * F.col("pair.1").cast("double")
+            ).alias("prod"),
+        )
+    )
+
+
+def q_encoding_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/encoding scalar family: hex, unhex round-trip, base64,
+    ascii code, md5 content hash."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.hex(F.encode("c_name", "utf-8")).alias("name_hex"),
+        F.decode(F.unhex(F.hex(F.encode("c_name", "utf-8"))), "utf-8").alias("roundtrip"),
+        F.base64(F.encode("c_name", "utf-8")).alias("name_b64"),
+        F.ascii("c_name").cast("long").alias("first_code"),
+        F.md5(F.col("c_name")).alias("name_md5"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1477,6 +1520,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_format": q_date_format,
         "salted_join": q_salted_join,
         "approx_percentile": q_approx_percentile,
+        "map_explode": q_map_explode,
+        "arrays_zip": q_arrays_zip,
+        "encoding_functions": q_encoding_functions,
     }
 
 
@@ -2275,5 +2321,29 @@ def oracle_sql() -> dict[str, str]:
                    SUM(l_quantity) AS sum_qty
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderstatus
+        """,
+        "map_explode": """
+            SELECT o_orderkey, 'status' AS k, o_orderstatus AS v FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'prio' AS k, o_orderpriority AS v FROM orders
+        """,
+        "arrays_zip": """
+            SELECT vec_id, CAST(pos - 1 AS BIGINT) AS pos,
+              CAST(embedding[pos] AS DOUBLE)
+                * CAST(embedding[len(embedding) - pos + 1] AS DOUBLE) AS prod
+            FROM (
+              SELECT vec_id, embedding,
+                     unnest(generate_series(1, 4)) AS pos
+              FROM embeddings
+            )
+        """,
+        "encoding_functions": """
+            SELECT c_custkey,
+              upper(hex(encode(c_name))) AS name_hex,
+              c_name AS roundtrip,
+              to_base64(encode(c_name)) AS name_b64,
+              CAST(ascii(c_name) AS BIGINT) AS first_code,
+              md5(c_name) AS name_md5
+            FROM customer
         """,
     }

@@ -104,6 +104,10 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn = queries[name]
+        # one unmeasured run per query (first-touch parquet footer reads,
+        # codegen compilation), then measure the steady-state execution —
+        # the number that scales with data, not with JVM warmup.
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
