@@ -160,3 +160,20 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_bkt")
         spark.sql("DROP TABLE IF EXISTS ord_bkt")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitionBy layout + filter → Spark reads ONLY the
+    matching partition directories (PartitionFilters, not a full scan) —
+    the layout that turns a 100 TB scan into a per-slice read."""
+    from hdinsight_pyspark_cntk_integration_spark.plans import formatted_plan
+    from hdinsight_pyspark_cntk_integration_spark.sources import io as eio
+    from hdinsight_pyspark_cntk_integration_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_type")
+    eio.write_parquet(ev, out, partition_by=["event_type"])
+    back = spark.read.parquet(out).filter("event_type = 'purchase'")
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan and "purchase" in plan
+    assert back.count() == ev.filter("event_type = 'purchase'").count()
