@@ -1416,6 +1416,24 @@ def q_encoding_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum revenue —
+    grouped revenue, scalar-subquery max broadcast back as a filter."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(_revenue().alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1523,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_explode": q_map_explode,
         "arrays_zip": q_arrays_zip,
         "encoding_functions": q_encoding_functions,
+        "top_supplier": q_top_supplier,
     }
 
 
@@ -2345,5 +2364,17 @@ def oracle_sql() -> dict[str, str]:
               CAST(ascii(c_name) AS BIGINT) AS first_code,
               md5(c_name) AS name_md5
             FROM customer
+        """,
+        "top_supplier": f"""
+            WITH rev AS (
+              SELECT l_suppkey, {_SQL_REVENUE} AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
         """,
     }

@@ -248,25 +248,97 @@ def minhash_dedup(
     bands: int = 32,
     shingle_k: int = 3,
     shingle_mode: str = "word",
+    transitive: bool = False,
 ) -> DataFrame:
     """End-to-end near-dedup: LSH candidates → exact Jaccard filter →
-    survivors (drop the higher id of each confirmed pair). Returns the
-    deduplicated rows of ``df``.
+    survivors. Returns the deduplicated rows of ``df``.
 
-    Note: uses single-link "drop any row matched to a smaller id", the
-    standard one-pass approximation of connected components — a full
-    transitive closure needs an iterative step (see GraphFrames-style
-    large-star/small-star if exactness across chains matters).
+    ``transitive=False`` (default) uses single-link "drop any row matched
+    to a smaller id" — one pass, but a chain A~B~C can keep both A and C.
+    ``transitive=True`` runs the iterative connected-components closure
+    (``connected_components``) and keeps exactly one representative (min
+    id) per duplicate cluster.
     """
     cands = minhash_lsh_candidates(
         df, id_col, text_col, num_hashes, bands, shingle_k, shingle_mode
     )
-    dups = (
-        jaccard_pairs(df, cands, id_col, text_col, shingle_k, threshold, shingle_mode)
-        .select(F.col("id_b").alias(id_col))
+    confirmed = jaccard_pairs(
+        df, cands, id_col, text_col, shingle_k, threshold, shingle_mode
+    )
+    if transitive:
+        return dedup_by_components(df, confirmed, id_col)
+    dups = confirmed.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dups, on=id_col, how="left_anti")
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Transitive closure of a duplicate-pair graph: (node, component)
+    where component = min node id reachable from it.
+
+    Iterative min-label propagation (the simple alternating-star
+    contraction): each round every node adopts the smallest label among
+    itself and its neighbors; converges in O(log n) rounds for near-dup
+    graphs (chains A~B~C collapse to one cluster even when A~C was never
+    a candidate pair — the case single-link "drop the larger id of each
+    pair" gets wrong).
+
+    Each round is one shuffle on node id. `localCheckpoint` truncates the
+    growing lineage so round N doesn't recompute rounds 1..N-1 (and keeps
+    the plan size constant at 100 TB, where a 20-round lineage would blow
+    the optimizer). Convergence is detected with a count of changed
+    labels per round — a cheap all-reduce.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
-    return df.join(dups, on=id_col, how="left_anti")
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
+                (F.col("nmin") < F.col("comp")).cast("int").alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = new_labels.agg(F.sum("changed")).collect()[0][0] or 0
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every row whose id belongs to a duplicate component but is not
+    that component's representative (min id) — the transitively-correct
+    form of minhash_dedup's final step."""
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
 
 
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -101,3 +101,22 @@ def test_token_histogram_on_fixture(spark, sf_dir):
     hist = tx.token_histogram(docs, top_n=10).toPandas()
     assert len(hist) == 10
     assert (hist["freq"].to_numpy()[:-1] >= hist["freq"].to_numpy()[1:]).all()
+
+
+def test_connected_components_chain(spark):
+    """Chains collapse transitively: A~B, B~C, (never A~C) => one
+    component; separate pair D~E stays its own component."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comps = {r["node"]: r["component"] for r in dd.connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_by_components_keeps_representatives(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 42)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in dd.dedup_by_components(df, pairs).collect())
+    assert kept == [1, 10, 42]  # one rep per cluster + untouched rows
