@@ -1434,6 +1434,24 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative connected-components closure (operators.dedup.
+    connected_components) over a deterministic duplicate-pair graph
+    (same-language adjacent doc ids, which form real chains) — verified
+    against a DuckDB recursive-CTE reachability oracle. This is the
+    operator that makes near-dedup transitively correct (A~B~C collapses
+    to one cluster even when A~C was never a candidate pair)."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("la"))
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lb"),
+    )
+    pairs = a.join(b, "id_a").filter(F.col("la") == F.col("lb")).select("id_a", "id_b")
+    return dd.connected_components(pairs)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1542,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrays_zip": q_arrays_zip,
         "encoding_functions": q_encoding_functions,
         "top_supplier": q_top_supplier,
+        "dedup_transitive": q_dedup_transitive,
     }
 
 
@@ -2376,5 +2395,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey, s_name, total_revenue
             FROM rev JOIN supplier ON l_suppkey = s_suppkey
             WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        """,
+        "dedup_transitive": """
+            WITH RECURSIVE p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM documents a
+              JOIN documents b ON b.doc_id = a.doc_id + 1 AND b.lang = a.lang
+            ), sym AS (
+              SELECT id_a AS s, id_b AS d FROM p
+              UNION ALL SELECT id_b, id_a FROM p
+            ), reach(n, r) AS (
+              SELECT s, s FROM sym
+              UNION
+              SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.n
+            )
+            SELECT n AS node, MIN(r) AS component FROM reach GROUP BY n
         """,
     }
