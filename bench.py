@@ -71,10 +71,12 @@ def inference_throughput(spark) -> float:
         preprocess=lambda b: sc.cifar_preprocess(b, mean),
     )
     scored.write.format("noop").mode("overwrite").save()  # warm
-    t0 = time.perf_counter()
-    scored.write.format("noop").mode("overwrite").save()
-    dt = time.perf_counter() - t0
-    return N_BENCH_IMAGES / dt
+    best = float("inf")
+    for _ in range(3):  # best-of-3: single runs swing ±40% on GC pauses
+        t0 = time.perf_counter()
+        scored.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return N_BENCH_IMAGES / best
 
 
 def main() -> None:
