@@ -1452,6 +1452,19 @@ def q_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(pairs)
 
 
+def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination: deterministic total order + OFFSET/LIMIT page. A global
+    sort is unavoidable here (range partitioning); the engine's top-k
+    queries avoid it, this one exists to verify pagination semantics."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .offset(5)
+        .limit(10)
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1561,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_functions": q_encoding_functions,
         "top_supplier": q_top_supplier,
         "dedup_transitive": q_dedup_transitive,
+        "limit_offset": q_limit_offset,
     }
 
 
@@ -2410,5 +2424,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.n
             )
             SELECT n AS node, MIN(r) AS component FROM reach GROUP BY n
+        """,
+        "limit_offset": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 10 OFFSET 5
         """,
     }
