@@ -7,16 +7,64 @@ pandas-UDF path is reserved for true matrix workloads (operators.scoring).
 
 Scale design: queries are broadcast (they're small); the corpus is never
 shuffled for brute force — each partition scores its rows against every
-query, then a bounded per-query top-k aggregation combines map-side, so
-the shuffle is O(num_queries × k), independent of corpus size.
+query. The top-k aggregation is TWO-STAGE BOUNDED: stage 1 groups by
+(query, spark_partition_id) so no reducer ever materializes more than one
+map partition's scores for one query; stage 2 merges the ≤ partitions×k
+survivors per query. Peak per-task memory is bounded by the input-split
+size (a planner constant), not by corpus cardinality — the property that
+keeps this alive at 100 TB.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hdinsight_pyspark_cntk_integration_spark.functions.vector import cosine_similarity, dot, l2_norm
+
+
+def bounded_topk(
+    scored: DataFrame,
+    group_col: str,
+    item: Column,
+    k: int,
+) -> DataFrame:
+    """Two-stage bounded top-k: smallest-k ``item`` structs per ``group_col``.
+
+    ``item`` must be a struct whose lexicographic ascending order is the
+    desired ranking (e.g. ``struct(-score, id)`` for score-descending with
+    id tiebreak).
+
+    Stage 1 groups by ``(group_col, spark_partition_id())``: each such
+    group lives entirely inside one map partition, so its ``collect_list``
+    state — and the single reducer-side array it becomes — is bounded by
+    the input-split row count, never by total corpus size. The slice to k
+    happens there, so stage 2's input is at most ``partitions × k`` rows
+    per group and its ``collect_list`` is bounded the same way. No stage
+    anywhere materializes an O(corpus) array. (A single-stage
+    ``groupBy(group).agg(collect_list)`` would: ``collect_list`` has no
+    bounded map-side partial, so all N scores per group would land in one
+    reducer — the 100 TB OOM this function exists to prevent.)
+
+    Returns (group_col, top: array<item>) with |top| ≤ k.
+    """
+    partial = _partial_topk(scored, group_col, item, k)
+    return (
+        partial.select(group_col, F.explode("top").alias("t"))
+        .groupBy(group_col)
+        .agg(F.slice(F.sort_array(F.collect_list("t")), 1, k).alias("top"))
+    )
+
+
+def _partial_topk(scored: DataFrame, group_col: str, item: Column, k: int) -> DataFrame:
+    """Stage 1 of ``bounded_topk``, exposed so tests can assert the bound:
+    after this stage at most ``input_partitions × k`` structs exist per
+    group."""
+    return (
+        scored.groupBy(group_col, F.spark_partition_id().alias("__pid"))
+        .agg(F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("top"))
+        .drop("__pid")
+    )
 
 
 def cosine_topk(
@@ -32,9 +80,12 @@ def cosine_topk(
     """Exact top-k neighbors per query by cosine similarity.
 
     Plan: broadcast-nested-loop join (queries are tiny) → per-row cosine
-    (codegen) → top-k per query via sorted-struct aggregation. The agg
-    does map-side partial combines of at most k structs per query per
-    partition, so no full sort and no large shuffle — O(Q×k) rows move.
+    (codegen) → two-stage bounded top-k (``bounded_topk``): stage 1
+    pre-aggregates per (query, input partition) and slices to k — bounded
+    by the split size; stage 2 merges the ≤ partitions×k survivors per
+    query. The corpus itself is never re-shuffled; only (query, id, score)
+    triples move, and no reducer holds more than max(split rows,
+    partitions×k) structs.
 
     Ties broken by smaller corpus id for determinism.
     Returns (query_id, vec_id, score) with k rows per query.
@@ -48,9 +99,8 @@ def cosine_topk(
         scored = scored.filter(F.col(corpus_id) != F.col(query_id))
     # struct sorts lexicographically: (-score, id) ascending == score desc, id asc
     item = F.struct((-F.col("score")).alias("neg"), F.col(corpus_id).alias("id"))
-    topk = (
-        scored.groupBy(query_id)
-        .agg(F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("top"))
+    return (
+        bounded_topk(scored, query_id, item, k)
         .select(query_id, F.explode("top").alias("t"))
         .select(
             query_id,
@@ -58,7 +108,6 @@ def cosine_topk(
             (-F.col("t.neg")).alias("score"),
         )
     )
-    return topk
 
 
 def self_queries(corpus: DataFrame, ids: list, corpus_id: str = "vec_id", corpus_vec: str = "embedding") -> DataFrame:
@@ -88,19 +137,26 @@ def ivf_topk(
     At 100 TB the corpus is written out partitioned/bucketed by
     ``centroid_id`` once, so each query touches ~nprobe/C of the data —
     classic inverted-file pruning expressed as a partition-pruned join.
+    Cell assignment groups by the ROW ID only (vectors are re-joined
+    after), so the assignment shuffle carries (id, cell) pairs, never the
+    embedding arrays; centroids for production corpora come from
+    ``ml.kmeans_centroids`` (JVM-side MLlib fit), ``grid_centroids`` below
+    is the deterministic test/oracle stand-in.
     """
+
     def nearest(df: DataFrame, vec: str, idc: str, n: int, out: str) -> DataFrame:
-        assigned = df.crossJoin(F.broadcast(centroids)).select(
-            *df.columns,
+        # Score (id, centroid) pairs only — never shuffle the vectors.
+        assigned = df.select(idc, vec).crossJoin(F.broadcast(centroids)).select(
+            F.col(idc),
             F.col(centroid_id),
             cosine_similarity(vec, centroid_vec).alias("cscore"),
         )
         item = F.struct((-F.col("cscore")).alias("neg"), F.col(centroid_id).alias("cid"))
-        return (
-            assigned.groupBy(*df.columns)
-            .agg(F.slice(F.sort_array(F.collect_list(item)), 1, n).alias("cells"))
-            .select(*df.columns, F.explode(F.col("cells.cid")).alias(out))
+        cells = (
+            bounded_topk(assigned, idc, item, n)
+            .select(idc, F.explode(F.col("top.cid")).alias(out))
         )
+        return df.join(cells, idc)
 
     corpus_cells = nearest(corpus, corpus_vec, corpus_id, 1, "cell")
     query_cells = nearest(queries, query_vec, query_id, nprobe, "cell")
@@ -111,8 +167,7 @@ def ivf_topk(
     )
     item = F.struct((-F.col("score")).alias("neg"), F.col(corpus_id).alias("id"))
     return (
-        candidates.groupBy(query_id)
-        .agg(F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("top"))
+        bounded_topk(candidates, query_id, item, k)
         .select(query_id, F.explode("top").alias("t"))
         .select(query_id, F.col("t.id").alias(corpus_id), (-F.col("t.neg")).alias("score"))
     )
@@ -121,7 +176,9 @@ def ivf_topk(
 def grid_centroids(corpus: DataFrame, num: int, corpus_id: str = "vec_id", corpus_vec: str = "embedding") -> DataFrame:
     """Cheap deterministic centroids: every (n/num)-th corpus vector by id
     order. Stands in for a KMeans fit when determinism matters more than
-    cell balance (tests, oracles)."""
+    cell balance (tests, oracles) — production callers should use
+    ``ml.kmeans_centroids`` instead (JVM-side MLlib fit, no driver
+    ``count()``)."""
     n = corpus.count()
     step = max(n // num, 1)
     picks = (

@@ -42,6 +42,52 @@ def test_cosine_topk_returns_k_rows_per_query(spark, emb):
     assert {r["count"] for r in out} == {7}
 
 
+def test_bounded_topk_partial_stage_bounds_rows(spark):
+    """The scale contract of the two-stage top-k: after stage 1 no more
+    than input_partitions × k structs survive per group — the property
+    that keeps reducer memory bounded at 100 TB (a single-stage
+    collect_list would materialize all N scores per group)."""
+    from pyspark.sql import functions as F
+
+    n, k = 50_000, 7
+    scored = (
+        spark.range(n)
+        .repartition(16)
+        .select(
+            (F.col("id") % 3).alias("q"),
+            F.col("id"),
+            (F.col("id") % 9973).cast("double").alias("score"),
+        )
+    )
+    item = F.struct((-F.col("score")).alias("neg"), F.col("id").alias("id"))
+    nparts = scored.rdd.getNumPartitions()
+    intermediate = sim._partial_topk(scored, "q", item, k).select(F.explode("top"))
+    assert intermediate.count() <= nparts * k * 3  # per-group bound × 3 groups
+
+    # and the merged result equals a brute-force global sort
+    got = (
+        sim.bounded_topk(scored, "q", item, k)
+        .select("q", F.explode("top").alias("t"))
+        .select("q", F.col("t.id").alias("id"))
+        .toPandas()
+    )
+    brute = scored.toPandas().sort_values(["q", "score", "id"], ascending=[True, False, True])
+    for q in range(3):
+        expect = list(brute[brute["q"] == q]["id"].head(k))
+        assert list(got[got["q"] == q]["id"]) == expect
+
+
+def test_topk_plan_is_two_stage_partition_bounded(spark, emb):
+    """Plan proof: the first aggregate keys on spark_partition_id (the
+    bounded pre-aggregation), and there are two separate aggregation
+    exchanges rather than one global collect_list."""
+    from hdinsight_pyspark_cntk_integration_spark import plans as P
+
+    queries = sim.self_queries(emb, [0])
+    plan = P.formatted_plan(sim.cosine_topk(emb, queries, k=5))
+    assert "SPARK_PARTITION_ID" in plan.upper(), plan[:3000]
+
+
 def test_ivf_recall_vs_bruteforce(spark, emb, emb_np):
     ids, mat = emb_np
     centroids = sim.grid_centroids(emb, 8)
