@@ -47,7 +47,15 @@ def parse_opencv_matrix_xml(path: str, dtype=np.float32) -> np.ndarray:
     elements, as in the reference's CIFAR-10 mean file) into a 2-D array.
     """
     root = ET.parse(path).getroot()  # noqa: S314 — trusted local artifact
-    mat = root[0]
+    # The matrix element is the first child with <rows>/<cols>/<data> —
+    # the real CIFAR-10_mean.xml carries scalar <Channel>/<Row>/<Col>
+    # siblings ahead of the <MeanImg type_id="opencv-matrix"> node.
+    mat = next(
+        (el for el in root if el.find("rows") is not None and el.find("data") is not None),
+        None,
+    )
+    if mat is None:
+        raise ValueError(f"no opencv-matrix element (<rows>/<cols>/<data>) in {path}")
     rows = int(mat.find("rows").text)
     cols = int(mat.find("cols").text)
     data = np.array([float(x) for x in mat.find("data").text.split()], dtype=dtype)
