@@ -79,6 +79,124 @@ def inference_throughput(spark) -> float:
     return N_BENCH_IMAGES / best
 
 
+def skew_join_bench(spark) -> dict[str, float]:
+    """Hot-key join under three strategies — the proof that salted_join
+    earns its keep (or that AQE suffices). Left fact: 4M rows, 50% on ONE
+    key; right: 100k-key dim, too big to usefully broadcast (broadcast is
+    disabled to isolate the shuffle-join skew behavior).
+
+      plain  — AQE off, ordinary shuffle join: the hot key's 2M rows land
+               on a single reducer (the straggler).
+      salted — AQE off, relational.salted_join(8): the hot key spreads
+               over 8 reducers at the cost of an 8x right-side inflation.
+      aqe    — AQE skew-join on (engine default): runtime split of the
+               oversized partition, no manual salting.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import relational as rel
+
+    n_left, n_right, hot_frac = 4_000_000, 100_000, 0.5
+    left = spark.range(n_left).select(
+        F.when(F.col("id") % int(1 / hot_frac) == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_right)))
+        .alias("k"),
+        (F.col("id") % 1000).alias("v"),
+    )
+    right = spark.range(n_right).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("w")
+    )
+
+    conf = spark.conf
+    saved = {
+        "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.autoBroadcastJoinThreshold": conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    times: dict[str, float] = {}
+
+    def run(tag: str, make_df) -> None:
+        make_df().write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        make_df().write.format("noop").mode("overwrite").save()
+        times[tag] = round(time.perf_counter() - t0, 3)
+
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        run("plain", lambda: left.join(right, "k").select(F.col("v") + F.col("w")))
+        run(
+            "salted",
+            lambda: rel.salted_join(left, right, key="k", salt_buckets=8).select(
+                F.col("v") + F.col("w")
+            ),
+        )
+        conf.set("spark.sql.adaptive.enabled", "true")
+        run("aqe", lambda: left.join(right, "k").select(F.col("v") + F.col("w")))
+    finally:
+        for key, val in saved.items():
+            conf.set(key, val)
+    return times
+
+
+def bucketed_join_bench(spark, sf_dir: str) -> dict[str, float]:
+    """orders ⋈ lineitem revenue rollup, unbucketed (per-query shuffle of
+    both facts) vs pre-bucketed on the join key (write-time shuffle, ZERO
+    exchanges at query time — sources.io.write_bucketed). The bucketed
+    write itself is unmeasured setup: it's the amortized once-per-load
+    cost this layout exists to pay."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from hdinsight_pyspark_cntk_integration_spark.sources.io import write_bucketed
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    buckets = spark.sparkContext.defaultParallelism
+
+    def revenue(o, l, lkey: str):
+        return (
+            o.join(l, o["o_orderkey"] == l[lkey])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ).alias("revenue")
+            )
+        )
+
+    times: dict[str, float] = {}
+    revenue(orders, li, "l_orderkey").write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    revenue(orders, li, "l_orderkey").write.format("noop").mode("overwrite").save()
+    times["unbucketed"] = round(time.perf_counter() - t0, 3)
+
+    # Idempotent setup: a previous bench run's table dirs survive in
+    # spark-warehouse while the fresh session's catalog has no entry, so
+    # saveAsTable(overwrite) refuses — clear both sides.
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for tbl in ("bench_li_bkt", "bench_ord_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
+
+    write_bucketed(li, "bench_li_bkt", buckets, "l_orderkey")
+    write_bucketed(orders, "bench_ord_bkt", buckets, "o_orderkey")
+    lb, ob = spark.table("bench_li_bkt"), spark.table("bench_ord_bkt")
+    revenue(ob, lb, "l_orderkey").write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    revenue(ob, lb, "l_orderkey").write.format("noop").mode("overwrite").save()
+    times["bucketed"] = round(time.perf_counter() - t0, 3)
+    return times
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -117,6 +235,8 @@ def main() -> None:
         total += dt
 
     images_per_sec = inference_throughput(spark)
+    skew = skew_join_bench(spark)
+    bucketed = bucketed_join_bench(spark, sf_dir)
 
     print(
         json.dumps(
@@ -128,6 +248,8 @@ def main() -> None:
                 "sf": sf,
                 "images_per_sec": round(images_per_sec, 1),
                 "reference_images_per_sec": 102.2,
+                "skew_join_sec": skew,
+                "bucketed_join_sec": bucketed,
             }
         )
     )

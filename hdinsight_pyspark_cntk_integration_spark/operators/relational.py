@@ -172,9 +172,19 @@ def salted_join(
     A hot key's rows now spread over ``salt_buckets`` reducers instead of
     one. Cost: right side inflated by the bucket count — use when the
     right side is modest but too big to broadcast, and AQE's runtime skew
-    split (on by default in the engine session) isn't enough. Result
-    equals the plain join (row-for-row).
+    split (on by default in the engine session) isn't enough.
+
+    Only ``inner`` and ``left`` joins are allowed: for those the result
+    equals the plain join row-for-row (every left row carries exactly one
+    salt, and each right replica can only match that salt). A ``right``/
+    ``full`` join would emit every unmatched right row once per replica
+    (``salt_buckets`` duplicates), so those types raise.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (got {how!r}): right/full "
+            "would duplicate unmatched right rows once per salt bucket"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets))
     l_salted = left.withColumn("__salt", salt)
     r_salted = right.withColumn(

@@ -123,6 +123,17 @@ def test_stateful_running_counts(spark, tmp_path, sf_dir):
         assert int(got[uid]) == int(n)
 
 
+def test_salted_join_rejects_right_and_full(spark):
+    """right/full would emit unmatched right rows once per salt bucket —
+    the operator refuses rather than silently duplicating."""
+    import pytest
+
+    df = spark.range(4).select(F.col("id").alias("k"))
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            rel.salted_join(df, df, "k", salt_buckets=2, how=how)
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
