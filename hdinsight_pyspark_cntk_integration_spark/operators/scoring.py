@@ -173,3 +173,84 @@ def score(
     elif repartition:
         narrow = narrow.repartition(repartition)
     return narrow.mapInPandas(run_batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Alternative scoring surfaces
+# ---------------------------------------------------------------------------
+def score_with_predict_batch_udf(
+    df: DataFrame,
+    model_loader: ModelLoader,
+    input_col: str,
+    n_classes: int,
+    pass_through: Sequence[str] = (),
+    preprocess: Callable[[np.ndarray], np.ndarray] | None = None,
+    pred_col: str = "predicted_label",
+    batch_size: int = 1024,
+) -> DataFrame:
+    """M1/M2 via ``pyspark.ml.functions.predict_batch_udf`` (SURVEY §2.3's
+    alternative surface) — same semantics as ``score``: model loaded once
+    per task via ``make_predict_fn``, Arrow-batched inference, argmax
+    postprocess. Column-expression form, so it composes with arbitrary
+    projections; ``score``'s mapInPandas form remains the primary path
+    (it can emit multiple columns without re-invoking the model).
+    """
+    from pyspark.ml.functions import predict_batch_udf
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    def make_predict_fn():
+        predict = model_loader()
+
+        def predict_fn(inputs: np.ndarray) -> np.ndarray:
+            x = np.stack(inputs) if inputs.dtype == object else inputs
+            if preprocess is not None:
+                x = preprocess(x)
+            return np.asarray(predict(x), dtype=np.float64)
+
+        return predict_fn
+
+    scores_udf = predict_batch_udf(
+        make_predict_fn,
+        return_type=ArrayType(DoubleType()),
+        batch_size=batch_size,
+    )
+    from hdinsight_pyspark_cntk_integration_spark.functions.vector import argmax_index
+
+    scored = df.select(*pass_through, scores_udf(F.col(input_col)).alias("_scores"))
+    return scored.select(
+        *pass_through, argmax_index(F.col("_scores")).cast("long").alias(pred_col)
+    )
+
+
+def make_onnx_loader(model_path: str, input_name: str | None = None) -> ModelLoader:
+    """ModelLoader for an ONNX model via onnxruntime (the public-runtime
+    stand-in for the reference's CNTK ``.dnn`` load, README.md:162-184).
+    Import-gated: this container ships no onnxruntime, so construction
+    raises with a clear message there; the loader contract and the
+    session-per-task lifecycle are what the engine guarantees.
+
+    The returned loader opens one ``InferenceSession`` per task (the M1
+    amortization) and feeds float32 batches to the model's first input.
+    """
+    try:
+        import onnxruntime  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - absent in this container
+        raise ImportError(
+            "onnxruntime is not installed; make_onnx_loader needs it. "
+            "Use make_linear_stub_loader for the deterministic test model."
+        ) from exc
+
+    def loader() -> Callable[[np.ndarray], np.ndarray]:
+        import onnxruntime as ort
+
+        sess = ort.InferenceSession(model_path, providers=["CPUExecutionProvider"])
+        name = input_name or sess.get_inputs()[0].name
+
+        def predict(batch: np.ndarray) -> np.ndarray:
+            out = sess.run(None, {name: batch.astype(np.float32, copy=False)})
+            return np.asarray(out[0], dtype=np.float64)
+
+        return predict
+
+    return loader
