@@ -311,6 +311,9 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1 (got {max_iters})")
+    n_changed = -1
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -391,30 +394,40 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
     @F.pandas_udf("bigint")
     def fold_bits(th: pd.Series) -> pd.Series:
+        is_null = np.fromiter((a is None for a in th), dtype=bool, count=len(th))
         lens = np.fromiter(
             (0 if a is None else len(a) for a in th), dtype=np.int64, count=len(th)
         )
         if lens.sum() == 0:
-            return pd.Series(np.zeros(len(th), dtype=np.int64))
-        flat = np.concatenate(
-            [np.asarray(a, dtype=np.int64) for a in th if a is not None and len(a)]
-        )
-        # (T, 64) ±1 matrix: bit b of each token hash, mapped to {-1, +1}
-        u = flat.astype(np.uint64)
-        pm = (
-            ((u[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-            * 2
-            - 1
-        )
-        # reduceat needs in-bounds, and yields a neighbor's row for empty
-        # segments — clamp (only empty segments can hit len(flat)) and
-        # zero those rows afterwards.
-        offsets = np.minimum(np.concatenate(([0], np.cumsum(lens)[:-1])), len(flat) - 1)
-        sums = np.add.reduceat(pm, offsets, axis=0)
-        sums[lens == 0] = 0
-        bits = (sums > 0).astype(np.uint64)
-        packed = (bits << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
-        return pd.Series(packed.view(np.int64))
+            packed = np.zeros(len(th), dtype=np.uint64)
+        else:
+            flat = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in th if a is not None and len(a)]
+            )
+            # (T, 64) ±1 matrix: bit b of each token hash, mapped to {-1, +1}
+            u = flat.astype(np.uint64)
+            pm = (
+                ((u[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                    np.int64
+                )
+                * 2
+                - 1
+            )
+            # One zero pad row so every reduceat offset (0..len(flat)) is a
+            # valid index even when trailing segments are empty; an empty
+            # segment (offsets[i] >= offsets[i+1]) yields pm[offsets[i]] — a
+            # neighbor's row — so zero those rows afterwards.
+            pm = np.vstack([pm, np.zeros((1, 64), np.int64)])
+            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            sums = np.add.reduceat(pm, offsets, axis=0)
+            sums[lens == 0] = 0
+            bits = (sums > 0).astype(np.uint64)
+            packed = (bits << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+        # NULL text → NULL signature (matches the original Catalyst fold;
+        # two null docs must not become hamming-0 "duplicates").
+        out = pd.Series(packed.view(np.int64)).astype("Int64")
+        out[is_null] = pd.NA
+        return out
 
     return hashed.select(F.col(id_col), fold_bits(F.col("th")).alias("simhash"))
 

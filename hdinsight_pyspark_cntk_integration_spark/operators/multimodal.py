@@ -124,6 +124,11 @@ def resize_tensor(
         for pdf in batches:
             out = []
             for tens, shp in zip(pdf[tensor_col], pdf[shape_col]):
+                if shp is None or len(shp) != 3:
+                    raise ValueError(
+                        f"resize_tensor expects rank-3 HWC shapes in {shape_col!r}, "
+                        f"got {None if shp is None else list(shp)}"
+                    )
                 h, w, c = (int(s) for s in shp)
                 img = np.asarray(tens, dtype=np.float32).reshape(h, w, c)
                 ri = (np.arange(oh) * h // oh).clip(0, h - 1)

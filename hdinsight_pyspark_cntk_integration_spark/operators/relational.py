@@ -105,6 +105,7 @@ def asof_join(
     right_ts: str,
     right_value_cols: Sequence[str],
     strict: bool = False,
+    dedup_right: bool = False,
 ) -> DataFrame:
     """As-of join (backward): for each left row, the most recent right row
     with the same keys and ``right_ts <= left_ts`` (``<`` when strict).
@@ -120,9 +121,16 @@ def asof_join(
     (side 0 < side 1) so non-strict semantics include same-instant
     matches; ``strict=True`` orders the left row first instead. If the
     right side has duplicate (keys, ts) rows, the last one in its sort
-    order wins — dedup the right side first for full determinism.
+    order wins — nondeterministic unless the right side is pre-deduped.
+    ``dedup_right=True`` does that here: one row per (keys, right_ts),
+    keeping the max of each value column (deterministic, and one extra
+    shuffle on the same keys that AQE can often coalesce with the window's).
     """
     keys = list(keys)
+    if dedup_right:
+        right = right.groupBy(*keys, right_ts).agg(
+            *[F.max(c).alias(c) for c in right_value_cols]
+        )
     lcols = left.columns
     side_right, side_left = (0, 1) if not strict else (1, 0)
 
@@ -174,16 +182,19 @@ def salted_join(
     right side is modest but too big to broadcast, and AQE's runtime skew
     split (on by default in the engine session) isn't enough.
 
-    Only ``inner`` and ``left`` joins are allowed: for those the result
-    equals the plain join row-for-row (every left row carries exactly one
-    salt, and each right replica can only match that salt). A ``right``/
-    ``full`` join would emit every unmatched right row once per replica
-    (``salt_buckets`` duplicates), so those types raise.
+    Only left-preserving joins are allowed — ``inner``, ``left`` (and its
+    Spark aliases ``left_outer``/``leftouter``), ``left_semi``,
+    ``left_anti``: for those
+    the result equals the plain join row-for-row (every left row carries
+    exactly one salt, and each right replica can only match that salt). A
+    ``right``/``full`` join would emit every unmatched right row once per
+    replica (``salt_buckets`` duplicates), so those types raise.
     """
-    if how not in ("inner", "left"):
+    norm = how.lower().replace("_", "")
+    if norm not in ("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti"):
         raise ValueError(
-            f"salted_join supports how='inner'|'left' (got {how!r}): right/full "
-            "would duplicate unmatched right rows once per salt bucket"
+            f"salted_join supports inner/left/left_outer/left_semi (got {how!r}): "
+            "right/full would duplicate unmatched right rows once per salt bucket"
         )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets))
     l_salted = left.withColumn("__salt", salt)

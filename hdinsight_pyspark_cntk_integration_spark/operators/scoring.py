@@ -182,7 +182,8 @@ def score_with_predict_batch_udf(
     df: DataFrame,
     model_loader: ModelLoader,
     input_col: str,
-    n_classes: int,
+    n_features: int,
+    n_classes: int | None = None,
     pass_through: Sequence[str] = (),
     preprocess: Callable[[np.ndarray], np.ndarray] | None = None,
     pred_col: str = "predicted_label",
@@ -194,6 +195,12 @@ def score_with_predict_batch_udf(
     postprocess. Column-expression form, so it composes with arbitrary
     projections; ``score``'s mapInPandas form remains the primary path
     (it can emit multiple columns without re-invoking the model).
+
+    ``n_features`` is the fixed width of the ``array<float>`` input column:
+    predict_batch_udf treats array columns as tensor columns and requires
+    ``input_tensor_shapes``, so batches arrive as dense (batch, n_features)
+    ndarrays. ``n_classes``, when given, validates the model's score-vector
+    width on the first batch.
     """
     from pyspark.ml.functions import predict_batch_udf
     from pyspark.sql import functions as F
@@ -206,7 +213,12 @@ def score_with_predict_batch_udf(
             x = np.stack(inputs) if inputs.dtype == object else inputs
             if preprocess is not None:
                 x = preprocess(x)
-            return np.asarray(predict(x), dtype=np.float64)
+            scores = np.asarray(predict(x), dtype=np.float64)
+            if n_classes is not None and scores.shape[1] != n_classes:
+                raise ValueError(
+                    f"model emitted {scores.shape[1]} classes, expected {n_classes}"
+                )
+            return scores
 
         return predict_fn
 
@@ -214,6 +226,7 @@ def score_with_predict_batch_udf(
         make_predict_fn,
         return_type=ArrayType(DoubleType()),
         batch_size=batch_size,
+        input_tensor_shapes=[[n_features]],
     )
     from hdinsight_pyspark_cntk_integration_spark.functions.vector import argmax_index
 

@@ -91,6 +91,29 @@ def test_simhash_golden_signatures(spark):
     }
 
 
+def test_simhash_null_text_last_row(spark):
+    """Regression: a NULL-text row at the END of an Arrow batch used to
+    truncate the PRECEDING doc's reduceat segment by one token (clamped
+    offset), silently corrupting its signature. Single partition so both
+    rows share one batch; the two-token doc must hash identically to its
+    appearance in the golden fixture, and NULL text must yield a NULL
+    signature (not 0 — two null docs are not hamming-0 duplicates)."""
+    df = spark.createDataFrame(
+        [(8, "a b c d e f g h i j k l m n o p q r s t u v w x y z"), (9, None)],
+        "doc_id long, text string",
+    ).coalesce(1)
+    got = {r["doc_id"]: r["simhash"] for r in dd.simhash64(df).collect()}
+    assert got[8] == -7966748923422792363  # same pin as the golden fixture
+    assert got[9] is None
+    # two null docs: both NULL, no spurious pairing
+    df2 = spark.createDataFrame(
+        [(1, None), (2, None), (3, "single token doc here")],
+        "doc_id long, text string",
+    ).coalesce(1)
+    sigs = {r["doc_id"]: r["simhash"] for r in dd.simhash64(df2).collect()}
+    assert sigs[1] is None and sigs[2] is None and sigs[3] is not None
+
+
 def test_embedding_near_dup_buckets(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),
@@ -164,6 +187,9 @@ def test_connected_components_raises_on_exhaustion(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dd.connected_components(pairs, max_iters=2)
+    # max_iters < 1 is a usage error, not a NameError
+    with pytest.raises(ValueError, match="max_iters"):
+        dd.connected_components(pairs, max_iters=0)
 
 
 def test_dedup_by_components_keeps_representatives(spark):

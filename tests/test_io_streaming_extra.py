@@ -134,6 +134,18 @@ def test_salted_join_rejects_right_and_full(spark):
             rel.salted_join(df, df, "k", salt_buckets=2, how=how)
 
 
+def test_salted_join_accepts_spark_aliases(spark):
+    """Spark's standard alias spellings for left-preserving joins must not
+    raise (left_outer/leftouter/left_semi/left_anti are all salt-safe)."""
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "k int, lv string")
+    right = spark.createDataFrame([(1, "x")], "k int, rv string")
+    assert rel.salted_join(left, right, "k", 2, how="left_outer").count() == 2
+    assert rel.salted_join(left, right, "k", 2, how="leftouter").count() == 2
+    assert rel.salted_join(left, right, "k", 2, how="left_semi").count() == 1
+    anti = rel.salted_join(left, right, "k", 2, how="left_anti")
+    assert [r["k"] for r in anti.collect()] == [2]
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")

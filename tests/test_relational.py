@@ -58,6 +58,17 @@ def test_asof_join_single_shuffle(spark):
     assert count_shuffles(out) <= 2
 
 
+def test_asof_join_dedup_right(spark):
+    """Duplicate (key, ts) right rows: dedup_right=True keeps max(val) per
+    instant, making the match deterministic."""
+    left = spark.createDataFrame([(1, 10, "x")], "k int, ts int, name string")
+    right = spark.createDataFrame(
+        [(1, 10, 7), (1, 10, 42), (1, 10, 3)], "k int, rts int, val int"
+    )
+    out = rel.asof_join(left, right, ["k"], "ts", "rts", ["val"], dedup_right=True)
+    assert out.collect()[0]["val"] == 42
+
+
 def test_topn_per_group_ties(spark):
     df = spark.createDataFrame(
         [("g", 5, 1), ("g", 5, 2), ("g", 3, 3), ("h", 9, 4)],

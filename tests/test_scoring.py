@@ -129,6 +129,7 @@ def test_predict_batch_udf_surface_matches_mapinpandas(spark, images_df, mean_im
         images_df,
         sc.make_linear_stub_loader(DIM, N_CLASSES),
         input_col="image",
+        n_features=DIM,
         n_classes=N_CLASSES,
         pass_through=["filename"],
         preprocess=lambda b: sc.cifar_preprocess(b, mean_image),
