@@ -120,9 +120,12 @@ def skew_join_bench(spark) -> dict[str, float]:
 
     def run(tag: str, make_df) -> None:
         make_df().write.format("noop").mode("overwrite").save()  # warm
-        t0 = time.perf_counter()
-        make_df().write.format("noop").mode("overwrite").save()
-        times[tag] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            make_df().write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        times[tag] = round(sorted(samples)[1], 3)
 
     try:
         conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -171,11 +174,17 @@ def bucketed_join_bench(spark, sf_dir: str) -> dict[str, float]:
             )
         )
 
+    def _median3(make_df) -> float:
+        make_df().write.format("noop").mode("overwrite").save()  # warm
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            make_df().write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        return round(sorted(samples)[1], 3)
+
     times: dict[str, float] = {}
-    revenue(orders, li, "l_orderkey").write.format("noop").mode("overwrite").save()
-    t0 = time.perf_counter()
-    revenue(orders, li, "l_orderkey").write.format("noop").mode("overwrite").save()
-    times["unbucketed"] = round(time.perf_counter() - t0, 3)
+    times["unbucketed"] = _median3(lambda: revenue(orders, li, "l_orderkey"))
 
     # Idempotent setup: a previous bench run's table dirs survive in
     # spark-warehouse while the fresh session's catalog has no entry, so
@@ -190,10 +199,7 @@ def bucketed_join_bench(spark, sf_dir: str) -> dict[str, float]:
     write_bucketed(li, "bench_li_bkt", buckets, "l_orderkey")
     write_bucketed(orders, "bench_ord_bkt", buckets, "o_orderkey")
     lb, ob = spark.table("bench_li_bkt"), spark.table("bench_ord_bkt")
-    revenue(ob, lb, "l_orderkey").write.format("noop").mode("overwrite").save()
-    t0 = time.perf_counter()
-    revenue(ob, lb, "l_orderkey").write.format("noop").mode("overwrite").save()
-    times["bucketed"] = round(time.perf_counter() - t0, 3)
+    times["bucketed"] = _median3(lambda: revenue(ob, lb, "l_orderkey"))
     return times
 
 
@@ -225,12 +231,17 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         # one unmeasured run per query (first-touch parquet footer reads,
-        # codegen compilation), then measure the steady-state execution —
-        # the number that scales with data, not with JVM warmup.
+        # codegen compilation), then MEDIAN of 3 steady-state executions:
+        # single runs swing ±40% on GC pauses (round-2 bench read +17%
+        # total vs round 1 on identical code), so a robust estimator is
+        # required for round-over-round comparisons to carry signal.
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        dt = sorted(samples)[1]
         per_query[name] = round(dt, 3)
         total += dt
 
