@@ -31,6 +31,7 @@ from hdinsight_pyspark_cntk_integration_spark.functions.textfns import (
 from hdinsight_pyspark_cntk_integration_spark.functions.vector import cosine_similarity
 from hdinsight_pyspark_cntk_integration_spark.operators import (
     dedup as dd,
+    pipeline as pl,
     relational as rel,
     scoring as sc,
     similarity as sim,
@@ -362,6 +363,50 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     kept = tx.quality_filter(docs, min_tokens=5, max_punct_ratio=0.3)
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators.pipeline.
+    split_assign, knuth mixer for cross-engine reproducibility) — pure
+    projection, zero shuffle, stable under reruns/retries."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pl.split_assign(
+        docs.select("doc_id"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        method="knuth",
+    )
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture sampling (data-mixing step): keep src0 fully,
+    src1 at 50%, src2 at 20%, everything else at 5% — deterministic
+    Bernoulli by id hash, pure pushdown filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pl.mixture_sample(
+        docs.select("doc_id", "source"),
+        {"src0": 1.0, "src1": 0.5, "src2": 0.2},
+        default_fraction=0.05,
+        method="knuth",
+    )
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: whitespace-token counts, 8
+    shards, 512-token blocks. One shuffle (on shard), per-shard window
+    cumsum — no global sort (operators.pipeline.pack_chunks)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pl.pack_chunks(with_tokens, budget=512, n_shards=8)
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenizer counts (letter runs / digits / symbol
+    runs) per document — the packing-budget proxy for real tokenizer
+    length. Single JVM regexp projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pl.bpe_token_count(docs)
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1689,7 +1734,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "dedup_transitive": q_dedup_transitive,
         "limit_offset": q_limit_offset,
+        "hash_split": q_hash_split,
+        "mixture_sample": q_mixture_sample,
+        "pack_chunks": q_pack_chunks,
+        "bpe_token_count": q_bpe_token_count,
     }
+
+
+def _split_bound(frac: float) -> int:
+    """Bucket bound used by operators.pipeline (int(frac * modulus)) —
+    the oracle must round the float identically, so reuse the arithmetic."""
+    from hdinsight_pyspark_cntk_integration_spark.operators.pipeline import _KNUTH_MOD
+
+    return int(frac * _KNUTH_MOD)
 
 
 _NORM_TEXT = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
@@ -1945,6 +2002,55 @@ def oracle_sql() -> dict[str, str]:
                 ELSE CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
                   / CAST(n_chars AS DOUBLE) END AS upper_ratio
             FROM base
+        """,
+        "hash_split": f"""
+            SELECT doc_id,
+              CASE
+                WHEN ((doc_id % 1000003) * 2654435761) % 1000003 < {_split_bound(0.8)}
+                  THEN 'train'
+                WHEN ((doc_id % 1000003) * 2654435761) % 1000003 < {_split_bound(0.8 + 0.1)}
+                  THEN 'val'
+                ELSE 'test'
+              END AS split
+            FROM documents
+        """,
+        "mixture_sample": f"""
+            WITH h AS (
+              SELECT doc_id, source,
+                ((doc_id % 1000003) * 2654435761) % 1000003 AS b
+              FROM documents
+            )
+            SELECT doc_id, source FROM h
+            WHERE b < CASE source
+              WHEN 'src0' THEN {_split_bound(1.0)}
+              WHEN 'src1' THEN {_split_bound(0.5)}
+              WHEN 'src2' THEN {_split_bound(0.2)}
+              ELSE {_split_bound(0.05)} END
+        """,
+        "pack_chunks": f"""
+            WITH t AS (
+              SELECT doc_id, doc_id % 8 AS shard,
+                CAST({_N_TOKENS} AS BIGINT) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, shard, n_tokens,
+                CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+              FROM t
+            )
+            SELECT doc_id, shard,
+              CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS first_block,
+              CASE WHEN n_tokens = 0
+                THEN CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT)
+                ELSE CAST(FLOOR((cum - 1) / 512.0) AS BIGINT) END AS last_block,
+              (cum - n_tokens) % 512 AS offset_in_block
+            FROM c
+        """,
+        "bpe_token_count": r"""
+            SELECT doc_id,
+              CASE WHEN text IS NULL THEN NULL
+                ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS BIGINT)
+              END AS n_bpe_tokens
+            FROM documents
         """,
         "token_histogram": r"""
             SELECT token, CAST(COUNT(*) AS BIGINT) AS freq

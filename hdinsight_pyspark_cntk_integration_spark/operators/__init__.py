@@ -8,4 +8,6 @@ dedup       — exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding near-dup
 similarity  — brute-force / LSH-bucketed cosine top-k over embeddings
 text        — language-ID, quality scoring, token stats, fingerprinting
 multimodal  — binary media columns: decode/resize/frame-sample plumbing
+pipeline    — deterministic train/val/test splits, mixture sampling,
+              concat-and-chunk sequence packing, BPE-ish token counts
 """

@@ -1,0 +1,187 @@
+"""Training-data pipeline operators: deterministic splits, mixture
+sampling, sequence packing, and BPE-style token counts (SURVEY.md §2.7
+addition — the corpus-preparation layer an LLM data pipeline runs after
+filtering/dedup and before tokenizer sharding).
+
+Everything here is shuffle-minimal by construction:
+
+* splits and sampling are pure per-row projections/filters — no shuffle,
+  full pushdown, and (crucially at 100 TB) *reproducible*: membership is
+  a deterministic function of the row id, never of partitioning, task
+  retries, or `rand()` (re-running the job or losing an executor can't
+  move a document between train and test);
+* packing shuffles ONCE on the shard key and sorts within shards — the
+  global-concatenation order is defined as (shard, id), so no global
+  sort ever happens and each shard's window state is bounded by the
+  shard, not the corpus.
+
+Two hash mixers are provided. ``xxhash64`` (default) is the production
+mixer — JVM codegen, avalanche-quality bits. ``knuth`` (multiplicative
+hashing, Knuth TAOCP vol. 3 §6.4) is arithmetic-only so independent
+engines can reproduce assignments bit-for-bit in ANSI SQL — the oracle
+gate runs on it; its mixing quality is adequate for split/sample duty
+(the golden tests pin observed proportions).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_KNUTH_MULT = 2654435761  # 2^32 * (golden ratio - 1), Knuth's constant
+_KNUTH_MOD = 1_000_003  # prime modulus; buckets in [0, 1_000_003)
+
+
+def hash_bucket(id_col: Column | str, method: str = "xxhash64") -> Column:
+    """Deterministic bucket in [0, 1_000_003) from an integer id column.
+
+    ``xxhash64``: JVM xxhash64 folded into the modulus — production path.
+    ``knuth``: ((id mod M) * 2654435761) mod M — pure 64-bit-safe integer
+    arithmetic (the pre-reduction keeps the product < 2^63 for any id),
+    reproducible in any ANSI SQL engine for cross-engine verification.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    if method == "xxhash64":
+        return F.pmod(F.xxhash64(c), F.lit(_KNUTH_MOD))
+    if method == "knuth":
+        return F.pmod(F.pmod(c, F.lit(_KNUTH_MOD)) * F.lit(_KNUTH_MULT), F.lit(_KNUTH_MOD))
+    raise ValueError(f"unknown hash method {method!r} (xxhash64|knuth)")
+
+
+def split_assign(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket the id, carve the
+    bucket space into cumulative weight ranges, label each row.
+
+    Weights must sum to 1 (±1e-9). Pure projection — no shuffle, no RNG
+    state; a document's split is stable across reruns, retries, and
+    repartitioning, which is the property that keeps eval sets
+    uncontaminated when the corpus is rebuilt.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1 (got {total})")
+    bucket = hash_bucket(id_col, method)
+    expr = None
+    cum = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        cum += w
+        bound = int(cum * _KNUTH_MOD)
+        case = F.when(bucket < bound, F.lit(name))
+        expr = case if expr is None else expr.when(bucket < bound, F.lit(name))
+    last = F.lit(items[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def mixture_sample(
+    df: DataFrame,
+    fractions: Mapping[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Per-group deterministic Bernoulli sampling — the data-mixing step
+    that up/down-weights corpus sources to a target mixture. Keep a row
+    iff bucket(id) < fraction(group) * M.
+
+    A pure filter (pushdown-friendly, zero shuffle); sampling at 1.0
+    keeps everything, 0.0 drops the group. Unlisted groups get
+    ``default_fraction``. Deterministic in the id, so mixtures are
+    reproducible and two samples with nested fractions are nested
+    (a 10% sample is a subset of the 50% sample — useful for scaling-law
+    subsampling).
+    """
+    for g, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {g!r} must be in [0,1] (got {frac})")
+    bucket = hash_bucket(id_col, method)
+    thresh = None
+    for g, frac in fractions.items():
+        bound = F.lit(int(frac * _KNUTH_MOD))
+        case = F.when(F.col(group_col) == g, bound)
+        thresh = case if thresh is None else thresh.when(F.col(group_col) == g, bound)
+    thresh = thresh.otherwise(F.lit(int(default_fraction * _KNUTH_MOD)))
+    return df.filter(bucket < thresh)
+
+
+def pack_chunks(
+    df: DataFrame,
+    budget: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated in
+    (shard, id) order and the token stream is cut into fixed ``budget``-
+    token blocks — the standard LLM pretraining packing (no padding, docs
+    may span block boundaries). Emits, per document, the half-open block
+    span it lands in:
+
+      shard, first_block, last_block (block ids are shard-local),
+      offset_in_block (token offset of the doc's first token in
+      first_block).
+
+    Scale shape: ONE hash-partition shuffle on ``shard = id mod
+    n_shards`` + a per-shard sort (Spark's window sort spills to disk if
+    a shard exceeds memory, but size ``n_shards`` so ~corpus/n_shards
+    tokens fit comfortably). No global sort, no driver state; block ids
+    are (shard, block) pairs so numbering needs no cross-shard
+    coordination — exactly how a 1000-executor tokenizer run shards.
+    """
+    from pyspark.sql import Window
+
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1 (got {budget})")
+    shard = F.pmod(F.col(id_col), F.lit(n_shards))
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum = F.sum(tokens_col).over(w)
+    start = (cum - F.col(tokens_col)).cast("long")  # first token's global offset
+    end = cum.cast("long")  # one past the last token
+    return (
+        df.withColumn("shard", shard.cast("long"))
+        .select(
+            F.col(id_col),
+            "shard",
+            F.floor(start / budget).alias("first_block"),
+            # empty docs sit at their start boundary; non-empty use last token
+            F.when(F.col(tokens_col) == 0, F.floor(start / budget))
+            .otherwise(F.floor((end - 1) / budget))
+            .alias("last_block"),
+            F.pmod(start, F.lit(budget)).alias("offset_in_block"),
+        )
+    )
+
+
+# GPT-2-style pre-tokenizer classes, restricted to constructs whose
+# semantics agree between Java regex (Spark) and RE2 (DuckDB/Go): runs
+# of letters, single digits, runs of other non-space symbols.
+BPE_PRETOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = BPE_PRETOKEN_PATTERN,
+) -> DataFrame:
+    """BPE-ish token counting: count pre-tokenizer matches (letter runs,
+    single digits, punctuation runs) — a cheap, deterministic proxy for a
+    real BPE tokenizer's sequence length, good enough for packing budgets
+    and per-source token accounting. Pure JVM regexp projection."""
+    n = F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
+        .otherwise(n.cast("long"))
+        .alias("n_bpe_tokens"),
+    )

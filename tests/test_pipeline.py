@@ -1,0 +1,125 @@
+"""Training-data pipeline operators: splits, mixture sampling, packing,
+BPE-ish token counts (operators.pipeline)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdinsight_pyspark_cntk_integration_spark.operators import pipeline as pl
+
+N = 10_000
+
+
+@pytest.fixture(scope="module")
+def ids_df(spark):
+    return spark.range(N).select(F.col("id").alias("doc_id"))
+
+
+def test_split_assign_proportions_and_determinism(spark, ids_df):
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = pl.split_assign(ids_df, weights).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in out}
+    assert set(counts) == {"train", "val", "test"}
+    for name, w in weights.items():
+        assert abs(counts[name] / N - w) < 0.02  # xxhash64 mixes well
+    # determinism: identical assignment on re-run and after repartition
+    a = pl.split_assign(ids_df, weights).collect()
+    b = pl.split_assign(ids_df.repartition(13), weights).collect()
+    assert {(r["doc_id"], r["split"]) for r in a} == {
+        (r["doc_id"], r["split"]) for r in b
+    }
+
+
+def test_split_assign_rejects_bad_weights(ids_df):
+    with pytest.raises(ValueError, match="sum to 1"):
+        pl.split_assign(ids_df, {"train": 0.5, "test": 0.4})
+
+
+def test_mixture_sample_fractions_and_nesting(spark):
+    df = spark.range(N).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 2).cast("string")).alias("source"),
+    )
+    kept = pl.mixture_sample(df, {"src0": 1.0, "src1": 0.25})
+    counts = {
+        r["source"]: r["count"] for r in kept.groupBy("source").count().collect()
+    }
+    assert counts["src0"] == N // 2  # fraction 1.0 keeps everything
+    assert abs(counts["src1"] / (N // 2) - 0.25) < 0.03
+    # nesting: the 10% sample is a subset of the 25% sample
+    small = pl.mixture_sample(df, {"src0": 0.0, "src1": 0.10})
+    small_ids = {r["doc_id"] for r in small.select("doc_id").collect()}
+    big_ids = {
+        r["doc_id"]
+        for r in kept.filter(F.col("source") == "src1").select("doc_id").collect()
+    }
+    assert small_ids <= big_ids
+    # unlisted group default drops
+    none_kept = pl.mixture_sample(df, {"src0": 0.5})
+    assert none_kept.filter(F.col("source") == "src1").count() == 0
+
+
+def test_pack_chunks_invariants(spark):
+    rows = [(i, (i * 7) % 23) for i in range(200)]  # varied token counts, some 0
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = pl.pack_chunks(df, budget=16, n_shards=4).collect()
+    assert len(packed) == 200  # every doc placed exactly once
+    by_id = {r["doc_id"]: r for r in packed}
+    # recompute expected spans locally per shard
+    for shard in range(4):
+        docs = sorted((i, t) for i, t in rows if i % 4 == shard)
+        cum = 0
+        for i, t in docs:
+            start, end = cum, cum + t
+            cum = end
+            r = by_id[i]
+            assert r["shard"] == shard
+            assert r["first_block"] == start // 16
+            assert r["last_block"] == (start if t == 0 else end - 1) // 16
+            assert r["offset_in_block"] == start % 16
+            # a doc never spans more blocks than its tokens require
+            assert r["last_block"] - r["first_block"] <= t // 16 + 1
+
+
+def test_pack_chunks_single_shuffle(spark):
+    from hdinsight_pyspark_cntk_integration_spark.plans import count_shuffles
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 9).alias("n_tokens")
+    )
+    assert count_shuffles(pl.pack_chunks(df, budget=8, n_shards=4)) == 1
+
+
+def test_bpe_token_count_matches_python_re(spark):
+    texts = [
+        (1, "Hello, world! 42 times"),
+        (2, "tabs\tand\nnewlines  here"),
+        (3, ""),
+        (4, None),
+        (5, "...!!!??? 2026 mixedCASE"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in pl.bpe_token_count(df).collect()}
+    for i, t in texts:
+        if t is None:
+            assert got[i] is None
+        else:
+            assert got[i] == len(re.findall(pl.BPE_PRETOKEN_PATTERN, t)), t
+
+
+def test_hash_bucket_methods_disagree_but_both_mix(spark, ids_df):
+    """knuth is the cross-engine oracle mixer; both must spread buckets."""
+    both = ids_df.select(
+        pl.hash_bucket("doc_id", "xxhash64").alias("hx"),
+        pl.hash_bucket("doc_id", "knuth").alias("hk"),
+    )
+    row = both.agg(
+        F.countDistinct("hx").alias("dx"), F.countDistinct("hk").alias("dk")
+    ).collect()[0]
+    assert row["dx"] > N * 0.98
+    assert row["dk"] > N * 0.98
+    with pytest.raises(ValueError, match="unknown hash method"):
+        pl.hash_bucket("doc_id", "md5")
