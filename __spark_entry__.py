@@ -617,6 +617,55 @@ def q_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to the fixture's columns: 'late' =
+    shipped >60 days after order date, since there is no commit/receipt
+    date): suppliers whose lineitem was late on a finalized multi-supplier
+    order where NO other supplier was also late. The nested
+    EXISTS(other supplier) / NOT EXISTS(other late supplier) correlations
+    become one left-semi + one left-anti self-join, both keyed on
+    l_orderkey — co-partitioned shuffles, no row explosion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    late = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    # EXISTS: some other supplier on the same order
+    multi = late.join(
+        others,
+        (late.l_orderkey == others.o2_orderkey)
+        & (late.l_suppkey != others.o2_suppkey),
+        "left_semi",
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    # NOT EXISTS: no other supplier was ALSO late on that order
+    sole_late = multi.join(
+        late_others,
+        (multi.l_orderkey == late_others.o3_orderkey)
+        & (multi.l_suppkey != late_others.o3_suppkey),
+        "left_anti",
+    )
+    return (
+        sole_late.join(F.broadcast(supplier), sole_late.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles of quantity per return flag
     (order-insensitive: computed on the sorted group)."""
@@ -1738,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "pack_chunks": q_pack_chunks,
         "bpe_token_count": q_bpe_token_count,
+        "waiting_suppliers": q_waiting_suppliers,
     }
 
 
@@ -2044,6 +2094,28 @@ def oracle_sql() -> dict[str, str]:
                 ELSE CAST(FLOOR((cum - 1) / 512.0) AS BIGINT) END AS last_block,
               (cum - n_tokens) % 512 AS offset_in_block
             FROM c
+        """,
+        "waiting_suppliers": """
+            WITH late AS (
+              SELECT l.l_orderkey, l.l_suppkey
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderstatus = 'F'
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            )
+            SELECT s.s_name AS s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM late t
+            JOIN supplier s ON t.l_suppkey = s.s_suppkey
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = t.l_orderkey AND l2.l_suppkey <> t.l_suppkey
+              )
+              AND NOT EXISTS (
+                SELECT 1 FROM late l3
+                WHERE l3.l_orderkey = t.l_orderkey AND l3.l_suppkey <> t.l_suppkey
+              )
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
         """,
         "bpe_token_count": r"""
             SELECT doc_id,

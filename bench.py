@@ -37,6 +37,17 @@ HEADLINE = [
 ]
 
 
+# Training-data-pipeline operators, timed separately so the headline
+# total stays comparable across rounds (they were added in round 3).
+PIPELINE = [
+    "hash_split",
+    "mixture_sample",
+    "pack_chunks",
+    "bpe_token_count",
+    "waiting_suppliers",
+]
+
+
 N_BENCH_IMAGES = 10_000  # the reference's benchmark cardinality (README.md:194)
 
 
@@ -245,6 +256,17 @@ def main() -> None:
         per_query[name] = round(dt, 3)
         total += dt
 
+    pipeline_q: dict[str, float] = {}
+    for name in PIPELINE:
+        fn = queries[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        pipeline_q[name] = round(sorted(samples)[1], 3)
+
     images_per_sec = inference_throughput(spark)
     skew = skew_join_bench(spark)
     bucketed = bucketed_join_bench(spark, sf_dir)
@@ -256,6 +278,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                "pipeline_queries": pipeline_q,
                 "sf": sf,
                 "images_per_sec": round(images_per_sec, 1),
                 "reference_images_per_sec": 102.2,

@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis) for operators whose correctness is
+an algebraic invariant rather than a golden value: packing must place
+every document exactly once within budget geometry, and the distributed
+as-of join must agree with a brute-force per-row evaluation on ANY
+(keys, timestamps, duplicates) input. Spark jobs are slow per example,
+so examples are capped low — the generators still cover empty docs,
+duplicate timestamps, unmatched keys, and singleton shards."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hdinsight_pyspark_cntk_integration_spark.operators import pipeline as pl
+from hdinsight_pyspark_cntk_integration_spark.operators import relational as rel
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=30),
+    budget=st.integers(min_value=1, max_value=17),
+    n_shards=st.integers(min_value=1, max_value=5),
+)
+@settings(**_SETTINGS)
+def test_pack_chunks_properties(spark, tokens, budget, n_shards):
+    rows = [(i, t) for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pl.pack_chunks(df, budget=budget, n_shards=n_shards).collect()
+    assert len(out) == len(rows)  # every doc placed exactly once
+    per_shard: dict[int, list] = {}
+    for r in out:
+        assert 0 <= r["shard"] < n_shards
+        assert 0 <= r["offset_in_block"] < budget
+        assert r["first_block"] <= r["last_block"]
+        per_shard.setdefault(r["shard"], []).append(r)
+    tok = dict(rows)
+    for shard, members in per_shard.items():
+        members.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in members:
+            t = tok[r["doc_id"]]
+            # spans follow the exact concat-stream arithmetic
+            assert r["first_block"] == cum // budget
+            assert r["offset_in_block"] == cum % budget
+            assert r["last_block"] == (cum if t == 0 else cum + t - 1) // budget
+            cum += t
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20)), min_size=0, max_size=15
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20), st.integers(0, 99)),
+        min_size=0,
+        max_size=15,
+    ),
+    strict=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, left, right, strict):
+    # de-dup right (key, ts) so "last wins" nondeterminism can't flake the
+    # comparison — dedup_right=True exercises the operator's own dedup.
+    lrows = [(k, ts, i) for i, (k, ts) in enumerate(left)]
+    if not lrows:
+        return
+    ldf = spark.createDataFrame(lrows, "k int, ts int, row_id int")
+    rdf = (
+        spark.createDataFrame(right, "k int, rts int, val int")
+        if right
+        else spark.createDataFrame([], "k int, rts int, val int")
+    )
+    out = rel.asof_join(
+        ldf, rdf, ["k"], "ts", "rts", ["val"], strict=strict, dedup_right=True
+    ).collect()
+    assert len(out) == len(lrows)
+    # brute force: max val among right rows at the winning timestamp
+    best = {}
+    for k, ts, i in lrows:
+        cand = [
+            (rts, val)
+            for (rk, rts, val) in right
+            if rk == k and (rts < ts if strict else rts <= ts)
+        ]
+        if cand:
+            win_ts = max(rts for rts, _ in cand)
+            best[i] = max(val for rts, val in cand if rts == win_ts)
+        else:
+            best[i] = None
+    got = {r["row_id"]: r["val"] for r in out}
+    assert got == best
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=50),
+)
+@settings(**_SETTINGS)
+def test_split_assign_is_total_and_deterministic(spark, ids):
+    df = spark.createDataFrame([(i,) for i in set(ids)], "doc_id long")
+    weights = {"train": 0.7, "val": 0.2, "test": 0.1}
+    out = {
+        r["doc_id"]: r["split"]
+        for r in pl.split_assign(df, weights, method="knuth").collect()
+    }
+    assert set(out) == set(ids)  # total: every id assigned
+    assert set(out.values()) <= set(weights)
+    again = {
+        r["doc_id"]: r["split"]
+        for r in pl.split_assign(df.repartition(3), weights, method="knuth").collect()
+    }
+    assert out == again  # partition-independent
