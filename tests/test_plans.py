@@ -24,6 +24,17 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     assert "l_extendedprice" not in schema, schema
 
 
+def test_pipeline_queries_prune_columns(spark, sf_dir):
+    """The pipeline ops are pure projections/filters — their scans must
+    read only the referenced columns (never `text` for id-only splits)."""
+    schema = P.scan_read_schema(e.q_hash_split(spark, sf_dir))
+    assert "doc_id" in schema and "text" not in schema, schema
+    schema = P.scan_read_schema(e.q_mixture_sample(spark, sf_dir))
+    assert "source" in schema and "text" not in schema, schema
+    schema = P.scan_read_schema(e.q_bpe_token_count(spark, sf_dir))
+    assert "lang" not in schema and "source" not in schema, schema
+
+
 def test_dim_joins_broadcast(spark, sf_dir):
     assert P.has_broadcast_join(e.q_dim_join(spark, sf_dir))
     assert P.has_broadcast_join(e.q_region_revenue(spark, sf_dir))
