@@ -401,6 +401,17 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pl.pack_chunks(with_tokens, budget=512, n_shards=8)
 
 
+def q_pack_chunks_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global block numbering for packed sequences via distributed
+    prefix-sum: shard-local blocks + per-shard offsets (a window over
+    n_shards rows) broadcast back — no global sort at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pl.pack_chunks_global(with_tokens, budget=512, n_shards=8)
+
+
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-style pre-tokenizer counts (letter runs / digits / symbol
     runs) per document — the packing-budget proxy for real tokenizer
@@ -1788,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "bpe_token_count": q_bpe_token_count,
         "waiting_suppliers": q_waiting_suppliers,
+        "pack_chunks_global": q_pack_chunks_global,
     }
 
 
@@ -2094,6 +2106,41 @@ def oracle_sql() -> dict[str, str]:
                 ELSE CAST(FLOOR((cum - 1) / 512.0) AS BIGINT) END AS last_block,
               (cum - n_tokens) % 512 AS offset_in_block
             FROM c
+        """,
+        "pack_chunks_global": f"""
+            WITH t AS (
+              SELECT doc_id, doc_id % 8 AS shard,
+                CAST({_N_TOKENS} AS BIGINT) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, shard, n_tokens,
+                CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+              FROM t
+            ), local AS (
+              SELECT doc_id, shard,
+                CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS first_block,
+                CASE WHEN n_tokens = 0
+                  THEN CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT)
+                  ELSE CAST(FLOOR((cum - 1) / 512.0) AS BIGINT) END AS last_block,
+                (cum - n_tokens) % 512 AS offset_in_block
+              FROM c
+            ), totals AS (
+              SELECT shard,
+                CAST(FLOOR(CAST(SUM(n_tokens) AS BIGINT) / 512.0) AS BIGINT) + 1
+                  AS shard_blocks
+              FROM t GROUP BY shard
+            ), offs AS (
+              SELECT shard,
+                CAST(COALESCE(SUM(shard_blocks) OVER (
+                  ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) AS BIGINT) AS block_offset
+              FROM totals
+            )
+            SELECT l.doc_id, l.shard,
+              l.first_block + o.block_offset AS global_first_block,
+              l.last_block + o.block_offset AS global_last_block,
+              l.offset_in_block
+            FROM local l JOIN offs o ON l.shard = o.shard
         """,
         "waiting_suppliers": """
             WITH late AS (

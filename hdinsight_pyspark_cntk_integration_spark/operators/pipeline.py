@@ -162,6 +162,49 @@ def pack_chunks(
     )
 
 
+def pack_chunks_global(
+    df: DataFrame,
+    budget: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """``pack_chunks`` with GLOBAL block ids, via the distributed
+    prefix-sum pattern: shard-local block numbering (one shuffle, as in
+    ``pack_chunks``) + a per-shard block-count aggregate (n_shards rows)
+    whose running sum — computed in a single tiny window — becomes each
+    shard's block offset, broadcast-joined back. No global sort ever
+    happens; the only single-threaded step touches ``n_shards`` rows.
+
+    Each shard reserves ``floor(total_tokens/budget) + 1`` blocks (the
+    +1 absorbs a trailing empty-doc boundary), so global ids are stable
+    even when shards end exactly on a block boundary.
+    """
+    from pyspark.sql import Window
+
+    local = pack_chunks(df, budget, n_shards, id_col, tokens_col)
+    shard = F.pmod(F.col(id_col), F.lit(n_shards))
+    totals = (
+        df.groupBy(shard.cast("long").alias("shard"))
+        .agg(F.sum(tokens_col).alias("total_tokens"))
+        .select(
+            "shard",
+            (F.floor(F.col("total_tokens") / budget) + 1).alias("shard_blocks"),
+        )
+    )
+    w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "shard", F.coalesce(F.sum("shard_blocks").over(w), F.lit(0)).alias("block_offset")
+    )
+    return local.join(F.broadcast(offsets), "shard").select(
+        F.col(id_col),
+        "shard",
+        (F.col("block_offset") + F.col("first_block")).alias("global_first_block"),
+        (F.col("block_offset") + F.col("last_block")).alias("global_last_block"),
+        "offset_in_block",
+    )
+
+
 # GPT-2-style pre-tokenizer classes, restricted to constructs whose
 # semantics agree between Java regex (Spark) and RE2 (DuckDB/Go): runs
 # of letters, single digits, runs of other non-space symbols.

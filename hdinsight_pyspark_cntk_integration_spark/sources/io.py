@@ -35,6 +35,39 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """JSON-lines reader (one object per line — the interchange format of
+    LLM corpora). Pass an explicit schema in production: schema inference
+    is a full extra scan, and a declared schema lets the scan prune
+    unreferenced JSON fields instead of parsing whole objects."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str | None = "gzip",
+) -> None:
+    """JSON-lines sink, gzip by default (splittability doesn't matter on
+    write; readers list many files). Partitioning columns become
+    directories, same layout contract as ``write_parquet``."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
 def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
     """Distributed binary ingest: (path, modificationTime, length, content).
 

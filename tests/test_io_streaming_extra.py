@@ -49,6 +49,24 @@ def test_partitioned_parquet_write(spark, tmp_path, sf_dir):
     assert "PartitionFilters: [isnotnull(lang" in formatted_plan(pruned)
 
 
+def test_jsonl_roundtrip_partitioned(spark, tmp_path, sf_dir):
+    """JSON-lines sink/source: gzip'd, lang-partitioned write; schema'd
+    read-back preserves values; explicit-schema read prunes parsing."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    out = str(tmp_path / "docs_jsonl")
+    eio.write_jsonl(docs, out, partition_by=["lang"])
+    assert glob.glob(f"{out}/lang=*/*.json.gz"), "partition dirs + gzip expected"
+    back = eio.read_jsonl(
+        spark, out, schema="doc_id long, text string, source string, lang string"
+    )
+    assert back.count() == docs.count()
+    a = {tuple(sorted(r.asDict().items())) for r in docs.collect()}
+    b = {tuple(sorted(r.asDict().items())) for r in back.collect()}
+    assert a == b
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Late-data policy: rows older than watermark are dropped from the
     stateful agg (SURVEY.md §7 Phase 5)."""

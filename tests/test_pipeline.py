@@ -84,6 +84,30 @@ def test_pack_chunks_invariants(spark):
             assert r["last_block"] - r["first_block"] <= t // 16 + 1
 
 
+def test_pack_chunks_global_disjoint_block_ranges(spark):
+    """Global ids from the distributed prefix-sum must give every shard a
+    disjoint block range, preserve shard-local geometry, and stay dense
+    (offsets = running sum of per-shard block counts)."""
+    rows = [(i, (i * 11) % 37) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pl.pack_chunks_global(df, budget=32, n_shards=4).collect()
+    assert len(out) == 120
+    local = {r["doc_id"]: r for r in pl.pack_chunks(df, 32, 4).collect()}
+    # expected offsets: floor(shard_total/32)+1 blocks per shard, cumulative
+    totals = [sum(t for i, t in rows if i % 4 == s) for s in range(4)]
+    blocks = [t // 32 + 1 for t in totals]
+    offsets = [sum(blocks[:s]) for s in range(4)]
+    for r in out:
+        lr = local[r["doc_id"]]
+        off = offsets[r["shard"]]
+        assert r["global_first_block"] == lr["first_block"] + off
+        assert r["global_last_block"] == lr["last_block"] + off
+        assert r["offset_in_block"] == lr["offset_in_block"]
+        # inside the shard's reserved range
+        assert off <= r["global_first_block"] < off + blocks[r["shard"]]
+        assert off <= r["global_last_block"] < off + blocks[r["shard"]]
+
+
 def test_pack_chunks_single_shuffle(spark):
     from hdinsight_pyspark_cntk_integration_spark.plans import count_shuffles
 
