@@ -1731,6 +1731,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_accuracy": q_score_accuracy,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash": q_simhash,
+        # round-3 additions, placed inside the driver harness's 50-query
+        # window so CORRECTNESS_r*.json covers them (it checks the first
+        # 50 registry keys; tools/check_parity.py covers the full set).
+        "hash_split": q_hash_split,
+        "mixture_sample": q_mixture_sample,
+        "pack_chunks": q_pack_chunks,
+        "pack_chunks_global": q_pack_chunks_global,
+        "bpe_token_count": q_bpe_token_count,
+        "waiting_suppliers": q_waiting_suppliers,
         "approx_distinct": q_approx_distinct,
         "lang_id": q_lang_id,
         "running_total": q_running_total,
@@ -1794,12 +1803,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "dedup_transitive": q_dedup_transitive,
         "limit_offset": q_limit_offset,
-        "hash_split": q_hash_split,
-        "mixture_sample": q_mixture_sample,
-        "pack_chunks": q_pack_chunks,
-        "bpe_token_count": q_bpe_token_count,
-        "waiting_suppliers": q_waiting_suppliers,
-        "pack_chunks_global": q_pack_chunks_global,
     }
 
 
