@@ -70,8 +70,13 @@ def _revenue() -> F.Column:
 
 
 _SQL_REVENUE = (
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
-    " * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE)"
+    # DuckDB's direct DECIMAL(38,x)->DOUBLE cast is off by 1 ulp on 13+
+    # digit values (surfaced by the sf0.1 scale smoke); the string
+    # roundtrip is correctly rounded and matches Spark's BigDecimal cast.
+    # STRING (not VARCHAR) because this fragment also runs as Spark SQL
+    # in q_sql_yearly_revenue; both engines accept STRING.
+    "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+    " * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS STRING) AS DOUBLE)"
 )
 
 
@@ -412,6 +417,16 @@ def q_pack_chunks_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pl.pack_chunks_global(with_tokens, budget=512, n_shards=8)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: distinct shared word-trigram counts of
+    every training doc against a (broadcast) eval set — here every 50th
+    document plays the benchmark. Train side never shuffles; only hits
+    reach the final aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    return pl.contamination_hits(docs, eval_df)
+
+
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-style pre-tokenizer counts (letter runs / digits / symbol
     runs) per document — the packing-budget proxy for real tokenizer
@@ -703,15 +718,16 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle-light layout: |labels|×dim rows move, not vectors."""
     emb = load_table(spark, sf_dir, "embeddings")
     exploded = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
-    # widen float->double BEFORE the decimal cast: engines disagree on
-    # direct float->decimal rounding (string-repr vs exact-value paths)
+    # Quantize each value with floor(val * 1e9): IEEE double multiply +
+    # floor are bit-identical in every engine, so the integer sum is
+    # order-independent AND cross-engine-exact. A decimal(18,9) cast is
+    # NOT: its tie rounding is engine-specific (Spark HALF_UP, DuckDB
+    # half-even) and the sf0.1 fixture contains exact .5 ties.
+    q = F.floor(F.col("val").cast("double") * F.lit(1e9)).cast("long")
     return (
         exploded.groupBy("label", F.col("pos").cast("long").alias("pos"))
         .agg(
-            (
-                F.sum(F.col("val").cast("double").cast("decimal(18,9)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("centroid")
+            (F.sum(q).cast("double") / F.lit(1e9) / F.count(F.lit(1))).alias("centroid")
         )
     )
 
@@ -1740,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks_global": q_pack_chunks_global,
         "bpe_token_count": q_bpe_token_count,
         "waiting_suppliers": q_waiting_suppliers,
+        "decontaminate": q_decontaminate,
         "approx_distinct": q_approx_distinct,
         "lang_id": q_lang_id,
         "running_total": q_running_total,
@@ -1911,7 +1928,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
               SUM(l_quantity) AS sum_qty,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+              CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
               {_SQL_REVENUE} AS sum_disc_price,
               SUM(l_quantity) / COUNT(*) AS avg_qty,
               CAST(COUNT(*) AS BIGINT) AS count_order
@@ -1953,7 +1970,7 @@ def oracle_sql() -> dict[str, str]:
         "dim_join": """
             SELECT r_name,
               CAST(COUNT(*) AS BIGINT) AS n_customers,
-              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+              CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
@@ -2019,7 +2036,7 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_hourly": f"""
             SELECT date_trunc('hour', {ev_ts}) AS hour_start, event_type,
               CAST(COUNT(*) AS BIGINT) AS n,
-              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+              CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
         """,
@@ -2109,6 +2126,24 @@ def oracle_sql() -> dict[str, str]:
                 ELSE CAST(FLOOR((cum - 1) / 512.0) AS BIGINT) END AS last_block,
               (cum - n_tokens) % 512 AS offset_in_block
             FROM c
+        """,
+        "decontaminate": r"""
+            WITH sh AS (
+              SELECT doc_id,
+                list_distinct(list_transform(
+                  generate_series(1, greatest(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) - 2, 1)),
+                  i -> array_to_string(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[i:i+2], ' ')
+                )) AS s
+              FROM documents
+            ),
+            ev AS (
+              SELECT DISTINCT unnest(s) AS ngram FROM sh WHERE doc_id % 50 = 0
+            ),
+            tr AS (SELECT doc_id, unnest(s) AS ngram FROM sh)
+            SELECT t.doc_id, CAST(COUNT(DISTINCT t.ngram) AS BIGINT) AS n_hits
+            FROM tr t JOIN ev e ON t.ngram = e.ngram
+            WHERE length(t.ngram) > 0
+            GROUP BY t.doc_id
         """,
         "pack_chunks_global": f"""
             WITH t AS (
@@ -2227,10 +2262,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_scores_sql(),
         "running_total": """
             SELECT o_custkey, o_orderkey,
-              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+              CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-              ) AS DOUBLE) AS running_total
+              ) AS VARCHAR) AS DOUBLE) AS running_total
             FROM orders
         """,
         "lag_lead": """
@@ -2243,7 +2278,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "moving_avg": """
             SELECT o_custkey, o_orderkey,
-              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+              CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE)
                 / COUNT(*) OVER w AS moving_avg_3
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -2301,10 +2336,10 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem JOIN part ON l_partkey = p_partkey
             )
             SELECT ship_year,
-              CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev END) AS DOUBLE) AS promo_revenue,
-              CAST(SUM(rev) AS DOUBLE) AS total_revenue,
-              100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev END) AS DOUBLE)
-                / CAST(SUM(rev) AS DOUBLE) AS promo_share_pct
+              CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev END) AS VARCHAR) AS DOUBLE) AS promo_revenue,
+              CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS total_revenue,
+              100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev END) AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS promo_share_pct
             FROM j GROUP BY ship_year
         """,
         "exists_late_ship": """
@@ -2337,8 +2372,8 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings
             )
             SELECT label, CAST(pos - 1 AS BIGINT) AS pos,
-              CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
-                / COUNT(*) AS centroid
+              CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+                / 1e9 / COUNT(*) AS centroid
             FROM x GROUP BY label, pos
         """,
         "l2_normalize": """
@@ -2412,7 +2447,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT l_partkey AS pk, SUM(l_quantity)/COUNT(*) AS avg_qty
               FROM lineitem GROUP BY l_partkey
             )
-            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
+            SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly
             FROM lineitem
             JOIN part ON p_partkey = l_partkey
             JOIN a ON pk = l_partkey
@@ -2512,13 +2547,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "high_balance_light_buyers": """
             WITH avg_bal AS (
-              SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS ab
+              SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS ab
               FROM customer WHERE c_acctbal > 0
             ), oc AS (
               SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
             )
             SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
-              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+              CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_bal
             FROM customer, avg_bal
             JOIN oc ON o_custkey = c_custkey
             WHERE c_acctbal > ab AND n_orders < 8
@@ -2526,12 +2561,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "nation_value_share": """
             WITH t AS (
-              SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+              SELECT CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_bal
               FROM supplier
             )
             SELECT n_name, value FROM (
               SELECT s_nationkey,
-                CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS value
+                CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS value
               FROM supplier GROUP BY s_nationkey
             ), t
             JOIN nation ON s_nationkey = n_nationkey
@@ -2663,8 +2698,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simple_filter_agg": """
             SELECT
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                       * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+              CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
               CAST(COUNT(*) AS BIGINT) AS n_lines
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -2741,16 +2776,16 @@ def oracle_sql() -> dict[str, str]:
               JOIN nation ON s_nationkey = n_nationkey
             )
             SELECT o_year,
-              CAST(SUM(CASE WHEN n_name = 'NATION_3' THEN rev END) AS DOUBLE) AS nation_revenue,
-              CAST(SUM(rev) AS DOUBLE) AS total_revenue,
-              CAST(SUM(CASE WHEN n_name = 'NATION_3' THEN rev END) AS DOUBLE)
-                / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+              CAST(CAST(SUM(CASE WHEN n_name = 'NATION_3' THEN rev END) AS VARCHAR) AS DOUBLE) AS nation_revenue,
+              CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS total_revenue,
+              CAST(CAST(SUM(CASE WHEN n_name = 'NATION_3' THEN rev END) AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS mkt_share
             FROM j GROUP BY o_year
         """,
         "range_frame_window": """
             SELECT o_custkey, o_orderkey,
               CAST(COUNT(*) OVER w AS BIGINT) AS n_last30d,
-              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_last30d
+              CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE) AS spend_last30d
             FROM orders
             WINDOW w AS (
               PARTITION BY o_custkey ORDER BY epoch(o_orderdate)

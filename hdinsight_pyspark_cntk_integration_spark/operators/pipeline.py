@@ -205,6 +205,59 @@ def pack_chunks_global(
     )
 
 
+def contamination_hits(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-decontamination scan: per training document, how many
+    distinct word n-grams it shares with the evaluation corpus.
+
+    Scale shape: the eval side (benchmark suites — thousands of docs,
+    not billions) collapses to a distinct n-gram set and is BROADCAST, so
+    the 100 TB train side is never shuffled for the probe — the inner
+    broadcast join emits only matching (doc, n-gram) rows, and the final
+    count shuffles just those hits. Shingling is the same pure-Catalyst
+    projection the near-dup stack uses (operators.dedup.word_shingles).
+    """
+    from hdinsight_pyspark_cntk_integration_spark.operators.dedup import word_shingles
+
+    eval_ngrams = (
+        eval_df.select(F.explode(word_shingles(eval_text_col, n)).alias("ngram"))
+        .filter(F.length("ngram") > 0)
+        .distinct()
+    )
+    train_ngrams = train.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("ngram")
+    )
+    return (
+        train_ngrams.join(F.broadcast(eval_ngrams), "ngram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("ngram").alias("n_hits"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Drop training documents that share >= ``min_hits`` distinct word
+    n-grams with the eval corpus (the pre-training hygiene step that keeps
+    benchmark numbers honest). Anti-join on the flagged id set."""
+    flagged = contamination_hits(
+        train, eval_df, id_col, text_col, eval_text_col, n
+    ).filter(F.col("n_hits") >= min_hits)
+    return train.join(flagged.select(id_col), on=id_col, how="left_anti")
+
+
 # GPT-2-style pre-tokenizer classes, restricted to constructs whose
 # semantics agree between Java regex (Spark) and RE2 (DuckDB/Go): runs
 # of letters, single digits, runs of other non-space symbols.

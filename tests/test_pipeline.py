@@ -134,6 +134,36 @@ def test_bpe_token_count_matches_python_re(spark):
             assert got[i] == len(re.findall(pl.BPE_PRETOKEN_PATTERN, t)), t
 
 
+def test_decontaminate_drops_planted_overlap(spark):
+    """A train doc sharing a trigram with the eval set is flagged and
+    dropped; unrelated docs survive; the eval probe is broadcast."""
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text about spark shuffles here"),
+            (3, "we saw the quick brown fox yesterday evening"),  # shares trigram
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "a story of the quick brown fox")], "doc_id long, text string"
+    )
+    hits = {r["doc_id"]: r["n_hits"] for r in pl.contamination_hits(train, eval_df).collect()}
+    assert 1 in hits and 3 in hits and 2 not in hits
+    clean = {r["doc_id"] for r in pl.decontaminate(train, eval_df).collect()}
+    assert clean == {2}
+    # both share exactly "the quick brown" + "quick brown fox"
+    assert hits[1] == hits[3] == 2
+    # min_hits above the overlap keeps everything
+    lenient = {
+        r["doc_id"] for r in pl.decontaminate(train, eval_df, min_hits=3).collect()
+    }
+    assert lenient == {1, 2, 3}
+    from hdinsight_pyspark_cntk_integration_spark.plans import has_broadcast_join
+
+    assert has_broadcast_join(pl.contamination_hits(train, eval_df))
+
+
 def test_split_and_sample_work_on_streams(spark, tmp_path):
     """split_assign / mixture_sample are stateless projections, so the
     same operator works unchanged under Structured Streaming and agrees
