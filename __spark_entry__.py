@@ -417,6 +417,17 @@ def q_pack_chunks_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pl.pack_chunks_global(with_tokens, budget=512, n_shards=8)
 
 
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial (Rabin-Karp) rolling-hash fingerprint per document —
+    pure code-point arithmetic, so the oracle reproduces it exactly
+    (functions.textfns.rolling_hash; windowed form:
+    operators.dedup.winnow_fingerprints)."""
+    from hdinsight_pyspark_cntk_integration_spark.functions.textfns import rolling_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_hash(F.col("text")).alias("rhash"))
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: distinct shared word-trigram counts of
     every training doc against a (broadcast) eval set — here every 50th
@@ -1757,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "waiting_suppliers": q_waiting_suppliers,
         "decontaminate": q_decontaminate,
+        "rolling_fingerprint": q_rolling_fingerprint,
         "approx_distinct": q_approx_distinct,
         "lang_id": q_lang_id,
         "running_total": q_running_total,
@@ -2126,6 +2138,18 @@ def oracle_sql() -> dict[str, str]:
                 ELSE CAST(FLOOR((cum - 1) / 512.0) AS BIGINT) END AS last_block,
               (cum - n_tokens) % 512 AS offset_in_block
             FROM c
+        """,
+        "rolling_fingerprint": """
+            SELECT doc_id,
+              CASE WHEN text IS NULL THEN NULL
+                   WHEN length(text) = 0 THEN 0
+                   ELSE list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split_regex(text, ''),
+                                      ch -> CAST(unicode(ch) AS BIGINT))),
+                     (acc, x) -> (acc * 31 + x) % 1000003)
+              END AS rhash
+            FROM documents
         """,
         "decontaminate": r"""
             WITH sh AS (

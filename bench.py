@@ -43,7 +43,9 @@ PIPELINE = [
     "hash_split",
     "mixture_sample",
     "pack_chunks",
+    "pack_chunks_global",
     "bpe_token_count",
+    "decontaminate",
     "waiting_suppliers",
 ]
 

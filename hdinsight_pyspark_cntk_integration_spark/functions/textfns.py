@@ -45,3 +45,24 @@ def fingerprint_md5(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 hex of the normalized text.
     Used by exact dedup; identical output to any standard md5 (oracle-safe)."""
     return F.md5(normalized_text(col))
+
+
+def rolling_hash(col: Column | str, base: int = 31, mod: int = 1_000_003) -> Column:
+    """Polynomial (Rabin-Karp) fingerprint of the text's code points:
+    h = Σ cp_i · base^(n-1-i) mod ``mod`` — the streaming-updatable hash
+    family behind rolling-window fingerprinting (see
+    ``operators.dedup.winnow_fingerprints`` for the windowed form).
+
+    Pure arithmetic on code points, so an independent SQL engine
+    reproduces it bit-for-bit (unlike md5-of-bytes there is no codec in
+    the loop). The fold is a Catalyst ``aggregate`` — interpreted, fine
+    for fingerprint projections; the windowed variant vectorizes in
+    NumPy. Empty text hashes to 0; NULL stays NULL.
+    """
+    c = _c(col)
+    folded = F.aggregate(
+        F.split(c, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * base + F.ascii(ch), F.lit(mod)),
+    )
+    return F.when(F.length(c) == 0, F.lit(0).cast("long")).otherwise(folded)

@@ -369,6 +369,67 @@ def dedup_by_components(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    base: int = 31,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    the MOSS algorithm): polynomial hashes of all char k-grams of the
+    normalized text, then per sliding window of ``window`` consecutive
+    k-gram hashes keep the MINIMUM (rightmost on ties — "robust
+    winnowing"). The selected set is position-independent evidence of
+    local substring overlap: any shared run of ≥ k+window-1 chars between
+    two documents is guaranteed to contribute a common fingerprint, which
+    md5/simhash whole-doc fingerprints cannot promise.
+
+    Returns (id, fingerprints array<bigint> — sorted distinct selection).
+    Arrow-vectorized per batch: code points → sliding-window matmul
+    against the base-power vector (k is small) → reduceat-free window min
+    with rightmost-tie argmin. No shuffle; pair generation downstream is
+    explode + join on fingerprint, the same Σ|bucket|² shape as LSH.
+    """
+    mod = _P
+    norm = f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
+    src, _ = _spread(df)
+    coded = src.selectExpr(
+        id_col, f"transform(split({norm}, ''), ch -> ascii(ch)) AS cps"
+    )
+    powv = np.array(
+        [pow(base, k - 1 - j, mod) for j in range(k)], dtype=np.int64
+    )
+
+    @F.pandas_udf("array<bigint>")
+    def winnow(cps: pd.Series) -> pd.Series:
+        out = []
+        for arr in cps:
+            if arr is None:
+                out.append(None)
+                continue
+            cp = np.asarray(arr, dtype=np.int64)
+            if len(cp) < k:
+                out.append([])
+                continue
+            grams = np.lib.stride_tricks.sliding_window_view(cp, k)
+            # cp < 2^21, pow < 2^31, k terms -> < k*2^52: int64-safe
+            h = (grams @ powv) % mod
+            if len(h) < window:
+                sel = np.array([h.min()])
+            else:
+                wins = np.lib.stride_tricks.sliding_window_view(h, window)
+                # rightmost argmin = (window-1) - argmin of the reversed row
+                rev = wins[:, ::-1]
+                idx = (window - 1) - rev.argmin(axis=1)
+                sel = wins[np.arange(len(wins)), idx]
+            out.append(np.unique(sel).tolist())
+        return pd.Series(out)
+
+    return coded.select(F.col(id_col), winnow(F.col("cps")).alias("fingerprints"))
+
+
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document: token → xxhash64 (JVM, codegen); bit b
     of the signature is the sign of Σ_tokens (±1 depending on bit b of the

@@ -192,6 +192,66 @@ def test_connected_components_raises_on_exhaustion(spark):
         dd.connected_components(pairs, max_iters=0)
 
 
+def _naive_winnow(text: str, k: int = 5, window: int = 4, base: int = 31, mod=(1 << 31) - 1):
+    """Straight-from-the-paper reference: k-gram hashes, rightmost-min
+    per window (robust winnowing), distinct sorted selection."""
+    import re as _re
+
+    norm = _re.sub(r"\s+", " ", text.lower()).strip()
+    cps = [ord(c) for c in norm]
+    if len(cps) < k:
+        return []
+    hashes = [
+        sum(cp * pow(base, k - 1 - j, mod) for j, cp in enumerate(cps[i : i + k])) % mod
+        for i in range(len(cps) - k + 1)
+    ]
+    if len(hashes) < window:
+        return sorted({min(hashes)})
+    sel = set()
+    for i in range(len(hashes) - window + 1):
+        win = hashes[i : i + window]
+        m = min(win)
+        sel.add(win[len(win) - 1 - win[::-1].index(m)])
+    return sorted(sel)
+
+
+def test_winnow_fingerprints_golden_vs_reference(spark):
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "The  QUICK brown\tfox jumps over the lazy dog"),  # normalizes to same
+        (3, "pack my box with five dozen liquor jugs"),
+        (4, "tiny"),       # shorter than k -> empty selection
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string").coalesce(1)
+    got = {r["doc_id"]: r["fingerprints"] for r in dd.winnow_fingerprints(df).collect()}
+    for i, t in texts:
+        if t is None:
+            assert got[i] is None
+        else:
+            assert got[i] == _naive_winnow(t), (i, t)
+    assert got[1] == got[2]  # normalization-invariant
+    assert got[4] == [] and got[5] == []
+
+
+def test_winnow_shared_substring_guarantees_common_fingerprint(spark):
+    """The winnowing guarantee: documents sharing a run of >= k+window-1
+    chars share at least one selected fingerprint; disjoint docs don't."""
+    shared = "a very distinctive shared passage of text"
+    df = spark.createDataFrame(
+        [
+            (1, f"prefix alpha {shared} suffix one"),
+            (2, f"different beginning {shared} and another end"),
+            (3, "zebras waltz quietly under neon skies tonight"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: set(r["fingerprints"]) for r in dd.winnow_fingerprints(df).collect()}
+    assert fp[1] & fp[2], "shared passage must yield a common fingerprint"
+    assert not (fp[1] & fp[3]) and not (fp[2] & fp[3])
+
+
 def test_dedup_by_components_keeps_representatives(spark):
     df = spark.createDataFrame(
         [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 42)], "doc_id long, text string"
