@@ -428,6 +428,64 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", rolling_hash(F.col("text")).alias("rhash"))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (duplicate-word fraction, top-
+    bigram share) — explode + two partial aggs, no per-row fold
+    (operators.text.repetition_stats)."""
+    from hdinsight_pyspark_cntk_integration_spark.operators.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, n=2)
+
+
+def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year over the
+    red parts — 5-way join (lineitem x part x supplier x nation x
+    orders), decimal-exact amount sum cast to double last. Dims
+    broadcast; the two fact joins shuffle on their keys once each."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    amount = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(18,4)") - F.col("p_retailprice").cast("decimal(18,4)") * F.col(
+        "l_quantity"
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_name").like("%red%"))), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds 250 —
+    aggregate-then-join (the heavy groupBy runs BEFORE the join, so only
+    qualifying orderkeys reach it), customer side joined after the
+    filter. l_quantity is integer-valued, so the fp64 sum is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        heavy.join(orders, heavy.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: distinct shared word-trigram counts of
     every training doc against a (broadcast) eval set — here every 50th
@@ -1769,6 +1827,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": q_waiting_suppliers,
         "decontaminate": q_decontaminate,
         "rolling_fingerprint": q_rolling_fingerprint,
+        "repetition_stats": q_repetition_stats,
+        "nation_profit": q_nation_profit,
+        "big_orders": q_big_orders,
         "approx_distinct": q_approx_distinct,
         "lang_id": q_lang_id,
         "running_total": q_running_total,
@@ -2138,6 +2199,79 @@ def oracle_sql() -> dict[str, str]:
                 ELSE CAST(FLOOR((cum - 1) / 512.0) AS BIGINT) END AS last_block,
               (cum - n_tokens) % 512 AS offset_in_block
             FROM c
+        """,
+        "repetition_stats": r"""
+            WITH base AS (
+              SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id, string_split_regex(norm, '\s+') AS l
+              FROM base WHERE norm IS NOT NULL
+            ),
+            words AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                     CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_words
+              FROM (SELECT doc_id, unnest(l) AS tok FROM toks)
+              WHERE length(tok) > 0 GROUP BY doc_id
+            ),
+            grams AS (
+              SELECT doc_id, gram, COUNT(*) AS cnt FROM (
+                SELECT doc_id,
+                  unnest(list_transform(range(greatest(len(l) - 1, 1)),
+                    i -> array_to_string(list_slice(l, i + 1, i + 2), ' '))) AS gram
+                FROM toks
+              ) WHERE length(gram) > 0 GROUP BY doc_id, gram
+            ),
+            g2 AS (
+              SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+                     CAST(MAX(cnt) AS BIGINT) AS top_ngram_count
+              FROM grams GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+              COALESCE(w.n_words, 0) AS n_words,
+              COALESCE(w.n_distinct_words, 0) AS n_distinct_words,
+              CASE WHEN COALESCE(w.n_words, 0) = 0 THEN 0.0
+                   ELSE CAST(w.n_words - w.n_distinct_words AS DOUBLE)
+                        / CAST(w.n_words AS DOUBLE) END AS dup_word_frac,
+              COALESCE(g2.n_ngrams, 0) AS n_ngrams,
+              COALESCE(g2.top_ngram_count, 0) AS top_ngram_count,
+              CASE WHEN COALESCE(g2.n_ngrams, 0) = 0 THEN 0.0
+                   ELSE CAST(g2.top_ngram_count AS DOUBLE)
+                        / CAST(g2.n_ngrams AS DOUBLE) END AS top_ngram_frac
+            FROM documents d
+            LEFT JOIN words w USING (doc_id)
+            LEFT JOIN g2 USING (doc_id)
+        """,
+        "nation_profit": """
+            WITH j AS (
+              SELECT n_name AS nation,
+                CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                CAST(l_extendedprice AS DECIMAL(18,4))
+                  * CAST(1.0 - l_discount AS DECIMAL(18,4))
+                - CAST(p_retailprice AS DECIMAL(18,4))
+                  * CAST(l_quantity AS DECIMAL(18,4)) AS amount
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN orders ON l_orderkey = o_orderkey
+              WHERE p_name LIKE '%red%'
+            )
+            SELECT nation, o_year,
+              CAST(CAST(SUM(amount) AS VARCHAR) AS DOUBLE) AS sum_profit
+            FROM j GROUP BY nation, o_year
+        """,
+        "big_orders": """
+            WITH heavy AS (
+              SELECT l_orderkey, SUM(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(l_quantity) > 250
+            )
+            SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+            FROM heavy
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
         """,
         "rolling_fingerprint": """
             SELECT doc_id,

@@ -83,23 +83,28 @@ def char_shingles(text: Column | str, k: int = 5) -> Column:
     return _bind_once(normalized_text(text), build)
 
 
+def word_ngrams(text: Column | str, n: int = 3) -> Column:
+    """ALL word n-grams of normalized text in document order (duplicates
+    kept), as array<string> — the counting form used by repetition
+    statistics. The token array is lambda-bound (``_bind_once``) so the
+    regexp+split pipeline evaluates once per document, not once per gram.
+    """
+
+    def build(toks: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(0)))
+        return F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+
+    return _bind_once(F.split(normalized_text(text), r"\s+"), build)
+
+
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of normalized text, as array<string>.
 
     ~10× fewer elements per document than char shingles — the right
     default for document-level near-dedup, since every downstream minhash
-    transform is O(|shingles|) per hash function. The token array is
-    lambda-bound (``_bind_once``) so the regexp+split pipeline evaluates
-    once per document, not once per shingle.
+    transform is O(|shingles|) per hash function.
     """
-
-    def build(toks: Column) -> Column:
-        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(0)))
-        return F.array_distinct(
-            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-        )
-
-    return _bind_once(F.split(normalized_text(text), r"\s+"), build)
+    return F.array_distinct(word_ngrams(text, n))
 
 
 def hashed_shingles(text: Column | str, k: int = 3, mode: str = "word") -> Column:

@@ -98,6 +98,66 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     return df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-word
+    fraction and the share of n-grams taken by the single most frequent
+    n-gram (high values flag boilerplate / degenerate generations).
+
+    Shaped as explode → two partial aggregations → broadcast-size join
+    back on id, NOT a per-row higher-order-function fold: the per-(doc,
+    gram) counts combine map-side so the shuffle carries distinct grams
+    only, and nothing materializes a per-document hash map in one
+    executor row — safe for 100 TB with arbitrarily long documents.
+
+    Returns (id, n_words, n_distinct_words, dup_word_frac, n_ngrams,
+    top_ngram_count, top_ngram_frac) — fractions 0.0 when empty.
+    """
+    from hdinsight_pyspark_cntk_integration_spark.functions.textfns import normalized_text
+    from hdinsight_pyspark_cntk_integration_spark.operators.dedup import word_ngrams
+
+    ids = df.select(F.col(id_col))
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(normalized_text(text_col), r"\s+")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.count_distinct("tok").alias("n_distinct_words"),
+        )
+    )
+    grams = (
+        df.select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .filter(F.length("gram") > 0)
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.sum("cnt").alias("n_ngrams"), F.max("cnt").alias("top_ngram_count"))
+    )
+    out = ids.join(toks, id_col, "left").join(grams, id_col, "left")
+    n_words = F.coalesce(F.col("n_words"), F.lit(0))
+    n_distinct = F.coalesce(F.col("n_distinct_words"), F.lit(0))
+    n_ngrams = F.coalesce(F.col("n_ngrams"), F.lit(0))
+    top_cnt = F.coalesce(F.col("top_ngram_count"), F.lit(0))
+    return out.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        F.when(n_words == 0, F.lit(0.0))
+        .otherwise((n_words - n_distinct).cast("double") / n_words.cast("double"))
+        .alias("dup_word_frac"),
+        n_ngrams.alias("n_ngrams"),
+        top_cnt.alias("top_ngram_count"),
+        F.when(n_ngrams == 0, F.lit(0.0))
+        .otherwise(top_cnt.cast("double") / n_ngrams.cast("double"))
+        .alias("top_ngram_frac"),
+    )
+
+
 def token_histogram(df: DataFrame, text_col: str = "text", top_n: int = 100) -> DataFrame:
     """Corpus-level token frequency: explode tokens → count → top-n.
     Partial aggregation combines map-side, so the shuffle carries one row

@@ -259,3 +259,34 @@ def test_dedup_by_components_keeps_representatives(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
     kept = sorted(r["doc_id"] for r in dd.dedup_by_components(df, pairs).collect())
     assert kept == [1, 10, 42]  # one rep per cluster + untouched rows
+
+
+def test_repetition_stats_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),            # one word 4x
+            (2, "all words here are unique"),       # no repetition
+            (3, "ab cd ab cd ab cd"),               # dominant bigram
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in tx.repetition_stats(df).collect()}
+    assert got[1]["n_words"] == 4 and got[1]["n_distinct_words"] == 1
+    assert got[1]["dup_word_frac"] == 0.75
+    assert got[1]["top_ngram_count"] == 3  # "spam spam" x3
+    assert got[2]["dup_word_frac"] == 0.0 and got[2]["top_ngram_count"] == 1
+    # "ab cd" appears 3x of 5 bigrams
+    assert got[3]["top_ngram_count"] == 3 and got[3]["n_ngrams"] == 5
+    assert got[3]["top_ngram_frac"] == 0.6
+    for empty in (4, 5):
+        assert got[empty]["n_words"] == 0 and got[empty]["dup_word_frac"] == 0.0
+        assert got[empty]["n_ngrams"] == 0 and got[empty]["top_ngram_frac"] == 0.0
+
+
+def test_word_ngrams_keeps_duplicates_and_order(spark):
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    row = df.select(dd.word_ngrams("text", 2).alias("g")).first()
+    assert row["g"] == ["a b", "b a", "a b"]
+    assert df.select(dd.word_shingles("text", 2).alias("g")).first()["g"] == ["a b", "b a"]
