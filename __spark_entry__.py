@@ -486,6 +486,34 @@ def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (l_partkey, l_suppkey) —
+    the layout key behind sources.io.write_zordered, exposed as pure
+    bit arithmetic so the oracle checks it bit-for-bit
+    (functions.layout.zorder_key2)."""
+    from hdinsight_pyspark_cntk_integration_spark.functions.layout import zorder_key2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_key2(
+            F.pmod(F.col("l_partkey"), F.lit(65536)),
+            F.pmod(F.col("l_suppkey"), F.lit(65536)),
+        ).alias("zkey"),
+    )
+
+
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-10 deterministic sample per language (hash-ranked window,
+    operators.pipeline.sample_k_per_group; knuth hash so the oracle
+    reproduces the ranking)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pl.sample_k_per_group(
+        docs, k=10, group_col="lang", id_col="doc_id", method="knuth"
+    ).select("doc_id", "lang")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: distinct shared word-trigram counts of
     every training doc against a (broadcast) eval set — here every 50th
@@ -1830,6 +1858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "nation_profit": q_nation_profit,
         "big_orders": q_big_orders,
+        "zorder_key": q_zorder_key,
+        "sample_per_group": q_sample_per_group,
         "approx_distinct": q_approx_distinct,
         "lang_id": q_lang_id,
         "running_total": q_running_total,
@@ -1894,6 +1924,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_transitive": q_dedup_transitive,
         "limit_offset": q_limit_offset,
     }
+
+
+def _zorder_oracle_sql() -> str:
+    """Morton-key oracle from the SQL twin in functions.layout — the
+    identical shift/mask pipeline DuckDB-side."""
+    from hdinsight_pyspark_cntk_integration_spark.functions.layout import zorder_key2_sql
+
+    zk = zorder_key2_sql("l_partkey % 65536", "l_suppkey % 65536")
+    return f"SELECT l_orderkey, l_linenumber, {zk} AS zkey FROM lineitem"
 
 
 def _split_bound(frac: float) -> int:
@@ -2272,6 +2311,17 @@ def oracle_sql() -> dict[str, str]:
             FROM heavy
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
+        """,
+        "zorder_key": _zorder_oracle_sql(),
+        "sample_per_group": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                row_number() OVER (
+                  PARTITION BY lang
+                  ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id
+                ) AS rk
+              FROM documents
+            ) WHERE rk <= 10
         """,
         "rolling_fingerprint": """
             SELECT doc_id,

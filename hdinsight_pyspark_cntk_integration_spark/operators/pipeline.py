@@ -114,6 +114,38 @@ def mixture_sample(
     return df.filter(bucket < thresh)
 
 
+def sample_k_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Exactly-k deterministic sample per group (uniform over the group
+    when the hash mixes well): rank rows within each group by
+    ``hash_bucket(id)`` with the id as tie-break, keep rank <= k.
+
+    Window over (group, hash) shuffles on the group key once; state per
+    group is a single counter, never a materialized group. Deterministic
+    in the ids — reruns, retries, and repartitioning return the SAME
+    sample, and growing a group only displaces members at the boundary
+    (bounded churn), which Bernoulli sampling can't guarantee about k.
+    Groups smaller than k pass through whole.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(id_col, method), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def pack_chunks(
     df: DataFrame,
     budget: int,

@@ -68,6 +68,57 @@ def write_jsonl(
     writer.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC reader — same predicate-pushdown / column-pruning contract as
+    parquet (both are columnar with min/max stats; Spark's ORC source
+    supports PushedFilters identically)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink (built-in columnar alternative for Hive-adjacent stacks);
+    partitioning columns become directories, same layout contract as
+    ``write_parquet``."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcol_a: str,
+    zcol_b: str,
+    mode: str = "overwrite",
+    n_files: int | None = None,
+) -> None:
+    """Write parquet clustered by the Morton key of two filter columns
+    (``functions.layout.zorder_key2``): repartitionByRange on the key
+    (range exchange via sampled bounds — balanced output files even with
+    skewed keys) then sortWithinPartitions, so every row group's min/max
+    stats are tight on BOTH columns and a range filter on either skips
+    most row groups at scan time."""
+    from hdinsight_pyspark_cntk_integration_spark.functions.layout import zorder_key2
+    from pyspark.sql import functions as F
+
+    key = zorder_key2(F.pmod(F.col(zcol_a), F.lit(65536)), F.pmod(F.col(zcol_b), F.lit(65536)))
+    out = df.withColumn("__zkey", key)
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        out.repartitionByRange(n, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
     """Distributed binary ingest: (path, modificationTime, length, content).
 

@@ -218,3 +218,72 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     plan = formatted_plan(back)
     assert "PartitionFilters" in plan and "purchase" in plan
     assert back.count() == ev.filter("event_type = 'purchase'").count()
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path, sf_dir):
+    """ORC sink/source round-trip; filters reach the ORC scan the same
+    way they do for parquet (PushedFilters in the formatted plan)."""
+    from hdinsight_pyspark_cntk_integration_spark.plans import formatted_plan
+
+    nation = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_orc")
+    eio.write_orc(nation, out)
+    back = eio.read_orc(spark, out)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in nation.collect()}
+    plan = formatted_plan(back.filter(F.col("n_nationkey") > 2).select("n_name"))
+    assert "PushedFilters" in plan and "n_nationkey" in plan
+
+
+def test_write_zordered_clusters_both_columns(spark, tmp_path, sf_dir):
+    """Z-ordered layout: after clustering on the Morton key of
+    (l_partkey, l_suppkey), each output file covers a small slice of
+    BOTH key ranges — the per-file min/max span must shrink vs the
+    unclustered layout on both columns (that span is exactly what
+    row-group skipping prunes on)."""
+    import pyspark.sql.functions as SF
+
+    # synthetic uniform 2-D points: both dims need cardinality >> file
+    # count for clustering to be observable (sf0.001's l_suppkey has 10
+    # distinct values — every layout spans all of them)
+    li = spark.range(40_000).select(
+        SF.col("id"),
+        SF.pmod(SF.xxhash64("id"), SF.lit(4096)).alias("l_partkey"),
+        SF.pmod(SF.xxhash64("id", SF.lit(1)), SF.lit(4096)).alias("l_suppkey"),
+    )
+    out = str(tmp_path / "li_z")
+    eio.write_zordered(li, out, "l_partkey", "l_suppkey", n_files=8)
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+
+    def mean_file_span(df, col):
+        spans = (
+            df.groupBy(SF.input_file_name().alias("f"))
+            .agg((SF.max(col) - SF.min(col)).alias("span"))
+            .agg(SF.avg("span"))
+            .first()[0]
+        )
+        return spans
+
+    # unclustered baseline: random 8-file split of the same data
+    base = str(tmp_path / "li_plain")
+    li.repartition(8).write.parquet(base)
+    plain = spark.read.parquet(base)
+    for col in ("l_partkey", "l_suppkey"):
+        assert mean_file_span(back, col) < 0.8 * mean_file_span(plain, col), col
+
+
+def test_sample_k_per_group_exact_and_stable(spark, sf_dir):
+    from hdinsight_pyspark_cntk_integration_spark.operators import pipeline as pl
+
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = pl.sample_k_per_group(docs, k=7, group_col="lang").select("doc_id", "lang")
+    sizes = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in sizes.items():
+        assert n == min(7, totals[lang]), lang
+    # deterministic: same sample after an arbitrary repartition
+    s2 = pl.sample_k_per_group(docs.repartition(13), k=7, group_col="lang").select("doc_id", "lang")
+    assert {tuple(r) for r in s1.collect()} == {tuple(r) for r in s2.collect()}
+    # nested-ish: the k=3 sample is a subset of the k=7 sample
+    s3 = pl.sample_k_per_group(docs, k=3, group_col="lang").select("doc_id", "lang")
+    assert {tuple(r) for r in s3.collect()} <= {tuple(r) for r in s1.collect()}
