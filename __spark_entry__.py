@@ -514,6 +514,36 @@ def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 token vocabulary with dense deterministic ids
+    (operators.text.build_vocab) — distributed count + TakeOrdered cut;
+    only the <=V id-assignment window is single-partition."""
+    from hdinsight_pyspark_cntk_integration_spark.operators.text import build_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    return build_vocab(docs, top_v=25)
+
+
+def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id sequences against the top-25 vocab (OOV -> 0), sequences
+    re-assembled order-exact via pos-sorted collect
+    (operators.text.tokenize_to_ids); emitted as a joined string so the
+    oracle compares sequences exactly."""
+    from hdinsight_pyspark_cntk_integration_spark.operators.text import (
+        build_vocab,
+        tokenize_to_ids,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, top_v=25)
+    ids = tokenize_to_ids(docs, vocab)
+    return ids.select(
+        "doc_id",
+        F.size("ids").cast("long").alias("n_ids"),
+        F.array_join(F.transform("ids", lambda x: x.cast("string")), " ").alias("ids_str"),
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: distinct shared word-trigram counts of
     every training doc against a (broadcast) eval set — here every 50th
@@ -1860,6 +1890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "big_orders": q_big_orders,
         "zorder_key": q_zorder_key,
         "sample_per_group": q_sample_per_group,
+        "vocab": q_vocab,
+        "tokenize_ids": q_tokenize_ids,
         "approx_distinct": q_approx_distinct,
         "lang_id": q_lang_id,
         "running_total": q_running_total,
@@ -2313,6 +2345,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
         """,
         "zorder_key": _zorder_oracle_sql(),
+        "vocab": f"""
+            SELECT token, freq,
+              CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS token_id
+            FROM (
+              SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS freq
+              FROM (SELECT unnest(string_split_regex({_NORM_TEXT}, '\\s+')) AS tok
+                    FROM documents WHERE text IS NOT NULL)
+              WHERE length(tok) > 0 GROUP BY tok
+            ) ORDER BY freq DESC, token LIMIT 25
+        """,
+        "tokenize_ids": f"""
+            WITH base AS (
+              SELECT doc_id, string_split_regex({_NORM_TEXT}, '\\s+') AS l
+              FROM documents WHERE text IS NOT NULL
+            ),
+            tk AS (
+              SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM base
+            ),
+            tk2 AS (SELECT * FROM tk WHERE length(tok) > 0),
+            vocab AS (
+              SELECT token, CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS token_id
+              FROM (
+                SELECT tok AS token, COUNT(*) AS freq
+                FROM (SELECT unnest(string_split_regex({_NORM_TEXT}, '\\s+')) AS tok
+                      FROM documents WHERE text IS NOT NULL)
+                WHERE length(tok) > 0 GROUP BY tok
+              ) ORDER BY freq DESC, token LIMIT 25
+            ),
+            ids AS (
+              SELECT doc_id,
+                array_to_string(list(COALESCE(token_id, 0) ORDER BY pos), ' ') AS ids_str,
+                CAST(COUNT(*) AS BIGINT) AS n_ids
+              FROM tk2 LEFT JOIN vocab ON tok = token GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(i.n_ids, 0) AS n_ids,
+                   COALESCE(i.ids_str, '') AS ids_str
+            FROM documents d LEFT JOIN ids i USING (doc_id)
+        """,
         "sample_per_group": """
             SELECT doc_id, lang FROM (
               SELECT doc_id, lang,

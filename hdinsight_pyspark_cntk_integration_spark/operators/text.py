@@ -158,6 +158,81 @@ def repetition_stats(
     )
 
 
+def build_vocab(df: DataFrame, text_col: str = "text", top_v: int = 1000) -> DataFrame:
+    """Top-``top_v`` token vocabulary with dense ids: (token, freq,
+    token_id), ids 1..V assigned by (freq desc, token) — fully
+    deterministic, so two builds over the same corpus agree.
+
+    The corpus-wide count is a partial-agg groupBy (shuffle carries
+    distinct tokens per partition); the top-V cut is TakeOrderedAndProject
+    (distributed). Only the id assignment runs in a single-partition
+    window, and that operates on <= top_v rows — bounded by the vocab
+    size you asked for, never by the corpus."""
+    from pyspark.sql import Window
+
+    from hdinsight_pyspark_cntk_integration_spark.functions.textfns import normalized_text
+
+    counts = (
+        df.select(F.explode(F.split(normalized_text(text_col), r"\s+")).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(top_v)
+    )
+    w = Window.orderBy(F.desc("freq"), "token")
+    return counts.withColumn("token_id", F.row_number().over(w))
+
+
+def tokenize_to_ids(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_id: int = 0,
+) -> DataFrame:
+    """Map each document to its token-id sequence against a vocabulary
+    (token, token_id): (id, ids array<int>), OOV tokens -> ``unk_id``.
+
+    Scale shape: posexplode -> BROADCAST vocab join (the vocab is always
+    tiny next to the corpus; the token stream never shuffles for the
+    lookup) -> one groupBy per doc re-assembling the sequence via
+    collect_list(struct(pos,id)) + array_sort. Per-doc state is bounded
+    by document length — the same bound as the text column itself."""
+    from hdinsight_pyspark_cntk_integration_spark.functions.textfns import normalized_text
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized_text(text_col), r"\s+")).alias("pos", "tok"),
+    ).filter(F.length("tok") > 0)
+    joined = toks.join(
+        F.broadcast(vocab.select("token", "token_id")),
+        toks.tok == F.col("token"),
+        "left",
+    )
+    packed = joined.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos"),
+                        F.coalesce(F.col("token_id"), F.lit(unk_id)).alias("tid"),
+                    )
+                )
+            ),
+            lambda s: s["tid"],
+        ).alias("ids")
+    )
+    return (
+        df.select(id_col)
+        .join(packed, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("ids"), F.array().cast("array<int>")).alias("ids"),
+        )
+    )
+
+
 def token_histogram(df: DataFrame, text_col: str = "text", top_n: int = 100) -> DataFrame:
     """Corpus-level token frequency: explode tokens → count → top-n.
     Partial aggregation combines map-side, so the shuffle carries one row

@@ -290,3 +290,30 @@ def test_word_ngrams_keeps_duplicates_and_order(spark):
     row = df.select(dd.word_ngrams("text", 2).alias("g")).first()
     assert row["g"] == ["a b", "b a", "a b"]
     assert df.select(dd.word_shingles("text", 2).alias("g")).first()["g"] == ["a b", "b a"]
+
+
+def test_build_vocab_and_tokenize_roundtrip(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "a rare xylophone"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = tx.build_vocab(df, top_v=6)
+    v = {r["token"]: (r["freq"], r["token_id"]) for r in vocab.collect()}
+    assert len(v) == 6
+    assert v["the"][0] == 3 and v["the"][1] == 1  # most frequent -> id 1
+    assert v["sat"][0] == 2 and v["sat"][1] == 2  # then by (freq desc, token)
+
+    ids = {r["doc_id"]: r["ids"] for r in tx.tokenize_to_ids(df, vocab).collect()}
+    tok2id = {t: i for t, (_, i) in v.items()}
+    expected1 = [tok2id.get(t, 0) for t in "the cat sat on the mat".split()]
+    assert ids[1] == expected1
+    assert 0 in ids[3]  # xylophone (or rare) is OOV -> unk id 0
+    assert ids[4] == [] and ids[5] == []
+    # sequence order is positional, not sorted: doc 1 revisits "the" at pos 4
+    assert ids[1][0] == ids[1][4] == tok2id["the"]
