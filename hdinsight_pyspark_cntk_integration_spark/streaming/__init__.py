@@ -122,6 +122,73 @@ def running_counts_stateful(
     )
 
 
+def dedup_stateful_ttl(
+    docs: DataFrame,
+    key_col: str = "fingerprint",
+    ttl_ms: int = 24 * 3600 * 1000,
+) -> DataFrame:
+    """Continuous exact-dedup with TTL-bounded state via
+    ``transformWithStateInPandas`` (the Spark 4 arbitrary-state API,
+    successor to applyInPandasWithState): the first row per key passes,
+    repeats are dropped while the key's ValueState lives; the TTL expires
+    state so a key seen again after ``ttl_ms`` passes again.
+
+    This is the streaming posture of exact dedup for a continuously
+    ingesting corpus: state is one boolean per distinct key with a hard
+    TTL bound, not an ever-growing seen-set. Requires the RocksDB state
+    store provider on real streams (``session.configure_rocksdb_state``);
+    on batch frames the same call executes with batch semantics
+    (state lives for the single batch — equivalent to dropDuplicates).
+
+    Output schema == input schema (column order preserved).
+
+    Environment gate: the transformWithState Python runner speaks a
+    protobuf protocol to the JVM state server, so ``google.protobuf``
+    must be importable in the worker environment (it ships with real
+    Spark distributions; absent from this test container — the unit
+    test skips, and ``test_dedup_stateful_ttl_import_gate`` pins this
+    error message).
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires google.protobuf in the "
+            "Python worker environment (pip install protobuf); falling "
+            "back to dedup_within_watermark covers watermark-bounded "
+            "streaming dedup without it"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields)
+    cols = [f.name for f in docs.schema.fields]
+
+    class FirstSeen(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState("seen", "seen boolean", ttlDurationMs=ttl_ms)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if not self._seen.exists():
+                self._seen.update((True,))
+                for pdf in rows:
+                    if len(pdf):
+                        yield pdf.head(1)[cols]
+                        break
+
+        def close(self) -> None:
+            pass
+
+    return docs.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=FirstSeen(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="ProcessingTime",
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame,
     keys: list[str] | None = None,

@@ -148,3 +148,63 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     exp = st.join_streams_within(purchases_b, views_b, within="30 minutes").count()
     assert got == exp
     assert exp > 0
+
+
+def test_dedup_stateful_ttl_import_gate(spark):
+    """No google.protobuf in this container: the transformWithState
+    operator must fail fast with an actionable message instead of
+    crashing the streaming Python runner mid-query."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        df = spark.createDataFrame([(1, "a")], "doc_id long, fingerprint string")
+        with pytest.raises(ImportError, match="google.protobuf"):
+            st.dedup_stateful_ttl(df, key_col="fingerprint")
+    else:
+        pytest.skip("protobuf installed; gate not exercisable")
+
+
+def test_dedup_stateful_ttl_stream(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas dedup: streaming run (RocksDB state)
+    keeps exactly one row per fingerprint; batch run of the same builder
+    agrees on the surviving key set."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from hdinsight_pyspark_cntk_integration_spark.operators.text import fingerprints
+    from hdinsight_pyspark_cntk_integration_spark.session import configure_rocksdb_state
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    # plant duplicates: union a copy of 50 docs under new ids
+    dup = docs.limit(50).withColumn("doc_id", docs.doc_id + 1_000_000)
+    both = docs.unionByName(dup)
+    fp = fingerprints(both).join(both, "doc_id").select("doc_id", "fingerprint")
+
+    src = str(tmp_path / "fp_src")
+    fp.write.mode("overwrite").parquet(src)
+
+    configure_rocksdb_state(spark)
+    try:
+        stream = spark.readStream.schema(fp.schema).parquet(src)
+        out = st.dedup_stateful_ttl(stream, key_col="fingerprint")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_ttl_t")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select * from dedup_ttl_t").toPandas()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    n_distinct = fp.select("fingerprint").distinct().count()
+    assert len(got) == n_distinct
+    assert got["fingerprint"].nunique() == n_distinct
+    # batch semantics of the same builder: one survivor per key too
+    batch_out = st.dedup_stateful_ttl(fp, key_col="fingerprint").toPandas()
+    assert sorted(batch_out["fingerprint"]) == sorted(got["fingerprint"])
