@@ -46,6 +46,7 @@ PIPELINE = [
     "pack_chunks_global",
     "bpe_token_count",
     "decontaminate",
+    "tokenize_ids",
     "waiting_suppliers",
 ]
 

@@ -96,3 +96,33 @@ def test_topk_agg_not_global_sort(spark, sf_dir):
     plan = P.formatted_plan(df)
     # the only Sort allowed is inside the per-group slice, not a global Exchange rangepartitioning
     assert "rangepartitioning" not in plan.lower(), plan[:3000]
+
+
+def test_tokenize_ids_broadcasts_vocab(spark, sf_dir):
+    """The vocab side of the token-id lookup must broadcast — a sort-merge
+    join here would shuffle the whole exploded token stream."""
+    df = e.q_tokenize_ids(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_zorder_layout_is_range_partitioned(spark, sf_dir):
+    """write_zordered's exchange must be a range partitioning on the
+    Morton key (sampled bounds -> balanced files), not hash/round-robin."""
+    from pyspark.sql import functions as F
+
+    from hdinsight_pyspark_cntk_integration_spark.functions.layout import zorder_key2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = zorder_key2(
+        F.pmod(F.col("l_partkey"), F.lit(65536)),
+        F.pmod(F.col("l_suppkey"), F.lit(65536)),
+    )
+    staged = (
+        li.withColumn("__zkey", key)
+        .repartitionByRange(8, "__zkey")
+        .sortWithinPartitions("__zkey")
+    )
+    plan = P.formatted_plan(staged)
+    assert "rangepartitioning" in plan.lower(), plan
