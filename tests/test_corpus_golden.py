@@ -1,0 +1,93 @@
+"""Golden end-to-end LLM-corpus pipeline: JSONL ingest → quality filter
+→ exact dedup → transitive near-dedup → benchmark decontamination →
+deterministic split → token counting → sequence packing → partitioned
+parquet, with planted documents proving each stage does its one job.
+
+This is the corpus twin of test_cifar_golden (the reference's scoring
+pipeline): one test that a user could read as "the whole pipeline,
+wired".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hdinsight_pyspark_cntk_integration_spark.functions.textfns import fingerprint_md5
+from hdinsight_pyspark_cntk_integration_spark.operators import dedup as dd
+from hdinsight_pyspark_cntk_integration_spark.operators import pipeline as pl
+from hdinsight_pyspark_cntk_integration_spark.operators import text as tx
+from hdinsight_pyspark_cntk_integration_spark.sources import io as eio
+
+N_CLEAN = 30
+EVAL_PASSAGE = "zeta omega theta kappa lambda sigma delta epsilon gamma rho"
+
+
+def _doc(i: int) -> str:
+    return " ".join(f"tok{i}a{j}" for j in range(20))
+
+
+def _corpus(spark):
+    rows = [(i, _doc(i)) for i in range(1, N_CLEAN + 1)]
+    rows.append((101, _doc(1)))  # exact duplicate of doc 1
+    rows.append((102, _doc(2)))  # exact duplicate of doc 2
+    near = _doc(3).split()
+    near[10] = "mutated"  # one word off doc 3 -> Jaccard ~0.7
+    rows.append((103, " ".join(near)))
+    rows.append((104, f"prefix words here {EVAL_PASSAGE} trailing words again"))
+    rows.append((105, "x y"))  # too short for the quality gate
+    rows.append((106, "!!! ??? !!! ??? !!! ??? !!! ??? !!! ???"))  # all punct
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_corpus_pipeline_end_to_end(spark, tmp_path):
+    raw = _corpus(spark)
+    src = str(tmp_path / "corpus_jsonl")
+    eio.write_jsonl(raw, src)
+    docs = eio.read_jsonl(spark, src, schema="doc_id long, text string")
+    assert docs.count() == N_CLEAN + 6
+
+    # 1. quality gate drops the short + all-punct docs
+    q = tx.quality_filter(docs, min_tokens=5, max_punct_ratio=0.3)
+    kept = {r["doc_id"] for r in q.select("doc_id").collect()}
+    assert 105 not in kept and 106 not in kept and 1 in kept
+
+    # 2. exact dedup (keep min id per fingerprint)
+    w = Window.partitionBy(fingerprint_md5("text")).orderBy("doc_id")
+    ex = q.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    kept = {r["doc_id"] for r in ex.select("doc_id").collect()}
+    assert 101 not in kept and 102 not in kept and 1 in kept and 2 in kept
+
+    # 3. transitive near-dedup removes the one-word-off copy, keeps doc 3
+    nd = dd.minhash_dedup(ex, threshold=0.6, transitive=True)
+    kept = {r["doc_id"] for r in nd.select("doc_id").collect()}
+    assert 103 not in kept and 3 in kept
+
+    # 4. decontamination drops the doc sharing the eval passage
+    eval_df = spark.createDataFrame([(0, EVAL_PASSAGE)], "doc_id long, text string")
+    clean = pl.decontaminate(nd, eval_df, min_hits=5)
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert kept == set(range(1, N_CLEAN + 1)), kept  # exactly the 30 clean docs
+
+    # 5. deterministic split + token counts + packing
+    split = pl.split_assign(clean, {"train": 0.8, "val": 0.1, "test": 0.1})
+    again = pl.split_assign(clean, {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert {tuple(r) for r in split.select("doc_id", "split").collect()} == {
+        tuple(r) for r in again.select("doc_id", "split").collect()
+    }
+    with_tokens = pl.bpe_token_count(split)
+    packed = pl.pack_chunks(with_tokens, budget=128, n_shards=4, tokens_col="n_bpe_tokens")
+    n_tok = {r["doc_id"]: r["n_bpe_tokens"] for r in with_tokens.select("doc_id", "n_bpe_tokens").collect()}
+    offsets = packed.select("doc_id", "first_block", "last_block", "offset_in_block").collect()
+    assert {r["doc_id"] for r in offsets} == set(range(1, N_CLEAN + 1))
+    for r in offsets:  # offsets inside the budget; block spans consistent
+        assert 0 <= r["offset_in_block"] < 128
+        end_block = (r["offset_in_block"] + max(n_tok[r["doc_id"]], 1) - 1) // 128
+        assert r["last_block"] == r["first_block"] + end_block, r
+
+    # 6. partitioned sink + read-back round-trip
+    out = str(tmp_path / "corpus_out")
+    eio.write_parquet(split.select("doc_id", "text", "split"), out, partition_by=["split"])
+    back = eio.read_parquet(spark, out)
+    assert back.count() == N_CLEAN
+    assert set(back.select("split").distinct().toPandas()["split"]) <= {"train", "val", "test"}
