@@ -76,10 +76,28 @@ def main() -> int:
         i = argv.index("--json")
         json_path = argv[i + 1]
         del argv[i : i + 2]
+    vanilla = False
+    if "--vanilla" in argv:
+        vanilla = True
+        argv.remove("--vanilla")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
-    spark = get_spark()
+    if vanilla:
+        # Mirror the round driver: a plain SparkSession with none of the
+        # engine's session defaults and an adversarial shuffle partition
+        # count — every query must still hash-match the oracle (no
+        # order-dependent float reductions, no reliance on get_spark).
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("parity-vanilla")
+            .master("local[8]")
+            .config("spark.sql.shuffle.partitions", "7")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLE_NAMES:
