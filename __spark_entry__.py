@@ -544,6 +544,37 @@ def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row-weight deterministic sampling (keep probability = a
+    length-based quality proxy; operators.pipeline.weighted_sample,
+    knuth hash so the oracle reproduces the draw)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0))
+    return pl.weighted_sample(docs, w, method="knuth").select("doc_id", "lang")
+
+
+def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card: per (source, lang) document/char/token totals
+    and the exact-duplicate rate — the summary table a dataset release
+    ships with. One partial-agg groupBy; fingerprints computed inline
+    (count_distinct shuffles one md5 per row at most)."""
+    from hdinsight_pyspark_cntk_integration_spark.functions.textfns import (
+        fingerprint_md5,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = F.count(F.lit(1))
+    n_uniq = F.count_distinct(fingerprint_md5("text"))
+    return docs.groupBy("source", "lang").agg(
+        n_docs.alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(token_count("text")).alias("total_tokens"),
+        n_uniq.alias("n_unique"),
+        ((n_docs - n_uniq).cast("double") / n_docs.cast("double")).alias("dup_rate"),
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: distinct shared word-trigram counts of
     every training doc against a (broadcast) eval set — here every 50th
@@ -1892,6 +1923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group": q_sample_per_group,
         "vocab": q_vocab,
         "tokenize_ids": q_tokenize_ids,
+        "weighted_sample": q_weighted_sample,
+        "data_card": q_data_card,
         "approx_distinct": q_approx_distinct,
         "lang_id": q_lang_id,
         "running_total": q_running_total,
@@ -2345,6 +2378,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
         """,
         "zorder_key": _zorder_oracle_sql(),
+        "weighted_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ((doc_id % 1000003) * 2654435761) % 1000003
+                  < floor(least(1.0, n_chars / 400.0) * 1000003)
+        """,
+        "data_card": f"""
+            SELECT source, lang,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+              CAST(SUM({_N_TOKENS}) AS BIGINT) AS total_tokens,
+              CAST(COUNT(DISTINCT md5({_NORM_TEXT})) AS BIGINT) AS n_unique,
+              CAST(COUNT(*) - COUNT(DISTINCT md5({_NORM_TEXT})) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+            FROM documents GROUP BY source, lang
+        """,
         "vocab": f"""
             SELECT token, freq,
               CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS token_id

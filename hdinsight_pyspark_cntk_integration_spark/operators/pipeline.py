@@ -114,6 +114,25 @@ def mixture_sample(
     return df.filter(bucket < thresh)
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight: Column | str,
+    id_col: str = "doc_id",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic per-row Bernoulli with a per-ROW keep probability
+    (``weight`` in [0,1], e.g. a quality score): keep iff
+    bucket(id) < floor(weight * M). The generalization of
+    ``mixture_sample`` from per-group constants to a score column —
+    importance-style resampling that up-weights high-quality documents
+    while staying a pure filter (pushdown-friendly, zero shuffle,
+    reproducible, nested across thresholds the way hash sampling always
+    is). Rows with NULL weight are dropped."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    bucket = hash_bucket(id_col, method)
+    return df.filter(bucket < F.floor(w * F.lit(_KNUTH_MOD)))
+
+
 def sample_k_per_group(
     df: DataFrame,
     k: int,

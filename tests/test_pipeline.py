@@ -210,3 +210,24 @@ def test_hash_bucket_methods_disagree_but_both_mix(spark, ids_df):
     assert row["dk"] > N * 0.98
     with pytest.raises(ValueError, match="unknown hash method"):
         pl.hash_bucket("doc_id", "md5")
+
+
+def test_weighted_sample_properties(spark):
+    from pyspark.sql import functions as F
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import pipeline as pl
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    # weight 1 keeps everything, weight 0 drops everything
+    assert pl.weighted_sample(df, F.lit(1.0)).count() == 2000
+    assert pl.weighted_sample(df, F.lit(0.0)).count() == 0
+    # approximate rate for a constant mid weight
+    n_half = pl.weighted_sample(df, F.lit(0.5)).count()
+    assert 800 < n_half < 1200
+    # monotone nesting: the 0.3 sample is a subset of the 0.7 sample
+    s3 = {r["doc_id"] for r in pl.weighted_sample(df, F.lit(0.3)).collect()}
+    s7 = {r["doc_id"] for r in pl.weighted_sample(df, F.lit(0.7)).collect()}
+    assert s3 <= s7
+    # null weights drop
+    dfw = df.withColumn("w", F.when(F.col("doc_id") < 100, None).otherwise(F.lit(1.0)))
+    assert pl.weighted_sample(dfw, "w").count() == 1900
