@@ -1858,6 +1858,109 @@ def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape adapted to the fixture (no partsupp table): the
+    supply cost of a (part, supplier) pair is its decimal-exact average
+    unit price over lineitem. For small STANDARD parts, return the
+    EUROPE supplier(s) achieving each part's minimum derived cost —
+    correlated-min via grouped min joined back on equality.
+
+    Scale notes: the part filter is broadcast into the lineitem scan
+    BEFORE the cost aggregation, so the shuffle carries only the ~2% of
+    pairs that can survive; the supplier->nation->region dim chain and
+    the per-part minima are broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    wanted = part.filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey")
+    eu_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(wanted), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            (
+                _dec_sum(F.col("l_extendedprice"), 2)
+                / _dec_sum(F.col("l_quantity"), 2)
+            ).alias("unit_cost")
+        )
+        .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    min_cost = cost.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        cost.join(
+            F.broadcast(min_cost),
+            (cost.l_partkey == F.col("mk"))
+            & (cost.unit_cost == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "unit_cost",
+        )
+    )
+
+
+def q_priority_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape adapted to the fixture (no l_shipmode /
+    l_commitdate): lineitems shipped more than 60 days after their order
+    date, bucketed by return flag, counting high- vs low-priority orders
+    with conditional aggregation. One fact-fact shuffle join; the date
+    predicate stays JVM-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape adapted to the fixture (no partsupp): suppliers
+    that shipped more than 90 units of any single 'sma%'-named part —
+    nested-IN chain re-expressed as broadcast + semi joins. The part
+    filter broadcasts into the lineitem scan; the surviving supplier-key
+    set (tiny) broadcasts into a left-semi join against supplier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    wanted = part.filter(F.col("p_name").like("sma%")).select("p_partkey")
+    heavy = (
+        li.join(F.broadcast(wanted), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > 90)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(heavy), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_name", "n_name")
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1988,6 +2091,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "dedup_transitive": q_dedup_transitive,
         "limit_offset": q_limit_offset,
+        "min_cost_supplier": q_min_cost_supplier,
+        "priority_ship_lag": q_priority_ship_lag,
+        "excess_suppliers": q_excess_suppliers,
     }
 
 
@@ -3196,5 +3302,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 10 OFFSET 5
+        """,
+        "min_cost_supplier": """
+            WITH eu AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'
+            ), eucost AS (
+              SELECT l_partkey, s_name, s_acctbal, n_name,
+                CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+                  AS unit_cost
+              FROM lineitem
+              JOIN eu ON l_suppkey = s_suppkey
+              WHERE l_partkey IN (
+                SELECT p_partkey FROM part
+                WHERE p_size <= 10 AND p_type = 'STANDARD'
+              )
+              GROUP BY l_partkey, s_name, s_acctbal, n_name
+            ), m AS (
+              SELECT l_partkey AS mk, MIN(unit_cost) AS min_cost
+              FROM eucost GROUP BY 1
+            )
+            SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, unit_cost
+            FROM eucost JOIN m ON l_partkey = mk AND unit_cost = min_cost
+        """,
+        "priority_ship_lag": """
+            SELECT l_returnflag,
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+            GROUP BY l_returnflag
+        """,
+        "excess_suppliers": """
+            SELECT s_name, n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (
+              SELECT l_suppkey FROM lineitem
+              WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE 'sma%'
+              )
+              GROUP BY l_suppkey, l_partkey
+              HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 90
+            )
         """,
     }
