@@ -1961,6 +1961,38 @@ def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators.text.redact_pii): the fixture corpus carries
+    no PII, so the query plants a deterministic email / phone / IPv4
+    suffix derived from doc_id, then redacts it and counts matches per
+    category — exercising the exact Catalyst regex chain a compliance
+    pass runs, with a fully SQL-expressible oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-01"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" from 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return tx.redact_pii(aug).select(
+        "doc_id", "text", "n_email", "n_phone", "n_ipv4"
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf
+    (operators.text.tfidf_top_terms) — integer-exact output, float score
+    used only for window ordering."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.tfidf_top_terms(docs, k=3, min_token_len=4)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2094,6 +2126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": q_min_cost_supplier,
         "priority_ship_lag": q_priority_ship_lag,
         "excess_suppliers": q_excess_suppliers,
+        "pii_redact": q_pii_redact,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -3350,5 +3384,50 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY l_suppkey, l_partkey
               HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 90
             )
+        """,
+        "pii_redact": """
+            WITH aug AS (
+              SELECT doc_id,
+                text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-01' || CAST(doc_id % 100 AS VARCHAR)
+                  || ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS text
+              FROM documents
+            )
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g'),
+                '\\+\\d[\\d-]{6,}\\d', '[PII]', 'g'),
+                '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '[PII]', 'g') AS text,
+              CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+              CAST(len(regexp_extract_all(text,
+                '\\+\\d[\\d-]{6,}\\d')) AS BIGINT) AS n_phone,
+              CAST(len(regexp_extract_all(text,
+                '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b')) AS BIGINT) AS n_ipv4
+            FROM aug
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+              FROM documents
+            ), ft AS (
+              SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM toks WHERE length(token) >= 4
+              GROUP BY doc_id, token
+            ), d AS (
+              SELECT token, CAST(COUNT(*) AS BIGINT) AS df_docs
+              FROM ft GROUP BY token
+            ), n AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+            ), s AS (
+              SELECT doc_id, ft.token, tf, df_docs,
+                row_number() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY tf * ln(n_docs / df_docs) DESC, tf DESC, ft.token
+                ) AS rank
+              FROM ft JOIN d USING (token), n
+            )
+            SELECT doc_id, token, tf, df_docs, rank FROM s WHERE rank <= 3
         """,
     }

@@ -245,3 +245,79 @@ def token_histogram(df: DataFrame, text_col: str = "text", top_n: int = 100) -> 
         .orderBy(F.desc("freq"), "token")
         .limit(top_n)
     )
+
+
+# PII categories for redact_pii. RE2-compatible (no backrefs/lookaround)
+# so the same patterns run verbatim in DuckDB oracles and in Java regex.
+_PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+\d[\d-]{6,}\d",
+    "ipv4": r"\b\d{1,3}(\.\d{1,3}){3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    replacement: str = "[PII]",
+    with_counts: bool = True,
+) -> DataFrame:
+    """Scrub emails / phone numbers / IPv4 addresses from a text column,
+    optionally emitting per-category match counts (computed BEFORE the
+    rewrite). Pure Catalyst projection — codegen'd, shuffle-free, scales
+    linearly with the scan; the standard compliance pass before a corpus
+    leaves the ingest zone."""
+    out = df
+    if with_counts:
+        for name, pat in _PII_PATTERNS.items():
+            out = out.withColumn(
+                f"n_{name}",
+                F.size(
+                    F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+                ).cast("bigint"),
+            )
+    red = F.col(text_col)
+    for pat in _PII_PATTERNS.values():
+        red = F.regexp_replace(red, pat, replacement)
+    return out.withColumn(text_col, red)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_token_len: int = 4,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf
+    (tf * ln(N / df)). Output is integer-exact (doc id, token, tf, df,
+    rank) — the float score only orders the window, with (tf DESC, token)
+    tiebreakers so mathematically-tied scores rank deterministically.
+
+    Shape: explode → (doc, token) counts (map-side combine) → document
+    frequency from the tf relation (one more partial agg) → join back.
+    The df relation is vocabulary-sized; it is broadcast here and fits
+    executor memory for natural-language vocabularies. If the vocabulary
+    itself outgrows a broadcast (e.g. n-gram vocab at web scale), drop
+    the hint and let the token-key shuffle join run instead.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+    ).filter(F.length("token") >= min_token_len)
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df_docs"))
+    n_docs = df.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    from pyspark.sql.window import Window
+
+    score = F.col("tf") * F.log(F.col("n_docs") / F.col("df_docs"))
+    w = Window.partitionBy(id_col).orderBy(
+        score.desc(), F.col("tf").desc(), F.col("token")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(F.broadcast(n_docs))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "df_docs", "rank")
+    )

@@ -317,3 +317,48 @@ def test_build_vocab_and_tokenize_roundtrip(spark):
     assert ids[4] == [] and ids[5] == []
     # sequence order is positional, not sorted: doc 1 revisits "the" at pos 4
     assert ids[1][0] == ids[1][4] == tok2id["the"]
+
+
+def test_redact_pii_counts_and_rewrite(spark):
+    rows = [
+        (1, "mail me at jo.doe+x@corp.example.org or call +1-555-0123 now"),
+        (2, "server at 192.168.1.10 and 10.0.0.255 no other contact"),
+        (3, "clean text with no identifiers at all"),
+        (4, "two mails a@b.co and c.d@e-f.org plus 8.8.8.8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.redact_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1 and out[1]["n_ipv4"] == 0
+    assert out[1]["text"] == "mail me at [PII] or call [PII] now"
+    assert out[2]["n_ipv4"] == 2 and out[2]["n_email"] == 0
+    assert out[2]["text"] == "server at [PII] and [PII] no other contact"
+    assert out[3]["text"] == rows[2][1]  # untouched
+    assert out[3]["n_email"] == out[3]["n_phone"] == out[3]["n_ipv4"] == 0
+    assert out[4]["n_email"] == 2 and out[4]["n_ipv4"] == 1
+    assert "[PII]" in out[4]["text"] and "@" not in out[4]["text"]
+
+
+def test_redact_pii_idempotent(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co ip 1.2.3.4 tel +1-555-0000")], "doc_id long, text string"
+    )
+    once = tx.redact_pii(df, with_counts=False)
+    twice = tx.redact_pii(once, with_counts=False)
+    assert once.collect() == twice.collect()
+
+
+def test_tfidf_top_terms_ranking(spark):
+    # "zebra" appears twice in doc 1 and nowhere else -> top term of doc 1.
+    # "common" appears in every doc -> idf = ln(1) = 0, never ranks first.
+    rows = [
+        (1, "common zebra zebra apple"),
+        (2, "common apple apple banana"),
+        (3, "common banana cherry cherry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tx.tfidf_top_terms(df, k=1, min_token_len=4).collect()
+    top = {r["doc_id"]: r for r in out}
+    assert top[1]["token"] == "zebra" and top[1]["tf"] == 2 and top[1]["df_docs"] == 1
+    assert top[2]["token"] == "apple"
+    assert top[3]["token"] == "cherry"
+    assert all(r["rank"] == 1 for r in out)
