@@ -1993,6 +1993,30 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.tfidf_top_terms(docs, k=3, min_token_len=4)
 
 
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proportional per-stratum split (operators.pipeline.
+    stratified_split) by (lang, source) — every stratum contributes
+    ceil(0.8 * n) train rows exactly, unlike hash-Bernoulli whose
+    variance can starve small strata. Knuth hash so the oracle reproduces
+    the ordering in pure integer SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    strat = docs.withColumn("stratum", F.concat_ws("/", "lang", "source"))
+    return pl.stratified_split(
+        strat, "stratum", train_frac=0.8, method="knuth"
+    ).select("doc_id", "stratum", "split")
+
+
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context windows (operators.pipeline.chunk_with_overlap):
+    32-token chunks every 24 tokens over whitespace-tokenized documents —
+    drop-tail, single short chunk for short docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("tokens")
+    )
+    return pl.chunk_with_overlap(toks, size=32, stride=24)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2128,6 +2152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excess_suppliers": q_excess_suppliers,
         "pii_redact": q_pii_redact,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "stratified_split": q_stratified_split,
+        "chunk_overlap": q_chunk_overlap,
     }
 
 
@@ -3429,5 +3455,40 @@ def oracle_sql() -> dict[str, str]:
               FROM ft JOIN d USING (token), n
             )
             SELECT doc_id, token, tf, df_docs, rank FROM s WHERE rank <= 3
+        """,
+        "stratified_split": """
+            WITH s AS (
+              SELECT doc_id, lang || '/' || source AS stratum,
+                ((doc_id % 1000003) * 2654435761) % 1000003 AS h
+              FROM documents
+            ), r AS (
+              SELECT doc_id, stratum,
+                row_number() OVER (PARTITION BY stratum ORDER BY h, doc_id) AS rn,
+                COUNT(*) OVER (PARTITION BY stratum) AS n
+              FROM s
+            )
+            SELECT doc_id, stratum,
+              CASE WHEN rn <= CEIL(n * 0.8) THEN 'train' ELSE 'test' END AS split
+            FROM r
+        """,
+        "chunk_overlap": """
+            WITH t AS (
+              SELECT doc_id,
+                string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents
+            ), st AS (
+              SELECT doc_id, toks, len(toks) AS n FROM t
+            ), ex AS (
+              SELECT doc_id, toks, n,
+                unnest(CASE WHEN n <= 32 THEN [CAST(0 AS BIGINT)]
+                       ELSE generate_series(0, n - 32, 24) END) AS s
+              FROM st
+            )
+            SELECT doc_id,
+              CAST(s // 24 AS BIGINT) AS chunk_index,
+              CAST(s AS BIGINT) AS start,
+              list_slice(toks, s + 1, s + 32) AS chunk,
+              CAST(len(list_slice(toks, s + 1, s + 32)) AS BIGINT) AS chunk_len
+            FROM ex
         """,
     }

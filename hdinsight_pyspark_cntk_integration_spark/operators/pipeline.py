@@ -332,3 +332,74 @@ def bpe_token_count(
         .otherwise(n.cast("long"))
         .alias("n_bpe_tokens"),
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str = "doc_id",
+    train_frac: float = 0.8,
+    split_col: str = "split",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Exact proportional train/test split WITHIN each stratum: order the
+    stratum by the id hash (pseudo-random w.r.t. ingest order, fully
+    reproducible), send the first ceil(train_frac * n) rows to 'train'.
+
+    ``split_assign`` is Bernoulli — correct in expectation but with
+    binomial variance per stratum, which can starve the eval split of a
+    rare language or source entirely. This operator pays one shuffle on
+    the stratum key to make every stratum's proportion exact (±1 row);
+    per-stratum state is two window counters, never a materialized group.
+    """
+    if not 0.0 < train_frac < 1.0:
+        raise ValueError(f"train_frac must be in (0,1) (got {train_frac})")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_bucket(id_col, method), F.col(id_col)
+    )
+    wc = Window.partitionBy(strata_col)
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wc)
+    keep = rn <= F.ceil(n * F.lit(train_frac))
+    return df.withColumn(
+        split_col, F.when(keep, F.lit("train")).otherwise(F.lit("test"))
+    )
+
+
+def chunk_with_overlap(
+    df: DataFrame,
+    size: int,
+    stride: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Sliding context windows over a token-array column: chunks of
+    ``size`` tokens starting every ``stride`` tokens (overlap =
+    size - stride), drop-tail style — only starts s with s + size <= n
+    are emitted, except that a document shorter than ``size`` yields its
+    single (short) chunk. The standard way LLM training data turns
+    variable-length documents into fixed context windows while keeping
+    cross-boundary continuity.
+
+    Pure generate-and-explode projection: the start offsets come from an
+    in-row ``sequence``, so there is no shuffle and no driver loop; output
+    size scales with n/stride per document.
+    """
+    if size < 1 or stride < 1 or stride > size:
+        raise ValueError(f"need 1 <= stride <= size (got size={size}, stride={stride})")
+    n = F.size(F.col(tokens_col))
+    starts = F.when(n <= size, F.array(F.lit(0))).otherwise(
+        F.sequence(F.lit(0), n - size, F.lit(stride))
+    )
+    return (
+        df.withColumn("start", F.explode(starts))
+        .select(
+            F.col(id_col),
+            F.floor(F.col("start") / stride).cast("bigint").alias("chunk_index"),
+            F.col("start").cast("bigint").alias("start"),
+            F.slice(F.col(tokens_col), F.col("start") + 1, size).alias("chunk"),
+        )
+        .withColumn("chunk_len", F.size("chunk").cast("bigint"))
+    )

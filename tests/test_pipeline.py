@@ -231,3 +231,51 @@ def test_weighted_sample_properties(spark):
     # null weights drop
     dfw = df.withColumn("w", F.when(F.col("doc_id") < 100, None).otherwise(F.lit(1.0)))
     assert pl.weighted_sample(dfw, "w").count() == 1900
+
+
+def test_stratified_split_exact_proportions(spark):
+    rows = [(i, "big" if i < 10 else "tiny") for i in range(13)]  # strata 10 + 3
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    out = pl.stratified_split(df, "stratum", train_frac=0.8).toPandas()
+    counts = out.groupby(["stratum", "split"]).size().to_dict()
+    assert counts[("big", "train")] == 8 and counts[("big", "test")] == 2
+    # ceil(0.8 * 3) = 3: a tiny stratum still gets its proportional share,
+    # rounded up, instead of a Bernoulli draw that might take 0 or 3.
+    assert counts.get(("tiny", "train"), 0) == 3
+    # deterministic across reruns
+    again = pl.stratified_split(df, "stratum", train_frac=0.8).toPandas()
+    assert sorted(map(tuple, out.values.tolist())) == sorted(map(tuple, again.values.tolist()))
+
+
+def test_stratified_split_validates_frac(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, stratum string")
+    with pytest.raises(ValueError, match="train_frac"):
+        pl.stratified_split(df, "stratum", train_frac=1.0)
+
+
+def test_chunk_with_overlap_windows(spark):
+    df = spark.createDataFrame(
+        [(1, [str(i) for i in range(10)]), (2, ["a", "b"])],
+        "doc_id long, tokens array<string>",
+    )
+    out = pl.chunk_with_overlap(df, size=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # n=10, size=4, stride=3 -> starts 0, 3, 6 (6 = n - size, inclusive)
+    d1 = sorted(by_doc[1], key=lambda r: r["start"])
+    assert [r["start"] for r in d1] == [0, 3, 6]
+    assert [r["chunk_index"] for r in d1] == [0, 1, 2]
+    assert d1[0]["chunk"] == ["0", "1", "2", "3"]
+    assert d1[1]["chunk"] == ["3", "4", "5", "6"]
+    assert d1[2]["chunk"] == ["6", "7", "8", "9"]
+    assert all(r["chunk_len"] == 4 for r in d1)
+    # short doc: single (short) chunk
+    d2 = by_doc[2]
+    assert len(d2) == 1 and d2[0]["chunk"] == ["a", "b"] and d2[0]["chunk_len"] == 2
+
+
+def test_chunk_with_overlap_validates(spark):
+    df = spark.createDataFrame([(1, ["a"])], "doc_id long, tokens array<string>")
+    with pytest.raises(ValueError, match="stride"):
+        pl.chunk_with_overlap(df, size=4, stride=5)

@@ -30,6 +30,20 @@ from hdinsight_pyspark_cntk_integration_spark import get_spark
 from hdinsight_pyspark_cntk_integration_spark.sources.catalog import TABLE_NAMES
 
 
+def _canon(v):
+    """Canonicalize container cells: numpy arrays and tuples become plain
+    lists (recursively), numpy scalars become Python scalars — so the
+    stringified value is identical whether a session's Arrow conversion
+    returned lists or ndarrays."""
+    if isinstance(v, np.ndarray):
+        return [_canon(x) for x in v.tolist()]
+    if isinstance(v, (list, tuple)):
+        return [_canon(x) for x in v]
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name, canonicalize dtypes, sort rows by all values."""
     df = df.reindex(sorted(df.columns), axis=1)
@@ -45,7 +59,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_bool_dtype(s):
             out[c] = s.astype("bool")
         else:
-            out[c] = s.astype(str)
+            out[c] = s.map(_canon).astype(str)
     ndf = pd.DataFrame(out)
     ndf = ndf.sort_values(by=list(ndf.columns), kind="mergesort").reset_index(drop=True)
     return ndf
