@@ -2017,6 +2017,33 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pl.chunk_with_overlap(toks, size=32, stride=24)
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (operators.similarity.
+    quantize_embeddings): per-vector symmetric scale, round-half-up
+    codes, exact per-vector max reconstruction error — all IEEE-exact
+    arithmetic, so the oracle matches bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.quantize_embeddings(emb)
+
+
+def q_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality gate: keep documents at or above the corpus
+    median token count — the global exact percentile is a 1-row
+    broadcast into a pushdown-friendly filter (the pattern for
+    'threshold depends on the corpus itself' filters: two passes, no
+    driver round-trip)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = tx.quality_features(docs).select("doc_id", "n_tokens")
+    med = feats.agg(
+        F.expr("percentile(n_tokens, 0.5)").alias("med_tokens")
+    )
+    return (
+        feats.join(F.broadcast(med))
+        .filter(F.col("n_tokens") >= F.col("med_tokens"))
+        .select("doc_id", "n_tokens", "med_tokens")
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2154,6 +2181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "stratified_split": q_stratified_split,
         "chunk_overlap": q_chunk_overlap,
+        "quantize_embeddings": q_quantize_embeddings,
+        "adaptive_quality": q_adaptive_quality,
     }
 
 
@@ -3490,5 +3519,44 @@ def oracle_sql() -> dict[str, str]:
               list_slice(toks, s + 1, s + 32) AS chunk,
               CAST(len(list_slice(toks, s + 1, s + 32)) AS BIGINT) AS chunk_len
             FROM ex
+        """,
+        "quantize_embeddings": """
+            WITH sc AS (
+              -- CAST to DOUBLE: DuckDB keeps FLOAT / 127.0 in FLOAT, but
+              -- Spark promotes float / double-literal to double.
+              SELECT vec_id, embedding,
+                CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+                  / 127.0 AS scale
+              FROM embeddings
+            )
+            SELECT vec_id, scale,
+              CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+                ELSE list_transform(embedding,
+                       x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+              END AS codes,
+              CAST(list_max(
+                list_transform(
+                  list_zip(embedding,
+                    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+                      ELSE list_transform(embedding,
+                             x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+                    END),
+                  p -> abs(p[1] - p[2] * scale))) AS DOUBLE) AS max_abs_err
+            FROM sc
+        """,
+        "adaptive_quality": """
+            WITH feats AS (
+              SELECT doc_id,
+                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                     END AS BIGINT) AS n_tokens
+              FROM documents
+            ), med AS (
+              SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY n_tokens)
+                AS med_tokens
+              FROM feats
+            )
+            SELECT doc_id, n_tokens, med_tokens
+            FROM feats, med WHERE n_tokens >= med_tokens
         """,
     }

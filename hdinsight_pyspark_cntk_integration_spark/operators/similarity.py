@@ -189,3 +189,43 @@ def grid_centroids(corpus: DataFrame, num: int, corpus_id: str = "vec_id", corpu
     return picks.select(
         F.col(corpus_id).alias("centroid_id"), F.col(corpus_vec).alias("centroid_vec")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|v| / 127,
+    code_i = floor(v_i / scale + 0.5) (round-half-up — IEEE-reproducible
+    in any engine, unlike banker's rounding). Emits the max absolute
+    reconstruction error per vector, which is bounded by scale / 2.
+
+    This is the memory/IO lever for ANN at scale: int8 codes cut the
+    candidate-generation working set 4x (float32) so 4x more vectors fit
+    a shuffle partition or broadcast; rerank the survivors against the
+    full-precision vectors. The scale factor is materialized as a COLUMN
+    before the code projection — inlining it into the transform() lambda
+    would re-evaluate the array_max per element (O(d^2) per row).
+    """
+    v = F.col(vec_col)
+    with_scale = df.select(
+        F.col(id_col),
+        v,
+        (F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)).alias(
+            "scale"
+        ),
+    )
+    s = F.col("scale")
+    codes = F.when(
+        s == 0, F.transform(v, lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(v, lambda x: F.floor(x / s + F.lit(0.5)).cast("int"))
+    )
+    out = with_scale.withColumn("codes", codes)
+    err = F.array_max(
+        F.zip_with(v, F.col("codes"), lambda x, c: F.abs(x - c * s))
+    )
+    return out.select(
+        id_col, "scale", "codes", err.cast("double").alias("max_abs_err")
+    )

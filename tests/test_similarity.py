@@ -97,3 +97,27 @@ def test_ivf_recall_vs_bruteforce(spark, emb, emb_np):
     got = set(approx["vec_id"].astype(int))
     # approximate: require >=40% recall with 4/8 cells probed
     assert len(got & exact) >= 4
+
+
+def test_quantize_embeddings_error_bound_and_zero_vector(spark):
+    rows = [
+        (0, [1.0, -0.5, 0.25, 0.127]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scale 0, codes all 0
+        (2, [-2.0, 2.0, 1.999, -0.001]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in sim.quantize_embeddings(df).collect()}
+    for vid, vec in [(0, rows[0][1]), (2, rows[2][1])]:
+        r = out[vid]
+        assert r["scale"] == pytest.approx(max(abs(x) for x in vec) / 127.0)
+        # max|v| quantizes to exactly +/-127; every code within int8 range
+        assert max(abs(c) for c in r["codes"]) == 127
+        assert all(-128 <= c <= 127 for c in r["codes"])
+        # reconstruction error bounded by half a quantization step
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
+        recon = np.array(r["codes"]) * r["scale"]
+        # the column is array<float>: round inputs through f32 first
+        v32 = np.array(vec, dtype=np.float32).astype(np.float64)
+        assert np.max(np.abs(v32 - recon)) == pytest.approx(r["max_abs_err"])
+    z = out[1]
+    assert z["scale"] == 0.0 and z["codes"] == [0, 0, 0, 0] and z["max_abs_err"] == 0.0
