@@ -2044,6 +2044,25 @@ def q_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE compaction (operators.relational.apply_changes): a
+    deterministic change feed derived from orders (latest order per
+    customer; status 'F' = delete, else upsert of name + balance) applied
+    to the customer snapshot. Exercises latest-wins windowing, delete
+    semantics, and pass-through in one full-outer join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    snap = cust.select("c_custkey", "c_name", "c_acctbal")
+    chg = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("ts"),
+        F.when(F.col("o_orderstatus") == "F", "D").otherwise("U").alias("op"),
+        F.concat(F.lit("upd-"), F.col("o_custkey").cast("string")).alias("c_name"),
+        F.col("o_totalprice").alias("c_acctbal"),
+    )
+    return rel.apply_changes(snap, chg, "c_custkey", "ts")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2183,6 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_overlap": q_chunk_overlap,
         "quantize_embeddings": q_quantize_embeddings,
         "adaptive_quality": q_adaptive_quality,
+        "apply_changes": q_apply_changes,
     }
 
 
@@ -3558,5 +3578,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_tokens, med_tokens
             FROM feats, med WHERE n_tokens >= med_tokens
+        """,
+        "apply_changes": """
+            WITH chg AS (
+              SELECT o_custkey AS k, o_orderkey AS ts,
+                CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+                'upd-' || CAST(o_custkey AS VARCHAR) AS new_name,
+                o_totalprice AS new_bal,
+                row_number() OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderkey DESC
+                ) AS rn
+              FROM orders
+            ), latest AS (
+              SELECT * FROM chg WHERE rn = 1
+            )
+            SELECT COALESCE(c.c_custkey, l.k) AS c_custkey,
+              CASE WHEN l.op IS NULL THEN c.c_name ELSE l.new_name END AS c_name,
+              CASE WHEN l.op IS NULL THEN c.c_acctbal ELSE l.new_bal END AS c_acctbal
+            FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.k
+            WHERE l.op IS NULL OR l.op <> 'D'
         """,
     }

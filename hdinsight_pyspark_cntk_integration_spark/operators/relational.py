@@ -221,3 +221,54 @@ def range_join_broadcast(
     """
     cond = value.between(F.col(lo_col), F.col(hi_col))
     return fact.join(F.broadcast(dim), on=cond, how=how)
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """CDC MERGE compaction without a table format: apply a change feed
+    (insert/update/delete rows tagged in ``op_col``, ordered by
+    ``ts_col``) to a snapshot. The latest change per key wins ('D'
+    deletes the key, anything else upserts the change's values); keys
+    with no change pass through unchanged. Output schema = snapshot
+    schema.
+
+    Shape: one shuffle on the key for the latest-change window (state =
+    one counter per key), then a full-outer join — both sides hashed on
+    the same key, so at scale the exchange from the window reuses its
+    partitioning for the join side. This is the maintenance loop for any
+    mutable dimension kept as plain parquet.
+    """
+    value_cols = [c for c in snapshot.columns if c != key_col]
+    missing = [c for c in value_cols if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes is missing snapshot columns: {missing}")
+    w = Window.partitionBy(key_col).orderBy(F.desc(ts_col))
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(key_col).alias("__k"),
+            F.col(op_col).alias("__op"),
+            *[F.col(c).alias(f"__c_{c}") for c in value_cols],
+        )
+    )
+    joined = snapshot.join(
+        latest, snapshot[key_col] == latest["__k"], "full_outer"
+    )
+    alive = joined.filter(
+        F.col("__op").isNull() | (F.col("__op") != F.lit("D"))
+    )
+    return alive.select(
+        F.coalesce(F.col(key_col), F.col("__k")).alias(key_col),
+        *[
+            F.when(F.col("__op").isNull(), F.col(c))
+            .otherwise(F.col(f"__c_{c}"))
+            .alias(c)
+            for c in value_cols
+        ],
+    )

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from hdinsight_pyspark_cntk_integration_spark.operators import relational as rel
@@ -112,3 +113,31 @@ def test_dim_lookup_broadcasts(spark, sf_dir):
     nation = load_table(spark, sf_dir, "nation")
     out = rel.dim_lookup(cust, nation, cust.c_nationkey == nation.n_nationkey)
     assert has_broadcast_join(out)
+
+
+def test_apply_changes_merge_semantics(spark):
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+    chg = spark.createDataFrame(
+        [
+            (1, 100, "U", "a2", 11.0),   # update, older
+            (1, 200, "U", "a3", 12.0),   # update, latest wins
+            (2, 100, "D", None, None),   # delete key 2
+            (4, 100, "I", "new", 40.0),  # insert brand-new key
+        ],
+        "k long, ts long, op string, name string, bal double",
+    )
+    out = {r["k"]: r for r in rel.apply_changes(snap, chg, "k", "ts").collect()}
+    assert set(out) == {1, 3, 4}  # 2 deleted, 3 untouched, 4 inserted
+    assert out[1]["name"] == "a3" and out[1]["bal"] == 12.0
+    assert out[3]["name"] == "c" and out[3]["bal"] == 30.0
+    assert out[4]["name"] == "new" and out[4]["bal"] == 40.0
+
+
+def test_apply_changes_validates_columns(spark):
+    snap = spark.createDataFrame([(1, "a")], "k long, name string")
+    chg = spark.createDataFrame([(1, 1, "U")], "k long, ts long, op string")
+    with pytest.raises(ValueError, match="missing snapshot columns"):
+        rel.apply_changes(snap, chg, "k", "ts")
