@@ -48,6 +48,11 @@ PIPELINE = [
     "decontaminate",
     "tokenize_ids",
     "waiting_suppliers",
+    "tfidf_top_terms",
+    "chunk_overlap",
+    "stratified_split",
+    "quantize_embeddings",
+    "apply_changes",
 ]
 
 
