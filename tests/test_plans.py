@@ -126,3 +126,40 @@ def test_zorder_layout_is_range_partitioned(spark, sf_dir):
     )
     plan = P.formatted_plan(staged)
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_round3_projection_ops_are_shuffle_free(spark, sf_dir):
+    """pii_redact, chunk_overlap, and quantize_embeddings are pure
+    per-row projections — any Exchange in their plans is a regression."""
+    assert P.count_shuffles(e.q_pii_redact(spark, sf_dir)) == 0
+    assert P.count_shuffles(e.q_chunk_overlap(spark, sf_dir)) == 0
+    assert P.count_shuffles(e.q_quantize_embeddings(spark, sf_dir)) == 0
+
+
+def test_stratified_split_single_shuffle(spark, sf_dir):
+    """One exchange on the stratum key feeds both window functions."""
+    assert P.count_shuffles(e.q_stratified_split(spark, sf_dir)) == 1
+
+
+def test_tfidf_broadcasts_vocab_no_cartesian(spark, sf_dir):
+    df = e.q_tfidf_top_terms(spark, sf_dir)
+    assert P.has_broadcast_join(df)
+    assert "CartesianProduct" not in P.formatted_plan(df)
+
+
+def test_min_cost_supplier_broadcasts_dims(spark, sf_dir):
+    """Q2 shape: the part filter and the supplier->nation->region chain
+    must broadcast into the lineitem scan side; the only exchanges are
+    the two grouped-cost aggregations (plus their AQE reads)."""
+    df = e.q_min_cost_supplier(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert P.has_broadcast_join(df)
+
+
+def test_apply_changes_no_cartesian_bounded_shuffles(spark, sf_dir):
+    df = e.q_apply_changes(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # window shuffle on the change key + at most the two join-side hashes
+    assert P.count_shuffles(df) <= 3
