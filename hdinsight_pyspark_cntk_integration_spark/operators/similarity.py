@@ -229,3 +229,66 @@ def quantize_embeddings(
     return out.select(
         id_col, "scale", "codes", err.cast("double").alias("max_abs_err")
     )
+
+
+def quantized_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    overfetch: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Two-phase ANN: candidate generation over int8-quantized vectors,
+    full-precision rerank of the survivors.
+
+    Phase 1 reconstructs each corpus vector as codes × scale (error ≤
+    scale/2 per dimension — ``quantize_embeddings``) and runs the bounded
+    exact top-(overfetch·k) over the reconstruction. At scale this is the
+    phase that touches every vector, and the int8 codes cut its scan and
+    cache working set 4×; the reconstruction multiply is one codegen'd
+    ``transform`` per row, cheaper than the IO it saves. Phase 2 joins
+    the ≤ queries × overfetch·k surviving ids back to the full-precision
+    vectors (semi-join prunes the corpus scan to the candidates) and
+    reranks exactly, so quantization error can only cost recall at the
+    candidate boundary, never mis-order the final k.
+
+    Returns (query_id, vec_id, score) with exact full-precision scores.
+    """
+    quant = quantize_embeddings(corpus, vec_col=corpus_vec, id_col=corpus_id)
+    s = F.col("scale")
+    approx = quant.select(
+        corpus_id,
+        F.transform(F.col("codes"), lambda c: c.cast("double") * s).alias(
+            corpus_vec
+        ),
+    )
+    cand = cosine_topk(
+        approx,
+        queries,
+        k=k * overfetch,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        query_id=query_id,
+        query_vec=query_vec,
+    ).select(query_id, corpus_id)
+    exact_pairs = cand.join(corpus.select(corpus_id, corpus_vec), corpus_id).join(
+        F.broadcast(queries), query_id
+    )
+    scored = exact_pairs.select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_similarity(corpus_vec, query_vec).alias("score"),
+    )
+    item = F.struct((-F.col("score")).alias("neg"), F.col(corpus_id).alias("id"))
+    return (
+        bounded_topk(scored, query_id, item, k)
+        .select(query_id, F.explode("top").alias("t"))
+        .select(
+            query_id,
+            F.col("t.id").alias(corpus_id),
+            (-F.col("t.neg")).alias("score"),
+        )
+    )

@@ -121,3 +121,19 @@ def test_quantize_embeddings_error_bound_and_zero_vector(spark):
         assert np.max(np.abs(v32 - recon)) == pytest.approx(r["max_abs_err"])
     z = out[1]
     assert z["scale"] == 0.0 and z["codes"] == [0, 0, 0, 0] and z["max_abs_err"] == 0.0
+
+
+def test_quantized_rerank_matches_exact_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = sim.self_queries(emb, [0, 5])
+    approx = sim.quantized_rerank_topk(emb, queries, k=10, overfetch=4).toPandas()
+    exact = sim.cosine_topk(emb, queries, k=10).toPandas()
+    for qid in (0, 5):
+        a = approx[approx.query_id == qid].sort_values("vec_id")
+        b = exact[exact.query_id == qid].sort_values("vec_id")
+        # the overfetched candidate set recovers the full exact top-10...
+        assert set(a.vec_id) == set(b.vec_id)
+        # ...and the rerank scores ARE the exact full-precision scores
+        np.testing.assert_allclose(
+            a.score.to_numpy(), b.score.to_numpy(), rtol=0, atol=0
+        )
