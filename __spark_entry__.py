@@ -2090,6 +2090,16 @@ def q_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-2 training order (operators.pipeline.
+    epoch_shuffle): epoch-salted hash sort key + global position via
+    order-preserving hash buckets and a prefix-sum over bucket counts —
+    no global sort anywhere. Knuth hash so the oracle replays the exact
+    order in integer SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pl.epoch_shuffle(docs, epoch=2, method="knuth")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2231,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_quality": q_adaptive_quality,
         "apply_changes": q_apply_changes,
         "quantized_rerank": q_quantized_rerank,
+        "epoch_shuffle": q_epoch_shuffle,
     }
 
 
@@ -3629,5 +3640,16 @@ def oracle_sql() -> dict[str, str]:
         "quantized_rerank": """
             SELECT vec_id AS query_id, TRUE AS recall_ok
             FROM embeddings WHERE vec_id IN (0, 1, 2)
+        """,
+        "epoch_shuffle": """
+            WITH h AS (
+              SELECT doc_id,
+                ((doc_id % 1000003 + 2 * 7919) * 2654435761) % 1000003
+                  AS sort_key
+              FROM documents
+            )
+            SELECT doc_id, sort_key,
+              row_number() OVER (ORDER BY sort_key, doc_id) AS pos
+            FROM h
         """,
     }

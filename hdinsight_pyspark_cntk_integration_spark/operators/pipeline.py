@@ -403,3 +403,57 @@ def chunk_with_overlap(
         )
         .withColumn("chunk_len", F.size("chunk").cast("bigint"))
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic global training order for one epoch: sort key =
+    hash(id, epoch), so the same epoch always replays identically
+    (resumable, debuggable training runs) and different epochs are
+    uncorrelated. Emits a 1-based global position WITHOUT a global sort:
+    the hash space is cut into fixed-width buckets (order-preserving, so
+    bucket-local order concatenated by bucket id IS the global order),
+    rows rank inside their bucket, and bucket offsets come from a prefix
+    sum over the tiny n_buckets-row count table — the same distributed
+    pattern as ``pack_chunks_global``. To materialize the order, write
+    with ``repartitionByRange(sort_key).sortWithinPartitions``.
+    """
+    if epoch < 0:
+        raise ValueError(f"epoch must be >= 0 (got {epoch})")
+    from pyspark.sql import Window
+
+    c = F.col(id_col)
+    if method == "xxhash64":
+        h = F.pmod(F.xxhash64(c, F.lit(epoch)), F.lit(_KNUTH_MOD))
+    elif method == "knuth":
+        h = F.pmod(
+            (F.pmod(c, F.lit(_KNUTH_MOD)) + F.lit(epoch * 7919))
+            * F.lit(_KNUTH_MULT),
+            F.lit(_KNUTH_MOD),
+        )
+    else:
+        raise ValueError(f"unknown hash method {method!r} (xxhash64|knuth)")
+    width = _KNUTH_MOD // n_buckets + 1
+    keyed = df.select(c, h.alias("sort_key")).withColumn(
+        "__bucket", F.floor(F.col("sort_key") / width)
+    )
+    w_local = Window.partitionBy("__bucket").orderBy("sort_key", id_col)
+    ranked = keyed.withColumn("__rn", F.row_number().over(w_local))
+    counts = keyed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__bucket", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "__bucket")
+        .select(
+            id_col,
+            "sort_key",
+            (F.col("__off") + F.col("__rn")).cast("bigint").alias("pos"),
+        )
+    )

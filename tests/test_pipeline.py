@@ -279,3 +279,19 @@ def test_chunk_with_overlap_validates(spark):
     df = spark.createDataFrame([(1, ["a"])], "doc_id long, tokens array<string>")
     with pytest.raises(ValueError, match="stride"):
         pl.chunk_with_overlap(df, size=4, stride=5)
+
+
+def test_epoch_shuffle_is_permutation_and_epoch_dependent(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    e0 = pl.epoch_shuffle(df, epoch=0).toPandas().sort_values("doc_id")
+    e1 = pl.epoch_shuffle(df, epoch=1).toPandas().sort_values("doc_id")
+    # positions form an exact 1..n permutation (prefix-sum offsets leave
+    # no gaps across buckets)
+    assert sorted(e0["pos"]) == list(range(1, 501))
+    assert sorted(e1["pos"]) == list(range(1, 501))
+    # different epochs give a different order; the same epoch replays
+    assert list(e0["pos"]) != list(e1["pos"])
+    again = pl.epoch_shuffle(df, epoch=0).toPandas().sort_values("doc_id")
+    assert list(e0["pos"]) == list(again["pos"])
+    with pytest.raises(ValueError, match="epoch"):
+        pl.epoch_shuffle(df, epoch=-1)
