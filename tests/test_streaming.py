@@ -208,3 +208,35 @@ def test_dedup_stateful_ttl_stream(spark, sf_dir, tmp_path):
     # batch semantics of the same builder: one survivor per key too
     batch_out = st.dedup_stateful_ttl(fp, key_col="fingerprint").toPandas()
     assert sorted(batch_out["fingerprint"]) == sorted(got["fingerprint"])
+
+
+def test_pii_redact_stream_matches_batch(spark, sf_dir, tmp_path):
+    """redact_pii is a pure projection, so it must run unchanged on a
+    streaming frame (append mode, no state) and agree with batch."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import text as tx
+
+    src = str(tmp_path / "docs_pii_src")
+    batch = load_table(spark, sf_dir, "documents").limit(200)
+    planted = batch.selectExpr(
+        "doc_id",
+        "concat(text, ' reach me: u', cast(doc_id as string), "
+        "'@mail.test or 10.1.2.', cast(doc_id % 256 as string)) AS text",
+    )
+    planted.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(planted.schema).parquet(src)
+    q = (
+        tx.redact_pii(stream)
+        .writeStream.format("memory")
+        .queryName("pii_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from pii_t").toPandas().sort_values("doc_id")
+    exp = tx.redact_pii(planted).toPandas().sort_values("doc_id")
+    assert len(got) == len(exp) == 200
+    assert (got["text"].to_numpy() == exp["text"].to_numpy()).all()
+    assert (got["n_email"].to_numpy() == exp["n_email"].to_numpy()).all()
+    assert int(got["n_email"].sum()) == 200 and int(got["n_ipv4"].sum()) == 200
+    q.stop()
