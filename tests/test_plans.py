@@ -141,10 +141,19 @@ def test_stratified_split_single_shuffle(spark, sf_dir):
     assert P.count_shuffles(e.q_stratified_split(spark, sf_dir)) == 1
 
 
-def test_tfidf_broadcasts_vocab_no_cartesian(spark, sf_dir):
+def test_tfidf_single_explode_bounded_shuffles(spark, sf_dir):
+    """tf and document frequency must share ONE token-partitioned
+    exchange (the naive tf/df self-join plans two independent
+    scan+explode subtrees): exactly one Generate, and only the token
+    repartition + ranking window + 1-row corpus-count exchanges."""
     df = e.q_tfidf_top_terms(spark, sf_dir)
-    assert P.has_broadcast_join(df)
-    assert "CartesianProduct" not in P.formatted_plan(df)
+    plan = P.formatted_plan(df)
+    assert P.has_broadcast_join(df)  # the 1-row n_docs side
+    assert "CartesianProduct" not in plan
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Generate", plan, flags=re.MULTILINE)) == 1
+    assert P.count_shuffles(df) <= 3
 
 
 def test_min_cost_supplier_broadcasts_dims(spark, sf_dir):
