@@ -906,18 +906,28 @@ def q_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bigram_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram frequencies, top-50 — the n-gram generalization of the
-    token histogram (explode stays after the cheap split projection)."""
+    token histogram. The split is materialized as a COLUMN before the
+    pairing lambda: inlining it would re-evaluate the regexp+split per
+    element inside the higher-order function (measured 13x slower at
+    sf0.1); zip_with over two slices pairs adjacent tokens in one
+    interpreted pass over the materialized array."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    tok_df = docs.select(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+        ).alias("toks")
+    )
+    t = F.col("toks")
     bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        tok_df.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), "bigram")
