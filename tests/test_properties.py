@@ -115,3 +115,63 @@ def test_split_assign_is_total_and_deterministic(spark, ids):
         for r in pl.split_assign(df.repartition(3), weights, method="knuth").collect()
     }
     assert out == again  # partition-independent
+
+
+@given(
+    n_tokens=st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=12),
+    size=st.integers(min_value=1, max_value=12),
+    stride_frac=st.floats(min_value=0.1, max_value=1.0),
+)
+@settings(**_SETTINGS)
+def test_chunk_with_overlap_properties(spark, n_tokens, size, stride_frac):
+    stride = max(1, int(size * stride_frac))
+    rows = [(i, [f"t{i}_{j}" for j in range(n)]) for i, n in enumerate(n_tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    out = pl.chunk_with_overlap(df, size=size, stride=stride)
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, toks in rows:
+        chunks = sorted(by_doc.get(doc_id, []), key=lambda r: r["start"])
+        n = len(toks)
+        if n <= size:
+            # short doc: exactly one chunk, the whole doc
+            assert len(chunks) == 1 and chunks[0]["chunk"] == toks
+            continue
+        # starts form the exact arithmetic progression 0, stride, ... n-size
+        assert [c["start"] for c in chunks] == list(range(0, n - size + 1, stride))
+        for c in chunks:
+            # every full window is verbatim source text of length `size`
+            assert c["chunk"] == toks[c["start"] : c["start"] + size]
+            assert c["chunk_len"] == size
+        # consecutive windows overlap by exactly size - stride tokens
+        for a, b in zip(chunks, chunks[1:]):
+            assert a["chunk"][stride:] == b["chunk"][: size - stride]
+
+
+@given(
+    strata=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3), st.integers()),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[1],
+    ),
+    frac=st.floats(min_value=0.05, max_value=0.95),
+)
+@settings(**_SETTINGS)
+def test_stratified_split_properties(spark, strata, frac):
+    import math
+
+    rows = [(abs(i) % (10**9), f"s{g}") for g, i in strata]
+    rows = list({r[0]: r for r in rows}.values())  # ids unique after abs/mod
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    out = pl.stratified_split(df, "stratum", train_frac=frac).collect()
+    assert len(out) == len(rows)  # every row labeled exactly once
+    per: dict[str, list] = {}
+    for r in out:
+        per.setdefault(r["stratum"], []).append(r["split"])
+    for stratum, labels in per.items():
+        n = len(labels)
+        # exact proportional share, rounded up — never an empty train set
+        assert labels.count("train") == math.ceil(frac * n)
+        assert labels.count("test") == n - math.ceil(frac * n)
