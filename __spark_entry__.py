@@ -1876,9 +1876,14 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated-min via grouped min joined back on equality.
 
     Scale notes: the part filter is broadcast into the lineitem scan
-    BEFORE the cost aggregation, so the shuffle carries only the ~2% of
-    pairs that can survive; the supplier->nation->region dim chain and
-    the per-part minima are broadcast."""
+    BEFORE the cost aggregation, so only the ~2% of pairs that can
+    survive are shuffled — and they are shuffled ONCE, explicitly on
+    l_partkey: hash partitioning on a subset of the grouping keys
+    satisfies the (l_partkey, l_suppkey) aggregation AND the per-part
+    min window, so the correlated-min runs with no second aggregation,
+    no join-back, and no duplicated scan subtree (the grouped-min +
+    broadcast-join-back form planned 5 exchanges / 10 scans and ran
+    1.5x slower at sf0.1)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
@@ -1895,8 +1900,10 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     cost = (
         li.join(F.broadcast(wanted), li.l_partkey == F.col("p_partkey"))
+        .repartition(n_shuffle, "l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             (
@@ -1906,15 +1913,10 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
     )
-    min_cost = cost.groupBy(F.col("l_partkey").alias("mk")).agg(
-        F.min("unit_cost").alias("min_cost")
-    )
+    min_cost = F.min("unit_cost").over(Window.partitionBy("l_partkey"))
     return (
-        cost.join(
-            F.broadcast(min_cost),
-            (cost.l_partkey == F.col("mk"))
-            & (cost.unit_cost == F.col("min_cost")),
-        )
+        cost.withColumn("__min", min_cost)
+        .filter(F.col("unit_cost") == F.col("__min"))
         .select(
             "s_acctbal",
             "s_name",
