@@ -2149,12 +2149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "dedup_exact": q_dedup_exact,
-        "fingerprints": q_fingerprints,
         "token_stats": q_token_stats,
-        "token_histogram": q_token_histogram,
-        "quality_filter": q_quality_filter,
         "similarity_topk": q_similarity_topk,
-        "embedding_pair_cosine": q_embedding_pair_cosine,
         "score_confusion": q_score_confusion,
         "score_accuracy": q_score_accuracy,
         "minhash_near_dup": q_minhash_near_dup,
@@ -2172,17 +2168,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": q_rolling_fingerprint,
         "repetition_stats": q_repetition_stats,
         "nation_profit": q_nation_profit,
-        "big_orders": q_big_orders,
-        "zorder_key": q_zorder_key,
-        "sample_per_group": q_sample_per_group,
         "vocab": q_vocab,
         "tokenize_ids": q_tokenize_ids,
-        "weighted_sample": q_weighted_sample,
-        "data_card": q_data_card,
-        "approx_distinct": q_approx_distinct,
         "lang_id": q_lang_id,
-        "running_total": q_running_total,
-        "lag_lead": q_lag_lead,
+        # round-3 second-half additions, also inside the 50-query window
+        # (displacing queries whose families are already represented;
+        # the displaced ones keep full-registry coverage in check_parity):
+        "min_cost_supplier": q_min_cost_supplier,
+        "priority_ship_lag": q_priority_ship_lag,
+        "excess_suppliers": q_excess_suppliers,
+        "pii_redact": q_pii_redact,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "stratified_split": q_stratified_split,
+        "chunk_overlap": q_chunk_overlap,
+        "quantize_embeddings": q_quantize_embeddings,
+        "adaptive_quality": q_adaptive_quality,
+        "apply_changes": q_apply_changes,
+        "quantized_rerank": q_quantized_rerank,
+        "epoch_shuffle": q_epoch_shuffle,
         "moving_avg": q_moving_avg,
         "sessionize": q_sessionize,
         "dedup_keep_first_rows": q_dedup_keep_first_rows,
@@ -2242,18 +2245,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "dedup_transitive": q_dedup_transitive,
         "limit_offset": q_limit_offset,
-        "min_cost_supplier": q_min_cost_supplier,
-        "priority_ship_lag": q_priority_ship_lag,
-        "excess_suppliers": q_excess_suppliers,
-        "pii_redact": q_pii_redact,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "stratified_split": q_stratified_split,
-        "chunk_overlap": q_chunk_overlap,
-        "quantize_embeddings": q_quantize_embeddings,
-        "adaptive_quality": q_adaptive_quality,
-        "apply_changes": q_apply_changes,
-        "quantized_rerank": q_quantized_rerank,
-        "epoch_shuffle": q_epoch_shuffle,
+        "big_orders": q_big_orders,
+        "zorder_key": q_zorder_key,
+        "sample_per_group": q_sample_per_group,
+        "weighted_sample": q_weighted_sample,
+        "data_card": q_data_card,
+        "approx_distinct": q_approx_distinct,
+        "running_total": q_running_total,
+        "lag_lead": q_lag_lead,
+        "fingerprints": q_fingerprints,
+        "token_histogram": q_token_histogram,
+        "quality_filter": q_quality_filter,
+        "embedding_pair_cosine": q_embedding_pair_cosine,
     }
 
 
