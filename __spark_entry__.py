@@ -2112,6 +2112,16 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pl.epoch_shuffle(docs, epoch=2, method="knuth")
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user resampling with forward fill (operators.
+    relational.resample_ffill) over the events stream — single-scan,
+    single-shuffle gaps-and-islands fill."""
+    ev = load_table(spark, sf_dir, "events")
+    return rel.resample_ffill(
+        ev, ts_col="ts", key_col="user_id", value_col="value"
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2142,7 +2152,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "set_ops": q_set_ops,
         "rollup": q_rollup,
-        "cube": q_cube,
         "scalar_functions": q_scalar_functions,
         "json_extract": q_json_extract,
         "tumbling_hourly": q_tumbling_hourly,
@@ -2186,6 +2195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_changes": q_apply_changes,
         "quantized_rerank": q_quantized_rerank,
         "epoch_shuffle": q_epoch_shuffle,
+        "resample_ffill": q_resample_ffill,
         "moving_avg": q_moving_avg,
         "sessionize": q_sessionize,
         "dedup_keep_first_rows": q_dedup_keep_first_rows,
@@ -2257,6 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram": q_token_histogram,
         "quality_filter": q_quality_filter,
         "embedding_pair_cosine": q_embedding_pair_cosine,
+        "cube": q_cube,
     }
 
 
@@ -3666,5 +3677,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sort_key,
               row_number() OVER (ORDER BY sort_key, doc_id) AS pos
             FROM h
+        """,
+        "resample_ffill": """
+            WITH obs AS (
+              SELECT user_id,
+                (epoch_ns(ts) // 1000000000) // 3600 AS oslot,
+                value,
+                row_number() OVER (
+                  PARTITION BY user_id, (epoch_ns(ts) // 1000000000) // 3600
+                  ORDER BY epoch_ns(ts) // 1000000000 DESC, value DESC
+                ) AS rn
+              FROM events
+            ), d AS (
+              SELECT user_id, oslot, value,
+                lead(oslot) OVER (PARTITION BY user_id ORDER BY oslot) AS nxt
+              FROM obs WHERE rn = 1
+            ), g AS (
+              SELECT user_id, value, oslot,
+                unnest(generate_series(oslot, COALESCE(nxt - 1, oslot))) AS slot
+              FROM d
+            )
+            SELECT user_id, slot,
+              make_timestamp(slot * 3600 * 1000000) AS grid_ts,
+              value, slot = oslot AS is_observed
+            FROM g
         """,
     }

@@ -272,3 +272,67 @@ def apply_changes(
             for c in value_cols
         ],
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Regular-grid time-series resampling with forward fill per key:
+    bucket observations into ``step_seconds`` slots (the latest
+    observation in a slot wins, value as tiebreak), then fill every empty
+    slot between consecutive observations with the earlier observation's
+    value. The grid spans each key's observed range — first to last slot.
+
+    Gaps-and-islands shape, chosen over the grid-generate + left-join +
+    fill-window form because it needs ONE scan and ONE shuffle: after an
+    explicit repartition on the key, the slot-dedup window, the
+    lead(slot) window, and the per-row ``sequence`` explode that emits
+    each observation's fill range all run on that same partitioning —
+    there is no grid relation to join, so nothing forks the lineage into
+    twin subtrees (the join form plans the scan twice). Per-row explode
+    size is bounded by gap length / step, never by corpus size.
+
+    Returns (key, slot, grid_ts, value, is_observed).
+    """
+    if step_seconds < 1:
+        raise ValueError(f"step_seconds must be >= 1 (got {step_seconds})")
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    secs = F.unix_timestamp(F.col(ts_col))
+    obs = df.select(
+        F.col(key_col),
+        F.floor(secs / step_seconds).cast("long").alias("__slot"),
+        F.col(value_col),
+        secs.alias("__secs"),
+    ).repartition(n_shuffle, key_col)
+    w_slot = Window.partitionBy(key_col, "__slot").orderBy(
+        F.desc("__secs"), F.desc(value_col)
+    )
+    last_obs = (
+        obs.withColumn("__rn", F.row_number().over(w_slot))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__secs")
+    )
+    w_key = Window.partitionBy(key_col).orderBy("__slot")
+    with_next = last_obs.withColumn("__next", F.lead("__slot").over(w_key))
+    fill_range = F.sequence(
+        F.col("__slot"), F.coalesce(F.col("__next") - 1, F.col("__slot"))
+    )
+    return (
+        with_next.select(
+            F.col(key_col),
+            F.col(value_col),
+            F.col("__slot"),
+            F.explode(fill_range).alias("slot"),
+        )
+        .select(
+            key_col,
+            "slot",
+            F.timestamp_seconds(F.col("slot") * step_seconds).alias("grid_ts"),
+            value_col,
+            (F.col("slot") == F.col("__slot")).alias("is_observed"),
+        )
+    )

@@ -141,3 +141,26 @@ def test_apply_changes_validates_columns(spark):
     chg = spark.createDataFrame([(1, 1, "U")], "k long, ts long, op string")
     with pytest.raises(ValueError, match="missing snapshot columns"):
         rel.apply_changes(snap, chg, "k", "ts")
+
+
+def test_resample_ffill_fills_gaps(spark):
+    rows = [
+        # user 1: observations in hours 0, 3 (gap 1-2), 5
+        (1, dt.datetime(2024, 1, 1, 0, 30), 10.0),
+        (1, dt.datetime(2024, 1, 1, 3, 10), 30.0),
+        (1, dt.datetime(2024, 1, 1, 3, 50), 35.0),  # later in same slot wins
+        (1, dt.datetime(2024, 1, 1, 5, 0), 50.0),
+        # user 2: single observation -> single grid row
+        (2, dt.datetime(2024, 1, 1, 7, 15), 70.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = rel.resample_ffill(df, "ts", "user_id", "value").toPandas()
+    u1 = out[out.user_id == 1].sort_values("slot")
+    # continuous hourly grid from first to last observed hour
+    assert list(u1.slot - u1.slot.min()) == [0, 1, 2, 3, 4, 5]
+    assert list(u1.value) == [10.0, 10.0, 10.0, 35.0, 35.0, 50.0]
+    assert list(u1.is_observed) == [True, False, False, True, False, True]
+    u2 = out[out.user_id == 2]
+    assert len(u2) == 1 and u2.value.iloc[0] == 70.0 and bool(u2.is_observed.iloc[0])
+    with pytest.raises(ValueError, match="step_seconds"):
+        rel.resample_ffill(df, "ts", "user_id", "value", step_seconds=0)
