@@ -2122,6 +2122,17 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data profile (operators.relational.profile_table) of
+    the customer dimension's integer/string columns (float columns are
+    profiled too in the operator, but their engine-specific string
+    formatting keeps them out of the exact-hash gate)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return rel.profile_table(
+        cust, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2152,7 +2163,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "set_ops": q_set_ops,
         "rollup": q_rollup,
-        "scalar_functions": q_scalar_functions,
         "json_extract": q_json_extract,
         "tumbling_hourly": q_tumbling_hourly,
         "asof_join": q_asof_join,
@@ -2196,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_rerank": q_quantized_rerank,
         "epoch_shuffle": q_epoch_shuffle,
         "resample_ffill": q_resample_ffill,
+        "profile_table": q_profile_table,
         "moving_avg": q_moving_avg,
         "sessionize": q_sessionize,
         "dedup_keep_first_rows": q_dedup_keep_first_rows,
@@ -2268,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "embedding_pair_cosine": q_embedding_pair_cosine,
         "cube": q_cube,
+        "scalar_functions": q_scalar_functions,
     }
 
 
@@ -3701,5 +3713,31 @@ def oracle_sql() -> dict[str, str]:
               make_timestamp(slot * 3600 * 1000000) AS grid_ts,
               value, slot = oslot AS is_observed
             FROM g
+        """,
+        "profile_table": """
+            SELECT 'c_custkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(COUNT(*) - COUNT(c_custkey) AS BIGINT) AS n_nulls,
+              CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+              CAST(MIN(c_custkey) AS VARCHAR) AS min_str,
+              CAST(MAX(c_custkey) AS VARCHAR) AS max_str
+            FROM customer
+            UNION ALL
+            SELECT 'c_name', CAST(COUNT(*) AS BIGINT),
+              CAST(COUNT(*) - COUNT(c_name) AS BIGINT),
+              CAST(COUNT(DISTINCT c_name) AS BIGINT),
+              MIN(c_name), MAX(c_name)
+            FROM customer
+            UNION ALL
+            SELECT 'c_nationkey', CAST(COUNT(*) AS BIGINT),
+              CAST(COUNT(*) - COUNT(c_nationkey) AS BIGINT),
+              CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+              CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR)
+            FROM customer
+            UNION ALL
+            SELECT 'c_mktsegment', CAST(COUNT(*) AS BIGINT),
+              CAST(COUNT(*) - COUNT(c_mktsegment) AS BIGINT),
+              CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+              MIN(c_mktsegment), MAX(c_mktsegment)
+            FROM customer
         """,
     }

@@ -336,3 +336,40 @@ def resample_ffill(
             (F.col("slot") == F.col("__slot")).alias("is_observed"),
         )
     )
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Data profile — per column: row count, null count, exact distinct
+    count, and the string form of the typed min/max. One aggregate job:
+    the multi-column count_distinct rewrites into a single Expand pass
+    (n_cols copies map-side, partial-aggregated before the one shuffle),
+    so the input is scanned once however many columns are profiled. The
+    min/max are computed on the NATIVE type (so numeric columns order
+    numerically) and stringified only in the output row.
+
+    Returns one row per column: (column, n_rows, n_nulls, n_distinct,
+    min_str, max_str) — the ingest-time sanity report that catches a
+    broken upstream feed before it poisons a corpus build.
+    """
+    cols = columns or df.columns
+    aggs: list[Column] = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).cast("bigint").alias(f"__n_{c}"),
+            F.sum(col.isNull().cast("long")).cast("bigint").alias(f"__nulls_{c}"),
+            F.count_distinct(col).cast("bigint").alias(f"__dist_{c}"),
+            F.min(col).cast("string").alias(f"__min_{c}"),
+            F.max(col).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args: list[str] = []
+    for c in cols:
+        stack_args += [
+            f"'{c}'", f"__n_{c}", f"__nulls_{c}", f"__dist_{c}",
+            f"__min_{c}", f"__max_{c}",
+        ]
+    return one.selectExpr(
+        f"stack({len(cols)}, {', '.join(stack_args)}) AS "
+        "(column, n_rows, n_nulls, n_distinct, min_str, max_str)"
+    )

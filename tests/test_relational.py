@@ -164,3 +164,20 @@ def test_resample_ffill_fills_gaps(spark):
     assert len(u2) == 1 and u2.value.iloc[0] == 70.0 and bool(u2.is_observed.iloc[0])
     with pytest.raises(ValueError, match="step_seconds"):
         rel.resample_ffill(df, "ts", "user_id", "value", step_seconds=0)
+
+
+def test_profile_table_with_nulls_and_types(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", None), (2, None, 10.0), (3, "a", 9.0)],
+        "k long, s string, v double",
+    )
+    prof = {r["column"]: r for r in rel.profile_table(df).collect()}
+    assert prof["k"]["n_rows"] == 4 and prof["k"]["n_nulls"] == 0
+    assert prof["k"]["n_distinct"] == 3
+    assert prof["k"]["min_str"] == "1" and prof["k"]["max_str"] == "3"
+    assert prof["s"]["n_nulls"] == 1 and prof["s"]["n_distinct"] == 2
+    assert prof["s"]["min_str"] == "a" and prof["s"]["max_str"] == "b"
+    # numeric min/max computed on the native type, not lexicographically:
+    # string MIN would have been "10.0"
+    assert prof["v"]["min_str"] == "2.5" and prof["v"]["max_str"] == "10.0"
+    assert prof["v"]["n_nulls"] == 1
