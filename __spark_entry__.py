@@ -2133,6 +2133,17 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window counts (streaming.sliding_counts in batch form):
+    1-hour windows every 30 minutes, so each event lands in exactly two
+    windows — the oracle unnests both half-hour-aligned window starts
+    covering each timestamp."""
+    from hdinsight_pyspark_cntk_integration_spark import streaming as st
+
+    ev = load_table(spark, sf_dir, "events")
+    return st.sliding_counts(ev, window_len="1 hour", slide="30 minutes")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2166,7 +2177,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "tumbling_hourly": q_tumbling_hourly,
         "asof_join": q_asof_join,
-        "range_join": q_range_join,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "similarity_topk": q_similarity_topk,
@@ -2207,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "resample_ffill": q_resample_ffill,
         "profile_table": q_profile_table,
+        "sliding_hourly": q_sliding_hourly,
         "moving_avg": q_moving_avg,
         "sessionize": q_sessionize,
         "dedup_keep_first_rows": q_dedup_keep_first_rows,
@@ -2280,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pair_cosine": q_embedding_pair_cosine,
         "cube": q_cube,
         "scalar_functions": q_scalar_functions,
+        "range_join": q_range_join,
     }
 
 
@@ -3739,5 +3751,22 @@ def oracle_sql() -> dict[str, str]:
               CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
               MIN(c_mktsegment), MAX(c_mktsegment)
             FROM customer
+        """,
+        "sliding_hourly": """
+            WITH t AS (
+              SELECT event_type,
+                make_timestamp(
+                  ((epoch_ns(ts) // 1000000000) // 1800 * 1800) * 1000000
+                ) AS w0
+              FROM events
+            ), w AS (
+              SELECT event_type,
+                unnest([w0, w0 - INTERVAL 30 MINUTE]) AS window_start
+              FROM t
+            )
+            SELECT window_start,
+              window_start + INTERVAL 1 HOUR AS window_end,
+              event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM w GROUP BY 1, 2, 3
         """,
     }

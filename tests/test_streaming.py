@@ -240,3 +240,22 @@ def test_pii_redact_stream_matches_batch(spark, sf_dir, tmp_path):
     assert (got["n_email"].to_numpy() == exp["n_email"].to_numpy()).all()
     assert int(got["n_email"].sum()) == 200 and int(got["n_ipv4"].sum()) == 200
     q.stop()
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir, tmp_path):
+    batch, stream = _stream_events(spark, sf_dir, tmp_path)
+    agg = st.sliding_counts(
+        st.with_watermark(stream, delay="1 hour"), slide="30 minutes"
+    )
+    q = _run_to_memory(agg, "sliding_t")
+    got = spark.sql("select * from sliding_t").toPandas()
+    exp = st.sliding_counts(batch, slide="30 minutes").toPandas()
+    key = ["window_start", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
+    # every event lands in exactly window/slide = 2 windows
+    ev = load_table(spark, sf_dir, "events")
+    assert int(exp["n"].sum()) == 2 * ev.count()
+    q.stop()
