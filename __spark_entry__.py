@@ -2144,6 +2144,31 @@ def q_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.sliding_counts(ev, window_len="1 hour", slide="30 minutes")
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 historization (operators.relational.scd2_history) of the
+    per-customer order feed: each order's totalprice becomes a validity
+    interval [orderdate, next orderdate) with is_current on the open
+    row. Order keys break orderdate ties deterministically."""
+    orders = load_table(spark, sf_dir, "orders")
+    feed = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return rel.scd2_history(feed, "k", "seq")
+
+
+def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles: median and p90 of order totals per
+    order priority — partial-aggregated percentile, one shuffle on the
+    group key (the global-percentile twin is q_percentiles)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2166,12 +2191,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": q_top_revenue_orders,
         "region_revenue": q_region_revenue,
         "accuracy": q_accuracy,
-        "distinct_labels": q_distinct_labels,
         "dim_join": q_dim_join,
         "confusion_pivot": q_confusion_pivot,
         "window_topn": q_window_topn,
         "anti_join": q_anti_join,
-        "semi_join": q_semi_join,
         "set_ops": q_set_ops,
         "rollup": q_rollup,
         "json_extract": q_json_extract,
@@ -2218,6 +2241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_ffill": q_resample_ffill,
         "profile_table": q_profile_table,
         "sliding_hourly": q_sliding_hourly,
+        "scd2_history": q_scd2_history,
+        "group_percentiles": q_group_percentiles,
         "moving_avg": q_moving_avg,
         "sessionize": q_sessionize,
         "dedup_keep_first_rows": q_dedup_keep_first_rows,
@@ -2292,6 +2317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube": q_cube,
         "scalar_functions": q_scalar_functions,
         "range_join": q_range_join,
+        "distinct_labels": q_distinct_labels,
+        "semi_join": q_semi_join,
     }
 
 
@@ -3768,5 +3795,22 @@ def oracle_sql() -> dict[str, str]:
               window_start + INTERVAL 1 HOUR AS window_end,
               event_type, CAST(COUNT(*) AS BIGINT) AS n
             FROM w GROUP BY 1, 2, 3
+        """,
+        "scd2_history": """
+            SELECT o_custkey AS k, o_orderkey AS seq, o_totalprice AS price,
+              o_orderkey AS valid_from,
+              lead(o_orderkey) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderkey
+              ) AS valid_to,
+              lead(o_orderkey) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderkey
+              ) IS NULL AS is_current
+            FROM orders
+        """,
+        "group_percentiles": """
+            SELECT o_orderpriority,
+              percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+              percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90
+            FROM orders GROUP BY o_orderpriority
         """,
     }

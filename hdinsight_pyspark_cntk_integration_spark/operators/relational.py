@@ -373,3 +373,23 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         f"stack({len(cols)}, {', '.join(stack_args)}) AS "
         "(column, n_rows, n_nulls, n_distinct, min_str, max_str)"
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 historization: turn a change feed
+    into validity intervals per key — valid_from = the change's
+    timestamp, valid_to = the next change's timestamp (NULL while
+    current), is_current on the open row. One shuffle on the key; the
+    lead window is the entire computation, so this composes with
+    ``apply_changes`` (latest-state compaction) as the "keep the full
+    history" alternative."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    return (
+        changes.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

@@ -181,3 +181,18 @@ def test_profile_table_with_nulls_and_types(spark):
     # string MIN would have been "10.0"
     assert prof["v"]["min_str"] == "2.5" and prof["v"]["max_str"] == "10.0"
     assert prof["v"]["n_nulls"] == 1
+
+
+def test_scd2_history_intervals(spark):
+    feed = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (2, 5, "x")],
+        "k long, ts long, val string",
+    )
+    out = sorted(
+        rel.scd2_history(feed, "k", "ts").collect(), key=lambda r: (r["k"], r["ts"])
+    )
+    k1 = [r for r in out if r["k"] == 1]
+    assert [(r["valid_from"], r["valid_to"]) for r in k1] == [(10, 20), (20, 30), (30, None)]
+    assert [r["is_current"] for r in k1] == [False, False, True]
+    k2 = [r for r in out if r["k"] == 2]
+    assert len(k2) == 1 and k2[0]["is_current"] and k2[0]["valid_to"] is None
