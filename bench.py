@@ -53,6 +53,9 @@ PIPELINE = [
     "stratified_split",
     "quantize_embeddings",
     "apply_changes",
+    "pii_redact",
+    "epoch_shuffle",
+    "resample_ffill",
 ]
 
 

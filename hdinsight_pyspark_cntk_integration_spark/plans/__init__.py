@@ -53,3 +53,38 @@ def scan_read_schema(df: DataFrame) -> str:
     return "\n".join(
         line.strip() for line in formatted_plan(df).splitlines() if "ReadSchema" in line
     )
+
+
+def lint_plan(df: DataFrame) -> list[str]:
+    """Static scale-hazard lint of a DataFrame's physical plan. Returns
+    human-readable findings (empty list = clean):
+
+    - ``cartesian``: a CartesianProduct — O(n*m) at scale, almost always
+      a missing join key or a forgotten broadcast hint.
+    - ``python-row-udf``: a BatchEvalPython node — row-at-a-time Python
+      in the hot path (ArrowEvalPython / mapInPandas are the fast path).
+    - ``global-window``: a window function over an empty PARTITION BY —
+      the whole input flows through ONE task.
+    - ``global-sort``: a range-partitioned global Sort that is not a
+      bounded top-k (TakeOrderedAndProject is fine).
+
+    Used by tests as a one-call regression net over every registered
+    query; also useful interactively before promoting a new query.
+    """
+    plan = formatted_plan(df)
+    findings: list[str] = []
+    if "CartesianProduct" in plan:
+        findings.append("cartesian: CartesianProduct join in plan")
+    if re.search(r"^\(\d+\) BatchEvalPython", plan, flags=re.MULTILINE):
+        findings.append("python-row-udf: row-at-a-time Python UDF (BatchEvalPython)")
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        # a spec whose argument list starts with an ordering expression
+        # (no partition columns before the sort spec) is a global window
+        first = spec.split(",")[0].strip()
+        if " ASC" in first or " DESC" in first:
+            findings.append("global-window: window with empty PARTITION BY")
+            break
+    if "rangepartitioning" in plan and "TakeOrderedAndProject" not in plan:
+        findings.append("global-sort: range-partitioned global sort")
+    return findings

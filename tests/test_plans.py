@@ -172,3 +172,58 @@ def test_apply_changes_no_cartesian_bounded_shuffles(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # window shuffle on the change key + at most the two join-side hashes
     assert P.count_shuffles(df) <= 3
+
+
+# Findings that are intentional, each bounded or by-design:
+#   pack_chunks_global / epoch_shuffle — prefix-sum window over the TINY
+#     n_shards / n_buckets count table, never corpus-sized;
+#   vocab / tokenize_ids — dense-id window AFTER the top-V cut (<= top_v rows);
+#   sentence_split — the Python UDTF surface, demonstrated deliberately;
+#   distinct_labels — R5 "distinct then sort" reference semantics (3 rows).
+_INTENTIONAL_LINT = {
+    "pack_chunks_global": {"global-window"},
+    "vocab": {"global-window"},
+    "tokenize_ids": {"global-window"},
+    "epoch_shuffle": {"global-window"},
+    "sentence_split": {"python-row-udf"},
+    "distinct_labels": {"global-sort"},
+}
+
+
+def test_registry_wide_plan_lint(spark):
+    """Every registered query's physical plan is free of scale hazards
+    (cartesian products, row-at-a-time Python UDFs, corpus-sized global
+    windows, unbounded global sorts) except the allowlisted, justified
+    cases above. This is the regression net that catches a future query
+    accidentally shipping a 100 TB antipattern."""
+    sf = "/root/testdata/sf0.001"
+    unexpected = {}
+    for name, fn in e.queries().items():
+        findings = P.lint_plan(fn(spark, sf))
+        allowed = _INTENTIONAL_LINT.get(name, set())
+        extra = [f for f in findings if f.split(":")[0] not in allowed]
+        if extra:
+            unexpected[name] = extra
+    assert not unexpected, unexpected
+
+
+def test_lint_plan_detectors(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udf
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 5).alias("g"))
+    assert P.lint_plan(df.groupBy("g").count()) == []
+    gw = df.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    assert any(f.startswith("global-window") for f in P.lint_plan(gw))
+    pw = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    assert P.lint_plan(pw) == []
+    assert any(
+        f.startswith("global-sort") for f in P.lint_plan(df.orderBy(F.desc("g")))
+    )
+    # bounded top-k is exempt from the global-sort finding
+    assert P.lint_plan(df.orderBy(F.desc("g")).limit(5)) == []
+    u = udf(lambda x: x + 1, "long")
+    assert any(f.startswith("python-row-udf") for f in P.lint_plan(df.select(u("id"))))
