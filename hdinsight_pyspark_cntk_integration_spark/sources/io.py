@@ -176,3 +176,34 @@ def write_single_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     ``write_parquet`` with natural parallelism.
     """
     df.coalesce(1).write.mode(mode).option("header", True).csv(path)
+
+
+def observed_write(
+    df: DataFrame,
+    metrics: dict[str, "Column"],  # noqa: F821 - Column via pyspark.sql
+    path: str | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> dict[str, object]:
+    """Write a frame while collecting aggregate metrics IN the same job
+    via Spark's Observation API — row counts, null counts, value bounds
+    arrive with the write, no second scan. This is how a 100 TB pipeline
+    stage self-reports data-quality counters (rows written, nulls seen,
+    max skew key) without doubling its IO.
+
+    ``metrics`` maps metric name -> aggregate Column (e.g.
+    ``{"rows": F.count(F.lit(1)), "null_ids": F.sum(F.col("id").isNull()
+    .cast("long"))}``). Writes to ``path`` with ``fmt`` (or the noop sink
+    when path is None — useful in tests/benchmarks) and returns the
+    observed metric values as a plain dict.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    writer = observed.write.mode(mode)
+    if path is None:
+        writer.format("noop").save()
+    else:
+        writer.format(fmt).save(path)
+    return dict(obs.get)

@@ -287,3 +287,33 @@ def test_sample_k_per_group_exact_and_stable(spark, sf_dir):
     # nested-ish: the k=3 sample is a subset of the k=7 sample
     s3 = pl.sample_k_per_group(docs, k=3, group_col="lang").select("doc_id", "lang")
     assert {tuple(r) for r in s3.collect()} <= {tuple(r) for r in s1.collect()}
+
+
+def test_observed_write_collects_metrics_in_one_job(spark, tmp_path):
+    """Observation metrics arrive with the write itself — rows, nulls,
+    and bounds without a second scan."""
+    from pyspark.sql import functions as F
+
+    from hdinsight_pyspark_cntk_integration_spark.sources.io import observed_write
+
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") * 2).alias("v"),
+    )
+    out = str(tmp_path / "observed")
+    got = observed_write(
+        df,
+        {
+            "rows": F.count(F.lit(1)),
+            "null_v": F.sum(F.col("v").isNull().cast("long")),
+            "max_v": F.max("v"),
+        },
+        path=out,
+    )
+    assert got["rows"] == 1000
+    assert got["null_v"] == 100
+    assert got["max_v"] == 1998
+    assert spark.read.parquet(out).count() == 1000
+    # noop-sink form (no path) still reports
+    got2 = observed_write(df, {"rows": F.count(F.lit(1))})
+    assert got2["rows"] == 1000

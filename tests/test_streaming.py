@@ -259,3 +259,56 @@ def test_sliding_stream_matches_batch(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events")
     assert int(exp["n"].sum()) == 2 * ev.count()
     q.stop()
+
+
+def test_stream_restart_from_checkpoint_no_duplicates(spark, sf_dir, tmp_path):
+    """Exactly-once across a restart: run a windowed count to a file
+    sink with a checkpoint, stop, append NEW source files, restart the
+    SAME query — the recovered run must pick up only the new data, and
+    the union of outputs must equal the batch result over everything."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "cp_src")
+    sink = str(tmp_path / "cp_sink")
+    cp = str(tmp_path / "cp_state")
+    ev = load_table(spark, sf_dir, "events")
+    # split by TIME (append mode drops below-watermark data, so the
+    # second batch must be strictly later than the first)
+    mid = ev.agg(F.expr("percentile(unix_timestamp(ts), 0.5)")).collect()[0][0]
+    first = ev.filter(F.unix_timestamp("ts") <= mid)
+    second = ev.filter(F.unix_timestamp("ts") > mid)
+    first.write.mode("overwrite").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        agg = st.tumbling_counts(st.with_watermark(stream, delay="1 hour"))
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return spark.read.parquet(sink).count()
+
+    n_after_first = run_once()
+    second.write.mode("append").parquet(src)
+    n_after_second = run_once()
+    # the restarted query picked up ONLY the new files and emitted more
+    # closed windows
+    assert n_after_second > n_after_first > 0
+
+    got = spark.read.parquet(sink).toPandas()
+    # exactly-once across the restart: no (window, key) emitted twice
+    assert not got.duplicated(["window_start", "event_type"]).any()
+    # every emitted window agrees with the batch twin over ALL data
+    exp = (
+        st.tumbling_counts(ev)
+        .select("window_start", "event_type", F.col("n").alias("n_exp"))
+        .toPandas()
+    )
+    merged = got.merge(exp, on=["window_start", "event_type"], how="left")
+    assert (merged["n"] == merged["n_exp"]).all()
