@@ -59,7 +59,22 @@ def fit_classifier(
         tol=seed_tol,
         family="multinomial",
     )
-    return lr.fit(train)
+    model = lr.fit(train)
+    # Strip the training summary: it pins the SparkSession inside the
+    # model, and once anything has touched the session's Observation
+    # machinery (Dataset.observe initializes a non-serializable lazy
+    # Listener in ObservationManager), transform()'s UDF closure —
+    # which captures the model — fails with Task not serializable on
+    # Spark 4.1 classic. The engine never reads the summary; metrics
+    # come from the relational evaluation queries instead.
+    try:
+        from pyspark import SparkContext
+
+        jvm = SparkContext._active_spark_context._jvm  # noqa: SLF001
+        model._java_obj.setSummary(jvm.scala.Option.empty())  # noqa: SLF001
+    except Exception:
+        pass  # best effort: without it, only observe+LR interplay breaks
+    return model
 
 
 def score_with_model(
