@@ -42,3 +42,28 @@ def test_entry_contract(spark):
     os_ = e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 25
+
+
+def test_readme_quickstart_runs(spark):
+    """The README quickstart must stay executable verbatim (modulo the
+    session, which the test supplies)."""
+    from pyspark.sql import functions as F
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import dedup as dd
+    from hdinsight_pyspark_cntk_integration_spark.operators import pipeline as pl
+    from hdinsight_pyspark_cntk_integration_spark.operators import text as tx
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    clean = tx.quality_filter(tx.redact_pii(docs), min_tokens=5)
+    keepers = dd.exact_dedup(clean).select("doc_id")
+    unique = clean.join(F.broadcast(keepers), "doc_id")
+    split = pl.stratified_split(unique, "lang", train_frac=0.9)
+    train = split.filter(F.col("split") == "train")
+    toks = train.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("tokens")
+    )
+    windows = pl.chunk_with_overlap(toks, size=256, stride=192)
+    ordered = pl.epoch_shuffle(windows.select("doc_id").distinct(), epoch=0)
+    n = ordered.count()
+    assert n > 0
+    assert ordered.columns == ["doc_id", "sort_key", "pos"]
