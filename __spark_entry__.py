@@ -2169,6 +2169,22 @@ def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-ingest dedup (operators.dedup.dedup_against): the fixture
+    corpus has no cross-document duplicates, so the 'new batch' is the
+    tail of the corpus plus 50 re-ingested head documents under fresh
+    ids — exactly those 50 must be dropped against the standing
+    reference (docs 0-299)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    reference = docs.filter(F.col("doc_id") < 300)
+    reingested = (
+        docs.filter(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    new_batch = docs.filter(F.col("doc_id") >= 300).unionByName(reingested)
+    return dd.dedup_against(new_batch, reference).select("doc_id")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2198,7 +2214,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "rollup": q_rollup,
         "json_extract": q_json_extract,
-        "tumbling_hourly": q_tumbling_hourly,
         "asof_join": q_asof_join,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
@@ -2243,6 +2258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_hourly": q_sliding_hourly,
         "scd2_history": q_scd2_history,
         "group_percentiles": q_group_percentiles,
+        "dedup_incremental": q_dedup_incremental,
         "moving_avg": q_moving_avg,
         "sessionize": q_sessionize,
         "dedup_keep_first_rows": q_dedup_keep_first_rows,
@@ -2319,6 +2335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "distinct_labels": q_distinct_labels,
         "semi_join": q_semi_join,
+        "tumbling_hourly": q_tumbling_hourly,
     }
 
 
@@ -3812,5 +3829,19 @@ def oracle_sql() -> dict[str, str]:
               percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
               percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90
             FROM orders GROUP BY o_orderpriority
+        """,
+        "dedup_incremental": """
+            WITH ref AS (
+              SELECT DISTINCT
+                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+              FROM documents WHERE doc_id < 300
+            ), newb AS (
+              SELECT doc_id, text FROM documents WHERE doc_id >= 300
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+            )
+            SELECT doc_id FROM newb
+            WHERE md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+              NOT IN (SELECT fp FROM ref)
         """,
     }

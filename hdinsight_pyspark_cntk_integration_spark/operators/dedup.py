@@ -583,3 +583,27 @@ def embedding_near_dup_candidates(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+
+
+def dedup_against(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental (delta-ingest) exact dedup: drop rows whose normalized
+    text fingerprint already exists in ``reference`` — the daily-batch
+    path that dedupes new data against the standing corpus WITHOUT
+    re-clustering everything. Left-anti join on the md5 fingerprint; at
+    scale, keep the corpus fingerprint set as a bucketed table on
+    ``fingerprint`` so the anti join co-locates with zero re-shuffle of
+    the reference side. The delta side shuffles once on the fingerprint.
+    """
+    ref_fp = reference.select(
+        fingerprint_md5(text_col).alias("fingerprint")
+    ).distinct()
+    return (
+        df.withColumn("fingerprint", fingerprint_md5(text_col))
+        .join(ref_fp, "fingerprint", "left_anti")
+        .drop("fingerprint")
+    )

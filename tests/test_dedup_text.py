@@ -362,3 +362,20 @@ def test_tfidf_top_terms_ranking(spark):
     assert top[2]["token"] == "apple"
     assert top[3]["token"] == "cherry"
     assert all(r["rank"] == 1 for r in out)
+
+
+def test_dedup_against_drops_only_known_fingerprints(spark):
+    ref = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "ALPHA   beta gamma"),  # normalizes to a known fingerprint
+            (11, "totally fresh content"),
+            (12, "delta epsilon"),       # exact known dup
+            (13, "delta epsilon zeta"),  # near, NOT exact -> kept
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dd.dedup_against(new, ref).collect())
+    assert kept == [11, 13]
