@@ -11,6 +11,8 @@ and are read directly, not unpickled on the driver.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -207,3 +209,52 @@ def observed_write(
     else:
         writer.format(fmt).save(path)
     return dict(obs.get)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> dict[str, int]:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(total_bytes / target_file_bytes) files (a streaming sink or a
+    high-parallelism job easily leaves thousands of KB-sized files, and
+    at 100 TB the per-file open/footer overhead dominates the scan).
+    File count comes from the ACTUAL on-disk byte size, not a row-count
+    guess; optional ``sort_cols`` re-sorts within output files so
+    min/max row-group stats stay tight after compaction. Writes to a
+    staging dir then swaps, so a failed compaction never destroys the
+    input. Returns {"files_before", "files_after", "bytes"}.
+    """
+    import math
+    import shutil
+
+    src = os.path.abspath(path)
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    staging = src + ".__compact__"
+    shutil.rmtree(staging, ignore_errors=True)
+    df = spark.read.parquet(src)
+    out = df.repartition(n_out)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").parquet(staging)
+    backup = src + ".__old__"
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(src, backup)
+    os.rename(staging, src)
+    shutil.rmtree(backup)
+    n_new = sum(
+        1
+        for dp, _, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    return {"files_before": len(files), "files_after": n_new, "bytes": total}

@@ -317,3 +317,22 @@ def test_observed_write_collects_metrics_in_one_job(spark, tmp_path):
     # noop-sink form (no path) still reports
     got2 = observed_write(df, {"rows": F.count(F.lit(1))})
     assert got2["rows"] == 1000
+
+
+def test_compact_parquet_reduces_files_preserves_data(spark, tmp_path):
+    from hdinsight_pyspark_cntk_integration_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "fragmented")
+    df = spark.range(0, 10_000).selectExpr("id", "id % 7 AS g")
+    df.repartition(64).write.mode("overwrite").parquet(path)  # 64 tiny files
+    before = spark.read.parquet(path).toPandas().sort_values("id")
+    stats = compact_parquet(spark, path, target_file_bytes=10**9, sort_cols=["id"])
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == 1  # everything fits one target-size file
+    after = spark.read.parquet(path).toPandas().sort_values("id")
+    assert before.reset_index(drop=True).equals(after.reset_index(drop=True))
+    # larger target count: bytes/target drives the file count
+    df.repartition(64).write.mode("overwrite").parquet(path)
+    total = stats["bytes"]
+    stats2 = compact_parquet(spark, path, target_file_bytes=max(1, total // 4))
+    assert 4 <= stats2["files_after"] <= 6  # ceil(bytes/target) plus re-encode slack
