@@ -41,13 +41,37 @@ def read_jsonl(
     spark: SparkSession,
     path: str,
     schema: StructType | str | None = None,
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """JSON-lines reader (one object per line — the interchange format of
     LLM corpora). Pass an explicit schema in production: schema inference
     is a full extra scan, and a declared schema lets the scan prune
-    unreferenced JSON fields instead of parsing whole objects."""
+    unreferenced JSON fields instead of parsing whole objects.
+
+    A web-scale dump ALWAYS contains malformed lines; pass
+    ``corrupt_col`` to keep them instead of failing or silently
+    nulling: parsed rows get NULL there, broken lines land verbatim in
+    that column (PERMISSIVE mode) so the pipeline can route them to a
+    quarantine sink and account for every input byte. Requires an
+    explicit ``schema`` (Spark drops the corrupt column during
+    inference); the column is appended to it automatically.
+    """
     reader = spark.read
-    if schema is not None:
+    if corrupt_col is not None:
+        if schema is None:
+            raise ValueError("corrupt_col requires an explicit schema")
+        if isinstance(schema, str):
+            schema = f"{schema}, {corrupt_col} string"
+        else:
+            from pyspark.sql.types import StringType
+
+            schema = schema.add(corrupt_col, StringType())
+        reader = (
+            reader.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", corrupt_col)
+        )
+    elif schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
 

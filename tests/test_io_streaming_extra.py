@@ -86,7 +86,12 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     ]
     mk(fresh).write.mode("append").parquet(src)
 
-    stream = spark.readStream.schema(mk(fresh).schema).option("maxFilesPerTrigger", 1).parquet(src)
+    # no maxFilesPerTrigger: each processAllAvailable is ONE batch over
+    # everything new, so watermark advancement is deterministic (a
+    # per-file trigger makes batch boundaries depend on file-listing
+    # order, and the late row can slip into a batch whose watermark
+    # hasn't seen the fresh maximum yet — observed flake).
+    stream = spark.readStream.schema(mk(fresh).schema).parquet(src)
     agg = st.tumbling_counts(st.with_watermark(stream, delay="0 seconds"), "1 hour")
     # append mode: a window is emitted once the watermark passes its end,
     # and rows behind the watermark are dropped from state entirely.
@@ -336,3 +341,31 @@ def test_compact_parquet_reduces_files_preserves_data(spark, tmp_path):
     total = stats["bytes"]
     stats2 = compact_parquet(spark, path, target_file_bytes=max(1, total // 4))
     assert 4 <= stats2["files_after"] <= 6  # ceil(bytes/target) plus re-encode slack
+
+
+def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
+    from hdinsight_pyspark_cntk_integration_spark.sources.io import read_jsonl
+
+    p = tmp_path / "dump.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "also good"}\n'
+        '{"doc_id": 3, "text": broken}\n'
+    )
+    df = read_jsonl(
+        spark, str(p), schema="doc_id long, text string", corrupt_col="_bad"
+    )
+    rows = df.collect()
+    good = [r for r in rows if r["_bad"] is None]
+    bad = [r for r in rows if r["_bad"] is not None]
+    assert {r["doc_id"] for r in good} == {1, 2}
+    assert len(bad) == 2  # every malformed line kept verbatim, none dropped
+    assert "not json" in bad[0]["_bad"] or "not json" in bad[1]["_bad"]
+    # without corrupt_col but with schema: malformed rows parse to nulls
+    df2 = read_jsonl(spark, str(p), schema="doc_id long, text string")
+    assert df2.count() == 4
+    import pytest
+
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_jsonl(spark, str(p), corrupt_col="_bad")
