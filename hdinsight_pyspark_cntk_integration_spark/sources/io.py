@@ -282,3 +282,25 @@ def compact_parquet(
         if f.endswith(".parquet")
     )
     return {"files_before": len(files), "files_after": n_new, "bytes": total}
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in ``df``, leaving sibling partitions untouched — the incremental
+    refresh path for a partitioned corpus (re-ingest one day / one
+    source without rewriting or losing the rest). Static overwrite
+    (Spark's default) would truncate the whole root first. The session
+    conf is flipped to dynamic just for this write and restored after.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    saved = spark.conf.get(key, "STATIC")
+    try:
+        spark.conf.set(key, "dynamic")
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set(key, saved)

@@ -369,3 +369,27 @@ def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
 
     with pytest.raises(ValueError, match="explicit schema"):
         read_jsonl(spark, str(p), corrupt_col="_bad")
+
+
+def test_overwrite_partitions_touches_only_written_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hdinsight_pyspark_cntk_integration_spark.sources.io import (
+        overwrite_partitions,
+    )
+
+    path = str(tmp_path / "parts")
+    full = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("src")
+    )
+    full.write.mode("overwrite").partitionBy("src").parquet(path)
+    # refresh ONLY partition src=1 with new content
+    refresh = spark.range(1000, 1010).select(F.col("id"), F.lit("1").alias("src"))
+    overwrite_partitions(refresh, path, ["src"])
+    out = spark.read.parquet(path)
+    assert out.filter("src = '0'").count() == 100  # untouched
+    assert out.filter("src = '2'").count() == 100  # untouched
+    got1 = sorted(r["id"] for r in out.filter("src = '1'").collect())
+    assert got1 == list(range(1000, 1010))  # replaced, not appended
+    # conf restored
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower() != "dynamic"
