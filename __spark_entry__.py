@@ -2185,6 +2185,34 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_against(new_batch, reference).select("doc_id")
 
 
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations (EXCEPT ALL / INTERSECT ALL): duplicate-
+    SENSITIVE semantics over lineitem return flags per order — each
+    occurrence counts, unlike the DISTINCT forms in q_set_ops. Spark
+    plans these as aggregate+generate (count difference re-expansion),
+    no join explosion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 25).select("l_orderkey", "l_returnflag")
+    b = li.filter(F.col("l_linenumber") <= 2).select("l_orderkey", "l_returnflag")
+    return (
+        a.exceptAll(b)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_except_all"))
+        .join(
+            a.intersectAll(b)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_intersect_all")),
+            "l_returnflag",
+            "full_outer",
+        )
+        .select(
+            "l_returnflag",
+            F.coalesce("n_except_all", F.lit(0)).alias("n_except_all"),
+            F.coalesce("n_intersect_all", F.lit(0)).alias("n_intersect_all"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2211,7 +2239,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confusion_pivot": q_confusion_pivot,
         "window_topn": q_window_topn,
         "anti_join": q_anti_join,
-        "set_ops": q_set_ops,
         "rollup": q_rollup,
         "json_extract": q_json_extract,
         "asof_join": q_asof_join,
@@ -2259,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "group_percentiles": q_group_percentiles,
         "dedup_incremental": q_dedup_incremental,
+        "set_ops_all": q_set_ops_all,
         "moving_avg": q_moving_avg,
         "sessionize": q_sessionize,
         "dedup_keep_first_rows": q_dedup_keep_first_rows,
@@ -2336,6 +2364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_labels": q_distinct_labels,
         "semi_join": q_semi_join,
         "tumbling_hourly": q_tumbling_hourly,
+        "set_ops": q_set_ops,
     }
 
 
@@ -3843,5 +3872,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM newb
             WHERE md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
               NOT IN (SELECT fp FROM ref)
+        """,
+        "set_ops_all": """
+            WITH a AS (
+              SELECT l_orderkey, l_returnflag FROM lineitem
+              WHERE l_quantity >= 25
+            ), b AS (
+              SELECT l_orderkey, l_returnflag FROM lineitem
+              WHERE l_linenumber <= 2
+            ), ea AS (
+              SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_except_all
+              FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+              GROUP BY 1
+            ), ia AS (
+              SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_intersect_all
+              FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+              GROUP BY 1
+            )
+            SELECT COALESCE(ea.l_returnflag, ia.l_returnflag) AS l_returnflag,
+              CAST(COALESCE(n_except_all, 0) AS BIGINT) AS n_except_all,
+              CAST(COALESCE(n_intersect_all, 0) AS BIGINT) AS n_intersect_all
+            FROM ea FULL OUTER JOIN ia ON ea.l_returnflag = ia.l_returnflag
         """,
     }
