@@ -2021,21 +2021,38 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding context windows (operators.pipeline.chunk_with_overlap):
     32-token chunks every 24 tokens over whitespace-tokenized documents —
-    drop-tail, single short chunk for short docs."""
+    drop-tail, single short chunk for short docs. The chunk array is
+    emitted space-joined: the gate harness canonicalizes by sorting on
+    every column, which requires scalar (hashable) cells."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("tokens")
     )
-    return pl.chunk_with_overlap(toks, size=32, stride=24)
+    chunks = pl.chunk_with_overlap(toks, size=32, stride=24)
+    return chunks.select(
+        "doc_id",
+        "chunk_index",
+        "start",
+        F.array_join("chunk", " ").alias("chunk_text"),
+        "chunk_len",
+    )
 
 
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 embedding quantization (operators.similarity.
     quantize_embeddings): per-vector symmetric scale, round-half-up
     codes, exact per-vector max reconstruction error — all IEEE-exact
-    arithmetic, so the oracle matches bit-for-bit."""
+    arithmetic, so the oracle matches bit-for-bit. Codes are emitted
+    comma-joined: the gate harness canonicalizes by sorting on every
+    column, which requires scalar (hashable) cells."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.quantize_embeddings(emb)
+    q = sim.quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias("codes_csv"),
+        "max_abs_err",
+    )
 
 
 def q_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3698,7 +3715,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
               CAST(s // 24 AS BIGINT) AS chunk_index,
               CAST(s AS BIGINT) AS start,
-              list_slice(toks, s + 1, s + 32) AS chunk,
+              array_to_string(list_slice(toks, s + 1, s + 32), ' ') AS chunk_text,
               CAST(len(list_slice(toks, s + 1, s + 32)) AS BIGINT) AS chunk_len
             FROM ex
         """,
@@ -3712,10 +3729,11 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings
             )
             SELECT vec_id, scale,
-              CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
-                ELSE list_transform(embedding,
-                       x -> CAST(floor(x / scale + 0.5) AS INTEGER))
-              END AS codes,
+              array_to_string(
+                CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding,
+                         x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+                END, ',') AS codes_csv,
               CAST(list_max(
                 list_transform(
                   list_zip(embedding,

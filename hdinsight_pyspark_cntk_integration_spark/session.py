@@ -42,6 +42,10 @@ _DEFAULTS = {
     # reader rejects; read as raw int64 ns and convert in the catalog
     # (sources.catalog normalizes to microsecond timestamps).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Fixture timestamps lack the isAdjustedToUTC annotation; keep the
+    # classic LTZ inference (not NTZ) so epoch functions apply directly
+    # (sources.catalog also pins this at read time for foreign sessions).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

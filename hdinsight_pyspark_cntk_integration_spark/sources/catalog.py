@@ -46,15 +46,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The fixture's timestamp columns carry no isAdjustedToUTC annotation,
+    # which Spark >= 3.4 infers as TIMESTAMP_NTZ by default. The engine's
+    # time operators (unix_timestamp/unix_micros epoch math, range frames,
+    # sessionization gaps) are written against the classic LTZ type, so pin
+    # inference to LTZ at read time — unlike a per-column cast this keeps
+    # parquet predicate pushdown on timestamp filters intact.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # LTZ is session-tz-sensitive; pin UTC so results are identical
+    # regardless of the host session's zone (and match the naive-timestamp
+    # DuckDB oracle wall-clock for wall-clock).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # The fixture stores ts as TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects; read it as int64 ns (legacy conf) and floor to
-        # microseconds — the DuckDB oracle mirrors this exact floor with
-        # make_timestamp(epoch_ns(ts)//1000).
+        # Older fixture generations stored ts as TIMESTAMP(NANOS), which
+        # Spark's parquet reader rejects; read it as int64 ns (legacy conf)
+        # and floor to microseconds — the DuckDB oracle mirrors this exact
+        # floor with make_timestamp(epoch_ns(ts)//1000).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # ts is converted through a session-tz-sensitive LTZ type; pin UTC
-        # so results are identical regardless of the host session's zone.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
