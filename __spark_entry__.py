@@ -325,6 +325,40 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(F.col("view_event_id").isNotNull())
 
 
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance (operators.relational.asof_join
+    direction='forward', tolerance_seconds=7200): for each purchase, the
+    NEXT view by the same user, nulled when it is more than two hours
+    later — pandas merge_asof semantics, one shuffle, no range-join
+    explosion. Every purchase row is preserved."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("view_ts"))
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    joined = rel.asof_join(
+        purchases,
+        views,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="view_ts",
+        right_value_cols=["view_event_id", "view_ts"],
+        direction="forward",
+        tolerance_seconds=7200,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("view_event_id").alias("next_view_event_id"),
+        F.col("view_ts").alias("next_view_ts"),
+    )
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join of fact values into literal tier buckets — broadcast
     nested-loop with a cheap predicate, no fact shuffle."""
@@ -525,22 +559,51 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-id sequences against the top-25 vocab (OOV -> 0), sequences
-    re-assembled order-exact via pos-sorted collect
-    (operators.text.tokenize_to_ids); emitted as a joined string so the
+    """Token-id sequences against the top-25 vocab (OOV -> 0) via the
+    broadcast-vocab Arrow tokenizer (operators.text.
+    tokenize_to_ids_broadcast — zero token-stream shuffle; the join+
+    regroup form tokenize_to_ids is the unbounded-vocab fallback and is
+    twin-tested against this one); emitted as a joined string so the
     oracle compares sequences exactly."""
     from hdinsight_pyspark_cntk_integration_spark.operators.text import (
         build_vocab,
-        tokenize_to_ids,
+        tokenize_to_ids_broadcast,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     vocab = build_vocab(docs, top_v=25)
-    ids = tokenize_to_ids(docs, vocab)
+    ids = tokenize_to_ids_broadcast(docs, vocab)
     return ids.select(
         "doc_id",
         F.size("ids").cast("long").alias("n_ids"),
         F.array_join(F.transform("ids", lambda x: x.cast("string")), " ").alias("ids_str"),
+    )
+
+
+def q_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time join (operators.relational.
+    point_in_time_join): each purchase picks up the signup-profile value
+    whose SCD2 validity interval covers the purchase timestamp — never a
+    value from the future (training-leakage guard). History built with
+    scd2_history over the deduped signup feed; one shuffle end-to-end,
+    no interval-join explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", F.col("value").alias("state_value"))
+    )
+    history = rel.scd2_history(signups, "user_id", "ts").select(
+        "user_id", "state_value", "valid_from", "valid_to"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return rel.point_in_time_join(
+        purchases, history, keys=["user_id"], fact_ts="ts",
+        attr_cols=["state_value"],
     )
 
 
@@ -583,6 +646,37 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     eval_df = docs.filter(F.col("doc_id") % 50 == 0)
     return pl.contamination_hits(docs, eval_df)
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-style prefiltered decontamination (operators.pipeline.
+    contamination_hits_prefiltered): hashed-bucket broadcast semi-join
+    prefilter + exact shuffled verify — the scale path when the eval
+    n-gram set is too big to broadcast exactly. Bucket count is kept
+    deliberately small here (4096) so false positives actually flow
+    through the verify join; output is exact regardless."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 37 == 0)
+    return pl.contamination_hits_prefiltered(
+        docs, eval_df, prefilter_buckets=4096
+    )
+
+
+def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication (operators.dedup.repeated_passages):
+    word 8-gram passages recurring in >= 2 distinct documents — the
+    boilerplate detector document-level near-dup can't see."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.repeated_passages(docs, n=8, min_docs=2)
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard manifest (operators.pipeline.
+    shard_manifest): hash(id) % 16 assignment + per-shard doc/token
+    counts and an order-insensitive id checksum. Knuth mixer so the
+    oracle reproduces assignments in pure integer SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pl.shard_manifest(docs, n_shards=16, method="knuth")
 
 
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2266,9 +2360,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_accuracy": q_score_accuracy,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash": q_simhash,
-        # round-3 additions, placed inside the driver harness's 50-query
+        # round-4 additions, placed inside the driver harness's 50-query
         # window so CORRECTNESS_r*.json covers them (it checks the first
-        # 50 registry keys; tools/check_parity.py covers the full set).
+        # 50 registry keys; tools/check_parity.py covers the full set —
+        # the window's last four, driver-validated in round 3, rotate out):
+        "decontaminate_bloom": q_decontaminate_bloom,
+        "asof_tolerance": q_asof_tolerance,
+        "repeated_passages": q_repeated_passages,
+        "shard_manifest": q_shard_manifest,
+        "point_in_time": q_point_in_time,
+        # round-3 additions, also inside the 50-query window.
         "hash_split": q_hash_split,
         "mixture_sample": q_mixture_sample,
         "pack_chunks": q_pack_chunks,
@@ -2864,6 +2965,106 @@ def oracle_sql() -> dict[str, str]:
             FROM tr t JOIN ev e ON t.ngram = e.ngram
             WHERE length(t.ngram) > 0
             GROUP BY t.doc_id
+        """,
+        # The bloom prefilter is exact end-to-end (false positives die in
+        # the verify join), so the oracle is the plain contamination scan.
+        "decontaminate_bloom": r"""
+            WITH sh AS (
+              SELECT doc_id,
+                list_distinct(list_transform(
+                  generate_series(1, greatest(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) - 2, 1)),
+                  i -> array_to_string(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[i:i+2], ' ')
+                )) AS s
+              FROM documents
+            ),
+            ev AS (
+              SELECT DISTINCT unnest(s) AS ngram FROM sh WHERE doc_id % 37 = 0
+            ),
+            tr AS (SELECT doc_id, unnest(s) AS ngram FROM sh)
+            SELECT t.doc_id, CAST(COUNT(DISTINCT t.ngram) AS BIGINT) AS n_hits
+            FROM tr t JOIN ev e ON t.ngram = e.ngram
+            WHERE length(t.ngram) > 0
+            GROUP BY t.doc_id
+        """,
+        "asof_tolerance": """
+            WITH p AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ),
+            v AS (
+              SELECT user_id, ts AS view_ts, MAX(event_id) AS view_event_id
+              FROM events WHERE event_type = 'view'
+              GROUP BY user_id, ts
+            )
+            SELECT p.event_id, p.user_id, p.ts,
+              CASE WHEN n.view_ts <= p.ts + INTERVAL 2 HOUR
+                THEN n.view_event_id END AS next_view_event_id,
+              CASE WHEN n.view_ts <= p.ts + INTERVAL 2 HOUR
+                THEN n.view_ts END AS next_view_ts
+            FROM p LEFT JOIN LATERAL (
+              SELECT view_ts, view_event_id FROM v
+              WHERE v.user_id = p.user_id AND v.view_ts >= p.ts
+              ORDER BY view_ts LIMIT 1
+            ) n ON true
+        """,
+        "point_in_time": """
+            WITH sg AS (
+              SELECT user_id, ts AS sts, value AS state_value,
+                ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                   ORDER BY event_id DESC) AS rn
+              FROM events WHERE event_type = 'signup'
+            ),
+            sgd AS (SELECT user_id, sts, state_value FROM sg WHERE rn = 1),
+            p AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            )
+            SELECT p.event_id, p.user_id, p.ts, l.state_value
+            FROM p LEFT JOIN LATERAL (
+              SELECT state_value FROM sgd
+              WHERE sgd.user_id = p.user_id AND sgd.sts <= p.ts
+              ORDER BY sts DESC LIMIT 1
+            ) l ON true
+        """,
+        "repeated_passages": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS l
+              FROM documents
+              WHERE text IS NOT NULL
+            ),
+            grams AS (
+              SELECT doc_id,
+                unnest(list_transform(range(greatest(len(l) - 7, 1)),
+                  i -> array_to_string(list_slice(l, i + 1, i + 8), ' '))) AS passage
+              FROM toks
+            )
+            SELECT passage,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+              MIN(doc_id) AS first_doc_id
+            FROM grams
+            WHERE length(passage) > 0
+            GROUP BY passage
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        """,
+        "shard_manifest": r"""
+            WITH a AS (
+              SELECT doc_id,
+                ((doc_id % 1000003) * 2654435761) % 1000003 AS idh,
+                CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'))
+                END AS nt
+              FROM documents
+            )
+            SELECT CAST(idh % 16 AS BIGINT) AS shard,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(nt) AS BIGINT) AS n_tokens,
+              MIN(doc_id) AS min_id,
+              MAX(doc_id) AS max_id,
+              CAST(SUM(idh) AS BIGINT) AS id_checksum
+            FROM a
+            GROUP BY shard
         """,
         "pack_chunks_global": f"""
             WITH t AS (

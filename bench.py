@@ -56,6 +56,12 @@ PIPELINE = [
     "pii_redact",
     "epoch_shuffle",
     "resample_ffill",
+    # round-4 additions
+    "decontaminate_bloom",
+    "asof_tolerance",
+    "repeated_passages",
+    "shard_manifest",
+    "point_in_time",
 ]
 
 

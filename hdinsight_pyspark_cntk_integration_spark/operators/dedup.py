@@ -607,3 +607,41 @@ def dedup_against(
         .join(ref_fp, "fingerprint", "left_anti")
         .drop("fingerprint")
     )
+
+
+def repeated_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level duplication: word ``n``-gram passages that recur
+    across at least ``min_docs`` DISTINCT documents, with corpus-wide
+    occurrence counts — the boilerplate/template detector that document-
+    level near-dedup (minhash/simhash) cannot see, because two documents
+    sharing one licence header are nowhere near Jaccard-similar overall.
+
+    Scale shape: explode to (doc, passage) — duplicates kept, so
+    ``n_occurrences`` counts every instance — then ONE partial-agg
+    groupBy on the passage. The distinct-doc count is the only expanding
+    aggregate and it is bounded per passage by the corpus's duplication
+    factor; the ``min_docs`` cut drops the unique-passage long tail
+    before any downstream join. Returns (passage, n_docs, n_occurrences,
+    first_doc_id) — feed the survivors back through a broadcast semi-join
+    to locate and strip the passages from the documents themselves.
+    """
+    if n < 1 or min_docs < 1:
+        raise ValueError(f"need n >= 1 and min_docs >= 1 (got n={n}, min_docs={min_docs})")
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("passage")
+    ).filter(F.length("passage") > 0)
+    return (
+        grams.groupBy("passage")
+        .agg(
+            F.count_distinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(id_col).alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

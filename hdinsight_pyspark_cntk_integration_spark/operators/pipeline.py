@@ -457,3 +457,94 @@ def epoch_shuffle(
             (F.col("__off") + F.col("__rn")).cast("bigint").alias("pos"),
         )
     )
+
+
+def contamination_hits_prefiltered(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    n: int = 3,
+    prefilter_buckets: int = 1 << 22,
+) -> DataFrame:
+    """``contamination_hits`` for eval corpora too large to broadcast as
+    an exact n-gram set: a Bloom-style hashed-bucket prefilter plus an
+    exact verification join. Identical output to ``contamination_hits``
+    — the prefilter only admits false positives, and the exact join
+    removes them.
+
+    Scale shape: the eval n-grams collapse to DISTINCT hash buckets in
+    ``[0, prefilter_buckets)`` — at most ``prefilter_buckets`` longs
+    (~32 MB at the default 2^22) regardless of eval size, so the bucket
+    set broadcasts even when the n-gram strings themselves are tens of
+    GB. The 100 TB train side probes it with a broadcast LEFT SEMI join
+    (pure JVM: xxhash64 + pmod, no Python in the hot path); only the
+    surviving candidates — true hits plus the ~n_eval/buckets false-
+    positive fraction — enter the shuffled exact join against the full
+    eval n-gram set. Compared with a direct shuffle join, the bytes
+    shuffled from the train side drop by the prefilter's selectivity.
+    """
+    from hdinsight_pyspark_cntk_integration_spark.operators.dedup import word_shingles
+
+    bucket_of = lambda c: F.pmod(F.xxhash64(c), F.lit(prefilter_buckets))  # noqa: E731
+    eval_ngrams = (
+        eval_df.select(F.explode(word_shingles(eval_text_col, n)).alias("ngram"))
+        .filter(F.length("ngram") > 0)
+        .distinct()
+    )
+    buckets = eval_ngrams.select(bucket_of(F.col("ngram")).alias("__bucket")).distinct()
+    train_ngrams = train.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("ngram")
+    )
+    candidates = train_ngrams.join(
+        F.broadcast(buckets),
+        bucket_of(train_ngrams.ngram) == F.col("__bucket"),
+        "left_semi",
+    )
+    return (
+        candidates.join(eval_ngrams, "ngram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("ngram").alias("n_hits"))
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic training-shard layout manifest: assign every document
+    to ``hash(id) % n_shards`` and summarize each shard — (shard, n_docs,
+    n_tokens, min/max doc id, id_checksum). The manifest is what a
+    dataloader consumes to plan epochs and what an auditor diffs between
+    dataset versions; the checksum (sum of id hash buckets, order-
+    insensitive) detects membership drift without re-reading text.
+
+    One partial-agg shuffle of (shard, tiny aggregates); the assignment
+    itself is a pure projection, so writing the actual shards with
+    ``df.write.partitionBy`` colocates for free. ``method='knuth'`` makes
+    the assignment reproducible in ANSI SQL for cross-engine checks.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
+    from hdinsight_pyspark_cntk_integration_spark.functions.textfns import normalized_text
+
+    n_tokens = F.when(F.length(normalized_text(text_col)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(normalized_text(text_col), r"\s+"))
+    )
+    assigned = df.select(
+        F.pmod(hash_bucket(id_col, method=method), F.lit(n_shards)).alias("shard"),
+        F.col(id_col),
+        hash_bucket(id_col, method=method).alias("__idh"),
+        n_tokens.cast("long").alias("__nt"),
+    )
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("n_tokens"),
+        F.min(id_col).alias("min_id"),
+        F.max(id_col).alias("max_id"),
+        F.sum("__idh").alias("id_checksum"),
+    )

@@ -106,39 +106,68 @@ def asof_join(
     right_value_cols: Sequence[str],
     strict: bool = False,
     dedup_right: bool = False,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    null_safe: bool = False,
 ) -> DataFrame:
-    """As-of join (backward): for each left row, the most recent right row
-    with the same keys and ``right_ts <= left_ts`` (``<`` when strict).
+    """As-of join: for each left row, the nearest right row with the same
+    keys at-or-before its timestamp (``direction='backward'``, default:
+    ``right_ts <= left_ts``, ``<`` when strict) or at-or-after it
+    (``direction='forward'``: ``right_ts >= left_ts``, ``>`` when strict).
+    ``tolerance_seconds`` additionally nulls the matched value columns
+    when the matched row is further than the tolerance away — the same
+    surface as pandas ``merge_asof(direction=..., tolerance=...)``, kept
+    distributed.
 
-    Implementation is the union + last-value-carry-forward trick: tag both
+    Implementation is the union + last-value-carry trick: tag both
     sides, union, and window ``last(value, ignorenulls=True)`` ordered by
-    timestamp. Exactly ONE shuffle (on the keys) and no range-join row
-    explosion — this is the 100 TB-safe plan; a naive
-    ``ON key AND r.ts <= l.ts`` inequality join degenerates to a per-key
-    cross product.
+    timestamp (descending for forward — carrying the last-seen right row
+    down a descending ordering IS the nearest at-or-after match). Exactly
+    ONE shuffle (on the keys) and no range-join row explosion — this is
+    the 100 TB-safe plan; a naive ``ON key AND r.ts <= l.ts`` inequality
+    join degenerates to a per-key cross product.
 
     Ties: at equal timestamps the right row sorts before the left row
     (side 0 < side 1) so non-strict semantics include same-instant
-    matches; ``strict=True`` orders the left row first instead. If the
+    matches; ``strict=True`` orders the left row first instead (this
+    holds in both directions — only the timestamp sort flips). If the
     right side has duplicate (keys, ts) rows, the last one in its sort
     order wins — nondeterministic unless the right side is pre-deduped.
     ``dedup_right=True`` does that here: one row per (keys, right_ts),
     keeping the max of each value column (deterministic, and one extra
     shuffle on the same keys that AQE can often coalesce with the window's).
+
+    NULL caveat: the carry uses ``last(..., ignorenulls=True)`` per value
+    column, so a matched row whose value is legitimately NULL would pick
+    up a STALE value from an earlier right row. ``null_safe=True`` packs
+    all value columns into one (never-NULL) struct before the carry and
+    unpacks after — exact per-row semantics at the cost of one struct
+    wrap; use it whenever right value columns can hold NULLs (e.g. SCD2
+    open-interval ``valid_to``).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward' (got {direction!r})")
     keys = list(keys)
     if dedup_right:
         right = right.groupBy(*keys, right_ts).agg(
             *[F.max(c).alias(c) for c in right_value_cols]
         )
+    if null_safe:
+        user_value_cols = list(right_value_cols)
+        right = right.withColumn(
+            "__packed", F.struct(*[F.col(c) for c in user_value_cols])
+        )
+        right_value_cols = ["__packed"]
     lcols = left.columns
     side_right, side_left = (0, 1) if not strict else (1, 0)
+    rts_type = right.schema[right_ts].dataType
 
     l_tagged = left.select(
         *[F.col(c) for c in lcols],
         F.col(left_ts).alias("__ts"),
         F.lit(side_left).alias("__side"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_value_cols],
+        F.lit(None).cast(rts_type).alias("__r___mts"),
     )
     r_tagged = right.select(
         *[F.col(k) for k in keys],
@@ -146,12 +175,14 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(side_right).alias("__side"),
         *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
-    ).select(*lcols, "__ts", "__side", *[f"__r_{c}" for c in right_value_cols])
+        F.col(right_ts).alias("__r___mts"),
+    ).select(*lcols, "__ts", "__side", *[f"__r_{c}" for c in right_value_cols], "__r___mts")
 
     unioned = l_tagged.unionByName(r_tagged)
+    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__ts", "__side")
+        .orderBy(ts_order, "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -162,8 +193,40 @@ def asof_join(
             F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(c)
             for c in right_value_cols
         ],
+        F.last(F.col("__r___mts"), ignorenulls=True).over(w).alias("__mts"),
     )
-    return carried.filter(F.col("__side") == side_left).drop("__ts", "__side")
+    out = carried.filter(F.col("__side") == side_left)
+    if tolerance_seconds is not None:
+        from pyspark.sql.types import TimestampType
+
+        if isinstance(unioned.schema["__ts"].dataType, TimestampType) and isinstance(
+            rts_type, TimestampType
+        ):
+            # Exact integer-microsecond comparison — a boundary-exact match
+            # must not flip on double rounding of ~1e9-second epochs.
+            within = F.abs(
+                F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__mts"))
+            ) <= int(round(float(tolerance_seconds) * 1_000_000))
+        else:
+            # Numeric ordering keys: compare in their own domain.
+            within = (
+                F.abs(F.col("__ts").cast("double") - F.col("__mts").cast("double"))
+                <= float(tolerance_seconds)
+            )
+        out = out.select(
+            *lcols,
+            F.col("__ts"),
+            F.col("__side"),
+            *[F.when(within, F.col(c)).alias(c) for c in right_value_cols],
+            "__mts",
+        )
+    out = out.drop("__ts", "__side", "__mts")
+    if null_safe:
+        out = out.select(
+            *lcols,
+            *[F.col("__packed")[c].alias(c) for c in user_value_cols],
+        )
+    return out
 
 
 def salted_join(
@@ -392,4 +455,46 @@ def scd2_history(
         changes.withColumn("valid_from", F.col(ts_col))
         .withColumn("valid_to", F.lead(ts_col).over(w))
         .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: Sequence[str],
+    fact_ts: str,
+    attr_cols: Sequence[str],
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Feature-store point-in-time join: each fact row picks up the
+    attribute values whose SCD2 validity interval covers its timestamp
+    (``valid_from <= fact_ts < valid_to``, open ``valid_to`` = current).
+    Facts before a key's first interval — or inside a gap of a
+    non-contiguous history — get NULL attributes; every fact row is
+    preserved. This is the leakage-safe way to attach dimension state to
+    training examples: never the attribute value from the future.
+
+    Implementation: backward as-of join on ``valid_from`` (union +
+    last-value carry — ONE shuffle on the keys) plus a ``valid_to`` gap
+    check. The naive ``BETWEEN``-interval join is a per-key cross product
+    that explodes exactly when a key's history is long; this form is
+    O(n log n) within each key regardless of interval count.
+    """
+    attr_cols = list(attr_cols)
+    out = asof_join(
+        facts,
+        history,
+        keys=keys,
+        left_ts=fact_ts,
+        right_ts=valid_from,
+        right_value_cols=attr_cols + [valid_to],
+        # valid_to is NULL on every open interval — without struct packing
+        # the carry would replace it with the previous interval's bound.
+        null_safe=True,
+    )
+    live = F.col(valid_to).isNull() | (F.col(valid_to) > F.col(fact_ts))
+    return out.select(
+        *facts.columns,
+        *[F.when(live, F.col(c)).alias(c) for c in attr_cols],
     )

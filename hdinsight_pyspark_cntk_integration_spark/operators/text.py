@@ -6,6 +6,7 @@ codegen'd, and each exactly reproducible in ANSI SQL for the oracle gate.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -231,6 +232,47 @@ def tokenize_to_ids(
             F.coalesce(F.col("ids"), F.array().cast("array<int>")).alias("ids"),
         )
     )
+
+
+def tokenize_to_ids_broadcast(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_id: int = 0,
+) -> DataFrame:
+    """``tokenize_to_ids`` without the token-stream shuffle: collect the
+    (bounded) vocabulary to a plain dict, broadcast it, and map each
+    document to its id sequence in one Arrow-batched projection — the way
+    production tokenizers run (the vocab ships to workers; the corpus
+    never moves). The join form regroups every token through a shuffle;
+    this form touches each document exactly once, so prefer it whenever
+    the vocab fits executor memory (BPE-scale vocabs always do).
+
+    Tokenization mirrors ``functions.textfns.normalized_text`` + split:
+    lowercase, split on ASCII whitespace runs, drop empties. (Exotic
+    unicode whitespace is the one place the JVM and Python regex engines
+    could disagree; both sides here treat only ASCII space/tab/newline/
+    CR/FF/VT as separators.)
+    """
+    import re as _re
+
+    vmap = {r["token"]: r["token_id"] for r in vocab.select("token", "token_id").collect()}
+    bc = df.sparkSession.sparkContext.broadcast(vmap)
+    ws = _re.compile(r"[ \t\n\r\f\v]+")
+
+    @F.pandas_udf("array<int>")
+    def ids_of(texts: pd.Series) -> pd.Series:
+        m = bc.value
+
+        def conv(t):
+            if t is None:
+                return []
+            return [m.get(tok, unk_id) for tok in ws.split(t.lower()) if tok]
+
+        return texts.map(conv)
+
+    return df.select(F.col(id_col), ids_of(F.col(text_col)).alias("ids"))
 
 
 def token_histogram(df: DataFrame, text_col: str = "text", top_n: int = 100) -> DataFrame:

@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -304,3 +305,35 @@ def overwrite_partitions(
         df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
     finally:
         spark.conf.set(key, saved)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Write a dataset as deterministic training shards: directory per
+    ``shard=<hash(id) % n_shards>``, rows inside each file ordered by the
+    id hash then id — so every rewrite of the same corpus produces
+    byte-stable shards a dataloader can seek into, and
+    ``operators.pipeline.shard_manifest`` (same mixer) describes exactly
+    what was written.
+
+    One repartition on the shard column (each output directory is
+    produced by one task — no thousand-small-files-per-shard problem),
+    ``sortWithinPartitions`` for the intra-shard order: no global sort.
+    """
+    from hdinsight_pyspark_cntk_integration_spark.operators.pipeline import hash_bucket
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
+    (
+        df.withColumn("shard", F.pmod(hash_bucket(id_col), F.lit(n_shards)))
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions(F.pmod(hash_bucket(id_col), F.lit(n_shards)), hash_bucket(id_col), F.col(id_col))
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

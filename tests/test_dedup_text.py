@@ -379,3 +379,33 @@ def test_dedup_against_drops_only_known_fingerprints(spark):
     )
     kept = sorted(r["doc_id"] for r in dd.dedup_against(new, ref).collect())
     assert kept == [11, 13]
+
+
+def test_repeated_passages_detects_planted_boilerplate(spark):
+    header = "this license header is repeated verbatim in many documents here"
+    rows = [(i, f"{header} unique body {i} filler {i * 7}") for i in range(10)]
+    rows += [(100 + i, f"totally unique document number {i} with its own words " + " ".join(f"w{i}x{j}" for j in range(12))) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dd.repeated_passages(df, n=8, min_docs=5).toPandas()
+    # the 10-word header contributes word 8-grams shared by all 10 docs
+    top = out.sort_values("n_docs", ascending=False).iloc[0]
+    assert top["n_docs"] == 10
+    assert top["n_occurrences"] == 10
+    assert top["first_doc_id"] == 0
+    assert top["passage"] in header  # every shared 8-gram comes from the header
+    # unique documents contribute no passage at min_docs=5
+    assert all(out["n_docs"] >= 5)
+
+
+def test_tokenize_broadcast_twin_matches_join_form(spark):
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    vocab = tx.build_vocab(docs, top_v=25)
+    a = {
+        r["doc_id"]: r["ids"]
+        for r in tx.tokenize_to_ids(docs, vocab).collect()
+    }
+    b = {
+        r["doc_id"]: r["ids"]
+        for r in tx.tokenize_to_ids_broadcast(docs, vocab).collect()
+    }
+    assert len(a) > 0 and a == b

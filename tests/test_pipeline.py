@@ -295,3 +295,71 @@ def test_epoch_shuffle_is_permutation_and_epoch_dependent(spark):
     assert list(e0["pos"]) == list(again["pos"])
     with pytest.raises(ValueError, match="epoch"):
         pl.epoch_shuffle(df, epoch=-1)
+
+
+def test_contamination_prefiltered_equals_exact(spark):
+    from hdinsight_pyspark_cntk_integration_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    exact = {
+        r["doc_id"]: r["n_hits"]
+        for r in pl.contamination_hits(docs, eval_df).collect()
+    }
+    # Tiny bucket space forces real false positives through the prefilter;
+    # the verify join must eliminate every one of them.
+    pre = {
+        r["doc_id"]: r["n_hits"]
+        for r in pl.contamination_hits_prefiltered(
+            docs, eval_df, prefilter_buckets=64
+        ).collect()
+    }
+    assert pre == exact and len(exact) > 0
+
+
+def test_shard_manifest_partitions_corpus_exactly(spark):
+    df = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1} tok{i + 2}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    for method in ("xxhash64", "knuth"):
+        man = pl.shard_manifest(df, n_shards=8, method=method).toPandas()
+        assert man["n_docs"].sum() == 200
+        assert man["n_tokens"].sum() == 600  # 3 tokens per doc
+        assert set(man["shard"]) <= set(range(8))
+        # checksum is order-insensitive membership: permuting input rows
+        # cannot change it
+        man2 = pl.shard_manifest(
+            df.orderBy(F.desc("doc_id")), n_shards=8, method=method
+        ).toPandas()
+        a = man.sort_values("shard").reset_index(drop=True)
+        b = man2.sort_values("shard").reset_index(drop=True)
+        assert a.equals(b)
+    with pytest.raises(ValueError, match="n_shards"):
+        pl.shard_manifest(df, n_shards=0)
+
+
+def test_write_training_shards_round_trips_and_is_stable(spark, tmp_path):
+    from hdinsight_pyspark_cntk_integration_spark.sources import io as sio
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(300)], "doc_id long, text string"
+    )
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    sio.write_training_shards(df, p1, n_shards=4)
+    # a permuted input produces the identical sharded layout
+    sio.write_training_shards(df.orderBy(F.desc("doc_id")), p2, n_shards=4)
+    a = spark.read.parquet(p1)
+    b = spark.read.parquet(p2)
+    assert a.count() == 300
+    assert sorted(r["shard"] for r in a.select("shard").distinct().collect()) == [0, 1, 2, 3]
+    pa = a.orderBy("shard", "doc_id").toPandas()
+    pb = b.orderBy("shard", "doc_id").toPandas()
+    assert pa.equals(pb)
+    # manifest agrees with what landed on disk
+    man = pl.shard_manifest(df, n_shards=4, text_col="text").toPandas().set_index("shard")
+    on_disk = a.groupBy("shard").count().toPandas().set_index("shard")
+    for s in range(4):
+        assert man.loc[s, "n_docs"] == on_disk.loc[s, "count"]
+    with pytest.raises(ValueError, match="n_shards"):
+        sio.write_training_shards(df, str(tmp_path / "s3"), n_shards=0)

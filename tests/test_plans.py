@@ -98,10 +98,29 @@ def test_topk_agg_not_global_sort(spark, sf_dir):
     assert "rangepartitioning" not in plan.lower(), plan[:3000]
 
 
-def test_tokenize_ids_broadcasts_vocab(spark, sf_dir):
-    """The vocab side of the token-id lookup must broadcast — a sort-merge
-    join here would shuffle the whole exploded token stream."""
+def test_tokenize_ids_gate_is_shuffle_free(spark, sf_dir):
+    """The gate query uses the broadcast-dict Arrow tokenizer: one
+    ArrowEvalPython projection over the scan, zero joins, zero shuffles —
+    the corpus never moves for the vocab lookup."""
     df = e.q_tokenize_ids(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert "ArrowEvalPython" in plan
+    assert "Join" not in plan, plan
+    assert P.count_shuffles(df) == 0
+
+
+def test_tokenize_ids_join_form_broadcasts_vocab(spark, sf_dir):
+    """The unbounded-vocab fallback (tokenize_to_ids) must broadcast the
+    vocab side — a sort-merge join here would shuffle the whole exploded
+    token stream."""
+    from hdinsight_pyspark_cntk_integration_spark.operators.text import (
+        build_vocab,
+        tokenize_to_ids,
+    )
+    from hdinsight_pyspark_cntk_integration_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = tokenize_to_ids(docs, build_vocab(docs, top_v=25))
     plan = P.formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan

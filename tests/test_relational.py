@@ -196,3 +196,114 @@ def test_scd2_history_intervals(spark):
     assert [r["is_current"] for r in k1] == [False, False, True]
     k2 = [r for r in out if r["k"] == 2]
     assert len(k2) == 1 and k2[0]["is_current"] and k2[0]["valid_to"] is None
+
+
+def test_asof_join_forward_direction(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (3, 7, "d")],
+        "k int, ts int, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, 12, 100), (1, 9, 200), (2, 5, 300), (3, 6, 400)],
+        "k int, rts int, val int",
+    )
+    out = rel.asof_join(
+        left, right, ["k"], "ts", "rts", ["val"], direction="forward"
+    )
+    got = {r["name"]: r["val"] for r in out.collect()}
+    # a@10 -> next at 12; b@20 -> none after; c@5 -> same-instant 5;
+    # d@7 -> none (6 is before)
+    assert got == {"a": 100, "b": None, "c": 300, "d": None}
+    strict = rel.asof_join(
+        left, right, ["k"], "ts", "rts", ["val"], direction="forward", strict=True
+    )
+    got_s = {r["name"]: r["val"] for r in strict.collect()}
+    assert got_s["c"] is None  # same-instant excluded when strict
+
+
+def test_asof_join_tolerance_matches_pandas_merge_asof(spark):
+    import pandas as pd
+
+    left_rows = [(1, 10), (1, 40), (1, 100), (2, 7), (3, 50)]
+    right_rows = [(1, 8, 100), (1, 35, 200), (2, 1, 300), (3, 49, 400)]
+    left = spark.createDataFrame(left_rows, "k int, ts long")
+    right = spark.createDataFrame(right_rows, "k int, rts long, val int")
+    out = rel.asof_join(
+        left, right, ["k"], "ts", "rts", ["val"], tolerance_seconds=5
+    )
+    lpdf = pd.DataFrame(left_rows, columns=["k", "ts"]).sort_values("ts")
+    rpdf = pd.DataFrame(right_rows, columns=["k", "rts", "val"]).sort_values("rts")
+    expect = pd.merge_asof(
+        lpdf, rpdf, left_on="ts", right_on="rts", by="k", tolerance=5
+    )
+    got = {(r["k"], r["ts"]): r["val"] for r in out.collect()}
+    for _, row in expect.iterrows():
+        want = None if pd.isna(row["val"]) else int(row["val"])
+        assert got[(row["k"], row["ts"])] == want, (row["k"], row["ts"])
+
+
+def test_asof_join_tolerance_timestamps_exact_boundary(spark):
+    import datetime as dtm
+
+    t0 = dtm.datetime(2024, 1, 1, 0, 0, 0)
+    left = spark.createDataFrame(
+        [(1, t0 + dtm.timedelta(seconds=3600))], "k int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t0, 7)], "k int, rts timestamp, val int"
+    )
+    on_boundary = rel.asof_join(
+        left, right, ["k"], "ts", "rts", ["val"], tolerance_seconds=3600
+    )
+    beyond = rel.asof_join(
+        left, right, ["k"], "ts", "rts", ["val"], tolerance_seconds=3599.999999
+    )
+    assert on_boundary.collect()[0]["val"] == 7
+    assert beyond.collect()[0]["val"] is None
+
+
+def test_asof_join_bad_direction_raises(spark):
+    left = spark.createDataFrame([(1, 5, "x")], "k int, ts int, name string")
+    right = spark.createDataFrame([(1, 5, 42)], "k int, rts int, val int")
+    with pytest.raises(ValueError, match="direction"):
+        rel.asof_join(left, right, ["k"], "ts", "rts", ["val"], direction="sideways")
+
+
+def test_point_in_time_join_gap_and_leakage_semantics(spark):
+    facts = spark.createDataFrame(
+        [(1, 5, "before"), (1, 15, "inside1"), (1, 25, "inside2"),
+         (1, 35, "in_gap"), (1, 45, "inside3"), (2, 10, "no_history")],
+        "k int, ts long, name string",
+    )
+    # intervals: [10,20) v=100; [20,30) v=200; GAP [30,40); [40,null) v=300
+    history = spark.createDataFrame(
+        [(1, 10, 20, 100), (1, 20, 30, 200), (1, 40, None, 300)],
+        "k int, valid_from long, valid_to long, v int",
+    )
+    out = rel.point_in_time_join(
+        facts, history, keys=["k"], fact_ts="ts", attr_cols=["v"]
+    )
+    got = {r["name"]: r["v"] for r in out.collect()}
+    assert got == {
+        "before": None,      # before first interval
+        "inside1": 100,
+        "inside2": 200,      # boundary: valid_from=20 inclusive
+        "in_gap": None,      # interval [20,30) closed before ts=35
+        "inside3": 300,      # open interval
+        "no_history": None,  # key absent from history; row preserved
+    }
+    assert out.count() == 6
+
+
+def test_asof_join_null_safe_does_not_carry_stale_values(spark):
+    """A matched right row whose value is legitimately NULL must yield
+    NULL — not the previous right row's value (the ignorenulls-carry
+    caveat null_safe=True exists for)."""
+    left = spark.createDataFrame([(1, 20, "x")], "k int, ts long, name string")
+    right = spark.createDataFrame(
+        [(1, 10, 7), (1, 20, None)], "k int, rts long, val int"
+    )
+    default = rel.asof_join(left, right, ["k"], "ts", "rts", ["val"])
+    safe = rel.asof_join(left, right, ["k"], "ts", "rts", ["val"], null_safe=True)
+    assert default.collect()[0]["val"] == 7   # documented stale-carry behavior
+    assert safe.collect()[0]["val"] is None   # exact row semantics

@@ -73,10 +73,9 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[bool, st
         return False, f"columns {list(a.columns)} vs {list(b.columns)}"
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
-        if pd.api.types.is_float_dtype(a[c]):
-            same = (av == bv) | (np.isnan(av.astype(float)) & np.isnan(bv.astype(float)))
-        else:
-            same = av == bv
+        # Null-safe equality: NaN==NaN and NaT==NaT count as equal (both
+        # sides carry the same missing value; elementwise == says False).
+        same = (av == bv) | (pd.isna(av) & pd.isna(bv))
         if not bool(np.all(same)):
             i = int(np.argmin(same))
             return False, f"col {c} row {i}: {av[i]!r} vs {bv[i]!r} (maxdiff shown first)"
