@@ -141,3 +141,42 @@ def test_cifar_loader_skips_non_batch_members(spark, archive):
 def test_cifar_loader_raises_on_no_match(spark, archive):
     with pytest.raises(ValueError, match="no CIFAR batch members"):
         cifar.cifar_batch_df(spark, archive, member_filter="train_batch")
+
+
+def test_cifar_python_datasource_matches_driver_loader(spark, archive):
+    """The distributed cifar_pickle DataSource (one input partition per
+    archive member, Arrow RecordBatch output) must read exactly what the
+    driver-side loader reads: same cardinality, same (image, label) rows,
+    one partition per batch member, non-batch members skipped."""
+    from hdinsight_pyspark_cntk_integration_spark.sources.cifar_datasource import (
+        CifarPickleDataSource,
+    )
+
+    spark.dataSource.register(CifarPickleDataSource)
+    ds = (
+        spark.read.format("cifar_pickle")
+        .option("member_filter", "test_batch")
+        .load(archive)
+    )
+    assert ds.count() == N_ROWS
+    assert ds.select("batch").distinct().count() == 2
+    assert ds.rdd.getNumPartitions() == 2
+
+    # exact row parity with the driver-side reference loader, keyed by the
+    # loader's global row order (members iterate in archive order)
+    expected = {}
+    offset = 0
+    for _, data, labels in cifar.read_cifar_archive(archive, "test_batch"):
+        for i in range(data.shape[0]):
+            expected[offset + i] = (int(labels[i]), int(data[i].sum()))
+        offset += data.shape[0]
+    got = {}
+    for r in ds.collect():
+        gid = (0 if r["batch"].endswith("part0") else N_ROWS // 2) + r["row_in_batch"]
+        got[gid] = (int(r["label"]), int(sum(r["image"])))
+    assert got == expected
+
+    # full archive read (no filter) skips the non-batch member
+    spark.dataSource.register(CifarPickleDataSource)
+    all_df = spark.read.format("cifar_pickle").load(archive)
+    assert all_df.count() == N_ROWS
