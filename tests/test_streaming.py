@@ -312,3 +312,38 @@ def test_stream_restart_from_checkpoint_no_duplicates(spark, sf_dir, tmp_path):
     )
     merged = got.merge(exp, on=["window_start", "event_type"], how="left")
     assert (merged["n"] == merged["n_exp"]).all()
+
+
+def test_events_replay_source_twin_matches_batch(spark, sf_dir):
+    """The events_replay Python DataSource streams the fixture in stable
+    (ts, event_id) order in fixed microbatches; tumbling counts through
+    it must equal the batch computation on the same table exactly."""
+    from hdinsight_pyspark_cntk_integration_spark.streaming.replay_source import (
+        EventsReplayDataSource,
+    )
+
+    spark.dataSource.register(EventsReplayDataSource)
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("order_by", "ts,event_id")
+        .option("rows_per_batch", "4000")
+        .load()
+    )
+    agg = st.tumbling_counts(st.with_watermark(stream, delay="1 hour"))
+    q = _run_to_memory(agg, "replay_t")
+    got = (
+        spark.sql("select * from replay_t")
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    batch = load_table(spark, sf_dir, "events")
+    exp = (
+        st.tumbling_counts(batch)
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp)
+    q.stop()
