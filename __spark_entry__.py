@@ -1489,17 +1489,39 @@ def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_pair_sides(emb: DataFrame) -> tuple[DataFrame, DataFrame, F.Column]:
+    """(a side, b side, exact-cosine column) for all-pairs embedding
+    comparisons, with each vector's L2 norm computed ONCE per row before
+    the join instead of once per pair — bit-identical arithmetic (same
+    sqrt-of-fold values, same multiply/divide tree as cosine_similarity,
+    so the DuckDB oracle still hash-matches) at a third of the
+    interpreted-HOF work across O(n²) pairs."""
+    from hdinsight_pyspark_cntk_integration_spark.functions.vector import dot, l2_norm
+
+    base = emb.select("vec_id", "embedding", l2_norm("embedding").alias("nrm"))
+    a = base.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    denom = F.col("na") * F.col("nb")
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(dot("va", "vb") / denom)
+    return a, b, cos
+
+
 def q_near_dup_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup, exact all-pairs baseline: pairs with cosine
     ≥ 0.4 via broadcast nested-loop self-join. This is the verification
     baseline; the 100 TB path is q_near_dup_cosine_lsh (hyperplane
     bucketing bounds candidate pairs instead of n²)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    a, b, cos = _emb_pair_sides(emb)
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_similarity("va", "vb").alias("cos"))
+        .select("id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos") >= 0.4)
     )
 
@@ -1518,18 +1540,17 @@ def q_near_dup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = dd.embedding_near_dup_candidates(
         emb, id_col="vec_id", vec_col="embedding", bands=64
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    a, b, cos = _emb_pair_sides(emb)
     lsh = (
         cands.join(a, "id_a")
         .join(b, "id_b")
-        .select("id_a", "id_b", cosine_similarity("va", "vb").alias("cos"))
+        .select("id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos") >= 0.4)
         .select("id_a", "id_b")
     )
     exact = (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_similarity("va", "vb").alias("cos"))
+        .select("id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos") >= 0.4)
         .select("id_a", "id_b")
     )
