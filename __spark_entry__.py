@@ -284,6 +284,31 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via the VARIANT type (Spark 4): parse the
+    props JSON once into a binary variant, then typed-path extraction
+    with variant_get — at scale this is the parse-once/shred-at-rest
+    path, vs get_json_object re-parsing the string per expression
+    (q_json_extract is the classic twin). Exercises parse, typed get,
+    and aggregation over extracted values in one query."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.parse_json("props").alias("pv"),
+    )
+    k = F.variant_get(F.col("pv"), "$.k", "long")
+    return (
+        v.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window agg in batch form (the streaming layer runs the
     identical groupBy on a stream — streaming.tumbling_counts)."""
@@ -2390,6 +2415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_passages": q_repeated_passages,
         "shard_manifest": q_shard_manifest,
         "point_in_time": q_point_in_time,
+        "variant_extract": q_variant_extract,
         # round-3 additions, also inside the 50-query window.
         "hash_split": q_hash_split,
         "mixture_sample": q_mixture_sample,
@@ -3027,6 +3053,15 @@ def oracle_sql() -> dict[str, str]:
               WHERE v.user_id = p.user_id AND v.view_ts >= p.ts
               ORDER BY view_ts LIMIT 1
             ) n ON true
+        """,
+        "variant_extract": """
+            SELECT event_type,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+              CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+              CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+            FROM events
+            GROUP BY event_type
         """,
         "point_in_time": """
             WITH sg AS (
