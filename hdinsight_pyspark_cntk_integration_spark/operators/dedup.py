@@ -615,6 +615,7 @@ def repeated_passages(
     text_col: str = "text",
     n: int = 8,
     min_docs: int = 2,
+    via_hash: bool = False,
 ) -> DataFrame:
     """Substring-level duplication: word ``n``-gram passages that recur
     across at least ``min_docs`` DISTINCT documents, with corpus-wide
@@ -630,18 +631,46 @@ def repeated_passages(
     before any downstream join. Returns (passage, n_docs, n_occurrences,
     first_doc_id) — feed the survivors back through a broadcast semi-join
     to locate and strip the passages from the documents themselves.
+
+    Set ``via_hash=True`` for the shuffle-width scale path: group on
+    ``xxhash64(passage)`` (8-byte keys through the exchange instead of
+    ~n-word strings — roughly an order of magnitude less shuffle I/O on
+    prose), then recover the passage text for the few survivors with a
+    broadcast semi-join of the survivor hash set against a re-scan.
+    Counts merge on 64-bit hash collisions (~2⁻⁶⁴ per passage pair), so
+    the default stays exact-by-construction; a twin test pins both modes
+    equal on real text.
     """
     if n < 1 or min_docs < 1:
         raise ValueError(f"need n >= 1 and min_docs >= 1 (got n={n}, min_docs={min_docs})")
     grams = df.select(
         F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("passage")
     ).filter(F.length("passage") > 0)
-    return (
-        grams.groupBy("passage")
+    if not via_hash:
+        return (
+            grams.groupBy("passage")
+            .agg(
+                F.count_distinct(id_col).alias("n_docs"),
+                F.count(F.lit(1)).alias("n_occurrences"),
+                F.min(id_col).alias("first_doc_id"),
+            )
+            .filter(F.col("n_docs") >= min_docs)
+        )
+    survivors = (
+        grams.groupBy(F.xxhash64("passage").alias("__ph"))
         .agg(
             F.count_distinct(id_col).alias("n_docs"),
             F.count(F.lit(1)).alias("n_occurrences"),
             F.min(id_col).alias("first_doc_id"),
         )
         .filter(F.col("n_docs") >= min_docs)
+    )
+    texts = (
+        grams.select(F.xxhash64("passage").alias("__ph"), "passage")
+        .join(F.broadcast(survivors.select("__ph")), "__ph", "left_semi")
+        .groupBy("__ph")
+        .agg(F.min("passage").alias("passage"))
+    )
+    return survivors.join(texts, "__ph").select(
+        "passage", "n_docs", "n_occurrences", "first_doc_id"
     )

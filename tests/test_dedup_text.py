@@ -409,3 +409,17 @@ def test_tokenize_broadcast_twin_matches_join_form(spark):
         for r in tx.tokenize_to_ids_broadcast(docs, vocab).collect()
     }
     assert len(a) > 0 and a == b
+
+
+def test_repeated_passages_hash_mode_matches_exact(spark):
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = (
+        dd.repeated_passages(docs, n=5, min_docs=2)
+        .toPandas().sort_values("passage").reset_index(drop=True)
+    )
+    hashed = (
+        dd.repeated_passages(docs, n=5, min_docs=2, via_hash=True)
+        .toPandas().sort_values("passage").reset_index(drop=True)
+    )
+    assert len(exact) > 0
+    assert exact.equals(hashed)
