@@ -605,6 +605,40 @@ def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version audit: diff the shard manifests of the current
+    corpus and a derived next version (every 97th document dropped —
+    a takedown batch) — per-shard doc/token deltas plus a
+    checksum-changed flag. Releases diff this constant-size artifact
+    instead of re-scanning text; only shards whose checksum moved need
+    rewriting (operators.pipeline.shard_manifest, Knuth mixer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    v2 = docs.filter(F.col("doc_id") % 97 != 0)
+    a = pl.shard_manifest(docs, n_shards=16, method="knuth").select(
+        "shard",
+        F.col("n_docs").alias("n_docs_a"),
+        F.col("n_tokens").alias("n_tokens_a"),
+        F.col("id_checksum").alias("ck_a"),
+    )
+    b = pl.shard_manifest(v2, n_shards=16, method="knuth").select(
+        "shard",
+        F.col("n_docs").alias("n_docs_b"),
+        F.col("n_tokens").alias("n_tokens_b"),
+        F.col("id_checksum").alias("ck_b"),
+    )
+    return (
+        a.join(b, "shard", "full_outer")
+        .select(
+            "shard",
+            F.coalesce("n_docs_a", F.lit(0)).alias("n_docs_a"),
+            F.coalesce("n_docs_b", F.lit(0)).alias("n_docs_b"),
+            (F.coalesce("n_docs_a", F.lit(0)) - F.coalesce("n_docs_b", F.lit(0))).alias("docs_removed"),
+            (F.coalesce("n_tokens_a", F.lit(0)) - F.coalesce("n_tokens_b", F.lit(0))).alias("tokens_removed"),
+            (F.coalesce("ck_a", F.lit(0)) != F.coalesce("ck_b", F.lit(0))).alias("checksum_changed"),
+        )
+    )
+
+
 def q_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-store point-in-time join (operators.relational.
     point_in_time_join): each purchase picks up the signup-profile value
@@ -2416,6 +2450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "point_in_time": q_point_in_time,
         "variant_extract": q_variant_extract,
+        "manifest_diff": q_manifest_diff,
         # round-3 additions, also inside the 50-query window.
         "hash_split": q_hash_split,
         "mixture_sample": q_mixture_sample,
@@ -3053,6 +3088,33 @@ def oracle_sql() -> dict[str, str]:
               WHERE v.user_id = p.user_id AND v.view_ts >= p.ts
               ORDER BY view_ts LIMIT 1
             ) n ON true
+        """,
+        "manifest_diff": r"""
+            WITH nt AS (
+              SELECT doc_id,
+                ((doc_id % 1000003) * 2654435761) % 1000003 AS idh,
+                CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'))
+                END AS ntok
+              FROM documents
+            ),
+            a AS (
+              SELECT CAST(idh % 16 AS BIGINT) AS shard, COUNT(*) AS n_docs,
+                SUM(ntok) AS n_tokens, SUM(idh) AS ck
+              FROM nt GROUP BY shard
+            ),
+            b AS (
+              SELECT CAST(idh % 16 AS BIGINT) AS shard, COUNT(*) AS n_docs,
+                SUM(ntok) AS n_tokens, SUM(idh) AS ck
+              FROM nt WHERE doc_id % 97 != 0 GROUP BY shard
+            )
+            SELECT a.shard,
+              CAST(COALESCE(a.n_docs, 0) AS BIGINT) AS n_docs_a,
+              CAST(COALESCE(b.n_docs, 0) AS BIGINT) AS n_docs_b,
+              CAST(COALESCE(a.n_docs, 0) - COALESCE(b.n_docs, 0) AS BIGINT) AS docs_removed,
+              CAST(COALESCE(a.n_tokens, 0) - COALESCE(b.n_tokens, 0) AS BIGINT) AS tokens_removed,
+              COALESCE(a.ck, 0) != COALESCE(b.ck, 0) AS checksum_changed
+            FROM a FULL OUTER JOIN b ON a.shard = b.shard
         """,
         "variant_extract": """
             SELECT event_type,
