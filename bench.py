@@ -62,6 +62,8 @@ PIPELINE = [
     "repeated_passages",
     "shard_manifest",
     "point_in_time",
+    "variant_extract",
+    "manifest_diff",
 ]
 
 
