@@ -175,3 +175,64 @@ def test_stratified_split_properties(spark, strata, frac):
         # exact proportional share, rounded up — never an empty train set
         assert labels.count("train") == math.ceil(frac * n)
         assert labels.count("test") == n - math.ceil(frac * n)
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20)), min_size=1, max_size=12
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20), st.integers(0, 99)),
+        min_size=0,
+        max_size=12,
+    ),
+    strict=st.booleans(),
+    direction=st.sampled_from(["backward", "forward"]),
+    tolerance=st.one_of(st.none(), st.integers(0, 8)),
+    null_safe=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_asof_join_directional_tolerance_matches_bruteforce(
+    spark, left, right, strict, direction, tolerance, null_safe
+):
+    """The full parameter grid — direction x strict x tolerance x
+    null_safe — against a per-row brute force. dedup_right collapses
+    duplicate (k, rts) to max(val), which the brute force replicates."""
+    lrows = [(k, ts, i) for i, (k, ts) in enumerate(left)]
+    ldf = spark.createDataFrame(lrows, "k int, ts int, row_id int")
+    rdf = (
+        spark.createDataFrame(right, "k int, rts int, val int")
+        if right
+        else spark.createDataFrame([], "k int, rts int, val int")
+    )
+    out = rel.asof_join(
+        ldf, rdf, ["k"], "ts", "rts", ["val"],
+        strict=strict, dedup_right=True, direction=direction,
+        tolerance_seconds=tolerance, null_safe=null_safe,
+    ).collect()
+    assert len(out) == len(lrows)
+    rmax = {}
+    for rk, rts, val in right:
+        rmax[(rk, rts)] = max(val, rmax.get((rk, rts), val))
+    best = {}
+    for k, ts, i in lrows:
+        if direction == "backward":
+            cand = [
+                (rts, v) for (rk, rts), v in rmax.items()
+                if rk == k and (rts < ts if strict else rts <= ts)
+            ]
+            win = max((rts for rts, _ in cand), default=None)
+        else:
+            cand = [
+                (rts, v) for (rk, rts), v in rmax.items()
+                if rk == k and (rts > ts if strict else rts >= ts)
+            ]
+            win = min((rts for rts, _ in cand), default=None)
+        if win is None:
+            best[i] = None
+        elif tolerance is not None and abs(win - ts) > tolerance:
+            best[i] = None
+        else:
+            best[i] = dict(cand)[win]
+    got = {r["row_id"]: r["val"] for r in out}
+    assert got == best
