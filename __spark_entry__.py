@@ -3108,7 +3108,7 @@ def oracle_sql() -> dict[str, str]:
                 SUM(ntok) AS n_tokens, SUM(idh) AS ck
               FROM nt WHERE doc_id % 97 != 0 GROUP BY shard
             )
-            SELECT a.shard,
+            SELECT COALESCE(a.shard, b.shard) AS shard,
               CAST(COALESCE(a.n_docs, 0) AS BIGINT) AS n_docs_a,
               CAST(COALESCE(b.n_docs, 0) AS BIGINT) AS n_docs_b,
               CAST(COALESCE(a.n_docs, 0) - COALESCE(b.n_docs, 0) AS BIGINT) AS docs_removed,

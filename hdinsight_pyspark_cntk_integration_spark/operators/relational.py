@@ -12,10 +12,12 @@ single shuffle (or zero, via broadcast) at 100 TB.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegralType
 
 
 def accuracy(scores: DataFrame, true_col: str = "true_label", pred_col: str = "predicted_label") -> DataFrame:
@@ -149,8 +151,11 @@ def asof_join(
         raise ValueError(f"direction must be 'backward' or 'forward' (got {direction!r})")
     keys = list(keys)
     if dedup_right:
+        # right_ts (and the keys) are grouping columns — aggregating them
+        # again would alias a duplicate/ambiguous column into the result.
+        dedup_agg_cols = [c for c in right_value_cols if c != right_ts and c not in keys]
         right = right.groupBy(*keys, right_ts).agg(
-            *[F.max(c).alias(c) for c in right_value_cols]
+            *[F.max(c).alias(c) for c in dedup_agg_cols]
         )
     if null_safe:
         user_value_cols = list(right_value_cols)
@@ -207,8 +212,23 @@ def asof_join(
             within = F.abs(
                 F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__mts"))
             ) <= int(round(float(tolerance_seconds) * 1_000_000))
+        elif isinstance(unioned.schema["__ts"].dataType, IntegralType) and isinstance(
+            rts_type, IntegralType
+        ):
+            # Integer ordering keys (e.g. epoch-nanos longs) stay in the
+            # native long domain: a double round-trip loses precision past
+            # 2^53 and can flip boundary-exact tolerance decisions.
+            # greatest-least keeps the difference non-negative without an
+            # abs() (abs(Long.MIN_VALUE) itself overflows); try_subtract
+            # yields NULL if the span overflows int64, and a NULL `within`
+            # nulls the value — a span that wide is never inside tolerance.
+            l_long = F.col("__ts").cast("long")
+            r_long = F.col("__mts").cast("long")
+            diff = F.try_subtract(F.greatest(l_long, r_long), F.least(l_long, r_long))
+            # Integer diff <= fractional tolerance  <=>  diff <= floor(tol).
+            within = diff <= int(math.floor(float(tolerance_seconds)))
         else:
-            # Numeric ordering keys: compare in their own domain.
+            # Genuinely fractional ordering keys: compare as double.
             within = (
                 F.abs(F.col("__ts").cast("double") - F.col("__mts").cast("double"))
                 <= float(tolerance_seconds)

@@ -254,6 +254,18 @@ def tokenize_to_ids_broadcast(
     unicode whitespace is the one place the JVM and Python regex engines
     could disagree; both sides here treat only ASCII space/tab/newline/
     CR/FF/VT as separators.)
+
+    Unicode-lowercase caveat: this form lowercases with Python
+    ``str.lower()`` while the join-form twin uses Spark's JVM
+    ``lower()``; the two agree on ASCII (and on most of Unicode) but can
+    diverge on locale-sensitive edge cases — e.g. ``'İ'`` (U+0130)
+    lowercases to ``'i̇'`` (two code points) in Python but may map
+    differently on the JVM, and ligatures like ``'ﬁ'`` are not expanded
+    by either engine's ``lower`` (only by case folding). The twin test
+    covers the ASCII fixture; for corpora where these edge cases matter,
+    pre-normalize the text column (e.g. NFKC + casefold in one Arrow
+    pass) before tokenizing with either form, so the dict lookup sees
+    identical keys regardless of engine.
     """
     import re as _re
 

@@ -307,3 +307,54 @@ def test_asof_join_null_safe_does_not_carry_stale_values(spark):
     safe = rel.asof_join(left, right, ["k"], "ts", "rts", ["val"], null_safe=True)
     assert default.collect()[0]["val"] == 7   # documented stale-carry behavior
     assert safe.collect()[0]["val"] is None   # exact row semantics
+
+
+def test_asof_join_tolerance_long_keys_beyond_2pow53(spark):
+    """Epoch-nanos-scale long ordering keys: tolerance decisions must be
+    boundary-exact in the native integer domain. 2^53+1 and its neighbors
+    are indistinguishable after a double round-trip, so this fails if the
+    implementation casts the keys to double (ADVICE round 4)."""
+    base = (1 << 53) + 1  # not representable as a double (rounds to 2^53)
+    left = spark.createDataFrame([(1, base + 10, "x")], "k int, ts long, name string")
+    right = spark.createDataFrame([(1, base, 7)], "k int, rts long, val int")
+    on_boundary = rel.asof_join(
+        left, right, ["k"], "ts", "rts", ["val"], tolerance_seconds=10
+    )
+    beyond = rel.asof_join(
+        left, right, ["k"], "ts", "rts", ["val"], tolerance_seconds=9
+    )
+    assert on_boundary.collect()[0]["val"] == 7
+    assert beyond.collect()[0]["val"] is None
+    # fractional tolerance on integer keys: diff<=9 iff diff<=9.5
+    frac = rel.asof_join(
+        left, right, ["k"], "ts", "rts", ["val"], tolerance_seconds=9.5
+    )
+    assert frac.collect()[0]["val"] is None
+
+
+def test_asof_join_tolerance_long_keys_span_overflow(spark):
+    """A left/right span that overflows int64 subtraction must come back
+    as 'outside tolerance' (NULL value), not crash or wrap around."""
+    left = spark.createDataFrame([(1, (1 << 62), "x")], "k int, ts long, name string")
+    right = spark.createDataFrame([(1, -(1 << 62), 7)], "k int, rts long, val int")
+    out = rel.asof_join(
+        left, right, ["k"], "ts", "rts", ["val"], tolerance_seconds=100
+    )
+    assert out.collect()[0]["val"] is None
+
+
+def test_asof_join_dedup_right_with_right_ts_in_values(spark):
+    """Passing right_ts inside right_value_cols together with
+    dedup_right=True must not produce a duplicate/ambiguous column
+    (ADVICE round 4): the grouping column is excluded from the dedup
+    aggregation and still flows through as a value column."""
+    left = spark.createDataFrame([(1, 10, "x")], "k int, ts int, name string")
+    right = spark.createDataFrame(
+        [(1, 8, 7), (1, 8, 42)], "k int, rts int, val int"
+    )
+    out = rel.asof_join(
+        left, right, ["k"], "ts", "rts", ["rts", "val"], dedup_right=True
+    )
+    row = out.collect()[0]
+    assert row["val"] == 42
+    assert row["rts"] == 8
