@@ -2404,6 +2404,98 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --------------------------------------------------------------------------
+# round-5 queries
+# --------------------------------------------------------------------------
+# BM25 terms: drawn from the synthetic corpus vocabulary with distinct
+# document frequencies so the idf spread is non-trivial.
+_BM25_TERMS = ["spark", "hash", "window"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (operators.text.bm25_scores): top-20 docs
+    for a fixed term set. The idf transcendental is quantized to integer
+    micro-units the moment it's computed; everything downstream is exact
+    ints + deterministic IEEE arithmetic, so the emitted double is
+    bit-identical across engines (see the operator docstring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bm25_scores(docs, _BM25_TERMS, top_k=20)
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean NLL under the corpus unigram model — the cheap
+    perplexity proxy for quality filtering (operators.text.
+    unigram_logprob). Per-token logprobs quantized to BIGINT micro-units
+    at the vocab level; per-doc reduction is an exact integer sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.unigram_logprob(docs)
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source rebalancing (operators.pipeline.
+    temperature_mixture, alpha=0.5 over the skewed lang distribution):
+    per-lang kept-count + id-sum checksum of the exact sampled set —
+    the keep test is pure integer arithmetic, reproduced verbatim by
+    the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = pl.temperature_mixture(
+        docs.select("doc_id", "lang"),
+        target_rows=200,
+        group_col="lang",
+        alpha=0.5,
+        method="knuth",
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostic (operators.pipeline.key_skew_profile):
+    hottest 10 event user_ids with exact share/skew stats."""
+    ev = load_table(spark, sf_dir, "events")
+    return pl.key_skew_profile(ev, "user_id", top_k=10)
+
+
+def q_hll_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable DataSketches HLL distinct-count (operators.sketch):
+    exact count emitted, sketch estimate checked against a 5% bound
+    (lg_k=12 => rse 1.6%, 3-sigma). Sketch VALUES are engine-specific by
+    design — the mergeability algebra is pinned in pytest."""
+    from hdinsight_pyspark_cntk_integration_spark.operators.sketch import distinct_bounded
+
+    ev = load_table(spark, sf_dir, "events")
+    return distinct_bounded(ev, "event_type", "user_id", rel_tol=0.05, lg_k=12)
+
+
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional lateral expansion (posexplode — the UDTF-shaped
+    built-in): token streams with positions for the first 20 docs;
+    oracle via DuckDB's lockstep unnest + generate_subscripts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") < 20)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "token"),
+        )
+        .filter(F.length("token") > 0)
+    )
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means over embeddings (operators.similarity.kmeans_lloyd,
+    k=8, 3 sweeps, deterministic smallest-id init): cluster sizes +
+    inertia. Rows-only by design: centroid means are float sums in
+    partition order, so boundary assignments aren't bit-stable (the
+    numpy-parity pytest is the value gate)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.kmeans_summary(emb, k=8, iters=3)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2451,6 +2543,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_time": q_point_in_time,
         "variant_extract": q_variant_extract,
         "manifest_diff": q_manifest_diff,
+        # round-5 additions, inside the driver's 50-query gate window
+        # (the window keeps the first 50 registry keys; the seven
+        # round-3 queries this pushes past position 50 stay registered
+        # and oracle-checked by tools/check_parity.py):
+        "bm25_search": q_bm25_search,
+        "unigram_logprob": q_unigram_logprob,
+        "temperature_mixture": q_temperature_mixture,
+        "key_skew_profile": q_key_skew_profile,
+        "hll_distinct_bounded": q_hll_distinct_bounded,
+        "posexplode_tokens": q_posexplode_tokens,
+        "kmeans_clusters": q_kmeans_clusters,
         # round-3 additions, also inside the 50-query window.
         "hash_split": q_hash_split,
         "mixture_sample": q_mixture_sample,
@@ -3115,6 +3218,138 @@ def oracle_sql() -> dict[str, str]:
               CAST(COALESCE(a.n_tokens, 0) - COALESCE(b.n_tokens, 0) AS BIGINT) AS tokens_removed,
               COALESCE(a.ck, 0) != COALESCE(b.ck, 0) AS checksum_changed
             FROM a FULL OUTER JOIN b ON a.shard = b.shard
+        """,
+
+        # ---- round-5 oracles ----
+        "bm25_search": """
+            WITH lens AS (
+              SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS dl
+              FROM documents
+            ),
+            consts AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+              FROM lens
+            ),
+            toks AS (
+              SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM toks WHERE token IN ('spark', 'hash', 'window')
+              GROUP BY doc_id, token
+            ),
+            dfreq AS (
+              SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+            ),
+            idf AS (
+              -- idf quantized to integer micro-units immediately: ln() is not
+              -- bit-identical across engines, floor(ln*1e6) is (see operator).
+              SELECT token,
+                CAST(FLOOR(LN(1.0 + (n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+                     * 1000000.0) AS BIGINT) AS idf_micro
+              FROM dfreq, consts
+            ),
+            scored AS (
+              SELECT t.doc_id, t.token, l.dl,
+                (CAST(i.idf_micro AS DOUBLE) / 1000000.0)
+                * (CAST(t.tf AS DOUBLE) * 2.2
+                   / (CAST(t.tf AS DOUBLE)
+                      + 1.2 * (0.25 + (0.75 * CAST(l.dl AS DOUBLE)) / c.avgdl))) AS s
+              FROM tf t JOIN idf i USING (token) JOIN lens l USING (doc_id), consts c
+            ),
+            per_doc AS (
+              SELECT doc_id, ANY_VALUE(dl) AS doc_len,
+                COALESCE(MAX(CASE WHEN token = 'spark' THEN s END), 0.0)
+                + COALESCE(MAX(CASE WHEN token = 'hash' THEN s END), 0.0)
+                + COALESCE(MAX(CASE WHEN token = 'window' THEN s END), 0.0) AS bm25
+              FROM scored GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(doc_len AS BIGINT) AS doc_len, bm25
+            FROM per_doc ORDER BY bm25 DESC, doc_id LIMIT 20
+        """,
+        "unigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM toks WHERE length(token) > 0 GROUP BY doc_id, token
+            ),
+            tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS t FROM tf),
+            lp AS (
+              SELECT token,
+                CAST(FLOOR(LN(CAST(SUM(tf) AS DOUBLE) / (SELECT t FROM tot)) * 1000000.0)
+                     AS BIGINT) AS lp_micro
+              FROM tf GROUP BY token
+            ),
+            agg AS (
+              SELECT t.doc_id,
+                CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
+                CAST(-SUM(t.tf * l.lp_micro) AS BIGINT) AS surprisal_micro
+              FROM tf t JOIN lp l USING (token) GROUP BY t.doc_id
+            )
+            SELECT doc_id, n_tokens, surprisal_micro,
+              CAST(surprisal_micro AS DOUBLE) / 1000000.0 / CAST(n_tokens AS DOUBLE) AS mean_nll
+            FROM agg
+        """,
+        "temperature_mixture": """
+            WITH c AS (
+              SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(FLOOR(POW(CAST(COUNT(*) AS DOUBLE), 0.5) * 1000000.0) AS BIGINT) AS w
+              FROM documents GROUP BY lang
+            ),
+            tw AS (SELECT CAST(SUM(w) AS BIGINT) AS t FROM c),
+            kept AS (
+              SELECT d.doc_id, d.lang
+              FROM documents d JOIN c USING (lang), tw
+              WHERE CAST(((d.doc_id % 1000003) * 2654435761) % 1000003 AS HUGEINT)
+                    * CAST(c.n AS HUGEINT) * CAST(tw.t AS HUGEINT)
+                  < CAST(200 AS HUGEINT) * CAST(c.w AS HUGEINT) * CAST(1000003 AS HUGEINT)
+            )
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+              CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            FROM kept GROUP BY lang
+        """,
+        "key_skew_profile": """
+            WITH per_key AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+            ),
+            totals AS (
+              SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+                CAST(COUNT(*) AS BIGINT) AS n_keys
+              FROM per_key
+            )
+            SELECT user_id, cnt, total_rows, n_keys,
+              CAST((CAST(cnt AS HUGEINT) * 1000000) // CAST(total_rows AS HUGEINT) AS BIGINT)
+                AS share_ppm,
+              (CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)) / CAST(total_rows AS DOUBLE)
+                AS skew_x
+            FROM per_key, totals
+            ORDER BY cnt DESC, user_id LIMIT 10
+        """,
+        "hll_distinct_bounded": """
+            SELECT event_type,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+              TRUE AS sketch_ok
+            FROM events GROUP BY event_type
+        """,
+        "posexplode_tokens": """
+            WITH s AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+              FROM documents WHERE doc_id < 20
+            ),
+            u AS (
+              SELECT doc_id,
+                CAST(generate_subscripts(l, 1) - 1 AS INT) AS pos,
+                unnest(l) AS token
+              FROM s
+            )
+            SELECT doc_id, pos, token FROM u WHERE length(token) > 0
         """,
         "variant_extract": """
             SELECT event_type,

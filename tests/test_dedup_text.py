@@ -3,6 +3,7 @@ fingerprint determinism (SURVEY.md §5 property tests)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hdinsight_pyspark_cntk_integration_spark.operators import dedup as dd
@@ -423,3 +424,62 @@ def test_repeated_passages_hash_mode_matches_exact(spark):
     )
     assert len(exact) > 0
     assert exact.equals(hashed)
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 on a 3-doc fixture against a hand-rolled python computation
+    (same micro-quantized idf)."""
+    import math
+
+    docs = [
+        (0, "spark spark window join"),
+        (1, "hash table scan"),
+        (2, "spark hash window window window"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    terms = ["spark", "hash", "window"]
+    out = {r["doc_id"]: r for r in tx.bm25_scores(df, terms, top_k=10).collect()}
+
+    N, k1, b = 3, 1.2, 0.75
+    lens = {d: len(t.split()) for d, t in docs}
+    avgdl = sum(lens.values()) / N
+    dfreq = {t: sum(1 for _, txt in docs if t in txt.split()) for t in terms}
+    idf_micro = {
+        t: math.floor(math.log(1.0 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5)) * 1e6)
+        for t in terms
+    }
+
+    def score(d, txt):
+        s = 0.0
+        for t in terms:
+            tf = txt.split().count(t)
+            if tf:
+                s += (idf_micro[t] / 1e6) * (
+                    tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * lens[d] / avgdl))
+                )
+        return s
+
+    for d, txt in docs:
+        assert out[d]["bm25"] == pytest.approx(score(d, txt), rel=1e-12), d
+        assert out[d]["doc_len"] == lens[d]
+    # ranking sanity: doc 2 has all three terms incl. rare 'hash'
+    ranked = sorted(out.values(), key=lambda r: -r["bm25"])
+    assert ranked[0]["doc_id"] == 2
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    docs = [(0, "a a b"), (1, "b c")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.unigram_logprob(df).collect()}
+    ctf = {"a": 2, "b": 2, "c": 1}
+    T = 5
+    lp = {t: math.floor(math.log(c / T) * 1e6) for t, c in ctf.items()}
+    s0 = -(2 * lp["a"] + 1 * lp["b"])
+    s1 = -(1 * lp["b"] + 1 * lp["c"])
+    assert out[0]["surprisal_micro"] == s0 and out[0]["n_tokens"] == 3
+    assert out[1]["surprisal_micro"] == s1 and out[1]["n_tokens"] == 2
+    assert out[0]["mean_nll"] == pytest.approx(s0 / 1e6 / 3, rel=1e-12)
+    # the all-common-tokens doc is "more natural" than the rare-token doc
+    assert out[0]["mean_nll"] < out[1]["mean_nll"]

@@ -363,3 +363,50 @@ def test_write_training_shards_round_trips_and_is_stable(spark, tmp_path):
         assert man.loc[s, "n_docs"] == on_disk.loc[s, "count"]
     with pytest.raises(ValueError, match="n_shards"):
         sio.write_training_shards(df, str(tmp_path / "s3"), n_shards=0)
+
+
+def test_temperature_mixture_quota_and_determinism(spark):
+    """alpha=0 gives equal per-group quotas regardless of group size;
+    a group smaller than its quota keeps everything; the sample is
+    deterministic (same rows on rerun / repartition)."""
+    rows = [(i, "big") for i in range(1000)] + [(10_000 + i, "small") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = pl.temperature_mixture(df, target_rows=100, alpha=0.0, method="knuth")
+    counts = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # quota 50/50; 'small' has only 5 rows -> keeps all 5, no redistribution
+    assert counts["small"] == 5
+    assert 35 <= counts["big"] <= 65  # hash-Bernoulli around the 50-row quota
+    again = pl.temperature_mixture(df.repartition(7), target_rows=100, alpha=0.0, method="knuth")
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # alpha=1 is proportional sampling: uniform keep-rate across groups
+    prop = pl.temperature_mixture(df, target_rows=500, alpha=1.0, method="knuth")
+    n_prop = prop.count()
+    assert 400 <= n_prop <= 600
+    with pytest.raises(ValueError, match="alpha"):
+        pl.temperature_mixture(df, target_rows=10, alpha=-1)
+
+
+def test_temperature_mixture_flattens_skew(spark):
+    """0 < alpha < 1 gives the small group a LARGER share than its
+    corpus proportion and the big group a smaller one."""
+    rows = [(i, "big") for i in range(900)] + [(10_000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = pl.temperature_mixture(df, target_rows=200, alpha=0.5, method="knuth")
+    counts = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # weights 30:10 -> quotas 150:50; small's corpus share was 10%,
+    # sampled share should be well above it (25% expected)
+    assert counts["small"] / (counts["small"] + counts["big"]) > 0.15
+
+
+def test_key_skew_profile_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1,)] * 6 + [(2,)] * 3 + [(3,)] * 1, "k long"
+    )
+    out = pl.key_skew_profile(df, "k", top_k=2).collect()
+    assert [r["k"] for r in out] == [1, 2]
+    top = out[0]
+    assert (top["cnt"], top["total_rows"], top["n_keys"]) == (6, 10, 3)
+    assert top["share_ppm"] == 600_000
+    assert top["skew_x"] == pytest.approx(1.8)  # 6 * 3 / 10
