@@ -64,6 +64,12 @@ PIPELINE = [
     "point_in_time",
     "variant_extract",
     "manifest_diff",
+    # round-5 additions
+    "bm25_search",
+    "unigram_logprob",
+    "temperature_mixture",
+    "key_skew_profile",
+    "hll_distinct_bounded",
 ]
 
 

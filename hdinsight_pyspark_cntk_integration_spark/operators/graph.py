@@ -1,0 +1,112 @@
+"""Graph operators over edge-list DataFrames (SURVEY.md §2.7 iterative-
+algorithm family, alongside ``dedup.connected_components``).
+
+PageRank here is deliberately INTEGER PageRank: ranks live in micro-units
+(1.0 == 1_000_000) and every per-edge contribution is an integer floor
+division in DECIMAL(38,0), so the fixpoint sweep is exact, order-
+independent, and bit-reproducible in any ANSI engine — the DuckDB oracle
+unrolls the same sweeps as CTEs and hash-matches row-for-row. That is
+the same cross-engine-determinism discipline the text scores use
+(quantize the inexact operation once, keep everything downstream exact),
+applied to an iterative algorithm: float PageRank sums in partition
+order and its gate would be rows-only; integer PageRank is provable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MICRO = 1_000_000
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_ppm: int = 850_000,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """Weighted PageRank, ``iters`` synchronous sweeps, in exact integer
+    micro-units: r'(t) = (1e6 - damping_ppm) + damping_ppm·Σ_{s→t}
+    ⌊r(s)·w/out_w(s)⌋ ÷ 1e6 (all ⌊⌋ = DECIMAL(38,0) integer division —
+    overflow-free for any rank×weight magnitude).
+
+    Scale shape: per sweep, ONE join of the edge list against the
+    |nodes|-row rank frame on src (both hash-partitioned on the same
+    key; broadcast the rank frame when |nodes| is small) and ONE
+    partial-agg shuffle of contributions on dst. The edge list is the
+    only big input and it is scanned once per sweep — the classic
+    edge-partitioned PageRank layout. Floor division leaks ≤1 micro per
+    edge of mass and dangling nodes (no out-edges) leak their damped
+    mass entirely; both are deterministic and documented, matching the
+    fixed-iteration "approximate but exact-arithmetic" contract.
+
+    Returns (node, rank_micro BIGINT) for every node that appears as a
+    source or destination.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1 (got {iters})")
+    if not 0 <= damping_ppm <= _MICRO:
+        raise ValueError(f"damping_ppm must be in [0, 1e6] (got {damping_ppm})")
+    e = edges.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst"), F.col(weight).alias("__w")
+    )
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .union(e.select(F.col("__dst").alias("node")))
+        .distinct()
+    )
+    outw = e.groupBy("__src").agg(F.sum("__w").cast("long").alias("__out_w"))
+    ew = e.join(outw, "__src")
+    base = _MICRO - damping_ppm
+    dec = "decimal(38,0)"
+    ranks = nodes.select("node", F.lit(_MICRO).cast("long").alias("rank_micro"))
+    for _ in range(iters):
+        contribs = ew.join(
+            ranks.withColumnRenamed("node", "__src"), "__src"
+        ).select(
+            F.col("__dst").alias("node"),
+            F.expr(
+                f"CAST((CAST(rank_micro AS {dec}) * CAST(__w AS {dec}))"
+                f" DIV CAST(__out_w AS {dec}) AS BIGINT)"
+            ).alias("__c"),
+        )
+        summed = contribs.groupBy("node").agg(F.sum("__c").cast("long").alias("__s"))
+        ranks = nodes.join(summed, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"CAST((CAST({damping_ppm} AS {dec})"
+                    f" * CAST(COALESCE(__s, 0) AS {dec})) DIV {_MICRO} AS BIGINT)"
+                )
+            ).cast("long").alias("rank_micro"),
+        )
+    return ranks
+
+
+def degree_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node in/out degree — the graph-shape profile (skew in degree
+    distribution is what makes vertex-cut vs edge-cut partitioning
+    matter at scale). One partial-agg pass over the edge list per
+    direction, full-outer merged on node."""
+    out_d = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col(dst).alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )

@@ -545,3 +545,35 @@ def unigram_logprob(
             ).alias("mean_nll"),
         )
     )
+
+
+def normalize_casefold(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode NFKC + casefold in one Arrow-batched pass — the
+    normalization pre-step that makes engine-specific lowercasing
+    irrelevant downstream (see the caveat on
+    ``tokenize_to_ids_broadcast``): after NFKC+casefold, 'İ' ('I'+dot),
+    ligatures ('ﬁ'→'fi'), full-width forms and case-sensitive
+    comparisons all collapse to a stable representation, so JVM
+    ``lower()`` twins and Python ``str.lower()`` twins agree on the
+    result. Run it once at ingest; every tokenizer/dedup fingerprint
+    downstream then sees identical keys regardless of engine.
+
+    Pure projection (no shuffle); Python-side by necessity — full
+    Unicode case folding has no Catalyst builtin — but Arrow-batched,
+    never per-row-serialized.
+    """
+    import unicodedata
+
+    target = out_col or text_col
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: unicodedata.normalize("NFKC", t).casefold() if t is not None else None
+        )
+
+    return df.withColumn(target, _norm(F.col(text_col)))

@@ -483,3 +483,24 @@ def test_unigram_logprob_hand_computed(spark):
     assert out[0]["mean_nll"] == pytest.approx(s0 / 1e6 / 3, rel=1e-12)
     # the all-common-tokens doc is "more natural" than the rare-token doc
     assert out[0]["mean_nll"] < out[1]["mean_nll"]
+
+
+def test_normalize_casefold_stabilizes_unicode(spark):
+    """NFKC+casefold collapses the cases where JVM lower() and Python
+    str.lower() can disagree (dotted-I, ligatures, full-width forms)."""
+    df = spark.createDataFrame(
+        [(0, "İstanbul"), (1, "ﬁne PRINT"), (2, "ＦＵＬＬ"), (3, "Straße"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in tx.normalize_casefold(df).collect()}
+    assert out[0] == "i̇stanbul"     # dotted capital I -> i + combining dot
+    assert out[1] == "fine print"   # ligature expanded by NFKC
+    assert out[2] == "full"         # full-width -> ASCII
+    assert out[3] == "strasse"      # casefold (not lowercase) expands eszett
+    assert out[4] is None
+    # idempotent: normalizing twice changes nothing
+    twice = {
+        r["doc_id"]: r["text"]
+        for r in tx.normalize_casefold(tx.normalize_casefold(df)).collect()
+    }
+    assert twice == out
