@@ -388,11 +388,9 @@ def kmeans_summary(
     """Cluster-size/inertia summary of ``kmeans_lloyd`` — gate-shaped
     (scalar cells; rows-only, see the float caveat on kmeans_lloyd)."""
     assigned, _ = kmeans_lloyd(corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    return (
-        assigned.groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("dist_sq").alias("inertia"),
-        )
-        .orderBy("cluster")
+    # no orderBy: a global sort (even over k rows) trips the registry-wide
+    # plan lint, and the gate canonicalizer sorts rows itself.
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dist_sq").alias("inertia"),
     )
