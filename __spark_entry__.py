@@ -2532,6 +2532,17 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-width order-price histogram (relational.histogram_fixed,
+    12 buckets over [0, 600000)) — deterministic IEEE bucket arithmetic,
+    reproduced verbatim by the oracle; min/max per bucket are exact
+    (no float reduction: min/max are order-independent)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return rel.histogram_fixed(orders, "o_totalprice", 0.0, 600000.0, 12)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2591,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posexplode_tokens": q_posexplode_tokens,
         "kmeans_clusters": q_kmeans_clusters,
         "pagerank_nations": q_pagerank_nations,
+        "price_histogram": q_price_histogram,
         # round-3 additions, also inside the 50-query window.
         "hash_split": q_hash_split,
         "mixture_sample": q_mixture_sample,
@@ -3447,6 +3459,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n_name, r AS rank_micro
             FROM r3 JOIN nation ON node = n_nationkey
+        """,
+        "price_histogram": """
+            SELECT
+              LEAST(GREATEST(CAST(FLOOR(((CAST(o_totalprice AS DOUBLE) - 0.0)
+                / 600000.0) * 12.0) AS BIGINT), 0), 11) AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              MIN(CAST(o_totalprice AS DOUBLE)) AS min_v,
+              MAX(CAST(o_totalprice AS DOUBLE)) AS max_v
+            FROM orders GROUP BY bucket
         """,
         "variant_extract": """
             SELECT event_type,

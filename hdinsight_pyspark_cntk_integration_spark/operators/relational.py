@@ -518,3 +518,40 @@ def point_in_time_join(
         *facts.columns,
         *[F.when(live, F.col(c)).alias(c) for c in attr_cols],
     )
+
+
+def histogram_fixed(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+) -> DataFrame:
+    """Exact equi-width histogram: bucket i covers
+    [lo + i·(hi−lo)/n, lo + (i+1)·(hi−lo)/n), out-of-range values clamp
+    into the edge buckets. Unlike ``histogram_numeric`` (approximate,
+    engine-specific bin placement) this is a deterministic projection —
+    the bucket id is floor(((v−lo)/span)·n) in basic IEEE ops, identical
+    in any engine — followed by ONE partial-agg shuffle carrying at most
+    ``n_buckets`` rows per map partition. The distribution profile you
+    actually want before choosing partition bounds at 100 TB.
+    """
+    if not hi > lo:
+        raise ValueError(f"need hi > lo (got lo={lo}, hi={hi})")
+    if n_buckets < 1:
+        raise ValueError(f"need n_buckets >= 1 (got {n_buckets})")
+    span = float(hi) - float(lo)
+    v = F.col(value_col).cast("double")
+    raw = F.floor(((v - F.lit(float(lo))) / F.lit(span)) * F.lit(float(n_buckets))).cast(
+        "long"
+    )
+    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1))
+    return (
+        df.select(bucket.alias("bucket"), v.alias("__v"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("__v").alias("min_v"),
+            F.max("__v").alias("max_v"),
+        )
+    )

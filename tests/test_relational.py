@@ -358,3 +358,23 @@ def test_asof_join_dedup_right_with_right_ts_in_values(spark):
     row = out.collect()[0]
     assert row["val"] == 42
     assert row["rts"] == 8
+
+
+def test_histogram_fixed_exact_buckets(spark):
+    df = spark.createDataFrame(
+        [(v,) for v in [-5.0, 0.0, 9.99, 10.0, 55.0, 99.9, 100.0, 250.0]],
+        "v double",
+    )
+    out = {r["bucket"]: r for r in rel.histogram_fixed(df, "v", 0.0, 100.0, 10).collect()}
+    # -5 clamps into bucket 0; 100 and 250 clamp into bucket 9
+    assert out[0]["n"] == 3 and out[0]["min_v"] == -5.0
+    assert out[1]["n"] == 1 and out[1]["min_v"] == 10.0
+    assert out[5]["n"] == 1
+    assert out[9]["n"] == 3 and out[9]["max_v"] == 250.0
+    assert sum(r["n"] for r in out.values()) == 8
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hi > lo"):
+        rel.histogram_fixed(df, "v", 1.0, 1.0, 4)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        rel.histogram_fixed(df, "v", 0.0, 1.0, 0)
