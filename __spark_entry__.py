@@ -2543,6 +2543,54 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.histogram_fixed(orders, "o_totalprice", 0.0, 600000.0, 12)
 
 
+
+
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid linear interpolation per user over the events stream
+    (relational.interpolate_linear) — resample_ffill's continuous-measure
+    twin; the lerp is exact-int + basic-IEEE arithmetic, reproduced
+    verbatim by the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return rel.interpolate_linear(ev, ts_col="ts", key_col="user_id", value_col="value")
+
+
+def q_interpolate_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-pandas interpolated point lookup (relational.
+    interpolate_at): each event's value re-estimated 30 minutes later
+    from the surrounding observations via per-key vectorized np.interp.
+    Rows-only by design: np.interp's slope evaluation order is numpy's,
+    not reproducible as an identical SQL operation tree (the window-form
+    twin interpolate_linear carries the oracle-green burden; the pytest
+    twin check pins agreement between the two on grid points)."""
+    ev = load_table(spark, sf_dir, "events")
+    queries = ev.select(
+        "user_id", (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("qts")
+    )
+    return rel.interpolate_at(
+        ev, queries, key_col="user_id", obs_ts_col="ts",
+        value_col="value", query_ts_col="qts",
+    )
+
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (pipeline.dq_checks + fk_violations):
+    four single-scan assertions on orders plus a referential-integrity
+    anti-join against customer, one exact report row per check."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    report = pl.dq_checks(
+        orders,
+        {
+            "positive_price": F.col("o_totalprice") > 0,
+            "custkey_not_null": F.col("o_custkey").isNotNull(),
+            "orderdate_not_null": F.col("o_orderdate").isNotNull(),
+            "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+        },
+    )
+    fk = pl.fk_violations(orders, customer, "o_custkey", "c_custkey")
+    return report.unionByName(fk)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2603,6 +2651,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "pagerank_nations": q_pagerank_nations,
         "price_histogram": q_price_histogram,
+        "interpolate_linear": q_interpolate_linear,
+        "interpolate_at": q_interpolate_at,
+        "dq_checks": q_dq_checks,
         # round-3 additions, also inside the 50-query window.
         "hash_split": q_hash_split,
         "mixture_sample": q_mixture_sample,
@@ -3468,6 +3519,64 @@ def oracle_sql() -> dict[str, str]:
               MIN(CAST(o_totalprice AS DOUBLE)) AS min_v,
               MAX(CAST(o_totalprice AS DOUBLE)) AS max_v
             FROM orders GROUP BY bucket
+        """,
+        "interpolate_linear": """
+            WITH obs AS (
+              SELECT user_id,
+                (epoch_ns(ts) // 1000000000) // 3600 AS oslot,
+                value,
+                row_number() OVER (
+                  PARTITION BY user_id, (epoch_ns(ts) // 1000000000) // 3600
+                  ORDER BY epoch_ns(ts) // 1000000000 DESC, value DESC
+                ) AS rn
+              FROM events
+            ), d AS (
+              SELECT user_id, oslot, value,
+                lead(oslot) OVER (PARTITION BY user_id ORDER BY oslot) AS nxt,
+                lead(value) OVER (PARTITION BY user_id ORDER BY oslot) AS nxt_v
+              FROM obs WHERE rn = 1
+            ), g AS (
+              SELECT user_id, oslot, value, nxt, nxt_v,
+                unnest(generate_series(oslot, COALESCE(nxt - 1, oslot))) AS slot
+              FROM d
+            )
+            SELECT user_id, slot,
+              make_timestamp(slot * 3600 * 1000000) AS grid_ts,
+              CASE WHEN slot = oslot THEN value
+                ELSE value + (nxt_v - value)
+                     * (CAST(slot - oslot AS DOUBLE) / CAST(nxt - oslot AS DOUBLE))
+              END AS value,
+              slot = oslot AS is_observed
+            FROM g
+        """,
+        "dq_checks": """
+            SELECT 'positive_price' AS "check", CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT)
+                AS n_violations,
+              SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END) = 0 AS passed
+            FROM orders
+            UNION ALL
+            SELECT 'custkey_not_null', CAST(COUNT(*) AS BIGINT),
+              CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT),
+              SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) = 0
+            FROM orders
+            UNION ALL
+            SELECT 'orderdate_not_null', CAST(COUNT(*) AS BIGINT),
+              CAST(SUM(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT),
+              SUM(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END) = 0
+            FROM orders
+            UNION ALL
+            SELECT 'status_known', CAST(COUNT(*) AS BIGINT),
+              CAST(SUM(CASE WHEN COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 0 ELSE 1 END) AS BIGINT),
+              SUM(CASE WHEN COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 0 ELSE 1 END) = 0
+            FROM orders
+            UNION ALL
+            SELECT 'fk_o_custkey_in_c_custkey',
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+              CAST(COUNT(*) AS BIGINT),
+              COUNT(*) = 0
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL
         """,
         "variant_extract": """
             SELECT event_type,

@@ -647,3 +647,67 @@ def key_skew_profile(
         .orderBy(F.desc("cnt"), key_col)
         .limit(top_k)
     )
+
+
+def dq_checks(df: DataFrame, checks: Mapping[str, Column]) -> DataFrame:
+    """Declarative data-quality assertions in ONE scan: each named check
+    is a boolean predicate; the output is one row per check with the
+    exact violation count and a pass flag. All predicates aggregate in
+    the same single partial-agg job (no per-check scan), so adding a
+    check is free at 100 TB — the ingest gate you run before promoting a
+    corpus snapshot. NULL predicate results count as violations (a check
+    that can't evaluate has failed).
+
+    Returns (check, n_rows, n_violations, passed), one row per check in
+    insertion order.
+    """
+    if not checks:
+        raise ValueError("dq_checks needs at least one named check")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for name, pred in checks.items():
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(pred, F.lit(False)), F.lit(0)).otherwise(F.lit(1))
+            )
+            .cast("long")
+            .alias(f"__v_{name}")
+        )
+    row = df.agg(*aggs)
+    stacked = ", ".join(f"'{name}', __v_{name}" for name in checks)
+    return row.select(
+        F.expr(f"stack({len(checks)}, {stacked}) AS (check, n_violations)"),
+        F.col("__n").alias("n_rows"),
+    ).select(
+        "check",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+def fk_violations(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    check_name: str | None = None,
+) -> DataFrame:
+    """Referential-integrity check: child rows whose key has no parent —
+    a left-anti join (broadcast when the parent's key column is small;
+    Spark/AQE decides from stats). Emits the same (check, n_rows,
+    n_violations, passed) shape as ``dq_checks`` so the two union into
+    one quality report. NULL child keys are orphans by definition here
+    (use a separate not-null check to tell the cases apart)."""
+    name = check_name or f"fk_{child_key}_in_{parent_key}"
+    n_rows = child.agg(F.count(F.lit(1)).cast("long").alias("n")).collect()[0]["n"]
+    orphans = child.join(
+        parent.select(F.col(parent_key)),
+        child[child_key] == parent[parent_key],
+        "left_anti",
+    )
+    return orphans.agg(
+        F.lit(name).alias("check"),
+        F.lit(n_rows).cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_violations"),
+        (F.count(F.lit(1)) == 0).alias("passed"),
+    )

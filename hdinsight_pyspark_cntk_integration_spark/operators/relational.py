@@ -555,3 +555,143 @@ def histogram_fixed(
             F.max("__v").alias("max_v"),
         )
     )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Regular-grid resampling with LINEAR interpolation per key: like
+    ``resample_ffill`` but interior gap slots get the straight-line value
+    between the surrounding observations (v_prev + (v_next−v_prev) ·
+    (slot−prev)/(next−prev)) instead of a carried copy — the standard
+    time-series upsampling for continuously-varying measures.
+
+    Same single-scan, single-shuffle gaps-and-islands shape as
+    ``resample_ffill`` (slot-dedup window, lead(slot, value) window, gap
+    explode bounded by gap length); no extrapolation — the grid spans
+    each key's observed range, so every emitted slot has both endpoints.
+    The lerp is basic IEEE arithmetic from exact integer slots + observed
+    doubles, written with the identical operation tree in the oracle —
+    bit-reproducible cross-engine.
+
+    Returns (key, slot, grid_ts, value, is_observed).
+    """
+    if step_seconds < 1:
+        raise ValueError(f"step_seconds must be >= 1 (got {step_seconds})")
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    secs = F.unix_timestamp(F.col(ts_col))
+    obs = df.select(
+        F.col(key_col),
+        F.floor(secs / step_seconds).cast("long").alias("__slot"),
+        F.col(value_col),
+        secs.alias("__secs"),
+    ).repartition(n_shuffle, key_col)
+    w_slot = Window.partitionBy(key_col, "__slot").orderBy(
+        F.desc("__secs"), F.desc(value_col)
+    )
+    last_obs = (
+        obs.withColumn("__rn", F.row_number().over(w_slot))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__secs")
+    )
+    w_key = Window.partitionBy(key_col).orderBy("__slot")
+    with_next = last_obs.select(
+        F.col(key_col),
+        F.col("__slot"),
+        F.col(value_col),
+        F.lead("__slot").over(w_key).alias("__next"),
+        F.lead(value_col).over(w_key).alias("__next_v"),
+    )
+    fill_range = F.sequence(
+        F.col("__slot"), F.coalesce(F.col("__next") - 1, F.col("__slot"))
+    )
+    exploded = with_next.select(
+        F.col(key_col),
+        F.col("__slot"),
+        F.col(value_col),
+        F.col("__next"),
+        F.col("__next_v"),
+        F.explode(fill_range).alias("slot"),
+    )
+    lerp = F.col(value_col) + (F.col("__next_v") - F.col(value_col)) * (
+        (F.col("slot") - F.col("__slot")).cast("double")
+        / (F.col("__next") - F.col("__slot")).cast("double")
+    )
+    return exploded.select(
+        key_col,
+        "slot",
+        F.timestamp_seconds(F.col("slot") * step_seconds).alias("grid_ts"),
+        F.when(F.col("slot") == F.col("__slot"), F.col(value_col))
+        .otherwise(lerp)
+        .alias("value"),
+        (F.col("slot") == F.col("__slot")).alias("is_observed"),
+    )
+
+
+def interpolate_at(
+    obs: DataFrame,
+    queries: DataFrame,
+    key_col: str,
+    obs_ts_col: str,
+    value_col: str,
+    query_ts_col: str,
+) -> DataFrame:
+    """Interpolated point lookup: for each (key, query_ts), the linearly
+    interpolated value between the two surrounding observations — the
+    continuous-measure cousin of ``asof_join`` (which carries the nearest
+    value instead of interpolating), e.g. sensor readings at event times.
+
+    Implemented with the cogrouped-pandas API
+    (``groupBy().cogroup().applyInPandas``): both inputs hash-shuffle
+    once on the key, and each key's observations + queries meet in one
+    Arrow batch where vectorized ``np.interp`` does the work — the
+    canonical Spark surface for per-key alignment of two frames whose
+    logic (here: interpolation search) has no relational form. State per
+    task is one key group's rows, never a whole partition's. Queries
+    outside the observed range return NULL (no extrapolation; np.interp
+    would clamp, so edges are masked explicitly).
+
+    Returns (key, query_ts, value).
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_key_type = obs.schema[key_col].dataType.simpleString()
+    schema = f"{key_col} {out_key_type}, {query_ts_col} timestamp, value double"
+
+    def interp(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            key_vals = left[key_col] if not left.empty else right[key_col]
+            return pd.DataFrame(
+                {
+                    key_col: key_vals.iloc[:0],
+                    query_ts_col: pd.Series([], dtype="datetime64[us]"),
+                    "value": pd.Series([], dtype="float64"),
+                }
+            )
+        o = left.sort_values(obs_ts_col).drop_duplicates(obs_ts_col, keep="last")
+        xs = o[obs_ts_col].astype("int64").to_numpy(dtype=np.float64)
+        ys = o[value_col].to_numpy(dtype=np.float64)
+        qt = right[query_ts_col]
+        xq = qt.astype("int64").to_numpy(dtype=np.float64)
+        vals = np.interp(xq, xs, ys)
+        outside = (xq < xs[0]) | (xq > xs[-1])
+        vals = np.where(outside, np.nan, vals)
+        return pd.DataFrame(
+            {
+                key_col: right[key_col],
+                query_ts_col: qt,
+                "value": vals,
+            }
+        )
+
+    return (
+        obs.select(key_col, obs_ts_col, value_col)
+        .groupBy(key_col)
+        .cogroup(queries.select(key_col, query_ts_col).groupBy(key_col))
+        .applyInPandas(interp, schema)
+    )

@@ -410,3 +410,29 @@ def test_key_skew_profile_exact_values(spark):
     assert (top["cnt"], top["total_rows"], top["n_keys"]) == (6, 10, 3)
     assert top["share_ppm"] == 600_000
     assert top["skew_x"] == pytest.approx(1.8)  # 6 * 3 / 10
+
+
+def test_dq_checks_and_fk_violations(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (None, 4.0)], "id long, price double"
+    )
+    out = {r["check"]: r for r in pl.dq_checks(
+        df,
+        {
+            "positive_price": F.col("price") > 0,
+            "id_not_null": F.col("id").isNotNull(),
+        },
+    ).collect()}
+    # -5 fails; NULL price counts as a violation too
+    assert out["positive_price"]["n_violations"] == 2
+    assert not out["positive_price"]["passed"]
+    assert out["id_not_null"]["n_violations"] == 1
+    assert all(r["n_rows"] == 4 for r in out.values())
+    with pytest.raises(ValueError, match="at least one"):
+        pl.dq_checks(df, {})
+
+    parent = spark.createDataFrame([(1,), (2,)], "pid long")
+    fk = pl.fk_violations(df, parent, "id", "pid").collect()[0]
+    # id=3 orphaned, NULL id orphaned by definition
+    assert (fk["n_rows"], fk["n_violations"], fk["passed"]) == (4, 2, False)
+    assert fk["check"] == "fk_id_in_pid"

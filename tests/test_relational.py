@@ -378,3 +378,45 @@ def test_histogram_fixed_exact_buckets(spark):
         rel.histogram_fixed(df, "v", 1.0, 1.0, 4)
     with _pytest.raises(ValueError, match="n_buckets"):
         rel.histogram_fixed(df, "v", 0.0, 1.0, 0)
+
+
+def test_interpolate_linear_hand_computed(spark):
+    """Observations at hours 0, 3 (values 10 -> 40): interior slots lerp
+    to 20 and 30; the trailing observation emits itself only."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(1, t0, 10.0), (1, t0 + dt.timedelta(hours=3), 40.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r["slot"]: r for r in rel.interpolate_linear(df, "ts", "user_id", "value").collect()}
+    base = min(out)
+    vals = [out[base + i]["value"] for i in range(4)]
+    assert vals == [10.0, 20.0, 30.0, 40.0]
+    assert [out[base + i]["is_observed"] for i in range(4)] == [True, False, False, True]
+    with pytest.raises(ValueError, match="step_seconds"):
+        rel.interpolate_linear(df, "ts", "user_id", "value", step_seconds=0)
+
+
+def test_interpolate_at_matches_window_form_on_grid(spark):
+    """Cogrouped np.interp twin: querying exactly the grid timestamps
+    reproduces interpolate_linear's values (for in-range queries);
+    out-of-range queries return NULL (no extrapolation)."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (u, t0 + dt.timedelta(hours=h), float(v))
+        for u, h, v in [(1, 0, 10), (1, 3, 40), (1, 7, 12), (2, 1, 5), (2, 2, 7)]
+    ]
+    obs = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    grid = rel.interpolate_linear(obs, "ts", "user_id", "value")
+    queries = grid.select("user_id", F.col("grid_ts").alias("qts"))
+    got = {
+        (r["user_id"], r["qts"]): r["value"]
+        for r in rel.interpolate_at(obs, queries, "user_id", "ts", "value", "qts").collect()
+    }
+    for r in grid.collect():
+        assert got[(r["user_id"], r["grid_ts"])] == pytest.approx(r["value"], abs=1e-9)
+    # out-of-range -> NULL
+    far = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(hours=100)), (1, t0 - dt.timedelta(hours=1))],
+        "user_id long, qts timestamp",
+    )
+    vals = [r["value"] for r in rel.interpolate_at(obs, far, "user_id", "ts", "value", "qts").collect()]
+    assert vals == [None, None]
