@@ -434,49 +434,66 @@ def bm25_scores(
     total_tokens = lens.agg(F.sum("__dl").cast("long").alias("t")).collect()[0]["t"]
     avgdl = float(total_tokens) / float(n_docs)  # exact-int division: engine-identical
 
+    # Single-exchange token stats (the tfidf_top_terms trick): ONE explode
+    # pass repartitioned on token computes per-(doc,term) tf, per-term df
+    # (count window — one tf row per (doc,term), so rows-per-term ==
+    # docs-per-term), and the micro-quantized idf, all without a second
+    # scan or a tf-vs-df self-join.
+    from pyspark.sql.window import Window
+
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     toks = (
         df.select(
             F.col(id_col),
             F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
         )
         .filter(F.col("token").isin(terms))
+        .repartition(n_shuffle, "token")
     )
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("token")).cast("long")
     # idf quantized to micro-units immediately (see docstring).
     idf_micro = F.floor(
         F.log(
             F.lit(1.0)
-            + (F.lit(float(n_docs)) - F.col("df").cast("double") + F.lit(0.5))
-            / (F.col("df").cast("double") + F.lit(0.5))
+            + (F.lit(float(n_docs)) - F.col("__df").cast("double") + F.lit(0.5))
+            / (F.col("__df").cast("double") + F.lit(0.5))
         )
         * F.lit(1_000_000.0)
     ).cast("long")
-    scored = (
-        tf.join(F.broadcast(dfreq.select("token", idf_micro.alias("idf_micro"))), "token")
-        .join(lens, id_col)
-    )
-    tnorm = F.col("tf").cast("double") * F.lit(k1 + 1.0) / (
-        F.col("tf").cast("double")
-        + F.lit(k1)
-        * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl").cast("double") / F.lit(avgdl))
-    )
-    term_score = (F.col("idf_micro").cast("double") / F.lit(1_000_000.0)) * tnorm
-    # Fixed-order sum: one conditional-agg column per term, added in list
-    # order — never a float SUM over an engine-chosen row order.
-    per_term = scored.groupBy(id_col, "__dl").agg(
+    scored = tf.withColumn("__df", dfreq).withColumn("__idf_micro", idf_micro)
+    # Pivot (tf, idf) into per-term columns BEFORE touching doc lengths:
+    # one groupBy(doc) exchange, then the lens join runs on that same
+    # partitioning. Scores are added in fixed written term order — never
+    # a float SUM over an engine-chosen row order.
+    per_term = scored.groupBy(id_col).agg(
         *[
-            F.coalesce(
-                F.max(F.when(F.col("token") == t, term_score)), F.lit(0.0)
-            ).alias(f"__s{i}")
+            c
             for i, t in enumerate(terms)
+            for c in (
+                F.max(F.when(F.col("token") == t, F.col("tf"))).alias(f"__tf{i}"),
+                F.max(F.when(F.col("token") == t, F.col("__idf_micro"))).alias(f"__idf{i}"),
+            )
         ]
     )
-    score = F.col("__s0")
+    joined = per_term.join(lens, id_col)
+
+    def term_score(i: int):
+        tfc = F.col(f"__tf{i}").cast("double")
+        tnorm = tfc * F.lit(k1 + 1.0) / (
+            tfc
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl").cast("double") / F.lit(avgdl))
+        )
+        return F.coalesce(
+            (F.col(f"__idf{i}").cast("double") / F.lit(1_000_000.0)) * tnorm, F.lit(0.0)
+        )
+
+    score = term_score(0)
     for i in range(1, len(terms)):
-        score = score + F.col(f"__s{i}")
+        score = score + term_score(i)
     return (
-        per_term.select(
+        joined.select(
             F.col(id_col),
             F.col("__dl").alias("doc_len"),
             score.alias("bm25"),
