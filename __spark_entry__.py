@@ -2591,6 +2591,28 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.unionByName(fk)
 
 
+
+
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup verification (dedup.edit_distance_verify) on
+    adjacent-id candidate pairs, 64-char prefixes — the character-level
+    twin of the n-gram Jaccard verifier. Exact integer distance; the
+    normalized similarity is one int/int IEEE division."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    ).filter(F.col("id_a") < 100)
+    return dd.edit_distance_verify(pairs, docs, prefix_len=64)
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index summary (text.build_inverted_index): per token df,
+    total tf, order-insensitive posting checksum, first-10 posting
+    sample — all exact ints / deterministic strings."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.build_inverted_index(docs, min_df=2)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2654,6 +2676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_linear": q_interpolate_linear,
         "interpolate_at": q_interpolate_at,
         "dq_checks": q_dq_checks,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "inverted_index": q_inverted_index,
         # round-3 additions, also inside the 50-query window.
         "hash_split": q_hash_split,
         "mixture_sample": q_mixture_sample,
@@ -3577,6 +3601,37 @@ def oracle_sql() -> dict[str, str]:
               COUNT(*) = 0
             FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_custkey IS NULL
+        """,
+        "edit_distance_pairs": """
+            WITH pre AS (
+              SELECT doc_id, substr(text, 1, 64) AS t FROM documents
+            ),
+            pairs AS (
+              SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents WHERE doc_id < 100
+            )
+            SELECT p.id_a, p.id_b,
+              CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist,
+              CASE WHEN GREATEST(length(a.t), length(b.t)) = 0 THEN 1.0
+                ELSE 1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+                     / CAST(GREATEST(length(a.t), length(b.t)) AS DOUBLE)
+              END AS norm_sim
+            FROM pairs p JOIN pre a ON p.id_a = a.doc_id JOIN pre b ON p.id_b = b.doc_id
+        """,
+        "inverted_index": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+              FROM documents
+            ),
+            tf AS (
+              SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM toks WHERE length(token) > 0 GROUP BY token, doc_id
+            )
+            SELECT token,
+              CAST(COUNT(*) AS BIGINT) AS df_docs,
+              CAST(SUM(tf) AS BIGINT) AS total_tf,
+              CAST(SUM(doc_id) AS BIGINT) AS posting_checksum,
+              array_to_string(list_sort(list(doc_id))[1:10], ',') AS posting_sample
+            FROM tf GROUP BY token HAVING COUNT(*) >= 2
         """,
         "variant_extract": """
             SELECT event_type,

@@ -674,3 +674,63 @@ def repeated_passages(
     return survivors.join(texts, "__ph").select(
         "passage", "n_docs", "n_occurrences", "first_doc_id"
     )
+
+
+def edit_distance_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 256,
+    max_distance: int | None = None,
+) -> DataFrame:
+    """Verify near-dup CANDIDATE pairs by Levenshtein edit distance on
+    bounded text prefixes — the character-level alternative to the n-gram
+    Jaccard verifier (catches small in-place edits that shift every
+    shingle). Never run over all pairs: feed it a bucketed candidate
+    generator's output (MinHash bands, SimHash buckets).
+
+    Cost control for 100 TB: distance is computed on ``prefix_len``-char
+    prefixes (O(prefix²) per pair, independent of document length), and
+    ``max_distance`` short-circuits the DP via Spark's thresholded
+    ``levenshtein(l, r, threshold)`` (returns -1 beyond the bound, which
+    surfaces as ``within=false``). Two hash joins against the documents
+    table (on id) fetch the prefixes; at scale pre-project
+    ``substring(text, 1, prefix_len)`` so the shuffle carries prefixes,
+    not full documents.
+
+    Returns (id_a, id_b, dist, norm_sim, within?) — norm_sim =
+    1 − dist/max(len_a, len_b) on the compared prefixes (1.0 for two
+    empty prefixes), NULL when the threshold short-circuited.
+    """
+    if prefix_len < 1:
+        raise ValueError(f"prefix_len must be >= 1 (got {prefix_len})")
+    pa = docs.select(
+        F.col(id_col).alias(id_a),
+        F.substring(F.col(text_col), 1, prefix_len).alias("__ta"),
+    )
+    pb = docs.select(
+        F.col(id_col).alias(id_b),
+        F.substring(F.col(text_col), 1, prefix_len).alias("__tb"),
+    )
+    joined = pairs.join(pa, id_a).join(pb, id_b)
+    if max_distance is None:
+        dist = F.levenshtein("__ta", "__tb")
+    else:
+        dist = F.levenshtein("__ta", "__tb", max_distance)
+    la, lb = F.length("__ta"), F.length("__tb")
+    denom = F.greatest(la, lb)
+    out = joined.select(
+        F.col(id_a),
+        F.col(id_b),
+        dist.cast("long").alias("dist"),
+        F.when(F.lit(max_distance is not None) & (dist < 0), F.lit(None).cast("double"))
+        .when(denom == 0, F.lit(1.0))
+        .otherwise(F.lit(1.0) - dist.cast("double") / denom.cast("double"))
+        .alias("norm_sim"),
+    )
+    if max_distance is not None:
+        out = out.withColumn("within", F.col("dist") >= 0)
+    return out

@@ -594,3 +594,48 @@ def normalize_casefold(
         )
 
     return df.withColumn(target, _norm(F.col(text_col)))
+
+
+def build_inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    sample_postings: int = 10,
+) -> DataFrame:
+    """Corpus inverted index summary: per token, document frequency,
+    total term frequency, an order-insensitive posting checksum (sum of
+    doc ids — lets two index builds be diffed without comparing lists),
+    and the first ``sample_postings`` posting ids as a string sample.
+
+    The full posting LISTS are deliberately not collected into rows —
+    at 100 TB a stopword's posting list is larger than an executor; the
+    real index artifact is the (token, doc_id, tf) frame this summary is
+    derived from, written out partitioned by token prefix. One explode
+    pass → one repartition on token (per-(doc,token) tf and all per-token
+    aggregates share that exchange); sort_array bounds the sample
+    deterministically.
+    """
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+        .repartition(n_shuffle, "token")
+    )
+    tf = toks.groupBy("token", id_col).agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    return (
+        tf.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df_docs"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.sum(F.col(id_col)).cast("long").alias("posting_checksum"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list(F.col(id_col))), 1, sample_postings),
+                ",",
+            ).alias("posting_sample"),
+        )
+        .filter(F.col("df_docs") >= min_df)
+    )

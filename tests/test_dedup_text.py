@@ -504,3 +504,42 @@ def test_normalize_casefold_stabilizes_unicode(spark):
         for r in tx.normalize_casefold(tx.normalize_casefold(df)).collect()
     }
     assert twice == out
+
+
+def test_edit_distance_verify_hand_values(spark):
+    docs = spark.createDataFrame(
+        [(0, "kitten"), (1, "sitting"), (2, ""), (3, "")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(0, 1), (2, 3)], "id_a long, id_b long")
+    out = {(r["id_a"], r["id_b"]): r for r in dd.edit_distance_verify(pairs, docs).collect()}
+    assert out[(0, 1)]["dist"] == 3
+    assert out[(0, 1)]["norm_sim"] == pytest.approx(1.0 - 3.0 / 7.0)
+    # two empty prefixes: distance 0, similarity defined as 1.0
+    assert out[(2, 3)]["dist"] == 0 and out[(2, 3)]["norm_sim"] == 1.0
+
+    # threshold short-circuit: beyond max_distance -> dist=-1, within=False,
+    # norm_sim NULL
+    bounded = {
+        (r["id_a"], r["id_b"]): r
+        for r in dd.edit_distance_verify(pairs, docs, max_distance=2).collect()
+    }
+    assert not bounded[(0, 1)]["within"]
+    assert bounded[(0, 1)]["norm_sim"] is None
+    assert bounded[(2, 3)]["within"]
+    with pytest.raises(ValueError, match="prefix_len"):
+        dd.edit_distance_verify(pairs, docs, prefix_len=0)
+
+
+def test_build_inverted_index_exact(spark):
+    docs = spark.createDataFrame(
+        [(10, "a b a"), (20, "b c"), (30, "b")], "doc_id long, text string"
+    )
+    out = {r["token"]: r for r in tx.build_inverted_index(docs).collect()}
+    assert out["a"]["df_docs"] == 1 and out["a"]["total_tf"] == 2
+    assert out["b"]["df_docs"] == 3 and out["b"]["total_tf"] == 3
+    assert out["b"]["posting_checksum"] == 60
+    assert out["b"]["posting_sample"] == "10,20,30"
+    assert out["c"]["posting_sample"] == "20"
+    only_common = {r["token"] for r in tx.build_inverted_index(docs, min_df=2).collect()}
+    assert only_common == {"b"}
