@@ -246,3 +246,37 @@ def test_lint_plan_detectors(spark):
     assert P.lint_plan(df.orderBy(F.desc("g")).limit(5)) == []
     u = udf(lambda x: x + 1, "long")
     assert any(f.startswith("python-row-udf") for f in P.lint_plan(df.select(u("id"))))
+
+
+def test_bm25_single_explode_bounded_shuffles(spark, sf_dir):
+    """bm25 shares one token-partitioned exchange for tf + df + idf
+    (round-5 rework: the first cut planned the explode twice): exactly
+    one Generate, bounded shuffles, no cartesian."""
+    df = e.q_bm25_search(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Generate", plan, flags=re.MULTILINE)) == 1
+    assert P.count_shuffles(df) <= 3
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Join-driven pruning (DPP): a partitioned fact joined to a FILTERED
+    dim must plan a dynamicpruning subquery on the fact's partition
+    column — at 100 TB this is what keeps `fact JOIN dim WHERE
+    dim.slice = x` from scanning every fact partition even though the
+    fact filter isn't literal."""
+    from hdinsight_pyspark_cntk_integration_spark.sources import io as eio
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_dpp")
+    eio.write_parquet(ev, out, partition_by=["event_type"])
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("view", 2)], "event_type string, grp int"
+    ).filter("grp = 1")
+    joined = fact.join(dim, "event_type")
+    plan = P.formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert joined.count() == ev.filter("event_type = 'purchase'").count()
