@@ -59,3 +59,19 @@ def test_frame_sampling(spark):
     df = spark.createDataFrame(rows, "vid string, frames array<binary>")
     out = mm.sample_frames(df, every_n=2).collect()[0]
     assert [bytes(b) for b in out["frames"]] == [b"f0", b"f2", b"f4"]
+
+
+def test_decode_arrow_twin_matches_pandas_path(spark):
+    """mapInArrow decode produces row-identical output to the mapInPandas
+    path (same fake decoder), so either is a valid production surface."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import multimodal as mm
+
+    rows = [(f"img{i}", bytes([i] * (10 + i))) for i in range(6)]
+    df = spark.createDataFrame(rows, "path string, content binary").repartition(3)
+    dec = mm.deterministic_fake_decoder((4, 5, 3))
+    a = {r["path"]: r for r in mm.decode_to_tensor(df, decoder=dec).collect()}
+    b = {r["path"]: r for r in mm.decode_to_tensor_arrow(df, decoder=dec).collect()}
+    assert set(a) == set(b) == {f"img{i}" for i in range(6)}
+    for k in a:
+        assert a[k]["shape"] == b[k]["shape"] == [4, 5, 3]
+        assert a[k]["tensor"] == b[k]["tensor"]
