@@ -268,3 +268,59 @@ def score_stream_foreach_batch(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def ingest_dedup_foreach_batch(
+    stream: DataFrame,
+    corpus_path: str,
+    store_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Incremental corpus ingest with exact dedup — the streaming form of
+    ``dedup.dedup_against``: per micro-batch (1) in-batch exact dedup
+    (keep-min-id), (2) anti-join against the persistent fingerprint
+    store, (3) append survivors to the corpus sink and their fingerprints
+    to the store. The store makes replays idempotent at the fingerprint
+    level: a re-delivered batch finds its fingerprints already present
+    and contributes nothing.
+
+    Atomicity caveat (documented, not hidden): the two appends + the
+    checkpoint commit are three separate actions, so a crash between the
+    corpus append and the store append can re-append those rows on
+    replay (duplicate corpus rows with already-fresh fingerprints).
+    Exactly-once across both sinks needs a transactional table format
+    (Delta/Iceberg MERGE) — on plain parquet, run ``dedup.exact_dedup``
+    on read or as compaction. Corpus is appended BEFORE the store so a
+    crash can only duplicate, never lose.
+
+    Returns the started StreamingQuery.
+    """
+    from pyspark.sql import functions as F
+
+    from hdinsight_pyspark_cntk_integration_spark.functions.textfns import fingerprint_md5
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        with_fp = batch_df.withColumn("fingerprint", fingerprint_md5(text_col))
+        # in-batch keep-min-id per fingerprint (same discipline as
+        # dedup.exact_dedup, but preserving the full row)
+        keep = with_fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+        fresh = with_fp.join(keep, ["fingerprint", id_col])
+        try:
+            store = spark.read.parquet(store_path)
+            fresh = fresh.join(store, "fingerprint", "left_anti")
+        except Exception:
+            pass  # first batch: no store yet
+        fresh = fresh.localCheckpoint()  # evaluate ONCE: both sinks see the same rows
+        fresh.drop("fingerprint").write.mode("append").parquet(corpus_path)
+        fresh.select("fingerprint").write.mode("append").parquet(store_path)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

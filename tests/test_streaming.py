@@ -347,3 +347,40 @@ def test_events_replay_source_twin_matches_batch(spark, sf_dir):
     )
     assert got.equals(exp)
     q.stop()
+
+
+def test_ingest_dedup_foreach_batch_incremental(spark, tmp_path):
+    """Two micro-batches with overlapping texts: the second batch's
+    duplicates (against batch 1 AND within itself) are dropped; the
+    fingerprint store accumulates one row per distinct text."""
+    import hdinsight_pyspark_cntk_integration_spark.streaming as st
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+        "doc_id long, text string",
+    )
+    b1.write.mode("append").json(src)
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    st.ingest_dedup_foreach_batch(stream, corpus, store, ck).awaitTermination(120)
+
+    got1 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got1 == {1, 2}  # in-batch dup 3 dropped (keep-min-id)
+
+    b2 = spark.createDataFrame(
+        [(4, "alpha text"), (5, "gamma text"), (6, "gamma text")],
+        "doc_id long, text string",
+    )
+    b2.write.mode("append").json(src)
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    st.ingest_dedup_foreach_batch(stream, corpus, store, ck).awaitTermination(120)
+
+    rows = spark.read.parquet(corpus).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2, 5}
+    # store has exactly one fingerprint per distinct text
+    fps = [r["fingerprint"] for r in spark.read.parquet(store).collect()]
+    assert len(fps) == len(set(fps)) == 3
