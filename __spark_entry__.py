@@ -2613,6 +2613,15 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.build_inverted_index(docs, min_df=2)
 
 
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over events (relational.
+    cohort_retention) — exact integer periods + exact distinct users."""
+    ev = load_table(spark, sf_dir, "events")
+    return rel.cohort_retention(ev, ts_col="ts", key_col="user_id")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2678,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_checks": q_dq_checks,
         "edit_distance_pairs": q_edit_distance_pairs,
         "inverted_index": q_inverted_index,
+        "cohort_retention": q_cohort_retention,
         # round-3 additions, also inside the 50-query window.
         "hash_split": q_hash_split,
         "mixture_sample": q_mixture_sample,
@@ -3632,6 +3642,22 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM(doc_id) AS BIGINT) AS posting_checksum,
               array_to_string(list_sort(list(doc_id))[1:10], ',') AS posting_sample
             FROM tf GROUP BY token HAVING COUNT(*) >= 2
+        """,
+        "cohort_retention": """
+            WITH p AS (
+              SELECT user_id,
+                (epoch_ns(ts) // 1000000000) // 604800 AS period
+              FROM events
+            ),
+            firsts AS (
+              SELECT user_id, MIN(period) AS cohort_period FROM p GROUP BY user_id
+            ),
+            active AS (SELECT DISTINCT user_id, period FROM p)
+            SELECT f.cohort_period,
+              a.period - f.cohort_period AS period_offset,
+              CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+            FROM active a JOIN firsts f USING (user_id)
+            GROUP BY f.cohort_period, a.period - f.cohort_period
         """,
         "variant_extract": """
             SELECT event_type,

@@ -695,3 +695,36 @@ def interpolate_at(
         .cogroup(queries.select(key_col, query_ts_col).groupBy(key_col))
         .applyInPandas(interp, schema)
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    period_seconds: int = 604_800,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    period (the cohort), counted in each later period they return —
+    the (cohort, offset) → distinct-users triangle behind every
+    retention curve. All exact integer arithmetic (epoch floor-division
+    periods, exact count_distinct).
+
+    Shape: one groupBy(key) for first-activity, one distinct over
+    (key, period) — both partial-agg shuffles on the key — then a
+    key-co-located join and a final (cohort, offset) aggregate whose
+    cardinality is O(periods²), tiny at any corpus scale. The raw event
+    table is scanned twice but never joined to itself row-to-row.
+    """
+    if period_seconds < 1:
+        raise ValueError(f"period_seconds must be >= 1 (got {period_seconds})")
+    period = F.floor(F.unix_timestamp(F.col(ts_col)) / period_seconds).cast("long")
+    firsts = df.groupBy(key_col).agg(F.min(period).alias("cohort_period"))
+    active = df.select(F.col(key_col), period.alias("period")).distinct()
+    return (
+        active.join(firsts, key_col)
+        .groupBy(
+            "cohort_period",
+            (F.col("period") - F.col("cohort_period")).alias("period_offset"),
+        )
+        .agg(F.count_distinct(F.col(key_col)).cast("long").alias("n_users"))
+    )

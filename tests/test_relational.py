@@ -420,3 +420,22 @@ def test_interpolate_at_matches_window_form_on_grid(spark):
     )
     vals = [r["value"] for r in rel.interpolate_at(obs, far, "user_id", "ts", "value", "qts").collect()]
     assert vals == [None, None]
+
+
+def test_cohort_retention_hand_computed(spark):
+    t0 = dt.datetime(2024, 1, 1)  # Monday
+    week = dt.timedelta(days=7)
+    rows = [
+        (1, t0), (1, t0 + week), (1, t0 + 2 * week),   # cohort w0, returns w1 w2
+        (2, t0), (2, t0 + 2 * week),                     # cohort w0, returns w2
+        (3, t0 + week),                                  # cohort w1, never returns
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r["cohort_period"] , r["period_offset"]): r["n_users"]
+           for r in rel.cohort_retention(df, "ts", "user_id").collect()}
+    cohorts = sorted({c for c, _ in out})
+    w0, w1 = cohorts[0], cohorts[1]
+    assert out[(w0, 0)] == 2 and out[(w0, 1)] == 1 and out[(w0, 2)] == 2
+    assert out[(w1, 0)] == 1 and (w1, 1) not in out
+    with pytest.raises(ValueError, match="period_seconds"):
+        rel.cohort_retention(df, "ts", "user_id", period_seconds=0)
