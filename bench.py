@@ -70,6 +70,13 @@ PIPELINE = [
     "temperature_mixture",
     "key_skew_profile",
     "hll_distinct_bounded",
+    "pagerank_nations",
+    "interpolate_linear",
+    "inverted_index",
+    "edit_distance_pairs",
+    "cohort_retention",
+    "price_histogram",
+    "dq_checks",
 ]
 
 
