@@ -2622,6 +2622,29 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.cohort_retention(ev, ts_col="ts", key_col="user_id")
 
 
+
+
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe try_* arithmetic family: under ANSI mode (Spark 4
+    default) divide-by-zero and integer overflow RAISE; try_divide/
+    try_add/try_multiply return NULL instead — the dirty-data-tolerant
+    path a 100 TB pipeline wants for derived metrics. Oracle reproduces
+    the NULL semantics with guarded CASE expressions."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), (F.col("o_custkey") % 3).cast("double")).alias(
+            "price_per_mod"
+        ),
+        F.try_add(F.lit(9223372036854775807).cast("long"), F.col("o_orderkey")).alias(
+            "overflow_add"
+        ),
+        F.try_multiply(F.lit(4611686018427387904).cast("long"), (F.col("o_orderkey") % 4).cast("long")).alias(
+            "overflow_mul"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2688,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": q_edit_distance_pairs,
         "inverted_index": q_inverted_index,
         "cohort_retention": q_cohort_retention,
+        "try_arithmetic": q_try_arithmetic,
         # round-3 additions, also inside the 50-query window.
         "hash_split": q_hash_split,
         "mixture_sample": q_mixture_sample,
@@ -3658,6 +3682,17 @@ def oracle_sql() -> dict[str, str]:
               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
             FROM active a JOIN firsts f USING (user_id)
             GROUP BY f.cohort_period, a.period - f.cohort_period
+        """,
+        "try_arithmetic": """
+            SELECT o_orderkey,
+              CASE WHEN o_custkey % 3 = 0 THEN NULL
+                ELSE o_totalprice / CAST(o_custkey % 3 AS DOUBLE) END AS price_per_mod,
+              CASE WHEN o_orderkey = 0 THEN CAST(9223372036854775807 AS BIGINT)
+                ELSE NULL END AS overflow_add,
+              CASE WHEN o_orderkey % 4 = 0 THEN 0
+                WHEN o_orderkey % 4 = 1 THEN CAST(4611686018427387904 AS BIGINT)
+                ELSE NULL END AS overflow_mul
+            FROM orders
         """,
         "variant_extract": """
             SELECT event_type,

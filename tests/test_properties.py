@@ -236,3 +236,82 @@ def test_asof_join_directional_tolerance_matches_bruteforce(
             best[i] = dict(cand)[win]
     got = {r["row_id"]: r["val"] for r in out}
     assert got == best
+
+
+@given(
+    values=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=40
+    ),
+    n_buckets=st.integers(min_value=1, max_value=12),
+)
+@settings(**_SETTINGS)
+def test_histogram_fixed_properties(spark, values, n_buckets):
+    """Every row lands in exactly one bucket (clamped into range), counts
+    sum to n, per-bucket min <= max, and bucket ids are within range."""
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    out = rel.histogram_fixed(df, "v", -100.0, 100.0, n_buckets).collect()
+    assert sum(r["n"] for r in out) == len(values)
+    for r in out:
+        assert 0 <= r["bucket"] < n_buckets
+        assert r["min_v"] <= r["max_v"]
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=30), min_size=1, max_size=4),
+    target=st.integers(min_value=0, max_value=60),
+    alpha=st.sampled_from([0.0, 0.5, 1.0]),
+)
+@settings(**_SETTINGS)
+def test_temperature_mixture_properties(spark, sizes, target, alpha):
+    """Sample is a subset of the input, deterministic under
+    repartitioning, never exceeds the group size, and target=0 keeps
+    nothing."""
+    rows = [
+        (g * 1000 + i, f"g{g}") for g, n in enumerate(sizes) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = pl.temperature_mixture(df, target_rows=target, alpha=alpha, method="knuth")
+    got = sorted(r["doc_id"] for r in kept.collect())
+    assert set(got) <= {r[0] for r in rows}
+    again = sorted(
+        r["doc_id"]
+        for r in pl.temperature_mixture(
+            df.repartition(5), target_rows=target, alpha=alpha, method="knuth"
+        ).collect()
+    )
+    assert got == again
+    if target == 0:
+        assert got == []
+    per_group = {}
+    for d in got:
+        per_group[d // 1000] = per_group.get(d // 1000, 0) + 1
+    for g, n in enumerate(sizes):
+        assert per_group.get(g, 0) <= n
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda e: (e[0], e[1]),
+    ),
+    iters=st.integers(min_value=1, max_value=3),
+)
+@settings(**_SETTINGS)
+def test_pagerank_integer_matches_python_on_random_graphs(spark, edges, iters):
+    """Distributed integer PageRank equals the exact Python-int replica
+    on arbitrary small weighted digraphs (self-loops included), and total
+    mass never exceeds the conservation bound n*1e6 (floor divisions and
+    dangling nodes only LEAK mass)."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import graph as gr
+    from tests.test_graph import _py_pagerank
+
+    df = spark.createDataFrame(edges, "src int, dst int, weight long")
+    got = {r["node"]: r["rank_micro"] for r in gr.pagerank_integer(df, iters=iters).collect()}
+    assert got == _py_pagerank(edges, iters=iters)
+    assert sum(got.values()) <= len(got) * 1_000_000
