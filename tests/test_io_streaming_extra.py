@@ -393,3 +393,45 @@ def test_overwrite_partitions_touches_only_written_partitions(spark, tmp_path):
     assert got1 == list(range(1000, 1010))  # replaced, not appended
     # conf restored
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower() != "dynamic"
+
+
+def test_jsonl_corrupt_record_handling(spark, tmp_path):
+    """Production ingest reality: malformed JSONL lines must be
+    quarantined, not crash the job (PERMISSIVE + _corrupt_record) or be
+    silently droppable on request (DROPMALFORMED)."""
+    p = tmp_path / "dirty.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\n{not json at all\n{"doc_id": 2, "text": "fine"}\n')
+    schema = "doc_id long, text string, _corrupt_record string"
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = permissive.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and bad[0]["doc_id"] is None
+    dropped = (
+        spark.read.schema("doc_id long, text string")
+        .option("mode", "DROPMALFORMED")
+        .json(str(p))
+    )
+    assert {r["doc_id"] for r in dropped.collect()} == {1, 2}
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Additive schema evolution: a reader over old+new files with
+    mergeSchema=true sees the union schema, old rows NULL-filled in the
+    new column — how a long-lived corpus grows columns without rewrite."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "doc_id long, text string").write.parquet(
+        base + "/part=v1"
+    )
+    spark.createDataFrame(
+        [(2, "b", "en")], "doc_id long, text string, lang string"
+    ).write.parquet(base + "/part=v2")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"doc_id", "text", "lang", "part"}
+    got = {r["doc_id"]: r["lang"] for r in merged.collect()}
+    assert got == {1: None, 2: "en"}
