@@ -2645,6 +2645,53 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML family (the reference's S5 artifact is an OpenCV XML matrix —
+    sources/artifacts.py parses the real file; reference README.md:140-143):
+    here the Spark 4 from_xml path, validated as a round-trip — rows are
+    serialized to XML strings in-query, parsed back with an explicit
+    schema, and the extracted fields must equal the originals (oracle:
+    the originals)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    xml = F.concat(
+        F.lit("<ev><id>"), F.col("event_id").cast("string"),
+        F.lit("</id><ty>"), F.col("event_type"),
+        F.lit("</ty><va>"),
+        F.floor(F.col("value") * 1_000_000).cast("long").cast("string"),
+        F.lit("</va></ev>"),
+    )
+    parsed = ev.select(
+        "event_id",
+        F.from_xml(xml, "id BIGINT, ty STRING, va BIGINT").alias("x"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("x.id").alias("xml_id"),
+        F.col("x.ty").alias("xml_type"),
+        F.col("x.va").alias("xml_value_micro"),
+    )
+
+
+def q_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL scalar family: synthesize a URL per document from its source/
+    lang, then parse_url host/path/query-param extraction; the oracle
+    reproduces the components from the same string algebra."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.url_encode(F.concat(F.col("source"), F.lit(" "), F.col("lang"))).alias("encoded"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2712,6 +2759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "cohort_retention": q_cohort_retention,
         "try_arithmetic": q_try_arithmetic,
+        "xml_roundtrip": q_xml_roundtrip,
+        "url_functions": q_url_functions,
         # round-3 additions, also inside the 50-query window.
         "hash_split": q_hash_split,
         "mixture_sample": q_mixture_sample,
@@ -3693,6 +3742,21 @@ def oracle_sql() -> dict[str, str]:
                 WHEN o_orderkey % 4 = 1 THEN CAST(4611686018427387904 AS BIGINT)
                 ELSE NULL END AS overflow_mul
             FROM orders
+        """,
+        "xml_roundtrip": """
+            SELECT event_id,
+              event_id AS xml_id,
+              event_type AS xml_type,
+              CAST(FLOOR(value * 1000000) AS BIGINT) AS xml_value_micro
+            FROM events WHERE event_id < 1000
+        """,
+        "url_functions": """
+            SELECT doc_id,
+              source || '.example.com' AS host,
+              '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+              lang AS lang_param,
+              replace(source || ' ' || lang, ' ', '+') AS encoded
+            FROM documents
         """,
         "variant_extract": """
             SELECT event_type,
