@@ -2692,6 +2692,23 @@ def q_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding cloud via distributed
+    power iteration (similarity.power_iteration_top_component). Rows-only
+    by design: dimension sums run in partition order, so loadings are
+    float-tolerant, not bit-stable (the numpy-parity pytest with cosine
+    alignment > 0.9999 is the value gate). Emitted as (pos, loading,
+    eigenvalue) scalar cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v, lam = sim.power_iteration_top_component(emb, iters=8)
+    return spark.createDataFrame(
+        [(i, float(x), float(lam)) for i, x in enumerate(v)],
+        "pos int, loading double, eigenvalue double",
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2875,6 +2892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "tumbling_hourly": q_tumbling_hourly,
         "set_ops": q_set_ops,
+        "pca_top_component": q_pca_top_component,
     }
 
 

@@ -394,3 +394,74 @@ def kmeans_summary(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("dist_sq").alias("inertia"),
     )
+
+
+def power_iteration_top_component(
+    corpus: DataFrame,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[float], float]:
+    """Top principal direction of the embedding cloud by distributed
+    power iteration on the (mean-centered) covariance — the first step of
+    PCA whitening / spectral dedup, without ever materializing the d×d
+    covariance or collecting the corpus.
+
+    Per sweep, the covariance matvec C·v = E[(x−μ)((x−μ)·v)] is two
+    distributed passes fused into one job: a per-row dot (JVM
+    ``aggregate`` over the zipped arrays would also work; here a
+    vectorized Arrow batch computes y = (x−μ)·v) followed by a
+    posexplode + groupBy(dim) partial-agg sum of y·(x−μ) — the shuffle
+    carries d rows per partition, never the corpus. Driver state is the
+    d-vector and μ only (like kmeans_lloyd's k×d — bounded by model
+    size). Deterministic init e₀; returns (unit eigvec, eigenvalue
+    estimate λ = ‖C·v‖ of the final sweep).
+
+    Float caveat: the dimension sums run in partition order, so the
+    result is reproducible only to float tolerance — numpy-parity pytest
+    (cosine alignment + λ rtol) is the gate, rows-only in the registry.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1 (got {iters})")
+    spark = corpus.sparkSession
+    base = corpus.select(F.col(id_col), F.col(vec_col))
+    d = len(base.select(vec_col).first()[0])
+    mu_rows = (
+        base.select(F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.avg("val").alias("m"))
+        .collect()
+    )
+    mu = np.zeros(d)
+    for r in mu_rows:
+        mu[r["pos"]] = r["m"]
+    n = base.count()
+    v = np.zeros(d)
+    v[0] = 1.0
+    lam = 0.0
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast((v.copy(), mu.copy()))
+
+        @F.pandas_udf("double")
+        def dot_v(vecs: pd.Series) -> pd.Series:
+            vv, m = bc.value
+            x = np.array(vecs.tolist(), dtype=np.float64) - m
+            return pd.Series(x @ vv)
+
+        w_rows = (
+            base.select(F.col(vec_col), dot_v(F.col(vec_col)).alias("__y"))
+            .select(F.col("__y"), F.posexplode(F.col(vec_col)).alias("pos", "val"))
+            .groupBy("pos")
+            .agg(F.sum(F.col("__y") * F.col("val")).alias("s"), F.sum("__y").alias("ys"))
+            .collect()
+        )
+        w = np.zeros(d)
+        for r in w_rows:
+            # Σ y·x / n − μ·Σy / n  ==  Σ y·(x−μ) / n, without re-centering x
+            w[r["pos"]] = (r["s"] - mu[r["pos"]] * r["ys"]) / n
+        lam = float(np.linalg.norm(w))
+        if lam == 0.0:
+            break
+        v = w / lam
+    return v.tolist(), lam

@@ -178,3 +178,25 @@ def test_kmeans_summary_partitions_corpus(spark, sf_dir):
     summ = sim.kmeans_summary(emb, k=4, iters=2).collect()
     assert sum(r["n"] for r in summ) == emb.count()
     assert all(r["inertia"] >= 0 for r in summ)
+
+
+def test_power_iteration_matches_numpy(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    v, lam = sim.power_iteration_top_component(emb, iters=8)
+    rows = emb.select("embedding").collect()
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    Xc = X - X.mean(0)
+    C = Xc.T @ Xc / len(X)
+    ref = np.zeros(X.shape[1]); ref[0] = 1.0
+    for _ in range(8):
+        w = C @ ref
+        lam_ref = np.linalg.norm(w)
+        ref = w / lam_ref
+    assert abs(np.dot(v, ref)) > 0.9999
+    assert lam == pytest.approx(lam_ref, rel=1e-6)
+    # the found direction's variance dominates a random axis' variance
+    proj_var = float(((Xc @ np.array(v)) ** 2).mean())
+    axis_var = float((Xc[:, 0] ** 2).mean())
+    assert proj_var >= axis_var
+    with pytest.raises(ValueError, match="iters"):
+        sim.power_iteration_top_component(emb, iters=0)
