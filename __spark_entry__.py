@@ -729,6 +729,15 @@ def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.repeated_passages(docs, n=8, min_docs=2)
 
 
+def q_repeated_passages_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL repeated passages (operators.dedup.repeated_passages_maximal):
+    multi-length sweep (8/16/32 words) with adjacent-level containment
+    suppression, so an n=16 boilerplate template is reported once at its
+    full length instead of as nine overlapping 8-grams."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.repeated_passages_maximal(docs, ns=(8, 16, 32), min_docs=2)
+
+
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard manifest (operators.pipeline.
     shard_manifest): hash(id) % 16 assignment + per-shard doc/token
@@ -2778,6 +2787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "try_arithmetic": q_try_arithmetic,
         "xml_roundtrip": q_xml_roundtrip,
         "url_functions": q_url_functions,
+        "repeated_passages_maximal": q_repeated_passages_maximal,
         # round-3 additions, also inside the 50-query window.
         "hash_split": q_hash_split,
         "mixture_sample": q_mixture_sample,
@@ -3825,6 +3835,65 @@ def oracle_sql() -> dict[str, str]:
             WHERE length(passage) > 0
             GROUP BY passage
             HAVING COUNT(DISTINCT doc_id) >= 2
+        """,
+        "repeated_passages_maximal": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS l
+              FROM documents
+              WHERE text IS NOT NULL
+            ),
+            g8 AS (
+              SELECT doc_id, unnest(list_transform(range(greatest(len(l) - 7, 1)),
+                i -> array_to_string(list_slice(l, i + 1, i + 8), ' '))) AS passage
+              FROM toks
+            ),
+            g16 AS (
+              SELECT doc_id, unnest(list_transform(range(greatest(len(l) - 15, 1)),
+                i -> array_to_string(list_slice(l, i + 1, i + 16), ' '))) AS passage
+              FROM toks
+            ),
+            g32 AS (
+              SELECT doc_id, unnest(list_transform(range(greatest(len(l) - 31, 1)),
+                i -> array_to_string(list_slice(l, i + 1, i + 32), ' '))) AS passage
+              FROM toks
+            ),
+            s8 AS (
+              SELECT passage, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                CAST(COUNT(*) AS BIGINT) AS n_occurrences, MIN(doc_id) AS first_doc_id
+              FROM g8 WHERE length(passage) > 0
+              GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            s16 AS (
+              SELECT passage, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                CAST(COUNT(*) AS BIGINT) AS n_occurrences, MIN(doc_id) AS first_doc_id
+              FROM g16 WHERE length(passage) > 0
+              GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            s32 AS (
+              SELECT passage, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                CAST(COUNT(*) AS BIGINT) AS n_occurrences, MIN(doc_id) AS first_doc_id
+              FROM g32 WHERE length(passage) > 0
+              GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            supp8 AS (
+              SELECT DISTINCT unnest(list_transform(range(greatest(len(l) - 7, 1)),
+                i -> array_to_string(list_slice(l, i + 1, i + 8), ' '))) AS passage
+              FROM (SELECT string_split(passage, ' ') AS l FROM s16)
+            ),
+            supp16 AS (
+              SELECT DISTINCT unnest(list_transform(range(greatest(len(l) - 15, 1)),
+                i -> array_to_string(list_slice(l, i + 1, i + 16), ' '))) AS passage
+              FROM (SELECT string_split(passage, ' ') AS l FROM s32)
+            )
+            SELECT passage, CAST(8 AS INTEGER) AS n_words, n_docs, n_occurrences, first_doc_id
+              FROM s8 WHERE passage NOT IN (SELECT passage FROM supp8)
+            UNION ALL
+            SELECT passage, CAST(16 AS INTEGER) AS n_words, n_docs, n_occurrences, first_doc_id
+              FROM s16 WHERE passage NOT IN (SELECT passage FROM supp16)
+            UNION ALL
+            SELECT passage, CAST(32 AS INTEGER) AS n_words, n_docs, n_occurrences, first_doc_id
+              FROM s32
         """,
         "shard_manifest": r"""
             WITH a AS (

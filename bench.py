@@ -77,6 +77,7 @@ PIPELINE = [
     "cohort_retention",
     "price_histogram",
     "dq_checks",
+    "repeated_passages_maximal",
 ]
 
 

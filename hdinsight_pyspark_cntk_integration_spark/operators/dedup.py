@@ -615,7 +615,7 @@ def repeated_passages(
     text_col: str = "text",
     n: int = 8,
     min_docs: int = 2,
-    via_hash: bool = False,
+    via_hash: bool | None = None,
 ) -> DataFrame:
     """Substring-level duplication: word ``n``-gram passages that recur
     across at least ``min_docs`` DISTINCT documents, with corpus-wide
@@ -637,12 +637,18 @@ def repeated_passages(
     ~n-word strings — roughly an order of magnitude less shuffle I/O on
     prose), then recover the passage text for the few survivors with a
     broadcast semi-join of the survivor hash set against a re-scan.
-    Counts merge on 64-bit hash collisions (~2⁻⁶⁴ per passage pair), so
-    the default stays exact-by-construction; a twin test pins both modes
-    equal on real text.
+    Counts merge on 64-bit hash collisions (~2⁻⁶⁴ per passage pair); a
+    twin test pins both modes equal on real text. ``via_hash=None``
+    (default) auto-selects: hash-keyed when ``n >= 4`` — a 4-word prose
+    passage already exceeds the 8-byte hash key, so the hash path is the
+    narrower shuffle for every realistic passage length — exact string
+    keys for shorter grams where the string may be narrower than the
+    hash and collisions buy nothing.
     """
     if n < 1 or min_docs < 1:
         raise ValueError(f"need n >= 1 and min_docs >= 1 (got n={n}, min_docs={min_docs})")
+    if via_hash is None:
+        via_hash = n >= 4
     grams = df.select(
         F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("passage")
     ).filter(F.length("passage") > 0)
@@ -733,4 +739,72 @@ def edit_distance_verify(
     )
     if max_distance is not None:
         out = out.withColumn("within", F.col("dist") >= 0)
+    return out
+
+
+def repeated_passages_maximal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (8, 16, 32),
+    min_docs: int = 2,
+    via_hash: bool | None = None,
+) -> DataFrame:
+    """MAXIMAL repeated passages: a multi-length sweep over word n-gram
+    levels ``ns`` with containment suppression — a level-``n`` survivor
+    is dropped when its text is a sub-passage of a level-``m`` survivor
+    at the next level up (``m`` = next larger entry of ``ns``). This is
+    what strips an n=16 licence template ONCE instead of reporting it as
+    nine overlapping 8-grams, the capability gap document-level near-dup
+    and fixed-length ``repeated_passages`` both leave open.
+
+    Correctness of chain-adjacent suppression: every n-subgram of an
+    m-word passage occurring in d documents itself occurs in (at least)
+    those d documents, so it necessarily survives level ``n``
+    pre-suppression — hence suppressing against the ADJACENT level's
+    pre-suppression survivors is transitively complete (a 32-survivor's
+    8-grams are killed via the 16-level survivors they are contained
+    in). Known semantic choice, documented: an 8-gram contained in a
+    repeated 16-passage but ALSO independently frequent elsewhere is
+    still suppressed — the sweep reports containment-maximal passages,
+    not occurrence-disjoint ones.
+
+    Scale shape: one explode+partial-agg groupBy per level (each the
+    ``repeated_passages`` plan, hash-keyed by default via the auto
+    ``via_hash`` rule), then per adjacent pair ONE left-anti join whose
+    build side is the n-grams of the UPPER level's survivors — a set
+    already cut by ``min_docs``, i.e. orders of magnitude smaller than
+    the corpus; at 100 TB the suppression sets broadcast. No all-pairs
+    path, no window, no substring scan.
+
+    Returns (passage, n_words, n_docs, n_occurrences, first_doc_id) —
+    ``n_words`` is the sweep level, NOT len(split(passage)) in the
+    short-document corner where ``word_ngrams`` emits a whole shorter
+    document as its only "n-gram".
+    """
+    levels = sorted(set(ns))
+    if not levels:
+        raise ValueError("ns must be non-empty")
+    survivors = {
+        n: repeated_passages(
+            df, id_col=id_col, text_col=text_col, n=n,
+            min_docs=min_docs, via_hash=via_hash,
+        )
+        for n in levels
+    }
+    kept = []
+    for i, n in enumerate(levels):
+        lvl = survivors[n].withColumn("n_words", F.lit(n))
+        if i + 1 < len(levels):
+            upper = survivors[levels[i + 1]]
+            supp = upper.select(
+                F.explode(word_ngrams("passage", n)).alias("passage")
+            ).distinct()
+            lvl = lvl.join(supp, "passage", "left_anti")
+        kept.append(lvl.select(
+            "passage", "n_words", "n_docs", "n_occurrences", "first_doc_id"
+        ))
+    out = kept[0]
+    for k in kept[1:]:
+        out = out.unionByName(k)
     return out

@@ -393,7 +393,10 @@ def test_repeated_passages_detects_planted_boilerplate(spark):
     assert top["n_docs"] == 10
     assert top["n_occurrences"] == 10
     assert top["first_doc_id"] == 0
-    assert top["passage"] in header  # every shared 8-gram comes from the header
+    # every fully-shared 8-gram lies in the common prefix: the header
+    # plus the "unique body" words that also follow it in every doc
+    # (membership, not ordering — ties at n_docs=10 are order-unstable)
+    assert top["passage"] in header + " unique body"
     # unique documents contribute no passage at min_docs=5
     assert all(out["n_docs"] >= 5)
 
@@ -415,7 +418,7 @@ def test_tokenize_broadcast_twin_matches_join_form(spark):
 def test_repeated_passages_hash_mode_matches_exact(spark):
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     exact = (
-        dd.repeated_passages(docs, n=5, min_docs=2)
+        dd.repeated_passages(docs, n=5, min_docs=2, via_hash=False)
         .toPandas().sort_values("passage").reset_index(drop=True)
     )
     hashed = (
@@ -424,6 +427,39 @@ def test_repeated_passages_hash_mode_matches_exact(spark):
     )
     assert len(exact) > 0
     assert exact.equals(hashed)
+
+
+def test_repeated_passages_maximal_reports_template_once(spark):
+    """A planted 16-word template shared by 5 docs must surface as ONE
+    level-16 row — not as the nine overlapping 8-grams it contains —
+    while an independent 8-word header that is nobody's sub-passage
+    still surfaces at level 8."""
+    template = " ".join(f"tpl{j}" for j in range(16))
+    header8 = " ".join(f"hdr{j}" for j in range(8))
+    rows = [
+        (i, " ".join(f"p{i}w{k}" for k in range(6)) + f" {template} "
+            + " ".join(f"s{i}w{k}" for k in range(6)))
+        for i in range(5)
+    ]
+    rows += [(50 + i, f"{header8} tail{i}a tail{i}b tail{i}c") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dd.repeated_passages_maximal(df, ns=(8, 16, 32), min_docs=3).toPandas()
+
+    t16 = out[out["passage"] == template]
+    assert len(t16) == 1
+    assert t16.iloc[0]["n_words"] == 16
+    assert t16.iloc[0]["n_docs"] == 5
+    assert t16.iloc[0]["first_doc_id"] == 0
+    # no 8-gram contained in the template survives
+    assert not any(
+        (p != template) and (p in template) for p in out["passage"]
+    )
+    h8 = out[out["passage"] == header8]
+    assert len(h8) == 1
+    assert h8.iloc[0]["n_words"] == 8
+    assert h8.iloc[0]["n_docs"] == 4
+    # nothing at level 32 (surroundings are unique per doc)
+    assert (out["n_words"] != 32).all()
 
 
 def test_bm25_hand_computed(spark):
