@@ -2507,6 +2507,54 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-table training (operators.pipeline.bpe_train,
+    Sennrich et al. 2016): 16 merge rounds over the documents word-
+    frequency table, deterministic (count DESC, lhs, rhs) tie-break.
+    Per round: one partial-agg pair groupBy + a bounded 1-row argmax
+    action + a pure replace projection. The oracle unrolls the same 16
+    rounds as chained DuckDB CTEs — symbol strings use the both-sides-
+    wrapped delimiter encoding so replace() IS greedy left-to-right
+    merging in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = pl.bpe_train(docs, num_merges=16)
+    return pl.bpe_merge_table(spark, merges)
+
+
+def _bpe_vocab_oracle(num_merges: int) -> str:
+    """Generate the unrolled-round DuckDB oracle for q_bpe_vocab."""
+    parts = [
+        r"""WITH w0 AS MATERIALIZED (
+  SELECT ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS w,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS word
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE length(word) > 0
+  GROUP BY word
+)"""
+    ]
+    for k in range(1, num_merges + 1):
+        parts.append(
+            f""", p{k} AS MATERIALIZED (
+  SELECT pr['a'] AS a, pr['b'] AS b, SUM(cnt) AS c FROM (
+    SELECT cnt, unnest(list_transform(range(len(l) - 1), i -> {{'a': l[i+1], 'b': l[i+2]}})) AS pr
+    FROM (SELECT string_split(trim(w), '  ') AS l, cnt FROM w{k - 1}) WHERE len(l) >= 2
+  ) GROUP BY a, b
+), b{k} AS (SELECT a, b FROM p{k} ORDER BY c DESC, a, b LIMIT 1
+), w{k} AS MATERIALIZED (
+  SELECT replace(w, ' ' || (SELECT a FROM b{k}) || '  ' || (SELECT b FROM b{k}) || ' ',
+                 ' ' || (SELECT a FROM b{k}) || (SELECT b FROM b{k}) || ' ') AS w, cnt
+  FROM w{k - 1}
+)"""
+        )
+    selects = [
+        f"SELECT CAST({k} AS INTEGER) AS merge_rank, a AS lhs, b AS rhs, a || b AS merged FROM b{k}"
+        for k in range(1, num_merges + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer PageRank (operators.graph.pagerank_integer, 3 sweeps) over
     the nation trade graph (supplier nation -> customer nation, weighted
@@ -2788,6 +2836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_roundtrip": q_xml_roundtrip,
         "url_functions": q_url_functions,
         "repeated_passages_maximal": q_repeated_passages_maximal,
+        "bpe_vocab": q_bpe_vocab,
         # round-3 additions, also inside the 50-query window.
         "hash_split": q_hash_split,
         "mixture_sample": q_mixture_sample,
@@ -3836,6 +3885,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY passage
             HAVING COUNT(DISTINCT doc_id) >= 2
         """,
+        "bpe_vocab": _bpe_vocab_oracle(16),
         "repeated_passages_maximal": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -78,6 +78,7 @@ PIPELINE = [
     "price_histogram",
     "dq_checks",
     "repeated_passages_maximal",
+    "bpe_vocab",
 ]
 
 

@@ -711,3 +711,132 @@ def fk_violations(
         F.count(F.lit(1)).cast("long").alias("n_violations"),
         (F.count(F.lit(1)) == 0).alias("passed"),
     )
+
+
+def bpe_word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Word-frequency table for BPE training: whitespace words of
+    normalized text with corpus counts. This is the standard reduction
+    that makes BPE training scale-free: every subsequent merge round
+    runs over the DISTINCT-word table (vocabulary-sized, ~O(sqrt) of
+    corpus tokens by Heaps' law), never over the corpus again — at
+    100 TB the corpus is touched exactly once, here, by one explode +
+    partial-agg groupBy."""
+    from hdinsight_pyspark_cntk_integration_spark.functions.textfns import normalized_text
+
+    return (
+        df.select(F.explode(F.split(normalized_text(text_col), r"\s+")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _bpe_wrap(word: Column) -> Column:
+    """Symbol-sequence encoding as a delimited string: each symbol
+    carries its OWN leading and trailing space (symbols are joined by
+    two spaces, the whole string wrapped by one). Under this invariant,
+    ``replace(w, ' a  b ', ' ab ')`` is EXACTLY greedy left-to-right
+    non-overlapping pair merging — including the adjacent-occurrence
+    case (' a  b  a  b ') where a single-space join would make
+    ``replace`` consume the shared delimiter and miss the second
+    occurrence. Both Spark and DuckDB ``replace`` scan left-to-right
+    non-overlapping, so the oracle reproduces merges bit-for-bit."""
+    return F.concat(F.lit(" "), F.array_join(F.split(word, ""), "  "), F.lit(" "))
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 24,
+    checkpoint_every: int = 8,
+) -> list[tuple[int, str, str, str]]:
+    """Distributed BPE merge-table training (Sennrich et al. 2016,
+    arXiv:1508.07909): iteratively find the most frequent adjacent
+    symbol pair (weighted by word frequency) and fuse it, ``num_merges``
+    rounds. Returns [(merge_rank, lhs, rhs, merged)].
+
+    Scale shape per round: ONE partial-agg groupBy over the distinct-
+    word table's exploded symbol pairs (map-side combine shrinks the
+    shuffle to the pair vocabulary), then a bounded 1-row action
+    (orderBy+limit(1)) to pick the argmax, then a pure ``replace``
+    projection applies the merge — no shuffle. Rounds are bounded by
+    ``num_merges``; ``localCheckpoint`` every ``checkpoint_every``
+    rounds truncates the growing replace-expression lineage. Ties break
+    deterministically on (count DESC, lhs ASC, rhs ASC) in binary
+    collation, which DuckDB shares — the oracle unrolls the same rounds
+    as chained CTEs and must reproduce the table exactly."""
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1 (got {num_merges})")
+    work = bpe_word_counts(df, text_col).select(
+        _bpe_wrap(F.col("word")).alias("w"), "cnt"
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, str]] = []
+    for k in range(num_merges):
+        syms = work.select(F.split(F.trim(F.col("w")), "  ").alias("l"), "cnt").filter(
+            F.size("l") >= 2
+        )
+        pairs = (
+            syms.select(
+                "cnt",
+                F.explode(
+                    F.expr("transform(sequence(0, size(l) - 2), i -> struct(l[i] as a, l[i+1] as b))")
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("c"))
+        )
+        best = pairs.orderBy(F.desc("c"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((k + 1, a, b, a + b))
+        work = work.withColumn(
+            "w",
+            F.replace(F.col("w"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")),
+        )
+        if (k + 1) % checkpoint_every == 0:
+            work = work.localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_merge_table(spark, merges: list[tuple[int, str, str, str]]) -> DataFrame:
+    """The learned merge table as a DataFrame (merge_rank, lhs, rhs,
+    merged) — bounded by num_merges, i.e. model-sized, like k-means
+    centroids; fine to materialize driver-side."""
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, merged string"
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge table: tokenize each document into
+    subword symbols by replaying the merges in rank order over each
+    word's wrapped symbol string. Returns (id_col, tokens array<string>).
+
+    Pure Catalyst projection — the merge chain compiles to ``num_merges``
+    nested ``replace`` calls inside one whole-stage-codegen'd transform
+    over the document's words; no Python, no shuffle, corpus touched
+    once. This is the consumer path the trainer feeds (the same role
+    ``tokenize_to_ids_broadcast`` plays for word-level vocab)."""
+    from hdinsight_pyspark_cntk_integration_spark.functions.textfns import normalized_text
+
+    def encode_word(w: Column) -> Column:
+        out = _bpe_wrap(w)
+        for _, a, b, _m in merges:
+            out = F.replace(out, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+        return F.split(F.trim(out), "  ")
+
+    words = F.split(normalized_text(text_col), r"\s+")
+    toks = F.flatten(
+        F.transform(
+            F.filter(words, lambda w: F.length(w) > 0),
+            encode_word,
+        )
+    )
+    return df.select(F.col(id_col), toks.alias("tokens"))

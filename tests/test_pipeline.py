@@ -436,3 +436,105 @@ def test_dq_checks_and_fk_violations(spark):
     # id=3 orphaned, NULL id orphaned by definition
     assert (fk["n_rows"], fk["n_violations"], fk["passed"]) == (4, 2, False)
     assert fk["check"] == "fk_id_in_pid"
+
+
+def _bpe_train_reference(word_counts: dict[str, int], num_merges: int):
+    """Single-node reference BPE trainer (Sennrich et al. 2016): plain
+    dicts and lists, greedy left-to-right non-overlapping merge, argmax
+    tie-broken on (count desc, lhs asc, rhs asc)."""
+    words = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(1, num_merges + 1):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                pair_counts[(syms[i], syms[i + 1])] = (
+                    pair_counts.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), _ = best
+        merges.append((rank, a, b, a + b))
+        new_words = {}
+        for syms, c in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + c
+        words = new_words
+    return merges
+
+
+def _bpe_encode_reference(text: str, merges) -> list[str]:
+    toks = []
+    for w in re.split(r"\s+", text.strip().lower()):
+        if not w:
+            continue
+        syms = list(w)
+        for _, a, b, m in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(m)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        toks.extend(syms)
+    return toks
+
+
+def test_bpe_train_matches_single_node_reference(spark):
+    """Distributed trainer vs the classic single-node algorithm on the
+    sf0.001 documents corpus: identical merge tables, 20 rounds."""
+    from hdinsight_pyspark_cntk_integration_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = pl.bpe_train(docs, num_merges=20)
+
+    wc = {
+        r["word"]: r["cnt"]
+        for r in pl.bpe_word_counts(docs).collect()
+    }
+    want = _bpe_train_reference(wc, 20)
+    assert got == want
+
+
+def test_bpe_train_greedy_run_semantics(spark):
+    """Runs of a repeated symbol merge non-overlapping left-to-right:
+    'aaaa' -> [aa, aa], 'aaa' -> [aa, a] — the corner where naive
+    single-space replace diverges from greedy BPE."""
+    df = spark.createDataFrame(
+        [(1, "aaaa aaa ab"), (2, "aaaa ab ab")], "doc_id long, text string"
+    )
+    merges = pl.bpe_train(df, num_merges=2)
+    wc = {r["word"]: r["cnt"] for r in pl.bpe_word_counts(df).collect()}
+    assert merges == _bpe_train_reference(wc, 2)
+    assert merges[0][1] == "a" and merges[0][2] == "a"  # (a,a) is top pair
+
+
+def test_bpe_encode_matches_reference(spark):
+    from hdinsight_pyspark_cntk_integration_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(40)
+    merges = pl.bpe_train(docs, num_merges=12)
+    got = {
+        r["doc_id"]: r["tokens"]
+        for r in pl.bpe_encode(docs, merges).collect()
+    }
+    rows = docs.select("doc_id", "text").collect()
+    assert len(got) == len(rows) > 0
+    for r in rows:
+        want = _bpe_encode_reference(r["text"] or "", merges)
+        assert got[r["doc_id"]] == want, r["doc_id"]
+    # round-trip: concatenating a word's subword tokens recovers the word
+    some_doc = rows[0]["text"].strip().lower().split()
+    enc = "".join(got[rows[0]["doc_id"]])
+    assert enc == "".join(re.split(r"\s+", rows[0]["text"].strip().lower()))
