@@ -271,7 +271,13 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # All three steady-state samples are emitted alongside the median
+    # ("query_samples") so a future ±10% median move is attributable at
+    # a glance: tight samples = real plan change, wide spread = host
+    # noise (this box is shared; GC/CPU contention shows up as one
+    # outlier sample, which the median already discards).
     per_query: dict[str, float] = {}
+    query_samples: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
         fn = queries[name]
@@ -288,6 +294,7 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         dt = sorted(samples)[1]
         per_query[name] = round(dt, 3)
+        query_samples[name] = [round(s, 3) for s in samples]
         total += dt
 
     pipeline_q: dict[str, float] = {}
@@ -300,6 +307,7 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         pipeline_q[name] = round(sorted(samples)[1], 3)
+        query_samples[name] = [round(s, 3) for s in samples]
 
     images_per_sec = inference_throughput(spark)
     skew = skew_join_bench(spark)
@@ -313,6 +321,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "pipeline_queries": pipeline_q,
+                "query_samples": query_samples,
                 "sf": sf,
                 "images_per_sec": round(images_per_sec, 1),
                 "reference_images_per_sec": 102.2,

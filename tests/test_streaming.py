@@ -384,3 +384,84 @@ def test_ingest_dedup_foreach_batch_incremental(spark, tmp_path):
     # store has exactly one fingerprint per distinct text
     fps = [r["fingerprint"] for r in spark.read.parquet(store).collect()]
     assert len(fps) == len(set(fps)) == 3
+
+
+def test_events_replay_restart_resumes_from_committed_offset(spark, tmp_path):
+    """Kill a query mid-stream over events_replay, then resume from the
+    same checkpoint: the union of pre- and post-restart file-sink batches
+    must equal the batch read exactly — no duplicated and no lost rows
+    across the restart boundary. This exercises the offset-recovery
+    contract (readBetweenOffsets re-yields the planned-but-uncommitted
+    batch; read() continues from the committed index)."""
+    import time as _time
+
+    from hdinsight_pyspark_cntk_integration_spark.streaming.replay_source import (
+        EventsReplayDataSource,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"  # 1000 rows -> 10 microbatches of 100
+    spark.dataSource.register(EventsReplayDataSource)
+
+    def make_stream():
+        return (
+            spark.readStream.format("events_replay")
+            .option("path", f"{sf_dir}/events.parquet")
+            .option("order_by", "ts,event_id")
+            .option("rows_per_batch", "100")
+            .load()
+            .select("event_id", "event_type", "value")
+        )
+
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+
+    # Phase 1: slow trigger; stop after >=2 committed microbatches.
+    q1 = (
+        make_stream()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        done = [p for p in q1.recentProgress if p["numInputRows"] > 0]
+        if len(done) >= 2:
+            break
+        _time.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination(60)
+
+    mid = spark.read.parquet(sink).count()
+    assert mid > 0, "phase 1 committed no batches"
+
+    # Phase 2: resume from the same checkpoint, drain to the end.
+    # (availableNow is not honored by SimpleDataSourceStreamReader — it
+    # snapshots "available" before the prefetcher advances — so drain
+    # with the default ASAP trigger and poll the sink row count.)
+    q2 = (
+        make_stream()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if spark.read.parquet(sink).count() >= 1000:
+            break
+        _time.sleep(0.5)
+    q2.stop()
+    q2.awaitTermination(60)
+
+    got = spark.read.parquet(sink).toPandas()
+    exp = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).toPandas()
+    assert len(got) == len(exp) == 1000
+    assert sorted(got["event_id"]) == sorted(exp["event_id"])
+    assert got["event_id"].is_unique
+    g = got.sort_values("event_id").reset_index(drop=True)
+    e = exp.sort_values("event_id").reset_index(drop=True)
+    assert g.equals(e)
