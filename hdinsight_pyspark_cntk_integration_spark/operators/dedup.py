@@ -639,16 +639,20 @@ def repeated_passages(
     broadcast semi-join of the survivor hash set against a re-scan.
     Counts merge on 64-bit hash collisions (~2⁻⁶⁴ per passage pair); a
     twin test pins both modes equal on real text. ``via_hash=None``
-    (default) auto-selects: hash-keyed when ``n >= 4`` — a 4-word prose
-    passage already exceeds the 8-byte hash key, so the hash path is the
-    narrower shuffle for every realistic passage length — exact string
-    keys for shorter grams where the string may be narrower than the
-    hash and collisions buy nothing.
+    (default) resolves to the exact single-scan string-key path:
+    MEASURED at sf0.1/local[32], the hash path is ~2× slower (bench r5:
+    1.2 s → 2.4 s) because its survivor-text recovery re-scans and
+    re-explodes the corpus, doubling the dominant n-gram-explode CPU,
+    while the narrower (8-byte vs ~50-byte key) exchange only pays when
+    the shuffle is network-bound. Opt in with ``via_hash=True`` on
+    clusters where exchange bytes, not scan CPU, are the constraint —
+    the count_distinct expand ships (key, doc_id) pairs, so key width
+    multiplies across the whole expanded stream there.
     """
     if n < 1 or min_docs < 1:
         raise ValueError(f"need n >= 1 and min_docs >= 1 (got n={n}, min_docs={min_docs})")
     if via_hash is None:
-        via_hash = n >= 4
+        via_hash = False
     grams = df.select(
         F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("passage")
     ).filter(F.length("passage") > 0)
@@ -769,13 +773,15 @@ def repeated_passages_maximal(
     still suppressed — the sweep reports containment-maximal passages,
     not occurrence-disjoint ones.
 
-    Scale shape: one explode+partial-agg groupBy per level (each the
-    ``repeated_passages`` plan, hash-keyed by default via the auto
-    ``via_hash`` rule), then per adjacent pair ONE left-anti join whose
-    build side is the n-grams of the UPPER level's survivors — a set
-    already cut by ``min_docs``, i.e. orders of magnitude smaller than
-    the corpus; at 100 TB the suppression sets broadcast. No all-pairs
-    path, no window, no substring scan.
+    Scale shape (default): ONE corpus scan tokenizes each document once
+    and emits (n_words, passage) tags for every level, ONE partial-agg
+    groupBy on the tagged passage serves all levels, the min_docs-cut
+    survivor set is materialized (localCheckpoint — bounded by the
+    corpus's boilerplate volume), then per adjacent pair ONE left-anti
+    join whose build side is the n-grams of the UPPER level's survivors
+    — at 100 TB the suppression sets broadcast. No all-pairs path, no
+    window, no substring scan. ``via_hash=True`` opts into the
+    per-level hash-keyed exchange (see ``repeated_passages``).
 
     Returns (passage, n_words, n_docs, n_occurrences, first_doc_id) —
     ``n_words`` is the sweep level, NOT len(split(passage)) in the
@@ -785,25 +791,85 @@ def repeated_passages_maximal(
     levels = sorted(set(ns))
     if not levels:
         raise ValueError("ns must be non-empty")
-    survivors = {
-        n: repeated_passages(
-            df, id_col=id_col, text_col=text_col, n=n,
-            min_docs=min_docs, via_hash=via_hash,
+    if via_hash:
+        # Hash-keyed per-level path (narrow exchange, doubled scans) —
+        # opt-in for network-bound clusters; see repeated_passages.
+        survivors = {
+            n: repeated_passages(
+                df, id_col=id_col, text_col=text_col, n=n,
+                min_docs=min_docs, via_hash=True,
+            )
+            for n in levels
+        }
+        surv = None
+        for n in levels:
+            lvl = survivors[n].withColumn("n_words", F.lit(n))
+            surv = lvl if surv is None else surv.unionByName(lvl)
+    else:
+        # Fused single-scan plan: ONE pass tokenizes each document once
+        # (lambda-bound) and emits (n_words, passage) for every level,
+        # then ONE partial-agg groupBy on the tagged passage serves all
+        # levels — vs. |levels| scans + |levels| shuffles for the naive
+        # per-level composition (measured 4.0 s → fused below at sf0.1).
+        def tagged(toks: Column) -> Column:
+            # NB: closure factory, not a default-arg lambda — pyspark
+            # dispatches HOF lambdas on arity, so `lambda i, n=n:` would
+            # be called as (element, index) with the level bound to the
+            # array index.
+            def builder(n: int):
+                return lambda i: F.struct(
+                    F.lit(n).alias("n_words"),
+                    F.array_join(F.slice(toks, i + 1, n), " ").alias("passage"),
+                )
+
+            parts = []
+            for n in levels:
+                idx = F.sequence(
+                    F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(0))
+                )
+                parts.append(F.transform(idx, builder(n)))
+            return F.concat(*parts)
+
+        grams = df.select(
+            F.col(id_col),
+            F.explode(
+                _bind_once(F.split(normalized_text(text_col), r"\s+"), tagged)
+            ).alias("g"),
+        ).select(
+            id_col,
+            F.col("g.n_words").alias("n_words"),
+            F.col("g.passage").alias("passage"),
         )
-        for n in levels
-    }
+        surv = (
+            grams.filter(F.length("passage") > 0)
+            .groupBy("n_words", "passage")
+            .agg(
+                F.count_distinct(id_col).alias("n_docs"),
+                F.count(F.lit(1)).alias("n_occurrences"),
+                F.min(id_col).alias("first_doc_id"),
+            )
+            .filter(F.col("n_docs") >= min_docs)
+        )
+    # The survivor set (min_docs-cut, orders of magnitude smaller than
+    # the gram stream) is referenced once per level as output and once
+    # per adjacent pair as suppression build side — materialize it so
+    # those references don't each re-scan the corpus. Bounded by the
+    # corpus's boilerplate volume, the thing this operator exists to be
+    # small relative to everything else.
+    surv = surv.localCheckpoint(eager=True)
     kept = []
     for i, n in enumerate(levels):
-        lvl = survivors[n].withColumn("n_words", F.lit(n))
+        lvl = surv.filter(F.col("n_words") == n)
         if i + 1 < len(levels):
-            upper = survivors[levels[i + 1]]
-            supp = upper.select(
-                F.explode(word_ngrams("passage", n)).alias("passage")
-            ).distinct()
+            supp = (
+                surv.filter(F.col("n_words") == levels[i + 1])
+                .select(F.explode(word_ngrams("passage", n)).alias("passage"))
+                .distinct()
+            )
             lvl = lvl.join(supp, "passage", "left_anti")
-        kept.append(lvl.select(
-            "passage", "n_words", "n_docs", "n_occurrences", "first_doc_id"
-        ))
+        kept.append(
+            lvl.select("passage", "n_words", "n_docs", "n_occurrences", "first_doc_id")
+        )
     out = kept[0]
     for k in kept[1:]:
         out = out.unionByName(k)
