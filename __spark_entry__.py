@@ -738,6 +738,23 @@ def q_repeated_passages_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.repeated_passages_maximal(docs, ns=(8, 16, 32), min_docs=2)
 
 
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal (operators.dedup.strip_passages): detect the
+    top-5 repeated 8-gram passages (deterministic (n_docs DESC,
+    n_occurrences DESC, passage) order, bounded collect) and strip them
+    from every document as whole-word-bounded replaces. The oracle
+    recomputes the same top-5 in SQL and applies the same nested
+    replace chain — identical left-to-right semantics in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    top = (
+        dd.repeated_passages(docs, n=8, min_docs=2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("passage"))
+        .limit(5)
+        .collect()
+    )
+    return dd.strip_passages(docs, [r["passage"] for r in top])
+
+
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard manifest (operators.pipeline.
     shard_manifest): hash(id) % 16 assignment + per-shard doc/token
@@ -2837,6 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_functions": q_url_functions,
         "repeated_passages_maximal": q_repeated_passages_maximal,
         "bpe_vocab": q_bpe_vocab,
+        "strip_boilerplate": q_strip_boilerplate,
         # round-3 additions, also inside the 50-query window.
         "hash_split": q_hash_split,
         "mixture_sample": q_mixture_sample,
@@ -3886,6 +3904,39 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(DISTINCT doc_id) >= 2
         """,
         "bpe_vocab": _bpe_vocab_oracle(16),
+        "strip_boilerplate": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS l
+              FROM documents
+              WHERE text IS NOT NULL
+            ),
+            grams AS (
+              SELECT doc_id, unnest(list_transform(range(greatest(len(l) - 7, 1)),
+                i -> array_to_string(list_slice(l, i + 1, i + 8), ' '))) AS passage
+              FROM toks
+            ),
+            s AS (
+              SELECT passage, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+              FROM grams WHERE length(passage) > 0
+              GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            top5 AS (
+              SELECT passage,
+                row_number() OVER (ORDER BY n_docs DESC, n_occ DESC, passage) AS rk
+              FROM s ORDER BY n_docs DESC, n_occ DESC, passage LIMIT 5
+            )
+            SELECT doc_id,
+              trim(replace(replace(replace(replace(replace(
+                ' ' || trim(regexp_replace(lower(text), '\s+', ' ', 'g')) || ' ',
+                ' ' || COALESCE((SELECT passage FROM top5 WHERE rk = 1), chr(1)) || ' ', ' '),
+                ' ' || COALESCE((SELECT passage FROM top5 WHERE rk = 2), chr(1)) || ' ', ' '),
+                ' ' || COALESCE((SELECT passage FROM top5 WHERE rk = 3), chr(1)) || ' ', ' '),
+                ' ' || COALESCE((SELECT passage FROM top5 WHERE rk = 4), chr(1)) || ' ', ' '),
+                ' ' || COALESCE((SELECT passage FROM top5 WHERE rk = 5), chr(1)) || ' ', ' ')
+              ) AS clean_text
+            FROM documents
+        """,
         "repeated_passages_maximal": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -79,6 +79,7 @@ PIPELINE = [
     "dq_checks",
     "repeated_passages_maximal",
     "bpe_vocab",
+    "strip_boilerplate",
 ]
 
 

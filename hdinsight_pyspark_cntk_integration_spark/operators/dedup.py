@@ -874,3 +874,35 @@ def repeated_passages_maximal(
     for k in kept[1:]:
         out = out.unionByName(k)
     return out
+
+
+def strip_passages(
+    df: DataFrame,
+    passages: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Strip known boilerplate passages from documents — the consumer
+    path of ``repeated_passages``/``repeated_passages_maximal``: feed
+    the detected survivors back and remove them from the corpus before
+    training. Returns (id_col, clean_text).
+
+    Semantics: the normalized text is space-wrapped and each passage is
+    removed as a whole-word-bounded occurrence (' p ' -> ' ') by a
+    chained ``replace`` — single left-to-right non-overlapping pass per
+    passage, in the caller-given order (order the list deterministically;
+    the gate query uses (n_docs DESC, n_occurrences DESC, passage)).
+    Two occurrences separated by ONE word strip cleanly; immediately
+    adjacent occurrences share the boundary space and only the first is
+    stripped per pass — documented single-pass behavior, identical in
+    DuckDB (same replace semantics), so the oracle matches exactly.
+
+    Scale shape: the passage list is driver-side and bounded (top-k
+    boilerplate, model-sized); the strip compiles to len(passages)
+    nested replaces inside one whole-stage-codegen projection — no
+    shuffle, no Python, corpus touched once.
+    """
+    out = F.concat(F.lit(" "), normalized_text(text_col), F.lit(" "))
+    for p in passages:
+        out = F.replace(out, F.lit(f" {p} "), F.lit(" "))
+    return df.select(F.col(id_col), F.trim(out).alias("clean_text"))

@@ -579,3 +579,21 @@ def test_build_inverted_index_exact(spark):
     assert out["c"]["posting_sample"] == "20"
     only_common = {r["token"] for r in tx.build_inverted_index(docs, min_df=2).collect()}
     assert only_common == {"b"}
+
+
+def test_strip_passages_removes_planted_boilerplate(spark):
+    header = " ".join(f"h{j}" for j in range(8))
+    rows = [(i, f"start{i} {header} end{i}") for i in range(4)]
+    rows.append((9, f"{header} {header} solo"))  # adjacent occurrences
+    rows.append((10, None))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in dd.strip_passages(df, [header]).collect()
+    }
+    for i in range(4):
+        assert out[i] == f"start{i} end{i}"
+    # single-pass semantics: adjacent occurrences share the boundary
+    # space, so only the first is stripped per pass (documented)
+    assert out[9] == f"{header} solo"
+    assert out[10] is None
