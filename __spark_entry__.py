@@ -755,6 +755,16 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.strip_passages(docs, [r["passage"] for r in top])
 
 
+def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version drift monitor (operators.text.corpus_divergence):
+    top-15 token contributors to KL(all-docs || cleaned-subset) with
+    add-one smoothing; ln quantized to BIGINT micro-units at the vocab
+    level (unigram_logprob discipline), everything downstream integer."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = docs.filter(F.col("doc_id") % 7 != 0)
+    return tx.corpus_divergence(docs, cleaned, top_k=15)
+
+
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard manifest (operators.pipeline.
     shard_manifest): hash(id) % 16 assignment + per-shard doc/token
@@ -2855,6 +2865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_passages_maximal": q_repeated_passages_maximal,
         "bpe_vocab": q_bpe_vocab,
         "strip_boilerplate": q_strip_boilerplate,
+        "corpus_divergence": q_corpus_divergence,
         # round-3 additions, also inside the 50-query window.
         "hash_split": q_hash_split,
         "mixture_sample": q_mixture_sample,
@@ -3904,6 +3915,35 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(DISTINCT doc_id) >= 2
         """,
         "bpe_vocab": _bpe_vocab_oracle(16),
+        "corpus_divergence": r"""
+            WITH ta AS (
+              SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+                FROM documents WHERE text IS NOT NULL
+              ) WHERE length(token) > 0 GROUP BY token
+            ),
+            tb AS (
+              SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+                FROM documents WHERE text IS NOT NULL AND doc_id % 7 <> 0
+              ) WHERE length(token) > 0 GROUP BY token
+            ),
+            tot AS (
+              SELECT CAST((SELECT SUM(c) FROM ta) AS DOUBLE) AS t_a,
+                     CAST((SELECT SUM(c) FROM tb) AS DOUBLE) AS t_b,
+                     CAST((SELECT COUNT(*) FROM (
+                       SELECT token FROM ta UNION SELECT token FROM tb)) AS DOUBLE) AS v
+            )
+            SELECT a.token, a.c AS cnt_a,
+              CAST(COALESCE(b.c, 0) AS BIGINT) AS cnt_b,
+              CAST(a.c * CAST(floor(ln(
+                (CAST(a.c AS DOUBLE) * (t_b + v))
+                / (t_a * CAST(COALESCE(b.c, 0) + 1 AS DOUBLE))
+              ) * 1000000.0) AS BIGINT) AS BIGINT) AS contrib_micro
+            FROM ta a LEFT JOIN tb b USING (token), tot
+            ORDER BY contrib_micro DESC, a.token
+            LIMIT 15
+        """,
         "strip_boilerplate": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -80,6 +80,7 @@ PIPELINE = [
     "repeated_passages_maximal",
     "bpe_vocab",
     "strip_boilerplate",
+    "corpus_divergence",
 ]
 
 

@@ -639,3 +639,69 @@ def build_inverted_index(
         )
         .filter(F.col("df_docs") >= min_df)
     )
+
+
+def corpus_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    top_k: int = 15,
+) -> DataFrame:
+    """Token-distribution KL-divergence contributors between two corpus
+    versions — the drift monitor a training-data pipeline runs when a
+    filter/dedup/mixture change ships: which tokens does version A
+    over-represent relative to version B, and by how much?
+
+    Per-token contribution to KL(P_A || P_B) with add-one smoothing on
+    the B side (so tokens absent from B stay finite):
+
+        contrib_t = cnt_a(t) * floor( ln( (cnt_a(t) * (T_B + V))
+                                        / (T_A * (cnt_b(t) + 1)) ) * 1e6 )
+
+    Determinism discipline (same as ``unigram_logprob``): the only
+    transcendental is evaluated once per DISTINCT token on exact
+    integer-derived doubles and floor-quantized to BIGINT micro-units at
+    birth; every downstream reduction is integer. The ln argument is
+    assembled in a fixed operand order mirrored by the oracle, so both
+    engines feed ln identical doubles.
+
+    Scale shape: one token groupBy per version (partial agg; vocab-sized
+    outputs), one vocab-sized join, three bounded scalar actions for the
+    totals, and a bounded top-k. The corpus is touched once per version.
+    """
+    def counts(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+                ).alias("token")
+            )
+            .filter(F.length("token") > 0)
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+
+    ta = counts(df_a)
+    tb = counts(df_b)
+    t_a = ta.agg(F.sum("c")).collect()[0][0] or 0
+    t_b = tb.agg(F.sum("c")).collect()[0][0] or 0
+    v = (
+        ta.select("token").union(tb.select("token")).distinct().count()
+    )
+    j = ta.join(tb.withColumnRenamed("c", "cb"), "token", "left").select(
+        "token",
+        F.col("c").alias("cnt_a"),
+        F.coalesce(F.col("cb"), F.lit(0)).cast("long").alias("cnt_b"),
+    )
+    arg = (F.col("cnt_a").cast("double") * F.lit(float(t_b + v))) / (
+        F.lit(float(t_a)) * (F.col("cnt_b") + F.lit(1)).cast("double")
+    )
+    out = j.select(
+        "token",
+        "cnt_a",
+        "cnt_b",
+        (F.col("cnt_a") * F.floor(F.log(arg) * F.lit(1_000_000.0)).cast("long"))
+        .cast("long")
+        .alias("contrib_micro"),
+    )
+    return out.orderBy(F.desc("contrib_micro"), "token").limit(top_k)

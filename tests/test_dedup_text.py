@@ -597,3 +597,40 @@ def test_strip_passages_removes_planted_boilerplate(spark):
     # space, so only the first is stripped per pass (documented)
     assert out[9] == f"{header} solo"
     assert out[10] is None
+
+
+def test_corpus_divergence_hand_computed(spark):
+    """KL contributors against a hand-rolled python computation on a
+    tiny two-version fixture (B drops the doc that carries 'rare')."""
+    import math
+
+    a_rows = [(1, "x x y"), (2, "rare rare y"), (3, "x y y")]
+    b_rows = [(1, "x x y"), (3, "x y y")]
+    da = spark.createDataFrame(a_rows, "doc_id long, text string")
+    db = spark.createDataFrame(b_rows, "doc_id long, text string")
+    got = {
+        r["token"]: (r["cnt_a"], r["cnt_b"], r["contrib_micro"])
+        for r in tx.corpus_divergence(da, db, top_k=10).collect()
+    }
+    ca = {"x": 3, "y": 4, "rare": 2}
+    cb = {"x": 3, "y": 3}
+    t_a, t_b, v = 9, 6, 3
+    want = {
+        t: (
+            ca[t],
+            cb.get(t, 0),
+            ca[t]
+            * math.floor(
+                math.log((ca[t] * (t_b + v)) / (t_a * (cb.get(t, 0) + 1)))
+                * 1_000_000
+            ),
+        )
+        for t in ca
+    }
+    assert got == want
+    # per-occurrence divergence rate peaks on the token B dropped
+    # (total contribution is count-weighted, so frequent shared tokens
+    # can out-total a rare dropped one — by design)
+    top_rate = max(got.items(), key=lambda kv: kv[1][2] / kv[1][0])
+    assert top_rate[0] == "rare"
+    assert got["rare"][2] > 0
