@@ -2496,6 +2496,18 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pl.key_skew_profile(ev, "user_id", top_k=10)
 
 
+def q_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters via Misra-Gries prune + exact verify
+    (operators.sketch.heavy_hitters_exact, capacity=125): event users
+    with count * 125 > n — MG candidates bound the verify groupBy to
+    candidate cardinality, the integer support test keeps the output
+    exact and partition-invariant."""
+    from hdinsight_pyspark_cntk_integration_spark.operators.sketch import heavy_hitters_exact
+
+    events = load_table(spark, sf_dir, "events")
+    return heavy_hitters_exact(events, "user_id", capacity=125)
+
+
 def q_hll_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable DataSketches HLL distinct-count (operators.sketch):
     exact count emitted, sketch estimate checked against a 5% bound
@@ -2866,6 +2878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": q_bpe_vocab,
         "strip_boilerplate": q_strip_boilerplate,
         "corpus_divergence": q_corpus_divergence,
+        "heavy_users": q_heavy_users,
         # round-3 additions, also inside the 50-query window.
         "hash_split": q_hash_split,
         "mixture_sample": q_mixture_sample,
@@ -3915,6 +3928,12 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(DISTINCT doc_id) >= 2
         """,
         "bpe_vocab": _bpe_vocab_oracle(16),
+        "heavy_users": r"""
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY user_id
+            HAVING COUNT(*) * 125 > (SELECT COUNT(*) FROM events WHERE user_id IS NOT NULL)
+        """,
         "corpus_divergence": r"""
             WITH ta AS (
               SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM (

@@ -81,6 +81,7 @@ PIPELINE = [
     "bpe_vocab",
     "strip_boilerplate",
     "corpus_divergence",
+    "heavy_users",
 ]
 
 

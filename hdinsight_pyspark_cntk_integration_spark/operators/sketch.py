@@ -81,3 +81,65 @@ def distinct_bounded(
             ).alias("sketch_ok"),
         )
     )
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    value_col: str,
+    capacity: int = 200,
+) -> DataFrame:
+    """EXACT frequent items above the n/capacity support threshold,
+    without a full-vocabulary groupBy: per-partition Misra-Gries
+    summaries prune the candidate set, then one exact counting pass over
+    the (broadcast) candidates verifies. Returns (value, n_occurrences)
+    for every value with count * capacity > n — exact and
+    partition-invariant: the MG candidate superset depends on data
+    layout, but the final exact filter does not.
+
+    Guarantee chain: a Misra-Gries summary with ``capacity`` counters
+    under-counts any item by at most n_p/capacity (including under
+    batch-granularity merges, by the MG merge theorem), so an item with
+    partition count > n_p/capacity survives partition p; if a global
+    count exceeds n/capacity = Σ n_p/capacity then by pigeonhole some
+    partition exceeds its local threshold — every true heavy hitter is a
+    candidate. False candidates are removed by the exact pass.
+
+    Scale shape: candidates ≤ capacity × partitions (bounded, broadcast-
+    sized); the verify pass is one scan + a semi-join-filtered partial-
+    agg groupBy whose key cardinality is the candidate set, not the
+    vocabulary. The Python stage is Arrow-batched and works on
+    ``value_counts`` vectors per batch, never per-row appends. The
+    support test is pure integer arithmetic (count * capacity > n), so
+    an ANSI-SQL oracle reproduces it bit-for-bit.
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1 (got {capacity})")
+    import pandas as pd
+
+    vals = df.select(F.col(value_col).alias("v")).filter(F.col("v").isNotNull())
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf["v"].value_counts()
+            for val, c in vc.items():
+                counters[val] = counters.get(val, 0) + int(c)
+            if len(counters) > capacity:
+                # MG merge-and-truncate: subtract the (capacity+1)-th
+                # largest count from all, drop the non-positive.
+                import numpy as np
+
+                arr = np.fromiter(counters.values(), dtype="int64")
+                cut = int(np.partition(arr, -capacity - 1)[-capacity - 1])
+                counters = {k: c - cut for k, c in counters.items() if c > cut}
+        yield pd.DataFrame({"v": list(counters.keys())})
+
+    candidates = vals.mapInPandas(mg, schema=vals.schema).distinct()
+    n = vals.count()
+    exact = (
+        vals.join(F.broadcast(candidates), "v", "left_semi")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") * F.lit(capacity) > F.lit(n))
+    )
+    return exact.select(F.col("v").alias(value_col), "n_occurrences")

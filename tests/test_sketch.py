@@ -51,3 +51,29 @@ def test_hll_sketch_insensitive_to_partitioning(spark, sf_dir):
         "event_type", "estimate"
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_heavy_hitters_exact_guarantee_and_partition_invariance(spark):
+    """Planted zipf-ish skew: every value above the n/capacity support
+    must be reported with its exact count, none below it, and the output
+    must not depend on partitioning (1 vs 17 partitions) even though the
+    MG candidate superset does."""
+    from collections import Counter
+
+    from hdinsight_pyspark_cntk_integration_spark.operators.sketch import heavy_hitters_exact
+
+    vals = []
+    for v in range(40):
+        vals.extend([v] * (3 + (200 if v < 3 else v)))  # 3 hot values
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "row_id long, v long")
+    exact = Counter(vals)
+    n = len(vals)
+    cap = 10
+    want = {v: c for v, c in exact.items() if c * cap > n}
+    assert 1 <= len(want) < len(exact)
+
+    for parts in (1, 17):
+        out = heavy_hitters_exact(df.repartition(parts), "v", capacity=cap)
+        got = {r["v"]: r["n_occurrences"] for r in out.collect()}
+        assert got == want, parts
