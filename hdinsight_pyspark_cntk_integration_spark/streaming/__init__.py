@@ -324,3 +324,64 @@ def ingest_dedup_foreach_batch(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_stateful_first_seen(
+    docs: DataFrame,
+    key_col: str = "fingerprint",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Continuous exact-dedup via ``applyInPandasWithState`` — the
+    no-extra-dependency stateful twin of ``dedup_stateful_ttl``: the
+    first row per key is emitted, repeats are dropped while the key's
+    state lives. Unlike the transformWithState variant (which speaks
+    protobuf to the JVM state server and cannot run in this container),
+    this API serializes state through Arrow and EXECUTES here — the
+    twin test runs it over the replay source against the batch result.
+
+    ``ttl_ms`` arms a processing-time timeout per key; on expiry the
+    state is removed, so a key seen again later passes again (state
+    stays bounded by the live-key set instead of growing forever —
+    the property that makes streaming dedup viable on an unbounded
+    firehose). Default ``None`` keeps state for the query lifetime.
+
+    State: one boolean per distinct key, partitioned by key — scales
+    with |keys|, not |events|. Output schema == input schema.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
+    )
+    cols = [f.name for f in docs.schema.fields]
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def first_seen(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        emitted = state.exists
+        first = None
+        for pdf in pdfs:  # always drain the Arrow batch iterator fully
+            if not emitted and len(pdf):
+                first = pdf.head(1)[cols]
+                emitted = True
+        if first is not None:
+            state.update((True,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if first is not None:
+            yield first
+
+    return docs.groupBy(key_col).applyInPandasWithState(
+        first_seen,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=timeout,
+    )

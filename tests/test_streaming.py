@@ -5,6 +5,7 @@ frame), plus foreachBatch scoring reuse (SURVEY.md §7 Phase 5)."""
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from hdinsight_pyspark_cntk_integration_spark import streaming as st
 from hdinsight_pyspark_cntk_integration_spark.operators import scoring as sc
@@ -465,3 +466,48 @@ def test_events_replay_restart_resumes_from_committed_offset(spark, tmp_path):
     g = got.sort_values("event_id").reset_index(drop=True)
     e = exp.sort_values("event_id").reset_index(drop=True)
     assert g.equals(e)
+
+
+def test_dedup_stateful_first_seen_stream_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState dedup (no protobuf needed — this one
+    EXECUTES in this container, unlike the transformWithState twin):
+    planted duplicate fingerprints across microbatches keep exactly one
+    row per key; the surviving key set equals batch distinct."""
+    from hdinsight_pyspark_cntk_integration_spark.operators.text import fingerprints
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    dup = docs.limit(50).withColumn("doc_id", docs.doc_id + 1_000_000)
+    both = docs.unionByName(dup)
+    fp = fingerprints(both).join(both, "doc_id").select("doc_id", "fingerprint")
+
+    src = str(tmp_path / "fp_src2")
+    # two files -> at least two microbatches with maxFilesPerTrigger=1
+    fp.filter(F.col("doc_id") < 1_000_000).write.parquet(f"{src}/a")
+    fp.filter(F.col("doc_id") >= 1_000_000).write.parquet(f"{src}/b")
+
+    stream = (
+        spark.readStream.schema(fp.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = st.dedup_stateful_first_seen(stream, key_col="fingerprint")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_fs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_fs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from dedup_fs").toPandas()
+    assert got["fingerprint"].is_unique
+    exp_keys = {r["fingerprint"] for r in fp.select("fingerprint").distinct().collect()}
+    assert set(got["fingerprint"]) == exp_keys
+    # every emitted row is a real input row (first-seen, not synthesized)
+    ids = {r["doc_id"] for r in fp.select("doc_id").collect()}
+    assert set(got["doc_id"]).issubset(ids)
+    # (note: applyInPandasWithState rejects batch frames with
+    # UnsupportedOperationException — streaming-only by design, unlike
+    # the transformWithState variant)
