@@ -765,6 +765,16 @@ def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.corpus_divergence(docs, cleaned, top_k=15)
 
 
+def q_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs Jaccard self-join with prefix filtering
+    (operators.dedup.set_similarity_join, threshold 0.6 on word
+    3-shingles): no false negatives by construction — the oracle brute-
+    forces all pairs and must agree exactly (integer threshold test,
+    identical IEEE division for the reported jaccard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.set_similarity_join(docs, threshold=0.6)
+
+
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard manifest (operators.pipeline.
     shard_manifest): hash(id) % 16 assignment + per-shard doc/token
@@ -2879,6 +2889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": q_strip_boilerplate,
         "corpus_divergence": q_corpus_divergence,
         "heavy_users": q_heavy_users,
+        "set_similarity": q_set_similarity,
         # round-3 additions, also inside the 50-query window.
         "hash_split": q_hash_split,
         "mixture_sample": q_mixture_sample,
@@ -3928,6 +3939,24 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(DISTINCT doc_id) >= 2
         """,
         "bpe_vocab": _bpe_vocab_oracle(16),
+        "set_similarity": r"""
+            WITH sh AS (
+              SELECT doc_id, list_distinct(list_transform(range(greatest(len(l) - 2, 1)),
+                i -> array_to_string(list_slice(l, i + 1, i + 3), ' '))) AS s
+              FROM (
+                SELECT doc_id,
+                  string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS l
+                FROM documents WHERE text IS NOT NULL
+              )
+              WHERE len(l) > 0
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s)) * 5
+                  >= 3 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        """,
         "heavy_users": r"""
             SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
             FROM events WHERE user_id IS NOT NULL

@@ -82,6 +82,7 @@ PIPELINE = [
     "strip_boilerplate",
     "corpus_divergence",
     "heavy_users",
+    "set_similarity",
 ]
 
 

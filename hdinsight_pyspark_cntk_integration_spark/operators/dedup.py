@@ -906,3 +906,94 @@ def strip_passages(
     for p in passages:
         out = F.replace(out, F.lit(f" {p} "), F.lit(" "))
     return df.select(F.col(id_col), F.trim(out).alias("clean_text"))
+
+
+def set_similarity_join(
+    df: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT all-pairs set-similarity self-join with prefix filtering
+    (Bayardo/Chaudhuri "all-pairs" / PPJoin family): every document pair
+    whose word-``shingle_n``-gram Jaccard similarity >= ``threshold``,
+    with NO false negatives — the deterministic-guarantee complement to
+    probabilistic MinHash-LSH. Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    Prefix-filter correctness: order each set's tokens by ascending
+    global frequency (rare first, ties by token); with prefix length
+    p = |S| - ceil(t·|S|) + 1, any pair with Jaccard >= t MUST share a
+    token inside the prefix of each side (if all shared tokens hid in
+    the suffix of size ceil(t|S|)-1 < t|S| <= |A∩B|, contradiction), so
+    joining prefix tokens against full token postings generates a
+    guaranteed candidate superset. Verification is exact set
+    intersection; the threshold test is exact integer arithmetic
+    (inter · den >= num · uni with threshold = num/den), so the DuckDB
+    brute-force oracle matches bit-for-bit.
+
+    Scale shape: candidate cost is Σ over PREFIX-token postings of
+    |posting|² — prefix tokens are the RAREST tokens of each set, which
+    is the entire point: frequent tokens never generate candidates from
+    the prefix side. Everything else is bounded joins on id/token keys;
+    the only window is per-document token ranking (state = one doc's
+    token set). Brute-force n² never happens.
+    """
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1] (got {threshold})")
+
+    sh = df.select(
+        F.col(id_col).alias("__id"), word_shingles(text_col, shingle_n).alias("__s")
+    ).filter(F.size("__s") > 0)
+
+    freq = (
+        sh.select(F.explode("__s").alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    toks = sh.select(
+        "__id", F.size("__s").alias("__sz"), F.explode("__s").alias("__tok")
+    ).join(freq, "__tok")
+    w = Window.partitionBy("__id").orderBy("__cnt", "__tok")
+    # prefix length |S| - ceil(t|S|) + 1, all-integer: ceil(a/b) = (a+b-1) div b
+    # (integer `div`, not float /+floor — a float quotient can round up
+    # across the integer boundary for large sizes)
+    plen = (
+        F.col("__sz")
+        - F.expr(f"(({num}L * __sz + {den - 1}L) div {den}L)")
+        + F.lit(1)
+    )
+    prefix = (
+        toks.withColumn("__pos", F.row_number().over(w))
+        .filter(F.col("__pos") <= plen)
+        .select(F.col("__id").alias("__ida"), "__tok")
+    )
+    postings = sh.select(F.col("__id").alias("__idb"), F.explode("__s").alias("__tok"))
+    cand = (
+        prefix.join(postings, "__tok")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select("__ida", "__idb")
+        .distinct()
+    )
+    a = sh.select(F.col("__id").alias("__ida"), F.col("__s").alias("__sa"))
+    b = sh.select(F.col("__id").alias("__idb"), F.col("__s").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    uni = F.size("__sa") + F.size("__sb") - inter
+    return (
+        cand.join(a, "__ida")
+        .join(b, "__idb")
+        .withColumn("__i", inter)
+        .withColumn("__u", uni)
+        .filter(F.col("__i") * F.lit(den) >= F.lit(num) * F.col("__u"))
+        .select(
+            F.col("__ida").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            (F.col("__i").cast("double") / F.col("__u").cast("double")).alias("jaccard"),
+        )
+    )

@@ -634,3 +634,33 @@ def test_corpus_divergence_hand_computed(spark):
     top_rate = max(got.items(), key=lambda kv: kv[1][2] / kv[1][0])
     assert top_rate[0] == "rare"
     assert got["rare"][2] > 0
+
+
+def test_set_similarity_join_matches_brute_force(spark):
+    """Prefix-filtered exact join vs a local brute force on sf0.001:
+    identical pair sets and jaccard values — the no-false-negative
+    guarantee, checked end to end."""
+    from itertools import combinations
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.set_similarity_join(docs, threshold=0.5).collect()
+    }
+
+    rows = docs.select("doc_id", "text").collect()
+    def shingles(t):
+        toks = t.strip().lower().split()
+        n = 3
+        if len(toks) <= n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    sets = {r["doc_id"]: shingles(r["text"]) for r in rows if r["text"] is not None}
+    want = {}
+    for a, b in combinations(sorted(sets), 2):
+        i = len(sets[a] & sets[b])
+        u = len(sets[a] | sets[b])
+        if u and i * 2 >= u:  # t=0.5 -> i/u >= 1/2
+            want[(a, b)] = i / u
+    assert got == want
+    assert len(want) > 0
