@@ -972,12 +972,23 @@ def set_similarity_join(
     prefix = (
         toks.withColumn("__pos", F.row_number().over(w))
         .filter(F.col("__pos") <= plen)
-        .select(F.col("__id").alias("__ida"), "__tok")
+        .select(F.col("__id").alias("__ida"), F.col("__sz").alias("__sza"), "__tok")
     )
-    postings = sh.select(F.col("__id").alias("__idb"), F.explode("__s").alias("__tok"))
+    postings = sh.select(
+        F.col("__id").alias("__idb"),
+        F.size("__s").alias("__szb"),
+        F.explode("__s").alias("__tok"),
+    )
+    # Length filter: Jaccard >= t forces t·|A| <= |B| and t·|B| <= |A|
+    # (|A∩B| <= min size, |A∪B| >= max size) — prunes candidates before
+    # the verify join ever sees them, all-integer.
     cand = (
         prefix.join(postings, "__tok")
-        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(
+            (F.col("__ida") < F.col("__idb"))
+            & (F.lit(num) * F.col("__sza") <= F.lit(den) * F.col("__szb"))
+            & (F.lit(num) * F.col("__szb") <= F.lit(den) * F.col("__sza"))
+        )
         .select("__ida", "__idb")
         .distinct()
     )
