@@ -435,3 +435,42 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     assert set(merged.columns) == {"doc_id", "text", "lang", "part"}
     got = {r["doc_id"]: r["lang"] for r in merged.collect()}
     assert got == {1: None, 2: "en"}
+
+
+def test_jsonl_manifest_sink_roundtrip_and_orphan_invisibility(spark, tmp_path):
+    """The jsonl_manifest Python DataSource writer: (1) committed data
+    round-trips exactly; (2) an orphan part file (simulating a lost task
+    attempt's leftovers) is invisible to manifest readers; (3) row
+    counts in the manifest match."""
+    import json
+    import os
+
+    from hdinsight_pyspark_cntk_integration_spark.sources.jsonl_sink import (
+        MANIFEST_NAME,
+        JsonlManifestDataSource,
+        read_jsonl_manifest,
+    )
+
+    spark.dataSource.register(JsonlManifestDataSource)
+    out = str(tmp_path / "sink")
+    df = spark.range(100).selectExpr(
+        "id", "cast(id % 7 as string) as grp", "cast(id * 2.5 as double) as val"
+    ).repartition(4)
+    df.write.format("jsonl_manifest").mode("append").option("path", out).save()
+
+    with open(os.path.join(out, MANIFEST_NAME)) as fh:
+        manifest = json.load(fh)
+    assert manifest["total_rows"] == 100
+    assert len(manifest["files"]) == 4
+    assert sum(f["rows"] for f in manifest["files"]) == 100
+
+    # plant an orphan file: a reader going through the manifest must not see it
+    with open(os.path.join(out, "part-99999-deadbeef.jsonl"), "w") as fh:
+        fh.write('{"grp": "ORPHAN", "id": 424242, "val": 0.0}\n')
+
+    back = read_jsonl_manifest(spark, out, schema="grp string, id long, val double")
+    got = back.toPandas().sort_values("id").reset_index(drop=True)
+    exp = df.toPandas().sort_values("id").reset_index(drop=True)[got.columns]
+    assert len(got) == 100
+    assert 424242 not in set(got["id"])
+    assert got.equals(exp)
