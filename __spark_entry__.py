@@ -2640,6 +2640,31 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting (operators.graph.triangle_count)
+    over the strong nation trade graph (directed pairs with >= 100
+    lineitems, canonicalized undirected): degree-ordered orientation
+    caps wedge fan-out at O(sqrt m) per node, so the wedge join never
+    pays hub-degree-squared. The count is orientation-invariant — the
+    oracle's id-ordered brute-force 3-way join must agree exactly."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import graph as gr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("wt"))
+        .filter(F.col("wt") >= 100)
+        .select("src", "dst")
+    )
+    return gr.triangle_count(edges)
+
+
 def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact equi-width order-price histogram (relational.histogram_fixed,
     12 buckets over [0, 600000)) — deterministic IEEE bucket arithmetic,
@@ -2890,6 +2915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_divergence": q_corpus_divergence,
         "heavy_users": q_heavy_users,
         "set_similarity": q_set_similarity,
+        "triangle_count": q_triangle_count,
         # round-3 additions, also inside the 50-query window.
         "hash_split": q_hash_split,
         "mixture_sample": q_mixture_sample,
@@ -3939,6 +3965,25 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(DISTINCT doc_id) >= 2
         """,
         "bpe_vocab": _bpe_vocab_oracle(16),
+        "triangle_count": r"""
+            WITH w AS (
+              SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS wt
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              GROUP BY src, dst
+            ),
+            e AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM w WHERE wt >= 100 AND src <> dst
+            )
+            SELECT
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT a AS x FROM e UNION SELECT b FROM e)) AS n_nodes,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+              (SELECT CAST(COUNT(*) AS BIGINT)
+               FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+               JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles
+        """,
         "set_similarity": r"""
             WITH sh AS (
               SELECT doc_id, list_distinct(list_transform(range(greatest(len(l) - 2, 1)),

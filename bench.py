@@ -83,6 +83,7 @@ PIPELINE = [
     "corpus_divergence",
     "heavy_users",
     "set_similarity",
+    "triangle_count",
 ]
 
 

@@ -70,3 +70,56 @@ def test_degree_stats(spark):
     )
     got = {r["node"]: (r["out_degree"], r["in_degree"]) for r in gr.degree_stats(df).collect()}
     assert got == {0: (2, 0), 1: (1, 1), 2: (0, 2)}
+
+
+def test_triangle_count_known_graphs(spark):
+    from hdinsight_pyspark_cntk_integration_spark.operators import graph as gr
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return gr.triangle_count(df).collect()[0]
+
+    # K4: 4 triangles; duplicates/reversed/self-loops must not matter
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    k4 += [(0, 0), (1, 2), (2, 1)]
+    r = run(k4)
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+
+    # 6-cycle: no triangles
+    c6 = [(i, (i + 1) % 6) for i in range(6)]
+    r = run(c6)
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (6, 6, 0)
+
+    # star + one rim edge: exactly 1 triangle (hub 0, spokes 1..5, rim 1-2)
+    star = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    r = run(star)
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (6, 6, 1)
+
+
+def test_triangle_count_matches_brute_force_random(spark):
+    """Deterministic pseudo-random graph vs itertools brute force."""
+    from itertools import combinations
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import graph as gr
+
+    edges = []
+    x = 1
+    for _ in range(300):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        a = x % 40
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        b = x % 40
+        edges.append((a, b))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = gr.triangle_count(df).collect()[0]
+
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {n for e in es for n in e}
+    tri = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if (a, b) in es and (b, c) in es and (a, c) in es
+    )
+    assert (got["n_nodes"], got["n_edges"], got["n_triangles"]) == (
+        len(nodes), len(es), tri,
+    )
