@@ -2840,6 +2840,154 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth EWMA per user (relational.ewma_bounded, alpha=0.5
+    depth=8): the recursion truncated to a closed-form lag chain — one
+    key-partitioned window, zero self-joins, whole-stage codegen. The
+    alpha=0.5 coefficients (0.5, 0.25, …) are exact binary fractions and
+    the fold order is a fixed left chain, so the oracle reproduces the
+    fp64 result bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    return rel.ewma_bounded(
+        ev, key_col="user_id", order_cols=["ts", "event_id"],
+        value_col="value", alpha=0.5, depth=8,
+    ).select("user_id", "event_id", "value", "ewma")
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford leading-digit audit of order totals: digit counts (exact
+    integers via the DECIMAL(18,2) string form — no float log/pow in the
+    bucketing), observed share, and the Benford-law expected share
+    rounded to 9 dp so a 1-ulp libm log10 divergence between engines
+    cannot flip the hash."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.substring(F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1)
+    counts = orders.groupBy(d.alias("digit")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    return counts.select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / total.cast("double")).alias("share"),
+        F.round(
+            F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")), 9
+        ).alias("benford_share"),
+    )
+
+
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto front (relational.skyline_2d): parts where no
+    other part is both cheaper-or-equal and larger-or-equal (strict on
+    one axis). Spark side is the LINEAR two-phase form — per-partition
+    prune (skyline of a union ⊆ union of skylines) then one dense-rank
+    running-max window — while the oracle is the O(n²) NOT EXISTS
+    definition, checkable at sf0.01, which is exactly the plan shape
+    this operator exists to avoid at 100 TB."""
+    part = load_table(spark, sf_dir, "part")
+    return rel.skyline_2d(
+        part.select("p_partkey", "p_retailprice", "p_size"),
+        minimize_col="p_retailprice",
+        maximize_col="p_size",
+    )
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency cells (relational.contingency_cells) over
+    event_type × hour-of-day: observed counts, expected under
+    independence, and per-cell (O−E)²/E contributions. Cells, not the
+    summed statistic — each cell is one deterministic fp64 expression
+    over exact integer marginals (hash-safe); the scalar χ² would be a
+    partition-order-dependent float reduction."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "hour_bucket", F.hour("ts").cast("int")
+    )
+    return rel.contingency_cells(ev, "event_type", "hour_bucket")
+
+
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth: DECIMAL-exact yearly totals, then
+    a lag ratio over the (tiny) per-year aggregate — the window runs
+    over n_years rows, never the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("o_year")
+    ).agg(_dec_sum(F.col("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("o_year")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "o_year",
+        "revenue",
+        (F.col("revenue") / prev - F.lit(1.0)).alias("yoy_growth"),
+    )
+
+
+def q_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-change gaps-and-islands (relational.run_lengths): consecutive
+    same-event_type runs per user collapsed by the double-row_number
+    island id, then the run-length distribution per event type. All
+    integer arithmetic — exact under any partitioning; one shuffle on
+    user_id plus one tiny distribution aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    runs = rel.run_lengths(
+        ev, key_col="user_id", order_cols=["ts", "event_id"], state_col="event_type"
+    )
+    return runs.groupBy("event_type", "run_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs")
+    )
+
+
+def q_bigram_condprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional probabilities P(w2 | w1): bigram counts (the
+    same materialize-then-zip_with tokenization as bigram_histogram)
+    with the w1 marginal as a window sum over the AGGREGATED bigram
+    table — the second pass never rescans the corpus. p is one integer
+    division per row (hash-safe); top-50 by count with full-key
+    tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok_df = docs.select(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+        ).alias("toks")
+    )
+    pairs = tok_df.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                F.slice(F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    w1_tot = F.sum("cnt").over(Window.partitionBy("w1"))
+    return (
+        counts.select(
+            "w1",
+            "w2",
+            F.col("cnt").cast("long").alias("cnt"),
+            (F.col("cnt").cast("double") / w1_tot.cast("double")).alias("p"),
+        )
+        .orderBy(F.desc("cnt"), "w1", "w2")
+        .limit(50)
+    )
+
+
+def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outliers (relational.zscore_outliers): moments
+    from exact decimal Σx/Σx² (order-independent), broadcast back, one
+    deterministic fp64 z per row, |z| > 3 kept. Two scans, zero large
+    shuffles. Runs on the heavy-tailed events.value (order totals are
+    near-uniform — max |z| ≈ 1.77 — and would flag nothing)."""
+    ev = load_table(spark, sf_dir, "events")
+    return rel.zscore_outliers(
+        ev.select("event_id", "event_type", "value"),
+        group_col="event_type",
+        value_col="value",
+        threshold=3.0,
+    ).select("event_id", "event_type", "value", "zscore")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3031,6 +3179,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_hourly": q_tumbling_hourly,
         "set_ops": q_set_ops,
         "pca_top_component": q_pca_top_component,
+        "ewma": q_ewma,
+        "benford_digits": q_benford_digits,
+        "skyline_parts": q_skyline_parts,
+        "chi_square": q_chi_square,
+        "yoy_growth": q_yoy_growth,
+        "run_lengths": q_run_lengths,
+        "bigram_condprob": q_bigram_condprob,
+        "outlier_zscore": q_outlier_zscore,
     }
 
 
@@ -3139,6 +3295,29 @@ def _score_accuracy_sql() -> str:
       100.0 * CAST(SUM(CASE WHEN label = predicted_label THEN 1 ELSE 0 END) AS BIGINT)
         / COUNT(*) AS accuracy_pct
     FROM pred
+    """
+
+
+def _ewma_oracle_sql(alpha: float = 0.5, depth: int = 8) -> str:
+    """The identical left-fold lag chain ewma_bounded builds, as SQL.
+
+    Coefficients are embedded via repr() — exact decimal strings for the
+    alpha=0.5 binary fractions — and the numerator/denominator folds are
+    parenthesized newest-first, the same fp64 tree Spark evaluates."""
+    decay = 1.0 - alpha
+    w = "PARTITION BY user_id ORDER BY make_timestamp(epoch_ns(ts)//1000), event_id"
+    num = f"(value * {alpha!r})"
+    den = f"{alpha!r}"
+    for i in range(1, depth):
+        coef = repr(alpha * (decay**i))
+        num = f"({num} + COALESCE(lag(value, {i}) OVER w * {coef}, 0.0))"
+        den = (
+            f"({den} + CASE WHEN lag(value, {i}) OVER w IS NULL"
+            f" THEN 0.0 ELSE {coef} END)"
+        )
+    return f"""
+        SELECT user_id, event_id, value, {num} / {den} AS ewma
+        FROM events WINDOW w AS ({w})
     """
 
 
@@ -5193,5 +5372,109 @@ def oracle_sql() -> dict[str, str]:
               CAST(COALESCE(n_except_all, 0) AS BIGINT) AS n_except_all,
               CAST(COALESCE(n_intersect_all, 0) AS BIGINT) AS n_intersect_all
             FROM ea FULL OUTER JOIN ia ON ea.l_returnflag = ia.l_returnflag
+        """,
+        "ewma": _ewma_oracle_sql(alpha=0.5, depth=8),
+        "benford_digits": """
+            WITH counts AS (
+              SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS digit,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM orders GROUP BY 1
+            )
+            SELECT digit, n,
+              CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share,
+              ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 9) AS benford_share
+            FROM counts
+        """,
+        "skyline_parts": """
+            SELECT a.p_partkey, a.p_retailprice, a.p_size
+            FROM part a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part b
+              WHERE b.p_retailprice <= a.p_retailprice
+                AND b.p_size >= a.p_size
+                AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+            )
+        """,
+        "chi_square": f"""
+            WITH e AS (
+              SELECT event_type, CAST(hour({ev_ts}) AS INTEGER) AS hour_bucket
+              FROM events
+            ), obs AS (
+              SELECT event_type, hour_bucket, COUNT(*) AS observed
+              FROM e GROUP BY 1, 2
+            ), rt AS (
+              SELECT event_type, SUM(observed) AS rt FROM obs GROUP BY 1
+            ), ct AS (
+              SELECT hour_bucket, SUM(observed) AS ct FROM obs GROUP BY 1
+            ), tot AS (SELECT SUM(observed) AS n FROM obs)
+            SELECT o.event_type, o.hour_bucket,
+              CAST(o.observed AS BIGINT) AS observed,
+              CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+              (CAST(o.observed AS DOUBLE)
+                 - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(o.observed AS DOUBLE)
+                 - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+              / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                AS contribution
+            FROM obs o
+            JOIN rt USING (event_type) JOIN ct USING (hour_bucket) CROSS JOIN tot
+        """,
+        "yoy_growth": """
+            WITH y AS (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+              FROM orders GROUP BY 1
+            )
+            SELECT o_year, revenue,
+              revenue / lag(revenue) OVER (ORDER BY o_year) - 1.0 AS yoy_growth
+            FROM y
+        """,
+        "run_lengths": f"""
+            WITH e AS (
+              SELECT user_id, event_type, {ev_ts} AS mts, event_id FROM events
+            ), m AS (
+              SELECT user_id, event_type,
+                row_number() OVER (PARTITION BY user_id ORDER BY mts, event_id)
+              - row_number() OVER (PARTITION BY user_id, event_type ORDER BY mts, event_id)
+                AS island
+              FROM e
+            ), runs AS (
+              SELECT user_id, event_type, island, CAST(COUNT(*) AS BIGINT) AS run_len
+              FROM m GROUP BY 1, 2, 3
+            )
+            SELECT event_type, run_len, CAST(COUNT(*) AS BIGINT) AS n_runs
+            FROM runs GROUP BY 1, 2
+        """,
+        "bigram_condprob": r"""
+            WITH toks AS (
+              SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents
+            ), pairs AS (
+              SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                           i -> struct_pack(w1 := t[i], w2 := t[i + 1])),
+                            recursive := true)
+              FROM toks
+            ), counts AS (
+              SELECT w1, w2, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2
+            )
+            SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt,
+              CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY w1) AS DOUBLE) AS p
+            FROM counts
+            ORDER BY cnt DESC, w1, w2
+            LIMIT 50
+        """,
+        "outlier_zscore": """
+            WITH m AS (
+              SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))
+                              * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                     AS DOUBLE) AS sxx
+              FROM events GROUP BY 1
+            )
+            SELECT event_id, event_type, value,
+              (value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)) AS zscore
+            FROM events JOIN m USING (event_type)
+            WHERE ABS((value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n))) > 3.0
         """,
     }

@@ -728,3 +728,267 @@ def cohort_retention(
         )
         .agg(F.count_distinct(F.col(key_col)).cast("long").alias("n_users"))
     )
+
+
+def ewma_bounded(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.5,
+    depth: int = 8,
+) -> DataFrame:
+    """Bounded-depth exponentially-weighted moving average per key.
+
+    The textbook EWMA recursion ``s_t = a*x_t + (1-a)*s_{t-1}`` is not a
+    window aggregate (each row's weight depends on its distance from the
+    current row), so engines either run it as a serial per-key scan or
+    truncate it. Here it is truncated at ``depth`` terms — the weight of
+    the (depth+1)-th-oldest observation is ``(1-a)^depth``, below 0.4 %
+    of the newest at the defaults — which turns it into a *closed-form
+    lag chain*::
+
+        ewma_t = sum_{i=0..d-1} a*(1-a)^i * x_{t-i}  /  (normalizer)
+
+    built programmatically as ``lag(value, i)`` terms over one ordered
+    window. The normalizer divides by the weight actually present, so
+    the head of each series (fewer than ``depth`` rows back) is an exact
+    average of what exists rather than biased toward 0.
+
+    Shape: ONE shuffle (window partition on the key); the ``depth`` lag
+    terms all share the single sorted pass — no self-join, no UDF, fully
+    whole-stage-codegen. Safe at 100 TB for any depth that fits a
+    projection (tested to 64).
+
+    Reference scope: the reference has no time-series smoothing at all
+    (SURVEY.md §2.7); this is part of the engine's superset.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1] (got {alpha})")
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1 (got {depth})")
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    v = F.col(value_col).cast("double")
+    # Left-fold the terms newest-first so the fp64 summation tree is the
+    # fixed chain ((t0 + t1) + t2) ... — identical in any engine that
+    # evaluates the same expression, which is what lets a SQL oracle
+    # hash-match this exactly.
+    num: Column = v * F.lit(alpha)
+    den: Column = F.lit(alpha)
+    decay = 1.0 - alpha
+    for i in range(1, depth):
+        coef = alpha * (decay**i)
+        lagged = F.lag(v, i).over(w)
+        num = num + F.coalesce(lagged * F.lit(coef), F.lit(0.0))
+        den = den + F.when(lagged.isNull(), F.lit(0.0)).otherwise(F.lit(coef))
+    return df.select(
+        key_col,
+        *[c for c in order_cols if c != key_col],
+        v.alias(value_col),
+        (num / den).alias("ewma"),
+    )
+
+
+def skyline_2d(
+    df: DataFrame,
+    minimize_col: str,
+    maximize_col: str,
+) -> DataFrame:
+    """2-D skyline (Pareto front): rows not dominated by any other row,
+    where B dominates A iff B is <= on the minimized axis, >= on the
+    maximized axis, and strictly better on at least one.
+
+    The naive formulation is a quadratic NOT EXISTS self-join — fine for
+    an oracle at sf0.01, fatal at 100 TB. The 2-D case collapses to a
+    LINEAR scan over one sort order: sort by (min_col asc, max_col desc);
+    a row is dominated iff some strictly-cheaper earlier row reaches its
+    max_col value, i.e. iff ``max(max_col) over cheaper rows >= max_col``
+    — one running-max window. Ties on both axes are co-skyline (neither
+    strictly dominates), handled by computing the running max over the
+    *previous distinct min_col value* (a range frame on a dense rank).
+
+    Shape: one global sort (Spark range-partitions it — no single-task
+    bottleneck for the sort itself) + one window. The window over ONE
+    unpartitioned ordering is the scale caveat: the running max is
+    computed per partition after a range repartition, which Spark
+    handles, but the final window pass is sequential per range chunk;
+    for 100 TB use the standard two-phase trick (per-partition skyline
+    candidates first — the skyline of a union is a subset of the union
+    of skylines — then this operator on the ~tiny candidate set). The
+    per-partition pre-filter is applied below whenever the input has
+    >1 partition, so the global window only ever sees local survivors.
+    """
+    prepared = df.withColumn("__min", F.col(minimize_col).cast("double")).withColumn(
+        "__neg_max", -F.col(maximize_col).cast("double")
+    )
+
+    # Phase 1 — per-partition skyline via mapInPandas: dominated rows are
+    # dominated by *somebody in their own partition or not at all* only in
+    # the final pass; this pass merely prunes, keeping correctness with
+    # any partitioning (skyline(U parts) ⊆ U skyline(parts)).
+    schema = prepared.schema
+
+    def _local_skyline(batches):
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf
+                continue
+            s = pdf.sort_values(["__min", "__neg_max"], kind="mergesort")
+            run = s["__neg_max"].cummin()
+            prev_run = run.shift(1)
+            prev_min = s["__min"].shift(1)
+            # survivor iff no STRICTLY cheaper row had >= max; approximate
+            # locally by keeping rows whose neg_max improves the running
+            # min or that tie the previous row on the min axis (ties are
+            # resolved exactly in phase 2).
+            keep = (
+                prev_run.isna()
+                | (s["__neg_max"] <= prev_run)
+                | (s["__min"] == prev_min)
+            )
+            yield s[keep]
+
+    if prepared.rdd.getNumPartitions() > 1:
+        prepared = prepared.mapInPandas(_local_skyline, schema=schema)
+
+    # Phase 2 — exact global pass on the pruned set. "Strictly cheaper"
+    # must NOT be expressed as rangeBetween(..., -1) on the raw double
+    # (that frame means value <= current-1.0, silently excluding rows
+    # within 1.0); instead a dense_rank over __min gives consecutive
+    # integers per distinct cost, and a range frame ending at -1 on THAT
+    # ordering is exactly "all rows with a strictly smaller __min".
+    dr = F.dense_rank().over(Window.orderBy(F.col("__min")))
+    strict_window = Window.orderBy(F.col("__dr")).rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    best_cheaper = F.min(F.col("__neg_max")).over(strict_window)
+    same_cost_better = F.min(F.col("__neg_max")).over(
+        Window.partitionBy(F.col("__min"))
+    )
+    return (
+        prepared.withColumn("__dr", dr)
+        .withColumn("__best_cheaper", best_cheaper)
+        .withColumn("__best_same", same_cost_better)
+        .filter(
+            # dominated by strictly-cheaper iff its best max >= ours
+            # (negated: best __neg_max <= ours); survive on > or none.
+            (
+                F.col("__best_cheaper").isNull()
+                | (F.col("__best_cheaper") > F.col("__neg_max"))
+            )
+            # a same-cost row with strictly larger max dominates too —
+            # but if it merely ties, both stay (A itself is in the
+            # partition, so best_same <= own; equality means no same-cost
+            # row beats it).
+            & (F.col("__best_same") >= F.col("__neg_max"))
+        )
+        .drop("__min", "__neg_max", "__dr", "__best_cheaper", "__best_same")
+    )
+
+
+def run_lengths(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    state_col: str,
+) -> DataFrame:
+    """Run-length encoding of a state column per key: consecutive rows
+    with the same state collapse to one row with the run's length and
+    span — the gaps-and-islands *value-change* variant (the gap-based
+    variant is ``sessionize``; SURVEY.md §2.7 windows family).
+
+    Island id = row_number − row_number-within-(key, state): constant
+    inside a run, distinct across runs. All-integer arithmetic, so
+    exact under any partitioning.
+
+    Shape: ONE shuffle on the key (both row_numbers and the final
+    groupBy share the key-partitioned sort; AQE coalesces). Output
+    cardinality = number of runs ≤ input rows.
+    """
+    order = [F.col(c) for c in order_cols]
+    w_key = Window.partitionBy(key_col).orderBy(*order)
+    w_state = Window.partitionBy(key_col, state_col).orderBy(*order)
+    marked = df.withColumn(
+        "__island", F.row_number().over(w_key) - F.row_number().over(w_state)
+    )
+    return marked.groupBy(key_col, state_col, "__island").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len"),
+        *[F.min(c).alias(f"{c}_first") for c in order_cols[:1]],
+        *[F.max(c).alias(f"{c}_last") for c in order_cols[:1]],
+    ).drop("__island")
+
+
+def zscore_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score outlier flagging with DECIMAL-exact moments.
+
+    Mean and population variance are computed from exact decimal Σx and
+    Σx² (order-independent under any partitioning — the same trick as
+    the corr/stddev family), then each row's z-score is one
+    deterministic fp64 expression. Rows with \\|z\\| > threshold are
+    returned with their score.
+
+    Shape: one partial-agg shuffle for the moments (output = one row
+    per group, broadcast back), then a broadcast join + stateless
+    projection over the full table — two scans, zero large shuffles.
+    """
+    x = F.col(value_col).cast("decimal(18,2)")
+    moments = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(x).cast("double").alias("__sx"),
+        F.sum((x * x).cast("decimal(38,4)")).cast("double").alias("__sxx"),
+    )
+    joined = df.join(F.broadcast(moments), group_col)
+    mean = F.col("__sx") / F.col("__n")
+    var = F.col("__sxx") / F.col("__n") - mean * mean
+    z = (F.col(value_col).cast("double") - mean) / F.sqrt(var)
+    return (
+        joined.withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > float(threshold))
+        .drop("__n", "__sx", "__sxx")
+    )
+
+
+def contingency_cells(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Chi-square contingency table with per-cell expected counts and
+    contributions ((O−E)²/E) — returned as CELLS, not a single summed
+    statistic, deliberately: the per-cell values are each ONE
+    deterministic fp64 expression over exact integer counts (hash-safe
+    cross-engine), whereas summing them is partitioning-order-dependent.
+    A caller that wants the scalar χ² sums the column (and accepts
+    ~1 ulp nondeterminism); the oracle-gated contract is the cell table.
+
+    Shape: one groupBy(row,col) partial-agg shuffle for observed counts;
+    the row/column marginals are tiny re-aggregations of THAT result
+    (cells ≤ \\|rows\\|×\\|cols\\|, never the raw table), joined broadcast.
+    """
+    obs = df.groupBy(row_col, col_col).agg(F.count(F.lit(1)).alias("observed"))
+    row_tot = obs.groupBy(row_col).agg(F.sum("observed").alias("__rt"))
+    col_tot = obs.groupBy(col_col).agg(F.sum("observed").alias("__ct"))
+    n = obs.agg(F.sum("observed").alias("__n"))
+    o = (
+        obs.join(F.broadcast(row_tot), row_col)
+        .join(F.broadcast(col_tot), col_col)
+        .crossJoin(F.broadcast(n))
+    )
+    expected = (
+        F.col("__rt").cast("double")
+        * F.col("__ct").cast("double")
+        / F.col("__n").cast("double")
+    )
+    dev = F.col("observed").cast("double") - expected
+    return o.select(
+        row_col,
+        col_col,
+        F.col("observed").cast("long").alias("observed"),
+        expected.alias("expected"),
+        (dev * dev / expected).alias("contribution"),
+    )

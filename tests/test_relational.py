@@ -439,3 +439,128 @@ def test_cohort_retention_hand_computed(spark):
     assert out[(w1, 0)] == 1 and (w1, 1) not in out
     with pytest.raises(ValueError, match="period_seconds"):
         rel.cohort_retention(df, "ts", "user_id", period_seconds=0)
+
+
+# --------------------------------------------------------------------------
+# round-5 continuation: ewma / skyline / run-lengths / zscore / contingency
+# --------------------------------------------------------------------------
+def test_ewma_bounded_matches_truncated_formula(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(k), int(i), float(v))
+        for k in range(3)
+        for i, v in enumerate(rng.uniform(0, 10, size=20).round(2))
+    ]
+    df = spark.createDataFrame(rows, "k int, i int, x double")
+    out = {
+        (r["k"], r["i"]): r["ewma"]
+        for r in rel.ewma_bounded(
+            df, key_col="k", order_cols=["i"], value_col="x", alpha=0.3, depth=5
+        ).collect()
+    }
+    series = {}
+    for k, i, v in rows:
+        series.setdefault(k, []).append(v)
+    for k, xs in series.items():
+        for t in range(len(xs)):
+            num = den = 0.0
+            for j in range(5):
+                if t - j < 0:
+                    break
+                c = 0.3 * (0.7**j)
+                num += c * xs[t - j]
+                den += c
+            assert abs(out[(k, t)] - num / den) < 1e-9
+
+
+def test_ewma_head_is_unbiased(spark):
+    # First row of each series must equal the raw value exactly (the
+    # normalizer divides by the weight actually present).
+    df = spark.createDataFrame([(1, 0, 42.0)], "k int, i int, x double")
+    [r] = rel.ewma_bounded(
+        df, key_col="k", order_cols=["i"], value_col="x", alpha=0.25, depth=8
+    ).collect()
+    assert r["ewma"] == 42.0
+
+
+def _brute_skyline(points):
+    out = []
+    for a in points:
+        dominated = any(
+            b[0] <= a[0] and b[1] >= a[1] and (b[0] < a[0] or b[1] > a[1])
+            for b in points
+        )
+        if not dominated:
+            out.append(a)
+    return sorted(out)
+
+
+def test_skyline_2d_matches_brute_force(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    pts = [
+        (float(p), int(s))
+        for p, s in zip(
+            rng.integers(1, 40, size=200).astype(float), rng.integers(1, 40, size=200)
+        )
+    ]
+    df = spark.createDataFrame(
+        [(i, p, s) for i, (p, s) in enumerate(pts)], "id int, price double, size int"
+    ).repartition(7)
+    got = sorted(
+        (r["price"], r["size"])
+        for r in rel.skyline_2d(df, "price", "size").collect()
+    )
+    assert got == _brute_skyline(pts)
+
+
+def test_skyline_2d_ties_are_co_skyline(spark):
+    # Two identical optimal points: neither strictly dominates the other.
+    df = spark.createDataFrame(
+        [(1, 1.0, 10), (2, 1.0, 10), (3, 2.0, 5)], "id int, price double, size int"
+    )
+    got = sorted(r["id"] for r in rel.skyline_2d(df, "price", "size").collect())
+    assert got == [1, 2]
+
+
+def test_run_lengths_islands(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, "a"), (2, 1, "b"), (2, 2, "b")],
+        "k int, t int, s string",
+    )
+    runs = sorted(
+        (r["k"], r["s"], r["run_len"], r["t_first"], r["t_last"])
+        for r in rel.run_lengths(df, "k", ["t"], "s").collect()
+    )
+    assert runs == sorted(
+        [(1, "a", 2, 1, 2), (1, "a", 1, 4, 4), (1, "b", 1, 3, 3), (2, "b", 2, 1, 2)]
+    )
+
+
+def test_zscore_outliers_flags_planted_spike(spark):
+    rows = [(i, "g", 10.0) for i in range(50)] + [(99, "g", 1000.0)]
+    df = spark.createDataFrame(rows, "id int, g string, v double")
+    got = rel.zscore_outliers(df, "g", "v", threshold=3.0).collect()
+    assert [r["id"] for r in got] == [99]
+    assert got[0]["zscore"] > 3.0
+
+
+def test_contingency_cells_marginals(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 1), ("b", 2), ("b", 2)],
+        "r string, c int",
+    )
+    cells = rel.contingency_cells(df, "r", "c").collect()
+    assert sum(r["observed"] for r in cells) == 6
+    # expected counts preserve marginals exactly
+    from collections import defaultdict
+
+    exp_row = defaultdict(float)
+    for r in cells:
+        exp_row[r["r"]] += r["expected"]
+    assert all(abs(v - 3.0) < 1e-9 for v in exp_row.values())
+    # uniform-ish table: contributions are finite and non-negative
+    assert all(r["contribution"] >= 0.0 for r in cells)
