@@ -2988,6 +2988,109 @@ def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "event_type", "value", "zscore")
 
 
+def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable t-digest quantile sketch (sketch.tdigest_quantiles,
+    delta=200) with the bounded-assertion gate pattern: the sketch
+    estimate is partitioning-dependent by construction, so the gate
+    emits the EXACT per-group percentile (oracle-matched) plus a
+    rank-error boolean — share of values ≤ estimate within ±0.02 of the
+    target q — computed from integer-exact counts. The shuffle moves
+    centroids (KB per group), never values."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import sketch as sk
+
+    ev = load_table(spark, sf_dir, "events")
+    est = sk.tdigest_quantiles(ev, "event_type", "value", [0.5, 0.9], delta=200)
+    ranks = (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type", "q")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("value") <= F.col("est"), F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("share")
+        )
+    )
+    exact = (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.5)).alias("e50"),
+            F.percentile("value", F.lit(0.9)).alias("e90"),
+        )
+        .select(
+            "event_type",
+            F.expr("stack(2, 0.5D, e50, 0.9D, e90) AS (q, exact_value)"),
+        )
+    )
+    return exact.join(ranks, ["event_type", "q"]).select(
+        "event_type",
+        "q",
+        "exact_value",
+        (F.abs(F.col("share") - F.col("q")) <= F.lit(0.02)).alias("within_bound"),
+    )
+
+
+def q_upsert_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (pipeline.aggregate_state +
+    merge_aggregate_state): the order history is split at 1997-01-01
+    into two independently-aggregated states whose MERGE — a union of
+    |keys|-row state tables, never raw data — must equal the full
+    recompute the oracle runs. Counts long, sums DECIMAL in the state
+    (exact under any merge order), doubles only at read time."""
+    orders = load_table(spark, sf_dir, "orders")
+    early = orders.filter(F.col("o_orderdate") < F.lit("1997-01-01"))
+    late = orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01"))
+    s1 = pl.aggregate_state(early, ["o_orderpriority"], "o_totalprice", scale=2)
+    s2 = pl.aggregate_state(late, ["o_orderpriority"], "o_totalprice", scale=2)
+    merged = pl.merge_aggregate_state(s1, s2)
+    return merged.select(
+        "o_orderpriority",
+        "n",
+        F.col("sum").cast("double").alias("sum_total"),
+        F.col("min").alias("min_total"),
+        F.col("max").alias("max_total"),
+        (F.col("sum").cast("double") / F.col("n").cast("double")).alias("avg_total"),
+    )
+
+
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: top-30 event-type trigram transitions per user
+    journey via two leads over ONE key-partitioned ordered window —
+    the n-gram-over-sequences pattern (what feeds Markov funnel models)
+    with all-integer output."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        paths.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(30)
+    )
+
+
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE gap-based session windows (F.session_window via
+    streaming.session_counts — the identical call runs on a stream with
+    state-store session merge). Oracle reproduces the semantics as
+    lag-gap islands: a gap of exactly 30 min starts a new session
+    (session end = last event + gap, end-exclusive). The islands twin
+    q_sessionize covers the hand-rolled form; this gates the built-in."""
+    from hdinsight_pyspark_cntk_integration_spark import streaming as st
+
+    ev = load_table(spark, sf_dir, "events")
+    return st.session_counts(ev, gap="30 minutes").select(
+        "session_start", "session_end", "user_id", F.col("n").cast("long").alias("n")
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3187,6 +3290,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_lengths": q_run_lengths,
         "bigram_condprob": q_bigram_condprob,
         "outlier_zscore": q_outlier_zscore,
+        "tdigest_quantiles": q_tdigest_quantiles,
+        "upsert_aggregate": q_upsert_aggregate,
+        "event_paths": q_event_paths,
+        "session_window_native": q_session_window_native,
     }
 
 
@@ -5476,5 +5583,63 @@ def oracle_sql() -> dict[str, str]:
               (value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)) AS zscore
             FROM events JOIN m USING (event_type)
             WHERE ABS((value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n))) > 3.0
+        """,
+        "tdigest_quantiles": """
+            SELECT event_type, CAST(0.5 AS DOUBLE) AS q,
+                   quantile_cont(value, 0.5) AS exact_value,
+                   TRUE AS within_bound
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, CAST(0.9 AS DOUBLE) AS q,
+                   quantile_cont(value, 0.9) AS exact_value,
+                   TRUE AS within_bound
+            FROM events GROUP BY event_type
+        """,
+        "upsert_aggregate": """
+            SELECT o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+              MIN(o_totalprice) AS min_total,
+              MAX(o_totalprice) AS max_total,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS avg_total
+            FROM orders GROUP BY 1
+        """,
+        "event_paths": f"""
+            WITH e AS (
+              SELECT user_id, event_type, {ev_ts} AS mts, event_id FROM events
+            ), p AS (
+              SELECT event_type AS e1,
+                lead(event_type, 1) OVER w AS e2,
+                lead(event_type, 2) OVER w AS e3
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY mts, event_id)
+            )
+            SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+            FROM p WHERE e3 IS NOT NULL
+            GROUP BY 1, 2, 3
+            ORDER BY n DESC, e1, e2, e3
+            LIMIT 30
+        """,
+        "session_window_native": f"""
+            WITH e AS (
+              SELECT user_id, {ev_ts} AS mts FROM events
+            ), m AS (
+              SELECT user_id, mts,
+                CASE WHEN lag(mts) OVER (PARTITION BY user_id ORDER BY mts) IS NULL
+                       OR mts - lag(mts) OVER (PARTITION BY user_id ORDER BY mts)
+                          >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+              FROM e
+            ), s AS (
+              SELECT user_id, mts,
+                SUM(brk) OVER (PARTITION BY user_id ORDER BY mts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m
+            )
+            SELECT MIN(mts) AS session_start,
+                   MAX(mts) + INTERVAL 30 MINUTE AS session_end,
+                   user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM s GROUP BY user_id, sid
         """,
     }

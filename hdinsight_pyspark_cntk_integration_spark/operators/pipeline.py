@@ -25,7 +25,7 @@ gate runs on it; its mixing quality is adequate for split/sample duty
 
 from __future__ import annotations
 
-from collections.abc import Mapping
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -840,3 +840,58 @@ def bpe_encode(
         )
     )
     return df.select(F.col(id_col), toks.alias("tokens"))
+
+
+# --------------------------------------------------------------------------
+# incremental aggregate maintenance (IVM for distributive aggregates)
+# --------------------------------------------------------------------------
+def aggregate_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Distributive aggregate STATE for incremental maintenance: per-key
+    exact count, DECIMAL(38,scale) sum, and min/max of ``value_col``.
+
+    The state is the materialized partial aggregate — the thing a 100 TB
+    pipeline stores per ingest batch so the running totals never require
+    rescanning history: distributive aggregates (count/sum/min/max — and
+    avg derived from them) merge exactly via :func:`merge_aggregate_state`.
+    The sum stays DECIMAL in the state on purpose: merging is then exact
+    integer arithmetic under any merge order; cast to double only at
+    read time.
+
+    Shape: ONE partial-agg shuffle on the keys; state cardinality =
+    |distinct keys|.
+    """
+    v = F.col(value_col)
+    return df.groupBy(*keys).agg(
+        F.count(v).cast("long").alias("n"),
+        F.sum(v.cast(f"decimal(18,{scale})")).cast(f"decimal(38,{scale})").alias("sum"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+    )
+
+
+def merge_aggregate_state(*states: DataFrame) -> DataFrame:
+    """Merge aggregate states produced by :func:`aggregate_state` over
+    the same keys: union + one re-aggregate. Associative and exact
+    (integer counts, DECIMAL sums, min/max), so daily states fold into
+    monthly states fold into the all-time state without precision loss.
+
+    Shape: the shuffle moves STATE rows (|keys| per input), never raw
+    data — the whole point of incremental view maintenance.
+    """
+    if len(states) < 2:
+        raise ValueError("need at least two states to merge")
+    key_cols = [c for c in states[0].columns if c not in ("n", "sum", "min", "max")]
+    unioned = states[0]
+    for s in states[1:]:
+        unioned = unioned.unionByName(s)
+    return unioned.groupBy(*key_cols).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sum").cast(states[0].schema["sum"].dataType.simpleString()).alias("sum"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+    )

@@ -143,3 +143,128 @@ def heavy_hitters_exact(
         .filter(F.col("n_occurrences") * F.lit(capacity) > F.lit(n))
     )
     return exact.select(F.col("v").alias(value_col), "n_occurrences")
+
+
+# --------------------------------------------------------------------------
+# t-digest: mergeable quantile sketch
+# --------------------------------------------------------------------------
+def _td_compress(means, weights, delta):
+    """Merge adjacent centroids under the k1 size limit
+    4·n·q(1−q)/delta (Dunning's merging digest). Inputs are 1-D numpy
+    arrays; returns compressed (means, weights) sorted by mean."""
+    import numpy as np
+
+    order = np.argsort(means, kind="mergesort")
+    means, weights = means[order], weights[order]
+    total = float(weights.sum())
+    out_m: list = []
+    out_w: list = []
+    cur_m, cur_w = float(means[0]), float(weights[0])
+    w_before = 0.0
+    for m, w in zip(means[1:], weights[1:]):
+        q = (w_before + cur_w / 2.0) / total
+        limit = 4.0 * total * q * (1.0 - q) / delta
+        if cur_w + w <= max(limit, 1.0):
+            cur_m = (cur_m * cur_w + float(m) * float(w)) / (cur_w + float(w))
+            cur_w += float(w)
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            w_before += cur_w
+            cur_m, cur_w = float(m), float(w)
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def _td_quantile(means, weights, q):
+    """Estimate the q-quantile from a compressed digest by linear
+    interpolation between centroid mid-ranks, clamped to the extreme
+    centroid means."""
+    import numpy as np
+
+    total = float(weights.sum())
+    cum = np.cumsum(weights) - weights / 2.0
+    target = q * total
+    if target <= cum[0]:
+        return float(means[0])
+    if target >= cum[-1]:
+        return float(means[-1])
+    return float(np.interp(target, cum, means))
+
+
+def tdigest_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: list[float],
+    delta: int = 200,
+) -> DataFrame:
+    """Per-group quantile estimates from a MERGEABLE t-digest — the
+    quantile analogue of the HLL sketch above, and the scale path when
+    ``F.percentile`` (exact, but it buffers each group's values) is too
+    hot: the full dataset is reduced to ≤ O(delta) centroids per group
+    regardless of row count, and partial digests merge associatively, so
+    per-shard/per-day digests can be stored and combined later without
+    rescanning (the same incremental-analytics contract as
+    ``hll_union_agg``).
+
+    Two-stage shape: (1) ``mapInPandas`` builds one partial digest per
+    (Arrow batch × group) — no shuffle, output is centroid arrays of
+    bounded size; (2) one groupBy(group) ``applyInPandas`` merges
+    centroid lists and evaluates the quantiles. The shuffle moves only
+    digests (KB per group), never values — at 100 TB this is the
+    difference between a quantile job that works and one that spills.
+
+    Estimates are partitioning-DEPENDENT (merge order changes centroid
+    boundaries), so the correctness contract is a rank-error bound —
+    |rank(estimate) − q| ≤ ~0.01 at delta=200 — pinned in pytest under
+    multiple partitionings and asserted as a boolean in the gate query
+    (the bounded-assertion pattern; reference has no quantiles at all,
+    SURVEY.md §2.7 approximate-aggregate family).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not quantiles:
+        raise ValueError("quantiles must be non-empty")
+    if not all(0.0 <= q <= 1.0 for q in quantiles):
+        raise ValueError(f"quantiles must be in [0,1] (got {quantiles})")
+    qs = [float(q) for q in quantiles]
+
+    src = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
+    ).filter(F.col("v").isNotNull())
+
+    partial_schema = "g string, means array<double>, weights array<double>"
+
+    def make_partials(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for g, sub in pdf.groupby("g", sort=False):
+                vals = sub["v"].to_numpy(dtype=np.float64)
+                m, w = _td_compress(vals, np.ones_like(vals), delta)
+                rows.append((str(g), list(m), list(w)))
+            yield pd.DataFrame(rows, columns=["g", "means", "weights"])
+
+    partials = src.mapInPandas(make_partials, schema=partial_schema)
+
+    out_schema = "g string, q double, est double"
+
+    def merge_and_eval(key, pdf):
+        means = np.concatenate([np.asarray(x, dtype=np.float64) for x in pdf["means"]])
+        weights = np.concatenate(
+            [np.asarray(x, dtype=np.float64) for x in pdf["weights"]]
+        )
+        m, w = _td_compress(means, weights, delta)
+        return pd.DataFrame(
+            {"g": key[0], "q": qs, "est": [_td_quantile(m, w, q) for q in qs]}
+        )
+
+    return (
+        partials.groupBy("g")
+        .applyInPandas(merge_and_eval, schema=out_schema)
+        .withColumnRenamed("g", group_col)
+    )

@@ -538,3 +538,38 @@ def test_bpe_encode_matches_reference(spark):
     some_doc = rows[0]["text"].strip().lower().split()
     enc = "".join(got[rows[0]["doc_id"]])
     assert enc == "".join(re.split(r"\s+", rows[0]["text"].strip().lower()))
+
+
+# --------------------------------------------------------------------------
+# incremental aggregate maintenance
+# --------------------------------------------------------------------------
+def test_aggregate_state_merge_equals_recompute(spark):
+    from hdinsight_pyspark_cntk_integration_spark.operators import pipeline as pl
+
+    rows = [(i % 3, float(i) + 0.25) for i in range(90)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    full = {
+        r["k"]: (r["n"], str(r["sum"]), r["min"], r["max"])
+        for r in pl.aggregate_state(df, ["k"], "v").collect()
+    }
+    # three-way split merged pairwise and in one call — associativity
+    a, b, c = (df.filter(f"v < 30"), df.filter("v >= 30 AND v < 60"), df.filter("v >= 60"))
+    sa, sb, sc = (pl.aggregate_state(x, ["k"], "v") for x in (a, b, c))
+    merged_once = pl.merge_aggregate_state(sa, sb, sc)
+    merged_nested = pl.merge_aggregate_state(pl.merge_aggregate_state(sa, sb), sc)
+    for m in (merged_once, merged_nested):
+        got = {
+            r["k"]: (r["n"], str(r["sum"]), r["min"], r["max"]) for r in m.collect()
+        }
+        assert got == full
+
+
+def test_merge_aggregate_state_requires_two(spark):
+    import pytest as _pytest
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import pipeline as pl
+
+    df = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    s = pl.aggregate_state(df, ["k"], "v")
+    with _pytest.raises(ValueError):
+        pl.merge_aggregate_state(s)

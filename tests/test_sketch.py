@@ -77,3 +77,45 @@ def test_heavy_hitters_exact_guarantee_and_partition_invariance(spark):
         out = heavy_hitters_exact(df.repartition(parts), "v", capacity=cap)
         got = {r["v"]: r["n_occurrences"] for r in out.collect()}
         assert got == want, parts
+
+
+# --------------------------------------------------------------------------
+# t-digest
+# --------------------------------------------------------------------------
+def test_tdigest_rank_error_bounded_across_partitionings(spark):
+    import numpy as np
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import sketch as sk
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate(
+        [rng.uniform(0, 100, 4000), rng.lognormal(3.0, 1.0, 4000)]
+    )
+    rows = [("g", float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    srt = np.sort(vals)
+    for parts in (1, 13):
+        est = {
+            r["q"]: r["est"]
+            for r in sk.tdigest_quantiles(
+                df.repartition(parts), "g", "v", [0.1, 0.5, 0.9, 0.99], delta=200
+            ).collect()
+        }
+        for q, e in est.items():
+            rank = float(np.searchsorted(srt, e, side="right")) / len(srt)
+            assert abs(rank - q) <= 0.015, (parts, q, e, rank)
+
+
+def test_tdigest_centroid_count_bounded(spark):
+    # the whole point: digest size is O(delta), independent of n
+    import numpy as np
+
+    from hdinsight_pyspark_cntk_integration_spark.operators.sketch import _td_compress
+
+    rng = np.random.default_rng(5)
+    vals = rng.normal(0, 1, 50_000)
+    m, w = _td_compress(vals, np.ones_like(vals), delta=100)
+    # one-pass greedy midpoint-q merging lands ~4.6·delta centroids on
+    # 50k normals — O(delta), constant-factor above the ~2·delta ideal
+    assert len(m) <= 5 * 100
+    assert abs(float(w.sum()) - 50_000.0) < 1e-6
