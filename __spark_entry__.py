@@ -3091,6 +3091,61 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly detection (relational.rolling_zscore):
+    each event scored against its user's trailing-20 mean/stddev,
+    |z| > 2.5 flagged. Windowed Σx/Σx² in DECIMAL (exact under frame
+    accumulation), fp64 only in the final fixed expression tree — the
+    threshold boundary decision hash-matches the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return rel.rolling_zscore(
+        ev.select("event_id", "user_id", "ts", "value"),
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        window_rows=20,
+        min_periods=10,
+        threshold=2.5,
+    ).select("event_id", "user_id", "value", "roll_z")
+
+
+def q_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window dedup (dedup.dedup_within_window): first event per
+    (user, event_type) in each 1-hour tumbling window — the batch twin
+    of the streaming watermark/TTL dedup. Window ids are exact integer
+    epoch-micros arithmetic; one shuffle on (keys, window)."""
+    ev = load_table(spark, sf_dir, "events")
+    kept = dd.dedup_within_window(
+        ev,
+        keys=["user_id", "event_type"],
+        ts_col="ts",
+        window_seconds=3600,
+        tiebreak_cols=["event_id"],
+    )
+    return kept.select("event_id", "user_id", "event_type", "window_start")
+
+
+def q_bfs_supply_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS (graph.bfs_hops, 3 rounds) over the bipartite
+    supplier↔part supply graph from lineitem (suppliers as negative
+    node ids): hop distribution + node-id checksum from supplier 1.
+    All-integer frontier expansion with min-hop merge — oracle unrolls
+    the rounds as CTEs and hash-matches exactly (the third oracle-green
+    ITERATIVE algorithm after integer PageRank and transitive dedup)."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import graph as gr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").cast("long").alias("src"),
+        (-F.col("l_suppkey")).cast("long").alias("dst"),
+    )
+    reached = gr.bfs_hops(edges, source=-1, max_hops=3)
+    return reached.groupBy("hop").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("node").cast("long").alias("node_checksum"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3294,6 +3349,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_aggregate": q_upsert_aggregate,
         "event_paths": q_event_paths,
         "session_window_native": q_session_window_native,
+        "rolling_anomaly": q_rolling_anomaly,
+        "dedup_window": q_dedup_window,
+        "bfs_supply_chain": q_bfs_supply_chain,
     }
 
 
@@ -5641,5 +5699,86 @@ def oracle_sql() -> dict[str, str]:
                    user_id,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM s GROUP BY user_id, sid
+        """,
+        "rolling_anomaly": f"""
+            WITH e AS (
+              SELECT event_id, user_id, {ev_ts} AS mts, value FROM events
+            ), s AS (
+              SELECT event_id, user_id, value,
+                COUNT(*) OVER w AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sx,
+                CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))
+                              * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                     OVER w AS DOUBLE) AS sxx
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY mts, event_id
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+            ), z AS (
+              SELECT event_id, user_id, value, n,
+                CASE WHEN sxx / CAST(n AS DOUBLE)
+                          - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)) > 0.0
+                     THEN (value - sx / CAST(n AS DOUBLE))
+                          / sqrt(sxx / CAST(n AS DOUBLE)
+                                 - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)))
+                END AS roll_z
+              FROM s
+            )
+            SELECT event_id, user_id, value, roll_z
+            FROM z
+            WHERE n >= 10 AND roll_z IS NOT NULL AND ABS(roll_z) > 2.5
+        """,
+        "dedup_window": f"""
+            WITH e AS (
+              SELECT event_id, user_id, event_type, {ev_ts} AS mts,
+                     epoch_us({ev_ts}) AS um
+              FROM events
+            ), b AS (
+              SELECT event_id, user_id, event_type, mts,
+                     um - (um % 3600000000) AS bucket
+              FROM e
+            ), r AS (
+              SELECT event_id, user_id, event_type, bucket,
+                row_number() OVER (PARTITION BY user_id, event_type, bucket
+                                   ORDER BY mts, event_id) AS rn
+              FROM b
+            )
+            SELECT event_id, user_id, event_type,
+                   make_timestamp(bucket) AS window_start
+            FROM r WHERE rn = 1
+        """,
+        "bfs_supply_chain": """
+            WITH e0 AS (
+              SELECT DISTINCT CAST(l_partkey AS BIGINT) AS s,
+                              CAST(-l_suppkey AS BIGINT) AS d
+              FROM lineitem
+            ), e AS (
+              SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0
+            ), r0 AS (
+              SELECT CAST(-1 AS BIGINT) AS node, CAST(0 AS INTEGER) AS hop
+            ), f1 AS (
+              SELECT e.d AS node, CAST(1 AS INTEGER) AS hop
+              FROM r0 JOIN e ON e.s = r0.node WHERE r0.hop = 0
+            ), r1 AS (
+              SELECT node, MIN(hop) AS hop FROM (
+                SELECT * FROM r0 UNION ALL SELECT * FROM f1
+              ) GROUP BY node
+            ), f2 AS (
+              SELECT e.d AS node, CAST(2 AS INTEGER) AS hop
+              FROM r1 JOIN e ON e.s = r1.node WHERE r1.hop = 1
+            ), r2 AS (
+              SELECT node, MIN(hop) AS hop FROM (
+                SELECT * FROM r1 UNION ALL SELECT * FROM f2
+              ) GROUP BY node
+            ), f3 AS (
+              SELECT e.d AS node, CAST(3 AS INTEGER) AS hop
+              FROM r2 JOIN e ON e.s = r2.node WHERE r2.hop = 2
+            ), r3 AS (
+              SELECT node, MIN(hop) AS hop FROM (
+                SELECT * FROM r2 UNION ALL SELECT * FROM f3
+              ) GROUP BY node
+            )
+            SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(SUM(node) AS BIGINT) AS node_checksum
+            FROM r3 GROUP BY hop
         """,
     }

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hdinsight_pyspark_cntk_integration_spark.functions.textfns import fingerprint_md5, normalized_text
@@ -1007,4 +1007,44 @@ def set_similarity_join(
             F.col("__idb").alias("id_b"),
             (F.col("__i").cast("double") / F.col("__u").cast("double")).alias("jaccard"),
         )
+    )
+
+
+def dedup_within_window(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    window_seconds: int,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Time-window deduplication: keep the FIRST row per key within each
+    tumbling ``window_seconds`` window — the batch twin of the streaming
+    watermark/TTL dedup (same contract: an event repeated inside the
+    window is a duplicate; across windows it is fresh). The classic
+    at-least-once-ingest compaction.
+
+    The window id is exact integer arithmetic on epoch-micros
+    (``um − um mod W`` — no float division anywhere near the bucket
+    boundary), so the kept set is partition-invariant and an ANSI
+    oracle reproduces it bit-for-bit.
+
+    Shape: ONE shuffle on (keys, window) for the row_number; the filter
+    is a stateless projection. At 100 TB this is the standard
+    dedup-shuffle bounded by the key×window cardinality, with no global
+    ordering anywhere.
+    """
+    if window_seconds < 1:
+        raise ValueError(f"window_seconds must be >= 1 (got {window_seconds})")
+    wmicros = int(window_seconds) * 1_000_000
+    um = F.unix_micros(F.col(ts_col))
+    bucket = um - F.pmod(um, F.lit(wmicros))
+    w = Window.partitionBy(*keys, bucket.alias("__b")).orderBy(
+        F.col(ts_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    return (
+        df.withColumn("__win_start", F.timestamp_micros(bucket))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumnRenamed("__win_start", "window_start")
     )

@@ -184,3 +184,53 @@ def triangle_count(
         .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
         .crossJoin(closed.agg(F.count(F.lit(1)).alias("n_triangles")))
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source: int,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    symmetric: bool = True,
+) -> DataFrame:
+    """Bounded-hop BFS: minimum hop distance from ``source`` to every
+    node reachable within ``max_hops`` (frontier expansion with min-hop
+    merge — the k-hop-neighborhood primitive behind supply-chain
+    proximity, fraud rings, and graph feature generation).
+
+    All-integer state (node id, hop), so unlike float graph algorithms
+    the fixpoint is exact and partition-invariant — an ANSI oracle can
+    unroll the rounds as CTEs and hash-match (same discipline as
+    pagerank_integer above).
+
+    Shape per round: one key-partitioned join of the FRONTIER (only
+    rows at hop i−1, never the whole reached set) against the edge
+    list, then a min-hop partial-agg groupBy. ``localCheckpoint`` after
+    each round truncates lineage so round plans stay constant-size —
+    the same guard dedup.connected_components uses. Rounds = max_hops
+    (a constant), frontier ≤ |V|; at 100 TB the edge list is the only
+    big side and it is shuffled on its join key once per round.
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1 (got {max_hops})")
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d"))
+    if symmetric:
+        e = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    e = e.distinct().localCheckpoint()
+    reached = spark.createDataFrame([(int(source), 0)], "node bigint, hop int")
+    for i in range(1, max_hops + 1):
+        frontier = reached.filter(F.col("hop") == i - 1).select(
+            F.col("node").alias("s")
+        )
+        nxt = frontier.join(e, "s").select(
+            F.col("d").alias("node"), F.lit(i).cast("int").alias("hop")
+        )
+        reached = (
+            reached.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("hop").alias("hop"))
+            .localCheckpoint()
+        )
+    return reached

@@ -992,3 +992,60 @@ def contingency_cells(
         expected.alias("expected"),
         (dev * dev / expected).alias("contribution"),
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    window_rows: int = 20,
+    min_periods: int = 10,
+    threshold: float = 2.5,
+    scale: int = 2,
+) -> DataFrame:
+    """Rolling-window anomaly detection: each row scored against the
+    mean/stddev of its own trailing ``window_rows`` observations per
+    key, flagged when |z| exceeds ``threshold`` — the streaming-shaped
+    data-quality monitor (a fixed global z-score, see
+    ``zscore_outliers``, can't follow drifting series).
+
+    Determinism: the windowed Σx and Σx² run in DECIMAL (exact integer
+    arithmetic — frame accumulation order can't change them), and only
+    the final mean/var/z is fp64, one fixed expression tree, so an ANSI
+    oracle matches bit-for-bit including the threshold boundary. The
+    variance guard emits NULL (not NaN) when the trailing window is
+    constant: ``sxx/n − mean²`` can round to a tiny negative on a
+    constant window, and sqrt(negative) is engine-dependent.
+
+    Shape: ONE shuffle (window partition on the key); both sums, the
+    count, and the projection share one sorted pass. Row-frame windows
+    stream in Spark — no per-group buffering beyond the frame.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    v = F.col(value_col).cast("double")
+    dec = F.col(value_col).cast(f"decimal(18,{scale})")
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum(dec).over(w).cast("double")
+    sxx = F.sum((dec * dec).cast(f"decimal(38,{2 * scale})")).over(w).cast("double")
+    n_d = n.cast("double")
+    mean = sx / n_d
+    var = sxx / n_d - mean * mean
+    z = F.when(var > F.lit(0.0), (v - mean) / F.sqrt(var))
+    return (
+        df.select(
+            *df.columns,
+            n.alias("__n"),
+            z.alias("roll_z"),
+        )
+        .filter(
+            (F.col("__n") >= min_periods)
+            & F.col("roll_z").isNotNull()
+            & (F.abs(F.col("roll_z")) > float(threshold))
+        )
+        .drop("__n")
+    )

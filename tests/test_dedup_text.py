@@ -664,3 +664,26 @@ def test_set_similarity_join_matches_brute_force(spark):
             want[(a, b)] = i / u
     assert got == want
     assert len(want) > 0
+
+
+def test_dedup_within_window_keeps_first_per_window(spark):
+    import datetime as _dt
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import dedup as dd
+
+    base = _dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, "a", base, 100),                               # win 0, keep
+        (1, "a", base + _dt.timedelta(minutes=30), 101),   # win 0, dup
+        (1, "a", base + _dt.timedelta(hours=1), 102),      # win 1, keep
+        (2, "a", base + _dt.timedelta(minutes=5), 103),    # other key, keep
+        (1, "b", base + _dt.timedelta(minutes=5), 104),    # other type, keep
+    ]
+    df = spark.createDataFrame(rows, "user_id int, et string, ts timestamp, eid int")
+    kept = dd.dedup_within_window(
+        df, keys=["user_id", "et"], ts_col="ts", window_seconds=3600,
+        tiebreak_cols=["eid"],
+    )
+    assert sorted(r["eid"] for r in kept.collect()) == [100, 102, 103, 104]
+    ws = {r["eid"]: r["window_start"] for r in kept.collect()}
+    assert ws[102] == base + _dt.timedelta(hours=1)

@@ -123,3 +123,22 @@ def test_triangle_count_matches_brute_force_random(spark):
     assert (got["n_nodes"], got["n_edges"], got["n_triangles"]) == (
         len(nodes), len(es), tri,
     )
+
+
+def test_bfs_hops_path_graph(spark):
+    from hdinsight_pyspark_cntk_integration_spark.operators import graph as gr
+
+    # path 0-1-2-3-4 plus a shortcut 0-3
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3)], "src long, dst long"
+    )
+    got = {r["node"]: r["hop"] for r in gr.bfs_hops(edges, 0, max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2}
+
+
+def test_bfs_hops_respects_max_hops(spark):
+    from hdinsight_pyspark_cntk_integration_spark.operators import graph as gr
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(6)], "src long, dst long")
+    got = {r["node"]: r["hop"] for r in gr.bfs_hops(edges, 0, max_hops=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}

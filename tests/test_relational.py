@@ -564,3 +564,22 @@ def test_contingency_cells_marginals(spark):
     assert all(abs(v - 3.0) < 1e-9 for v in exp_row.values())
     # uniform-ish table: contributions are finite and non-negative
     assert all(r["contribution"] >= 0.0 for r in cells)
+
+
+def test_rolling_zscore_flags_spike_only(spark):
+    rows = [(1, t, 10.0 + (t % 3) * 0.1) for t in range(30)]
+    rows[25] = (1, 25, 500.0)
+    df = spark.createDataFrame(rows, "k int, t int, v double")
+    got = rel.rolling_zscore(
+        df, "k", ["t"], "v", window_rows=20, min_periods=10, threshold=2.5
+    ).collect()
+    assert [r["t"] for r in got] == [25]
+    assert got[0]["roll_z"] > 2.5
+
+
+def test_rolling_zscore_constant_window_emits_nothing(spark):
+    df = spark.createDataFrame([(1, t, 7.0) for t in range(15)], "k int, t int, v double")
+    assert (
+        rel.rolling_zscore(df, "k", ["t"], "v", window_rows=10, min_periods=5).count()
+        == 0
+    )
