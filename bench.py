@@ -84,6 +84,17 @@ PIPELINE = [
     "heavy_users",
     "set_similarity",
     "triangle_count",
+    # round-5 continuation batches
+    "ewma",
+    "skyline_parts",
+    "outlier_zscore",
+    "rolling_anomaly",
+    "tdigest_quantiles",
+    "upsert_aggregate",
+    "session_window_native",
+    "dedup_window",
+    "event_paths",
+    "bfs_supply_chain",
 ]
 
 

@@ -474,3 +474,91 @@ def test_jsonl_manifest_sink_roundtrip_and_orphan_invisibility(spark, tmp_path):
     assert len(got) == 100
     assert 424242 not in set(got["id"])
     assert got.equals(exp)
+
+
+# --------------------------------------------------------------------------
+# partition-planned streaming Python DataSource (sharded_replay)
+# --------------------------------------------------------------------------
+def test_sharded_replay_matches_batch_and_batches_are_bounded(spark, sf_dir, tmp_path):
+    import time
+
+    from hdinsight_pyspark_cntk_integration_spark.sources.sharded_replay import (
+        ShardedReplayDataSource,
+    )
+
+    spark.dataSource.register(ShardedReplayDataSource)
+    path = f"{sf_dir}/events.parquet"
+    stream = (
+        spark.readStream.format("sharded_replay")
+        .option("path", path)
+        .option("rows_per_batch", "300")
+        .option("slices_per_batch", "3")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sharded_replay_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("SELECT COUNT(*) n FROM sharded_replay_t").first()["n"] >= 1000:
+                break
+            time.sleep(0.5)
+        # exactly the batch table, no dupes/drops
+        got = spark.sql(
+            "SELECT COUNT(*) n, SUM(event_id) s FROM sharded_replay_t"
+        ).first()
+        exp = (
+            spark.read.parquet(path)
+            .selectExpr("COUNT(*) n", "SUM(event_id) s")
+            .first()
+        )
+        assert (got["n"], got["s"]) == (exp["n"], exp["s"])
+        # incremental admission: 1000 rows at 300/batch needs >= 4 triggers
+        assert q.lastProgress["batchId"] >= 3
+    finally:
+        q.stop()
+
+
+def test_sharded_replay_schema_inference_and_validation(spark, sf_dir):
+    from hdinsight_pyspark_cntk_integration_spark.sources.sharded_replay import (
+        ShardedReplayStreamReader,
+        _ddl_from_parquet,
+    )
+
+    ddl = _ddl_from_parquet(f"{sf_dir}/events.parquet")
+    assert "event_id bigint" in ddl and "ts timestamp" in ddl
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="path"):
+        ShardedReplayStreamReader({})
+    with _pytest.raises(ValueError, match="rows_per_batch"):
+        ShardedReplayStreamReader(
+            {"path": f"{sf_dir}/events.parquet", "rows_per_batch": "0"}
+        )
+
+
+def test_sharded_replay_row_group_pruning_slices_exactly(spark, sf_dir, tmp_path):
+    # write a multi-row-group file, then read a range crossing a boundary
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hdinsight_pyspark_cntk_integration_spark.sources.sharded_replay import (
+        ShardedReplayStreamReader,
+        _RangePartition,
+    )
+
+    path = str(tmp_path / "rg.parquet")
+    pq.write_table(
+        pa.table({"i": list(range(100))}), path, row_group_size=10
+    )
+    r = ShardedReplayStreamReader({"path": path})
+    got = []
+    for b in r.read(_RangePartition(path, 37, 63)):
+        got.extend(b.column("i").to_pylist())
+    assert got == list(range(37, 63))
