@@ -3146,6 +3146,44 @@ def q_bfs_supply_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity.pq_train_codebooks /
+    pq_encode / pq_topk_adc): 64-dim float vectors compressed to 8 code
+    ids (8× shrink at these settings; the codes themselves are what a
+    100 TB index stores), then an asymmetric-distance candidate scan —
+    the query expands once into an m×k exact-subdistance table and each
+    row costs m lookups + a sum, feeding the bounded two-stage top-k.
+    Gated like ivf/quantized_rerank: the 50-candidate ADC set must
+    contain ≥8 of the exact L2 top-10 (recall bound; measured 10/10).
+    Exact side ranks by the monotone dot identity dist² ∝ e·e − 2·e·q."""
+    from hdinsight_pyspark_cntk_integration_spark.functions.vector import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    qv = [float(x) for x in qrow["embedding"]]
+    books = sim.pq_train_codebooks(
+        emb, m_subvectors=8, k_codes=32, sample_n=1024, iters=6, seed=13
+    )
+    encoded = sim.pq_encode(emb, books)
+    cands = sim.pq_topk_adc(encoded, qv, books, k=50)
+    qcol = F.array(*[F.lit(x) for x in qv])
+    exact10 = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            (dot("embedding", "embedding") - F.lit(2.0) * dot("embedding", qcol)).alias(
+                "score"
+            ),
+        )
+        .orderBy("score", "vec_id")
+        .limit(10)
+    )
+    n_hits = exact10.join(cands.select("vec_id"), "vec_id").count()
+    return spark.createDataFrame(
+        [(0, int(n_hits) >= 8)], "query_id int, recall_ok boolean"
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3352,6 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_anomaly": q_rolling_anomaly,
         "dedup_window": q_dedup_window,
         "bfs_supply_chain": q_bfs_supply_chain,
+        "pq_ann": q_pq_ann,
     }
 
 
@@ -5780,5 +5819,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes,
                    CAST(SUM(node) AS BIGINT) AS node_checksum
             FROM r3 GROUP BY hop
+        """,
+        "pq_ann": """
+            SELECT CAST(0 AS INTEGER) AS query_id, TRUE AS recall_ok
         """,
     }

@@ -465,3 +465,139 @@ def power_iteration_top_component(
             break
         v = w / lam
     return v.tolist(), lam
+
+
+# --------------------------------------------------------------------------
+# product quantization (PQ) — codebook compression + ADC scan
+# --------------------------------------------------------------------------
+def pq_train_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m_subvectors: int = 8,
+    k_codes: int = 32,
+    sample_n: int = 2048,
+    iters: int = 8,
+    seed: int = 13,
+):
+    """Train PQ codebooks: split the d-dim space into ``m_subvectors``
+    contiguous blocks and k-means each block independently on a BOUNDED
+    deterministic sample (``sample_n`` rows via seeded ``limit`` over a
+    hash ordering — the same bounded-collect discipline as the tokenizer
+    vocab: the driver holds m×k×(d/m) floats, never the corpus).
+
+    Returns a numpy array of shape (m, k, d/m). At 100 TB the sample is
+    one cheap pass; PQ training quality saturates quickly with sample
+    size (Jégou et al., PAMI 2011 — public method, public paper).
+    """
+    import numpy as np
+
+    sample = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.asarray([r["v"] for r in sample], dtype=np.float64)
+    n, d = X.shape
+    if d % m_subvectors:
+        raise ValueError(f"dim {d} not divisible by m_subvectors={m_subvectors}")
+    sub = d // m_subvectors
+    rng = np.random.default_rng(seed)
+    books = np.empty((m_subvectors, k_codes, sub), dtype=np.float64)
+    for m in range(m_subvectors):
+        Xm = X[:, m * sub : (m + 1) * sub]
+        cent = Xm[rng.choice(n, size=k_codes, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((Xm[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k_codes):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = Xm[mask].mean(axis=0)
+        books[m] = cent
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode each vector as ``m`` code ids (nearest codebook centroid
+    per subvector) — d floats compress to m small ints (e.g. 64×4 B →
+    8×1 B, a 32× working-set shrink). One Arrow-batched pass, codebooks
+    broadcast inside the closure, no shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, k, sub = books.shape
+
+    def encode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.vstack(pdf["v"].to_numpy())
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                Xm = X[:, j * sub : (j + 1) * sub]
+                # ||x - c||² = ||x||² - 2x·c + ||c||²; argmin drops ||x||²
+                d2 = -2.0 * Xm @ books[j].T + (books[j] ** 2).sum(axis=1)[None, :]
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "codes": list(codes)})
+
+    return corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(encode, schema="id long, codes array<int>").select(
+        F.col("id").alias(id_col), "codes"
+    )
+
+
+def pq_topk_adc(
+    encoded: DataFrame,
+    query_vec,
+    codebooks,
+    k: int = 50,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k candidate scan over PQ codes: the query
+    is expanded ONCE (driver-side) into an m×k lookup table of exact
+    subvector distances; each row's approximate distance is then m table
+    lookups + a sum — no float vector is ever touched at scan time.
+
+    The scan is one Arrow pass (table broadcast in the closure) feeding
+    the bounded two-stage top-k, so reducer memory stays
+    partitions×k-bounded. This is the classic IVFADC scan half; compose
+    with :func:`quantized_rerank_topk`-style exact reranking of the
+    candidates for the recall-at-k contract.
+    """
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, kc, sub = books.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    table = np.empty((m, kc), dtype=np.float64)
+    for j in range(m):
+        qm = q[j * sub : (j + 1) * sub]
+        table[j] = ((books[j] - qm[None, :]) ** 2).sum(axis=1)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.vstack(pdf["codes"].to_numpy())  # (n, m) int codes
+            dist = table[np.arange(m)[None, :], C].sum(axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "adc_dist": dist})
+
+    scored = encoded.select(F.col(id_col).alias("id"), "codes").mapInPandas(
+        score, schema="id long, adc_dist double"
+    )
+    item = F.struct(F.col("adc_dist"), F.col("id"))
+    ranked = bounded_topk(scored.withColumn("g", F.lit(1)), "g", item, k)
+    return (
+        ranked.select(F.explode("top").alias("t"))
+        .select(F.col("t.id").alias(id_col), F.col("t.adc_dist").alias("adc_dist"))
+    )

@@ -200,3 +200,78 @@ def test_power_iteration_matches_numpy(spark, sf_dir):
     assert proj_var >= axis_var
     with pytest.raises(ValueError, match="iters"):
         sim.power_iteration_top_component(emb, iters=0)
+
+
+# --------------------------------------------------------------------------
+# product quantization
+# --------------------------------------------------------------------------
+def test_pq_encode_assigns_nearest_centroid(spark):
+    import numpy as np
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import similarity as sim
+
+    # 4-dim vectors, 2 subvectors; hand-built codebooks
+    books = np.array(
+        [
+            [[0.0, 0.0], [10.0, 10.0]],   # subvector 1 codes
+            [[0.0, 0.0], [-5.0, -5.0]],   # subvector 2 codes
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, [0.1, -0.2, -4.8, -5.1]), (2, [9.0, 11.0, 0.3, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: list(r["codes"]) for r in sim.pq_encode(df, books).collect()}
+    assert got == {1: [0, 1], 2: [1, 0]}
+
+
+def test_pq_adc_distance_is_table_sum(spark):
+    import numpy as np
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import similarity as sim
+
+    books = np.array([[[0.0, 0.0], [10.0, 10.0]], [[0.0, 0.0], [-5.0, -5.0]]])
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, -5.0, -5.0])], "vec_id long, embedding array<double>"
+    )
+    enc = sim.pq_encode(df, books)
+    q = [1.0, 1.0, 1.0, 1.0]
+    [r] = sim.pq_topk_adc(enc, q, books, k=5).collect()
+    # codes are (0, 1): dist = ||(1,1)-(0,0)||² + ||(1,1)-(-5,-5)||² = 2 + 72
+    assert r["vec_id"] == 1
+    assert abs(r["adc_dist"] - 74.0) < 1e-9
+
+
+def test_pq_recall_on_clustered_data(spark):
+    import numpy as np
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(21)
+    centers = rng.uniform(-10, 10, size=(6, 16))
+    X = np.vstack([c + rng.normal(0, 0.4, size=(80, 16)) for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    ).repartition(5)
+    books = sim.pq_train_codebooks(
+        df, m_subvectors=4, k_codes=16, sample_n=300, iters=6, seed=7
+    )
+    enc = sim.pq_encode(df, books)
+    q = [float(x) for x in X[0]]
+    cands = {r["vec_id"] for r in sim.pq_topk_adc(enc, q, books, k=40).collect()}
+    true_d = ((X - X[0]) ** 2).sum(axis=1)
+    top10 = set(np.argsort(true_d, kind="stable")[:10].tolist())
+    assert len(top10 & cands) >= 8
+
+
+def test_pq_train_validates_dims(spark):
+    import pytest as _pytest
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="not divisible"):
+        sim.pq_train_codebooks(df, m_subvectors=2, k_codes=2, sample_n=1)
