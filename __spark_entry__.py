@@ -3184,6 +3184,50 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``eqNullSafe`` / ``IS NOT DISTINCT
+    FROM``): per-type event counts from the even and odd event-id
+    halves, joined on a NULLABLE key ('view' nullified) — the NULL
+    groups must pair up, which a plain equi-join silently drops. Same
+    hash-join physical shape; only the key comparator changes."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.nullif(F.col("event_type"), F.lit("view"))
+    even = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy(key.alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_even"))
+    )
+    odd = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .groupBy(key.alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_odd"))
+    )
+    return even.join(odd, even["k"].eqNullSafe(odd["k"])).select(
+        even["k"].alias("k"), "n_even", "n_odd"
+    )
+
+
+def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via Spark 4 COLLATIONS (F.collate with
+    UTF8_LCASE) — the declarative alternative to lower()-normalizing
+    every expression: the collation travels with the column through the
+    groupBy. Case diversity is manufactured (even doc_ids upper-cased),
+    and the output key is re-derived with plain lower()/binary min so
+    the emitted schema stays an ordinary string (collated types don't
+    exist oracle-side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(F.col("source"))
+    return (
+        docs.select(s.alias("s"))
+        .groupBy(F.collate(F.col("s"), "UTF8_LCASE").alias("ck"))
+        .agg(
+            F.lower(F.min("s")).alias("source_norm"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .drop("ck")
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3391,6 +3435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_window": q_dedup_window,
         "bfs_supply_chain": q_bfs_supply_chain,
         "pq_ann": q_pq_ann,
+        "null_safe_join": q_null_safe_join,
+        "collation_group": q_collation_group,
     }
 
 
@@ -5822,5 +5868,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pq_ann": """
             SELECT CAST(0 AS INTEGER) AS query_id, TRUE AS recall_ok
+        """,
+        "null_safe_join": """
+            WITH even AS (
+              SELECT NULLIF(event_type, 'view') AS k,
+                     CAST(COUNT(*) AS BIGINT) AS n_even
+              FROM events WHERE event_id % 2 = 0 GROUP BY 1
+            ), odd AS (
+              SELECT NULLIF(event_type, 'view') AS k,
+                     CAST(COUNT(*) AS BIGINT) AS n_odd
+              FROM events WHERE event_id % 2 = 1 GROUP BY 1
+            )
+            SELECT even.k, n_even, n_odd
+            FROM even JOIN odd ON even.k IS NOT DISTINCT FROM odd.k
+        """,
+        "collation_group": """
+            WITH s AS (
+              SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS s
+              FROM documents
+            )
+            SELECT lower(MIN(s)) AS source_norm, CAST(COUNT(*) AS BIGINT) AS n
+            FROM s GROUP BY s COLLATE NOCASE
         """,
     }

@@ -198,7 +198,12 @@ def test_apply_changes_no_cartesian_bounded_shuffles(spark, sf_dir):
 #     n_shards / n_buckets count table, never corpus-sized;
 #   vocab / tokenize_ids — dense-id window AFTER the top-V cut (<= top_v rows);
 #   sentence_split — the Python UDTF surface, demonstrated deliberately;
-#   distinct_labels — R5 "distinct then sort" reference semantics (3 rows).
+#   distinct_labels — R5 "distinct then sort" reference semantics (3 rows);
+#   yoy_growth — lag window over the per-YEAR aggregate (n_years rows,
+#     never the fact table);
+#   skyline_parts — phase-2 window over the per-partition-pruned
+#     candidate set (≤ partitions × |local skyline|; skyline(∪ parts) ⊆
+#     ∪ skyline(parts) guarantees the prune is lossless).
 _INTENTIONAL_LINT = {
     "pack_chunks_global": {"global-window"},
     "vocab": {"global-window"},
@@ -206,6 +211,8 @@ _INTENTIONAL_LINT = {
     "epoch_shuffle": {"global-window"},
     "sentence_split": {"python-row-udf"},
     "distinct_labels": {"global-sort"},
+    "yoy_growth": {"global-window"},
+    "skyline_parts": {"global-window"},
 }
 
 
