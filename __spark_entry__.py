@@ -3228,6 +3228,39 @@ def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day (sketch.hll_sliding_distinct):
+    sliding COUNT(DISTINCT) has no mergeable exact partial, so the scale
+    path is per-day HLL sketches + a windowed union over the |days|-row
+    aggregate — the fact table is scanned ONCE. The gate pairs it with
+    the exact offset-explode twin (7× multiplication of the per-day
+    DISTINCT pairs, exact and oracle-matched) and a 3σ bound boolean on
+    the sketch estimate (lgConfigK=12 ⇒ 5% ≈ 3σ)."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import sketch as sk
+
+    ev = load_table(spark, sf_dir, "events")
+    est = sk.hll_sliding_distinct(ev, "ts", "user_id", window_days=7)
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    exact = (
+        du.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "day", "user_id"
+        )
+        .select(F.date_add(F.col("day"), F.col("off")).alias("day"), "user_id")
+        .join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+    )
+    return exact.join(est, "day").select(
+        F.col("day").cast("string").alias("day"),
+        "n_exact",
+        (
+            F.abs(F.col("est").cast("double") / F.col("n_exact").cast("double") - 1.0)
+            <= F.lit(0.05)
+        ).alias("sketch_ok"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3437,6 +3470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann": q_pq_ann,
         "null_safe_join": q_null_safe_join,
         "collation_group": q_collation_group,
+        "sliding_distinct": q_sliding_distinct,
     }
 
 
@@ -5889,5 +5923,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lower(MIN(s)) AS source_norm, CAST(COUNT(*) AS BIGINT) AS n
             FROM s GROUP BY s COLLATE NOCASE
+        """,
+        "sliding_distinct": f"""
+            WITH du AS (
+              SELECT DISTINCT CAST({ev_ts} AS DATE) AS day, user_id FROM events
+            ), days AS (
+              SELECT DISTINCT day FROM du
+            ), ex AS (
+              SELECT du.day + CAST(o AS INTEGER) AS day, user_id
+              FROM du CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o) offs
+            )
+            SELECT CAST(ex.day AS VARCHAR) AS day,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+                   TRUE AS sketch_ok
+            FROM ex JOIN days ON ex.day = days.day
+            GROUP BY ex.day
         """,
     }

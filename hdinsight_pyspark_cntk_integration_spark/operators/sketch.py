@@ -268,3 +268,36 @@ def tdigest_quantiles(
         .applyInPandas(merge_and_eval, schema=out_schema)
         .withColumnRenamed("g", group_col)
     )
+
+
+def hll_sliding_distinct(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-N-day distinct counts via windowed HLL sketch union —
+    the scale answer to sliding ``COUNT(DISTINCT)``, which has no
+    mergeable exact partial: computing it exactly per window either
+    rescans N days of raw keys per day or self-joins the fact table
+    N times. Here the fact table is touched ONCE (per-day sketch agg,
+    one partial-agg shuffle); the sliding union then runs over the
+    per-DAY aggregate — |days| rows, KB-sized sketch values — so the
+    window cost is independent of corpus cardinality. Same mergeable-
+    sketch contract as ``hll_union_agg`` storage: yesterday's sketches
+    never need recomputing when today arrives.
+
+    Returns (day, est) with the estimate's standard HLL error
+    (lgConfigK=12 → ~1.6 % RSE). The gate pairs it with the exact
+    offset-explode twin and a 3σ bound check.
+    """
+    daily = df.groupBy(F.to_date(F.col(ts_col)).alias("day")).agg(
+        F.hll_sketch_agg(F.col(key_col)).alias("sk")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(-(window_days - 1), 0)
+    return daily.select(
+        "day",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("est"),
+    )

@@ -213,6 +213,9 @@ _INTENTIONAL_LINT = {
     "distinct_labels": {"global-sort"},
     "yoy_growth": {"global-window"},
     "skyline_parts": {"global-window"},
+    # sliding_distinct — sketch-union window over the per-DAY aggregate
+    #   (|days| rows of KB sketches, never the fact table)
+    "sliding_distinct": {"global-window"},
 }
 
 

@@ -119,3 +119,26 @@ def test_tdigest_centroid_count_bounded(spark):
     # 50k normals — O(delta), constant-factor above the ~2·delta ideal
     assert len(m) <= 5 * 100
     assert abs(float(w.sum()) - 50_000.0) < 1e-6
+
+
+def test_hll_sliding_distinct_tracks_exact(spark):
+    import datetime as _dt
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import sketch as sk
+
+    base = _dt.datetime(2024, 3, 1)
+    rows = []
+    # 10 days; day d sees users [d*40, d*40+120) — overlapping cohorts
+    for d in range(10):
+        for u in range(d * 40, d * 40 + 120):
+            rows.append((base + _dt.timedelta(days=d, hours=u % 24), u))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    est = {
+        str(r["day"]): r["est"]
+        for r in sk.hll_sliding_distinct(df, "ts", "user_id", window_days=3).collect()
+    }
+    for d in range(10):
+        lo = max(0, d - 2) * 40
+        exact = (d * 40 + 120) - lo
+        day = str((base + _dt.timedelta(days=d)).date())
+        assert abs(est[day] / exact - 1.0) <= 0.05, (day, est[day], exact)
