@@ -895,3 +895,44 @@ def merge_aggregate_state(*states: DataFrame) -> DataFrame:
         F.min("min").alias("min"),
         F.max("max").alias("max"),
     )
+
+
+def balanced_buckets(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int,
+    delta: int = 200,
+) -> DataFrame:
+    """Skew-proof range bucketing: bucket ids 0..n_buckets−1 assigned by
+    t-digest quantile bounds, so each bucket holds ≈1/n_buckets of the
+    ROWS no matter how skewed the value distribution is — the primitive
+    behind balanced range partitioning / file sizing when
+    ``repartitionByRange`` sampling isn't enough or the bounds must be
+    stable across jobs (store the bounds, reuse tomorrow).
+
+    One sketch pass (centroids shuffled, not values — see
+    ``sketch.tdigest_quantiles``) computes the n_buckets−1 interior
+    bounds; assignment is then a stateless codegen'd projection: bucket
+    = Σ (value > bound_i), a chain of n_buckets−1 comparisons. Adds a
+    ``bucket`` column; no shuffle of the input itself.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2 (got {n_buckets})")
+    from hdinsight_pyspark_cntk_integration_spark.operators.sketch import (
+        tdigest_quantiles,
+    )
+
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    est = tdigest_quantiles(
+        df.select(F.lit("g").alias("g"), F.col(value_col)),
+        "g",
+        value_col,
+        qs,
+        delta=delta,
+    ).collect()
+    bounds = [r["est"] for r in sorted(est, key=lambda r: r["q"])]
+    v = F.col(value_col).cast("double")
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (v > F.lit(float(b))).cast("int")
+    return df.withColumn("bucket", bucket)

@@ -601,3 +601,47 @@ def pq_topk_adc(
         ranked.select(F.explode("top").alias("t"))
         .select(F.col("t.id").alias(id_col), F.col("t.adc_dist").alias("adc_dist"))
     )
+
+
+def pq_save_index(
+    spark,
+    codebooks,
+    encoded: DataFrame,
+    path: str,
+) -> None:
+    """Persist a PQ index: the code table as parquet (the big, per-vector
+    part — written distributed) plus the codebooks flattened into a tiny
+    parquet side table (m·k rows of subvector centroids). An index you
+    can't store and reload is a benchmark toy; this is the build-once /
+    serve-many lifecycle, all in plain parquet so any engine can read it.
+    """
+    import numpy as np
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, k, sub = books.shape
+    rows = [
+        (int(j), int(c), [float(x) for x in books[j, c]])
+        for j in range(m)
+        for c in range(k)
+    ]
+    spark.createDataFrame(
+        rows, "subvector int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    encoded.write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def pq_load_index(spark, path: str):
+    """Reload a PQ index written by :func:`pq_save_index`: returns
+    (codebooks ndarray (m,k,sub), encoded DataFrame). The codebook side
+    is a bounded driver collect (m·k rows); the code table stays
+    distributed."""
+    import numpy as np
+
+    brows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r["subvector"] for r in brows)
+    k = 1 + max(r["code"] for r in brows)
+    sub = len(brows[0]["centroid"])
+    books = np.zeros((m, k, sub), dtype=np.float64)
+    for r in brows:
+        books[r["subvector"], r["code"]] = r["centroid"]
+    return books, spark.read.parquet(f"{path}/codes")

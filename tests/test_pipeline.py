@@ -573,3 +573,34 @@ def test_merge_aggregate_state_requires_two(spark):
     s = pl.aggregate_state(df, ["k"], "v")
     with _pytest.raises(ValueError):
         pl.merge_aggregate_state(s)
+
+
+def test_balanced_buckets_on_skewed_data(spark):
+    import numpy as np
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import pipeline as pl
+
+    rng = np.random.default_rng(17)
+    vals = rng.lognormal(0.0, 2.0, size=8000)  # heavy right tail
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, v double"
+    ).repartition(8)
+    out = pl.balanced_buckets(df, "v", n_buckets=8)
+    sizes = {
+        r["bucket"]: r["n"]
+        for r in out.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(sizes) == set(range(8))
+    target = 8000 / 8
+    for b, n in sizes.items():
+        assert abs(n - target) / target <= 0.25, (b, n)
+
+
+def test_balanced_buckets_validates(spark):
+    import pytest as _pytest
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import pipeline as pl
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    with _pytest.raises(ValueError, match="n_buckets"):
+        pl.balanced_buckets(df, "v", n_buckets=1)

@@ -275,3 +275,29 @@ def test_pq_train_validates_dims(spark):
     )
     with _pytest.raises(ValueError, match="not divisible"):
         sim.pq_train_codebooks(df, m_subvectors=2, k_codes=2, sample_n=1)
+
+
+def test_pq_index_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(9)
+    X = rng.uniform(-1, 1, size=(200, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    books = sim.pq_train_codebooks(df, m_subvectors=2, k_codes=8, sample_n=100, seed=3)
+    enc = sim.pq_encode(df, books)
+    sim.pq_save_index(spark, books, enc, str(tmp_path / "pqidx"))
+    books2, enc2 = sim.pq_load_index(spark, str(tmp_path / "pqidx"))
+    assert np.array_equal(books, books2)
+    a = {r["vec_id"]: list(r["codes"]) for r in enc.collect()}
+    b = {r["vec_id"]: list(r["codes"]) for r in enc2.collect()}
+    assert a == b
+    # ADC search over the reloaded index gives identical results
+    q = [0.0] * 8
+    r1 = [(r["vec_id"], r["adc_dist"]) for r in sim.pq_topk_adc(enc, q, books, k=5).collect()]
+    r2 = [(r["vec_id"], r["adc_dist"]) for r in sim.pq_topk_adc(enc2, q, books2, k=5).collect()]
+    assert r1 == r2
