@@ -645,3 +645,152 @@ def pq_load_index(spark, path: str):
     for r in brows:
         books[r["subvector"], r["code"]] = r["centroid"]
     return books, spark.read.parquet(f"{path}/codes")
+
+
+# --------------------------------------------------------------------------
+# IVFADC: coarse inverted file + PQ-coded residuals (IVF ∘ PQ capstone)
+# --------------------------------------------------------------------------
+def _kmeans_np(X, k, iters, rng):
+    """Tiny driver-side Lloyd k-means for sample-trained quantizers."""
+    import numpy as np
+
+    cent = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                cent[c] = X[mask].mean(axis=0)
+    return cent
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    m_subvectors: int = 8,
+    k_codes: int = 32,
+    sample_n: int = 2048,
+    iters: int = 6,
+    seed: int = 13,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Build an IVFADC index (Jégou et al., PAMI 2011 — the composition
+    running in every production-scale ANN system): a coarse L2 quantizer
+    splits the corpus into ``n_cells`` inverted lists, and each vector's
+    RESIDUAL against its cell centroid is PQ-coded. Residual coding is
+    the point of the composition — residuals concentrate near 0, so the
+    same codebook budget buys far less quantization error than coding
+    raw vectors (what plain ``pq_encode`` does).
+
+    Training is one bounded deterministic sample collect (coarse
+    centroids AND residual codebooks from the same sample — the driver
+    holds n_cells·d + m·k·(d/m) floats, never the corpus); encoding is
+    ONE Arrow pass emitting (id, cell, codes) — at 100 TB you write this
+    table partitioned by ``cell`` and the probe step becomes partition
+    pruning. Returns (centroids (n_cells,d), codebooks (m,k,d/m),
+    encoded DataFrame).
+    """
+    import numpy as np
+
+    sample = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.asarray([r["v"] for r in sample], dtype=np.float64)
+    n, d = X.shape
+    if d % m_subvectors:
+        raise ValueError(f"dim {d} not divisible by m_subvectors={m_subvectors}")
+    sub = d // m_subvectors
+    rng = np.random.default_rng(seed)
+    cents = _kmeans_np(X, n_cells, iters, rng)
+    resid = X - cents[((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)]
+    books = np.empty((m_subvectors, k_codes, sub), dtype=np.float64)
+    for j in range(m_subvectors):
+        books[j] = _kmeans_np(resid[:, j * sub : (j + 1) * sub], k_codes, iters, rng)
+
+    import pandas as pd
+
+    def encode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.vstack(pdf["v"].to_numpy())
+            cell = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            R = V - cents[cell]
+            codes = np.empty((len(pdf), m_subvectors), dtype=np.int32)
+            for j in range(m_subvectors):
+                Rj = R[:, j * sub : (j + 1) * sub]
+                d2 = -2.0 * Rj @ books[j].T + (books[j] ** 2).sum(axis=1)[None, :]
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "cell": cell.astype("int32"), "codes": list(codes)}
+            )
+
+    encoded = (
+        corpus.select(F.col(corpus_id).alias("id"), F.col(vec_col).alias("v"))
+        .mapInPandas(encode, schema="id long, cell int, codes array<int>")
+        .select(F.col("id").alias(corpus_id), "cell", "codes")
+    )
+    return cents, books, encoded
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    centroids,
+    codebooks,
+    query_vec,
+    k: int = 50,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC search: probe the query's ``nprobe`` nearest cells only
+    (driver-side — centroids are tiny), with a PER-CELL ADC table over
+    the query's residual against that cell. The scan filters to probed
+    cells FIRST (partition pruning when the code table is written
+    partitioned by cell — ~nprobe/n_cells of the data touched), then
+    each surviving row costs m table lookups + a sum into the bounded
+    two-stage top-k. Approximate distance = ||(q−c) − pq(r)||²."""
+    import numpy as np
+    import pandas as pd
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, kc, sub = books.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    cell_d = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probes = np.argsort(cell_d, kind="stable")[:nprobe]
+    tables = {}
+    for c in probes:
+        r = q - cents[c]
+        t = np.empty((m, kc), dtype=np.float64)
+        for j in range(m):
+            t[j] = ((books[j] - r[j * sub : (j + 1) * sub][None, :]) ** 2).sum(axis=1)
+        tables[int(c)] = t
+
+    probed = encoded.filter(F.col("cell").isin(*[int(c) for c in probes]))
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = np.empty(len(pdf), dtype=np.float64)
+            cells = pdf["cell"].to_numpy()
+            C = np.vstack(pdf["codes"].to_numpy())
+            for c in np.unique(cells):
+                mask = cells == c
+                t = tables[int(c)]
+                out[mask] = t[np.arange(m)[None, :], C[mask]].sum(axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "adc_dist": out})
+
+    scored = probed.select(F.col(id_col).alias("id"), "cell", "codes").mapInPandas(
+        score, schema="id long, adc_dist double"
+    )
+    item = F.struct(F.col("adc_dist"), F.col("id"))
+    ranked = bounded_topk(scored.withColumn("g", F.lit(1)), "g", item, k)
+    return ranked.select(F.explode("top").alias("t")).select(
+        F.col("t.id").alias(id_col), F.col("t.adc_dist").alias("adc_dist")
+    )

@@ -301,3 +301,49 @@ def test_pq_index_roundtrip(spark, tmp_path):
     r1 = [(r["vec_id"], r["adc_dist"]) for r in sim.pq_topk_adc(enc, q, books, k=5).collect()]
     r2 = [(r["vec_id"], r["adc_dist"]) for r in sim.pq_topk_adc(enc2, q, books2, k=5).collect()]
     assert r1 == r2
+
+
+def test_ivfpq_recall_on_clustered_data(spark):
+    import numpy as np
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(31)
+    centers = rng.uniform(-10, 10, size=(8, 16))
+    X = np.vstack([c + rng.normal(0, 0.5, size=(70, 16)) for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)
+    cents, books, enc = sim.ivfpq_build(
+        df, n_cells=8, m_subvectors=4, k_codes=16, sample_n=300, iters=6, seed=5
+    )
+    q = [float(x) for x in X[10]]
+    cands = {
+        r["vec_id"] for r in sim.ivfpq_topk(enc, cents, books, q, k=40, nprobe=3).collect()
+    }
+    true_d = ((X - X[10]) ** 2).sum(axis=1)
+    top10 = set(np.argsort(true_d, kind="stable")[:10].tolist())
+    assert len(top10 & cands) >= 8
+
+
+def test_ivfpq_probe_prunes_cells(spark):
+    import numpy as np
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(2)
+    X = rng.uniform(-5, 5, size=(300, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    cents, books, enc = sim.ivfpq_build(
+        df, n_cells=6, m_subvectors=2, k_codes=8, sample_n=200, iters=5, seed=5
+    )
+    enc = enc.cache()
+    total = enc.count()
+    # nprobe=1 scans strictly fewer rows than the corpus (cells partition it)
+    probed_counts = enc.groupBy("cell").count().collect()
+    assert len(probed_counts) == 6
+    assert sum(r["count"] for r in probed_counts) == total
