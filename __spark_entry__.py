@@ -3301,6 +3301,31 @@ def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (BEGIN…END, DECLARE, WHILE): a scripted
+    threshold search — double `thr` until at most 3000 orders exceed it
+    — then the report query uses the converged variable. Control flow
+    runs on the driver, every probe is a distributed job; the oracle
+    replays the same deterministic doubling chain as a CTE over
+    2^k-scaled candidates (exact binary fp64 on both sides)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr DOUBLE DEFAULT 100000.0;
+          WHILE (SELECT COUNT(*) FROM orders WHERE o_totalprice > thr) > 3000 DO
+            SET thr = thr * 2.0;
+          END WHILE;
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) AS BIGINT) AS n_above,
+                 thr AS threshold
+          FROM orders WHERE o_totalprice > thr
+          GROUP BY o_orderpriority;
+        END
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3512,6 +3537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collation_group": q_collation_group,
         "sliding_distinct": q_sliding_distinct,
         "ivfpq_ann": q_ivfpq_ann,
+        "sql_scripting": q_sql_scripting,
     }
 
 
@@ -5982,5 +6008,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivfpq_ann": """
             SELECT CAST(0 AS INTEGER) AS query_id, TRUE AS recall_ok
+        """,
+        "sql_scripting": """
+            WITH cand AS (
+              SELECT k, 100000.0 * pow(2.0, k) AS thr
+              FROM (SELECT unnest(generate_series(0, 30)) AS k)
+            ), counted AS (
+              SELECT k, thr,
+                (SELECT COUNT(*) FROM orders WHERE o_totalprice > cand.thr) AS c
+              FROM cand
+            ), conv AS (
+              SELECT thr FROM counted WHERE c <= 3000 ORDER BY k LIMIT 1
+            )
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_above,
+                   conv.thr AS threshold
+            FROM orders, conv WHERE o_totalprice > conv.thr
+            GROUP BY o_orderpriority, conv.thr
         """,
     }
