@@ -3326,6 +3326,34 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media dedup, ORACLE-GREEN by construction
+    (multimodal.perceptual_dhash + near_dup_phash): media payloads are
+    manufactured so doc_ids sharing ``doc_id % 100`` carry byte-identical
+    content — identical bytes hash identically (hamming 0), while
+    distinct 64-bit hashes essentially never land within 4 bits — so the
+    exact near-dup pair set equals the same-residue pair set, which the
+    oracle computes with pure integer arithmetic. The Spark side runs
+    the REAL pipeline: decode → dHash (one Arrow pass) → banded 16-bit
+    bucket joins (pigeonhole: ≤4 differing bits must agree on one of 4
+    bands) → exact popcount verify."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select(
+        "doc_id",
+        F.unhex(
+            F.sha2(
+                F.concat(F.lit("media-"), (F.col("doc_id") % 100).cast("string")), 256
+            )
+        ).alias("content"),
+    )
+    hashes = mm.perceptual_dhash(
+        payload, decoder=mm.deterministic_fake_decoder((8, 9, 3))
+    )
+    return mm.near_dup_phash(hashes, max_hamming=4, bands=4)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3538,6 +3566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_distinct": q_sliding_distinct,
         "ivfpq_ann": q_ivfpq_ann,
         "sql_scripting": q_sql_scripting,
+        "phash_near_dup": q_phash_near_dup,
     }
 
 
@@ -6025,5 +6054,11 @@ def oracle_sql() -> dict[str, str]:
                    conv.thr AS threshold
             FROM orders, conv WHERE o_totalprice > conv.thr
             GROUP BY o_orderpriority, conv.thr
+        """,
+        "phash_near_dup": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(0 AS INTEGER) AS hamming
+            FROM documents a JOIN documents b
+              ON a.doc_id % 100 = b.doc_id % 100 AND a.doc_id < b.doc_id
         """,
     }

@@ -204,3 +204,118 @@ def decode_to_tensor_arrow(
             )
 
     return df.select(id_col, content_col).mapInArrow(run, schema=schema)
+
+
+def perceptual_dhash(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    decoder: Decoder | None = None,
+) -> DataFrame:
+    """64-bit perceptual difference hash (dHash) per media row: decode →
+    grayscale (channel mean) → area-resize to 8×9 → horizontal-gradient
+    sign bits packed into one signed int64. Identical bytes always hash
+    identically; visually-similar images land within a few bits (with a
+    REAL codec installed via ``set_decoder`` — the shipped deterministic
+    stub makes equality-duplicates exact and near-misses random, which
+    is precisely what the oracle-checkable gate needs).
+
+    One Arrow pass, no shuffle; the hash column is the 8-byte surrogate
+    all downstream dedup joins run on — raw media bytes are touched
+    exactly once at 100 TB.
+    """
+    dec = decoder or _get_decoder()
+    schema = f"{id_col} long, phash long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = np.empty(len(pdf), dtype=np.int64)
+            for i, data in enumerate(pdf[content_col]):
+                arr = dec(bytes(data)).astype(np.float64)
+                gray = arr.mean(axis=2) if arr.ndim == 3 else arr
+                h, w = gray.shape
+                # area-resize to 8 rows × 9 cols via block means
+                rows = np.array_split(np.arange(h), 8)
+                cols = np.array_split(np.arange(w), 9)
+                g = np.empty((8, 9))
+                for r, ri in enumerate(rows):
+                    for c, ci in enumerate(cols):
+                        g[r, c] = gray[np.ix_(ri, ci)].mean()
+                bits = (g[:, 1:] > g[:, :-1]).ravel()
+                # 64 bits → 8 bytes → one uint64 → reinterpret signed
+                # (deterministic byte order; wraparound to negative is
+                # fine, the value is an opaque key)
+                out[i] = np.packbits(bits).view(np.uint64)[0].astype(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col], "phash": out})
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+
+
+def near_dup_phash(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 4,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate media pairs by banded perceptual-hash join: the
+    64-bit dHash splits into ``bands`` 16-bit keys; any pair differing
+    in FEWER than ``bands`` bits must agree on at least one band
+    (pigeonhole — same guarantee as MinHash banding), so candidates come
+    from |band|-bucketed equi-joins, never an all-pairs scan. Survivors
+    are verified EXACTLY with a JVM-side popcount of the XOR. Recall
+    caveat (standard LSH): with ``max_hamming == bands`` a pair whose
+    differing bits land one-per-band has no shared band and is missed —
+    the guarantee is complete only for hamming ≤ bands−1; raise
+    ``bands`` (up to 8) to push the guaranteed radius out.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b. Shuffles: one per
+    band key (Σ|bucket|² join work, bounded by hash collisions), one
+    dedup of candidate pairs.
+    """
+    if not 1 <= bands <= 8:
+        raise ValueError(f"bands must be in [1, 8] (got {bands})")
+    if max_hamming >= bands * 16:
+        raise ValueError("max_hamming must be < bands * 16")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = hashes.select(F.col(id_col).alias("id"), F.col("phash"))
+    banded = h.select(
+        "id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "phash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.phash").alias("ha"),
+            F.col("b.phash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -75,3 +75,47 @@ def test_decode_arrow_twin_matches_pandas_path(spark):
     for k in a:
         assert a[k]["shape"] == b[k]["shape"] == [4, 5, 3]
         assert a[k]["tensor"] == b[k]["tensor"]
+
+
+# --------------------------------------------------------------------------
+# perceptual hashing
+# --------------------------------------------------------------------------
+def test_perceptual_dhash_identical_bytes_identical_hash(spark):
+    from hdinsight_pyspark_cntk_integration_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, b"same-bytes"), (2, b"same-bytes"), (3, b"other")],
+        "doc_id long, content binary",
+    )
+    h = {
+        r["doc_id"]: r["phash"]
+        for r in mm.perceptual_dhash(
+            df, decoder=mm.deterministic_fake_decoder((8, 9, 3))
+        ).collect()
+    }
+    assert h[1] == h[2]
+    assert h[1] != h[3]
+
+
+def test_near_dup_phash_banding_guarantee_and_verify(spark):
+    from hdinsight_pyspark_cntk_integration_spark.operators import multimodal as mm
+
+    base = 0x0123_4567_89AB_CDEF
+    rows = [
+        (1, base),
+        (2, base ^ 0b111),          # 3 flips, all in band 0 -> candidate, hamming 3
+        (3, base ^ (1 << 1) ^ (1 << 17) ^ (1 << 33)),  # 3 flips in 3 bands -> band 3 intact
+        (4, base ^ ((1 << 40) - 1)),  # 40 flips -> filtered by verify even if bucketed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, phash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.near_dup_phash(df, max_hamming=4, bands=4).collect()
+    }
+    assert got[(1, 2)] == 3
+    assert got[(1, 3)] == 3
+    assert (1, 4) not in got
+    # 2 vs 3: xor has bits {0, 2, 17, 33} (bit 1 cancels) = hamming 4;
+    # band 3 (bits 48-63) is untouched on both, so they bucket together
+    assert got[(2, 3)] == 4
+
