@@ -3354,6 +3354,73 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.near_dup_phash(hashes, max_hamming=4, bands=4)
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join (relational.interval_overlap_join): per-user
+    2-hour view windows × 2-hour purchase windows that overlap in time.
+    Candidates from (user, hour-bin) equality after exploding each
+    interval to its covered bins — Σ|bucket|² work, never a per-key
+    cross product — then the exact half-open predicate verifies in
+    integer epoch-micros. Oracle runs the quadratic inequality join
+    this operator exists to avoid."""
+    ev = load_table(spark, sf_dir, "events")
+    two_h = F.expr("INTERVAL 2 HOURS")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("id_v"),
+        F.col("ts").alias("v_start"),
+        (F.col("ts") + two_h).alias("v_end"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("id_p"),
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + two_h).alias("p_end"),
+    )
+    pairs = rel.interval_overlap_join(
+        views, buys, ["user_id"], "v_start", "v_end", "p_start", "p_end",
+        bin_seconds=3600,
+    )
+    return pairs.select("user_id", "id_v", "id_p")
+
+
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event type per day
+    (relational.running_distinct): Σ first-appearances identity — no
+    windowed COUNT(DISTINCT) exists in any engine at scale; the running
+    sum windows over the |types|×|days| aggregate, never the fact
+    table. All-integer, oracle-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return rel.running_distinct(ev, "event_type", "user_id", "ts")
+
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level version diff (pipeline.table_diff): orders v2 is
+    manufactured arithmetically (keys ≡0 mod 97 removed, ≡0 mod 31
+    repriced, ≡0 mod 101 re-keyed as inserts), so the oracle derives
+    every row's status from pure modular arithmetic while Spark runs
+    the real md5-fingerprint full-outer diff. Emitted as per-status
+    counts + key checksums (constant-size audit)."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.filter(k % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(k % 31 == 0, F.col("o_totalprice") + F.lit(1.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    added = orders.filter(k % 101 == 0).withColumn(
+        "o_orderkey", (k + F.lit(10_000_000)).cast(orders.schema["o_orderkey"].dataType)
+    )
+    v2 = base.unionByName(added)
+    diff = pl.table_diff(
+        orders, v2, ["o_orderkey"], ["o_totalprice", "o_orderpriority"]
+    )
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3567,6 +3634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_ann": q_ivfpq_ann,
         "sql_scripting": q_sql_scripting,
         "phash_near_dup": q_phash_near_dup,
+        "interval_overlap": q_interval_overlap,
+        "running_distinct": q_running_distinct,
+        "table_diff": q_table_diff,
     }
 
 
@@ -6060,5 +6130,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS INTEGER) AS hamming
             FROM documents a JOIN documents b
               ON a.doc_id % 100 = b.doc_id % 100 AND a.doc_id < b.doc_id
+        """,
+        "interval_overlap": f"""
+            WITH e AS (
+              SELECT user_id, event_id, event_type, epoch_us({ev_ts}) AS um
+              FROM events
+            ), v AS (
+              SELECT user_id, event_id AS id_v, um AS vs, um + 7200000000 AS ve
+              FROM e WHERE event_type = 'view'
+            ), p AS (
+              SELECT user_id, event_id AS id_p, um AS ps, um + 7200000000 AS pe
+              FROM e WHERE event_type = 'purchase'
+            )
+            SELECT v.user_id, id_v, id_p
+            FROM v JOIN p ON v.user_id = p.user_id
+             AND v.vs < p.pe AND p.ps < v.ve
+        """,
+        "running_distinct": f"""
+            WITH f AS (
+              SELECT event_type, user_id, MIN(CAST({ev_ts} AS DATE)) AS first_day
+              FROM events GROUP BY 1, 2
+            ), n AS (
+              SELECT event_type, first_day AS day, COUNT(*) AS n_new
+              FROM f GROUP BY 1, 2
+            )
+            SELECT event_type, CAST(day AS VARCHAR) AS day,
+              CAST(SUM(n_new) OVER (PARTITION BY event_type ORDER BY day
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS cum_distinct
+            FROM n
+        """,
+        "table_diff": """
+            SELECT 'removed' AS status,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+            FROM orders WHERE o_orderkey % 97 = 0
+            UNION ALL
+            SELECT 'changed', CAST(COUNT(*) AS BIGINT),
+              CAST(SUM(o_orderkey) AS BIGINT)
+            FROM orders WHERE o_orderkey % 97 <> 0 AND o_orderkey % 31 = 0
+            UNION ALL
+            SELECT 'unchanged', CAST(COUNT(*) AS BIGINT),
+              CAST(SUM(o_orderkey) AS BIGINT)
+            FROM orders WHERE o_orderkey % 97 <> 0 AND o_orderkey % 31 <> 0
+            UNION ALL
+            SELECT 'added', CAST(COUNT(*) AS BIGINT),
+              CAST(SUM(o_orderkey + 10000000) AS BIGINT)
+            FROM orders WHERE o_orderkey % 101 = 0
         """,
     }

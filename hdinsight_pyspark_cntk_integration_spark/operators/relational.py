@@ -1049,3 +1049,84 @@ def rolling_zscore(
         )
         .drop("__n")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Interval-OVERLAP join (half-open: ``l_start < r_end AND r_start <
+    l_end``) — the two-sided generalization of the point-in-range join.
+    A naive inequality join degenerates to a per-key cross product; here
+    each interval explodes to the grid bins it covers and the join runs
+    on (keys, bin) equality, so the work is Σ|bin-bucket|² — bounded by
+    temporal co-location, not key cardinality. Pairs spanning several
+    shared bins are deduped, then the EXACT overlap predicate verifies
+    (binning is a complete candidate generator: overlapping intervals
+    share at least one covered bin when ``bin_seconds`` ≤ min overlap
+    granularity — any two intervals that overlap at instant t both cover
+    t's bin).
+
+    Returns all left columns + right columns (caller should pre-select /
+    alias to avoid collisions). Timestamps are compared in exact integer
+    epoch-micros.
+    """
+    if bin_seconds < 1:
+        raise ValueError(f"bin_seconds must be >= 1 (got {bin_seconds})")
+    binw = int(bin_seconds) * 1_000_000
+
+    def bins(start: str, end: str) -> Column:
+        s = F.unix_micros(F.col(start))
+        e = F.unix_micros(F.col(end))
+        return F.sequence(
+            F.floor(s / binw).cast("long"),
+            # half-open end: an interval ending exactly on a bin edge
+            # does not cover that next bin
+            F.floor((e - 1) / binw).cast("long"),
+        )
+
+    l = left.withColumn("__bin", F.explode(bins(left_start, left_end)))
+    r = right.withColumn("__bin", F.explode(bins(right_start, right_end)))
+    joined = l.join(r, [*keys, "__bin"]).drop("__bin").distinct()
+    overlap = (
+        F.unix_micros(F.col(left_start)) < F.unix_micros(F.col(right_end))
+    ) & (F.unix_micros(F.col(right_start)) < F.unix_micros(F.col(left_end)))
+    return joined.filter(overlap)
+
+
+def running_distinct(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Cumulative distinct count per group per day — "distinct users seen
+    so far" — WITHOUT any windowed COUNT(DISTINCT) (which Spark doesn't
+    support and which couldn't partial-aggregate anyway). Identity:
+    cumulative distinct at day d = Σ first-appearances on days ≤ d. One
+    groupBy finds each key's FIRST day per group (partial-agg min), one
+    tiny aggregate counts first-appearances per (group, day), and the
+    running sum windows over the per-day aggregate — |groups|×|days|
+    rows, never the fact table. All integers: exact and oracle-provable.
+    """
+    day = F.to_date(F.col(ts_col)).alias("day")
+    firsts = df.groupBy(group_col, key_col).agg(F.min(day).alias("first_day"))
+    news = firsts.groupBy(group_col, F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return news.select(
+        group_col,
+        F.col("day").cast("string").alias("day"),
+        F.sum("n_new").over(w).cast("long").alias("cum_distinct"),
+    )

@@ -583,3 +583,58 @@ def test_rolling_zscore_constant_window_emits_nothing(spark):
         rel.rolling_zscore(df, "k", ["t"], "v", window_rows=10, min_periods=5).count()
         == 0
     )
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    import datetime as _dt
+    import random
+
+    rnd = random.Random(5)
+    base = _dt.datetime(2024, 1, 1)
+    mk = lambda m: base + _dt.timedelta(minutes=m)
+    left, right = [], []
+    for i in range(60):
+        s = rnd.randrange(0, 3000)
+        left.append((i % 3, i, mk(s), mk(s + rnd.randrange(10, 200))))
+    for j in range(60):
+        s = rnd.randrange(0, 3000)
+        right.append((j % 3, 1000 + j, mk(s), mk(s + rnd.randrange(10, 200))))
+    ldf = spark.createDataFrame(left, "k int, lid int, ls timestamp, le timestamp")
+    rdf = spark.createDataFrame(right, "k int, rid int, rs timestamp, re timestamp")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in rel.interval_overlap_join(
+            ldf, rdf, ["k"], "ls", "le", "rs", "re", bin_seconds=600
+        ).collect()
+    )
+    want = sorted(
+        (l[1], r[1])
+        for l in left
+        for r in right
+        if l[0] == r[0] and l[2] < r[3] and r[2] < l[3]
+    )
+    assert got == want
+
+
+def test_interval_overlap_halfopen_boundary(spark):
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 1, 1, 0, 0)
+    t1 = _dt.datetime(2024, 1, 1, 1, 0)
+    t2 = _dt.datetime(2024, 1, 1, 2, 0)
+    ldf = spark.createDataFrame([(1, 1, t0, t1)], "k int, lid int, ls timestamp, le timestamp")
+    rdf = spark.createDataFrame([(1, 2, t1, t2)], "k int, rid int, rs timestamp, re timestamp")
+    # [t0,t1) and [t1,t2) touch but do not overlap
+    assert (
+        rel.interval_overlap_join(ldf, rdf, ["k"], "ls", "le", "rs", "re").count() == 0
+    )
+
+
+def test_running_distinct_counts_first_appearances(spark):
+    import datetime as _dt
+
+    d = lambda day, u: ("g", u, _dt.datetime(2024, 1, day, 12))
+    rows = [d(1, 10), d(1, 11), d(2, 10), d(2, 12), d(4, 13), d(4, 10)]
+    df = spark.createDataFrame(rows, "g string, u long, ts timestamp")
+    got = {r["day"]: r["cum_distinct"] for r in rel.running_distinct(df, "g", "u", "ts").collect()}
+    assert got == {"2024-01-01": 2, "2024-01-02": 3, "2024-01-04": 4}
