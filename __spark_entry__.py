@@ -3421,6 +3421,30 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join direction='nearest' (relational.asof_join_nearest,
+    completing the merge_asof direction surface): each view event gets
+    the nearest purchase by the same user in EITHER direction within a
+    2-hour tolerance, ties broken backward (pandas-compatible, verified
+    in the property test). Two one-shuffle directional carries + one
+    id-keyed join — still no inequality-join explosion. The oracle is
+    the quadratic argmin with the same tie ordering."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("id_v"), "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("pts"))
+        .agg(F.max("event_id").alias("id_p"))
+    )
+    out = rel.asof_join_nearest(
+        views, purchases, ["user_id"], "ts", "pts", ["id_p"],
+        left_id="id_v", tolerance_seconds=7200,
+    )
+    return out.select("user_id", "id_v", "id_p")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3637,6 +3661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": q_interval_overlap,
         "running_distinct": q_running_distinct,
         "table_diff": q_table_diff,
+        "asof_nearest": q_asof_nearest,
     }
 
 
@@ -6177,5 +6202,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'added', CAST(COUNT(*) AS BIGINT),
               CAST(SUM(o_orderkey + 10000000) AS BIGINT)
             FROM orders WHERE o_orderkey % 101 = 0
+        """,
+        "asof_nearest": f"""
+            WITH e AS (
+              SELECT user_id, event_id, event_type, epoch_us({ev_ts}) AS um
+              FROM events
+            ), v AS (
+              SELECT user_id, event_id AS id_v, um AS um_v
+              FROM e WHERE event_type = 'view'
+            ), p0 AS (
+              SELECT user_id, um AS um_p, MAX(event_id) AS id_p
+              FROM e WHERE event_type = 'purchase' GROUP BY 1, 2
+            ), j AS (
+              SELECT v.user_id, id_v, um_v, id_p, um_p,
+                ABS(um_v - um_p) AS d,
+                row_number() OVER (
+                  PARTITION BY id_v
+                  ORDER BY ABS(um_v - um_p),
+                           CASE WHEN um_p <= um_v THEN 0 ELSE 1 END
+                ) AS rn
+              FROM v JOIN p0 USING (user_id)
+            ), best AS (
+              SELECT id_v, CASE WHEN d <= 7200000000 THEN id_p END AS id_p
+              FROM j WHERE rn = 1
+            )
+            SELECT v.user_id, v.id_v, best.id_p
+            FROM v LEFT JOIN best ON v.id_v = best.id_v
         """,
     }

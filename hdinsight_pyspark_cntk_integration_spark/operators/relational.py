@@ -1130,3 +1130,72 @@ def running_distinct(
         F.col("day").cast("string").alias("day"),
         F.sum("n_new").over(w).cast("long").alias("cum_distinct"),
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str],
+    left_id: str,
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """As-of join, ``direction='nearest'`` (completing the pandas
+    ``merge_asof`` direction surface next to backward/forward): each
+    left row matches the right row with the SMALLEST absolute timestamp
+    distance, ties broken backward (the at-or-before row wins), and a
+    tolerance beyond which the match is nulled.
+
+    Built as the composition of the two verified single-direction
+    carries joined on ``left_id`` (a caller-provided UNIQUE left key —
+    required because picking the closer of two independently-computed
+    matches needs row identity; a generated id would not survive two
+    plan executions deterministically). Cost: two one-shuffle as-of
+    joins + one co-keyed join on the id — still no inequality-join
+    explosion anywhere.
+    """
+    # The matched right timestamp rides along as one more carried value
+    # column (null-safe struct packing keeps per-row exactness), so each
+    # directional result self-reports its match distance.
+    vcols = [c for c in right_value_cols if c != right_ts] + [right_ts]
+    b = asof_join(
+        left, right, keys, left_ts, right_ts, vcols,
+        direction="backward", tolerance_seconds=tolerance_seconds,
+        null_safe=True,
+    )
+    f = asof_join(
+        left, right, keys, left_ts, right_ts, vcols,
+        direction="forward", tolerance_seconds=tolerance_seconds,
+        null_safe=True,
+    )
+    bsel = b.select(
+        F.col(left_id).alias("__id"),
+        *[F.col(c).alias(f"__b_{c}") for c in vcols],
+    )
+    fsel = f.select(
+        F.col(left_id).alias("__id"),
+        *[F.col(c).alias(f"__f_{c}") for c in vcols],
+    )
+    lts = F.col(left_ts)
+
+    def dist(mts: Column) -> Column:
+        return F.abs(F.unix_micros(lts) - F.unix_micros(mts))
+
+    bts = F.col(f"__b_{right_ts}")
+    fts = F.col(f"__f_{right_ts}")
+    use_b = F.when(bts.isNull(), F.lit(False)).otherwise(
+        fts.isNull() | (dist(bts) <= dist(fts))
+    )
+    out_cols = [
+        F.when(use_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")).alias(c)
+        for c in vcols
+        if c != right_ts
+    ]
+    matched = F.when(use_b, bts).otherwise(fts)
+    return (
+        left.join(bsel, left[left_id] == bsel["__id"]).drop("__id")
+        .join(fsel, left[left_id] == fsel["__id"]).drop("__id")
+        .select(*left.columns, *out_cols, matched.alias("matched_ts"))
+    )

@@ -315,3 +315,60 @@ def test_pagerank_integer_matches_python_on_random_graphs(spark, edges, iters):
     got = {r["node"]: r["rank_micro"] for r in gr.pagerank_integer(df, iters=iters).collect()}
     assert got == _py_pagerank(edges, iters=iters)
     assert sum(got.values()) <= len(got) * 1_000_000
+
+
+def test_asof_nearest_matches_pandas_incl_ties(spark):
+    """asof_join_nearest vs pandas merge_asof(direction='nearest') on
+    random keyed series, including an explicit equidistant tie (pandas
+    and we both break backward) and the tolerance cut."""
+    import numpy as np
+    import pandas as pd
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import relational as rel
+
+    rng = np.random.default_rng(4)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 40),
+            "lid": range(40),
+            "ts": pd.to_datetime(rng.integers(0, 1_000, 40), unit="s"),
+        }
+    )
+    # explicit tie: left at 5000s, right at 4990s and 5010s
+    left = pd.concat(
+        [left, pd.DataFrame({"k": [9], "lid": [999], "ts": pd.to_datetime([5000], unit="s")})]
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 30),
+            "rts": pd.to_datetime(rng.integers(0, 1_000, 30), unit="s"),
+            "val": rng.integers(0, 100, 30).astype("int64"),
+        }
+    )
+    right = pd.concat(
+        [
+            right,
+            pd.DataFrame(
+                {"k": [9, 9], "rts": pd.to_datetime([4990, 5010], unit="s"), "val": [111, 222]}
+            ),
+        ]
+    )
+    right = right.groupby(["k", "rts"], as_index=False).first()
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    out = rel.asof_join_nearest(
+        ldf, rdf, ["k"], "ts", "rts", ["val"], "lid", tolerance_seconds=200
+    )
+    got = {r["lid"]: r["val"] for r in out.collect()}
+    exp = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("rts").rename(columns={"rts": "ts"}),
+        on="ts",
+        by="k",
+        direction="nearest",
+        tolerance=pd.Timedelta(seconds=200),
+    )
+    for _, row in exp.iterrows():
+        e = None if pd.isna(row["val"]) else int(row["val"])
+        assert got[row["lid"]] == e, row["lid"]
+    assert got[999] == 111  # backward wins the 10s/10s tie
