@@ -3445,6 +3445,44 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "id_v", "id_p")
 
 
+def q_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (Spark 4 ``useArrow=True`` —
+    ArrowEvalPython, vectorized batch transfer; the acceptable form of
+    a scalar Python UDF, vs the BatchEvalPython row loop the plan lint
+    bans). Python floats are IEEE doubles, so the identical expression
+    tree hash-matches the oracle's SQL arithmetic."""
+    from pyspark.sql.functions import udf
+
+    @udf("double", useArrow=True)
+    def blend(value: float, uid: int) -> float:
+        if value is None or uid is None:
+            return None
+        return value * 0.3 + float(uid % 7) * 0.1
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", blend(F.col("value"), F.col("user_id")).alias("blended"))
+
+
+def q_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface (aes_encrypt/aes_decrypt, GCM):
+    cipher bytes are IV-randomized (not oracle-comparable by design —
+    that's the security property), so the gate asserts the roundtrip:
+    every document decrypts back to its exact source text, counted
+    integer-exactly; the oracle supplies the expected counts + TRUE."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.lit("0123456789abcdef")  # 16-byte AES-128 demo key
+    enc = F.aes_encrypt(F.col("text").cast("binary"), key.cast("binary"))
+    dec = F.aes_decrypt(enc, key.cast("binary")).cast("string")
+    return docs.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((dec == F.col("text")).cast("long")).alias("n_roundtrip_ok"),
+    ).select(
+        "n_docs",
+        "n_roundtrip_ok",
+        (F.col("n_docs") == F.col("n_roundtrip_ok")).alias("all_ok"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3662,6 +3700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_distinct": q_running_distinct,
         "table_diff": q_table_diff,
         "asof_nearest": q_asof_nearest,
+        "arrow_udf": q_arrow_udf,
+        "aes_roundtrip": q_aes_roundtrip,
     }
 
 
@@ -6228,5 +6268,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT v.user_id, v.id_v, best.id_p
             FROM v LEFT JOIN best ON v.id_v = best.id_v
+        """,
+        "arrow_udf": """
+            SELECT event_id, value * 0.3 + CAST(user_id % 7 AS DOUBLE) * 0.1 AS blended
+            FROM events
+        """,
+        "aes_roundtrip": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_roundtrip_ok,
+                   TRUE AS all_ok
+            FROM documents
         """,
     }
