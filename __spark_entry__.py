@@ -3483,6 +3483,25 @@ def q_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_balanced_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof range bucketing (pipeline.balanced_buckets): t-digest
+    quantile bounds split the heavy-tailed event values into 8 buckets
+    that each hold ≈1/8 of the rows. Bucket bounds are sketch estimates
+    (partitioning-dependent), so the gate asserts the INVARIANTS: every
+    bucket present, total preserved, and every bucket's share within
+    [½·1/B, 2·1/B] — integer-exact checks the oracle pairs with TRUE."""
+    ev = load_table(spark, sf_dir, "events")
+    bucketed = pl.balanced_buckets(ev.select("event_id", "value"), "value", 8)
+    sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("n").cast("long").alias("n_rows"),
+        (
+            (F.min("n") * 8 >= F.sum("n") / 2) & (F.max("n") * 8 <= F.sum("n") * 2)
+        ).alias("balanced_ok"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3702,6 +3721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "arrow_udf": q_arrow_udf,
         "aes_roundtrip": q_aes_roundtrip,
+        "balanced_buckets": q_balanced_buckets,
     }
 
 
@@ -6278,5 +6298,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_roundtrip_ok,
                    TRUE AS all_ok
             FROM documents
+        """,
+        "balanced_buckets": """
+            SELECT CAST(8 AS BIGINT) AS n_buckets,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   TRUE AS balanced_ok
+            FROM events
         """,
     }

@@ -199,6 +199,7 @@ def tdigest_quantiles(
     value_col: str,
     quantiles: list[float],
     delta: int = 200,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-group quantile estimates from a MERGEABLE t-digest — the
     quantile analogue of the HLL sketch above, and the scale path when
@@ -222,6 +223,11 @@ def tdigest_quantiles(
     multiple partitionings and asserted as a boolean in the gate query
     (the bounded-assertion pattern; reference has no quantiles at all,
     SURVEY.md §2.7 approximate-aggregate family).
+
+    ``weight_col`` generalizes to WEIGHTED quantiles (each row counts
+    with its weight in rank space — e.g. token counts when sizing
+    per-document budgets): centroids carry summed weights, the merge
+    algebra is unchanged, and non-positive/NULL weights drop.
     """
     import numpy as np
     import pandas as pd
@@ -232,9 +238,14 @@ def tdigest_quantiles(
         raise ValueError(f"quantiles must be in [0,1] (got {quantiles})")
     qs = [float(q) for q in quantiles]
 
+    w_expr = (
+        F.col(weight_col).cast("double") if weight_col is not None else F.lit(1.0)
+    )
     src = df.select(
-        F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
-    ).filter(F.col("v").isNotNull())
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("v"),
+        w_expr.alias("w"),
+    ).filter(F.col("v").isNotNull() & (F.col("w") > 0.0))
 
     partial_schema = "g string, means array<double>, weights array<double>"
 
@@ -245,7 +256,8 @@ def tdigest_quantiles(
             rows = []
             for g, sub in pdf.groupby("g", sort=False):
                 vals = sub["v"].to_numpy(dtype=np.float64)
-                m, w = _td_compress(vals, np.ones_like(vals), delta)
+                wts = sub["w"].to_numpy(dtype=np.float64)
+                m, w = _td_compress(vals, wts, delta)
                 rows.append((str(g), list(m), list(w)))
             yield pd.DataFrame(rows, columns=["g", "means", "weights"])
 

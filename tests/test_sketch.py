@@ -142,3 +142,29 @@ def test_hll_sliding_distinct_tracks_exact(spark):
         exact = (d * 40 + 120) - lo
         day = str((base + _dt.timedelta(days=d)).date())
         assert abs(est[day] / exact - 1.0) <= 0.05, (day, est[day], exact)
+
+
+def test_tdigest_weighted_quantiles_match_numpy(spark):
+    import numpy as np
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import sketch as sk
+
+    rng = np.random.default_rng(11)
+    vals = rng.uniform(0, 100, 3000)
+    wts = rng.integers(1, 50, 3000).astype(float)
+    df = spark.createDataFrame(
+        [("g", float(v), float(w)) for v, w in zip(vals, wts)],
+        "g string, v double, w double",
+    ).repartition(7)
+    est = {
+        r["q"]: r["est"]
+        for r in sk.tdigest_quantiles(
+            df, "g", "v", [0.25, 0.5, 0.9], delta=200, weight_col="w"
+        ).collect()
+    }
+    order = np.argsort(vals, kind="stable")
+    cw = np.cumsum(wts[order]) / wts.sum()
+    for q, e in est.items():
+        # weighted rank of the estimate must sit within 0.015 of q
+        rank = cw[np.searchsorted(vals[order], e, side="right") - 1]
+        assert abs(rank - q) <= 0.015, (q, e, rank)
