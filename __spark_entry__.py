@@ -3502,6 +3502,16 @@ def q_balanced_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words (text.hashed_bow, dim=32): the
+    no-vocabulary fixed-dimension featurizer — token buckets from an
+    md5-derived integer (cross-engine-reproducible, unlike xxhash64),
+    one counting shuffle, zero driver state. Long-form (doc, bucket, n)
+    output; the dense array<long> form is pytest-pinned against it."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.hashed_bow(docs, dim=32)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3722,6 +3732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrow_udf": q_arrow_udf,
         "aes_roundtrip": q_aes_roundtrip,
         "balanced_buckets": q_balanced_buckets,
+        "feature_hashing": q_feature_hashing,
     }
 
 
@@ -6304,5 +6315,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
                    TRUE AS balanced_ok
             FROM events
+        """,
+        "feature_hashing": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+              FROM documents
+            )
+            SELECT doc_id,
+              CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 32 AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks WHERE tok <> ''
+            GROUP BY 1, 2
         """,
     }

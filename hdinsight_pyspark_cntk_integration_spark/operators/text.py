@@ -705,3 +705,55 @@ def corpus_divergence(
         .alias("contrib_micro"),
     )
     return out.orderBy(F.desc("contrib_micro"), "token").limit(top_k)
+
+
+def hashed_bow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 32,
+    dense: bool = False,
+) -> DataFrame:
+    """Hashing-trick bag-of-words (feature hashing, Weinberger et al.
+    2009): token → bucket via an md5-derived integer mod ``dim``, counts
+    per (doc, bucket) — the fixed-dimension vectorizer that needs NO
+    vocabulary pass, no driver state, and no shuffle beyond the one
+    counting aggregate, which is why it is the featurizer that still
+    works at 100 TB when a vocab build would be its own job.
+
+    The bucket hash is md5-hex-prefix → int — deliberately NOT xxhash64:
+    md5 exists in every engine, so an ANSI oracle reproduces bucket ids
+    bit-for-bit (same cross-engine-determinism discipline as the knuth
+    split mixer). Long form (doc, bucket, n) by default; ``dense=True``
+    adds a ``features`` array<long> of length ``dim`` built JVM-side
+    (map lookup over a static sequence — no UDF).
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1 (got {dim})")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+            )
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % F.lit(dim)
+    ).alias("bucket")
+    counts = toks.groupBy(id_col, bucket).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    if not dense:
+        return counts
+    entries = counts.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("n")))
+        ).alias("__m")
+    )
+    features = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.col("__m")[i.cast("long")], F.lit(0).cast("long")),
+    )
+    return entries.select(id_col, features.alias("features"))

@@ -67,3 +67,22 @@ def test_readme_quickstart_runs(spark):
     n = ordered.count()
     assert n > 0
     assert ordered.columns == ["doc_id", "sort_key", "pos"]
+
+
+def test_hashed_bow_dense_matches_long_form(spark):
+    from hdinsight_pyspark_cntk_integration_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b b"), (3, "")], "doc_id long, text string"
+    )
+    long_form = {
+        (r["doc_id"], r["bucket"]): r["n"]
+        for r in tx.hashed_bow(df, dim=8).collect()
+    }
+    dense = {r["doc_id"]: r["features"] for r in tx.hashed_bow(df, dim=8, dense=True).collect()}
+    assert sum(long_form.values()) == 6  # 4 + 2 tokens; empty doc drops
+    for (doc, bucket), n in long_form.items():
+        assert dense[doc][bucket] == n
+    for doc, feats in dense.items():
+        assert len(feats) == 8
+        assert sum(feats) == sum(n for (d, _), n in long_form.items() if d == doc)
