@@ -3512,6 +3512,21 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.hashed_bow(docs, dim=32)
 
 
+def q_differential_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential hot/cold skew join (relational.differential_join):
+    the hottest event users route through a broadcast join of the dim
+    side's hot slice — hot keys never enter the shuffle (vs salting,
+    which splits the straggler, and AQE, which re-plans it after
+    materialization). Exclusive routing keeps multiplicity exactly the
+    plain join's, which is what the oracle computes."""
+    ev = load_table(spark, sf_dir, "events")
+    user_dim = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    joined = rel.differential_join(ev, user_dim, "user_id", top_k=10)
+    return joined.select("event_id", "user_id", "n_events")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3733,6 +3748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aes_roundtrip": q_aes_roundtrip,
         "balanced_buckets": q_balanced_buckets,
         "feature_hashing": q_feature_hashing,
+        "differential_join": q_differential_join,
     }
 
 
@@ -6327,5 +6343,13 @@ def oracle_sql() -> dict[str, str]:
               CAST(COUNT(*) AS BIGINT) AS n
             FROM toks WHERE tok <> ''
             GROUP BY 1, 2
+        """,
+        "differential_join": """
+            WITH d AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1
+            )
+            SELECT e.event_id, e.user_id, d.n_events
+            FROM events e JOIN d USING (user_id)
         """,
     }

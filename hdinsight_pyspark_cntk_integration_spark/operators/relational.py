@@ -1199,3 +1199,45 @@ def asof_join_nearest(
         .join(fsel, left[left_id] == fsel["__id"]).drop("__id")
         .select(*left.columns, *out_cols, matched.alias("matched_ts"))
     )
+
+
+def differential_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    top_k: int = 50,
+    min_count: int = 0,
+) -> DataFrame:
+    """Differential (hot/cold split) inner join — the production skew
+    pattern that neither salting nor AQE fully covers: DETECT the hot
+    keys (one bounded partial-agg profile, top_k rows collected), then
+    route hot-key rows through a BROADCAST join of just the right
+    side's hot slice while cold keys take the normal shuffle join;
+    union. Hot keys never enter the shuffle, so no reducer ever
+    receives a skewed partition — the straggler is gone, not merely
+    split (salting) or re-planned after materialization (AQE skew
+    join).
+
+    The driver holds only ``top_k`` key values (an ``isin`` literal
+    filter both sides prune on). Inner-join semantics; keys are routed
+    exclusively (hot XOR cold), so result multiplicity is exactly the
+    plain join's.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1 (got {top_k})")
+    hot_rows = (
+        left.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.desc("__n"), key)
+        .limit(top_k)
+        .filter(F.col("__n") >= min_count)
+        .select(key)
+        .collect()
+    )
+    hot_keys = [r[key] for r in hot_rows]
+    if not hot_keys:
+        return left.join(right, key)
+    is_hot = F.col(key).isin(hot_keys)
+    hot = left.filter(is_hot).join(F.broadcast(right.filter(is_hot)), key)
+    cold = left.filter(~is_hot).join(right.filter(~is_hot), key)
+    return hot.unionByName(cold)

@@ -638,3 +638,23 @@ def test_running_distinct_counts_first_appearances(spark):
     df = spark.createDataFrame(rows, "g string, u long, ts timestamp")
     got = {r["day"]: r["cum_distinct"] for r in rel.running_distinct(df, "g", "u", "ts").collect()}
     assert got == {"2024-01-01": 2, "2024-01-02": 3, "2024-01-04": 4}
+
+
+def test_differential_join_equals_plain_join_and_broadcasts(spark):
+    from hdinsight_pyspark_cntk_integration_spark.plans import has_broadcast_join
+
+    # 1 hot key (80% of rows) + 50 cold keys
+    rows = [(0, i) for i in range(800)] + [(1 + i % 50, i) for i in range(200)]
+    left = spark.createDataFrame(rows, "k long, v long")
+    right = spark.createDataFrame([(k, k * 10) for k in range(51)], "k long, r long")
+    out = rel.differential_join(left, right, "k", top_k=3)
+    plain = left.join(right, "k")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+    assert has_broadcast_join(out)
+
+
+def test_differential_join_no_hot_keys_falls_back(spark):
+    left = spark.createDataFrame([(1, 1)], "k long, v long")
+    right = spark.createDataFrame([(1, 10)], "k long, r long")
+    out = rel.differential_join(left, right, "k", top_k=5, min_count=999)
+    assert out.collect() == [(1, 1, 10)] or sorted(map(tuple, out.collect())) == [(1, 1, 10)]
