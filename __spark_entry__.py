@@ -3527,6 +3527,24 @@ def q_differential_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "user_id", "n_events")
 
 
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Gini concentration of order totals
+    (relational.gini_coefficient): sorted-rank identity with DECIMAL
+    Σx / Σ(i·xᵢ) — rank·value products exact, tie-rank invariance makes
+    the result partitioning-independent with no tiebreak column."""
+    orders = load_table(spark, sf_dir, "orders")
+    return rel.gini_coefficient(orders, "o_orderpriority", "o_totalprice")
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-distribution entropy (text.token_entropy):
+    vocabulary diversity in micro-nat integer discipline — ln quantized
+    at birth, BIGINT sums, one deterministic fp64 expression at the
+    end (the bm25/unigram ln-ulp treatment applied to entropy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.token_entropy(docs, "text", "lang")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3749,6 +3767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_buckets": q_balanced_buckets,
         "feature_hashing": q_feature_hashing,
         "differential_join": q_differential_join,
+        "gini": q_gini,
+        "token_entropy": q_token_entropy,
     }
 
 
@@ -6351,5 +6371,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT e.event_id, e.user_id, d.n_events
             FROM events e JOIN d USING (user_id)
+        """,
+        "gini": """
+            WITH r AS (
+              SELECT o_orderpriority,
+                CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+                row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS i
+              FROM orders
+            ), a AS (
+              SELECT o_orderpriority,
+                CAST(COUNT(*) AS DOUBLE) AS n,
+                CAST(SUM(x) AS DOUBLE) AS sx,
+                CAST(SUM(CAST(i * x AS DECIMAL(38,2))) AS DOUBLE) AS six
+              FROM r GROUP BY 1
+            )
+            SELECT o_orderpriority,
+              CAST(n AS BIGINT) AS n_rows,
+              2.0 * six / (n * sx) - (n + 1.0) / n AS gini
+            FROM a
+        """,
+        "token_entropy": r"""
+            WITH toks AS (
+              SELECT lang,
+                unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+              FROM documents
+            ), counts AS (
+              SELECT lang, tok, COUNT(*) AS c
+              FROM toks WHERE tok <> '' GROUP BY 1, 2
+            ), a AS (
+              SELECT lang,
+                CAST(SUM(c) AS BIGINT) AS n_tokens,
+                CAST(SUM(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+                     AS BIGINT) AS s
+              FROM counts GROUP BY 1
+            )
+            SELECT lang, n_tokens,
+              (CAST(CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+                    AS DOUBLE)
+               - CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 1e-6
+                AS entropy_nats
+            FROM a
         """,
     }

@@ -1241,3 +1241,43 @@ def differential_join(
     hot = left.filter(is_hot).join(F.broadcast(right.filter(is_hot)), key)
     cold = left.filter(~is_hot).join(right.filter(~is_hot), key)
     return hot.unionByName(cold)
+
+
+def gini_coefficient(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group Gini concentration index via the sorted-rank identity
+    ``G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n`` (xᵢ ascending) — how unequally a
+    measure is distributed across a group (revenue per customer, tokens
+    per document), the inequality summary dashboards actually plot.
+
+    Exactness: Σx and Σ(i·xᵢ) run in DECIMAL (rank·value products are
+    exact), so any partitioning hash-matches; within equal values the
+    rank assignment is arbitrary but Σ(i·xᵢ) is INVARIANT (equal x
+    multiplies an unchanged rank total), so no tiebreak column is
+    needed for determinism. One window shuffle on the group key; the
+    final arithmetic is one fp64 expression per group.
+    """
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col))
+    x = F.col(value_col).cast(f"decimal(18,{scale})")
+    ranked = df.select(
+        group_col,
+        x.alias("__x"),
+        F.row_number().over(w).cast("long").alias("__i"),
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("__x").cast("double").alias("sx"),
+        F.sum((F.col("__i") * F.col("__x")).cast(f"decimal(38,{scale})"))
+        .cast("double")
+        .alias("six"),
+    )
+    n, sx, six = F.col("n"), F.col("sx"), F.col("six")
+    return agg.select(
+        group_col,
+        n.cast("long").alias("n_rows"),
+        (F.lit(2.0) * six / (n * sx) - (n + F.lit(1.0)) / n).alias("gini"),
+    )

@@ -757,3 +757,44 @@ def hashed_bow(
         lambda i: F.coalesce(F.col("__m")[i.cast("long")], F.lit(0).cast("long")),
     )
     return entries.select(id_col, features.alias("features"))
+
+
+def token_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-group Shannon entropy (nats) of the token distribution — the
+    vocabulary-diversity signal (near-zero entropy = templated/
+    boilerplate text; the corpus-level cousin of the per-doc repetition
+    stats).
+
+    Cross-engine float discipline (same as bm25/unigram_logprob): JVM
+    and DuckDB ``ln`` differ in the last ulp, so ``ln(count)`` is
+    quantized to integer MICRO-NATS at birth; Σ c·ln_micro(c) is then
+    an exact BIGINT under any partitioning, and the final
+    ``entropy = ln_micro(n)·1e−6 − (Σ c·ln_micro(c))/n·1e−6`` is one
+    deterministic fp64 expression from exact integers. Two partial-agg
+    shuffles: (group, token) counts, then per-group sums over the
+    count table — never the raw token stream twice.
+    """
+    toks = df.select(
+        F.col(group_col),
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+            )
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy(group_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    ln_micro = F.round(F.log(F.col("c").cast("double")) * 1_000_000).cast("long")
+    agg = counts.groupBy(group_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("c") * ln_micro).cast("long").alias("__s"),
+    )
+    n_d = F.col("n_tokens").cast("double")
+    ln_n_micro = F.round(F.log(n_d) * 1_000_000).cast("long")
+    entropy = (
+        ln_n_micro.cast("double") - F.col("__s").cast("double") / n_d
+    ) * F.lit(1e-6)
+    return agg.select(group_col, "n_tokens", entropy.alias("entropy_nats"))

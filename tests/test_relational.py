@@ -658,3 +658,19 @@ def test_differential_join_no_hot_keys_falls_back(spark):
     right = spark.createDataFrame([(1, 10)], "k long, r long")
     out = rel.differential_join(left, right, "k", top_k=5, min_count=999)
     assert out.collect() == [(1, 1, 10)] or sorted(map(tuple, out.collect())) == [(1, 1, 10)]
+
+
+def test_gini_extremes_and_partition_invariance(spark):
+    # perfectly equal distribution -> G = (n-1)/n - ... -> 0 as expected
+    eq = spark.createDataFrame([("g", 10.0)] * 50, "k string, v double")
+    [r] = rel.gini_coefficient(eq, "k", "v").collect()
+    assert abs(r["gini"]) < 1e-12
+    # one row owns everything -> G -> (n-1)/n
+    conc = spark.createDataFrame(
+        [("g", 0.01)] * 49 + [("g", 10000.0)], "k string, v double"
+    )
+    [r2] = rel.gini_coefficient(conc, "k", "v").collect()
+    assert r2["gini"] > 0.95
+    # partition invariance (decimal sums + tie-invariant ranks)
+    [r3] = rel.gini_coefficient(conc.repartition(7), "k", "v").collect()
+    assert r3["gini"] == r2["gini"]
