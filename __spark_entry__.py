@@ -3545,6 +3545,18 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.token_entropy(docs, "text", "lang")
 
 
+def q_boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family (every / some / count_if — Spark 3.5+
+    surface) per order priority; integer/boolean-exact so any
+    partitioning hash-matches the oracle's bool_and/bool_or/count_if."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.every(F.col("o_totalprice") > 900).alias("all_above_900"),
+        F.some(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.count_if(F.col("o_totalprice") > 200000).cast("long").alias("n_big"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3769,6 +3781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "differential_join": q_differential_join,
         "gini": q_gini,
         "token_entropy": q_token_entropy,
+        "boolean_aggs": q_boolean_aggs,
     }
 
 
@@ -6413,5 +6426,12 @@ def oracle_sql() -> dict[str, str]:
                - CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 1e-6
                 AS entropy_nats
             FROM a
+        """,
+        "boolean_aggs": """
+            SELECT o_orderpriority,
+              bool_and(o_totalprice > 900) AS all_above_900,
+              bool_or(o_orderstatus = 'F') AS any_finished,
+              CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big
+            FROM orders GROUP BY 1
         """,
     }
