@@ -3575,6 +3575,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- driver gate window (first 50): core flagship set +
+        # --- THIS round's new operators, per the documented rotation
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "region_revenue": q_region_revenue,
@@ -3591,12 +3593,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "score_confusion": q_score_confusion,
         "score_accuracy": q_score_accuracy,
+        "ewma": q_ewma,
+        "benford_digits": q_benford_digits,
+        "skyline_parts": q_skyline_parts,
+        "chi_square": q_chi_square,
+        "yoy_growth": q_yoy_growth,
+        "run_lengths": q_run_lengths,
+        "bigram_condprob": q_bigram_condprob,
+        "outlier_zscore": q_outlier_zscore,
+        "tdigest_quantiles": q_tdigest_quantiles,
+        "upsert_aggregate": q_upsert_aggregate,
+        "event_paths": q_event_paths,
+        "session_window_native": q_session_window_native,
+        "rolling_anomaly": q_rolling_anomaly,
+        "dedup_window": q_dedup_window,
+        "bfs_supply_chain": q_bfs_supply_chain,
+        "pq_ann": q_pq_ann,
+        "null_safe_join": q_null_safe_join,
+        "collation_group": q_collation_group,
+        "sliding_distinct": q_sliding_distinct,
+        "ivfpq_ann": q_ivfpq_ann,
+        "sql_scripting": q_sql_scripting,
+        "phash_near_dup": q_phash_near_dup,
+        "interval_overlap": q_interval_overlap,
+        "running_distinct": q_running_distinct,
+        "table_diff": q_table_diff,
+        "asof_nearest": q_asof_nearest,
+        "arrow_udf": q_arrow_udf,
+        "aes_roundtrip": q_aes_roundtrip,
+        "balanced_buckets": q_balanced_buckets,
+        "feature_hashing": q_feature_hashing,
+        "differential_join": q_differential_join,
+        "gini": q_gini,
+        "token_entropy": q_token_entropy,
+        "boolean_aggs": q_boolean_aggs,
+        # --- full registry continues (covered by tools/check_parity.py) ---
         "minhash_near_dup": q_minhash_near_dup,
         "simhash": q_simhash,
-        # round-4 additions, placed inside the driver harness's 50-query
-        # window so CORRECTNESS_r*.json covers them (it checks the first
-        # 50 registry keys; tools/check_parity.py covers the full set —
-        # the window's last four, driver-validated in round 3, rotate out):
         "decontaminate_bloom": q_decontaminate_bloom,
         "asof_tolerance": q_asof_tolerance,
         "repeated_passages": q_repeated_passages,
@@ -3604,10 +3637,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_time": q_point_in_time,
         "variant_extract": q_variant_extract,
         "manifest_diff": q_manifest_diff,
-        # round-5 additions, inside the driver's 50-query gate window
-        # (the window keeps the first 50 registry keys; the seven
-        # round-3 queries this pushes past position 50 stay registered
-        # and oracle-checked by tools/check_parity.py):
         "bm25_search": q_bm25_search,
         "unigram_logprob": q_unigram_logprob,
         "temperature_mixture": q_temperature_mixture,
@@ -3633,7 +3662,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_users": q_heavy_users,
         "set_similarity": q_set_similarity,
         "triangle_count": q_triangle_count,
-        # round-3 additions, also inside the 50-query window.
         "hash_split": q_hash_split,
         "mixture_sample": q_mixture_sample,
         "pack_chunks": q_pack_chunks,
@@ -3647,9 +3675,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab": q_vocab,
         "tokenize_ids": q_tokenize_ids,
         "lang_id": q_lang_id,
-        # round-3 second-half additions, also inside the 50-query window
-        # (displacing queries whose families are already represented;
-        # the displaced ones keep full-registry coverage in check_parity):
         "min_cost_supplier": q_min_cost_supplier,
         "priority_ship_lag": q_priority_ship_lag,
         "excess_suppliers": q_excess_suppliers,
@@ -3748,40 +3773,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_hourly": q_tumbling_hourly,
         "set_ops": q_set_ops,
         "pca_top_component": q_pca_top_component,
-        "ewma": q_ewma,
-        "benford_digits": q_benford_digits,
-        "skyline_parts": q_skyline_parts,
-        "chi_square": q_chi_square,
-        "yoy_growth": q_yoy_growth,
-        "run_lengths": q_run_lengths,
-        "bigram_condprob": q_bigram_condprob,
-        "outlier_zscore": q_outlier_zscore,
-        "tdigest_quantiles": q_tdigest_quantiles,
-        "upsert_aggregate": q_upsert_aggregate,
-        "event_paths": q_event_paths,
-        "session_window_native": q_session_window_native,
-        "rolling_anomaly": q_rolling_anomaly,
-        "dedup_window": q_dedup_window,
-        "bfs_supply_chain": q_bfs_supply_chain,
-        "pq_ann": q_pq_ann,
-        "null_safe_join": q_null_safe_join,
-        "collation_group": q_collation_group,
-        "sliding_distinct": q_sliding_distinct,
-        "ivfpq_ann": q_ivfpq_ann,
-        "sql_scripting": q_sql_scripting,
-        "phash_near_dup": q_phash_near_dup,
-        "interval_overlap": q_interval_overlap,
-        "running_distinct": q_running_distinct,
-        "table_diff": q_table_diff,
-        "asof_nearest": q_asof_nearest,
-        "arrow_udf": q_arrow_udf,
-        "aes_roundtrip": q_aes_roundtrip,
-        "balanced_buckets": q_balanced_buckets,
-        "feature_hashing": q_feature_hashing,
-        "differential_join": q_differential_join,
-        "gini": q_gini,
-        "token_entropy": q_token_entropy,
-        "boolean_aggs": q_boolean_aggs,
     }
 
 
