@@ -3557,6 +3557,30 @@ def q_boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean NLL under the corpus add-one bigram model
+    (text.bigram_logprob) — the context-aware perplexity proxy
+    (unigram_logprob's upgrade: plausible-unigram word salad scores
+    high only here). Micro-unit ln discipline: one transcendental per
+    distinct corpus bigram, exact BIGINT sums everywhere else."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bigram_logprob(docs)
+
+
+def q_near_dup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus near-dedup (dedup.near_dup_against):
+    the daily-ingest question — which docs of the new slice (ids ≥ 400)
+    near-duplicate the existing corpus (ids < 400). Both sides banded
+    with the same hash family (base band table persistable at scale);
+    candidates are cross-side band collisions ONLY, then exact n-gram
+    Jaccard verifies. Rows-only by banding non-determinism-vs-SQL, like
+    minhash_near_dup; the planted-pair pytest is the semantic gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    return dd.near_dup_against(new, base, threshold=0.8)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3628,6 +3652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "boolean_aggs": q_boolean_aggs,
         # --- full registry continues (covered by tools/check_parity.py) ---
+        "bigram_logprob": q_bigram_logprob,
+        "near_dup_against": q_near_dup_against,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash": q_simhash,
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -6424,5 +6450,43 @@ def oracle_sql() -> dict[str, str]:
               bool_or(o_orderstatus = 'F') AS any_finished,
               CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big
             FROM orders GROUP BY 1
+        """,
+        "bigram_logprob": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents
+            ), pairs AS (
+              SELECT doc_id,
+                unnest(list_transform(generate_series(1, len(t) - 1),
+                                      i -> struct_pack(w1 := t[i], w2 := t[i + 1])),
+                       recursive := true)
+              FROM toks
+            ), p AS (
+              SELECT doc_id, w1, w2 FROM pairs WHERE w1 <> '' AND w2 <> ''
+            ), tf AS (
+              SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM p GROUP BY 1, 2, 3
+            ), corpus AS (
+              SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c12 FROM tf GROUP BY 1, 2
+            ), c1 AS (
+              SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM corpus GROUP BY 1
+            ), v AS (
+              SELECT COUNT(*) AS vs FROM (
+                SELECT w1 AS w FROM p UNION SELECT w2 AS w FROM p
+              )
+            ), lp AS (
+              SELECT w1, w2,
+                CAST(floor(ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + vs AS DOUBLE))
+                           * 1000000.0) AS BIGINT) AS lp_micro
+              FROM corpus JOIN c1 USING (w1) CROSS JOIN v
+            )
+            SELECT tf.doc_id,
+              CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+              CAST(-SUM(tf * lp_micro) AS BIGINT) AS surprisal_micro,
+              CAST(-SUM(tf * lp_micro) AS DOUBLE) / 1000000.0
+                / CAST(SUM(tf) AS DOUBLE) AS mean_nll
+            FROM tf JOIN lp USING (w1, w2)
+            GROUP BY tf.doc_id
         """,
     }

@@ -1048,3 +1048,86 @@ def dedup_within_window(
         .drop("__rn")
         .withColumnRenamed("__win_start", "window_start")
     )
+
+
+def near_dup_against(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    shingle_mode: str = "word",
+) -> DataFrame:
+    """Incremental CROSS-corpus near-dedup: which NEW documents are
+    near-duplicates of the EXISTING corpus — the ``dedup_against``
+    (exact) contract lifted to MinHash-LSH similarity, i.e. the daily
+    crawl-ingest question ("is this new page a near-copy of anything we
+    already have?") that a self-join near-dedup cannot answer without
+    rescanning old×old pairs.
+
+    Both sides are banded with the SAME hash family (determinism of the
+    signature makes yesterday's banded table storable and reusable — at
+    100 TB you persist the base corpus's band table once and only the
+    new slice is shingled per batch); candidates come from band-bucket
+    equality ACROSS the two tables only (never base×base or new×new),
+    then exact n-gram Jaccard verifies. Returns (new_id, base_id,
+    jaccard ≥ threshold) — consumers drop flagged new docs.
+    """
+    # Band both sides with identical parameters by tagging ids into
+    # disjoint parity classes (new = odd, base = even) and running the
+    # shared banding once over the union; only cross-parity collisions
+    # survive, so no base-side self-pairs are ever generated.
+    tagged_new = new_df.select(
+        (F.col(id_col) * 2 + 1).alias("__tid"), F.col(text_col)
+    )
+    tagged_base = base_df.select(
+        (F.col(id_col) * 2).alias("__tid"), F.col(text_col)
+    )
+    union = tagged_new.unionByName(tagged_base)
+    cands = minhash_lsh_candidates(
+        union,
+        id_col="__tid",
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        shingle_mode=shingle_mode,
+    )
+    # keep NEW×BASE collisions only (odd tid = new, even = base)
+    cross = cands.filter(
+        (F.col("id_a") % 2) != (F.col("id_b") % 2)
+    ).select(
+        F.when(F.col("id_a") % 2 == 1, F.col("id_a")).otherwise(F.col("id_b")).alias("__tnew"),
+        F.when(F.col("id_a") % 2 == 0, F.col("id_a")).otherwise(F.col("id_b")).alias("__tbase"),
+    ).distinct()
+    pairs = cross.select(
+        ((F.col("__tnew") - 1) / 2).cast("long").alias("id_a"),
+        (F.col("__tbase") / 2).cast("long").alias("id_b"),
+    )
+    # exact verify joining each side to ITS corpus
+    src_new, _ = _spread(new_df)
+    src_base, _ = _spread(base_df)
+    sh_new = src_new.selectExpr(
+        f"{id_col} AS id_a",
+        f"{_hashed_shingles_sql(text_col, shingle_k, shingle_mode)} AS sh_a",
+    )
+    sh_base = src_base.selectExpr(
+        f"{id_col} AS id_b",
+        f"{_hashed_shingles_sql(text_col, shingle_k, shingle_mode)} AS sh_b",
+    )
+    out = (
+        pairs.join(sh_new, "id_a")
+        .join(sh_base, "id_b")
+        .select(
+            F.col("id_a").alias("new_id"),
+            F.col("id_b").alias("base_id"),
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= float(threshold))

@@ -798,3 +798,87 @@ def token_entropy(
         ln_n_micro.cast("double") - F.col("__s").cast("double") / n_d
     ) * F.lit(1e-6)
     return agg.select(group_col, "n_tokens", entropy.alias("entropy_nats"))
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean NLL under the corpus's own add-one-smoothed
+    BIGRAM model — the context-aware upgrade of ``unigram_logprob``
+    (word salad with plausible unigrams scores high here, which is the
+    quality signal unigram perplexity cannot see):
+
+        P(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁·) + V)
+
+    Same micro-unit float discipline: the only transcendental is
+    evaluated once per DISTINCT corpus bigram on exact integer counts
+    (floor(ln·1e6) BIGINT); every per-document reduction is an exact
+    integer sum, so the gate hash-matches under any partitioning.
+
+    Scale shape: one explode produces the doc-bigram tf table; corpus
+    bigram counts and the w₁ marginal are re-aggregations of THAT table
+    (never a second corpus scan); the logprob join is co-keyed on
+    (w₁,w₂). Docs with <2 tokens have no bigrams and drop out — same
+    semantics both engines.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+        ).alias("t"),
+    )
+    pairs = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")).filter(
+        (F.col("w1") != "") & (F.col("w2") != "")
+    )
+    tf = pairs.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    corpus = tf.groupBy("w1", "w2").agg(F.sum("tf").cast("long").alias("c12"))
+    c1 = corpus.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    vocab_size = (
+        pairs.select(F.col("w1").alias("w")).union(pairs.select(F.col("w2").alias("w")))
+        .distinct()
+        .count()
+    )
+    lp = corpus.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.floor(
+            F.log(
+                (F.col("c12") + F.lit(1)).cast("double")
+                / (F.col("c1") + F.lit(int(vocab_size))).cast("double")
+            )
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    return (
+        tf.join(lp, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            (-F.sum(F.col("tf") * F.col("lp_micro"))).cast("long").alias("surprisal_micro"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "surprisal_micro",
+            (
+                F.col("surprisal_micro").cast("double")
+                / F.lit(1_000_000.0)
+                / F.col("n_bigrams").cast("double")
+            ).alias("mean_nll"),
+        )
+    )

@@ -687,3 +687,34 @@ def test_dedup_within_window_keeps_first_per_window(spark):
     assert sorted(r["eid"] for r in kept.collect()) == [100, 102, 103, 104]
     ws = {r["eid"]: r["window_start"] for r in kept.collect()}
     assert ws[102] == base + _dt.timedelta(hours=1)
+
+
+def test_near_dup_against_cross_corpus_only(spark):
+    from hdinsight_pyspark_cntk_integration_spark.operators import dedup as dd
+
+    base = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "completely different text about distributed query engines"),
+            (3, "another unrelated document discussing parquet file layouts"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # near-copy of base doc 1 (one word changed)
+            (10, "the quick brown fox jumps over the lazy cat near the river bank"),
+            # unrelated new doc
+            (11, "fresh crawl content with entirely novel words and phrases"),
+            # near-copy of ANOTHER NEW doc — must NOT be reported (new x new)
+            (12, "fresh crawl content with entirely novel words and phrase"),
+        ],
+        "doc_id long, text string",
+    )
+    got = dd.near_dup_against(new, base, threshold=0.5, shingle_k=3).collect()
+    pairs = {(r["new_id"], r["base_id"]) for r in got}
+    assert (10, 1) in pairs
+    assert all(p[0] in (10, 11, 12) and p[1] in (1, 2, 3) for p in pairs)
+    assert (11, 2) not in pairs and (12, 2) not in pairs
+    for r in got:
+        assert r["jaccard"] >= 0.5
