@@ -1067,11 +1067,13 @@ def interval_overlap_join(
     each interval explodes to the grid bins it covers and the join runs
     on (keys, bin) equality, so the work is Σ|bin-bucket|² — bounded by
     temporal co-location, not key cardinality. Pairs spanning several
-    shared bins are deduped, then the EXACT overlap predicate verifies
-    (binning is a complete candidate generator: overlapping intervals
-    share at least one covered bin when ``bin_seconds`` ≤ min overlap
-    granularity — any two intervals that overlap at instant t both cover
-    t's bin).
+    shared bins are deduped, then the EXACT overlap predicate verifies.
+    Binning is a complete candidate generator UNCONDITIONALLY: two
+    overlapping intervals share some instant t, and both cover t's bin —
+    so no bin width can lose a pair. Width only trades candidate-set
+    false-positive rate (too wide: unrelated intervals co-bucket)
+    against explode fan-out (too narrow: long intervals span many
+    bins); pick it near the typical interval length.
 
     Returns all left columns + right columns (caller should pre-select /
     alias to avoid collisions). Timestamps are compared in exact integer
