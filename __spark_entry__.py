@@ -3581,6 +3581,82 @@ def q_near_dup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.near_dup_against(new, base, threshold=0.8)
 
 
+def q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank) normalization per group — the ML preprocessing
+    step that maps any distribution onto uniform [0,1] via the ANSI
+    percent_rank definition (rank−1)/(n−1) with min-rank ties: ranks
+    are integers, so the single division is the only fp op and the
+    result is deterministic under any partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.percent_rank().over(w).alias("q_uniform"),
+    )
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization at exact p05/p95 per event type: tail values are
+    CLIPPED to the percentile bounds, not dropped — the robust-mean
+    preprocessing twin of outlier_zscore (which flags; this repairs).
+    Exact interpolated percentiles (engine-identical, proven by the
+    percentiles gates) broadcast back over the table; the clip is one
+    deterministic per-row expression."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias(
+                "winsorized"
+            ),
+        )
+    )
+
+
+def q_auto_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freedman–Diaconis auto-binned histogram of event values with an
+    integer-CENT discipline: the fixture's 2-decimal doubles are exact
+    in cents, the FD width 2·IQR/∛n is rounded to whole cents ONCE, and
+    bucketing is then pure integer arithmetic — so the data-driven bin
+    choice (the part ad-hoc histograms get wrong) is itself
+    hash-reproducible cross-engine. cbrt is the one transcendental and
+    it feeds a whole-cent round (same quantize-at-birth discipline as
+    the ln-based scores)."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.agg(
+        F.percentile("value", F.lit(0.25)).alias("p25"),
+        F.percentile("value", F.lit(0.75)).alias("p75"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.min("value").alias("vmin"),
+    ).head()
+    iqr = float(stats["p75"]) - float(stats["p25"])
+    width_cents = max(1, int(round(2.0 * iqr / float(stats["n"]) ** (1.0 / 3.0) * 100)))
+    min_cents = int(round(float(stats["vmin"]) * 100))
+    cents = F.round(F.col("value") * 100).cast("long")
+    bucket = F.floor((cents - F.lit(min_cents)) / F.lit(width_cents)).cast("long")
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "bucket",
+            (F.lit(min_cents) + F.col("bucket") * F.lit(width_cents)).alias(
+                "lo_cents"
+            ),
+            F.lit(width_cents).alias("width_cents"),
+            "n",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3654,6 +3730,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- full registry continues (covered by tools/check_parity.py) ---
         "bigram_logprob": q_bigram_logprob,
         "near_dup_against": q_near_dup_against,
+        "quantile_transform": q_quantile_transform,
+        "winsorize": q_winsorize,
+        "auto_histogram": q_auto_histogram,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash": q_simhash,
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -6488,5 +6567,46 @@ def oracle_sql() -> dict[str, str]:
                 / CAST(SUM(tf) AS DOUBLE) AS mean_nll
             FROM tf JOIN lp USING (w1, w2)
             GROUP BY tf.doc_id
+        """,
+        "quantile_transform": """
+            SELECT event_id, event_type, value,
+              percent_rank() OVER (PARTITION BY event_type ORDER BY value)
+                AS q_uniform
+            FROM events
+        """,
+        "winsorize": """
+            WITH b AS (
+              SELECT event_type,
+                quantile_cont(value, 0.05) AS p05,
+                quantile_cont(value, 0.95) AS p95
+              FROM events GROUP BY 1
+            )
+            SELECT event_id, e.event_type, value,
+              LEAST(GREATEST(value, p05), p95) AS winsorized
+            FROM events e JOIN b USING (event_type)
+        """,
+        "auto_histogram": """
+            WITH s AS (
+              SELECT quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr,
+                     CAST(COUNT(*) AS DOUBLE) AS n,
+                     MIN(value) AS vmin
+              FROM events
+            ), w AS (
+              SELECT GREATEST(CAST(1 AS BIGINT),
+                       CAST(round(2.0 * iqr / pow(n, 1.0/3.0) * 100) AS BIGINT))
+                       AS wc,
+                     CAST(round(vmin * 100) AS BIGINT) AS mc
+              FROM s
+            ), b AS (
+              SELECT CAST(floor((CAST(round(value * 100) AS BIGINT) - mc) / wc)
+                          AS BIGINT) AS bucket,
+                     wc, mc
+              FROM events CROSS JOIN w
+            )
+            SELECT bucket,
+                   CAST(mc + bucket * wc AS BIGINT) AS lo_cents,
+                   CAST(wc AS BIGINT) AS width_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM b GROUP BY bucket, mc, wc
         """,
     }
