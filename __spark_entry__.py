@@ -3657,6 +3657,30 @@ def q_auto_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between click and error event values
+    (operators.stats.mann_whitney_u): global-rank statistic WITHOUT a
+    global row sort — ranks from the distinct-value aggregate with
+    exact average-rank ties (half-integers: every term and partial sum
+    is exact in fp64, so the float reduction is order-independent and
+    hash-gate-safe)."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    ev = load_table(spark, sf_dir, "events")
+    return st.mann_whitney_u(ev, "event_type", "value", "click", "error")
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between click and purchase value
+    distributions (operators.stats.ks_statistic) — the drift detector;
+    empirical CDFs as running integer counts over the pooled
+    distinct-value aggregate, max over deterministic per-value fp64."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    ev = load_table(spark, sf_dir, "events")
+    return st.ks_statistic(ev, "event_type", "value", "click", "purchase")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3733,6 +3757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_transform": q_quantile_transform,
         "winsorize": q_winsorize,
         "auto_histogram": q_auto_histogram,
+        "rank_sum_test": q_rank_sum_test,
+        "ks_test": q_ks_test,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash": q_simhash,
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -6608,5 +6634,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(wc AS BIGINT) AS width_cents,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM b GROUP BY bucket, mc, wc
+        """,
+        "rank_sum_test": """
+            WITH sub AS (
+              SELECT event_type, value FROM events
+              WHERE event_type IN ('click', 'error')
+            ), vc AS (
+              SELECT value AS v,
+                CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+              FROM sub GROUP BY 1
+            ), r AS (
+              SELECT n_a, n_b,
+                CAST(COALESCE(SUM(n_a + n_b) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS DOUBLE) AS cumb,
+                CAST(n_a + n_b AS DOUBLE) AS tot
+              FROM vc
+            ), a AS (
+              SELECT CAST(SUM(n_a) AS BIGINT) AS n_a,
+                     CAST(SUM(n_b) AS BIGINT) AS n_b,
+                     SUM(CAST(n_a AS DOUBLE) * (cumb + (tot + 1.0) / 2.0)) AS r_a
+              FROM r
+            )
+            SELECT n_a, n_b,
+              r_a - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0 AS u_a,
+              CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                - (r_a - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0)
+                AS u_b
+            FROM a
+        """,
+        "ks_test": """
+            WITH sub AS (
+              SELECT event_type, value FROM events
+              WHERE event_type IN ('click', 'purchase')
+            ), vc AS (
+              SELECT value AS v,
+                CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+              FROM sub GROUP BY 1
+            ), t AS (
+              SELECT CAST(SUM(n_a) AS DOUBLE) AS ta, CAST(SUM(n_b) AS DOUBLE) AS tb
+              FROM vc
+            ), c AS (
+              SELECT
+                CAST(SUM(n_a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS ca,
+                CAST(SUM(n_b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cb
+              FROM vc
+            )
+            SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+                   MAX(ABS(ca / ta - cb / tb)) AS ks_d
+            FROM c CROSS JOIN t
+            GROUP BY ta, tb
         """,
     }

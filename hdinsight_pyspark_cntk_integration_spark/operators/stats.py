@@ -1,0 +1,105 @@
+"""Two-sample nonparametric statistics, distributed (SURVEY.md §2.7
+statistics family — next to the moments/correlation and contingency
+operators): Mann-Whitney U (rank-sum) and Kolmogorov-Smirnov D.
+
+Both statistics are textbook-defined over GLOBAL ranks / empirical CDFs,
+and the naive implementation is a global row-level sort — the 100 TB
+antipattern. Both are computed here from the DISTINCT-VALUE aggregate
+instead: one partial-agg shuffle collapses the table to (value,
+count_per_group) rows — bounded by the value DOMAIN, not the row count —
+and the only window runs over that aggregate. Average-rank tie handling
+falls out exactly: every row sharing value v has rank
+cum_before(v) + (count(v)+1)/2.
+
+Exactness: counts are integers; average ranks are half-integers (exact
+in fp64 far beyond any realistic cardinality); U is a sum of
+count×half-integer products — exact, order-independent, hash-gate-safe.
+The KS statistic is a max over per-value deterministic fp expressions —
+also order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _two_group_value_counts(
+    df: DataFrame, group_col: str, value_col: str, group_a, group_b
+) -> DataFrame:
+    """(value, n_a, n_b) per distinct value across the two groups."""
+    sub = df.filter(F.col(group_col).isin([group_a, group_b]))
+    return sub.groupBy(F.col(value_col).alias("v")).agg(
+        F.sum((F.col(group_col) == group_a).cast("long")).alias("n_a"),
+        F.sum((F.col(group_col) == group_b).cast("long")).alias("n_b"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) for two groups, with exact
+    average-rank tie handling, computed WITHOUT a global row sort: the
+    window ordering runs over the distinct-value aggregate. Returns one
+    row (n_a, n_b, u_a, u_b) — u_a + u_b == n_a·n_b is the built-in
+    self-check (asserted in pytest). The z-approximation is left to the
+    caller: its tie-corrected variance adds nothing to the distributed
+    story and everything emitted here is exact.
+    """
+    vc = _two_group_value_counts(df, group_col, value_col, group_a, group_b)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    tot = (F.col("n_a") + F.col("n_b")).cast("double")
+    cum_before = F.coalesce(
+        F.sum(F.col("n_a") + F.col("n_b")).over(w), F.lit(0)
+    ).cast("double")
+    avg_rank = cum_before + (tot + F.lit(1.0)) / F.lit(2.0)
+    agg = vc.select(
+        "n_a", "n_b", (F.col("n_a").cast("double") * avg_rank).alias("ra_part")
+    ).agg(
+        F.sum("n_a").cast("long").alias("n_a"),
+        F.sum("n_b").cast("long").alias("n_b"),
+        F.sum("ra_part").alias("r_a"),
+    )
+    n_a, n_b = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    u_a = F.col("r_a") - n_a * (n_a + F.lit(1.0)) / F.lit(2.0)
+    return agg.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        u_a.alias("u_a"),
+        (n_a * n_b - u_a).alias("u_b"),
+    )
+
+
+def ks_statistic(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic D = max |F_a(v) − F_b(v)|
+    over the pooled distinct values — the distribution-shift detector
+    (train-vs-serve drift, corpus-version drift on a numeric feature).
+    Same distinct-value shape as the U test: empirical CDFs are running
+    integer counts over the value aggregate divided by exact totals;
+    the max of deterministic per-value fp64 expressions is
+    order-independent, so the gate hash-matches.
+    """
+    vc = _two_group_value_counts(df, group_col, value_col, group_a, group_b)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum_a = F.sum("n_a").over(w).cast("double")
+    cum_b = F.sum("n_b").over(w).cast("double")
+    totals = vc.agg(
+        F.sum("n_a").cast("long").alias("ta"), F.sum("n_b").cast("long").alias("tb")
+    ).head()
+    ta, tb = float(totals["ta"]), float(totals["tb"])
+    diff = F.abs(cum_a / F.lit(ta) - cum_b / F.lit(tb))
+    return vc.select(diff.alias("d")).agg(
+        F.lit(int(ta)).cast("long").alias("n_a"),
+        F.lit(int(tb)).cast("long").alias("n_b"),
+        F.max("d").alias("ks_d"),
+    )

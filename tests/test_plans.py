@@ -216,6 +216,12 @@ _INTENTIONAL_LINT = {
     # sliding_distinct — sketch-union window over the per-DAY aggregate
     #   (|days| rows of KB sketches, never the fact table)
     "sliding_distinct": {"global-window"},
+    # rank_sum_test / ks_test — the only window runs over the pooled
+    #   DISTINCT-VALUE aggregate (bounded by the value domain, ~49k cent
+    #   values max), never the row stream; that aggregation is exactly
+    #   how these global-rank statistics avoid the global row sort
+    "rank_sum_test": {"global-window"},
+    "ks_test": {"global-window"},
 }
 
 

@@ -1,0 +1,52 @@
+"""Two-sample nonparametric statistics (operators.stats): scipy-free
+exactness checks against hand-computable cases plus the built-in
+algebraic self-checks."""
+
+from __future__ import annotations
+
+from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+
+def test_mann_whitney_u_known_case(spark):
+    # classic textbook case: A = {1,2,3}, B = {4,5,6} -> U_A = 0, U_B = 9
+    rows = [("a", v) for v in (1.0, 2.0, 3.0)] + [("b", v) for v in (4.0, 5.0, 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = st.mann_whitney_u(df, "g", "v", "a", "b").collect()
+    assert (r["n_a"], r["n_b"], r["u_a"], r["u_b"]) == (3, 3, 0.0, 9.0)
+
+
+def test_mann_whitney_u_ties_and_identity(spark):
+    # ties across groups use average ranks; U_a + U_b == n_a * n_b always
+    rows = [("a", v) for v in (1.0, 2.0, 2.0)] + [("b", v) for v in (2.0, 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = st.mann_whitney_u(df, "g", "v", "a", "b").collect()
+    assert r["u_a"] + r["u_b"] == r["n_a"] * r["n_b"]
+    # ranks: 1, then three 2.0s share (2+3+4)/3 = 3, then 5
+    # R_a = 1 + 3 + 3 = 7 -> U_a = 7 - 3*4/2 = 1
+    assert r["u_a"] == 1.0
+
+
+def test_mann_whitney_partition_invariance(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(6)
+    rows = [("a", float(v)) for v in rng.integers(0, 50, 500)] + [
+        ("b", float(v)) for v in rng.integers(10, 60, 400)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r1 = st.mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    r2 = st.mann_whitney_u(df.repartition(13), "g", "v", "a", "b").collect()[0]
+    assert (r1["u_a"], r1["u_b"]) == (r2["u_a"], r2["u_b"])
+
+
+def test_ks_statistic_disjoint_and_identical(spark):
+    disjoint = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0), ("b", 11.0)], "g string, v double"
+    )
+    [r] = st.ks_statistic(disjoint, "g", "v", "a", "b").collect()
+    assert r["ks_d"] == 1.0
+    same = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)], "g string, v double"
+    )
+    [r2] = st.ks_statistic(same, "g", "v", "a", "b").collect()
+    assert r2["ks_d"] == 0.0
