@@ -3681,6 +3681,18 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.ks_statistic(ev, "event_type", "value", "click", "purchase")
 
 
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Spearman rank correlation of quantity vs extended
+    price (operators.stats.spearman_corr): doubled average ranks are
+    exact BIGINTs from per-group distinct-value aggregates (no global
+    row sort), five DECIMAL moments, one fp64 ratio — the
+    rank-correlation twin of the Pearson corr_stats gate."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return st.spearman_corr(li, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3759,6 +3771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_histogram": q_auto_histogram,
         "rank_sum_test": q_rank_sum_test,
         "ks_test": q_ks_test,
+        "spearman": q_spearman,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash": q_simhash,
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -6686,5 +6699,41 @@ def oracle_sql() -> dict[str, str]:
                    MAX(ABS(ca / ta - cb / tb)) AS ks_d
             FROM c CROSS JOIN t
             GROUP BY ta, tb
+        """,
+        "spearman": """
+            WITH rx AS (
+              SELECT l_returnflag, l_quantity AS v,
+                CAST(2 * COALESCE(SUM(COUNT(*)) OVER (PARTITION BY l_returnflag
+                       ORDER BY l_quantity ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) + COUNT(*) + 1 AS BIGINT) AS r2x
+              FROM lineitem GROUP BY l_returnflag, l_quantity
+            ), ry AS (
+              SELECT l_returnflag, l_extendedprice AS v,
+                CAST(2 * COALESCE(SUM(COUNT(*)) OVER (PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) + COUNT(*) + 1 AS BIGINT) AS r2y
+              FROM lineitem GROUP BY l_returnflag, l_extendedprice
+            ), j AS (
+              SELECT li.l_returnflag, r2x, r2y
+              FROM lineitem li
+              JOIN rx ON rx.l_returnflag = li.l_returnflag AND rx.v = li.l_quantity
+              JOIN ry ON ry.l_returnflag = li.l_returnflag AND ry.v = li.l_extendedprice
+            ), m AS (
+              SELECT l_returnflag,
+                CAST(COUNT(*) AS DOUBLE) AS n,
+                CAST(SUM(CAST(r2x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                CAST(SUM(CAST(r2y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                CAST(SUM(CAST(CAST(r2x AS DECIMAL(38,0)) * CAST(r2x AS DECIMAL(38,0))
+                              AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+                CAST(SUM(CAST(CAST(r2y AS DECIMAL(38,0)) * CAST(r2y AS DECIMAL(38,0))
+                              AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+                CAST(SUM(CAST(CAST(r2x AS DECIMAL(38,0)) * CAST(r2y AS DECIMAL(38,0))
+                              AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+              FROM j GROUP BY 1
+            )
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+              (n * sxy - sx * sy)
+                / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS spearman
+            FROM m
         """,
     }

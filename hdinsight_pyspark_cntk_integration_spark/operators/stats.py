@@ -103,3 +103,66 @@ def ks_statistic(
         F.lit(int(tb)).cast("long").alias("n_b"),
         F.max("d").alias("ks_d"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Spearman rank correlation with EXACT integer
+    arithmetic end to end: average ranks are half-integers, so DOUBLED
+    ranks ``2r = 2·cum_before + (count+1)`` are plain BIGINTs computed
+    from each variable's per-group distinct-value aggregate (no global
+    row sort — same shape as the U/KS tests, but the rank windows are
+    PARTITIONED by group). All five moments Σ2rx, Σ2ry, Σ(2rx)²,
+    Σ(2ry)², Σ(2rx·2ry) accumulate in DECIMAL(38,0); the ×4 scale
+    cancels in the Pearson-on-ranks ratio, so the emitted ρ is one fp64
+    expression over exact integers — hash-gate-safe under any
+    partitioning, at any scale (no fp53 row-count ceiling).
+
+    Shape: two distinct-value aggregates + two co-keyed joins back to
+    the rows + one moments aggregate — four shuffles on (group, value)
+    / (group), no window ever touching the row stream.
+    """
+
+    def doubled_ranks(col: str, out: str) -> DataFrame:
+        vc = df.groupBy(group_col, F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum_before = F.coalesce(F.sum("c").over(w), F.lit(0))
+        return vc.select(
+            group_col,
+            F.col("v"),
+            (F.lit(2) * cum_before + F.col("c") + F.lit(1)).cast("long").alias(out),
+        )
+    rx = doubled_ranks(x_col, "r2x")
+    ry = doubled_ranks(y_col, "r2y")
+    joined = (
+        df.select(group_col, F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+        .join(rx.withColumnRenamed("v", "__x"), [group_col, "__x"])
+        .join(ry.withColumnRenamed("v", "__y"), [group_col, "__y"])
+    )
+    dec = "decimal(38,0)"
+    # products computed in DECIMAL (not long·long) so n up to ~1e12
+    # can't overflow int64 inside (2r)²; the double cast at the end is
+    # the same round-to-nearest in both engines — deterministic.
+    r2x_d, r2y_d = F.col("r2x").cast(dec), F.col("r2y").cast(dec)
+    m = joined.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(r2x_d).cast("double").alias("sx"),
+        F.sum(r2y_d).cast("double").alias("sy"),
+        F.sum((r2x_d * r2x_d).cast(dec)).cast("double").alias("sxx"),
+        F.sum((r2y_d * r2y_d).cast(dec)).cast("double").alias("syy"),
+        F.sum((r2x_d * r2y_d).cast(dec)).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    rho = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return m.select(group_col, n.cast("long").alias("n_rows"), rho.alias("spearman"))

@@ -50,3 +50,40 @@ def test_ks_statistic_disjoint_and_identical(spark):
     )
     [r2] = st.ks_statistic(same, "g", "v", "a", "b").collect()
     assert r2["ks_d"] == 0.0
+
+
+def test_spearman_matches_scipy_free_reference(spark):
+    """Perfect monotone -> 1; perfect inverse -> -1; pandas parity on a
+    tied random case (pandas' spearman uses the same average-rank
+    definition)."""
+    import numpy as np
+    import pandas as pd
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    mono = spark.createDataFrame(
+        [("g", float(i), float(i * i)) for i in range(1, 30)],
+        "k string, x double, y double",
+    )
+    [r] = st.spearman_corr(mono, "k", "x", "y").collect()
+    assert abs(r["spearman"] - 1.0) < 1e-12
+    inv = spark.createDataFrame(
+        [("g", float(i), float(-i)) for i in range(1, 30)],
+        "k string, x double, y double",
+    )
+    [r2] = st.spearman_corr(inv, "k", "x", "y").collect()
+    assert abs(r2["spearman"] + 1.0) < 1e-12
+
+    rng = np.random.default_rng(8)
+    xs = rng.integers(0, 15, 400).astype(float)  # heavy ties
+    ys = xs * 2 + rng.integers(0, 10, 400).astype(float)
+    df = spark.createDataFrame(
+        [("g", float(a), float(b)) for a, b in zip(xs, ys)],
+        "k string, x double, y double",
+    ).repartition(9)
+    [r3] = st.spearman_corr(df, "k", "x", "y").collect()
+    # scipy-free reference: Pearson on average ranks IS Spearman
+    rx = pd.Series(xs).rank(method="average")
+    ry = pd.Series(ys).rank(method="average")
+    expected = rx.corr(ry)
+    assert abs(r3["spearman"] - expected) < 1e-9
