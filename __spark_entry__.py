@@ -3693,6 +3693,41 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.spearman_corr(li, "l_returnflag", "l_quantity", "l_extendedprice")
 
 
+def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS (y = extended price on x = quantity):
+    slope, intercept, R² from the same DECIMAL-exact moment discipline
+    as corr_stats — Σx, Σy, Σxy, Σx², Σy² are exact under any
+    partitioning; only the final closed-form arithmetic runs in fp64
+    with the identical expression tree DuckDB evaluates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(38,4)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(38,4)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,4)")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (
+        (n * sxy - sx * sy)
+        * (n * sxy - sx * sy)
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    )
+    return m.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3772,6 +3807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_sum_test": q_rank_sum_test,
         "ks_test": q_ks_test,
         "spearman": q_spearman,
+        "ols_regression": q_ols_regression,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash": q_simhash,
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -6734,6 +6770,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
               (n * sxy - sx * sy)
                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS spearman
+            FROM m
+        """,
+        "ols_regression": """
+            WITH m AS (
+              SELECT l_returnflag,
+                CAST(COUNT(*) AS DOUBLE) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                              * CAST(l_extendedprice AS DECIMAL(18,2))
+                              AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+                CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                              * CAST(l_quantity AS DECIMAL(18,2))
+                              AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+                CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * CAST(l_extendedprice AS DECIMAL(18,2))
+                              AS DECIMAL(38,4))) AS DOUBLE) AS syy
+              FROM lineitem GROUP BY 1
+            )
+            SELECT l_returnflag,
+              CAST(n AS BIGINT) AS n_rows,
+              (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+              (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                AS intercept,
+              (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
             FROM m
         """,
     }
