@@ -3728,6 +3728,22 @@ def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM level-shift locator (stats.cusum_changepoint):
+    running integer-cent deviations from the user's lower-median,
+    argmax |cusum| with earliest-row ties. The windowed accumulation is
+    pure BIGINT, sidestepping the engine-specific float-window
+    accumulation order (Spark serial vs DuckDB segment trees) — which
+    is exactly why the oracle hash-matches."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    ev = load_table(spark, sf_dir, "events")
+    return st.cusum_changepoint(
+        ev, key_col="user_id", order_cols=["ts", "event_id"],
+        value_col="value", id_col="event_id",
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3808,6 +3824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test": q_ks_test,
         "spearman": q_spearman,
         "ols_regression": q_ols_regression,
+        "cusum_changepoint": q_cusum_changepoint,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash": q_simhash,
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -6797,5 +6814,28 @@ def oracle_sql() -> dict[str, str]:
               (n * sxy - sx * sy) * (n * sxy - sx * sy)
                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
             FROM m
+        """,
+        "cusum_changepoint": f"""
+            WITH e AS (
+              SELECT user_id, event_id, {ev_ts} AS mts,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events
+            ), med AS (
+              SELECT user_id, CAST(floor(quantile_cont(c, 0.5)) AS BIGINT) AS mc
+              FROM e GROUP BY 1
+            ), s AS (
+              SELECT e.user_id, event_id, mts,
+                CAST(SUM(c - mc) OVER (PARTITION BY e.user_id
+                       ORDER BY mts, event_id ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS cusum
+              FROM e JOIN med USING (user_id)
+            ), r AS (
+              SELECT user_id, event_id, cusum,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ABS(cusum) DESC, mts, event_id) AS rn
+              FROM s
+            )
+            SELECT user_id, event_id AS changepoint_id, cusum
+            FROM r WHERE rn = 1
         """,
     }

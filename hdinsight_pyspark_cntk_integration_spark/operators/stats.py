@@ -166,3 +166,62 @@ def spearman_corr(
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
     rho = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
     return m.select(group_col, n.cast("long").alias("n_rows"), rho.alias("spearman"))
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_col: str,
+    order_cols,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-key CUSUM changepoint: the row where the running sum of
+    deviations from the key's CENTER is most extreme — the classic
+    level-shift locator (where did this user's spend change?).
+
+    Exactness discipline: values are fixture 2-decimal doubles → exact
+    integer CENTS; the center is the exact integer-cent MEDIAN-FLOOR
+    (percentile_disc-style lower median: ordinary medians interpolate
+    to fp, the floor stays a BIGINT), so deviations and their running
+    sum are pure integers — no windowed float accumulation, which is
+    engine-order-dependent (Spark accumulates the frame serially,
+    DuckDB uses segment trees; integers make the difference moot).
+    Ties on |cusum| resolve to the EARLIEST row.
+
+    Shape: one groupBy for the per-key median-floor (sort-based agg on
+    cents), broadcast back; one window shuffle on the key for the
+    running sum; one bounded top-1-per-key. At 100 TB the per-key state
+    is a single accumulator — this is a streaming-shaped scan.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    # center = floor of the interpolated cent-median: percentile()
+    # interpolates midway between even-count middles, and the floor
+    # lands back on a BIGINT — the "lower median" — so deviations stay
+    # integers.
+    med = (
+        df.select(F.col(key_col), cents.alias("__c"))
+        .groupBy(key_col)
+        .agg(F.floor(F.percentile(F.col("__c"), F.lit(0.5))).cast("long").alias("__mc"))
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    devsum = F.sum(cents - F.col("__mc")).over(w).cast("long")
+    scored = (
+        df.join(F.broadcast(med), key_col)
+        .withColumn("__cusum", devsum)
+    )
+    pick = Window.partitionBy(key_col).orderBy(
+        F.abs(F.col("__cusum")).desc(), *[F.col(c) for c in order_cols]
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            key_col,
+            F.col(id_col).alias("changepoint_id"),
+            F.col("__cusum").alias("cusum"),
+        )
+    )

@@ -87,3 +87,23 @@ def test_spearman_matches_scipy_free_reference(spark):
     ry = pd.Series(ys).rank(method="average")
     expected = rx.corr(ry)
     assert abs(r3["spearman"] - expected) < 1e-9
+
+
+def test_cusum_changepoint_locates_planted_shift(spark):
+    import datetime as _dt
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    base = _dt.datetime(2024, 5, 1)
+    # level 10.0 for 30 steps, then 20.0 for 30 steps: |cusum| peaks at
+    # the last pre-shift row (median splits the two levels)
+    rows = [
+        (1, i, base + _dt.timedelta(minutes=i), 10.0 if i < 30 else 20.0)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    [r] = st.cusum_changepoint(
+        df, "user_id", ["ts", "event_id"], "value", "event_id"
+    ).collect()
+    assert r["changepoint_id"] == 29
+    assert r["cusum"] < 0  # below-median run accumulates negative
