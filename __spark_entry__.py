@@ -3744,6 +3744,50 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B analysis composing the split and stats
+    machinery: users assigned to arms by the ANSI-reproducible knuth
+    mixer (pipeline.hash_bucket — no RNG state, rerun-stable), per-arm
+    view→purchase conversion from exact integer counts, lift and the
+    two-proportion z-statistic as one fp64 expression over those ints.
+    The statistics are only as trustworthy as the assignment is
+    deterministic — which is the point of the hash-split discipline."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(pl.hash_bucket(F.col("user_id"), "knuth") % 2 == 0, "A").otherwise(
+        "B"
+    )
+    # conversion = a high-value purchase (rare enough that arms differ;
+    # an any-purchase flag saturates at ~66 events/user; pool=0 or 1 puts
+    # a zero in the z denominator)
+    per_user = ev.groupBy(F.col("user_id"), arm.alias("arm")).agg(
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("value") > 200.0)).cast("int")
+        ).alias("purchased"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("purchased").cast("long").alias("n_converted"),
+    )
+    wide = (
+        arms.groupBy()
+        .pivot("arm", ["A", "B"])
+        .agg(F.first("n_users").alias("n"), F.first("n_converted").alias("c"))
+    )
+    na, ca = F.col("A_n").cast("double"), F.col("A_c").cast("double")
+    nb, cb = F.col("B_n").cast("double"), F.col("B_c").cast("double")
+    pa, pb = ca / na, cb / nb
+    pool = (ca + cb) / (na + nb)
+    z = (pa - pb) / F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    return wide.select(
+        F.col("A_n").alias("n_a"),
+        F.col("A_c").alias("conv_a"),
+        F.col("B_n").alias("n_b"),
+        F.col("B_c").alias("conv_b"),
+        (pa - pb).alias("lift"),
+        z.alias("z_stat"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3825,6 +3869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman": q_spearman,
         "ols_regression": q_ols_regression,
         "cusum_changepoint": q_cusum_changepoint,
+        "ab_test_lift": q_ab_test_lift,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash": q_simhash,
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -6837,5 +6882,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, event_id AS changepoint_id, cusum
             FROM r WHERE rn = 1
+        """,
+        "ab_test_lift": """
+            WITH u AS (
+              SELECT user_id,
+                CASE WHEN ((user_id % 1000003) * 2654435761) % 1000003 % 2 = 0
+                     THEN 'A' ELSE 'B' END AS arm,
+                MAX(CASE WHEN event_type = 'purchase' AND value > 200.0 THEN 1 ELSE 0 END) AS purchased
+              FROM events GROUP BY 1, 2
+            ), arms AS (
+              SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(purchased) AS BIGINT) AS c
+              FROM u GROUP BY 1
+            ), w AS (
+              SELECT
+                MAX(CASE WHEN arm = 'A' THEN n END) AS na_l,
+                MAX(CASE WHEN arm = 'A' THEN c END) AS ca_l,
+                MAX(CASE WHEN arm = 'B' THEN n END) AS nb_l,
+                MAX(CASE WHEN arm = 'B' THEN c END) AS cb_l
+              FROM arms
+            )
+            SELECT na_l AS n_a, ca_l AS conv_a, nb_l AS n_b, cb_l AS conv_b,
+              CAST(ca_l AS DOUBLE) / CAST(na_l AS DOUBLE)
+                - CAST(cb_l AS DOUBLE) / CAST(nb_l AS DOUBLE) AS lift,
+              (CAST(ca_l AS DOUBLE) / CAST(na_l AS DOUBLE)
+                 - CAST(cb_l AS DOUBLE) / CAST(nb_l AS DOUBLE))
+              / sqrt(
+                  ((CAST(ca_l AS DOUBLE) + CAST(cb_l AS DOUBLE))
+                     / (CAST(na_l AS DOUBLE) + CAST(nb_l AS DOUBLE)))
+                  * (1.0 - (CAST(ca_l AS DOUBLE) + CAST(cb_l AS DOUBLE))
+                       / (CAST(na_l AS DOUBLE) + CAST(nb_l AS DOUBLE)))
+                  * (1.0 / CAST(na_l AS DOUBLE) + 1.0 / CAST(nb_l AS DOUBLE))
+                ) AS z_stat
+            FROM w
         """,
     }
