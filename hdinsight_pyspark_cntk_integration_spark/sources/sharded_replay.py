@@ -21,7 +21,11 @@ splits), expressed in the Python API.
 Offsets are row indexes (``{"index": n}``), so restart/recovery and
 exactly-once sink pairing behave like any offset-tracked source: Spark
 persists the (start, end] range per microbatch to the checkpoint WAL and
-replays identical ranges after a crash.
+replays identical ranges after a crash (pinned by the parquet-sink
+restart test: stop mid-stream, restart on the checkpoint, output is
+exactly-once). ``latestOffset`` is intentionally the constant table end
+— see the method comment for why an advancing reader-local cursor is
+unsafe across restarts on this API.
 
 Usage::
 
@@ -112,22 +116,22 @@ class ShardedReplayStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         self._n_rows = pq.ParquetFile(self.path).metadata.num_rows
-        self._cursor = 0
 
     def initialOffset(self) -> dict:
         return {"index": 0}
 
     def latestOffset(self) -> dict:
-        # Advance one rows_per_batch step per poll until the table is
-        # exhausted, so microbatches stay bounded instead of one giant
-        # batch. The cursor is planner-local state: after a RESTART it
-        # re-starts at 0 while Spark resumes from the checkpointed
-        # offset — until it catches up, end <= start and partitions()
-        # returns an empty range (guarded there), which Spark treats as
-        # a no-data trigger. Progress truth lives in the offset WAL,
-        # never in this object.
-        self._cursor = min(self._cursor + self.rows_per_batch, self._n_rows)
-        return {"index": self._cursor}
+        # Always the table end — deliberately NOT an advancing planner-
+        # local cursor. The microbatch engine starts a batch whenever
+        # latestOffset DIFFERS from the current offset (not only when it
+        # is greater), so any reader-local cursor that restarts at 0
+        # after a recovery would hand Spark a BACKWARD offset, rewind
+        # the WAL, and re-emit committed ranges (observed as duplicates
+        # in the restart test before this was fixed). A constant latest
+        # is monotone by construction and therefore restart-safe;
+        # per-task work stays bounded because partitions() splits the
+        # catch-up span into rows_per_batch × slices_per_batch ranges.
+        return {"index": self._n_rows}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["index"]), int(end["index"])

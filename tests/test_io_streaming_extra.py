@@ -519,8 +519,18 @@ def test_sharded_replay_matches_batch_and_batches_are_bounded(spark, sf_dir, tmp
             .first()
         )
         assert (got["n"], got["s"]) == (exp["n"], exp["s"])
-        # incremental admission: 1000 rows at 300/batch needs >= 4 triggers
-        assert q.lastProgress["batchId"] >= 3
+        # bounded per-task ranges: 1000 rows at 300/batch x 3 slices means
+        # the catch-up batch plans ceil(1000/300)*3 = 12 partitions
+        from hdinsight_pyspark_cntk_integration_spark.sources.sharded_replay import (
+            ShardedReplayStreamReader,
+        )
+
+        r = ShardedReplayStreamReader(
+            {"path": path, "rows_per_batch": "300", "slices_per_batch": "3"}
+        )
+        parts = r.partitions({"index": 0}, {"index": 1000})
+        assert len(parts) == 12
+        assert max(p.end - p.start for p in parts) <= 100
     finally:
         q.stop()
 
@@ -562,3 +572,65 @@ def test_sharded_replay_row_group_pruning_slices_exactly(spark, sf_dir, tmp_path
     for b in r.read(_RangePartition(path, 37, 63)):
         got.extend(b.column("i").to_pylist())
     assert got == list(range(37, 63))
+
+
+def test_sharded_replay_restart_resumes_from_checkpoint(spark, sf_dir, tmp_path):
+    """Kill the query mid-stream, restart with the same checkpoint into
+    the exactly-once FILE sink: the output must end exactly complete —
+    no dupes, no drops — exercising the documented planner-cursor reset
+    (a fresh reader restarts its local cursor at 0 while Spark resumes
+    from the WAL offset; until the cursor catches up, partitions()
+    returns empty ranges). The memory sink can't recover a checkpoint;
+    the parquet sink's own commit manifest is the recovery contract."""
+    import time
+
+    from hdinsight_pyspark_cntk_integration_spark.sources.sharded_replay import (
+        ShardedReplayDataSource,
+    )
+
+    spark.dataSource.register(ShardedReplayDataSource)
+    path = f"{sf_dir}/events.parquet"
+    ckpt = str(tmp_path / "ckpt_restart")
+    out = str(tmp_path / "out_restart")
+
+    def start():
+        stream = (
+            spark.readStream.format("sharded_replay")
+            .option("path", path)
+            .option("rows_per_batch", "200")
+            .load()
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    total = spark.read.parquet(path).count()
+    q1 = start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            p1 = q1.lastProgress
+            if p1 is not None and p1["batchId"] >= 0:
+                break
+            time.sleep(0.2)
+    finally:
+        q1.stop()
+    # restart on the same checkpoint and drain to completion
+    q2 = start()
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            p2 = q2.lastProgress
+            if p2 and p2["numInputRows"] == 0:
+                break
+            time.sleep(0.3)
+    finally:
+        q2.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == total  # exactly-once: no dupes, no drops
+    assert got.select("event_id").distinct().count() == total
