@@ -818,8 +818,14 @@ def skyline_2d(
     per-partition pre-filter is applied below whenever the input has
     >1 partition, so the global window only ever sees local survivors.
     """
-    prepared = df.withColumn("__min", F.col(minimize_col).cast("double")).withColumn(
-        "__neg_max", -F.col(maximize_col).cast("double")
+    prepared = (
+        df
+        # rows with NULL on either axis can neither dominate nor be
+        # compared; dropping them up front keeps the window ordering
+        # and the NOT-EXISTS oracle semantics aligned
+        .filter(F.col(minimize_col).isNotNull() & F.col(maximize_col).isNotNull())
+        .withColumn("__min", F.col(minimize_col).cast("double"))
+        .withColumn("__neg_max", -F.col(maximize_col).cast("double"))
     )
 
     # Phase 1 — per-partition skyline via mapInPandas: dominated rows are
@@ -1074,6 +1080,11 @@ def interval_overlap_join(
     false-positive rate (too wide: unrelated intervals co-bucket)
     against explode fan-out (too narrow: long intervals span many
     bins); pick it near the typical interval length.
+
+    NULL semantics: a row with a NULL endpoint has no bins
+    (``sequence`` of NULL is NULL, which ``explode`` drops), so
+    NULL-interval rows silently leave the result — same as the SQL
+    inequality predicate, which is never TRUE on NULL.
 
     Returns all left columns + right columns (caller should pre-select /
     alias to avoid collisions). Timestamps are compared in exact integer

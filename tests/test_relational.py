@@ -674,3 +674,12 @@ def test_gini_extremes_and_partition_invariance(spark):
     # partition invariance (decimal sums + tie-invariant ranks)
     [r3] = rel.gini_coefficient(conc.repartition(7), "k", "v").collect()
     assert r3["gini"] == r2["gini"]
+
+
+def test_skyline_2d_drops_null_axes(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0, 10), (2, None, 99), (3, 5.0, None)],
+        "id int, price double, size int",
+    )
+    got = [r["id"] for r in rel.skyline_2d(df, "price", "size").collect()]
+    assert got == [1]
