@@ -372,3 +372,70 @@ def test_asof_nearest_matches_pandas_incl_ties(spark):
         e = None if pd.isna(row["val"]) else int(row["val"])
         assert got[row["lid"]] == e, row["lid"]
     assert got[999] == 111  # backward wins the 10s/10s tie
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    parts=st.integers(min_value=1, max_value=5),
+)
+@settings(**_SETTINGS)
+def test_skyline_2d_property_vs_bruteforce(spark, pts, parts):
+    """skyline_2d == the NOT-EXISTS definition on arbitrary small integer
+    point sets (heavy ties by construction), under any partitioning."""
+    df = spark.createDataFrame(
+        [(i, float(p), s) for i, (p, s) in enumerate(pts)],
+        "id int, price double, size int",
+    ).repartition(parts)
+    got = sorted(
+        (r["price"], r["size"]) for r in rel.skyline_2d(df, "price", "size").collect()
+    )
+    want = sorted(
+        (float(p), s)
+        for (p, s) in pts
+        if not any(
+            q <= p and t >= s and (q < p or t > s) for (q, t) in pts
+        )
+    )
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        min_size=1,
+        max_size=25,
+    ),
+    alpha=st.sampled_from([0.25, 0.5, 0.75]),
+    depth=st.integers(min_value=1, max_value=6),
+)
+@settings(**_SETTINGS)
+def test_ewma_bounded_property_vs_reference(spark, vals, alpha, depth):
+    """ewma_bounded == the truncated closed-form reference for arbitrary
+    series, alphas, and depths (the lag-chain construction must match
+    the loop-built formula exactly up to fp association)."""
+    rows = [(1, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k int, i int, x double")
+    got = {
+        r["i"]: r["ewma"]
+        for r in rel.ewma_bounded(
+            df, key_col="k", order_cols=["i"], value_col="x",
+            alpha=alpha, depth=depth,
+        ).collect()
+    }
+    xs = [float(v) for v in vals]
+    for t in range(len(xs)):
+        num = den = 0.0
+        for j in range(depth):
+            if t - j < 0:
+                break
+            c = alpha * ((1 - alpha) ** j)
+            num += c * xs[t - j]
+            den += c
+        assert abs(got[t] - num / den) < 1e-9, (t, got[t], num / den)
