@@ -3788,6 +3788,27 @@ def q_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_modern_sql_sugar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL surface sugar in one query: GROUP BY ALL (grouping
+    keys inferred from the non-aggregate select list) and LATERAL
+    column aliases (an alias referenced later in the same SELECT —
+    `margin` built from `revenue` without a subquery). Both supported
+    by Spark 3.4+/4 and DuckDB with identical semantics."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue,
+               revenue / COUNT(*) AS avg_revenue,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY ALL
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3870,6 +3891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_regression": q_ols_regression,
         "cusum_changepoint": q_cusum_changepoint,
         "ab_test_lift": q_ab_test_lift,
+        "modern_sql_sugar": q_modern_sql_sugar,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash": q_simhash,
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -6915,5 +6937,15 @@ def oracle_sql() -> dict[str, str]:
                   * (1.0 / CAST(na_l AS DOUBLE) + 1.0 / CAST(nb_l AS DOUBLE))
                 ) AS z_stat
             FROM w
+        """,
+        "modern_sql_sugar": """
+            SELECT l_returnflag,
+                   l_linestatus,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS revenue,
+                   revenue / COUNT(*) AS avg_revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem
+            GROUP BY ALL
         """,
     }
