@@ -1,0 +1,67 @@
+"""Dump formatted physical plans for the headline queries to PLANS.md —
+committed evidence of plan quality (pushed filters, pruned schemas,
+broadcast joins, whole-stage codegen spans) so a reviewer can audit the
+100 TB story without re-running Spark.
+
+Usage: python tools/dump_plans.py [sf_dir] [out_md]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from hdinsight_pyspark_cntk_integration_spark import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_revenue",
+    "window_topn",
+    "asof_join",
+    "dedup_exact",
+    "similarity_topk",
+    "score_confusion",
+    "decontaminate_bloom",
+    "differential_join",
+    "interval_overlap",
+    "sliding_distinct",
+]
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "PLANS.md"
+    spark = get_spark()
+    queries = entrymod.queries()
+    lines = [
+        "# Physical plans (headline queries)",
+        "",
+        f"`df.explain('formatted')` output at `{sf}`, regenerate with",
+        "`python tools/dump_plans.py`. What to look for: `PushedFilters`",
+        "and narrow `ReadSchema` on every scan (pushdown + pruning),",
+        "`BroadcastHashJoin` on dim sides, wide `WholeStageCodegen`",
+        "spans, and no `CartesianProduct` / corpus-sized global sorts",
+        "anywhere (enforced registry-wide by `plans.lint_plan`).",
+        "",
+    ]
+    for name in HEADLINE:
+        df = queries[name](spark, sf)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+        lines.append(f"## {name}")
+        lines.append("")
+        lines.append("```")
+        lines.append(plan.strip())
+        lines.append("```")
+        lines.append("")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out} ({len(HEADLINE)} plans)")
+
+
+if __name__ == "__main__":
+    main()
