@@ -6325,7 +6325,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type, value,
               (value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)) AS zscore
             FROM events JOIN m USING (event_type)
-            WHERE ABS((value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n))) > 3.0
+            WHERE sxx / n - (sx / n) * (sx / n) > 0.0
+              AND ABS((value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n))) > 3.0
         """,
         "tdigest_quantiles": """
             SELECT event_type, CAST(0.5 AS DOUBLE) AS q,

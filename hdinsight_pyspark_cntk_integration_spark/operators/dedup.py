@@ -1080,11 +1080,25 @@ def near_dup_against(
     # disjoint parity classes (new = odd, base = even) and running the
     # shared banding once over the union; only cross-parity collisions
     # survive, so no base-side self-pairs are ever generated.
+    # The parity-tag arithmetic requires an INTEGRAL id: a string id
+    # would be implicitly cast (NULL/garbage tids, silently empty
+    # output), so reject it loudly. ANSI mode guards the *2 overflow for
+    # ids near the long boundary (raises instead of wrapping), and the
+    # decode below uses shiftright — pure integer, exact for all ids —
+    # not double division, which loses exactness above 2**52.
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    for side, frame in (("new_df", new_df), ("base_df", base_df)):
+        dtype = dict(frame.dtypes).get(id_col)
+        if dtype not in integral:
+            raise TypeError(
+                f"near_dup_against requires an integral {id_col!r}; "
+                f"{side}.{id_col} is {dtype!r}"
+            )
     tagged_new = new_df.select(
-        (F.col(id_col) * 2 + 1).alias("__tid"), F.col(text_col)
+        (F.col(id_col).cast("long") * 2 + 1).alias("__tid"), F.col(text_col)
     )
     tagged_base = base_df.select(
-        (F.col(id_col) * 2).alias("__tid"), F.col(text_col)
+        (F.col(id_col).cast("long") * 2).alias("__tid"), F.col(text_col)
     )
     union = tagged_new.unionByName(tagged_base)
     cands = minhash_lsh_candidates(
@@ -1104,8 +1118,8 @@ def near_dup_against(
         F.when(F.col("id_a") % 2 == 0, F.col("id_a")).otherwise(F.col("id_b")).alias("__tbase"),
     ).distinct()
     pairs = cross.select(
-        ((F.col("__tnew") - 1) / 2).cast("long").alias("id_a"),
-        (F.col("__tbase") / 2).cast("long").alias("id_b"),
+        F.shiftright(F.col("__tnew"), 1).cast("long").alias("id_a"),
+        F.shiftright(F.col("__tbase"), 1).cast("long").alias("id_b"),
     )
     # exact verify joining each side to ITS corpus
     src_new, _ = _spread(new_df)

@@ -850,6 +850,7 @@ def aggregate_state(
     keys: Sequence[str],
     value_col: str,
     scale: int = 2,
+    input_precision: int = 18,
 ) -> DataFrame:
     """Distributive aggregate STATE for incremental maintenance: per-key
     exact count, DECIMAL(38,scale) sum, and min/max of ``value_col``.
@@ -862,13 +863,38 @@ def aggregate_state(
     integer arithmetic under any merge order; cast to double only at
     read time.
 
+    Value domain: each value must fit DECIMAL(input_precision, scale) —
+    i.e. < 10^(input_precision−scale) in magnitude, with sub-``scale``
+    fractional digits rounded. A value outside the domain RAISES (never
+    silently vanishes): under ANSI mode the cast itself throws, and in a
+    non-ANSI session an explicit raise_error guard replaces the cast's
+    overflow-to-NULL — a NULL-swallowed value would otherwise be dropped
+    from the sum while still counted in n, silently corrupting the
+    derived avg. Widen ``input_precision`` (≤ 38) for larger domains.
+
     Shape: ONE partial-agg shuffle on the keys; state cardinality =
     |distinct keys|.
     """
+    if not (0 <= scale < input_precision <= 38):
+        raise ValueError(
+            f"need 0 <= scale < input_precision <= 38 "
+            f"(got scale={scale}, input_precision={input_precision})"
+        )
     v = F.col(value_col)
+    cast_v = v.cast(f"decimal({input_precision},{scale})")
+    ansi = (
+        df.sparkSession.conf.get("spark.sql.ansi.enabled", "true").lower() == "true"
+    )
+    if not ansi:
+        cast_v = F.when(v.isNotNull() & cast_v.isNull(), F.raise_error(
+            F.lit(
+                f"aggregate_state: {value_col} outside "
+                f"DECIMAL({input_precision},{scale}) domain"
+            )
+        ).cast(cast_v.cast(f"decimal({input_precision},{scale})").expr.dataType if False else f"decimal({input_precision},{scale})")).otherwise(cast_v)
     return df.groupBy(*keys).agg(
         F.count(v).cast("long").alias("n"),
-        F.sum(v.cast(f"decimal(18,{scale})")).cast(f"decimal(38,{scale})").alias("sum"),
+        F.sum(cast_v).cast(f"decimal(38,{scale})").alias("sum"),
         F.min(v).alias("min"),
         F.max(v).alias("max"),
     )

@@ -941,6 +941,12 @@ def zscore_outliers(
     Shape: one partial-agg shuffle for the moments (output = one row
     per group, broadcast back), then a broadcast join + stateless
     projection over the full table — two scans, zero large shuffles.
+
+    Constant groups: sxx/n − mean² can round to a tiny NEGATIVE in fp64,
+    and sqrt of that is NaN — under Spark's NaN ordering, abs(NaN) > t
+    is TRUE, which would flag EVERY row of a constant group. Guarded the
+    same way as rolling_zscore: z is NULL unless var > 0, and NULL never
+    passes the threshold filter.
     """
     x = F.col(value_col).cast("decimal(18,2)")
     moments = df.groupBy(group_col).agg(
@@ -951,10 +957,10 @@ def zscore_outliers(
     joined = df.join(F.broadcast(moments), group_col)
     mean = F.col("__sx") / F.col("__n")
     var = F.col("__sxx") / F.col("__n") - mean * mean
-    z = (F.col(value_col).cast("double") - mean) / F.sqrt(var)
+    z = F.when(var > 0.0, (F.col(value_col).cast("double") - mean) / F.sqrt(var))
     return (
         joined.withColumn("zscore", z)
-        .filter(F.abs(F.col("zscore")) > float(threshold))
+        .filter(F.col("zscore").isNotNull() & (F.abs(F.col("zscore")) > float(threshold)))
         .drop("__n", "__sx", "__sxx")
     )
 
@@ -1072,8 +1078,15 @@ def interval_overlap_join(
     A naive inequality join degenerates to a per-key cross product; here
     each interval explodes to the grid bins it covers and the join runs
     on (keys, bin) equality, so the work is Σ|bin-bucket|² — bounded by
-    temporal co-location, not key cardinality. Pairs spanning several
-    shared bins are deduped, then the EXACT overlap predicate verifies.
+    temporal co-location, not key cardinality. A pair spanning several
+    shared bins is emitted once by CONSTRUCTION: only the canonical bin
+    — the one containing max(l_start, r_start), which any overlapping
+    pair shares — produces output, so no post-join distinct is needed.
+    (A whole-row ``.distinct()`` here would also collapse genuinely
+    duplicate input rows, silently changing the result multiplicity vs
+    the SQL inequality join; the canonical-bin filter preserves exact
+    bag semantics and saves the distinct's shuffle besides.) The EXACT
+    overlap predicate then verifies.
     Binning is a complete candidate generator UNCONDITIONALLY: two
     overlapping intervals share some instant t, and both cover t's bin —
     so no bin width can lose a pair. Width only trades candidate-set
@@ -1106,7 +1119,17 @@ def interval_overlap_join(
 
     l = left.withColumn("__bin", F.explode(bins(left_start, left_end)))
     r = right.withColumn("__bin", F.explode(bins(right_start, right_end)))
-    joined = l.join(r, [*keys, "__bin"]).drop("__bin").distinct()
+    joined = l.join(r, [*keys, "__bin"])
+    # canonical bin = the bin of max(l_start, r_start); computed with the
+    # SAME floor-division expression as bins() so the two can never
+    # disagree on a boundary.
+    canon = F.floor(
+        F.greatest(
+            F.unix_micros(F.col(left_start)), F.unix_micros(F.col(right_start))
+        )
+        / binw
+    ).cast("long")
+    joined = joined.filter(F.col("__bin") == canon).drop("__bin")
     overlap = (
         F.unix_micros(F.col(left_start)) < F.unix_micros(F.col(right_end))
     ) & (F.unix_micros(F.col(right_start)) < F.unix_micros(F.col(left_end)))

@@ -302,13 +302,24 @@ def hll_sliding_distinct(
     Returns (day, est) with the estimate's standard HLL error
     (lgConfigK=12 → ~1.6 % RSE). The gate pairs it with the exact
     offset-explode twin and a 3σ bound check.
+
+    The frame is CALENDAR-based: the window orders by an integer day
+    number with ``rangeBetween``, so a gap in the day sequence shrinks
+    the union to the days actually inside the trailing N calendar days.
+    (``rowsBetween`` over the per-day aggregate would reach back to the
+    last N *present* days — arbitrarily far past the documented window
+    when the sequence has holes — and diverge from the exact
+    calendar-window twin the gate pairs this with.)
     """
     daily = df.groupBy(F.to_date(F.col(ts_col)).alias("day")).agg(
         F.hll_sketch_agg(F.col(key_col)).alias("sk")
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy("day").rowsBetween(-(window_days - 1), 0)
+    daily = daily.withColumn(
+        "__daynum", F.datediff(F.col("day"), F.lit("1970-01-01")).cast("long")
+    )
+    w = Window.orderBy("__daynum").rangeBetween(-(window_days - 1), 0)
     return daily.select(
         "day",
         F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("est"),
