@@ -1082,10 +1082,13 @@ def near_dup_against(
     # survive, so no base-side self-pairs are ever generated.
     # The parity-tag arithmetic requires an INTEGRAL id: a string id
     # would be implicitly cast (NULL/garbage tids, silently empty
-    # output), so reject it loudly. ANSI mode guards the *2 overflow for
-    # ids near the long boundary (raises instead of wrapping), and the
-    # decode below uses shiftright — pure integer, exact for all ids —
-    # not double division, which loses exactness above 2**52.
+    # output), so reject it loudly. The *2 overflow near the long
+    # boundary is guarded EXPLICITLY (a per-row raise_error on
+    # |id| >= 2^62) so the guarantee holds in ANSI and non-ANSI
+    # sessions alike — a non-ANSI wrap would corrupt tids with no
+    # error. The decode below uses shiftright — arithmetic shift =
+    # floor division, exact for ALL longs including negatives — not
+    # double division, which loses exactness above 2**52.
     integral = {"tinyint", "smallint", "int", "bigint"}
     for side, frame in (("new_df", new_df), ("base_df", base_df)):
         dtype = dict(frame.dtypes).get(id_col)
@@ -1094,12 +1097,22 @@ def near_dup_against(
                 f"near_dup_against requires an integral {id_col!r}; "
                 f"{side}.{id_col} is {dtype!r}"
             )
-    tagged_new = new_df.select(
-        (F.col(id_col).cast("long") * 2 + 1).alias("__tid"), F.col(text_col)
-    )
-    tagged_base = base_df.select(
-        (F.col(id_col).cast("long") * 2).alias("__tid"), F.col(text_col)
-    )
+
+    def _tag(offset: int):
+        idl = F.col(id_col).cast("long")
+        return F.when(
+            F.abs(idl) < F.lit(1 << 62), idl * 2 + offset
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("near_dup_against: |id| >= 2^62 overflows the parity tag: "),
+                    idl.cast("string"),
+                )
+            ).cast("long")
+        )
+
+    tagged_new = new_df.select(_tag(1).alias("__tid"), F.col(text_col))
+    tagged_base = base_df.select(_tag(0).alias("__tid"), F.col(text_col))
     union = tagged_new.unionByName(tagged_base)
     cands = minhash_lsh_candidates(
         union,
@@ -1110,12 +1123,16 @@ def near_dup_against(
         shingle_k=shingle_k,
         shingle_mode=shingle_mode,
     )
-    # keep NEW×BASE collisions only (odd tid = new, even = base)
-    cross = cands.filter(
-        (F.col("id_a") % 2) != (F.col("id_b") % 2)
-    ).select(
-        F.when(F.col("id_a") % 2 == 1, F.col("id_a")).otherwise(F.col("id_b")).alias("__tnew"),
-        F.when(F.col("id_a") % 2 == 0, F.col("id_a")).otherwise(F.col("id_b")).alias("__tbase"),
+    # keep NEW×BASE collisions only (odd tid = new, even = base).
+    # pmod, not %: Spark's % keeps the dividend's sign, so a NEGATIVE
+    # odd tid gives tid % 2 == -1 — it would fail both the ==1 and ==0
+    # branches and silently mangle the pair. pmod(tid, 2) is 0/1 for
+    # every long.
+    par_a = F.pmod(F.col("id_a"), F.lit(2))
+    par_b = F.pmod(F.col("id_b"), F.lit(2))
+    cross = cands.filter(par_a != par_b).select(
+        F.when(par_a == 1, F.col("id_a")).otherwise(F.col("id_b")).alias("__tnew"),
+        F.when(par_a == 0, F.col("id_a")).otherwise(F.col("id_b")).alias("__tbase"),
     ).distinct()
     pairs = cross.select(
         F.shiftright(F.col("__tnew"), 1).cast("long").alias("id_a"),

@@ -891,7 +891,7 @@ def aggregate_state(
                 f"aggregate_state: {value_col} outside "
                 f"DECIMAL({input_precision},{scale}) domain"
             )
-        ).cast(cast_v.cast(f"decimal({input_precision},{scale})").expr.dataType if False else f"decimal({input_precision},{scale})")).otherwise(cast_v)
+        ).cast(f"decimal({input_precision},{scale})")).otherwise(cast_v)
     return df.groupBy(*keys).agg(
         F.count(v).cast("long").alias("n"),
         F.sum(cast_v).cast(f"decimal(38,{scale})").alias("sum"),

@@ -718,3 +718,49 @@ def test_near_dup_against_cross_corpus_only(spark):
     assert (11, 2) not in pairs and (12, 2) not in pairs
     for r in got:
         assert r["jaccard"] >= 0.5
+
+
+def test_near_dup_against_rejects_string_id(spark):
+    """Round-6 pin: the parity-tag arithmetic needs an INTEGRAL id; a
+    string id would implicitly cast to NULL tids and silently empty the
+    output, so the guard must raise loudly instead."""
+    base = spark.createDataFrame([("a", "some text here")], "doc_id string, text string")
+    new = spark.createDataFrame([("b", "some text here")], "doc_id string, text string")
+    with pytest.raises(TypeError, match="integral"):
+        dd.near_dup_against(new, base)
+
+
+def test_near_dup_against_negative_ids(spark):
+    """Round-7 pin (ADVICE): Spark's % keeps the dividend's sign, so a
+    negative odd tid gave tid % 2 == -1 and both decode branches fell
+    through, mangling the pair. pmod decodes 0/1 for every long — a
+    planted near-dup with NEGATIVE ids on both sides must be found."""
+    base = spark.createDataFrame(
+        [
+            (-7, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (-8, "completely different text about distributed query engines"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (-100, "the quick brown fox jumps over the lazy cat near the river bank"),
+            (-101, "fresh crawl content with entirely novel words and phrases"),
+        ],
+        "doc_id long, text string",
+    )
+    got = dd.near_dup_against(new, base, threshold=0.5, shingle_k=3).collect()
+    pairs = {(r["new_id"], r["base_id"]) for r in got}
+    assert (-100, -7) in pairs
+    assert all(p[0] in (-100, -101) and p[1] in (-7, -8) for p in pairs)
+
+
+def test_near_dup_against_rejects_huge_id(spark):
+    """Round-7 pin (ADVICE): |id| >= 2^62 would overflow the *2 parity
+    tag; in a non-ANSI session the wrap is silent, so an explicit
+    per-row raise_error guards it in BOTH modes."""
+    big = 1 << 62
+    base = spark.createDataFrame([(big, "text one two three four five")], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "text one two three four five")], "doc_id long, text string")
+    with pytest.raises(Exception, match="overflows the parity tag|USER_RAISED_EXCEPTION"):
+        dd.near_dup_against(new, base, threshold=0.5, shingle_k=3).collect()

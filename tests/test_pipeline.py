@@ -628,3 +628,24 @@ def test_table_diff_null_vs_literal_null_string(spark):
     # NULL and the sentinel byte collide by construction of the tag —
     # document the limitation: the tag byte never appears in REAL data
     assert r["status"] in ("unchanged", "changed")
+
+
+def test_aggregate_state_raises_out_of_domain_non_ansi(spark):
+    """Round-6 pin: in a non-ANSI session the DECIMAL cast would
+    overflow-to-NULL, silently dropping the value from the sum while
+    still counting it in n (corrupting the derived avg). The explicit
+    raise_error guard must fire instead — and input_precision=38 must
+    widen the domain so the same value aggregates cleanly."""
+    df = spark.createDataFrame(
+        [("k", 1.5), ("k", 10.0**17)], "k string, v double"
+    )
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="aggregate_state|USER_RAISED_EXCEPTION"):
+            pl.aggregate_state(df, ["k"], "v").collect()  # default precision 18
+        [row] = pl.aggregate_state(df, ["k"], "v", input_precision=38).collect()
+        assert row["n"] == 2
+        assert float(row["sum"]) == pytest.approx(10.0**17 + 1.5, rel=1e-12)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)

@@ -683,3 +683,43 @@ def test_skyline_2d_drops_null_axes(spark):
     )
     got = [r["id"] for r in rel.skyline_2d(df, "price", "size").collect()]
     assert got == [1]
+
+
+def test_zscore_outliers_constant_group_emits_nothing(spark):
+    """Round-6 pin: a constant group has var == 0 (and fp64 can round
+    sxx/n - mean^2 to a tiny NEGATIVE, whose sqrt is NaN; under Spark's
+    NaN ordering abs(NaN) > t is TRUE) — the guard must emit ZERO rows
+    for the constant group while still catching a planted spike."""
+    rows = [("const", 7.25)] * 40 + [("varied", 10.0)] * 30 + [("varied", 10.5)] * 9
+    rows += [("varied", 10_000.0)]  # planted spike
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = rel.zscore_outliers(df, "g", "v", threshold=3.0).collect()
+    assert all(r["g"] == "varied" for r in got)
+    assert any(r["v"] == 10_000.0 for r in got)
+
+
+def test_interval_overlap_join_preserves_duplicate_rows(spark):
+    """Round-6 pin: bag semantics — genuinely duplicate input rows must
+    each produce their own output row (the old whole-row .distinct()
+    collapsed them), and a pair spanning several shared bins is still
+    emitted exactly once via the canonical-bin filter."""
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 5, 1, 0, 0)
+
+    def ts(minutes):
+        return t0 + _dt.timedelta(minutes=minutes)
+
+    # two IDENTICAL left rows spanning 3 one-minute bins
+    left = spark.createDataFrame(
+        [("k", ts(0), ts(3)), ("k", ts(0), ts(3))],
+        "k string, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", ts(1), ts(2))], "k string, rs timestamp, re timestamp"
+    )
+    out = rel.interval_overlap_join(
+        left, right, ["k"], "ls", "le", "rs", "re", bin_seconds=60
+    ).collect()
+    # SQL bag semantics: 2 left dups x 1 right = exactly 2 rows
+    assert len(out) == 2

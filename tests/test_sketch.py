@@ -168,3 +168,29 @@ def test_tdigest_weighted_quantiles_match_numpy(spark):
         # weighted rank of the estimate must sit within 0.015 of q
         rank = cw[np.searchsorted(vals[order], e, side="right") - 1]
         assert abs(rank - q) <= 0.015, (q, e, rank)
+
+
+def test_hll_sliding_distinct_calendar_gap(spark):
+    """Round-6 pin: the window is CALENDAR-based (rangeBetween over an
+    integer day number), so a gap in the day sequence shrinks the union
+    to the days actually inside the trailing N calendar days. Days
+    {1, 2, 10} with window 3: day 10's estimate covers ONLY day 10 —
+    a rowsBetween frame would reach back to days 1-2 and report ~17."""
+    import datetime as _dt
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import sketch as sk
+
+    base = _dt.datetime(2024, 3, 1)
+    rows = []
+    for day, users in ((1, range(0, 5)), (2, range(5, 10)), (10, range(100, 107))):
+        for u in users:
+            rows.append((base + _dt.timedelta(days=day), u))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    est = {
+        r["day"].day: int(r["est"])
+        for r in sk.hll_sliding_distinct(df, "ts", "user_id", window_days=3).collect()
+    }
+    # HLL is exact at these cardinalities (sparse mode).
+    assert est[2] == 5  # 2024-03-02: its own 5 users
+    assert est[3] == 10  # 2024-03-03: days 2+3 inside the 3-day window
+    assert est[11] == 7  # 2024-03-11: the gap means ONLY its own 7 users
