@@ -753,6 +753,8 @@ def repeated_passages_maximal(
     ns: tuple[int, ...] = (8, 16, 32),
     min_docs: int = 2,
     via_hash: bool | None = None,
+    adaptive: bool = False,
+    max_level: int = 4096,
 ) -> DataFrame:
     """MAXIMAL repeated passages: a multi-length sweep over word n-gram
     levels ``ns`` with containment suppression — a level-``n`` survivor
@@ -787,6 +789,21 @@ def repeated_passages_maximal(
     ``n_words`` is the sweep level, NOT len(split(passage)) in the
     short-document corner where ``word_ngrams`` emits a whole shorter
     document as its only "n-gram".
+
+    ``adaptive=True`` removes the fixed top-level cap: while the top
+    level still has survivors whose passages could extend, the sweep
+    DOUBLES the level (64, 128, … up to ``max_level``) and re-scans ONLY
+    the documents long enough to contain a full gram at the new level
+    (``size(tokens) >= L`` — the pre-filter also guarantees every
+    emitted gram is a genuine full-length L-gram, so whole-short-document
+    emissions never masquerade as survivors). The loop stops at the
+    first empty level: a 64-word template is then reported ONCE at
+    n_words=64 instead of as 33 overlapping 32-grams. Cost: log₂ extra
+    rounds, each one length-pruned scan + one partial-agg groupBy —
+    at 100 TB the length predicate prunes almost everything above a few
+    hundred words. Residual granularity (documented): a template whose
+    length is not a sweep level is still reported as its longest
+    sweep-level subgrams (e.g. a 48-word template → 17 32-grams).
     """
     levels = sorted(set(ns))
     if not levels:
@@ -857,6 +874,39 @@ def repeated_passages_maximal(
     # corpus's boilerplate volume, the thing this operator exists to be
     # small relative to everything else.
     surv = surv.localCheckpoint(eager=True)
+    if adaptive:
+        # Unbounded-length extension: double the top level while genuine
+        # full-length survivors keep appearing. Each round scans only
+        # documents with >= L tokens (which also guarantees every
+        # emitted gram has exactly L words — no whole-short-doc
+        # emissions), one partial-agg groupBy, bounded localCheckpoint.
+        top = levels[-1]
+        while top * 2 <= max_level:
+            L = top * 2
+            cand = df.filter(
+                F.size(F.split(normalized_text(text_col), r"\s+")) >= L
+            )
+            ext = (
+                cand.select(
+                    F.col(id_col),
+                    F.explode(word_ngrams(text_col, L)).alias("passage"),
+                )
+                .groupBy("passage")
+                .agg(
+                    F.count_distinct(id_col).alias("n_docs"),
+                    F.count(F.lit(1)).alias("n_occurrences"),
+                    F.min(id_col).alias("first_doc_id"),
+                )
+                .filter(F.col("n_docs") >= min_docs)
+                .withColumn("n_words", F.lit(L))
+                .select("n_words", "passage", "n_docs", "n_occurrences", "first_doc_id")
+                .localCheckpoint(eager=True)
+            )
+            if not ext.take(1):
+                break
+            surv = surv.unionByName(ext)
+            levels.append(L)
+            top = L
     kept = []
     for i, n in enumerate(levels):
         lvl = surv.filter(F.col("n_words") == n)

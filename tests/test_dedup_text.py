@@ -764,3 +764,31 @@ def test_near_dup_against_rejects_huge_id(spark):
     new = spark.createDataFrame([(1, "text one two three four five")], "doc_id long, text string")
     with pytest.raises(Exception, match="overflows the parity tag|USER_RAISED_EXCEPTION"):
         dd.near_dup_against(new, base, threshold=0.5, shingle_k=3).collect()
+
+
+def test_repeated_passages_maximal_adaptive_64_word_template(spark):
+    """Round-7 (verdict order 3): with adaptive=True the sweep doubles
+    past the fixed top level, so a planted 64-word template shared by 4
+    docs is reported exactly ONCE at n_words=64 — not as 33 overlapping
+    32-grams — and the loop stops at the first empty level (128)."""
+    template = " ".join(f"tpl{j}" for j in range(64))
+    rows = [
+        (i, " ".join(f"p{i}w{k}" for k in range(5)) + f" {template} "
+            + " ".join(f"s{i}w{k}" for k in range(5)))
+        for i in range(4)
+    ]
+    rows += [(90 + i, f"unique{i}a unique{i}b unique{i}c") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dd.repeated_passages_maximal(
+        df, ns=(8, 16, 32), min_docs=3, adaptive=True
+    ).toPandas()
+    t = out[out["passage"] == template]
+    assert len(t) == 1
+    assert t.iloc[0]["n_words"] == 64
+    assert t.iloc[0]["n_docs"] == 4
+    # every shorter subgram of the template is suppressed
+    assert not any((p != template) and (p in template) for p in out["passage"])
+    # without adaptive, the same corpus reports the template as 32-grams
+    fixed = dd.repeated_passages_maximal(df, ns=(8, 16, 32), min_docs=3).toPandas()
+    assert (fixed["n_words"] == 32).any()
+    assert template not in set(fixed["passage"])
