@@ -6685,8 +6685,12 @@ def oracle_sql() -> dict[str, str]:
             ), a AS (
               SELECT o_orderpriority,
                 CAST(COUNT(*) AS DOUBLE) AS n,
-                CAST(SUM(x) AS DOUBLE) AS sx,
-                CAST(SUM(CAST(i * x AS DECIMAL(38,2))) AS DOUBLE) AS six
+                -- string roundtrip: DuckDB's direct DECIMAL->DOUBLE cast
+                -- is 1 ulp off on 13+ digit unscaled values (surfaced by
+                -- the sf0.1 scale smoke on six ~ 2e16); the string path
+                -- is correctly rounded and matches Spark's BigDecimal.
+                CAST(CAST(SUM(x) AS STRING) AS DOUBLE) AS sx,
+                CAST(CAST(SUM(CAST(i * x AS DECIMAL(38,2))) AS STRING) AS DOUBLE) AS six
               FROM r GROUP BY 1
             )
             SELECT o_orderpriority,
