@@ -2880,18 +2880,21 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-D skyline / Pareto front (relational.skyline_2d): parts where no
-    other part is both cheaper-or-equal and larger-or-equal (strict on
-    one axis). Spark side is the LINEAR two-phase form — per-partition
-    prune (skyline of a union ⊆ union of skylines) then one dense-rank
-    running-max window — while the oracle is the O(n²) NOT EXISTS
-    definition, checkable at sf0.01, which is exactly the plan shape
-    this operator exists to avoid at 100 TB."""
+    """GROUPED 2-D skyline / Pareto front per brand
+    (relational.skyline_2d with partition_cols): parts where no other
+    part OF THE SAME BRAND is both cheaper-or-equal and larger-or-equal
+    (strict on one axis). Spark side is the LINEAR two-phase form —
+    per-partition prune (skyline of a union ⊆ union of skylines) then
+    one dense-rank running-max window, every window partitioned on
+    p_brand so NO global ordering exists in the plan — while the oracle
+    is the O(n²) per-group NOT EXISTS definition, checkable at sf0.01,
+    which is exactly the plan shape this operator avoids at 100 TB."""
     part = load_table(spark, sf_dir, "part")
     return rel.skyline_2d(
-        part.select("p_partkey", "p_retailprice", "p_size"),
+        part.select("p_brand", "p_partkey", "p_retailprice", "p_size"),
         minimize_col="p_retailprice",
         maximize_col="p_size",
+        partition_cols=["p_brand"],
     )
 
 
@@ -6269,11 +6272,12 @@ def oracle_sql() -> dict[str, str]:
             FROM counts
         """,
         "skyline_parts": """
-            SELECT a.p_partkey, a.p_retailprice, a.p_size
+            SELECT a.p_brand, a.p_partkey, a.p_retailprice, a.p_size
             FROM part a
             WHERE NOT EXISTS (
               SELECT 1 FROM part b
-              WHERE b.p_retailprice <= a.p_retailprice
+              WHERE b.p_brand = a.p_brand
+                AND b.p_retailprice <= a.p_retailprice
                 AND b.p_size >= a.p_size
                 AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
             )

@@ -793,6 +793,7 @@ def skyline_2d(
     df: DataFrame,
     minimize_col: str,
     maximize_col: str,
+    partition_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """2-D skyline (Pareto front): rows not dominated by any other row,
     where B dominates A iff B is <= on the minimized axis, >= on the
@@ -817,6 +818,12 @@ def skyline_2d(
     of skylines — then this operator on the ~tiny candidate set). The
     per-partition pre-filter is applied below whenever the input has
     >1 partition, so the global window only ever sees local survivors.
+
+    ``partition_cols`` computes an INDEPENDENT skyline per group ("the
+    Pareto front per category") — the common production ask, and the
+    better scale shape besides: every phase-2 window is then partitioned
+    on the group key, so no global ordering exists anywhere in the plan
+    and the sequential-final-pass caveat above disappears entirely.
     """
     prepared = (
         df
@@ -831,18 +838,27 @@ def skyline_2d(
     # Phase 1 — per-partition skyline via mapInPandas: dominated rows are
     # dominated by *somebody in their own partition or not at all* only in
     # the final pass; this pass merely prunes, keeping correctness with
-    # any partitioning (skyline(U parts) ⊆ U skyline(parts)).
+    # any partitioning (skyline(U parts) ⊆ U skyline(parts)). With
+    # partition_cols the prune runs per group within each physical
+    # partition (a row can only be dominated by a same-group row).
     schema = prepared.schema
+    gcols = list(partition_cols) if partition_cols else []
 
     def _local_skyline(batches):
         for pdf in batches:
             if pdf.empty:
                 yield pdf
                 continue
-            s = pdf.sort_values(["__min", "__neg_max"], kind="mergesort")
-            run = s["__neg_max"].cummin()
-            prev_run = run.shift(1)
-            prev_min = s["__min"].shift(1)
+            s = pdf.sort_values(gcols + ["__min", "__neg_max"], kind="mergesort")
+            if gcols:
+                keys = [s[c] for c in gcols]
+                run = s["__neg_max"].groupby(keys, sort=False, dropna=False).cummin()
+                prev_run = run.groupby(keys, sort=False, dropna=False).shift(1)
+                prev_min = s["__min"].groupby(keys, sort=False, dropna=False).shift(1)
+            else:
+                run = s["__neg_max"].cummin()
+                prev_run = run.shift(1)
+                prev_min = s["__min"].shift(1)
             # survivor iff no STRICTLY cheaper row had >= max; approximate
             # locally by keeping rows whose neg_max improves the running
             # min or that tie the previous row on the min axis (ties are
@@ -863,13 +879,16 @@ def skyline_2d(
     # within 1.0); instead a dense_rank over __min gives consecutive
     # integers per distinct cost, and a range frame ending at -1 on THAT
     # ordering is exactly "all rows with a strictly smaller __min".
-    dr = F.dense_rank().over(Window.orderBy(F.col("__min")))
-    strict_window = Window.orderBy(F.col("__dr")).rangeBetween(
-        Window.unboundedPreceding, -1
+    gkey = [F.col(c) for c in gcols]
+    dr = F.dense_rank().over(Window.partitionBy(*gkey).orderBy(F.col("__min")))
+    strict_window = (
+        Window.partitionBy(*gkey)
+        .orderBy(F.col("__dr"))
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
     best_cheaper = F.min(F.col("__neg_max")).over(strict_window)
     same_cost_better = F.min(F.col("__neg_max")).over(
-        Window.partitionBy(F.col("__min"))
+        Window.partitionBy(*gkey, F.col("__min"))
     )
     return (
         prepared.withColumn("__dr", dr)

@@ -649,3 +649,53 @@ def test_aggregate_state_raises_out_of_domain_non_ansi(spark):
         assert float(row["sum"]) == pytest.approx(10.0**17 + 1.5, rel=1e-12)
     finally:
         spark.conf.set("spark.sql.ansi.enabled", old)
+
+
+def test_bpe_encode_arrow_twin_matches_codegen(spark):
+    """Round-7 (verdict order 5): the Arrow-batched encoder (used above
+    codegen_max_merges) must replay the merge table with EXACTLY the
+    semantics of the nested-replace Catalyst chain — same tokens on real
+    text, NULL text -> NULL tokens, whitespace normalization identical."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the theme of these theses is the best theory"),
+            (2, "  Mixed   CASE \t and\n odd   spacing  "),
+            (3, None),
+            (4, ""),
+            (5, "aaaa aaa aa a"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = pl.bpe_train(docs, num_merges=12)
+    assert len(merges) == 12
+    codegen = {
+        r["doc_id"]: r["tokens"]
+        for r in pl.bpe_encode(docs, merges).collect()
+    }
+    arrow = {
+        r["doc_id"]: r["tokens"]
+        for r in pl.bpe_encode(docs, merges, codegen_max_merges=0).collect()
+    }
+    assert codegen == arrow
+    assert arrow[3] is None or arrow[3] == codegen[3]
+
+
+def test_bpe_encode_5k_merge_table_executes(spark):
+    """A production-sized merge table (5k entries) must execute — the
+    nested-replace chain cannot (codegen/stack depth) — and padding the
+    real table with never-matching merges must not change the output."""
+    docs = spark.createDataFrame(
+        [(1, "the theme of these theses is the best theory"),
+         (2, "encode me with a big merge table please")],
+        "doc_id long, text string",
+    )
+    real = pl.bpe_train(docs, num_merges=10)
+    top = max(r for r, *_ in real)
+    padded = real + [
+        (top + 1 + i, f"☃{i}", f"☄{i}", f"☃{i}☄{i}")
+        for i in range(5000)
+    ]
+    small = {r["doc_id"]: r["tokens"] for r in pl.bpe_encode(docs, real, codegen_max_merges=0).collect()}
+    big = {r["doc_id"]: r["tokens"] for r in pl.bpe_encode(docs, padded).collect()}
+    assert len(padded) > 5000
+    assert big == small

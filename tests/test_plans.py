@@ -200,10 +200,10 @@ def test_apply_changes_no_cartesian_bounded_shuffles(spark, sf_dir):
 #   sentence_split — the Python UDTF surface, demonstrated deliberately;
 #   distinct_labels — R5 "distinct then sort" reference semantics (3 rows);
 #   yoy_growth — lag window over the per-YEAR aggregate (n_years rows,
-#     never the fact table);
-#   skyline_parts — phase-2 window over the per-partition-pruned
-#     candidate set (≤ partitions × |local skyline|; skyline(∪ parts) ⊆
-#     ∪ skyline(parts) guarantees the prune is lossless).
+#     never the fact table).
+# (skyline_parts left this list in round 7: the gate query is now the
+# GROUPED skyline — every phase-2 window partitions on p_brand, so no
+# global window remains in its plan.)
 _INTENTIONAL_LINT = {
     "pack_chunks_global": {"global-window"},
     "vocab": {"global-window"},
@@ -212,7 +212,6 @@ _INTENTIONAL_LINT = {
     "sentence_split": {"python-row-udf"},
     "distinct_labels": {"global-sort"},
     "yoy_growth": {"global-window"},
-    "skyline_parts": {"global-window"},
     # sliding_distinct — sketch-union window over the per-DAY aggregate
     #   (|days| rows of KB sketches, never the fact table)
     "sliding_distinct": {"global-window"},
