@@ -23,9 +23,12 @@ exactly-once sink pairing behave like any offset-tracked source: Spark
 persists the (start, end] range per microbatch to the checkpoint WAL and
 replays identical ranges after a crash (pinned by the parquet-sink
 restart test: stop mid-stream, restart on the checkpoint, output is
-exactly-once). ``latestOffset`` is intentionally the constant table end
-— see the method comment for why an advancing reader-local cursor is
-unsafe across restarts on this API.
+exactly-once). ``latestOffset`` is by default the constant table end —
+see the method comment for why a naive advancing reader-local cursor is
+unsafe across restarts on this API. ``max_rows_per_batch`` opts into
+bounded ADMISSION: each microbatch advances at most that many rows past
+the engine-learned floor, so a long-stopped query drains its backlog as
+several bounded commits instead of one whole-backlog transaction.
 
 Usage::
 
@@ -104,6 +107,12 @@ class ShardedReplayStreamReader(DataSourceStreamReader):
         self.path = path
         self.rows_per_batch = int(options.get("rows_per_batch", "5000"))
         self.slices_per_batch = int(options.get("slices_per_batch", "4"))
+        # Admission control: bound how far each MICROBATCH advances (0 =
+        # unbounded, the constant-latest behavior). rows_per_batch bounds
+        # per-TASK ranges within a batch; this bounds the batch itself —
+        # after a long stop the backlog drains as many bounded commits
+        # instead of one giant transaction.
+        self.max_rows_per_batch = int(options.get("max_rows_per_batch", "0"))
         if self.rows_per_batch < 1:
             raise ValueError(
                 f"rows_per_batch must be >= 1 (got {self.rows_per_batch})"
@@ -112,6 +121,20 @@ class ShardedReplayStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"slices_per_batch must be >= 1 (got {self.slices_per_batch})"
             )
+        if self.max_rows_per_batch < 0:
+            raise ValueError(
+                f"max_rows_per_batch must be >= 0 (got {self.max_rows_per_batch})"
+            )
+        # High-water mark of every offset the ENGINE has shown us
+        # (partitions() starts/ends, commit() ends). Restart-safe floor
+        # for bounded admission: on recovery the engine re-plans the
+        # WAL's last batch via partitions(start, end) BEFORE its first
+        # latestOffset call (verified empirically for committed AND
+        # uncommitted tails), so the floor is re-learned before we ever
+        # answer — a fresh reader can never hand back an offset below
+        # the WAL and rewind it (the backward-offset duplicate bug the
+        # constant-latest design exists to avoid).
+        self._floor = 0
         # Driver-side planning state: FOOTER metadata only — never row data.
         import pyarrow.parquet as pq
 
@@ -121,20 +144,32 @@ class ShardedReplayStreamReader(DataSourceStreamReader):
         return {"index": 0}
 
     def latestOffset(self) -> dict:
-        # Always the table end — deliberately NOT an advancing planner-
-        # local cursor. The microbatch engine starts a batch whenever
-        # latestOffset DIFFERS from the current offset (not only when it
-        # is greater), so any reader-local cursor that restarts at 0
-        # after a recovery would hand Spark a BACKWARD offset, rewind
-        # the WAL, and re-emit committed ranges (observed as duplicates
-        # in the restart test before this was fixed). A constant latest
-        # is monotone by construction and therefore restart-safe;
-        # per-task work stays bounded because partitions() splits the
-        # catch-up span into rows_per_batch × slices_per_batch ranges.
-        return {"index": self._n_rows}
+        # Default (max_rows_per_batch=0): always the table end —
+        # deliberately NOT an advancing planner-local cursor. The
+        # microbatch engine starts a batch whenever latestOffset DIFFERS
+        # from the current offset (not only when it is greater), so any
+        # reader-local cursor that restarts at 0 after a recovery would
+        # hand Spark a BACKWARD offset, rewind the WAL, and re-emit
+        # committed ranges (observed as duplicates in the restart test
+        # before this was fixed). A constant latest is monotone by
+        # construction and therefore restart-safe; per-task work stays
+        # bounded because partitions() splits the catch-up span into
+        # rows_per_batch × slices_per_batch ranges.
+        #
+        # With max_rows_per_batch set: bounded admission off the floor.
+        # The floor only ever comes from offsets the engine itself
+        # handed us, so floor + step is always >= the WAL tail — monotone
+        # across restarts too (see the __init__ comment for the
+        # partitions-before-latestOffset recovery ordering this rests
+        # on, pinned by the mid-backlog restart test).
+        if self.max_rows_per_batch < 1:
+            return {"index": self._n_rows}
+        return {"index": min(self._n_rows, self._floor + self.max_rows_per_batch)}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["index"]), int(end["index"])
+        if hi > self._floor or lo > self._floor:
+            self._floor = max(hi, lo)
         if hi <= lo:
             return [_RangePartition(self.path, lo, lo)]
         out = []
@@ -178,9 +213,12 @@ class ShardedReplayStreamReader(DataSourceStreamReader):
                     yield b
 
     def commit(self, end: dict) -> None:
-        # Nothing to clean up: the source is a static file; the offset
-        # WAL in the checkpoint is the durable progress record.
-        pass
+        # Nothing to clean up (static file; the checkpoint WAL is the
+        # durable progress record) — but fold the committed offset into
+        # the admission floor for good measure.
+        idx = int(end["index"])
+        if idx > self._floor:
+            self._floor = idx
 
 
 class ShardedReplayDataSource(DataSource):

@@ -634,3 +634,75 @@ def test_sharded_replay_restart_resumes_from_checkpoint(spark, sf_dir, tmp_path)
     got = spark.read.parquet(out)
     assert got.count() == total  # exactly-once: no dupes, no drops
     assert got.select("event_id").distinct().count() == total
+
+
+def test_sharded_replay_bounded_admission_and_midbacklog_restart(spark, sf_dir, tmp_path):
+    """Round-7 (verdict order 7): with max_rows_per_batch the backlog
+    drains across MANY bounded commits (>= 3 non-empty batches) instead
+    of one whole-backlog transaction, and a restart mid-backlog stays
+    exactly-once: the fresh reader re-learns the admission floor from
+    the engine's recovery partitions() call before answering its first
+    latestOffset, so offsets never go backward."""
+    import time
+
+    from hdinsight_pyspark_cntk_integration_spark.sources.sharded_replay import (
+        ShardedReplayDataSource,
+    )
+
+    spark.dataSource.register(ShardedReplayDataSource)
+    path = f"{sf_dir}/events.parquet"
+    ckpt = str(tmp_path / "ckpt_adm")
+    out = str(tmp_path / "out_adm")
+    total = spark.read.parquet(path).count()
+    step = max(1, total // 5)
+
+    def start():
+        stream = (
+            spark.readStream.format("sharded_replay")
+            .option("path", path)
+            .option("rows_per_batch", "200")
+            .option("max_rows_per_batch", str(step))
+            .load()
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    q1 = start()
+    batches1 = []
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            p = q1.lastProgress
+            if p is not None and p["batchId"] >= 1:
+                break  # at least one committed batch, backlog remains
+            time.sleep(0.2)
+        batches1 = [pp["numInputRows"] for pp in q1.recentProgress]
+    finally:
+        q1.stop()
+    mid = spark.read.parquet(out).count()
+    assert 0 < mid < total  # genuinely mid-backlog at the restart point
+
+    q2 = start()
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            p = q2.lastProgress
+            if p and p["numInputRows"] == 0:
+                break
+            time.sleep(0.3)
+        batches2 = [pp["numInputRows"] for pp in q2.recentProgress]
+    finally:
+        q2.stop()
+
+    got = spark.read.parquet(out)
+    assert got.count() == total  # exactly-once across the restart
+    assert got.select("event_id").distinct().count() == total
+    nonempty = [n for n in batches1 + batches2 if n > 0]
+    assert len(nonempty) >= 3  # admission split the backlog
+    assert all(n <= step for n in nonempty)  # every batch bounded
