@@ -511,3 +511,63 @@ def test_dedup_stateful_first_seen_stream_matches_batch(spark, sf_dir, tmp_path)
     # (note: applyInPandasWithState rejects batch frames with
     # UnsupportedOperationException — streaming-only by design, unlike
     # the transformWithState variant)
+
+
+def test_dedup_stateful_ttl_parity_with_first_seen(spark, sf_dir, tmp_path):
+    """Round-7 (verdict order 8): the PARITY twin between the two
+    arbitrary-state dedup engines — transformWithStateInPandas
+    (protobuf-gated; auto-activates on a protobuf-bundled Spark, like
+    the onnx gate) and applyInPandasWithState (always runnable here) —
+    on the SAME planted multi-microbatch stream: identical surviving
+    key sets and one row per key from each."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from hdinsight_pyspark_cntk_integration_spark.operators.text import fingerprints
+    from hdinsight_pyspark_cntk_integration_spark.session import configure_rocksdb_state
+
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    dup = docs.limit(40).withColumn("doc_id", docs.doc_id + 1_000_000)
+    both = docs.unionByName(dup)
+    fp = fingerprints(both).join(both, "doc_id").select("doc_id", "fingerprint")
+
+    src = str(tmp_path / "fp_twin")
+    fp.filter(F.col("doc_id") < 1_000_000).write.parquet(f"{src}/a")
+    fp.filter(F.col("doc_id") >= 1_000_000).write.parquet(f"{src}/b")
+
+    def stream():
+        return (
+            spark.readStream.schema(fp.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    def run(df, name, ck):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(f"select * from {name}").toPandas()
+
+    first_seen = run(
+        st.dedup_stateful_first_seen(stream(), key_col="fingerprint"),
+        "twin_fs", "ck_twin_fs",
+    )
+    configure_rocksdb_state(spark)
+    try:
+        ttl = run(
+            st.dedup_stateful_ttl(stream(), key_col="fingerprint"),
+            "twin_ttl", "ck_twin_ttl",
+        )
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    assert first_seen["fingerprint"].is_unique
+    assert ttl["fingerprint"].is_unique
+    assert set(ttl["fingerprint"]) == set(first_seen["fingerprint"])
