@@ -721,6 +721,27 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher quality-rule audit (operators.text.gopher_rules,
+    Rae et al. 2021 A1.1): one boolean per published rule + the keep
+    conjunction, all in exact integer arithmetic (cross-multiplied
+    thresholds, no float ratios) so the output hash-matches any engine.
+    One projection pass, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.gopher_rules(docs)
+
+
+def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination overlap REPORT (operators.pipeline.
+    contamination_overlap): per train doc, distinct trigram count and
+    how many are benchmark trigrams (every 41st doc plays the eval set)
+    — the numerator/denominator behind the boolean decontaminate cut.
+    Broadcast eval set; the train side never shuffles at n-gram width."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 41 == 0)
+    return pl.contamination_overlap(docs, eval_df)
+
+
 def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication (operators.dedup.repeated_passages):
     word 8-gram passages recurring in >= 2 distinct documents — the
@@ -3913,6 +3934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": q_minhash_near_dup,
         "simhash": q_simhash,
         "decontaminate_bloom": q_decontaminate_bloom,
+        "gopher_rules": q_gopher_rules,
+        "contamination_overlap": q_contamination_overlap,
         "asof_tolerance": q_asof_tolerance,
         "repeated_passages": q_repeated_passages,
         "shard_manifest": q_shard_manifest,
@@ -4536,6 +4559,63 @@ def oracle_sql() -> dict[str, str]:
                      (acc, x) -> (acc * 31 + x) % 1000003)
               END AS rhash
             FROM documents
+        """,
+        "gopher_rules": r"""
+            WITH w AS (
+              SELECT doc_id, text,
+                list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS words,
+                string_split(text, chr(10)) AS lines
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                CAST(len(words) AS BIGINT) AS n_words,
+                CAST(len(lines) AS BIGINT) AS n_lines,
+                CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS BIGINT) AS word_chars,
+                CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hash_count,
+                CAST(length(text) - length(replace(text, '...', '')) AS BIGINT) AS ell3,
+                CAST(len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '• '))) AS BIGINT) AS n_bullet,
+                CAST(len(list_filter(lines, l -> ends_with(trim(l), '...'))) AS BIGINT) AS n_ell_lines,
+                CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+                CAST(len(list_filter(words, x -> list_contains(['the','be','to','of','and','that','have','with'], lower(x)))) AS BIGINT) AS n_stop
+              FROM w
+            )
+            SELECT doc_id, n_words,
+              (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+              (word_chars >= 3*n_words AND word_chars <= 10*n_words) AS r_mean_word_len,
+              (30*hash_count + 10*ell3 <= 3*n_words) AS r_symbol_ratio,
+              (10*n_bullet <= n_lines) AS r_bullet_lines,
+              (10*n_ell_lines <= 3*n_lines) AS r_ellipsis_lines,
+              (5*n_alpha >= 4*n_words) AS r_alpha_words,
+              (n_stop >= 2) AS r_stopwords,
+              ((n_words >= 50 AND n_words <= 100000)
+                AND (word_chars >= 3*n_words AND word_chars <= 10*n_words)
+                AND (30*hash_count + 10*ell3 <= 3*n_words)
+                AND (10*n_bullet <= n_lines)
+                AND (10*n_ell_lines <= 3*n_lines)
+                AND (5*n_alpha >= 4*n_words)
+                AND (n_stop >= 2)) AS keep
+            FROM c
+        """,
+        "contamination_overlap": r"""
+            WITH sh AS (
+              SELECT doc_id,
+                list_distinct(list_transform(
+                  generate_series(1, greatest(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) - 2, 1)),
+                  i -> array_to_string(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[i:i+2], ' ')
+                )) AS s
+              FROM documents
+            ),
+            ev AS (
+              SELECT DISTINCT unnest(s) AS ngram FROM sh WHERE doc_id % 41 = 0
+            ),
+            tr AS (
+              SELECT doc_id, unnest(s) AS ngram FROM sh
+            )
+            SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+              CAST(SUM(CASE WHEN e.ngram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+            FROM tr t LEFT JOIN ev e ON t.ngram = e.ngram
+            WHERE length(t.ngram) > 0
+            GROUP BY t.doc_id
         """,
         "decontaminate": r"""
             WITH sh AS (

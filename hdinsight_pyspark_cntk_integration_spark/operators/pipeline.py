@@ -291,6 +291,48 @@ def contamination_hits(
     )
 
 
+def contamination_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Decontamination REPORT: per training document, its distinct word
+    n-gram count and how many of those appear in the eval corpus — the
+    numerator/denominator of the overlap fraction the boolean
+    ``decontaminate`` cut hides. Pipelines threshold on the fraction
+    ("drop if > 20 % of the doc's n-grams are benchmark n-grams") and
+    audit the distribution; integer counts keep the output hash-exact
+    (consumers derive the ratio).
+
+    Scale shape: the eval side collapses to a distinct broadcast n-gram
+    set; ONE shingle explode of the train side feeds a broadcast LEFT
+    join (hit marker) and one partial-agg groupBy — the 100 TB train
+    corpus is never shuffled at n-gram width, only (doc_id, counts).
+    """
+    from hdinsight_pyspark_cntk_integration_spark.operators.dedup import word_shingles
+
+    eval_ngrams = (
+        eval_df.select(F.explode(word_shingles(eval_text_col, n)).alias("ngram"))
+        .filter(F.length("ngram") > 0)
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    train_ngrams = train.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("ngram")
+    ).filter(F.length("ngram") > 0)
+    return (
+        train_ngrams.join(F.broadcast(eval_ngrams), "ngram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count("__hit").cast("long").alias("n_hits"),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

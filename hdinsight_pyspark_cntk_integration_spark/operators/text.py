@@ -882,3 +882,91 @@ def bigram_logprob(
             ).alias("mean_nll"),
         )
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Composite Gopher-style quality-rule evaluation (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1 — the published rule set the big English
+    pipelines standardized on): per document, one boolean per rule plus
+    the conjunction, so pipelines can both FILTER (``keep``) and AUDIT
+    (which rule fires how often — the per-rule booleans feed a one-line
+    ``avg`` dashboard).
+
+    Rules (thresholds per the paper, word-count bounds parameterized):
+
+    - ``r_word_count``   — word count in [min_words, max_words]
+    - ``r_mean_word_len``— mean word length in [3, 10] characters
+    - ``r_symbol_ratio`` — ('#' + '…'-as-'...') per word <= 0.1
+    - ``r_bullet_lines`` — <= 10 % of lines start with a bullet
+      ('- ', '* ', '• ')
+    - ``r_ellipsis_lines`` — <= 30 % of lines end with '...'
+    - ``r_alpha_words``  — >= 80 % of words contain a letter
+    - ``r_stopwords``    — >= 2 occurrences of a core stopword
+      (the/be/to/of/and/that/have/with)
+
+    Every rule is evaluated in EXACT INTEGER arithmetic (counts and
+    cross-multiplied thresholds — e.g. ``30·hash + 10·ell3 <= 3·words``
+    instead of a float ratio), so the output is hash-identical across
+    engines and partitionings. One projection pass, no shuffle, no UDF —
+    the 100 TB posture for a first-pass filter.
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: F.length(w) > 0)
+    lines = F.split(t, "\n")
+    n_words = F.size(words).cast("long")
+    n_lines = F.size(lines).cast("long")
+    word_chars = F.length(F.regexp_replace(F.trim(t), r"\s+", "")).cast("long")
+    hash_count = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).cast("long")
+    # '...' occurrences × 3 (length delta of non-overlapping replace)
+    ell3 = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("- ") | l.startswith("* ") | l.startswith("• "),
+        )
+    ).cast("long")
+    n_ell_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).endswith("..."))
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    stop = F.array(*[F.lit(s) for s in ("the", "be", "to", "of", "and", "that", "have", "with")])
+    n_stop = F.size(
+        F.filter(words, lambda w: F.array_contains(stop, F.lower(w)))
+    ).cast("long")
+
+    r_word_count = (n_words >= min_words) & (n_words <= max_words)
+    r_mean_word_len = (word_chars >= 3 * n_words) & (word_chars <= 10 * n_words)
+    r_symbol_ratio = (30 * hash_count + 10 * ell3) <= (3 * n_words)
+    r_bullet_lines = (10 * n_bullet) <= n_lines
+    r_ellipsis_lines = (10 * n_ell_lines) <= (3 * n_lines)
+    r_alpha_words = (5 * n_alpha) >= (4 * n_words)
+    r_stopwords = n_stop >= 2
+
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        r_word_count.alias("r_word_count"),
+        r_mean_word_len.alias("r_mean_word_len"),
+        r_symbol_ratio.alias("r_symbol_ratio"),
+        r_bullet_lines.alias("r_bullet_lines"),
+        r_ellipsis_lines.alias("r_ellipsis_lines"),
+        r_alpha_words.alias("r_alpha_words"),
+        r_stopwords.alias("r_stopwords"),
+        (
+            r_word_count
+            & r_mean_word_len
+            & r_symbol_ratio
+            & r_bullet_lines
+            & r_ellipsis_lines
+            & r_alpha_words
+            & r_stopwords
+        ).alias("keep"),
+    )

@@ -792,3 +792,47 @@ def test_repeated_passages_maximal_adaptive_64_word_template(spark):
     fixed = dd.repeated_passages_maximal(df, ns=(8, 16, 32), min_docs=3).toPandas()
     assert (fixed["n_words"] == 32).any()
     assert template not in set(fixed["passage"])
+
+
+def test_gopher_rules_hand_checked(spark):
+    """Each Gopher rule fires on a purpose-built document and the keep
+    conjunction matches a hand evaluation."""
+    filler = " ".join(["the quick brown fox and that dog have gone to be of note with them"] * 5)  # 70 words, stopword-rich
+    rows = [
+        (1, filler),                                   # clean: keep
+        (2, "short doc of the and that"),              # < 50 words
+        (3, filler + " " + "#tag " * 30),              # symbol ratio blown
+        (4, "\n".join(["- bullet line the of and to be that have with"] * 10)),  # all lines bullets
+        (5, "\n".join([filler, "trailing thought...", "another one...", "and more..."])),
+        (6, " ".join(["12345 67890"] * 40) + " the of"),  # numeric words: alpha rule fails
+        (7, " ".join(["zz"] * 60)),                    # mean word len 2 < 3, no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in tx.gopher_rules(df).collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["r_word_count"] is False and got[2]["keep"] is False
+    assert got[3]["r_symbol_ratio"] is False
+    assert got[4]["r_bullet_lines"] is False
+    assert got[5]["r_ellipsis_lines"] is False  # 3 of 4 lines end ...
+    assert got[6]["r_alpha_words"] is False
+    assert got[7]["r_mean_word_len"] is False and got[7]["r_stopwords"] is False
+
+
+def test_contamination_overlap_hand_checked(spark):
+    """n_grams = the doc's distinct trigram count; n_hits = those shared
+    with the eval corpus; disjoint docs report zero hits."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import pipeline as pl
+
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # trigrams: abc bcd cde (3)
+            (2, "x y z w"),          # trigrams: xyz yzw (2)
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "b c d e f")], "doc_id long, text string"
+    )  # trigrams: bcd cde def
+    got = {r["doc_id"]: (r["n_grams"], r["n_hits"]) for r in pl.contamination_overlap(train, eval_df).collect()}
+    assert got[1] == (3, 2)  # bcd, cde shared
+    assert got[2] == (2, 0)
