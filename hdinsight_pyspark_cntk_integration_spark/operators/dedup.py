@@ -886,6 +886,13 @@ def repeated_passages_maximal(
             cand = df.filter(
                 F.size(F.split(normalized_text(text_col), r"\s+")) >= L
             )
+            # Cheap impossibility check before the gram explode: an
+            # L-gram shared by min_docs documents needs at least
+            # min_docs documents of >= L tokens. The count reads only
+            # the text column (no gram construction) and usually kills
+            # the final empty probe level outright.
+            if cand.limit(min_docs).count() < min_docs:
+                break
             ext = (
                 cand.select(
                     F.col(id_col),
