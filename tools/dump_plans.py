@@ -28,6 +28,9 @@ HEADLINE = [
     "differential_join",
     "interval_overlap",
     "sliding_distinct",
+    "skyline_parts",
+    "gopher_rules",
+    "contamination_overlap",
 ]
 
 
