@@ -742,6 +742,27 @@ def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pl.contamination_overlap(docs, eval_df)
 
 
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram diversity counts (operators.text.
+    ngram_diversity): distinct/total uni-, bi-, and trigram counts as
+    exact integers — the Self-BLEU-style repetitiveness audit. One
+    codegen projection, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.ngram_diversity(docs)
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outliers (operators.stats.mad_outliers): order totals
+    more than 2 MADs from their priority's median — exact interpolating
+    percentiles both engines share, deterministic fp64 deviations.
+    Two partial-group aggregates + two broadcast joins."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    orders = load_table(spark, sf_dir, "orders")
+    sub = orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+    return st.mad_outliers(sub, "o_orderpriority", "o_totalprice", k=2.0)
+
+
 def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication (operators.dedup.repeated_passages):
     word 8-gram passages recurring in >= 2 distinct documents — the
@@ -3936,6 +3957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": q_decontaminate_bloom,
         "gopher_rules": q_gopher_rules,
         "contamination_overlap": q_contamination_overlap,
+        "ngram_diversity": q_ngram_diversity,
+        "mad_outliers": q_mad_outliers,
         "asof_tolerance": q_asof_tolerance,
         "repeated_passages": q_repeated_passages,
         "shard_manifest": q_shard_manifest,
@@ -4616,6 +4639,49 @@ def oracle_sql() -> dict[str, str]:
             FROM tr t LEFT JOIN ev e ON t.ngram = e.ngram
             WHERE length(t.ngram) > 0
             GROUP BY t.doc_id
+        """,
+        "ngram_diversity": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS l
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                list_filter(list_transform(generate_series(1, greatest(len(l), 1)),
+                  i -> l[i]), x -> length(x) > 0) AS g1,
+                list_filter(list_transform(generate_series(1, greatest(len(l) - 1, 1)),
+                  i -> array_to_string(l[i:i+1], ' ')), x -> length(x) > 0) AS g2,
+                list_filter(list_transform(generate_series(1, greatest(len(l) - 2, 1)),
+                  i -> array_to_string(l[i:i+2], ' ')), x -> length(x) > 0) AS g3
+              FROM toks
+            )
+            SELECT doc_id,
+              CAST(len(g1) AS BIGINT) AS total_1,
+              CAST(len(list_distinct(g1)) AS BIGINT) AS distinct_1,
+              CAST(len(g2) AS BIGINT) AS total_2,
+              CAST(len(list_distinct(g2)) AS BIGINT) AS distinct_2,
+              CAST(len(g3) AS BIGINT) AS total_3,
+              CAST(len(list_distinct(g3)) AS BIGINT) AS distinct_3
+            FROM g
+        """,
+        "mad_outliers": """
+            WITH med AS (
+              SELECT o_orderpriority,
+                percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS med
+              FROM orders GROUP BY 1
+            ), dev AS (
+              SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice, m.med,
+                abs(o.o_totalprice - m.med) AS ad
+              FROM orders o JOIN med m USING (o_orderpriority)
+            ), mad AS (
+              SELECT o_orderpriority,
+                percentile_cont(0.5) WITHIN GROUP (ORDER BY ad) AS mad
+              FROM dev GROUP BY 1
+            )
+            SELECT d.o_orderpriority, d.o_orderkey, d.o_totalprice, d.med,
+              m.mad, d.ad / m.mad AS robust_score
+            FROM dev d JOIN mad m USING (o_orderpriority)
+            WHERE m.mad > 0.0 AND d.ad > 2.0 * m.mad
         """,
         "decontaminate": r"""
             WITH sh AS (

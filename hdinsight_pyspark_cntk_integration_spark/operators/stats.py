@@ -225,3 +225,47 @@ def cusum_changepoint(
             F.col("__cusum").alias("cusum"),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier flagging by Median Absolute Deviation —
+    the heavy-tail-safe alternative to ``zscore_outliers`` (a single
+    extreme value inflates a standard deviation but barely moves a
+    median, so MAD keeps flagging power exactly where z-scores lose it).
+    Rows with \\|x − median\\| > k·MAD are returned with the group's
+    median, MAD, and the row's robust score \\|x − median\\|/MAD.
+
+    Exactness: medians are Spark's exact interpolating ``percentile``
+    (same order-statistic definition as ``percentile_cont`` everywhere),
+    deviations and thresholds are single deterministic fp64 expressions
+    — hash-identical across engines and partitionings. Degenerate
+    groups (MAD = 0, i.e. >= half the group at the median) emit nothing:
+    with a zero scale every deviation would be "infinitely" outlying,
+    the same trap the zscore operator guards (score would divide by 0).
+
+    Shape: two partial-group aggregates (median, then MAD of
+    deviations — inherently two passes since deviations need the
+    median) + two broadcast joins; per-group state is the exact
+    percentile's value buffer, bounded by the group, never the table.
+    """
+    x = F.col(value_col).cast("double")
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "__absdev", F.abs(x - F.col("med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.expr("percentile(__absdev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .filter((F.col("mad") > 0.0) & (F.col("__absdev") > F.lit(float(k)) * F.col("mad")))
+        .withColumn("robust_score", F.col("__absdev") / F.col("mad"))
+        .drop("__absdev")
+    )

@@ -970,3 +970,31 @@ def gopher_rules(
             & r_stopwords
         ).alias("keep"),
     )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Per-document n-gram diversity counts — the distinct/total n-gram
+    ratios (n = 1, 2, 3 by default) that quantify repetitiveness the way
+    Self-BLEU-style audits do: a spammy or template-stuffed document has
+    a LOW distinct fraction at higher n. Counts are returned as exact
+    integers (``total_n``, ``distinct_n``); consumers derive the ratio,
+    so output hash-matches any engine.
+
+    Same tokenization as the dedup stack (``word_ngrams`` over
+    normalized text, empty grams dropped; a document shorter than n
+    emits itself as its single "n-gram", consistent with the passage
+    operators). One projection pass, zero shuffle, codegen'd.
+    """
+    from hdinsight_pyspark_cntk_integration_spark.operators.dedup import word_ngrams
+
+    cols = [F.col(id_col)]
+    for n in ns:
+        grams = F.filter(word_ngrams(text_col, n), lambda g: F.length(g) > 0)
+        cols.append(F.size(grams).cast("long").alias(f"total_{n}"))
+        cols.append(F.size(F.array_distinct(grams)).cast("long").alias(f"distinct_{n}"))
+    return df.select(*cols)

@@ -836,3 +836,24 @@ def test_contamination_overlap_hand_checked(spark):
     got = {r["doc_id"]: (r["n_grams"], r["n_hits"]) for r in pl.contamination_overlap(train, eval_df).collect()}
     assert got[1] == (3, 2)  # bcd, cde shared
     assert got[2] == (2, 0)
+
+
+def test_ngram_diversity_hand_checked(spark):
+    """distinct/total counts per n on hand-built docs, including the
+    repetitive doc where diversity collapses and the shorter-than-n
+    whole-doc emission convention."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),   # 1g: 5 tot/2 dist; 2g: 4 tot/2 dist ("a b","b a"); 3g: 3 tot/2 dist
+            (2, "x y"),         # 3g: shorter than 3 -> whole doc once
+            (3, "w w w w"),     # fully repetitive
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in tx.ngram_diversity(df).collect()}
+    assert (got[1]["total_1"], got[1]["distinct_1"]) == (5, 2)
+    assert (got[1]["total_2"], got[1]["distinct_2"]) == (4, 2)
+    assert (got[1]["total_3"], got[1]["distinct_3"]) == (3, 2)
+    assert (got[2]["total_3"], got[2]["distinct_3"]) == (1, 1)
+    assert (got[3]["total_1"], got[3]["distinct_1"]) == (4, 1)
+    assert (got[3]["total_2"], got[3]["distinct_2"]) == (3, 1)

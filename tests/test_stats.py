@@ -107,3 +107,25 @@ def test_cusum_changepoint_locates_planted_shift(spark):
     ).collect()
     assert r["changepoint_id"] == 29
     assert r["cusum"] < 0  # below-median run accumulates negative
+
+
+def test_mad_outliers_robust_to_extreme_value(spark):
+    """The property z-scores lack: ONE extreme value inflates stddev
+    (shrinking everyone's z) but barely moves the median/MAD, so the
+    spike is still flagged and nothing else is; constant groups and
+    MAD=0 groups emit nothing."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    rows = (
+        [("g", float(v)) for v in (10, 11, 12, 13, 14, 15, 16, 17, 18, 19)]
+        + [("g", 1_000_000.0)]           # the spike
+        + [("const", 5.0)] * 20          # MAD = 0: emit nothing
+    )
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = st.mad_outliers(df, "grp", "v", k=3.0).collect()
+    assert [r["v"] for r in got] == [1_000_000.0]
+    assert got[0]["grp"] == "g"
+    assert got[0]["robust_score"] > 1000
+    # partition invariance
+    got7 = st.mad_outliers(df.repartition(7), "grp", "v", k=3.0).collect()
+    assert [r["v"] for r in got7] == [1_000_000.0]
