@@ -763,6 +763,15 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.mad_outliers(sub, "o_orderpriority", "o_totalprice", k=2.0)
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity stratification
+    (operators.text.perplexity_buckets): bigram-LM NLL per doc under the
+    micro-nat discipline, corpus tercile thresholds via one broadcast
+    1-row exact-percentile aggregate, boundary docs to the lower bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.perplexity_buckets(docs)
+
+
 def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication (operators.dedup.repeated_passages):
     word 8-gram passages recurring in >= 2 distinct documents — the
@@ -3959,6 +3968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_overlap": q_contamination_overlap,
         "ngram_diversity": q_ngram_diversity,
         "mad_outliers": q_mad_outliers,
+        "perplexity_buckets": q_perplexity_buckets,
         "asof_tolerance": q_asof_tolerance,
         "repeated_passages": q_repeated_passages,
         "shard_manifest": q_shard_manifest,
@@ -4231,7 +4241,7 @@ def _ewma_oracle_sql(alpha: float = 0.5, depth: int = 8) -> str:
 
 def oracle_sql() -> dict[str, str]:
     ev_ts = "make_timestamp(epoch_ns(ts)//1000)"
-    return {
+    oracles = {
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
               SUM(l_quantity) AS sum_qty,
@@ -7137,3 +7147,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ALL
         """,
     }
+    oracles["perplexity_buckets"] = f"""
+        WITH base AS ({oracles["bigram_logprob"]}),
+        th AS (
+          SELECT
+            percentile_cont(CAST(1 AS DOUBLE)/3) WITHIN GROUP (ORDER BY mean_nll) AS t1,
+            percentile_cont(CAST(2 AS DOUBLE)/3) WITHIN GROUP (ORDER BY mean_nll) AS t2
+          FROM base
+        )
+        SELECT b.doc_id, b.n_bigrams, b.surprisal_micro, b.mean_nll,
+          CASE WHEN b.mean_nll <= t.t1 THEN 'head'
+               WHEN b.mean_nll <= t.t2 THEN 'middle'
+               ELSE 'tail' END AS ppl_bucket
+        FROM base b CROSS JOIN th t
+    """
+    return oracles

@@ -998,3 +998,42 @@ def ngram_diversity(
         cols.append(F.size(grams).cast("long").alias(f"total_{n}"))
         cols.append(F.size(F.array_distinct(grams)).cast("long").alias(f"distinct_{n}"))
     return df.select(*cols)
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): score every document with the corpus bigram LM
+    (:func:`bigram_logprob`, micro-nat discipline) and label it
+    ``head`` / ``middle`` / ``tail`` by the corpus NLL terciles — the
+    standard quality stratification pipelines sample from (head = most
+    fluent, tail = candidates for dropping).
+
+    Determinism: mean_nll derives from exact integer micro-nat sums;
+    the tercile thresholds are exact interpolating percentiles (the
+    order-statistic definition both engines share); bucket comparisons
+    are then exact fp64. Boundary docs (mean_nll == threshold) land in
+    the LOWER bucket in both engines.
+
+    Shape: the LM scoring plan (one explode + co-keyed re-aggregations),
+    then ONE 1-row global percentile aggregate broadcast back over the
+    per-doc score table (|docs| rows, never the token stream).
+    """
+    scored = bigram_logprob(df, id_col=id_col, text_col=text_col)
+    th = scored.agg(
+        F.expr("percentile(mean_nll, CAST(1 AS DOUBLE)/3)").alias("__t1"),
+        F.expr("percentile(mean_nll, CAST(2 AS DOUBLE)/3)").alias("__t2"),
+    )
+    return scored.crossJoin(F.broadcast(th)).select(
+        F.col(id_col),
+        "n_bigrams",
+        "surprisal_micro",
+        "mean_nll",
+        F.when(F.col("mean_nll") <= F.col("__t1"), F.lit("head"))
+        .when(F.col("mean_nll") <= F.col("__t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )

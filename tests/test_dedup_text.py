@@ -857,3 +857,23 @@ def test_ngram_diversity_hand_checked(spark):
     assert (got[2]["total_3"], got[2]["distinct_3"]) == (1, 1)
     assert (got[3]["total_1"], got[3]["distinct_1"]) == (4, 1)
     assert (got[3]["total_2"], got[3]["distinct_2"]) == (3, 1)
+
+
+def test_perplexity_buckets_terciles(spark):
+    """Head/middle/tail split the scored docs into near-thirds and order
+    by fluency: repetitive docs sampled from a tight template score
+    lower NLL (head) than docs of rare-word salad (tail)."""
+    rows = [(i, "the cat sat on the mat and the dog ran") for i in range(6)]
+    rows += [(10 + i, f"zq{i}x wublon{i} frimble{i} vorpal{i} snark{i} grue{i}") for i in range(6)]
+    rows += [(20 + i, "the cat sat on the mat beside a " + f"rare{i} word") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = tx.perplexity_buckets(df).toPandas()
+    assert set(got["ppl_bucket"]) == {"head", "middle", "tail"}
+    by = got.groupby("ppl_bucket")["mean_nll"]
+    assert by.max()["head"] <= by.min()["middle"] or by.max()["head"] <= by.max()["middle"]
+    assert by.max()["middle"] <= by.min()["tail"] + 1e-9
+    # template docs are fluent under the corpus LM; salad docs are not
+    tmpl = got[got["doc_id"] < 10]["ppl_bucket"]
+    salad = got[(got["doc_id"] >= 10) & (got["doc_id"] < 20)]["ppl_bucket"]
+    assert (tmpl == "head").all()
+    assert (salad != "head").all()
