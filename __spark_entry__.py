@@ -772,6 +772,22 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.perplexity_buckets(docs)
 
 
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup closure (operators.dedup.embedding_dedup): exact cosine
+    verify at threshold 0.4, transitive components, min-id
+    representative kept. Candidates here are the exact all-pairs set so
+    the DuckDB oracle (brute-force pairs + recursive-CTE closure) is
+    checkable; the scale path passes LSH candidates instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids = emb.select("vec_id")
+    cand = (
+        ids.select(F.col("vec_id").alias("id_a"))
+        .join(F.broadcast(ids.select(F.col("vec_id").alias("id_b"))),
+              F.col("id_a") < F.col("id_b"))
+    )
+    return dd.embedding_dedup(emb, threshold=0.4, candidates=cand).select("vec_id")
+
+
 def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication (operators.dedup.repeated_passages):
     word 8-gram passages recurring in >= 2 distinct documents — the
@@ -3969,6 +3985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_diversity": q_ngram_diversity,
         "mad_outliers": q_mad_outliers,
         "perplexity_buckets": q_perplexity_buckets,
+        "embedding_dedup": q_embedding_dedup,
         "asof_tolerance": q_asof_tolerance,
         "repeated_passages": q_repeated_passages,
         "shard_manifest": q_shard_manifest,
@@ -4692,6 +4709,30 @@ def oracle_sql() -> dict[str, str]:
               m.mad, d.ad / m.mad AS robust_score
             FROM dev d JOIN mad m USING (o_orderpriority)
             WHERE m.mad > 0.0 AND d.ad > 2.0 * m.mad
+        """,
+        "embedding_dedup": """
+            WITH RECURSIVE ev AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+              WHERE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+            ), edges AS (
+              SELECT id_a AS a, id_b AS b FROM p
+              UNION ALL
+              SELECT id_b AS a, id_a AS b FROM p
+            ), reach(node, rid) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e2.b, r.rid FROM reach r JOIN edges e2 ON e2.a = r.node
+            ), comp AS (
+              SELECT node, MIN(rid) AS component FROM reach GROUP BY node
+            ), drops AS (
+              SELECT node FROM comp WHERE node <> component
+            )
+            SELECT vec_id FROM embeddings
+            WHERE vec_id NOT IN (SELECT node FROM drops)
         """,
         "decontaminate": r"""
             WITH sh AS (

@@ -1219,3 +1219,62 @@ def near_dup_against(
         )
     )
     return out.filter(F.col("jaccard") >= float(threshold))
+
+
+def embedding_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    bands: int = 16,
+    seed: int = 42,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup CLOSURE (Abbas et al. 2023,
+    arXiv:2303.09540 — the embedding-space analogue of ``minhash_dedup``):
+    generate candidate pairs, verify by EXACT cosine >= ``threshold``,
+    collapse transitive duplicate groups (:func:`connected_components`),
+    keep the min-id representative of every group. Returns the kept rows
+    of ``df`` unchanged — the corpus with semantic near-dups dropped.
+
+    Candidates default to banded random-hyperplane LSH
+    (:func:`embedding_near_dup_candidates` — Σ|bucket|² per band, never
+    n²; probabilistic recall amplified by banding). Pass ``candidates``
+    explicitly for an exact generator (the oracle-checkable gate does:
+    all-pairs is fine at fixture scale, and the closure downstream of
+    the pair set is deterministic either way).
+
+    Shape: candidate generation (bucketed self-join) → exact verify
+    (two id-keyed hash joins fetch vectors; cosine is one fp64
+    expression) → pointer-jumping components over the DUPLICATE PAIRS
+    ONLY (bounded by the near-dup volume, not the corpus) → one
+    broadcast anti-join drops non-representatives.
+    """
+    from hdinsight_pyspark_cntk_integration_spark.functions.vector import dot, l2_norm
+
+    if candidates is None:
+        candidates = embedding_near_dup_candidates(
+            df, id_col=id_col, vec_col=vec_col,
+            num_planes=num_planes, bands=bands, seed=seed,
+        )
+    base = df.select(F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("__nrm"))
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col("__nrm").alias("__na")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), F.col("__nrm").alias("__nb")
+    )
+    denom = F.col("__na") * F.col("__nb")
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(dot("__va", "__vb") / denom)
+    dup_pairs = (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(cos >= float(threshold))
+        .select("id_a", "id_b")
+    )
+    comps = connected_components(dup_pairs)
+    drops = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(F.broadcast(drops), id_col, "left_anti")

@@ -877,3 +877,26 @@ def test_perplexity_buckets_terciles(spark):
     salad = got[(got["doc_id"] >= 10) & (got["doc_id"] < 20)]["ppl_bucket"]
     assert (tmpl == "head").all()
     assert (salad != "head").all()
+
+
+def test_embedding_dedup_planted_groups(spark):
+    """Planted near-dup chain A~B~C collapses to min-id A; the opposite
+    vector and an unrelated axis survive; LSH-candidate path agrees with
+    the exact-candidate path on this corpus."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),    # ~1
+        (3, [0.995, 0.02, 0.0, 0.0]),    # ~1,2 (chain)
+        (4, [-1.0, 0.0, 0.0, 0.0]),      # opposite: cos=-1, kept
+        (5, [0.0, 0.0, 1.0, 0.0]),       # orthogonal, kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept_lsh = {r["vec_id"] for r in dd.embedding_dedup(df, threshold=0.9, num_planes=8, bands=16).collect()}
+    ids = df.select("vec_id")
+    cand = (
+        ids.select(F.col("vec_id").alias("id_a"))
+        .join(ids.select(F.col("vec_id").alias("id_b")), F.col("id_a") < F.col("id_b"))
+    )
+    kept_exact = {r["vec_id"] for r in dd.embedding_dedup(df, threshold=0.9, candidates=cand).collect()}
+    assert kept_exact == {1, 4, 5}
+    assert kept_lsh == kept_exact
