@@ -788,6 +788,35 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.embedding_dedup(emb, threshold=0.4, candidates=cand).select("vec_id")
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl URL canonicalization + dedup (functions.textfns.
+    canonical_url): four deterministic messy variants per page group
+    (case-shuffled scheme/host, utm/fbclid tracking params, fragments,
+    trailing slash, unsorted params) collapse to their canonical form;
+    output is per canonical URL the variant count and min doc id — pure
+    string algebra, one projection + one partial-agg groupBy."""
+    from hdinsight_pyspark_cntk_integration_spark.functions.textfns import canonical_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = (F.col("doc_id") / 4).cast("long").cast("string")
+    site = F.concat(F.lit("site"), F.pmod((F.col("doc_id") / 4).cast("long"), F.lit(5)).cast("string"))
+    v = F.pmod(F.col("doc_id"), F.lit(4))
+    raw = (
+        F.when(v == 0, F.concat(F.lit("https://"), F.upper(site), F.lit(".Example.com/page/"), k, F.lit("/?utm_source=a&b=2&a=1")))
+        .when(v == 1, F.concat(F.lit("HTTPS://"), site, F.lit(".example.COM/page/"), k, F.lit("?a=1&b=2&fbclid=xyz#top")))
+        .when(v == 2, F.concat(F.lit("https://"), site, F.lit(".example.com/page/"), k, F.lit("?b=2&a=1")))
+        .otherwise(F.concat(F.lit("https://"), site, F.lit(".EXAMPLE.com/page/"), k, F.lit("#frag")))
+    )
+    return (
+        docs.select(F.col("doc_id"), canonical_url(raw).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
 def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication (operators.dedup.repeated_passages):
     word 8-gram passages recurring in >= 2 distinct documents — the
@@ -3986,6 +4015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "perplexity_buckets": q_perplexity_buckets,
         "embedding_dedup": q_embedding_dedup,
+        "url_dedup": q_url_dedup,
         "asof_tolerance": q_asof_tolerance,
         "repeated_passages": q_repeated_passages,
         "shard_manifest": q_shard_manifest,
@@ -4733,6 +4763,53 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id FROM embeddings
             WHERE vec_id NOT IN (SELECT node FROM drops)
+        """,
+        "url_dedup": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                CASE doc_id % 4
+                  WHEN 0 THEN 'https://' || upper('site' || CAST((doc_id // 4) % 5 AS VARCHAR)) || '.Example.com/page/' || CAST(doc_id // 4 AS VARCHAR) || '/?utm_source=a&b=2&a=1'
+                  WHEN 1 THEN 'HTTPS://' || 'site' || CAST((doc_id // 4) % 5 AS VARCHAR) || '.example.COM/page/' || CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2&fbclid=xyz#top'
+                  WHEN 2 THEN 'https://' || 'site' || CAST((doc_id // 4) % 5 AS VARCHAR) || '.example.com/page/' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1'
+                  ELSE 'https://' || 'site' || CAST((doc_id // 4) % 5 AS VARCHAR) || '.EXAMPLE.com/page/' || CAST(doc_id // 4 AS VARCHAR) || '#frag'
+                END AS url
+              FROM documents
+            ), parts AS (
+              SELECT doc_id,
+                split_part(url, '#', 1) AS no_frag
+              FROM raw
+            ), comps AS (
+              SELECT doc_id,
+                split_part(no_frag, '?', 1) AS head,
+                CASE WHEN strpos(no_frag, '?') > 0
+                     THEN split_part(no_frag, '?', 2) ELSE '' END AS query
+              FROM parts
+            ), hp AS (
+              SELECT doc_id, query,
+                lower(split_part(head, '://', 1)) || '://' ||
+                  lower(split_part(split_part(head, '://', 2), '/', 1)) AS scheme_host,
+                CASE WHEN strpos(split_part(head, '://', 2), '/') > 0
+                     THEN '/' || substr(split_part(head, '://', 2),
+                                        strpos(split_part(head, '://', 2), '/') + 1)
+                     ELSE '' END AS path0
+              FROM comps
+            ), np AS (
+              SELECT doc_id, query, scheme_host,
+                CASE WHEN length(path0) > 1 AND ends_with(path0, '/')
+                     THEN substring(path0, 1, length(path0) - 1)
+                     ELSE path0 END AS path,
+                array_to_string(list_sort(list_filter(string_split(query, '&'),
+                  p -> length(p) > 0 AND NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)='))), '&') AS canon_q
+              FROM hp
+            ), canon AS (
+              SELECT doc_id,
+                scheme_host || path ||
+                  CASE WHEN length(canon_q) > 0 THEN '?' || canon_q ELSE '' END AS canon_url
+              FROM np
+            )
+            SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_variants,
+              MIN(doc_id) AS min_doc_id
+            FROM canon GROUP BY canon_url
         """,
         "decontaminate": r"""
             WITH sh AS (

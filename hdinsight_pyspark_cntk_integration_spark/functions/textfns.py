@@ -66,3 +66,55 @@ def rolling_hash(col: Column | str, base: int = 31, mod: int = 1_000_003) -> Col
         lambda acc, ch: F.pmod(acc * base + F.ascii(ch), F.lit(mod)),
     )
     return F.when(F.length(c) == 0, F.lit(0).cast("long")).otherwise(folded)
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Crawl-pipeline URL canonicalization — the normalization step that
+    makes URL-keyed dedup/frontier logic see ``HTTP://Example.com/a?utm_
+    source=x&q=1#frag`` and ``http://example.com/a?q=1`` as the same
+    page. Deterministic string algebra only (no UDF, reproducible in
+    ANSI-ish SQL for the oracle):
+
+    1. lowercase the scheme and host (path/query case is preserved —
+       paths are case-sensitive on most servers);
+    2. drop the fragment (``#...`` never reaches the server);
+    3. drop known tracking parameters (``utm_*``, ``fbclid``,
+       ``gclid``, ``ref``);
+    4. sort the surviving query parameters (param order is not
+       semantically significant);
+    5. drop a trailing ``?`` left by an emptied query and a trailing
+       ``/`` on a non-root path.
+    """
+    c = _c(col)
+    # split off fragment
+    no_frag = F.split(c, "#", 2)[0]
+    head = F.split(no_frag, r"\?", 2)[0]
+    query = F.when(
+        F.instr(no_frag, "?") > 0, F.substring_index(no_frag, "?", -1)
+    ).otherwise(F.lit(""))
+    # lowercase scheme://host (the prefix up to the first '/' after '://')
+    scheme_host = F.concat(
+        F.lower(F.substring_index(head, "://", 1)),
+        F.lit("://"),
+        F.lower(F.split(F.substring_index(head, "://", -1), "/", 2)[0]),
+    )
+    path = F.when(
+        F.instr(F.substring_index(head, "://", -1), "/") > 0,
+        F.concat(F.lit("/"), F.split(F.substring_index(head, "://", -1), "/", 2)[1]),
+    ).otherwise(F.lit(""))
+    # strip ONE trailing slash from a non-root path
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.substring(path, 1, F.length(path) - 1),
+    ).otherwise(path)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0)
+        & ~p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme_host,
+        path,
+        F.when(F.length(canon_q) > 0, F.concat(F.lit("?"), canon_q)).otherwise(F.lit("")),
+    )

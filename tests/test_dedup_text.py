@@ -900,3 +900,25 @@ def test_embedding_dedup_planted_groups(spark):
     kept_exact = {r["vec_id"] for r in dd.embedding_dedup(df, threshold=0.9, candidates=cand).collect()}
     assert kept_exact == {1, 4, 5}
     assert kept_lsh == kept_exact
+
+
+def test_canonical_url_hand_checked(spark):
+    """Tracking params dropped, params sorted, scheme/host lowercased
+    (path case kept), fragment gone, trailing slash stripped on
+    non-root paths, root path untouched."""
+    from hdinsight_pyspark_cntk_integration_spark.functions.textfns import canonical_url
+
+    cases = [
+        (1, "HTTPS://Example.COM/A/b/?utm_source=x&b=2&a=1#frag",
+            "https://example.com/A/b?a=1&b=2"),
+        (2, "https://example.com/a?fbclid=z&gclid=y&ref=home",
+            "https://example.com/a"),
+        (3, "http://EXAMPLE.com/", "http://example.com/"),
+        (4, "http://example.com", "http://example.com"),
+        (5, "https://example.com/p?b=2&a=1",
+            "https://example.com/p?a=1&b=2"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases], "id long, url string")
+    got = {r["id"]: r["c"] for r in df.select("id", canonical_url("url").alias("c")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
