@@ -817,6 +817,33 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search via Reciprocal Rank Fusion (operators.similarity.
+    rrf_fuse): the BM25 top-20 for the fixed term set fused with the
+    embedding-cosine top-20 against document 0's vector (ids align
+    across the documents/embeddings fixtures); score = sum of
+    1/(60+rank), ranks tie-broken on doc_id — fully deterministic.
+    Rank windows run over the truncated 20-row lists only."""
+    from hdinsight_pyspark_cntk_integration_spark.functions.vector import dot, l2_norm
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = tx.bm25_scores(docs, _BM25_TERMS, top_k=20).select("doc_id", "bm25")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__qv"), l2_norm("embedding").alias("__qn")
+    )
+    cos = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (dot("embedding", "__qv") / (l2_norm("embedding") * F.col("__qn"))).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.col("doc_id"))
+        .limit(20)
+    )
+    return sim.rrf_fuse([(bm, "bm25"), (cos, "cos")], id_col="doc_id", rrf_k=60, top_n=10)
+
+
 def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication (operators.dedup.repeated_passages):
     word 8-gram passages recurring in >= 2 distinct documents — the
@@ -4016,6 +4043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "embedding_dedup": q_embedding_dedup,
         "url_dedup": q_url_dedup,
+        "hybrid_rrf": q_hybrid_rrf,
         "asof_tolerance": q_asof_tolerance,
         "repeated_passages": q_repeated_passages,
         "shard_manifest": q_shard_manifest,
@@ -7265,6 +7293,36 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ALL
         """,
     }
+    oracles["hybrid_rrf"] = f"""
+        WITH bm AS ({oracles["bm25_search"]}),
+        bmr AS (
+          SELECT doc_id,
+            CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank_0
+          FROM bm
+        ),
+        ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM ev WHERE vec_id = 0),
+        cosl AS (
+          SELECT vec_id AS doc_id,
+            list_dot_product(v, qv)
+              / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS cos
+          FROM ev CROSS JOIN q
+          ORDER BY cos DESC, doc_id LIMIT 20
+        ),
+        annr AS (
+          SELECT doc_id,
+            CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INTEGER) AS rank_1
+          FROM cosl
+        ),
+        f AS (
+          SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id, b.rank_0, a.rank_1,
+            COALESCE(1.0 / (60.0 + CAST(b.rank_0 AS DOUBLE)), 0.0)
+              + COALESCE(1.0 / (60.0 + CAST(a.rank_1 AS DOUBLE)), 0.0) AS rrf_score
+          FROM bmr b FULL OUTER JOIN annr a ON b.doc_id = a.doc_id
+        )
+        SELECT doc_id, rank_0, rank_1, rrf_score FROM f
+        ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """
     oracles["perplexity_buckets"] = f"""
         WITH base AS ({oracles["bigram_logprob"]}),
         th AS (

@@ -19,7 +19,9 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hdinsight_pyspark_cntk_integration_spark.functions.vector import cosine_similarity, dot, l2_norm
@@ -793,4 +795,48 @@ def ivfpq_topk(
     ranked = bounded_topk(scored.withColumn("g", F.lit(1)), "g", item, k)
     return ranked.select(F.explode("top").alias("t")).select(
         F.col("t.id").alias(id_col), F.col("t.adc_dist").alias("adc_dist")
+    )
+
+
+def rrf_fuse(
+    lists: Sequence[tuple[DataFrame, str]],
+    id_col: str = "doc_id",
+    rrf_k: int = 60,
+    top_n: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) — the standard
+    hybrid-search combiner: given N ranked candidate lists (e.g. BM25
+    lexical + embedding-cosine semantic), score each doc
+    Σ_lists 1/(k + rank) and return the fused top-``top_n``. RRF needs
+    no score calibration between lists — only ranks — which is exactly
+    why it is the default fusion in production hybrid retrieval.
+
+    Inputs are (df, score_col) pairs ALREADY truncated to bounded
+    candidate sets (each list is a top-k result, never a corpus): the
+    per-list rank window therefore runs over <= top_k rows — bounded
+    driver-side-style state, not a corpus-sized global window. Ranks
+    tie-break on ``id_col`` so the fusion is fully deterministic; the
+    fused score is a fixed-order sum of 1/(k+rank) terms (exact fp64 on
+    integer ranks), so output hash-matches any engine. A doc missing
+    from a list contributes 0 for that list (standard RRF).
+    """
+    if not lists:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    fused = None
+    rank_cols: list[str] = []
+    for i, (df, score_col) in enumerate(lists):
+        w = Window.orderBy(F.desc(score_col), F.col(id_col))
+        r = df.select(F.col(id_col), F.row_number().over(w).alias(f"rank_{i}"))
+        rank_cols.append(f"rank_{i}")
+        fused = r if fused is None else fused.join(r, id_col, "full_outer")
+    score = None
+    for rc in rank_cols:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(rc).cast("double")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    return (
+        fused.withColumn("rrf_score", score)
+        .orderBy(F.desc("rrf_score"), F.col(id_col))
+        .limit(top_n)
     )

@@ -212,6 +212,9 @@ _INTENTIONAL_LINT = {
     "sentence_split": {"python-row-udf"},
     "distinct_labels": {"global-sort"},
     "yoy_growth": {"global-window"},
+    # hybrid_rrf — rank windows run over the two top-20-truncated
+    #   candidate lists (<= 20 rows each), never a corpus
+    "hybrid_rrf": {"global-window"},
     # sliding_distinct — sketch-union window over the per-DAY aggregate
     #   (|days| rows of KB sketches, never the fact table)
     "sliding_distinct": {"global-window"},

@@ -347,3 +347,31 @@ def test_ivfpq_probe_prunes_cells(spark):
     probed_counts = enc.groupBy("cell").count().collect()
     assert len(probed_counts) == 6
     assert sum(r["count"] for r in probed_counts) == total
+
+
+def test_rrf_fuse_hand_checked(spark):
+    """RRF arithmetic and missing-list handling: a doc in both lists
+    outranks docs in one; ranks tie-break on id; fused score equals the
+    hand-computed 1/(k+r) sum."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import similarity as sim
+
+    a = spark.createDataFrame(
+        [(1, 10.0), (2, 9.0), (3, 8.0)], "doc_id long, s1 double"
+    )
+    b = spark.createDataFrame(
+        [(2, 0.9), (4, 0.8), (1, 0.7)], "doc_id long, s2 double"
+    )
+    got = sim.rrf_fuse([(a, "s1"), (b, "s2")], rrf_k=60, top_n=4).collect()
+    rows = {r["doc_id"]: r for r in got}
+    # doc 2: rank 2 in a, rank 1 in b
+    assert rows[2]["rank_0"] == 2 and rows[2]["rank_1"] == 1
+    assert rows[2]["rrf_score"] == 1.0 / 62 + 1.0 / 61
+    # doc 1: rank 1 in a, rank 3 in b -> best fused
+    assert rows[1]["rrf_score"] == 1.0 / 61 + 1.0 / 63
+    # doc 4 only in b
+    assert rows[4]["rank_0"] is None
+    assert rows[4]["rrf_score"] == 1.0 / 62
+    order = [r["doc_id"] for r in got]
+    assert order[0] in (1, 2) and set(order) == {1, 2, 3, 4}
+    # both-list docs outrank single-list docs here
+    assert order.index(4) > order.index(1) and order.index(4) > order.index(2)
