@@ -844,6 +844,28 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.rrf_fuse([(bm, "bm25"), (cos, "cos")], id_col="doc_id", rrf_k=60, top_n=10)
 
 
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates (operators.sketch.cms_build
+    / cms_estimate): a 4x512 CMS over orders' o_custkey, probed for 25
+    customers, paired with exact counts and the one-sided bound check
+    (est >= exact always). The Knuth affine bucket family keeps the
+    whole estimator in SQL-reproducible integer arithmetic."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import sketch as sk
+
+    orders = load_table(spark, sf_dir, "orders")
+    sketch = sk.cms_build(orders, "o_custkey", depth=4, width=512)
+    probes = orders.select("o_custkey").filter(F.col("o_custkey") % 40 == 1).distinct()
+    est = sk.cms_estimate(sketch, probes, "o_custkey", depth=4, width=512)
+    exact = (
+        orders.join(probes, "o_custkey", "left_semi")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    )
+    return est.join(exact, "o_custkey").select(
+        "o_custkey", "est", "exact", (F.col("est") >= F.col("exact")).alias("bound_ok")
+    )
+
+
 def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication (operators.dedup.repeated_passages):
     word 8-gram passages recurring in >= 2 distinct documents — the
@@ -4044,6 +4066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": q_embedding_dedup,
         "url_dedup": q_url_dedup,
         "hybrid_rrf": q_hybrid_rrf,
+        "cms_counts": q_cms_counts,
         "asof_tolerance": q_asof_tolerance,
         "repeated_passages": q_repeated_passages,
         "shard_manifest": q_shard_manifest,
@@ -4838,6 +4861,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_variants,
               MIN(doc_id) AS min_doc_id
             FROM canon GROUP BY canon_url
+        """,
+        "cms_counts": """
+            WITH cells AS (
+              SELECT 0 AS d, ((o_custkey % 1000003) * 427799 + 40503) % 1000003 % 512 AS bucket, o_custkey FROM orders UNION ALL SELECT 1 AS d, ((o_custkey % 1000003) * 283394 + 81006) % 1000003 % 512 AS bucket, o_custkey FROM orders UNION ALL SELECT 2 AS d, ((o_custkey % 1000003) * 138989 + 121509) % 1000003 % 512 AS bucket, o_custkey FROM orders UNION ALL SELECT 3 AS d, ((o_custkey % 1000003) * 994587 + 162012) % 1000003 % 512 AS bucket, o_custkey FROM orders
+            ), sk AS (
+              SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM cells GROUP BY d, bucket
+            ), probes AS (
+              SELECT DISTINCT o_custkey FROM orders WHERE o_custkey % 40 = 1
+            ), pb AS (
+              SELECT p.o_custkey, g.d,
+                ((p.o_custkey % 1000003) * (CASE g.d WHEN 0 THEN 427799 WHEN 1 THEN 283394 WHEN 2 THEN 138989 ELSE 994587 END)
+                  + (CASE g.d WHEN 0 THEN 40503 WHEN 1 THEN 81006 WHEN 2 THEN 121509 ELSE 162012 END)) % 1000003 % 512 AS bucket
+              FROM probes p CROSS JOIN (SELECT unnest([0,1,2,3]) AS d) g
+            ), est AS (
+              SELECT pb.o_custkey, MIN(COALESCE(sk.cnt, 0)) AS est
+              FROM pb LEFT JOIN sk ON sk.d = pb.d AND sk.bucket = pb.bucket
+              GROUP BY pb.o_custkey
+            ), exact AS (
+              SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS exact
+              FROM orders WHERE o_custkey % 40 = 1 GROUP BY o_custkey
+            )
+            SELECT e.o_custkey, CAST(e.est AS BIGINT) AS est, x.exact,
+              e.est >= x.exact AS bound_ok
+            FROM est e JOIN exact x USING (o_custkey)
         """,
         "decontaminate": r"""
             WITH sh AS (

@@ -15,7 +15,7 @@ of per-group sketches) == estimate(sketch of the whole).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -323,4 +323,100 @@ def hll_sliding_distinct(
     return daily.select(
         "day",
         F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("est"),
+    )
+
+
+_CMS_P = 1_000_003
+_CMS_A = 2654435761
+_CMS_B = 40503
+
+
+def _cms_bucket(key: Column, d: int, width: int) -> Column:
+    """Row d's CMS bucket for an integer key: the Knuth affine family
+    ((x mod p)·A_d + B_d mod p) mod width — pure 64-bit-safe integer
+    arithmetic (product < 2^63 for any input), reproducible in ANSI SQL
+    so the estimator is oracle-checkable."""
+    a = (2 * d + 1) * _CMS_A % _CMS_P
+    b = (d + 1) * _CMS_B % _CMS_P
+    return F.pmod(
+        F.pmod(F.pmod(key.cast("long"), F.lit(_CMS_P)) * F.lit(a) + F.lit(b), F.lit(_CMS_P)),
+        F.lit(width),
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over an integer
+    key column, materialized as its (d, bucket, cnt) cell table — the
+    mergeable frequency sketch that answers "how often does key x
+    occur?" in O(depth) probes with a one-sided error: estimates never
+    undercount, and overcount by <= e·N/width with probability
+    1 − e^−depth. The table form IS the storage contract (like the HLL
+    and t-digest operators): per-shard sketches are plain parquet and
+    merge by union + sum (:func:`cms_merge`) — yesterday's cells never
+    need recomputing.
+
+    Shape: one explode to ``depth`` rows per input row (constant
+    factor), ONE partial-agg groupBy; the sketch is depth × width cells
+    regardless of corpus size.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError(f"need depth >= 1 and width >= 1 (got {depth}, {width})")
+    key = F.col(key_col)
+    cells = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"), _cms_bucket(key, d, width).alias("bucket")
+                )
+                for d in range(depth)
+            ])
+        ).alias("x")
+    ).select("x.d", "x.bucket")
+    return cells.groupBy("d", "bucket").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS cell tables built with the SAME (depth, width): union +
+    per-cell sum — exact integer arithmetic under any merge order, the
+    same mergeability contract as ``hll_union_agg`` storage."""
+    if len(sketches) < 2:
+        raise ValueError("cms_merge needs at least two sketches")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "bucket").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-frequency estimates for the probe keys: min over the depth
+    rows of each key's cell counts (an absent cell is 0). Returns
+    (key_col, est) — est >= the true count always; the bound gate pairs
+    it with exact counts."""
+    key = F.col(key_col)
+    pb = probes.select(
+        key,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"), _cms_bucket(key, d, width).alias("bucket")
+                )
+                for d in range(depth)
+            ])
+        ).alias("x"),
+    ).select(key_col, "x.d", "x.bucket")
+    return (
+        pb.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est"))
     )

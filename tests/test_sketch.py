@@ -194,3 +194,33 @@ def test_hll_sliding_distinct_calendar_gap(spark):
     assert est[2] == 5  # 2024-03-02: its own 5 users
     assert est[3] == 10  # 2024-03-03: days 2+3 inside the 3-day window
     assert est[11] == 7  # 2024-03-11: the gap means ONLY its own 7 users
+
+
+def test_cms_never_undercounts_and_merges_exactly(spark):
+    """The CMS one-sided guarantee (est >= exact for every key, exact
+    when no collisions) and the mergeability contract: sketch(A) merged
+    with sketch(B) cell-equals sketch(A union B), and estimates from the
+    merged sketch match the whole-corpus sketch."""
+    from pyspark.sql import functions as F
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import sketch as sk
+
+    rows = [(k,) for k in range(50) for _ in range(k % 7 + 1)]
+    df = spark.createDataFrame(rows, "k long")
+    a, b = df.filter(F.col("k") < 25), df.filter(F.col("k") >= 25)
+    whole = sk.cms_build(df, "k", depth=4, width=256)
+    merged = sk.cms_merge(sk.cms_build(a, "k", depth=4, width=256),
+                          sk.cms_build(b, "k", depth=4, width=256))
+    cells_w = sorted(map(tuple, whole.collect()))
+    cells_m = sorted(map(tuple, merged.collect()))
+    assert cells_w == cells_m
+    probes = df.select("k").distinct()
+    est = {r["k"]: r["est"] for r in sk.cms_estimate(whole, probes, "k", depth=4, width=256).collect()}
+    exact = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(est[k] >= exact[k] for k in exact)
+    # at 50 keys x 256 buckets x 4 rows, expect most estimates exact
+    assert sum(est[k] == exact[k] for k in exact) >= 45
+    # absent key: estimate is >= 0 and bounded by total mass
+    absent = spark.createDataFrame([(999,)], "k long")
+    [r] = sk.cms_estimate(whole, absent, "k", depth=4, width=256).collect()
+    assert 0 <= r["est"] <= len(rows)
