@@ -3979,13 +3979,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver gate window (first 50): core flagship set + a
-        # --- per-round ROTATION slot. Round 7 rotates IN the 16 queries
-        # --- that had never appeared in a driver CORRECTNESS artifact
-        # --- (stats family, set_similarity, bpe_vocab,
+        # --- per-round ROTATION slot. Round 7 rotates IN the 16
+        # --- queries that had never appeared in a driver CORRECTNESS
+        # --- artifact (stats family, set_similarity, bpe_vocab,
         # --- repeated_passages_maximal, strip_boilerplate, heavy_users,
         # --- triangle_count, quantile_transform, winsorize,
-        # --- auto_histogram, modern_sql_sugar); the 16 rotated-out
-        # --- queries are mirrored in PARITY_r7.json.
+        # --- auto_histogram, modern_sql_sugar) PLUS the round's 9 new
+        # --- operators (gopher_rules, contamination_overlap,
+        # --- ngram_diversity, mad_outliers, perplexity_buckets,
+        # --- embedding_dedup, url_dedup, hybrid_rrf, cms_counts); all
+        # --- rotated-out queries are mirrored in PARITY_r7.json.
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "region_revenue": q_region_revenue,
@@ -4004,22 +4007,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_accuracy": q_score_accuracy,
         "skyline_parts": q_skyline_parts,
         "outlier_zscore": q_outlier_zscore,
-        "tdigest_quantiles": q_tdigest_quantiles,
         "upsert_aggregate": q_upsert_aggregate,
-        "session_window_native": q_session_window_native,
-        "dedup_window": q_dedup_window,
         "bfs_supply_chain": q_bfs_supply_chain,
         "pq_ann": q_pq_ann,
         "sliding_distinct": q_sliding_distinct,
         "ivfpq_ann": q_ivfpq_ann,
         "phash_near_dup": q_phash_near_dup,
         "interval_overlap": q_interval_overlap,
-        "asof_nearest": q_asof_nearest,
-        "balanced_buckets": q_balanced_buckets,
-        "feature_hashing": q_feature_hashing,
-        "differential_join": q_differential_join,
-        "gini": q_gini,
-        "token_entropy": q_token_entropy,
         "rank_sum_test": q_rank_sum_test,
         "ks_test": q_ks_test,
         "spearman": q_spearman,
@@ -4036,7 +4030,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "auto_histogram": q_auto_histogram,
         "modern_sql_sugar": q_modern_sql_sugar,
+        "gopher_rules": q_gopher_rules,
+        "contamination_overlap": q_contamination_overlap,
+        "ngram_diversity": q_ngram_diversity,
+        "mad_outliers": q_mad_outliers,
+        "perplexity_buckets": q_perplexity_buckets,
+        "embedding_dedup": q_embedding_dedup,
+        "url_dedup": q_url_dedup,
+        "hybrid_rrf": q_hybrid_rrf,
+        "cms_counts": q_cms_counts,
         # --- full registry continues (covered by tools/check_parity.py) ---
+        "session_window_native": q_session_window_native,
+        "dedup_window": q_dedup_window,
+        "asof_nearest": q_asof_nearest,
+        "balanced_buckets": q_balanced_buckets,
+        "feature_hashing": q_feature_hashing,
+        "differential_join": q_differential_join,
+        "gini": q_gini,
+        "token_entropy": q_token_entropy,
+        "tdigest_quantiles": q_tdigest_quantiles,
         "ewma": q_ewma,
         "benford_digits": q_benford_digits,
         "chi_square": q_chi_square,
@@ -4058,15 +4070,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": q_minhash_near_dup,
         "simhash": q_simhash,
         "decontaminate_bloom": q_decontaminate_bloom,
-        "gopher_rules": q_gopher_rules,
-        "contamination_overlap": q_contamination_overlap,
-        "ngram_diversity": q_ngram_diversity,
-        "mad_outliers": q_mad_outliers,
-        "perplexity_buckets": q_perplexity_buckets,
-        "embedding_dedup": q_embedding_dedup,
-        "url_dedup": q_url_dedup,
-        "hybrid_rrf": q_hybrid_rrf,
-        "cms_counts": q_cms_counts,
         "asof_tolerance": q_asof_tolerance,
         "repeated_passages": q_repeated_passages,
         "shard_manifest": q_shard_manifest,
