@@ -95,6 +95,16 @@ PIPELINE = [
     "dedup_window",
     "event_paths",
     "bfs_supply_chain",
+    # round-7 additions
+    "gopher_rules",
+    "contamination_overlap",
+    "ngram_diversity",
+    "mad_outliers",
+    "perplexity_buckets",
+    "embedding_dedup",
+    "url_dedup",
+    "hybrid_rrf",
+    "cms_counts",
 ]
 
 

@@ -571,3 +571,31 @@ def test_dedup_stateful_ttl_parity_with_first_seen(spark, sf_dir, tmp_path):
     assert first_seen["fingerprint"].is_unique
     assert ttl["fingerprint"].is_unique
     assert set(ttl["fingerprint"]) == set(first_seen["fingerprint"])
+
+
+def test_gopher_rules_stream_matches_batch(spark, sf_dir, tmp_path):
+    """gopher_rules is a pure projection, so it must run unchanged on a
+    streaming frame (append mode, no state) and agree with batch —
+    the first-pass quality filter in its streaming-ingest posture."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import text as tx
+
+    src = str(tmp_path / "docs_gopher_src")
+    batch = load_table(spark, sf_dir, "documents").limit(200)
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        tx.gopher_rules(stream)
+        .writeStream.format("memory")
+        .queryName("gopher_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from gopher_t").toPandas().sort_values("doc_id")
+    exp = tx.gopher_rules(batch).toPandas().sort_values("doc_id")
+    assert len(got) == len(exp) == 200
+    for c in exp.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    assert got["keep"].any() and (~got["keep"]).any()
+    q.stop()
