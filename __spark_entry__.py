@@ -778,7 +778,11 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative kept. Candidates here are the exact all-pairs set so
     the DuckDB oracle (brute-force pairs + recursive-CTE closure) is
     checkable; the scale path passes LSH candidates instead."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # Bounded to the first 500 vectors at every SF: the exact all-pairs
+    # candidate set (oracle-checkable brute force) is quadratic, so the
+    # gate form pins a constant-size slice; the LSH scale path is the
+    # production candidate generator (planted-pair + agreement pytest).
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     ids = emb.select("vec_id")
     cand = (
         ids.select(F.col("vec_id").alias("id_a"))
@@ -4797,6 +4801,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup": """
             WITH RECURSIVE ev AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE vec_id < 500
             ), p AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b
               FROM ev a JOIN ev b ON a.vec_id < b.vec_id
@@ -4816,7 +4821,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT node FROM comp WHERE node <> component
             )
             SELECT vec_id FROM embeddings
-            WHERE vec_id NOT IN (SELECT node FROM drops)
+            WHERE vec_id < 500 AND vec_id NOT IN (SELECT node FROM drops)
         """,
         "url_dedup": r"""
             WITH raw AS (
