@@ -439,3 +439,87 @@ def test_ewma_bounded_property_vs_reference(spark, vals, alpha, depth):
             num += c * xs[t - j]
             den += c
         assert abs(got[t] - num / den) < 1e-9, (t, got[t], num / den)
+
+
+@given(
+    docs=st.lists(
+        st.text(
+            alphabet=st.sampled_from(
+                list("abcdefgh THE the and of to be#.\n-*")
+            ),
+            min_size=0,
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_gopher_rules_matches_python_reference(spark, docs):
+    """gopher_rules vs a direct Python evaluation of the same integer
+    rule algebra on arbitrary small documents (whitespace runs, bullet
+    lines, symbols, empty strings)."""
+    import re
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import text as tx
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in tx.gopher_rules(df, min_words=5).collect()}
+    stop = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    for i, t in enumerate(docs):
+        words = [w for w in re.split(r"\s+", t.strip(), flags=re.ASCII) if w]
+        lines = t.split("\n")
+        n_words, n_lines = len(words), len(lines)
+        word_chars = len(re.sub(r"\s+", "", t.strip(), flags=re.ASCII))
+        hash_count = t.count("#")
+        ell3 = len(t) - len(t.replace("...", ""))
+        n_bullet = sum(l.startswith(("- ", "* ", "• ")) for l in lines)
+        n_ell = sum(l.strip().endswith("...") for l in lines)
+        n_alpha = sum(bool(re.search("[A-Za-z]", w)) for w in words)
+        n_stop = sum(w.lower() in stop for w in words)
+        exp = {
+            "r_word_count": 5 <= n_words <= 100_000,
+            "r_mean_word_len": 3 * n_words <= word_chars <= 10 * n_words,
+            "r_symbol_ratio": 30 * hash_count + 10 * ell3 <= 3 * n_words,
+            "r_bullet_lines": 10 * n_bullet <= n_lines,
+            "r_ellipsis_lines": 10 * n_ell <= 3 * n_lines,
+            "r_alpha_words": 5 * n_alpha >= 4 * n_words,
+            "r_stopwords": n_stop >= 2,
+        }
+        g = got[i]
+        assert g["n_words"] == n_words, (i, t)
+        for k, v in exp.items():
+            assert g[k] == v, (i, k, t)
+        assert g["keep"] == all(exp.values())
+
+
+@given(
+    scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+    host=st.sampled_from(["Example.com", "a.B.co", "X.IO"]),
+    path=st.sampled_from(["", "/", "/A/b", "/A/b/", "/p"]),
+    params=st.lists(
+        st.sampled_from(["a=1", "b=2", "utm_source=x", "fbclid=z", "Z=9", "gclid=1", "ref=h"]),
+        min_size=0, max_size=5,
+    ),
+    frag=st.sampled_from(["", "#f", "#sec2"]),
+)
+@settings(**_SETTINGS)
+def test_canonical_url_idempotent_and_tracking_free(spark, scheme, host, path, params, frag):
+    """canonical(canonical(u)) == canonical(u); no tracking params or
+    fragments survive; scheme and host come out lowercase."""
+    from hdinsight_pyspark_cntk_integration_spark.functions.textfns import canonical_url
+
+    q = "&".join(params)
+    url = f"{scheme}://{host}{path}" + (f"?{q}" if q else "") + frag
+    df = spark.createDataFrame([(url,)], "url string")
+    [r1] = df.select(canonical_url("url").alias("c")).collect()
+    [r2] = spark.createDataFrame([(r1["c"],)], "url string").select(
+        canonical_url("url").alias("c")
+    ).collect()
+    c = r1["c"]
+    assert r2["c"] == c  # idempotent
+    assert "#" not in c
+    assert "utm_" not in c and "fbclid" not in c and "gclid" not in c and "ref=" not in c
+    sh = c.split("://")[0]
+    hostpart = c.split("://")[1].split("/")[0].split("?")[0]
+    assert sh == sh.lower() and hostpart == hostpart.lower()
