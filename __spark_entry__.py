@@ -870,6 +870,40 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators.similarity.hard_negatives): per
+    anchor (vec_ids 0-2), top-5 corpus vectors with cosine in the hard
+    band [0.30, 0.45) — informative negatives below the near-dup ceiling.
+    Band filter before the bounded top-k; corpus never shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = sim.self_queries(emb, [0, 1, 2])
+    return sim.hard_negatives(emb, queries, k=5, lo=0.30, hi=0.45)
+
+
+def q_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-core of the strong nation trade graph (operators.graph.k_core,
+    wt >= 160 undirected): iterative peeling with the cascade a one-shot
+    degree cut misses; converges in 2 rounds on this fixture (pinned in
+    pytest). Oracle unrolls 4 peeling rounds as CTEs — extra rounds are
+    no-ops past the fixpoint, so the unroll is exact."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import graph as gr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("wt"))
+        .filter(F.col("wt") >= 160)
+        .select("src", "dst")
+    )
+    return gr.k_core(edges, k=5)
+
+
 def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication (operators.dedup.repeated_passages):
     word 8-gram passages recurring in >= 2 distinct documents — the
@@ -4043,6 +4077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "hybrid_rrf": q_hybrid_rrf,
         "cms_counts": q_cms_counts,
+        "hard_negatives": q_hard_negatives,
+        "kcore_trade": q_kcore_trade,
         # --- full registry continues (covered by tools/check_parity.py) ---
         "session_window_native": q_session_window_native,
         "dedup_window": q_dedup_window,
@@ -4894,6 +4930,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.o_custkey, CAST(e.est AS BIGINT) AS est, x.exact,
               e.est >= x.exact AS bound_ok
             FROM est e JOIN exact x USING (o_custkey)
+        """,
+        "hard_negatives": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id IN (0, 1, 2)
+            ), e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+            ), s AS (
+              SELECT q.query_id, e.vec_id,
+                list_dot_product(e.ev, q.qv)
+                  / (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(q.qv, q.qv)))
+                AS score
+              FROM e CROSS JOIN q
+              WHERE e.vec_id != q.query_id
+            )
+            SELECT query_id, vec_id, score FROM s
+            WHERE score >= 0.30 AND score < 0.45
+            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) <= 5
+        """,
+        "kcore_trade": """
+            WITH j AS (
+              SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS wt
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              GROUP BY 1, 2
+            ), e0 AS MATERIALIZED (
+              SELECT DISTINCT src AS s, dst AS d FROM (
+                SELECT src, dst FROM j WHERE wt >= 160
+                UNION ALL
+                SELECT dst, src FROM j WHERE wt >= 160
+              ) WHERE src <> dst
+            ),
+            d1 AS MATERIALIZED (
+              SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM e0 GROUP BY s
+            ), k1 AS MATERIALIZED (
+              SELECT s AS node FROM d1 WHERE deg >= 5
+            ), e1 AS MATERIALIZED (
+              SELECT e.s, e.d FROM e0 e
+              JOIN k1 a ON e.s = a.node
+              JOIN k1 b ON e.d = b.node
+            ),
+            d2 AS MATERIALIZED (
+              SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM e1 GROUP BY s
+            ), k2 AS MATERIALIZED (
+              SELECT s AS node FROM d2 WHERE deg >= 5
+            ), e2 AS MATERIALIZED (
+              SELECT e.s, e.d FROM e1 e
+              JOIN k2 a ON e.s = a.node
+              JOIN k2 b ON e.d = b.node
+            ),
+            d3 AS MATERIALIZED (
+              SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM e2 GROUP BY s
+            ), k3 AS MATERIALIZED (
+              SELECT s AS node FROM d3 WHERE deg >= 5
+            ), e3 AS MATERIALIZED (
+              SELECT e.s, e.d FROM e2 e
+              JOIN k3 a ON e.s = a.node
+              JOIN k3 b ON e.d = b.node
+            ),
+            d4 AS MATERIALIZED (
+              SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM e3 GROUP BY s
+            ), k4 AS MATERIALIZED (
+              SELECT s AS node FROM d4 WHERE deg >= 5
+            ), e4 AS MATERIALIZED (
+              SELECT e.s, e.d FROM e3 e
+              JOIN k4 a ON e.s = a.node
+              JOIN k4 b ON e.d = b.node
+            )
+            SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM e4 GROUP BY s
         """,
         "decontaminate": r"""
             WITH sh AS (

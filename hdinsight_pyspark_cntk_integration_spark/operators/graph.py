@@ -234,3 +234,58 @@ def bfs_hops(
             .localCheckpoint()
         )
     return reached
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 30,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: the maximal subgraph
+    in which every node has degree >= k — the standard graph-density
+    filter (spam/link-farm pruning, community seeding) that a one-shot
+    degree cut gets wrong, because removing a low-degree node can drag
+    its neighbors below k (the cascade IS the algorithm).
+
+    Input is taken as an undirected simple graph (both directions
+    materialized, self-loops and duplicate edges dropped). Each round:
+    one partial-agg degree count, one degree cut, two semi-joins to
+    drop edges touching peeled nodes — all hash-partitioned on node id,
+    no broadcast of anything corpus-sized. Rounds are data-bounded
+    (degeneracy cascades, usually a handful); the loop stops the first
+    round nothing peels and raises if ``max_iters`` exhausts with the
+    cascade still running. ``localCheckpoint`` per round keeps lineage
+    flat. Returns (node, degree) of the surviving core subgraph.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1 (got {max_iters})")
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = und
+    n_nodes = cur.select("s").distinct().count()
+    for _ in range(max_iters):
+        deg = cur.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select(F.col("s").alias("node"))
+        n_keep = keep.count()
+        if n_keep == n_nodes:
+            return deg.select(F.col("s").alias("node"), F.col("deg").cast("long").alias("degree"))
+        if n_keep == 0:
+            return deg.filter(F.lit(False)).select(
+                F.col("s").alias("node"), F.col("deg").cast("long").alias("degree")
+            )
+        cur = (
+            cur.join(keep, cur.s == keep.node, "left_semi")
+            .join(keep.withColumnRenamed("node", "node2"), cur.d == F.col("node2"), "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_nodes = n_keep
+    raise RuntimeError(f"k_core did not converge within {max_iters} rounds")

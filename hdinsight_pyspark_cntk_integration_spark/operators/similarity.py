@@ -840,3 +840,50 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_score"), F.col(id_col))
         .limit(top_n)
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    lo: float = 0.3,
+    hi: float = 0.8,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per
+    anchor query, the top-``k`` corpus vectors whose cosine lies in the
+    HARD BAND [lo, hi) — similar enough to be informative negatives,
+    below the near-duplicate ceiling that would poison them as false
+    negatives (the standard dense-retrieval / SimCSE mining recipe).
+
+    Same scale plan as :func:`cosine_topk`: broadcast anchors over the
+    corpus scan, per-row codegen'd cosine, band filter BEFORE the
+    two-stage bounded top-k — the corpus never shuffles, only (anchor,
+    id, score) survivors move, and no reducer holds more than
+    max(split rows, partitions×k) structs. Self-pairs excluded.
+    Returns (query_id, vec_id, score), ties broken by smaller id.
+    """
+    if not lo < hi:
+        raise ValueError(f"need lo < hi (got lo={lo}, hi={hi})")
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_similarity(corpus_vec, query_vec).alias("score"),
+    ).filter(
+        (F.col(corpus_id) != F.col(query_id))
+        & (F.col("score") >= float(lo))
+        & (F.col("score") < float(hi))
+    )
+    item = F.struct((-F.col("score")).alias("neg"), F.col(corpus_id).alias("id"))
+    return (
+        bounded_topk(scored, query_id, item, k)
+        .select(query_id, F.explode("top").alias("t"))
+        .select(
+            query_id,
+            F.col("t.id").alias(corpus_id),
+            (-F.col("t.neg")).alias("score"),
+        )
+    )

@@ -142,3 +142,20 @@ def test_bfs_hops_respects_max_hops(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(6)], "src long, dst long")
     got = {r["node"]: r["hop"] for r in gr.bfs_hops(edges, 0, max_hops=2).collect()}
     assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_k_core_cascade_and_empty(spark):
+    """The cascade a one-shot degree cut misses: a 4-clique with a
+    pendant chain — the chain peels over MULTIPLE rounds (each removal
+    drags its neighbor below k), leaving exactly the clique; k above
+    the degeneracy yields an empty core."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import graph as gr
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(clique + chain, "src long, dst long")
+    core = {r["node"]: r["degree"] for r in gr.k_core(df, k=3).collect()}
+    assert core == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert gr.k_core(df, k=4).count() == 0
+    # k=1 keeps everything (undirected degrees)
+    assert gr.k_core(df, k=1).count() == 7

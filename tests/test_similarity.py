@@ -375,3 +375,25 @@ def test_rrf_fuse_hand_checked(spark):
     assert order[0] in (1, 2) and set(order) == {1, 2, 3, 4}
     # both-list docs outrank single-list docs here
     assert order.index(4) > order.index(1) and order.index(4) > order.index(2)
+
+
+def test_hard_negatives_band_and_exclusions(spark):
+    """Band semantics: near-dups (cos >= hi) and easy negatives
+    (cos < lo) are excluded, self never appears, top-k by score."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import similarity as sim
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.14, 0.0, 0.0]),   # cos ~0.99: near-dup, excluded
+        (2, [0.6, 0.8, 0.0, 0.0]),     # cos 0.6: hard negative
+        (3, [0.4, 0.9165, 0.0, 0.0]),  # cos 0.4: hard negative
+        (4, [0.0, 1.0, 0.0, 0.0]),     # cos 0: easy, excluded
+        (5, [-1.0, 0.0, 0.0, 0.0]),    # cos -1: excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = sim.self_queries(df, [0])
+    got = sim.hard_negatives(df, q, k=5, lo=0.3, hi=0.95).collect()
+    ids = [r["vec_id"] for r in got]
+    assert ids == [2, 3]  # score-desc order
+    assert all(0.3 <= r["score"] < 0.95 for r in got)
+    assert 0 not in ids and 1 not in ids and 4 not in ids
