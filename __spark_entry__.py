@@ -904,6 +904,38 @@ def q_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.k_core(edges, k=5)
 
 
+def q_near_dup_against_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-able exact twin of near_dup_against: cross-corpus word-
+    trigram Jaccard over a bounded all-pairs slice (new = last 50 doc
+    ids vs base = the rest), raw STRING shingles so DuckDB reproduces
+    the arithmetic bit-for-bit (the LSH operator hashes shingles with
+    xxhash64, which SQL cannot mirror — that path stays rows-only with
+    its planted-pair pytest). Pairs with jaccard >= 0.3."""
+    docs = load_table(spark, sf_dir, "documents")
+    from hdinsight_pyspark_cntk_integration_spark.operators.dedup import word_shingles
+
+    hi = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    cut = hi - 49
+    sh = docs.select(
+        F.col("doc_id"), word_shingles("text", 3).alias("sh")
+    ).withColumn("sh", F.filter(F.col("sh"), lambda s: F.length(s) > 0))
+    new = sh.filter(F.col("doc_id") >= cut).select(
+        F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_n")
+    )
+    base = sh.filter(F.col("doc_id") < cut).select(
+        F.col("doc_id").alias("base_id"), F.col("sh").alias("sh_b")
+    )
+    jac = (
+        F.size(F.array_intersect("sh_n", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_n", "sh_b")).cast("double")
+    )
+    return (
+        new.crossJoin(F.broadcast(base))
+        .select("new_id", "base_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.3)
+    )
+
+
 def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication (operators.dedup.repeated_passages):
     word 8-gram passages recurring in >= 2 distinct documents — the
@@ -4079,6 +4111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "hard_negatives": q_hard_negatives,
         "kcore_trade": q_kcore_trade,
+        "near_dup_against_exact": q_near_dup_against_exact,
         # --- full registry continues (covered by tools/check_parity.py) ---
         "session_window_native": q_session_window_native,
         "dedup_window": q_dedup_window,
@@ -5002,6 +5035,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS degree
             FROM e4 GROUP BY s
+        """,
+        "near_dup_against_exact": r"""
+            WITH sh AS (
+              SELECT doc_id,
+                list_filter(list_distinct(list_transform(
+                  generate_series(1, greatest(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) - 2, 1)),
+                  i -> array_to_string(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[i:i+2], ' ')
+                )), x -> length(x) > 0) AS s
+              FROM documents
+            ), cut AS (
+              SELECT MAX(doc_id) - 49 AS c FROM documents
+            ), n AS (
+              SELECT doc_id AS new_id, s AS sn FROM sh, cut WHERE doc_id >= c
+            ), b AS (
+              SELECT doc_id AS base_id, s AS sb FROM sh, cut WHERE doc_id < c
+            )
+            SELECT new_id, base_id,
+              CAST(len(list_intersect(sn, sb)) AS DOUBLE)
+                / CAST(len(sn) + len(sb) - len(list_intersect(sn, sb)) AS DOUBLE) AS jaccard
+            FROM n CROSS JOIN b
+            WHERE CAST(len(list_intersect(sn, sb)) AS DOUBLE)
+                / CAST(len(sn) + len(sb) - len(list_intersect(sn, sb)) AS DOUBLE) >= 0.3
         """,
         "decontaminate": r"""
             WITH sh AS (

@@ -922,3 +922,32 @@ def test_canonical_url_hand_checked(spark):
     got = {r["id"]: r["c"] for r in df.select("id", canonical_url("url").alias("c")).collect()}
     for i, _, want in cases:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_near_dup_against_lsh_subset_of_exact(spark, sf_dir):
+    """The LSH path's verified pairs are a (deterministic) SUBSET of the
+    exact cross-corpus Jaccard pairs at the same threshold — the exact
+    verify step guarantees no false positives, banding may only drop
+    borderline candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    hi = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    new = docs.filter(F.col("doc_id") >= hi - 49)
+    base = docs.filter(F.col("doc_id") < hi - 49)
+    lsh = {
+        (r["new_id"], r["base_id"])
+        for r in dd.near_dup_against(new, base, threshold=0.3, shingle_k=3).collect()
+    }
+    sh = docs.select("doc_id", dd.word_shingles("text", 3).alias("sh"))
+    n = sh.filter(F.col("doc_id") >= hi - 49).select(
+        F.col("doc_id").alias("new_id"), F.col("sh").alias("sn"))
+    b = sh.filter(F.col("doc_id") < hi - 49).select(
+        F.col("doc_id").alias("base_id"), F.col("sh").alias("sb"))
+    jac = (F.size(F.array_intersect("sn", "sb")).cast("double")
+           / F.size(F.array_union("sn", "sb")).cast("double"))
+    exact = {
+        (r["new_id"], r["base_id"])
+        for r in n.crossJoin(b).select("new_id", "base_id", jac.alias("j"))
+        .filter(F.col("j") >= 0.3).collect()
+    }
+    assert lsh.issubset(exact)
+    assert exact  # the fixture has planted cross-corpus near-dups
