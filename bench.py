@@ -105,6 +105,8 @@ PIPELINE = [
     "url_dedup",
     "hybrid_rrf",
     "cms_counts",
+    "hard_negatives",
+    "kcore_trade",
 ]
 
 
