@@ -936,6 +936,124 @@ def q_near_dup_against_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining (operators.mining.frequent_pairs): brand
+    pairs co-purchased in the same order, Apriori-pruned before the pair
+    self-join, with support/confidence/lift in exact integer micro-units.
+    Items = p_brand (bounded domain), baskets = orders."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import mining as mn
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    baskets = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    return mn.frequent_pairs(baskets, "basket", "item", min_support=50, min_pair_support=20)
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (operators.mining.rfm_segments): per-nation
+    recency/frequency/monetary NTILE quartiles with customer-key
+    tie-breaks — deterministic, partitioned windows (never a global
+    sort), money in integer cents."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import mining as mn
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        "o_custkey", "o_orderdate", "o_totalprice", "c_nationkey"
+    )
+    return mn.rfm_segments(joined, "c_nationkey")
+
+
+def q_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto 80/20 analysis (operators.mining.pareto_contribution): per
+    supplier nation, the minimal supplier set covering 80% of lineitem
+    revenue — per-group windowed cumsum over the per-supplier rollup,
+    integer cents throughout."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import mining as mn
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = li.join(sup, li["l_suppkey"] == sup["s_suppkey"]).select(
+        F.col("s_nationkey"),
+        F.col("l_suppkey"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return mn.pareto_contribution(rev, "s_nationkey", "l_suppkey", "cents")
+
+
+def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta-sketch set intersection (operators.sketch.kmv_sketch_by_group
+    / kmv_intersect_estimate): distinct-user overlap between event-type
+    pairs, estimated from k-minimum-value sketches (the set operation
+    HLL cannot do) and gated against the exact intersection with a
+    quantified bound — the same bounded-assertion pattern as
+    q_hll_distinct_bounded. k=512 ⇒ sketches are exact below 512
+    distinct users per type and ~4.4%-error estimates above."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import sketch as sk
+
+    ev = load_table(spark, sf_dir, "events")
+    sketches = sk.kmv_sketch_by_group(ev, "event_type", "user_id", k=512)
+    est = sk.kmv_intersect_estimate(sketches, k=512)
+    du = ev.select(F.col("event_type"), F.col("user_id")).distinct()
+    exact = (
+        du.select(F.col("event_type").alias("grp_a"), "user_id")
+        .join(du.select(F.col("event_type").alias("grp_b"), "user_id"), "user_id")
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersect"))
+    )
+    tol = F.greatest(
+        F.round(F.col("exact_intersect") * 0.25).cast("long"), F.lit(64).cast("long")
+    )
+    return (
+        est.join(exact, ["grp_a", "grp_b"])
+        .select(
+            "grp_a",
+            "grp_b",
+            "exact_intersect",
+            (F.abs(F.col("intersect_est") - F.col("exact_intersect")) <= tol).alias(
+                "sketch_ok"
+            ),
+        )
+    )
+
+
+def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide sentence dedup (operators.dedup.sentence_dedup): the
+    CCNet/RefinedWeb line-dedup stage — sentences appearing in >= 2
+    distinct docs are dropped everywhere but their minimum-doc-id
+    keeper, texts reassembled in order. The fixture's sentences are
+    unique across docs, so the query unions a shifted copy of the first
+    20 docs (doc_id + 100000) to plant real cross-doc duplicates and
+    exercise the drop path under the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return dd.sentence_dedup(docs.unionByName(planted), min_docs=2)
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators.text.dsir_weights, Xie et al.
+    2023): score non-target docs by hashed-unigram log-likelihood ratio
+    against the source='src3' target slice — md5-bucket models, add-one
+    smoothing, micro-nat quantization at the 256-bucket model level so
+    every doc score is an exact integer sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.dsir_weights(docs, F.col("source") == "src3", dim=256)
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 projection (operators.similarity.
+    random_projection): embeddings quantized to floor(v·1024) ints, then
+    projected to 8 dims with an md5-derived Achlioptas sign matrix —
+    exact integer dot products, zero shuffles, whole-stage codegen."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.random_projection(emb, out_dim=8, scale=1024)
+
+
 def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication (operators.dedup.repeated_passages):
     word 8-gram passages recurring in >= 2 distinct documents — the
@@ -4113,6 +4231,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_trade": q_kcore_trade,
         "near_dup_against_exact": q_near_dup_against_exact,
         # --- full registry continues (covered by tools/check_parity.py) ---
+        "assoc_rules": q_assoc_rules,
+        "rfm_segments": q_rfm_segments,
+        "pareto_revenue": q_pareto_revenue,
+        "kmv_intersect": q_kmv_intersect,
+        "sentence_dedup": q_sentence_dedup,
+        "dsir_weights": q_dsir_weights,
+        "random_projection": q_random_projection,
         "session_window_native": q_session_window_native,
         "dedup_window": q_dedup_window,
         "asof_nearest": q_asof_nearest,
@@ -5057,6 +5182,187 @@ def oracle_sql() -> dict[str, str]:
             FROM n CROSS JOIN b
             WHERE CAST(len(list_intersect(sn, sb)) AS DOUBLE)
                 / CAST(len(sn) + len(sb) - len(list_intersect(sn, sb)) AS DOUBLE) >= 0.3
+        """,
+        "assoc_rules": """
+            WITH bi AS (
+              SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            ),
+            ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item FROM bi GROUP BY item),
+            freq AS (SELECT * FROM ic WHERE n_item >= 50),
+            nb AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM bi),
+            pruned AS (SELECT b.basket, b.item FROM bi b JOIN freq f ON b.item = f.item),
+            pairs AS (
+              SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS pair_n
+              FROM pruned a JOIN pruned b ON a.basket = b.basket AND a.item < b.item
+              GROUP BY 1, 2 HAVING COUNT(*) >= 20
+            )
+            SELECT p.item_a, p.item_b, p.pair_n,
+              fa.n_item AS n_a, fb.n_item AS n_b, nb.n_baskets,
+              CAST(floor(p.pair_n * 1000000 / fa.n_item) AS BIGINT) AS conf_a_b_micro,
+              CAST(floor(p.pair_n * 1000000 / fb.n_item) AS BIGINT) AS conf_b_a_micro,
+              CAST(floor(p.pair_n * nb.n_baskets * 1000000
+                         / (fa.n_item * fb.n_item)) AS BIGINT) AS lift_micro
+            FROM pairs p
+            JOIN freq fa ON p.item_a = fa.item
+            JOIN freq fb ON p.item_b = fb.item
+            CROSS JOIN nb
+        """,
+        "rfm_segments": """
+            WITH pc AS (
+              SELECT c.c_nationkey AS grp, o.o_custkey AS customer,
+                MAX(CAST(o.o_orderdate AS DATE)) AS last_d,
+                CAST(COUNT(*) AS BIGINT) AS frequency,
+                CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT *, CAST(date_diff('day', last_d,
+                MAX(last_d) OVER (PARTITION BY grp)) AS BIGINT) AS recency_days
+              FROM pc
+            ),
+            q AS (
+              SELECT grp, customer, recency_days, frequency, monetary_cents,
+                CAST(NTILE(4) OVER (PARTITION BY grp
+                  ORDER BY recency_days ASC, customer ASC) AS BIGINT) AS r_q,
+                CAST(NTILE(4) OVER (PARTITION BY grp
+                  ORDER BY frequency DESC, customer ASC) AS BIGINT) AS f_q,
+                CAST(NTILE(4) OVER (PARTITION BY grp
+                  ORDER BY monetary_cents DESC, customer ASC) AS BIGINT) AS m_q
+              FROM r
+            )
+            SELECT grp, customer, recency_days, frequency, monetary_cents,
+              r_q, f_q, m_q, (r_q || f_q || m_q) AS segment
+            FROM q
+        """,
+        "pareto_revenue": """
+            WITH pe AS (
+              SELECT s.s_nationkey AS grp, l.l_suppkey AS entity,
+                CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS amt
+              FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              GROUP BY 1, 2
+            ),
+            c AS (
+              SELECT grp, entity, amt,
+                SUM(amt) OVER (PARTITION BY grp ORDER BY amt DESC, entity ASC
+                  ROWS UNBOUNDED PRECEDING) AS cum,
+                SUM(amt) OVER (PARTITION BY grp) AS total
+              FROM pe
+            ),
+            ne AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_entities FROM pe GROUP BY grp),
+            cov AS (
+              SELECT * FROM c
+              WHERE CAST(cum - amt AS DOUBLE) / CAST(total AS DOUBLE) < 0.8
+            )
+            SELECT cov.grp, ne.n_entities,
+              CAST(COUNT(*) AS BIGINT) AS n_to_threshold,
+              CAST(800000 AS BIGINT) AS threshold_micro,
+              CAST(floor(CAST(SUM(cov.amt) AS DOUBLE) / CAST(MAX(cov.total) AS DOUBLE)
+                         * 1000000) AS BIGINT) AS top_share_micro
+            FROM cov JOIN ne ON cov.grp = ne.grp
+            GROUP BY cov.grp, ne.n_entities
+        """,
+        "kmv_intersect": """
+            WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+            SELECT a.event_type AS grp_a, b.event_type AS grp_b,
+              CAST(COUNT(*) AS BIGINT) AS exact_intersect,
+              TRUE AS sketch_ok
+            FROM du a JOIN du b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        """,
+        "sentence_dedup": """
+            WITH alldocs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 20
+            ),
+            s0 AS (
+              SELECT doc_id,
+                unnest(string_split_regex(text, '[.!?]+')) AS raw,
+                generate_subscripts(string_split_regex(text, '[.!?]+'), 1) AS pos
+              FROM alldocs
+            ),
+            s AS (
+              SELECT doc_id, pos, trim(raw) AS sentence
+              FROM s0 WHERE length(trim(raw)) > 0
+            ),
+            st AS (
+              SELECT sentence, COUNT(DISTINCT doc_id) AS ndocs, MIN(doc_id) AS keeper
+              FROM s GROUP BY 1
+            ),
+            t AS (
+              SELECT s.doc_id, s.pos, s.sentence,
+                (st.ndocs >= 2 AND s.doc_id <> st.keeper) AS dropped
+              FROM s JOIN st ON s.sentence = st.sentence
+            )
+            SELECT doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_sentences,
+              CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+              COALESCE(string_agg(CASE WHEN NOT dropped THEN sentence END,
+                                  ' ' ORDER BY pos), '') AS cleaned_text
+            FROM t GROUP BY doc_id
+        """,
+        "dsir_weights": r"""
+            WITH toks AS (
+              SELECT doc_id, (source = 'src3') AS is_t,
+                unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+              FROM documents
+            ),
+            tb AS (
+              SELECT doc_id, is_t,
+                CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS bucket
+              FROM toks WHERE tok <> ''
+            ),
+            model AS (
+              SELECT bucket,
+                SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+                SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+              FROM tb GROUP BY 1
+            ),
+            tot AS (
+              SELECT SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS tt,
+                SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS tr
+              FROM tb
+            ),
+            lw AS (
+              SELECT bucket,
+                CAST(round((ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 256 AS DOUBLE))
+                          - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 256 AS DOUBLE)))
+                          * 1000000) AS BIGINT) AS lw_micro
+              FROM model, tot
+            )
+            SELECT tb.doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              CAST(SUM(lw.lw_micro) AS BIGINT) AS dsir_micro
+            FROM tb JOIN lw USING (bucket)
+            WHERE NOT tb.is_t
+            GROUP BY tb.doc_id
+        """,
+        "random_projection": """
+            WITH q AS (
+              SELECT vec_id,
+                list_transform(embedding,
+                  v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT)) AS qv
+              FROM embeddings
+            ),
+            ex AS (
+              SELECT vec_id, unnest(qv) AS val, generate_subscripts(qv, 1) - 1 AS i
+              FROM q
+            ),
+            dims AS (SELECT DISTINCT i FROM ex),
+            js AS (SELECT j FROM range(8) t(j)),
+            w AS (
+              SELECT d.i, js.j,
+                CASE WHEN CAST(('0x' || substr(md5(d.i || '_' || js.j), 1, 8)) AS BIGINT) % 2 = 1
+                     THEN 1 ELSE -1 END AS sgn
+              FROM dims d CROSS JOIN js
+            )
+            SELECT e.vec_id, CAST(w.j AS BIGINT) AS j,
+              CAST(SUM(e.val * w.sgn) AS BIGINT) AS proj
+            FROM ex e JOIN w ON e.i = w.i
+            GROUP BY 1, 2
         """,
         "decontaminate": r"""
             WITH sh AS (

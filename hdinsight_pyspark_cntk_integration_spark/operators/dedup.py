@@ -1278,3 +1278,68 @@ def embedding_dedup(
         F.col("node").alias(id_col)
     )
     return df.join(F.broadcast(drops), id_col, "left_anti")
+
+
+def sentence_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-wide sentence-level deduplication (the CCNet/RefinedWeb
+    line-dedup stage): a sentence appearing in >= ``min_docs`` DISTINCT
+    documents is boilerplate; every occurrence outside its keeper
+    document (the minimum doc id containing it) is dropped, and each
+    document's surviving sentences are reassembled in original order.
+
+    Returns (id_col, n_sentences, n_dropped, cleaned_text).
+
+    Unlike :func:`strip_boilerplate` (bounded top-N collect of the worst
+    offenders, good for interactive inspection), this is the SCALE path:
+    the duplicate-sentence table is never collected — fingerprint
+    groupBy (one shuffle, partial-agg), broadcast-free join back on the
+    fingerprint, groupBy doc to reassemble (second shuffle). Sentences
+    are keyed by xxhash64 fingerprint so the shuffle carries 8-byte
+    keys, not sentence bytes; at corpus scale a 64-bit collision merges
+    two sentences' occurrence lists (odds ~n²/2⁶⁵ — negligible below
+    ~10⁹ distinct sentences; swap in a 128-bit fingerprint column if the
+    corpus exceeds that).
+
+    Sentence boundaries: split on '[.!?]+' runs then trim — chosen to be
+    regex-engine-portable (no lookbehind; RE2-safe), matching
+    :func:`sentence splitting <operators.text>` used across the engine.
+    """
+    sent = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"[.!?]+")).alias("pos", "__raw"),
+    ).select(
+        id_col, "pos", F.trim(F.col("__raw")).alias("sentence")
+    ).filter(F.length("sentence") > 0)
+    sent = sent.withColumn("__fp", F.xxhash64("sentence"))
+
+    stats = sent.groupBy("__fp").agg(
+        F.countDistinct(F.col(id_col)).alias("__ndocs"),
+        F.min(F.col(id_col)).alias("__keeper"),
+    )
+    tagged = sent.join(stats, "__fp").withColumn(
+        "__drop",
+        (F.col("__ndocs") >= min_docs) & (F.col(id_col) != F.col("__keeper")),
+    )
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sentences"),
+            F.sum(F.col("__drop").cast("long")).cast("long").alias("n_dropped"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~F.col("__drop"), F.struct("pos", "sentence"))
+                        )
+                    ),
+                    lambda s: s.getField("sentence"),
+                ),
+            ).alias("cleaned_text"),
+        )
+    )

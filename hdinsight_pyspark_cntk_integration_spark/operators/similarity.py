@@ -887,3 +887,56 @@ def hard_negatives(
             (-F.col("t.neg")).alias("score"),
         )
     )
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    scale: int = 1024,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with a ±1 (Achlioptas
+    2003) matrix derived from an md5 hash of (input_dim, output_dim) —
+    no materialized matrix, no randomness state, identical on every
+    executor and every engine. The embedding is first quantized to
+    integers (floor(v·scale)), so each projected coordinate is an EXACT
+    integer dot product: deterministic, oracle-matchable, and immune to
+    float summation-order drift.
+
+    Returns long-form (id_col, j, proj) — one row per output dimension.
+
+    Scale: zero shuffles — the projection is a per-row higher-order
+    expression (transform × aggregate) entirely inside whole-stage
+    codegen, then a posexplode. A 100 TB embedding table projects at
+    scan speed.
+    """
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1 (got {out_dim})")
+    q = F.transform(
+        F.col(vec_col), lambda v: F.floor(v.cast("double") * F.lit(float(scale))).cast("long")
+    )
+
+    def sign(i: Column, j: Column) -> Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("_", i.cast("string"), j.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        return F.when(F.pmod(h, F.lit(2)) == 1, F.lit(1).cast("long")).otherwise(
+            F.lit(-1).cast("long")
+        )
+
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(out_dim - 1)),
+        lambda j: F.aggregate(
+            F.sequence(F.lit(0), F.size(F.col("__q")) - 1),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + F.element_at(F.col("__q"), i.cast("int") + 1) * sign(i, j),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), q.alias("__q"))
+        .select(F.col(id_col), F.posexplode(proj).alias("j", "proj"))
+        .select(id_col, F.col("j").cast("long").alias("j"), F.col("proj"))
+    )

@@ -420,3 +420,95 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est"))
     )
+
+
+# --- KMV (k-minimum-values / theta-style) sketches -----------------------
+#
+# HLL unions beautifully but cannot INTERSECT; the KMV sketch can: keep
+# the k smallest hash values of each set, union two sketches and look at
+# what fraction of the union's k-min belongs to both sets (a Jaccard
+# estimate), then scale by the union-cardinality estimate (k-1)/kth_min.
+# This is the sketch family behind Apache DataSketches' theta sketch
+# set-expression support.
+
+_KMV_P = (1 << 61) - 1
+
+
+def kmv_sketch_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 512,
+    safety: int = 4,
+) -> DataFrame:
+    """One KMV sketch (sorted array of the k smallest distinct hash
+    values in [0, P)) per group: (group, kmv array<long>, n_kept).
+
+    Bounded-memory selection at scale: a first pass estimates each
+    group's distinct count (HLL), from which a hash threshold
+    ``k*safety*P/n_est`` is derived and broadcast; only hashes under the
+    threshold — ~k*safety rows per group regardless of corpus size —
+    survive to the final per-group sort+slice. No unbounded
+    collect_list, no per-group full sort. Groups smaller than k keep
+    every distinct hash (the sketch is then EXACT: estimates degrade to
+    exact counts).
+    """
+    h = F.pmod(F.xxhash64(F.col(value_col).cast("string")), F.lit(_KMV_P))
+    hashes = df.select(F.col(group_col).alias("grp"), h.alias("__h")).distinct()
+    est = (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(F.approx_count_distinct(value_col).alias("__n_est"))
+        .withColumn(
+            "__thr",
+            F.least(
+                F.lit(_KMV_P),
+                F.floor(
+                    F.lit(float(k * safety) * _KMV_P) / F.greatest("__n_est", F.lit(1))
+                ).cast("long"),
+            ),
+        )
+        .select("grp", "__thr")
+    )
+    kept = hashes.join(F.broadcast(est), "grp").filter(F.col("__h") <= F.col("__thr"))
+    return kept.groupBy("grp").agg(
+        F.slice(F.array_sort(F.collect_list("__h")), 1, k).alias("kmv")
+    ).select(
+        "grp", "kmv", F.size("kmv").cast("long").alias("n_kept")
+    )
+
+
+def kmv_intersect_estimate(sketches: DataFrame, k: int = 512) -> DataFrame:
+    """Pairwise set-intersection estimates from per-group KMV sketches:
+    (grp_a, grp_b, union_est, jaccard_micro, intersect_est) for every
+    group pair with grp_a < grp_b.
+
+    For each pair: X = the k smallest of kmv_a ∪ kmv_b; the union
+    cardinality is (k-1)·P/max(X) (or |X| exactly when both sketches
+    are complete), the Jaccard estimate is |X ∩ kmv_a ∩ kmv_b|/|X|, and
+    the intersection estimate is their product. The pair join is over
+    SKETCHES (one row per group), so its cost is groups², never rows².
+    """
+    a = sketches.select(
+        F.col("grp").alias("grp_a"), F.col("kmv").alias("__ka"), F.col("n_kept").alias("__na")
+    )
+    b = sketches.select(
+        F.col("grp").alias("grp_b"), F.col("kmv").alias("__kb"), F.col("n_kept").alias("__nb")
+    )
+    pairs = a.crossJoin(b).filter(F.col("grp_a") < F.col("grp_b"))
+    union_all = F.array_sort(F.array_union("__ka", "__kb"))
+    x = F.slice(union_all, 1, k)
+    x_sz = F.size(x)
+    kth = F.element_at(x, x_sz)
+    complete = (F.col("__na") < k) & (F.col("__nb") < k) & (F.size(union_all) <= k)
+    union_est = F.when(complete, F.size(union_all).cast("long")).otherwise(
+        F.floor(F.lit(float(k - 1)) * _KMV_P / kth).cast("long")
+    )
+    common = F.size(F.array_intersect(x, F.array_intersect("__ka", "__kb")))
+    jacc_micro = F.floor(common.cast("long") * F.lit(1_000_000) / x_sz).cast("long")
+    return pairs.select(
+        "grp_a",
+        "grp_b",
+        union_est.alias("union_est"),
+        jacc_micro.alias("jaccard_micro"),
+        F.floor(common * union_est / x_sz).cast("long").alias("intersect_est"),
+    )

@@ -1037,3 +1037,95 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every document by how much its
+    hashed-unigram distribution looks like a TARGET slice of the corpus
+    versus the rest, log p_target(doc) − log p_raw(doc) under bag-of-
+    hashed-ngram models. High scores = raw documents that resemble the
+    target domain — the standard recipe for tilting a 100 TB crawl
+    toward a quality/domain slice without training a classifier.
+
+    ``target_pred`` is a boolean Column splitting the corpus (e.g.
+    ``F.col("source") == "src18"``). Token → bucket uses the md5-prefix
+    hash (cross-engine-reproducible, same discipline as
+    :func:`hashed_bow`); both bucket models are add-one smoothed over
+    ``dim`` buckets. Per-bucket log-ratios are quantized to integer
+    micro-nats at the MODEL level (dim rows), so each document's score
+    is an exact integer sum — deterministic and oracle-matchable.
+
+    Returns (id_col, n_tokens, dsir_micro) for RAW (non-target) docs,
+    the candidates for importance resampling.
+
+    Scale: the model is two aggregates over the token stream (one
+    shuffle each, partial-agg) reduced to a ``dim``-row broadcast table;
+    scoring is the token stream joined to that broadcast + one groupBy
+    doc. No vocabulary pass, no driver state beyond the dim-row map.
+    """
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2 (got {dim})")
+    toks = df.select(
+        F.col(id_col),
+        target_pred.alias("__is_t"),
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+            )
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long") % F.lit(dim)
+    ).alias("bucket")
+    tagged = toks.select(id_col, "__is_t", bucket)
+
+    model = tagged.groupBy("bucket").agg(
+        F.sum(F.col("__is_t").cast("long")).alias("__ct"),
+        F.sum((~F.col("__is_t")).cast("long")).alias("__cr"),
+    )
+    totals = tagged.agg(
+        F.sum(F.col("__is_t").cast("long")).alias("__tt"),
+        F.sum((~F.col("__is_t")).cast("long")).alias("__tr"),
+    )
+    # log((ct+1)/(tt+dim)) - log((cr+1)/(tr+dim)) over exact integers,
+    # quantized to micro-nats once per bucket (dim rows, not per token).
+    lw = (
+        model.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            # Difference of two log-ratios, each a single long/long IEEE
+            # division — no ct·tr integer product that would overflow
+            # 2^63 at corpus token counts, and the same expression shape
+            # an ANSI oracle computes, so quantization matches.
+            F.round(
+                (
+                    F.log(
+                        (F.col("__ct") + 1).cast("double")
+                        / (F.col("__tt") + F.lit(dim)).cast("double")
+                    )
+                    - F.log(
+                        (F.col("__cr") + 1).cast("double")
+                        / (F.col("__tr") + F.lit(dim)).cast("double")
+                    )
+                )
+                * F.lit(1_000_000.0)
+            ).cast("long")
+            .alias("lw_micro"),
+        )
+    )
+    raw_toks = tagged.filter(~F.col("__is_t"))
+    return (
+        raw_toks.join(F.broadcast(lw), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lw_micro").cast("long").alias("dsir_micro"),
+        )
+    )

@@ -1,0 +1,253 @@
+"""Market-basket / customer-value mining (operators.mining) plus the
+round-7 KMV, sentence-dedup, DSIR and random-projection additions:
+hand-computed expectations on planted fixtures, boundary semantics, and
+plan-shape assertions (no shuffles where the design promises none)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdinsight_pyspark_cntk_integration_spark.operators import mining as mn
+from hdinsight_pyspark_cntk_integration_spark.operators import sketch as sk
+from hdinsight_pyspark_cntk_integration_spark.operators import dedup as dd
+from hdinsight_pyspark_cntk_integration_spark.operators import text as tx
+from hdinsight_pyspark_cntk_integration_spark.operators import similarity as sim
+from hdinsight_pyspark_cntk_integration_spark.plans import count_shuffles
+
+
+# --- frequent_pairs ------------------------------------------------------
+
+
+def test_frequent_pairs_hand_computed(spark):
+    # 4 baskets; A and B co-occur in 3, C joins once, D appears once.
+    rows = [
+        (1, "A"), (1, "B"),
+        (2, "A"), (2, "B"), (2, "C"),
+        (3, "A"), (3, "B"),
+        (4, "A"), (4, "C"), (4, "D"),
+        # duplicate (basket, item) row must not inflate counts
+        (1, "A"),
+    ]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    out = mn.frequent_pairs(df, "basket", "item", min_support=2, min_pair_support=1)
+    got = {(r["item_a"], r["item_b"]): r.asDict() for r in out.collect()}
+    # D has support 1 < 2 -> pruned from every pair (Apriori).
+    assert all("D" not in k for k in got)
+    ab = got[("A", "B")]
+    assert ab["pair_n"] == 3 and ab["n_a"] == 4 and ab["n_b"] == 3
+    assert ab["n_baskets"] == 4
+    assert ab["conf_a_b_micro"] == 3 * 1_000_000 // 4  # P(B|A)
+    assert ab["conf_b_a_micro"] == 1_000_000  # P(A|B) = 3/3
+    assert ab["lift_micro"] == 3 * 4 * 1_000_000 // (4 * 3)  # = 1.0
+    ac = got[("A", "C")]
+    assert ac["pair_n"] == 2 and ac["lift_micro"] == 2 * 4 * 1_000_000 // (4 * 2)
+
+
+def test_frequent_pairs_min_pair_support_filters(spark):
+    rows = [(1, "A"), (1, "B"), (2, "A"), (2, "C"), (3, "A"), (3, "B")]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    out = mn.frequent_pairs(df, "basket", "item", min_support=1, min_pair_support=2)
+    pairs = {(r["item_a"], r["item_b"]) for r in out.collect()}
+    assert pairs == {("A", "B")}
+
+
+# --- rfm_segments --------------------------------------------------------
+
+
+def test_rfm_segments_quartiles_deterministic(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # 4 customers in one market: recency 0/10/20/30 days before ref,
+    # frequency 4/3/2/1, monetary descending with the same order.
+    for cust, (days_ago, n_orders) in enumerate(
+        [(0, 4), (10, 3), (20, 2), (30, 1)]
+    ):
+        for i in range(n_orders):
+            rows.append(
+                ("m1", cust, base - dt.timedelta(days=days_ago + i * 40), 100.0 * (4 - cust))
+            )
+    df = spark.createDataFrame(rows, "mkt string, cust long, dt timestamp, amt double")
+    out = mn.rfm_segments(df, "mkt", customer_col="cust", date_col="dt", amount_col="amt")
+    by_cust = {r["customer"]: r for r in out.collect()}
+    assert by_cust[0]["segment"] == "111"  # most recent, most frequent, biggest
+    assert by_cust[3]["segment"] == "444"
+    assert by_cust[0]["recency_days"] == 0 and by_cust[3]["recency_days"] == 30
+    assert by_cust[1]["monetary_cents"] == 3 * 30000
+
+
+def test_rfm_segments_partitioned_not_global(spark):
+    import datetime as dt
+
+    rows = [
+        ("a", 1, dt.datetime(2024, 1, 1), 10.0),
+        ("b", 2, dt.datetime(2024, 1, 5), 20.0),
+    ]
+    df = spark.createDataFrame(rows, "mkt string, cust long, dt timestamp, amt double")
+    out = mn.rfm_segments(df, "mkt", customer_col="cust", date_col="dt", amount_col="amt")
+    # each market has one customer -> every quartile is 1, computed
+    # against its OWN market's reference date
+    for r in out.collect():
+        assert r["recency_days"] == 0 and r["segment"] == "111"
+
+
+# --- pareto_contribution -------------------------------------------------
+
+
+def test_pareto_exact_boundary(spark):
+    rows = [("g", e, amt) for e, amt in [(1, 50), (2, 30), (3, 10), (4, 5), (5, 5)]]
+    df = spark.createDataFrame(rows, "grp string, entity long, cents long")
+    out = mn.pareto_contribution(df, "grp", "entity", "cents").collect()
+    assert len(out) == 1
+    r = out[0]
+    # cum before entity 3 is exactly 80% of 100 -> entity 3 NOT needed:
+    # the covering set is minimal-inclusive ({50, 30} = 80%).
+    assert r["n_to_threshold"] == 2
+    assert r["n_entities"] == 5
+    assert r["top_share_micro"] == 800_000
+
+
+def test_pareto_ties_break_on_entity(spark):
+    rows = [("g", 2, 50), ("g", 1, 50), ("g", 3, 1)]
+    df = spark.createDataFrame(rows, "grp string, entity long, cents long")
+    r = mn.pareto_contribution(df, "grp", "entity", "cents").collect()[0]
+    # 50+50 = 100/101 > 80%; entity 1 sorts before entity 2 on the tie,
+    # and the set {e1, e2} is needed (e1 alone is 49.5%).
+    assert r["n_to_threshold"] == 2
+
+
+# --- KMV sketches --------------------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    rows = [("A", i) for i in range(40)] + [("B", i) for i in range(20, 80)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    sketches = sk.kmv_sketch_by_group(df, "grp", "v", k=512)
+    est = sk.kmv_intersect_estimate(sketches, k=512).collect()[0]
+    # both sets below k -> sketches complete -> everything exact
+    assert est["union_est"] == 80
+    assert est["intersect_est"] == 20
+    assert est["jaccard_micro"] == 20 * 1_000_000 // 80
+
+
+def test_kmv_estimate_above_k_bounded(spark):
+    n, overlap = 4000, 1500
+    rows = [("A", i) for i in range(n)] + [("B", i) for i in range(n - overlap, 2 * n - overlap)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    sketches = sk.kmv_sketch_by_group(df, "grp", "v", k=256)
+    for r in sketches.collect():
+        assert r["n_kept"] == 256  # threshold prefilter still fills the sketch
+    est = sk.kmv_intersect_estimate(sketches, k=256).collect()[0]
+    exact_union = 2 * n - overlap
+    assert abs(est["union_est"] - exact_union) <= 0.25 * exact_union
+    assert abs(est["intersect_est"] - overlap) <= 0.35 * overlap + 64
+
+
+def test_kmv_sketch_is_k_smallest(spark):
+    # the sketch must equal the true k smallest hashes — verify against
+    # a brute-force computation of the same hash pipeline
+    rows = [("A", i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    got = sk.kmv_sketch_by_group(df, "grp", "v", k=16).collect()[0]["kmv"]
+    brute = (
+        df.select(F.pmod(F.xxhash64(F.col("v").cast("string")), F.lit((1 << 61) - 1)).alias("h"))
+        .distinct().orderBy("h").limit(16).collect()
+    )
+    assert got == [r["h"] for r in brute]
+
+
+# --- sentence_dedup ------------------------------------------------------
+
+
+def test_sentence_dedup_keeper_semantics(spark):
+    rows = [
+        (1, "Alpha beta. Common line here. Gamma!"),
+        (2, "Common line here. Delta epsilon."),
+        (3, "Common line here."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dd.sentence_dedup(df, min_docs=2).collect()}
+    # doc 1 is the keeper: nothing dropped, order preserved
+    assert out[1]["n_dropped"] == 0
+    assert out[1]["cleaned_text"] == "Alpha beta Common line here Gamma"
+    # docs 2 and 3 lose the common sentence
+    assert out[2]["n_dropped"] == 1 and out[2]["cleaned_text"] == "Delta epsilon"
+    # doc 3 was ONLY the common sentence -> empty text, row still present
+    assert out[3]["n_dropped"] == 1 and out[3]["cleaned_text"] == ""
+    assert out[3]["n_sentences"] == 1
+
+
+def test_sentence_dedup_min_docs_threshold(spark):
+    rows = [(1, "Same line. Unique a."), (2, "Same line. Unique b.")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out3 = dd.sentence_dedup(df, min_docs=3).collect()
+    assert all(r["n_dropped"] == 0 for r in out3)
+
+
+def test_sentence_dedup_within_doc_repeats_kept_in_keeper(spark):
+    rows = [(1, "Echo! Echo! Tail."), (2, "Echo! Other.")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dd.sentence_dedup(df, min_docs=2).collect()}
+    # keeper doc keeps BOTH occurrences
+    assert out[1]["cleaned_text"] == "Echo Echo Tail"
+    assert out[2]["cleaned_text"] == "Other"
+
+
+# --- dsir_weights --------------------------------------------------------
+
+
+def test_dsir_scores_rank_target_like_docs_higher(spark):
+    rows = (
+        [(i, "alpha beta gamma delta", "t") for i in range(5)]
+        + [(10, "alpha beta gamma delta", "r"), (11, "zz qq ww ee", "r")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = {r["doc_id"]: r for r in
+           tx.dsir_weights(df, F.col("src") == "t", dim=64).collect()}
+    assert set(out) == {10, 11}  # only raw docs scored
+    assert out[10]["dsir_micro"] > out[11]["dsir_micro"]
+    assert out[10]["n_tokens"] == 4
+
+
+def test_dsir_rejects_tiny_dim(spark):
+    df = spark.createDataFrame([(1, "x", "t")], "doc_id long, text string, src string")
+    with pytest.raises(ValueError):
+        tx.dsir_weights(df, F.col("src") == "t", dim=1)
+
+
+# --- random_projection ---------------------------------------------------
+
+
+def _md5_sign(i: int, j: int) -> int:
+    h = int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[:8], 16)
+    return 1 if h % 2 == 1 else -1
+
+
+def test_random_projection_matches_python(spark):
+    import math
+
+    vec = [0.5, -1.25, 2.0, 0.3]
+    df = spark.createDataFrame([(7, vec)], "vec_id long, embedding array<float>")
+    got = {r["j"]: r["proj"] for r in sim.random_projection(df, out_dim=3).collect()}
+    import numpy as np
+
+    # quantize through float32 exactly as the parquet/arrow column does
+    q = [math.floor(float(np.float32(v)) * 1024) for v in vec]
+    for j in range(3):
+        assert got[j] == sum(q[i] * _md5_sign(i, j) for i in range(len(vec)))
+
+
+def test_random_projection_zero_shuffles(spark):
+    df = spark.createDataFrame([(1, [0.1] * 8)], "vec_id long, embedding array<float>")
+    out = sim.random_projection(df, out_dim=4)
+    assert count_shuffles(out) == 0
+
+
+def test_random_projection_rejects_bad_dim(spark):
+    df = spark.createDataFrame([(1, [0.1])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        sim.random_projection(df, out_dim=0)
