@@ -893,6 +893,26 @@ def repeated_passages_maximal(
             # the final empty probe level outright.
             if cand.limit(min_docs).count() < min_docs:
                 break
+            # Frontier restriction: a doc containing an L-gram repeated
+            # in >= min_docs docs necessarily contains that gram's first
+            # top-words subgram, which occurs in the same docs and so is
+            # a level-`top` PRE-suppression survivor. Semi-joining the
+            # long docs' top-grams against the bounded survivor set
+            # (broadcast) shrinks the L-gram groupBy — the expensive
+            # shuffle — from "every long doc" to "docs already known to
+            # carry boilerplate". The membership pass is map-side only
+            # (broadcast semi-join + a distinct over doc ids).
+            top_pass = surv.filter(F.col("n_words") == top).select("passage")
+            frontier = (
+                cand.select(
+                    F.col(id_col),
+                    F.explode(word_ngrams(text_col, top)).alias("passage"),
+                )
+                .join(F.broadcast(top_pass), "passage", "left_semi")
+                .select(id_col)
+                .distinct()
+            )
+            cand = cand.join(frontier, id_col, "left_semi")
             ext = (
                 cand.select(
                     F.col(id_col),
