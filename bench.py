@@ -107,6 +107,14 @@ PIPELINE = [
     "cms_counts",
     "hard_negatives",
     "kcore_trade",
+    # round-7 mining batch
+    "assoc_rules",
+    "rfm_segments",
+    "pareto_revenue",
+    "kmv_intersect",
+    "sentence_dedup",
+    "dsir_weights",
+    "random_projection",
 ]
 
 
