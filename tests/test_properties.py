@@ -523,3 +523,100 @@ def test_canonical_url_idempotent_and_tracking_free(spark, scheme, host, path, p
     sh = c.split("://")[0]
     hostpart = c.split("://")[1].split("/")[0].split("?")[0]
     assert sh == sh.lower() and hostpart == hostpart.lower()
+
+
+@given(
+    baskets=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=6), st.sampled_from("ABCDE")),
+        min_size=1,
+        max_size=40,
+    ),
+    min_support=st.integers(min_value=1, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_frequent_pairs_matches_bruteforce(spark, baskets, min_support):
+    from itertools import combinations
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import mining as mn
+
+    df = spark.createDataFrame(baskets, "basket int, item string")
+    got = {
+        (r["item_a"], r["item_b"]): r.asDict()
+        for r in mn.frequent_pairs(
+            df, "basket", "item", min_support=min_support, min_pair_support=1
+        ).collect()
+    }
+    # brute force on python sets
+    by_basket: dict[int, set] = {}
+    for b, it in baskets:
+        by_basket.setdefault(b, set()).add(it)
+    n_baskets = len(by_basket)
+    item_n: dict[str, int] = {}
+    for its in by_basket.values():
+        for it in its:
+            item_n[it] = item_n.get(it, 0) + 1
+    freq = {it for it, n in item_n.items() if n >= min_support}
+    expected: dict[tuple, int] = {}
+    for its in by_basket.values():
+        for a, b in combinations(sorted(its & freq), 2):
+            expected[(a, b)] = expected.get((a, b), 0) + 1
+    assert set(got) == set(expected)
+    for (a, b), n in expected.items():
+        r = got[(a, b)]
+        assert r["pair_n"] == n
+        assert r["n_a"] == item_n[a] and r["n_b"] == item_n[b]
+        assert r["n_baskets"] == n_baskets
+        assert r["conf_a_b_micro"] == n * 1_000_000 // item_n[a]
+        assert r["lift_micro"] == int(n * n_baskets * 1_000_000 / (item_n[a] * item_n[b]))
+
+
+@given(
+    amounts=st.lists(st.integers(min_value=1, max_value=1000), min_size=1, max_size=20),
+    thr_micro=st.sampled_from([200_000, 500_000, 800_000, 990_000]),
+)
+@settings(**_SETTINGS)
+def test_pareto_contribution_matches_bruteforce(spark, amounts, thr_micro):
+    from hdinsight_pyspark_cntk_integration_spark.operators import mining as mn
+
+    rows = [("g", i, a) for i, a in enumerate(amounts)]
+    df = spark.createDataFrame(rows, "grp string, entity long, cents long")
+    r = mn.pareto_contribution(
+        df, "grp", "entity", "cents", threshold_micro=thr_micro
+    ).collect()[0]
+    # brute force: sort desc (entity asc ties), accumulate while the
+    # PRECEDING cumulative total is still under the threshold
+    order = sorted(range(len(amounts)), key=lambda i: (-amounts[i], i))
+    total = sum(amounts)
+    cum, n_cov, covered = 0, 0, 0
+    for i in order:
+        if cum / total < thr_micro / 1_000_000:
+            n_cov += 1
+            covered += amounts[i]
+        cum += amounts[i]
+    assert r["n_to_threshold"] == n_cov
+    assert r["n_entities"] == len(amounts)
+    import math
+
+    assert r["top_share_micro"] == math.floor(covered / total * 1_000_000)
+
+
+@given(
+    sets=st.tuples(
+        st.sets(st.integers(min_value=0, max_value=300), min_size=1, max_size=120),
+        st.sets(st.integers(min_value=0, max_value=300), min_size=1, max_size=120),
+    )
+)
+@settings(**_SETTINGS)
+def test_kmv_exact_regime_matches_set_algebra(spark, sets):
+    from hdinsight_pyspark_cntk_integration_spark.operators import sketch as sk
+
+    sa, sb = sets
+    rows = [("A", v) for v in sa] + [("B", v) for v in sb]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    sketches = sk.kmv_sketch_by_group(df, "grp", "v", k=512)
+    out = sk.kmv_intersect_estimate(sketches, k=512).collect()
+    assert len(out) == 1
+    r = out[0]
+    # below k the sketch is complete: estimates ARE the exact values
+    assert r["union_est"] == len(sa | sb)
+    assert r["intersect_est"] == len(sa & sb)
