@@ -1054,6 +1054,32 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.random_projection(emb, out_dim=8, scale=1024)
 
 
+def q_communities_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (operators.graph.
+    label_propagation) on the strong nation trade graph (wt >= 120,
+    undirected): most-frequent-neighbor label with min tie-break,
+    simultaneous updates, exactly 2 rounds — deterministic, so the
+    oracle unrolls the rounds as ROW_NUMBER-argmax CTEs (the sixth
+    oracle-green iterative algorithm beside pagerank/bfs/components/
+    triangles/k-core)."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import graph as gr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("wt"))
+        .filter(F.col("wt") >= 120)
+        .select("src", "dst")
+    )
+    return gr.label_propagation(edges, rounds=2)
+
+
 def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication (operators.dedup.repeated_passages):
     word 8-gram passages recurring in >= 2 distinct documents — the
@@ -4238,6 +4264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_dedup": q_sentence_dedup,
         "dsir_weights": q_dsir_weights,
         "random_projection": q_random_projection,
+        "communities_trade": q_communities_trade,
         "session_window_native": q_session_window_native,
         "dedup_window": q_dedup_window,
         "asof_nearest": q_asof_nearest,
@@ -5363,6 +5390,45 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM(e.val * w.sgn) AS BIGINT) AS proj
             FROM ex e JOIN w ON e.i = w.i
             GROUP BY 1, 2
+        """,
+        "communities_trade": """
+            WITH j AS (
+              SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS wt
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              GROUP BY 1, 2
+            ), e0 AS MATERIALIZED (
+              SELECT DISTINCT src AS s, dst AS d FROM (
+                SELECT src, dst FROM j WHERE wt >= 120
+                UNION ALL
+                SELECT dst, src FROM j WHERE wt >= 120
+              ) WHERE src <> dst
+            ),
+            l0 AS MATERIALIZED (
+              SELECT DISTINCT s AS node, s AS label FROM e0
+            ),
+            n1 AS (
+              SELECT e.s AS node, l.label AS label, COUNT(*) AS n
+              FROM e0 e JOIN l0 l ON e.d = l.node GROUP BY 1, 2
+            ),
+            l1 AS MATERIALIZED (
+              SELECT node, label FROM (
+                SELECT node, label,
+                  ROW_NUMBER() OVER (PARTITION BY node ORDER BY n DESC, label ASC) AS rn
+                FROM n1
+              ) WHERE rn = 1
+            ),
+            n2 AS (
+              SELECT e.s AS node, l.label AS label, COUNT(*) AS n
+              FROM e0 e JOIN l1 l ON e.d = l.node GROUP BY 1, 2
+            )
+            SELECT node, CAST(label AS BIGINT) AS label FROM (
+              SELECT node, label,
+                ROW_NUMBER() OVER (PARTITION BY node ORDER BY n DESC, label ASC) AS rn
+              FROM n2
+            ) WHERE rn = 1
         """,
         "decontaminate": r"""
             WITH sh AS (

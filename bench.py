@@ -115,6 +115,7 @@ PIPELINE = [
     "sentence_dedup",
     "dsir_weights",
     "random_projection",
+    "communities_trade",
 ]
 
 

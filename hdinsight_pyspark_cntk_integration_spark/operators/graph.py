@@ -289,3 +289,58 @@ def k_core(
         )
         n_nodes = n_keep
     raise RuntimeError(f"k_core did not converge within {max_iters} rounds")
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan et
+    al. 2007, deterministic variant): every node starts labeled with its
+    own id; each round, every node adopts the most frequent label among
+    its neighbors, ties broken by the SMALLEST label — the update is
+    simultaneous (computed from the previous round's labels), so the
+    result is a pure function of (graph, rounds) with no traversal-order
+    or RNG dependence, and an ANSI oracle can unroll the rounds as CTEs
+    the way the k-core oracle unrolls peeling.
+
+    Input is taken as an undirected simple graph (both directions
+    materialized, self-loops and duplicate edges dropped); a node whose
+    only edges are self-loops drops out with them. Returns (node, label)
+    after exactly ``rounds`` rounds.
+
+    Scale shape: per round ONE edge⋈label join hash-partitioned on the
+    neighbor id, one (node, label) partial-agg count, and one max_by
+    argmax per node — frontier is the whole node set (synchronous LPA
+    converges in O(log n) rounds in practice; callers pick ``rounds``).
+    ``localCheckpoint`` per round keeps lineage flat. The deterministic
+    min-tie-break also damps the label oscillation classic async LPA
+    suffers.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1 (got {rounds})")
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("s").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(rounds):
+        nbr = (
+            und.join(labels, und.d == labels.node)
+            .select(F.col("s").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # argmax by (count desc, label asc): max_by over an orderable
+        # struct — (n, -label) maximized == smallest label among ties
+        labels = nbr.groupBy("node").agg(
+            F.max_by("label", F.struct(F.col("n"), -F.col("label"))).alias("label")
+        ).localCheckpoint(eager=True)
+    return labels.select("node", F.col("label").cast("long").alias("label"))

@@ -159,3 +159,73 @@ def test_k_core_cascade_and_empty(spark):
     assert gr.k_core(df, k=4).count() == 0
     # k=1 keeps everything (undirected degrees)
     assert gr.k_core(df, k=1).count() == 7
+
+
+def _py_lpa(edges, rounds):
+    """Synchronous LPA reference in plain Python: most frequent neighbor
+    label, smallest label on ties, simultaneous updates."""
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((s, d))
+            und.add((d, s))
+    nbrs: dict[int, list] = {}
+    for s, d in und:
+        nbrs.setdefault(s, []).append(d)
+    labels = {n: n for n in nbrs}
+    for _ in range(rounds):
+        nxt = {}
+        for n, ns in nbrs.items():
+            counts: dict[int, int] = {}
+            for m in ns:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            nxt[n] = min(counts, key=lambda lb: (-counts[lb], lb))
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_two_triangles_bridge(spark):
+    # two triangles {1,2,3} and {10,11,12} joined by a 3-10 bridge:
+    # after 2 synchronous rounds each triangle coalesces to its min id
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"] for r in gr.label_propagation(df, rounds=2).collect()}
+    assert got == _py_lpa(edges, 2)
+    # community structure: the triangles don't merge across the bridge
+    assert got[1] == got[2] == 1
+    assert got[11] == got[12]
+
+
+def test_label_propagation_matches_python_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 12
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(20)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "src long, dst long")
+        for rounds in (1, 3):
+            got = {
+                r["node"]: r["label"]
+                for r in gr.label_propagation(df, rounds=rounds).collect()
+            }
+            assert got == _py_lpa(edges, rounds), (trial, rounds, edges)
+
+
+def test_label_propagation_drops_self_loop_only_nodes(spark):
+    df = spark.createDataFrame([(1, 1), (2, 3)], "src long, dst long")
+    got = {r["node"]: r["label"] for r in gr.label_propagation(df, rounds=1).collect()}
+    assert set(got) == {2, 3}
+    assert got == {2: 3, 3: 2}  # each adopts its only neighbor's label
+
+
+def test_label_propagation_rejects_bad_rounds(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        gr.label_propagation(df, rounds=0)
