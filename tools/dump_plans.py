@@ -31,6 +31,13 @@ HEADLINE = [
     "skyline_parts",
     "gopher_rules",
     "contamination_overlap",
+    "assoc_rules",
+    "rfm_segments",
+    "kmv_intersect",
+    "sentence_dedup",
+    "dsir_weights",
+    "random_projection",
+    "communities_trade",
 ]
 
 
