@@ -453,6 +453,10 @@ def kmv_sketch_by_group(
     every distinct hash (the sketch is then EXACT: estimates degrade to
     exact counts).
     """
+    # NULL values are excluded to match COUNT(DISTINCT ...) semantics —
+    # xxhash64 would otherwise hash NULL to its seed constant and count
+    # it as one extra phantom member per group.
+    df = df.filter(F.col(value_col).isNotNull())
     h = F.pmod(F.xxhash64(F.col(value_col).cast("string")), F.lit(_KMV_P))
     hashes = df.select(F.col(group_col).alias("grp"), h.alias("__h")).distinct()
     est = (

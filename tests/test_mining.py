@@ -251,3 +251,16 @@ def test_random_projection_rejects_bad_dim(spark):
     df = spark.createDataFrame([(1, [0.1])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         sim.random_projection(df, out_dim=0)
+
+
+def test_kmv_ignores_nulls_like_count_distinct(spark):
+    rows = [("A", 1), ("A", None), ("B", 1), ("B", 2), ("B", None)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    sketches = {r["grp"]: r for r in
+                sk.kmv_sketch_by_group(df, "grp", "v", k=64).collect()}
+    assert sketches["A"]["n_kept"] == 1  # NULL not a phantom member
+    assert sketches["B"]["n_kept"] == 2
+    est = sk.kmv_intersect_estimate(
+        sk.kmv_sketch_by_group(df, "grp", "v", k=64), k=64
+    ).collect()[0]
+    assert est["union_est"] == 2 and est["intersect_est"] == 1
