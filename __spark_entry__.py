@@ -5228,8 +5228,8 @@ def oracle_sql() -> dict[str, str]:
               fa.n_item AS n_a, fb.n_item AS n_b, nb.n_baskets,
               CAST(floor(p.pair_n * 1000000 / fa.n_item) AS BIGINT) AS conf_a_b_micro,
               CAST(floor(p.pair_n * 1000000 / fb.n_item) AS BIGINT) AS conf_b_a_micro,
-              CAST(floor(p.pair_n * nb.n_baskets * 1000000
-                         / (fa.n_item * fb.n_item)) AS BIGINT) AS lift_micro
+              CAST((CAST(p.pair_n AS HUGEINT) * nb.n_baskets * 1000000)
+                   // (CAST(fa.n_item AS HUGEINT) * fb.n_item) AS BIGINT) AS lift_micro
             FROM pairs p
             JOIN freq fa ON p.item_a = fa.item
             JOIN freq fb ON p.item_b = fb.item

@@ -60,9 +60,13 @@ def frequent_pairs(
     - ``min_pair_support``: minimum co-occurrence count for an emitted
       pair (defaults to ``min_support``).
 
-    lift_micro = floor(pair_n * n_baskets * 1e6 / (n_a * n_b));
-    conf_x_y_micro = floor(pair_n * 1e6 / n_x). Integer floor division
-    end-to-end — no float in the result.
+    lift_micro = floor(pair_n * n_baskets * 1e6 / (n_a * n_b)) computed
+    in DECIMAL(38,0) (the long product passes 2^63 once basket counts
+    reach corpus scale — same discipline as temperature_mixture /
+    key_skew_profile, HUGEINT ``//`` on the oracle side);
+    conf_x_y_micro = floor(pair_n * 1e6 / n_x), which stays within long
+    range (pair_n <= n_baskets). Integer floor division end-to-end — no
+    float in the result.
     """
     if min_pair_support is None:
         min_pair_support = min_support
@@ -109,7 +113,12 @@ def frequent_pairs(
         "n_baskets",
         F.floor(F.col("pair_n") * MICRO / F.col("n_a")).cast("long").alias("conf_a_b_micro"),
         F.floor(F.col("pair_n") * MICRO / F.col("n_b")).cast("long").alias("conf_b_a_micro"),
-        F.floor(F.col("pair_n") * F.col("n_baskets") * MICRO / (F.col("n_a") * F.col("n_b")))
+        F.floor(
+            F.col("pair_n").cast("decimal(38,0)")
+            * F.col("n_baskets").cast("decimal(38,0)")
+            * F.lit(MICRO).cast("decimal(38,0)")
+            / (F.col("n_a").cast("decimal(38,0)") * F.col("n_b").cast("decimal(38,0)"))
+        )
         .cast("long")
         .alias("lift_micro"),
     )

@@ -905,6 +905,9 @@ def random_projection(
     float summation-order drift.
 
     Returns long-form (id_col, j, proj) — one row per output dimension.
+    NULL and zero-length embeddings are dropped (a projection of nothing
+    has no defined value, and F.sequence(0, size-1) would otherwise
+    descend into negative indices and crash the job).
 
     Scale: zero shuffles — the projection is a per-row higher-order
     expression (transform × aggregate) entirely inside whole-stage
@@ -936,7 +939,8 @@ def random_projection(
         ),
     )
     return (
-        df.select(F.col(id_col), q.alias("__q"))
+        df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .select(F.col(id_col), q.alias("__q"))
         .select(F.col(id_col), F.posexplode(proj).alias("j", "proj"))
         .select(id_col, F.col("j").cast("long").alias("j"), F.col("proj"))
     )

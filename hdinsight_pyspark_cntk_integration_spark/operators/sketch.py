@@ -503,16 +503,25 @@ def kmv_intersect_estimate(sketches: DataFrame, k: int = 512) -> DataFrame:
     x = F.slice(union_all, 1, k)
     x_sz = F.size(x)
     kth = F.element_at(x, x_sz)
-    complete = (F.col("__na") < k) & (F.col("__nb") < k) & (F.size(union_all) <= k)
+    # Two complete sketches (each kept EVERY distinct hash of its set)
+    # make the whole expression exact regardless of how big their union
+    # is — union/intersection of the full hash sets ARE the answers.
+    complete = (F.col("__na") < k) & (F.col("__nb") < k)
+    both = F.array_intersect("__ka", "__kb")
     union_est = F.when(complete, F.size(union_all).cast("long")).otherwise(
         F.floor(F.lit(float(k - 1)) * _KMV_P / kth).cast("long")
     )
-    common = F.size(F.array_intersect(x, F.array_intersect("__ka", "__kb")))
-    jacc_micro = F.floor(common.cast("long") * F.lit(1_000_000) / x_sz).cast("long")
+    common_est = F.size(F.array_intersect(x, both))
+    common = F.when(complete, F.size(both)).otherwise(common_est)
+    jacc_denom = F.when(complete, F.size(union_all)).otherwise(x_sz)
+    jacc_micro = F.floor(common.cast("long") * F.lit(1_000_000) / jacc_denom).cast("long")
+    intersect_est = F.when(complete, F.size(both).cast("long")).otherwise(
+        F.floor(common_est * union_est / x_sz).cast("long")
+    )
     return pairs.select(
         "grp_a",
         "grp_b",
         union_est.alias("union_est"),
         jacc_micro.alias("jaccard_micro"),
-        F.floor(common * union_est / x_sz).cast("long").alias("intersect_est"),
+        intersect_est.alias("intersect_est"),
     )

@@ -707,6 +707,35 @@ def corpus_divergence(
     return out.orderBy(F.desc("contrib_micro"), "token").limit(top_k)
 
 
+def _hashed_token_buckets(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Shared hashing-trick token stream: normalize/split ``text_col``,
+    one row per token, with ``bucket`` = md5-hex-prefix int mod ``dim``
+    (the cross-engine-reproducible hash — NOT xxhash64 — so ANSI oracles
+    rebuild bucket ids bit-for-bit). Single definition used by both
+    :func:`hashed_bow` and :func:`dsir_weights` so the tokenization and
+    bucket hash can never silently diverge between featurizers."""
+    toks = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+            )
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % F.lit(dim)
+    ).alias("bucket")
+    return toks.select(id_col, *extra_cols, bucket)
+
+
 def hashed_bow(
     df: DataFrame,
     text_col: str = "text",
@@ -730,21 +759,9 @@ def hashed_bow(
     """
     if dim < 1:
         raise ValueError(f"dim must be >= 1 (got {dim})")
-    toks = df.select(
-        F.col(id_col),
-        F.explode(
-            F.split(
-                F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
-            )
-        ).alias("tok"),
-    ).filter(F.col("tok") != "")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
-        % F.lit(dim)
-    ).alias("bucket")
-    counts = toks.groupBy(id_col, bucket).agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
+    counts = _hashed_token_buckets(df, dim, id_col, text_col).groupBy(
+        id_col, "bucket"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
     if not dense:
         return counts
     entries = counts.groupBy(id_col).agg(
@@ -1072,19 +1089,16 @@ def dsir_weights(
     """
     if dim < 2:
         raise ValueError(f"dim must be >= 2 (got {dim})")
-    toks = df.select(
-        F.col(id_col),
-        target_pred.alias("__is_t"),
-        F.explode(
-            F.split(
-                F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
-            )
-        ).alias("tok"),
-    ).filter(F.col("tok") != "")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long") % F.lit(dim)
-    ).alias("bucket")
-    tagged = toks.select(id_col, "__is_t", bucket)
+    # coalesce: a NULL predicate (e.g. NULL source column) routes to the
+    # RAW model — matching SQL's CASE WHEN ... ELSE semantics — instead
+    # of silently dropping the doc from both models.
+    tagged = _hashed_token_buckets(
+        df.withColumn("__is_t", F.coalesce(target_pred, F.lit(False))),
+        dim,
+        id_col,
+        text_col,
+        extra_cols=("__is_t",),
+    )
 
     model = tagged.groupBy("bucket").agg(
         F.sum(F.col("__is_t").cast("long")).alias("__ct"),

@@ -264,3 +264,57 @@ def test_kmv_ignores_nulls_like_count_distinct(spark):
         sk.kmv_sketch_by_group(df, "grp", "v", k=64), k=64
     ).collect()[0]
     assert est["union_est"] == 2 and est["intersect_est"] == 1
+
+
+def test_kmv_complete_pair_exact_even_when_union_exceeds_k(spark):
+    # both sketches complete (400 < k) but union 800 > k: estimates
+    # must still be EXACT because the full hash sets are in hand
+    rows = [("A", i) for i in range(400)] + [("B", i + 1000) for i in range(400)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    est = sk.kmv_intersect_estimate(
+        sk.kmv_sketch_by_group(df, "grp", "v", k=512), k=512
+    ).collect()[0]
+    assert est["union_est"] == 800
+    assert est["intersect_est"] == 0 and est["jaccard_micro"] == 0
+
+
+def test_random_projection_skips_null_and_empty_vectors(spark):
+    rows = [(1, [0.5, 1.0]), (2, []), (3, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.random_projection(df, out_dim=2)
+    assert {r["vec_id"] for r in out.collect()} == {1}
+
+
+def test_dsir_null_predicate_routes_to_raw(spark):
+    rows = [
+        (1, "alpha beta", "t"),
+        (2, "alpha beta", None),  # NULL predicate -> raw model
+        (3, "alpha beta", "r"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = {r["doc_id"]: r for r in
+           tx.dsir_weights(df, F.col("src") == "t", dim=32).collect()}
+    # docs 2 and 3 are both raw and identical -> identical scores
+    assert set(out) == {2, 3}
+    assert out[2]["dsir_micro"] == out[3]["dsir_micro"]
+
+
+def test_frequent_pairs_lift_survives_huge_counts(spark):
+    # counts scaled so pair_n * n_baskets * 1e6 would wrap int64 if the
+    # lift arithmetic were a long product: verify DECIMAL keeps it exact
+    from hdinsight_pyspark_cntk_integration_spark.operators.mining import MICRO
+
+    n = 10_000_000_000  # 1e10 baskets worth of counts, planted directly
+    pairs = spark.createDataFrame(
+        [("A", "B", n, n, n, n)],
+        "item_a string, item_b string, pair_n long, n_a long, n_b long, n_baskets long",
+    )
+    lift = pairs.select(
+        F.floor(
+            F.col("pair_n").cast("decimal(38,0)")
+            * F.col("n_baskets").cast("decimal(38,0)")
+            * F.lit(MICRO).cast("decimal(38,0)")
+            / (F.col("n_a").cast("decimal(38,0)") * F.col("n_b").cast("decimal(38,0)"))
+        ).cast("long").alias("lift_micro")
+    ).collect()[0]["lift_micro"]
+    assert lift == MICRO  # exact 1.0 despite a 1e26 intermediate
