@@ -1049,9 +1049,12 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss ±1 projection (operators.similarity.
     random_projection): embeddings quantized to floor(v·1024) ints, then
     projected to 8 dims with an md5-derived Achlioptas sign matrix —
-    exact integer dot products, zero shuffles, whole-stage codegen."""
+    exact integer dot products, zero shuffles, whole-stage codegen.
+    input_dim=64 precomputes the 8×64 sign matrix at plan time (bit
+    strings + substr) instead of per-row md5 chains; rows of any other
+    length would fall back element-wise, so results are unchanged."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.random_projection(emb, out_dim=8, scale=1024)
+    return sim.random_projection(emb, out_dim=8, scale=1024, input_dim=64)
 
 
 def q_communities_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4193,16 +4196,21 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver gate window (first 50): core flagship set + a
-        # --- per-round ROTATION slot. Round 7 rotates IN the 16
+        # --- per-round ROTATION slot. Round 8 rotates IN the 22
         # --- queries that had never appeared in a driver CORRECTNESS
-        # --- artifact (stats family, set_similarity, bpe_vocab,
-        # --- repeated_passages_maximal, strip_boilerplate, heavy_users,
-        # --- triangle_count, quantile_transform, winsorize,
-        # --- auto_histogram, modern_sql_sugar) PLUS the round's 9 new
-        # --- operators (gopher_rules, contamination_overlap,
-        # --- ngram_diversity, mad_outliers, perplexity_buckets,
-        # --- embedding_dedup, url_dedup, hybrid_rrf, cms_counts); all
-        # --- rotated-out queries are mirrored in PARITY_r7.json.
+        # --- artifact: the round-7 mining batch (assoc_rules,
+        # --- rfm_segments, pareto_revenue, kmv_intersect,
+        # --- sentence_dedup, dsir_weights, random_projection,
+        # --- communities_trade, kcore_trade, hard_negatives,
+        # --- near_dup_against_exact) plus the round-5 backlog (ewma,
+        # --- benford_digits, chi_square, yoy_growth, run_lengths,
+        # --- bigram_condprob, tdigest_quantiles, event_paths,
+        # --- session_window_native, rolling_anomaly, dedup_window).
+        # --- embedding_dedup stays in the window because round 8
+        # --- changed its anti-join plan; kmv_intersect / sentence_dedup
+        # --- / random_projection rotate in AND were changed this round.
+        # --- All rotated-out queries carry r7 driver artifacts and are
+        # --- mirrored in PARITY_r8.json.
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "region_revenue": q_region_revenue,
@@ -4228,6 +4236,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_ann": q_ivfpq_ann,
         "phash_near_dup": q_phash_near_dup,
         "interval_overlap": q_interval_overlap,
+        "embedding_dedup": q_embedding_dedup,
+        "hybrid_rrf": q_hybrid_rrf,
+        "cms_counts": q_cms_counts,
+        "assoc_rules": q_assoc_rules,
+        "rfm_segments": q_rfm_segments,
+        "pareto_revenue": q_pareto_revenue,
+        "kmv_intersect": q_kmv_intersect,
+        "sentence_dedup": q_sentence_dedup,
+        "dsir_weights": q_dsir_weights,
+        "random_projection": q_random_projection,
+        "communities_trade": q_communities_trade,
+        "kcore_trade": q_kcore_trade,
+        "hard_negatives": q_hard_negatives,
+        "near_dup_against_exact": q_near_dup_against_exact,
+        "ewma": q_ewma,
+        "benford_digits": q_benford_digits,
+        "chi_square": q_chi_square,
+        "yoy_growth": q_yoy_growth,
+        "run_lengths": q_run_lengths,
+        "bigram_condprob": q_bigram_condprob,
+        "tdigest_quantiles": q_tdigest_quantiles,
+        "event_paths": q_event_paths,
+        "session_window_native": q_session_window_native,
+        "rolling_anomaly": q_rolling_anomaly,
+        "dedup_window": q_dedup_window,
+        # --- full registry continues (covered by tools/check_parity.py) ---
         "rank_sum_test": q_rank_sum_test,
         "ks_test": q_ks_test,
         "spearman": q_spearman,
@@ -4249,39 +4283,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_diversity": q_ngram_diversity,
         "mad_outliers": q_mad_outliers,
         "perplexity_buckets": q_perplexity_buckets,
-        "embedding_dedup": q_embedding_dedup,
         "url_dedup": q_url_dedup,
-        "hybrid_rrf": q_hybrid_rrf,
-        "cms_counts": q_cms_counts,
-        "hard_negatives": q_hard_negatives,
-        "kcore_trade": q_kcore_trade,
-        "near_dup_against_exact": q_near_dup_against_exact,
-        # --- full registry continues (covered by tools/check_parity.py) ---
-        "assoc_rules": q_assoc_rules,
-        "rfm_segments": q_rfm_segments,
-        "pareto_revenue": q_pareto_revenue,
-        "kmv_intersect": q_kmv_intersect,
-        "sentence_dedup": q_sentence_dedup,
-        "dsir_weights": q_dsir_weights,
-        "random_projection": q_random_projection,
-        "communities_trade": q_communities_trade,
-        "session_window_native": q_session_window_native,
-        "dedup_window": q_dedup_window,
         "asof_nearest": q_asof_nearest,
         "balanced_buckets": q_balanced_buckets,
         "feature_hashing": q_feature_hashing,
         "differential_join": q_differential_join,
         "gini": q_gini,
         "token_entropy": q_token_entropy,
-        "tdigest_quantiles": q_tdigest_quantiles,
-        "ewma": q_ewma,
-        "benford_digits": q_benford_digits,
-        "chi_square": q_chi_square,
-        "yoy_growth": q_yoy_growth,
-        "run_lengths": q_run_lengths,
-        "bigram_condprob": q_bigram_condprob,
-        "event_paths": q_event_paths,
-        "rolling_anomaly": q_rolling_anomaly,
         "null_safe_join": q_null_safe_join,
         "collation_group": q_collation_group,
         "sql_scripting": q_sql_scripting,

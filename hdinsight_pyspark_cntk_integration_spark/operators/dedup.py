@@ -1269,7 +1269,14 @@ def embedding_dedup(
     (two id-keyed hash joins fetch vectors; cosine is one fp64
     expression) → pointer-jumping components over the DUPLICATE PAIRS
     ONLY (bounded by the near-dup volume, not the corpus) → one
-    broadcast anti-join drops non-representatives.
+    anti-join drops non-representatives.
+
+    The final anti-join carries NO broadcast hint on purpose: SemDeDup
+    drop fractions on crawl corpora run 20-50% (Abbas et al. §4), so at
+    corpus scale ``drops`` is corpus-scale and a forced broadcast would
+    OOM the driver. AQE broadcasts it at runtime when (and only when)
+    the measured size is small; otherwise the anti-join shuffles on the
+    8-byte id — the correct plan at every drop fraction.
     """
     from hdinsight_pyspark_cntk_integration_spark.functions.vector import dot, l2_norm
 
@@ -1297,7 +1304,7 @@ def embedding_dedup(
     drops = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
-    return df.join(F.broadcast(drops), id_col, "left_anti")
+    return df.join(drops, id_col, "left_anti")
 
 
 def sentence_dedup(
@@ -1305,6 +1312,8 @@ def sentence_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_docs: int = 2,
+    fp_bits: int = 64,
+    fp_expr: Column | None = None,
 ) -> DataFrame:
     """Corpus-wide sentence-level deduplication (the CCNet/RefinedWeb
     line-dedup stage): a sentence appearing in >= ``min_docs`` DISTINCT
@@ -1319,11 +1328,20 @@ def sentence_dedup(
     the duplicate-sentence table is never collected — fingerprint
     groupBy (one shuffle, partial-agg), broadcast-free join back on the
     fingerprint, groupBy doc to reassemble (second shuffle). Sentences
-    are keyed by xxhash64 fingerprint so the shuffle carries 8-byte
-    keys, not sentence bytes; at corpus scale a 64-bit collision merges
-    two sentences' occurrence lists (odds ~n²/2⁶⁵ — negligible below
-    ~10⁹ distinct sentences; swap in a 128-bit fingerprint column if the
-    corpus exceeds that).
+    are keyed by a fingerprint so the shuffle carries fixed-size keys,
+    not sentence bytes:
+
+    - ``fp_bits=64`` (default): xxhash64, 8-byte keys. A collision
+      merges two sentences' occurrence lists (odds ~n²/2⁶⁵ —
+      negligible below ~10⁹ distinct sentences).
+    - ``fp_bits=128``: two 60-bit longs carved from md5 (hex chars
+      1-15 and 16-30), 16-byte struct keys — for corpora beyond ~10⁹
+      distinct sentences where 64-bit birthday odds stop being
+      negligible. Output is identical on any collision-free corpus.
+    - ``fp_expr``: explicit fingerprint Column override (advanced /
+      test seam — genuine 64-bit collisions are not constructible in
+      CI, so collision-behavior tests inject a deliberately weak
+      fingerprint here).
 
     Sentence boundaries: split on '[.!?]+' runs then trim — chosen to be
     regex-engine-portable (no lookbehind; RE2-safe), matching
@@ -1335,7 +1353,19 @@ def sentence_dedup(
     ).select(
         id_col, "pos", F.trim(F.col("__raw")).alias("sentence")
     ).filter(F.length("sentence") > 0)
-    sent = sent.withColumn("__fp", F.xxhash64("sentence"))
+    if fp_expr is not None:
+        fp = fp_expr
+    elif fp_bits == 64:
+        fp = F.xxhash64("sentence")
+    elif fp_bits == 128:
+        m = F.md5(F.col("sentence"))
+        fp = F.struct(
+            F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring(m, 16, 15), 16, 10).cast("long").alias("lo"),
+        )
+    else:
+        raise ValueError(f"fp_bits must be 64 or 128 (got {fp_bits})")
+    sent = sent.withColumn("__fp", fp)
 
     stats = sent.groupBy("__fp").agg(
         F.countDistinct(F.col(id_col)).alias("__ndocs"),

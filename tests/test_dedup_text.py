@@ -902,6 +902,52 @@ def test_embedding_dedup_planted_groups(spark):
     assert kept_lsh == kept_exact
 
 
+def test_embedding_dedup_drop_set_not_forced_broadcast(spark):
+    """Crawl-scale guard (VERDICT r7 #1): SemDeDup drop fractions run
+    20-50%, so the final anti-join's drop set is corpus-scale and must
+    NOT carry a forced broadcast hint. With AQE off and
+    autoBroadcastJoinThreshold=-1 a forced hint would still plan a
+    BroadcastHashJoin; the fix lets the planner choose, so the anti-join
+    sort-merges. A planted 95%-dup corpus stays correct either way."""
+    from hdinsight_pyspark_cntk_integration_spark.plans import formatted_plan
+
+    # 200 vectors, 190 of them near-dups of one template: drop fraction 95%.
+    # The 10 survivors sit at 0.1-rad steps in the (z,w) plane — adjacent
+    # cosine cos(0.1)≈0.995, safely below the 0.999 threshold.
+    import math
+
+    rows = [(i, [1.0, i * 1e-6, 0.0, 0.0]) for i in range(190)]
+    rows += [
+        (200 + i, [0.0, 0.0, math.cos(0.1 * i), math.sin(0.1 * i)])
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(4)
+    ids = df.select("vec_id")
+    cand = ids.select(F.col("vec_id").alias("id_a")).join(
+        ids.select(F.col("vec_id").alias("id_b")), F.col("id_a") < F.col("id_b")
+    )
+    out = dd.embedding_dedup(df, threshold=0.999, candidates=cand)
+    conf = spark.conf
+    saved = {
+        "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.autoBroadcastJoinThreshold": conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = formatted_plan(out)
+        anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+        assert anti, plan
+        assert not any("Broadcast" in ln for ln in anti), plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    kept = {r["vec_id"] for r in out.collect()}
+    assert kept == {0} | {200 + i for i in range(10)}
+
+
 def test_canonical_url_hand_checked(spark):
     """Tracking params dropped, params sorted, scheme/host lowercased
     (path case kept), fragment gone, trailing slash stripped on

@@ -197,6 +197,40 @@ def test_sentence_dedup_within_doc_repeats_kept_in_keeper(spark):
     assert out[2]["cleaned_text"] == "Other"
 
 
+def test_sentence_dedup_fp128_twin_and_collision_behavior(spark):
+    """fp_bits=128 (two 60-bit md5 halves) must match the default
+    64-bit path exactly on a collision-free corpus. Collision behavior
+    is pinned through the fp_expr seam (genuine xxhash64 collisions are
+    not constructible in CI): a deliberately weak fingerprint —
+    hash of the first 6 chars — makes 'Zebra prefix one' / 'Zebra
+    prefix two' collide, so the non-keeper doc wrongly loses a DISTINCT
+    sentence; fp_bits=128 on the same corpus keeps it."""
+    rows = [
+        (1, "Alpha beta. Common line here. Gamma!"),
+        (2, "Common line here. Delta epsilon."),
+        (3, "Common line here."),
+        (4, "Zebra prefix one. Solo x."),
+        (5, "Zebra prefix two. Solo y."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r64 = sorted(dd.sentence_dedup(df, min_docs=2).collect())
+    r128 = sorted(dd.sentence_dedup(df, min_docs=2, fp_bits=128).collect())
+    assert r64 == r128
+    ok = {r["doc_id"]: r for r in r128}
+    assert ok[4]["n_dropped"] == 0 and ok[5]["n_dropped"] == 0
+
+    weak = F.xxhash64(F.substring(F.col("sentence"), 1, 6))
+    bad = {r["doc_id"]: r for r in
+           dd.sentence_dedup(df, min_docs=2, fp_expr=weak).collect()}
+    # the planted collision ("Zebra " prefix) merges the two distinct
+    # sentences: doc 4 keeps (min doc id), doc 5 wrongly drops its variant
+    assert bad[4]["n_dropped"] == 0
+    assert bad[5]["n_dropped"] == 1 and bad[5]["cleaned_text"] == "Solo y"
+
+    with pytest.raises(ValueError):
+        dd.sentence_dedup(df, fp_bits=32)
+
+
 # --- dsir_weights --------------------------------------------------------
 
 
@@ -251,6 +285,28 @@ def test_random_projection_rejects_bad_dim(spark):
     df = spark.createDataFrame([(1, [0.1])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         sim.random_projection(df, out_dim=0)
+    with pytest.raises(ValueError):
+        sim.random_projection(df, out_dim=2, input_dim=0)
+
+
+def test_random_projection_precomputed_matrix_twin(spark):
+    """input_dim precomputes the sign matrix at plan time (VERDICT r7
+    #2); output must be bit-identical to the per-row md5 path — on
+    in-range rows AND on a row LONGER than input_dim, which exercises
+    the per-element hash fallback. Still zero shuffles."""
+    rows = [
+        (1, [0.5, -1.25, 2.0, 0.3]),
+        (2, [0.0, 3.5, -0.75, 9.1]),
+        (3, [1.0] * 6),  # longer than input_dim=4 → fallback for i=4,5
+        (4, [2.25]),     # shorter: fast path only, partial row
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    slow = {(r["vec_id"], r["j"]): r["proj"]
+            for r in sim.random_projection(df, out_dim=5).collect()}
+    fast = {(r["vec_id"], r["j"]): r["proj"]
+            for r in sim.random_projection(df, out_dim=5, input_dim=4).collect()}
+    assert fast == slow
+    assert count_shuffles(sim.random_projection(df, out_dim=5, input_dim=4)) == 0
 
 
 def test_kmv_ignores_nulls_like_count_distinct(spark):
@@ -278,7 +334,62 @@ def test_kmv_complete_pair_exact_even_when_union_exceeds_k(spark):
     assert est["intersect_est"] == 0 and est["jaccard_micro"] == 0
 
 
-def test_random_projection_skips_null_and_empty_vectors(spark):
+def test_kmv_clipped_flag_forces_estimator_branch(spark):
+    """VERDICT r7 #4: n_kept < k must NOT be read as 'sketch is exact'
+    when the HLL-derived prefilter threshold clipped the group — real
+    hashes may have been dropped. Hand-built sketches pin the branch:
+    identical tiny kmv arrays, n_kept=3 < k, and only the clipped flag
+    differs. Unclipped ⇒ exact union (5); clipped ⇒ the s-minima
+    estimator, which on a threshold-scale kth value is astronomically
+    larger. A sketch table WITHOUT the flag (pre-flag persistence) keeps
+    the old exact behavior."""
+    rows = [
+        ("A", [10, 20, 30], 3),
+        ("B", [10, 40, 50], 3),
+    ]
+
+    def est(clipped_vals):
+        df = spark.createDataFrame(
+            [(g, kmv, n, c) for (g, kmv, n), c in zip(rows, clipped_vals)],
+            "grp string, kmv array<long>, n_kept long, clipped boolean",
+        )
+        return sk.kmv_intersect_estimate(df, k=512).collect()[0]
+
+    exact = est([False, False])
+    assert exact["union_est"] == 5 and exact["intersect_est"] == 1
+
+    clipped = est([True, True])
+    assert clipped["union_est"] > 10**9  # estimator branch, not |union|=5
+
+    legacy = spark.createDataFrame(
+        [(g, kmv, n) for (g, kmv, n) in rows],
+        "grp string, kmv array<long>, n_kept long",
+    )
+    old = sk.kmv_intersect_estimate(legacy, k=512).collect()[0]
+    assert old["union_est"] == 5 and old["intersect_est"] == 1
+
+
+def test_kmv_clipped_sketch_property(spark):
+    """safety=1 with k far below the group cardinality forces the
+    prefilter to clip (thr << P): the flag must be set, the pair must
+    take the estimator branch (pinned by recomputing the estimator in
+    Python from the collected sketches), and the estimates must stay in
+    the right ballpark of the true union/intersection."""
+    P = sk._KMV_P
+    k = 16
+    rows = [("A", i) for i in range(200)] + [("B", i + 100) for i in range(200)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    sk_df = sk.kmv_sketch_by_group(df, "grp", "v", k=k, safety=1)
+    sketches = {r["grp"]: r for r in sk_df.collect()}
+    assert sketches["A"]["clipped"] and sketches["B"]["clipped"]
+
+    got = sk.kmv_intersect_estimate(sk_df, k=k).collect()[0]
+    union_all = sorted(set(sketches["A"]["kmv"]) | set(sketches["B"]["kmv"]))
+    x = union_all[:k]
+    expect_union = (len(x) - 1) * P // x[-1]
+    assert got["union_est"] == expect_union
+    # truth: |A ∪ B| = 300, |A ∩ B| = 100; s≈16 minima ⇒ ~25% rel. stderr
+    assert 120 <= got["union_est"] <= 750
     rows = [(1, [0.5, 1.0]), (2, []), (3, None)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = sim.random_projection(df, out_dim=2)
