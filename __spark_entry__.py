@@ -1083,6 +1083,106 @@ def q_communities_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.label_propagation(edges, rounds=2)
 
 
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency PMI table (operators.stats.mutual_information):
+    is a document's language independent of its source? One row per
+    observed (lang, source) cell with exact counts and the micro-nat
+    PMI — one domain-bounded partial-agg shuffle, marginals as windows
+    over the cells, ln on pure count ratios in a fixed order."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    docs = load_table(spark, sf_dir, "documents")
+    return st.mutual_information(docs, "lang", "source")
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend (operators.stats.theil_sen): median-of-
+    pairwise-slopes revenue trend per customer nation over MONTHLY
+    revenue points (x = months since year 0, y = cents) — the bounded
+    pre-aggregation the operator's contract demands (<= ~90 points per
+    nation, so <= ~4000 pairs). Slopes/medians are IEEE ratios of exact
+    longs, micro-floored at the end; the oracle replicates the median
+    as the same sorted-array middle-element expression (never DuckDB's
+    native median, whose interpolation order could differ in the last
+    ulp)."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    monthly = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    fit = st.theil_sen(monthly, "nation", "x", "y", max_points=256)
+    return fit.select(
+        "nation", "n_points", "n_pairs",
+        F.floor(F.col("slope") * 1_000_000.0).cast("long").alias("slope_micro"),
+        F.floor(F.col("intercept")).cast("long").alias("intercept_cents"),
+    )
+
+
+def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted reservoir sampling (operators.mining.
+    weighted_reservoir_sample): exactly 5 docs per language drawn
+    proportional to an integer weight (1 + n_chars mod 7) via the
+    max-of-w-uniforms form of Efraimidis-Spirakis — md5-derived 60-bit
+    priorities, no RNG state, top-k through the two-stage bounded_topk.
+    The oracle reproduces the identical priorities (same md5 chain) and
+    the identical (priority DESC, id) ranking."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import mining as mn
+
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "lang", "doc_id", (F.lit(1) + F.pmod(F.col("n_chars"), F.lit(7))).alias("w")
+    )
+    return mn.weighted_reservoir_sample(weighted, "lang", "doc_id", "w", k=5)
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (operators.mining.funnel_steps): view → click →
+    purchase with earliest-completion semantics and a 30-day horizon
+    from each user's first view. Per-step reach counts plus integer-
+    micro conversion ratios; per-user state is one timestamp per step,
+    counts union lazily into a single action."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import mining as mn
+
+    ev = load_table(spark, sf_dir, "events")
+    return mn.funnel_steps(
+        ev, ["view", "click", "purchase"], horizon_seconds=30 * 86400
+    )
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf fit per language (operators.text.zipf_slope): OLS of
+    ln(freq) on ln(rank) over each language's top-64 tokens — micro-nat
+    quantization at birth, exact long sums, fixed-order double ratios
+    for the closed-form slope/intercept."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.zipf_slope(docs, lang_col="lang", top_n=64)
+
+
+def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocations (operators.text.pmi_cooccur): PMI of ordered token
+    pairs within 2 positions, n_ab >= 5 — pair slots emitted per row by
+    a transform×transform over the token array (zero-shuffle pair
+    generation), one pair groupBy, broadcast marginal joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.pmi_cooccur(docs, window=2, min_pairs=5)
+
+
 def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication (operators.dedup.repeated_passages):
     word 8-gram passages recurring in >= 2 distinct documents — the
@@ -4439,6 +4539,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_hourly": q_tumbling_hourly,
         "set_ops": q_set_ops,
         "pca_top_component": q_pca_top_component,
+        # --- round-8 additions ---
+        "mutual_information": q_mutual_information,
+        "theil_sen": q_theil_sen,
+        "weighted_reservoir": q_weighted_reservoir,
+        "funnel_steps": q_funnel_steps,
+        "zipf_slope": q_zipf_slope,
+        "pmi_cooccur": q_pmi_cooccur,
     }
 
 
@@ -7890,6 +7997,231 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM lineitem
             GROUP BY ALL
+        """,
+        "mutual_information": """
+            WITH cells AS (
+              SELECT lang AS x, source AS y, CAST(COUNT(*) AS BIGINT) AS n_xy
+              FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cells),
+            mx AS (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY 1),
+            my AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY 1)
+            SELECT c.x, c.y, c.n_xy, mx.n_x, my.n_y, tot.n,
+              CAST(floor(ln(
+                (CAST(c.n_xy AS DOUBLE) / CAST(mx.n_x AS DOUBLE))
+                * (CAST(tot.n AS DOUBLE) / CAST(my.n_y AS DOUBLE))
+              ) * 1000000) AS BIGINT) AS pmi_micro
+            FROM cells c
+            JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+        """,
+        "theil_sen": """
+            WITH pts AS (
+              SELECT c.c_nationkey AS nation,
+                CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1 AS BIGINT) AS x,
+                CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              GROUP BY 1, 2
+            ),
+            sl AS (
+              SELECT a.nation,
+                (CAST(b.y AS DOUBLE) - CAST(a.y AS DOUBLE))
+                  / (CAST(b.x AS DOUBLE) - CAST(a.x AS DOUBLE)) AS s
+              FROM pts a JOIN pts b ON a.nation = b.nation AND a.x < b.x
+            ),
+            -- median as the SAME sorted-array middle-element expression the
+            -- Spark operator uses (not DuckDB's native median, whose
+            -- interpolation could differ in the last ulp)
+            fit AS (
+              SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                list_sort(list(s)) AS arr
+              FROM sl GROUP BY 1
+            ),
+            fit2 AS (
+              SELECT nation, n_pairs,
+                CASE WHEN n_pairs % 2 = 1
+                  THEN arr[CAST(n_pairs // 2 AS INTEGER) + 1]
+                  ELSE (arr[CAST(n_pairs // 2 AS INTEGER)]
+                        + arr[CAST(n_pairs // 2 AS INTEGER) + 1]) / 2.0
+                END AS slope
+              FROM fit
+            ),
+            res AS (
+              SELECT p.nation, f.n_pairs, f.slope,
+                CAST(p.y AS DOUBLE) - f.slope * CAST(p.x AS DOUBLE) AS r
+              FROM pts p JOIN fit2 f ON p.nation = f.nation
+            ),
+            ri AS (
+              SELECT nation, n_pairs, slope,
+                CAST(COUNT(*) AS BIGINT) AS n_points,
+                list_sort(list(r)) AS rs
+              FROM res GROUP BY 1, 2, 3
+            )
+            SELECT nation, n_points, n_pairs,
+              CAST(floor(slope * 1000000) AS BIGINT) AS slope_micro,
+              CAST(floor(
+                CASE WHEN n_points % 2 = 1
+                  THEN rs[CAST(n_points // 2 AS INTEGER) + 1]
+                  ELSE (rs[CAST(n_points // 2 AS INTEGER)]
+                        + rs[CAST(n_points // 2 AS INTEGER) + 1]) / 2.0
+                END
+              ) AS BIGINT) AS intercept_cents
+            FROM ri
+        """,
+        "weighted_reservoir": """
+            WITH w AS (
+              SELECT lang, doc_id,
+                CAST(1 + (n_chars % 7) AS BIGINT) AS weight
+              FROM documents
+            ),
+            e AS (
+              SELECT lang, doc_id, weight,
+                unnest(generate_series(1, weight)) AS c
+              FROM w
+            ),
+            pri AS (
+              SELECT lang, doc_id, weight,
+                MAX(CAST(('0x' || substr(
+                  md5(CAST(doc_id AS VARCHAR) || '_' || CAST(c AS VARCHAR)),
+                  1, 15)) AS BIGINT)) AS priority
+              FROM e GROUP BY 1, 2, 3
+            ),
+            r AS (
+              SELECT lang, doc_id, weight, priority,
+                CAST(ROW_NUMBER() OVER (
+                  PARTITION BY lang ORDER BY priority DESC, doc_id
+                ) AS BIGINT) AS rank
+              FROM pri
+            )
+            SELECT lang, doc_id, weight, priority, rank FROM r WHERE rank <= 5
+        """,
+        "funnel_steps": """
+            WITH s1 AS (
+              SELECT user_id AS u, MIN(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ),
+            s2 AS (
+              SELECT e.user_id AS u, s1.t1, MIN(e.ts) AS tp
+              FROM events e JOIN s1 ON e.user_id = s1.u
+              WHERE e.event_type = 'click' AND e.ts > s1.t1
+                AND e.ts <= s1.t1 + INTERVAL 2592000 SECOND
+              GROUP BY 1, 2
+            ),
+            s3 AS (
+              SELECT e.user_id AS u, s2.t1, MIN(e.ts) AS tp
+              FROM events e JOIN s2 ON e.user_id = s2.u
+              WHERE e.event_type = 'purchase' AND e.ts > s2.tp
+                AND e.ts <= s2.t1 + INTERVAL 2592000 SECOND
+              GROUP BY 1, 2
+            ),
+            c AS (
+              SELECT CAST(1 AS BIGINT) AS step_index, 'view' AS step,
+                CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+              UNION ALL
+              SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+              UNION ALL
+              SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+            ),
+            r AS (
+              SELECT step_index, step, n_users,
+                FIRST_VALUE(n_users) OVER (ORDER BY step_index) AS n1,
+                COALESCE(LAG(n_users) OVER (ORDER BY step_index), n_users) AS np
+              FROM c
+            )
+            SELECT step_index, step, n_users,
+              CAST(1000000 * n_users // n1 AS BIGINT) AS conv_from_first_micro,
+              CAST(1000000 * n_users // nullif(np, 0) AS BIGINT)
+                AS conv_from_prev_micro
+            FROM r WHERE n1 > 0
+        """,
+        "zipf_slope": f"""
+            WITH tok AS (
+              SELECT lang,
+                unnest(string_split_regex({_NORM_TEXT}, '\\s+')) AS token
+              FROM documents
+            ),
+            v AS (
+              SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM tok WHERE length(token) > 0 GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT lang, cnt,
+                ROW_NUMBER() OVER (
+                  PARTITION BY lang ORDER BY cnt DESC, token
+                ) AS rank
+              FROM v
+            ),
+            q AS (
+              SELECT lang,
+                CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+                CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS y
+              FROM r WHERE rank <= 64
+            ),
+            s AS (
+              SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_terms,
+                CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                CAST(SUM(x * x) AS BIGINT) AS sxx,
+                CAST(SUM(x * y) AS BIGINT) AS sxy
+              FROM q GROUP BY 1
+            ),
+            s2 AS (
+              SELECT lang, n_terms, sx, sy,
+                (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+              FROM s
+            )
+            SELECT lang, n_terms,
+              CAST(floor(slope * 1000000) AS BIGINT) AS slope_micro,
+              CAST(floor(
+                (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                / CAST(n_terms AS DOUBLE)
+              ) AS BIGINT) AS intercept_micro
+            FROM s2
+        """,
+        "pmi_cooccur": f"""
+            WITH t AS (
+              SELECT doc_id,
+                string_split_regex({_NORM_TEXT}, '\\s+') AS l
+              FROM documents
+            ),
+            tok AS (
+              SELECT doc_id, unnest(l) AS token,
+                generate_subscripts(l, 1) AS pos
+              FROM t
+            ),
+            tk AS (
+              SELECT doc_id, token,
+                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+              FROM tok WHERE length(token) > 0
+            ),
+            pairs AS (
+              SELECT a.token AS a, b.token AS b
+              FROM tk a JOIN tk b
+                ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 2
+            ),
+            pc AS (
+              SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab
+              FROM pairs GROUP BY 1, 2
+            ),
+            np AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n_pairs FROM pc),
+            v AS (
+              SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM tk GROUP BY 1
+            ),
+            nt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM v)
+            SELECT cut.a, cut.b, cut.n_ab, va.cnt AS n_a, vb.cnt AS n_b,
+              CAST(floor(ln(
+                (CAST(cut.n_ab AS DOUBLE) / CAST(np.n_pairs AS DOUBLE))
+                * (CAST(nt.n_tokens AS DOUBLE) / CAST(va.cnt AS DOUBLE))
+                * (CAST(nt.n_tokens AS DOUBLE) / CAST(vb.cnt AS DOUBLE))
+              ) * 1000000) AS BIGINT) AS pmi_micro
+            FROM (SELECT * FROM pc WHERE n_ab >= 5) cut
+            JOIN v va ON cut.a = va.token
+            JOIN v vb ON cut.b = vb.token
+            CROSS JOIN np CROSS JOIN nt
         """,
     }
     oracles["hybrid_rrf"] = f"""

@@ -116,6 +116,13 @@ PIPELINE = [
     "dsir_weights",
     "random_projection",
     "communities_trade",
+    # round-8 additions
+    "mutual_information",
+    "theil_sen",
+    "weighted_reservoir",
+    "funnel_steps",
+    "zipf_slope",
+    "pmi_cooccur",
 ]
 
 

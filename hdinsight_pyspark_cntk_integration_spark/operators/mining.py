@@ -246,3 +246,203 @@ def pareto_contribution(
             ).cast("long").alias("top_share_micro"),
         )
     )
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int = 10,
+    max_weight: int = 64,
+) -> DataFrame:
+    """Deterministic weighted reservoir sampling WITHOUT replacement,
+    exactly k per group — the data-mixture primitive ("sample documents
+    proportional to quality weight") that the Bernoulli thinning of
+    ``pipeline.weighted_sample`` / ``mixture_sample`` cannot give you
+    when you need an exact per-group quota.
+
+    Scheme: Efraimidis-Spirakis (IPL 2006) assigns each row the key
+    u^(1/w) (u uniform) and keeps the k largest. We use the
+    distributionally IDENTICAL max-of-w-uniforms form — priority =
+    max_{c=1..w} U(id, c), since the max of w iid uniforms has exactly
+    the CDF t^w that u^(1/w) has — with U(id, c) a 60-bit integer
+    carved from md5(id || '_' || c). No transcendentals, no RNG state:
+    integer-exact, reproducible on any engine, any partitioning.
+
+    Weights must be integer ≥ 1 (rows with w < 1 are excluded — weight
+    0 means "never sample"); ``max_weight`` bounds the per-row
+    priority scan and is enforced with a runtime raise_error, not a
+    silent cap — quantize big weights down before sampling.
+
+    Returns (group, id, weight, priority, rank) with rank 1..k by
+    (priority DESC, id) — the id tiebreak makes the draw a total order
+    even in the astronomically-unlikely 60-bit tie.
+
+    Scale shape: the priority is a per-row ``transform``+``array_max``
+    over ≤ max_weight md5 calls — no explode, no shuffle; the only
+    shuffle is the per-group top-k, built on the two-stage
+    ``bounded_topk`` (per-partition slice first), so no reducer ever
+    holds more than partition×k candidates per group.
+    """
+    from hdinsight_pyspark_cntk_integration_spark.operators.similarity import bounded_topk
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    if max_weight < 1:
+        raise ValueError(f"max_weight must be >= 1 (got {max_weight})")
+    w = F.col(weight_col).cast("long")
+    wg = F.when(w <= max_weight, w).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"weighted_sample: weight exceeds max_weight={max_weight} "
+                    "(quantize weights down): "
+                ),
+                w.cast("string"),
+            )
+        ).cast("long")
+    )
+    pri = F.array_max(
+        F.transform(
+            F.sequence(F.lit(1), wg),
+            lambda c: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws("_", F.col(id_col).cast("string"), c.cast("string"))
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+    )
+    scored = (
+        df.filter(w >= 1)
+        .select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("id"),
+            w.alias("weight"),
+            pri.alias("priority"),
+        )
+    )
+    item = F.struct(
+        (-F.col("priority")).alias("np"), F.col("id").alias("id"),
+        F.col("weight").alias("weight"),
+    )
+    top = bounded_topk(scored, "grp", item, k)
+    return (
+        top.select("grp", F.posexplode("top").alias("pos", "t"))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("t.id").alias(id_col),
+            F.col("t.weight").alias("weight"),
+            (-F.col("t.np")).alias("priority"),
+            (F.col("pos") + 1).cast("long").alias("rank"),
+        )
+    )
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    horizon_seconds: int | None = None,
+) -> DataFrame:
+    """Ordered funnel conversion over an event stream: for each user,
+    step i counts only if it happens STRICTLY AFTER the user's
+    earliest completion of step i-1 (earliest-completion semantics,
+    the standard product-analytics funnel), optionally within
+    ``horizon_seconds`` of the user's step-1 time. Returns one row per
+    step:
+
+        (step_index, step, n_users, conv_from_first_micro,
+         conv_from_prev_micro)
+
+    with the ratios as exact integer micro-units (1e6·a div b — integer
+    division of exact counts, hash-stable on any engine). The first
+    step's ratios are both 1e6 by definition; an empty first step
+    yields zero rows for every step (no 0/0).
+
+    Scale shape: one filtered min-ts aggregate per step plus a hash
+    join per step transition, all keyed on the user — len(steps)-1
+    shuffles on a high-cardinality key, the natural co-partitioned
+    plan (AQE reuses the exchange where sizes allow). No windows over
+    raw events, no per-user event arrays, no collect: per-user state
+    is ONE timestamp per step, the per-step counts are partial-agg
+    1-row aggregates unioned LAZILY (one action total), and the
+    conversion ratios are a window over the len(steps)-row result.
+    Event-time skew lives in the user key, not a global sort.
+    """
+    from pyspark.sql import Window
+
+    if len(steps) < 2:
+        raise ValueError(f"funnel needs >= 2 steps (got {len(steps)})")
+    ts = F.col(ts_col)
+    reached = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(ts).alias("t1"))
+        .withColumn("t_prev", F.col("t1"))
+        .localCheckpoint(eager=True)
+    )
+
+    def step_count(r: DataFrame, i: int, s: str) -> DataFrame:
+        return r.groupBy().agg(
+            F.lit(i + 1).cast("long").alias("step_index"),
+            F.lit(s).alias("step"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        ).select("step_index", "step", "n_users")
+
+    parts = [step_count(reached, 0, steps[0])]
+    for i, s in enumerate(steps[1:], start=1):
+        nxt = df.filter(F.col(type_col) == s).select(
+            F.col(user_col).alias("u"), ts.alias("__ts")
+        )
+        cond = F.col("__ts") > F.col("t_prev")
+        if horizon_seconds is not None:
+            cond = cond & (
+                F.col("__ts")
+                <= F.col("t1") + F.expr(f"INTERVAL {int(horizon_seconds)} SECOND")
+            )
+        reached = (
+            nxt.join(reached, "u")
+            .filter(cond)
+            .groupBy("u", "t1")
+            .agg(F.min("__ts").alias("t_prev"))
+        )
+        # Each step's reach table feeds BOTH the next transition and its
+        # own count branch; un-materialized, every union branch re-chains
+        # back to the source (K²/2 scans). The table is one row per
+        # surviving user — localCheckpoint it so the event stream is
+        # scanned once per step, K scans total.
+        reached = reached.localCheckpoint(eager=True)
+        parts.append(step_count(reached, i, s))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    w = Window.orderBy("step_index").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n1 = F.first("n_users").over(w)
+    np_ = F.coalesce(
+        F.lag("n_users").over(Window.orderBy("step_index")), F.col("n_users")
+    )
+    return (
+        out.withColumn("__n1", n1)
+        .withColumn("__np", np_)
+        .filter(F.col("__n1") > 0)
+        .select(
+            "step_index", "step", "n_users",
+            F.expr(f"{MICRO} * n_users div __n1").alias("conv_from_first_micro"),
+            # a dead step (prev count 0 ⇒ this count 0, funnel is
+            # monotone) yields NULL, not an ANSI divide-by-zero
+            F.expr(f"{MICRO} * n_users div nullif(__np, 0)").alias(
+                "conv_from_prev_micro"
+            ),
+        )
+    )

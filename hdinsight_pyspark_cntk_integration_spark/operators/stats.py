@@ -20,7 +20,7 @@ also order-independent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -268,4 +268,172 @@ def mad_outliers(
         .filter((F.col("mad") > 0.0) & (F.col("__absdev") > F.lit(float(k)) * F.col("mad")))
         .withColumn("robust_score", F.col("__absdev") / F.col("mad"))
         .drop("__absdev")
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Pointwise-mutual-information table of two categorical columns —
+    the contingency analysis behind feature/metadata association checks
+    (e.g. is a corpus's `lang` independent of its `source`?). One row
+    per observed (x, y) cell:
+
+        (x, y, n_xy, n_x, n_y, n, pmi_micro)
+
+    with pmi = ln( P(x,y) / (P(x)·P(y)) ), quantized to integer
+    micro-nats at birth (floor(ln·1e6), the engine-wide float
+    discipline). The total MI is Σ (n_xy/n)·pmi — left to the caller
+    because at corpus scale the integer product n_xy·pmi_micro can pass
+    2^63; every column here is either an exact count or a micro-int.
+
+    NULL x or y rows are excluded (standard MI semantics; mirror the
+    filter in any SQL twin — SQL GROUP BY would keep NULL cells).
+
+    Exactness: the ln argument is assembled from pure count ratios in a
+    FIXED multiplication order — (n_xy/n_x)·(n/n_y), all doubles from
+    exact longs — so any engine computes bit-identical doubles (no
+    long·long overflow: products never materialize as integers).
+
+    Scale shape: ONE partial-agg shuffle collapses the table to its
+    (x, y) cells — bounded by the category-domain product, not row
+    count. Marginals are windows OVER THE CELLS (partitioned on x, on
+    y, and one unpartitioned total): fine precisely because cells are
+    domain-bounded; this operator is for categorical columns, not keys.
+    """
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    )
+    n_x = F.sum("n_xy").over(Window.partitionBy("x"))
+    n_y = F.sum("n_xy").over(Window.partitionBy("y"))
+    n = F.sum("n_xy").over(Window.partitionBy())
+    out = cells.select(
+        "x", "y", "n_xy",
+        n_x.cast("long").alias("n_x"),
+        n_y.cast("long").alias("n_y"),
+        n.cast("long").alias("n"),
+    )
+    ratio = (
+        F.col("n_xy").cast("double") / F.col("n_x").cast("double")
+    ) * (F.col("n").cast("double") / F.col("n_y").cast("double"))
+    return out.withColumn(
+        "pmi_micro", F.floor(F.log(ratio) * F.lit(1_000_000.0)).cast("long")
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    max_points: int = 256,
+) -> DataFrame:
+    """Theil-Sen robust regression per group: slope = the exact MEDIAN
+    of all pairwise slopes (y_j−y_i)/(x_j−x_i) over x_i < x_j, and
+    intercept = the exact median of (y − slope·x) over the group's
+    points — the 29%-breakdown-point line fit that a single wild
+    outlier cannot drag the way OLS lets it.
+
+    CONTRACT: groups must be PRE-AGGREGATED and bounded — pairwise
+    slopes are O(n²) per group by definition. ``max_points`` (default
+    256 → ≤32 640 pairs/group) is enforced with a runtime raise_error,
+    not a silent truncation: feed daily/monthly rollups, not raw rows
+    (the gate query fits monthly revenue points per nation). x and y
+    should be integer-quantized by the caller (dates → day numbers,
+    prices → cents) so every slope is an exact-integer ratio.
+
+    Exactness: slopes are IEEE divisions of exact longs — identical in
+    any engine; medians are order statistics of those doubles (even
+    count → mean of the two middles, the same interpolation DuckDB's
+    ``median`` uses).
+
+    Scale shape: one co-partitioned self-join on the group key builds
+    pairs (group-bounded by contract), one partial-agg groupBy holds a
+    sorted slope array bounded by max_points²/2, one broadcast join
+    back for the intercept pass. No global sort, no collect.
+    """
+    if max_points < 2:
+        raise ValueError(f"max_points must be >= 2 (got {max_points})")
+    guard = df.groupBy(F.col(group_col)).agg(F.count(F.lit(1)).alias("__n"))
+    # The raise_error guard is fused INTO the x column (not a standalone
+    # column): Catalyst prunes never-referenced columns, and a pruned
+    # guard is no guard — x feeds every slope and residual, so the
+    # bound check always evaluates.
+    x = F.when(F.col("__n") <= max_points, F.col(x_col).cast("double")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"theil_sen: group exceeds max_points={max_points} "
+                    "(pre-aggregate to bounded groups): "
+                ),
+                F.col(group_col).cast("string"),
+                F.lit(" has "),
+                F.col("__n").cast("string"),
+                F.lit(" points"),
+            )
+        ).cast("double")
+    )
+    y = F.col(y_col).cast("double")
+    pts = df.join(F.broadcast(guard), group_col).select(
+        F.col(group_col).alias("__g"), x.alias("__x"), y.alias("__y")
+    )
+    # pts is referenced four times downstream (both pair sides, the
+    # residual pass, the guard evaluation); without materialization each
+    # reference re-derives the input — 24 source scans in the un-cached
+    # plan. The point set is bounded (max_points per group by contract),
+    # so an eager localCheckpoint is cheap and collapses the plan to
+    # one derivation. Same pattern as repeated_passages_maximal's
+    # survivor set.
+    pts = pts.localCheckpoint(eager=True)
+    a = pts.select(
+        F.col("__g"), F.col("__x").alias("__xa"), F.col("__y").alias("__ya")
+    )
+    b = pts.select(
+        F.col("__g"), F.col("__x").alias("__xb"), F.col("__y").alias("__yb")
+    )
+    slopes = (
+        a.join(b, "__g")
+        .filter(F.col("__xa") < F.col("__xb"))
+        .select(
+            "__g",
+            (
+                (F.col("__yb") - F.col("__ya")) / (F.col("__xb") - F.col("__xa"))
+            ).alias("__s"),
+        )
+    )
+
+    def _median(arr: Column, n: Column) -> Column:
+        mid = (n / F.lit(2)).cast("int")
+        odd = F.element_at(arr, mid + 1)
+        even = (F.element_at(arr, mid) + F.element_at(arr, mid + 1)) / F.lit(2.0)
+        return F.when(n % 2 == 1, odd).otherwise(even)
+
+    fit = slopes.groupBy("__g").agg(
+        F.sort_array(F.collect_list("__s")).alias("__arr"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    ).select(
+        "__g", "n_pairs",
+        _median(F.col("__arr"), F.col("n_pairs")).alias("slope"),
+    )
+    resid = pts.join(F.broadcast(fit), "__g").select(
+        "__g", "n_pairs", "slope",
+        (F.col("__y") - F.col("slope") * F.col("__x")).alias("__r"),
+    )
+    return (
+        resid.groupBy("__g", "n_pairs", "slope")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sort_array(F.collect_list("__r")).alias("__rs"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            "n_points",
+            "n_pairs",
+            "slope",
+            _median(F.col("__rs"), F.col("n_points")).alias("intercept"),
+        )
     )

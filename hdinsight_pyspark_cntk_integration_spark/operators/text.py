@@ -1143,3 +1143,178 @@ def dsir_weights(
             F.sum("lw_micro").cast("long").alias("dsir_micro"),
         )
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str | None = None,
+    top_n: int = 256,
+) -> DataFrame:
+    """Zipf's-law fit per corpus slice: OLS slope of ln(frequency) on
+    ln(rank) over the ``top_n`` most frequent tokens — the classic
+    corpus-health diagnostic (natural language sits near slope −1;
+    template/boilerplate-heavy or synthetic corpora drift off it; see
+    Piantadosi 2014 for the empirical law).
+
+    Returns one row per slice: (lang?, n_terms, slope_micro,
+    intercept_micro), micro-scaled integers.
+
+    Float discipline (engine-wide): ranks and counts are exact
+    integers, so ln(rank)/ln(count) are lns OF IDENTICAL DOUBLES in
+    any engine — each is floor-quantized to micro-nats at birth, and
+    the OLS runs entirely on those micro-integers: sums are exact
+    longs, the final slope/intercept are fixed-order double ratios of
+    those longs, floored to micro. Bit-identical cross-engine.
+
+    Scale shape: one explode + partial-agg groupBy collapses the
+    corpus to its vocabulary (domain-bounded); the rank window runs
+    over the VOCABULARY per slice (cnt DESC, token tiebreak —
+    deterministic total order), the regression is a second partial agg
+    over ≤ top_n rows per slice. No global sort of rows, no collect.
+    """
+    from pyspark.sql import Window
+
+    from hdinsight_pyspark_cntk_integration_spark.functions.textfns import normalized_text
+
+    if top_n < 2:
+        raise ValueError(f"top_n must be >= 2 (got {top_n})")
+    keys = [lang_col] if lang_col else []
+    tok = df.select(
+        *keys, F.explode(F.split(normalized_text(text_col), r"\s+")).alias("token")
+    ).filter(F.length("token") > 0)
+    vocab = tok.groupBy(*keys, "token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.partitionBy(*keys).orderBy(F.col("cnt").desc(), F.col("token"))
+    ranked = (
+        vocab.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            *keys,
+            F.floor(F.log(F.col("rank").cast("double")) * F.lit(1_000_000.0))
+            .cast("long")
+            .alias("x"),
+            F.floor(F.log(F.col("cnt").cast("double")) * F.lit(1_000_000.0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    agg = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n_terms").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    slope = (n * F.col("sxy").cast("double") - sx * sy) / (
+        n * F.col("sxx").cast("double") - sx * sx
+    )
+    intercept = (sy - slope * sx) / n
+    return agg.select(
+        *keys,
+        "n_terms",
+        F.floor(slope * F.lit(1_000_000.0)).cast("long").alias("slope_micro"),
+        F.floor(intercept).cast("long").alias("intercept_micro"),
+    )
+
+
+def pmi_cooccur(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 2,
+    min_pairs: int = 5,
+) -> DataFrame:
+    """Collocation mining: pointwise mutual information of ORDERED
+    token pairs co-occurring within ``window`` positions (a precedes b
+    by 1..window) — the classic Church & Hanks (1990) association
+    measure that surfaces multiword expressions ("new york") a unigram
+    vocabulary cannot see.
+
+    pmi = ln( P(a,b) / (P(a)·P(b)) ) with P(a,b) = c_ab/N_pairs over
+    in-window pair slots and P(·) = cnt/N_tokens over unigrams,
+    quantized to micro-nats at birth. The ln argument is a fixed-order
+    chain of double ratios of exact longs — (c_ab/N_pairs)·
+    (N_tok/c_a)·(N_tok/c_b) — no long·long product ever materializes,
+    so nothing can pass 2^63 at corpus scale.
+
+    Returns (a, b, n_ab, n_a, n_b, pmi_micro) for pairs with
+    n_ab >= ``min_pairs``.
+
+    Scale shape: pair slots are emitted PER ROW by a
+    transform×transform over the token array (zero shuffle — no
+    positional self-join of an exploded token table); one partial-agg
+    groupBy on the pair, two broadcast joins against the
+    (domain-bounded) unigram vocabulary, corpus totals via 1-row
+    broadcast crossJoins. The min_pairs cut applies before the
+    marginal joins, so the joined stream is the collocation table, not
+    the pair stream. The token array is LAMBDA-BOUND (``_bind_once``)
+    into the slot expression — element_at references a bound variable,
+    not the split+filter chain, which un-bound would re-tokenize the
+    document once per slot reference (measured 32 s → 1 s at sf0.1).
+    """
+    from hdinsight_pyspark_cntk_integration_spark.functions.textfns import normalized_text
+    from hdinsight_pyspark_cntk_integration_spark.operators.dedup import _bind_once
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1 (got {window})")
+    toks = F.split(normalized_text(text_col), r"\s+")
+
+    def pair_slots(t: Column) -> Column:
+        # sequence() with stop < start yields a DESCENDING range, never
+        # an empty array — docs with < 2 tokens must short-circuit.
+        slots = F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 2),
+                lambda i: F.transform(
+                    F.sequence(
+                        F.lit(1), F.least(F.lit(window), F.size(t) - 1 - i)
+                    ),
+                    lambda d: F.struct(
+                        F.element_at(t, (i + 1).cast("int")).alias("a"),
+                        F.element_at(t, (i + d + 1).cast("int")).alias("b"),
+                    ),
+                ),
+            )
+        )
+        empty = F.array().cast("array<struct<a:string,b:string>>")
+        return F.when(F.size(t) >= 2, slots).otherwise(empty)
+
+    base = df.select(F.explode(F.filter(toks, lambda x: F.length(x) > 0)).alias("token"))
+    vocab = base.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    n_tok = vocab.groupBy().agg(F.sum("cnt").cast("long").alias("n_tokens"))
+
+    pairs = df.select(
+        F.explode(
+            _bind_once(F.filter(toks, lambda x: F.length(x) > 0), pair_slots)
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    pair_cnt = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ab")
+    )
+    n_pairs = pair_cnt.groupBy().agg(F.sum("n_ab").cast("long").alias("n_pairs"))
+
+    cut = pair_cnt.filter(F.col("n_ab") >= min_pairs)
+    joined = (
+        cut.join(
+            F.broadcast(vocab.select(F.col("token").alias("a"), F.col("cnt").alias("n_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(vocab.select(F.col("token").alias("b"), F.col("cnt").alias("n_b"))),
+            "b",
+        )
+        .crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(n_tok))
+    )
+    ratio = (
+        (F.col("n_ab").cast("double") / F.col("n_pairs").cast("double"))
+        * (F.col("n_tokens").cast("double") / F.col("n_a").cast("double"))
+        * (F.col("n_tokens").cast("double") / F.col("n_b").cast("double"))
+    )
+    return joined.select(
+        "a", "b", "n_ab", "n_a", "n_b",
+        F.floor(F.log(ratio) * F.lit(1_000_000.0)).cast("long").alias("pmi_micro"),
+    )

@@ -80,9 +80,14 @@ def lint_plan(df: DataFrame) -> list[str]:
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         spec = m.group(1)
         # a spec whose argument list starts with an ordering expression
-        # (no partition columns before the sort spec) is a global window
+        # OR directly with the frame (no partition columns, no ordering)
+        # is a global window — all rows flow through one task either way
         first = spec.split(",")[0].strip()
-        if " ASC" in first or " DESC" in first:
+        if (
+            " ASC" in first
+            or " DESC" in first
+            or first.startswith("specifiedwindowframe")
+        ):
             findings.append("global-window: window with empty PARTITION BY")
             break
     if "rangepartitioning" in plan and "TakeOrderedAndProject" not in plan:

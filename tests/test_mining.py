@@ -429,3 +429,166 @@ def test_frequent_pairs_lift_survives_huge_counts(spark):
         ).cast("long").alias("lift_micro")
     ).collect()[0]["lift_micro"]
     assert lift == MICRO  # exact 1.0 despite a 1e26 intermediate
+
+
+# --- weighted_reservoir_sample -------------------------------------------
+
+
+def _es_priority(doc_id: int, w: int) -> int:
+    return max(
+        int(hashlib.md5(f"{doc_id}_{c}".encode()).hexdigest()[:15], 16)
+        for c in range(1, w + 1)
+    )
+
+
+def test_weighted_reservoir_matches_python_replication(spark):
+    rows = [("g", i, 1 + (i % 5)) for i in range(40)]
+    df = spark.createDataFrame(rows, "grp string, id long, w long")
+    got = sorted(
+        (r["rank"], r["id"], r["priority"])
+        for r in mn.weighted_reservoir_sample(df, "grp", "id", "w", k=7).collect()
+    )
+    pri = sorted(
+        ((-_es_priority(i, w), i) for (_, i, w) in rows)
+    )[:7]
+    want = sorted(
+        (rank + 1, i, -np_) for rank, (np_, i) in enumerate(pri)
+    )
+    assert got == want
+
+
+def test_weighted_reservoir_excludes_nonpositive_and_caps_weight(spark):
+    rows = [("g", 1, 3), ("g", 2, 0), ("g", 3, -2)]
+    df = spark.createDataFrame(rows, "grp string, id long, w long")
+    got = {r["id"] for r in
+           mn.weighted_reservoir_sample(df, "grp", "id", "w", k=5).collect()}
+    assert got == {1}
+    big = spark.createDataFrame([("g", 1, 65)], "grp string, id long, w long")
+    with pytest.raises(Exception, match="max_weight"):
+        mn.weighted_reservoir_sample(big, "grp", "id", "w", k=1).collect()
+
+
+def test_weighted_reservoir_heavier_rows_sampled_more(spark):
+    # inclusion frequency over many groups must grow with weight:
+    # in each of 200 groups, one weight-16 row competes with seven
+    # weight-1 rows for k=1 — the heavy row must win far more often
+    # than 1/8 of the time (its true inclusion probability is 16/23)
+    rows = [(g, g * 10 + i, 16 if i == 0 else 1) for g in range(200) for i in range(8)]
+    df = spark.createDataFrame(rows, "grp long, id long, w long")
+    got = mn.weighted_reservoir_sample(df, "grp", "id", "w", k=1).collect()
+    heavy_wins = sum(1 for r in got if r["id"] % 10 == 0)
+    assert len(got) == 200
+    assert heavy_wins > 100  # expect ~139, binomial sd ~6.5
+
+
+# --- funnel_steps --------------------------------------------------------
+
+
+def test_funnel_steps_hand_case(spark):
+    from datetime import datetime
+
+    def t(m):
+        return datetime(2026, 1, 1, 0, m)
+
+    rows = [
+        # u1 completes the whole funnel in order
+        (1, "view", t(0)), (1, "click", t(1)), (1, "buy", t(2)),
+        # u2 clicks BEFORE viewing -> click doesn't count, no progress
+        (2, "click", t(0)), (2, "view", t(1)),
+        # u3 views and clicks at the SAME instant -> strictly-after fails
+        (3, "view", t(5)), (3, "click", t(5)),
+        # u4 views only
+        (4, "view", t(0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r["step"]: r for r in
+           mn.funnel_steps(df, ["view", "click", "buy"]).collect()}
+    assert got["view"]["n_users"] == 4
+    assert got["click"]["n_users"] == 1
+    assert got["buy"]["n_users"] == 1
+    assert got["view"]["conv_from_first_micro"] == 1_000_000
+    assert got["click"]["conv_from_first_micro"] == 250_000
+    assert got["buy"]["conv_from_prev_micro"] == 1_000_000
+
+
+def test_funnel_steps_horizon_and_dead_step(spark):
+    from datetime import datetime
+
+    rows = [
+        (1, "view", datetime(2026, 1, 1)),
+        # click lands 2 hours after first view: outside a 1-hour horizon
+        (1, "click", datetime(2026, 1, 1, 2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r["step"]: r for r in
+           mn.funnel_steps(df, ["view", "click", "buy"], horizon_seconds=3600).collect()}
+    assert got["click"]["n_users"] == 0
+    # dead tail: prev count 0 -> conv_from_prev is NULL, not an error
+    assert got["buy"]["n_users"] == 0
+    assert got["buy"]["conv_from_prev_micro"] is None
+    assert got["buy"]["conv_from_first_micro"] == 0
+
+
+def test_funnel_steps_empty_first_step_emits_nothing(spark):
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(1, "click", datetime(2026, 1, 1))],
+        "user_id long, event_type string, ts timestamp",
+    )
+    assert mn.funnel_steps(df, ["view", "click"]).count() == 0
+
+
+# --- zipf_slope / pmi_cooccur --------------------------------------------
+
+
+def test_zipf_slope_matches_python_ols(spark):
+    import math
+
+    # vocabulary with known counts: 'a'x8 'b'x4 'c'x2 'd'x1
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    [r] = tx.zipf_slope(df, top_n=64).collect()
+    counts = [8, 4, 2, 1]
+    xs = [math.floor(math.log(i + 1) * 1e6) for i in range(4)]
+    ys = [math.floor(math.log(c) * 1e6) for c in counts]
+    n, sx, sy = 4, sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert r["n_terms"] == 4
+    assert r["slope_micro"] == math.floor(slope * 1e6)
+    assert r["intercept_micro"] == math.floor((sy - slope * sx) / n)
+    assert r["slope_micro"] < 0  # frequencies fall with rank
+
+
+def test_zipf_slope_rank_ties_break_on_token(spark):
+    # equal counts rank alphabetically -> deterministic on any engine
+    df = spark.createDataFrame([(1, "b a b a")], "doc_id long, text string")
+    [r] = tx.zipf_slope(df, top_n=2).collect()
+    assert r["n_terms"] == 2
+
+
+def test_pmi_cooccur_hand_collocation(spark):
+    import math
+
+    # 'new york' always adjacent; 'the' is everywhere -> pmi(new,york)
+    # must be high and exactly reproduce the formula
+    rows = [(i, "the new york times the report") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["a"], r["b"]): r for r in
+           tx.pmi_cooccur(df, window=2, min_pairs=5).collect()}
+    r = got[("new", "york")]
+    # 6 tokens/doc, window 2: pairs/doc = 5 + 4 = 9 -> 45 total; tokens 30
+    assert r["n_ab"] == 5 and r["n_a"] == 5 and r["n_b"] == 5
+    expect = math.floor(
+        math.log((5 / 45) * (30 / 5) * (30 / 5)) * 1e6
+    )
+    assert r["pmi_micro"] == expect
+
+
+def test_pmi_cooccur_short_docs_no_pairs(spark):
+    rows = [(1, "solo"), (2, ""), (3, None), (4, "a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = tx.pmi_cooccur(df, window=2, min_pairs=1).collect()
+    assert {(r["a"], r["b"]) for r in got} == {("a", "b")}

@@ -224,6 +224,16 @@ _INTENTIONAL_LINT = {
     #   how these global-rank statistics avoid the global row sort
     "rank_sum_test": {"global-window"},
     "ks_test": {"global-window"},
+    # funnel_steps — the ratio window runs over the len(steps)-row
+    #   per-step count union (3 rows here), never the event stream
+    "funnel_steps": {"global-window"},
+    # benford_digits — the expected-share window runs over the 9
+    #   leading-digit buckets, never rows
+    "benford_digits": {"global-window"},
+    # mutual_information — the marginal/total windows run over the
+    #   (x,y) CELL aggregate, bounded by the category-domain product;
+    #   the operator is documented as categorical-only for this reason
+    "mutual_information": {"global-window"},
 }
 
 

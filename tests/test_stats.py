@@ -129,3 +129,72 @@ def test_mad_outliers_robust_to_extreme_value(spark):
     # partition invariance
     got7 = st.mad_outliers(df.repartition(7), "grp", "v", k=3.0).collect()
     assert [r["v"] for r in got7] == [1_000_000.0]
+
+
+# --- mutual_information --------------------------------------------------
+
+
+def test_mutual_information_independent_is_zero(spark):
+    # cell counts exactly proportional to the marginals -> ratio 1,
+    # ln = 0, pmi_micro = 0 in every cell
+    rows = (
+        [("a", "c")] * 4 + [("a", "d")] * 4 + [("b", "c")] * 2 + [("b", "d")] * 2
+    )
+    df = spark.createDataFrame(rows, "x string, y string")
+    got = st.mutual_information(df, "x", "y").collect()
+    assert len(got) == 4
+    assert all(r["pmi_micro"] == 0 for r in got)
+    assert all(r["n"] == 12 for r in got)
+
+
+def test_mutual_information_dependent_and_nulls(spark):
+    import math
+
+    # perfectly dependent: P(a,c)=P(b,d)=1/2 -> pmi = ln 2 each;
+    # NULL-carrying rows are excluded entirely
+    rows = [("a", "c")] * 5 + [("b", "d")] * 5 + [(None, "c"), ("a", None)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    got = {(r["x"], r["y"]): r for r in st.mutual_information(df, "x", "y").collect()}
+    assert set(got) == {("a", "c"), ("b", "d")}
+    expect = math.floor(math.log((5 / 5) * (10 / 5)) * 1_000_000)
+    for r in got.values():
+        assert r["pmi_micro"] == expect
+        assert r["n"] == 10
+
+
+# --- theil_sen -----------------------------------------------------------
+
+
+def test_theil_sen_ignores_outlier(spark):
+    # 4 collinear points (slope 1) + one wild outlier: the median of the
+    # 10 pairwise slopes is still 1 and the intercept median is still 0
+    pts = [(0, 0), (1, 1), (2, 2), (3, 3), (10, -10_000)]
+    df = spark.createDataFrame([("g", x, y) for x, y in pts], "g string, x long, y long")
+    [r] = st.theil_sen(df, "g", "x", "y").collect()
+    assert r["n_points"] == 5 and r["n_pairs"] == 10
+    assert r["slope"] == 1.0
+    assert r["intercept"] == 0.0
+
+
+def test_theil_sen_even_median_interpolates(spark):
+    # 4 points -> 6 slopes; median = mean of the two middles
+    pts = [(0, 0), (1, 2), (2, 2), (3, 9)]
+    df = spark.createDataFrame([("g", x, y) for x, y in pts], "g string, x long, y long")
+    slopes = sorted(
+        (y2 - y1) / (x2 - x1)
+        for i, (x1, y1) in enumerate(pts)
+        for (x2, y2) in pts[i + 1 :]
+    )
+    want = (slopes[2] + slopes[3]) / 2
+    [r] = st.theil_sen(df, "g", "x", "y").collect()
+    assert r["slope"] == want
+
+
+def test_theil_sen_rejects_oversized_group(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("g", i, i) for i in range(300)], "g string, x long, y long"
+    )
+    with pytest.raises(Exception, match="theil_sen"):
+        st.theil_sen(df, "g", "x", "y", max_points=256).collect()

@@ -38,6 +38,12 @@ HEADLINE = [
     "dsir_weights",
     "random_projection",
     "communities_trade",
+    "mutual_information",
+    "theil_sen",
+    "weighted_reservoir",
+    "funnel_steps",
+    "zipf_slope",
+    "pmi_cooccur",
 ]
 
 
