@@ -1183,6 +1183,53 @@ def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.pmi_cooccur(docs, window=2, min_pairs=5)
 
 
+def q_robust_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR normalization (operators.stats.robust_scaler): order
+    totals scaled within each order priority — the outlier-immune twin
+    of z-scoring; exact interpolating percentiles both engines share,
+    IQR=0 groups dropped by the same guard as mad_outliers."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = st.robust_scaler(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    return out.select("o_orderpriority", "o_orderkey", "med", "iqr", "robust_scaled")
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness per user (operators.stats.burstiness):
+    B = (σ−μ)/(σ+μ) over inter-arrival gaps — the bot/scraper signal a
+    raw event count can't see. Gaps in exact integer µs, Σg telescopes
+    into a long, Σg² in DECIMAL(38,0), IEEE-exact sqrt, micro floor."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    ev = load_table(spark, sf_dir, "events")
+    return st.burstiness(ev, "user_id", "ts")
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions (operators.mining.
+    markov_transitions): consecutive event-type pairs per user with
+    P(dst|src) in integer micro-units; (ts, state) ordering makes the
+    successor choice a total order, so counts are engine-reproducible."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import mining as mn
+
+    ev = load_table(spark, sf_dir, "events")
+    return mn.markov_transitions(ev, "user_id", "event_type", "ts")
+
+
+def q_script_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class histogram (operators.text.script_histogram):
+    letters/digits/space/punct/other counts per document via
+    length-diff regexp projections — pure integer arithmetic, zero
+    shuffles, the pre-tokenizer mojibake/base64 screen."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.script_histogram(docs)
+
+
 def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication (operators.dedup.repeated_passages):
     word 8-gram passages recurring in >= 2 distinct documents — the
@@ -4546,6 +4593,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel_steps,
         "zipf_slope": q_zipf_slope,
         "pmi_cooccur": q_pmi_cooccur,
+        "robust_scaler": q_robust_scaler,
+        "burstiness": q_burstiness,
+        "markov_transitions": q_markov_transitions,
+        "script_histogram": q_script_histogram,
     }
 
 
@@ -8222,6 +8273,96 @@ def oracle_sql() -> dict[str, str]:
             JOIN v va ON cut.a = va.token
             JOIN v vb ON cut.b = vb.token
             CROSS JOIN np CROSS JOIN nt
+        """,
+        "robust_scaler": """
+            WITH q AS (
+              SELECT o_orderpriority,
+                quantile_cont(o_totalprice, 0.5) AS med,
+                quantile_cont(o_totalprice, 0.75)
+                  - quantile_cont(o_totalprice, 0.25) AS iqr
+              FROM orders GROUP BY 1
+            )
+            SELECT o.o_orderpriority, o.o_orderkey, q.med, q.iqr,
+              (CAST(o.o_totalprice AS DOUBLE) - q.med) / q.iqr AS robust_scaled
+            FROM orders o JOIN q USING (o_orderpriority)
+            WHERE q.iqr > 0
+        """,
+        "burstiness": """
+            WITH g AS (
+              SELECT user_id,
+                epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                ) AS gap
+              FROM events
+            ),
+            a AS (
+              SELECT user_id,
+                CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                CAST(SUM(gap) AS BIGINT) AS sg,
+                SUM(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS sgg
+              FROM g WHERE gap IS NOT NULL GROUP BY 1
+            ),
+            b AS (
+              SELECT user_id, n_gaps, sg,
+                sqrt(greatest(
+                  (CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+                   - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                  / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)),
+                  0.0)) AS sigma,
+                CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu
+              FROM a WHERE n_gaps >= 2
+            )
+            SELECT user_id, n_gaps,
+              CAST(sg // n_gaps AS BIGINT) AS mean_gap_us,
+              CAST(floor(
+                CASE WHEN sigma + mu = 0 THEN -1.0
+                     ELSE (sigma - mu) / (sigma + mu) END * 1000000
+              ) AS BIGINT) AS burstiness_micro
+            FROM b
+        """,
+        "markov_transitions": """
+            WITH s AS (
+              SELECT user_id, event_type AS dst,
+                lag(event_type) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_type
+                ) AS src
+              FROM events
+            ),
+            p AS (
+              SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+              FROM s WHERE src IS NOT NULL GROUP BY 1, 2
+            ),
+            m AS (
+              SELECT src, CAST(SUM(n) AS BIGINT) AS n_src FROM p GROUP BY 1
+            )
+            SELECT p.src, p.dst, p.n, m.n_src,
+              CAST(1000000 * p.n // m.n_src AS BIGINT) AS prob_micro
+            FROM p JOIN m USING (src)
+        """,
+        "script_histogram": """
+            WITH c AS (
+              SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(length(text)
+                  - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                  AS BIGINT) AS n_letters,
+                CAST(length(text)
+                  - length(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS BIGINT) AS n_digits,
+                CAST(length(text)
+                  - length(regexp_replace(text, '[ \t\n\r]', '', 'g'))
+                  AS BIGINT) AS n_space,
+                CAST(length(text)
+                  - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))
+                  AS BIGINT) AS n_punct
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT doc_id, n_chars, n_letters, n_digits, n_space, n_punct,
+              n_chars - n_letters - n_digits - n_space - n_punct AS n_other,
+              CASE WHEN n_chars > 0
+                THEN CAST(1000000 * n_letters // n_chars AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS alpha_ppm
+            FROM c
         """,
     }
     oracles["hybrid_rrf"] = f"""

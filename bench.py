@@ -123,6 +123,10 @@ PIPELINE = [
     "funnel_steps",
     "zipf_slope",
     "pmi_cooccur",
+    "robust_scaler",
+    "burstiness",
+    "markov_transitions",
+    "script_histogram",
 ]
 
 

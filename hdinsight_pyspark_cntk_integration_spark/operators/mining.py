@@ -446,3 +446,51 @@ def funnel_steps(
             ),
         )
     )
+
+
+def markov_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    min_count: int = 1,
+) -> DataFrame:
+    """First-order Markov transition table over each key's event
+    sequence: count consecutive (src → dst) state pairs across all
+    keys, with the conditional probability P(dst | src) in exact
+    integer micro-units — the navigation/behavior model behind "what
+    do users do after X?", next to but distinct from
+    ``text.bigram_condprob`` (token bigrams, no per-key sequencing).
+
+    Determinism under timestamp ties: the successor is chosen by
+    (ts, state) lexicographic order, a total order over any key's
+    events up to exact duplicate rows — reruns and repartitionings
+    produce identical transition counts, and an independent engine
+    sorting the same way reproduces them.
+
+    Returns (src, dst, n, n_src, prob_micro) for transitions with
+    n >= ``min_count``; ``n_src`` counts ALL transitions leaving src,
+    so Σ prob over dst ≈ 1e6 per src (exact up to floor).
+
+    Shape: one lag window partitioned on the key (per-key state is the
+    sort buffer for that key's events — bounded by per-key activity,
+    the natural partition axis), one partial-agg groupBy on the pair,
+    one window over the (domain-bounded) src marginals. No global
+    sort, no collect.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col("dst"))
+    seq = df.select(
+        F.col(key_col), F.col(ts_col), F.col(state_col).alias("dst")
+    ).withColumn("src", F.lag("dst").over(w)).filter(F.col("src").isNotNull())
+    pairs = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wsrc = Window.partitionBy("src")
+    return (
+        pairs.withColumn("n_src", F.sum("n").over(wsrc).cast("long"))
+        .filter(F.col("n") >= min_count)
+        .select(
+            "src", "dst", "n", "n_src",
+            F.expr(f"{MICRO} * n div n_src").alias("prob_micro"),
+        )
+    )

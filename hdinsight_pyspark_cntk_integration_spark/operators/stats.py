@@ -437,3 +437,109 @@ def theil_sen(
             _median(F.col("__rs"), F.col("n_points")).alias("intercept"),
         )
     )
+
+
+def robust_scaler(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Median/IQR normalization per group — the outlier-immune twin of
+    z-scoring (scikit-learn's RobustScaler semantics): scaled =
+    (x − median) / (p75 − p25). Heavy tails inflate a stddev and crush
+    z-scores toward zero; the IQR barely moves, so scaled magnitudes
+    stay comparable across wild and tame groups.
+
+    Returns the input rows + (med, iqr, robust_scaled). Degenerate
+    groups (IQR = 0 — more than half the group inside one value) are
+    DROPPED, the same guard as :func:`mad_outliers` — with zero scale
+    every deviation would be infinite.
+
+    Exactness: Spark's exact interpolating ``percentile`` (the
+    ``percentile_cont`` order-statistic definition DuckDB shares);
+    the scale division is one deterministic fp64 expression.
+
+    Shape: one partial-group percentile aggregate + one broadcast join
+    back; per-group state is the percentile value buffer, bounded by
+    the group, never the table.
+    """
+    x = F.col(value_col).cast("double")
+    q = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med"),
+        (
+            F.expr(f"percentile({value_col}, 0.75)")
+            - F.expr(f"percentile({value_col}, 0.25)")
+        ).alias("iqr"),
+    )
+    return (
+        df.join(F.broadcast(q), group_col)
+        .filter(F.col("iqr") > 0.0)
+        .withColumn("robust_scaled", (x - F.col("med")) / F.col("iqr"))
+    )
+
+
+def burstiness(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    min_gaps: int = 2,
+) -> DataFrame:
+    """Goh-Barabási burstiness of each key's event stream:
+    B = (σ − μ)/(σ + μ) over the inter-arrival gaps — B → −1 for a
+    metronome (σ=0), ≈ 0 for a Poisson process (σ=μ), → 1 for extreme
+    burst-and-silence patterns. The bot/abuse/scraper signal a plain
+    event COUNT (heavy_users) cannot see: a steady crawler and a bursty
+    human can share a count but never a B.
+
+    Returns (key, n_gaps, mean_gap_us, burstiness_micro) for keys with
+    >= ``min_gaps`` gaps (σ needs at least two) — mean in integer
+    microseconds (exact integer division), B floor-quantized to micro.
+
+    Exactness: gaps are exact integer microseconds (unix_micros
+    diffs); Σg telescopes to the key's time RANGE (always a long) and
+    Σg² accumulates in DECIMAL(38,0) (a µs² product passes 2^63 for
+    gaps over ~25 days, and partial-agg DECIMAL sums are
+    order-independent — the outlier_zscore discipline); σ =
+    sqrt((n·Σg² − (Σg)²)/n²) where IEEE sqrt is correctly rounded, so
+    every engine computes the identical double and the floor cannot
+    flip.
+
+    Shape: one lag window partitioned on the key (ordered by ts with
+    the ts itself as total order within the key via a second sort
+    column is unnecessary — equal timestamps yield zero-gaps, which are
+    data, not nondeterminism) + one partial-agg groupBy. No global
+    anything.
+    """
+    from pyspark.sql import Window
+
+    # No tiebreak column needed: equal timestamps are interchangeable,
+    # so ANY tie order yields the same gap MULTISET ([a,b,b,c] gives
+    # {b-a, 0, c-b} either way) and the moments see only the multiset.
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col))
+    us = F.unix_micros(F.col(ts_col))
+    gaps = (
+        df.select(F.col(key_col), F.col(ts_col))
+        .withColumn("__gap", us - F.lag(us).over(w))
+        .filter(F.col("__gap").isNotNull())
+    )
+    g = F.col("__gap").cast("decimal(38,0)")
+    agg = gaps.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        # Σgaps telescopes to (last_ts − first_ts): bounded by the key's
+        # time RANGE in µs, never by row count — always fits a long
+        F.sum("__gap").cast("long").alias("__sg"),
+        F.sum(g * g).alias("__sgg"),
+    ).filter(F.col("n_gaps") >= min_gaps)
+    n = F.col("n_gaps").cast("double")
+    sg = F.col("__sg").cast("double")
+    sgg = F.col("__sgg").cast("double")
+    mu = sg / n
+    var = (n * sgg - sg * sg) / (n * n)
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    b = F.when(sigma + mu == 0.0, F.lit(-1.0)).otherwise((sigma - mu) / (sigma + mu))
+    return agg.select(
+        key_col,
+        "n_gaps",
+        F.expr("__sg div n_gaps").alias("mean_gap_us"),
+        F.floor(b * F.lit(1_000_000.0)).cast("long").alias("burstiness_micro"),
+    )

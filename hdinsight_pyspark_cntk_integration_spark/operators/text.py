@@ -1318,3 +1318,53 @@ def pmi_cooccur(
         "a", "b", "n_ab", "n_a", "n_b",
         F.floor(F.log(ratio) * F.lit(1_000_000.0)).cast("long").alias("pmi_micro"),
     )
+
+
+def script_histogram(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-class histogram per document — the cheap corpus-QA
+    screen that catches mojibake, base64 blobs, ASCII art, and
+    digit-dump rows before any tokenizer runs: counts of letters,
+    digits, whitespace, punctuation, and other, plus an integer-ppm
+    alpha ratio.
+
+    Each count is length(text) − length(regexp_replace(text, class,
+    '')) — pure integer arithmetic over one projection, zero shuffles,
+    whole-stage codegen; 'other' is the remainder, so the five counts
+    always sum to n_chars (pinned in pytest). Classes are explicit
+    ASCII-safe regexes (no \\p{L} engine-dependence — identical
+    semantics in any regex engine an oracle might use). NULL text
+    yields no row.
+
+    Returns (id, n_chars, n_letters, n_digits, n_space, n_punct,
+    n_other, alpha_ppm).
+    """
+    t = F.col(text_col)
+
+    def n_of(pattern: str) -> Column:
+        return (F.length(t) - F.length(F.regexp_replace(t, pattern, ""))).cast("long")
+
+    n_chars = F.length(t).cast("long")
+    n_letters = n_of("[A-Za-z]")
+    n_digits = n_of("[0-9]")
+    n_space = n_of(r"[ \t\n\r]")
+    n_punct = n_of(r"[!-/:-@\[-`{-~]")
+    counts = df.filter(t.isNotNull()).select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_letters.alias("n_letters"),
+        n_digits.alias("n_digits"),
+        n_space.alias("n_space"),
+        n_punct.alias("n_punct"),
+        (n_chars - n_letters - n_digits - n_space - n_punct).alias("n_other"),
+    )
+    return counts.withColumn(
+        "alpha_ppm",
+        F.when(
+            F.col("n_chars") > 0,
+            F.expr("1000000 * n_letters div n_chars"),
+        ).otherwise(F.lit(0)).cast("long"),
+    )

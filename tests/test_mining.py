@@ -592,3 +592,76 @@ def test_pmi_cooccur_short_docs_no_pairs(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = tx.pmi_cooccur(df, window=2, min_pairs=1).collect()
     assert {(r["a"], r["b"]) for r in got} == {("a", "b")}
+
+
+# --- markov_transitions --------------------------------------------------
+
+
+def test_markov_transitions_hand_case(spark):
+    from datetime import datetime, timedelta
+
+    base = datetime(2026, 1, 1)
+    seq1 = ["view", "click", "view", "click", "buy"]
+    seq2 = ["view", "view"]
+    rows = [(1, s, base + timedelta(minutes=i)) for i, s in enumerate(seq1)]
+    rows += [(2, s, base + timedelta(minutes=i)) for i, s in enumerate(seq2)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {(r["src"], r["dst"]): r for r in
+           mn.markov_transitions(df, "user_id", "event_type", "ts").collect()}
+    # transitions: u1 v->c, c->v, v->c, c->b; u2 v->v
+    assert got[("view", "click")]["n"] == 2
+    assert got[("view", "view")]["n"] == 1
+    assert got[("click", "buy")]["n"] == 1
+    assert got[("view", "click")]["n_src"] == 3
+    assert got[("view", "click")]["prob_micro"] == 2 * 1_000_000 // 3
+    # probabilities out of each src sum to 1e6 up to floor loss
+    from collections import defaultdict
+    sums = defaultdict(int)
+    for (s, _), r in got.items():
+        sums[s] += r["prob_micro"]
+    for s, total in sums.items():
+        assert 1_000_000 - 3 <= total <= 1_000_000
+
+
+def test_markov_transitions_tie_order_deterministic(spark):
+    from datetime import datetime
+
+    # two events at the SAME ts: ordering falls back to state name, so
+    # the chain is a->b deterministically (never b->a)
+    rows = [
+        (1, "b", datetime(2026, 1, 1)),
+        (1, "a", datetime(2026, 1, 1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = [(r["src"], r["dst"]) for r in
+           mn.markov_transitions(df, "user_id", "event_type", "ts").collect()]
+    assert got == [("a", "b")]
+
+
+# --- script_histogram ----------------------------------------------------
+
+
+def test_script_histogram_classes_sum_to_n_chars(spark):
+    rows = [
+        (1, "Hello, world! 123"),
+        (2, "   "),
+        (3, ""),
+        (4, None),
+        (5, "a\tb\nc"),
+        (6, "ünïcödé stays other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in tx.script_histogram(df).collect()}
+    assert 4 not in got  # NULL text -> no row
+    for r in got.values():
+        assert (
+            r["n_letters"] + r["n_digits"] + r["n_space"] + r["n_punct"] + r["n_other"]
+            == r["n_chars"]
+        )
+    r1 = got[1]
+    assert r1["n_letters"] == 10 and r1["n_digits"] == 3
+    assert r1["n_punct"] == 2 and r1["n_space"] == 2
+    assert r1["alpha_ppm"] == 1_000_000 * 10 // 17
+    assert got[3]["n_chars"] == 0 and got[3]["alpha_ppm"] == 0
+    assert got[5]["n_space"] == 2
+    assert got[6]["n_other"] > 0  # non-ASCII letters are 'other' by design

@@ -44,6 +44,8 @@ HEADLINE = [
     "funnel_steps",
     "zipf_slope",
     "pmi_cooccur",
+    "burstiness",
+    "markov_transitions",
 ]
 
 
