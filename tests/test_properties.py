@@ -620,3 +620,92 @@ def test_kmv_exact_regime_matches_set_algebra(spark, sets):
     # below k the sketch is complete: estimates ARE the exact values
     assert r["union_est"] == len(sa | sb)
     assert r["intersect_est"] == len(sa & sb)
+
+
+@given(
+    gaps=st.lists(st.integers(min_value=0, max_value=10**9), min_size=2, max_size=20),
+)
+@settings(**_SETTINGS)
+def test_burstiness_matches_numpy_reference(spark, gaps):
+    """B from the distributed DECIMAL-moment pipeline equals the
+    straightforward float computation over the same gap multiset, for
+    ANY gap structure (zeros, ties, huge spreads)."""
+    import math
+    from datetime import datetime, timedelta
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as stx
+
+    base = datetime(2026, 1, 1)
+    ts, acc = [base], 0
+    for g in gaps:
+        acc += g
+        ts.append(base + timedelta(microseconds=acc))
+    df = spark.createDataFrame([(1, t) for t in ts], "user_id long, ts timestamp")
+    [r] = stx.burstiness(df, "user_id", "ts").collect()
+    n = len(gaps)
+    mu = sum(gaps) / n
+    var = (n * sum(g * g for g in gaps) - sum(gaps) ** 2) / (n * n)
+    sigma = math.sqrt(max(var, 0.0))
+    if sigma + mu == 0:
+        want = -1_000_000
+    else:
+        want = math.floor((sigma - mu) / (sigma + mu) * 1_000_000)
+    assert r["n_gaps"] == n
+    assert r["mean_gap_us"] == sum(gaps) // n
+    assert r["burstiness_micro"] == want
+
+
+@given(
+    seq=st.lists(st.sampled_from(["a", "b", "c"]), min_size=2, max_size=25),
+)
+@settings(**_SETTINGS)
+def test_markov_transitions_match_bruteforce(spark, seq):
+    from collections import Counter
+    from datetime import datetime, timedelta
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import mining as mnx
+
+    base = datetime(2026, 1, 1)
+    rows = [(1, s, base + timedelta(seconds=i)) for i, s in enumerate(seq)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {(r["src"], r["dst"]): (r["n"], r["n_src"], r["prob_micro"])
+           for r in mnx.markov_transitions(df, "user_id", "event_type", "ts").collect()}
+    pairs = Counter(zip(seq, seq[1:]))
+    srcs = Counter(s for s, _ in zip(seq, seq[1:]))
+    want = {
+        (s, d): (n, srcs[s], 1_000_000 * n // srcs[s]) for (s, d), n in pairs.items()
+    }
+    assert got == want
+
+
+@given(
+    weights=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=25),
+    k=st.integers(min_value=1, max_value=6),
+)
+@settings(**_SETTINGS)
+def test_weighted_reservoir_matches_bruteforce(spark, weights, k):
+    """For ANY weight vector (zeros excluded by contract) the sample is
+    exactly the k ids with the largest max-of-w md5 priorities, ranked
+    (priority DESC, id)."""
+    import hashlib
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import mining as mnx
+
+    rows = [("g", i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "grp string, id long, w long")
+    got = sorted(
+        (r["rank"], r["id"]) for r in
+        mnx.weighted_reservoir_sample(df, "grp", "id", "w", k=k).collect()
+    )
+
+    def pri(i, w):
+        return max(
+            int(hashlib.md5(f"{i}_{c}".encode()).hexdigest()[:15], 16)
+            for c in range(1, w + 1)
+        )
+
+    eligible = sorted(
+        ((-pri(i, w), i) for (_, i, w) in rows if w >= 1)
+    )[:k]
+    want = sorted((rk + 1, i) for rk, (_, i) in enumerate(eligible))
+    assert got == want
