@@ -1230,6 +1230,27 @@ def q_script_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.script_histogram(docs)
 
 
+def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (operators.text.
+    kneser_ney_bigram, d=0.75): the continuation-count smoothing that
+    separates "frequent token" from "token that follows many contexts".
+    All counts exact integers; the probability is one fixed-order
+    double ratio chain floored to micro — the oracle writes the
+    identical expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.kneser_ney_bigram(docs, min_count=3)
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords (operators.text.textrank_keywords): integer
+    micro-unit PageRank (graph.pagerank_integer, 3 sweeps) over the
+    in-window token co-occurrence graph — an oracle-PROVABLE iterative
+    keyword extractor (unrolled CTEs), composed from the zero-shuffle
+    pair stream and the exact PageRank already in the engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.textrank_keywords(docs, window=2, min_cooccur=3, iters=3, top_k=20)
+
+
 def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication (operators.dedup.repeated_passages):
     word 8-gram passages recurring in >= 2 distinct documents — the
@@ -4597,6 +4618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burstiness": q_burstiness,
         "markov_transitions": q_markov_transitions,
         "script_histogram": q_script_histogram,
+        "kneser_ney": q_kneser_ney,
+        "textrank_keywords": q_textrank_keywords,
     }
 
 
@@ -8363,6 +8386,122 @@ def oracle_sql() -> dict[str, str]:
                 THEN CAST(1000000 * n_letters // n_chars AS BIGINT)
                 ELSE CAST(0 AS BIGINT) END AS alpha_ppm
             FROM c
+        """,
+        "kneser_ney": f"""
+            WITH t AS (
+              SELECT doc_id, string_split_regex({_NORM_TEXT}, '\\s+') AS l
+              FROM documents
+            ),
+            tok AS (
+              SELECT doc_id, unnest(l) AS token,
+                generate_subscripts(l, 1) AS pos
+              FROM t
+            ),
+            tk AS (
+              SELECT doc_id, token,
+                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+              FROM tok WHERE length(token) > 0
+            ),
+            bg AS (
+              SELECT a.token AS w1, b.token AS w2,
+                CAST(COUNT(*) AS BIGINT) AS c12
+              FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+              GROUP BY 1, 2
+            ),
+            en AS (
+              SELECT w1, w2, c12,
+                CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+                CAST(COUNT(*) OVER (PARTITION BY w1) AS BIGINT) AS n_follow,
+                CAST(COUNT(*) OVER (PARTITION BY w2) AS BIGINT) AS n_context
+              FROM bg
+            ),
+            tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_types FROM bg)
+            SELECT w1, w2, c12, c1, n_follow, n_context, tt.t_types,
+              CAST(floor((
+                greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE)
+                + (0.75 * CAST(n_follow AS DOUBLE) / CAST(c1 AS DOUBLE))
+                  * (CAST(n_context AS DOUBLE) / CAST(tt.t_types AS DOUBLE))
+              ) * 1000000) AS BIGINT) AS pkn_micro
+            FROM en CROSS JOIN tt
+            WHERE c12 >= 3
+        """,
+        "textrank_keywords": f"""
+            WITH t AS (
+              SELECT doc_id, string_split_regex({_NORM_TEXT}, '\\s+') AS l
+              FROM documents
+            ),
+            tok AS (
+              SELECT doc_id, unnest(l) AS token,
+                generate_subscripts(l, 1) AS pos
+              FROM t
+            ),
+            tk AS (
+              SELECT doc_id, token,
+                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+              FROM tok WHERE length(token) > 0
+            ),
+            pr AS (
+              SELECT a.token AS a, b.token AS b, CAST(COUNT(*) AS BIGINT) AS n
+              FROM tk a JOIN tk b
+                ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 2
+              GROUP BY 1, 2
+            ),
+            cn AS (SELECT * FROM pr WHERE n >= 3),
+            edges AS (
+              SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+                SELECT a AS src, b AS dst, n AS w FROM cn
+                UNION ALL SELECT b AS src, a AS dst, n AS w FROM cn
+              ) GROUP BY 1, 2
+            ),
+            nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+            outw AS (
+              SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY src
+            ),
+            r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+            c1 AS (
+              SELECT e.dst AS node,
+                CAST(SUM((CAST(r.r AS HUGEINT) * e.w) // o.out_w) AS BIGINT) AS s
+              FROM edges e
+              JOIN outw o ON e.src = o.src
+              JOIN r0 r ON r.node = e.src
+              GROUP BY e.dst
+            ),
+            r1 AS (
+              SELECT n.node,
+                CAST(150000 + (CAST(850000 AS HUGEINT) * COALESCE(c.s, 0)) // 1000000
+                     AS BIGINT) AS r
+              FROM nodes n LEFT JOIN c1 c ON n.node = c.node
+            ),
+            c2 AS (
+              SELECT e.dst AS node,
+                CAST(SUM((CAST(r.r AS HUGEINT) * e.w) // o.out_w) AS BIGINT) AS s
+              FROM edges e
+              JOIN outw o ON e.src = o.src
+              JOIN r1 r ON r.node = e.src
+              GROUP BY e.dst
+            ),
+            r2 AS (
+              SELECT n.node,
+                CAST(150000 + (CAST(850000 AS HUGEINT) * COALESCE(c.s, 0)) // 1000000
+                     AS BIGINT) AS r
+              FROM nodes n LEFT JOIN c2 c ON n.node = c.node
+            ),
+            c3 AS (
+              SELECT e.dst AS node,
+                CAST(SUM((CAST(r.r AS HUGEINT) * e.w) // o.out_w) AS BIGINT) AS s
+              FROM edges e
+              JOIN outw o ON e.src = o.src
+              JOIN r2 r ON r.node = e.src
+              GROUP BY e.dst
+            ),
+            r3 AS (
+              SELECT n.node,
+                CAST(150000 + (CAST(850000 AS HUGEINT) * COALESCE(c.s, 0)) // 1000000
+                     AS BIGINT) AS r
+              FROM nodes n LEFT JOIN c3 c ON n.node = c.node
+            )
+            SELECT node AS token, r AS rank_micro
+            FROM r3 ORDER BY r DESC, node LIMIT 20
         """,
     }
     oracles["hybrid_rrf"] = f"""

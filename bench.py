@@ -127,6 +127,8 @@ PIPELINE = [
     "burstiness",
     "markov_transitions",
     "script_histogram",
+    "kneser_ney",
+    "textrank_keywords",
 ]
 
 

@@ -1220,6 +1220,48 @@ def zipf_slope(
     )
 
 
+def _pair_stream(df: DataFrame, text_col: str, window: int) -> DataFrame:
+    """Ordered in-window token-pair stream (a precedes b by 1..window),
+    one row per pair SLOT: emitted per document row by a
+    transform×transform over the LAMBDA-BOUND token array — zero
+    shuffles, no positional self-join, no re-tokenization per slot
+    (``_bind_once``). ``window=1`` is exactly the consecutive-bigram
+    stream. Shared by :func:`pmi_cooccur`, :func:`kneser_ney_bigram`
+    and :func:`textrank_keywords`."""
+    from hdinsight_pyspark_cntk_integration_spark.functions.textfns import normalized_text
+    from hdinsight_pyspark_cntk_integration_spark.operators.dedup import _bind_once
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1 (got {window})")
+    toks = F.split(normalized_text(text_col), r"\s+")
+
+    def pair_slots(t: Column) -> Column:
+        # sequence() with stop < start yields a DESCENDING range, never
+        # an empty array — docs with < 2 tokens must short-circuit.
+        slots = F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 2),
+                lambda i: F.transform(
+                    F.sequence(
+                        F.lit(1), F.least(F.lit(window), F.size(t) - 1 - i)
+                    ),
+                    lambda d: F.struct(
+                        F.element_at(t, (i + 1).cast("int")).alias("a"),
+                        F.element_at(t, (i + d + 1).cast("int")).alias("b"),
+                    ),
+                ),
+            )
+        )
+        empty = F.array().cast("array<struct<a:string,b:string>>")
+        return F.when(F.size(t) >= 2, slots).otherwise(empty)
+
+    return df.select(
+        F.explode(
+            _bind_once(F.filter(toks, lambda x: F.length(x) > 0), pair_slots)
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+
+
 def pmi_cooccur(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1256,41 +1298,13 @@ def pmi_cooccur(
     document once per slot reference (measured 32 s → 1 s at sf0.1).
     """
     from hdinsight_pyspark_cntk_integration_spark.functions.textfns import normalized_text
-    from hdinsight_pyspark_cntk_integration_spark.operators.dedup import _bind_once
 
-    if window < 1:
-        raise ValueError(f"window must be >= 1 (got {window})")
     toks = F.split(normalized_text(text_col), r"\s+")
-
-    def pair_slots(t: Column) -> Column:
-        # sequence() with stop < start yields a DESCENDING range, never
-        # an empty array — docs with < 2 tokens must short-circuit.
-        slots = F.flatten(
-            F.transform(
-                F.sequence(F.lit(0), F.size(t) - 2),
-                lambda i: F.transform(
-                    F.sequence(
-                        F.lit(1), F.least(F.lit(window), F.size(t) - 1 - i)
-                    ),
-                    lambda d: F.struct(
-                        F.element_at(t, (i + 1).cast("int")).alias("a"),
-                        F.element_at(t, (i + d + 1).cast("int")).alias("b"),
-                    ),
-                ),
-            )
-        )
-        empty = F.array().cast("array<struct<a:string,b:string>>")
-        return F.when(F.size(t) >= 2, slots).otherwise(empty)
-
     base = df.select(F.explode(F.filter(toks, lambda x: F.length(x) > 0)).alias("token"))
     vocab = base.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     n_tok = vocab.groupBy().agg(F.sum("cnt").cast("long").alias("n_tokens"))
 
-    pairs = df.select(
-        F.explode(
-            _bind_once(F.filter(toks, lambda x: F.length(x) > 0), pair_slots)
-        ).alias("p")
-    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    pairs = _pair_stream(df, text_col, window)
     pair_cnt = pairs.groupBy("a", "b").agg(
         F.count(F.lit(1)).cast("long").alias("n_ab")
     )
@@ -1367,4 +1381,120 @@ def script_histogram(
             F.col("n_chars") > 0,
             F.expr("1000000 * n_letters div n_chars"),
         ).otherwise(F.lit(0)).cast("long"),
+    )
+
+
+def kneser_ney_bigram(
+    df: DataFrame,
+    text_col: str = "text",
+    discount_centi: int = 75,
+    min_count: int = 1,
+) -> DataFrame:
+    """Interpolated Kneser-Ney smoothed bigram language model (Kneser &
+    Ney 1995; Chen & Goodman 1999 eq. 4.2) — THE standard n-gram
+    smoothing, distinguishing itself from add-one/backoff
+    (``bigram_condprob`` / ``bigram_logprob``) by the CONTINUATION
+    count: "francisco" is frequent but only ever follows "san", so its
+    unigram backoff weight should be tiny — which only #distinct left
+    contexts captures:
+
+        P_KN(w2|w1) = max(c12 − d, 0)/c1
+                      + (d·N1+(w1·)/c1) · (N1+(·w2)/T)
+
+    with d = ``discount_centi``/100 (default 0.75 — exactly
+    representable in binary, so the subtraction is exact), N1+(w1·) =
+    #distinct followers of w1, N1+(·w2) = #distinct left contexts of
+    w2, T = #distinct bigram types.
+
+    Returns (w1, w2, c12, c1, n_follow, n_context, t_types, pkn_micro)
+    for bigrams with c12 >= ``min_count`` — every column an exact
+    integer except the final fixed-order double ratio chain, floored
+    to micro at birth. Σ_w2 P_KN(w2|w1) = 1 exactly (over ALL observed
+    w2 — the mass identity is pinned in pytest at min_count=1).
+
+    Scale shape: the consecutive-bigram stream comes from the
+    zero-shuffle ``_pair_stream`` (window=1); ONE partial-agg groupBy
+    collapses it to bigram types (domain-bounded); c1/N1+(w1·) are
+    windows partitioned on w1 and N1+(·w2) on w2 — both over the TYPE
+    table, never the token stream; T attaches as a broadcast 1-row
+    aggregate. No global window, no collect.
+    """
+    from pyspark.sql import Window
+
+    if not 0 < discount_centi < 100:
+        raise ValueError(f"discount_centi must be in (0,100) (got {discount_centi})")
+    bigrams = _pair_stream(df, text_col, window=1)
+    types = bigrams.groupBy(
+        F.col("a").alias("w1"), F.col("b").alias("w2")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    w1w = Window.partitionBy("w1")
+    w2w = Window.partitionBy("w2")
+    enriched = types.select(
+        "w1", "w2", "c12",
+        F.sum("c12").over(w1w).cast("long").alias("c1"),
+        F.count(F.lit(1)).over(w1w).cast("long").alias("n_follow"),
+        F.count(F.lit(1)).over(w2w).cast("long").alias("n_context"),
+    )
+    t_types = types.groupBy().agg(F.count(F.lit(1)).cast("long").alias("t_types"))
+    d = F.lit(discount_centi / 100.0)
+    pkn = (
+        F.greatest(F.col("c12").cast("double") - d, F.lit(0.0))
+        / F.col("c1").cast("double")
+        + (d * F.col("n_follow").cast("double") / F.col("c1").cast("double"))
+        * (F.col("n_context").cast("double") / F.col("t_types").cast("double"))
+    )
+    return (
+        enriched.crossJoin(F.broadcast(t_types))
+        .filter(F.col("c12") >= min_count)
+        .select(
+            "w1", "w2", "c12", "c1", "n_follow", "n_context", "t_types",
+            F.floor(pkn * F.lit(1_000_000.0)).cast("long").alias("pkn_micro"),
+        )
+    )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    min_cooccur: int = 3,
+    iters: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the token co-occurrence graph — a token matters if it
+    co-occurs with tokens that matter, which plain frequency (and even
+    tf-idf) cannot express. Composes two existing engine pieces: the
+    zero-shuffle in-window pair stream (:func:`_pair_stream`) and the
+    exact integer micro-unit PageRank (``graph.pagerank_integer``) —
+    so the iterative fixpoint stays ORACLE-PROVABLE (unrolled CTEs),
+    unlike float PageRank whose neighbor sums are partition-order
+    dependent.
+
+    Graph: undirected (each a→b co-occurrence count also contributes
+    b→a), edges with count >= ``min_cooccur`` (the stopword-free
+    denoising knob — we have no POS tagger). Returns the ``top_k``
+    (token, rank_micro) rows by (rank DESC, token) — a bounded
+    TakeOrderedAndProject, never a global sort.
+    """
+    from hdinsight_pyspark_cntk_integration_spark.operators.graph import pagerank_integer
+
+    pairs = _pair_stream(df, text_col, window)
+    cnt = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cnt = cnt.filter(F.col("n") >= min_cooccur)
+    fwd = cnt.select(F.col("a").alias("src"), F.col("b").alias("dst"), F.col("n").alias("weight"))
+    rev = cnt.select(F.col("b").alias("src"), F.col("a").alias("dst"), F.col("n").alias("weight"))
+    # a→b and b→a counts merge so self-pairs ("the the") don't emit two
+    # parallel edges; out-weight sums are over the merged edge list
+    edges = (
+        fwd.unionByName(rev)
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").cast("long").alias("weight"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = pagerank_integer(edges, iters=iters)
+    return (
+        ranks.orderBy(F.col("rank_micro").desc(), F.col("node"))
+        .limit(top_k)
+        .select(F.col("node").alias("token"), "rank_micro")
     )

@@ -665,3 +665,107 @@ def test_script_histogram_classes_sum_to_n_chars(spark):
     assert got[3]["n_chars"] == 0 and got[3]["alpha_ppm"] == 0
     assert got[5]["n_space"] == 2
     assert got[6]["n_other"] > 0  # non-ASCII letters are 'other' by design
+
+
+# --- kneser_ney_bigram / textrank_keywords -------------------------------
+
+
+def test_kneser_ney_matches_python_and_mass_identity(spark):
+    import math
+    from collections import Counter, defaultdict
+
+    docs = [
+        "the cat sat on the mat",
+        "the dog sat on the rug",
+        "san francisco is foggy",
+        "san francisco is hilly",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {(r["w1"], r["w2"]): r for r in
+           tx.kneser_ney_bigram(df, min_count=1).collect()}
+
+    bigrams = Counter()
+    for t in docs:
+        ws = t.split()
+        bigrams.update(zip(ws, ws[1:]))
+    c1 = Counter()
+    follow, context = defaultdict(set), defaultdict(set)
+    for (a, b), c in bigrams.items():
+        c1[a] += c
+        follow[a].add(b)
+        context[b].add(a)
+    T = len(bigrams)
+    d = 0.75
+    for (a, b), c in bigrams.items():
+        want = max(c - d, 0.0) / c1[a] + (d * len(follow[a]) / c1[a]) * (
+            len(context[b]) / T
+        )
+        r = got[(a, b)]
+        assert r["pkn_micro"] == math.floor(want * 1e6), (a, b)
+        assert r["c12"] == c and r["c1"] == c1[a]
+        assert r["n_follow"] == len(follow[a])
+        assert r["n_context"] == len(context[b])
+    # interpolated-KN mass identity: sum over observed followers of w1
+    # equals 1 EXACTLY when every follower type of w1 is emitted AND the
+    # continuation distribution is restricted... verify in float from
+    # the python replication (the engine's floor loses <=1e-6 per term)
+    for a in c1:
+        mass = sum(
+            max(c - d, 0.0) / c1[a]
+            + (d * len(follow[a]) / c1[a]) * (len(context[b]) / T)
+            for (x, b), c in bigrams.items()
+            if x == a
+        )
+        cont_mass = sum(len(context[b]) for b in follow[a]) / T
+        # mass = (c1[a] - d*|follow|)/c1[a] + d*|follow|/c1[a] * cont_mass
+        want_mass = (c1[a] - d * len(follow[a])) / c1[a] + (
+            d * len(follow[a]) / c1[a]
+        ) * cont_mass
+        assert abs(mass - want_mass) < 1e-12
+    # the continuation count does its job: 'francisco' follows ONLY
+    # 'san', so its left-context count is 1 despite frequency 2
+    assert got[("san", "francisco")]["n_context"] == 1
+    assert got[("san", "francisco")]["c12"] == 2
+
+
+def test_kneser_ney_rejects_bad_discount(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        tx.kneser_ney_bigram(df, discount_centi=0)
+    with pytest.raises(ValueError):
+        tx.kneser_ney_bigram(df, discount_centi=100)
+
+
+def test_textrank_hub_token_wins(spark):
+    # 'hub' co-occurs with every spoke; spokes only see 'hub' — the
+    # hub must out-rank every spoke, and the result must equal running
+    # pagerank_integer on the hand-built merged edge list
+    from hdinsight_pyspark_cntk_integration_spark.operators.graph import pagerank_integer
+
+    docs = [(i, f"hub spoke{i} hub spoke{i} hub spoke{i}") for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = tx.textrank_keywords(df, window=2, min_cooccur=2, iters=3, top_k=10).collect()
+    ranks = {r["token"]: r["rank_micro"] for r in got}
+    assert max(ranks, key=ranks.get) == "hub"
+    from collections import Counter
+    pairs = Counter()
+    for _, t in docs:
+        ws = t.split()
+        for i in range(len(ws) - 1):
+            for d in (1, 2):
+                if i + d < len(ws):
+                    pairs[(ws[i], ws[i + d])] += 1
+    merged = Counter()
+    for (a, b), n in pairs.items():
+        if n >= 2:
+            merged[(a, b)] += n
+            merged[(b, a)] += n
+    edges = spark.createDataFrame(
+        [(s, t, n) for (s, t), n in merged.items()], "src string, dst string, weight long"
+    )
+    want = {r["node"]: r["rank_micro"]
+            for r in pagerank_integer(edges, iters=3).collect()}
+    for tok, rm in ranks.items():
+        assert want[tok] == rm
