@@ -1251,6 +1251,206 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.textrank_keywords(docs, window=2, min_cooccur=3, iters=3, top_k=20)
 
 
+def _monthly_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly customer-nation revenue points (nation, t, v): t = months
+    since year 0, v = exact integer cents — the bounded pre-aggregated
+    series the time-series operators' contracts demand (same rollup the
+    theil_sen gate uses)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("t"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("v")
+        )
+    )
+
+
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF at lags 1..6 (operators.stats.autocorrelation) of each
+    nation's monthly revenue series — the seasonality/persistence
+    diagnostic. All moments exact DECIMAL(38,0) integers via the
+    expanded mean-centered sums; the ACF is ONE double division,
+    micro-floored, so the oracle's HUGEINT replication hash-matches."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    pts = _monthly_nation_revenue(spark, sf_dir)
+    return st.autocorrelation(pts, "nation", "t", "v", max_lag=6)
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical 2×12 centered-MA seasonal indices (operators.stats.
+    seasonal_decompose) of monthly nation revenue: which calendar months
+    run above trend, per nation. Trend numerator and detrended values
+    stay exact integers; one window pass + one groupBy."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    pts = _monthly_nation_revenue(spark, sf_dir)
+    return st.seasonal_decompose(pts, "nation", "t", "v", period=12)
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding with smoothing=20 (operators.
+    mining.target_encode): encode c_mktsegment by the mean o_totalprice
+    of the segment's OTHER orders — label-leakage-free categorical
+    encoding. Integer cents + DECIMAL sums; one domain-bounded groupBy
+    broadcast back, the order stream never shuffles."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import mining as mn
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rows = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == F.col("c_custkey"),
+    )
+    return mn.target_encode(
+        rows, "c_mktsegment", "o_totalprice", "o_orderkey", smoothing=20
+    )
+
+
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of Evidence / Information Value (operators.mining.woe_iv)
+    of o_orderpriority against the fulfilled-order outcome — the
+    credit-scoring-standard categorical strength measure. One
+    domain-bounded cell aggregate, totals as windows over cells, ln
+    quantized per the engine float discipline."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import mining as mn
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "is_fulfilled", F.col("o_orderstatus") == F.lit("F")
+    )
+    return mn.woe_iv(orders, "o_orderpriority", "is_fulfilled")
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (operators.graph.adamic_adar) on the
+    strong nation trade graph: which weakly-trading nation pairs share
+    the most rare strong mutual partners. "Strong" is SCALE-FREE —
+    wt >= 1.1× the mean pair weight, compared as exact cross-multiplied
+    integers (wt·n_pairs·10 >= 11·total), so the graph keeps meaningful
+    structure at every SF instead of completing at high volume the way
+    an absolute cut does. Per-neighbor terms are micro-quantized at
+    birth so AA is a pure integer sum — the pagerank_integer
+    determinism discipline applied to a score."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import graph as gr
+
+    return gr.adamic_adar(_strong_trade_edges(spark, sf_dir))
+
+
+def _strong_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-free strong nation trade graph: directed (supplier nation →
+    customer nation) pairs whose weight is >= 1.1× the mean pair weight,
+    compared as exact cross-multiplied integers — keeps meaningful
+    structure at every SF where an absolute cut completes the graph."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    weighted = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("wt"))
+        # referenced twice (totals + edge filter): materialize the
+        # bounded 625-row rollup so the 4-table join runs once
+        .localCheckpoint(eager=True)
+    )
+    totals = weighted.groupBy().agg(
+        F.sum("wt").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("np"),
+    )
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .filter(F.col("wt") * F.col("np") * F.lit(10) >= F.lit(11) * F.col("tot"))
+        .select("src", "dst")
+    )
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius harmonic centrality (operators.graph.
+    harmonic_centrality, max_hops=3) on the strong nation trade graph:
+    Σ 1/d(u,v) with exact integer BFS hops, per-pair terms
+    micro-quantized at birth, integer-summed — disconnected-safe
+    centrality the oracle replicates by unrolling the three BFS rounds
+    as min-hop CTEs."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import graph as gr
+
+    return gr.harmonic_centrality(_strong_trade_edges(spark, sf_dir), max_hops=3)
+
+
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (operators.stats.holt_linear,
+    α=0.5, β=0.2) over monthly nation revenue — level+trend state and
+    one-step forecast. The fold is sequential by nature; determinism
+    comes from identical IEEE op order over the sorted series, which
+    the oracle replicates with a recursive CTE computing the SAME
+    fixed-order expressions (including deriving 1−β by subtraction,
+    exactly as the operator does)."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    pts = _monthly_nation_revenue(spark, sf_dir)
+    return st.holt_linear(pts, "nation", "t", "v", alpha=0.5, beta=0.2)
+
+
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (operators.text.heaps_law):
+    V(N) ≈ K·N^β over the corpus in doc_id order — type-births via
+    one min-doc groupBy make the 'cumulative vocabulary' fully
+    distributed; ln quantized to micro at birth, OLS moments in
+    DECIMAL(38,0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.heaps_law(docs)
+
+
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson / Gini-Simpson token diversity per document source
+    (operators.text.simpson_diversity): exact integer Σnᵢ(nᵢ−1) over
+    N(N−1) — the heavy-hitter-sensitive twin of token_entropy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.simpson_diversity(docs, "source")
+
+
+def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs sparse TF cosine via inverted index (operators.
+    similarity.sparse_cosine_pairs, max_df_ppm=10% of docs, cos >=
+    0.5): posting-list self-join with a SCALE-FREE stopword df-cut
+    applied BEFORE the join (exact cross-multiplied integers, so the
+    cut means the same thing at every SF); exact integer dot products,
+    IEEE-sqrt norms, one double chain micro-floored."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sim.sparse_cosine_pairs(
+        docs, max_df_ppm=100_000, min_cos_micro=500_000, min_dot=2
+    )
+
+
+_TAG_TERMS = {
+    "join": 5, "hash": 4, "scan": 3, "filter": 3,
+    "window": 2, "spark": 2, "the": 1, "a": 1,
+}
+
+
+def q_dictionary_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-lexicon tagging (operators.text.dictionary_tag,
+    literal-map path): per-document token count, dictionary hits,
+    distinct terms, weight score — ZERO shuffles, zero joins, the
+    lexicon baked into the plan as a literal map. All-integer output;
+    the join path is twin-tested equal in pytest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.dictionary_tag(docs, _TAG_TERMS)
+
+
 def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication (operators.dedup.repeated_passages):
     word 8-gram passages recurring in >= 2 distinct documents — the
@@ -4620,6 +4820,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_histogram": q_script_histogram,
         "kneser_ney": q_kneser_ney,
         "textrank_keywords": q_textrank_keywords,
+        "autocorrelation": q_autocorrelation,
+        "seasonal_decompose": q_seasonal_decompose,
+        "target_encode": q_target_encode,
+        "woe_iv": q_woe_iv,
+        "adamic_adar": q_adamic_adar,
+        "dictionary_tag": q_dictionary_tag,
+        "harmonic_centrality": q_harmonic_centrality,
+        "holt_linear": q_holt_linear,
+        "heaps_law": q_heaps_law,
+        "simpson_diversity": q_simpson_diversity,
+        "sparse_cosine": q_sparse_cosine,
     }
 
 
@@ -8504,6 +8715,435 @@ def oracle_sql() -> dict[str, str]:
             FROM r3 ORDER BY r DESC, node LIMIT 20
         """,
     }
+    _MONTHLY_PTS = """
+        SELECT c.c_nationkey AS nation,
+          CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1 AS BIGINT) AS t,
+          CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    """
+    _acf_lags = range(1, 7)
+    _acf_lagcols = ",\n".join(
+        f"lag(v, {l}) OVER w AS l{l}" for l in _acf_lags
+    )
+    _acf_aggs = ",\n".join(
+        f"SUM(CAST(v AS HUGEINT) * CAST(l{l} AS HUGEINT)) AS p{l},"
+        f" SUM(CASE WHEN l{l} IS NOT NULL THEN CAST(v AS HUGEINT) END) AS t{l},"
+        f" SUM(CAST(l{l} AS HUGEINT)) AS h{l}, CAST(COUNT(l{l}) AS BIGINT) AS m{l}"
+        for l in _acf_lags
+    )
+    _acf_stack = "\nUNION ALL ".join(
+        f"SELECT nation, n, s, q, CAST({l} AS BIGINT) AS lag,"
+        f" p{l} AS p, t{l} AS tt, h{l} AS h, m{l} AS m FROM g"
+        for l in _acf_lags
+    )
+    oracles["autocorrelation"] = f"""
+        WITH pts AS ({_MONTHLY_PTS}),
+        lagged AS (
+          SELECT nation, v, {_acf_lagcols}
+          FROM pts WINDOW w AS (PARTITION BY nation ORDER BY t)
+        ),
+        g AS (
+          SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(v AS HUGEINT)) AS s,
+            SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS q,
+            {_acf_aggs}
+          FROM lagged GROUP BY 1
+        ),
+        stacked AS ({_acf_stack}),
+        scored AS (
+          SELECT nation, lag, n, m AS n_used,
+            CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * p
+              - CAST(n AS HUGEINT) * s * (tt + h)
+              + CAST(m AS HUGEINT) * s * s AS num,
+            CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * q - s * s) AS den
+          FROM stacked
+        )
+        SELECT nation, lag, n, n_used,
+          CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1000000.0)
+               AS BIGINT) AS acf_micro
+        FROM scored WHERE n_used > 0 AND den <> 0
+    """
+    oracles["seasonal_decompose"] = f"""
+        WITH pts AS ({_MONTHLY_PTS}),
+        fr AS (
+          SELECT nation, t % 12 AS season, v,
+            SUM(v) OVER w1 AS s1, CAST(COUNT(*) OVER w1 AS BIGINT) AS c1,
+            SUM(v) OVER w2 AS s2, CAST(COUNT(*) OVER w2 AS BIGINT) AS c2
+          FROM pts
+          WINDOW w1 AS (PARTITION BY nation ORDER BY t
+                        ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING),
+                 w2 AS (PARTITION BY nation ORDER BY t
+                        ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)
+        ),
+        d AS (
+          SELECT nation, season, CAST(24 * v - (s1 + s2) AS BIGINT) AS d2m
+          FROM fr WHERE c1 = 12 AND c2 = 12
+        ),
+        agg AS (
+          SELECT nation, season, CAST(COUNT(*) AS BIGINT) AS n_obs,
+            CAST(SUM(d2m) AS BIGINT) AS sum_d2m
+          FROM d GROUP BY 1, 2
+        )
+        SELECT nation, season, n_obs, sum_d2m,
+          CAST(floor(CAST(sum_d2m AS DOUBLE)
+                     / (24.0 * CAST(n_obs AS DOUBLE)) * 1000000.0)
+               AS BIGINT) AS seasonal_micro
+        FROM agg
+    """
+    oracles["target_encode"] = """
+        WITH r AS (
+          SELECT o.o_orderkey AS id, c.c_mktsegment AS cat,
+            CAST(round(o.o_totalprice * 100) AS BIGINT) AS y
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        pc AS (
+          SELECT cat, SUM(CAST(y AS HUGEINT)) AS s,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM r GROUP BY 1
+        ),
+        g AS (
+          SELECT SUM(CAST(y AS HUGEINT)) AS st, CAST(COUNT(*) AS BIGINT) AS nt
+          FROM r
+        )
+        SELECT r.id AS o_orderkey, r.cat AS c_mktsegment,
+          r.y AS target_cents, pc.n AS n_cat,
+          CAST(floor(
+            (CASE WHEN CAST(pc.n AS DOUBLE) - 1.0 + 20.0 > 0.0
+              THEN (CAST(pc.s - r.y AS DOUBLE)
+                    + 20.0 * (CAST(g.st AS DOUBLE) / CAST(g.nt AS DOUBLE)))
+                   / (CAST(pc.n AS DOUBLE) - 1.0 + 20.0)
+              ELSE CAST(g.st AS DOUBLE) / CAST(g.nt AS DOUBLE) END)
+            * 1000000.0) AS BIGINT) AS enc_micro
+        FROM r JOIN pc ON r.cat = pc.cat CROSS JOIN g
+    """
+    oracles["woe_iv"] = """
+        WITH cells AS (
+          SELECT o_orderpriority AS category,
+            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_pos,
+            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+                 AS BIGINT) AS n_neg
+          FROM orders GROUP BY 1
+        ),
+        t AS (
+          SELECT category, n_pos, n_neg,
+            CAST(SUM(n_pos) OVER () AS BIGINT) AS pos_total,
+            CAST(SUM(n_neg) OVER () AS BIGINT) AS neg_total
+          FROM cells
+        )
+        SELECT category, n_pos, n_neg, pos_total, neg_total,
+          CAST(floor(
+            ln((CAST(n_pos AS DOUBLE) / CAST(pos_total AS DOUBLE))
+               * (CAST(neg_total AS DOUBLE) / CAST(n_neg AS DOUBLE)))
+            * 1000000.0) AS BIGINT) AS woe_micro,
+          CAST(floor(
+            (CAST(n_pos AS DOUBLE) / CAST(pos_total AS DOUBLE)
+             - CAST(n_neg AS DOUBLE) / CAST(neg_total AS DOUBLE))
+            * ln((CAST(n_pos AS DOUBLE) / CAST(pos_total AS DOUBLE))
+                 * (CAST(neg_total AS DOUBLE) / CAST(n_neg AS DOUBLE)))
+            * 1000000.0) AS BIGINT) AS iv_micro
+        FROM t WHERE n_pos > 0 AND n_neg > 0
+    """
+    oracles["adamic_adar"] = """
+        WITH j AS MATERIALIZED (
+          SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+            CAST(COUNT(*) AS BIGINT) AS wt
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2
+        ),
+        m AS MATERIALIZED (
+          SELECT CAST(SUM(wt) AS BIGINT) AS tot,
+            CAST(COUNT(*) AS BIGINT) AS np
+          FROM j
+        ),
+        e AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM j CROSS JOIN m
+          WHERE wt * np * 10 >= 11 * tot AND src <> dst
+        ),
+        adj AS MATERIALIZED (
+          SELECT a AS z, b AS x FROM e UNION ALL SELECT b AS z, a AS x FROM e
+        ),
+        deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS dg FROM adj GROUP BY 1),
+        term AS (
+          SELECT z,
+            CAST(floor(1000000.0 / ln(CAST(dg AS DOUBLE))) AS BIGINT) AS tm
+          FROM deg WHERE dg >= 2
+        ),
+        apex AS MATERIALIZED (
+          SELECT adj.z, adj.x, term.tm FROM adj JOIN term USING (z)
+        ),
+        pairs AS (
+          SELECT l.x AS a, r.x AS b, CAST(COUNT(*) AS BIGINT) AS n_common,
+            CAST(SUM(l.tm) AS BIGINT) AS aa_micro
+          FROM apex l JOIN apex r ON l.z = r.z AND l.x < r.x
+          GROUP BY 1, 2
+        )
+        SELECT p.a, p.b, p.n_common, p.aa_micro
+        FROM pairs p ANTI JOIN e ON p.a = e.a AND p.b = e.b
+    """
+    _STRONG_TRADE_E = """
+        j AS MATERIALIZED (
+          SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+            CAST(COUNT(*) AS BIGINT) AS wt
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2
+        ),
+        m AS MATERIALIZED (
+          SELECT CAST(SUM(wt) AS BIGINT) AS tot,
+            CAST(COUNT(*) AS BIGINT) AS np
+          FROM j
+        ),
+        e AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM j CROSS JOIN m
+          WHERE wt * np * 10 >= 11 * tot AND src <> dst
+        )
+    """
+    oracles["harmonic_centrality"] = f"""
+        WITH {_STRONG_TRADE_E},
+        und AS MATERIALIZED (
+          SELECT a AS s, b AS d FROM e UNION ALL SELECT b AS s, a AS d FROM e
+        ),
+        srcs AS MATERIALIZED (SELECT DISTINCT s AS source FROM und),
+        h0 AS MATERIALIZED (
+          SELECT source, source AS node, 0 AS hop FROM srcs
+        ),
+        n1 AS (
+          SELECT h.source, u.d AS node, 1 AS hop
+          FROM h0 h JOIN und u ON u.s = h.node
+        ),
+        h1 AS MATERIALIZED (
+          SELECT source, node, MIN(hop) AS hop FROM (
+            SELECT * FROM h0 UNION ALL SELECT * FROM n1
+          ) GROUP BY 1, 2
+        ),
+        n2 AS (
+          SELECT h.source, u.d AS node, 2 AS hop
+          FROM h1 h JOIN und u ON u.s = h.node WHERE h.hop = 1
+        ),
+        h2 AS MATERIALIZED (
+          SELECT source, node, MIN(hop) AS hop FROM (
+            SELECT * FROM h1 UNION ALL SELECT * FROM n2
+          ) GROUP BY 1, 2
+        ),
+        n3 AS (
+          SELECT h.source, u.d AS node, 3 AS hop
+          FROM h2 h JOIN und u ON u.s = h.node WHERE h.hop = 2
+        ),
+        h3 AS MATERIALIZED (
+          SELECT source, node, MIN(hop) AS hop FROM (
+            SELECT * FROM h2 UNION ALL SELECT * FROM n3
+          ) GROUP BY 1, 2
+        )
+        SELECT source AS node, CAST(COUNT(*) AS BIGINT) AS n_reached,
+          CAST(SUM(CAST(floor(1000000.0 / CAST(hop AS DOUBLE)) AS BIGINT))
+               AS BIGINT) AS harmonic_micro
+        FROM h3 WHERE hop > 0 GROUP BY 1
+    """
+    oracles["holt_linear"] = f"""
+        WITH RECURSIVE pts AS MATERIALIZED (
+          SELECT nation,
+            CAST(row_number() OVER (PARTITION BY nation ORDER BY t)
+                 AS BIGINT) AS i,
+            CAST(v AS DOUBLE) AS x
+          FROM ({_MONTHLY_PTS})
+        ),
+        nn AS MATERIALIZED (
+          SELECT nation, MAX(i) AS n FROM pts GROUP BY 1 HAVING MAX(i) >= 2
+        ),
+        st AS (
+          SELECT p1.nation, CAST(2 AS BIGINT) AS i,
+            p2.x AS l, p2.x - p1.x AS b
+          FROM pts p1
+          JOIN pts p2 ON p1.nation = p2.nation AND p2.i = 2
+          WHERE p1.i = 1
+          UNION ALL
+          SELECT s.nation, s.i + 1,
+            0.5 * p.x + (1.0 - 0.5) * (s.l + s.b) AS l,
+            0.2 * ((0.5 * p.x + (1.0 - 0.5) * (s.l + s.b)) - s.l)
+              + (1.0 - 0.2) * s.b AS b
+          FROM st s JOIN pts p ON p.nation = s.nation AND p.i = s.i + 1
+        )
+        SELECT st.nation, nn.n,
+          CAST(floor(st.l * 1000000.0) AS BIGINT) AS level_micro,
+          CAST(floor(st.b * 1000000.0) AS BIGINT) AS trend_micro,
+          CAST(floor((st.l + st.b) * 1000000.0) AS BIGINT) AS forecast_micro
+        FROM st JOIN nn ON st.nation = nn.nation AND st.i = nn.n
+    """
+    oracles["heaps_law"] = f"""
+        WITH t AS (
+          SELECT doc_id, string_split_regex({_NORM_TEXT}, '\\s+') AS l
+          FROM documents
+        ),
+        tk AS (SELECT doc_id, unnest(l) AS token FROM t),
+        tkf AS MATERIALIZED (
+          SELECT doc_id, token FROM tk WHERE length(token) > 0
+        ),
+        bounds AS (
+          SELECT MIN(doc_id) AS lo,
+            ((MAX(doc_id) - MIN(doc_id) + 256) // 256) AS width
+          FROM tkf
+        ),
+        pd AS (
+          SELECT ((tkf.doc_id - b.lo) // b.width) AS bk,
+            CAST(COUNT(*) AS BIGINT) AS n_tok
+          FROM tkf CROSS JOIN bounds b GROUP BY 1
+        ),
+        births AS (
+          SELECT ((fo.mind - b.lo) // b.width) AS bk,
+            CAST(COUNT(*) AS BIGINT) AS n_new
+          FROM (SELECT token, MIN(doc_id) AS mind FROM tkf GROUP BY 1) fo
+          CROSS JOIN bounds b
+          GROUP BY 1
+        ),
+        sl AS (
+          SELECT pd.bk, pd.n_tok, COALESCE(births.n_new, 0) AS n_new
+          FROM pd LEFT JOIN births ON pd.bk = births.bk
+        ),
+        curve AS (
+          SELECT
+            SUM(n_tok) OVER (ORDER BY bk
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nc,
+            SUM(n_new) OVER (ORDER BY bk
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vc
+          FROM sl
+        ),
+        pts AS (
+          SELECT
+            CAST(floor(ln(CAST(nc AS DOUBLE)) * 1000000.0) AS HUGEINT) AS x,
+            CAST(floor(ln(CAST(vc AS DOUBLE)) * 1000000.0) AS HUGEINT) AS y
+          FROM curve WHERE nc > 0 AND vc > 0
+        ),
+        mom AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+            SUM(x) AS sx, SUM(y) AS sy,
+            SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM pts
+        ),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+            CAST(COUNT(DISTINCT token) AS BIGINT) AS n_types
+          FROM tkf
+        )
+        SELECT n_points, n_tokens, n_types,
+          CAST(floor(
+            CAST(n_points * sxy - sx * sy AS DOUBLE)
+            / CAST(n_points * sxx - sx * sx AS DOUBLE) * 1000000.0)
+            AS BIGINT) AS beta_micro,
+          CAST(floor(
+            CAST(sy * sxx - sx * sxy AS DOUBLE)
+            / CAST(n_points * sxx - sx * sx AS DOUBLE))
+            AS BIGINT) AS lnk_micro
+        FROM mom CROSS JOIN tot
+    """
+    oracles["simpson_diversity"] = f"""
+        WITH t AS (
+          SELECT source, string_split_regex({_NORM_TEXT}, '\\s+') AS l
+          FROM documents
+        ),
+        tk AS (SELECT source, unnest(l) AS token FROM t),
+        tkf AS (SELECT source, token FROM tk WHERE length(token) > 0),
+        c AS (
+          SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+          FROM tkf GROUP BY 1, 2
+        ),
+        a AS (
+          SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+            CAST(COUNT(*) AS BIGINT) AS n_types,
+            SUM(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1)) AS num
+          FROM c GROUP BY 1 HAVING SUM(n) >= 2
+        )
+        SELECT source, n_tokens, n_types,
+          CAST(floor(CAST(num AS DOUBLE)
+            / CAST(CAST(n_tokens AS HUGEINT)
+                   * (CAST(n_tokens AS HUGEINT) - 1) AS DOUBLE)
+            * 1000000.0) AS BIGINT) AS simpson_micro,
+          CAST(floor((1.0 - CAST(num AS DOUBLE)
+            / CAST(CAST(n_tokens AS HUGEINT)
+                   * (CAST(n_tokens AS HUGEINT) - 1) AS DOUBLE))
+            * 1000000.0) AS BIGINT) AS gini_simpson_micro
+        FROM a
+    """
+    oracles["sparse_cosine"] = f"""
+        WITH t AS (
+          SELECT doc_id, string_split_regex({_NORM_TEXT}, '\\s+') AS l
+          FROM documents
+        ),
+        tk AS (SELECT doc_id, unnest(l) AS token FROM t),
+        tkf AS (SELECT doc_id, token FROM tk WHERE length(token) > 0),
+        tf AS (
+          SELECT doc_id AS d, token AS tk2, CAST(COUNT(*) AS BIGINT) AS tfv
+          FROM tkf GROUP BY 1, 2
+        ),
+        dfq AS (
+          SELECT tk2, CAST(COUNT(*) AS BIGINT) AS ndoc FROM tf GROUP BY 1
+        ),
+        nd AS (SELECT CAST(COUNT(DISTINCT d) AS BIGINT) AS ndocs FROM tf),
+        tf2 AS MATERIALIZED (
+          SELECT tf.d, tf.tk2, tf.tfv
+          FROM tf JOIN dfq USING (tk2) CROSS JOIN nd
+          WHERE dfq.ndoc * 1000000 <= 100000 * nd.ndocs
+        ),
+        norms AS MATERIALIZED (
+          SELECT d, SUM(CAST(tfv AS HUGEINT) * CAST(tfv AS HUGEINT)) AS ss
+          FROM tf2 GROUP BY 1
+        ),
+        pairs AS MATERIALIZED (
+          SELECT a.d AS doc_a, b.d AS doc_b,
+            SUM(CAST(a.tfv AS HUGEINT) * CAST(b.tfv AS HUGEINT)) AS dot
+          FROM tf2 a JOIN tf2 b ON a.tk2 = b.tk2 AND a.d < b.d
+          GROUP BY 1, 2
+          HAVING SUM(CAST(a.tfv AS HUGEINT) * CAST(b.tfv AS HUGEINT)) >= 2
+        ),
+        scored AS (
+          SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
+            CAST(floor(CAST(dot AS DOUBLE)
+              / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE)))
+              * 1000000.0) AS BIGINT) AS cos_micro
+          FROM pairs
+          JOIN norms na ON doc_a = na.d
+          JOIN norms nb ON doc_b = nb.d
+        )
+        SELECT doc_a, doc_b, dot, cos_micro
+        FROM scored WHERE cos_micro >= 500000
+    """
+    _tag_values = ", ".join(f"('{k}', {v})" for k, v in sorted(_TAG_TERMS.items()))
+    oracles["dictionary_tag"] = f"""
+        WITH t AS (
+          SELECT doc_id, string_split_regex({_NORM_TEXT}, '\\s+') AS l
+          FROM documents
+        ),
+        tk AS (
+          SELECT doc_id, unnest(l) AS token FROM t
+        ),
+        tkf AS (SELECT doc_id, token FROM tk WHERE length(token) > 0),
+        d(term, w) AS (VALUES {_tag_values}),
+        agg AS (
+          SELECT tkf.doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_tokens,
+            CAST(SUM(CASE WHEN d.w IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_hits,
+            CAST(COUNT(DISTINCT CASE WHEN d.w IS NOT NULL THEN tkf.token END)
+                 AS BIGINT) AS n_terms,
+            CAST(SUM(COALESCE(d.w, 0)) AS BIGINT) AS score
+          FROM tkf LEFT JOIN d ON tkf.token = d.term
+          GROUP BY 1
+        )
+        SELECT doc.doc_id,
+          COALESCE(agg.n_tokens, 0) AS n_tokens,
+          COALESCE(agg.n_hits, 0) AS n_hits,
+          COALESCE(agg.n_terms, 0) AS n_terms,
+          COALESCE(agg.score, 0) AS score
+        FROM documents doc LEFT JOIN agg ON doc.doc_id = agg.doc_id
+    """
     oracles["hybrid_rrf"] = f"""
         WITH bm AS ({oracles["bm25_search"]}),
         bmr AS (

@@ -129,6 +129,17 @@ PIPELINE = [
     "script_histogram",
     "kneser_ney",
     "textrank_keywords",
+    "autocorrelation",
+    "seasonal_decompose",
+    "target_encode",
+    "woe_iv",
+    "adamic_adar",
+    "dictionary_tag",
+    "harmonic_centrality",
+    "holt_linear",
+    "heaps_law",
+    "simpson_diversity",
+    "sparse_cosine",
 ]
 
 

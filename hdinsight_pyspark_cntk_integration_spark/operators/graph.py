@@ -344,3 +344,158 @@ def label_propagation(
             F.max_by("label", F.struct(F.col("n"), -F.col("label"))).alias("label")
         ).localCheckpoint(eager=True)
     return labels.select("node", F.col("label").cast("long").alias("label"))
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    exclude_adjacent: bool = True,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Adamic-Adar link prediction over an undirected simple graph: for
+    each node pair sharing at least one neighbor,
+
+        AA(a,b) = Σ_{z ∈ N(a) ∩ N(b)} 1/ln(deg(z))
+
+    — common neighbors weighted by rarity (sharing an obscure mutual
+    contact is evidence; sharing a hub is noise), the classic
+    who-will-connect-next score. With ``exclude_adjacent`` (default)
+    only NON-edges are scored — the link-prediction frame.
+
+    Exactness: every common neighbor z has deg(z) >= 2 by definition
+    (it touches both a and b), so ln(deg) > 0 always; each neighbor's
+    term is quantized AT BIRTH to floor(1e6/ln(deg)) — one double
+    division per NODE — and AA is then a pure INTEGER sum of
+    per-neighbor micro-terms, order-independent under any partitioning
+    (summing raw doubles would be partition-order dependent and
+    rows-only; this is the pagerank_integer discipline applied to a
+    score).
+
+    Scale shape: degree groupBy (one shuffle), wedge self-join of the
+    adjacency list on the apex z (one shuffle on z), pair partial-agg
+    (one shuffle on the pair), optional anti-join against the edge set.
+    The wedge join is Σ deg(z)² — the inherent cost of enumerating
+    common neighbors; ``max_degree`` bounds it on power-law graphs by
+    dropping hub apexes (deg > max_degree), a LOSSY but standard cap:
+    a hub's term 1/ln(deg) is the smallest signal in the sum and the
+    cut is deterministic, so the oracle applies the same cut.
+
+    Returns (a, b, n_common, aa_micro) with a < b.
+    """
+    lo = F.least(F.col(src), F.col(dst))
+    hi = F.greatest(F.col(src), F.col(dst))
+    # e is referenced FIVE times downstream (both adjacency directions,
+    # through deg/apex twice each, and the anti-join) and each
+    # reference re-derives the whole upstream plan — for a gate graph
+    # built from a 4-table join that measured 441 s vs ~3 s
+    # materialized at sf0.1. The canonical edge set is the bounded
+    # intermediate; localCheckpoint collapses it to one derivation
+    # (the theil_sen / repeated_passages_maximal pattern).
+    e = (
+        edges.select(lo.alias("a"), hi.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = e.select(F.col("a").alias("z"), F.col("b").alias("x")).unionByName(
+        e.select(F.col("b").alias("z"), F.col("a").alias("x"))
+    )
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("__deg"))
+    if max_degree is not None:
+        if max_degree < 2:
+            raise ValueError(f"max_degree must be >= 2 (got {max_degree})")
+        deg = deg.filter(F.col("__deg") <= max_degree)
+    # a degree-1 node has one neighbor and can never be a COMMON
+    # neighbor; dropping it here (rather than letting it produce zero
+    # wedges anyway) keeps 1/ln(1) = inf out of the term column, where
+    # the ANSI floor→long cast would raise
+    deg = deg.filter(F.col("__deg") >= 2)
+    term = F.floor(
+        F.lit(1_000_000.0) / F.log(F.col("__deg").cast("double"))
+    ).cast("long")
+    apex = adj.join(deg, "z").select("z", "x", term.alias("__t"))
+    left = apex.select("z", F.col("x").alias("a"), "__t")
+    right = apex.select("z", F.col("x").alias("b"))
+    pairs = (
+        left.join(right, "z")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("__t").cast("long").alias("aa_micro"),
+        )
+    )
+    if exclude_adjacent:
+        pairs = pairs.join(e, ["a", "b"], "left_anti")
+    return pairs
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-radius harmonic centrality: H(u) = Σ_{v≠u} 1/d(u,v)
+    over nodes within ``max_hops`` — the centrality that stays
+    well-defined on DISCONNECTED graphs (unreachable pairs contribute
+    0, where closeness centrality's Σd blows up), the standard
+    influence/reachability rank for supply-chain and community graphs.
+
+    Exactness: distances are exact integer hops from a synchronous
+    multi-source BFS (the ``bfs_hops`` fixpoint run from EVERY node at
+    once, state keyed by (source, node)); each pair's term is quantized
+    AT BIRTH to floor(1e6/d) — one double division over an integer in
+    [1, max_hops], i.e. a small CONSTANT set of possible values — and
+    H is then a pure integer sum, order-independent (the
+    pagerank_integer/adamic_adar discipline).
+
+    Scale shape: per round ONE frontier⋈edges join hash-partitioned on
+    the node and one min-hop partial-agg on (source, node);
+    ``localCheckpoint`` per round keeps lineage flat. State is
+    O(Σ |B(u, max_hops)|) pairs — the inherent cost of all-sources
+    BFS; ``max_hops`` is the radius bound that keeps it tractable
+    (full-graph harmonic centrality at corpus scale wants hop-limited
+    approximation anyway).
+
+    Input is taken as an undirected simple graph. Returns
+    (node, n_reached, harmonic_micro); isolated-by-filter nodes (only
+    self-loops) drop with their edges.
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1 (got {max_hops})")
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    reached = und.select(F.col("s").alias("source")).distinct().select(
+        "source", F.col("source").alias("node"), F.lit(0).cast("int").alias("hop")
+    ).localCheckpoint(eager=True)
+    for i in range(1, max_hops + 1):
+        frontier = reached.filter(F.col("hop") == i - 1).select(
+            "source", F.col("node").alias("s")
+        )
+        nxt = frontier.join(und, "s").select(
+            "source", F.col("d").alias("node"), F.lit(i).cast("int").alias("hop")
+        )
+        reached = (
+            reached.unionByName(nxt)
+            .groupBy("source", "node")
+            .agg(F.min("hop").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+    term = F.floor(F.lit(1_000_000.0) / F.col("hop").cast("double")).cast("long")
+    return (
+        reached.filter(F.col("hop") > 0)
+        .groupBy(F.col("source").alias("node"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.sum(term).cast("long").alias("harmonic_micro"),
+        )
+    )

@@ -494,3 +494,127 @@ def markov_transitions(
             F.expr(f"{MICRO} * n div n_src").alias("prob_micro"),
         )
     )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    id_col: str,
+    smoothing: int = 0,
+) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing — the
+    categorical-feature encoder that replaces a category with the mean
+    target of the OTHER rows sharing it (excluding the row's own target
+    is what blocks the label-leakage a naive per-category mean commits):
+
+        enc_i = (S_c − y_i + m·ybar) / (n_c − 1 + m)
+
+    with S_c/n_c the category's target sum/count, ybar the global mean,
+    m = ``smoothing`` virtual global-mean rows (m = 0 is pure LOO).
+    Rows whose denominator is 0 (singleton category, m = 0) fall back
+    to the global mean — the standard unseen-category treatment.
+
+    Exactness: targets are quantized to integer cents at birth
+    (fixture 2-decimal doubles → exact longs); category sums accumulate
+    in DECIMAL(38,0) (corpus-scale safe, order-independent); the
+    encoding is one fixed-order double chain over exact integers,
+    micro-floored. enc_micro is in MICRO-CENTS.
+
+    Shape: one domain-bounded partial-agg groupBy on the category, one
+    1-row global aggregate, both broadcast back onto the row stream —
+    the big table is scanned once and never shuffled.
+
+    Returns (id, category, target_cents, n_cat, enc_micro).
+    """
+    if smoothing < 0:
+        raise ValueError(f"smoothing must be >= 0 (got {smoothing})")
+    dec = "decimal(38,0)"
+    cents = F.round(F.col(target_col) * 100).cast("long")
+    rows = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(cat_col).alias("__cat"),
+        cents.alias("__y"),
+    )
+    per_cat = rows.groupBy("__cat").agg(
+        F.sum(F.col("__y").cast(dec)).cast(dec).alias("__s"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    glob = rows.groupBy().agg(
+        F.sum(F.col("__y").cast(dec)).cast(dec).alias("__st"),
+        F.count(F.lit(1)).cast("long").alias("__nt"),
+    )
+    j = rows.join(F.broadcast(per_cat), "__cat").crossJoin(F.broadcast(glob))
+    ybar = F.col("__st").cast("double") / F.col("__nt").cast("double")
+    m = F.lit(float(smoothing))
+    den = F.col("__n").cast("double") - F.lit(1.0) + m
+    num = (F.col("__s").cast(dec) - F.col("__y").cast(dec)).cast(
+        "double"
+    ) + m * ybar
+    enc = F.when(den > 0.0, num / den).otherwise(ybar)
+    return j.select(
+        F.col("__id").alias(id_col),
+        F.col("__cat").alias(cat_col),
+        F.col("__y").alias("target_cents"),
+        F.col("__n").alias("n_cat"),
+        F.floor(enc * F.lit(1_000_000.0)).cast("long").alias("enc_micro"),
+    )
+
+
+def woe_iv(
+    df: DataFrame,
+    cat_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Weight of Evidence and Information Value per category — the
+    credit-scoring-standard strength measure of a categorical feature
+    against a binary outcome:
+
+        woe_c = ln( (pos_c/P) / (neg_c/N) )
+        iv_c  = (pos_c/P − neg_c/N) · woe_c
+
+    (total IV = Σ iv_c; the conventional read: < 0.02 useless,
+    > 0.3 strong). Categories with zero positives or zero negatives
+    are DROPPED — their WOE is ±∞ by definition (the standard remedy
+    is binning them away, a modeling choice that belongs upstream);
+    NULL categories and NULL flags are excluded like
+    ``mutual_information`` excludes NULL cells.
+
+    Exactness: one partial-agg shuffle collapses the stream to its
+    category cells (domain-bounded); totals are windows OVER the cells;
+    the ln argument is a fixed-order ratio chain (pos_c/P)·(N/neg_c) of
+    doubles from exact longs, and woe/iv are each ONE fixed-order
+    double chain micro-floored at birth (same ln discipline as
+    ``mutual_information`` / the unigram scores).
+
+    Returns (category, n_pos, n_neg, pos_total, neg_total, woe_micro,
+    iv_micro).
+    """
+    from pyspark.sql import Window
+
+    flag = F.col(flag_col)
+    cells = (
+        df.filter(F.col(cat_col).isNotNull() & flag.isNotNull())
+        .groupBy(F.col(cat_col).alias("category"))
+        .agg(
+            F.sum(flag.cast("long")).cast("long").alias("n_pos"),
+            F.sum((~flag.cast("boolean")).cast("long")).cast("long").alias("n_neg"),
+        )
+    )
+    w = Window.partitionBy()
+    out = cells.select(
+        "category", "n_pos", "n_neg",
+        F.sum("n_pos").over(w).cast("long").alias("pos_total"),
+        F.sum("n_neg").over(w).cast("long").alias("neg_total"),
+    ).filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+    p = F.col("n_pos").cast("double") / F.col("pos_total").cast("double")
+    q = F.col("n_neg").cast("double") / F.col("neg_total").cast("double")
+    ratio = (
+        F.col("n_pos").cast("double") / F.col("pos_total").cast("double")
+    ) * (F.col("neg_total").cast("double") / F.col("n_neg").cast("double"))
+    woe = F.log(ratio)
+    return out.select(
+        "category", "n_pos", "n_neg", "pos_total", "neg_total",
+        F.floor(woe * F.lit(1_000_000.0)).cast("long").alias("woe_micro"),
+        F.floor((p - q) * woe * F.lit(1_000_000.0)).cast("long").alias("iv_micro"),
+    )

@@ -991,3 +991,111 @@ def random_projection(
         .select(F.col(id_col), F.posexplode(proj).alias("j", "proj"))
         .select(id_col, F.col("j").cast("long").alias("j"), F.col("proj"))
     )
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+    max_df_ppm: int | None = None,
+    min_cos_micro: int = 0,
+    min_dot: int = 1,
+) -> DataFrame:
+    """All-pairs sparse TF cosine similarity through an inverted index —
+    the TEXT-side twin of the embedding near-dup family: documents are
+    term-frequency vectors, and two documents meet only where they
+    share a token, so the pair dot products come from a posting-list
+    self-join instead of a dense N² scan (the classic sparse
+    all-pairs-similarity layout; Bayardo et al. 2007's starting point).
+
+        cos(a, b) = Σ_t tf_a(t)·tf_b(t) / (‖a‖·‖b‖)
+
+    Exactness: tf counts and pair dot products are EXACT integers
+    (DECIMAL(38,0) products); norms are IEEE sqrt of exact integer
+    Σtf² (correctly rounded, engine-identical); cosine is ONE
+    fixed-order double chain micro-floored. Order-independent.
+
+    Scale levers, all deterministic so the oracle applies them too:
+    ``max_df`` (absolute) or ``max_df_ppm`` (parts-per-million of the
+    tokenized-doc count — the SCALE-FREE form: an absolute cut that
+    means "10% of docs" at one SF silently becomes "0.1%" at 100×)
+    drops tokens appearing in too many documents BEFORE the self-join
+    (stopword postings are quadratic cost and near-zero signal — the
+    standard sparse-similarity cut); the ppm comparison is exact
+    cross-multiplied integers, df·1e6 <= ppm·n_docs. ``min_dot``
+    prunes pairs below an absolute co-occurrence floor at aggregation.
+    The posting self-join shuffles on the token; pair aggregation
+    shuffles on the (a, b) pair; per-doc norms broadcast back. No
+    window over the pair stream.
+
+    Returns (doc_a, doc_b, dot, cos_micro) with doc_a < doc_b and
+    cos_micro >= ``min_cos_micro``.
+    """
+    from hdinsight_pyspark_cntk_integration_spark.functions.textfns import normalized_text
+
+    toks = F.filter(
+        F.split(F.coalesce(normalized_text(text_col), F.lit("")), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    dec = "decimal(38,0)"
+    tf = (
+        df.select(F.col(id_col).alias("__d"), F.explode(toks).alias("__t"))
+        .groupBy("__d", "__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+    )
+    if max_df is not None and max_df_ppm is not None:
+        raise ValueError("pass at most one of max_df / max_df_ppm")
+    if max_df is not None:
+        if max_df < 2:
+            raise ValueError(f"max_df must be >= 2 (got {max_df})")
+        docfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+        tf = tf.join(
+            docfreq.filter(F.col("__df") <= max_df).select("__t"), "__t", "left_semi"
+        )
+    elif max_df_ppm is not None:
+        if not 0 < max_df_ppm <= 1_000_000:
+            raise ValueError(f"max_df_ppm must be in (0, 1e6] (got {max_df_ppm})")
+        docfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).cast("long").alias("__df"))
+        ndocs = tf.groupBy().agg(
+            F.count_distinct("__d").cast("long").alias("__nd")
+        )
+        keep = (
+            docfreq.crossJoin(F.broadcast(ndocs))
+            .filter(
+                F.col("__df") * F.lit(1_000_000) <= F.lit(max_df_ppm) * F.col("__nd")
+            )
+            .select("__t")
+        )
+        tf = tf.join(keep, "__t", "left_semi")
+    tf = tf.localCheckpoint(eager=True)
+    tfd = F.col("__tf").cast(dec)
+    norms = tf.groupBy("__d").agg(F.sum(tfd * tfd).cast(dec).alias("__ss"))
+    left = tf.select("__t", F.col("__d").alias("doc_a"), F.col("__tf").alias("__fa"))
+    right = tf.select("__t", F.col("__d").alias("doc_b"), F.col("__tf").alias("__fb"))
+    pairs = (
+        left.join(right, "__t")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("__fa").cast(dec) * F.col("__fb").cast(dec))
+            .cast(dec)
+            .alias("__dot")
+        )
+        .filter(F.col("__dot") >= F.lit(min_dot).cast(dec))
+    )
+    na = norms.select(F.col("__d").alias("doc_a"), F.col("__ss").alias("__sa"))
+    nb = norms.select(F.col("__d").alias("doc_b"), F.col("__ss").alias("__sb"))
+    cos = F.col("__dot").cast("double") / (
+        F.sqrt(F.col("__sa").cast("double")) * F.sqrt(F.col("__sb").cast("double"))
+    )
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.col("__dot").cast("long").alias("dot"),
+            F.floor(cos * F.lit(1_000_000.0)).cast("long").alias("cos_micro"),
+        )
+        .filter(F.col("cos_micro") >= min_cos_micro)
+    )

@@ -543,3 +543,253 @@ def burstiness(
         F.expr("__sg div n_gaps").alias("mean_gap_us"),
         F.floor(b * F.lit(1_000_000.0)).cast("long").alias("burstiness_micro"),
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 6,
+) -> DataFrame:
+    """Per-series autocorrelation function at lags 1..``max_lag`` — the
+    seasonality/persistence profile of a key's time series (does this
+    nation's monthly revenue echo itself at lag 12?), the diagnostic
+    behind ARIMA order selection and seasonal-model choice.
+
+    Textbook ACF with the GLOBAL mean and global denominator:
+
+        r_l = sum_{t>l} (x_t - xbar)(x_{t-l} - xbar) / sum_t (x_t - xbar)^2
+
+    CONTRACT: ``value_col`` must be integer-quantized by the caller
+    (cents, micro-units — the theil_sen convention) and series bounded
+    (pre-aggregated rollups, not raw rows): every moment accumulates in
+    DECIMAL(38,0), where ANSI mode turns overflow into a loud error,
+    never a silent wrap.
+
+    Exactness: expand the mean-centered sums so nothing fractional ever
+    accumulates — with S=sum x, Q=sum x^2, P_l=sum x_t x_{t-l},
+    T_l=sum tail, H_l=sum head, m_l=n-l:
+
+        num_l·n^2 = n^2·P_l − n·S·(T_l+H_l) + m_l·S^2
+        den·n^2   = n·(n·Q − S^2)
+
+    both exact DECIMAL(38,0) integers; the ACF is ONE double division
+    of the two, micro-floored. Order-independent under any partitioning.
+
+    Shape: one window shuffle on the key (all ``max_lag`` lag columns in
+    a single window pass), one partial-agg groupBy per key, then a
+    constant-width stack to (key, lag) rows. Constant/degenerate series
+    (den = 0) and lags with no overlap (m_l = 0) are dropped.
+
+    Returns (key, lag, n, n_used, acf_micro).
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1 (got {max_lag})")
+    dec = "decimal(38,0)"
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    v = F.col(value_col).cast("long")
+    lagged = df.select(
+        F.col(key_col).alias("__k"),
+        v.alias("__v"),
+        *[F.lag(v, l).over(w).alias(f"__l{l}") for l in range(1, max_lag + 1)],
+    )
+    vd = F.col("__v").cast(dec)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(vd).cast(dec).alias("__s"),
+        F.sum(vd * vd).cast(dec).alias("__q"),
+    ]
+    for l in range(1, max_lag + 1):
+        ld = F.col(f"__l{l}").cast(dec)
+        aggs += [
+            F.sum(vd * ld).cast(dec).alias(f"__p{l}"),
+            F.sum(F.when(ld.isNotNull(), vd)).cast(dec).alias(f"__t{l}"),
+            F.sum(ld).cast(dec).alias(f"__h{l}"),
+            F.count(F.col(f"__l{l}")).cast("long").alias(f"__m{l}"),
+        ]
+    g = lagged.groupBy("__k").agg(*aggs)
+    stack = ", ".join(
+        f"{l}L, __p{l}, __t{l}, __h{l}, __m{l}" for l in range(1, max_lag + 1)
+    )
+    rows = g.select(
+        "__k", "n", "__s", "__q",
+        F.expr(
+            f"stack({max_lag}, {stack}) AS (lag, __p, __t, __h, n_used)"
+        ),
+    )
+    nD = F.col("n").cast(dec)
+    mD = F.col("n_used").cast(dec)
+    s, q, p = F.col("__s"), F.col("__q"), F.col("__p")
+    th = (F.col("__t") + F.col("__h")).cast(dec)
+    num = (nD * nD * p - nD * s * th + mD * s * s).cast(dec)
+    den = (nD * (nD * q - s * s)).cast(dec)
+    return (
+        rows.filter((F.col("n_used") > 0) & (den != F.lit(0).cast(dec)))
+        .select(
+            F.col("__k").alias(key_col),
+            "lag", "n", "n_used",
+            F.floor(
+                num.cast("double") / den.cast("double") * F.lit(1_000_000.0)
+            ).cast("long").alias("acf_micro"),
+        )
+    )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    period: int = 12,
+) -> DataFrame:
+    """Classical additive seasonal decomposition, the seasonal-index
+    half: per-series 2×m centered-moving-average trend (the textbook
+    even-period trend filter), then the mean DETRENDED value per season
+    slot — "how much above trend is December, on average?".
+
+    CONTRACT (theil_sen convention): ``value_col`` integer-quantized by
+    the caller; ``order_col`` a CONTIGUOUS integer time index (e.g.
+    year*12+month-1) so ``season = order mod period`` is the calendar
+    slot; ``period`` even (the 2×m filter is the even-period form).
+
+    Exactness — no float ever accumulates: the 2×m trend numerator
+    trend2m_t = sum(v over [-m/2, m/2-1]) + sum(v over [-m/2+1, m/2])
+    is an exact long (trend = trend2m/2m, never materialized); the
+    detrended value scaled by 2m, d2m = 2m·v − trend2m, is an exact
+    long; the seasonal index is ONE double ratio
+    sum(d2m)/(2m·n_obs), micro-floored. Edge rows without a full
+    centered window (first/last m/2 points) are excluded, exactly as
+    the classical filter defines.
+
+    Shape: one window shuffle on the key (two framed sums + two frame
+    counts in a single pass), one partial-agg groupBy (key, season).
+    Returns (key, season, n_obs, sum_d2m, seasonal_micro).
+    """
+    if period < 2 or period % 2 != 0:
+        raise ValueError(f"period must be even and >= 2 (got {period})")
+    half = period // 2
+    v = F.col(value_col).cast("long")
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    w1 = w.rowsBetween(-half, half - 1)
+    w2 = w.rowsBetween(-half + 1, half)
+    lagged = df.select(
+        F.col(key_col).alias("__k"),
+        F.pmod(F.col(order_col).cast("long"), F.lit(period)).alias("season"),
+        v.alias("__v"),
+        F.sum(v).over(w1).alias("__s1"),
+        F.count(F.lit(1)).over(w1).alias("__c1"),
+        F.sum(v).over(w2).alias("__s2"),
+        F.count(F.lit(1)).over(w2).alias("__c2"),
+    )
+    d2m = (F.lit(2 * period) * F.col("__v") - (F.col("__s1") + F.col("__s2"))).cast(
+        "long"
+    )
+    valid = (F.col("__c1") == period) & (F.col("__c2") == period)
+    out = (
+        lagged.filter(valid)
+        .select("__k", "season", d2m.alias("__d"))
+        .groupBy("__k", "season")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.sum("__d").cast("long").alias("sum_d2m"),
+        )
+    )
+    ratio = F.col("sum_d2m").cast("double") / (
+        F.lit(float(2 * period)) * F.col("n_obs").cast("double")
+    )
+    return out.select(
+        F.col("__k").alias(key_col),
+        "season", "n_obs", "sum_d2m",
+        F.floor(ratio * F.lit(1_000_000.0)).cast("long").alias("seasonal_micro"),
+    )
+
+
+def holt_linear(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.2,
+) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per series — the
+    level+trend forecaster one notch up from ``ewma`` (which tracks
+    level only and permanently lags a trending series):
+
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    initialized l_2 = x_2, b_2 = x_2 − x_1 (fold starts at t=3).
+    Returns (key, n, level_micro, trend_micro, forecast_micro) — the
+    final state and the one-step-ahead forecast l+b, micro-floored.
+    Keys with fewer than 2 points are dropped (no trend exists).
+
+    CONTRACT (theil_sen convention): series bounded and pre-aggregated
+    (the fold state lives in one array per key), ``order_col`` unique
+    per key (a tie would make the fold order undefined).
+
+    Exactness: the recursion is inherently sequential — no algebraic
+    expansion keeps it integer — so determinism comes from ORDER +
+    IDENTICAL IEEE ops: the fold runs over the sort_array-ed series,
+    and every step is the same fixed-order double expression the
+    oracle's recursive CTE computes; identical operations in identical
+    order are bit-identical in any IEEE-754 engine, so the gate
+    hash-matches without quantizing intermediate state. α and β
+    literals parse to the same doubles in both engines.
+
+    Shape: ONE partial-agg groupBy collecting each key's (order, value)
+    pairs; the fold is a per-row ``aggregate`` HOF over the bounded
+    array — no window, no iteration-by-join, no driver loop.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1] (got {alpha})")
+    if not 0.0 < beta <= 1.0:
+        raise ValueError(f"beta must be in (0, 1] (got {beta})")
+    a, b_ = F.lit(float(alpha)), F.lit(float(beta))
+    one_a, one_b = F.lit(1.0 - alpha), F.lit(1.0 - beta)
+    series = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("t"),
+                    F.col(value_col).cast("double").alias("x"),
+                )
+            )
+        ).alias("__arr"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).filter(F.col("n") >= 2)
+    xs = F.transform(F.col("__arr"), lambda p: p["x"])
+
+    def fold(arr: Column) -> Column:
+        init = F.struct(
+            F.element_at(arr, 2).alias("l"),
+            (F.element_at(arr, 2) - F.element_at(arr, 1)).alias("b"),
+        )
+        rest = F.slice(arr, 3, F.greatest(F.size(arr) - 2, F.lit(0)))
+
+        def step(acc: Column, x: Column) -> Column:
+            l_new = a * x + one_a * (acc["l"] + acc["b"])
+            # bind l_new once so the trend update reads the computed
+            # level, not a re-evaluated copy (same bits either way —
+            # this is a cost guard, not a correctness one)
+            return F.transform(
+                F.array(l_new),
+                lambda ln: F.struct(
+                    ln.alias("l"),
+                    (b_ * (ln - acc["l"]) + one_b * acc["b"]).alias("b"),
+                ),
+            )[0]
+
+        return F.aggregate(rest, init, step)
+
+    st_ = fold(xs)
+    return series.select(
+        F.col("__k").alias(key_col),
+        "n",
+        F.floor(st_["l"] * F.lit(1_000_000.0)).cast("long").alias("level_micro"),
+        F.floor(st_["b"] * F.lit(1_000_000.0)).cast("long").alias("trend_micro"),
+        F.floor((st_["l"] + st_["b"]) * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("forecast_micro"),
+    )

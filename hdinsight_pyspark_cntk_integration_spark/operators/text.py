@@ -1498,3 +1498,264 @@ def textrank_keywords(
         .limit(top_k)
         .select(F.col("node").alias("token"), "rank_micro")
     )
+
+
+def dictionary_tag(
+    df: DataFrame,
+    terms: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_join: bool = False,
+) -> DataFrame:
+    """Weighted-lexicon tagging: score every document against a term
+    dictionary (term → integer weight) — the workhorse behind topic
+    flagging, policy screens, and lexicon sentiment at corpus scale.
+    Per document: token count, dictionary hits (with multiplicity),
+    distinct terms matched, and the weight sum over matched tokens.
+
+    Two physical strategies, IDENTICAL results (twin-tested):
+
+    - ``use_join=False`` (default, small lexicons): the dictionary is a
+      LITERAL map baked into the plan — matching is a per-row
+      filter/aggregate over the lambda-bound token array, so the doc
+      stream is scanned ONCE with ZERO shuffles and ZERO joins (the
+      aggregation state is per-row, not per-key). The lexicon and the
+      token array are bound together in one struct (``_bind_once``) so
+      neither re-evaluates per element.
+    - ``use_join=True`` (lexicons too big for a plan literal): explode
+      tokens, broadcast-hash-join the term table, re-aggregate per doc
+      — one shuffle on the doc id, dictionary never leaves the
+      broadcast.
+
+    All outputs are exact integers — no float anywhere.
+
+    Returns (id, n_tokens, n_hits, n_terms, score).
+    """
+    from hdinsight_pyspark_cntk_integration_spark.functions.textfns import normalized_text
+    from hdinsight_pyspark_cntk_integration_spark.operators.dedup import _bind_once
+
+    if not terms:
+        raise ValueError("terms dictionary must be non-empty")
+    items = sorted(terms.items())
+    # NULL text tags as an empty document (the join path's explode_outer
+    # gives the same) — without the coalesce every output would be NULL
+    toks = F.filter(
+        F.split(F.coalesce(normalized_text(text_col), F.lit("")), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    if use_join:
+        spark = df.sparkSession
+        dict_df = spark.createDataFrame(items, "__term string, __w long")
+        exploded = df.select(
+            F.col(id_col).alias("__id"), F.explode_outer(toks).alias("__term")
+        )
+        joined = exploded.join(F.broadcast(dict_df), "__term", "left")
+        hit = F.col("__w").isNotNull()
+        return (
+            joined.groupBy("__id")
+            .agg(
+                F.count("__term").cast("long").alias("n_tokens"),
+                F.sum(hit.cast("long")).cast("long").alias("n_hits"),
+                F.count_distinct(F.when(hit, F.col("__term"))).cast("long").alias("n_terms"),
+                F.sum(F.coalesce(F.col("__w"), F.lit(0))).cast("long").alias("score"),
+            )
+            .select(F.col("__id").alias(id_col), "n_tokens", "n_hits", "n_terms", "score")
+        )
+    mp = F.map_from_arrays(
+        F.array(*[F.lit(k) for k, _ in items]),
+        F.array(*[F.lit(int(v)).cast("long") for _, v in items]),
+    )
+
+    def build(bound: Column) -> Column:
+        t, m = bound["t"], bound["m"]
+        matched = F.filter(t, lambda x: F.map_contains_key(m, x))
+        return F.struct(
+            F.size(t).cast("long").alias("n_tokens"),
+            F.size(matched).cast("long").alias("n_hits"),
+            F.size(F.array_distinct(matched)).cast("long").alias("n_terms"),
+            F.aggregate(
+                matched,
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.coalesce(F.try_element_at(m, x), F.lit(0)),
+            ).alias("score"),
+        )
+
+    tagged = _bind_once(F.struct(toks.alias("t"), mp.alias("m")), build)
+    return df.select(
+        F.col(id_col).alias(id_col), tagged.alias("__r")
+    ).select(
+        id_col,
+        F.col("__r.n_tokens").alias("n_tokens"),
+        F.col("__r.n_hits").alias("n_hits"),
+        F.col("__r.n_terms").alias("n_terms"),
+        F.col("__r.score").alias("score"),
+    )
+
+
+def heaps_law(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(N) ≈ K·N^β over the
+    corpus read in ``id_col`` order — the sublinearity constant (β ≈
+    0.4–0.6 for natural language) that sizes vocabularies, predicts
+    OOV rates, and flags TEMPLATED corpora (β near 0: new documents
+    stop contributing types) before training does.
+
+    Fully distributed, despite "cumulative vocabulary" sounding
+    sequential: a token's contribution to the growth curve is exactly
+    one type-birth at its FIRST document — so V = cumsum of
+    (#tokens whose min-doc falls in the slice), and N = cumsum of
+    slice token counts. One token groupBy (min doc), one rollup, and
+    the curve is sampled at ``n_buckets`` equal-width doc-id slices so
+    the only unpartitioned window runs over ≤ n_buckets rows — a
+    CONSTANT, never the doc count (a per-doc cumsum would be a
+    single-task window over the whole corpus at 100 TB; the OLS fit
+    needs a few hundred curve points, not a billion). Bucket width is
+    derived from the exact min/max id by ceil division — all integer,
+    oracle-replicable.
+
+    Exactness: counts are exact longs; ln N_d and ln V_d are quantized
+    to integer micro-nats AT BIRTH (a raw Σln over docs would be
+    partition-order dependent); the OLS moments over those micro-ints
+    accumulate in DECIMAL(38,0), and slope/intercept are each ONE
+    double division of exact integers:
+
+        β   = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)
+        lnK = (Σy·Σxx − Σx·Σxy) / (n·Σxx − Σx²)   [micro-nats]
+
+    Returns one row (n_points, n_tokens, n_types, beta_micro,
+    lnk_micro).
+    """
+    from hdinsight_pyspark_cntk_integration_spark.functions.textfns import normalized_text
+    from pyspark.sql import Window
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2 (got {n_buckets})")
+    toks = F.filter(
+        F.split(F.coalesce(normalized_text(text_col), F.lit("")), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    tok = df.select(
+        F.col(id_col).cast("long").alias("__d"), F.explode(toks).alias("__t")
+    )
+    bounds = tok.groupBy().agg(
+        F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
+    )
+    width = F.expr(f"(__hi - __lo + {n_buckets}) div {n_buckets}")
+
+    def bucket_of(d) -> "Column":
+        return F.expr(f"({d} - __lo) div __width")
+
+    per_doc = (
+        tok.groupBy("__d")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n_tok"))
+        .crossJoin(F.broadcast(bounds.select("__lo", width.alias("__width"))))
+        .groupBy(bucket_of("__d").alias("__b"))
+        .agg(F.sum("__n_tok").cast("long").alias("__n_tok"))
+    )
+    births = (
+        tok.groupBy("__t")
+        .agg(F.min("__d").alias("__d"))
+        .crossJoin(F.broadcast(bounds.select("__lo", width.alias("__width"))))
+        .groupBy(bucket_of("__d").alias("__b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__n_new"))
+    )
+    slice_ = per_doc.join(births, "__b", "left").select(
+        "__b",
+        "__n_tok",
+        F.coalesce("__n_new", F.lit(0)).cast("long").alias("__n_new"),
+    )
+    # bounded window: <= n_buckets rows by construction
+    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    curve = slice_.select(
+        F.sum("__n_tok").over(w).cast("long").alias("__N"),
+        F.sum("__n_new").over(w).cast("long").alias("__V"),
+    ).filter((F.col("__N") > 0) & (F.col("__V") > 0))
+    x = F.floor(F.log(F.col("__N").cast("double")) * F.lit(1_000_000.0)).cast("long")
+    y = F.floor(F.log(F.col("__V").cast("double")) * F.lit(1_000_000.0)).cast("long")
+    dec = "decimal(38,0)"
+    pts = curve.select(x.cast(dec).alias("__x"), y.cast(dec).alias("__y"))
+    mom = pts.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("__x").cast(dec).alias("__sx"),
+        F.sum("__y").cast(dec).alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast(dec).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast(dec).alias("__sxx"),
+    )
+    tot = tok.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count_distinct("__t").cast("long").alias("n_types"),
+    )
+    nD = F.col("n_points").cast(dec)
+    sx, sy = F.col("__sx"), F.col("__sy")
+    sxy, sxx = F.col("__sxy"), F.col("__sxx")
+    den = (nD * sxx - sx * sx).cast(dec)
+    bnum = (nD * sxy - sx * sy).cast(dec)
+    inum = (sy * sxx - sx * sxy).cast(dec)
+    return mom.crossJoin(F.broadcast(tot)).select(
+        "n_points", "n_tokens", "n_types",
+        F.floor(
+            bnum.cast("double") / den.cast("double") * F.lit(1_000_000.0)
+        ).cast("long").alias("beta_micro"),
+        F.floor(inum.cast("double") / den.cast("double")).cast("long").alias(
+            "lnk_micro"
+        ),
+    )
+
+
+def simpson_diversity(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Simpson diversity of each group's token distribution: D =
+    Σ nᵢ(nᵢ−1) / (N(N−1)) — the probability two tokens drawn WITHOUT
+    replacement are the same type — and its Gini-Simpson complement
+    1−D. The heavy-hitter-sensitive twin of ``token_entropy``
+    (entropy rewards the long tail; Simpson is dominated by the top
+    types, so a template flood moves D long before it moves H).
+
+    Exactness: both numerator and denominator are EXACT integers
+    (DECIMAL(38,0) — nᵢ² passes 2^63 for any type above ~3e9 tokens);
+    the two emitted ratios are each one fixed-order double chain over
+    those integers, micro-floored. Groups with N < 2 are dropped
+    (no pair exists to draw).
+
+    Shape: one (group, token) partial-agg shuffle bounded by the
+    group×vocabulary domain, one group rollup. No window, no collect.
+
+    Returns (group, n_tokens, n_types, simpson_micro,
+    gini_simpson_micro).
+    """
+    from hdinsight_pyspark_cntk_integration_spark.functions.textfns import normalized_text
+
+    toks = F.filter(
+        F.split(F.coalesce(normalized_text(text_col), F.lit("")), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    dec = "decimal(38,0)"
+    counts = (
+        df.select(F.col(group_col).alias("__g"), F.explode(toks).alias("__t"))
+        .groupBy("__g", "__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    nd = F.col("__n").cast(dec)
+    agg = counts.groupBy("__g").agg(
+        F.sum("__n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(nd * (nd - F.lit(1).cast(dec))).cast(dec).alias("__num"),
+    ).filter(F.col("n_tokens") >= 2)
+    ntd = F.col("n_tokens").cast(dec)
+    den = (ntd * (ntd - F.lit(1).cast(dec))).cast(dec)
+    d = F.col("__num").cast("double") / den.cast("double")
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n_tokens", "n_types",
+        F.floor(d * F.lit(1_000_000.0)).cast("long").alias("simpson_micro"),
+        F.floor((F.lit(1.0) - d) * F.lit(1_000_000.0)).cast("long").alias(
+            "gini_simpson_micro"
+        ),
+    )

@@ -229,3 +229,149 @@ def test_label_propagation_rejects_bad_rounds(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError):
         gr.label_propagation(df, rounds=0)
+
+
+# --- adamic_adar ---------------------------------------------------------
+
+
+def _py_adamic_adar(edges, exclude_adjacent=True, max_degree=None):
+    import math
+    from collections import defaultdict
+
+    eset = set()
+    for s, d in edges:
+        if s is not None and d is not None and s != d:
+            eset.add((min(s, d), max(s, d)))
+    adj = defaultdict(set)
+    for a, b in eset:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {z: len(nb) for z, nb in adj.items()}
+    term = {
+        z: math.floor(1e6 / math.log(d))
+        for z, d in deg.items()
+        if d >= 2 and (max_degree is None or d <= max_degree)
+    }
+    out = {}
+    for z, t in term.items():
+        nb = sorted(adj[z])
+        for i in range(len(nb)):
+            for j in range(i + 1, len(nb)):
+                k = (nb[i], nb[j])
+                n, s = out.get(k, (0, 0))
+                out[k] = (n + 1, s + t)
+    if exclude_adjacent:
+        out = {k: v for k, v in out.items() if k not in eset}
+    return out
+
+
+def test_adamic_adar_brute_force_random_graphs(spark):
+    import random
+
+    for trial in range(4):
+        rng = random.Random(100 + trial)
+        n = rng.randint(5, 12)
+        edges = [
+            (rng.randint(0, n), rng.randint(0, n))
+            for _ in range(rng.randint(4, 25))
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        for excl in (True, False):
+            got = {
+                (r["a"], r["b"]): (r["n_common"], r["aa_micro"])
+                for r in gr.adamic_adar(df, exclude_adjacent=excl).collect()
+            }
+            assert got == _py_adamic_adar(edges, exclude_adjacent=excl), (
+                trial, excl, edges,
+            )
+
+
+def test_adamic_adar_hub_cap(spark):
+    # star + one extra edge: hub 0 touches 1..4; 1-2 also adjacent.
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["a"], r["b"]): (r["n_common"], r["aa_micro"])
+        for r in gr.adamic_adar(df, max_degree=3).collect()
+    }
+    # hub (deg 4) is excluded as an apex; only apexes 1 and 2 (deg 2)
+    # generate wedges: (0,2) via 1 and (0,1) via 2 — both adjacent, so
+    # with exclude_adjacent nothing survives
+    assert got == {}
+    got_all = {
+        (r["a"], r["b"]): (r["n_common"], r["aa_micro"])
+        for r in gr.adamic_adar(df, exclude_adjacent=False, max_degree=3).collect()
+    }
+    assert got_all == _py_adamic_adar(edges, exclude_adjacent=False, max_degree=3)
+
+
+def test_adamic_adar_rejects_bad_max_degree(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        gr.adamic_adar(df, max_degree=1)
+
+
+# --- harmonic_centrality -------------------------------------------------
+
+
+def _py_harmonic(edges, max_hops):
+    import math
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for s, d in edges:
+        if s is not None and d is not None and s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    out = {}
+    for u in adj:
+        dist = {u: 0}
+        q = deque([u])
+        while q:
+            n = q.popleft()
+            if dist[n] >= max_hops:
+                continue
+            for v in adj[n]:
+                if v not in dist:
+                    dist[v] = dist[n] + 1
+                    q.append(v)
+        terms = [math.floor(1e6 / h) for n, h in dist.items() if h > 0]
+        out[u] = (len(terms), sum(terms))
+    return out
+
+
+def test_harmonic_centrality_brute_force(spark):
+    import random
+
+    for trial in range(3):
+        rng = random.Random(7 + trial)
+        n = rng.randint(5, 10)
+        edges = [
+            (rng.randint(0, n), rng.randint(0, n))
+            for _ in range(rng.randint(4, 18))
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        for hops in (1, 3):
+            got = {
+                r["node"]: (r["n_reached"], r["harmonic_micro"])
+                for r in gr.harmonic_centrality(df, max_hops=hops).collect()
+            }
+            assert got == _py_harmonic(edges, hops), (trial, hops, edges)
+
+
+def test_harmonic_centrality_path_graph(spark):
+    # path 1-2-3-4, hops=3: ends reach 3 at d=1,2,3; middles reach all
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    got = {
+        r["node"]: r["harmonic_micro"]
+        for r in gr.harmonic_centrality(df, max_hops=3).collect()
+    }
+    end = 1_000_000 + 500_000 + 333_333
+    mid = 1_000_000 + 1_000_000 + 500_000
+    assert got == {1: end, 4: end, 2: mid, 3: mid}
+
+
+def test_harmonic_centrality_rejects_bad_hops(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        gr.harmonic_centrality(df, max_hops=0)

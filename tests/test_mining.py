@@ -769,3 +769,227 @@ def test_textrank_hub_token_wins(spark):
             for r in pagerank_integer(edges, iters=3).collect()}
     for tok, rm in ranks.items():
         assert want[tok] == rm
+
+
+# --- target_encode / woe_iv / dictionary_tag -----------------------------
+
+
+def test_target_encode_loo_and_smoothing(spark):
+    import math
+
+    rows = [
+        (1, "a", 10.00), (2, "a", 20.00), (3, "a", 30.00),
+        (4, "b", 40.00), (5, "c", 50.00), (6, "c", 70.00),
+    ]
+    df = spark.createDataFrame(rows, "id long, cat string, y double")
+    S = {"a": 6000, "b": 4000, "c": 12000}
+    N = {"a": 3, "b": 1, "c": 2}
+    ybar = 22000 / 6
+    for sm in (0, 5):
+        got = {
+            r["id"]: r["enc_micro"]
+            for r in mn.target_encode(df, "cat", "y", "id", smoothing=sm).collect()
+        }
+        for i, c, y in rows:
+            den = N[c] - 1 + sm
+            want = ((S[c] - round(y * 100)) + sm * ybar) / den if den > 0 else ybar
+            assert got[i] == math.floor(want * 1e6), (sm, i)
+    # leakage check: with m=0 the encoding NEVER equals the naive
+    # category mean when targets differ within the category
+    got0 = {
+        r["id"]: r["enc_micro"]
+        for r in mn.target_encode(df, "cat", "y", "id", smoothing=0).collect()
+    }
+    assert got0[1] != math.floor(S["a"] / N["a"] * 1e6)
+    # singleton category with m=0 falls back to the global mean
+    assert got0[4] == math.floor(ybar * 1e6)
+
+
+def test_target_encode_rejects_negative_smoothing(spark):
+    df = spark.createDataFrame([(1, "a", 1.0)], "id long, cat string, y double")
+    with pytest.raises(ValueError):
+        mn.target_encode(df, "cat", "y", "id", smoothing=-1)
+
+
+def test_woe_iv_hand_case_and_zero_cell_drop(spark):
+    import math
+
+    rows = (
+        [("a", True)] * 8 + [("a", False)] * 2
+        + [("b", True)] * 3 + [("b", False)] * 7
+        + [("c", True)] * 5          # zero negatives -> dropped
+        + [(None, True)] * 3         # NULL category -> excluded
+    )
+    df = spark.createDataFrame(rows, "cat string, f boolean")
+    got = {r["category"]: r for r in mn.woe_iv(df, "cat", "f").collect()}
+    assert set(got) == {"a", "b"}
+    P, Nn = 16, 9  # totals over the surviving cells (c counts in totals)
+    for c, (np_, nn) in {"a": (8, 2), "b": (3, 7)}.items():
+        woe = math.log((np_ / P) * (Nn / nn))
+        iv = (np_ / P - nn / Nn) * woe
+        r = got[c]
+        assert r["woe_micro"] == math.floor(woe * 1e6)
+        assert r["iv_micro"] == math.floor(iv * 1e6)
+        assert (r["pos_total"], r["neg_total"]) == (P, Nn)
+    # sign semantics: the positive-heavy category has positive WOE
+    assert got["a"]["woe_micro"] > 0 > got["b"]["woe_micro"]
+    # IV contributions are nonnegative by construction: (p-q) and
+    # ln(p/q) always share a sign
+    assert got["a"]["iv_micro"] >= 0 and got["b"]["iv_micro"] >= 0
+
+
+def test_dictionary_tag_paths_agree_and_manual(spark):
+    docs = [
+        (1, "The cat SAT on the mat cat"),
+        (2, "dog  runs"),
+        (3, ""),
+        (4, "zzz"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    terms = {"cat": 5, "the": 1, "dog": 3}
+    lit = {tuple(r) for r in tx.dictionary_tag(df, terms).collect()}
+    jn = {tuple(r) for r in tx.dictionary_tag(df, terms, use_join=True).collect()}
+    assert lit == jn
+    by_id = {t[0]: t[1:] for t in lit}
+    # doc 1: 7 tokens, hits the/cat/the/cat, 2 distinct terms, 5+1+5+1
+    assert by_id[1] == (7, 4, 2, 12)
+    assert by_id[3] == (0, 0, 0, 0)
+    assert by_id[4] == (1, 0, 0, 0)
+    assert by_id[5] == (0, 0, 0, 0)  # NULL text == empty
+
+
+def test_dictionary_tag_literal_path_has_no_shuffle(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = tx.dictionary_tag(df, {"a": 1})
+    assert count_shuffles(out) == 0
+
+
+def test_dictionary_tag_rejects_empty_dict(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        tx.dictionary_tag(df, {})
+
+
+# --- heaps_law / simpson_diversity ---------------------------------------
+
+
+def test_heaps_law_matches_python(spark):
+    import math
+
+    docs = [
+        (1, "a b c a"),
+        (2, "a d e"),
+        (3, "f f g a b"),
+        (4, ""),
+        (5, "h i j k"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    [r] = tx.heaps_law(df).collect()
+    # python replication: first-occurrence births + cumulative curve
+    seen, curve, N = set(), [], 0
+    for _, t in docs:
+        toks = t.split()
+        if not toks:
+            continue
+        N += len(toks)
+        for tok in toks:
+            seen.add(tok)
+        curve.append((N, len(seen)))
+    pts = [
+        (math.floor(math.log(n) * 1e6), math.floor(math.log(v) * 1e6))
+        for n, v in curve
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    den = n * sxx - sx * sx
+    assert r["n_points"] == n
+    assert r["n_tokens"] == N and r["n_types"] == len(seen)
+    assert r["beta_micro"] == math.floor((n * sxy - sx * sy) / den * 1e6)
+    assert r["lnk_micro"] == math.floor((sy * sxx - sx * sxy) / den)
+
+
+def test_heaps_law_templated_corpus_has_low_beta(spark):
+    # identical docs: V freezes after doc 1 -> beta near 0; diverse
+    # corpus keeps minting types -> beta near 1
+    same = [(i, "alpha beta gamma delta") for i in range(1, 21)]
+    [r_same] = tx.heaps_law(
+        spark.createDataFrame(same, "doc_id long, text string")
+    ).collect()
+    fresh = [(i, f"w{i}a w{i}b w{i}c w{i}d") for i in range(1, 21)]
+    [r_fresh] = tx.heaps_law(
+        spark.createDataFrame(fresh, "doc_id long, text string")
+    ).collect()
+    assert r_same["beta_micro"] < 100_000
+    assert r_fresh["beta_micro"] > 900_000
+
+
+def test_simpson_diversity_matches_python_and_bounds(spark):
+    import math
+    from collections import Counter
+
+    docs = [
+        ("a", "x x x x y"),
+        ("a", "x z"),
+        ("b", "p q r s t u v w"),
+        ("c", "only"),
+    ]
+    df = spark.createDataFrame(docs, "source string, text string")
+    got = {r["source"]: r for r in tx.simpson_diversity(df, "source").collect()}
+    assert "c" not in got  # N < 2 dropped
+    for src in ("a", "b"):
+        cnt = Counter(
+            tok for s, t in docs if s == src for tok in t.split()
+        )
+        N = sum(cnt.values())
+        num = sum(n * (n - 1) for n in cnt.values())
+        d = num / (N * (N - 1))
+        r = got[src]
+        assert r["n_tokens"] == N and r["n_types"] == len(cnt)
+        assert r["simpson_micro"] == math.floor(d * 1e6)
+        assert r["gini_simpson_micro"] == math.floor((1.0 - d) * 1e6)
+    # concentration ordering: the skewed source is less diverse
+    assert got["a"]["simpson_micro"] > got["b"]["simpson_micro"]
+
+
+def test_heaps_law_bucketing_caps_curve_points(spark):
+    import math
+
+    # 600 docs with sparse ids over [0, 1199]: width = ceil(1200/256)=5
+    docs = [(i * 2, f"w{i} w{i % 7} common")
+            for i in range(600)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    [r] = tx.heaps_law(df, n_buckets=256).collect()
+    assert r["n_points"] <= 256
+    # python replication with the same bucketing
+    lo, hi = 0, 1198
+    width = (hi - lo + 256) // 256
+    from collections import defaultdict
+    ntok = defaultdict(int)
+    first = {}
+    for d, t in docs:
+        toks = t.split()
+        ntok[(d - lo) // width] += len(toks)
+        for tok in toks:
+            if tok not in first or d < first[tok]:
+                first[tok] = d
+    nnew = defaultdict(int)
+    for tok, d in first.items():
+        nnew[(d - lo) // width] += 1
+    N = V = 0
+    pts = []
+    for b in sorted(ntok):
+        N += ntok[b]
+        V += nnew[b]
+        pts.append((math.floor(math.log(N) * 1e6), math.floor(math.log(V) * 1e6)))
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+    den = n * sxx - sx * sx
+    assert r["n_points"] == n
+    assert r["beta_micro"] == math.floor((n * sxy - sx * sy) / den * 1e6)
+    with pytest.raises(ValueError):
+        tx.heaps_law(df, n_buckets=1)

@@ -234,6 +234,13 @@ _INTENTIONAL_LINT = {
     #   (x,y) CELL aggregate, bounded by the category-domain product;
     #   the operator is documented as categorical-only for this reason
     "mutual_information": {"global-window"},
+    # woe_iv — same shape as mutual_information: the pos/neg totals are
+    #   windows over the CATEGORY cells, bounded by the category domain
+    "woe_iv": {"global-window"},
+    # heaps_law — the growth-curve cumsum runs over the BUCKET rollup,
+    #   <= n_buckets (default 256) rows by construction, never the doc
+    #   count; pinned by test_heaps_law_bucketing_caps_curve_points
+    "heaps_law": {"global-window"},
 }
 
 

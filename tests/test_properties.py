@@ -709,3 +709,97 @@ def test_weighted_reservoir_matches_bruteforce(spark, weights, k):
     )[:k]
     want = sorted((rk + 1, i) for rk, (_, i) in enumerate(eligible))
     assert got == want
+
+
+@given(
+    xs=st.lists(st.integers(min_value=1, max_value=100_000), min_size=4, max_size=25),
+    max_lag=st.integers(min_value=1, max_value=3),
+)
+@settings(**_SETTINGS)
+def test_autocorrelation_properties(spark, xs, max_lag):
+    """ACF is bounded-ish and exactly replicates the scaled-integer
+    formula; lag-0 identity is implicit (den == num at l=0)."""
+    import math
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as stt
+
+    df = spark.createDataFrame(
+        [("k", i, int(v)) for i, v in enumerate(xs)], "k string, t int, v long"
+    )
+    got = {
+        r["lag"]: r["acf_micro"]
+        for r in stt.autocorrelation(df, "k", "t", "v", max_lag=max_lag).collect()
+    }
+    n, S = len(xs), sum(xs)
+    Q = sum(v * v for v in xs)
+    dens = n * (n * Q - S * S)
+    for l in range(1, max_lag + 1):
+        if n - l <= 0 or dens == 0:
+            assert l not in got
+            continue
+        P = sum(xs[i] * xs[i - l] for i in range(l, n))
+        T, H, m = sum(xs[l:]), sum(xs[: n - l]), n - l
+        num = n * n * P - n * S * (T + H) + m * S * S
+        assert got[l] == math.floor(num / dens * 1e6)
+        # Cauchy-Schwarz keeps |r| <= ~1 (floor can nick one micro)
+        assert -1_000_001 <= got[l] <= 1_000_000
+
+
+@given(
+    weights=st.dictionaries(
+        st.sampled_from(["aa", "bb", "cc", "dd"]),
+        st.integers(min_value=-5, max_value=9),
+        min_size=1,
+        max_size=4,
+    ),
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]), max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(**_SETTINGS)
+def test_dictionary_tag_twin_paths_property(spark, weights, docs):
+    """Literal-map and broadcast-join paths agree on arbitrary corpora
+    and dictionaries, and totals replicate plain Python counting."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import text as txt
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lit = {tuple(r) for r in txt.dictionary_tag(df, weights).collect()}
+    jn = {tuple(r) for r in txt.dictionary_tag(df, weights, use_join=True).collect()}
+    assert lit == jn
+    by_id = {t[0]: t[1:] for t in lit}
+    for i, toks in enumerate(docs):
+        hits = [t for t in toks if t in weights]
+        assert by_id[i] == (
+            len(toks), len(hits), len(set(hits)), sum(weights[t] for t in hits)
+        )
+
+
+@given(
+    xs=st.lists(
+        st.integers(min_value=1, max_value=1_000_000), min_size=2, max_size=20
+    ),
+    alpha_c=st.integers(min_value=1, max_value=10),
+    beta_c=st.integers(min_value=1, max_value=10),
+)
+@settings(**_SETTINGS)
+def test_holt_linear_matches_python_fold_property(spark, xs, alpha_c, beta_c):
+    import math
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as stt
+
+    alpha, beta = alpha_c / 10.0, beta_c / 10.0
+    df = spark.createDataFrame(
+        [("k", i, int(v)) for i, v in enumerate(xs)], "k string, t int, v long"
+    )
+    [r] = stt.holt_linear(df, "k", "t", "v", alpha=alpha, beta=beta).collect()
+    l, b = float(xs[1]), float(xs[1]) - float(xs[0])
+    for x in map(float, xs[2:]):
+        ln = alpha * x + (1.0 - alpha) * (l + b)
+        b = beta * (ln - l) + (1.0 - beta) * b
+        l = ln
+    assert r["level_micro"] == math.floor(l * 1e6)
+    assert r["trend_micro"] == math.floor(b * 1e6)
+    assert r["forecast_micro"] == math.floor((l + b) * 1e6)

@@ -397,3 +397,83 @@ def test_hard_negatives_band_and_exclusions(spark):
     assert ids == [2, 3]  # score-desc order
     assert all(0.3 <= r["score"] < 0.95 for r in got)
     assert 0 not in ids and 1 not in ids and 4 not in ids
+
+
+# --- sparse_cosine_pairs -------------------------------------------------
+
+
+def test_sparse_cosine_matches_python_brute_force(spark):
+    import math
+    from collections import Counter
+
+    from hdinsight_pyspark_cntk_integration_spark.operators.similarity import sparse_cosine_pairs
+
+    docs = [
+        (1, "apple banana apple cherry"),
+        (2, "apple banana date"),
+        (3, "cherry cherry apple"),
+        (4, "unrelated words entirely"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["dot"], r["cos_micro"])
+        for r in sparse_cosine_pairs(df, min_dot=1).collect()
+    }
+    tfs = {i: Counter(t.split()) for i, t in docs if t}
+    want = {}
+    ids = sorted(tfs)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            dot = sum(tfs[a][t] * tfs[b][t] for t in tfs[a])
+            if dot >= 1:
+                na = math.sqrt(sum(v * v for v in tfs[a].values()))
+                nb = math.sqrt(sum(v * v for v in tfs[b].values()))
+                want[(a, b)] = (dot, math.floor(dot / (na * nb) * 1e6))
+    assert got == want
+
+
+def test_sparse_cosine_max_df_drops_stopword_postings(spark):
+    from hdinsight_pyspark_cntk_integration_spark.operators.similarity import sparse_cosine_pairs
+
+    # "the" appears in all 4 docs; with max_df=3 it cannot create pairs
+    docs = [
+        (1, "the alpha"),
+        (2, "the beta"),
+        (3, "the gamma"),
+        (4, "the delta"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    assert sparse_cosine_pairs(df, min_dot=1).count() == 6  # all via 'the'
+    assert sparse_cosine_pairs(df, max_df=3, min_dot=1).count() == 0
+    with pytest.raises(ValueError):
+        sparse_cosine_pairs(df, max_df=1)
+
+
+def test_sparse_cosine_identical_docs_hit_unity(spark):
+    from hdinsight_pyspark_cntk_integration_spark.operators.similarity import sparse_cosine_pairs
+
+    docs = [(1, "a b b c"), (2, "a b b c")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    [r] = sparse_cosine_pairs(df).collect()
+    assert (r["doc_a"], r["doc_b"], r["cos_micro"]) == (1, 2, 1_000_000)
+
+
+def test_sparse_cosine_max_df_ppm_is_scale_free(spark):
+    from hdinsight_pyspark_cntk_integration_spark.operators.similarity import sparse_cosine_pairs
+
+    # 'the' in 4/4 docs; 400000 ppm (40%) cuts it, 1e6 ppm keeps it
+    docs = [
+        (1, "the alpha"),
+        (2, "the beta"),
+        (3, "the gamma"),
+        (4, "the delta"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    assert sparse_cosine_pairs(df, max_df_ppm=400_000, min_dot=1).count() == 0
+    assert sparse_cosine_pairs(df, max_df_ppm=1_000_000, min_dot=1).count() == 6
+    with pytest.raises(ValueError):
+        sparse_cosine_pairs(df, max_df=3, max_df_ppm=500_000)
+    with pytest.raises(ValueError):
+        sparse_cosine_pairs(df, max_df_ppm=0)

@@ -267,3 +267,156 @@ def test_burstiness_min_gaps_filter(spark):
     rows = [(1, datetime(2026, 1, 1)), (1, datetime(2026, 1, 2))]  # 1 gap
     df = spark.createDataFrame(rows, "user_id long, ts timestamp")
     assert st.burstiness(df, "user_id", "ts").count() == 0
+
+
+# --- autocorrelation / seasonal_decompose --------------------------------
+
+
+def test_autocorrelation_matches_numpy(spark):
+    import math
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    xs = rng.integers(100, 10_000, size=37).tolist()
+    df = spark.createDataFrame(
+        [("k", i, int(v)) for i, v in enumerate(xs)], "k string, t int, v long"
+    )
+    got = {
+        r["lag"]: r
+        for r in st.autocorrelation(df, "k", "t", "v", max_lag=5).collect()
+    }
+    x = np.array(xs, dtype=float)
+    xb = x.mean()
+    den = ((x - xb) ** 2).sum()
+    for l in range(1, 6):
+        # exact integer replication of the operator's scaled formula
+        n = len(xs)
+        S = sum(xs)
+        Q = sum(v * v for v in xs)
+        P = sum(xs[i] * xs[i - l] for i in range(l, n))
+        T = sum(xs[l:])
+        H = sum(xs[: n - l])
+        m = n - l
+        num = n * n * P - n * S * (T + H) + m * S * S
+        dens = n * (n * Q - S * S)
+        assert got[l]["acf_micro"] == math.floor(num / dens * 1e6)
+        assert (got[l]["n"], got[l]["n_used"]) == (n, m)
+        # and the scaled formula IS the textbook ACF (float check)
+        ref = ((x[l:] - xb) * (x[:-l] - xb)).sum() / den
+        assert abs(num / dens - ref) < 1e-9
+
+
+def test_autocorrelation_lag1_of_alternation_is_negative(spark):
+    rows = [("k", i, 100 if i % 2 else 200) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string, t int, v long")
+    got = {r["lag"]: r["acf_micro"] for r in
+           st.autocorrelation(df, "k", "t", "v", max_lag=2).collect()}
+    assert got[1] < -800_000  # strong anti-correlation at lag 1
+    assert got[2] > 800_000   # strong correlation at lag 2
+
+
+def test_autocorrelation_constant_series_dropped(spark):
+    df = spark.createDataFrame(
+        [("k", i, 7) for i in range(10)], "k string, t int, v long"
+    )
+    assert st.autocorrelation(df, "k", "t", "v", max_lag=3).count() == 0
+
+
+def test_autocorrelation_rejects_bad_lag(spark):
+    import pytest
+
+    df = spark.createDataFrame([("k", 1, 1)], "k string, t int, v long")
+    with pytest.raises(ValueError):
+        st.autocorrelation(df, "k", "t", "v", max_lag=0)
+
+
+def test_seasonal_decompose_matches_python(spark):
+    import collections
+    import math
+
+    vals = [100 + 50 * ((i % 4) == 1) - 30 * ((i % 4) == 3) + 3 * i for i in range(23)]
+    df = spark.createDataFrame(
+        [("k", i, int(v)) for i, v in enumerate(vals)], "k string, t int, v long"
+    )
+    got = {
+        r["season"]: (r["n_obs"], r["sum_d2m"], r["seasonal_micro"])
+        for r in st.seasonal_decompose(df, "k", "t", "v", period=4).collect()
+    }
+    acc = collections.defaultdict(list)
+    for i in range(len(vals)):
+        if i - 2 >= 0 and i + 2 < len(vals):  # both frames full
+            s1 = sum(vals[i - 2 : i + 2])
+            s2 = sum(vals[i - 1 : i + 3])
+            acc[i % 4].append(8 * vals[i] - (s1 + s2))
+    want = {
+        s: (len(d), sum(d), math.floor(sum(d) / (8 * len(d)) * 1e6))
+        for s, d in acc.items()
+    }
+    assert got == want
+    # seasonal signal recovered: slot 1 strongly positive, slot 3 negative
+    assert got[1][2] > 30_000_000 and got[3][2] < -20_000_000
+
+
+def test_seasonal_decompose_excludes_partial_windows(spark):
+    # 12 points, period 12: no row has a full centered 2x12 window
+    df = spark.createDataFrame(
+        [("k", i, 100 + i) for i in range(12)], "k string, t int, v long"
+    )
+    assert st.seasonal_decompose(df, "k", "t", "v", period=12).count() == 0
+
+
+def test_seasonal_decompose_rejects_odd_period(spark):
+    import pytest
+
+    df = spark.createDataFrame([("k", 1, 1)], "k string, t int, v long")
+    with pytest.raises(ValueError):
+        st.seasonal_decompose(df, "k", "t", "v", period=5)
+    with pytest.raises(ValueError):
+        st.seasonal_decompose(df, "k", "t", "v", period=0)
+
+
+# --- holt_linear ---------------------------------------------------------
+
+
+def test_holt_linear_matches_python_fold(spark):
+    import math
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    xs = rng.integers(100, 10_000, size=30).tolist()
+    df = spark.createDataFrame(
+        [("k", i, int(v)) for i, v in enumerate(xs)], "k string, t int, v long"
+    )
+    alpha, beta = 0.5, 0.2
+    [r] = st.holt_linear(df, "k", "t", "v", alpha=alpha, beta=beta).collect()
+    l, b = float(xs[1]), float(xs[1]) - float(xs[0])
+    for x in map(float, xs[2:]):
+        l_new = alpha * x + (1.0 - alpha) * (l + b)
+        b = beta * (l_new - l) + (1.0 - beta) * b
+        l = l_new
+    assert r["n"] == 30
+    assert r["level_micro"] == math.floor(l * 1e6)
+    assert r["trend_micro"] == math.floor(b * 1e6)
+    assert r["forecast_micro"] == math.floor((l + b) * 1e6)
+
+
+def test_holt_linear_tracks_a_pure_trend(spark):
+    # x_t = 100 + 10t: Holt converges onto level = x_n, trend = 10
+    rows = [("k", i, 100 + 10 * i) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, t int, v long")
+    [r] = st.holt_linear(df, "k", "t", "v").collect()
+    assert abs(r["trend_micro"] - 10_000_000) < 20_000
+    assert abs(r["forecast_micro"] - (100 + 10 * 40) * 1_000_000) < 200_000
+
+
+def test_holt_linear_drops_singletons_and_validates(spark):
+    import pytest
+
+    df = spark.createDataFrame([("k", 1, 5)], "k string, t int, v long")
+    assert st.holt_linear(df, "k", "t", "v").count() == 0
+    with pytest.raises(ValueError):
+        st.holt_linear(df, "k", "t", "v", alpha=0.0)
+    with pytest.raises(ValueError):
+        st.holt_linear(df, "k", "t", "v", beta=1.5)

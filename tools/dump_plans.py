@@ -46,6 +46,14 @@ HEADLINE = [
     "pmi_cooccur",
     "burstiness",
     "markov_transitions",
+    "kneser_ney",
+    "autocorrelation",
+    "target_encode",
+    "adamic_adar",
+    "dictionary_tag",
+    "sparse_cosine",
+    "harmonic_centrality",
+    "heaps_law",
 ]
 
 
