@@ -4563,50 +4563,49 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- driver gate window (first 50): core flagship set + a
-        # --- per-round ROTATION slot. Round 8 rotates IN the 22
+        # --- driver gate window (first 50): a small flagship core + a
+        # --- per-round ROTATION slot. Round 8's window gates the 22
         # --- queries that had never appeared in a driver CORRECTNESS
-        # --- artifact: the round-7 mining batch (assoc_rules,
-        # --- rfm_segments, pareto_revenue, kmv_intersect,
-        # --- sentence_dedup, dsir_weights, random_projection,
-        # --- communities_trade, kcore_trade, hard_negatives,
-        # --- near_dup_against_exact) plus the round-5 backlog (ewma,
-        # --- benford_digits, chi_square, yoy_growth, run_lengths,
-        # --- bigram_condprob, tdigest_quantiles, event_paths,
-        # --- session_window_native, rolling_anomaly, dedup_window).
-        # --- embedding_dedup stays in the window because round 8
-        # --- changed its anti-join plan; kmv_intersect / sentence_dedup
-        # --- / random_projection rotate in AND were changed this round.
+        # --- artifact (the round-7 mining batch + the round-5 backlog)
+        # --- AND all 23 operators ADDED in round 8
+        # --- (mutual_information ... sparse_cosine below), so every
+        # --- query new to this round gets a driver-recorded gate the
+        # --- round it lands. Five flagships stay pinned:
+        # --- pricing_summary (the entry() query), accuracy +
+        # --- score_confusion (the reference's own metrics),
+        # --- similarity_topk (ANN family representative), and
+        # --- embedding_dedup (its anti-join plan changed this round).
         # --- All rotated-out queries carry r7 driver artifacts and are
-        # --- mirrored in PARITY_r8.json.
+        # --- mirrored in PARITY_r8.json (243 pass / 7 rows-only / 0
+        # --- fail at sf0.01).
         "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
-        "region_revenue": q_region_revenue,
         "accuracy": q_accuracy,
-        "dim_join": q_dim_join,
-        "confusion_pivot": q_confusion_pivot,
-        "window_topn": q_window_topn,
-        "anti_join": q_anti_join,
-        "rollup": q_rollup,
-        "json_extract": q_json_extract,
-        "asof_join": q_asof_join,
-        "dedup_exact": q_dedup_exact,
-        "token_stats": q_token_stats,
-        "similarity_topk": q_similarity_topk,
         "score_confusion": q_score_confusion,
-        "score_accuracy": q_score_accuracy,
-        "skyline_parts": q_skyline_parts,
-        "outlier_zscore": q_outlier_zscore,
-        "upsert_aggregate": q_upsert_aggregate,
-        "bfs_supply_chain": q_bfs_supply_chain,
-        "pq_ann": q_pq_ann,
-        "sliding_distinct": q_sliding_distinct,
-        "ivfpq_ann": q_ivfpq_ann,
-        "phash_near_dup": q_phash_near_dup,
-        "interval_overlap": q_interval_overlap,
+        "similarity_topk": q_similarity_topk,
         "embedding_dedup": q_embedding_dedup,
-        "hybrid_rrf": q_hybrid_rrf,
-        "cms_counts": q_cms_counts,
+        "mutual_information": q_mutual_information,
+        "theil_sen": q_theil_sen,
+        "weighted_reservoir": q_weighted_reservoir,
+        "funnel_steps": q_funnel_steps,
+        "zipf_slope": q_zipf_slope,
+        "pmi_cooccur": q_pmi_cooccur,
+        "robust_scaler": q_robust_scaler,
+        "burstiness": q_burstiness,
+        "markov_transitions": q_markov_transitions,
+        "script_histogram": q_script_histogram,
+        "kneser_ney": q_kneser_ney,
+        "textrank_keywords": q_textrank_keywords,
+        "autocorrelation": q_autocorrelation,
+        "seasonal_decompose": q_seasonal_decompose,
+        "target_encode": q_target_encode,
+        "woe_iv": q_woe_iv,
+        "adamic_adar": q_adamic_adar,
+        "dictionary_tag": q_dictionary_tag,
+        "harmonic_centrality": q_harmonic_centrality,
+        "holt_linear": q_holt_linear,
+        "heaps_law": q_heaps_law,
+        "simpson_diversity": q_simpson_diversity,
+        "sparse_cosine": q_sparse_cosine,
         "assoc_rules": q_assoc_rules,
         "rfm_segments": q_rfm_segments,
         "pareto_revenue": q_pareto_revenue,
@@ -4630,6 +4629,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_anomaly": q_rolling_anomaly,
         "dedup_window": q_dedup_window,
         # --- full registry continues (covered by tools/check_parity.py) ---
+        "top_revenue_orders": q_top_revenue_orders,
+        "region_revenue": q_region_revenue,
+        "dim_join": q_dim_join,
+        "confusion_pivot": q_confusion_pivot,
+        "window_topn": q_window_topn,
+        "anti_join": q_anti_join,
+        "rollup": q_rollup,
+        "json_extract": q_json_extract,
+        "asof_join": q_asof_join,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "score_accuracy": q_score_accuracy,
+        "skyline_parts": q_skyline_parts,
+        "outlier_zscore": q_outlier_zscore,
+        "upsert_aggregate": q_upsert_aggregate,
+        "bfs_supply_chain": q_bfs_supply_chain,
+        "pq_ann": q_pq_ann,
+        "sliding_distinct": q_sliding_distinct,
+        "ivfpq_ann": q_ivfpq_ann,
+        "phash_near_dup": q_phash_near_dup,
+        "interval_overlap": q_interval_overlap,
+        "hybrid_rrf": q_hybrid_rrf,
+        "cms_counts": q_cms_counts,
         "rank_sum_test": q_rank_sum_test,
         "ks_test": q_ks_test,
         "spearman": q_spearman,
@@ -4807,30 +4829,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_hourly": q_tumbling_hourly,
         "set_ops": q_set_ops,
         "pca_top_component": q_pca_top_component,
-        # --- round-8 additions ---
-        "mutual_information": q_mutual_information,
-        "theil_sen": q_theil_sen,
-        "weighted_reservoir": q_weighted_reservoir,
-        "funnel_steps": q_funnel_steps,
-        "zipf_slope": q_zipf_slope,
-        "pmi_cooccur": q_pmi_cooccur,
-        "robust_scaler": q_robust_scaler,
-        "burstiness": q_burstiness,
-        "markov_transitions": q_markov_transitions,
-        "script_histogram": q_script_histogram,
-        "kneser_ney": q_kneser_ney,
-        "textrank_keywords": q_textrank_keywords,
-        "autocorrelation": q_autocorrelation,
-        "seasonal_decompose": q_seasonal_decompose,
-        "target_encode": q_target_encode,
-        "woe_iv": q_woe_iv,
-        "adamic_adar": q_adamic_adar,
-        "dictionary_tag": q_dictionary_tag,
-        "harmonic_centrality": q_harmonic_centrality,
-        "holt_linear": q_holt_linear,
-        "heaps_law": q_heaps_law,
-        "simpson_diversity": q_simpson_diversity,
-        "sparse_cosine": q_sparse_cosine,
     }
 
 
