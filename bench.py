@@ -140,6 +140,10 @@ PIPELINE = [
     "heaps_law",
     "simpson_diversity",
     "sparse_cosine",
+    "welch_ttest",
+    "readability",
+    "attribution",
+    "canonical_docs",
 ]
 
 

@@ -1393,3 +1393,60 @@ def sentence_dedup(
             ).alias("cleaned_text"),
         )
     )
+
+
+def canonical_docs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup cluster canonicalization — the APPLY step that turns a
+    duplicate-pair graph into an actionable keep/drop decision:
+    transitive closure over the pairs (``connected_components``), then
+    ONE representative per cluster = the highest-``quality_col`` doc
+    (smallest id on ties — fully deterministic), with every member
+    mapped to it. Docs in no pair are their own singleton canonical.
+    Downstream dedup is then ``filter(is_canonical)``; provenance
+    keeps the canonical_id mapping.
+
+    Exactness: the component fixpoint is integer (min-id label
+    propagation, oracle = recursive-CTE reachability); the
+    representative argmax is max_by over an orderable (quality, −id)
+    struct — pure integers end to end, hash-gate-exact.
+
+    Shape: the components loop is the dedup.connected_components
+    shape (edge-keyed joins, localCheckpoint per round); the argmax is
+    one partial-agg groupBy on the component plus one hash join back.
+    The docs table is scanned once; no window, no collect.
+
+    Returns (id, canonical_id, cluster_size, is_canonical).
+    """
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    base = docs.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(quality_col).cast("long").alias("__q"),
+    )
+    labeled = base.join(
+        comp.select(
+            F.col("node").alias("__id"), F.col("component").alias("__comp")
+        ),
+        "__id",
+        "left",
+    ).select(
+        "__id", "__q", F.coalesce("__comp", F.col("__id")).alias("__comp")
+    )
+    reps = labeled.groupBy("__comp").agg(
+        F.max_by("__id", F.struct(F.col("__q"), -F.col("__id"))).alias(
+            "canonical_id"
+        ),
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+    )
+    return labeled.join(reps, "__comp").select(
+        F.col("__id").alias(id_col),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        "cluster_size",
+        (F.col("__id") == F.col("canonical_id")).alias("is_canonical"),
+    )

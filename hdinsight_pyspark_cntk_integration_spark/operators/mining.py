@@ -34,7 +34,7 @@ mining a production corpus warehouse needs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MICRO = 1_000_000
@@ -617,4 +617,102 @@ def woe_iv(
         "category", "n_pos", "n_neg", "pos_total", "neg_total",
         F.floor(woe * F.lit(1_000_000.0)).cast("long").alias("woe_micro"),
         F.floor((p - q) * woe * F.lit(1_000_000.0)).cast("long").alias("iv_micro"),
+    )
+
+
+def attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    channel_col: str,
+    conversion_expr,
+    id_col: str,
+) -> DataFrame:
+    """Multi-touch marketing attribution over an event stream: every
+    TOUCH (non-conversion event) is assigned to the user's NEXT
+    conversion, and each conversion's credit is distributed across its
+    touch set under the three standard models at once — first-touch
+    (all credit to the earliest), last-touch (all to the latest), and
+    linear (1/n to each). The query behind "which channel actually
+    drives purchases", where last-touch alone systematically
+    over-credits closers.
+
+    Exactness: first/last credits are integer conversion counts
+    (argmin/argmax by exact (ts, id) — the id tiebreak makes
+    simultaneous touches deterministic); linear credit quantizes 1/n
+    to floor(1e6/n) per touch AT BIRTH and sums integers (each
+    conversion leaks ≤ n−1 micro — deterministic, documented, the
+    adamic_adar discipline). Touches with no later conversion are
+    unattributed and excluded, as are conversions with no prior touch.
+
+    Shape: ONE key-partitioned window (reverse running min over the
+    conversion timestamps) assigns each touch its conversion; one
+    (user, conversion) partial-agg computes n/first/last; one explode-
+    free channel rollup. No self-join of the event stream.
+
+    Returns (channel, first_touch, last_touch, linear_micro,
+    n_touches).
+    """
+    from pyspark.sql import Window
+
+    is_conv = conversion_expr if isinstance(conversion_expr, Column) else F.expr(
+        conversion_expr
+    )
+    ev = df.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(channel_col).alias("__ch"),
+        is_conv.alias("__conv"),
+    )
+    # next conversion at-or-after each row: reverse running min over a
+    # conversion-only (ts, id) struct — one window, ordered by the same
+    # total order used everywhere
+    w_rev = (
+        Window.partitionBy("__u")
+        .orderBy(F.col("__ts"), F.col("__id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    conv_key = F.when(
+        F.col("__conv"), F.struct(F.col("__ts").alias("t"), F.col("__id").alias("i"))
+    )
+    tagged = ev.withColumn("__next_conv", F.min(conv_key).over(w_rev))
+    touches = tagged.filter(
+        (~F.col("__conv")) & F.col("__next_conv").isNotNull()
+    )
+    per_conv = touches.groupBy("__u", "__next_conv").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.min_by(
+            "__ch", F.struct(F.col("__ts"), F.col("__id"))
+        ).alias("__first_ch"),
+        F.max_by(
+            "__ch", F.struct(F.col("__ts"), F.col("__id"))
+        ).alias("__last_ch"),
+    )
+    linear = (
+        touches.join(
+            per_conv.select("__u", "__next_conv", "__n"), ["__u", "__next_conv"]
+        )
+        .groupBy(F.col("__ch").alias("channel"))
+        .agg(
+            F.sum(F.expr("1000000 div __n")).cast("long").alias("linear_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+        )
+    )
+    firsts = per_conv.groupBy(F.col("__first_ch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("first_touch")
+    )
+    lasts = per_conv.groupBy(F.col("__last_ch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("last_touch")
+    )
+    return (
+        linear.join(firsts, "channel", "full_outer")
+        .join(lasts, "channel", "full_outer")
+        .select(
+            "channel",
+            F.coalesce("first_touch", F.lit(0)).cast("long").alias("first_touch"),
+            F.coalesce("last_touch", F.lit(0)).cast("long").alias("last_touch"),
+            F.coalesce("linear_micro", F.lit(0)).cast("long").alias("linear_micro"),
+            F.coalesce("n_touches", F.lit(0)).cast("long").alias("n_touches"),
+        )
     )

@@ -793,3 +793,73 @@ def holt_linear(
         .cast("long")
         .alias("forecast_micro"),
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test — the parametric
+    mean-difference companion to the rank-sum test (U asks "is one
+    distribution shifted"; Welch asks "do the MEANS differ, given each
+    group its own variance" — the default t-test since pooled-variance
+    assumptions rarely hold between segments):
+
+        t  = (m̄_a − m̄_b) / sqrt(s²_a/n_a + s²_b/n_b)
+        df = (s²_a/n_a + s²_b/n_b)² /
+             [ (s²_a/n_a)²/(n_a−1) + (s²_b/n_b)²/(n_b−1) ]
+
+    with s² the UNBIASED sample variance. Groups need n >= 2 each
+    (s² undefined below); the caller gets an empty frame, not a NaN.
+
+    Exactness: values quantize to integer cents at birth; Σx and Σx²
+    accumulate in DECIMAL(38,0) (order-independent at any scale);
+    means/variances and t/df are ONE fixed-order fp64 expression tree
+    over those exact integers, micro-floored at the end — the
+    ols_regression moment discipline applied to inference.
+
+    Shape: one partial-agg groupBy collapsing both groups to two
+    moment rows, one pivot-style 1-row aggregate. The row stream is
+    scanned once; nothing shuffles but six numbers.
+
+    Returns one row (n_a, n_b, mean_a_micro, mean_b_micro, t_micro,
+    df_micro).
+    """
+    dec = "decimal(38,0)"
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    sub = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        (F.col(group_col) == F.lit(group_a)).alias("__is_a"),
+        cents.alias("__c"),
+    )
+    cd = F.col("__c").cast(dec)
+    m = sub.groupBy().agg(
+        F.sum(F.when(F.col("__is_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~F.col("__is_a"), 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("__is_a"), cd)).cast(dec).alias("__sa"),
+        F.sum(F.when(~F.col("__is_a"), cd)).cast(dec).alias("__sb"),
+        F.sum(F.when(F.col("__is_a"), cd * cd)).cast(dec).alias("__qa"),
+        F.sum(F.when(~F.col("__is_a"), cd * cd)).cast(dec).alias("__qb"),
+    ).filter((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("__sa").cast("double"), F.col("__sb").cast("double")
+    qa, qb = F.col("__qa").cast("double"), F.col("__qb").cast("double")
+    ma, mb = sa / na, sb / nb
+    # unbiased sample variance from raw moments: (Σx² − (Σx)²/n)/(n−1)
+    va = (qa - sa * sa / na) / (na - F.lit(1.0))
+    vb = (qb - sb * sb / nb) / (nb - F.lit(1.0))
+    sea, seb = va / na, vb / nb
+    t = (ma - mb) / F.sqrt(sea + seb)
+    dof = ((sea + seb) * (sea + seb)) / (
+        sea * sea / (na - F.lit(1.0)) + seb * seb / (nb - F.lit(1.0))
+    )
+    micro = F.lit(1_000_000.0)
+    return m.select(
+        "n_a", "n_b",
+        F.floor(ma * F.lit(10_000.0)).cast("long").alias("mean_a_micro"),
+        F.floor(mb * F.lit(10_000.0)).cast("long").alias("mean_b_micro"),
+        F.floor(t * micro).cast("long").alias("t_micro"),
+        F.floor(dof * micro).cast("long").alias("df_micro"),
+    )

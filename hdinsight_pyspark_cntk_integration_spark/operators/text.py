@@ -1759,3 +1759,81 @@ def simpson_diversity(
             "gini_simpson_micro"
         ),
     )
+
+
+def readability(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade per document — the
+    classic surface-complexity screens a quality pipeline runs next to
+    length/stopword heuristics (``gopher_rules``) and perplexity:
+
+        ease  = 206.835 − 1.015·(W/S) − 84.6·(Syl/W)
+        grade = 0.39·(W/S) + 11.8·(Syl/W) − 15.59
+
+    Conventions, fixed and oracle-replicated: sentences S = max(1,
+    #runs of [.!?]) over the raw text; words W = nonempty whitespace
+    tokens of the normalized text; syllables per word = max(1, #vowel
+    GROUPS [aeiouy]+) — the standard vowel-cluster heuristic (exact
+    syllabification needs a dictionary; the heuristic is deterministic
+    and language-blind, which is what a corpus screen wants). Docs
+    with zero words are dropped.
+
+    Exactness: S/W/Syl are exact integers; both scores are one
+    fixed-order fp64 chain over them, micro-floored. The per-word
+    vowel-group count runs inside a lambda-bound transform (regexp per
+    TOKEN, one pass, zero shuffles — the whole operator is a narrow
+    projection).
+
+    Returns (id, n_sentences, n_words, n_syllables, ease_micro,
+    grade_micro).
+    """
+    from hdinsight_pyspark_cntk_integration_spark.functions.textfns import normalized_text
+    from hdinsight_pyspark_cntk_integration_spark.operators.dedup import _bind_once
+
+    toks = F.filter(
+        F.split(F.coalesce(normalized_text(text_col), F.lit("")), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    sents = F.greatest(
+        F.lit(1).cast("long"),
+        F.regexp_count(F.coalesce(F.col(text_col), F.lit("")), F.lit(r"[.!?]+"))
+        .cast("long"),
+    )
+
+    def build(t: Column) -> Column:
+        syl = F.aggregate(
+            t,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc
+            + F.greatest(
+                F.lit(1).cast("long"),
+                F.regexp_count(w, F.lit(r"[aeiouy]+")).cast("long"),
+            ),
+        )
+        return F.struct(
+            F.size(t).cast("long").alias("w"), syl.alias("syl")
+        )
+
+    counted = df.select(
+        F.col(id_col).alias(id_col),
+        sents.alias("n_sentences"),
+        _bind_once(toks, build).alias("__c"),
+    ).select(
+        id_col,
+        "n_sentences",
+        F.col("__c.w").alias("n_words"),
+        F.col("__c.syl").alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    ease = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    grade = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    micro = F.lit(1_000_000.0)
+    return counted.select(
+        id_col, "n_sentences", "n_words", "n_syllables",
+        F.floor(ease * micro).cast("long").alias("ease_micro"),
+        F.floor(grade * micro).cast("long").alias("grade_micro"),
+    )

@@ -993,3 +993,110 @@ def test_heaps_law_bucketing_caps_curve_points(spark):
     assert r["beta_micro"] == math.floor((n * sxy - sx * sy) / den * 1e6)
     with pytest.raises(ValueError):
         tx.heaps_law(df, n_buckets=1)
+
+
+# --- readability / attribution -------------------------------------------
+
+
+def test_readability_matches_python(spark):
+    import math
+    import re
+
+    docs = [
+        (1, "The cat sat. The dog ran! Was it fun?"),
+        (2, "xyz"),                      # zero-vowel word -> 1 syllable
+        (3, ""),                         # dropped
+        (4, "beautiful analysis today"), # no terminators -> S = 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in tx.readability(df).collect()}
+    assert 3 not in got
+    for i, t in docs:
+        toks = re.sub(r"\s+", " ", t.lower()).strip().split()
+        if not toks:
+            continue
+        S = max(1, len(re.findall(r"[.!?]+", t)))
+        W = len(toks)
+        syl = sum(max(1, len(re.findall(r"[aeiouy]+", w))) for w in toks)
+        ease = 206.835 - 1.015 * (W / S) - 84.6 * (syl / W)
+        grade = 0.39 * (W / S) + 11.8 * (syl / W) - 15.59
+        r = got[i]
+        assert (r["n_sentences"], r["n_words"], r["n_syllables"]) == (S, W, syl)
+        assert r["ease_micro"] == math.floor(ease * 1e6)
+        assert r["grade_micro"] == math.floor(grade * 1e6)
+
+
+def test_attribution_hand_case(spark):
+    from datetime import datetime, timedelta
+
+    base = datetime(2026, 1, 1)
+    ev = [
+        (1, base + timedelta(0), 1, "ad", False),
+        (1, base + timedelta(1), 2, "email", False),
+        (1, base + timedelta(2), 3, "buy", True),
+        (1, base + timedelta(3), 4, "search", False),
+        (1, base + timedelta(4), 5, "buy", True),
+        (2, base + timedelta(0), 6, "ad", False),   # no conversion
+        (3, base + timedelta(0), 7, "buy", True),   # no touches
+    ]
+    df = spark.createDataFrame(ev, "u long, ts timestamp, id long, ch string, conv boolean")
+    got = {
+        r["channel"]: (r["first_touch"], r["last_touch"], r["linear_micro"], r["n_touches"])
+        for r in mn.attribution(df, "u", "ts", "ch", F.col("conv"), "id").collect()
+    }
+    # conv 1 (user 1): touches ad, email -> first=ad, last=email, 1/2 each
+    # conv 2 (user 1): touch search -> all three models to search
+    assert got == {
+        "ad": (1, 0, 500_000, 1),
+        "email": (0, 1, 500_000, 1),
+        "search": (1, 1, 1_000_000, 1),
+    }
+
+
+def test_attribution_simultaneous_touches_break_on_id(spark):
+    from datetime import datetime
+
+    base = datetime(2026, 1, 1)
+    ev = [
+        (1, base, 10, "a", False),
+        (1, base, 11, "b", False),   # same ts: id decides first/last
+        (1, base, 12, "buy", True),
+    ]
+    df = spark.createDataFrame(ev, "u long, ts timestamp, id long, ch string, conv boolean")
+    got = {
+        r["channel"]: (r["first_touch"], r["last_touch"])
+        for r in mn.attribution(df, "u", "ts", "ch", F.col("conv"), "id").collect()
+    }
+    assert got == {"a": (1, 0), "b": (0, 1)}
+
+
+def test_canonical_docs_cluster_and_singletons(spark):
+    docs = [(1, 50), (2, 90), (3, 70), (4, 10), (5, 90)]
+    pairs = [(1, 2), (2, 3)]
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["cluster_size"], r["is_canonical"])
+        for r in dd.canonical_docs(
+            spark.createDataFrame(docs, "doc_id long, n_chars long"),
+            spark.createDataFrame(pairs, "id_a long, id_b long"),
+        ).collect()
+    }
+    assert got == {
+        1: (2, 3, False), 2: (2, 3, True), 3: (2, 3, False),
+        4: (4, 1, True), 5: (5, 1, True),
+    }
+    # quality tie -> smaller id canonical
+    got2 = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dd.canonical_docs(
+            spark.createDataFrame([(7, 90), (8, 90)], "doc_id long, n_chars long"),
+            spark.createDataFrame([(7, 8)], "id_a long, id_b long"),
+        ).collect()
+    }
+    assert got2 == {7: 7, 8: 7}
+    # exactly one canonical per cluster, and every doc maps into its own cluster
+    rows = dd.canonical_docs(
+        spark.createDataFrame(docs, "doc_id long, n_chars long"),
+        spark.createDataFrame(pairs, "id_a long, id_b long"),
+    ).collect()
+    n_canon = sum(1 for r in rows if r["is_canonical"])
+    assert n_canon == len({(r["canonical_id"]) for r in rows})

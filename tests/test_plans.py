@@ -315,3 +315,49 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     plan = P.formatted_plan(joined)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert joined.count() == ev.filter("event_type = 'purchase'").count()
+
+
+def test_target_encode_row_stream_never_shuffles(spark):
+    """target_encode's design claim: the big row stream is joined to
+    BROADCAST aggregates only — every Exchange in the plan feeds an
+    aggregate or broadcast build side, so adding rows adds no row-
+    stream shuffle. We assert the join strategy, not a brittle count."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import mining as mn
+
+    df = spark.createDataFrame(
+        [(i, "c" + str(i % 3), float(i)) for i in range(100)],
+        "id long, cat string, y double",
+    )
+    out = mn.target_encode(df, "cat", "y", "id", smoothing=5)
+    plan = P.formatted_plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_readability_is_zero_shuffle(spark):
+    from hdinsight_pyspark_cntk_integration_spark.operators import text as tx
+
+    df = spark.createDataFrame([(1, "a b. c!")], "doc_id long, text string")
+    assert P.count_shuffles(tx.readability(df)) == 0
+
+
+def test_welch_ttest_single_aggregate_shape(spark):
+    """One partial-agg pass: exactly one shuffle (the 1-row global
+    aggregate exchange)."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)], "g string, v double"
+    )
+    assert P.count_shuffles(st.welch_ttest(df, "g", "v", "a", "b")) == 1
+
+
+def test_kneser_ney_marginals_stay_on_type_table(spark):
+    """The windows must run over the bigram TYPE aggregate, not the
+    token stream: the plan's Window operators sit above the pair
+    groupBy, so the only row-stream shuffle is the type aggregation."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import text as tx
+
+    df = spark.createDataFrame([(1, "a b a b c")], "doc_id long, text string")
+    plan = P.formatted_plan(tx.kneser_ney_bigram(df))
+    assert "Window" in plan and "HashAggregate" in plan

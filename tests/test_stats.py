@@ -420,3 +420,50 @@ def test_holt_linear_drops_singletons_and_validates(spark):
         st.holt_linear(df, "k", "t", "v", alpha=0.0)
     with pytest.raises(ValueError):
         st.holt_linear(df, "k", "t", "v", beta=1.5)
+
+
+# --- welch_ttest ---------------------------------------------------------
+
+
+def test_welch_ttest_matches_python(spark):
+    import math
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [("a", round(float(v), 2)) for v in rng.normal(100, 10, 40)] + [
+        ("b", round(float(v), 2)) for v in rng.normal(105, 20, 35)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = st.welch_ttest(df, "g", "v", "a", "b").collect()
+    ca = [round(v * 100) for g, v in rows if g == "a"]
+    cb = [round(v * 100) for g, v in rows if g == "b"]
+    na, nb = len(ca), len(cb)
+    sa, sb = sum(ca), sum(cb)
+    qa, qb = sum(c * c for c in ca), sum(c * c for c in cb)
+    ma, mb = sa / na, sb / nb
+    va = (qa - sa * sa / na) / (na - 1)
+    vb = (qb - sb * sb / nb) / (nb - 1)
+    sea, seb = va / na, vb / nb
+    t = (ma - mb) / math.sqrt(sea + seb)
+    dof = (sea + seb) ** 2 / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert r["t_micro"] == math.floor(t * 1e6)
+    assert r["df_micro"] == math.floor(dof * 1e6)
+    assert r["mean_a_micro"] == math.floor(ma * 1e4)
+    # Welch df is bounded by min(na,nb)-1 below and na+nb-2 above
+    assert (min(na, nb) - 1) * 1_000_000 <= r["df_micro"] <= (na + nb - 2) * 1_000_000
+
+
+def test_welch_ttest_identical_groups_t_zero(spark):
+    rows = [("a", 10.0), ("a", 20.0), ("b", 10.0), ("b", 20.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = st.welch_ttest(df, "g", "v", "a", "b").collect()
+    assert r["t_micro"] == 0
+    assert r["df_micro"] == 2_000_000  # equal n, equal var -> df = n_a+n_b-2
+
+
+def test_welch_ttest_needs_two_per_group(spark):
+    rows = [("a", 10.0), ("b", 10.0), ("b", 20.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    assert st.welch_ttest(df, "g", "v", "a", "b").count() == 0
