@@ -1511,6 +1511,88 @@ def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.canonical_docs(docs, pairs)
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-gram novelty (operators.text.ngram_novelty): fraction
+    of a doc's distinct word trigrams appearing in no other document —
+    the contribution signal dual to duplication. Exact integer counts,
+    one micro-floored ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.ngram_novelty(docs, n=3)
+
+
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility per document (operators.text.
+    compression_ratio) — the Gopher-family repetitiveness screen, run
+    through the engine's Arrow-batched pandas-UDF path (no builtin
+    expresses a byte-level transform). Deterministic for a fixed zlib,
+    but with NO SQL analogue: declared rows-only; the pytest twin pins
+    the exact integers against stdlib zlib."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.compression_ratio(docs)
+
+
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-up forest aggregation (operators.graph.hierarchy_rollup)
+    over the customer→nation→region tree (namespaced string ids):
+    every node's subtree revenue and descendant count in exactly
+    max_depth=2 synchronous lift rounds — the eighth oracle-provable
+    iterative algorithm (oracle: recursive descendant closure + one
+    GROUP BY)."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import graph as gr
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cust_val = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("v"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+    )
+    values = (
+        cust_val.select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("node"),
+            F.col("v").alias("value"),
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit("n"), F.col("n_nationkey")).alias("node"),
+                F.lit(0).cast("long").alias("value"),
+            )
+        )
+        .unionByName(
+            load_table(spark, sf_dir, "region").select(
+                F.concat(F.lit("r"), F.col("r_regionkey")).alias("node"),
+                F.lit(0).cast("long").alias("value"),
+            )
+        )
+    )
+    edges = (
+        cust_val.select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("child"),
+            F.concat(F.lit("n"), F.col("c_nationkey")).alias("parent"),
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit("n"), F.col("n_nationkey")).alias("child"),
+                F.concat(F.lit("r"), F.col("n_regionkey")).alias("parent"),
+            )
+        )
+    )
+    return gr.hierarchy_rollup(edges, values, max_depth=2)
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves (operators.mining.cohort_ltv):
+    first-order-month cohorts, cumulative revenue by months-since-
+    cohort, integer micro-dollars per head via DECIMAL division — the
+    money twin of cohort_retention."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import mining as mn
+
+    orders = load_table(spark, sf_dir, "orders")
+    return mn.cohort_ltv(orders)
+
+
 def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication (operators.dedup.repeated_passages):
     word 8-gram passages recurring in >= 2 distinct documents — the
@@ -4682,7 +4764,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_native": q_session_window_native,
         "rolling_anomaly": q_rolling_anomaly,
         "dedup_window": q_dedup_window,
-        # --- full registry continues (covered by tools/check_parity.py) ---
+        # --- full registry continues (covered by tools/check_parity.py).
+        # --- The four batch-7 ops below land just outside the full
+        # --- window and are the FIRST round-9 rotation candidates ---
+        "ngram_novelty": q_ngram_novelty,
+        "compression_ratio": q_compression_ratio,
+        "hierarchy_rollup": q_hierarchy_rollup,
+        "cohort_ltv": q_cohort_ltv,
         "accuracy": q_accuracy,
         "score_confusion": q_score_confusion,
         "similarity_topk": q_similarity_topk,
@@ -9326,6 +9414,111 @@ def oracle_sql() -> dict[str, str]:
           reps.cluster_size,
           lab.doc_id = reps.canonical_id AS is_canonical
         FROM lab JOIN reps ON lab.cmp = reps.cmp
+    """
+    oracles["ngram_novelty"] = f"""
+        WITH t AS (
+          SELECT doc_id, string_split_regex({_NORM_TEXT}, '\\s+') AS l
+          FROM documents
+        ),
+        tok AS (
+          SELECT doc_id, unnest(l) AS token, generate_subscripts(l, 1) AS pos
+          FROM t
+        ),
+        tk AS (
+          SELECT doc_id, token,
+            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+          FROM tok WHERE length(token) > 0
+        ),
+        grams AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id,
+            a.token || ' ' || b.token || ' ' || c.token AS g
+          FROM tk a
+          JOIN tk b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+          JOIN tk c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+        ),
+        dfq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS dfn FROM grams GROUP BY 1)
+        SELECT grams.doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_grams,
+          CAST(SUM(CASE WHEN dfn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+          CAST(floor(
+            CAST(SUM(CASE WHEN dfn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS BIGINT) AS novelty_micro
+        FROM grams JOIN dfq USING (g)
+        GROUP BY 1
+    """
+    oracles["hierarchy_rollup"] = """
+        WITH RECURSIVE cv AS MATERIALIZED (
+          SELECT o.o_custkey,
+            CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS v,
+            ANY_VALUE(c.c_nationkey) AS nk
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1
+        ),
+        vals AS MATERIALIZED (
+          SELECT 'c' || o_custkey AS node, v AS value FROM cv
+          UNION ALL
+          SELECT 'n' || n_nationkey, CAST(0 AS BIGINT) FROM nation
+          UNION ALL
+          SELECT 'r' || r_regionkey, CAST(0 AS BIGINT) FROM region
+        ),
+        edges AS MATERIALIZED (
+          SELECT 'c' || o_custkey AS child, 'n' || nk AS parent FROM cv
+          UNION ALL
+          SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation
+        ),
+        -- descendant closure within 2 levels: (ancestor, node, depth)
+        closure(anc, nd, depth) AS (
+          SELECT node, node, 0 FROM vals
+          UNION ALL
+          SELECT e.parent, cl.nd, cl.depth + 1
+          FROM closure cl JOIN edges e ON e.child = cl.anc
+          WHERE cl.depth < 2
+        )
+        SELECT v0.node, v0.value AS own_value,
+          CAST(SUM(v1.value) AS BIGINT) AS subtree_value,
+          CAST(COUNT(*) - 1 AS BIGINT) AS n_descendants
+        FROM (
+          SELECT DISTINCT anc, nd FROM closure
+        ) cl
+        JOIN vals v0 ON v0.node = cl.anc
+        JOIN vals v1 ON v1.node = cl.nd
+        GROUP BY 1, 2
+    """
+    oracles["cohort_ltv"] = """
+        WITH r AS (
+          SELECT o_custkey AS cust,
+            CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                 AS BIGINT) AS m,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        ),
+        coh AS MATERIALIZED (
+          SELECT cust, MIN(m) AS cm FROM r GROUP BY 1
+        ),
+        sizes AS (
+          SELECT cm AS cohort_month, CAST(COUNT(*) AS BIGINT) AS n_customers
+          FROM coh GROUP BY 1
+        ),
+        aged AS (
+          SELECT coh.cm AS cohort_month, r.m - coh.cm AS age_months,
+            SUM(CAST(r.cents AS HUGEINT)) AS rev
+          FROM r JOIN coh ON r.cust = coh.cust
+          GROUP BY 1, 2
+        ),
+        curve AS (
+          SELECT cohort_month, age_months,
+            CAST(rev AS BIGINT) AS rev_cents,
+            SUM(rev) OVER (PARTITION BY cohort_month ORDER BY age_months
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM aged
+        )
+        SELECT c.cohort_month, c.age_months, s.n_customers,
+          c.rev_cents, CAST(c.cum AS BIGINT) AS cum_rev_cents,
+          CAST((CAST(c.cum AS HUGEINT) * 1000000)
+               // (CAST(s.n_customers AS HUGEINT) * 100) AS BIGINT)
+            AS ltv_micro
+        FROM curve c JOIN sizes s ON c.cohort_month = s.cohort_month
     """
     _tag_values = ", ".join(f"('{k}', {v})" for k, v in sorted(_TAG_TERMS.items()))
     oracles["dictionary_tag"] = f"""

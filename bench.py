@@ -144,6 +144,10 @@ PIPELINE = [
     "readability",
     "attribution",
     "canonical_docs",
+    "ngram_novelty",
+    "compression_ratio",
+    "hierarchy_rollup",
+    "cohort_ltv",
 ]
 
 

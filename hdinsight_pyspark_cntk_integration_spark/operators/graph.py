@@ -499,3 +499,94 @@ def harmonic_centrality(
             F.sum(term).cast("long").alias("harmonic_micro"),
         )
     )
+
+
+def hierarchy_rollup(
+    edges: DataFrame,
+    values: DataFrame,
+    max_depth: int,
+    child: str = "child",
+    parent: str = "parent",
+    node: str = "node",
+    value: str = "value",
+) -> DataFrame:
+    """Bottom-up subtree aggregation over a forest: every node's rollup
+    = its own value + the values of ALL descendants within
+    ``max_depth`` levels — BOM cost rollup, org headcount, category
+    revenue trees; the aggregation a flat GROUP BY cannot express
+    because membership is transitive.
+
+    All-integer state (node ids, long values), so the fixpoint is
+    exact and partition-invariant — the eighth oracle-provable
+    iterative algorithm in the engine (oracle: recursive-CTE
+    ancestor closure + one GROUP BY).
+
+    Algorithm: synchronous level accumulation — per round, each node's
+    CURRENT accumulated subtree sums push one level up the parent
+    edge; after round k every node holds its (<= k)-deep subtree sum.
+    Implemented as: acc_0 = own value; round k: contribution_k =
+    (depth-k descendants' own values) propagated via ONE edge⋈frontier
+    join + one parent-keyed partial agg; localCheckpoint keeps round
+    plans flat. A node with no edge row keeps its own value. Cycles
+    would double-count — the forest contract (parent per child) is the
+    caller's; max_depth bounds the damage AND the rounds.
+
+    Returns (node, own_value, subtree_value, n_descendants).
+    """
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1 (got {max_depth})")
+    e = edges.select(
+        F.col(child).alias("__c"), F.col(parent).alias("__p")
+    ).filter(F.col("__c").isNotNull() & F.col("__p").isNotNull()).distinct()
+    e = e.localCheckpoint(eager=True)
+    base = values.select(
+        F.col(node).alias("__n"), F.col(value).cast("long").alias("__v")
+    )
+    # frontier carries (origin-subtree-root tracking is unnecessary:
+    # we only need, per round, the multiset of descendant values one
+    # level further down): frontier_k = (ancestor, value, count) rows
+    frontier = base.select(
+        F.col("__n").alias("__a"),
+        F.col("__v").alias("__fv"),
+        F.lit(1).cast("long").alias("__fn"),
+    )
+    total = base.select(
+        F.col("__n"), F.col("__v").alias("__own"),
+        F.col("__v").alias("__sum"), F.lit(0).cast("long").alias("__nd"),
+    )
+    for _ in range(max_depth):
+        lifted = (
+            frontier.join(e, frontier["__a"] == e["__c"])
+            .groupBy(F.col("__p").alias("__a"))
+            .agg(
+                F.sum("__fv").cast("long").alias("__fv"),
+                F.sum("__fn").cast("long").alias("__fn"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        total = (
+            total.join(
+                lifted.select(
+                    F.col("__a").alias("__n"),
+                    F.col("__fv").alias("__lv"),
+                    F.col("__fn").alias("__ln"),
+                ),
+                "__n",
+                "left",
+            )
+            .select(
+                "__n", "__own",
+                (F.col("__sum") + F.coalesce(F.col("__lv"), F.lit(0)))
+                .cast("long").alias("__sum"),
+                (F.col("__nd") + F.coalesce(F.col("__ln"), F.lit(0)))
+                .cast("long").alias("__nd"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = lifted
+    return total.select(
+        F.col("__n").alias(node),
+        F.col("__own").alias("own_value"),
+        F.col("__sum").alias("subtree_value"),
+        F.col("__nd").alias("n_descendants"),
+    )

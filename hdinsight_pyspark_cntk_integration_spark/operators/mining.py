@@ -716,3 +716,69 @@ def attribution(
             F.coalesce("n_touches", F.lit(0)).cast("long").alias("n_touches"),
         )
     )
+
+
+def cohort_ltv(
+    orders: DataFrame,
+    customer_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by FIRST-order
+    month, revenue accumulated by months-since-cohort — the retention
+    twin ``cohort_retention`` counts heads; this one follows the money
+    (is the March cohort worth more per head at month 6 than
+    January's?).
+
+    Exactness: cohort month and age are exact integer month indices
+    (year·12+month); revenue is integer cents in DECIMAL(38,0); the
+    cumulative sum is a window over the (cohort, age) AGGREGATE —
+    bounded by months², never customer count — and ltv_micro =
+    floor(cum_cents·1e6 / cohort_size / 100) is integer micro-dollars
+    per head, computed in DECIMAL so cents·1e6 cannot pass 2^63.
+
+    Shape: one customer groupBy for the cohort assignment (broadcast
+    back), one (cohort, age) partial agg, one cohort-partitioned
+    window over that aggregate, one 1-row-per-cohort size join.
+
+    Returns (cohort_month, age_months, n_customers, rev_cents,
+    cum_rev_cents, ltv_micro).
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    mi = (F.year(F.col(date_col)) * 12 + F.month(F.col(date_col)) - 1).cast("long")
+    rows = orders.select(
+        F.col(customer_col).alias("__cust"),
+        mi.alias("__m"),
+        F.round(F.col(amount_col) * 100).cast("long").alias("__cents"),
+    )
+    cohorts = rows.groupBy("__cust").agg(F.min("__m").alias("__cm"))
+    sizes = cohorts.groupBy(F.col("__cm").alias("cohort_month")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    aged = rows.join(cohorts, "__cust").groupBy(
+        F.col("__cm").alias("cohort_month"),
+        (F.col("__m") - F.col("__cm")).cast("long").alias("age_months"),
+    ).agg(F.sum(F.col("__cents").cast(dec)).cast(dec).alias("__rev"))
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = aged.select(
+        "cohort_month", "age_months",
+        F.col("__rev").cast("long").alias("rev_cents"),
+        F.sum("__rev").over(w).cast(dec).alias("__cum"),
+    )
+    out = curve.join(F.broadcast(sizes), "cohort_month")
+    ltv = F.expr(
+        "CAST((CAST(__cum AS decimal(38,0)) * 1000000)"
+        " DIV (CAST(n_customers AS decimal(38,0)) * 100) AS BIGINT)"
+    )
+    return out.select(
+        "cohort_month", "age_months", "n_customers",
+        "rev_cents",
+        F.col("__cum").cast("long").alias("cum_rev_cents"),
+        ltv.alias("ltv_micro"),
+    )

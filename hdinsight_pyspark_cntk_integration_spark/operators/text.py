@@ -1837,3 +1837,127 @@ def readability(
         F.floor(ease * micro).cast("long").alias("ease_micro"),
         F.floor(grade * micro).cast("long").alias("grade_micro"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    DISTINCT word n-grams that appear in no other document — the
+    diversity/contribution signal dual to duplication (a doc can pass
+    near-dup yet add zero new phrasing; novelty ≈ 0 flags it, and a
+    mixture pipeline can downweight it the way DSIR upweights target-
+    like docs).
+
+    Exactness: novel = corpus doc-frequency 1, over DISTINCT (doc,
+    gram) pairs — all integer counts; the ratio is one micro-floored
+    division. Docs with zero n-grams (< n words) are dropped.
+
+    Shape: one explode + (doc, gram) distinct, one gram-keyed
+    partial-agg for doc frequency, one semi-join-free aggregation —
+    the df table joins back on the gram key (both sides partitioned on
+    it), then one doc rollup. Gram cardinality is corpus-bounded, not
+    row-bounded; no window, no collect.
+
+    Returns (id, n_grams, n_novel, novelty_micro).
+    """
+    from hdinsight_pyspark_cntk_integration_spark.operators.dedup import word_ngrams
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1 (got {n})")
+    grams = (
+        df.select(
+            F.col(id_col).alias("__d"),
+            F.explode(word_ngrams(F.col(text_col), n=n)).alias("__g"),
+        )
+        # word_ngrams emits one SHORT gram for docs under n words (the
+        # repetition-stats convention); novelty is defined over full
+        # n-grams only, so keep exactly-n-token grams
+        .filter(F.size(F.split(F.col("__g"), " ")) == n)
+        .distinct()
+    )
+    dfreq = grams.groupBy("__g").agg(F.count(F.lit(1)).cast("long").alias("__df"))
+    return (
+        grams.join(dfreq, "__g")
+        .groupBy("__d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("__df") == 1).cast("long")).cast("long").alias("n_novel"),
+        )
+        .select(
+            F.col("__d").alias(id_col),
+            "n_grams",
+            "n_novel",
+            F.floor(
+                F.col("n_novel").cast("double")
+                / F.col("n_grams").cast("double")
+                * F.lit(1_000_000.0)
+            ).cast("long").alias("novelty_micro"),
+        )
+    )
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression ratio per document — the classic cheap
+    repetitiveness detector (Gopher's "compression filter" family): a
+    document that compresses far below typical prose is boilerplate,
+    templating, or token spam; one that barely compresses is noise or
+    already-encoded data. ratio = compressed_bytes / raw_bytes of the
+    UTF-8 text.
+
+    DETERMINISM: zlib output is a pure function of (bytes, level,
+    strategy) for a given zlib library — bit-stable across runs and
+    partitionings, so row counts and values are rerun-stable; there is
+    no SQL analogue, so the gate is declared rows-only and the pytest
+    twin replicates the exact integers with the same stdlib zlib.
+
+    Shape: Arrow-batched ``pandas_udf`` projection (the vectorized
+    Python path — this is precisely the workload class the engine
+    reserves pandas UDFs for: a per-row byte transform no builtin
+    expresses), zero shuffles, scan → project. Empty/NULL docs are
+    kept with raw_bytes = 0 and ratio_micro = 0 (nothing to judge).
+
+    Returns (id, raw_bytes, compressed_bytes, ratio_micro).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if not 1 <= level <= 9:
+        raise ValueError(f"level must be in [1, 9] (got {level})")
+
+    @pandas_udf("struct<raw:long,comp:long>")
+    def _zsize(texts: pd.Series) -> pd.DataFrame:
+        import zlib
+
+        raws, comps = [], []
+        for t in texts:
+            b = (t or "").encode("utf-8")
+            raws.append(len(b))
+            comps.append(len(zlib.compress(b, level)) if b else 0)
+        return pd.DataFrame({"raw": raws, "comp": comps})
+
+    sized = df.select(
+        F.col(id_col).alias(id_col), _zsize(F.col(text_col)).alias("__z")
+    )
+    ratio = F.when(
+        F.col("__z.raw") > 0,
+        F.floor(
+            F.col("__z.comp").cast("double")
+            / F.col("__z.raw").cast("double")
+            * F.lit(1_000_000.0)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return sized.select(
+        id_col,
+        F.col("__z.raw").alias("raw_bytes"),
+        F.col("__z.comp").alias("compressed_bytes"),
+        ratio.alias("ratio_micro"),
+    )

@@ -375,3 +375,49 @@ def test_harmonic_centrality_rejects_bad_hops(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError):
         gr.harmonic_centrality(df, max_hops=0)
+
+
+# --- hierarchy_rollup ----------------------------------------------------
+
+
+def test_hierarchy_rollup_tree_and_depth_bound(spark):
+    # 1 <- {2, 3}; 2 <- {4, 5}; 9 isolated
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 2), (5, 2)], "child long, parent long"
+    )
+    vals = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40), (5, 50), (9, 90)],
+        "node long, value long",
+    )
+    got = {
+        r["node"]: (r["own_value"], r["subtree_value"], r["n_descendants"])
+        for r in gr.hierarchy_rollup(edges, vals, max_depth=3).collect()
+    }
+    assert got == {
+        1: (10, 150, 4), 2: (20, 110, 2), 3: (30, 30, 0),
+        4: (40, 40, 0), 5: (50, 50, 0), 9: (90, 90, 0),
+    }
+    # max_depth=1: node 1 must NOT see grandchildren 4, 5
+    got1 = {
+        r["node"]: r["subtree_value"]
+        for r in gr.hierarchy_rollup(edges, vals, max_depth=1).collect()
+    }
+    assert got1[1] == 60 and got1[2] == 110
+    with pytest.raises(ValueError):
+        gr.hierarchy_rollup(edges, vals, max_depth=0)
+
+
+def test_hierarchy_rollup_deep_chain(spark):
+    # chain 5 <- 4 <- 3 <- 2 <- 1: depth-limited accumulation per level
+    edges = spark.createDataFrame(
+        [(i, i - 1) for i in range(2, 6)], "child long, parent long"
+    )
+    vals = spark.createDataFrame(
+        [(i, 1) for i in range(1, 6)], "node long, value long"
+    )
+    for d in (1, 2, 4):
+        got = {
+            r["node"]: r["subtree_value"]
+            for r in gr.hierarchy_rollup(edges, vals, max_depth=d).collect()
+        }
+        assert got[1] == 1 + min(d, 4)  # root sees d levels of the chain

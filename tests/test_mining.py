@@ -1100,3 +1100,89 @@ def test_canonical_docs_cluster_and_singletons(spark):
     ).collect()
     n_canon = sum(1 for r in rows if r["is_canonical"])
     assert n_canon == len({(r["canonical_id"]) for r in rows})
+
+
+# --- ngram_novelty / compression_ratio / cohort_ltv ----------------------
+
+
+def test_ngram_novelty_matches_python(spark):
+    import math
+    from collections import Counter
+
+    docs = [(1, "a b c d e"), (2, "a b c x y"), (3, "zz qq ww"), (4, "a b")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_micro"])
+        for r in tx.ngram_novelty(df, n=3).collect()
+    }
+
+    def g3(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    all_g = Counter()
+    for _, t in docs:
+        all_g.update(g3(t))
+    want = {}
+    for i, t in docs:
+        gs = g3(t)
+        if not gs:
+            continue  # doc 4 has < 3 words -> no full trigram -> dropped
+        nov = sum(1 for g in gs if all_g[g] == 1)
+        want[i] = (len(gs), nov, math.floor(nov / len(gs) * 1e6))
+    assert got == want
+    with pytest.raises(ValueError):
+        tx.ngram_novelty(df, n=0)
+
+
+def test_ngram_novelty_duplicate_corpus_is_zero(spark):
+    docs = [(i, "one two three four five") for i in range(1, 6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = tx.ngram_novelty(df, n=3).collect()
+    assert all(r["novelty_micro"] == 0 for r in rows)
+
+
+def test_compression_ratio_matches_stdlib_zlib(spark):
+    import math
+    import zlib
+
+    docs = [(1, "abc" * 200), (2, "hello world"), (3, ""), (4, None), (5, "ü" * 50)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: tuple(r)[1:] for r in tx.compression_ratio(df).collect()}
+    for i, t in docs:
+        b = (t or "").encode("utf-8")
+        c = len(zlib.compress(b, 6)) if b else 0
+        ratio = math.floor(c / len(b) * 1e6) if b else 0
+        assert got[i] == (len(b), c, ratio), i
+    # the repetitive doc compresses far better than prose
+    assert got[1][2] < 100_000 < got[2][2]
+    with pytest.raises(ValueError):
+        tx.compression_ratio(df, level=0)
+
+
+def test_cohort_ltv_hand_case(spark):
+    from datetime import date
+
+    orders = [
+        (1, date(2024, 1, 5), 100.00),
+        (1, date(2024, 2, 5), 50.00),
+        (2, date(2024, 1, 20), 200.00),
+        (3, date(2024, 2, 1), 10.00),
+        (3, date(2024, 4, 1), 20.00),
+    ]
+    df = spark.createDataFrame(
+        orders, "o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    got = {
+        (r["cohort_month"], r["age_months"]): (
+            r["n_customers"], r["rev_cents"], r["cum_rev_cents"], r["ltv_micro"]
+        )
+        for r in mn.cohort_ltv(df).collect()
+    }
+    m = lambda y, mo: y * 12 + mo - 1  # noqa: E731
+    assert got == {
+        (m(2024, 1), 0): (2, 30000, 30000, 30000 * 1_000_000 // 200),
+        (m(2024, 1), 1): (2, 5000, 35000, 35000 * 1_000_000 // 200),
+        (m(2024, 2), 0): (1, 1000, 1000, 1000 * 1_000_000 // 100),
+        (m(2024, 2), 2): (1, 2000, 3000, 3000 * 1_000_000 // 100),
+    }
