@@ -1593,6 +1593,90 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mn.cohort_ltv(orders)
 
 
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across the five order priorities
+    (operators.stats.anova_f): do mean order values differ by
+    priority? Per-group DECIMAL moments; the bounded Cauchy-Schwarz
+    decomposition (each group's (Σx)²/(nQ) ∈ [0,1], pico-quantized
+    at birth, integer-summed) keeps the statistic exact AND
+    overflow-free at any corpus size."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    orders = load_table(spark, sf_dir, "orders")
+    return st.anova_f(orders, "o_orderpriority", "o_totalprice")
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b per customer market segment
+    (operators.stats.kendall_tau): does monthly revenue move
+    monotonically with monthly order count? The series is the
+    (segment, month) AGGREGATE — pair enumeration is segments ×
+    months², never raw rows²; C/D/tie counts are exact integers."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    series = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long").alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long").alias("rev"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+    )
+    return st.kendall_tau(series, "segment", "m", "rev", "cnt")
+
+
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 6-month revenue↔quantity Pearson per return flag
+    (operators.stats.rolling_corr): the time-localized co-movement
+    monitor. Window sums run over the (flag, month) aggregate in
+    DECIMAL; one fp64 chain per emitted row; partial windows drop."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    li = load_table(spark, sf_dir, "lineitem")
+    series = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+        .cast("long").alias("m"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long").alias("rev"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+    )
+    return st.rolling_corr(series, "flag", "m", "rev", "qty", window=6)
+
+
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per supplier nation
+    (operators.mining.hhi_concentration): HHI over each supplier's
+    share of its nation's discounted lineitem revenue — share²
+    pico-quantized at birth then integer-summed, window over the
+    (nation, supplier) aggregate only."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import mining as mn
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    joined = li.join(
+        F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    ).select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("l_suppkey").alias("suppkey"),
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .alias("rev"),
+    )
+    return mn.hhi_concentration(joined, "nationkey", "suppkey", "rev")
+
+
 def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication (operators.dedup.repeated_passages):
     word 8-gram passages recurring in >= 2 distinct documents — the
@@ -4771,6 +4855,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio": q_compression_ratio,
         "hierarchy_rollup": q_hierarchy_rollup,
         "cohort_ltv": q_cohort_ltv,
+        "anova_f": q_anova_f,
+        "kendall_tau": q_kendall_tau,
+        "rolling_corr": q_rolling_corr,
+        "hhi_concentration": q_hhi_concentration,
         "accuracy": q_accuracy,
         "score_confusion": q_score_confusion,
         "similarity_topk": q_similarity_topk,
@@ -9519,6 +9607,171 @@ def oracle_sql() -> dict[str, str]:
                // (CAST(s.n_customers AS HUGEINT) * 100) AS BIGINT)
             AS ltv_micro
         FROM curve c JOIN sizes s ON c.cohort_month = s.cohort_month
+    """
+    oracles["anova_f"] = """
+        WITH r AS (
+          SELECT o_orderpriority AS g,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders WHERE o_orderpriority IS NOT NULL
+        ),
+        grand AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(c AS HUGEINT)) AS s,
+            SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS q
+          FROM r
+        ),
+        pg AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+            SUM(CAST(c AS HUGEINT)) AS sg
+          FROM r GROUP BY 1
+        ),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k,
+            CAST(SUM(CAST(floor(
+              CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+              / (CAST(ng AS DOUBLE) * CAST(q AS DOUBLE))
+              * 1000000000000.0) AS BIGINT)) AS BIGINT) AS a
+          FROM pg CROSS JOIN grand
+        ),
+        fin AS (
+          SELECT agg.k, grand.n, grand.s, grand.q, agg.a,
+            CAST(floor(
+              CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(q AS DOUBLE))
+              * 1000000000000.0) AS BIGINT) AS b2
+          FROM agg CROSS JOIN grand
+          WHERE agg.k >= 2 AND grand.n > agg.k AND grand.q > 0
+        )
+        SELECT k AS n_groups, n AS n_rows,
+          CAST(a - b2 AS BIGINT) AS ssb_pico,
+          CAST(floor(
+            (CAST(a - b2 AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0))
+            / ((1000000000000.0 - CAST(a AS DOUBLE))
+               / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+            * 1000000.0) AS BIGINT) AS f_micro,
+          CAST(floor(
+            CAST(a - b2 AS DOUBLE) / (1000000000000.0 - CAST(b2 AS DOUBLE))
+            * 1000000.0) AS BIGINT) AS eta2_micro
+        FROM fin
+    """
+    oracles["kendall_tau"] = """
+        WITH ser AS MATERIALIZED (
+          SELECT c.c_mktsegment AS segment,
+            CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1
+                 AS BIGINT) AS m,
+            CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS rev,
+            CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          -- sign is invariant under the op's positive cents scaling
+          SELECT a.segment,
+            sign(b.rev - a.rev) AS sx, sign(b.cnt - a.cnt) AS sy
+          FROM ser a JOIN ser b
+            ON b.segment = a.segment AND a.m < b.m
+        ),
+        agg AS (
+          SELECT segment,
+            CAST(SUM(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS concordant,
+            CAST(SUM(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS discordant,
+            CAST(SUM(CASE WHEN sx = 0 AND sy <> 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS ties_x,
+            CAST(SUM(CASE WHEN sy = 0 AND sx <> 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS ties_y
+          FROM pairs GROUP BY 1
+        ),
+        np AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n
+               FROM ser GROUP BY 1)
+        SELECT agg.segment, np.n, concordant, discordant, ties_x, ties_y,
+          CAST(floor(
+            (CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))
+            / sqrt(
+              (CAST(concordant AS DOUBLE) + CAST(discordant AS DOUBLE)
+               + CAST(ties_x AS DOUBLE))
+              * (CAST(concordant AS DOUBLE) + CAST(discordant AS DOUBLE)
+                 + CAST(ties_y AS DOUBLE)))
+            * 1000000.0) AS BIGINT) AS tau_micro
+        FROM agg JOIN np USING (segment)
+        WHERE CAST(concordant AS DOUBLE) + CAST(discordant AS DOUBLE)
+                + CAST(ties_x AS DOUBLE) > 0
+          AND CAST(concordant AS DOUBLE) + CAST(discordant AS DOUBLE)
+                + CAST(ties_y AS DOUBLE) > 0
+    """
+    oracles["rolling_corr"] = """
+        WITH ser AS MATERIALIZED (
+          SELECT l_returnflag AS flag,
+            CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1
+                 AS BIGINT) AS m,
+            CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS rev,
+            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+          FROM lineitem GROUP BY 1, 2
+        ),
+        q AS (
+          -- the op quantizes round(x*100): both series scale by 100
+          SELECT flag, m,
+            CAST(rev AS HUGEINT) * 100 AS x,
+            CAST(qty AS HUGEINT) * 100 AS y
+          FROM ser
+        ),
+        w AS (
+          SELECT flag, m,
+            ROW_NUMBER() OVER (PARTITION BY flag ORDER BY m) AS rn,
+            SUM(x) OVER winf AS sx, SUM(y) OVER winf AS sy,
+            SUM(x * x) OVER winf AS sxx, SUM(y * y) OVER winf AS syy,
+            SUM(x * y) OVER winf AS sxy
+          FROM q
+          WINDOW winf AS (PARTITION BY flag ORDER BY m
+                          ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        )
+        SELECT flag, m, CAST(6 AS BIGINT) AS n,
+          CAST(floor(
+            (6.0 * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / sqrt(
+              (6.0 * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (6.0 * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+            * 1000000.0) AS BIGINT) AS corr_micro
+        FROM w
+        WHERE rn >= 6
+          AND 6.0 * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+          AND 6.0 * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+    """
+    oracles["hhi_concentration"] = """
+        WITH r AS (
+          SELECT s.s_nationkey AS nationkey, l.l_suppkey AS suppkey,
+            CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+                 AS BIGINT) AS c
+          FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        ),
+        pm AS (
+          SELECT nationkey, suppkey, SUM(CAST(c AS HUGEINT)) AS v
+          FROM r GROUP BY 1, 2
+        ),
+        wt AS (
+          SELECT nationkey, v,
+            SUM(v) OVER (PARTITION BY nationkey) AS t
+          FROM pm
+        )
+        SELECT nationkey,
+          CAST(COUNT(*) AS BIGINT) AS n_members,
+          CAST(MAX(floor(
+            CAST(v AS DOUBLE) / CAST(t AS DOUBLE) * 1000000.0))
+            AS BIGINT) AS top_share_ppm,
+          CAST(SUM(CAST(floor(
+            (CAST(v AS DOUBLE) / CAST(t AS DOUBLE))
+            * (CAST(v AS DOUBLE) / CAST(t AS DOUBLE))
+            * 1000000000000.0) AS BIGINT)) AS BIGINT) AS hhi_pico
+        FROM wt WHERE t > 0
+        GROUP BY 1
     """
     _tag_values = ", ".join(f"('{k}', {v})" for k, v in sorted(_TAG_TERMS.items()))
     oracles["dictionary_tag"] = f"""

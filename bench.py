@@ -148,6 +148,10 @@ PIPELINE = [
     "compression_ratio",
     "hierarchy_rollup",
     "cohort_ltv",
+    "anova_f",
+    "kendall_tau",
+    "rolling_corr",
+    "hhi_concentration",
 ]
 
 

@@ -782,3 +782,66 @@ def cohort_ltv(
         F.col("__cum").cast("long").alias("cum_rev_cents"),
         ltv.alias("ltv_micro"),
     )
+
+
+def hhi_concentration(
+    df: DataFrame,
+    market_col: str,
+    member_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Herfindahl-Hirschman market-concentration index per market —
+    the antitrust/risk-screening aggregate (is this nation's supply
+    dominated by two suppliers, or spread across fifty?):
+
+        HHI = Σ_members share²,   share = member value / market total
+
+    HHI ∈ (0, 1]: 1 = monopoly, 1/n = perfectly even n-way split.
+
+    Exactness: member values quantize to integer cents and aggregate
+    in DECIMAL(38,0); each member's share² is ONE fixed fp64
+    expression over exact integers, pico-floored (∈ [0, 1e12],
+    long-safe at any corpus size), then integer-summed across members
+    — the order-independent cross-member reduction, same discipline
+    as anova_f's bounded decomposition. top_share is a max over
+    ppm-floored shares (max is order-free).
+
+    Shape: one (market, member) partial agg, one market-total window
+    over THAT aggregate (markets × members rows, never raw rows),
+    one market rollup. Markets with total <= 0 drop (shares
+    undefined for zero/negative-sum markets).
+
+    Returns (market, n_members, top_share_ppm, hhi_pico).
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    per_member = (
+        df.select(
+            F.col(market_col).alias("__m"),
+            F.col(member_col).alias("__s"),
+            cents.alias("__c"),
+        )
+        .groupBy("__m", "__s")
+        .agg(F.sum(F.col("__c").cast(dec)).cast(dec).alias("__v"))
+    )
+    w = Window.partitionBy("__m")
+    with_tot = per_member.select(
+        "__m", "__v", F.sum("__v").over(w).cast(dec).alias("__t")
+    ).filter(F.col("__t") > 0)
+    share = F.col("__v").cast("double") / F.col("__t").cast("double")
+    return (
+        with_tot.select(
+            "__m",
+            F.floor(share * share * F.lit(1_000_000_000_000.0))
+            .cast("long").alias("__p2"),
+            F.floor(share * F.lit(1_000_000.0)).cast("long").alias("__ppm"),
+        )
+        .groupBy(F.col("__m").alias(market_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max("__ppm").cast("long").alias("top_share_ppm"),
+            F.sum("__p2").cast("long").alias("hhi_pico"),
+        )
+    )

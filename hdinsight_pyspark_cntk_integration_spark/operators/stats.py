@@ -863,3 +863,328 @@ def welch_ttest(
         F.floor(t * micro).cast("long").alias("t_micro"),
         F.floor(dof * micro).cast("long").alias("df_micro"),
     )
+
+
+def anova_f(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way ANOVA F-test across ALL groups of ``group_col`` — the
+    k-sample generalization of Welch/rank-sum ("do ANY of these
+    segment means differ?"), the screening test run before pairwise
+    comparisons:
+
+        F = (SSB / (k−1)) / (SSW / (N−k)),   SSB + SSW = SST
+
+    Exactness at any scale: per-group moments n_g, Σx_g, Σx²_g are
+    DECIMAL(38,0)-exact. Raw sums of squares grow like N·x² and
+    overflow ANY fixed quantization at 100 TB, so the statistic is
+    computed through the BOUNDED decomposition: by Cauchy-Schwarz
+    each group's (Σx_g)²/n_g ≤ Σx² (grand), so p_g = (Σx_g)²/(n_g·Q)
+    ∈ [0, 1] — quantized to pico-units at birth (one fixed fp64
+    expression over exact integers, floor, long-safe) and
+    integer-summed across groups; SSB/Q and SSW/Q follow by
+    subtraction and F is one final double ratio. eta² = SSB/SST is
+    emitted in micro-units as the effect size.
+
+    Shape: one grand-moment aggregate (1 row, broadcast), one
+    group-level partial agg (k rows), one k-row rollup. Two scans,
+    nothing shuffles but moments. Needs k >= 2, N > k, Q > 0.
+
+    Returns one row (n_groups, n_rows, ssb_pico, f_micro, eta2_micro).
+    """
+    dec = "decimal(38,0)"
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    rows = df.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("__g"), cents.alias("__c")
+    )
+    cd = F.col("__c").cast(dec)
+    grand = rows.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(cd).cast(dec).alias("__s"),
+        F.sum(cd * cd).cast(dec).alias("__q"),
+    )
+    per_g = rows.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__ng"),
+        F.sum(cd).cast(dec).alias("__sg"),
+    )
+    pico = F.lit(1_000_000_000_000.0)
+    sg, ng = F.col("__sg").cast("double"), F.col("__ng").cast("double")
+    q = F.col("__q").cast("double")
+    # p_g = (Σx_g)² / (n_g · Q) ∈ [0,1]: pico-quantized at birth, then
+    # integer-summed — the order-independent cross-group reduction
+    term = F.floor(sg * sg / (ng * q) * pico).cast("long")
+    agg = (
+        per_g.join(F.broadcast(grand))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(term).cast("long").alias("__a"),
+            F.first("__n").alias("n_rows"),
+            F.first("__s").alias("__s"),
+            F.first("__q").alias("__q"),
+        )
+        .filter(
+            (F.col("n_groups") >= 2)
+            & (F.col("n_rows") > F.col("n_groups"))
+            & (F.col("__q") > 0)
+        )
+    )
+    n = F.col("n_rows").cast("double")
+    s = F.col("__s").cast("double")
+    qd = F.col("__q").cast("double")
+    k = F.col("n_groups").cast("double")
+    # grand-mean term in the same pico units, same expression shape
+    b2 = F.floor(s * s / (n * qd) * pico).cast("long")
+    ssb = (F.col("__a") - b2).cast("double")  # 1e12 · SSB / Q
+    ssw = (pico - F.col("__a").cast("double"))  # 1e12 · SSW / Q
+    sst = (pico - b2.cast("double"))  # 1e12 · SST / Q
+    fstat = (ssb / (k - F.lit(1.0))) / (ssw / (n - k))
+    micro = F.lit(1_000_000.0)
+    return agg.select(
+        "n_groups",
+        "n_rows",
+        (F.col("__a") - b2).cast("long").alias("ssb_pico"),
+        F.floor(fstat * micro).cast("long").alias("f_micro"),
+        F.floor(ssb / sst * micro).cast("long").alias("eta2_micro"),
+    )
+
+
+def kendall_tau(
+    df: DataFrame,
+    part_col: str,
+    seq_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Kendall's tau-b rank correlation per partition — the
+    tie-robust, outlier-immune monotone-association measure (Spearman
+    squares rank gaps; tau counts pair inversions, the quantity
+    bootstrap/trend tests actually want):
+
+        tau_b = (C − D) / sqrt((C + D + Tx)(C + D + Ty))
+
+    over all unordered point pairs within the partition: C concordant,
+    D discordant, Tx tied in x only, Ty tied in y only (pairs tied in
+    both count in neither denominator term).
+
+    CONTRACT: ``df`` is a per-(partition, seq) SERIES — one row per
+    seq value (months, buckets), so the within-partition self-join is
+    partitions × series², never raw-rows². seq must be unique per
+    partition (it defines the i<j pair enumeration, not the order —
+    tau is order-free).
+
+    Exactness: x/y are cents-quantized at birth; C/D/Tx/Ty are pure
+    integer counts; tau is ONE fp64 ratio over them, micro-floored.
+    Partitions with n < 2 or an all-tied axis (denominator 0) drop.
+
+    Returns (part, n, concordant, discordant, ties_x, ties_y,
+    tau_micro).
+    """
+    pts = df.select(
+        F.col(part_col).alias("__p"),
+        F.col(seq_col).alias("__i"),
+        F.round(F.col(x_col) * 100).cast("long").alias("__x"),
+        F.round(F.col(y_col) * 100).cast("long").alias("__y"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__p") == F.col("b.__p")) & (F.col("a.__i") < F.col("b.__i")),
+    ).select(
+        F.col("a.__p").alias("__p"),
+        F.signum(F.col("b.__x") - F.col("a.__x")).cast("int").alias("__sx"),
+        F.signum(F.col("b.__y") - F.col("a.__y")).cast("int").alias("__sy"),
+    )
+    one = F.lit(1)
+    agg = (
+        pairs.groupBy("__p")
+        .agg(
+            F.sum(
+                F.when((F.col("__sx") * F.col("__sy")) == 1, one).otherwise(0)
+            ).cast("long").alias("concordant"),
+            F.sum(
+                F.when((F.col("__sx") * F.col("__sy")) == -1, one).otherwise(0)
+            ).cast("long").alias("discordant"),
+            F.sum(
+                F.when((F.col("__sx") == 0) & (F.col("__sy") != 0), one)
+                .otherwise(0)
+            ).cast("long").alias("ties_x"),
+            F.sum(
+                F.when((F.col("__sy") == 0) & (F.col("__sx") != 0), one)
+                .otherwise(0)
+            ).cast("long").alias("ties_y"),
+        )
+    )
+    npts = pts.groupBy("__p").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    c, d = F.col("concordant").cast("double"), F.col("discordant").cast("double")
+    tx, ty = F.col("ties_x").cast("double"), F.col("ties_y").cast("double")
+    den = F.sqrt((c + d + tx) * (c + d + ty))
+    return (
+        agg.join(npts, "__p")
+        .filter((c + d + tx > 0) & (c + d + ty > 0))
+        .select(
+            F.col("__p").alias(part_col),
+            "n",
+            "concordant",
+            "discordant",
+            "ties_x",
+            "ties_y",
+            F.floor((c - d) / den * F.lit(1_000_000.0)).cast("long")
+            .alias("tau_micro"),
+        )
+    )
+
+
+def rolling_corr(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    window: int = 6,
+) -> DataFrame:
+    """Trailing-window Pearson correlation between two aligned series
+    — the co-movement monitor (does revenue still track order count
+    this quarter?) that a single global corr (``corr_stats``) cannot
+    localize in time:
+
+        r_t = (wΣxy − ΣxΣy) / sqrt((wΣx² − (Σx)²)(wΣy² − (Σy)²))
+
+    over the last ``window`` rows of each partition's series.
+
+    CONTRACT: one row per (partition, order) — a per-period aggregate
+    series, so the window is rows-based and exact. Only FULL windows
+    emit (row_number >= window): partial-window correlations are
+    statistical noise and break cross-run stability at series heads.
+
+    Exactness: x/y cents-quantized at birth; the five window sums
+    accumulate in DECIMAL(38,0) (order-independent); r is ONE fixed
+    fp64 expression over those exact integers, micro-floored.
+    Zero-variance windows (either axis constant) drop — r undefined.
+
+    Shape: one window over the per-period series (partitions × periods
+    rows, never raw rows), zero joins.
+
+    Returns (part, order, n, corr_micro).
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2 (got {window})")
+    dec = "decimal(38,0)"
+    pts = df.select(
+        F.col(part_col).alias("__p"),
+        F.col(order_col).alias("__o"),
+        F.round(F.col(x_col) * 100).cast("long").cast(dec).alias("__x"),
+        F.round(F.col(y_col) * 100).cast("long").cast(dec).alias("__y"),
+    )
+    w = (
+        Window.partitionBy("__p")
+        .orderBy("__o")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    seq = Window.partitionBy("__p").orderBy("__o")
+    sums = pts.select(
+        "__p", "__o",
+        F.row_number().over(seq).alias("__rn"),
+        F.sum("__x").over(w).cast(dec).alias("__sx"),
+        F.sum("__y").over(w).cast(dec).alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).over(w).cast(dec).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).over(w).cast(dec).alias("__syy"),
+        F.sum(F.col("__x") * F.col("__y")).over(w).cast(dec).alias("__sxy"),
+    ).filter(F.col("__rn") >= window)
+    wd = F.lit(float(window))
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    vx = wd * sxx - sx * sx
+    vy = wd * syy - sy * sy
+    r = (wd * sxy - sx * sy) / F.sqrt(vx * vy)
+    return sums.filter((vx > 0) & (vy > 0)).select(
+        F.col("__p").alias(part_col),
+        F.col("__o").alias(order_col),
+        F.lit(window).cast("long").alias("n"),
+        F.floor(r * F.lit(1_000_000.0)).cast("long").alias("corr_micro"),
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival curves per group — the right-censoring-
+    aware "how long until X" estimator (churn, time-to-return,
+    ticket-resolution): at each observed duration t,
+
+        S(t) = Π_{u <= t} (1 − d_u / n_u)
+
+    with d_u events at u and n_u the at-risk count (everyone whose
+    duration >= u; censored subjects leave the risk set after their
+    censoring time without counting as events — the thing a naive
+    mean-duration silently gets wrong).
+
+    Exactness: d/c/n are integer counts over the (group, t) AGGREGATE.
+    The product telescopes through the engine's micro-nat discipline:
+    each factor's ln is quantized to integer micro-nats AT BIRTH (one
+    fixed fp64 expression over exact integers), the cumulative sum is
+    an integer window, and S is one final exp — order-independent and
+    hash-gate-safe. A factor of zero (everyone at risk dies at t) is
+    the −1e12-micro-nat sentinel: exp underflows to exactly 0.0 from
+    that t on, in both engines.
+
+    Shape: one (group, t) partial agg; all windows run over that
+    aggregate (groups × distinct durations, never subject rows).
+
+    Returns (group, t, n_risk, n_events, n_censored, surv_micro).
+    """
+    rows = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(duration_col).cast("long").alias("__t"),
+        F.col(event_col).cast("boolean").alias("__e"),
+    ).filter(F.col("__t").isNotNull())
+    per_t = rows.groupBy("__g", "__t").agg(
+        F.sum(F.when(F.col("__e"), 1).otherwise(0)).cast("long").alias("__d"),
+        F.sum(F.when(F.col("__e"), 0).otherwise(1)).cast("long").alias("__c"),
+    )
+    w_tot = Window.partitionBy("__g")
+    w_before = (
+        Window.partitionBy("__g").orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("__g").orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    leave = (F.col("__d") + F.col("__c")).cast("long")
+    n_risk = (
+        F.sum(leave).over(w_tot)
+        - F.coalesce(F.sum(leave).over(w_before), F.lit(0))
+    ).cast("long")
+    staged = per_t.select(
+        "__g", "__t", "__d", "__c", n_risk.alias("__n")
+    )
+    dd, nd = F.col("__d").cast("double"), F.col("__n").cast("double")
+    lf = F.when(
+        F.col("__d") < F.col("__n"),
+        F.floor(F.log(F.lit(1.0) - dd / nd) * F.lit(1_000_000.0)),
+    ).otherwise(F.lit(-1_000_000_000_000)).cast("long")
+    with_s = staged.select(
+        "__g", "__t", "__d", "__c", "__n", lf.alias("__lf")
+    ).select(
+        "__g", "__t", "__d", "__c", "__n",
+        F.sum("__lf").over(w_cum).alias("__cum"),
+    )
+    surv = F.floor(
+        F.exp(F.col("__cum").cast("double") / F.lit(1_000_000.0))
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    return with_s.select(
+        F.col("__g").alias(group_col),
+        F.col("__t").alias("t"),
+        F.col("__n").alias("n_risk"),
+        F.col("__d").alias("n_events"),
+        F.col("__c").alias("n_censored"),
+        surv.alias("surv_micro"),
+    )

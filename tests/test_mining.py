@@ -1186,3 +1186,47 @@ def test_cohort_ltv_hand_case(spark):
         (m(2024, 2), 0): (1, 1000, 1000, 1000 * 1_000_000 // 100),
         (m(2024, 2), 2): (1, 2000, 3000, 3000 * 1_000_000 // 100),
     }
+
+
+# --- hhi_concentration ----------------------------------------------------
+
+
+def test_hhi_matches_python(spark):
+    import math
+
+    rows = [
+        ("m1", "s1", 60.0), ("m1", "s2", 30.0), ("m1", "s3", 10.0),
+        ("m1", "s1", 40.0),  # s1 appears twice: member values aggregate
+        ("m2", "x", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "m string, s string, v double")
+    got = {r["m"]: (r["n_members"], r["top_share_ppm"], r["hhi_pico"])
+           for r in mn.hhi_concentration(df, "m", "s", "v").collect()}
+    vals = {"m1": {"s1": 10000, "s2": 3000, "s3": 1000}, "m2": {"x": 500}}
+    want = {}
+    for m, mem in vals.items():
+        tot = sum(mem.values())
+        shares = [v / tot for v in mem.values()]
+        want[m] = (
+            len(mem),
+            max(math.floor(s * 1e6) for s in shares),
+            sum(math.floor(s * s * 1e12) for s in shares),
+        )
+    assert got == want
+    # monopoly market: HHI = 1e12 exactly, even split of n: ~1e12/n
+    assert got["m2"] == (1, 1_000_000, 1_000_000_000_000)
+
+
+def test_hhi_zero_total_market_drops(spark):
+    rows = [("z", "a", 0.0), ("z", "b", 0.0), ("ok", "a", 1.0)]
+    df = spark.createDataFrame(rows, "m string, s string, v double")
+    got = mn.hhi_concentration(df, "m", "s", "v").collect()
+    assert [r["m"] for r in got] == ["ok"]
+
+
+def test_hhi_even_split_bound(spark):
+    n = 8
+    rows = [("m", f"s{i}", 12.5) for i in range(n)]
+    df = spark.createDataFrame(rows, "m string, s string, v double")
+    [r] = mn.hhi_concentration(df, "m", "s", "v").collect()
+    assert r["hhi_pico"] == n * 15_625_000_000  # n·(1/n)²·1e12

@@ -4,6 +4,8 @@ algebraic self-checks."""
 
 from __future__ import annotations
 
+import pytest
+
 from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
 
 
@@ -467,3 +469,155 @@ def test_welch_ttest_needs_two_per_group(spark):
     rows = [("a", 10.0), ("b", 10.0), ("b", 20.0)]
     df = spark.createDataFrame(rows, "g string, v double")
     assert st.welch_ttest(df, "g", "v", "a", "b").count() == 0
+
+
+# --- anova_f --------------------------------------------------------------
+
+
+def _anova_python(groups):
+    """Replicate the pico-quantized decomposition exactly."""
+    import math
+
+    cents = {g: [round(v * 100) for v in vs] for g, vs in groups.items()}
+    n = sum(len(v) for v in cents.values())
+    s = sum(sum(v) for v in cents.values())
+    q = sum(c * c for v in cents.values() for c in v)
+    k = len(cents)
+    a = sum(
+        math.floor(sum(v) * sum(v) / (len(v) * q) * 1e12)
+        for v in cents.values()
+    )
+    b2 = math.floor(s * s / (n * q) * 1e12)
+    ssb, ssw, sst = a - b2, 1e12 - a, 1e12 - b2
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    return {
+        "n_groups": k, "n_rows": n, "ssb_pico": a - b2,
+        "f_micro": math.floor(f * 1e6),
+        "eta2_micro": math.floor(ssb / sst * 1e6),
+    }
+
+
+def test_anova_f_matches_python(spark):
+    groups = {
+        "a": [1.0, 2.0, 3.0, 2.5],
+        "b": [4.0, 5.0, 6.0],
+        "c": [1.5, 1.8, 2.2, 2.0, 1.9],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = st.anova_f(df, "g", "v").collect()
+    assert r.asDict() == _anova_python(groups)
+
+
+def test_anova_f_identical_groups_f_zero(spark):
+    rows = [("a", 5.0), ("a", 7.0), ("b", 5.0), ("b", 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = st.anova_f(df, "g", "v").collect()
+    assert r["ssb_pico"] == 0 and r["f_micro"] == 0
+
+
+def test_anova_f_degenerate_cases_empty(spark):
+    one_group = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, v double"
+    )
+    assert st.anova_f(one_group, "g", "v").count() == 0
+    all_zero = spark.createDataFrame(
+        [("a", 0.0), ("b", 0.0)], "g string, v double"
+    )
+    assert st.anova_f(all_zero, "g", "v").count() == 0
+
+
+# --- kendall_tau ----------------------------------------------------------
+
+
+def _tau_python(pts):
+    import math
+
+    c = d = tx = ty = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            sx = (pts[j][0] > pts[i][0]) - (pts[j][0] < pts[i][0])
+            sy = (pts[j][1] > pts[i][1]) - (pts[j][1] < pts[i][1])
+            if sx * sy == 1:
+                c += 1
+            elif sx * sy == -1:
+                d += 1
+            elif sx == 0 and sy != 0:
+                tx += 1
+            elif sy == 0 and sx != 0:
+                ty += 1
+    den = math.sqrt((c + d + tx) * (c + d + ty))
+    return c, d, tx, ty, math.floor((c - d) / den * 1e6)
+
+
+def test_kendall_tau_matches_python_with_ties(spark):
+    pts = [(1.0, 2.0), (2.0, 1.0), (2.0, 3.0), (3.0, 3.0), (4.0, 5.0)]
+    rows = [("p", i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "p string, i long, x double, y double")
+    [r] = st.kendall_tau(df, "p", "i", "x", "y").collect()
+    c, d, tx, ty, tau = _tau_python(pts)
+    assert (
+        r["concordant"], r["discordant"], r["ties_x"], r["ties_y"],
+        r["tau_micro"],
+    ) == (c, d, tx, ty, tau)
+    assert r["n"] == 5
+
+
+def test_kendall_tau_perfect_and_reversed(spark):
+    up = [("u", i, float(i), float(i * 2)) for i in range(6)]
+    dn = [("d", i, float(i), float(-3 * i)) for i in range(6)]
+    df = spark.createDataFrame(
+        up + dn, "p string, i long, x double, y double"
+    )
+    got = {r["p"]: r["tau_micro"] for r in
+           st.kendall_tau(df, "p", "i", "x", "y").collect()}
+    assert got == {"u": 1_000_000, "d": -1_000_000}
+
+
+def test_kendall_tau_all_tied_axis_drops(spark):
+    rows = [("p", i, 1.0, float(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "p string, i long, x double, y double")
+    assert st.kendall_tau(df, "p", "i", "x", "y").count() == 0
+
+
+# --- rolling_corr ---------------------------------------------------------
+
+
+def test_rolling_corr_matches_python(spark):
+    import math
+
+    xs = [1.0, 2.0, 4.0, 3.0, 5.0, 7.0, 6.0]
+    ys = [2.0, 1.0, 5.0, 4.0, 4.0, 8.0, 9.0]
+    rows = [("p", i, xs[i], ys[i]) for i in range(len(xs))]
+    df = spark.createDataFrame(rows, "p string, t long, x double, y double")
+    w = 4
+    got = {r["t"]: r["corr_micro"] for r in
+           st.rolling_corr(df, "p", "t", "x", "y", window=w).collect()}
+    want = {}
+    cx = [round(v * 100) for v in xs]
+    cy = [round(v * 100) for v in ys]
+    for t in range(w - 1, len(xs)):
+        wx, wy = cx[t - w + 1 : t + 1], cy[t - w + 1 : t + 1]
+        sx, sy = sum(wx), sum(wy)
+        sxx = sum(v * v for v in wx)
+        syy = sum(v * v for v in wy)
+        sxy = sum(a * b for a, b in zip(wx, wy))
+        vx, vy = w * sxx - sx * sx, w * syy - sy * sy
+        r = (w * sxy - sx * sy) / math.sqrt(float(vx) * float(vy))
+        want[t] = math.floor(r * 1e6)
+    assert got == want
+
+
+def test_rolling_corr_constant_window_drops_and_validates(spark):
+    rows = [("p", i, 1.0, float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "p string, t long, x double, y double")
+    assert st.rolling_corr(df, "p", "t", "x", "y", window=3).count() == 0
+    with pytest.raises(ValueError):
+        st.rolling_corr(df, "p", "t", "x", "y", window=1)
+
+
+def test_rolling_corr_partial_windows_not_emitted(spark):
+    rows = [("p", i, float(i), float(i)) for i in range(3)]
+    df = spark.createDataFrame(rows, "p string, t long, x double, y double")
+    got = st.rolling_corr(df, "p", "t", "x", "y", window=3).collect()
+    assert len(got) == 1 and got[0]["t"] == 2 and got[0]["corr_micro"] == 1_000_000
