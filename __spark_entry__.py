@@ -1677,6 +1677,103 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mn.hhi_concentration(joined, "nationkey", "suppkey", "rev")
 
 
+def q_sssp_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round Bellman-Ford (operators.graph.sssp_weighted, 3
+    rounds) over the directed nation trade graph, edge cost = 100 −
+    distinct trading months (rarely-trading pairs are expensive; the
+    month count is calendar-bounded, hence scale-free). The NINTH
+    oracle-provable iterative algorithm: the oracle closes paths of
+    <= 3 edges recursively and takes the min."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import graph as gr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").cast("long").alias("src"),
+            F.col("c_nationkey").cast("long").alias("dst"),
+        )
+        .agg(
+            (F.lit(100) - F.countDistinct(
+                F.year("l_shipdate") * 12 + F.month("l_shipdate")
+            )).cast("long").alias("weight")
+        )
+    )
+    return gr.sssp_weighted(edges, [0], max_rounds=3)
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-repurchase curves per market segment
+    (operators.stats.kaplan_meier): each order is a subject, duration
+    = days until the same customer's NEXT order (event) or until the
+    corpus horizon (right-censored last orders — the thing a naive
+    mean inter-order gap silently drops). The product telescopes
+    through micro-nat quantization, so the curve hash-matches the
+    windowed oracle."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    horizon = orders.groupBy().agg(F.max("o_orderdate").alias("__h"))
+    subjects = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderdate"),
+            F.lead("o_orderdate").over(w).alias("__nxt"),
+        )
+        .join(F.broadcast(horizon))
+        .select(
+            "segment",
+            F.datediff(
+                F.coalesce(F.col("__nxt"), F.col("__h")), F.col("o_orderdate")
+            ).alias("dur"),
+            F.col("__nxt").isNotNull().alias("ev"),
+        )
+    )
+    return st.kaplan_meier(subjects, "segment", "dur", "ev")
+
+
+def q_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact directed set-containment join over the documents corpus
+    (operators.dedup.containment_join, threshold 0.6 on word
+    3-shingles): quote/excerpt pairs Jaccard can't see. Asymmetric
+    prefix filter + integer threshold verify — the oracle brute-forces
+    all directed pairs and must agree exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.containment_join(docs, threshold=0.6)
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (operators.mining.diff_in_diff):
+    BUILDING-segment customers as the treated group, the 1998-07-01
+    cutover as the event — did BUILDING's mean order value move more
+    than everyone else's across it? Twelve DECIMAL cell moments in one
+    scan; DiD/SE/t are one fp64 chain each."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import mining as mn
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rows = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        (F.col("c_mktsegment") == F.lit("BUILDING")).alias("treat"),
+        (F.col("o_orderdate") >= F.lit("1998-07-01").cast("date")).alias("post"),
+        F.col("o_totalprice").alias("v"),
+    )
+    return mn.diff_in_diff(rows, "treat", "post", "v")
+
+
 def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication (operators.dedup.repeated_passages):
     word 8-gram passages recurring in >= 2 distinct documents — the
@@ -4859,6 +4956,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_tau": q_kendall_tau,
         "rolling_corr": q_rolling_corr,
         "hhi_concentration": q_hhi_concentration,
+        "sssp_trade": q_sssp_trade,
+        "kaplan_meier": q_kaplan_meier,
+        "containment_docs": q_containment_docs,
+        "diff_in_diff": q_diff_in_diff,
         "accuracy": q_accuracy,
         "score_confusion": q_score_confusion,
         "similarity_topk": q_similarity_topk,
@@ -9772,6 +9873,193 @@ def oracle_sql() -> dict[str, str]:
             * 1000000000000.0) AS BIGINT)) AS BIGINT) AS hhi_pico
         FROM wt WHERE t > 0
         GROUP BY 1
+    """
+    oracles["sssp_trade"] = """
+        WITH RECURSIVE e AS MATERIALIZED (
+          SELECT CAST(s.s_nationkey AS BIGINT) AS src,
+            CAST(c.c_nationkey AS BIGINT) AS dst,
+            CAST(100 - COUNT(DISTINCT
+              year(l.l_shipdate) * 12 + month(l.l_shipdate)) AS BIGINT) AS w
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2
+        ),
+        paths(node, d, depth) AS (
+          SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+          UNION
+          SELECT e.dst, p.d + e.w, p.depth + 1
+          FROM paths p JOIN e ON e.src = p.node
+          WHERE p.depth < 3
+        )
+        SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+        FROM paths GROUP BY 1
+    """
+    oracles["kaplan_meier"] = """
+        WITH h AS (SELECT MAX(o_orderdate) AS hz FROM orders),
+        base AS (
+          SELECT c.c_mktsegment AS segment, o.o_orderdate,
+            LEAD(o.o_orderdate) OVER (
+              PARTITION BY o.o_custkey
+              ORDER BY o.o_orderdate, o.o_orderkey) AS nxt
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        r AS (
+          SELECT segment,
+            CAST(datediff('day', o_orderdate,
+              COALESCE(nxt, (SELECT hz FROM h))) AS BIGINT) AS t,
+            (nxt IS NOT NULL) AS e
+          FROM base
+        ),
+        per_t AS (
+          SELECT segment, t,
+            CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+            CAST(SUM(CASE WHEN e THEN 0 ELSE 1 END) AS BIGINT) AS c
+          FROM r GROUP BY 1, 2
+        ),
+        staged AS (
+          SELECT segment, t, d, c,
+            CAST(SUM(d + c) OVER (PARTITION BY segment)
+              - COALESCE(SUM(d + c) OVER (
+                  PARTITION BY segment ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n
+          FROM per_t
+        ),
+        lf AS (
+          SELECT segment, t, d, c, n,
+            CAST(CASE WHEN d < n THEN floor(
+              ln(1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0)
+            ELSE -1000000000000 END AS BIGINT) AS lfm
+          FROM staged
+        ),
+        cum AS (
+          SELECT segment, t, d, c, n,
+            SUM(lfm) OVER (PARTITION BY segment ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+          FROM lf
+        )
+        SELECT segment, t, n AS n_risk, d AS n_events, c AS n_censored,
+          CAST(floor(exp(CAST(cm AS DOUBLE) / 1000000.0) * 1000000.0)
+            AS BIGINT) AS surv_micro
+        FROM cum
+    """
+    oracles["containment_docs"] = r"""
+        WITH sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(greatest(len(l) - 2, 1)),
+            i -> array_to_string(list_slice(l, i + 1, i + 3), ' '))) AS s
+          FROM (
+            SELECT doc_id,
+              string_split_regex(
+                trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                '\s+') AS l
+            FROM documents WHERE text IS NOT NULL
+          )
+          WHERE len(l) > 0
+        )
+        ,
+        -- inverted-index form of the brute force (exact: a qualifying
+        -- pair has inter >= 0.6|A| >= 1 shared shingle, so the posting
+        -- join loses nothing)
+        post AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM sh),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(COUNT(*) AS BIGINT) AS inter
+          FROM post a JOIN post b ON a.g = b.g AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+          CAST(inter AS DOUBLE) / CAST(len(sa.s) AS DOUBLE) AS containment
+        FROM pairs JOIN sh sa ON sa.doc_id = id_a
+        WHERE inter * 5 >= 3 * len(sa.s)
+    """
+    oracles["diff_in_diff"] = """
+        WITH r AS (
+          SELECT (c.c_mktsegment = 'BUILDING') AS tr,
+            (o.o_orderdate >= DATE '1998-07-01') AS po,
+            CAST(round(o.o_totalprice * 100) AS BIGINT) AS c
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        m AS (
+          SELECT
+            CAST(SUM(CASE WHEN tr AND NOT po THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_t_pre,
+            CAST(SUM(CASE WHEN tr AND po THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_t_post,
+            CAST(SUM(CASE WHEN NOT tr AND NOT po THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_c_pre,
+            CAST(SUM(CASE WHEN NOT tr AND po THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_c_post,
+            SUM(CASE WHEN tr AND NOT po THEN CAST(c AS HUGEINT) END)
+              AS s_t_pre,
+            SUM(CASE WHEN tr AND po THEN CAST(c AS HUGEINT) END) AS s_t_post,
+            SUM(CASE WHEN NOT tr AND NOT po THEN CAST(c AS HUGEINT) END)
+              AS s_c_pre,
+            SUM(CASE WHEN NOT tr AND po THEN CAST(c AS HUGEINT) END)
+              AS s_c_post,
+            SUM(CASE WHEN tr AND NOT po
+              THEN CAST(c AS HUGEINT) * CAST(c AS HUGEINT) END) AS q_t_pre,
+            SUM(CASE WHEN tr AND po
+              THEN CAST(c AS HUGEINT) * CAST(c AS HUGEINT) END) AS q_t_post,
+            SUM(CASE WHEN NOT tr AND NOT po
+              THEN CAST(c AS HUGEINT) * CAST(c AS HUGEINT) END) AS q_c_pre,
+            SUM(CASE WHEN NOT tr AND po
+              THEN CAST(c AS HUGEINT) * CAST(c AS HUGEINT) END) AS q_c_post
+          FROM r
+        )
+        SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+          CAST(floor((
+            (CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+             - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+            - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+               - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE))
+          ) * 10000.0) AS BIGINT) AS did_micro,
+          CAST(floor(sqrt(
+            ((CAST(q_t_post AS DOUBLE)
+              - CAST(s_t_post AS DOUBLE) * CAST(s_t_post AS DOUBLE)
+                / CAST(n_t_post AS DOUBLE))
+             / (CAST(n_t_post AS DOUBLE) - 1.0)) / CAST(n_t_post AS DOUBLE)
+            + ((CAST(q_t_pre AS DOUBLE)
+              - CAST(s_t_pre AS DOUBLE) * CAST(s_t_pre AS DOUBLE)
+                / CAST(n_t_pre AS DOUBLE))
+             / (CAST(n_t_pre AS DOUBLE) - 1.0)) / CAST(n_t_pre AS DOUBLE)
+            + ((CAST(q_c_post AS DOUBLE)
+              - CAST(s_c_post AS DOUBLE) * CAST(s_c_post AS DOUBLE)
+                / CAST(n_c_post AS DOUBLE))
+             / (CAST(n_c_post AS DOUBLE) - 1.0)) / CAST(n_c_post AS DOUBLE)
+            + ((CAST(q_c_pre AS DOUBLE)
+              - CAST(s_c_pre AS DOUBLE) * CAST(s_c_pre AS DOUBLE)
+                / CAST(n_c_pre AS DOUBLE))
+             / (CAST(n_c_pre AS DOUBLE) - 1.0)) / CAST(n_c_pre AS DOUBLE)
+          ) * 10000.0) AS BIGINT) AS se_micro,
+          CAST(floor((
+            (CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+             - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+            - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+               - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE))
+          ) / sqrt(
+            ((CAST(q_t_post AS DOUBLE)
+              - CAST(s_t_post AS DOUBLE) * CAST(s_t_post AS DOUBLE)
+                / CAST(n_t_post AS DOUBLE))
+             / (CAST(n_t_post AS DOUBLE) - 1.0)) / CAST(n_t_post AS DOUBLE)
+            + ((CAST(q_t_pre AS DOUBLE)
+              - CAST(s_t_pre AS DOUBLE) * CAST(s_t_pre AS DOUBLE)
+                / CAST(n_t_pre AS DOUBLE))
+             / (CAST(n_t_pre AS DOUBLE) - 1.0)) / CAST(n_t_pre AS DOUBLE)
+            + ((CAST(q_c_post AS DOUBLE)
+              - CAST(s_c_post AS DOUBLE) * CAST(s_c_post AS DOUBLE)
+                / CAST(n_c_post AS DOUBLE))
+             / (CAST(n_c_post AS DOUBLE) - 1.0)) / CAST(n_c_post AS DOUBLE)
+            + ((CAST(q_c_pre AS DOUBLE)
+              - CAST(s_c_pre AS DOUBLE) * CAST(s_c_pre AS DOUBLE)
+                / CAST(n_c_pre AS DOUBLE))
+             / (CAST(n_c_pre AS DOUBLE) - 1.0)) / CAST(n_c_pre AS DOUBLE)
+          ) * 1000000.0) AS BIGINT) AS t_micro
+        FROM m
+        WHERE n_t_pre >= 2 AND n_t_post >= 2 AND n_c_pre >= 2
+          AND n_c_post >= 2
     """
     _tag_values = ", ".join(f"('{k}', {v})" for k, v in sorted(_TAG_TERMS.items()))
     oracles["dictionary_tag"] = f"""

@@ -152,6 +152,10 @@ PIPELINE = [
     "kendall_tau",
     "rolling_corr",
     "hhi_concentration",
+    "sssp_trade",
+    "kaplan_meier",
+    "containment_docs",
+    "diff_in_diff",
 ]
 
 

@@ -1450,3 +1450,104 @@ def canonical_docs(
         "cluster_size",
         (F.col("__id") == F.col("canonical_id")).alias("is_canonical"),
     )
+
+
+def containment_join(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT all-pairs set-CONTAINMENT join: every DIRECTED document
+    pair (a, b) with |A∩B| / |A| >= threshold — "a is mostly inside
+    b", the asymmetric overlap question Jaccard cannot ask (a 50-word
+    quote inside a 5,000-word article has Jaccard ≈ 0.01 but
+    containment 1.0): quote/excerpt detection, subset-version dedup,
+    training-data contamination at the fragment level. Complements
+    ``set_similarity_join`` (symmetric) the way near_dup_against
+    complements minhash_near_dup. Returns (id_a, id_b, containment),
+    a ≠ b, NO false negatives.
+
+    Prefix-filter correctness (asymmetric form): containment >= t
+    forces |A∩B| >= ceil(t·|A|); if every shared token hid outside A's
+    rarest-first prefix of length p = |A| − ceil(t·|A|) + 1, the
+    remaining suffix could hold at most ceil(t·|A|) − 1 < |A∩B| shared
+    tokens — contradiction. So joining only A-side PREFIX tokens
+    against full B-side postings generates a guaranteed candidate
+    superset; |A∩B| <= |B| additionally forces ceil(t·|A|) <= |B|, an
+    all-integer length prune. Verification is exact set intersection
+    with an integer threshold test (inter · den >= num · |A|), so a
+    brute-force oracle matches bit-for-bit.
+
+    Scale shape: candidate cost is Σ over A-prefix-token postings of
+    |posting|² with the rarest tokens doing the probing (frequent
+    tokens never enter the prefix); everything else is id/token-keyed
+    joins and one per-document ranking window. Brute-force n² never
+    happens. Cites set_similarity_join (dedup.py:988) for the shared
+    discipline.
+    """
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1] (got {threshold})")
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+
+    sh = df.select(
+        F.col(id_col).alias("__id"), word_shingles(text_col, shingle_n).alias("__s")
+    ).filter(F.size("__s") > 0)
+
+    freq = (
+        sh.select(F.explode("__s").alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    toks = sh.select(
+        "__id", F.size("__s").alias("__sz"), F.explode("__s").alias("__tok")
+    ).join(freq, "__tok")
+    w = Window.partitionBy("__id").orderBy("__cnt", "__tok")
+    # prefix length |A| - ceil(t|A|) + 1; integer ceil via div
+    plen = (
+        F.col("__sz")
+        - F.expr(f"(({num}L * __sz + {den - 1}L) div {den}L)")
+        + F.lit(1)
+    )
+    prefix = (
+        toks.withColumn("__pos", F.row_number().over(w))
+        .filter(F.col("__pos") <= plen)
+        .select(F.col("__id").alias("__ida"), F.col("__sz").alias("__sza"), "__tok")
+    )
+    postings = sh.select(
+        F.col("__id").alias("__idb"),
+        F.size("__s").alias("__szb"),
+        F.explode("__s").alias("__tok"),
+    )
+    # length prune: |A∩B| <= |B| forces ceil(t·|A|) <= |B|
+    cand = (
+        prefix.join(postings, "__tok")
+        .filter(
+            (F.col("__ida") != F.col("__idb"))
+            & (F.expr(f"(({num}L * __sza + {den - 1}L) div {den}L)")
+               <= F.col("__szb"))
+        )
+        .select("__ida", "__idb")
+        .distinct()
+    )
+    a = sh.select(F.col("__id").alias("__ida"), F.col("__s").alias("__sa"))
+    b = sh.select(F.col("__id").alias("__idb"), F.col("__s").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    return (
+        cand.join(a, "__ida")
+        .join(b, "__idb")
+        .withColumn("__i", inter)
+        .filter(F.col("__i") * F.lit(den) >= F.lit(num) * F.size("__sa"))
+        .select(
+            F.col("__ida").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            (F.col("__i").cast("double") / F.size("__sa").cast("double"))
+            .alias("containment"),
+        )
+    )

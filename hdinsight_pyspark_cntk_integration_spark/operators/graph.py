@@ -590,3 +590,82 @@ def hierarchy_rollup(
         F.col("__sum").alias("subtree_value"),
         F.col("__nd").alias("n_descendants"),
     )
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    sources: list,
+    max_rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """Bounded-round Bellman-Ford: cheapest weighted path cost from any
+    source to every node reachable within ``max_rounds`` edges — the
+    weighted generalization of ``bfs_hops`` (hop counts treat every
+    edge as cost 1; real routing/supply questions weight edges by
+    cost, latency, or rarity). The ninth oracle-provable iterative
+    algorithm: all-integer state (node id, long dist), so after round
+    k dist(v) is EXACTLY min cost over paths of <= k edges — an ANSI
+    oracle unrolls it as a bounded recursive path closure.
+
+    Directed; negative weights rejected (ANSI-raise), parallel edges
+    collapse to their cheapest. Per round: the FRONTIER (only nodes
+    whose dist improved last round, never the whole reached set) joins
+    the edge list on its key, one min-dist partial agg, one merge
+    against the running dist table; ``localCheckpoint`` keeps round
+    plans flat. Early exit at fixpoint (one bounded driver-side
+    isEmpty per round, <= max_rounds of them).
+
+    Returns (node, dist).
+    """
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1 (got {max_rounds})")
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    spark = edges.sparkSession
+    guard = F.when(
+        F.col(weight) < 0,
+        F.raise_error(F.lit("sssp_weighted: negative edge weight")),
+    ).otherwise(F.col(weight).cast("long"))
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("s"),
+            F.col(dst).cast("long").alias("d"),
+            guard.alias("w"),
+        )
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .groupBy("s", "d")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    dist = spark.createDataFrame(
+        [(int(n), 0) for n in sources], "node bigint, dist bigint"
+    ).groupBy("node").agg(F.min("dist").alias("dist")).localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(max_rounds):
+        cand = (
+            frontier.join(e, frontier["node"] == e["s"])
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("dist"))
+        )
+        improved = (
+            cand.join(
+                dist.select("node", F.col("dist").alias("__old")),
+                "node",
+                "left",
+            )
+            .filter(F.col("__old").isNull() | (F.col("dist") < F.col("__old")))
+            .select("node", "dist")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return dist

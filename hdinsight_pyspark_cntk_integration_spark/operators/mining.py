@@ -845,3 +845,81 @@ def hhi_concentration(
             F.sum("__p2").cast("long").alias("hhi_pico"),
         )
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treat_col: str,
+    post_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Difference-in-differences estimator — the workhorse
+    quasi-experimental effect measure (did the treated segment's mean
+    move MORE across the cutover than the control's, netting out the
+    common time trend?):
+
+        DiD = (m_t,post − m_t,pre) − (m_c,post − m_c,pre)
+        SE  = sqrt(Σ_cells s²_cell / n_cell)   (Welch-style, unpooled)
+
+    ``treat_col`` / ``post_col`` are boolean expressions or columns.
+    All four cells need n >= 2 (cell variance undefined below) — the
+    caller gets an empty frame, not a NaN.
+
+    Exactness: values quantize to integer cents at birth; the 12 cell
+    moments (n, Σx, Σx²) accumulate in DECIMAL(38,0) in ONE
+    partial-agg pass with conditional sums (the welch_ttest discipline
+    at four cells); DiD, SE, and t are one fixed-order fp64 expression
+    tree over those exact integers, micro-floored.
+
+    Shape: one full-scan aggregate to a single row; nothing shuffles
+    but twelve numbers.
+
+    Returns one row (n_t_pre, n_t_post, n_c_pre, n_c_post, did_micro,
+    se_micro, t_micro) in cent-micro units.
+    """
+    dec = "decimal(38,0)"
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    rows = df.select(
+        F.col(treat_col).cast("boolean").alias("__tr"),
+        F.col(post_col).cast("boolean").alias("__po"),
+        cents.alias("__c"),
+    ).filter(F.col("__tr").isNotNull() & F.col("__po").isNotNull())
+    cd = F.col("__c").cast(dec)
+    cells = {
+        "t_post": F.col("__tr") & F.col("__po"),
+        "t_pre": F.col("__tr") & ~F.col("__po"),
+        "c_post": ~F.col("__tr") & F.col("__po"),
+        "c_pre": ~F.col("__tr") & ~F.col("__po"),
+    }
+    aggs = []
+    for name, cond in cells.items():
+        aggs += [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n_{name}"),
+            F.sum(F.when(cond, cd)).cast(dec).alias(f"__s_{name}"),
+            F.sum(F.when(cond, cd * cd)).cast(dec).alias(f"__q_{name}"),
+        ]
+    m = rows.groupBy().agg(*aggs)
+    for name in cells:
+        m = m.filter(F.col(f"n_{name}") >= 2)
+
+    def mean(name):
+        return F.col(f"__s_{name}").cast("double") / F.col(f"n_{name}").cast("double")
+
+    def var_over_n(name):
+        n = F.col(f"n_{name}").cast("double")
+        s = F.col(f"__s_{name}").cast("double")
+        q = F.col(f"__q_{name}").cast("double")
+        return ((q - s * s / n) / (n - F.lit(1.0))) / n
+
+    did = (mean("t_post") - mean("t_pre")) - (mean("c_post") - mean("c_pre"))
+    se = F.sqrt(
+        var_over_n("t_post") + var_over_n("t_pre")
+        + var_over_n("c_post") + var_over_n("c_pre")
+    )
+    micro = F.lit(1_000_000.0)
+    return m.select(
+        "n_t_pre", "n_t_post", "n_c_pre", "n_c_post",
+        F.floor(did * F.lit(10_000.0)).cast("long").alias("did_micro"),
+        F.floor(se * F.lit(10_000.0)).cast("long").alias("se_micro"),
+        F.floor(did / se * micro).cast("long").alias("t_micro"),
+    )

@@ -997,3 +997,50 @@ def test_near_dup_against_lsh_subset_of_exact(spark, sf_dir):
     }
     assert lsh.issubset(exact)
     assert exact  # the fixture has planted cross-corpus near-dups
+
+
+def test_containment_join_matches_brute_force(spark):
+    """Asymmetric prefix-filtered containment join vs local brute force
+    on sf0.001: identical directed pair sets and values — the
+    no-false-negative guarantee for the asymmetric case."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    thr = 0.6
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dd.containment_join(docs, threshold=thr).collect()
+    }
+
+    rows = docs.select("doc_id", "text").collect()
+
+    def shingles(t):
+        toks = t.strip().lower().split()
+        n = 3
+        if len(toks) <= n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {r["doc_id"]: shingles(r["text"]) for r in rows if r["text"] is not None}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a == b or not sets[a]:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter / len(sets[a]) >= thr:
+                want[(a, b)] = inter / len(sets[a])
+    assert got == want
+
+
+def test_containment_join_quote_inside_article(spark):
+    quote = "alpha beta gamma delta epsilon zeta"
+    article = quote + " " + " ".join(f"w{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, article), (3, "totally different text here now")],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in dd.containment_join(docs, threshold=0.9).collect()}
+    # the quote is fully contained in the article, not vice versa
+    assert got == {(1, 2): 1.0}
+    with pytest.raises(ValueError):
+        dd.containment_join(docs, threshold=0.0)

@@ -421,3 +421,51 @@ def test_hierarchy_rollup_deep_chain(spark):
             for r in gr.hierarchy_rollup(edges, vals, max_depth=d).collect()
         }
         assert got[1] == 1 + min(d, 4)  # root sees d levels of the chain
+
+
+# --- sssp_weighted --------------------------------------------------------
+
+
+def test_sssp_weighted_hand_graph(spark):
+    # 0 -1-> 1 -1-> 2 ; 0 -5-> 2 ; 2 -1-> 3 ; parallel 0->1 costs 7 (ignored)
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (0, 2, 5), (2, 3, 1), (0, 1, 7)],
+        "src long, dst long, weight long",
+    )
+    got = {r["node"]: r["dist"]
+           for r in gr.sssp_weighted(edges, [0], max_rounds=4).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_sssp_weighted_round_bound_is_path_edges(spark):
+    # cheapest path to 2 needs two edges; with max_rounds=1 only the
+    # direct expensive edge is reachable
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (0, 2, 5)], "src long, dst long, weight long"
+    )
+    got = {r["node"]: r["dist"]
+           for r in gr.sssp_weighted(edges, [0], max_rounds=1).collect()}
+    assert got == {0: 0, 1: 1, 2: 5}
+
+
+def test_sssp_weighted_multi_source_and_validation(spark):
+    edges = spark.createDataFrame(
+        [(0, 2, 10), (1, 2, 1)], "src long, dst long, weight long"
+    )
+    got = {r["node"]: r["dist"]
+           for r in gr.sssp_weighted(edges, [0, 1], max_rounds=2).collect()}
+    assert got == {0: 0, 1: 0, 2: 1}
+    with pytest.raises(ValueError):
+        gr.sssp_weighted(edges, [0], max_rounds=0)
+    with pytest.raises(ValueError):
+        gr.sssp_weighted(edges, [], max_rounds=1)
+
+
+def test_sssp_weighted_negative_weight_raises(spark):
+    from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+
+    edges = spark.createDataFrame(
+        [(0, 1, -1)], "src long, dst long, weight long"
+    )
+    with pytest.raises((PySparkRuntimeError, SparkRuntimeException, Exception)):
+        gr.sssp_weighted(edges, [0], max_rounds=1).collect()

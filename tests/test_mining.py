@@ -1230,3 +1230,60 @@ def test_hhi_even_split_bound(spark):
     df = spark.createDataFrame(rows, "m string, s string, v double")
     [r] = mn.hhi_concentration(df, "m", "s", "v").collect()
     assert r["hhi_pico"] == n * 15_625_000_000  # n·(1/n)²·1e12
+
+
+# --- diff_in_diff ---------------------------------------------------------
+
+
+def test_diff_in_diff_matches_python(spark):
+    import math
+
+    cells = {
+        (True, False): [10.0, 12.0, 11.0],
+        (True, True): [20.0, 23.0, 21.0, 22.0],
+        (False, False): [10.0, 11.0],
+        (False, True): [13.0, 14.0, 15.0],
+    }
+    rows = [(tr, po, v) for (tr, po), vs in cells.items() for v in vs]
+    df = spark.createDataFrame(rows, "tr boolean, po boolean, v double")
+    [r] = mn.diff_in_diff(df, "tr", "po", "v").collect()
+
+    def mom(key):
+        cs = [round(v * 100) for v in cells[key]]
+        n, s, q = len(cs), sum(cs), sum(c * c for c in cs)
+        return n, s / n, ((q - s * s / n) / (n - 1)) / n
+
+    nt0, mt0, vt0 = mom((True, False))
+    nt1, mt1, vt1 = mom((True, True))
+    nc0, mc0, vc0 = mom((False, False))
+    nc1, mc1, vc1 = mom((False, True))
+    did = (mt1 - mt0) - (mc1 - mc0)
+    se = math.sqrt(vt1 + vt0 + vc1 + vc0)
+    assert (r["n_t_pre"], r["n_t_post"], r["n_c_pre"], r["n_c_post"]) == (
+        nt0, nt1, nc0, nc1)
+    assert r["did_micro"] == math.floor(did * 1e4)
+    assert r["se_micro"] == math.floor(se * 1e4)
+    assert r["t_micro"] == math.floor(did / se * 1e6)
+
+
+def test_diff_in_diff_parallel_trends_zero(spark):
+    # control and treatment move by exactly the same amount -> DiD = 0
+    rows = (
+        [(True, False, 10.0), (True, False, 20.0)]
+        + [(True, True, 15.0), (True, True, 25.0)]
+        + [(False, False, 50.0), (False, False, 60.0)]
+        + [(False, True, 55.0), (False, True, 65.0)]
+    )
+    df = spark.createDataFrame(rows, "tr boolean, po boolean, v double")
+    [r] = mn.diff_in_diff(df, "tr", "po", "v").collect()
+    assert r["did_micro"] == 0
+
+
+def test_diff_in_diff_thin_cell_drops(spark):
+    rows = [
+        (True, False, 1.0), (True, True, 2.0), (True, True, 3.0),
+        (False, False, 1.0), (False, False, 2.0),
+        (False, True, 1.0), (False, True, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "tr boolean, po boolean, v double")
+    assert mn.diff_in_diff(df, "tr", "po", "v").count() == 0

@@ -621,3 +621,59 @@ def test_rolling_corr_partial_windows_not_emitted(spark):
     df = spark.createDataFrame(rows, "p string, t long, x double, y double")
     got = st.rolling_corr(df, "p", "t", "x", "y", window=3).collect()
     assert len(got) == 1 and got[0]["t"] == 2 and got[0]["corr_micro"] == 1_000_000
+
+
+# --- kaplan_meier ---------------------------------------------------------
+
+
+def _km_python(subjects):
+    """Replicate the micro-nat product discipline exactly."""
+    import math
+    from collections import defaultdict
+
+    per_t = defaultdict(lambda: [0, 0])
+    for t, e in subjects:
+        per_t[t][0 if e else 1] += 1
+    total = len(subjects)
+    out, cum, left = {}, 0, 0
+    for t in sorted(per_t):
+        d, c = per_t[t]
+        n = total - left
+        lf = (
+            math.floor(math.log(1.0 - d / n) * 1e6)
+            if d < n else -1_000_000_000_000
+        )
+        cum += lf
+        out[t] = (n, d, c, math.floor(math.exp(cum / 1e6) * 1e6))
+        left += d + c
+    return out
+
+
+def test_kaplan_meier_matches_python(spark):
+    subjects = [
+        (1, True), (2, True), (2, False), (3, True), (4, False),
+        (5, True), (5, True), (6, False),
+    ]
+    rows = [("g", t, e) for t, e in subjects]
+    df = spark.createDataFrame(rows, "g string, dur long, ev boolean")
+    got = {r["t"]: (r["n_risk"], r["n_events"], r["n_censored"],
+                    r["surv_micro"])
+           for r in st.kaplan_meier(df, "g", "dur", "ev").collect()}
+    assert got == _km_python(subjects)
+
+
+def test_kaplan_meier_censoring_keeps_at_risk_semantics(spark):
+    # all censored: survival stays 1.0 at every observed time
+    rows = [("g", t, False) for t in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, dur long, ev boolean")
+    got = st.kaplan_meier(df, "g", "dur", "ev").collect()
+    assert all(r["surv_micro"] == 1_000_000 for r in got)
+
+
+def test_kaplan_meier_everyone_dies_hits_zero(spark):
+    rows = [("g", 1, True), ("g", 2, True)]
+    df = spark.createDataFrame(rows, "g string, dur long, ev boolean")
+    got = {r["t"]: r["surv_micro"]
+           for r in st.kaplan_meier(df, "g", "dur", "ev").collect()}
+    # floor quantization of ln(0.5) loses one micro: 499_999, not 500_000
+    assert got[1] == 499_999 and got[2] == 0
