@@ -1774,6 +1774,171 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mn.diff_in_diff(rows, "treat", "post", "v")
 
 
+def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price~size OLS (operators.stats.grouped_ols): one
+    regression per brand from five DECIMAL moments — slope, intercept,
+    R² each one fp64 chain, no group ever collected."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    part = load_table(spark, sf_dir, "part")
+    return st.grouped_ols(part, "p_brand", "p_size", "p_retailprice")
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test per order priority
+    (operators.stats.mann_kendall): is monthly revenue trending, and
+    with what Z? Pair counting over the (priority, month) AGGREGATE;
+    S and tie-corrected 18·Var are exact integers."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    orders = load_table(spark, sf_dir, "orders")
+    series = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long").alias("m"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long").alias("rev")
+    )
+    return st.mann_kendall(series, "priority", "m", "rev")
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate vs the corpus top-300 vocabulary
+    (operators.text.oov_rate): tokenizer-coverage routing signal.
+    Vocabulary is the deterministic (freq DESC, token) TakeOrdered
+    cut; OOV counts are over occurrences."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.oov_rate(docs, top_v=300)
+
+
+_RECURSIVE_CLOSURE_SQL = """
+    WITH RECURSIVE edges AS (
+      SELECT concat('c', CAST(c_custkey AS STRING)) AS child,
+             concat('n', CAST(c_nationkey AS STRING)) AS parent
+      FROM customer
+      UNION ALL
+      SELECT concat('n', CAST(n_nationkey AS STRING)),
+             concat('r', CAST(n_regionkey AS STRING))
+      FROM nation
+    ),
+    up (node, anc, depth) AS (
+      SELECT child, parent, 1 FROM edges
+      UNION ALL
+      SELECT u.node, e.parent, u.depth + 1
+      FROM up u JOIN edges e ON e.child = u.anc
+    )
+    SELECT anc, CAST(depth AS BIGINT) AS depth,
+      CAST(COUNT(*) AS BIGINT) AS n_desc
+    FROM up GROUP BY anc, depth
+"""
+
+
+def q_recursive_cte_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 native WITH RECURSIVE (SQL surface): the ancestor
+    closure of the customer→nation→region forest with per-(ancestor,
+    depth) descendant counts — the SAME SQL text, byte-identical, runs
+    on Spark and DuckDB (STRING is a valid type alias in both).
+    Complements the DataFrame-loop iterative family (bfs/sssp/rollup)
+    with the declarative form."""
+    for t in ("customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_RECURSIVE_CLOSURE_SQL)
+
+
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size histogram (composition over
+    operators.dedup.exact_dedup): how much of the corpus is singleton
+    vs heavily-copied — the data-card number a dedup decision starts
+    from. (cluster_size, n_clusters, n_docs = size × clusters)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dd.exact_dedup(docs)
+        .groupBy(F.col("n_copies").cast("long").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("long")
+            .alias("n_docs"),
+        )
+    )
+
+
+def _urgent_labelled_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_custkey, v=acctbal, y=placed >= 1 URGENT order) — the shared
+    scored-population frame for the ML-eval queries (auc_balance,
+    calibration_balance)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .select("c_custkey", F.lit(True).alias("__u"))
+    )
+    return customer.join(urgent, "c_custkey", "left").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("v"),
+        F.col("__u").isNotNull().alias("y"),
+    )
+
+
+def q_auc_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC (operators.stats.auc): does account balance rank
+    urgent-order customers above the rest? U-statistic over the
+    distinct-score aggregate with average-rank ties — the rank-only
+    eval; calibration_balance is the value-based complement."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    return st.auc(_urgent_labelled_customers(spark, sf_dir), "v", "y")
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability table (operators.stats.
+    calibration_bins): min-max-normalized account balance as a [0,1]
+    "score" for the urgent-order label, 10 equal-width bins, mean
+    predicted vs observed positive rate — score micro-quantized AT
+    BIRTH, every aggregate an integer."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    pop = _urgent_labelled_customers(spark, sf_dir)
+    mm = pop.groupBy().agg(
+        F.min("v").alias("__mn"), F.max("v").alias("__mx")
+    )
+    scored = pop.join(F.broadcast(mm)).select(
+        ((F.col("v") - F.col("__mn")) / (F.col("__mx") - F.col("__mn")))
+        .alias("score"),
+        "y",
+    )
+    return st.calibration_bins(scored, "score", "y", bins=10)
+
+
+def q_cuped_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B spend comparison (operators.stats.cuped_ab):
+    arms by the ANSI-reproducible knuth mixer (the ab_test_lift
+    assignment), metric = post-cutover purchase spend per user,
+    covariate = pre-cutover spend — the variance-reduced experiment
+    readout. Per-event cents quantization keeps per-user sums exact
+    before the moment pass."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        pl.hash_bucket(F.col("user_id"), "knuth") % 2 == 0, "A"
+    ).otherwise("B")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    is_p = F.col("event_type") == "purchase"
+    cents = F.round(F.col("value") * 100).cast("long")
+    units = ev.groupBy(F.col("user_id"), arm.alias("arm")).agg(
+        F.sum(F.when(is_p & (F.col("ts") >= cut), cents).otherwise(0))
+        .cast("long").alias("post"),
+        F.sum(F.when(is_p & (F.col("ts") < cut), cents).otherwise(0))
+        .cast("long").alias("pre"),
+    )
+    return st.cuped_ab(units, "arm", "post", "pre", "A", "B")
+
+
 def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication (operators.dedup.repeated_passages):
     word 8-gram passages recurring in >= 2 distinct documents — the
@@ -4960,6 +5125,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier": q_kaplan_meier,
         "containment_docs": q_containment_docs,
         "diff_in_diff": q_diff_in_diff,
+        "grouped_ols": q_grouped_ols,
+        "mann_kendall": q_mann_kendall,
+        "oov_rate": q_oov_rate,
+        "recursive_cte_sql": q_recursive_cte_sql,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
+        "auc_balance": q_auc_balance,
+        "calibration_bins": q_calibration_bins,
+        "cuped_spend": q_cuped_spend,
         "accuracy": q_accuracy,
         "score_confusion": q_score_confusion,
         "similarity_topk": q_similarity_topk,
@@ -10060,6 +10233,278 @@ def oracle_sql() -> dict[str, str]:
         FROM m
         WHERE n_t_pre >= 2 AND n_t_post >= 2 AND n_c_pre >= 2
           AND n_c_post >= 2
+    """
+    oracles["grouped_ols"] = """
+        WITH r AS (
+          SELECT p_brand AS g,
+            CAST(round(p_size * 100) AS BIGINT) AS x,
+            CAST(round(p_retailprice * 100) AS BIGINT) AS y
+          FROM part
+        ),
+        m AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+            SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+            SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+            SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+          FROM r GROUP BY 1
+        ),
+        f AS (
+          SELECT g, n,
+            CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+            CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+            CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+            CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+            CAST(n AS DOUBLE) AS nd
+          FROM m
+        )
+        SELECT g AS p_brand, n,
+          CAST(floor(cov / vx * 1000000.0) AS BIGINT) AS slope_micro,
+          CAST(floor((syd - cov / vx * sxd) / nd * 10000.0) AS BIGINT)
+            AS intercept_micro,
+          CAST(floor((cov * cov) / (vx * vy) * 1000000.0) AS BIGINT)
+            AS r2_micro
+        FROM f WHERE n >= 2 AND vx > 0 AND vy > 0
+    """
+    oracles["mann_kendall"] = """
+        WITH ser AS MATERIALIZED (
+          SELECT o_orderpriority AS priority,
+            CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                 AS BIGINT) AS m,
+            CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS rev
+          FROM orders GROUP BY 1, 2
+        ),
+        s AS (
+          SELECT a.priority,
+            CAST(SUM(sign(b.rev - a.rev)) AS BIGINT) AS s_stat
+          FROM ser a JOIN ser b
+            ON b.priority = a.priority AND a.m < b.m
+          GROUP BY 1
+        ),
+        np AS (SELECT priority, CAST(COUNT(*) AS BIGINT) AS n
+               FROM ser GROUP BY 1),
+        ties AS (
+          SELECT priority,
+            CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+          FROM (SELECT priority, rev, CAST(COUNT(*) AS BIGINT) AS t
+                FROM ser GROUP BY 1, 2)
+          GROUP BY 1
+        ),
+        j AS (
+          SELECT s.priority, np.n, s.s_stat,
+            CAST(np.n * (np.n - 1) * (2 * np.n + 5) - ties.tt AS BIGINT)
+              AS var18
+          FROM s JOIN np USING (priority) JOIN ties USING (priority)
+        )
+        SELECT priority, n, s_stat, var18,
+          CAST(floor(CASE
+            WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
+              / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+            WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
+              / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+            ELSE 0.0 END * 1000000.0) AS BIGINT) AS z_micro
+        FROM j WHERE n >= 2 AND var18 > 0
+    """
+    oracles["oov_rate"] = r"""
+        WITH tokf AS MATERIALIZED (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split_regex(
+              trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+              '\s+')) AS tok
+            FROM documents WHERE text IS NOT NULL
+          ) WHERE length(tok) > 0
+        ),
+        vocab AS MATERIALIZED (
+          SELECT tok AS token FROM (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM tokf GROUP BY 1
+          ) ORDER BY freq DESC, tok LIMIT 300
+        )
+        SELECT doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_oov,
+          CAST(floor(
+            CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+              AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS BIGINT)
+            AS oov_micro
+        FROM tokf LEFT JOIN vocab v ON tokf.tok = v.token
+        GROUP BY 1
+    """
+    oracles["recursive_cte_sql"] = _RECURSIVE_CLOSURE_SQL
+    _URGENT_POP = """
+        lab AS MATERIALIZED (
+          SELECT c.c_custkey, c.c_acctbal AS v,
+            (c.c_custkey IN (
+              SELECT o_custkey FROM orders
+              WHERE o_orderpriority = '1-URGENT')) AS y
+          FROM customer c
+        )
+    """
+    oracles["auc_balance"] = f"""
+        WITH {_URGENT_POP},
+        vc AS (
+          SELECT v,
+            CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+            CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+          FROM lab WHERE v IS NOT NULL GROUP BY 1
+        ),
+        ranked AS (
+          SELECT np, nn,
+            CAST(np AS DOUBLE) * (
+              CAST(COALESCE(SUM(np + nn) OVER (
+                ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS DOUBLE)
+              + (CAST(np + nn AS DOUBLE) + 1.0) / 2.0
+            ) AS rp
+          FROM vc
+        ),
+        agg AS (
+          SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+            CAST(SUM(nn) AS BIGINT) AS n_neg,
+            SUM(rp) AS r_pos
+          FROM ranked
+        )
+        SELECT n_pos, n_neg,
+          CAST(floor(
+            (r_pos - CAST(n_pos AS DOUBLE)
+              * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+            / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+            * 1000000.0) AS BIGINT) AS auc_micro
+        FROM agg WHERE n_pos > 0 AND n_neg > 0
+    """
+    oracles["calibration_bins"] = f"""
+        WITH {_URGENT_POP},
+        mm AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM lab),
+        scored AS (
+          SELECT (lab.v - mm.mn) / (mm.mx - mm.mn) AS s, lab.y
+          FROM lab CROSS JOIN mm
+          WHERE lab.v IS NOT NULL AND lab.y IS NOT NULL
+        ),
+        binned AS (
+          SELECT
+            CAST(greatest(0, least(9,
+              CAST(floor(s * 10.0) AS INT))) AS BIGINT) AS bin,
+            CAST(floor(s * 1000000.0) AS BIGINT) AS smicro,
+            CASE WHEN y THEN 1 ELSE 0 END AS p
+          FROM scored
+        )
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(floor(CAST(SUM(smicro) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS mean_pred_micro,
+          CAST(floor(CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            * 1000000.0) AS BIGINT) AS frac_pos_micro
+        FROM binned GROUP BY 1
+    """
+    oracles["cuped_spend"] = """
+        WITH units AS MATERIALIZED (
+          SELECT user_id,
+            CASE WHEN ((user_id % 1000003) * 2654435761) % 1000003 % 2 = 0
+                 THEN 'A' ELSE 'B' END AS arm,
+            CAST(SUM(CASE WHEN event_type = 'purchase'
+                  AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS post,
+            CAST(SUM(CASE WHEN event_type = 'purchase'
+                  AND ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS pre
+          FROM events GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT
+            CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_a,
+            CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_b,
+            SUM(CASE WHEN arm = 'A'
+              THEN CAST(round(pre * 100) AS HUGEINT) END) AS sx_a,
+            SUM(CASE WHEN arm = 'B'
+              THEN CAST(round(pre * 100) AS HUGEINT) END) AS sx_b,
+            SUM(CASE WHEN arm = 'A'
+              THEN CAST(round(post * 100) AS HUGEINT) END) AS sy_a,
+            SUM(CASE WHEN arm = 'B'
+              THEN CAST(round(post * 100) AS HUGEINT) END) AS sy_b,
+            SUM(CASE WHEN arm = 'A'
+              THEN CAST(round(pre * 100) AS HUGEINT)
+                 * CAST(round(pre * 100) AS HUGEINT) END) AS sxx_a,
+            SUM(CASE WHEN arm = 'B'
+              THEN CAST(round(pre * 100) AS HUGEINT)
+                 * CAST(round(pre * 100) AS HUGEINT) END) AS sxx_b,
+            SUM(CASE WHEN arm = 'A'
+              THEN CAST(round(post * 100) AS HUGEINT)
+                 * CAST(round(post * 100) AS HUGEINT) END) AS syy_a,
+            SUM(CASE WHEN arm = 'B'
+              THEN CAST(round(post * 100) AS HUGEINT)
+                 * CAST(round(post * 100) AS HUGEINT) END) AS syy_b,
+            SUM(CASE WHEN arm = 'A'
+              THEN CAST(round(pre * 100) AS HUGEINT)
+                 * CAST(round(post * 100) AS HUGEINT) END) AS sxy_a,
+            SUM(CASE WHEN arm = 'B'
+              THEN CAST(round(pre * 100) AS HUGEINT)
+                 * CAST(round(post * 100) AS HUGEINT) END) AS sxy_b
+          FROM units
+        ),
+        d AS (
+          SELECT n_a, n_b,
+            CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+            CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nn,
+            CAST(sx_a AS DOUBLE) + CAST(sx_b AS DOUBLE) AS sx,
+            CAST(sy_a AS DOUBLE) + CAST(sy_b AS DOUBLE) AS sy,
+            CAST(sxx_a AS DOUBLE) + CAST(sxx_b AS DOUBLE) AS sxx,
+            CAST(sxy_a AS DOUBLE) + CAST(sxy_b AS DOUBLE) AS sxy,
+            CAST(sx_a AS DOUBLE) AS sxa, CAST(sx_b AS DOUBLE) AS sxb,
+            CAST(sy_a AS DOUBLE) AS sya, CAST(sy_b AS DOUBLE) AS syb,
+            CAST(sxx_a AS DOUBLE) AS sxxa, CAST(sxx_b AS DOUBLE) AS sxxb,
+            CAST(syy_a AS DOUBLE) AS syya, CAST(syy_b AS DOUBLE) AS syyb,
+            CAST(sxy_a AS DOUBLE) AS sxya, CAST(sxy_b AS DOUBLE) AS sxyb
+          FROM m WHERE n_a >= 2 AND n_b >= 2
+        ),
+        t AS (
+          SELECT *,
+            nn * sxx - sx * sx AS vxp,
+            (nn * sxy - sx * sy) / (nn * sxx - sx * sx) AS theta,
+            sx / nn AS xbar
+          FROM d
+        ),
+        f AS (
+          SELECT *,
+            sya / na - syb / nb AS diff,
+            (sya / na - theta * (sxa / na - xbar))
+              - (syb / nb - theta * (sxb / nb - xbar)) AS diff_adj,
+            ((syya - sya * sya / na) / (na - 1.0)
+              + theta * theta * ((sxxa - sxa * sxa / na) / (na - 1.0))
+              - 2.0 * theta * ((sxya - sxa * sya / na) / (na - 1.0)))
+              AS s2a,
+            ((syyb - syb * syb / nb) / (nb - 1.0)
+              + theta * theta * ((sxxb - sxb * sxb / nb) / (nb - 1.0))
+              - 2.0 * theta * ((sxyb - sxb * syb / nb) / (nb - 1.0)))
+              AS s2b
+          FROM t
+        )
+        SELECT n_a, n_b,
+          CAST(floor(theta * 1000000.0) AS BIGINT) AS theta_micro,
+          CAST(floor(diff * 10000.0) AS BIGINT) AS diff_micro,
+          CAST(floor(diff_adj * 10000.0) AS BIGINT) AS diff_adj_micro,
+          CAST(floor(sqrt(s2a / na + s2b / nb) * 10000.0) AS BIGINT)
+            AS se_adj_micro
+        FROM f WHERE vxp > 0
+    """
+    oracles["dup_cluster_sizes"] = r"""
+        WITH clusters AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM documents
+          GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        )
+        SELECT cluster_size,
+          CAST(COUNT(*) AS BIGINT) AS n_clusters,
+          CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+        FROM clusters GROUP BY 1
     """
     _tag_values = ", ".join(f"('{k}', {v})" for k, v in sorted(_TAG_TERMS.items()))
     oracles["dictionary_tag"] = f"""

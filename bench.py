@@ -156,6 +156,14 @@ PIPELINE = [
     "kaplan_meier",
     "containment_docs",
     "diff_in_diff",
+    "grouped_ols",
+    "mann_kendall",
+    "oov_rate",
+    "recursive_cte_sql",
+    "dup_cluster_sizes",
+    "auc_balance",
+    "calibration_bins",
+    "cuped_spend",
 ]
 
 

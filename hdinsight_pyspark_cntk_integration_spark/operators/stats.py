@@ -1188,3 +1188,331 @@ def kaplan_meier(
         F.col("__c").alias("n_censored"),
         surv.alias("surv_micro"),
     )
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple OLS (slope, intercept, R²) — the grouped twin
+    of the global ``ols_regression``: one regression per segment
+    (price~size per brand, spend~tenure per market) without ever
+    collecting a group to the driver:
+
+        slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+        R² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+
+    Exactness: x/y quantize to integer cents at birth; the five
+    moments accumulate in DECIMAL(38,0) per group (order-independent
+    at any scale); slope/intercept/R² are ONE fixed fp64 expression
+    tree each, micro-floored. Groups with n < 2, zero x-variance
+    (slope undefined) or zero y-variance (R² undefined) drop.
+
+    Shape: one partial-agg groupBy to (groups × 6 numbers); nothing
+    else shuffles.
+
+    Returns (group, n, slope_micro, intercept_micro, r2_micro) —
+    slope/intercept in cent units scaled 1e6/1e4 respectively.
+    """
+    dec = "decimal(38,0)"
+    rows = df.select(
+        F.col(group_col).alias("__g"),
+        F.round(F.col(x_col) * 100).cast("long").cast(dec).alias("__x"),
+        F.round(F.col(y_col) * 100).cast("long").cast(dec).alias("__y"),
+    )
+    m = rows.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").cast(dec).alias("__sx"),
+        F.sum("__y").cast(dec).alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast(dec).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast(dec).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).cast(dec).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope = cov / vx
+    intercept = (sy - slope * sx) / n
+    r2 = (cov * cov) / (vx * vy)
+    return m.filter((F.col("n") >= 2) & (vx > 0) & (vy > 0)).select(
+        F.col("__g").alias(group_col),
+        "n",
+        F.floor(slope * F.lit(1_000_000.0)).cast("long").alias("slope_micro"),
+        F.floor(intercept * F.lit(10_000.0)).cast("long").alias("intercept_micro"),
+        F.floor(r2 * F.lit(1_000_000.0)).cast("long").alias("r2_micro"),
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    part_col: str,
+    seq_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann-Kendall trend test per partition — IS this series going
+    somewhere? The nonparametric monotone-TREND inference companion to
+    ``kendall_tau`` (tau measures association between two variables;
+    M-K tests one variable against time and attaches a Z statistic):
+
+        S = Σ_{i<j} sign(x_j − x_i)
+        Var(S) = [n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)] / 18
+        Z = (S−1)/sqrt(Var)  if S>0,  0 if S=0,  (S+1)/sqrt(Var) else
+
+    CONTRACT: ``df`` is a per-(partition, seq) SERIES (seq unique per
+    partition, defines time order), so the pair self-join is
+    partitions × series², never raw rows².
+
+    Exactness: values cents-quantize at birth; S and the tie-corrected
+    18·Var(S) are pure integers (var18 emitted for auditability); Z is
+    ONE fp64 chain micro-floored. Partitions with n < 2 or Var = 0
+    (all values tied) drop.
+
+    Returns (part, n, s_stat, var18, z_micro).
+    """
+    pts = df.select(
+        F.col(part_col).alias("__p"),
+        F.col(seq_col).alias("__i"),
+        F.round(F.col(value_col) * 100).cast("long").alias("__x"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    s_agg = (
+        a.join(
+            b,
+            (F.col("a.__p") == F.col("b.__p")) & (F.col("a.__i") < F.col("b.__i")),
+        )
+        .groupBy(F.col("a.__p").alias("__p"))
+        .agg(
+            F.sum(F.signum(F.col("b.__x") - F.col("a.__x")).cast("long"))
+            .cast("long").alias("s_stat")
+        )
+    )
+    npts = pts.groupBy("__p").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tie_term = (
+        pts.groupBy("__p", "__x")
+        .agg(F.count(F.lit(1)).cast("long").alias("__t"))
+        .groupBy("__p")
+        .agg(
+            F.sum(
+                F.col("__t") * (F.col("__t") - 1) * (2 * F.col("__t") + 5)
+            ).cast("long").alias("__ties")
+        )
+    )
+    joined = s_agg.join(npts, "__p").join(tie_term, "__p")
+    nn = F.col("n")
+    var18 = (nn * (nn - 1) * (2 * nn + 5) - F.col("__ties")).cast("long")
+    s = F.col("s_stat").cast("double")
+    vard = var18.cast("double") / F.lit(18.0)
+    z = (
+        F.when(F.col("s_stat") > 0, (s - F.lit(1.0)) / F.sqrt(vard))
+        .when(F.col("s_stat") < 0, (s + F.lit(1.0)) / F.sqrt(vard))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        joined.filter((F.col("n") >= 2) & (var18 > 0))
+        .select(
+            F.col("__p").alias(part_col),
+            "n",
+            "s_stat",
+            var18.alias("var18"),
+            F.floor(z * F.lit(1_000_000.0)).cast("long").alias("z_micro"),
+        )
+    )
+
+
+def auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """ROC AUC, exactly, without a global row sort: AUC is the
+    probability a random positive outscores a random negative, i.e.
+    the Mann-Whitney U of the positive class normalized by
+    n_pos·n_neg — so it computes from the DISTINCT-SCORE aggregate
+    with average-rank tie handling (ties contribute 1/2), the same
+    bounded-domain shape as ``mann_whitney_u`` (stats.py:38).
+
+    Exactness: counts are integers; average ranks are half-integers
+    (exact in fp64); U is a sum of count×half-integer products; AUC is
+    one final double ratio, micro-floored. NULL scores/labels drop.
+    Degenerate inputs (no positives or no negatives) emit nothing.
+
+    Shape: one partial-agg groupBy collapsing rows to distinct score
+    values; the only window runs over that aggregate (bounded by the
+    score DOMAIN, never the row count).
+
+    Returns one row (n_pos, n_neg, auc_micro).
+    """
+    vc = (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(F.col(score_col).alias("v"))
+        .agg(
+            F.sum(F.when(F.col(label_col).cast("boolean"), 1).otherwise(0))
+            .cast("long").alias("n_p"),
+            F.sum(F.when(F.col(label_col).cast("boolean"), 0).otherwise(1))
+            .cast("long").alias("n_n"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    tot = (F.col("n_p") + F.col("n_n")).cast("double")
+    cum_before = F.coalesce(
+        F.sum(F.col("n_p") + F.col("n_n")).over(w), F.lit(0)
+    ).cast("double")
+    avg_rank = cum_before + (tot + F.lit(1.0)) / F.lit(2.0)
+    agg = vc.select(
+        "n_p", "n_n", (F.col("n_p").cast("double") * avg_rank).alias("__rp")
+    ).agg(
+        F.sum("n_p").cast("long").alias("n_pos"),
+        F.sum("n_n").cast("long").alias("n_neg"),
+        F.sum("__rp").alias("__r_pos"),
+    ).filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+    np_, nn_ = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
+    u = F.col("__r_pos") - np_ * (np_ + F.lit(1.0)) / F.lit(2.0)
+    return agg.select(
+        "n_pos", "n_neg",
+        F.floor(u / (np_ * nn_) * F.lit(1_000_000.0)).cast("long")
+        .alias("auc_micro"),
+    )
+
+
+def cuped_ab(
+    df: DataFrame,
+    arm_col: str,
+    metric_col: str,
+    covariate_col: str,
+    arm_a,
+    arm_b,
+) -> DataFrame:
+    """CUPED-adjusted A/B comparison — variance reduction via a
+    pre-experiment covariate (Deng et al. 2013, the industry-standard
+    sensitivity boost): each unit's metric is replaced by
+    y − θ·(x − x̄) with θ = cov(x, y)/var(x) POOLED across arms (x is
+    pre-experiment, so θ is assignment-independent), which shrinks
+    variance by the factor (1 − ρ²) without biasing the diff:
+
+        diff_adj = (ȳ_a − θ(x̄_a − x̄)) − (ȳ_b − θ(x̄_b − x̄))
+        SE_adj   = sqrt(s²_adj,a/n_a + s²_adj,b/n_b),
+        s²_adj   = s²_y + θ²s²_x − 2θs_xy   (per arm, unbiased)
+
+    Exactness: metric/covariate quantize to integer cents at birth;
+    the 12 per-arm moments (n, Σx, Σy, Σxx, Σyy, Σxy) accumulate in
+    DECIMAL(38,0) in ONE pass; θ, diffs, SE are one fixed fp64
+    expression tree, micro-floored. Arms need n >= 2; pooled
+    var(x) = 0 emits nothing (θ undefined).
+
+    Returns one row (n_a, n_b, theta_micro, diff_micro,
+    diff_adj_micro, se_adj_micro) in cent units (×1e4 scale).
+    """
+    dec = "decimal(38,0)"
+    rows = df.filter(F.col(arm_col).isin([arm_a, arm_b])).select(
+        (F.col(arm_col) == F.lit(arm_a)).alias("__a"),
+        F.round(F.col(metric_col) * 100).cast("long").cast(dec).alias("__y"),
+        F.round(F.col(covariate_col) * 100).cast("long").cast(dec).alias("__x"),
+    )
+    aggs = []
+    for name, cond in (("a", F.col("__a")), ("b", ~F.col("__a"))):
+        aggs += [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n_{name}"),
+            F.sum(F.when(cond, F.col("__x"))).cast(dec).alias(f"__sx_{name}"),
+            F.sum(F.when(cond, F.col("__y"))).cast(dec).alias(f"__sy_{name}"),
+            F.sum(F.when(cond, F.col("__x") * F.col("__x"))).cast(dec)
+            .alias(f"__sxx_{name}"),
+            F.sum(F.when(cond, F.col("__y") * F.col("__y"))).cast(dec)
+            .alias(f"__syy_{name}"),
+            F.sum(F.when(cond, F.col("__x") * F.col("__y"))).cast(dec)
+            .alias(f"__sxy_{name}"),
+        ]
+    m = rows.groupBy().agg(*aggs).filter(
+        (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    na, nb = d("n_a"), d("n_b")
+    nn = na + nb
+    sx = d("__sx_a") + d("__sx_b")
+    sy = d("__sy_a") + d("__sy_b")
+    sxx = d("__sxx_a") + d("__sxx_b")
+    sxy = d("__sxy_a") + d("__sxy_b")
+    vx_pooled = nn * sxx - sx * sx
+    theta = (nn * sxy - sx * sy) / vx_pooled
+    xbar = sx / nn
+    mya, myb = d("__sy_a") / na, d("__sy_b") / nb
+    mxa, mxb = d("__sx_a") / na, d("__sx_b") / nb
+    diff = mya - myb
+    diff_adj = (mya - theta * (mxa - xbar)) - (myb - theta * (mxb - xbar))
+
+    def s2_adj(name, n):
+        sy_, sx_ = d(f"__sy_{name}"), d(f"__sx_{name}")
+        syy_, sxx_ = d(f"__syy_{name}"), d(f"__sxx_{name}")
+        sxy_ = d(f"__sxy_{name}")
+        vy = (syy_ - sy_ * sy_ / n) / (n - F.lit(1.0))
+        vx = (sxx_ - sx_ * sx_ / n) / (n - F.lit(1.0))
+        cxy = (sxy_ - sx_ * sy_ / n) / (n - F.lit(1.0))
+        return vy + theta * theta * vx - F.lit(2.0) * theta * cxy
+
+    se = F.sqrt(s2_adj("a", na) / na + s2_adj("b", nb) / nb)
+    ten_k = F.lit(10_000.0)
+    return m.filter(vx_pooled > 0).select(
+        "n_a", "n_b",
+        F.floor(theta * F.lit(1_000_000.0)).cast("long").alias("theta_micro"),
+        F.floor(diff * ten_k).cast("long").alias("diff_micro"),
+        F.floor(diff_adj * ten_k).cast("long").alias("diff_adj_micro"),
+        F.floor(se * ten_k).cast("long").alias("se_adj_micro"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Calibration table for a probabilistic score in [0, 1]: bucket
+    predictions into ``bins`` equal-width bins and compare the mean
+    predicted score against the observed positive rate per bin — the
+    reliability-diagram aggregate behind ECE and the first diagnostic
+    for any scoring model the AUC can't see (AUC is rank-only;
+    calibration is about the VALUES).
+
+    Exactness: the score is quantized to integer micro-units AT BIRTH
+    (one deterministic fp64 multiply+floor per row); bin assignment,
+    counts, and the micro sums are pure integers; the two means are
+    one floor-division each. Out-of-range scores clamp into the end
+    bins; NULL scores/labels drop.
+
+    Shape: one projection + one partial-agg groupBy to <= ``bins``
+    rows. Nothing else.
+
+    Returns (bin, n, mean_pred_micro, frac_pos_micro).
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1 (got {bins})")
+    smicro = F.floor(F.col(score_col) * F.lit(1_000_000.0)).cast("long")
+    b = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(bins - 1),
+            F.floor(F.col(score_col) * F.lit(float(bins))).cast("int"),
+        ),
+    ).cast("long")
+    rows = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        b.alias("bin"),
+        smicro.alias("__s"),
+        F.col(label_col).cast("boolean").cast("long").alias("__p"),
+    )
+    return rows.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.floor(
+            F.sum("__s").cast("double") / F.count(F.lit(1)).cast("double")
+        ).cast("long").alias("mean_pred_micro"),
+        F.floor(
+            F.sum("__p").cast("double") / F.count(F.lit(1)).cast("double")
+            * F.lit(1_000_000.0)
+        ).cast("long").alias("frac_pos_micro"),
+    )

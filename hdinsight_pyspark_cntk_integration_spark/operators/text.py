@@ -1961,3 +1961,63 @@ def compression_ratio(
         F.col("__z.comp").alias("compressed_bytes"),
         ratio.alias("ratio_micro"),
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_v: int = 1000,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-V
+    vocabulary — the tokenizer-coverage signal (a doc whose tokens
+    mostly miss the vocab is foreign-language, encoding junk, or a
+    domain the tokenizer was never trained for; mixture pipelines
+    route on exactly this).
+
+    Vocabulary = ``build_vocab`` (text.py:164): top-V tokens by
+    (freq DESC, token), the TakeOrderedAndProject cut — distributed,
+    bounded by V, never by the corpus. OOV counting is over token
+    OCCURRENCES (not distinct tokens): a doc spamming one junk token
+    should score worse than one mentioning it once.
+
+    Exactness: integer occurrence counts over the deterministic
+    vocabulary; the rate is one micro-floored division. Docs with
+    zero tokens are dropped (no denominator).
+
+    Shape: one corpus token count + bounded top-V cut, one broadcast
+    of the <= V vocab back onto the token stream, one doc rollup —
+    the token stream shuffles once, on the doc key.
+
+    Returns (id, n_tokens, n_oov, oov_micro).
+    """
+    from hdinsight_pyspark_cntk_integration_spark.functions.textfns import normalized_text
+
+    if top_v < 1:
+        raise ValueError(f"top_v must be >= 1 (got {top_v})")
+    vocab = build_vocab(df, text_col=text_col, top_v=top_v).select(
+        "token", F.lit(True).alias("__in_v")
+    )
+    toks = df.select(
+        F.col(id_col).alias("__d"),
+        F.explode(F.split(normalized_text(text_col), r"\s+")).alias("token"),
+    ).filter(F.length("token") > 0)
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("__d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_v").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_oov"),
+        )
+        .select(
+            F.col("__d").alias(id_col),
+            "n_tokens",
+            "n_oov",
+            F.floor(
+                F.col("n_oov").cast("double")
+                / F.col("n_tokens").cast("double")
+                * F.lit(1_000_000.0)
+            ).cast("long").alias("oov_micro"),
+        )
+    )

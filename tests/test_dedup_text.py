@@ -1044,3 +1044,39 @@ def test_containment_join_quote_inside_article(spark):
     assert got == {(1, 2): 1.0}
     with pytest.raises(ValueError):
         dd.containment_join(docs, threshold=0.0)
+
+
+# --- oov_rate -------------------------------------------------------------
+
+
+def test_oov_rate_matches_python(spark):
+    import math
+    from collections import Counter
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat"),
+        (3, "zz qq zz zz"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    top_v = 3
+    got = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_micro"])
+           for r in tx.oov_rate(df, top_v=top_v).collect()}
+    counts = Counter(t for _, txt in docs for t in txt.split())
+    vocab = {t for t, _ in sorted(counts.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:top_v]}
+    want = {}
+    for i, txt in docs:
+        toks = txt.split()
+        oov = sum(1 for t in toks if t not in vocab)
+        want[i] = (len(toks), oov, math.floor(oov / len(toks) * 1e6))
+    assert got == want
+    with pytest.raises(ValueError):
+        tx.oov_rate(df, top_v=0)
+
+
+def test_oov_rate_full_vocab_is_zero(spark):
+    docs = [(1, "a b c"), (2, "b c d")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = tx.oov_rate(df, top_v=100).collect()
+    assert all(r["oov_micro"] == 0 for r in got)

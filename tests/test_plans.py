@@ -224,6 +224,11 @@ _INTENTIONAL_LINT = {
     #   how these global-rank statistics avoid the global row sort
     "rank_sum_test": {"global-window"},
     "ks_test": {"global-window"},
+    # auc_balance — same shape as rank_sum_test: the rank window runs
+    #   over the DISTINCT-SCORE aggregate (bounded by the score domain),
+    #   never the row stream; that is exactly how AUC avoids the global
+    #   row sort
+    "auc_balance": {"global-window"},
     # funnel_steps — the ratio window runs over the len(steps)-row
     #   per-step count union (3 rows here), never the event stream
     "funnel_steps": {"global-window"},

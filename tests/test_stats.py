@@ -677,3 +677,222 @@ def test_kaplan_meier_everyone_dies_hits_zero(spark):
            for r in st.kaplan_meier(df, "g", "dur", "ev").collect()}
     # floor quantization of ln(0.5) loses one micro: 499_999, not 500_000
     assert got[1] == 499_999 and got[2] == 0
+
+
+# --- grouped_ols ----------------------------------------------------------
+
+
+def test_grouped_ols_matches_python(spark):
+    import math
+
+    groups = {
+        "a": [(1.0, 2.1), (2.0, 3.9), (3.0, 6.2), (4.0, 7.8)],
+        "b": [(0.0, 5.0), (10.0, 5.0), (20.0, 6.0)],
+    }
+    rows = [(g, x, y) for g, pts in groups.items() for x, y in pts]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: (r["n"], r["slope_micro"], r["intercept_micro"],
+                    r["r2_micro"])
+           for r in st.grouped_ols(df, "g", "x", "y").collect()}
+    want = {}
+    for g, pts in groups.items():
+        cs = [(round(x * 100), round(y * 100)) for x, y in pts]
+        n = len(cs)
+        sx, sy = sum(c[0] for c in cs), sum(c[1] for c in cs)
+        sxy = sum(a * b for a, b in cs)
+        sxx = sum(a * a for a, _ in cs)
+        syy = sum(b * b for _, b in cs)
+        vx, vy, cov = n * sxx - sx * sx, n * syy - sy * sy, n * sxy - sx * sy
+        if n < 2 or vx <= 0 or vy <= 0:
+            continue
+        slope = cov / vx
+        want[g] = (
+            n,
+            math.floor(slope * 1e6),
+            math.floor((sy - slope * sx) / n * 1e4),
+            math.floor(cov * cov / (vx * vy) * 1e6),
+        )
+    assert got == want
+
+
+def test_grouped_ols_perfect_line_and_degenerates(spark):
+    rows = (
+        [("lin", float(i), float(3 * i + 7)) for i in range(5)]
+        + [("constx", 1.0, float(i)) for i in range(4)]   # zero x-var
+        + [("consty", float(i), 5.0) for i in range(4)]   # zero y-var
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in st.grouped_ols(df, "g", "x", "y").collect()}
+    assert set(got) == {"lin"}
+    assert got["lin"]["slope_micro"] == 3_000_000
+    # intercept is in CENT units: 7 dollars = 700 cents -> 700·1e4
+    assert got["lin"]["intercept_micro"] == 7_000_000
+    assert got["lin"]["r2_micro"] == 1_000_000
+
+
+# --- mann_kendall ---------------------------------------------------------
+
+
+def test_mann_kendall_matches_python(spark):
+    import math
+
+    series = {
+        "up": [1.0, 2.0, 2.0, 3.0, 5.0, 4.0],
+        "down": [9.0, 7.0, 7.0, 5.0, 1.0],
+        "flat": [4.0, 4.0, 4.0],
+    }
+    rows = [(p, i, v) for p, vs in series.items() for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "p string, i long, v double")
+    got = {r["p"]: (r["n"], r["s_stat"], r["var18"], r["z_micro"])
+           for r in st.mann_kendall(df, "p", "i", "v").collect()}
+    want = {}
+    for p, vs in series.items():
+        cs = [round(v * 100) for v in vs]
+        n = len(cs)
+        s = sum(
+            (cs[j] > cs[i]) - (cs[j] < cs[i])
+            for i in range(n) for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        ties = sum(t * (t - 1) * (2 * t + 5)
+                   for t in Counter(cs).values() if t > 1)
+        var18 = n * (n - 1) * (2 * n + 5) - ties
+        if n < 2 or var18 <= 0:
+            continue
+        var = var18 / 18.0
+        z = ((s - 1.0) / math.sqrt(var) if s > 0
+             else (s + 1.0) / math.sqrt(var) if s < 0 else 0.0)
+        want[p] = (n, s, var18, math.floor(z * 1e6))
+    assert got == want
+    assert "flat" not in got           # all tied -> Var = 0 -> dropped
+    assert got["up"][1] > 0 and got["down"][1] < 0
+
+
+# --- auc ------------------------------------------------------------------
+
+
+def test_auc_matches_python_with_ties(spark):
+    import math
+
+    rows = [
+        (0.9, True), (0.8, True), (0.8, False), (0.5, True),
+        (0.5, False), (0.5, False), (0.2, False), (0.1, False),
+    ]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    [r] = st.auc(df, "s", "y").collect()
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    wins = sum(
+        1.0 if p > q else 0.5 if p == q else 0.0 for p in pos for q in neg
+    )
+    assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
+    assert r["auc_micro"] == math.floor(wins / (len(pos) * len(neg)) * 1e6)
+
+
+def test_auc_perfect_and_degenerate(spark):
+    perfect = spark.createDataFrame(
+        [(0.9, True), (0.8, True), (0.2, False), (0.1, False)],
+        "s double, y boolean",
+    )
+    [r] = st.auc(perfect, "s", "y").collect()
+    assert r["auc_micro"] == 1_000_000
+    onesided = spark.createDataFrame([(0.5, True)], "s double, y boolean")
+    assert st.auc(onesided, "s", "y").count() == 0
+
+
+# --- cuped_ab -------------------------------------------------------------
+
+
+def test_cuped_ab_matches_python(spark):
+    import math
+
+    units = [
+        ("A", 10.0, 5.0), ("A", 12.0, 6.0), ("A", 14.0, 7.5),
+        ("B", 9.0, 5.5), ("B", 11.0, 6.5), ("B", 10.0, 5.0),
+    ]
+    df = spark.createDataFrame(units, "arm string, y double, x double")
+    [r] = st.cuped_ab(df, "arm", "y", "x", "A", "B").collect()
+    cs = [(a, round(y * 100), round(x * 100)) for a, y, x in units]
+    ya = [y for a, y, x in cs if a == "A"]; xa = [x for a, y, x in cs if a == "A"]
+    yb = [y for a, y, x in cs if a == "B"]; xb = [x for a, y, x in cs if a == "B"]
+    na, nb = len(ya), len(yb); nn = na + nb
+    sx, sy = sum(xa) + sum(xb), sum(ya) + sum(yb)
+    sxx = sum(v * v for v in xa + xb)
+    sxy = sum(a * b for a, b in zip(xa + xb, ya + yb))
+    theta = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    xbar = sx / nn
+    diff = sum(ya) / na - sum(yb) / nb
+    diff_adj = (sum(ya) / na - theta * (sum(xa) / na - xbar)) - (
+        sum(yb) / nb - theta * (sum(xb) / nb - xbar))
+
+    def s2(ys, xs, n):
+        sy_, sx_ = sum(ys), sum(xs)
+        vy = (sum(v * v for v in ys) - sy_ * sy_ / n) / (n - 1)
+        vx = (sum(v * v for v in xs) - sx_ * sx_ / n) / (n - 1)
+        cxy = (sum(a * b for a, b in zip(xs, ys)) - sx_ * sy_ / n) / (n - 1)
+        return vy + theta * theta * vx - 2.0 * theta * cxy
+
+    se = math.sqrt(s2(ya, xa, na) / na + s2(yb, xb, nb) / nb)
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert r["theta_micro"] == math.floor(theta * 1e6)
+    assert r["diff_micro"] == math.floor(diff * 1e4)
+    assert r["diff_adj_micro"] == math.floor(diff_adj * 1e4)
+    assert r["se_adj_micro"] == math.floor(se * 1e4)
+
+
+def test_cuped_ab_perfect_covariate_kills_variance(spark):
+    # y == x exactly: theta = 1, adjusted variance = 0, se = 0
+    units = [("A", float(v), float(v)) for v in (1, 2, 3)] + [
+        ("B", float(v), float(v)) for v in (4, 5, 6)
+    ]
+    df = spark.createDataFrame(units, "arm string, y double, x double")
+    [r] = st.cuped_ab(df, "arm", "y", "x", "A", "B").collect()
+    assert r["theta_micro"] == 1_000_000
+    assert r["se_adj_micro"] == 0
+    assert r["diff_adj_micro"] == 0  # y fully explained by x
+
+
+def test_cuped_ab_thin_arm_or_constant_covariate_empty(spark):
+    thin = spark.createDataFrame(
+        [("A", 1.0, 1.0), ("B", 1.0, 2.0), ("B", 2.0, 3.0)],
+        "arm string, y double, x double",
+    )
+    assert st.cuped_ab(thin, "arm", "y", "x", "A", "B").count() == 0
+    const = spark.createDataFrame(
+        [("A", 1.0, 5.0), ("A", 2.0, 5.0), ("B", 1.0, 5.0), ("B", 3.0, 5.0)],
+        "arm string, y double, x double",
+    )
+    assert st.cuped_ab(const, "arm", "y", "x", "A", "B").count() == 0
+
+
+# --- calibration_bins -----------------------------------------------------
+
+
+def test_calibration_bins_matches_python(spark):
+    import math
+    from collections import defaultdict
+
+    rows = [
+        (0.05, False), (0.15, False), (0.18, True), (0.55, True),
+        (0.52, False), (0.95, True), (0.99, True), (1.0, True),
+        (-0.1, False),  # clamps into bin 0
+    ]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    got = {r["bin"]: (r["n"], r["mean_pred_micro"], r["frac_pos_micro"])
+           for r in st.calibration_bins(df, "s", "y", bins=10).collect()}
+    per = defaultdict(list)
+    for s, y in rows:
+        b = max(0, min(9, math.floor(s * 10.0)))
+        per[b].append((math.floor(s * 1e6), y))
+    want = {}
+    for b, vals in per.items():
+        n = len(vals)
+        want[b] = (
+            n,
+            math.floor(sum(v for v, _ in vals) / n),
+            math.floor(sum(1 for _, y in vals if y) / n * 1e6),
+        )
+    assert got == want
+    with pytest.raises(ValueError):
+        st.calibration_bins(df, "s", "y", bins=0)
