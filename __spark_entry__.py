@@ -1939,6 +1939,52 @@ def q_cuped_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.cuped_ab(units, "arm", "post", "pre", "A", "B")
 
 
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive seasonal smoothing per nation
+    (operators.stats.holt_winters, period 12 on monthly revenue):
+    level+trend+season state folded over the sort_array-ed series in
+    one HOF — the oracle carries the 12-slot seasonal LIST through a
+    recursive CTE. Smoothing params 0.5/0.25/0.25 are exact binary
+    fractions, so 1−x literals are bit-identical in both engines."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    series = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("nation"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long").alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long").alias("rev")
+        )
+    )
+    return st.holt_winters(
+        series, "nation", "m", "rev", period=12,
+        alpha=0.5, beta=0.25, gamma=0.25,
+    )
+
+
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score intervals per event type (operators.stats.
+    wilson_ci): share of events with value > 100, with the CI that
+    stays inside [0,1] at the extremes — exact integer counts, one
+    fp64 chain for the bounds."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    ev = load_table(spark, sf_dir, "events")
+    flagged = ev.select(
+        F.col("event_type"), (F.col("value") > 100.0).alias("hit")
+    )
+    return st.wilson_ci(flagged, "event_type", "hit")
+
+
 def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication (operators.dedup.repeated_passages):
     word 8-gram passages recurring in >= 2 distinct documents — the
@@ -5133,6 +5179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc_balance": q_auc_balance,
         "calibration_bins": q_calibration_bins,
         "cuped_spend": q_cuped_spend,
+        "holt_winters": q_holt_winters,
+        "wilson_ci": q_wilson_ci,
         "accuracy": q_accuracy,
         "score_confusion": q_score_confusion,
         "similarity_topk": q_similarity_topk,
@@ -10494,6 +10542,104 @@ def oracle_sql() -> dict[str, str]:
           CAST(floor(sqrt(s2a / na + s2b / nb) * 10000.0) AS BIGINT)
             AS se_adj_micro
         FROM f WHERE vxp > 0
+    """
+    oracles["holt_winters"] = """
+        WITH RECURSIVE ser AS MATERIALIZED (
+          SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+            CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1
+                 AS BIGINT) AS m,
+            CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS rev
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2
+        ),
+        pts AS MATERIALIZED (
+          SELECT nation,
+            CAST(row_number() OVER (PARTITION BY nation ORDER BY m)
+                 AS BIGINT) AS i,
+            CAST(rev AS DOUBLE) AS x
+          FROM ser
+        ),
+        arrs AS MATERIALIZED (
+          SELECT nation, list(x ORDER BY i) AS xs,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM pts GROUP BY 1 HAVING COUNT(*) >= 24
+        ),
+        ini AS (
+          SELECT nation, n,
+            list_reduce(xs[1:12], (a, b) -> a + b) / 12.0 AS l0,
+            (list_reduce(xs[13:24], (a, b) -> a + b) / 12.0
+              - list_reduce(xs[1:12], (a, b) -> a + b) / 12.0) / 12.0 AS b0,
+            xs
+          FROM arrs
+        ),
+        st AS (
+          SELECT nation, CAST(12 AS BIGINT) AS i, l0 AS l, b0 AS b,
+            list_transform(range(1, 13), j -> xs[j] - l0) AS s
+          FROM ini
+          UNION ALL
+          SELECT st.nation, st.i + 1,
+            0.5 * (p.x - st.s[CAST(st.i % 12 + 1 AS INT)])
+              + 0.5 * (st.l + st.b),
+            0.25 * ((0.5 * (p.x - st.s[CAST(st.i % 12 + 1 AS INT)])
+                     + 0.5 * (st.l + st.b)) - st.l)
+              + 0.75 * st.b,
+            list_transform(range(1, 13), j -> CASE
+              WHEN j = CAST(st.i % 12 + 1 AS INT)
+              THEN 0.25 * (p.x
+                  - (0.5 * (p.x - st.s[CAST(st.i % 12 + 1 AS INT)])
+                     + 0.5 * (st.l + st.b)))
+                + 0.75 * st.s[CAST(st.i % 12 + 1 AS INT)]
+              ELSE st.s[j] END)
+          FROM st JOIN pts p
+            ON p.nation = st.nation AND p.i = st.i + 1
+        )
+        SELECT st.nation, arrs.n,
+          CAST(floor(st.l * 1000000.0) AS BIGINT) AS level_micro,
+          CAST(floor(st.b * 1000000.0) AS BIGINT) AS trend_micro,
+          CAST(floor(st.s[CAST(arrs.n % 12 + 1 AS INT)] * 1000000.0)
+            AS BIGINT) AS season_next_micro,
+          CAST(floor((st.l + st.b
+              + st.s[CAST(arrs.n % 12 + 1 AS INT)]) * 1000000.0)
+            AS BIGINT) AS forecast_micro
+        FROM st JOIN arrs ON st.nation = arrs.nation AND st.i = arrs.n
+    """
+    oracles["wilson_ci"] = """
+        WITH agg AS (
+          SELECT event_type,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS successes
+          FROM events GROUP BY 1
+        )
+        SELECT event_type, n, successes,
+          CAST(floor(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+            * 1000000.0) AS BIGINT) AS p_micro,
+          CAST(floor((
+            (CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+              + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE)))
+            / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE))
+            - 1.96 * sqrt(
+                CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+                * (1.0 - CAST(successes AS DOUBLE) / CAST(n AS DOUBLE))
+                / CAST(n AS DOUBLE)
+                + 1.96 * 1.96
+                  / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+              / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE))
+          ) * 1000000.0) AS BIGINT) AS lo_micro,
+          CAST(floor((
+            (CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+              + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE)))
+            / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE))
+            + 1.96 * sqrt(
+                CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+                * (1.0 - CAST(successes AS DOUBLE) / CAST(n AS DOUBLE))
+                / CAST(n AS DOUBLE)
+                + 1.96 * 1.96
+                  / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+              / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE))
+          ) * 1000000.0) AS BIGINT) AS hi_micro
+        FROM agg
     """
     oracles["dup_cluster_sizes"] = r"""
         WITH clusters AS (

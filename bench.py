@@ -164,6 +164,8 @@ PIPELINE = [
     "auc_balance",
     "calibration_bins",
     "cuped_spend",
+    "holt_winters",
+    "wilson_ci",
 ]
 
 

@@ -1516,3 +1516,166 @@ def calibration_bins(
             * F.lit(1_000_000.0)
         ).cast("long").alias("frac_pos_micro"),
     )
+
+
+def holt_winters(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    period: int,
+    alpha: float = 0.5,
+    beta: float = 0.2,
+    gamma: float = 0.3,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing per series — the
+    level+trend+season forecaster ``holt_linear`` (stats.py:708) can't
+    be: a trending series with a repeating period-``m`` pattern
+    (weekly traffic, monthly revenue) needs the seasonal component or
+    the forecast rides the last season's noise:
+
+        l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ(x_t − l_t) + (1−γ)·s_{t−m}
+
+    initialized l = mean(period 1), b = (mean(period 2) − mean(period
+    1))/m, s_j = x_j − l (the standard two-period init); the fold runs
+    t = m+1..n. Keys with n < 2m drop (init needs two full periods).
+
+    Exactness (the holt_linear discipline): the recursion is
+    inherently sequential, so determinism comes from ORDER + IDENTICAL
+    IEEE ops — the fold runs over the sort_array-ed series with the
+    full seasonal array carried IN the fold state, every step the same
+    fixed-order double expression the oracle's recursive CTE computes
+    (the oracle carries the seasonal LIST through the recursion the
+    same way). Results micro-floored only at the end.
+
+    Shape: ONE partial-agg groupBy collecting each key's bounded
+    series; the fold is a per-row ``aggregate`` HOF — no window, no
+    iteration-by-join, no driver loop. State is m+3 doubles per key.
+
+    Returns (key, n, level_micro, trend_micro, season_next_micro,
+    forecast_micro) — forecast = l + b + s_{next slot}.
+    """
+    if period < 2:
+        raise ValueError(f"period must be >= 2 (got {period})")
+    for nm, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+        if not 0.0 < v <= 1.0:
+            raise ValueError(f"{nm} must be in (0, 1] (got {v})")
+    m = period
+    a_, b_, g_ = F.lit(float(alpha)), F.lit(float(beta)), F.lit(float(gamma))
+    oa, ob, og = F.lit(1.0 - alpha), F.lit(1.0 - beta), F.lit(1.0 - gamma)
+    series = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("t"),
+                    F.col(value_col).cast("double").alias("x"),
+                )
+            )
+        ).alias("__arr"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).filter(F.col("n") >= 2 * m)
+    xs = F.transform(F.col("__arr"), lambda p: p["x"])
+
+    def fsum(arr: Column) -> Column:
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    md = F.lit(float(m))
+    l0 = fsum(F.slice(xs, 1, m)) / md
+    b0 = (fsum(F.slice(xs, m + 1, m)) / md - l0) / md
+    s0 = F.transform(
+        F.sequence(F.lit(1), F.lit(m)),
+        lambda j: F.element_at(xs, j.cast("int")) - l0,
+    )
+    init = F.struct(
+        l0.alias("l"), b0.alias("b"), s0.alias("s"),
+        F.lit(m).cast("long").alias("i"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        slot = (acc["i"] % m + 1).cast("int")
+        sm = F.element_at(acc["s"], slot)
+        lp = a_ * (x - sm) + oa * (acc["l"] + acc["b"])
+        bp = b_ * (lp - acc["l"]) + ob * acc["b"]
+        sp = F.transform(
+            F.sequence(F.lit(1), F.lit(m)),
+            lambda j: F.when(
+                j == slot, g_ * (x - lp) + og * sm
+            ).otherwise(F.element_at(acc["s"], j.cast("int"))),
+        )
+        return F.struct(
+            lp.alias("l"), bp.alias("b"), sp.alias("s"),
+            (acc["i"] + 1).alias("i"),
+        )
+
+    rest = F.slice(xs, m + 1, F.size(xs) - m)
+    state = F.aggregate(rest, init, step)
+    micro = F.lit(1_000_000.0)
+    next_slot = (F.col("n") % m + 1).cast("int")
+    out = series.select(
+        F.col("__k").alias(key_col),
+        "n",
+        state.alias("__st"),
+    ).select(
+        key_col,
+        "n",
+        F.floor(F.col("__st.l") * micro).cast("long").alias("level_micro"),
+        F.floor(F.col("__st.b") * micro).cast("long").alias("trend_micro"),
+        F.floor(F.element_at(F.col("__st.s"), next_slot) * micro)
+        .cast("long").alias("season_next_micro"),
+        F.floor(
+            (F.col("__st.l") + F.col("__st.b")
+             + F.element_at(F.col("__st.s"), next_slot)) * micro
+        ).cast("long").alias("forecast_micro"),
+    )
+    return out
+
+
+def wilson_ci(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Wilson score confidence interval for a proportion, per group —
+    the CI that behaves at the extremes (the Wald interval collapses
+    to zero width at p̂ = 0 or 1 and escapes [0, 1]; Wilson stays
+    honest, which is why it's the default for conversion funnels and
+    pass rates):
+
+        center = (p̂ + z²/2n) / (1 + z²/n)
+        half   = z·sqrt(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+
+    Exactness: successes/trials are exact integers from one partial
+    agg; the bounds are ONE fixed fp64 expression tree over them,
+    micro-floored. Groups with n = 0 cannot occur (no rows, no group);
+    z is a caller-supplied literal parsing to the same double in both
+    engines.
+
+    Returns (group, n, successes, p_micro, lo_micro, hi_micro).
+    """
+    if z <= 0:
+        raise ValueError(f"z must be > 0 (got {z})")
+    zd = F.lit(float(z))
+    agg = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(success_col).cast("boolean").cast("long"))
+        .cast("long").alias("successes"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("successes").cast("double") / n
+    z2 = zd * zd
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (F.lit(2.0) * n)) / denom
+    half = zd * F.sqrt(
+        p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n)
+    ) / denom
+    micro = F.lit(1_000_000.0)
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n", "successes",
+        F.floor(p * micro).cast("long").alias("p_micro"),
+        F.floor((center - half) * micro).cast("long").alias("lo_micro"),
+        F.floor((center + half) * micro).cast("long").alias("hi_micro"),
+    )

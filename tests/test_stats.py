@@ -896,3 +896,94 @@ def test_calibration_bins_matches_python(spark):
     assert got == want
     with pytest.raises(ValueError):
         st.calibration_bins(df, "s", "y", bins=0)
+
+
+# --- holt_winters ---------------------------------------------------------
+
+
+def _hw_python(xs, m, a, b, g):
+    import math
+
+    l = sum(xs[:m]) / float(m)
+    bb = (sum(xs[m : 2 * m]) / float(m) - l) / float(m)
+    s = [x - l for x in xs[:m]]
+    i = m
+    for x in xs[m:]:
+        slot = i % m  # 0-based
+        sm = s[slot]
+        lp = a * (x - sm) + (1.0 - a) * (l + bb)
+        bp = b * (lp - l) + (1.0 - b) * bb
+        s[slot] = g * (x - lp) + (1.0 - g) * sm
+        l, bb, i = lp, bp, i + 1
+    nxt = s[len(xs) % m]
+    return (
+        math.floor(l * 1e6), math.floor(bb * 1e6),
+        math.floor(nxt * 1e6), math.floor((l + bb + nxt) * 1e6),
+    )
+
+
+def test_holt_winters_matches_python(spark):
+    m = 4
+    xs = [10.0, 20.0, 30.0, 15.0,
+          12.0, 23.0, 33.0, 18.0,
+          15.0, 26.0, 35.0, 20.0, 17.0, 28.0]
+    rows = [("k", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, t long, x double")
+    [r] = st.holt_winters(df, "k", "t", "x", period=m).collect()
+    want = _hw_python(xs, m, 0.5, 0.2, 0.3)
+    assert (r["level_micro"], r["trend_micro"],
+            r["season_next_micro"], r["forecast_micro"]) == want
+    assert r["n"] == len(xs)
+
+
+def test_holt_winters_pure_seasonal_signal(spark):
+    # exact period-3 pattern, zero trend: forecast reproduces the
+    # pattern closely and trend stays near zero
+    pat = [100.0, 200.0, 300.0]
+    xs = pat * 6
+    rows = [("k", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, t long, x double")
+    [r] = st.holt_winters(df, "k", "t", "x", period=3).collect()
+    assert abs(r["trend_micro"]) < 2_000_000  # |b| < 2 units
+    # next slot after 18 points is the '100' phase: forecast ~100
+    assert 80_000_000 < r["forecast_micro"] < 120_000_000
+
+
+def test_holt_winters_short_series_drops_and_validates(spark):
+    rows = [("k", i, float(i)) for i in range(7)]  # n=7 < 2m=8
+    df = spark.createDataFrame(rows, "k string, t long, x double")
+    assert st.holt_winters(df, "k", "t", "x", period=4).count() == 0
+    with pytest.raises(ValueError):
+        st.holt_winters(df, "k", "t", "x", period=1)
+    with pytest.raises(ValueError):
+        st.holt_winters(df, "k", "t", "x", period=4, alpha=0.0)
+
+
+# --- wilson_ci ------------------------------------------------------------
+
+
+def test_wilson_ci_matches_python(spark):
+    import math
+
+    rows = [("g1", v) for v in [True] * 7 + [False] * 3] + [
+        ("g2", v) for v in [True] * 1 + [False] * 0
+    ]
+    df = spark.createDataFrame(rows, "g string, ok boolean")
+    got = {r["g"]: (r["n"], r["successes"], r["p_micro"],
+                    r["lo_micro"], r["hi_micro"])
+           for r in st.wilson_ci(df, "g", "ok").collect()}
+    want = {}
+    for g, n, k in (("g1", 10, 7), ("g2", 1, 1)):
+        z = 1.96
+        p = k / n
+        z2 = z * z
+        den = 1.0 + z2 / n
+        c = (p + z2 / (2.0 * n)) / den
+        h = z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)) / den
+        want[g] = (n, k, math.floor(p * 1e6),
+                   math.floor((c - h) * 1e6), math.floor((c + h) * 1e6))
+    assert got == want
+    # Wilson stays inside [0, 1] even at p̂ = 1
+    assert 0 <= got["g2"][3] and got["g2"][4] <= 1_000_000
+    with pytest.raises(ValueError):
+        st.wilson_ci(df, "g", "ok", z=0.0)
