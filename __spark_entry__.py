@@ -1717,30 +1717,9 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed oracle."""
     from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
 
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    horizon = orders.groupBy().agg(F.max("o_orderdate").alias("__h"))
-    subjects = (
-        orders.join(
-            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
-            F.col("o_custkey") == F.col("c_custkey"),
-        )
-        .select(
-            F.col("c_mktsegment").alias("segment"),
-            F.col("o_orderdate"),
-            F.lead("o_orderdate").over(w).alias("__nxt"),
-        )
-        .join(F.broadcast(horizon))
-        .select(
-            "segment",
-            F.datediff(
-                F.coalesce(F.col("__nxt"), F.col("__h")), F.col("o_orderdate")
-            ).alias("dur"),
-            F.col("__nxt").isNotNull().alias("ev"),
-        )
+    return st.kaplan_meier(
+        _repurchase_subjects(spark, sf_dir), "segment", "dur", "ev"
     )
-    return st.kaplan_meier(subjects, "segment", "dur", "ev")
 
 
 def q_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1983,6 +1962,71 @@ def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"), (F.col("value") > 100.0).alias("hit")
     )
     return st.wilson_ci(flagged, "event_type", "hit")
+
+
+def _repurchase_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(segment, dur, ev) time-to-repurchase subjects — shared by the
+    kaplan_meier and survival_summary gate queries."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    horizon = orders.groupBy().agg(F.max("o_orderdate").alias("__h"))
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderdate"),
+            F.lead("o_orderdate").over(w).alias("__nxt"),
+        )
+        .join(F.broadcast(horizon))
+        .select(
+            "segment",
+            F.datediff(
+                F.coalesce(F.col("__nxt"), F.col("__h")), F.col("o_orderdate")
+            ).alias("dur"),
+            F.col("__nxt").isNotNull().alias("ev"),
+        )
+    )
+
+
+def q_survival_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median survival + RMST per segment (operators.stats.
+    survival_summary) over the time-to-repurchase curve — the two
+    numbers the kaplan_meier curve is read for; the RMST integral is
+    pure integer products over the (group, t) aggregate."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    return st.survival_summary(
+        _repurchase_subjects(spark, sf_dir), "segment", "dur", "ev"
+    )
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson matrix over four lineitem measures in ONE scan
+    (operators.stats.corr_matrix): 14 DECIMAL moments, six pair rows,
+    each r one fp64 chain — the feature-redundancy screen."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return st.corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for event_type × hour-of-day (operators.stats.
+    cramers_v): the [0,1] association strength the chi_square cell
+    table doesn't aggregate — per-cell (O−E)²/E micro-quantized at
+    birth, integer-summed, one final sqrt."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("int").alias("hour_bucket")
+    )
+    return st.cramers_v(ev, "event_type", "hour_bucket")
 
 
 def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5181,6 +5225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_spend": q_cuped_spend,
         "holt_winters": q_holt_winters,
         "wilson_ci": q_wilson_ci,
+        "survival_summary": q_survival_summary,
+        "corr_matrix": q_corr_matrix,
+        "cramers_v": q_cramers_v,
         "accuracy": q_accuracy,
         "score_confusion": q_score_confusion,
         "similarity_topk": q_similarity_topk,
@@ -10603,6 +10650,162 @@ def oracle_sql() -> dict[str, str]:
               + st.s[CAST(arrs.n % 12 + 1 AS INT)]) * 1000000.0)
             AS BIGINT) AS forecast_micro
         FROM st JOIN arrs ON st.nation = arrs.nation AND st.i = arrs.n
+    """
+    oracles["survival_summary"] = """
+        WITH h AS (SELECT MAX(o_orderdate) AS hz FROM orders),
+        base AS (
+          SELECT c.c_mktsegment AS segment, o.o_orderdate,
+            LEAD(o.o_orderdate) OVER (
+              PARTITION BY o.o_custkey
+              ORDER BY o.o_orderdate, o.o_orderkey) AS nxt
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        r AS (
+          SELECT segment,
+            CAST(datediff('day', o_orderdate,
+              COALESCE(nxt, (SELECT hz FROM h))) AS BIGINT) AS t,
+            (nxt IS NOT NULL) AS e
+          FROM base
+        ),
+        per_t AS (
+          SELECT segment, t,
+            CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+            CAST(SUM(CASE WHEN e THEN 0 ELSE 1 END) AS BIGINT) AS c
+          FROM r GROUP BY 1, 2
+        ),
+        staged AS (
+          SELECT segment, t, d, c,
+            CAST(SUM(d + c) OVER (PARTITION BY segment)
+              - COALESCE(SUM(d + c) OVER (
+                  PARTITION BY segment ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n
+          FROM per_t
+        ),
+        lf AS (
+          SELECT segment, t,
+            CAST(CASE WHEN d < n THEN floor(
+              ln(1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0)
+            ELSE -1000000000000 END AS BIGINT) AS lfm
+          FROM staged
+        ),
+        km AS (
+          SELECT segment, t,
+            CAST(floor(exp(CAST(SUM(lfm) OVER (
+              PARTITION BY segment ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) / 1000000.0) * 1000000.0) AS BIGINT) AS sm
+          FROM lf
+        ),
+        seg AS (
+          SELECT segment, t, sm,
+            LEAD(t) OVER (PARTITION BY segment ORDER BY t) AS nt,
+            ROW_NUMBER() OVER (PARTITION BY segment ORDER BY t) AS rn
+          FROM km
+        )
+        SELECT segment,
+          CAST(MAX(t) AS BIGINT) AS horizon,
+          CAST(COALESCE(MIN(CASE WHEN sm <= 500000 THEN t END), -1)
+            AS BIGINT) AS median_t,
+          CAST(SUM(
+            CASE WHEN rn = 1 THEN t * 1000000 ELSE 0 END
+            + CASE WHEN nt IS NOT NULL THEN sm * (nt - t) ELSE 0 END)
+            AS BIGINT) AS rmst_micro
+        FROM seg GROUP BY 1
+    """
+    oracles["corr_matrix"] = """
+        WITH r AS (
+          SELECT CAST(round(l_quantity * 100) AS BIGINT) AS v0,
+            CAST(round(l_extendedprice * 100) AS BIGINT) AS v1,
+            CAST(round(l_discount * 100) AS BIGINT) AS v2,
+            CAST(round(l_tax * 100) AS BIGINT) AS v3
+          FROM lineitem
+        ),
+        m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(v0 AS HUGEINT)) AS s0, SUM(CAST(v1 AS HUGEINT)) AS s1,
+            SUM(CAST(v2 AS HUGEINT)) AS s2, SUM(CAST(v3 AS HUGEINT)) AS s3,
+            SUM(CAST(v0 AS HUGEINT) * CAST(v0 AS HUGEINT)) AS q0,
+            SUM(CAST(v1 AS HUGEINT) * CAST(v1 AS HUGEINT)) AS q1,
+            SUM(CAST(v2 AS HUGEINT) * CAST(v2 AS HUGEINT)) AS q2,
+            SUM(CAST(v3 AS HUGEINT) * CAST(v3 AS HUGEINT)) AS q3,
+            SUM(CAST(v0 AS HUGEINT) * CAST(v1 AS HUGEINT)) AS c01,
+            SUM(CAST(v0 AS HUGEINT) * CAST(v2 AS HUGEINT)) AS c02,
+            SUM(CAST(v0 AS HUGEINT) * CAST(v3 AS HUGEINT)) AS c03,
+            SUM(CAST(v1 AS HUGEINT) * CAST(v2 AS HUGEINT)) AS c12,
+            SUM(CAST(v1 AS HUGEINT) * CAST(v3 AS HUGEINT)) AS c13,
+            SUM(CAST(v2 AS HUGEINT) * CAST(v3 AS HUGEINT)) AS c23
+          FROM r
+        ),
+        pairs(col_x, col_y, sx, qx, sy, qy, cxy) AS (
+          SELECT 'l_quantity', 'l_extendedprice', s0, q0, s1, q1, c01 FROM m
+          UNION ALL
+          SELECT 'l_quantity', 'l_discount', s0, q0, s2, q2, c02 FROM m
+          UNION ALL
+          SELECT 'l_quantity', 'l_tax', s0, q0, s3, q3, c03 FROM m
+          UNION ALL
+          SELECT 'l_extendedprice', 'l_discount', s1, q1, s2, q2, c12 FROM m
+          UNION ALL
+          SELECT 'l_extendedprice', 'l_tax', s1, q1, s3, q3, c13 FROM m
+          UNION ALL
+          SELECT 'l_discount', 'l_tax', s2, q2, s3, q3, c23 FROM m
+        )
+        SELECT col_x, col_y, m.n,
+          CAST(floor(
+            (CAST(m.n AS DOUBLE) * CAST(cxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / sqrt(
+              (CAST(m.n AS DOUBLE) * CAST(qx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(m.n AS DOUBLE) * CAST(qy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+            * 1000000.0) AS BIGINT) AS corr_micro
+        FROM pairs CROSS JOIN m
+        WHERE CAST(m.n AS DOUBLE) * CAST(qx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+          AND CAST(m.n AS DOUBLE) * CAST(qy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+    """
+    oracles["cramers_v"] = """
+        WITH cells AS (
+          SELECT event_type AS x, CAST(hour(ts) AS INT) AS y,
+            CAST(COUNT(*) AS BIGINT) AS o
+          FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        staged AS (
+          SELECT o,
+            CAST(SUM(o) OVER (PARTITION BY x) AS BIGINT) AS rx,
+            CAST(SUM(o) OVER (PARTITION BY y) AS BIGINT) AS cy,
+            CAST(SUM(o) OVER () AS BIGINT) AS n,
+            x, y
+          FROM cells
+        ),
+        agg AS (
+          SELECT MAX(n) AS n,
+            CAST(COUNT(DISTINCT x) AS BIGINT) AS n_rows_x,
+            CAST(COUNT(DISTINCT y) AS BIGINT) AS n_cols_y,
+            CAST(SUM(CAST(floor(
+              (CAST(o AS DOUBLE)
+                - CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+              * (CAST(o AS DOUBLE)
+                - CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+              / (CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+              * 1000000.0) AS BIGINT)) AS BIGINT) AS chi2_micro
+          FROM staged
+        )
+        SELECT n, n_rows_x, n_cols_y, chi2_micro,
+          CAST(floor(sqrt(
+            CAST(chi2_micro AS DOUBLE) / 1000000.0
+            / (CAST(n AS DOUBLE)
+               * (CAST(least(n_rows_x, n_cols_y) AS DOUBLE) - 1.0)))
+            * 1000000.0) AS BIGINT) AS v_micro
+        FROM agg
+        WHERE n_rows_x >= 2 AND n_cols_y >= 2
     """
     oracles["wilson_ci"] = """
         WITH agg AS (

@@ -166,6 +166,9 @@ PIPELINE = [
     "cuped_spend",
     "holt_winters",
     "wilson_ci",
+    "survival_summary",
+    "corr_matrix",
+    "cramers_v",
 ]
 
 

@@ -1679,3 +1679,179 @@ def wilson_ci(
         F.floor((center - half) * micro).cast("long").alias("lo_micro"),
         F.floor((center + half) * micro).cast("long").alias("hi_micro"),
     )
+
+
+def survival_summary(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Median survival time and restricted mean survival time (RMST)
+    per group — the two numbers a Kaplan-Meier curve is usually read
+    for (how long does the TYPICAL subject last; how much lifetime is
+    accrued up to the horizon), computed from the ``kaplan_meier``
+    (stats.py) curve itself:
+
+        median = min t with S(t) <= 1/2   (−1 if the curve never
+                 drops that far — the documented sentinel, since a
+                 NULL would poison the hash gate)
+        RMST(τ) = ∫₀^τ S(t) dt,  τ = the group's last observed time
+                 = t₁·1 + Σᵢ S(tᵢ)·(tᵢ₊₁ − tᵢ)   (S = 1 before t₁)
+
+    Exactness: the integral is a sum of integer products
+    surv_micro × Δt (micro-day units) over the (group, t) aggregate —
+    pure integers end to end; the median is an integer min over a
+    filtered aggregate.
+
+    Returns (group, horizon, median_t, rmst_micro).
+    """
+    km = kaplan_meier(df, group_col, duration_col, event_col)
+    w = Window.partitionBy(group_col).orderBy("t")
+    staged = km.select(
+        group_col, "t", "surv_micro",
+        F.lead("t").over(w).alias("__nt"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    # S = 1 on [0, t1): contribute 1e6·t1 once per group via the first row
+    seg = F.when(
+        F.col("__rn") == 1, F.col("t") * F.lit(1_000_000)
+    ).otherwise(F.lit(0)) + F.when(
+        F.col("__nt").isNotNull(),
+        F.col("surv_micro") * (F.col("__nt") - F.col("t")),
+    ).otherwise(F.lit(0))
+    med = F.min(
+        F.when(F.col("surv_micro") <= 500_000, F.col("t"))
+    )
+    return staged.groupBy(group_col).agg(
+        F.max("t").cast("long").alias("horizon"),
+        F.coalesce(med, F.lit(-1)).cast("long").alias("median_t"),
+        F.sum(seg).cast("long").alias("rmst_micro"),
+    )
+
+
+def corr_matrix(df: DataFrame, cols: list) -> DataFrame:
+    """Pairwise Pearson correlation matrix over ``cols`` in ONE scan —
+    the feature-redundancy screen run before any modeling: all
+    k·(k−1)/2 pairs from a single partial-agg pass of k(k+3)/2 DECIMAL
+    moments (the corr_stats discipline widened to a matrix; a naive
+    per-pair F.corr would scan the table k²/2 times AND be
+    summation-order-dependent).
+
+    Exactness: values cents-quantize at birth; every moment is
+    DECIMAL(38,0)-exact; each pair's r is one fixed fp64 expression,
+    micro-floored. Pairs where either side has zero variance drop.
+
+    Returns (col_x, col_y, n, corr_micro), one row per unordered pair
+    (x before y in the given column order).
+    """
+    if len(cols) < 2:
+        raise ValueError(f"need >= 2 cols (got {len(cols)})")
+    dec = "decimal(38,0)"
+    proj = df.select(
+        *[
+            F.round(F.col(c) * 100).cast("long").cast(dec).alias(f"__v{i}")
+            for i, c in enumerate(cols)
+        ]
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i in range(len(cols)):
+        aggs.append(F.sum(f"__v{i}").cast(dec).alias(f"__s{i}"))
+        aggs.append(
+            F.sum(F.col(f"__v{i}") * F.col(f"__v{i}")).cast(dec)
+            .alias(f"__q{i}")
+        )
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            aggs.append(
+                F.sum(F.col(f"__v{i}") * F.col(f"__v{j}")).cast(dec)
+                .alias(f"__c{i}_{j}")
+            )
+    m = proj.groupBy().agg(*aggs)
+    n = F.col("n").cast("double")
+    pair_structs = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            si, sj = F.col(f"__s{i}").cast("double"), F.col(f"__s{j}").cast("double")
+            qi, qj = F.col(f"__q{i}").cast("double"), F.col(f"__q{j}").cast("double")
+            cij = F.col(f"__c{i}_{j}").cast("double")
+            vx = n * qi - si * si
+            vy = n * qj - sj * sj
+            r = (n * cij - si * sj) / F.sqrt(vx * vy)
+            pair_structs.append(
+                F.struct(
+                    F.lit(cols[i]).alias("col_x"),
+                    F.lit(cols[j]).alias("col_y"),
+                    F.when(
+                        (vx > 0) & (vy > 0),
+                        F.floor(r * F.lit(1_000_000.0)).cast("long"),
+                    ).alias("corr_micro"),
+                )
+            )
+    exploded = m.select(
+        "n", F.explode(F.array(*pair_structs)).alias("__p")
+    )
+    return exploded.filter(F.col("__p.corr_micro").isNotNull()).select(
+        F.col("__p.col_x").alias("col_x"),
+        F.col("__p.col_y").alias("col_y"),
+        "n",
+        F.col("__p.corr_micro").alias("corr_micro"),
+    )
+
+
+def cramers_v(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Cramér's V association strength for two categoricals — the
+    [0, 1]-normalized χ² ("IS there a relationship, and how strong"),
+    the single number the contingency-cell table
+    (relational.contingency_cells) doesn't give you:
+
+        V = sqrt( χ² / (n · (min(r, c) − 1)) )
+
+    Exactness: cell/marginal counts are exact integers; each cell's
+    (O − E)²/E is ONE fixed fp64 expression over them, micro-quantized
+    AT BIRTH and integer-summed (the order-independent cross-cell
+    reduction — a raw float Σ would be partition-order-dependent);
+    V is one final fp64 chain. NULL categories drop; degenerate
+    tables (r < 2 or c < 2) emit nothing.
+
+    Shape: one (x, y) cell aggregate; marginals as windows over the
+    cells (bounded by the category-domain product, never rows).
+
+    Returns one row (n, n_rows_x, n_cols_y, chi2_micro, v_micro).
+    """
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__o"))
+    )
+    wx = Window.partitionBy("__x")
+    wy = Window.partitionBy("__y")
+    wall = Window.partitionBy()
+    staged = cells.select(
+        "__x", "__y", "__o",
+        F.sum("__o").over(wx).cast("long").alias("__rx"),
+        F.sum("__o").over(wy).cast("long").alias("__cy"),
+        F.sum("__o").over(wall).cast("long").alias("__n"),
+    )
+    e = (
+        F.col("__rx").cast("double")
+        * F.col("__cy").cast("double")
+        / F.col("__n").cast("double")
+    )
+    o = F.col("__o").cast("double")
+    term = F.floor((o - e) * (o - e) / e * F.lit(1_000_000.0)).cast("long")
+    agg = staged.groupBy().agg(
+        F.first("__n").alias("n"),
+        F.countDistinct("__x").cast("long").alias("n_rows_x"),
+        F.countDistinct("__y").cast("long").alias("n_cols_y"),
+        F.sum(term).cast("long").alias("chi2_micro"),
+    ).filter((F.col("n_rows_x") >= 2) & (F.col("n_cols_y") >= 2))
+    nd = F.col("n").cast("double")
+    k = F.least(F.col("n_rows_x"), F.col("n_cols_y")).cast("double") - F.lit(1.0)
+    v = F.sqrt(
+        F.col("chi2_micro").cast("double") / F.lit(1_000_000.0) / (nd * k)
+    )
+    return agg.select(
+        "n", "n_rows_x", "n_cols_y", "chi2_micro",
+        F.floor(v * F.lit(1_000_000.0)).cast("long").alias("v_micro"),
+    )

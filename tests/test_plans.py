@@ -242,6 +242,9 @@ _INTENTIONAL_LINT = {
     # woe_iv — same shape as mutual_information: the pos/neg totals are
     #   windows over the CATEGORY cells, bounded by the category domain
     "woe_iv": {"global-window"},
+    # cramers_v — same shape again: the grand-total window runs over
+    #   the contingency CELLS (category-domain product), never rows
+    "cramers_v": {"global-window"},
     # heaps_law — the growth-curve cumsum runs over the BUCKET rollup,
     #   <= n_buckets (default 256) rows by construction, never the doc
     #   count; pinned by test_heaps_law_bucketing_caps_curve_points

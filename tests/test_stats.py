@@ -987,3 +987,113 @@ def test_wilson_ci_matches_python(spark):
     assert 0 <= got["g2"][3] and got["g2"][4] <= 1_000_000
     with pytest.raises(ValueError):
         st.wilson_ci(df, "g", "ok", z=0.0)
+
+
+# --- survival_summary -----------------------------------------------------
+
+
+def test_survival_summary_matches_km_integral(spark):
+    subjects = [
+        (1, True), (2, True), (2, False), (3, True), (4, False),
+        (5, True), (5, True), (6, False),
+    ]
+    rows = [("g", t, e) for t, e in subjects]
+    df = spark.createDataFrame(rows, "g string, dur long, ev boolean")
+    km = {r["t"]: r["surv_micro"]
+          for r in st.kaplan_meier(df, "g", "dur", "ev").collect()}
+    [r] = st.survival_summary(df, "g", "dur", "ev").collect()
+    ts = sorted(km)
+    rmst = ts[0] * 1_000_000 + sum(
+        km[ts[i]] * (ts[i + 1] - ts[i]) for i in range(len(ts) - 1)
+    )
+    med = min((t for t in ts if km[t] <= 500_000), default=-1)
+    assert (r["horizon"], r["median_t"], r["rmst_micro"]) == (ts[-1], med, rmst)
+
+
+def test_survival_summary_all_censored_median_sentinel(spark):
+    rows = [("g", t, False) for t in (3, 7, 9)]
+    df = spark.createDataFrame(rows, "g string, dur long, ev boolean")
+    [r] = st.survival_summary(df, "g", "dur", "ev").collect()
+    # S stays 1.0 -> median never reached -> sentinel; RMST = horizon
+    assert r["median_t"] == -1
+    assert r["rmst_micro"] == 9 * 1_000_000
+
+
+# --- corr_matrix ----------------------------------------------------------
+
+
+def test_corr_matrix_matches_python(spark):
+    import math
+
+    data = [
+        (1.0, 2.0, 5.0), (2.0, 4.1, 4.0), (3.0, 5.9, 3.0), (4.0, 8.2, 2.0),
+    ]
+    df = spark.createDataFrame(data, "a double, b double, c double")
+    got = {(r["col_x"], r["col_y"]): r["corr_micro"]
+           for r in st.corr_matrix(df, ["a", "b", "c"]).collect()}
+    cols = list(zip(*[[round(v * 100) for v in row] for row in data]))
+    n = len(data)
+
+    def corr(xi, xj):
+        si, sj = sum(xi), sum(xj)
+        qi = sum(v * v for v in xi)
+        qj = sum(v * v for v in xj)
+        cij = sum(a * b for a, b in zip(xi, xj))
+        return math.floor(
+            (n * cij - si * sj)
+            / math.sqrt(float(n * qi - si * si) * float(n * qj - sj * sj))
+            * 1e6
+        )
+
+    assert got == {
+        ("a", "b"): corr(cols[0], cols[1]),
+        ("a", "c"): corr(cols[0], cols[2]),
+        ("b", "c"): corr(cols[1], cols[2]),
+    }
+    assert got[("a", "c")] == -1_000_000  # perfectly anti-correlated
+    with pytest.raises(ValueError):
+        st.corr_matrix(df, ["a"])
+
+
+def test_corr_matrix_constant_column_drops_its_pairs(spark):
+    data = [(1.0, 5.0, 2.0), (2.0, 5.0, 4.0), (3.0, 5.0, 6.0)]
+    df = spark.createDataFrame(data, "a double, k double, b double")
+    got = {(r["col_x"], r["col_y"]) for r in
+           st.corr_matrix(df, ["a", "k", "b"]).collect()}
+    assert got == {("a", "b")}
+
+
+# --- cramers_v ------------------------------------------------------------
+
+
+def test_cramers_v_matches_python(spark):
+    import math
+    from collections import Counter
+
+    rows = (
+        [("a", "x")] * 8 + [("a", "y")] * 2
+        + [("b", "x")] * 3 + [("b", "y")] * 7
+    )
+    df = spark.createDataFrame(rows, "u string, v string")
+    [r] = st.cramers_v(df, "u", "v").collect()
+    cells = Counter(rows)
+    n = len(rows)
+    rx = Counter(u for u, _ in rows)
+    cy = Counter(v for _, v in rows)
+    chi2m = sum(
+        math.floor((o - rx[u] * cy[v] / n) ** 2 / (rx[u] * cy[v] / n) * 1e6)
+        for (u, v), o in cells.items()
+    )
+    vstat = math.sqrt(chi2m / 1e6 / (n * (min(len(rx), len(cy)) - 1)))
+    assert (r["n"], r["n_rows_x"], r["n_cols_y"]) == (n, 2, 2)
+    assert r["chi2_micro"] == chi2m
+    assert r["v_micro"] == math.floor(vstat * 1e6)
+
+
+def test_cramers_v_independent_near_zero_and_degenerate(spark):
+    rows = [("a", "x")] * 6 + [("a", "y")] * 6 + [("b", "x")] * 3 + [("b", "y")] * 3
+    df = spark.createDataFrame(rows, "u string, v string")
+    [r] = st.cramers_v(df, "u", "v").collect()
+    assert r["v_micro"] == 0  # exactly proportional cells
+    one_col = spark.createDataFrame([("a", "x"), ("b", "x")], "u string, v string")
+    assert st.cramers_v(one_col, "u", "v").count() == 0
