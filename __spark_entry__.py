@@ -2029,6 +2029,36 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.cramers_v(ev, "event_type", "hour_bucket")
 
 
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the bipartite supplier↔part supply
+    graph (operators.graph.assortativity, suppliers as negative ids —
+    the bfs_supply_chain convention): do high-degree suppliers supply
+    high-degree parts? Exact integer degrees, DECIMAL moments, one
+    fp64 r."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import graph as gr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # -suppkey - 1 keeps suppliers STRICTLY negative: the fixture has
+    # suppkey 0 AND partkey 0, and a bare -suppkey would alias them
+    # into one node (found by the gate: one phantom self-loop)
+    edges = li.select(
+        (-F.col("l_suppkey") - 1).cast("long").alias("src"),
+        F.col("l_partkey").cast("long").alias("dst"),
+    ).distinct()
+    return gr.assortativity(edges)
+
+
+def q_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test across return flags
+    (operators.stats.levene_bf on l_extendedprice): ANOVA on absolute
+    deviations from each group's exact interpolating median — the
+    spread check run before trusting pooled-variance comparisons."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return st.levene_bf(li, "l_returnflag", "l_extendedprice")
+
+
 def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication (operators.dedup.repeated_passages):
     word 8-gram passages recurring in >= 2 distinct documents — the
@@ -4449,11 +4479,14 @@ def q_bfs_supply_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdinsight_pyspark_cntk_integration_spark.operators import graph as gr
 
     li = load_table(spark, sf_dir, "lineitem")
+    # -suppkey - 1 keeps suppliers STRICTLY negative (the fixture has
+    # suppkey 0 and partkey 0; a bare -suppkey aliases them into one
+    # node — same fix as assortativity); supplier 1 is node -2
     edges = li.select(
         F.col("l_partkey").cast("long").alias("src"),
-        (-F.col("l_suppkey")).cast("long").alias("dst"),
+        (-F.col("l_suppkey") - 1).cast("long").alias("dst"),
     )
-    reached = gr.bfs_hops(edges, source=-1, max_hops=3)
+    reached = gr.bfs_hops(edges, source=-2, max_hops=3)
     return reached.groupBy("hop").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum("node").cast("long").alias("node_checksum"),
@@ -5228,6 +5261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_summary": q_survival_summary,
         "corr_matrix": q_corr_matrix,
         "cramers_v": q_cramers_v,
+        "assortativity": q_assortativity,
+        "levene_bf": q_levene_bf,
         "accuracy": q_accuracy,
         "score_confusion": q_score_confusion,
         "similarity_topk": q_similarity_topk,
@@ -8366,12 +8401,12 @@ def oracle_sql() -> dict[str, str]:
         "bfs_supply_chain": """
             WITH e0 AS (
               SELECT DISTINCT CAST(l_partkey AS BIGINT) AS s,
-                              CAST(-l_suppkey AS BIGINT) AS d
+                              CAST(-l_suppkey AS BIGINT) - 1 AS d
               FROM lineitem
             ), e AS (
               SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0
             ), r0 AS (
-              SELECT CAST(-1 AS BIGINT) AS node, CAST(0 AS INTEGER) AS hop
+              SELECT CAST(-2 AS BIGINT) AS node, CAST(0 AS INTEGER) AS hop
             ), f1 AS (
               SELECT e.d AS node, CAST(1 AS INTEGER) AS hop
               FROM r0 JOIN e ON e.s = r0.node WHERE r0.hop = 0
@@ -10806,6 +10841,109 @@ def oracle_sql() -> dict[str, str]:
             * 1000000.0) AS BIGINT) AS v_micro
         FROM agg
         WHERE n_rows_x >= 2 AND n_cols_y >= 2
+    """
+    oracles["assortativity"] = """
+        WITH e0 AS (
+          SELECT DISTINCT -CAST(l_suppkey AS BIGINT) - 1 AS s,
+            CAST(l_partkey AS BIGINT) AS d
+          FROM lineitem
+          WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
+        ),
+        und AS MATERIALIZED (
+          SELECT s, d FROM e0 UNION SELECT d, s FROM e0
+        ),
+        deg AS MATERIALIZED (
+          SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS dg
+          FROM und GROUP BY 1
+        ),
+        pairs AS (
+          SELECT dx.dg AS x, dy.dg AS y
+          FROM und
+          JOIN deg dx ON dx.node = und.s
+          JOIN deg dy ON dy.node = und.d
+        ),
+        m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS np,
+            SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+            SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+            SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+            SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+          FROM pairs
+        ),
+        c AS (
+          SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS n_nodes,
+            CAST(COUNT(*) / 2 AS BIGINT) AS n_edges
+          FROM und
+        )
+        SELECT c.n_nodes, c.n_edges,
+          CAST(floor(
+            (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / sqrt(
+              (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(np AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+            * 1000000.0) AS BIGINT) AS r_micro
+        FROM m CROSS JOIN c
+        WHERE CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+          AND CAST(np AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+    """
+    oracles["levene_bf"] = """
+        WITH r0 AS (
+          SELECT l_returnflag AS g,
+            CAST(round(l_extendedprice * 100) AS BIGINT) AS c0
+          FROM lineitem WHERE l_returnflag IS NOT NULL
+        ),
+        med AS MATERIALIZED (
+          SELECT g, quantile_cont(c0, 0.5) AS m FROM r0 GROUP BY 1
+        ),
+        r AS (
+          SELECT r0.g,
+            CAST(round(abs(CAST(c0 AS DOUBLE) - m) * 100) AS BIGINT) AS c
+          FROM r0 JOIN med USING (g)
+        ),
+        grand AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(c AS HUGEINT)) AS s,
+            SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS q
+          FROM r
+        ),
+        pg AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+            SUM(CAST(c AS HUGEINT)) AS sg
+          FROM r GROUP BY 1
+        ),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k,
+            CAST(SUM(CAST(floor(
+              CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+              / (CAST(ng AS DOUBLE) * CAST(q AS DOUBLE))
+              * 1000000000000.0) AS BIGINT)) AS BIGINT) AS a
+          FROM pg CROSS JOIN grand
+        ),
+        fin AS (
+          SELECT agg.k, grand.n, grand.s, grand.q, agg.a,
+            CAST(floor(
+              CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(q AS DOUBLE))
+              * 1000000000000.0) AS BIGINT) AS b2
+          FROM agg CROSS JOIN grand
+          WHERE agg.k >= 2 AND grand.n > agg.k AND grand.q > 0
+        )
+        SELECT k AS n_groups, n AS n_rows,
+          CAST(a - b2 AS BIGINT) AS ssb_pico,
+          CAST(floor(
+            (CAST(a - b2 AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0))
+            / ((1000000000000.0 - CAST(a AS DOUBLE))
+               / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+            * 1000000.0) AS BIGINT) AS f_micro,
+          CAST(floor(
+            CAST(a - b2 AS DOUBLE) / (1000000000000.0 - CAST(b2 AS DOUBLE))
+            * 1000000.0) AS BIGINT) AS eta2_micro
+        FROM fin
     """
     oracles["wilson_ci"] = """
         WITH agg AS (

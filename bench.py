@@ -169,6 +169,8 @@ PIPELINE = [
     "survival_summary",
     "corr_matrix",
     "cramers_v",
+    "assortativity",
+    "levene_bf",
 ]
 
 

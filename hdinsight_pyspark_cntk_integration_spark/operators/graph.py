@@ -669,3 +669,85 @@ def sssp_weighted(
         )
         frontier = improved
     return dist
+
+
+def assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient of an undirected simple graph
+    — Newman's r: the Pearson correlation of degrees across edge ends
+    ("do hubs link to hubs?"), positive for social-style graphs,
+    negative for hub-and-spoke infrastructure. The single number that
+    summarizes the degree-mixing pattern a degree histogram can't.
+
+    Input edges are symmetrized and de-duplicated (self-loops
+    dropped); each undirected edge contributes BOTH ordered end-pairs
+    (the standard symmetric definition, so r is orientation-free).
+
+    Exactness: degrees are exact integers; the five moments accumulate
+    in DECIMAL(38,0) over the ordered-pair stream; r is ONE fixed fp64
+    expression, micro-floored. Regular graphs (zero degree variance)
+    emit nothing — r is undefined.
+
+    Shape: one degree partial-agg, two node-keyed joins back to the
+    edge list, one moments aggregate — everything hash-partitioned on
+    node ids, nothing broadcast but the final one-row frame.
+
+    Returns one row (n_nodes, n_edges, r_micro) — n_edges counts
+    UNDIRECTED edges.
+    """
+    dec = "decimal(38,0)"
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+        )
+        .filter(
+            F.col("s").isNotNull() & F.col("d").isNotNull()
+            & (F.col("s") != F.col("d"))
+        )
+    )
+    und = (
+        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    pairs = (
+        und.join(deg.select(F.col("node").alias("s"), F.col("deg").alias("__dx")), "s")
+        .join(deg.select(F.col("node").alias("d"), F.col("deg").alias("__dy")), "d")
+        .select(
+            F.col("__dx").cast(dec).alias("__x"),
+            F.col("__dy").cast(dec).alias("__y"),
+        )
+    )
+    m = pairs.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("__np"),
+        F.sum("__x").cast(dec).alias("__sx"),
+        F.sum("__y").cast(dec).alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast(dec).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast(dec).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).cast(dec).alias("__syy"),
+    )
+    counts = und.groupBy().agg(
+        F.countDistinct("s").cast("long").alias("n_nodes"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+    )
+    n = F.col("__np").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    r = (n * sxy - sx * sy) / F.sqrt(vx * vy)
+    return (
+        m.join(F.broadcast(counts))
+        .filter((vx > 0) & (vy > 0))
+        .select(
+            "n_nodes", "n_edges",
+            F.floor(r * F.lit(1_000_000.0)).cast("long").alias("r_micro"),
+        )
+    )

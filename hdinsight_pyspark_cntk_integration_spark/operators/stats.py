@@ -1855,3 +1855,39 @@ def cramers_v(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         "n", "n_rows_x", "n_cols_y", "chi2_micro",
         F.floor(v * F.lit(1_000_000.0)).cast("long").alias("v_micro"),
     )
+
+
+def levene_bf(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Brown-Forsythe test for variance homogeneity across groups —
+    the check run BEFORE trusting a pooled-variance ANOVA ("do these
+    segments even have comparable spread?"): a one-way ANOVA on the
+    absolute deviations from each group's MEDIAN (Levene's test with
+    the median center — the robust form that survives heavy tails).
+
+    Composition: deviations z = |x − median_g| in exact cent units
+    (the median is Spark's exact interpolating ``percentile``, the
+    same order-statistic DuckDB's quantile_cont computes — the
+    robust_scaler convention), then the ``anova_f`` (stats.py) bounded
+    pico decomposition on z. The F statistic is scale-invariant, so
+    anova_f's internal re-quantization changes nothing.
+
+    Returns one row (n_groups, n_rows, ssb_pico, f_micro, eta2_micro)
+    — large F = spreads differ; the eta² is the spread-heterogeneity
+    effect size.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    rows = df.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("__g"), cents.alias("__c")
+    )
+    meds = rows.groupBy("__g").agg(
+        F.expr("percentile(__c, 0.5)").alias("__med")
+    )
+    staged = rows.join(F.broadcast(meds), "__g").select(
+        "__g",
+        F.abs(F.col("__c").cast("double") - F.col("__med")).alias("__z"),
+    )
+    return anova_f(staged, "__g", "__z")

@@ -469,3 +469,41 @@ def test_sssp_weighted_negative_weight_raises(spark):
     )
     with pytest.raises((PySparkRuntimeError, SparkRuntimeException, Exception)):
         gr.sssp_weighted(edges, [0], max_rounds=1).collect()
+
+
+# --- assortativity --------------------------------------------------------
+
+
+def test_assortativity_matches_python(spark):
+    import math
+
+    # star + tail: hub 0 - {1,2,3}, 3 - 4 (disassortative-ish)
+    e = [(0, 1), (0, 2), (0, 3), (3, 4)]
+    df = spark.createDataFrame(e, "src long, dst long")
+    [r] = gr.assortativity(df).collect()
+    und = set()
+    for a, b in e:
+        und |= {(a, b), (b, a)}
+    deg = {}
+    for a, _ in und:
+        deg[a] = deg.get(a, 0) + 1
+    xs = [deg[a] for a, b in und]
+    ys = [deg[b] for a, b in und]
+    n = len(und)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(v * v for v in xs)
+    syy = sum(v * v for v in ys)
+    rr = (n * sxy - sx * sy) / math.sqrt(
+        float(n * sxx - sx * sx) * float(n * syy - sy * sy)
+    )
+    assert (r["n_nodes"], r["n_edges"]) == (5, 4)
+    assert r["r_micro"] == math.floor(rr * 1e6)
+    assert r["r_micro"] < 0  # hub-and-spoke graphs are disassortative
+
+
+def test_assortativity_regular_graph_emits_nothing(spark):
+    # 4-cycle: every degree 2 -> zero variance -> r undefined
+    e = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    df = spark.createDataFrame(e, "src long, dst long")
+    assert gr.assortativity(df).count() == 0

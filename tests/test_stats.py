@@ -1097,3 +1097,52 @@ def test_cramers_v_independent_near_zero_and_degenerate(spark):
     assert r["v_micro"] == 0  # exactly proportional cells
     one_col = spark.createDataFrame([("a", "x"), ("b", "x")], "u string, v string")
     assert st.cramers_v(one_col, "u", "v").count() == 0
+
+
+# --- levene_bf ------------------------------------------------------------
+
+
+def test_levene_bf_matches_python(spark):
+    import math
+
+    groups = {
+        "tight": [10.0, 10.2, 9.8, 10.1, 9.9],
+        "wide": [5.0, 15.0, 2.0, 18.0, 10.0],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = st.levene_bf(df, "g", "v").collect()
+
+    def median(cs):
+        s = sorted(cs)
+        n = len(s)
+        mid = n // 2
+        return float(s[mid]) if n % 2 else (s[mid - 1] + s[mid]) / 2.0
+
+    zs = {}
+    for g, vs in groups.items():
+        cs = [round(v * 100) for v in vs]
+        med = median(cs)
+        zs[g] = [abs(c - med) for c in cs]
+    # replicate anova_f's pico decomposition on round(z*100)
+    cents = {g: [round(z * 100) for z in v] for g, v in zs.items()}
+    n = sum(len(v) for v in cents.values())
+    s = sum(sum(v) for v in cents.values())
+    q = sum(c * c for v in cents.values() for c in v)
+    k = len(cents)
+    a = sum(math.floor(sum(v) * sum(v) / (len(v) * q) * 1e12)
+            for v in cents.values())
+    b2 = math.floor(s * s / (n * q) * 1e12)
+    f = ((a - b2) / (k - 1)) / ((1e12 - a) / (n - k))
+    assert (r["n_groups"], r["n_rows"]) == (k, n)
+    assert r["f_micro"] == math.floor(f * 1e6)
+    assert r["f_micro"] > 1_000_000  # spreads clearly differ
+
+
+def test_levene_bf_equal_spreads_small_f(spark):
+    rows = [("a", v) for v in (1.0, 2.0, 3.0)] + [
+        ("b", v) for v in (11.0, 12.0, 13.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = st.levene_bf(df, "g", "v").collect()
+    assert r["f_micro"] == 0  # identical deviation multisets
