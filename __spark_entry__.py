@@ -1546,7 +1546,7 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust_val = (
         orders.groupBy("o_custkey")
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("v"))
-        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        .join(customer.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
     )
     values = (
@@ -1618,7 +1618,7 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     series = (
         orders.join(
-            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            customer.select("c_custkey", "c_mktsegment"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy(
@@ -1666,7 +1666,7 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
     joined = li.join(
-        F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        supplier.select("s_suppkey", "s_nationkey"),
         F.col("l_suppkey") == F.col("s_suppkey"),
     ).select(
         F.col("s_nationkey").alias("nationkey"),
@@ -1743,7 +1743,7 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     rows = orders.join(
-        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        customer.select("c_custkey", "c_mktsegment"),
         F.col("o_custkey") == F.col("c_custkey"),
     ).select(
         (F.col("c_mktsegment") == F.lit("BUILDING")).alias("treat"),
@@ -1931,7 +1931,7 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     series = (
         orders.join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy(
@@ -1973,7 +1973,7 @@ def _repurchase_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizon = orders.groupBy().agg(F.max("o_orderdate").alias("__h"))
     return (
         orders.join(
-            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            customer.select("c_custkey", "c_mktsegment"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .select(
