@@ -2059,6 +2059,18 @@ def q_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.levene_bf(li, "l_returnflag", "l_extendedprice")
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment KS drift of the quantity distribution vs the pooled
+    corpus (operators.stats.ks_drift on l_quantity × l_returnflag):
+    "which return-flag population drifted" in one pass — both
+    one-sided CDF gaps per value point, windows over the bounded
+    value-domain aggregate only."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return st.ks_drift(li, "l_returnflag", "l_quantity")
+
+
 def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication (operators.dedup.repeated_passages):
     word 8-gram passages recurring in >= 2 distinct documents — the
@@ -5263,6 +5275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cramers_v": q_cramers_v,
         "assortativity": q_assortativity,
         "levene_bf": q_levene_bf,
+        "ks_drift": q_ks_drift,
         "accuracy": q_accuracy,
         "score_confusion": q_score_confusion,
         "similarity_topk": q_similarity_topk,
@@ -10944,6 +10957,43 @@ def oracle_sql() -> dict[str, str]:
             CAST(a - b2 AS DOUBLE) / (1000000000000.0 - CAST(b2 AS DOUBLE))
             * 1000000.0) AS BIGINT) AS eta2_micro
         FROM fin
+    """
+    oracles["ks_drift"] = """
+        WITH gv AS (
+          SELECT l_returnflag AS g, l_quantity AS v,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM lineitem
+          WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        pool AS (
+          SELECT v, CAST(SUM(c) AS BIGINT) AS pc FROM gv GROUP BY 1
+        ),
+        pool_cum AS (
+          SELECT v, pc,
+            CAST(SUM(pc) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS pcum,
+            CAST(SUM(pc) OVER () AS BIGINT) AS npool
+          FROM pool
+        ),
+        staged AS (
+          SELECT gv.g, gv.c,
+            CAST(SUM(gv.c) OVER (PARTITION BY gv.g ORDER BY gv.v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS gcum,
+            CAST(SUM(gv.c) OVER (PARTITION BY gv.g) AS BIGINT) AS ng,
+            p.pc, p.pcum, p.npool
+          FROM gv JOIN pool_cum p ON gv.v = p.v
+        )
+        SELECT g AS l_returnflag, CAST(MAX(ng) AS BIGINT) AS n,
+          MAX(greatest(
+            abs(CAST(gcum AS DOUBLE) / CAST(ng AS DOUBLE)
+              - CAST(pcum AS DOUBLE) / CAST(npool AS DOUBLE)),
+            abs(CAST(gcum - c AS DOUBLE) / CAST(ng AS DOUBLE)
+              - CAST(pcum - pc AS DOUBLE) / CAST(npool AS DOUBLE))
+          )) AS ks_d
+        FROM staged GROUP BY 1
     """
     oracles["wilson_ci"] = """
         WITH agg AS (

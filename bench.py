@@ -171,6 +171,7 @@ PIPELINE = [
     "cramers_v",
     "assortativity",
     "levene_bf",
+    "ks_drift",
 ]
 
 

@@ -1891,3 +1891,78 @@ def levene_bf(
         F.abs(F.col("__c").cast("double") - F.col("__med")).alias("__z"),
     )
     return anova_f(staged, "__g", "__z")
+
+
+def ks_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-segment KS drift against the POOLED distribution — "which
+    segments drifted" in one pass, where ``ks_statistic`` answers only
+    the two-sample question:
+
+        D_g = sup_v |F_g(v) − F_pool(v)|
+
+    Both CDFs are right-continuous step functions; F_g jumps only at
+    g's own values, so the sup is attained at a g-point evaluated from
+    the RIGHT (both at v) or from the LEFT (both just before v — this
+    catches pool-only jumps between consecutive g-points, including
+    the run-up before g's first value). Each row therefore contributes
+    two candidates:
+
+        |c_g/n_g − C/N|  and  |(c_g − j_g)/n_g − (C − J)/N|
+
+    with c/C the cumulative and j/J the at-v jump counts.
+
+    Exactness: all counts are integers; each candidate is a
+    deterministic per-row fp64 expression; max is order-free — the
+    ks_statistic discipline per segment.
+
+    Shape: one (group, value) partial agg + one pooled value agg; the
+    pooled cumsum is a window over the DISTINCT-VALUE aggregate
+    (bounded by the value domain — the rank_sum_test allowlist shape);
+    per-group cumsums are group-partitioned windows over the same
+    aggregate. NULLs drop.
+
+    Returns (group, n, ks_d).
+    """
+    rows = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(group_col).alias("__g"), F.col(value_col).alias("__v"))
+    gv = rows.groupBy("__g", "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    pool = gv.groupBy("__v").agg(F.sum("__c").cast("long").alias("__pc"))
+    w_pool = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    pool_cum = pool.select(
+        "__v", "__pc",
+        F.sum("__pc").over(w_pool).cast("long").alias("__pcum"),
+        F.sum("__pc").over(
+            Window.orderBy("__v").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("__n_pool"),
+    )
+    w_g = (
+        Window.partitionBy("__g").orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_g_all = Window.partitionBy("__g")
+    staged = (
+        gv.select(
+            "__g", "__v", "__c",
+            F.sum("__c").over(w_g).cast("long").alias("__gcum"),
+            F.sum("__c").over(w_g_all).cast("long").alias("__ng"),
+        )
+        .join(pool_cum, "__v")
+    )
+    fg = F.col("__gcum").cast("double") / F.col("__ng").cast("double")
+    fp = F.col("__pcum").cast("double") / F.col("__n_pool").cast("double")
+    fg_l = (F.col("__gcum") - F.col("__c")).cast("double") / F.col("__ng").cast("double")
+    fp_l = (F.col("__pcum") - F.col("__pc")).cast("double") / F.col("__n_pool").cast("double")
+    cand = F.greatest(F.abs(fg - fp), F.abs(fg_l - fp_l))
+    return staged.groupBy(F.col("__g").alias(group_col)).agg(
+        F.max("__ng").cast("long").alias("n"),
+        F.max(cand).alias("ks_d"),
+    )

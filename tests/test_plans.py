@@ -224,6 +224,10 @@ _INTENTIONAL_LINT = {
     #   how these global-rank statistics avoid the global row sort
     "rank_sum_test": {"global-window"},
     "ks_test": {"global-window"},
+    # ks_drift — the pooled-CDF cumsum runs over the DISTINCT-VALUE
+    #   aggregate (l_quantity: 50 values), never rows; the per-group
+    #   cumsums are group-partitioned over the same aggregate
+    "ks_drift": {"global-window"},
     # auc_balance — same shape as rank_sum_test: the rank window runs
     #   over the DISTINCT-SCORE aggregate (bounded by the score domain),
     #   never the row stream; that is exactly how AUC avoids the global

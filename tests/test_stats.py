@@ -1146,3 +1146,52 @@ def test_levene_bf_equal_spreads_small_f(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     [r] = st.levene_bf(df, "g", "v").collect()
     assert r["f_micro"] == 0  # identical deviation multisets
+
+
+# --- ks_drift -------------------------------------------------------------
+
+
+def _ks_vs_pool_python(groups):
+    """Brute-force sup over the union of jump points, both one-sided
+    limits."""
+    pool = sorted(v for vs in groups.values() for v in vs)
+    n_pool = len(pool)
+    pts = sorted(set(pool))
+    out = {}
+    for g, vs in groups.items():
+        vs_sorted = sorted(vs)
+        ng = len(vs_sorted)
+        d = 0.0
+        for v in pts:
+            fg = sum(1 for x in vs_sorted if x <= v) / ng
+            fp = sum(1 for x in pool if x <= v) / n_pool
+            fg_l = sum(1 for x in vs_sorted if x < v) / ng
+            fp_l = sum(1 for x in pool if x < v) / n_pool
+            d = max(d, abs(fg - fp), abs(fg_l - fp_l))
+        out[g] = (ng, d)
+    return out
+
+
+def test_ks_drift_matches_brute_force(spark):
+    groups = {
+        "a": [1.0, 2.0, 2.0, 3.0, 9.0],
+        "b": [2.0, 5.0, 6.0, 7.0],
+        "c": [1.0, 1.0, 1.0],  # heavy low mass -> drifted vs pool
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: (r["n"], r["ks_d"])
+           for r in st.ks_drift(df, "g", "v").collect()}
+    want = _ks_vs_pool_python(groups)
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g][0] == want[g][0]
+        assert abs(got[g][1] - want[g][1]) < 1e-12
+    assert got["c"][1] > got["a"][1]  # the concentrated group drifts most
+
+
+def test_ks_drift_single_group_is_zero(spark):
+    rows = [("only", float(v)) for v in range(10)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = st.ks_drift(df, "g", "v").collect()
+    assert r["ks_d"] == 0.0  # a group IS the pool
