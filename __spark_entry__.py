@@ -1333,6 +1333,17 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mn.woe_iv(orders, "o_orderpriority", "is_fulfilled")
 
 
+def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard neighborhood link prediction (operators.graph.
+    jaccard_neighbors) on the strong nation trade graph — the
+    normalized companion to adamic_adar: what FRACTION of two nations'
+    combined strong-partner circles overlaps. All-integer: counts and
+    one floor-division, no float anywhere."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import graph as gr
+
+    return gr.jaccard_neighbors(_strong_trade_edges(spark, sf_dir))
+
+
 def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic-Adar link prediction (operators.graph.adamic_adar) on the
     strong nation trade graph: which weakly-trading nation pairs share
@@ -5276,6 +5287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "levene_bf": q_levene_bf,
         "ks_drift": q_ks_drift,
+        "jaccard_neighbors": q_jaccard_neighbors,
         "accuracy": q_accuracy,
         "score_confusion": q_score_confusion,
         "similarity_topk": q_similarity_topk,
@@ -10957,6 +10969,53 @@ def oracle_sql() -> dict[str, str]:
             CAST(a - b2 AS DOUBLE) / (1000000000000.0 - CAST(b2 AS DOUBLE))
             * 1000000.0) AS BIGINT) AS eta2_micro
         FROM fin
+    """
+    oracles["jaccard_neighbors"] = """
+        WITH j AS MATERIALIZED (
+          SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+            CAST(COUNT(*) AS BIGINT) AS wt
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2
+        ),
+        m AS MATERIALIZED (
+          SELECT CAST(SUM(wt) AS BIGINT) AS tot,
+            CAST(COUNT(*) AS BIGINT) AS np
+          FROM j
+        ),
+        e AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM j CROSS JOIN m
+          WHERE wt * np * 10 >= 11 * tot AND src <> dst
+        ),
+        adj AS MATERIALIZED (
+          SELECT a AS z, b AS x FROM e UNION ALL SELECT b AS z, a AS x FROM e
+        ),
+        deg AS MATERIALIZED (
+          SELECT z, CAST(COUNT(*) AS BIGINT) AS dg FROM adj GROUP BY 1
+        ),
+        apex AS MATERIALIZED (
+          SELECT adj.z, adj.x FROM adj
+          JOIN deg ON deg.z = adj.z AND deg.dg >= 2
+        ),
+        pairs AS (
+          SELECT l.x AS a, r.x AS b, CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM apex l JOIN apex r ON l.z = r.z AND l.x < r.x
+          GROUP BY 1, 2
+        ),
+        nonadj AS (
+          SELECT p.a, p.b, p.n_common FROM pairs p
+          ANTI JOIN e ON p.a = e.a AND p.b = e.b
+        )
+        SELECT n.a, n.b, n.n_common,
+          da.dg AS deg_a, db.dg AS deg_b,
+          CAST((n.n_common * 1000000) // (da.dg + db.dg - n.n_common)
+            AS BIGINT) AS jaccard_micro
+        FROM nonadj n
+        JOIN deg da ON da.z = n.a
+        JOIN deg db ON db.z = n.b
     """
     oracles["ks_drift"] = """
         WITH gv AS (

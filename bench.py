@@ -172,6 +172,7 @@ PIPELINE = [
     "assortativity",
     "levene_bf",
     "ks_drift",
+    "jaccard_neighbors",
 ]
 
 

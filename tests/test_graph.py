@@ -507,3 +507,51 @@ def test_assortativity_regular_graph_emits_nothing(spark):
     e = [(0, 1), (1, 2), (2, 3), (3, 0)]
     df = spark.createDataFrame(e, "src long, dst long")
     assert gr.assortativity(df).count() == 0
+
+
+# --- jaccard_neighbors ----------------------------------------------------
+
+
+def test_jaccard_neighbors_matches_python(spark):
+    # square with one diagonal: 0-1, 1-2, 2-3, 3-0, 0-2
+    e = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    df = spark.createDataFrame(e, "src long, dst long")
+    got = {(r["a"], r["b"]): (r["n_common"], r["deg_a"], r["deg_b"],
+                              r["jaccard_micro"])
+           for r in gr.jaccard_neighbors(df).collect()}
+    nbrs = {}
+    for a, b in e:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    want = {}
+    edge_set = {(min(a, b), max(a, b)) for a, b in e}
+    for a in nbrs:
+        for b in nbrs:
+            if a >= b or (a, b) in edge_set:
+                continue
+            common = len(nbrs[a] & nbrs[b])
+            if common == 0:
+                continue
+            da, db = len(nbrs[a]), len(nbrs[b])
+            want[(a, b)] = (common, da, db,
+                            common * 1_000_000 // (da + db - common))
+    assert got == want
+    # the only non-edge is 1-3, sharing {0, 2}: J = 2/(2+2-2) = 1
+    assert got == {(1, 3): (2, 2, 2, 1_000_000)}
+
+
+def test_jaccard_neighbors_include_adjacent_and_cap(spark):
+    e = [(0, 1), (0, 2), (0, 3), (1, 2)]
+    df = spark.createDataFrame(e, "src long, dst long")
+    allp = {(r["a"], r["b"]): r["jaccard_micro"]
+            for r in gr.jaccard_neighbors(df, exclude_adjacent=False).collect()}
+    # adjacent pair (1,2) shares {0}: J = 1/(3+3-1)... deg1=2, deg2=2:
+    # common={0}, J = 1/(2+2-1) = 1/3
+    assert allp[(1, 2)] == 333_333
+    # max_degree=2 drops apex 0 (deg 3): only apexes 1,2 remain
+    capped = {(r["a"], r["b"]) for r in
+              gr.jaccard_neighbors(df, exclude_adjacent=False,
+                                   max_degree=2).collect()}
+    assert (1, 3) not in capped and (2, 3) not in capped
+    with pytest.raises(ValueError):
+        gr.jaccard_neighbors(df, max_degree=1)
