@@ -2070,6 +2070,17 @@ def q_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.levene_bf(li, "l_returnflag", "l_extendedprice")
 
 
+def q_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AM/GM/HM of order value per priority (operators.stats.
+    robust_means): the mean trio for positive quantities, AM >= GM >=
+    HM by construction — GM through micro-nat ln sums, HM through
+    exact pico reciprocals, every cross-row reduction an integer."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    orders = load_table(spark, sf_dir, "orders")
+    return st.robust_means(orders, "o_orderpriority", "o_totalprice")
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment KS drift of the quantity distribution vs the pooled
     corpus (operators.stats.ks_drift on l_quantity × l_returnflag):
@@ -5288,6 +5299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "levene_bf": q_levene_bf,
         "ks_drift": q_ks_drift,
         "jaccard_neighbors": q_jaccard_neighbors,
+        "robust_means": q_robust_means,
         "accuracy": q_accuracy,
         "score_confusion": q_score_confusion,
         "similarity_topk": q_similarity_topk,
@@ -11016,6 +11028,31 @@ def oracle_sql() -> dict[str, str]:
         FROM nonadj n
         JOIN deg da ON da.z = n.a
         JOIN deg db ON db.z = n.b
+    """
+    oracles["robust_means"] = """
+        WITH r AS (
+          SELECT o_orderpriority AS g,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders
+        ),
+        rp AS (SELECT g, c FROM r WHERE c > 0),
+        m AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(c AS HUGEINT)) AS s,
+            SUM(CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT))
+              AS lnsum,
+            SUM(1000000000000 // c) AS invsum
+          FROM rp GROUP BY 1
+        )
+        SELECT g AS o_orderpriority, n,
+          CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 10000.0)
+            AS BIGINT) AS amean_micro,
+          CAST(floor(exp(CAST(lnsum AS DOUBLE)
+            / (CAST(n AS DOUBLE) * 1000000.0)) * 10000.0)
+            AS BIGINT) AS gmean_micro,
+          CAST(floor(CAST(n AS DOUBLE) * 1e12
+            / CAST(invsum AS DOUBLE) * 10000.0) AS BIGINT) AS hmean_micro
+        FROM m
     """
     oracles["ks_drift"] = """
         WITH gv AS (

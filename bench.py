@@ -173,6 +173,7 @@ PIPELINE = [
     "levene_bf",
     "ks_drift",
     "jaccard_neighbors",
+    "robust_means",
 ]
 
 

@@ -1966,3 +1966,55 @@ def ks_drift(
         F.max("__ng").cast("long").alias("n"),
         F.max(cand).alias("ks_d"),
     )
+
+
+def robust_means(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Arithmetic, geometric, and harmonic means per group — the mean
+    trio for positive quantities (rates, prices, ratios): GM is the
+    right average for multiplicative quantities, HM for rates ("avg
+    speed over equal distances"), and AM >= GM >= HM always (the
+    built-in self-check, pinned in pytest).
+
+    Exactness: values quantize to integer cents at birth; non-positive
+    values DROP (ln/reciprocal undefined — documented, not NaN).
+    AM comes from a DECIMAL(38,0) sum. GM telescopes through the
+    micro-nat discipline: per-row floor(ln(cents)·1e6), integer sum,
+    one exp. HM's reciprocals quantize to pico-units per row —
+    floor(1e12/cents) is EXACT integer division — then integer-sum.
+    Every cross-row reduction is an integer; each mean is one final
+    fp64 expression, emitted in cent-micro units (×1e4).
+
+    Shape: one partial-agg groupBy; nothing else.
+
+    Returns (group, n, amean_micro, gmean_micro, hmean_micro).
+    """
+    dec = "decimal(38,0)"
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    rows = df.select(
+        F.col(group_col).alias("__g"), cents.alias("__c")
+    ).filter(F.col("__c") > 0)
+    ln_micro = F.floor(
+        F.log(F.col("__c").cast("double")) * F.lit(1_000_000.0)
+    ).cast("long")
+    inv_pico = F.expr("1000000000000L div __c")
+    m = rows.groupBy(F.col("__g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__c").cast(dec)).cast(dec).alias("__s"),
+        F.sum(ln_micro).cast(dec).alias("__ln"),
+        F.sum(inv_pico).cast(dec).alias("__inv"),
+    )
+    n = F.col("n").cast("double")
+    am = F.col("__s").cast("double") / n
+    gm = F.exp(F.col("__ln").cast("double") / (n * F.lit(1_000_000.0)))
+    hm = n * F.lit(1e12) / F.col("__inv").cast("double")
+    ten_k = F.lit(10_000.0)
+    return m.select(
+        group_col, "n",
+        F.floor(am * ten_k).cast("long").alias("amean_micro"),
+        F.floor(gm * ten_k).cast("long").alias("gmean_micro"),
+        F.floor(hm * ten_k).cast("long").alias("hmean_micro"),
+    )

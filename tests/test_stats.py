@@ -1195,3 +1195,50 @@ def test_ks_drift_single_group_is_zero(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     [r] = st.ks_drift(df, "g", "v").collect()
     assert r["ks_d"] == 0.0  # a group IS the pool
+
+
+# --- robust_means ---------------------------------------------------------
+
+
+def test_robust_means_matches_python(spark):
+    import math
+
+    groups = {"a": [1.0, 4.0, 16.0], "b": [2.5, 2.5, 10.0, 0.0, -3.0]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: (r["n"], r["amean_micro"], r["gmean_micro"],
+                    r["hmean_micro"])
+           for r in st.robust_means(df, "g", "v").collect()}
+    want = {}
+    for g, vs in groups.items():
+        cs = [round(v * 100) for v in vs if round(v * 100) > 0]
+        n = len(cs)
+        am = sum(cs) / n
+        gm = math.exp(sum(math.floor(math.log(c) * 1e6) for c in cs) / (n * 1e6))
+        hm = n * 1e12 / sum(10 ** 12 // c for c in cs)
+        want[g] = (n, math.floor(am * 1e4), math.floor(gm * 1e4),
+                   math.floor(hm * 1e4))
+    assert got == want
+    # non-positive values dropped: group b keeps only 3 rows
+    assert got["b"][0] == 3
+
+
+def test_robust_means_am_gm_hm_ordering(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [("g", rng.uniform(0.5, 500.0)) for _ in range(300)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = st.robust_means(df, "g", "v").collect()
+    # AM >= GM >= HM (tolerate the 1-micro floor quantization)
+    assert r["amean_micro"] >= r["gmean_micro"] - 1 >= r["hmean_micro"] - 2
+
+
+def test_robust_means_constant_group_all_equal(spark):
+    rows = [("g", 7.0)] * 5
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = st.robust_means(df, "g", "v").collect()
+    assert r["amean_micro"] == 7_000_000
+    # GM/HM within a micro of AM on a constant series
+    assert abs(r["gmean_micro"] - 7_000_000) <= 70
+    assert abs(r["hmean_micro"] - 7_000_000) <= 70
