@@ -5208,15 +5208,118 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- driver gate window (first 50): pricing_summary (the
-        # --- entry() flagship) + the 49 queries that have never
-        # --- appeared in a driver CORRECTNESS artifact: all 27
-        # --- operators ADDED in round 8 (mutual_information ...
-        # --- canonical_docs) plus the round-7 mining batch and the
-        # --- round-5 backlog, so every query new to this round gets a
-        # --- driver-recorded gate the round it lands. All rotated-out
-        # --- queries carry r1-r7 driver artifacts and are mirrored in
-        # --- PARITY_r8.json (0 fail at sf0.01).
+        # --- driver gate window (first 50): round-9 rotation per the
+        # --- round-8 verdict order #1/#3 — the 30 round-8 batch-7+ ops
+        # --- (ngram_novelty ... robust_means) followed by the next 20
+        # --- never-driver-gated queries in registry order
+        # --- (bigram_logprob ... url_functions). The remaining 49
+        # --- never-gated queries (corpus_divergence ... pca_top_component,
+        # --- see ROTATION.md) are scheduled as the ROUND-10 window, after
+        # --- which every registered query has a CORRECTNESS_r* artifact.
+        # --- All rotated-out queries carry r1-r8 driver artifacts and are
+        # --- mirrored in PARITY_r9.json (full 284-query registry).
+        "ngram_novelty": q_ngram_novelty,
+        "compression_ratio": q_compression_ratio,
+        "hierarchy_rollup": q_hierarchy_rollup,
+        "cohort_ltv": q_cohort_ltv,
+        "anova_f": q_anova_f,
+        "kendall_tau": q_kendall_tau,
+        "rolling_corr": q_rolling_corr,
+        "hhi_concentration": q_hhi_concentration,
+        "sssp_trade": q_sssp_trade,
+        "kaplan_meier": q_kaplan_meier,
+        "containment_docs": q_containment_docs,
+        "diff_in_diff": q_diff_in_diff,
+        "grouped_ols": q_grouped_ols,
+        "mann_kendall": q_mann_kendall,
+        "oov_rate": q_oov_rate,
+        "recursive_cte_sql": q_recursive_cte_sql,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
+        "auc_balance": q_auc_balance,
+        "calibration_bins": q_calibration_bins,
+        "cuped_spend": q_cuped_spend,
+        "holt_winters": q_holt_winters,
+        "wilson_ci": q_wilson_ci,
+        "survival_summary": q_survival_summary,
+        "corr_matrix": q_corr_matrix,
+        "cramers_v": q_cramers_v,
+        "assortativity": q_assortativity,
+        "levene_bf": q_levene_bf,
+        "ks_drift": q_ks_drift,
+        "jaccard_neighbors": q_jaccard_neighbors,
+        "robust_means": q_robust_means,
+        "bigram_logprob": q_bigram_logprob,
+        "near_dup_against": q_near_dup_against,
+        "bm25_search": q_bm25_search,
+        "unigram_logprob": q_unigram_logprob,
+        "temperature_mixture": q_temperature_mixture,
+        "key_skew_profile": q_key_skew_profile,
+        "hll_distinct_bounded": q_hll_distinct_bounded,
+        "posexplode_tokens": q_posexplode_tokens,
+        "kmeans_clusters": q_kmeans_clusters,
+        "pagerank_nations": q_pagerank_nations,
+        "price_histogram": q_price_histogram,
+        "interpolate_linear": q_interpolate_linear,
+        "interpolate_at": q_interpolate_at,
+        "dq_checks": q_dq_checks,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "inverted_index": q_inverted_index,
+        "cohort_retention": q_cohort_retention,
+        "try_arithmetic": q_try_arithmetic,
+        "xml_roundtrip": q_xml_roundtrip,
+        "url_functions": q_url_functions,
+        # --- full registry continues (covered by tools/check_parity.py).
+        # --- Next 49 entries = the committed ROUND-10 gate window. ---
+        "corpus_divergence": q_corpus_divergence,
+        "corr_stats": q_corr_stats,
+        "correlated_avg_qty": q_correlated_avg_qty,
+        "intersect": q_intersect,
+        "unpivot": q_unpivot,
+        "map_functions": q_map_functions,
+        "array_functions": q_array_functions,
+        "regexp_functions": q_regexp_functions,
+        "rank_functions": q_rank_functions,
+        "first_last_value": q_first_last_value,
+        "datetime_functions": q_datetime_functions,
+        "order_count_distribution": q_order_count_distribution,
+        "disjunctive_filter": q_disjunctive_filter,
+        "parts_supplier_count": q_parts_supplier_count,
+        "high_balance_light_buyers": q_high_balance_light_buyers,
+        "nation_value_share": q_nation_value_share,
+        "nation_trade_pairs": q_nation_trade_pairs,
+        "mode_per_group": q_mode_per_group,
+        "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
+        "near_dup_cosine_exact": q_near_dup_cosine_exact,
+        "near_dup_cosine_lsh": q_near_dup_cosine_lsh,
+        "media_metadata": q_media_metadata,
+        "multimodal_decode": q_multimodal_decode,
+        "simple_filter_agg": q_simple_filter_agg,
+        "string_functions": q_string_functions,
+        "math_functions": q_math_functions,
+        "bitwise_agg": q_bitwise_agg,
+        "sentence_split": q_sentence_split,
+        "higher_order_fns": q_higher_order_fns,
+        "ivf_topk": q_ivf_topk,
+        "returned_item_revenue": q_returned_item_revenue,
+        "market_share": q_market_share,
+        "range_frame_window": q_range_frame_window,
+        "struct_functions": q_struct_functions,
+        "date_format": q_date_format,
+        "salted_join": q_salted_join,
+        "approx_percentile": q_approx_percentile,
+        "map_explode": q_map_explode,
+        "arrays_zip": q_arrays_zip,
+        "encoding_functions": q_encoding_functions,
+        "top_supplier": q_top_supplier,
+        "dedup_transitive": q_dedup_transitive,
+        "limit_offset": q_limit_offset,
+        "big_orders": q_big_orders,
+        "zorder_key": q_zorder_key,
+        "sample_per_group": q_sample_per_group,
+        "weighted_sample": q_weighted_sample,
+        "data_card": q_data_card,
+        "pca_top_component": q_pca_top_component,
+        # --- previously gated queries (r1-r8 artifacts) ---
         "pricing_summary": q_pricing_summary,
         "mutual_information": q_mutual_information,
         "theil_sen": q_theil_sen,
@@ -5267,39 +5370,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_native": q_session_window_native,
         "rolling_anomaly": q_rolling_anomaly,
         "dedup_window": q_dedup_window,
-        # --- full registry continues (covered by tools/check_parity.py).
-        # --- The four batch-7 ops below land just outside the full
-        # --- window and are the FIRST round-9 rotation candidates ---
-        "ngram_novelty": q_ngram_novelty,
-        "compression_ratio": q_compression_ratio,
-        "hierarchy_rollup": q_hierarchy_rollup,
-        "cohort_ltv": q_cohort_ltv,
-        "anova_f": q_anova_f,
-        "kendall_tau": q_kendall_tau,
-        "rolling_corr": q_rolling_corr,
-        "hhi_concentration": q_hhi_concentration,
-        "sssp_trade": q_sssp_trade,
-        "kaplan_meier": q_kaplan_meier,
-        "containment_docs": q_containment_docs,
-        "diff_in_diff": q_diff_in_diff,
-        "grouped_ols": q_grouped_ols,
-        "mann_kendall": q_mann_kendall,
-        "oov_rate": q_oov_rate,
-        "recursive_cte_sql": q_recursive_cte_sql,
-        "dup_cluster_sizes": q_dup_cluster_sizes,
-        "auc_balance": q_auc_balance,
-        "calibration_bins": q_calibration_bins,
-        "cuped_spend": q_cuped_spend,
-        "holt_winters": q_holt_winters,
-        "wilson_ci": q_wilson_ci,
-        "survival_summary": q_survival_summary,
-        "corr_matrix": q_corr_matrix,
-        "cramers_v": q_cramers_v,
-        "assortativity": q_assortativity,
-        "levene_bf": q_levene_bf,
-        "ks_drift": q_ks_drift,
-        "jaccard_neighbors": q_jaccard_neighbors,
-        "robust_means": q_robust_means,
         "accuracy": q_accuracy,
         "score_confusion": q_score_confusion,
         "similarity_topk": q_similarity_topk,
@@ -5363,8 +5433,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrow_udf": q_arrow_udf,
         "aes_roundtrip": q_aes_roundtrip,
         "boolean_aggs": q_boolean_aggs,
-        "bigram_logprob": q_bigram_logprob,
-        "near_dup_against": q_near_dup_against,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash": q_simhash,
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -5374,25 +5442,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_time": q_point_in_time,
         "variant_extract": q_variant_extract,
         "manifest_diff": q_manifest_diff,
-        "bm25_search": q_bm25_search,
-        "unigram_logprob": q_unigram_logprob,
-        "temperature_mixture": q_temperature_mixture,
-        "key_skew_profile": q_key_skew_profile,
-        "hll_distinct_bounded": q_hll_distinct_bounded,
-        "posexplode_tokens": q_posexplode_tokens,
-        "kmeans_clusters": q_kmeans_clusters,
-        "pagerank_nations": q_pagerank_nations,
-        "price_histogram": q_price_histogram,
-        "interpolate_linear": q_interpolate_linear,
-        "interpolate_at": q_interpolate_at,
-        "dq_checks": q_dq_checks,
-        "edit_distance_pairs": q_edit_distance_pairs,
-        "inverted_index": q_inverted_index,
-        "cohort_retention": q_cohort_retention,
-        "try_arithmetic": q_try_arithmetic,
-        "xml_roundtrip": q_xml_roundtrip,
-        "url_functions": q_url_functions,
-        "corpus_divergence": q_corpus_divergence,
         "hash_split": q_hash_split,
         "mixture_sample": q_mixture_sample,
         "pack_chunks": q_pack_chunks,
@@ -5442,53 +5491,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_join": q_merge_join,
         "union_accounts": q_union_accounts,
         "null_handling": q_null_handling,
-        "corr_stats": q_corr_stats,
-        "correlated_avg_qty": q_correlated_avg_qty,
-        "intersect": q_intersect,
-        "unpivot": q_unpivot,
-        "map_functions": q_map_functions,
-        "array_functions": q_array_functions,
-        "regexp_functions": q_regexp_functions,
-        "rank_functions": q_rank_functions,
-        "first_last_value": q_first_last_value,
-        "datetime_functions": q_datetime_functions,
-        "order_count_distribution": q_order_count_distribution,
-        "disjunctive_filter": q_disjunctive_filter,
-        "parts_supplier_count": q_parts_supplier_count,
-        "high_balance_light_buyers": q_high_balance_light_buyers,
-        "nation_value_share": q_nation_value_share,
-        "nation_trade_pairs": q_nation_trade_pairs,
-        "mode_per_group": q_mode_per_group,
-        "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
-        "near_dup_cosine_exact": q_near_dup_cosine_exact,
-        "near_dup_cosine_lsh": q_near_dup_cosine_lsh,
-        "media_metadata": q_media_metadata,
-        "multimodal_decode": q_multimodal_decode,
-        "simple_filter_agg": q_simple_filter_agg,
-        "string_functions": q_string_functions,
-        "math_functions": q_math_functions,
-        "bitwise_agg": q_bitwise_agg,
-        "sentence_split": q_sentence_split,
-        "higher_order_fns": q_higher_order_fns,
-        "ivf_topk": q_ivf_topk,
-        "returned_item_revenue": q_returned_item_revenue,
-        "market_share": q_market_share,
-        "range_frame_window": q_range_frame_window,
-        "struct_functions": q_struct_functions,
-        "date_format": q_date_format,
-        "salted_join": q_salted_join,
-        "approx_percentile": q_approx_percentile,
-        "map_explode": q_map_explode,
-        "arrays_zip": q_arrays_zip,
-        "encoding_functions": q_encoding_functions,
-        "top_supplier": q_top_supplier,
-        "dedup_transitive": q_dedup_transitive,
-        "limit_offset": q_limit_offset,
-        "big_orders": q_big_orders,
-        "zorder_key": q_zorder_key,
-        "sample_per_group": q_sample_per_group,
-        "weighted_sample": q_weighted_sample,
-        "data_card": q_data_card,
         "approx_distinct": q_approx_distinct,
         "running_total": q_running_total,
         "lag_lead": q_lag_lead,
@@ -5503,7 +5505,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "tumbling_hourly": q_tumbling_hourly,
         "set_ops": q_set_ops,
-        "pca_top_component": q_pca_top_component,
     }
 
 
