@@ -1111,7 +1111,7 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     monthly = (
         orders.join(
-            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            cust.select("c_custkey", "c_nationkey"),
             orders["o_custkey"] == F.col("c_custkey"),
         )
         .groupBy(
@@ -1260,7 +1260,7 @@ def _monthly_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     return (
         orders.join(
-            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            cust.select("c_custkey", "c_nationkey"),
             orders["o_custkey"] == F.col("c_custkey"),
         )
         .groupBy(
@@ -1305,13 +1305,14 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     mining.target_encode): encode c_mktsegment by the mean o_totalprice
     of the segment's OTHER orders — label-leakage-free categorical
     encoding. Integer cents + DECIMAL sums; one domain-bounded groupBy
-    broadcast back, the order stream never shuffles."""
+    broadcast back inside target_encode. The customer join carries no
+    broadcast hint — customer is SF-scaled, AQE picks the strategy."""
     from hdinsight_pyspark_cntk_integration_spark.operators import mining as mn
 
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     rows = orders.join(
-        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        cust.select("c_custkey", "c_mktsegment"),
         orders["o_custkey"] == F.col("c_custkey"),
     )
     return mn.target_encode(

@@ -609,8 +609,10 @@ def sssp_weighted(
     k dist(v) is EXACTLY min cost over paths of <= k edges — an ANSI
     oracle unrolls it as a bounded recursive path closure.
 
-    Directed; negative weights rejected (ANSI-raise), parallel edges
-    collapse to their cheapest. Per round: the FRONTIER (only nodes
+    Directed; negative weights rejected (ANSI-raise), NULL-weight edges
+    dropped (a NULL cost would min-collapse the parallel-edge agg to
+    NULL and leak NULL dists into the result), parallel edges collapse
+    to their cheapest. Per round: the FRONTIER (only nodes
     whose dist improved last round, never the whole reached set) joins
     the edge list on its key, one min-dist partial agg, one merge
     against the running dist table; ``localCheckpoint`` keeps round
@@ -634,7 +636,9 @@ def sssp_weighted(
             F.col(dst).cast("long").alias("d"),
             guard.alias("w"),
         )
-        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .filter(
+            F.col("s").isNotNull() & F.col("d").isNotNull() & F.col("w").isNotNull()
+        )
         .groupBy("s", "d")
         .agg(F.min("w").alias("w"))
         .localCheckpoint(eager=True)

@@ -532,8 +532,17 @@ def kmv_intersect_estimate(sketches: DataFrame, k: int = 512) -> DataFrame:
         & ~F.col("__ca") & ~F.col("__cb")
     )
     both = F.array_intersect("__ka", "__kb")
+    # Estimator path: (s-1)·P/kth with s = |X| OBSERVED minima. When
+    # both sketches are clipped-small (n_kept < k but hashes may have
+    # been dropped by the prefilter), |X| can be well below k — a
+    # hardcoded k-1 here would inflate the union by ~(k-1)/(|X|-1)
+    # (~50x at |X|=10, k=512). |X| < 2 leaves the estimator undefined;
+    # the best remaining guess is |X| itself (0 or 1 observed hashes).
     union_est = F.when(complete, F.size(union_all).cast("long")).otherwise(
-        F.floor(F.lit(float(k - 1)) * _KMV_P / kth).cast("long")
+        F.when(
+            x_sz >= 2,
+            F.floor((x_sz - 1).cast("double") * _KMV_P / kth).cast("long"),
+        ).otherwise(x_sz.cast("long"))
     )
     common_est = F.size(F.array_intersect(x, both))
     common = F.when(complete, F.size(both)).otherwise(common_est)

@@ -471,6 +471,22 @@ def test_sssp_weighted_negative_weight_raises(spark):
         gr.sssp_weighted(edges, [0], max_rounds=1).collect()
 
 
+def test_sssp_weighted_null_weight_edge_dropped(spark):
+    """ADVICE r8: a NULL weight must not min-collapse a parallel edge
+    to NULL cost or admit NULL dists into the result. The NULL 0->1
+    edge is dropped: 1 is reached only via the weight-3 edge; the NULL
+    parallel 1->2 edge must not beat the real weight-2 edge; a node
+    reachable ONLY through a NULL-weight edge (3) is unreachable."""
+    edges = spark.createDataFrame(
+        [(0, 1, None), (0, 1, 3), (1, 2, None), (1, 2, 2), (2, 3, None)],
+        "src long, dst long, weight long",
+    )
+    rows = gr.sssp_weighted(edges, [0], max_rounds=4).collect()
+    got = {r["node"]: r["dist"] for r in rows}
+    assert got == {0: 0, 1: 3, 2: 5}
+    assert all(r["dist"] is not None for r in rows)
+
+
 # --- assortativity --------------------------------------------------------
 
 

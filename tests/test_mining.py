@@ -369,6 +369,39 @@ def test_kmv_clipped_flag_forces_estimator_branch(spark):
     assert old["union_est"] == 5 and old["intersect_est"] == 1
 
 
+def test_kmv_clipped_pair_uses_observed_minima_not_k(spark):
+    """ADVICE r8: two CLIPPED small sketches (|X| << k) must estimate
+    the union from the OBSERVED |X|-1 minima, not a hardcoded k-1 —
+    the old expression inflated the union by ~(k-1)/(|X|-1) (~50x at
+    |X|=10, k=512). Hand-built sketches with hashes at exact fractions
+    of P pin the expected value; a 1-hash pair (|X|=1, estimator
+    undefined) degrades to |X| instead of dividing by kth with s-1=0."""
+    P = sk._KMV_P
+    k = 512
+    # 6 hashes each, overlap of 2 → X = 10 distinct minima, kth = P//10
+    ha = [P // 100 * i for i in (1, 2, 3, 4, 5, 6)]
+    hb = [P // 100 * i for i in (5, 6, 7, 8, 9, 10)]
+    df = spark.createDataFrame(
+        [("A", ha, 6, True), ("B", hb, 6, True)],
+        "grp string, kmv array<long>, n_kept long, clipped boolean",
+    )
+    got = sk.kmv_intersect_estimate(df, k=k).collect()[0]
+    x = sorted(set(ha) | set(hb))
+    assert len(x) == 10
+    expect_union = int((len(x) - 1) * P // x[-1])  # 9*P/(P/10) ≈ 90
+    assert got["union_est"] == expect_union
+    assert 80 <= got["union_est"] <= 95  # nowhere near the old ~(k-1)x scale
+    # intersection estimate inherits the fix: common/|X| * union
+    assert got["intersect_est"] == int(2 * expect_union / 10)
+
+    one = spark.createDataFrame(
+        [("A", [P // 7], 1, True), ("B", [P // 7], 1, True)],
+        "grp string, kmv array<long>, n_kept long, clipped boolean",
+    )
+    tiny = sk.kmv_intersect_estimate(one, k=k).collect()[0]
+    assert tiny["union_est"] == 1
+
+
 def test_kmv_clipped_sketch_property(spark):
     """safety=1 with k far below the group cardinality forces the
     prefilter to clip (thr << P): the flag must be set, the pair must
