@@ -229,8 +229,24 @@ def skew_join_bench(spark) -> dict[str, float]:
                on a single reducer (the straggler).
       salted — AQE off, relational.salted_join(8): the hot key spreads
                over 8 reducers at the cost of an 8x right-side inflation.
-      aqe    — AQE skew-join on (engine default): runtime split of the
-               oversized partition, no manual salting.
+      aqe    — AQE skew-join with its size knobs SCALED to the bench's
+               data volume: runtime split of the oversized partition, no
+               manual salting.
+
+    Root cause of the r7/r8 aqe-vs-plain incoherence (r7 1.508 < 1.723,
+    r8 2.061 > 1.842 on identical code): the hot partition here is ~32 MB,
+    far below the default skewedPartitionThresholdInBytes (256 MB), so the
+    aqe arm NEVER actually split — it measured the same straggler as plain
+    plus AQE re-planning overhead, i.e. pure ambient noise. The probe's
+    stage bars show it: plain (31+1)/32, aqe-with-defaults (15+1)/16 (same
+    single straggler after coalescing), aqe-with-scaled-knobs 17 splits and
+    a stable win (1.184 < 1.515 < 1.596 median-of-3, fresh session). The
+    defaults are cluster-scale values; a 100 TB run's skewed partitions
+    clear 256 MB on their own — the bench must scale the knob to its data
+    or the arm measures nothing. Hence the aqe arm now pins
+    skewedPartitionThresholdInBytes/advisoryPartitionSizeInBytes to 4 MB
+    (~1/8 of the hot partition, mirroring the 256 MB/multi-GB cluster
+    ratio) and restores them after.
     """
     import time
 
@@ -278,8 +294,17 @@ def skew_join_bench(spark) -> dict[str, float]:
             ),
         )
         conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            str(4 * 1024 * 1024),
+        )
+        conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", str(4 * 1024 * 1024)
+        )
         run("aqe", lambda: left.join(right, "k").select(F.col("v") + F.col("w")))
     finally:
+        conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
         for key, val in saved.items():
             conf.set(key, val)
     return times
@@ -288,14 +313,43 @@ def skew_join_bench(spark) -> dict[str, float]:
 def bucketed_join_bench(spark, sf_dir: str) -> dict[str, float]:
     """orders ⋈ lineitem revenue rollup, unbucketed (per-query shuffle of
     both facts) vs pre-bucketed on the join key (write-time shuffle, ZERO
-    exchanges at query time — sources.io.write_bucketed). The bucketed
-    write itself is unmeasured setup: it's the amortized once-per-load
-    cost this layout exists to pay."""
+    join exchanges at query time — sources.io.write_bucketed). The
+    bucketed write itself is unmeasured setup: it's the amortized
+    once-per-load cost this layout exists to pay.
+
+    Root cause of the r8 collapse (bucketed 1.238 ≈ unbucketed 1.235
+    where r7 showed 0.315 vs 0.911, identical code): orders.parquet at
+    sf0.1 is 2.7 MB — always under the session's 64 MB
+    autoBroadcastJoinThreshold — so BOTH arms planned a
+    BroadcastHashJoin and the bucketed layout never reached the join at
+    all. What the section actually compared was scan parallelism (one
+    3-task single-file scan vs 32 bucket files) under a broadcast join,
+    a gap that session-ambient scheduler load erases — hence coherent-
+    looking numbers in one round and a collapse in the next. With
+    broadcast disabled the section measures its claim and the gap is
+    structural: unbucketed = SortMergeJoin with 3 exchanges (2 join-side
+    + 1 agg), bucketed = 1 exchange (agg only), 0.577 vs 0.317 median-
+    of-3 in a fresh session. Broadcast is now disabled for both arms
+    (saved/restored), and the per-arm physical-plan exchange counts are
+    emitted alongside the times so a future plan regression shows up
+    structurally instead of as timing noise. At warehouse scale no fact-
+    fact join is broadcastable — disabling the threshold here is what
+    makes the sf0.1 bench a faithful miniature of the 100 TB case."""
+    import io
     import time
+    from contextlib import redirect_stdout
 
     from pyspark.sql import functions as F
 
     from hdinsight_pyspark_cntk_integration_spark.sources.io import write_bucketed
+
+    def count_exchanges(df) -> int:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        # tree-line shuffle Exchange nodes only ("+- Exchange"/":- Exchange");
+        # "+- BroadcastExchange" does not match this substring
+        return buf.getvalue().count("- Exchange")
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -324,22 +378,32 @@ def bucketed_join_bench(spark, sf_dir: str) -> dict[str, float]:
         return round(sorted(samples)[1], 3)
 
     times: dict[str, float] = {}
-    times["unbucketed"] = _median3(lambda: revenue(orders, li, "l_orderkey"))
+    conf = spark.conf
+    saved_thr = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        times["unbucketed"] = _median3(lambda: revenue(orders, li, "l_orderkey"))
+        times["unbucketed_exchanges"] = count_exchanges(
+            revenue(orders, li, "l_orderkey")
+        )
 
-    # Idempotent setup: a previous bench run's table dirs survive in
-    # spark-warehouse while the fresh session's catalog has no entry, so
-    # saveAsTable(overwrite) refuses — clear both sides.
-    import shutil
+        # Idempotent setup: a previous bench run's table dirs survive in
+        # spark-warehouse while the fresh session's catalog has no entry,
+        # so saveAsTable(overwrite) refuses — clear both sides.
+        import shutil
 
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for tbl in ("bench_li_bkt", "bench_ord_bkt"):
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for tbl in ("bench_li_bkt", "bench_ord_bkt"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
 
-    write_bucketed(li, "bench_li_bkt", buckets, "l_orderkey")
-    write_bucketed(orders, "bench_ord_bkt", buckets, "o_orderkey")
-    lb, ob = spark.table("bench_li_bkt"), spark.table("bench_ord_bkt")
-    times["bucketed"] = _median3(lambda: revenue(ob, lb, "l_orderkey"))
+        write_bucketed(li, "bench_li_bkt", buckets, "l_orderkey")
+        write_bucketed(orders, "bench_ord_bkt", buckets, "o_orderkey")
+        lb, ob = spark.table("bench_li_bkt"), spark.table("bench_ord_bkt")
+        times["bucketed"] = _median3(lambda: revenue(ob, lb, "l_orderkey"))
+        times["bucketed_exchanges"] = count_exchanges(revenue(ob, lb, "l_orderkey"))
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thr)
     return times
 
 
