@@ -1345,6 +1345,21 @@ def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.jaccard_neighbors(_strong_trade_edges(spark, sf_dir))
 
 
+def q_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jaccard_neighbors with the max_degree hub cap engaged (=12 —
+    bites at every SF: trade-graph degrees run 1..15 at sf0.001 and
+    5..24 at sf0.01, so the cap drops real hubs while apexes and
+    non-adjacent wedge pairs survive): the capped-vs-uncapped
+    gate pair ordered by VERDICT r8 #4. The cap drops hub APEXES from
+    wedge enumeration (the Σ deg·(deg-1)/2 scale knob profiled in
+    tools/profile_hub_cap.py) while the Jaccard denominator keeps TRUE
+    degrees; the oracle applies the identical deg <= 12 apex filter, so
+    the lossy cut is deterministic and provable, not approximate."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import graph as gr
+
+    return gr.jaccard_neighbors(_strong_trade_edges(spark, sf_dir), max_degree=12)
+
+
 def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic-Adar link prediction (operators.graph.adamic_adar) on the
     strong nation trade graph: which weakly-trading nation pairs share
@@ -5320,6 +5335,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "data_card": q_data_card,
         "pca_top_component": q_pca_top_component,
+        # new in round 9 (VERDICT r8 #4 capped-gate twin): takes the one
+        # free round-10 window slot — see ROTATION.md
+        "jaccard_capped": q_jaccard_capped,
         # --- previously gated queries (r1-r8 artifacts) ---
         "pricing_summary": q_pricing_summary,
         "mutual_information": q_mutual_information,
@@ -11031,6 +11049,13 @@ def oracle_sql() -> dict[str, str]:
         JOIN deg da ON da.z = n.a
         JOIN deg db ON db.z = n.b
     """
+    # Capped twin: the IDENTICAL query with the max_degree=8 apex cut —
+    # only apex eligibility changes; true degrees still feed the
+    # denominator (exactly what graph.jaccard_neighbors(max_degree=8)
+    # computes).
+    oracles["jaccard_capped"] = oracles["jaccard_neighbors"].replace(
+        "deg.dg >= 2", "deg.dg >= 2 AND deg.dg <= 12"
+    )
     oracles["robust_means"] = """
         WITH r AS (
           SELECT o_orderpriority AS g,

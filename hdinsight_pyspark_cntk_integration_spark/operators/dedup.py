@@ -332,10 +332,18 @@ def connected_components(
     changing, a ``RuntimeError`` is raised rather than silently returning
     unmerged components.
     """
+    # Materialize the edge set ONCE: `edges` is re-referenced in every
+    # pointer-jumping round, and without a checkpoint each round would
+    # re-derive the full upstream pair plan — for embedding_dedup that
+    # is the all-pairs candidate join + two vector fetches + fp64
+    # cosine, re-executed per round (VERDICT r8 #5; measured by
+    # tools/profile_embedding_dedup.py). One eager checkpoint makes
+    # every caller pay for pair generation exactly once.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
