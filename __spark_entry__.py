@@ -5222,6 +5222,152 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# --- round-9 batch: effect sizes, resampling, order statistics, HITS,
+# --- grouping sets ------------------------------------------------------
+
+
+def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d pooled-variance effect size (operators.stats.cohens_d):
+    how many standard deviations separate URGENT and LOW order values —
+    the magnitude companion to the welch_ttest gate (same two groups,
+    same moment discipline: integer cents, DECIMAL sums, one fp64
+    tree)."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    orders = load_table(spark, sf_dir, "orders")
+    return st.cohens_d(orders, "o_orderpriority", "o_totalprice", "1-URGENT", "5-LOW")
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority LOWER weighted median of lineitem price weighted by
+    quantity (operators.stats.weighted_median): the price at which half
+    the QUANTITY trades — all-integer (cross-multiplied cumulative
+    weights over the bounded (group, value) cell aggregate)."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "o_orderpriority", "l_extendedprice", "l_quantity"
+    )
+    return st.weighted_median(j, "o_orderpriority", "l_extendedprice", "l_quantity")
+
+
+def q_jackknife_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-NATION jackknife of the global mean account balance
+    (operators.stats.jackknife_means): which nation's customers pull
+    the mean, and by how much — the grouped-data influence diagnostic.
+    One aggregate pass; the only window runs over the 25-row nation
+    aggregate."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    cust = load_table(spark, sf_dir, "customer")
+    return st.jackknife_means(cust, "c_nationkey", "c_acctbal").withColumnRenamed(
+        "c_nationkey", "nation"
+    )
+
+
+def q_bootstrap_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap of the mean order value, 64
+    resamples (operators.stats.poisson_bootstrap_mean, Chamandy et al.
+    2012): per-resample multiplicities from the engine's Knuth mixer —
+    no RNG, so Spark and the oracle agree bit-for-bit. The explode is
+    collapsed by map-side partial agg before the 64-row shuffle."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    orders = load_table(spark, sf_dir, "orders")
+    return st.poisson_bootstrap_mean(orders, "o_orderkey", "o_totalprice", 64)
+
+
+def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart 3σ control chart over per-customer total spend by
+    market segment (operators.stats.control_chart): the whale/anomaly
+    customers whose spend sits > 3σ from their segment's mean. Breach
+    points only, flagged by the ALL-INTEGER cross-multiplied test
+    (n·x − S)² > 9·(n·Q − S²) — no sqrt, no float compare,
+    hash-gate-exact. (Raw o_totalprice has compact support — max |z|
+    ~1.9 at every SF, a chart that never fires; customer TOTALS are
+    order-count-mixed and genuinely heavy-tailed: 1 breach at sf0.001,
+    6 at sf0.01.) Spend aggregates to exact cents BEFORE the operator;
+    the operator's own cents quantization (×100) is undone by passing
+    dollars back."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spend = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / F.lit(100.0)
+            ).alias("spend")
+        )
+    )
+    return st.control_chart(
+        spend, "c_mktsegment", "c_custkey", "spend", n_sigma=3
+    ).withColumnRenamed("c_mktsegment", "segment").withColumnRenamed(
+        "t", "custkey"
+    )
+
+
+def q_lorenz_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer spend in deciles
+    (operators.stats.lorenz_points): cumulative revenue share of the
+    bottom-k customer deciles. Global NTILE WITHOUT a global window —
+    binary-magnitude buckets + local ranks + a <=130-row offset prefix
+    sum (the epoch_shuffle idiom), NTILE replicated arithmetically from
+    (rank, N) so the oracle's plain windowed NTILE matches exactly."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    orders = load_table(spark, sf_dir, "orders")
+    return st.lorenz_points(orders, "o_custkey", "o_totalprice", buckets=10)
+
+
+def q_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized integer HITS, 2 rounds, on the directed strong
+    nation trade graph (operators.graph.hits_scores — the tenth
+    oracle-provable iterative algorithm): which nations are the
+    strongest EXPORT hubs vs IMPORT authorities under mutual
+    reinforcement. Exact integers (normalization skipped — rankings
+    unchanged, scores become path counts the oracle unrolls as two CTE
+    pairs)."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import graph as gr
+
+    return gr.hits_scores(_strong_trade_edges(spark, sf_dir), iters=2)
+
+
+_GROUPING_SETS_SQL = """
+    SELECT
+      COALESCE(r_name, '(all)') AS region,
+      COALESCE(o_orderpriority, '(all)') AS priority,
+      GROUPING(r_name) AS g_region,
+      GROUPING(o_orderpriority) AS g_priority,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        AS revenue_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (o_orderpriority), ())
+"""
+
+
+def q_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native GROUPING SETS with GROUPING() markers (SQL surface): the
+    region rollup, the priority rollup, and the grand total in ONE
+    grouped scan — the SAME SQL text, byte-identical, runs on Spark and
+    DuckDB (the recursive_cte_sql precedent applied to multi-grain
+    aggregation; Spark plans one Expand + one partial-agg shuffle, not
+    three scans)."""
+    for t in ("orders", "customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver gate window (first 50): round-9 rotation per the
@@ -5338,6 +5484,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 9 (VERDICT r8 #4 capped-gate twin): takes the one
         # free round-10 window slot — see ROTATION.md
         "jaccard_capped": q_jaccard_capped,
+        # new in round 9, scheduled for the round-11 gate window (the
+        # round-10 window is fully committed to the never-gated backlog
+        # — ROTATION.md); all oracle-paired and parity-mirrored now
+        "cohens_d": q_cohens_d,
+        "weighted_median": q_weighted_median,
+        "jackknife_nations": q_jackknife_nations,
+        "bootstrap_mean": q_bootstrap_mean,
+        "control_chart": q_control_chart,
+        "lorenz_customers": q_lorenz_customers,
+        "hits_trade": q_hits_trade,
+        "grouping_sets_sql": q_grouping_sets_sql,
         # --- previously gated queries (r1-r8 artifacts) ---
         "pricing_summary": q_pricing_summary,
         "mutual_information": q_mutual_information,
@@ -11056,6 +11213,211 @@ def oracle_sql() -> dict[str, str]:
     oracles["jaccard_capped"] = oracles["jaccard_neighbors"].replace(
         "deg.dg >= 2", "deg.dg >= 2 AND deg.dg <= 12"
     )
+    oracles["cohens_d"] = """
+        WITH s AS (
+          SELECT (o_orderpriority = '1-URGENT') AS is_a,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ),
+        m AS (
+          SELECT
+            CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+            SUM(CASE WHEN is_a THEN CAST(c AS HUGEINT) END) AS sa,
+            SUM(CASE WHEN NOT is_a THEN CAST(c AS HUGEINT) END) AS sb,
+            SUM(CASE WHEN is_a THEN CAST(c AS HUGEINT) * CAST(c AS HUGEINT) END) AS qa,
+            SUM(CASE WHEN NOT is_a THEN CAST(c AS HUGEINT) * CAST(c AS HUGEINT) END) AS qb
+          FROM s
+        ),
+        f AS (
+          SELECT n_a, n_b,
+            CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+            CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+            CAST(qa AS DOUBLE) AS qad, CAST(qb AS DOUBLE) AS qbd
+          FROM m WHERE n_a >= 2 AND n_b >= 2
+        ),
+        g AS (
+          SELECT n_a, n_b,
+            sad / na - sbd / nb AS diff,
+            sqrt(((qad - sad * sad / na) + (qbd - sbd * sbd / nb))
+                 / (na + nb - 2.0)) AS sp
+          FROM f
+        )
+        SELECT n_a, n_b,
+          CAST(floor(diff * 10000.0) AS BIGINT) AS diff_micro,
+          CAST(floor(sp * 10000.0) AS BIGINT) AS pooled_sd_micro,
+          CAST(floor(diff / sp * 1000000.0) AS BIGINT) AS d_micro
+        FROM g
+    """
+    oracles["weighted_median"] = """
+        WITH s AS (
+          SELECT o_orderpriority AS g,
+            CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+            CAST(round(l_quantity) AS BIGINT) AS w
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        cells AS (
+          SELECT g, v, CAST(SUM(w) AS BIGINT) AS cw
+          FROM s WHERE w > 0 GROUP BY 1, 2
+        ),
+        c AS (
+          SELECT g, v,
+            SUM(cw) OVER (PARTITION BY g ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            SUM(cw) OVER (PARTITION BY g) AS tot
+          FROM cells
+        )
+        SELECT g AS o_orderpriority,
+          CAST(MIN(tot) AS BIGINT) AS total_weight,
+          CAST(MIN(v) AS BIGINT) AS wmedian_cents
+        FROM c WHERE cum * 2 >= tot GROUP BY 1
+    """
+    oracles["jackknife_nations"] = """
+        WITH per AS (
+          SELECT c_nationkey AS g, CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS HUGEINT)) AS s
+          FROM customer GROUP BY 1
+        ),
+        t AS (
+          SELECT g, n, s,
+            SUM(n) OVER () AS nn, SUM(s) OVER () AS ss
+          FROM per
+        )
+        SELECT g AS nation, n,
+          CAST(floor(CAST(ss - s AS DOUBLE) / CAST(nn - n AS DOUBLE)
+               * 10000.0) AS BIGINT) AS loo_mean_micro,
+          CAST(floor((CAST(ss - s AS DOUBLE) / CAST(nn - n AS DOUBLE)
+               - CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
+               * 10000.0) AS BIGINT) AS delta_micro
+        FROM t WHERE nn > n
+    """
+    oracles["bootstrap_mean"] = """
+        WITH r AS (
+          SELECT o_orderkey AS id,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders
+        ),
+        x AS (
+          SELECT r.id, r.c, t.resample FROM r
+          CROSS JOIN (SELECT UNNEST(range(0, 64)) AS resample) t
+        ),
+        u AS (
+          SELECT resample, c,
+            (((id * 64 + resample) % 1000003) * 2654435761) % 1000003 AS uu
+          FROM x
+        ),
+        mm AS (
+          SELECT resample, c,
+            CASE WHEN uu < 367880 THEN 0
+                 WHEN uu < 735761 THEN 1
+                 WHEN uu < 919701 THEN 2
+                 WHEN uu < 981015 THEN 3
+                 ELSE 4 END AS m
+          FROM u
+        ),
+        per AS (
+          SELECT resample,
+            CAST(SUM(m) AS BIGINT) AS n_eff,
+            SUM(CAST(m * c AS HUGEINT)) AS s
+          FROM mm GROUP BY 1 HAVING SUM(m) > 0
+        )
+        SELECT CAST(resample AS BIGINT) AS resample, n_eff,
+          CAST(floor(CAST(s AS DOUBLE) / CAST(n_eff AS DOUBLE) * 10000.0)
+               AS BIGINT) AS mean_micro
+        FROM per
+    """
+    oracles["control_chart"] = """
+        WITH r AS (
+          SELECT c_mktsegment AS g, c_custkey AS t,
+            CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+          FROM customer JOIN orders ON o_custkey = c_custkey
+          GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+            SUM(CAST(c AS HUGEINT)) AS s,
+            SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS q
+          FROM r GROUP BY 1
+        )
+        SELECT r.g AS segment, r.t AS custkey, r.c AS value_cents,
+          CAST(CASE WHEN m.n * CAST(r.c AS HUGEINT) - m.s > 0
+               THEN 1 ELSE -1 END AS BIGINT) AS side
+        FROM r JOIN m ON r.g = m.g
+        WHERE (m.n * CAST(r.c AS HUGEINT) - m.s)
+              * (m.n * CAST(r.c AS HUGEINT) - m.s)
+              > 9 * (m.n * m.q - m.s * m.s)
+    """
+    oracles["lorenz_customers"] = """
+        WITH per AS (
+          SELECT o_custkey AS k,
+            CAST(SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                 AS HUGEINT)) AS BIGINT) AS tot
+          FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+        ),
+        tiled AS (
+          SELECT tot, NTILE(10) OVER (ORDER BY tot, k) AS bucket FROM per
+        ),
+        agg AS (
+          SELECT CAST(bucket AS BIGINT) AS bucket,
+            CAST(COUNT(*) AS BIGINT) AS n_keys,
+            SUM(CAST(tot AS HUGEINT)) AS b
+          FROM tiled GROUP BY 1
+        ),
+        c AS (
+          SELECT bucket, n_keys, b,
+            SUM(b) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            SUM(b) OVER () AS alltot
+          FROM agg
+        )
+        SELECT bucket, n_keys, CAST(b AS BIGINT) AS bucket_cents,
+          CAST((cum * 1000000) // alltot AS BIGINT) AS cum_share_micro
+        FROM c
+    """
+    oracles["hits_trade"] = """
+        WITH j AS MATERIALIZED (
+          SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+            CAST(COUNT(*) AS BIGINT) AS wt
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2
+        ),
+        m AS MATERIALIZED (
+          SELECT CAST(SUM(wt) AS BIGINT) AS tot,
+            CAST(COUNT(*) AS BIGINT) AS np
+          FROM j
+        ),
+        e AS MATERIALIZED (
+          SELECT DISTINCT CAST(src AS BIGINT) AS s, CAST(dst AS BIGINT) AS d
+          FROM j CROSS JOIN m
+          WHERE wt * np * 10 >= 11 * tot
+        ),
+        n AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+        a1 AS (
+          SELECT d AS node, CAST(COUNT(*) AS BIGINT) AS a FROM e GROUP BY 1
+        ),
+        h1 AS (
+          SELECT e.s AS node, CAST(SUM(a1.a) AS BIGINT) AS h
+          FROM e JOIN a1 ON a1.node = e.d GROUP BY 1
+        ),
+        a2 AS (
+          SELECT e.d AS node, CAST(SUM(h1.h) AS BIGINT) AS a
+          FROM e JOIN h1 ON h1.node = e.s GROUP BY 1
+        ),
+        h2 AS (
+          SELECT e.s AS node, CAST(SUM(a2.a) AS BIGINT) AS h
+          FROM e JOIN a2 ON a2.node = e.d GROUP BY 1
+        )
+        SELECT n.node,
+          CAST(COALESCE(h2.h, 0) AS BIGINT) AS hub,
+          CAST(COALESCE(a2.a, 0) AS BIGINT) AS authority
+        FROM n
+        LEFT JOIN h2 ON h2.node = n.node
+        LEFT JOIN a2 ON a2.node = n.node
+    """
+    oracles["grouping_sets_sql"] = _GROUPING_SETS_SQL
     oracles["robust_means"] = """
         WITH r AS (
           SELECT o_orderpriority AS g,

@@ -174,6 +174,16 @@ PIPELINE = [
     "ks_drift",
     "jaccard_neighbors",
     "robust_means",
+    # round-9 additions
+    "jaccard_capped",
+    "cohens_d",
+    "weighted_median",
+    "jackknife_nations",
+    "bootstrap_mean",
+    "control_chart",
+    "lorenz_customers",
+    "hits_trade",
+    "grouping_sets_sql",
 ]
 
 

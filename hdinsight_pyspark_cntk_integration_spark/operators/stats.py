@@ -2018,3 +2018,420 @@ def robust_means(
         F.floor(gm * ten_k).cast("long").alias("gmean_micro"),
         F.floor(hm * ten_k).cast("long").alias("hmean_micro"),
     )
+
+
+def cohens_d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Cohen's d pooled-variance effect size — the magnitude companion
+    to :func:`welch_ttest` (t says whether the means differ; d says by
+    HOW MANY standard deviations, the number a practitioner actually
+    acts on):
+
+        d = (m̄_a − m̄_b) / s_p,
+        s_p = sqrt( ((n_a−1)s²_a + (n_b−1)s²_b) / (n_a+n_b−2) )
+
+    with the unbiased sample variances. Groups need n >= 2 each.
+
+    Exactness: the welch_ttest moment discipline verbatim — integer
+    cents at birth, DECIMAL(38,0) Σx/Σx² (order-independent), one
+    fixed-order fp64 expression tree, micro-floored.
+
+    Shape: one partial-agg groupBy collapsing both groups to one
+    moment row. Nothing shuffles but six numbers.
+
+    Returns one row (n_a, n_b, diff_micro, pooled_sd_micro, d_micro).
+    """
+    dec = "decimal(38,0)"
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    sub = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        (F.col(group_col) == F.lit(group_a)).alias("__is_a"),
+        cents.alias("__c"),
+    )
+    cd = F.col("__c").cast(dec)
+    m = sub.groupBy().agg(
+        F.sum(F.when(F.col("__is_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~F.col("__is_a"), 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("__is_a"), cd)).cast(dec).alias("__sa"),
+        F.sum(F.when(~F.col("__is_a"), cd)).cast(dec).alias("__sb"),
+        F.sum(F.when(F.col("__is_a"), cd * cd)).cast(dec).alias("__qa"),
+        F.sum(F.when(~F.col("__is_a"), cd * cd)).cast(dec).alias("__qb"),
+    ).filter((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("__sa").cast("double"), F.col("__sb").cast("double")
+    qa, qb = F.col("__qa").cast("double"), F.col("__qb").cast("double")
+    ma, mb = sa / na, sb / nb
+    ssa = qa - sa * sa / na  # (n−1)·s² — centered sum of squares
+    ssb = qb - sb * sb / nb
+    sp = F.sqrt((ssa + ssb) / (na + nb - F.lit(2.0)))
+    d = (ma - mb) / sp
+    return m.select(
+        "n_a", "n_b",
+        F.floor((ma - mb) * F.lit(10_000.0)).cast("long").alias("diff_micro"),
+        F.floor(sp * F.lit(10_000.0)).cast("long").alias("pooled_sd_micro"),
+        F.floor(d * F.lit(1_000_000.0)).cast("long").alias("d_micro"),
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Per-group LOWER weighted median: the smallest value v such that
+    the cumulative weight at v reaches half the group's total —
+    integer-exactly, 2·cum(v) >= W. The unweighted median treats a
+    1-unit and a 10k-unit row alike; revenue/volume questions need the
+    weight ("the price at which half the QUANTITY trades").
+
+    Exactness: ALL-integer — values quantize to cents, weights round to
+    integers, and the defining inequality is a cross-multiplied integer
+    comparison. No interpolation, no float ordering anywhere.
+
+    Shape: pre-aggregate to (group, value) cells FIRST (the partial-agg
+    shuffle, bounded by the value domain per group, never the row
+    count), one windowed cumsum over the cells, one min-pick aggregate.
+    The window is partitioned by group — never global.
+
+    Returns (group, total_weight, wmedian_cents).
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    wgt = F.round(F.col(weight_col)).cast("long")
+    cells = (
+        df.select(
+            F.col(group_col).alias("__g"), cents.alias("__v"), wgt.alias("__w")
+        )
+        .filter(F.col("__w") > 0)
+        .groupBy("__g", "__v")
+        .agg(F.sum("__w").alias("__cw"))
+    )
+    w_cum = Window.partitionBy("__g").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy("__g")
+    marked = cells.select(
+        "__g", "__v",
+        F.sum("__cw").over(w_cum).alias("__cum"),
+        F.sum("__cw").over(w_all).alias("__tot"),
+    )
+    return (
+        marked.filter(F.col("__cum") * 2 >= F.col("__tot"))
+        .groupBy(F.col("__g").alias(group_col))
+        .agg(
+            F.min(F.col("__tot")).cast("long").alias("total_weight"),
+            F.min("__v").cast("long").alias("wmedian_cents"),
+        )
+    )
+
+
+def jackknife_means(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Delete-one-GROUP jackknife over a mean: for every group g, the
+    estimate recomputed without g — the classic sensitivity/influence
+    diagnostic ("is the corpus mean carried by one source?") and the
+    variance estimator for non-iid grouped data, where row-level
+    resampling understates error. Fits the engine's scale grain: groups
+    (sources, shards, tenants) are the natural delete-one unit at 100 TB,
+    and all N_g recomputations fall out of ONE aggregate pass:
+
+        loo_mean(g) = (S − S_g) / (N − n_g)
+
+    Exactness: integer cents at birth, DECIMAL(38,0) per-group and
+    global sums; each loo mean is one fp64 ratio over exact integers,
+    micro-floored. delta = loo − full flips sign exactly at groups that
+    pull the mean up vs down.
+
+    Shape: one partial-agg groupBy to (group, n_g, S_g); global (N, S)
+    as a window over that bounded aggregate — never a second scan.
+
+    Returns (group, n, loo_mean_micro, delta_micro), cent-micro units.
+    """
+    dec = "decimal(38,0)"
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    per = (
+        df.select(F.col(group_col).alias("__g"), cents.alias("__c"))
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("__c").cast(dec)).cast(dec).alias("__s"),
+        )
+    )
+    # note the total aliases share no name with the per-group ones even
+    # case-insensitively — Spark's default resolver treats __s/__S as
+    # the same column
+    w_all = Window.partitionBy()
+    tot = per.select(
+        "__g", "n", "__s",
+        F.sum("n").over(w_all).alias("__nt"),
+        F.sum("__s").over(w_all).cast(dec).alias("__st"),
+    )
+    n_rest = (F.col("__nt") - F.col("n")).cast("double")
+    s_rest = (F.col("__st") - F.col("__s")).cast("double")
+    loo = s_rest / n_rest
+    full = F.col("__st").cast("double") / F.col("__nt").cast("double")
+    ten_k = F.lit(10_000.0)
+    return tot.filter(F.col("__nt") > F.col("n")).select(
+        F.col("__g").alias(group_col), "n",
+        F.floor(loo * ten_k).cast("long").alias("loo_mean_micro"),
+        F.floor((loo - full) * ten_k).cast("long").alias("delta_micro"),
+    )
+
+
+# Truncated-Poisson(1) CDF cut points on the Knuth-mixer domain
+# [0, 1000003): floor(P·Σ_{j<=k} e^{-1}/j!) for k = 0..3; multiplicity
+# 4 absorbs the ~0.37% tail (identical truncation on both engines, so
+# the estimator is deterministic — the classic "Poisson bootstrap"
+# approximation of multinomial resampling, Chamandy et al. 2012).
+_BOOT_P = 1_000_003
+_BOOT_CUTS = (367_880, 735_761, 919_701, 981_015)
+
+
+def poisson_bootstrap_mean(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    n_resamples: int = 64,
+) -> DataFrame:
+    """Deterministic Poisson bootstrap of a mean: ``n_resamples``
+    resample estimates of mean(value), each row entering resample b
+    with multiplicity ~ Poisson(1) — the streaming-friendly bootstrap
+    (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams", Google 2012): no global resample-size coordination, so
+    it fans out embarrassingly at 100 TB where a classic multinomial
+    bootstrap cannot.
+
+    Determinism: multiplicity comes from the engine's Knuth
+    multiplicative mixer (the split_assign/mixture_sample recipe —
+    cross-engine-exact integer arithmetic, no RNG):
+    u = ((id·B + b) mod P · 2654435761) mod P, cut by _BOOT_CUTS.
+
+    Exactness: per-resample Σ(m·cents) in DECIMAL(38,0), Σm as long;
+    each resample mean is ONE fp64 ratio, micro-floored.
+
+    Shape: explode(sequence(0, B−1)) inflates rows B× INSIDE a
+    partition, but the immediate partial agg on b collapses each
+    partition to <= B rows before the (tiny, B-row) shuffle — the
+    wire cost is B numbers per partition, not B× the data.
+
+    Returns (resample, n_eff, mean_micro), one row per resample with
+    multiplicity support; percentile CIs are order statistics of the
+    B returned rows (bounded, caller-side or one array_sort away).
+    """
+    if n_resamples < 1:
+        raise ValueError(f"n_resamples must be >= 1 (got {n_resamples})")
+    dec = "decimal(38,0)"
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    rows = df.select(F.col(id_col).alias("__id"), cents.alias("__c")).select(
+        "__id", "__c",
+        F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias("resample"),
+    )
+    u = F.pmod(
+        F.pmod(F.col("__id") * n_resamples + F.col("resample"), F.lit(_BOOT_P))
+        * F.lit(2654435761),
+        F.lit(_BOOT_P),
+    )
+    c0, c1, c2, c3 = _BOOT_CUTS
+    mult = (
+        F.when(u < c0, 0)
+        .when(u < c1, 1)
+        .when(u < c2, 2)
+        .when(u < c3, 3)
+        .otherwise(4)
+        .cast("long")
+    )
+    per = rows.select("resample", "__c", mult.alias("__m")).groupBy(
+        "resample"
+    ).agg(
+        F.sum("__m").cast("long").alias("n_eff"),
+        F.sum((F.col("__m") * F.col("__c")).cast(dec)).cast(dec).alias("__s"),
+    ).filter(F.col("n_eff") > 0)
+    mean = F.col("__s").cast("double") / F.col("n_eff").cast("double")
+    return per.select(
+        F.col("resample").cast("long").alias("resample"),
+        "n_eff",
+        F.floor(mean * F.lit(10_000.0)).cast("long").alias("mean_micro"),
+    )
+
+
+def control_chart(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    n_sigma: int = 3,
+) -> DataFrame:
+    """Shewhart individuals control chart per group: flag the points
+    whose deviation from the group mean exceeds ``n_sigma`` population
+    standard deviations — the process-monitoring primitive behind
+    pipeline-health dashboards (is THIS month's revenue out of
+    control, given this nation's own history?).
+
+    Exactness: ALL-integer — with S = Σx, Q = Σx² (integer cents,
+    DECIMAL(38,0)) the breach test |x − μ| > kσ cross-multiplies to
+
+        (n·x − S)² > k² · (n·Q − S²)
+
+    — exact integer arithmetic end to end, no sqrt, no division, no
+    float compare. The signed side (+1 above, −1 below) falls out of
+    sign(n·x − S). Bound: |n·x| must fit DECIMAL(38,0) squared, i.e.
+    n·|cents| < 10^19 — control series are bounded per group (a chart
+    over more than ~10^6 points isn't a chart), so this holds by
+    construction.
+
+    Shape: one partial-agg groupBy to (group, n, S, Q); moments join
+    back broadcast-ably (|groups| rows); the row stream is scanned
+    twice but shuffled AT MOST once (on group, for the moment agg).
+
+    Returns (group, t, value_cents, side) for breach points only,
+    side = +1 / −1.
+    """
+    dec = "decimal(38,0)"
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    rows = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(time_col).alias("t"),
+        cents.alias("__c"),
+    )
+    m = rows.groupBy("__g").agg(
+        F.count(F.lit(1)).cast(dec).alias("__n"),
+        F.sum(F.col("__c").cast(dec)).cast(dec).alias("__s"),
+        F.sum((F.col("__c").cast(dec) * F.col("__c").cast(dec))).cast(dec).alias("__q"),
+    )
+    j = rows.join(F.broadcast(m), "__g")
+    dev = F.col("__n") * F.col("__c").cast(dec) - F.col("__s")
+    var_n2 = F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s")
+    breach = (dev * dev) > F.lit(int(n_sigma * n_sigma)).cast(dec) * var_n2
+    return (
+        j.filter(breach)
+        .select(
+            F.col("__g").alias(group_col),
+            "t",
+            F.col("__c").alias("value_cents"),
+            F.when(dev > 0, F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("side"),
+        )
+    )
+
+
+def lorenz_points(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Lorenz curve in ``buckets`` points: entities sorted by total
+    value ascending, cut into NTILE buckets, cumulative share of the
+    total per bucket — the curve behind the scalar :func:`gini`
+    ("the bottom 50% of customers carry 3% of revenue" is the curve
+    point; gini is its integral).
+
+    NO GLOBAL WINDOW: a naive ``ntile(b) OVER (ORDER BY total)`` drags
+    every entity through one partition. Global rank is built with the
+    ``epoch_shuffle``/``pack_chunks_global`` prefix-sum idiom instead —
+    an ORDER-PRESERVING coarse bucket (binary magnitude of the total,
+    computed exactly as the length of ``conv(total, 10, 2)`` — no fp
+    log anywhere), a rank window INSIDE each magnitude bucket, and
+    bucket offsets from a <=130-row prefix sum broadcast back. NTILE
+    is then replicated arithmetically from (rank, N): the first
+    N mod b tiles take ceil(N/b) entities, the rest floor(N/b) — the
+    SQL-standard definition, so a plain windowed NTILE oracle matches
+    exactly.
+
+    Exactness: ALL-integer until the final share — per-entity totals
+    in cents (DECIMAL(38,0) sums), deterministic (total, key) order,
+    per-bucket integer sums, cum share micro-floored from a DECIMAL
+    ratio.
+
+    Shape: one groupBy to entity totals (the only data-volume
+    shuffle), one magnitude-partitioned rank window, two bounded
+    broadcasts (offsets, N), one |buckets|-row rollup + cum window
+    over the bounded bucket aggregate.
+
+    Returns (bucket, n_keys, bucket_cents, cum_share_micro).
+    """
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2 (got {buckets})")
+    dec = "decimal(38,0)"
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    per = (
+        df.select(F.col(key_col).alias("__k"), cents.alias("__c"))
+        .filter(F.col("__k").isNotNull())
+        .groupBy("__k")
+        .agg(F.sum(F.col("__c").cast(dec)).cast("long").alias("__tot"))
+    )
+    # Order-preserving coarse bucket, two levels: binary magnitude
+    # (integer-exact floor(log2)+1 via base-2 string length — never a
+    # float log) × the top 7 bits within the magnitude, so each bucket
+    # spans <=1/64 of its magnitude range (<=8k buckets over the full
+    # long domain; the rank window partitions on THIS, never globally).
+    # Negatives mirror to strictly smaller buckets; zero sits between.
+    bits_sql = "length(conv(cast(abs(__tot) as string), 10, 2))"
+    bits = F.expr(bits_sql)
+    # python-API shiftright only takes a literal shift — SQL shiftright
+    # accepts a column expression
+    fine = F.expr(f"shiftright(abs(__tot), greatest({bits_sql} - 7, 0))")
+    pos = bits.cast("long") * 128 + fine
+    mag = (
+        F.when(F.col("__tot") > 0, pos)
+        .when(F.col("__tot") < 0, -pos)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__mag")
+    )
+    keyed = per.select("__k", "__tot", mag)
+    w_local = Window.partitionBy("__mag").orderBy("__tot", "__k")
+    ranked = keyed.withColumn("__rn", F.row_number().over(w_local))
+    counts = keyed.groupBy("__mag").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__mag").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__mag", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    n_tot = per.groupBy().agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    # SQL-standard NTILE from (rank, N) in integer div/mod only (the
+    # plain `/` on longs is DOUBLE division in Spark — div keeps the
+    # whole path integer-exact)
+    tile = F.expr(
+        f"""CASE WHEN __r <= (__N % {buckets}) * (__N div {buckets} + 1)
+             THEN (__r - 1) div (__N div {buckets} + 1)
+             ELSE (__N % {buckets})
+                  + (__r - 1 - (__N % {buckets}) * (__N div {buckets} + 1))
+                    div (__N div {buckets})
+           END + 1"""
+    ).cast("long")
+    tiled = (
+        ranked.join(F.broadcast(offsets), "__mag")
+        .join(F.broadcast(n_tot))
+        .select(
+            "__tot",
+            (F.col("__off") + F.col("__rn")).cast("long").alias("__r"),
+            "__N",
+        )
+        .select(F.col("__tot"), tile.alias("bucket"))
+    )
+    agg = tiled.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.col("__tot").cast(dec)).cast(dec).alias("__b"),
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    out = agg.select(
+        "bucket", "n_keys",
+        F.col("__b").cast("long").alias("bucket_cents"),
+        F.sum("__b").over(w_cum).cast(dec).alias("__cum"),
+        F.sum("__b").over(w_all).cast(dec).alias("__all"),
+    )
+    # DIV, not floor-of-decimal-division: Spark decimal division rounds
+    # HALF_UP at its result scale BEFORE floor could apply, which can
+    # disagree with the oracle's exact integer floor-division by one ulp
+    # at integer boundaries; DIV is exact on both engines.
+    share = F.expr("CAST((__cum * 1000000) DIV __all AS BIGINT)")
+    return out.select("bucket", "n_keys", "bucket_cents", share.alias("cum_share_micro"))

@@ -571,3 +571,66 @@ def test_jaccard_neighbors_include_adjacent_and_cap(spark):
     assert (1, 3) not in capped and (2, 3) not in capped
     with pytest.raises(ValueError):
         gr.jaccard_neighbors(df, max_degree=1)
+
+
+# --- hits_scores -----------------------------------------------------------
+
+
+def test_hits_hand_graph_one_round(spark):
+    # star: 0->1, 2->1, 1->3. a1 = indegree; h1(u) = Σ a1(out-neighbors)
+    edges = spark.createDataFrame(
+        [(0, 1), (2, 1), (1, 3)], "src long, dst long"
+    )
+    got = {r["node"]: r for r in gr.hits_scores(edges, iters=1).collect()}
+    assert {n: r["authority"] for n, r in got.items()} == {0: 0, 1: 2, 2: 0, 3: 1}
+    # hubs: 0 and 2 point at authority-2 node 1 → h=2; 1 points at 3 → h=1
+    assert {n: r["hub"] for n, r in got.items()} == {0: 2, 1: 1, 2: 2, 3: 0}
+
+
+def test_hits_two_rounds_exact_integers(spark):
+    # same graph, round 2 recomputed by hand:
+    # a2(v) = Σ_{u->v} h1(u): a2(1) = h1(0)+h1(2) = 4; a2(3) = h1(1) = 1
+    # h2(u) = Σ_{u->v} a2(v): h2(0)=h2(2)=4, h2(1)=1
+    edges = spark.createDataFrame(
+        [(0, 1), (2, 1), (1, 3)], "src long, dst long"
+    )
+    got = {r["node"]: r for r in gr.hits_scores(edges, iters=2).collect()}
+    assert {n: r["authority"] for n, r in got.items()} == {0: 0, 1: 4, 2: 0, 3: 1}
+    assert {n: r["hub"] for n, r in got.items()} == {0: 4, 1: 1, 2: 4, 3: 0}
+
+
+def test_hits_parallel_edges_collapse_and_validation(spark):
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 1), (0, 1)], "src long, dst long"
+    )
+    got = {r["node"]: r for r in gr.hits_scores(edges, iters=1).collect()}
+    assert got[1]["authority"] == 1  # not 3: duplicates collapse
+    with pytest.raises(ValueError):
+        gr.hits_scores(edges, iters=0)
+
+
+def test_hits_rankings_match_normalized_reference(spark):
+    # unnormalized integer HITS must rank like the classic normalized
+    # power iteration (normalization is a positive scalar per round)
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n = 12
+    pairs = sorted({(int(a), int(b)) for a, b in rng.randint(0, n, (40, 2)) if a != b})
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = gr.hits_scores(edges, iters=3).collect()
+    a_spark = {r["node"]: r["authority"] for r in got}
+    h_spark = {r["node"]: r["hub"] for r in got}
+    adj = np.zeros((n, n))
+    for a, b in pairs:
+        adj[a, b] = 1.0
+    h = np.ones(n)
+    for _ in range(3):
+        a = adj.T @ h
+        h = adj @ a
+    nodes = sorted(a_spark)
+    rank = lambda d: np.argsort([d[v] for v in nodes], kind="stable")
+    assert list(rank(a_spark)) == list(rank({v: a[v] for v in nodes}))
+    assert list(rank(h_spark)) == list(rank({v: h[v] for v in nodes}))

@@ -243,6 +243,15 @@ _INTENTIONAL_LINT = {
     #   (x,y) CELL aggregate, bounded by the category-domain product;
     #   the operator is documented as categorical-only for this reason
     "mutual_information": {"global-window"},
+    # jackknife_nations — the (N, S) total window runs over the
+    #   per-GROUP aggregate (|nations| = 25 rows), never the customer
+    #   stream; delete-one-group needs all group moments by definition
+    "jackknife_nations": {"global-window"},
+    # lorenz_customers — the rank window partitions on the magnitude
+    #   bucket (never global); the two empty-PARTITION windows left are
+    #   the <=8k-row bucket-offset prefix sum and the 10-row bucket
+    #   cumsum — both over bounded aggregates, the epoch_shuffle shape
+    "lorenz_customers": {"global-window"},
     # woe_iv — same shape as mutual_information: the pos/neg totals are
     #   windows over the CATEGORY cells, bounded by the category domain
     "woe_iv": {"global-window"},

@@ -1242,3 +1242,179 @@ def test_robust_means_constant_group_all_equal(spark):
     # GM/HM within a micro of AM on a constant series
     assert abs(r["gmean_micro"] - 7_000_000) <= 70
     assert abs(r["hmean_micro"] - 7_000_000) <= 70
+
+
+# --- cohens_d ---------------------------------------------------------------
+
+
+def test_cohens_d_hand_values(spark):
+    # a = {1,2,3}, b = {5,6,7} dollars: means 2 and 6, each ss = 2 (cents²
+    # scale: 2·100²·100... work in cents: a = {100,200,300}, ss = 20000)
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0), ("b", 6.0), ("b", 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = st.cohens_d(df, "g", "v", "a", "b").collect()
+    assert r["n_a"] == 3 and r["n_b"] == 3
+    # pooled sd = sqrt((20000+20000)/4) = 100 cents = 1 dollar
+    assert r["pooled_sd_micro"] == 100 * 10_000
+    # d = (200-600)/100 = -4
+    assert r["d_micro"] == -4_000_000
+    assert r["diff_micro"] == -400 * 10_000
+
+
+def test_cohens_d_needs_two_per_group(spark):
+    rows = [("a", 1.0), ("b", 2.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    assert st.cohens_d(df, "g", "v", "a", "b").count() == 0
+
+
+# --- weighted_median --------------------------------------------------------
+
+
+def test_weighted_median_hand_values(spark):
+    # values 1,2,3 with weights 1,1,10 → half of W=12 is reached at 3
+    rows = [("g", 1.0, 1), ("g", 2.0, 1), ("g", 3.0, 10)]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    [r] = st.weighted_median(df, "g", "v", "w").collect()
+    assert r["wmedian_cents"] == 300 and r["total_weight"] == 12
+    # equal weights → ordinary lower median
+    rows = [("g", float(v), 1) for v in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    [r] = st.weighted_median(df, "g", "v", "w").collect()
+    assert r["wmedian_cents"] == 200  # lower median of {1,2,3,4}
+
+
+def test_weighted_median_ignores_nonpositive_weights(spark):
+    rows = [("g", 9.0, 0), ("g", 1.0, 1), ("g", 9.0, -5)]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    [r] = st.weighted_median(df, "g", "v", "w").collect()
+    assert r["wmedian_cents"] == 100 and r["total_weight"] == 1
+
+
+# --- jackknife_means --------------------------------------------------------
+
+
+def test_jackknife_means_hand_values(spark):
+    # groups: a={10}, b={20}, c={30}; full mean 20
+    rows = [("a", 10.0), ("b", 20.0), ("c", 30.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in st.jackknife_means(df, "g", "v").collect()}
+    # drop a → mean 25; drop b → 20; drop c → 15 (cent-micro = ×1e4 on cents)
+    assert got["a"]["loo_mean_micro"] == 2500 * 10_000
+    assert got["b"]["loo_mean_micro"] == 2000 * 10_000
+    assert got["c"]["loo_mean_micro"] == 1500 * 10_000
+    assert got["a"]["delta_micro"] == 500 * 10_000
+    assert got["c"]["delta_micro"] == -500 * 10_000
+
+
+def test_jackknife_single_group_empty(spark):
+    # N == n_g for the only group → leave-one-out undefined → empty
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    assert st.jackknife_means(df, "g", "v").count() == 0
+
+
+# --- poisson_bootstrap_mean --------------------------------------------------
+
+
+def test_bootstrap_deterministic_and_plausible(spark):
+    rows = [(i, 10.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out1 = {r["resample"]: r for r in st.poisson_bootstrap_mean(df, "id", "v", 16).collect()}
+    out2 = {r["resample"]: r for r in st.poisson_bootstrap_mean(df, "id", "v", 16).collect()}
+    assert len(out1) == 16
+    for b in out1:
+        # constant data → every resample mean is exactly the constant
+        assert out1[b]["mean_micro"] == 10_000_000
+        # deterministic: same multiplicities both runs
+        assert out1[b]["n_eff"] == out2[b]["n_eff"]
+        # Poisson(1) multiplicities: n_eff concentrates near n
+        assert 350 <= out1[b]["n_eff"] <= 650
+
+
+def test_bootstrap_mean_varies_between_resamples(spark):
+    rows = [(i, float(i)) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    means = [r["mean_micro"] for r in st.poisson_bootstrap_mean(df, "id", "v", 8).collect()]
+    assert len(set(means)) > 1  # resamples genuinely differ
+    full_micro = (sum(range(1, 201)) / 200) * 100 * 10_000
+    for m in means:  # each within ~3 bootstrap-SE of the full mean
+        assert abs(m - full_micro) < 0.25 * full_micro
+
+
+def test_bootstrap_validates_n(spark):
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    with pytest.raises(ValueError):
+        st.poisson_bootstrap_mean(df, "id", "v", 0)
+
+
+# --- control_chart ------------------------------------------------------------
+
+
+def test_control_chart_flags_planted_outlier(spark):
+    rows = [("g", t, 100.0) for t in range(40)] + [
+        ("g", 98, 99.0), ("g", 99, 500.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    got = st.control_chart(df, "g", "t", "v", n_sigma=3).collect()
+    assert [(r["t"], r["side"]) for r in got] == [(99, 1)]
+
+
+def test_control_chart_two_sided(spark):
+    rows = [("g", t, 100.0) for t in range(40)] + [
+        ("g", 98, -300.0), ("g", 99, 500.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    got = {r["t"]: r["side"] for r in st.control_chart(df, "g", "t", "v").collect()}
+    assert got == {98: -1, 99: 1}
+
+
+def test_control_chart_constant_series_never_fires(spark):
+    rows = [("g", t, 42.0) for t in range(20)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    assert st.control_chart(df, "g", "t", "v").count() == 0
+
+
+# --- lorenz_points -----------------------------------------------------------
+
+
+def test_lorenz_points_uniform_and_skewed(spark):
+    # 25 entities, totals 1..25: bottom bucket of 5 holds 15/325
+    rows = [(i, float(i)) for i in range(1, 26)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    got = {r["bucket"]: r for r in st.lorenz_points(df, "k", "v", 5).collect()}
+    assert [got[b]["n_keys"] for b in range(1, 6)] == [5] * 5
+    assert got[1]["bucket_cents"] == 1500
+    assert got[5]["cum_share_micro"] == 1_000_000
+    assert got[1]["cum_share_micro"] == (1500 * 1_000_000) // 32500
+
+
+def test_lorenz_ntile_matches_window_ntile(spark):
+    # non-divisible N: 13 entities in 5 buckets → sizes 3,3,3,2,2
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rows = [(i, float((i * 7) % 13 + 1)) for i in range(13)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    got = st.lorenz_points(df, "k", "v", 5).orderBy("bucket").collect()
+    assert [r["n_keys"] for r in got] == [3, 3, 3, 2, 2]
+    # cross-check bucket assignment against a real NTILE window
+    per = df.groupBy("k").agg(
+        F.sum(F.round(F.col("v") * 100).cast("long")).alias("tot")
+    )
+    w = W.orderBy("tot", "k")
+    ref = (
+        per.select(F.ntile(5).over(w).alias("bucket"), "tot")
+        .groupBy("bucket")
+        .agg(F.sum("tot").alias("cents"))
+    )
+    ref_map = {r["bucket"]: r["cents"] for r in ref.collect()}
+    for r in got:
+        assert ref_map[r["bucket"]] == r["bucket_cents"]
+
+
+def test_lorenz_negative_and_zero_totals_order(spark):
+    rows = [(1, -5.0), (2, 0.0), (3, 2.0), (4, 100.0)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    got = st.lorenz_points(df, "k", "v", 2).orderBy("bucket").collect()
+    # ascending order → bucket 1 = {-5, 0}, bucket 2 = {2, 100}
+    assert got[0]["bucket_cents"] == -500
+    assert got[1]["bucket_cents"] == 10200
