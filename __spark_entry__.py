@@ -5368,6 +5368,92 @@ def q_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the strong nation trade graph (operators.graph.
+    k_truss — the eleventh oracle-provable iterative algorithm): the
+    maximal subgraph where every edge sits in >= 2 triangles, deletion
+    cascades run to fixpoint. The oracle unrolls MORE rounds than the
+    fixpoint needs — extra rounds are no-ops on a fixpoint, so the
+    unroll depth only needs to be an upper bound (asserted by the
+    operator's own convergence error at 20)."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import graph as gr
+
+    und = _strong_trade_edges(spark, sf_dir)
+    return gr.k_truss(und, k=4)
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed reciprocity of the strong nation trade graph
+    (operators.graph.reciprocity): does A strongly supplying B imply
+    the reverse? All-integer counts + one micro floor-division."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import graph as gr
+
+    return gr.reciprocity(_strong_trade_edges(spark, sf_dir))
+
+
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-priority order-value quantiles (operators.stats.
+    exact_group_quantiles, p25/p50/p75/p95): true type-1 order
+    statistics from the (group, value) CELL aggregate + one
+    group-partitioned cumsum — no row sort, no sketch error; ppm
+    thresholds keep ⌈q·n⌉ in exact integer math on both engines."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    orders = load_table(spark, sf_dir, "orders")
+    return st.exact_group_quantiles(
+        orders, "o_orderpriority", "o_totalprice"
+    ).withColumnRenamed("o_orderpriority", "priority")
+
+
+def q_mase_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE of the last-month persistence forecast on each nation's
+    monthly revenue series (operators.stats.mase_forecast_error,
+    season=12): does carrying last month beat repeating last YEAR's
+    month? All-integer cents; one lag window builds the forecast
+    column over the bounded monthly aggregate, the operator adds the
+    seasonal-naive denominator."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    pts = _monthly_nation_revenue(spark, sf_dir)
+    w = Window.partitionBy("nation").orderBy("t")
+    series = pts.select(
+        "nation", "t",
+        (F.col("v") / F.lit(100.0)).alias("actual"),
+        (F.lag("v").over(w) / F.lit(100.0)).alias("forecast"),
+    ).filter(F.col("forecast").isNotNull())
+    return st.mase_forecast_error(
+        series, "nation", "t", "actual", "forecast", season=12
+    )
+
+
+def q_twa_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per user under step
+    interpolation (operators.stats.time_weighted_average): the correct
+    state mean for irregular samples — burst-sampling a flat value
+    must not move it. Integer cents × integer microseconds in DECIMAL,
+    one floor-division."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    ev = load_table(spark, sf_dir, "events")
+    return st.time_weighted_average(ev, "user_id", "ts", "value")
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform negative sampling over the supplier→part
+    interaction matrix (operators.pipeline.negative_sampling, k=2):
+    for every observed supply pair, two hash-seeded catalog negatives
+    with the user's own positives anti-joined out — the implicit-
+    feedback training-pair generator, reproducible across engines,
+    epochs and retries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pos = li.select(
+        F.col("l_suppkey").alias("user"), F.col("l_partkey").alias("item")
+    )
+    return pl.negative_sampling(pos, part.select(F.col("p_partkey").alias("item")), k=2)
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver gate window (first 50): round-9 rotation per the
@@ -5495,6 +5581,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lorenz_customers": q_lorenz_customers,
         "hits_trade": q_hits_trade,
         "grouping_sets_sql": q_grouping_sets_sql,
+        "k_truss_trade": q_k_truss,
+        "reciprocity_trade": q_reciprocity,
+        "exact_quantiles": q_exact_quantiles,
+        "mase_monthly": q_mase_monthly,
+        "twa_value": q_twa_value,
+        "negative_samples": q_negative_samples,
         # --- previously gated queries (r1-r8 artifacts) ---
         "pricing_summary": q_pricing_summary,
         "mutual_information": q_mutual_information,
@@ -11418,6 +11510,208 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN a2 ON a2.node = n.node
     """
     oracles["grouping_sets_sql"] = _GROUPING_SETS_SQL
+
+    # k_truss: unrolled fixpoint rounds. Extra rounds past the fixpoint
+    # are NO-OPS (the truss is the unique maximal subgraph with every
+    # edge support >= k-2), so the unroll depth only needs to be an
+    # upper bound on rounds-to-fixpoint; the Spark operator raises at 20
+    # rounds, and the fixtures converge in <= 3. Every round CTE is
+    # MATERIALIZED: each references its predecessor three times, and
+    # inlining would re-expand the base rollup 3^rounds times.
+    _truss_rounds = 6
+    _truss_cte = ["""
+        WITH j AS MATERIALIZED (
+          SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+            CAST(COUNT(*) AS BIGINT) AS wt
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2
+        ),
+        m AS MATERIALIZED (
+          SELECT CAST(SUM(wt) AS BIGINT) AS tot,
+            CAST(COUNT(*) AS BIGINT) AS np
+          FROM j
+        ),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM j CROSS JOIN m
+          WHERE wt * np * 10 >= 11 * tot AND src <> dst
+        )"""]
+    for _i in range(_truss_rounds):
+        _truss_cte.append(f""",
+        tri{_i} AS MATERIALIZED (
+          SELECT x.a AS u, x.b AS p, y.b AS q
+          FROM e{_i} x
+          JOIN e{_i} y ON y.a = x.a AND y.b > x.b
+          JOIN e{_i} z ON z.a = x.b AND z.b = y.b
+        ),
+        sup{_i} AS MATERIALIZED (
+          SELECT a, b, CAST(COUNT(*) AS BIGINT) AS s FROM (
+            SELECT u AS a, p AS b FROM tri{_i}
+            UNION ALL SELECT u AS a, q AS b FROM tri{_i}
+            UNION ALL SELECT p AS a, q AS b FROM tri{_i}
+          ) t GROUP BY 1, 2
+        ),
+        e{_i + 1} AS MATERIALIZED (
+          SELECT e.a, e.b FROM e{_i} e
+          JOIN sup{_i} s ON s.a = e.a AND s.b = e.b
+          WHERE s.s >= 2
+        )""")
+    _truss_cte.append(f"""
+        SELECT e.a, e.b, s.s AS support
+        FROM e{_truss_rounds} e
+        JOIN sup{_truss_rounds - 1} s ON s.a = e.a AND s.b = e.b
+    """)
+    oracles["k_truss_trade"] = "".join(_truss_cte)
+    oracles["reciprocity_trade"] = """
+        WITH j AS MATERIALIZED (
+          SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+            CAST(COUNT(*) AS BIGINT) AS wt
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2
+        ),
+        m AS MATERIALIZED (
+          SELECT CAST(SUM(wt) AS BIGINT) AS tot,
+            CAST(COUNT(*) AS BIGINT) AS np
+          FROM j
+        ),
+        e AS MATERIALIZED (
+          SELECT DISTINCT CAST(src AS BIGINT) AS s, CAST(dst AS BIGINT) AS d
+          FROM j CROSS JOIN m
+          WHERE wt * np * 10 >= 11 * tot AND src <> dst
+        ),
+        r AS (
+          SELECT e.s, e.d FROM e
+          SEMI JOIN e r ON r.s = e.d AND r.d = e.s
+        )
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM r) AS n_reciprocal,
+          CAST((SELECT CAST(COUNT(*) AS HUGEINT) FROM r) * 1000000
+               // (SELECT COUNT(*) FROM e) AS BIGINT) AS reciprocity_micro
+    """
+    oracles["exact_quantiles"] = """
+        WITH cells AS (
+          SELECT o_orderpriority AS g,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1, 2
+        ),
+        marked AS (
+          SELECT g, v,
+            SUM(c) OVER (PARTITION BY g ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            SUM(c) OVER (PARTITION BY g) AS n
+          FROM cells
+        ),
+        x AS (
+          SELECT g, v, cum, n, q FROM marked
+          CROSS JOIN (SELECT UNNEST([250000, 500000, 750000, 950000]) AS q) t
+        )
+        SELECT g AS priority, CAST(q AS BIGINT) AS q_ppm,
+          CAST(MIN(n) AS BIGINT) AS n,
+          CAST(MIN(v) AS BIGINT) AS value_cents
+        FROM x WHERE cum >= (q * n + 999999) // 1000000
+        GROUP BY 1, 2
+    """
+    oracles["mase_monthly"] = """
+        WITH pts AS (
+          SELECT c.c_nationkey AS nation,
+            CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1
+                 AS BIGINT) AS t,
+            CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS v
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2
+        ),
+        series AS (
+          SELECT nation, t, v AS a,
+            LAG(v) OVER (PARTITION BY nation ORDER BY t) AS f
+          FROM pts
+        ),
+        flt AS (SELECT nation, t, a, f FROM series WHERE f IS NOT NULL),
+        lagged AS (
+          SELECT nation,
+            abs(a - f) AS err,
+            abs(a - LAG(a, 12) OVER (PARTITION BY nation ORDER BY t)) AS nerr
+          FROM flt
+        ),
+        agg AS (
+          SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(err) AS BIGINT) AS se,
+            CAST(SUM(nerr) AS BIGINT) AS sn,
+            CAST(COUNT(nerr) AS BIGINT) AS cn
+          FROM lagged GROUP BY 1
+        )
+        SELECT nation, n,
+          CAST(CAST(se AS HUGEINT) * 1000000 // n AS BIGINT)
+            AS mae_cents_micro,
+          CAST(CAST(sn AS HUGEINT) * 1000000 // cn AS BIGINT)
+            AS naive_mae_cents_micro,
+          CAST(CAST(se AS HUGEINT) * cn * 1000000
+               // (CAST(sn AS HUGEINT) * n) AS BIGINT) AS mase_micro
+        FROM agg WHERE cn > 0 AND sn > 0
+    """
+    oracles["twa_value"] = """
+        WITH r AS (
+          SELECT user_id AS g, CAST(epoch_us(ts) AS BIGINT) AS t,
+            CAST(round(value * 100) AS BIGINT) AS v
+          FROM events
+        ),
+        gapped AS (
+          SELECT g, v,
+            LEAD(t) OVER (PARTITION BY g ORDER BY t, v) - t AS gap
+          FROM r
+        ),
+        agg AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(gap) AS BIGINT) AS span_micros,
+            SUM(CAST(v AS HUGEINT) * CAST(gap AS HUGEINT)) AS ws
+          FROM gapped GROUP BY 1
+        )
+        SELECT g AS user_id, n, span_micros,
+          CAST((ws * 1000000) // CAST(span_micros AS HUGEINT) AS BIGINT)
+            AS twa_cents_micro
+        FROM agg WHERE span_micros > 0
+    """
+    oracles["negative_samples"] = """
+        WITH cat AS (
+          SELECT iid,
+            CAST(ROW_NUMBER() OVER (ORDER BY iid) - 1 AS BIGINT) AS rnk
+          FROM (SELECT DISTINCT p_partkey AS iid FROM part) t
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cat),
+        pos AS (
+          SELECT DISTINCT l_suppkey AS u, l_partkey AS i FROM lineitem
+        ),
+        ex AS (
+          SELECT u, i, CAST(j AS BIGINT) AS j FROM pos
+          CROSS JOIN (SELECT UNNEST([1, 2]) AS j) t
+        ),
+        h AS (
+          SELECT u, i, j,
+            ((((u % 1000003) * 2654435761
+               + (i % 1000003) * 7919 + j * 104729) % 1000003)
+             * 2654435761) % 1000003 AS h2
+          FROM ex
+        ),
+        cand AS (
+          SELECT u, i, j, h2 % nn.n AS rnk FROM h CROSS JOIN nn
+        ),
+        withitem AS (
+          SELECT c.u, c.i, c.j, cat.iid AS neg
+          FROM cand c JOIN cat ON cat.rnk = c.rnk
+        )
+        SELECT w.u AS "user", w.i AS item, w.j AS j, w.neg AS neg_item
+        FROM withitem w
+        ANTI JOIN pos p ON p.u = w.u AND p.i = w.neg
+    """
     oracles["robust_means"] = """
         WITH r AS (
           SELECT o_orderpriority AS g,

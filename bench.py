@@ -184,6 +184,12 @@ PIPELINE = [
     "lorenz_customers",
     "hits_trade",
     "grouping_sets_sql",
+    "k_truss_trade",
+    "reciprocity_trade",
+    "exact_quantiles",
+    "mase_monthly",
+    "twa_value",
+    "negative_samples",
 ]
 
 

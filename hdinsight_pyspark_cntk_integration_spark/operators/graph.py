@@ -917,3 +917,122 @@ def hits_scores(
             F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("authority"),
         )
     )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int = 3,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """k-truss decomposition (bounded-round): the maximal subgraph in
+    which every edge participates in >= k−2 triangles — the EDGE
+    analogue of :func:`k_core` (cores cut low-degree NODES; trusses cut
+    weakly-embedded EDGES, a strictly stronger cohesion filter that
+    k-core misses: a hub-and-spoke star survives any k-core's degree
+    count but has zero triangles). The eleventh oracle-provable
+    iterative algorithm: state is the surviving edge SET (exact), each
+    round recounts per-edge triangle support with the same
+    degree-ordered wedge join as :func:`triangle_count` and deletes
+    under-supported edges; deletions cascade (removing one edge can
+    starve another), so the loop runs to fixpoint with an early-exit
+    count per round — O(rounds) bounded by ``max_rounds`` with a loud
+    RuntimeError on exhaustion, never a silent partial truss.
+
+    Input undirected (dups/reversed collapse, self-loops drop).
+    Support counting per round: orient each edge low→high by id (the
+    wedge apex enumerates its 2-paths once), count closures against
+    the surviving edge set, then credit each triangle to ALL THREE of
+    its edges via one explode — Σ support = 3·triangles exactly.
+
+    Returns the surviving (a, b, support) with a < b.
+    """
+    if k < 3:
+        raise ValueError(f"k must be >= 3 (got {k})")
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1 (got {max_rounds})")
+    lo, hi = F.least("src", "dst"), F.greatest("src", "dst")
+    cur = (
+        edges.select(lo.alias("a"), hi.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    need = k - 2
+    for _ in range(max_rounds):
+        x = cur.select(F.col("a").alias("u"), F.col("b").alias("p"))
+        y = cur.select(F.col("a").alias("u"), F.col("b").alias("q"))
+        wedges = x.join(y, "u").filter(F.col("p") < F.col("q"))
+        tris = wedges.join(
+            cur.select(F.col("a").alias("p"), F.col("b").alias("q")), ["p", "q"]
+        )
+        # credit each triangle (u<p<q) to its three edges
+        edge_hits = tris.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("a"), F.col("p").alias("b")),
+                    F.struct(F.col("u").alias("a"), F.col("q").alias("b")),
+                    F.struct(F.col("p").alias("a"), F.col("q").alias("b")),
+                )
+            ).alias("e")
+        ).select("e.a", "e.b")
+        support = edge_hits.groupBy("a", "b").agg(
+            F.count(F.lit(1)).cast("long").alias("support")
+        )
+        kept = (
+            cur.join(support, ["a", "b"], "left")
+            .select(
+                "a", "b",
+                F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support"),
+            )
+            .filter(F.col("support") >= need)
+            .localCheckpoint(eager=True)
+        )
+        n_kept, n_cur = kept.count(), cur.count()
+        # kept is already materialized; the projection is free on top of
+        # its checkpoint — no second materialization
+        cur = kept.select("a", "b")
+        if n_kept == n_cur:
+            return kept
+        if n_kept == 0:
+            return kept
+    raise RuntimeError(
+        f"k_truss did not converge within {max_rounds} rounds"
+    )
+
+
+def reciprocity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Directed-graph reciprocity: the fraction of directed edges whose
+    reverse also exists — the one-number mutuality profile (trade
+    graphs: does nation A supplying B imply B supplies A?). ALL-integer
+    (edge counts + one micro floor-division); one distinct, one
+    self-join on the reversed key, two count aggregates.
+
+    Returns one row (n_edges, n_reciprocal, reciprocity_micro) —
+    self-loops are dropped (trivially reciprocal).
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+        )
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rec = e.join(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d")), ["s", "d"], "left_semi"
+    )
+    n = e.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    r = rec.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_reciprocal"))
+    return n.crossJoin(r).select(
+        "n_edges", "n_reciprocal",
+        F.expr(
+            "CAST((CAST(n_reciprocal AS DECIMAL(38,0)) * 1000000)"
+            " DIV n_edges AS BIGINT)"
+        ).alias("reciprocity_micro"),
+    )

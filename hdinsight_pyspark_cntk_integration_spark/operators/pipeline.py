@@ -1133,3 +1133,87 @@ def table_diff(
         .otherwise(F.lit("changed"))
     )
     return joined.select(*key_cols, status.alias("status"))
+
+
+def negative_sampling(
+    positives: DataFrame,
+    items: DataFrame,
+    user_col: str = "user",
+    item_col: str = "item",
+    k: int = 4,
+    method: str = "knuth",
+) -> DataFrame:
+    """Deterministic uniform negative sampling for implicit-feedback
+    training (word2vec/BPR/two-tower recommenders): for every positive
+    (user, item) pair, emit ``k`` candidate negatives drawn uniformly
+    from the item catalog by a seeded hash of (user, item, j) —
+    NO RNG, so every epoch, retry, and engine replays the identical
+    sample (the split_assign reproducibility contract applied to
+    sampling), and an ANSI oracle can re-derive the exact output.
+
+    Candidates colliding with ANY of the user's positives are dropped
+    (standard practice — a "negative" the user actually touched is
+    label noise), so the per-positive yield is <= k; with a uniform
+    hash the shortfall is ~|user's positives|/|catalog|, negligible on
+    real catalogs and measurable by the caller via count.
+
+    Shape: items get a dense 0..n−1 rank by a bounded |catalog|-row
+    window (catalogs are dimension-sized by contract, never
+    event-sized), broadcast twice (rank lookup + id fetch); the only
+    per-event work is a k-way explode + one hash-partitioned anti-join
+    against the positives on (user, candidate). Nothing shuffles the
+    event stream but that join.
+
+    Returns (user, item, j, neg_item): the j-th negative drawn for the
+    (user, item) positive.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    if method != "knuth":
+        raise ValueError(f"unknown hash method {method!r} (knuth)")
+    from pyspark.sql import Window
+
+    # dense catalog rank 0..n−1, deterministic by item id
+    catalog = items.select(F.col(item_col).alias("__iid")).distinct().select(
+        "__iid",
+        (F.row_number().over(Window.orderBy("__iid")) - 1)
+        .cast("long")
+        .alias("__rank"),
+    )
+    n_items = catalog.groupBy().agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    pos = positives.select(
+        F.col(user_col).alias("__u"), F.col(item_col).alias("__i")
+    ).distinct()
+    exploded = pos.select(
+        "__u", "__i",
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
+    ).crossJoin(F.broadcast(n_items))
+    # seeded mixer on (user, item, j): two chained Knuth rounds so the
+    # three inputs all diffuse; then reduce mod |catalog|. Every input
+    # is pre-reduced mod P so the combined term stays ~2^52 — no ANSI
+    # long overflow at any id magnitude
+    h1 = F.pmod(
+        (F.pmod(F.col("__u"), F.lit(_KNUTH_MOD)) * F.lit(_KNUTH_MULT)
+         + F.pmod(F.col("__i"), F.lit(_KNUTH_MOD)) * 7919
+         + F.col("j") * 104729),
+        F.lit(_KNUTH_MOD),
+    )
+    h2 = F.pmod(h1 * F.lit(_KNUTH_MULT), F.lit(_KNUTH_MOD))
+    cand = exploded.select(
+        "__u", "__i", F.col("j").cast("long").alias("j"),
+        F.pmod(h2, F.col("__n")).alias("__rank"),
+    )
+    with_item = cand.join(F.broadcast(catalog), "__rank").select(
+        "__u", "__i", "j", F.col("__iid").alias("__neg")
+    )
+    kept = with_item.join(
+        pos.select(F.col("__u"), F.col("__i").alias("__neg")),
+        ["__u", "__neg"],
+        "left_anti",
+    )
+    return kept.select(
+        F.col("__u").alias(user_col),
+        F.col("__i").alias(item_col),
+        "j",
+        F.col("__neg").alias("neg_item"),
+    )

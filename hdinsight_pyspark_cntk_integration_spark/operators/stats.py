@@ -2435,3 +2435,187 @@ def lorenz_points(
     # at integer boundaries; DIV is exact on both engines.
     share = F.expr("CAST((__cum * 1000000) DIV __all AS BIGINT)")
     return out.select("bucket", "n_keys", "bucket_cents", share.alias("cum_share_micro"))
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles_ppm: list | None = None,
+) -> DataFrame:
+    """EXACT per-group quantiles (lower / type-1: the smallest value v
+    with cum_count(v) >= ⌈q·n⌉) — the deterministic complement to
+    ``approx_percentile`` (tdigest_quantiles): sketches trade exactness
+    for one pass, but gate metrics and SLA cutlines need the true order
+    statistic, reproducibly.
+
+    NO GLOBAL OR PER-GROUP ROW SORT: the row stream collapses to
+    (group, value, count) cells first — bounded by each group's value
+    DOMAIN, never its row count (the rank_sum_test discipline) — then
+    one group-partitioned cumsum window over the cells and one
+    aggregate pick per quantile. Quantiles are ppm integers (250000 =
+    p25), so threshold arithmetic is exact: ⌈q·n⌉ = (q·n + 999999) div
+    1e6 in integer math on both engines.
+
+    Returns (group, q_ppm, n, value_cents) — one row per group per
+    requested quantile.
+    """
+    qs = quantiles_ppm if quantiles_ppm is not None else [250_000, 500_000, 750_000, 950_000]
+    if not qs or any(not 0 < q <= 1_000_000 for q in qs):
+        raise ValueError(f"quantiles_ppm must be in (0, 1e6] (got {qs})")
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    cells = (
+        df.select(F.col(group_col).alias("__g"), cents.alias("__v"))
+        .groupBy("__g", "__v")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w_cum = Window.partitionBy("__g").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy("__g")
+    marked = cells.select(
+        "__g", "__v",
+        F.sum("__c").over(w_cum).alias("__cum"),
+        F.sum("__c").over(w_all).alias("__n"),
+    )
+    q_lit = F.explode(
+        F.array(*[F.lit(int(q)).cast("long") for q in qs])
+    ).alias("q_ppm")
+    expanded = marked.select("__g", "__v", "__cum", "__n", q_lit)
+    # ⌈q·n/1e6⌉ in pure integers; smallest v whose cum reaches it
+    thr = F.expr("(q_ppm * __n + 999999) div 1000000")
+    return (
+        expanded.filter(F.col("__cum") >= thr)
+        .groupBy(F.col("__g").alias(group_col), "q_ppm")
+        .agg(
+            F.min("__n").cast("long").alias("n"),
+            F.min("__v").cast("long").alias("value_cents"),
+        )
+    )
+
+
+def mase_forecast_error(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    actual_col: str,
+    forecast_col: str,
+    season: int = 1,
+) -> DataFrame:
+    """Mean Absolute Scaled Error per series (Hyndman & Koehler 2006):
+    MAE of the forecast scaled by the MAE of the in-sample seasonal-
+    naive forecast (lag-``season``) — THE scale-free forecast metric
+    (MAPE explodes at zero actuals; MASE compares any series to "just
+    repeat last season": < 1e6 micro beats naive).
+
+    Exactness: actual/forecast quantize to integer cents; both MAEs
+    are integer-cent sums over counts; the final ratio is ONE integer
+    micro floor-division — no float anywhere.
+
+    Shape: one group-partitioned lag window for the naive errors (over
+    the series rows — time series are bounded per group by contract,
+    the control_chart assumption), two partial aggs, one join on
+    group.
+
+    Returns (group, n, mae_cents_micro, naive_mae_cents_micro,
+    mase_micro); series shorter than season+1 drop (naive MAE
+    undefined).
+    """
+    if season < 1:
+        raise ValueError(f"season must be >= 1 (got {season})")
+    a = F.round(F.col(actual_col) * 100).cast("long")
+    f_ = F.round(F.col(forecast_col) * 100).cast("long")
+    rows = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(time_col).alias("__t"),
+        a.alias("__a"),
+        f_.alias("__f"),
+    )
+    w = Window.partitionBy("__g").orderBy("__t")
+    lagged = rows.select(
+        "__g",
+        F.abs(F.col("__a") - F.col("__f")).alias("__err"),
+        F.abs(F.col("__a") - F.lag("__a", season).over(w)).alias("__nerr"),
+    )
+    agg = lagged.groupBy(F.col("__g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__err").cast("long").alias("__se"),
+        F.sum("__nerr").cast("long").alias("__sn"),
+        F.count("__nerr").cast("long").alias("__cn"),
+    )
+    # DECIMAL(38,0) for the micro products: Σ|err|·count·1e6 passes
+    # 2^63 well inside realistic revenue scales — ANSI would raise
+    dec = "decimal(38,0)"
+    return (
+        agg.filter((F.col("__cn") > 0) & (F.col("__sn") > 0))
+        .select(
+            group_col, "n",
+            F.expr(
+                f"CAST((CAST(__se AS {dec}) * 1000000) DIV n AS BIGINT)"
+            ).alias("mae_cents_micro"),
+            F.expr(
+                f"CAST((CAST(__sn AS {dec}) * 1000000) DIV __cn AS BIGINT)"
+            ).alias("naive_mae_cents_micro"),
+            F.expr(
+                f"CAST((CAST(__se AS {dec}) * __cn * 1000000)"
+                f" DIV (CAST(__sn AS {dec}) * n) AS BIGINT)"
+            ).alias("mase_micro"),
+        )
+    )
+
+
+def time_weighted_average(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-weighted average per series under step (sample-and-hold)
+    interpolation: each observation's value holds until the next
+    observation, so TWA = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last−t_first) — the
+    correct mean for IRREGULARLY sampled state (sensor readings,
+    account balances, queue depths), where the row-mean over-weights
+    bursts of samples.
+
+    Exactness: ALL-integer — values in cents, gaps in epoch
+    MICROSECONDS (unix_micros), the weighted sum in DECIMAL(38,0)
+    (cents × µs can pass 2⁶³), one micro floor-division in DECIMAL at
+    the end. The last observation carries no weight (no gap after it)
+    — the standard left-closed step convention, stated so the oracle
+    replicates it rather than guessing.
+
+    Shape: one group-partitioned lead window over the series rows, one
+    partial agg. Series need >= 2 distinct timestamps.
+
+    Returns (group, n, span_micros, twa_cents_micro).
+    """
+    dec = "decimal(38,0)"
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    rows = df.select(
+        F.col(group_col).alias("__g"),
+        F.unix_micros(F.col(time_col)).alias("__t"),
+        cents.alias("__v"),
+    )
+    # (t, v) order: a bare t-order leaves duplicate-timestamp rows in
+    # engine-dependent order and the 0-width/real gaps would pair with
+    # different values — the value tiebreak makes the step function
+    # deterministic on both engines (identical (t, v) duplicates are
+    # interchangeable by construction)
+    w = Window.partitionBy("__g").orderBy("__t", "__v")
+    gapped = rows.select(
+        "__g", "__t", "__v",
+        (F.lead("__t").over(w) - F.col("__t")).alias("__gap"),
+    )
+    agg = gapped.groupBy(F.col("__g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__gap")).cast("long").alias("span_micros"),
+        F.sum(
+            (F.col("__v").cast(dec) * F.col("__gap").cast(dec))
+        ).cast(dec).alias("__ws"),
+    )
+    return agg.filter(F.col("span_micros") > 0).select(
+        group_col, "n", "span_micros",
+        F.expr(
+            f"CAST((__ws * 1000000) DIV CAST(span_micros AS {dec}) AS BIGINT)"
+        ).alias("twa_cents_micro"),
+    )

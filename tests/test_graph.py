@@ -634,3 +634,59 @@ def test_hits_rankings_match_normalized_reference(spark):
     rank = lambda d: np.argsort([d[v] for v in nodes], kind="stable")
     assert list(rank(a_spark)) == list(rank({v: a[v] for v in nodes}))
     assert list(rank(h_spark)) == list(rank({v: h[v] for v in nodes}))
+
+
+# --- k_truss ----------------------------------------------------------------
+
+
+def test_k_truss_clique_survives_pendant_peels(spark):
+    # K4 + pendant triangle chain: K4 edges each sit in 2 triangles
+    # (4-truss); the tail triangle's edges sit in 1 and cascade out
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    tail = [(3, 10), (3, 11), (10, 11)]
+    df = spark.createDataFrame(k4 + tail, "src long, dst long")
+    got = {(r["a"], r["b"]): r["support"] for r in gr.k_truss(df, k=4).collect()}
+    assert set(got) == set(k4)
+    assert all(s == 2 for s in got.values())
+    # k=3 keeps everything (every edge here is in >= 1 triangle)
+    assert gr.k_truss(df, k=3).count() == 9
+
+
+def test_k_truss_cascade_multiple_rounds(spark):
+    # chain of triangles sharing single edges: 0-1-2, 2-3-4(share node
+    # only)... build a "fan" where deleting outer edges starves inner:
+    # triangle A(0,1,2) + triangle B(1,2,3): edge (1,2) has support 2,
+    # others 1. k=4 (need>=2): first round deletes all support-1 edges,
+    # second round (1,2) loses its triangles -> empty
+    edges = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert gr.k_truss(df, k=4).count() == 0
+    got = {(r["a"], r["b"]) for r in gr.k_truss(df, k=3).collect()}
+    assert got == set(edges)  # every edge in >= 1 triangle
+
+
+def test_k_truss_validation(spark):
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        gr.k_truss(df, k=2)
+    with pytest.raises(ValueError):
+        gr.k_truss(df, k=3, max_rounds=0)
+
+
+# --- reciprocity -------------------------------------------------------------
+
+
+def test_reciprocity_hand_graph(spark):
+    # 0->1 and 1->0 reciprocal; 0->2 not; self-loop 3->3 dropped
+    df = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 2), (3, 3)], "src long, dst long"
+    )
+    [r] = gr.reciprocity(df).collect()
+    assert (r["n_edges"], r["n_reciprocal"]) == (3, 2)
+    assert r["reciprocity_micro"] == 2_000_000 // 3
+
+
+def test_reciprocity_fully_reciprocal(spark):
+    df = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    [r] = gr.reciprocity(df).collect()
+    assert r["reciprocity_micro"] == 1_000_000

@@ -699,3 +699,44 @@ def test_bpe_encode_5k_merge_table_executes(spark):
     big = {r["doc_id"]: r["tokens"] for r in pl.bpe_encode(docs, padded).collect()}
     assert len(padded) > 5000
     assert big == small
+
+
+# --- negative_sampling --------------------------------------------------------
+
+
+def test_negative_sampling_deterministic_and_valid(spark):
+    pos = spark.createDataFrame(
+        [(u, i) for u in range(5) for i in range(u, u + 3)],
+        "user long, item long",
+    )
+    items = spark.createDataFrame([(i,) for i in range(20)], "item long")
+    out1 = pl.negative_sampling(pos, items, k=3).collect()
+    out2 = pl.negative_sampling(pos, items, k=3).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # no RNG
+    pos_set = {(r["user"], r["item"]) for r in pos.collect()}
+    for r in out1:
+        # negatives never collide with the user's own positives
+        assert (r["user"], r["neg_item"]) not in pos_set
+        assert 0 <= r["neg_item"] < 20
+        assert 1 <= r["j"] <= 3
+    # yield is at most k per positive, and near k with a 20-item catalog
+    assert len(out1) <= 15 * 3
+    assert len(out1) >= 15 * 2
+
+
+def test_negative_sampling_duplicate_positives_collapse(spark):
+    pos = spark.createDataFrame([(1, 5), (1, 5), (1, 5)], "user long, item long")
+    items = spark.createDataFrame([(i,) for i in range(10)], "item long")
+    out = pl.negative_sampling(pos, items, k=2).collect()
+    # one distinct positive → at most 2 negatives
+    assert len(out) <= 2
+    assert all(r["neg_item"] != 5 for r in out)
+
+
+def test_negative_sampling_validation(spark):
+    pos = spark.createDataFrame([(1, 2)], "user long, item long")
+    items = spark.createDataFrame([(1,)], "item long")
+    with pytest.raises(ValueError):
+        pl.negative_sampling(pos, items, k=0)
+    with pytest.raises(ValueError):
+        pl.negative_sampling(pos, items, method="xxhash64")

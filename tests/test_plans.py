@@ -252,6 +252,11 @@ _INTENTIONAL_LINT = {
     #   the <=8k-row bucket-offset prefix sum and the 10-row bucket
     #   cumsum — both over bounded aggregates, the epoch_shuffle shape
     "lorenz_customers": {"global-window"},
+    # negative_samples — the dense-rank window runs over the DISTINCT
+    #   item CATALOG (dimension-sized by contract, |part| rows), never
+    #   the interaction stream; the stream itself only explodes k-way
+    #   and anti-joins
+    "negative_samples": {"global-window"},
     # woe_iv — same shape as mutual_information: the pos/neg totals are
     #   windows over the CATEGORY cells, bounded by the category domain
     "woe_iv": {"global-window"},

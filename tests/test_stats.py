@@ -1418,3 +1418,92 @@ def test_lorenz_negative_and_zero_totals_order(spark):
     # ascending order → bucket 1 = {-5, 0}, bucket 2 = {2, 100}
     assert got[0]["bucket_cents"] == -500
     assert got[1]["bucket_cents"] == 10200
+
+
+# --- exact_group_quantiles ----------------------------------------------------
+
+
+def test_exact_quantiles_hand_values(spark):
+    rows = [("g", float(v)) for v in range(1, 101)]  # 1..100 dollars
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["q_ppm"]: r["value_cents"]
+        for r in st.exact_group_quantiles(df, "g", "v").collect()
+    }
+    # type-1 lower quantile: ceil(q*100)-th smallest
+    assert got[250_000] == 2500 and got[500_000] == 5000
+    assert got[750_000] == 7500 and got[950_000] == 9500
+
+
+def test_exact_quantiles_ties_and_custom_q(spark):
+    rows = [("g", 1.0)] * 9 + [("g", 100.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["q_ppm"]: r["value_cents"]
+        for r in st.exact_group_quantiles(df, "g", "v", [900_000, 1_000_000]).collect()
+    }
+    assert got[900_000] == 100 and got[1_000_000] == 10000
+    with pytest.raises(ValueError):
+        st.exact_group_quantiles(df, "g", "v", [0])
+
+
+# --- mase_forecast_error ------------------------------------------------------
+
+
+def test_mase_perfect_forecast_is_zero(spark):
+    rows = [("s", t, float(t), float(t)) for t in range(1, 11)]
+    df = spark.createDataFrame(rows, "g string, t long, a double, f double")
+    [r] = st.mase_forecast_error(df, "g", "t", "a", "f", season=1).collect()
+    assert r["mase_micro"] == 0 and r["mae_cents_micro"] == 0
+    # naive MAE on 1..10 with lag 1 = 100 cents exactly
+    assert r["naive_mae_cents_micro"] == 100 * 1_000_000
+
+
+def test_mase_matches_hand_formula(spark):
+    # forecast == lag-1 value, season=1. Numerator: 4 errors
+    # (4,3,5,7)·100 cents; denominator: the IN-SERIES lag errors — only
+    # 3 of them (3,5,7)·100, the first filtered row has no lag. MASE =
+    # (se·cn·1e6) div (sn·n) = (1900·3·1e6) div (1500·4) = 950000.
+    vals = [3.0, 7.0, 4.0, 9.0, 2.0]
+    rows = [("s", t, vals[t], vals[t - 1]) for t in range(1, 5)]
+    df = spark.createDataFrame(rows, "g string, t long, a double, f double")
+    [r] = st.mase_forecast_error(df, "g", "t", "a", "f", season=1).collect()
+    assert r["n"] == 4
+    assert r["mae_cents_micro"] == (1900 * 1_000_000) // 4
+    assert r["naive_mae_cents_micro"] == (1500 * 1_000_000) // 3
+    assert r["mase_micro"] == 950_000
+
+
+def test_mase_short_series_drops(spark):
+    df = spark.createDataFrame([("s", 1, 5.0, 4.0)], "g string, t long, a double, f double")
+    assert st.mase_forecast_error(df, "g", "t", "a", "f", season=2).count() == 0
+
+
+# --- time_weighted_average ----------------------------------------------------
+
+
+def test_twa_burst_sampling_invariant(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    # value 10 held for 10s (sampled once), value 20 held for 10s
+    # (sampled 6 times, in a burst — the last sample closes the span and
+    # carries no weight, per the left-closed step convention) → TWA = 15,
+    # NOT the row mean ~18.6
+    rows = [("u", base, 10.0)]
+    for i in range(5):
+        rows.append(("u", base + dt.timedelta(seconds=10 + 2 * i), 20.0))
+    rows.append(("u", base + dt.timedelta(seconds=20), 20.0))
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    [r] = st.time_weighted_average(df, "g", "ts", "v").collect()
+    assert r["twa_cents_micro"] == 1500 * 1_000_000
+    assert r["span_micros"] == 20_000_000
+
+
+def test_twa_single_point_drops(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [("u", dt.datetime(2024, 1, 1), 5.0)], "g string, ts timestamp, v double"
+    )
+    assert st.time_weighted_average(df, "g", "ts", "v").count() == 0
