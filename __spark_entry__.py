@@ -5454,6 +5454,48 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin Population Stability Index of order values, pre-1998
+    reference vs 1998+ current (operators.stats.
+    population_stability_index): exact reference-decile bins (no
+    sketch), +1 smoothing, one fp64 term per bin micro-floored — the
+    drift dashboard row the ks_drift statistic summarizes."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    orders = load_table(spark, sf_dir, "orders")
+    flagged = orders.select(
+        (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")).alias("is_ref"),
+        "o_totalprice",
+    )
+    return st.population_stability_index(flagged, "is_ref", "o_totalprice")
+
+
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean order value per priority (operators.stats.
+    trimmed_mean): drop exactly floor(0.1·n) rows per end via the
+    cell-aggregate rank-interval overlap — integer-exact, tie-exact,
+    no row sort; the robust-location companion to exact_quantiles."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    orders = load_table(spark, sf_dir, "orders")
+    return st.trimmed_mean(
+        orders, "o_orderpriority", "o_totalprice", trim_ppm=100_000
+    ).withColumnRenamed("o_orderpriority", "priority")
+
+
+def q_vector_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column data-quality profile (operators.stats.
+    vector_dq, expected_dim=64): NULL/empty/wrong-dim/non-finite/
+    all-zero counts in one scan with JVM higher-order predicates — the
+    vector-table gate a similarity pipeline runs before trusting
+    cosine math."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return st.vector_dq(emb, "vec_id", "embedding", expected_dim=64)
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver gate window (first 50): round-9 rotation per the
@@ -5587,6 +5629,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mase_monthly": q_mase_monthly,
         "twa_value": q_twa_value,
         "negative_samples": q_negative_samples,
+        "psi_drift": q_psi_drift,
+        "trimmed_mean": q_trimmed_mean,
+        "vector_dq": q_vector_dq,
         # --- previously gated queries (r1-r8 artifacts) ---
         "pricing_summary": q_pricing_summary,
         "mutual_information": q_mutual_information,
@@ -11679,6 +11724,108 @@ def oracle_sql() -> dict[str, str]:
           CAST((ws * 1000000) // CAST(span_micros AS HUGEINT) AS BIGINT)
             AS twa_cents_micro
         FROM agg WHERE span_micros > 0
+    """
+    oracles["psi_drift"] = """
+        WITH rows_ AS (
+          SELECT (o_orderdate < TIMESTAMP '1998-01-01') AS ref,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS v
+          FROM orders
+        ),
+        cells AS (
+          SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM rows_
+          WHERE ref GROUP BY 1
+        ),
+        marked AS (
+          SELECT v,
+            SUM(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            SUM(c) OVER () AS n
+          FROM cells
+        ),
+        edges AS (
+          SELECT q, MIN(v) AS edge FROM marked
+          CROSS JOIN (SELECT UNNEST([100000,200000,300000,400000,500000,
+                                     600000,700000,800000,900000]) AS q) t
+          WHERE cum >= (q * n + 999999) // 1000000
+          GROUP BY 1
+        ),
+        binned AS (
+          SELECT r.ref,
+            1 + (SELECT COUNT(*) FROM edges e WHERE e.edge < r.v) AS bin
+          FROM rows_ r
+        ),
+        counts AS (
+          SELECT bin,
+            CAST(SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS rc,
+            CAST(SUM(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS BIGINT) AS cc
+          FROM binned GROUP BY 1
+        ),
+        filled AS (
+          SELECT b.bin, COALESCE(rc, 0) AS ref_n, COALESCE(cc, 0) AS cur_n
+          FROM (SELECT UNNEST(range(1, 11)) AS bin) b
+          LEFT JOIN counts c ON c.bin = b.bin
+        ),
+        tot AS (
+          SELECT bin, ref_n, cur_n,
+            SUM(ref_n) OVER () + 10 AS np, SUM(cur_n) OVER () + 10 AS nq
+          FROM filled
+        )
+        SELECT CAST(bin AS BIGINT) AS bin,
+          CAST(ref_n AS BIGINT) AS ref_n, CAST(cur_n AS BIGINT) AS cur_n,
+          CAST(floor(
+            (CAST(ref_n + 1 AS DOUBLE) / CAST(np AS DOUBLE)
+             - CAST(cur_n + 1 AS DOUBLE) / CAST(nq AS DOUBLE))
+            * ln((CAST(ref_n + 1 AS DOUBLE) * CAST(nq AS DOUBLE))
+                 / (CAST(cur_n + 1 AS DOUBLE) * CAST(np AS DOUBLE)))
+            * 1000000.0) AS BIGINT) AS psi_term_micro
+        FROM tot
+    """
+    oracles["trimmed_mean"] = """
+        WITH cells AS (
+          SELECT o_orderpriority AS g,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1, 2
+        ),
+        marked AS (
+          SELECT g, v, c,
+            SUM(c) OVER (PARTITION BY g ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            SUM(c) OVER (PARTITION BY g) AS n
+          FROM cells
+        ),
+        kept AS (
+          SELECT g, v, n,
+            GREATEST(0, LEAST(cum, n - (n * 100000) // 1000000)
+              - GREATEST(cum - c + 1, (n * 100000) // 1000000 + 1) + 1) AS k
+          FROM marked
+        ),
+        agg AS (
+          SELECT g, CAST(MIN(n) AS BIGINT) AS n,
+            CAST(SUM(k) AS BIGINT) AS n_kept,
+            SUM(CAST(v AS HUGEINT) * CAST(k AS HUGEINT)) AS s
+          FROM kept GROUP BY 1
+        )
+        SELECT g AS priority, n, n_kept,
+          CAST(floor(CAST(s AS DOUBLE) / CAST(n_kept AS DOUBLE) * 10000.0)
+               AS BIGINT) AS tmean_micro
+        FROM agg WHERE n_kept > 0
+    """
+    oracles["vector_dq"] = """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+          CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null,
+          CAST(SUM(CASE WHEN embedding IS NOT NULL AND len(embedding) = 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+          CAST(SUM(CASE WHEN embedding IS NOT NULL AND len(embedding) <> 64
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+          CAST(SUM(CASE WHEN embedding IS NOT NULL AND
+               len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+          CAST(SUM(CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
+               AND len(list_filter(embedding, x -> x <> 0)) = 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_allzero
+        FROM embeddings
     """
     oracles["negative_samples"] = """
         WITH cat AS (

@@ -190,6 +190,9 @@ PIPELINE = [
     "mase_monthly",
     "twa_value",
     "negative_samples",
+    "psi_drift",
+    "trimmed_mean",
+    "vector_dq",
 ]
 
 

@@ -2619,3 +2619,202 @@ def time_weighted_average(
             f"CAST((__ws * 1000000) DIV CAST(span_micros AS {dec}) AS BIGINT)"
         ).alias("twa_cents_micro"),
     )
+
+
+def population_stability_index(
+    df: DataFrame,
+    ref_col: str,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index per bin — THE production drift metric
+    for model inputs/scores (banking/ML-monitoring convention: < 0.1
+    stable, 0.1–0.25 drifting, > 0.25 retrain): reference-decile bins,
+    PSI_k = (p_k − q_k)·ln(p_k/q_k) with p from the reference rows
+    (``ref_col`` true) and q from the current rows.
+
+    Bin edges are the EXACT type-1 deciles of the REFERENCE (the
+    exact_group_quantiles machinery: value-domain cell aggregate + one
+    cumsum window, no row sort, no sketch), broadcast as one 9-element
+    array; bin assignment is a JVM higher-order filter over it. Counts
+    get +1 Laplace smoothing (the standard zero-bin guard, applied
+    identically on both engines). Each bin's PSI term is ONE fp64
+    expression over exact integers, micro-floored — no cross-row float
+    sum anywhere; the scalar PSI is the integer sum of the returned
+    terms.
+
+    Returns (bin, ref_n, cur_n, psi_term_micro), bins 1..n_bins always
+    present.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2 (got {n_bins})")
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    rows = df.select(
+        F.col(ref_col).cast("boolean").alias("__ref"), cents.alias("__v")
+    )
+    ref_cells = (
+        rows.filter(F.col("__ref"))
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w_cum = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    marked = ref_cells.select(
+        "__v",
+        F.sum("__c").over(w_cum).alias("__cum"),
+        F.sum("__c").over(w_all).alias("__n"),
+    )
+    qs = [i * 1_000_000 // n_bins for i in range(1, n_bins)]
+    q_lit = F.explode(F.array(*[F.lit(q).cast("long") for q in qs])).alias("q")
+    picked = (
+        marked.select("__v", "__cum", "__n", q_lit)
+        .filter(F.col("__cum") >= F.expr("(q * __n + 999999) div 1000000"))
+        .groupBy("q")
+        .agg(F.min("__v").alias("__edge"))
+    )
+    edges = picked.groupBy().agg(
+        F.array_sort(F.collect_list("__edge")).alias("__edges")
+    )
+    # bin = 1 + |{edges strictly below v}| — right-closed decile bins
+    binned = rows.crossJoin(F.broadcast(edges)).select(
+        "__ref",
+        (
+            F.lit(1)
+            + F.size(F.filter("__edges", lambda e: e < F.col("__v")))
+        ).cast("long").alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("__ref"), 1).otherwise(0)).cast("long").alias("__rc"),
+        F.sum(F.when(~F.col("__ref"), 1).otherwise(0)).cast("long").alias("__cc"),
+    )
+    all_bins = edges.select(
+        F.explode(F.sequence(F.lit(1), F.lit(n_bins))).alias("__b")
+    ).select(F.col("__b").cast("long").alias("bin"))
+    filled = all_bins.join(counts, "bin", "left").select(
+        "bin",
+        F.coalesce("__rc", F.lit(0)).cast("long").alias("ref_n"),
+        F.coalesce("__cc", F.lit(0)).cast("long").alias("cur_n"),
+    )
+    w_tot = Window.partitionBy()
+    tot = filled.select(
+        "bin", "ref_n", "cur_n",
+        (F.sum("ref_n").over(w_tot) + n_bins).alias("__np"),
+        (F.sum("cur_n").over(w_tot) + n_bins).alias("__nq"),
+    )
+    # Laplace +1 per bin; one fp64 tree per row, micro-floored
+    cp = (F.col("ref_n") + 1).cast("double")
+    cq = (F.col("cur_n") + 1).cast("double")
+    np_, nq_ = F.col("__np").cast("double"), F.col("__nq").cast("double")
+    term = (cp / np_ - cq / nq_) * F.log((cp * nq_) / (cq * np_))
+    return tot.select(
+        "bin", "ref_n", "cur_n",
+        F.floor(term * F.lit(1_000_000.0)).cast("long").alias("psi_term_micro"),
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    trim_ppm: int = 100_000,
+) -> DataFrame:
+    """Per-group symmetric trimmed mean: drop exactly ⌊α·n⌋ rows from
+    EACH end of the sorted group, average the rest — the classic
+    outlier-robust location estimate between the mean (α=0) and the
+    median (α→0.5), with the textbook integer definition so it is
+    hash-gate exact.
+
+    NO ROW SORT: the (group, value) CELL aggregate + one
+    group-partitioned cumsum locates every cell's rank interval
+    [cum−c+1, cum]; the kept multiplicity is its overlap with
+    [⌊αn⌋+1, n−⌊αn⌋] — pure integer min/max arithmetic, tie-exact.
+    Kept sum in DECIMAL(38,0); ONE fp64 ratio at the end.
+
+    Returns (group, n, n_kept, tmean_micro) in cent-micro units;
+    groups where the trim consumes everything drop.
+    """
+    if not 0 <= trim_ppm < 500_000:
+        raise ValueError(f"trim_ppm must be in [0, 500000) (got {trim_ppm})")
+    dec = "decimal(38,0)"
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    cells = (
+        df.select(F.col(group_col).alias("__g"), cents.alias("__v"))
+        .groupBy("__g", "__v")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w_cum = Window.partitionBy("__g").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy("__g")
+    marked = cells.select(
+        "__g", "__v", "__c",
+        F.sum("__c").over(w_cum).alias("__cum"),
+        F.sum("__c").over(w_all).alias("__n"),
+    )
+    lo = F.expr(f"(__n * {int(trim_ppm)}) div 1000000")
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("__cum"), F.col("__n") - lo)
+        - F.greatest(F.col("__cum") - F.col("__c") + 1, lo + 1)
+        + 1,
+    )
+    agg = marked.select(
+        "__g", "__v", "__n", kept.alias("__k")
+    ).groupBy(F.col("__g").alias(group_col)).agg(
+        F.min("__n").cast("long").alias("n"),
+        F.sum("__k").cast("long").alias("n_kept"),
+        F.sum((F.col("__v").cast(dec) * F.col("__k").cast(dec))).cast(dec).alias("__s"),
+    )
+    mean = F.col("__s").cast("double") / F.col("n_kept").cast("double")
+    return agg.filter(F.col("n_kept") > 0).select(
+        group_col, "n", "n_kept",
+        F.floor(mean * F.lit(10_000.0)).cast("long").alias("tmean_micro"),
+    )
+
+
+def vector_dq(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    expected_dim: int,
+) -> DataFrame:
+    """Embedding-column data-quality profile — the vector analogue of
+    dq_checks, run before any similarity/dedup stage trusts the
+    column: NULL vectors, empty vectors, wrong dimensionality,
+    non-finite components (NaN/±Inf), and exact all-zero vectors
+    (which break cosine normalization). One scan, one 1-row aggregate;
+    the predicates are JVM higher-order functions over the array —
+    no Python, no explode (an explode would inflate the scan
+    ``dim``-fold before aggregating).
+
+    All counts are exact integers; zero-vector detection is exact
+    equality (not a norm threshold — a float norm sum would be
+    order-dependent).
+
+    Returns one row (n_vecs, n_null, n_empty, n_wrong_dim,
+    n_nonfinite, n_allzero).
+    """
+    if expected_dim < 1:
+        raise ValueError(f"expected_dim must be >= 1 (got {expected_dim})")
+    v = F.col(vec_col)
+    nonfinite = F.exists(v, lambda x: F.isnan(x) | (F.abs(x) == float("inf")))
+    allzero = ~F.exists(v, lambda x: x != 0.0)
+    return df.select(
+        F.lit(1).alias("__one"),
+        v.isNull().alias("__null"),
+        (v.isNotNull() & (F.size(v) == 0)).alias("__empty"),
+        (v.isNotNull() & (F.size(v) != expected_dim)).alias("__wrong"),
+        (v.isNotNull() & F.coalesce(nonfinite, F.lit(False))).alias("__nonfin"),
+        (v.isNotNull() & (F.size(v) > 0) & F.coalesce(allzero, F.lit(False))).alias(
+            "__zero"
+        ),
+    ).groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.col("__null").cast("long")).cast("long").alias("n_null"),
+        F.sum(F.col("__empty").cast("long")).cast("long").alias("n_empty"),
+        F.sum(F.col("__wrong").cast("long")).cast("long").alias("n_wrong_dim"),
+        F.sum(F.col("__nonfin").cast("long")).cast("long").alias("n_nonfinite"),
+        F.sum(F.col("__zero").cast("long")).cast("long").alias("n_allzero"),
+    )

@@ -257,6 +257,11 @@ _INTENTIONAL_LINT = {
     #   the interaction stream; the stream itself only explodes k-way
     #   and anti-joins
     "negative_samples": {"global-window"},
+    # psi_drift — the edge cumsum runs over the REFERENCE distinct-value
+    #   CELL aggregate (value-domain bounded, the ks_test shape) and the
+    #   totals window over the n_bins(=10)-row bin table; the row stream
+    #   itself only gets a broadcast 9-element array filter
+    "psi_drift": {"global-window"},
     # woe_iv — same shape as mutual_information: the pos/neg totals are
     #   windows over the CATEGORY cells, bounded by the category domain
     "woe_iv": {"global-window"},

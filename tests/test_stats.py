@@ -1507,3 +1507,82 @@ def test_twa_single_point_drops(spark):
         [("u", dt.datetime(2024, 1, 1), 5.0)], "g string, ts timestamp, v double"
     )
     assert st.time_weighted_average(df, "g", "ts", "v").count() == 0
+
+
+# --- population_stability_index -----------------------------------------------
+
+
+def test_psi_identical_populations_near_zero(spark):
+    rows = [(True, float(v % 50)) for v in range(1000)] + [
+        (False, float(v % 50)) for v in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "ref boolean, v double")
+    got = st.population_stability_index(df, "ref", "v").collect()
+    assert len(got) == 10 and {r["bin"] for r in got} == set(range(1, 11))
+    # identical distributions → every term ~0 (only smoothing jitter)
+    assert sum(abs(r["psi_term_micro"]) for r in got) < 1000
+
+
+def test_psi_shifted_population_flags_drift(spark):
+    rows = [(True, float(v % 50)) for v in range(1000)] + [
+        (False, 40.0 + float(v % 50)) for v in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "ref boolean, v double")
+    got = st.population_stability_index(df, "ref", "v").collect()
+    psi = sum(r["psi_term_micro"] for r in got) / 1e6
+    assert psi > 0.25  # retrain-grade drift
+    # every bin row carries both raw counts
+    assert sum(r["ref_n"] for r in got) == 1000
+    assert sum(r["cur_n"] for r in got) == 1000
+
+
+def test_psi_validates_bins(spark):
+    df = spark.createDataFrame([(True, 1.0)], "ref boolean, v double")
+    with pytest.raises(ValueError):
+        st.population_stability_index(df, "ref", "v", n_bins=1)
+
+
+# --- trimmed_mean --------------------------------------------------------------
+
+
+def test_trimmed_mean_drops_exact_tails(spark):
+    # 1..10 with 10% trim: drop exactly one from each end → mean(2..9)=5.5
+    rows = [("g", float(v)) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = st.trimmed_mean(df, "g", "v", trim_ppm=100_000).collect()
+    assert (r["n"], r["n_kept"]) == (10, 8)
+    assert r["tmean_micro"] == 550 * 10_000
+
+
+def test_trimmed_mean_outlier_robust_and_tie_exact(spark):
+    rows = [("g", 10.0)] * 8 + [("g", -1e6), ("g", 1e6)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = st.trimmed_mean(df, "g", "v", trim_ppm=100_000).collect()
+    assert r["tmean_micro"] == 1000 * 10_000  # outliers gone exactly
+    # trim_ppm=0 degrades to the plain mean
+    [r0] = st.trimmed_mean(df, "g", "v", trim_ppm=0).collect()
+    assert r0["n_kept"] == 10
+    with pytest.raises(ValueError):
+        st.trimmed_mean(df, "g", "v", trim_ppm=500_000)
+
+
+# --- vector_dq ------------------------------------------------------------------
+
+
+def test_vector_dq_counts_every_defect(spark):
+    rows = [
+        (1, [1.0, 2.0]),
+        (2, None),
+        (3, []),
+        (4, [1.0, 2.0, 3.0]),
+        (5, [float("nan"), 1.0]),
+        (6, [float("inf"), 1.0]),
+        (7, [0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    [r] = st.vector_dq(df, "vec_id", "embedding", expected_dim=2).collect()
+    assert r["n_vecs"] == 7 and r["n_null"] == 1 and r["n_empty"] == 1
+    assert r["n_wrong_dim"] == 2  # the [] and the 3-dim row
+    assert r["n_nonfinite"] == 2 and r["n_allzero"] == 1
+    with pytest.raises(ValueError):
+        st.vector_dq(df, "vec_id", "embedding", expected_dim=0)
