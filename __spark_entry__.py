@@ -5496,6 +5496,22 @@ def q_vector_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-noise screen over the first 400 embeddings
+    (operators.similarity.knn_label_disagreement, k=5): vectors whose
+    label loses the exact-cosine 5-NN vote — the cleanlab-style filter
+    a labeled training set passes before the labels are trusted. The
+    gate slice keeps the all-pairs frame oracle-checkable; the scale
+    path feeds LSH/IVF candidates to the same vote."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    return sim.knn_label_disagreement(
+        emb, "vec_id", "embedding", "label", k=5
+    )
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver gate window (first 50): round-9 rotation per the
@@ -5632,6 +5648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "trimmed_mean": q_trimmed_mean,
         "vector_dq": q_vector_dq,
+        "knn_label_noise": q_knn_label_noise,
         # --- previously gated queries (r1-r8 artifacts) ---
         "pricing_summary": q_pricing_summary,
         "mutual_information": q_mutual_information,
@@ -11810,6 +11827,45 @@ def oracle_sql() -> dict[str, str]:
           CAST(floor(CAST(s AS DOUBLE) / CAST(n_kept AS DOUBLE) * 10000.0)
                AS BIGINT) AS tmean_micro
         FROM agg WHERE n_kept > 0
+    """
+    oracles["knn_label_noise"] = """
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+          FROM embeddings WHERE vec_id < 400
+        ),
+        scored AS (
+          SELECT a.vec_id AS id, a.label AS label,
+            b.vec_id AS neighbor, b.label AS nlbl,
+            CASE WHEN sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0.0
+                 ELSE list_dot_product(a.v, b.v)
+                      / (sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(b.v, b.v))) END AS cos
+          FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        ),
+        top AS (
+          SELECT id, label, nlbl FROM (
+            SELECT id, label, nlbl,
+              ROW_NUMBER() OVER (PARTITION BY id
+                ORDER BY cos DESC, neighbor) AS rn
+            FROM scored
+          ) t WHERE rn <= 5
+        ),
+        votes AS (
+          SELECT id, label, nlbl, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM top GROUP BY 1, 2, 3
+        ),
+        decided AS (
+          SELECT id, label, nlbl, cnt,
+            CAST(SUM(cnt) OVER (PARTITION BY id) AS BIGINT) AS n_top,
+            ROW_NUMBER() OVER (PARTITION BY id
+              ORDER BY cnt DESC, nlbl) AS mr,
+            CAST(SUM(CASE WHEN nlbl = label THEN cnt ELSE 0 END)
+                 OVER (PARTITION BY id) AS BIGINT) AS n_agree
+          FROM votes
+        )
+        SELECT id, label, nlbl AS knn_label, n_top, n_agree
+        FROM decided WHERE mr = 1 AND nlbl <> label
     """
     oracles["vector_dq"] = """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,

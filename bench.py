@@ -193,6 +193,7 @@ PIPELINE = [
     "psi_drift",
     "trimmed_mean",
     "vector_dq",
+    "knn_label_noise",
 ]
 
 

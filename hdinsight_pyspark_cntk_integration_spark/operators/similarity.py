@@ -1099,3 +1099,100 @@ def sparse_cosine_pairs(
         )
         .filter(F.col("cos_micro") >= min_cos_micro)
     )
+
+
+def knn_label_disagreement(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Label-noise screening by k-NN vote (the confident-learning /
+    cleanlab primitive, Northcutt et al. 2021): flag every vector whose
+    own label disagrees with the majority label of its k nearest
+    neighbors by exact cosine — the first filter a labeled training
+    set goes through before the labels are trusted.
+
+    ``candidates`` (id, neighbor) bounds the comparison set; default is
+    the exact all-pairs frame (the oracle-checkable gate form, bounded
+    by the caller slicing the input — embedding_dedup's contract). The
+    100 TB path passes LSH/IVF candidates (embedding_near_dup_candidates
+    / ivf buckets) and inherits the identical vote.
+
+    Determinism: cosine is the engine-portable sqrt-of-fold expression
+    (same tree as cosine_similarity, so fp64 values bit-match DuckDB's
+    list_dot_product); neighbor rank ties break on neighbor id, vote
+    ties on the smaller label — every step total-ordered.
+
+    Shape: two id-keyed vector-fetch joins onto the candidate set, one
+    per-id rank window (partitioned by id, never global), one
+    (id, label) count + one per-id argmax window.
+
+    Returns (id, label, knn_label, n_top, n_agree) for DISAGREEING
+    vectors only: n_top = neighbors voting (<= k), n_agree = votes for
+    the vector's own label.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    from pyspark.sql import Window
+
+    from hdinsight_pyspark_cntk_integration_spark.functions.vector import dot, l2_norm
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.col(label_col).alias("__lbl"),
+        l2_norm(vec_col).alias("__nrm"),
+    )
+    if candidates is None:
+        ids = base.select(F.col("__id"))
+        candidates = ids.select(F.col("__id").alias("id")).join(
+            F.broadcast(ids.select(F.col("__id").alias("neighbor"))),
+            F.col("id") != F.col("neighbor"),
+        )
+    else:
+        candidates = candidates.select(
+            F.col(candidates.columns[0]).alias("id"),
+            F.col(candidates.columns[1]).alias("neighbor"),
+        ).filter(F.col("id") != F.col("neighbor")).distinct()
+    a = base.select(
+        F.col("__id").alias("id"), F.col("__v").alias("__va"),
+        F.col("__lbl").alias("label"), F.col("__nrm").alias("__na"),
+    )
+    b = base.select(
+        F.col("__id").alias("neighbor"), F.col("__v").alias("__vb"),
+        F.col("__lbl").alias("__nlbl"), F.col("__nrm").alias("__nb"),
+    )
+    denom = F.col("__na") * F.col("__nb")
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(dot("__va", "__vb") / denom)
+    scored = (
+        candidates.join(a, "id")
+        .join(b, "neighbor")
+        .select("id", "label", "neighbor", "__nlbl", cos.alias("__cos"))
+    )
+    w_rank = Window.partitionBy("id").orderBy(F.desc("__cos"), F.col("neighbor"))
+    top = scored.withColumn("__rn", F.row_number().over(w_rank)).filter(
+        F.col("__rn") <= k
+    )
+    votes = top.groupBy("id", "label", F.col("__nlbl")).agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    w_top = Window.partitionBy("id")
+    w_maj = Window.partitionBy("id").orderBy(F.desc("__cnt"), F.col("__nlbl"))
+    decided = votes.select(
+        "id", "label", "__nlbl", "__cnt",
+        F.sum("__cnt").over(w_top).cast("long").alias("n_top"),
+        F.row_number().over(w_maj).alias("__mr"),
+        F.sum(
+            F.when(F.col("__nlbl") == F.col("label"), F.col("__cnt")).otherwise(0)
+        ).over(w_top).cast("long").alias("n_agree"),
+    )
+    return (
+        decided.filter((F.col("__mr") == 1) & (F.col("__nlbl") != F.col("label")))
+        .select(
+            F.col("id"), F.col("label"),
+            F.col("__nlbl").alias("knn_label"), "n_top", "n_agree",
+        )
+    )

@@ -477,3 +477,48 @@ def test_sparse_cosine_max_df_ppm_is_scale_free(spark):
         sparse_cosine_pairs(df, max_df=3, max_df_ppm=500_000)
     with pytest.raises(ValueError):
         sparse_cosine_pairs(df, max_df_ppm=0)
+
+
+# --- knn_label_disagreement ---------------------------------------------------
+
+
+def test_knn_label_noise_flags_planted_mislabels(spark):
+    # two tight clusters in 2-D; one point of each cluster carries the
+    # other cluster's label → exactly those two are flagged
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0, 0.01 * i], 0))
+    for i in range(6, 12):
+        rows.append((i, [0.01 * (i - 6), 1.0], 1))
+    rows[0] = (0, rows[0][1], 1)   # mislabeled cluster-0 point
+    rows[6] = (6, rows[6][1], 0)   # mislabeled cluster-1 point
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r["id"]: r for r in sim.knn_label_disagreement(df, k=5).collect()}
+    assert set(got) == {0, 6}
+    assert got[0]["knn_label"] == 0 and got[6]["knn_label"] == 1
+    assert all(r["n_top"] == 5 for r in got.values())
+
+
+def test_knn_label_noise_clean_labels_no_flags(spark):
+    rows = [(i, [1.0 + 0.001 * i, 0.0], 7) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    assert sim.knn_label_disagreement(df, k=3).count() == 0
+
+
+def test_knn_label_noise_candidates_path_and_validation(spark):
+    import pytest
+
+    rows = [(0, [1.0, 0.0], 0), (1, [1.0, 0.1], 1), (2, [1.0, 0.2], 1)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    cands = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1)], "id long, neighbor long"
+    )
+    rows_out = {r["id"]: r for r in sim.knn_label_disagreement(df, k=2, candidates=cands).collect()}
+    # 0: both neighbors vote 1 → flagged with a clean majority;
+    # 1 and 2: a 1-1 vote tie breaks to the SMALLER label (0) by the
+    # documented rule, so both disagree with their own label 1
+    assert set(rows_out) == {0, 1, 2}
+    assert rows_out[0]["knn_label"] == 1 and rows_out[0]["n_agree"] == 0
+    assert rows_out[1]["knn_label"] == 0 and rows_out[1]["n_agree"] == 1
+    with pytest.raises(ValueError):
+        sim.knn_label_disagreement(df, k=0)
