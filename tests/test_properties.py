@@ -803,3 +803,83 @@ def test_holt_linear_matches_python_fold_property(spark, xs, alpha_c, beta_c):
     assert r["level_micro"] == math.floor(l * 1e6)
     assert r["trend_micro"] == math.floor(b * 1e6)
     assert r["forecast_micro"] == math.floor((l + b) * 1e6)
+
+
+@given(
+    cents=st.lists(
+        st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=60
+    ),
+    qs=st.lists(
+        st.integers(min_value=1, max_value=1_000_000),
+        min_size=1, max_size=4, unique=True,
+    ),
+)
+@settings(**_SETTINGS)
+def test_exact_quantiles_match_python_order_statistic(spark, cents, qs):
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as stt
+
+    rows = [("g", c / 100.0) for c in cents]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["q_ppm"]: r["value_cents"]
+        for r in stt.exact_group_quantiles(df, "g", "v", qs).collect()
+    }
+    sv = sorted(cents)
+    n = len(sv)
+    for q in qs:
+        # type-1 lower quantile: the ceil(q*n/1e6)-th smallest (1-based)
+        k = (q * n + 999_999) // 1_000_000
+        assert got[q] == sv[k - 1]
+
+
+@given(
+    cents=st.lists(
+        st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=60
+    ),
+    trim_ppm=st.integers(min_value=0, max_value=499_999),
+)
+@settings(**_SETTINGS)
+def test_trimmed_mean_matches_python_reference(spark, cents, trim_ppm):
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as stt
+
+    rows = [("g", c / 100.0) for c in cents]
+    df = spark.createDataFrame(rows, "g string, v double")
+    sv = sorted(cents)
+    n = len(sv)
+    lo = n * trim_ppm // 1_000_000
+    kept = sv[lo: n - lo]
+    out = stt.trimmed_mean(df, "g", "v", trim_ppm=trim_ppm).collect()
+    if not kept:
+        assert out == []
+        return
+    [r] = out
+    assert r["n_kept"] == len(kept)
+    import math
+    assert r["tmean_micro"] == math.floor(sum(kept) / len(kept) * 10_000.0)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=-500, max_value=500),   # value cents
+            st.integers(min_value=1, max_value=9),        # weight
+        ),
+        min_size=1, max_size=40,
+    ),
+)
+@settings(**_SETTINGS)
+def test_weighted_median_matches_python_reference(spark, pairs):
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as stt
+
+    rows = [("g", c / 100.0, w) for c, w in pairs]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    [r] = stt.weighted_median(df, "g", "v", "w").collect()
+    total = sum(w for _, w in pairs)
+    cum = 0
+    expect = None
+    for c, w in sorted(pairs):
+        cum += w
+        if 2 * cum >= total:
+            expect = c
+            break
+    assert r["wmedian_cents"] == expect and r["total_weight"] == total
