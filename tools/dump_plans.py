@@ -54,6 +54,16 @@ HEADLINE = [
     "sparse_cosine",
     "harmonic_centrality",
     "heaps_law",
+    # round-9 additions with plan stories worth auditing: the no-global-
+    # window NTILE (lorenz), the broadcast-edge-array PSI binning, the
+    # catalog-rank negative sampler, the cell-aggregate quantiles, and
+    # the all-pairs knn vote
+    "lorenz_customers",
+    "psi_drift",
+    "negative_samples",
+    "exact_quantiles",
+    "knn_label_noise",
+    "bootstrap_mean",
 ]
 
 
