@@ -5512,6 +5512,24 @@ def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_minhash_provable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-PAIRED MinHash-LSH near-dup detection (the rows-only
+    minhash_near_dup gate's provable twin): hash_family="md5" swaps
+    both hash sites for engine-portable forms — md5-prefix shingle
+    integers and raw min-tuple band keys — so DuckDB replays candidate
+    generation bit-for-bit (16 hashes, 4 bands, S-curve threshold
+    ~0.71 Jaccard), then both engines verify exact Jaccard >= 0.5 on
+    the candidates. Bounded to doc_id < 1500 so the oracle's
+    posting-join verify stays cheap; the production path keeps the
+    xxhash64 family (2-3x faster) with identical plan shape."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1500)
+    cands = dd.minhash_lsh_candidates(
+        docs, num_hashes=16, bands=4, hash_family="md5"
+    )
+    return dd.jaccard_pairs(docs, cands, threshold=0.5)
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver gate window (first 50): round-9 rotation per the
@@ -5649,6 +5667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_mean": q_trimmed_mean,
         "vector_dq": q_vector_dq,
         "knn_label_noise": q_knn_label_noise,
+        "minhash_provable": q_minhash_provable,
         # --- previously gated queries (r1-r8 artifacts) ---
         "pricing_summary": q_pricing_summary,
         "mutual_information": q_mutual_information,
@@ -11827,6 +11846,80 @@ def oracle_sql() -> dict[str, str]:
           CAST(floor(CAST(s AS DOUBLE) / CAST(n_kept AS DOUBLE) * 10000.0)
                AS BIGINT) AS tmean_micro
         FROM agg WHERE n_kept > 0
+    """
+    # minhash_provable: the FULL MinHash-LSH pipeline replayed in SQL —
+    # md5-prefix shingle hashes, the same 16 affine transforms, raw
+    # min-tuple band keys, then a posting-join exact-Jaccard verify
+    # (list_intersect at this slice size would be fine, but the posting
+    # join is the scale-honest form).
+    oracles["minhash_provable"] = """
+        WITH d AS (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+          FROM documents WHERE doc_id < 1500
+        ),
+        sh AS MATERIALIZED (
+          SELECT doc_id, UNNEST(list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 1)),
+            i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+          FROM d
+        ),
+        h AS MATERIALIZED (
+          SELECT DISTINCT doc_id,
+            CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+              % 2147483647 AS hv
+          FROM sh
+        ),
+        sig AS MATERIALIZED (
+          SELECT doc_id,
+            MIN((506952114 * hv + 40503) % 2147483647) AS m0,
+            MIN((1520856342 * hv + 81006) % 2147483647) AS m1,
+            MIN((387276923 * hv + 121509) % 2147483647) AS m2,
+            MIN((1401181151 * hv + 162012) % 2147483647) AS m3,
+            MIN((267601732 * hv + 202515) % 2147483647) AS m4,
+            MIN((1281505960 * hv + 243018) % 2147483647) AS m5,
+            MIN((147926541 * hv + 283521) % 2147483647) AS m6,
+            MIN((1161830769 * hv + 324024) % 2147483647) AS m7,
+            MIN((28251350 * hv + 364527) % 2147483647) AS m8,
+            MIN((1042155578 * hv + 405030) % 2147483647) AS m9,
+            MIN((2056059806 * hv + 445533) % 2147483647) AS m10,
+            MIN((922480387 * hv + 486036) % 2147483647) AS m11,
+            MIN((1936384615 * hv + 526539) % 2147483647) AS m12,
+            MIN((802805196 * hv + 567042) % 2147483647) AS m13,
+            MIN((1816709424 * hv + 607545) % 2147483647) AS m14,
+            MIN((683130005 * hv + 648048) % 2147483647) AS m15
+          FROM h GROUP BY doc_id
+        ),
+        bandkeys AS MATERIALIZED (
+          SELECT doc_id, 0 AS band, CAST(m0 AS VARCHAR) || ',' || CAST(m1 AS VARCHAR) || ',' || CAST(m2 AS VARCHAR) || ',' || CAST(m3 AS VARCHAR) AS bh FROM sig
+          UNION ALL SELECT doc_id, 1 AS band, CAST(m4 AS VARCHAR) || ',' || CAST(m5 AS VARCHAR) || ',' || CAST(m6 AS VARCHAR) || ',' || CAST(m7 AS VARCHAR) AS bh FROM sig
+          UNION ALL SELECT doc_id, 2 AS band, CAST(m8 AS VARCHAR) || ',' || CAST(m9 AS VARCHAR) || ',' || CAST(m10 AS VARCHAR) || ',' || CAST(m11 AS VARCHAR) AS bh FROM sig
+          UNION ALL SELECT doc_id, 3 AS band, CAST(m12 AS VARCHAR) || ',' || CAST(m13 AS VARCHAR) || ',' || CAST(m14 AS VARCHAR) || ',' || CAST(m15 AS VARCHAR) AS bh FROM sig
+        ),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bandkeys a
+          JOIN bandkeys b ON b.band = a.band AND b.bh = a.bh
+            AND a.doc_id < b.doc_id
+        ),
+        cnt AS MATERIALIZED (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nh FROM h GROUP BY 1
+        ),
+        common AS (
+          SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS nc
+          FROM cand c
+          JOIN h x ON x.doc_id = c.id_a
+          JOIN h y ON y.doc_id = c.id_b AND y.hv = x.hv
+          GROUP BY 1, 2
+        )
+        SELECT cm.id_a, cm.id_b,
+          CAST(cm.nc AS DOUBLE)
+            / CAST(na.nh + nb.nh - cm.nc AS DOUBLE) AS jaccard
+        FROM common cm
+        JOIN cnt na ON na.doc_id = cm.id_a
+        JOIN cnt nb ON nb.doc_id = cm.id_b
+        WHERE CAST(cm.nc AS DOUBLE)
+            / CAST(na.nh + nb.nh - cm.nc AS DOUBLE) >= 0.5
     """
     oracles["knn_label_noise"] = """
         WITH e AS (

@@ -194,6 +194,7 @@ PIPELINE = [
     "trimmed_mean",
     "vector_dq",
     "knn_label_noise",
+    "minhash_provable",
 ]
 
 

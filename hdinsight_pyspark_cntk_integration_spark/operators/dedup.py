@@ -115,7 +115,9 @@ def hashed_shingles(text: Column | str, k: int = 3, mode: str = "word") -> Colum
     return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
 
 
-def _hashed_shingles_sql(text_col: str, k: int = 3, mode: str = "word") -> str:
+def _hashed_shingles_sql(
+    text_col: str, k: int = 3, mode: str = "word", hash_family: str = "xxhash64"
+) -> str:
     """SQL-text form of ``hashed_shingles`` (same semantics).
 
     The wide dedup operators build hundreds of sub-expressions; composing
@@ -142,7 +144,20 @@ def _hashed_shingles_sql(text_col: str, k: int = 3, mode: str = "word") -> str:
             f" array_distinct(transform(sequence(1, greatest(length(t) - {k - 1}, 1)),"
             f" i -> substring(t, i, {k}))))[0]"
         )
-    return f"transform({sh}, s -> pmod(xxhash64(s), {_P}L))"
+    if hash_family == "xxhash64":
+        return f"transform({sh}, s -> pmod(xxhash64(s), {_P}L))"
+    if hash_family == "md5":
+        # Engine-portable 60-bit hash: the md5-prefix recipe the oracle
+        # layer already uses for ids — DuckDB computes the identical
+        # value as CAST('0x' || substr(md5(s), 1, 15) AS BIGINT), so a
+        # DuckDB oracle can replay the FULL minhash/LSH pipeline
+        # bit-for-bit. ~2-3x slower than xxhash64 (crypto hash + hex
+        # decode) — the provable gate path, not the production default.
+        return (
+            f"transform({sh}, s ->"
+            f" pmod(cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint), {_P}L))"
+        )
+    raise ValueError(f"unknown hash_family {hash_family!r} (xxhash64|md5)")
 
 
 def minhash_cols(hashes: Column, num_hashes: int = 128) -> list[Column]:
@@ -182,12 +197,21 @@ def minhash_lsh_candidates(
     bands: int = 32,
     shingle_k: int = 3,
     shingle_mode: str = "word",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via banded MinHash-LSH.
 
     rows = num_hashes/bands hashes per band; docs colliding on any band's
     hash become candidates. With r=4, b=32 the S-curve threshold is
     ≈ (1/b)^(1/r) ≈ 0.42 Jaccard.
+
+    ``hash_family="md5"`` swaps both hash sites (shingle hash AND band
+    bucket key) for engine-portable forms — the md5-prefix integer the
+    oracle layer already uses, and the band's raw min-value tuple joined
+    as a string instead of an xxhash64 of it — so the ENTIRE candidate
+    generation is replayable in ANSI SQL and the minhash gate can be
+    oracle-PAIRED rather than rows-only. The affine minhash transforms
+    are pure integer arithmetic in both families.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
@@ -208,16 +232,26 @@ def minhash_lsh_candidates(
     # ~10× cheaper to build than the equivalent py4j Column tree.
     src, n_parts = _spread(df)
     hashed = src.selectExpr(
-        id_col, f"{_hashed_shingles_sql(text_col, shingle_k, shingle_mode)} AS hs"
+        id_col,
+        f"{_hashed_shingles_sql(text_col, shingle_k, shingle_mode, hash_family)} AS hs",
     ).repartition(n_parts, F.col(id_col))
     mins = [
         f"array_min(transform(hs, h -> pmod({(j * 2 + 1) * _A_MULT % _P}L * h"
         f" + {(j + 1) * _B_MULT % _P}L, {_P}L)))"
         for j in range(num_hashes)
     ]
+    if hash_family == "md5":
+        # portable band key: the raw min-value tuple as a string
+        def _bh(b: int) -> str:
+            arr = ", ".join(
+                f"cast({m} as string)" for m in mins[b * r:(b + 1) * r]
+            )
+            return f"concat_ws(',', {arr})"
+    else:
+        def _bh(b: int) -> str:
+            return f"xxhash64(array({', '.join(mins[b * r:(b + 1) * r])}))"
     structs = ", ".join(
-        f"struct({b} AS band, xxhash64(array({', '.join(mins[b * r:(b + 1) * r])})) AS bh)"
-        for b in range(bands)
+        f"struct({b} AS band, {_bh(b)} AS bh)" for b in range(bands)
     )
     banded = hashed.select(
         F.col(id_col), F.expr(f"explode(array({structs}))").alias("x")

@@ -1080,3 +1080,63 @@ def test_oov_rate_full_vocab_is_zero(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = tx.oov_rate(df, top_v=100).collect()
     assert all(r["oov_micro"] == 0 for r in got)
+
+
+def test_minhash_md5_family_agrees_with_xxhash64_on_planted_dups(spark):
+    """The md5 (oracle-portable) and xxhash64 (production) hash families
+    draw different random hashes, but both must surface a planted
+    high-Jaccard pair at r=4/b=8 (16 total collision lotteries at
+    J~0.95) and neither may emit a pair for disjoint docs."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 5
+    rows = [
+        (1, base),
+        (2, base + "kilo"),
+        (3, "zulu yankee xray whiskey victor uniform tango sierra " * 6),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fam in ("md5", "xxhash64"):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dd.minhash_lsh_candidates(
+                df, num_hashes=32, bands=8, hash_family=fam
+            ).collect()
+        }
+        assert (1, 2) in got, fam
+        assert not any(3 in p for p in got), fam
+
+
+def test_minhash_unknown_hash_family_raises(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest
+
+    with pytest.raises(ValueError, match="hash_family"):
+        dd.minhash_lsh_candidates(df, num_hashes=8, bands=2, hash_family="sha9")
+
+
+def test_minhash_md5_shingle_hash_matches_duckdb_recipe(spark):
+    """The md5-prefix integer Spark computes per shingle must equal
+    DuckDB's CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % P —
+    the exact cross-engine contract the minhash_provable oracle
+    relies on."""
+    import duckdb
+
+    from hdinsight_pyspark_cntk_integration_spark.operators.dedup import (
+        _hashed_shingles_sql,
+    )
+
+    rows = [(1, "portable hashing contract check")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = df.selectExpr(
+        f"{_hashed_shingles_sql('text', 3, 'word', 'md5')} AS hs"
+    ).collect()[0]["hs"]
+    con = duckdb.connect()
+    ref = con.sql(
+        """
+        SELECT list_transform(list_distinct(list_transform(
+          generate_series(1, greatest(len(t) - 2, 1)),
+          i -> array_to_string(t[i:i+2], ' '))),
+          s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647)
+        FROM (SELECT string_split('portable hashing contract check', ' ') AS t)
+        """
+    ).fetchall()[0][0]
+    assert sorted(got) == sorted(ref)
