@@ -113,14 +113,16 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: 3-way join (dim side broadcast) + top-10 by exact
-    decimal revenue, deterministic tie-break on orderkey."""
+    """TPC-H Q3 shape: 3-way join + top-10 by exact decimal revenue,
+    deterministic tie-break on orderkey. No forced broadcast: customer
+    is SF-scaled, so AQE decides the strategy from observed size (it
+    still broadcasts the BUILDING slice when genuinely small)."""
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_revenue().alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -513,8 +515,10 @@ def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity"
     ).cast("decimal(18,4)")
     return (
-        li.join(F.broadcast(part.filter(F.col("p_name").like("%red%"))), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # part and supplier are SF-scaled — no forced broadcast; AQE
+        # picks broadcast at runtime when the filtered side is small.
+        li.join(part.filter(F.col("p_name").like("%red%")), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
@@ -930,7 +934,9 @@ def q_near_dup_against_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.size(F.array_union("sh_n", "sh_b")).cast("double")
     )
     return (
-        new.crossJoin(F.broadcast(base))
+        # broadcast the bounded side: new is exactly 50 docs at every
+        # SF; base is the rest of the corpus and scales with SF.
+        base.crossJoin(F.broadcast(new))
         .select("new_id", "base_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.3)
     )
@@ -2322,20 +2328,6 @@ def q_dedup_keep_first_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPING SETS via the engine's SQL interface (spark.sql over
-    registered views) — the SQL layer the reference lacks (SURVEY §2.7)."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               CAST(COUNT(*) AS BIGINT) AS n, SUM(l_quantity) AS sum_qty
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """
-    )
-
-
 def q_having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation + HAVING (TPC-H Q18 shape): orders whose total quantity
     exceeds 150, with the customer name joined in."""
@@ -2432,7 +2424,7 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        sole_late.join(F.broadcast(supplier), sole_late.l_suppkey == supplier.s_suppkey)
+        sole_late.join(supplier, sole_late.l_suppkey == supplier.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -2699,7 +2691,7 @@ def q_correlated_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(avgq, li.l_partkey == avgq.pk)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg((_dec_sum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
@@ -2850,7 +2842,7 @@ def q_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     join with a post-join residual filter — no cartesian blowup."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
         | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
@@ -3513,7 +3505,7 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     cost = (
-        li.join(F.broadcast(wanted), li.l_partkey == F.col("p_partkey"))
+        li.join(wanted, li.l_partkey == F.col("p_partkey"))
         .repartition(n_shuffle, "l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg(
@@ -3522,7 +3514,7 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / _dec_sum(F.col("l_quantity"), 2)
             ).alias("unit_cost")
         )
-        .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(eu_supp, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     min_cost = F.min("unit_cost").over(Window.partitionBy("l_partkey"))
     return (
@@ -3561,16 +3553,16 @@ def q_priority_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape adapted to the fixture (no partsupp): suppliers
     that shipped more than 90 units of any single 'sma%'-named part —
-    nested-IN chain re-expressed as broadcast + semi joins. The part
-    filter broadcasts into the lineitem scan; the surviving supplier-key
-    set (tiny) broadcasts into a left-semi join against supplier."""
+    nested-IN chain re-expressed as a filter-join + left-semi join. No
+    forced broadcast: part and the derived supplier-key set are
+    SF-scaled, so AQE picks broadcast from observed runtime sizes."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     wanted = part.filter(F.col("p_name").like("sma%")).select("p_partkey")
     heavy = (
-        li.join(F.broadcast(wanted), li.l_partkey == F.col("p_partkey"))
+        li.join(wanted, li.l_partkey == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
         .filter(F.col("qty") > 90)
@@ -3578,7 +3570,7 @@ def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        supp.join(F.broadcast(heavy), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        supp.join(heavy, supp.s_suppkey == F.col("l_suppkey"), "left_semi")
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select("s_name", "n_name")
     )
@@ -5530,18 +5522,145 @@ def q_minhash_provable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption mask plan (operators.pipeline.
+    span_corruption_plan, Raffel et al. 2020): deterministic span
+    count/lengths from exact integer arithmetic on the whitespace token
+    count (noise rate 3/20, mean span 3 — RATIONAL parameters, no float
+    literals) and Knuth-mixer offsets on (doc_id, span_id). Pure
+    projection + bounded explode, replayed exactly by the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    plan = pl.span_corruption_plan(base, noise_num=3, noise_den=20, mean_span=3)
+    return plan.select(
+        "doc_id", "span_id",
+        F.col("start").alias("span_start"),
+        F.col("length").alias("span_len"),
+    )
+
+
+def q_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio nearest-centroid confusion matrix (operators.similarity.
+    nearest_centroid): per-row fp64 L2-normalize, micro-quantize AT
+    BIRTH, exact-integer centroid sums and DECIMAL(38,0) scores — the
+    argmax is order-independent and the DuckDB oracle replays it
+    bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.nearest_centroid(emb, "vec_id", "embedding", "label")
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: BPE-ish subword count per
+    whitespace word (the tokens-per-word ratio that drives multilingual
+    packing budgets and sampling temperature). All-integer sums +
+    micro floor-division."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    sub = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(pl.BPE_PRETOKEN_PATTERN), F.lit(0))
+    ).cast("long")
+    per = docs.select("lang", token_count("text").alias("nw"), sub.alias("ns"))
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nw").cast("long").alias("n_words"),
+        F.sum("ns").cast("long").alias("n_subwords"),
+        F.expr(
+            "CAST((CAST(SUM(ns) AS DECIMAL(38,0)) * 1000000)"
+            " DIV SUM(nw) AS BIGINT)"
+        ).alias("fertility_micro"),
+    )
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversity re-rank (operators.
+    similarity.mmr_rerank): distributed bounded top-20 candidate pool
+    for query vec 0, then 5 greedy rounds of lam=0.5 MMR (exact binary
+    lam; per-row fp64 cosine trees; id tie-breaks). The oracle unrolls
+    the 5 rounds as MATERIALIZED CTEs (the k_truss precedent)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.mmr_rerank(emb, sim.self_queries(emb, [0]), k=5, pool=20, lam=0.5)
+    return out.select(
+        "query_id", "rank", "vec_id",
+        F.floor(F.col("rel") * F.lit(1000000)).cast("long").alias("rel_micro"),
+    )
+
+
+# Driver-gate window (ROTATION.md): the driver records the FIRST 50
+# entries of queries() in CORRECTNESS_r{N}.json. Round 10 executes the
+# committed backlog window — the 49 never-driver-gated queries in
+# registry order plus jaccard_capped (the round-8 verdict #4 capped
+# twin, taking the one free slot). Rows-only by design in this window:
+# multimodal_decode (env-gated codec), pca_top_component (sign-ambiguous
+# eigenvector). After this window lands, every registered query has a
+# driver artifact; rotated-out queries stay covered by the full-registry
+# PARITY_r{N}.json run every round.
+_GATE_WINDOW = [
+    "corpus_divergence",
+    "corr_stats",
+    "correlated_avg_qty",
+    "intersect",
+    "unpivot",
+    "map_functions",
+    "array_functions",
+    "regexp_functions",
+    "rank_functions",
+    "first_last_value",
+    "datetime_functions",
+    "order_count_distribution",
+    "disjunctive_filter",
+    "parts_supplier_count",
+    "high_balance_light_buyers",
+    "nation_value_share",
+    "nation_trade_pairs",
+    "mode_per_group",
+    "ngram_jaccard_adjacent",
+    "near_dup_cosine_exact",
+    "near_dup_cosine_lsh",
+    "media_metadata",
+    "multimodal_decode",
+    "simple_filter_agg",
+    "string_functions",
+    "math_functions",
+    "bitwise_agg",
+    "sentence_split",
+    "higher_order_fns",
+    "ivf_topk",
+    "returned_item_revenue",
+    "market_share",
+    "range_frame_window",
+    "struct_functions",
+    "date_format",
+    "salted_join",
+    "approx_percentile",
+    "map_explode",
+    "arrays_zip",
+    "encoding_functions",
+    "top_supplier",
+    "dedup_transitive",
+    "limit_offset",
+    "big_orders",
+    "zorder_key",
+    "sample_per_group",
+    "weighted_sample",
+    "data_card",
+    "pca_top_component",
+    "jaccard_capped",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        # --- driver gate window (first 50): round-9 rotation per the
-        # --- round-8 verdict order #1/#3 — the 30 round-8 batch-7+ ops
-        # --- (ngram_novelty ... robust_means) followed by the next 20
-        # --- never-driver-gated queries in registry order
-        # --- (bigram_logprob ... url_functions). The remaining 49
-        # --- never-gated queries (corpus_divergence ... pca_top_component,
-        # --- see ROTATION.md) are scheduled as the ROUND-10 window, after
-        # --- which every registered query has a CORRECTNESS_r* artifact.
-        # --- All rotated-out queries carry r1-r8 driver artifacts and are
-        # --- mirrored in PARITY_r9.json (full 284-query registry).
+    """Full registry, gate window first.
+
+    The catalog below is ONE dict literal in registry (insertion)
+    order; the returned dict is reordered so the committed
+    ``_GATE_WINDOW`` occupies the first 50 slots (the driver truncates
+    there). Rotating the gate is now a list edit, not a 300-entry
+    dict shuffle, and registry integrity (no duplicate keys, window
+    is a subset) is asserted here and source-checked by
+    tests/test_registry.py.
+    """
+    catalog = {
         "ngram_novelty": q_ngram_novelty,
         "compression_ratio": q_compression_ratio,
         "hierarchy_rollup": q_hierarchy_rollup,
@@ -5826,7 +5945,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg": q_moving_avg,
         "sessionize": q_sessionize,
         "dedup_keep_first_rows": q_dedup_keep_first_rows,
-        "grouping_sets_sql": q_grouping_sets_sql,
         "having_big_orders": q_having_big_orders,
         "promo_revenue_share": q_promo_revenue_share,
         "exists_late_ship": q_exists_late_ship,
@@ -5854,7 +5972,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "tumbling_hourly": q_tumbling_hourly,
         "set_ops": q_set_ops,
+        # round-10 additions (scheduled for the r11 gate window)
+        "span_corruption": q_span_corruption,
+        "nearest_centroid": q_nearest_centroid,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "mmr_rerank": q_mmr_rerank,
     }
+    missing = [n for n in _GATE_WINDOW if n not in catalog]
+    assert not missing, f"gate window names not in catalog: {missing}"
+    assert len(_GATE_WINDOW) == len(set(_GATE_WINDOW)) == 50, (
+        "gate window must be exactly 50 unique names"
+    )
+    ordered = {n: catalog[n] for n in _GATE_WINDOW}
+    for name, fn in catalog.items():
+        if name not in ordered:
+            ordered[name] = fn
+    return ordered
 
 
 def _zorder_oracle_sql() -> str:
@@ -7695,12 +7828,6 @@ def oracle_sql() -> dict[str, str]:
                 row_number() OVER (PARTITION BY md5({_NORM_TEXT}) ORDER BY doc_id) AS rn
               FROM documents
             ) WHERE rn = 1
-        """,
-        "grouping_sets_sql": """
-            SELECT l_returnflag, l_linestatus,
-                   CAST(COUNT(*) AS BIGINT) AS n, SUM(l_quantity) AS sum_qty
-            FROM lineitem
-            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """,
         "having_big_orders": """
             SELECT l_orderkey, c_name, o_totalprice, total_qty
@@ -11379,9 +11506,9 @@ def oracle_sql() -> dict[str, str]:
         JOIN deg da ON da.z = n.a
         JOIN deg db ON db.z = n.b
     """
-    # Capped twin: the IDENTICAL query with the max_degree=8 apex cut —
+    # Capped twin: the IDENTICAL query with the max_degree=12 apex cut —
     # only apex eligibility changes; true degrees still feed the
-    # denominator (exactly what graph.jaccard_neighbors(max_degree=8)
+    # denominator (exactly what graph.jaccard_neighbors(max_degree=12)
     # computes).
     oracles["jaccard_capped"] = oracles["jaccard_neighbors"].replace(
         "deg.dg >= 2", "deg.dg >= 2 AND deg.dg <= 12"
@@ -11484,7 +11611,7 @@ def oracle_sql() -> dict[str, str]:
             CASE WHEN uu < 367880 THEN 0
                  WHEN uu < 735761 THEN 1
                  WHEN uu < 919701 THEN 2
-                 WHEN uu < 981015 THEN 3
+                 WHEN uu < 981014 THEN 3
                  ELSE 4 END AS m
           FROM u
         ),
@@ -11720,7 +11847,7 @@ def oracle_sql() -> dict[str, str]:
         lagged AS (
           SELECT nation,
             abs(a - f) AS err,
-            abs(a - LAG(a, 12) OVER (PARTITION BY nation ORDER BY t)) AS nerr
+            abs(a - LAG(a, 12) OVER (PARTITION BY nation ORDER BY t, a, f)) AS nerr
           FROM flt
         ),
         agg AS (
@@ -11971,8 +12098,13 @@ def oracle_sql() -> dict[str, str]:
           CAST(SUM(CASE WHEN embedding IS NOT NULL AND
                len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0
                THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+          CAST(SUM(CASE WHEN embedding IS NOT NULL AND
+               len(list_filter(embedding, x -> x IS NULL)) > 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_null_comp,
+          -- forall(x = 0.0): every element non-NULL and zero (mirrors
+          -- the Spark forall + coalesce(false) semantics exactly)
           CAST(SUM(CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
-               AND len(list_filter(embedding, x -> x <> 0)) = 0
+               AND len(list_filter(embedding, x -> x IS NULL OR x <> 0)) = 0
                THEN 1 ELSE 0 END) AS BIGINT) AS n_allzero
         FROM embeddings
     """
@@ -12190,5 +12322,156 @@ def oracle_sql() -> dict[str, str]:
                WHEN b.mean_nll <= t.t2 THEN 'middle'
                ELSE 'tail' END AS ppl_bucket
         FROM base b CROSS JOIN th t
+    """
+    # --- round-10 additions ---
+    oracles["span_corruption"] = r"""
+        WITH base AS (
+          SELECT doc_id AS id,
+            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END
+                 AS BIGINT) AS nt
+          FROM documents
+        ),
+        p AS (
+          SELECT id, nt,
+            GREATEST(CAST(1 AS BIGINT), (nt * 3) // 20) AS noise
+          FROM base WHERE nt * 3 >= 20
+        ),
+        s AS (
+          SELECT id, nt, noise,
+            GREATEST(CAST(1 AS BIGINT), noise // 3) AS spans
+          FROM p
+        ),
+        w AS (SELECT id, nt, noise, spans, nt // spans AS w FROM s),
+        ex AS (
+          SELECT id, noise, spans, w,
+            CAST(UNNEST(range(1, spans + 1)) AS BIGINT) AS j
+          FROM w
+        ),
+        ln AS (
+          SELECT id, w, j,
+            LEAST(w, noise // spans
+                  + CASE WHEN j <= noise % spans THEN 1 ELSE 0 END) AS len
+          FROM ex
+        ),
+        h AS (
+          SELECT id, w, j, len,
+            ((id % 1000003) * 2654435761 + j * 104729) % 1000003 AS h1
+          FROM ln
+        )
+        SELECT id AS doc_id, j AS span_id,
+          CAST((j - 1) * w + ((h1 * 2654435761) % 1000003) % (w - len + 1)
+               AS BIGINT) AS span_start,
+          CAST(len AS BIGINT) AS span_len
+        FROM h
+    """
+    oracles["nearest_centroid"] = """
+        WITH n0 AS (
+          SELECT vec_id AS vid, label AS lbl,
+            CAST(embedding AS DOUBLE[]) AS v,
+            sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        q AS (
+          SELECT vid, lbl,
+            list_transform(v, x -> CAST(FLOOR(x / nrm * 1000000) AS BIGINT))
+              AS qv
+          FROM n0 WHERE nrm > 0
+        ),
+        ex AS (
+          SELECT vid, lbl, UNNEST(qv) AS qvv,
+            generate_subscripts(qv, 1) AS pos
+          FROM q
+        ),
+        cent AS (
+          SELECT lbl AS c, pos, SUM(CAST(qvv AS HUGEINT)) AS s
+          FROM ex GROUP BY 1, 2
+        ),
+        nc AS (SELECT lbl AS c, CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY 1),
+        dots AS (
+          SELECT ex.vid, ex.lbl, cent.c,
+            SUM(CAST(ex.qvv AS HUGEINT) * cent.s) AS dot
+          FROM ex JOIN cent ON ex.pos = cent.pos
+          GROUP BY 1, 2, 3
+        ),
+        sc AS (
+          SELECT d.vid, d.lbl, d.c, (d.dot * 1000000) // nc.n AS score
+          FROM dots d JOIN nc ON d.c = nc.c
+        ),
+        pick AS (
+          SELECT vid, lbl, c,
+            ROW_NUMBER() OVER (PARTITION BY vid ORDER BY score DESC, c ASC)
+              AS rn
+          FROM sc
+        )
+        SELECT lbl AS label, c AS pred, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pick WHERE rn = 1 GROUP BY 1, 2
+    """
+    oracles["tokenizer_fertility"] = r"""
+        WITH base AS (
+          SELECT lang,
+            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nw,
+            CAST(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS BIGINT) AS ns
+          FROM documents
+          WHERE text IS NOT NULL AND length(trim(text)) > 0
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(nw) AS BIGINT) AS n_words,
+          CAST(SUM(ns) AS BIGINT) AS n_subwords,
+          CAST((SUM(ns) * 1000000) // SUM(nw) AS BIGINT) AS fertility_micro
+        FROM base GROUP BY lang
+    """
+    # MMR unrolled: 5 greedy rounds as MATERIALIZED CTEs (every round
+    # references its predecessor more than once — the k_truss
+    # MATERIALIZED discipline prevents the 3^rounds inlining blowup).
+    _mmr_cos = (
+        "CASE WHEN sqrt(list_dot_product(c.v, c.v))"
+        " * sqrt(list_dot_product(s.v, s.v)) = 0 THEN 0.0"
+        " ELSE list_dot_product(c.v, s.v)"
+        " / (sqrt(list_dot_product(c.v, c.v))"
+        " * sqrt(list_dot_product(s.v, s.v))) END"
+    )
+    _mmr_rounds = []
+    for _r in range(2, 6):
+        _prev = f"s{_r - 1}"
+        _mmr_rounds.append(f"""
+        p{_r} AS MATERIALIZED (
+          SELECT c.cid, c.v, c.rel, {_r} AS rank
+          FROM c
+          WHERE c.cid NOT IN (SELECT cid FROM {_prev})
+          ORDER BY (0.5 * c.rel - 0.5 * (
+            SELECT MAX({_mmr_cos}) FROM {_prev} s)) DESC, c.cid
+          LIMIT 1
+        ),
+        s{_r} AS MATERIALIZED (
+          SELECT * FROM {_prev} UNION ALL SELECT cid, v, rel, rank FROM p{_r}
+        )""")
+    oracles["mmr_rerank"] = f"""
+        WITH qv AS MATERIALIZED (
+          SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings
+          WHERE vec_id = 0
+        ),
+        c AS MATERIALIZED (
+          SELECT e.vec_id AS cid, CAST(e.embedding AS DOUBLE[]) AS v,
+            CASE WHEN sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                   * sqrt(list_dot_product(q, q)) = 0 THEN 0.0
+                 ELSE list_dot_product(CAST(e.embedding AS DOUBLE[]), q)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(q, q))) END AS rel
+          FROM embeddings e, qv
+          WHERE e.vec_id <> 0
+          ORDER BY rel DESC, cid LIMIT 20
+        ),
+        s1 AS MATERIALIZED (
+          SELECT cid, v, rel, 1 AS rank FROM c ORDER BY rel DESC, cid LIMIT 1
+        ),{",".join(_mmr_rounds)}
+        SELECT CAST(0 AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+          cid AS vec_id,
+          CAST(FLOOR(rel * 1000000) AS BIGINT) AS rel_micro
+        FROM s5
     """
     return oracles

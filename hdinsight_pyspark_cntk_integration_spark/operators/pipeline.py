@@ -1217,3 +1217,89 @@ def negative_sampling(
         "j",
         F.col("__neg").alias("neg_item"),
     )
+
+
+def span_corruption_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    noise_num: int = 3,
+    noise_den: int = 20,
+    mean_span: int = 3,
+) -> DataFrame:
+    """Deterministic T5-style span-corruption mask plan (Raffel et al.
+    2020 §3.1.4): for each document, choose which token spans to mask
+    so that ~``noise_num/noise_den`` of the tokens are corrupted in
+    spans of mean length ``mean_span``. Emits the PLAN — one row per
+    span ``(id, span_id, start, length)`` in token coordinates — which
+    a downstream tokenizer applies; planning is engine-side so the
+    expensive text pass stays a single projection.
+
+    Deterministic by construction (the split_assign contract): span
+    count and lengths come from exact integer arithmetic on the token
+    count (noise rate is a RATIONAL ``noise_num/noise_den``, never a
+    float literal), and each span's offset comes from the Knuth mixer
+    on ``(id, span_id)`` — NO RNG, so every epoch, retry, and engine
+    replays the identical mask, and an ANSI oracle re-derives the
+    exact output.
+
+    Non-overlap by strata: the token range is cut into ``n_spans``
+    equal strata (width ``w = n_tokens div n_spans``); span j is
+    placed inside stratum j at a mixer-chosen offset, its length
+    capped at ``w``. Rows with fewer than ``noise_den div noise_num``
+    tokens are dropped (a mask needs at least one maskable token per
+    the rate).
+
+    A pure projection + bounded explode — no shuffle, no state; fans
+    out embarrassingly at 100 TB.
+    """
+    if noise_num < 1 or noise_den <= noise_num:
+        raise ValueError(
+            f"noise rate must be in (0,1): got {noise_num}/{noise_den}"
+        )
+    if mean_span < 1:
+        raise ValueError(f"mean_span must be >= 1 (got {mean_span})")
+    nt = F.col(n_tokens_col).cast("long")
+    # integer division via expr DIV (ANSI-portable floor semantics on
+    # non-negative operands)
+    base = df.filter(nt * noise_num >= noise_den).select(
+        F.col(id_col).alias("__id"),
+        nt.alias("__nt"),
+        F.expr(
+            f"GREATEST(CAST(1 AS BIGINT), "
+            f"(CAST({n_tokens_col} AS BIGINT) * {noise_num}) DIV {noise_den})"
+        ).alias("__noise"),
+    )
+    base = base.withColumn(
+        "__spans",
+        F.greatest(F.lit(1).cast("long"), F.expr(f"__noise DIV {mean_span}")),
+    ).withColumn("__w", F.expr("__nt DIV __spans"))
+    sp = base.select(
+        "__id", "__nt", "__noise", "__spans", "__w",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("__spans"))).alias("j"),
+    )
+    # span length: distribute __noise over __spans, remainder to the
+    # first (__noise mod __spans) spans; cap at the stratum width
+    length = F.least(
+        F.col("__w"),
+        F.expr("__noise DIV __spans")
+        + F.when(F.col("j") <= F.expr("pmod(__noise, __spans)"), 1).otherwise(0),
+    ).cast("long")
+    h1 = F.pmod(
+        F.pmod(F.col("__id"), F.lit(_KNUTH_MOD)) * F.lit(_KNUTH_MULT)
+        + F.col("j") * 104729,
+        F.lit(_KNUTH_MOD),
+    )
+    h2 = F.pmod(h1 * F.lit(_KNUTH_MULT), F.lit(_KNUTH_MOD))
+    start = (F.col("j") - 1) * F.col("__w") + F.pmod(
+        h2, F.col("__w") - length + 1
+    )
+    return (
+        sp.withColumn("__len", length)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("j").cast("long").alias("span_id"),
+            start.cast("long").alias("start"),
+            F.col("__len").alias("length"),
+        )
+    )

@@ -1196,3 +1196,176 @@ def knn_label_disagreement(
             F.col("__nlbl").alias("knn_label"), "n_top", "n_agree",
         )
     )
+
+
+def nearest_centroid(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) label assignment with an EXACT integer
+    argmax, reported as a confusion matrix ``(label, pred, n)``.
+
+    The float work is strictly per-row (L2-normalize each vector in
+    fp64 — bit-identical in any IEEE engine), then every cross-row step
+    is integer: components are micro-quantized AT BIRTH
+    (``floor(v_i/||v|| * scale)``, the embedding_centroids recipe), the
+    per-label centroid is kept as the exact rational
+    ``(sum of quantized components, member count)``, and the score of
+    vector v against label c is ``floor(<vq, sum_c> * scale / n_c)`` in
+    DECIMAL(38,0) — so the argmax (ties broken by smallest label) is
+    order-independent and replays exactly in an ANSI oracle.
+
+    Scale shape: the centroid table is |labels| x dim rows (bounded —
+    labels are an enum, dim is fixed), so the per-component join
+    broadcasts; the corpus is touched by one projection, one explode,
+    and one (id,label)-grouped partial aggregation. No all-pairs
+    anything.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(F.aggregate(F.zip_with(v, v, lambda x, y: x * y),
+                             F.lit(0.0), lambda a, x: a + x))
+    # zero-norm vectors have no direction — dropped (mirrored by the
+    # oracle's norm > 0 predicate; ANSI floor(x/0) would raise anyway)
+    quantized = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__vid"),
+            F.col(label_col).alias("__lbl"),
+            F.col(vec_col).alias("__v"),
+            nrm.alias("__nrm"),
+        )
+        .filter(F.col("__nrm") > 0.0)
+        .select(
+            "__vid", "__lbl",
+            # try_divide, not '/': Catalyst collapses this projection
+            # into the __nrm > 0 filter's stage, so ANSI division would
+            # raise on the zero-norm rows BEFORE the filter removes
+            # them; on surviving rows (nrm > 0) the two are identical,
+            # so the oracle's plain x / nrm still matches.
+            F.transform(
+                F.col("__v").cast("array<double>"),
+                lambda x: F.floor(F.try_divide(x, F.col("__nrm")) * scale).cast("long"),
+            ).alias("__q"),
+        )
+    )
+    exploded = quantized.select(
+        "__vid", "__lbl", F.posexplode("__q").alias("pos", "qv")
+    )
+    cent = exploded.groupBy(F.col("__lbl").alias("__c"), "pos").agg(
+        F.sum(F.col("qv").cast("decimal(38,0)")).alias("__s"),
+    )
+    n_c = quantized.groupBy(F.col("__lbl").alias("__c")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    dots = (
+        exploded.join(F.broadcast(cent), "pos")
+        .groupBy("__vid", "__lbl", "__c")
+        .agg(F.sum(F.col("qv").cast("decimal(38,0)") * F.col("__s")).alias("__dot"))
+        .join(F.broadcast(n_c), "__c")
+        .select(
+            "__vid", "__lbl", "__c",
+            F.expr(f"CAST((__dot * {scale}) DIV __n AS DECIMAL(38,0))").alias("__score"),
+        )
+    )
+    pick = Window.partitionBy("__vid").orderBy(F.desc("__score"), F.asc("__c"))
+    assigned = (
+        dots.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+    )
+    return (
+        assigned.groupBy(
+            F.col("__lbl").alias(label_col), F.col("__c").alias("pred")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    from each query's top-``pool`` cosine candidates, greedily select
+    ``k`` results maximizing ``lam*rel - (1-lam)*max_sim_to_selected``
+    — the diversity re-rank used for RAG context selection and
+    training-set diversification.
+
+    Scale shape: the corpus is touched ONCE by the distributed bounded
+    top-k (`cosine_topk`); the greedy loop then runs on the pool only
+    (<= pool rows per query), each round a per-query window argmax over
+    a pool x selected join — never the corpus. Every round
+    localCheckpoints the selected set (the connected_components lesson:
+    loops must not re-derive their unmaterialized inputs).
+
+    Determinism / oracle parity: relevance and pairwise similarity are
+    per-row fp64 expression trees (bit-identical across IEEE engines);
+    ``lam`` must be an exact binary fraction (0.5, 0.25, ...) so
+    ``lam`` and ``1-lam`` are exact in both engines; argmax ties break
+    on the smaller corpus id. An ANSI oracle replays the loop as
+    ``k`` unrolled MATERIALIZED CTE rounds.
+
+    Returns (query_id, rank, corpus_id, rel) with rank 1..k in
+    selection order.
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0,1] (got {lam})")
+    if k < 1 or pool < k:
+        raise ValueError(f"need pool >= k >= 1 (got k={k}, pool={pool})")
+    top = cosine_topk(
+        corpus, queries, k=pool,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+        query_id=query_id, query_vec=query_vec,
+    )
+    cand = (
+        top.join(
+            corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("__cv")),
+            corpus_id,
+        )
+        .select(query_id, corpus_id, "__cv", F.col("score").alias("__rel"))
+        .localCheckpoint(eager=True)
+    )
+    first = Window.partitionBy(query_id).orderBy(F.desc("__rel"), F.asc(corpus_id))
+    selected = (
+        cand.withColumn("__rn", F.row_number().over(first))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn("rank", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    for r in range(2, k + 1):
+        rem = cand.join(
+            selected.select(query_id, corpus_id), [query_id, corpus_id], "left_anti"
+        )
+        sims = (
+            rem.join(
+                selected.select(F.col(query_id), F.col("__cv").alias("__sv")),
+                query_id,
+            )
+            .groupBy(query_id, corpus_id, "__cv", "__rel")
+            .agg(F.max(cosine_similarity("__cv", "__sv")).alias("__ms"))
+        )
+        mmr = F.lit(lam) * F.col("__rel") - F.lit(1.0 - lam) * F.col("__ms")
+        w = Window.partitionBy(query_id).orderBy(F.desc(mmr), F.asc(corpus_id))
+        pick = (
+            sims.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(query_id, corpus_id, "__cv", "__rel")
+            .withColumn("rank", F.lit(r))
+        )
+        selected = selected.union(pick).localCheckpoint(eager=True)
+    return selected.select(
+        query_id,
+        F.col("rank").cast("long").alias("rank"),
+        corpus_id,
+        F.col("__rel").alias("rel"),
+    )

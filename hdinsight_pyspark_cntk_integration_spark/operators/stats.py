@@ -209,8 +209,12 @@ def cusum_changepoint(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     devsum = F.sum(cents - F.col("__mc")).over(w).cast("long")
+    # med has one row per series key — unbounded by contract (per-user
+    # series), so no forced broadcast: AQE picks the strategy from the
+    # observed size (a shuffle join here co-partitions with the window
+    # that follows anyway).
     scored = (
-        df.join(F.broadcast(med), key_col)
+        df.join(med, key_col)
         .withColumn("__cusum", devsum)
     )
     pick = Window.partitionBy(key_col).orderBy(
@@ -2186,12 +2190,13 @@ def jackknife_means(
 
 
 # Truncated-Poisson(1) CDF cut points on the Knuth-mixer domain
-# [0, 1000003): floor(P·Σ_{j<=k} e^{-1}/j!) for k = 0..3; multiplicity
-# 4 absorbs the ~0.37% tail (identical truncation on both engines, so
-# the estimator is deterministic — the classic "Poisson bootstrap"
+# [0, 1000003): floor(P·Σ_{j<=k} e^{-1}/j!) for k = 0..3 —
+# 1000003·0.9810118431 = 981014.79 → 981_014; multiplicity 4 absorbs
+# the ~0.37% tail (identical truncation on both engines, so the
+# estimator is deterministic — the classic "Poisson bootstrap"
 # approximation of multinomial resampling, Chamandy et al. 2012).
 _BOOT_P = 1_000_003
-_BOOT_CUTS = (367_880, 735_761, 919_701, 981_015)
+_BOOT_CUTS = (367_880, 735_761, 919_701, 981_014)
 
 
 def poisson_bootstrap_mean(
@@ -2531,7 +2536,11 @@ def mase_forecast_error(
         a.alias("__a"),
         f_.alias("__f"),
     )
-    w = Window.partitionBy("__g").orderBy("__t")
+    # value tiebreaks after __t: with duplicate timestamps the
+    # seasonal-naive pairing would otherwise be partition-order
+    # dependent (same determinism contract as time_weighted_average;
+    # the oracle mirrors ORDER BY t, a, f).
+    w = Window.partitionBy("__g").orderBy("__t", "__a", "__f")
     lagged = rows.select(
         "__g",
         F.abs(F.col("__a") - F.col("__f")).alias("__err"),
@@ -2800,13 +2809,21 @@ def vector_dq(
         raise ValueError(f"expected_dim must be >= 1 (got {expected_dim})")
     v = F.col(vec_col)
     nonfinite = F.exists(v, lambda x: F.isnan(x) | (F.abs(x) == float("inf")))
-    allzero = ~F.exists(v, lambda x: x != 0.0)
+    has_null_comp = F.exists(v, lambda x: x.isNull())
+    # forall semantics: all-zero iff EVERY element is literally 0.0 —
+    # a vector containing a NULL element is NOT all-zero (forall yields
+    # NULL there, coalesced to false; the oracle mirrors with
+    # "no element IS NULL OR <> 0"). A ~exists(x != 0) form silently
+    # diverged cross-engine on [NULL, 0.0]; NULL elements are counted
+    # explicitly as n_null_comp instead.
+    allzero = F.forall(v, lambda x: x == 0.0)
     return df.select(
         F.lit(1).alias("__one"),
         v.isNull().alias("__null"),
         (v.isNotNull() & (F.size(v) == 0)).alias("__empty"),
         (v.isNotNull() & (F.size(v) != expected_dim)).alias("__wrong"),
         (v.isNotNull() & F.coalesce(nonfinite, F.lit(False))).alias("__nonfin"),
+        (v.isNotNull() & F.coalesce(has_null_comp, F.lit(False))).alias("__nullc"),
         (v.isNotNull() & (F.size(v) > 0) & F.coalesce(allzero, F.lit(False))).alias(
             "__zero"
         ),
@@ -2816,5 +2833,6 @@ def vector_dq(
         F.sum(F.col("__empty").cast("long")).cast("long").alias("n_empty"),
         F.sum(F.col("__wrong").cast("long")).cast("long").alias("n_wrong_dim"),
         F.sum(F.col("__nonfin").cast("long")).cast("long").alias("n_nonfinite"),
+        F.sum(F.col("__nullc").cast("long")).cast("long").alias("n_null_comp"),
         F.sum(F.col("__zero").cast("long")).cast("long").alias("n_allzero"),
     )

@@ -1311,13 +1311,16 @@ def pmi_cooccur(
     n_pairs = pair_cnt.groupBy().agg(F.sum("n_ab").cast("long").alias("n_pairs"))
 
     cut = pair_cnt.filter(F.col("n_ab") >= min_pairs)
+    # vocabulary margins grow with the corpus (Heaps' law — unbounded
+    # unique tokens at 100 TB), so no forced broadcast on them; AQE
+    # still broadcasts when the observed vocab is small.
     joined = (
         cut.join(
-            F.broadcast(vocab.select(F.col("token").alias("a"), F.col("cnt").alias("n_a"))),
+            vocab.select(F.col("token").alias("a"), F.col("cnt").alias("n_a")),
             "a",
         )
         .join(
-            F.broadcast(vocab.select(F.col("token").alias("b"), F.col("cnt").alias("n_b"))),
+            vocab.select(F.col("token").alias("b"), F.col("cnt").alias("n_b")),
             "b",
         )
         .crossJoin(F.broadcast(n_pairs))

@@ -740,3 +740,74 @@ def test_negative_sampling_validation(spark):
         pl.negative_sampling(pos, items, k=0)
     with pytest.raises(ValueError):
         pl.negative_sampling(pos, items, method="xxhash64")
+
+
+# --- span_corruption_plan (round 10) ---
+
+
+@pytest.fixture(scope="module")
+def span_plan(spark):
+    base = spark.range(1, 400).select(
+        F.col("id").alias("doc_id"),
+        # token counts 7..405 — spans the drop threshold (nt*3 < 20)
+        (F.col("id") + 6).cast("long").alias("n_tokens"),
+    )
+    return base, pl.span_corruption_plan(base).collect()
+
+
+def test_span_plan_invariants(span_plan):
+    """Every span lies inside its stratum of the token range, spans never
+    overlap, and the total masked length matches the exact integer noise
+    budget (capped by stratum width)."""
+    base, rows = span_plan
+    nts = {r["doc_id"]: r["doc_id"] + 6 for r in base.collect()}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, spans in by_doc.items():
+        nt = nts[doc_id]
+        noise = max(1, nt * 3 // 20)
+        n_spans = max(1, noise // 3)
+        w = nt // n_spans
+        assert len(spans) == n_spans
+        spans.sort(key=lambda r: r["span_id"])
+        for r in spans:
+            j = r["span_id"]
+            assert 1 <= j <= n_spans
+            assert r["length"] >= 1
+            # span stays inside stratum j → non-overlap by construction
+            assert (j - 1) * w <= r["start"]
+            assert r["start"] + r["length"] <= j * w
+        total = sum(r["length"] for r in spans)
+        assert total == sum(
+            min(w, noise // n_spans + (1 if j <= noise % n_spans else 0))
+            for j in range(1, n_spans + 1)
+        )
+
+
+def test_span_plan_deterministic_and_rate(spark, span_plan):
+    base, rows = span_plan
+    again = pl.span_corruption_plan(base).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # docs below the rate threshold (nt*3 < 20, i.e. nt <= 6) are dropped
+    assert all(r["doc_id"] + 6 >= 7 for r in rows)
+    # realized corruption rate tracks 15% for long docs (cap rarely binds)
+    long_docs = [r for r in rows if r["doc_id"] + 6 >= 100]
+    masked = sum(r["length"] for r in long_docs)
+    tokens = sum(
+        doc_id + 6
+        for doc_id in {r["doc_id"] for r in long_docs}
+    )
+    assert abs(masked / tokens - 0.15) < 0.02
+
+
+def test_span_plan_validation(spark):
+    base = spark.range(5).select(
+        F.col("id").alias("doc_id"), F.lit(100).alias("n_tokens")
+    )
+    with pytest.raises(ValueError):
+        pl.span_corruption_plan(base, noise_num=0)
+    with pytest.raises(ValueError):
+        pl.span_corruption_plan(base, noise_num=20, noise_den=20)
+    with pytest.raises(ValueError):
+        pl.span_corruption_plan(base, mean_span=0)

@@ -275,6 +275,101 @@ _INTENTIONAL_LINT = {
 }
 
 
+# Forced-broadcast-on-SF-scaled-table allowlist (round-10 verdict order
+# #3). Every entry is a hint whose subtree scans an SF-scaled table but
+# whose broadcast side is provably size-bounded in a way the plan-walk
+# cannot see. Anything NOT listed here that trips sf_broadcast_hints is
+# a 100 TB broadcast-OOM hazard and fails the test below.
+_SF_BROADCAST_ALLOW = {
+    # Declared exact all-pairs oracle twins: the broadcast nested-loop
+    # self-join IS the design (quadratic verification baseline; the
+    # scale path is the LSH twin). Without the hint the non-equi join
+    # plans a CartesianProduct, which lint_plan forbids.
+    "near_dup_cosine_exact",
+    "near_dup_cosine_lsh",
+    # Query-vector sides bounded by primary-key literal filters
+    # (vec_id IN (0,1,2) / vec_id = 0): <= 3 rows at any SF.
+    "ivf_topk",
+    "similarity_topk",
+    "hybrid_rrf",
+    "hard_negatives",
+    "quantized_rerank",
+    # Gate form pins a constant-size slice (vec_id < 400) so the exact
+    # k-NN oracle stays checkable; the production path takes LSH/IVF
+    # candidates instead (operators/similarity.py knn_label_noise).
+    "knn_label_noise",
+    # Cross-corpus twin broadcasts the NEW side — exactly the last 50
+    # doc ids at every SF (constant by construction).
+    "near_dup_against_exact",
+    # Decontamination: the broadcast side is the EVAL-BENCHMARK n-gram
+    # set — fixed-size by contract (eval suites don't scale with the
+    # training corpus); the fixture derives it from a corpus slice only
+    # because the testdata has no separate eval table.
+    "contamination_overlap",
+    "decontaminate",
+    "decontaminate_bloom",
+    # Apriori frequent-item set: bounded by 1/minsupport of the basket
+    # count under the operator's relative-support contract; the gate's
+    # item domain is p_brand (bounded enum).
+    "assoc_rules",
+    # Item catalog dense-rank: dimension-sized by the operator contract
+    # (negative sampling draws from the item DIMENSION, never the
+    # interaction stream).
+    "negative_samples",
+    # Misra-Gries candidate set: <= k entries per partition by the
+    # sketch invariant, so the broadcast side is k*n_partitions rows.
+    "heavy_users",
+    # IN-literal cap over the per-user aggregate: <= |IN list| rows.
+    "differential_join",
+    # t-digest per-(event_type, q) estimates: bounded-enum grouping
+    # through FlatMapGroupsInPandas (opaque to the plan walk).
+    "tdigest_quantiles",
+    # CMS cells: (depth <= 4) x (width) sketch coordinates — bounded by
+    # the sketch shape, not the data.
+    "cms_counts",
+}
+
+
+def test_no_forced_broadcast_on_sf_tables(spark):
+    """No registered query may force-broadcast an SF-scaled table
+    (customer/orders/lineitem/part/supplier/documents/embeddings/
+    events): a hint that is correct at sf0.1 bypasses AQE's size check
+    and becomes a broadcast OOM at sf100 (repo convention since commits
+    35c3ac8/8e1588f; this test is the enforcement the round-9 verdict
+    ordered — it would have caught the 6 pre-round-8 hint sites fixed
+    this round). Bounded-by-construction exceptions are allowlisted
+    above with their justification."""
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in e.queries().items():
+        if name in _SF_BROADCAST_ALLOW:
+            continue
+        findings = P.sf_broadcast_hints(fn(spark, sf))
+        if findings:
+            offenders[name] = sorted(set(findings))
+    assert not offenders, offenders
+
+
+def test_sf_broadcast_detector(spark, sf_dir):
+    """The detector itself: flags a forced broadcast of a raw SF table,
+    stays quiet for a bounded (global-aggregate) broadcast and for
+    nation/region dims."""
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    bad = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    assert P.sf_broadcast_hints(bad) == ["sf-broadcast: customer"]
+    scalar = cust.agg(F.avg("c_acctbal").alias("ab"))
+    ok = orders.join(F.broadcast(scalar))
+    assert P.sf_broadcast_hints(ok) == []
+    dim = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    assert P.sf_broadcast_hints(dim) == []
+    capped = orders.limit(10)
+    assert P.sf_broadcast_hints(cust.join(F.broadcast(capped), cust.c_custkey == capped.o_custkey)) == []
+
+
 def test_registry_wide_plan_lint(spark):
     """Every registered query's physical plan is free of scale hazards
     (cartesian products, row-at-a-time Python UDFs, corpus-sized global

@@ -522,3 +522,65 @@ def test_knn_label_noise_candidates_path_and_validation(spark):
     assert rows_out[1]["knn_label"] == 0 and rows_out[1]["n_agree"] == 1
     with pytest.raises(ValueError):
         sim.knn_label_disagreement(df, k=0)
+
+
+# --- nearest_centroid / mmr_rerank (round 10) ---
+
+
+def test_nearest_centroid_separable(spark):
+    """Two well-separated label clusters classify perfectly; a planted
+    off-cluster vector confuses exactly one cell of the matrix."""
+    rows = []
+    for i in range(5):
+        rows.append((i, [10.0 + i * 0.01, 0.0], 0))
+        rows.append((10 + i, [0.0, 10.0 + i * 0.01], 1))
+    rows.append((99, [0.0, 5.0], 0))  # labelled 0, sits in cluster 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {(r["label"], r["pred"]): r["n"] for r in sim.nearest_centroid(df).collect()}
+    assert out[(0, 0)] == 5
+    assert out[(1, 1)] == 5
+    assert out[(0, 1)] == 1
+    assert (1, 0) not in out
+
+
+def test_nearest_centroid_drops_zero_and_null(spark):
+    rows = [(0, [1.0, 0.0], 0), (1, [0.0, 0.0], 0), (2, None, 1)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = sim.nearest_centroid(df).collect()
+    assert sum(r["n"] for r in out) == 1
+
+
+def test_mmr_rerank_diversifies(spark):
+    """Three near-duplicate vectors close to the query plus one distinct
+    direction: plain top-2 keeps two duplicates; MMR's second pick must
+    be the distinct direction instead."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),          # query
+        (1, [1.0, 0.001, 0.0]),        # dup A (closest)
+        (2, [1.0, 0.002, 0.0]),        # dup B
+        (3, [1.0, 0.003, 0.0]),        # dup C
+        (4, [0.5, 0.0, 0.9]),          # distinct direction
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.mmr_rerank(
+        df, sim.self_queries(df, [0]), k=2, pool=4, lam=0.5
+    ).collect()
+    picks = {r["rank"]: r["vec_id"] for r in out}
+    assert picks[1] == 1          # highest relevance first
+    assert picks[2] == 4          # diversity beats the remaining dups
+    top2 = sim.cosine_topk(df, sim.self_queries(df, [0]), k=2).collect()
+    assert {r["vec_id"] for r in top2} == {1, 2}  # the contrast MMR fixes
+
+
+def test_mmr_rerank_rank_order_and_validation(spark):
+    rows = [(i, [float(i + 1), 1.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.mmr_rerank(df, sim.self_queries(df, [0]), k=3, pool=5).collect()
+    assert sorted(r["rank"] for r in out) == [1, 2, 3]
+    assert len({r["vec_id"] for r in out}) == 3
+    with pytest.raises(ValueError):
+        sim.mmr_rerank(df, sim.self_queries(df, [0]), k=0)
+    with pytest.raises(ValueError):
+        sim.mmr_rerank(df, sim.self_queries(df, [0]), k=5, pool=3)
+    with pytest.raises(ValueError):
+        sim.mmr_rerank(df, sim.self_queries(df, [0]), lam=1.5)
