@@ -5586,6 +5586,41 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_provable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-PROVABLE SimHash near-dup pairs (operators.dedup.
+    simhash_banded_pairs, md5 hash family): 60-bit md5-prefix token
+    hashes, integer per-bit sign sums, 4x15-bit banded candidates,
+    exact Hamming verify <= 8 — the minhash_provable precedent applied
+    to SimHash; production simhash64 keeps xxhash64 + the Arrow fold
+    (rows-only + golden pytest). Bounded to doc_id < 1500 so the
+    oracle's token x bit explosion stays cheap."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1500)
+    return dd.simhash_banded_pairs(docs, bits=60, bands=4, radius=8)
+
+
+def q_kmeans_provable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-PROVABLE Lloyd k-means (operators.similarity.
+    kmeans_quantized, k=4, 2 rounds, micro-quantized integers,
+    truncating-DIV centroid updates): the 12th oracle-provable
+    iterative algorithm; the production float path (kmeans_clusters)
+    stays rows-only with its numpy-parity pytest. Constant slice
+    vec_id < 400 keeps the unrolled oracle cheap at every SF."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    return sim.kmeans_quantized(emb, k=4, iters=2)
+
+
+def q_pca_provable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-PROVABLE top principal direction (operators.similarity.
+    power_iteration_quantized, 8 fixed rounds): exact integer centering
+    + covariance, one bit-identical sqrt per round, all-positive start
+    vector — deterministic INCLUDING sign, unlike the rows-only
+    production twin (pca_top_component). The 13th oracle-provable
+    iterative algorithm. Slice vec_id < 500 (the embedding_dedup
+    bound)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return sim.power_iteration_quantized(emb, rounds=8)
+
+
 # Driver-gate window (ROTATION.md): the driver records the FIRST 50
 # entries of queries() in CORRECTNESS_r{N}.json. Round 10 executes the
 # committed backlog window — the 49 never-driver-gated queries in
@@ -5977,6 +6012,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_centroid": q_nearest_centroid,
         "tokenizer_fertility": q_tokenizer_fertility,
         "mmr_rerank": q_mmr_rerank,
+        "simhash_provable": q_simhash_provable,
+        "kmeans_provable": q_kmeans_provable,
+        "pca_provable": q_pca_provable,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -12473,5 +12511,156 @@ def oracle_sql() -> dict[str, str]:
           cid AS vec_id,
           CAST(FLOOR(rel * 1000000) AS BIGINT) AS rel_micro
         FROM s5
+    """
+    oracles["simhash_provable"] = r"""
+        WITH d AS (
+          SELECT doc_id AS id,
+            list_filter(string_split(
+              trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+              t -> length(t) > 0) AS toks
+          FROM documents WHERE doc_id < 1500
+        ),
+        tk AS MATERIALIZED (SELECT id, UNNEST(toks) AS t FROM d),
+        h AS MATERIALIZED (
+          SELECT id,
+            CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+          FROM tk
+        ),
+        pb AS MATERIALIZED (
+          SELECT id, bb.b AS b,
+            SUM(CASE WHEN ((h >> bb.b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+          FROM h CROSS JOIN (SELECT UNNEST(range(0, 60)) AS b) bb
+          GROUP BY 1, 2
+        ),
+        sig AS MATERIALIZED (
+          SELECT id,
+            CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                     ELSE 0 END) AS BIGINT) AS sig
+          FROM pb GROUP BY id
+        ),
+        bk AS MATERIALIZED (
+          SELECT id, sig, kk.k AS k,
+            (sig >> (kk.k * 15)) & 32767 AS key
+          FROM sig CROSS JOIN (SELECT UNNEST(range(0, 4)) AS k) kk
+        ),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+            a.sig AS sa, b.sig AS sb
+          FROM bk a JOIN bk b
+            ON a.k = b.k AND a.key = b.key AND a.id < b.id
+        )
+        SELECT id_a, id_b,
+          CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 8
+    """
+    # kmeans_provable: 2 Lloyd rounds unrolled (assign -> update twice,
+    # then a final assign for reporting), every CTE MATERIALIZED.
+    _km_rounds = []
+    for _r in (1, 2):
+        _cp = f"c{_r - 1}"
+        _km_rounds.append(f"""
+        d{_r} AS MATERIALIZED (
+          SELECT e.id, c.cid,
+            SUM(CAST(e.qv - c.c AS HUGEINT) * (e.qv - c.c)) AS d
+          FROM ex e JOIN {_cp} c ON e.pos = c.pos GROUP BY 1, 2
+        ),
+        a{_r} AS MATERIALIZED (
+          SELECT id, cid, d FROM (
+            SELECT id, cid, d,
+              ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+            FROM d{_r}
+          ) WHERE rn = 1
+        ),
+        c{_r} AS MATERIALIZED (
+          SELECT a.cid, e.pos,
+            CAST(CAST(SUM(e.qv) AS HUGEINT) // COUNT(*) AS BIGINT) AS c
+          FROM a{_r} a JOIN ex e ON e.id = a.id GROUP BY 1, 2
+        )""")
+    oracles["kmeans_provable"] = f"""
+        WITH q AS MATERIALIZED (
+          SELECT vec_id AS id,
+            list_transform(CAST(embedding AS DOUBLE[]),
+              x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qv
+          FROM embeddings WHERE vec_id < 400 AND embedding IS NOT NULL
+        ),
+        ex AS MATERIALIZED (
+          SELECT id, UNNEST(qv) AS qv,
+            generate_subscripts(qv, 1) AS pos
+          FROM q
+        ),
+        seed AS MATERIALIZED (
+          SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS BIGINT)
+            AS cid
+          FROM (SELECT id FROM q ORDER BY id LIMIT 4)
+        ),
+        c0 AS MATERIALIZED (
+          SELECT s.cid, e.pos, e.qv AS c
+          FROM seed s JOIN ex e ON e.id = s.id
+        ),{",".join(_km_rounds)},
+        df AS MATERIALIZED (
+          SELECT e.id, c.cid,
+            SUM(CAST(e.qv - c.c AS HUGEINT) * (e.qv - c.c)) AS d
+          FROM ex e JOIN c2 c ON e.pos = c.pos GROUP BY 1, 2
+        ),
+        af AS MATERIALIZED (
+          SELECT id, cid, d FROM (
+            SELECT id, cid, d,
+              ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+            FROM df
+          ) WHERE rn = 1
+        )
+        SELECT cid AS centroid_id, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(d) AS BIGINT) AS inertia
+        FROM af GROUP BY cid
+    """
+    # pca_provable: 8 power-iteration rounds unrolled, MATERIALIZED.
+    _pi_rounds = []
+    for _r in range(1, 9):
+        _vp = f"v{_r - 1}"
+        _pi_rounds.append(f"""
+        w{_r} AS MATERIALIZED (
+          SELECT cov.i AS pos, SUM(cov.cv * v.v) AS w
+          FROM cov JOIN {_vp} v ON cov.j = v.pos GROUP BY 1
+        ),
+        n{_r} AS MATERIALIZED (
+          SELECT sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nr FROM w{_r}
+        ),
+        v{_r} AS MATERIALIZED (
+          SELECT pos,
+            CAST(FLOOR(CAST(w AS DOUBLE) / nr * 1000000) AS HUGEINT) AS v
+          FROM w{_r}, n{_r}
+        )""")
+    oracles["pca_provable"] = f"""
+        WITH q AS MATERIALIZED (
+          SELECT vec_id AS id,
+            list_transform(CAST(embedding AS DOUBLE[]),
+              x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
+          FROM embeddings WHERE vec_id < 500 AND embedding IS NOT NULL
+        ),
+        ex AS MATERIALIZED (
+          SELECT id, UNNEST(qv) AS x,
+            CAST(generate_subscripts(qv, 1) - 1 AS BIGINT) AS pos
+          FROM q
+        ),
+        m AS MATERIALIZED (
+          SELECT pos, CAST(CAST(SUM(x) AS HUGEINT) // COUNT(*) AS BIGINT)
+            AS m
+          FROM ex GROUP BY pos
+        ),
+        cx AS MATERIALIZED (
+          SELECT e.id, e.pos, e.x - m.m AS x
+          FROM ex e JOIN m ON e.pos = m.pos
+        ),
+        cov AS MATERIALIZED (
+          SELECT a.pos AS i, b.pos AS j,
+            SUM(CAST(a.x AS HUGEINT) * b.x) AS cv
+          FROM cx a JOIN cx b ON a.id = b.id GROUP BY 1, 2
+        ),
+        v0 AS MATERIALIZED (
+          SELECT DISTINCT j AS pos, CAST(1000000 AS HUGEINT) AS v FROM cov
+        ),{",".join(_pi_rounds)}
+        SELECT CAST(pos AS BIGINT) AS pos, CAST(v AS BIGINT)
+          AS component_micro
+        FROM v8
     """
     return oracles

@@ -1593,3 +1593,95 @@ def containment_join(
             .alias("containment"),
         )
     )
+
+
+def simhash_banded_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+    bands: int = 4,
+    radius: int = 8,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Relational SimHash near-dup pairs — the ORACLE-PROVABLE twin of
+    ``simhash64`` (the minhash_provable precedent applied to SimHash).
+
+    Pipeline, identical in shape to the production path: per-token
+    hash → per-bit sign sums → packed signature → banded candidate
+    generation (pairs sharing at least one of ``bands`` equal signature
+    slices — Σ|bucket|² per band, never n²) → exact Hamming verify
+    (``bit_count(sig_a ^ sig_b) <= radius``).
+
+    ``hash_family="md5"`` uses the engine-portable 60-bit md5-prefix
+    token hash (DuckDB computes the identical value), every later step
+    is integer arithmetic, and empty/NULL-token documents are excluded
+    — so an ANSI oracle replays signatures, candidates, and verified
+    pairs bit-for-bit. ``xxhash64`` keeps the production hash (64-bit
+    JVM path; rows-only, 2-3x faster). The per-bit fold here is a
+    relational explode (tokens x bits rows) — exact but wider than the
+    production Arrow fold in ``simhash64``, which is why this form is
+    the bounded GATE twin, not the default.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if bits < 1 or bits > 63:
+        raise ValueError(f"bits must be in 1..63 (got {bits})")
+    if bands < 1 or bits % bands != 0:
+        raise ValueError(f"bands must divide bits (got {bands} over {bits})")
+    if hash_family == "md5":
+        tok_hash = "pmod(cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint), shiftleft(1L, {b}))"
+    elif hash_family == "xxhash64":
+        # fold to the bit width so band slicing stays uniform
+        tok_hash = "pmod(xxhash64(t), shiftleft(1L, {b}))"
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r} (xxhash64|md5)")
+    tok_hash = tok_hash.format(b=bits)
+    norm = f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
+    hashed = df.selectExpr(
+        f"{id_col} AS __id",
+        f"filter(split({norm}, '\\\\s+'), t -> length(t) > 0) AS __ts",
+    ).selectExpr("__id", f"explode(transform(__ts, t -> {tok_hash})) AS h")
+    per_bit = (
+        hashed.selectExpr("__id", "h", f"explode(sequence(0, {bits - 1})) AS b")
+        .selectExpr(
+            "__id", "b",
+            "CASE WHEN (shiftright(h, CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END AS pm",
+        )
+        .groupBy("__id", "b")
+        .agg(F.sum("pm").alias("s"))
+    )
+    sig = (
+        per_bit.selectExpr(
+            "__id",
+            "CASE WHEN s > 0 THEN shiftleft(1L, CAST(b AS INT)) ELSE 0L END AS bit",
+        )
+        .groupBy("__id")
+        .agg(F.sum("bit").cast("long").alias("sig"))
+    )
+    width = bits // bands
+    banded = sig.selectExpr(
+        "__id", "sig",
+        f"explode(transform(sequence(0, {bands - 1}),"
+        f" k -> struct(k AS k, (shiftright(sig, CAST(k * {width} AS INT))"
+        f" & (shiftleft(1L, {width}) - 1)) AS key))) AS bk",
+    ).select("__id", "sig", F.col("bk.k").alias("k"), F.col("bk.key").alias("key"))
+    a = banded.select(
+        F.col("k"), F.col("key"),
+        F.col("__id").alias("id_a"), F.col("sig").alias("sig_a"),
+    )
+    b = banded.select(
+        F.col("k"), F.col("key"),
+        F.col("__id").alias("id_b"), F.col("sig").alias("sig_b"),
+    )
+    cands = (
+        a.join(b, ["k", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
+    return (
+        cands.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= radius)
+    )

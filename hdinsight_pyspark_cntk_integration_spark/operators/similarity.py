@@ -1369,3 +1369,172 @@ def mmr_rerank(
         corpus_id,
         F.col("__rel").alias("rel"),
     )
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Lloyd k-means on micro-quantized integers — the ORACLE-PROVABLE
+    twin of ``kmeans_lloyd`` (the minhash_provable precedent applied to
+    clustering): components are quantized AT BIRTH
+    (``floor(v_i * scale)``), distances are exact integer squared-L2,
+    assignment argmin ties break on the smaller centroid id, and the
+    centroid update is the truncating integer division ``SUM DIV n``
+    (Spark DECIMAL DIV == DuckDB HUGEINT ``//`` — both toward zero).
+    Every step replays bit-for-bit in an ANSI engine, so the full
+    ``iters``-round loop is SQL-unrollable (MATERIALIZED per round).
+
+    Init: the ``k`` smallest ids' vectors (deterministic, the
+    grid_centroids spirit). A centroid that loses all members simply
+    disappears from the next update (documented; deterministic in both
+    engines). Long-form layout throughout — (id, pos, q) rows — so the
+    shuffles move integers, never arrays; every round localCheckpoints
+    (the connected_components lesson).
+
+    Returns (centroid_id, n, inertia): final-assignment member counts
+    and exact integer within-cluster squared distance.
+    """
+    if k < 1 or iters < 1:
+        raise ValueError(f"need k >= 1, iters >= 1 (got k={k}, iters={iters})")
+    v = F.col(vec_col).cast("array<double>")
+    q = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.transform(v, lambda x: F.floor(x * scale).cast("long")).alias("__qv"),
+    )
+    ex = q.select(
+        "__id", F.posexplode("__qv").alias("pos", "qv")
+    ).localCheckpoint(eager=True)
+    seed = (
+        q.select("__id")
+        .orderBy("__id")
+        .limit(k)
+        .select(
+            "__id",
+            (F.row_number().over(Window.orderBy("__id")) - 1).alias("cid"),
+        )
+    )
+    cent = (
+        ex.join(seed, "__id")
+        .select("cid", "pos", F.col("qv").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _assign(centroids: DataFrame) -> DataFrame:
+        dist = (
+            ex.join(centroids, "pos")
+            .groupBy("__id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("qv") - F.col("c")).cast("decimal(38,0)")
+                    * (F.col("qv") - F.col("c"))
+                ).alias("d")
+            )
+        )
+        pick = Window.partitionBy("__id").orderBy(F.asc("d"), F.asc("cid"))
+        return (
+            dist.withColumn("__rn", F.row_number().over(pick))
+            .filter(F.col("__rn") == 1)
+            .select("__id", "cid", "d")
+        )
+
+    for _ in range(iters):
+        assign = _assign(cent)
+        cent = (
+            assign.join(ex, "__id")
+            .groupBy("cid", "pos")
+            .agg(
+                F.expr(
+                    "CAST(CAST(SUM(qv) AS DECIMAL(38,0)) DIV COUNT(1) AS BIGINT)"
+                ).alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+    final = _assign(cent)
+    return final.groupBy(F.col("cid").alias("centroid_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("decimal(38,0)").cast("long").alias("inertia"),
+    )
+
+
+def power_iteration_quantized(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 8,
+    scale_in: int = 1_000,
+    scale_v: int = 1_000_000,
+) -> DataFrame:
+    """Top principal direction by quantized power iteration — the
+    ORACLE-PROVABLE twin of ``power_iteration_top_component``. The
+    rows-only production path is sign-ambiguous and float-summed; this
+    twin is fully deterministic: components quantize AT BIRTH
+    (``floor(v_i * scale_in)``), the mean-centering and the covariance
+    ``C = X^T X`` are exact integer sums, and each iteration computes
+    ``w = C v`` in DECIMAL(38,0), takes the one per-round float step
+    ``norm = sqrt(double(Σ w_i²))`` (exact-integer input → the cast and
+    sqrt are bit-identical in any IEEE engine), and re-quantizes
+    ``v'_i = floor(double(w_i) / norm * scale_v)``. A FIXED round count
+    (not a convergence test) keeps the op SQL-unrollable; starting
+    vector is all ``scale_v``, so there is no sign ambiguity at all —
+    the result is a defined function of the data.
+
+    Covariance is dimension-sized (dim² rows) — one corpus pass builds
+    it, every iteration afterwards touches only dim²-scale data.
+
+    Returns (pos, component_micro) — the direction scaled to ~scale_v.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1 (got {rounds})")
+    v = F.col(vec_col).cast("array<double>")
+    q = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.transform(v, lambda x: F.floor(x * scale_in).cast("long")).alias("__qv"),
+    )
+    ex = q.select("__id", F.posexplode("__qv").alias("pos", "x"))
+    mean = ex.groupBy("pos").agg(
+        F.expr("CAST(CAST(SUM(x) AS DECIMAL(38,0)) DIV COUNT(1) AS BIGINT)").alias("m")
+    )
+    centered = (
+        ex.join(F.broadcast(mean), "pos")
+        .select("__id", "pos", (F.col("x") - F.col("m")).alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    cov = (
+        centered.alias("a")
+        .join(centered.alias("b"), "__id")
+        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
+        .agg(
+            F.sum(F.col("a.x").cast("decimal(38,0)") * F.col("b.x")).alias("cv")
+        )
+        .localCheckpoint(eager=True)
+    )
+    vec = (
+        cov.select(F.col("j").alias("pos")).distinct()
+        .select("pos", F.lit(scale_v).cast("long").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        w = (
+            cov.join(vec, cov.j == vec.pos)
+            .groupBy(F.col("i").alias("pos"))
+            .agg(F.sum(F.col("cv") * F.col("v")).alias("w"))
+        )
+        nrm = w.groupBy().agg(
+            F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nr")
+        )
+        vec = (
+            w.join(F.broadcast(nrm))
+            .select(
+                "pos",
+                F.floor(F.col("w").cast("double") / F.col("nr") * scale_v)
+                .cast("long")
+                .alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return vec.select(F.col("pos").cast("long").alias("pos"), F.col("v").alias("component_micro"))

@@ -1140,3 +1140,40 @@ def test_minhash_md5_shingle_hash_matches_duckdb_recipe(spark):
         """
     ).fetchall()[0][0]
     assert sorted(got) == sorted(ref)
+
+
+# --- simhash_banded_pairs (round 10, oracle-provable twin) ---
+
+
+def test_simhash_banded_pairs_planted(spark):
+    """A planted near-duplicate pair (one token changed out of 40) must
+    surface; unrelated docs must not pair with it."""
+    words_a = " ".join(f"tok{i}" for i in range(40))
+    words_b = " ".join(("tok999" if i == 17 else f"tok{i}") for i in range(40))
+    other = " ".join(f"zzz{i}" for i in range(100, 140))
+    df = spark.createDataFrame(
+        [(0, words_a), (1, words_b), (2, other)], "doc_id long, text string"
+    )
+    rows = dd.simhash_banded_pairs(df, radius=12).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+    ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    assert ham[(0, 1)] <= 12
+
+
+def test_simhash_banded_pairs_families_and_validation(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "a b c d e f"), (2, None), (3, "   ")],
+        "doc_id long, text string",
+    )
+    for fam in ("md5", "xxhash64"):
+        rows = dd.simhash_banded_pairs(df, radius=0, hash_family=fam).collect()
+        # identical docs → hamming 0; NULL/blank docs excluded entirely
+        assert {(r["id_a"], r["id_b"]) for r in rows} == {(0, 1)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dd.simhash_banded_pairs(df, bits=64, bands=5)
+    with _pytest.raises(ValueError):
+        dd.simhash_banded_pairs(df, hash_family="sha1")

@@ -584,3 +584,68 @@ def test_mmr_rerank_rank_order_and_validation(spark):
         sim.mmr_rerank(df, sim.self_queries(df, [0]), k=5, pool=3)
     with pytest.raises(ValueError):
         sim.mmr_rerank(df, sim.self_queries(df, [0]), lam=1.5)
+
+
+# --- provable twins (round 10) ---
+
+
+def test_kmeans_quantized_matches_numpy_reference(spark):
+    """Replicate the exact quantized-Lloyd algorithm in numpy on a
+    synthetic set: identical counts and integer inertia."""
+    rng = np.random.RandomState(7)
+    X = np.vstack([
+        rng.normal(0, 0.05, (20, 4)) + [1, 0, 0, 0],
+        rng.normal(0, 0.05, (20, 4)) + [0, 1, 0, 0],
+        rng.normal(0, 0.05, (20, 4)) + [0, 0, 1, 0],
+    ])
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["centroid_id"]: r for r in sim.kmeans_quantized(df, k=3, iters=2).collect()}
+
+    # numpy reference with IDENTICAL arithmetic (floats quantized the
+    # way Spark casts them: float32 -> float64 -> floor)
+    Q = np.floor(X.astype(np.float32).astype(np.float64) * 1_000_000).astype(np.int64)
+    cents = {c: Q[c].copy() for c in range(3)}
+    for _ in range(2):
+        d = {c: ((Q - v) ** 2).sum(axis=1) for c, v in cents.items()}
+        assign = np.argmin(np.vstack([d[c] for c in sorted(cents)]), axis=0)
+        new = {}
+        for idx, c in enumerate(sorted(cents)):
+            members = Q[assign == idx]
+            if len(members):
+                # truncating integer division toward zero (Spark DIV)
+                s = members.sum(axis=0)
+                new[c] = (np.sign(s) * (np.abs(s) // len(members))).astype(np.int64)
+        cents = new
+    d = {c: ((Q - v) ** 2).sum(axis=1) for c, v in cents.items()}
+    ordered = sorted(cents)
+    assign = np.argmin(np.vstack([d[c] for c in ordered]), axis=0)
+    for idx, c in enumerate(ordered):
+        members = assign == idx
+        assert out[c]["n"] == int(members.sum())
+        assert out[c]["inertia"] == int(d[c][members].sum())
+
+
+def test_power_iteration_quantized_matches_eigenvector(spark):
+    """The quantized direction must align (|cos| > 0.999) with numpy's
+    top eigenvector of the same quantized centered covariance, and the
+    sign must be a deterministic function of the data (re-run equal)."""
+    rng = np.random.RandomState(3)
+    base = rng.normal(0, 1, (200, 6))
+    base[:, 2] *= 6.0  # dominant direction = axis 2
+    rows = [(i, [float(x) for x in base[i]]) for i in range(len(base))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.power_iteration_quantized(df, rounds=8).collect()
+    v = np.zeros(6)
+    for r in out:
+        v[r["pos"]] = r["component_micro"]
+    v = v / np.linalg.norm(v)
+    Q = np.floor(base.astype(np.float32).astype(np.float64) * 1000).astype(np.int64)
+    m = np.sign(Q.sum(0)) * (np.abs(Q.sum(0)) // len(Q))
+    Xc = Q - m
+    C = Xc.T @ Xc
+    evals, evecs = np.linalg.eigh(C)
+    top = evecs[:, -1]
+    assert abs(float(v @ top)) > 0.999
+    again = sim.power_iteration_quantized(df, rounds=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
