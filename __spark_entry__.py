@@ -5622,65 +5622,70 @@ def q_pca_provable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Driver-gate window (ROTATION.md): the driver records the FIRST 50
-# entries of queries() in CORRECTNESS_r{N}.json. Round 10 executes the
-# committed backlog window — the 49 never-driver-gated queries in
-# registry order plus jaccard_capped (the round-8 verdict #4 capped
-# twin, taking the one free slot). Rows-only by design in this window:
-# multimodal_decode (env-gated codec), pca_top_component (sign-ambiguous
-# eigenvector). After this window lands, every registered query has a
-# driver artifact; rotated-out queries stay covered by the full-registry
-# PARITY_r{N}.json run every round.
+# entries of queries() in CORRECTNESS_r{N}.json. Round 11 executes the
+# committed plan: the 19 queries added in round 9 (cohens_d …
+# minhash_provable) + the 7 queries added in round 10 (span_corruption
+# … pca_provable) + 24 re-gate picks (the 12 headline queries plus the
+# highest-traffic dedup/ANN/pipeline gates, per VERDICT r10 order #1).
+# Rows-only by design in this window: minhash_near_dup (randomized
+# xxhash64 LSH; planted-pair pytest twin + the oracle-paired
+# minhash_provable twin gated alongside). Rotated-out queries stay
+# covered by the full-registry PARITY_r{N}.json run every round.
 _GATE_WINDOW = [
-    "corpus_divergence",
-    "corr_stats",
-    "correlated_avg_qty",
-    "intersect",
-    "unpivot",
-    "map_functions",
-    "array_functions",
-    "regexp_functions",
-    "rank_functions",
-    "first_last_value",
-    "datetime_functions",
-    "order_count_distribution",
-    "disjunctive_filter",
-    "parts_supplier_count",
-    "high_balance_light_buyers",
-    "nation_value_share",
-    "nation_trade_pairs",
-    "mode_per_group",
-    "ngram_jaccard_adjacent",
-    "near_dup_cosine_exact",
-    "near_dup_cosine_lsh",
-    "media_metadata",
-    "multimodal_decode",
-    "simple_filter_agg",
-    "string_functions",
-    "math_functions",
-    "bitwise_agg",
-    "sentence_split",
-    "higher_order_fns",
+    # 19 round-9 additions
+    "cohens_d",
+    "weighted_median",
+    "jackknife_nations",
+    "bootstrap_mean",
+    "control_chart",
+    "lorenz_customers",
+    "hits_trade",
+    "grouping_sets_sql",
+    "k_truss_trade",
+    "reciprocity_trade",
+    "exact_quantiles",
+    "mase_monthly",
+    "twa_value",
+    "negative_samples",
+    "psi_drift",
+    "trimmed_mean",
+    "vector_dq",
+    "knn_label_noise",
+    "minhash_provable",
+    # 7 round-10 additions
+    "span_corruption",
+    "nearest_centroid",
+    "tokenizer_fertility",
+    "mmr_rerank",
+    "simhash_provable",
+    "kmeans_provable",
+    "pca_provable",
+    # 24 re-gate picks: the 12 headline queries …
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_revenue",
+    "window_topn",
+    "asof_join",
+    "tumbling_hourly",
+    "json_extract",
+    "dedup_exact",
+    "token_stats",
+    "similarity_topk",
+    "score_confusion",
+    "minhash_near_dup",
+    # … plus the highest-traffic dedup/ANN/pipeline gates
+    "embedding_dedup",
+    "sentence_dedup",
+    "decontaminate_bloom",
     "ivf_topk",
-    "returned_item_revenue",
-    "market_share",
-    "range_frame_window",
-    "struct_functions",
-    "date_format",
-    "salted_join",
-    "approx_percentile",
-    "map_explode",
-    "arrays_zip",
-    "encoding_functions",
-    "top_supplier",
-    "dedup_transitive",
-    "limit_offset",
-    "big_orders",
-    "zorder_key",
-    "sample_per_group",
-    "weighted_sample",
-    "data_card",
-    "pca_top_component",
-    "jaccard_capped",
+    "repeated_passages_maximal",
+    "gopher_rules",
+    "hybrid_rrf",
+    "hard_negatives",
+    "quantized_rerank",
+    "pq_ann",
+    "bpe_vocab",
+    "phash_near_dup",
 ]
 
 

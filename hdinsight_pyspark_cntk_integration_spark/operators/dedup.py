@@ -1625,8 +1625,15 @@ def simhash_banded_pairs(
 
     Returns (id_a, id_b, hamming) with id_a < id_b.
     """
-    if bits < 1 or bits > 63:
-        raise ValueError(f"bits must be in 1..63 (got {bits})")
+    # bits == 63 would make the fold modulus shiftleft(1L, 63) overflow
+    # to Long.MIN_VALUE (negative token hashes corrupt the sign sums and
+    # band keys), so 62 is the hard ceiling; the md5 prefix only
+    # supplies 60 bits, so that family caps at 60.
+    max_bits = 60 if hash_family == "md5" else 62
+    if bits < 1 or bits > max_bits:
+        raise ValueError(
+            f"bits must be in 1..{max_bits} for hash_family={hash_family!r} (got {bits})"
+        )
     if bands < 1 or bits % bands != 0:
         raise ValueError(f"bands must divide bits (got {bands} over {bits})")
     if hash_family == "md5":

@@ -1486,6 +1486,23 @@ def power_iteration_quantized(
     Covariance is dimension-sized (dim² rows) — one corpus pass builds
     it, every iteration afterwards touches only dim²-scale data.
 
+    HARD INPUT BOUND (decimal-overflow safety): the norm accumulation
+    ``SUM(w*w)`` runs in DECIMAL(38,0), which silently NULLs past 38
+    digits under non-ANSI semantics. ``|w_i| <= dim * max|cv| *
+    scale_v`` and ``max|cv| <= n_rows * (2 * scale_in * A)^2`` for
+    components bounded by ``A`` in absolute value, so the accumulation
+    is provably in range iff::
+
+        n_rows * (2 * scale_in * A)^2 <= 1e19 / (scale_v * dim^1.5)
+
+    With the defaults (scale_in=1e3, scale_v=1e6) and unit-range
+    embeddings (A=1) at dim=64 that is ``n_rows <= ~5,000``. This op
+    is the bounded ORACLE-GATE twin (the registered gate slices
+    ``vec_id < 500``); the unbounded-corpus production path is the
+    float ``power_iteration_top_component``, whose rows-only gate this
+    twin exists to certify. For larger exact runs, shrink ``scale_in``
+    /``scale_v`` per the inequality above.
+
     Returns (pos, component_micro) — the direction scaled to ~scale_v.
     """
     if rounds < 1:

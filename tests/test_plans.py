@@ -330,7 +330,7 @@ _SF_BROADCAST_ALLOW = {
 }
 
 
-def test_no_forced_broadcast_on_sf_tables(spark):
+def test_no_forced_broadcast_on_sf_tables(spark, sf_dir):
     """No registered query may force-broadcast an SF-scaled table
     (customer/orders/lineitem/part/supplier/documents/embeddings/
     events): a hint that is correct at sf0.1 bypasses AQE's size check
@@ -338,8 +338,9 @@ def test_no_forced_broadcast_on_sf_tables(spark):
     35c3ac8/8e1588f; this test is the enforcement the round-9 verdict
     ordered — it would have caught the 6 pre-round-8 hint sites fixed
     this round). Bounded-by-construction exceptions are allowlisted
-    above with their justification."""
-    sf = "/root/testdata/sf0.001"
+    above with their justification. The detector inspects only the
+    analyzed logical plan, so any SF works; use the shared fixture."""
+    sf = sf_dir
     offenders = {}
     for name, fn in e.queries().items():
         if name in _SF_BROADCAST_ALLOW:
@@ -370,13 +371,14 @@ def test_sf_broadcast_detector(spark, sf_dir):
     assert P.sf_broadcast_hints(cust.join(F.broadcast(capped), cust.c_custkey == capped.o_custkey)) == []
 
 
-def test_registry_wide_plan_lint(spark):
+def test_registry_wide_plan_lint(spark, sf_dir):
     """Every registered query's physical plan is free of scale hazards
     (cartesian products, row-at-a-time Python UDFs, corpus-sized global
     windows, unbounded global sorts) except the allowlisted, justified
     cases above. This is the regression net that catches a future query
-    accidentally shipping a 100 TB antipattern."""
-    sf = "/root/testdata/sf0.001"
+    accidentally shipping a 100 TB antipattern. Plan-only: any SF
+    works; use the shared fixture."""
+    sf = sf_dir
     unexpected = {}
     for name, fn in e.queries().items():
         findings = P.lint_plan(fn(spark, sf))
