@@ -5621,6 +5621,66 @@ def q_pca_provable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.power_iteration_quantized(emb, rounds=8)
 
 
+def q_interpolate_provable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-PROVABLE linear interpolation (operators.relational.
+    interpolate_segments): per-user 'view' value series interpolated at
+    'click' timestamps — micro-quantized values at birth, integer
+    segment arithmetic, truncating DIV (verified identical Spark<->
+    DuckDB including negatives). The rows-only production twin is
+    interpolate_at (cogrouped-pandas np.interp)."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.filter(F.col("event_type") == "view")
+    qs = ev.filter(F.col("event_type") == "click")
+    return rel.interpolate_segments(
+        obs, qs, "user_id", "ts", "value", "ts"
+    ).withColumnRenamed("ts", "query_ts")
+
+
+def q_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing whole-document packing (operators.pipeline.
+    pack_bestfit, budget=256 tokens, 4 shards): the bin-packing twin of
+    pack_chunks — deterministic (tokens DESC, id ASC) item order makes
+    the greedy loop replayable; the DuckDB oracle runs the SAME loop as
+    a per-shard recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    return pl.pack_bestfit(base, budget=256, n_shards=4)
+
+
+def q_contamination_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM contamination score (operators.text.bigram_crossentropy):
+    eval slice doc_id%5==0 priced under the train slice's add-one bigram
+    LM — per-eval-doc overlap count + cross-entropy in exact micro-nats
+    (the LM upgrade of contamination_overlap; composes the
+    bigram_logprob float discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) != 0)
+    ev = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    return tx.bigram_crossentropy(train, ev)
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality-classifier calibration table (operators.text.
+    quality_calibration, dim=64, 10 bins): exact-integer fasttext-style
+    linear scores over md5 hashed-BoW with Knuth-mixer weights, per-
+    domain ntile bins, proxy label = token count >= 60. All-integer
+    cells; ntile semantics verified identical Spark<->DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.quality_calibration(docs, dim=64, n_bins=10, min_tokens=60)
+
+
+def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum-mixture schedule (operators.pipeline.
+    curriculum_schedule, 17 steps, alpha 1 -> 1/4 in exact 3/64
+    decrements): per-step per-lang sampling weights n^alpha micro-
+    quantized at birth + integer-DIV shares — the temporal twin of
+    temperature_mixture."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pl.curriculum_schedule(
+        docs, steps=17, group_col="lang", alpha_start_64=64, alpha_end_64=16
+    )
+
+
 # Driver-gate window (ROTATION.md): the driver records the FIRST 50
 # entries of queries() in CORRECTNESS_r{N}.json. Round 11 executes the
 # committed plan: the 19 queries added in round 9 (cohens_d …
@@ -6020,6 +6080,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_provable": q_simhash_provable,
         "kmeans_provable": q_kmeans_provable,
         "pca_provable": q_pca_provable,
+        # round-11 additions (gate window: round 12 per ROTATION.md)
+        "interpolate_provable": q_interpolate_provable,
+        "pack_bestfit": q_pack_bestfit,
+        "contamination_lm": q_contamination_lm,
+        "quality_calibration": q_quality_calibration,
+        "curriculum_schedule": q_curriculum_schedule,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -12667,5 +12733,231 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(pos AS BIGINT) AS pos, CAST(v AS BIGINT)
           AS component_micro
         FROM v8
+    """
+    # interpolate_provable: integer segment interpolation; DuckDB //
+    # truncates toward zero exactly like Spark DIV (verified incl.
+    # negatives), epoch_us mirrors unix_micros under the UTC session.
+    oracles["interpolate_provable"] = """
+        WITH obs AS (
+          SELECT user_id, epoch_us(ts) AS t,
+            CAST(FLOOR(value * 1000000) AS BIGINT) AS vm
+          FROM events WHERE event_type = 'view'
+        ),
+        ded AS MATERIALIZED (
+          SELECT user_id, t, MAX(vm) AS vm FROM obs GROUP BY 1, 2
+        ),
+        seg AS (
+          SELECT user_id, t AS t0, vm AS v0,
+            LEAD(t) OVER (PARTITION BY user_id ORDER BY t) AS t1,
+            LEAD(vm) OVER (PARTITION BY user_id ORDER BY t) AS v1
+          FROM ded
+        ),
+        q AS MATERIALIZED (
+          SELECT user_id, ts AS query_ts, epoch_us(ts) AS qt
+          FROM events WHERE event_type = 'click'
+        ),
+        btw AS (
+          SELECT q.user_id, q.query_ts,
+            CAST(CAST(s.v0 AS HUGEINT)
+              + ((CAST(s.v1 AS HUGEINT) - s.v0) * (q.qt - s.t0))
+                // (s.t1 - s.t0) AS BIGINT) AS value_micro
+          FROM q JOIN seg s ON q.user_id = s.user_id
+            AND q.qt >= s.t0 AND q.qt < s.t1
+          WHERE s.t1 IS NOT NULL
+        ),
+        lastp AS (
+          SELECT d.user_id, d.t, d.vm
+          FROM ded d
+          JOIN (SELECT user_id, MAX(t) AS t FROM ded GROUP BY 1) m
+            ON d.user_id = m.user_id AND d.t = m.t
+        )
+        SELECT * FROM btw
+        UNION ALL
+        SELECT q.user_id, q.query_ts, l.vm AS value_micro
+        FROM q JOIN lastp l ON q.user_id = l.user_id AND q.qt = l.t
+    """
+    # pack_bestfit: the SAME greedy best-fit-decreasing loop as the
+    # Spark applyInPandas path, replayed as a per-shard recursive CTE
+    # (one recursion step = one item; state = that shard's bin loads).
+    # Tie rule matches: list_max picks the fullest eligible load,
+    # list_position its FIRST (lowest-id) bin.
+    oracles["pack_bestfit"] = f"""
+        WITH RECURSIVE it AS MATERIALIZED (
+          SELECT doc_id, doc_id % 4 AS shard,
+            CAST({_N_TOKENS} AS BIGINT) AS sz,
+            ROW_NUMBER() OVER (
+              PARTITION BY doc_id % 4
+              ORDER BY CAST({_N_TOKENS} AS BIGINT) DESC, doc_id
+            ) AS rn
+          FROM documents
+        ),
+        cnt AS MATERIALIZED (
+          SELECT shard, COUNT(*) AS m FROM it GROUP BY 1
+        ),
+        step AS (
+          SELECT shard, 0 AS i,
+            CAST([] AS BIGINT[]) AS loads, CAST([] AS BIGINT[]) AS asg
+          FROM cnt
+          UNION ALL
+          SELECT s.shard, s.i + 1,
+            CASE WHEN p.pos IS NULL THEN list_append(s.loads, it.sz)
+              ELSE list_transform(range(1, len(s.loads) + 1),
+                j -> CASE WHEN j = p.pos THEN s.loads[j] + it.sz
+                     ELSE s.loads[j] END)
+            END,
+            list_append(s.asg,
+              CASE WHEN p.pos IS NULL THEN len(s.loads) + 1 ELSE p.pos END)
+          FROM step s
+          JOIN it ON it.shard = s.shard AND it.rn = s.i + 1
+          CROSS JOIN LATERAL (
+            SELECT list_position(s.loads,
+              list_max(list_filter(s.loads, l -> l + it.sz <= 256))) AS pos
+          ) p
+        ),
+        fin AS (
+          SELECT s.shard, s.asg FROM step s JOIN cnt c USING (shard)
+          WHERE s.i = c.m
+        ),
+        ax AS (
+          SELECT shard, unnest(asg) AS bin,
+            generate_subscripts(asg, 1) AS rn
+          FROM fin
+        )
+        SELECT it.doc_id, CAST(it.shard AS BIGINT) AS shard,
+          CAST(ax.bin AS BIGINT) AS bin
+        FROM ax JOIN it ON it.shard = ax.shard AND it.rn = ax.rn
+    """
+    # contamination_lm: eval bigrams priced under the train-slice
+    # add-one bigram LM; one unified ln covers seen/unseen.
+    oracles["contamination_lm"] = r"""
+        WITH tr AS MATERIALIZED (
+          SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+        ),
+        ev AS MATERIALIZED (
+          SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        ),
+        tp AS MATERIALIZED (
+          SELECT doc_id, w1, w2 FROM (
+            SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> struct_pack(w1 := t[i], w2 := t[i + 1])),
+                recursive := true)
+            FROM (
+              SELECT doc_id,
+                string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM tr
+            )
+          ) WHERE w1 <> '' AND w2 <> ''
+        ),
+        corpus AS MATERIALIZED (
+          SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM tp GROUP BY 1, 2
+        ),
+        c1 AS MATERIALIZED (
+          SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM corpus GROUP BY 1
+        ),
+        v AS (
+          SELECT COUNT(*) AS vs FROM (
+            SELECT w1 AS w FROM tp UNION SELECT w2 AS w FROM tp
+          )
+        ),
+        ep AS (
+          SELECT doc_id, w1, w2 FROM (
+            SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> struct_pack(w1 := t[i], w2 := t[i + 1])),
+                recursive := true)
+            FROM (
+              SELECT doc_id,
+                string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM ev
+            )
+          ) WHERE w1 <> '' AND w2 <> ''
+        ),
+        etf AS MATERIALIZED (
+          SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM ep GROUP BY 1, 2, 3
+        ),
+        scored AS (
+          SELECT etf.doc_id, etf.tf,
+            COALESCE(corpus.c12, 0) AS c12,
+            CAST(floor(ln(CAST(COALESCE(corpus.c12, 0) + 1 AS DOUBLE)
+                          / CAST(COALESCE(c1.c1, 0) + vs AS DOUBLE))
+                       * 1000000.0) AS BIGINT) AS lp_micro
+          FROM etf
+          LEFT JOIN corpus ON etf.w1 = corpus.w1 AND etf.w2 = corpus.w2
+          LEFT JOIN c1 ON etf.w1 = c1.w1
+          CROSS JOIN v
+        )
+        SELECT doc_id,
+          CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+          CAST(SUM(CASE WHEN c12 > 0 THEN tf ELSE 0 END) AS BIGINT) AS n_seen,
+          CAST(-SUM(tf * lp_micro) AS BIGINT) AS xent_micro,
+          CAST(CAST(-SUM(tf * lp_micro) AS HUGEINT) // SUM(tf) AS BIGINT)
+            AS mean_xent_micro
+        FROM scored GROUP BY doc_id
+    """
+    # quality_calibration: md5 hashed-BoW integer scores, Knuth-mixer
+    # weights, per-domain ntile bins (semantics verified identical).
+    oracles["quality_calibration"] = r"""
+        WITH tb AS MATERIALIZED (
+          SELECT doc_id,
+            CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS bucket
+          FROM (
+            SELECT doc_id,
+              unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+            FROM documents
+          ) WHERE tok <> ''
+        ),
+        bc AS (
+          SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n
+          FROM tb GROUP BY 1, 2
+        ),
+        sc AS MATERIALIZED (
+          SELECT doc_id,
+            CAST(SUM(n * ((((bucket + 1) * 2654435761) % 1000003) % 17 - 8))
+              AS BIGINT) AS score
+          FROM bc GROUP BY 1
+        ),
+        lab AS (
+          SELECT doc_id, source AS domain,
+            CASE WHEN CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+                 >= 60 THEN 1 ELSE 0 END AS pos
+          FROM documents
+        ),
+        b AS (
+          SELECT lab.domain,
+            ntile(10) OVER (PARTITION BY lab.domain ORDER BY sc.score, sc.doc_id)
+              AS bin,
+            sc.score, lab.pos
+          FROM sc JOIN lab ON sc.doc_id = lab.doc_id
+        )
+        SELECT domain, CAST(bin AS BIGINT) AS bin,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(pos) AS BIGINT) AS n_pos,
+          CAST(MIN(score) AS BIGINT) AS min_score,
+          CAST(MAX(score) AS BIGINT) AS max_score
+        FROM b GROUP BY 1, 2
+    """
+    # curriculum_schedule: exact-binary-fraction alphas (64ths), pow
+    # micro-quantized at birth, integer-// shares.
+    oracles["curriculum_schedule"] = """
+        WITH c AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1
+        ),
+        s AS (SELECT unnest(range(0, 17)) AS step),
+        w AS (
+          SELECT step, lang, n,
+            CAST(64 - 3 * step AS BIGINT) AS alpha_64,
+            CAST(FLOOR(POW(CAST(n AS DOUBLE),
+                           CAST(64 - 3 * step AS DOUBLE) / 64.0)
+                       * 1000000.0) AS BIGINT) AS w_micro
+          FROM c CROSS JOIN s
+        )
+        SELECT CAST(step AS BIGINT) AS step, lang, n, alpha_64, w_micro,
+          CAST((CAST(w_micro AS HUGEINT) * 1000000)
+               // SUM(w_micro) OVER (PARTITION BY step) AS BIGINT)
+            AS share_ppm
+        FROM w
     """
     return oracles

@@ -195,6 +195,20 @@ PIPELINE = [
     "vector_dq",
     "knn_label_noise",
     "minhash_provable",
+    # round-10 additions
+    "span_corruption",
+    "nearest_centroid",
+    "tokenizer_fertility",
+    "mmr_rerank",
+    "simhash_provable",
+    "kmeans_provable",
+    "pca_provable",
+    # round-11 additions
+    "interpolate_provable",
+    "pack_bestfit",
+    "contamination_lm",
+    "quality_calibration",
+    "curriculum_schedule",
 ]
 
 

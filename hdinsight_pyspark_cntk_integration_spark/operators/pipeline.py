@@ -1303,3 +1303,140 @@ def span_corruption_plan(
             F.col("__len").alias("length"),
         )
     )
+
+
+def pack_bestfit(
+    df: DataFrame,
+    budget: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Best-fit-decreasing sequence packing — the BIN-PACKING twin of
+    :func:`pack_chunks` (which concatenates across doc boundaries; this
+    op never splits a document, the packing used for SFT/eval batches
+    where documents must stay whole). Per shard, documents are taken in
+    (tokens DESC, id ASC) order and each goes to the FULLEST already-open
+    bin it still fits in (ties -> lowest bin id); if none fits, a new bin
+    opens. A document larger than ``budget`` opens its own (overfull) bin,
+    which is then never eligible again — both engines share this rule.
+
+    BFD is inherently sequential, so it runs per shard inside ONE
+    ``applyInPandas`` group: the only shuffle is the hash partition on
+    ``shard = id mod n_shards``, task state is that shard's bin-load
+    array, and bin ids are shard-local — the same no-cross-shard-
+    coordination contract as ``pack_chunks``, which is what makes the op
+    a pure fan-out at 1000 executors. Size ``n_shards`` so one shard's
+    documents fit an Arrow batch (identical contract to a real
+    tokenizer-packing run).
+
+    Deterministic given the (tokens DESC, id ASC) item order, so an ANSI
+    engine replays the greedy loop exactly (the DuckDB oracle unrolls it
+    as a recursive CTE over the same order).
+
+    Returns (id, shard, bin) with ``bin`` 1-based and shard-local.
+    """
+    import pandas as pd
+
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1 (got {budget})")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
+
+    out_schema = f"{id_col} long, shard long, bin long"
+
+    def bfd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [tokens_col, id_col], ascending=[False, True], kind="mergesort"
+        )
+        loads: list[int] = []
+        bins: list[int] = []
+        for sz in pdf[tokens_col].astype("int64"):
+            best = -1
+            best_load = -1
+            for j, load in enumerate(loads):
+                if load + sz <= budget and load > best_load:
+                    best, best_load = j, load
+            if best < 0:
+                loads.append(int(sz))
+                bins.append(len(loads))
+            else:
+                loads[best] += int(sz)
+                bins.append(best + 1)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].astype("int64").to_numpy(),
+                "shard": pdf["shard"].astype("int64").to_numpy(),
+                "bin": pd.array(bins, dtype="int64"),
+            }
+        )
+
+    staged = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(tokens_col).cast("long").alias(tokens_col),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard"),
+    )
+    return staged.groupBy("shard").applyInPandas(bfd, out_schema)
+
+
+def curriculum_schedule(
+    df: DataFrame,
+    steps: int = 17,
+    group_col: str = "source",
+    alpha_start_64: int = 64,
+    alpha_end_64: int = 16,
+) -> DataFrame:
+    """Deterministic curriculum-mixture schedule — the TEMPORAL twin of
+    :func:`temperature_mixture`: for each training step s in
+    ``0..steps-1``, the per-group sampling weights under a temperature
+    that anneals linearly from ``alpha_start_64/64`` to
+    ``alpha_end_64/64`` (alpha 1 -> proportional early epochs, alpha<1 ->
+    flattened late epochs — the standard multilingual curriculum).
+
+    Cross-engine exactness: alphas are EXACT BINARY FRACTIONS (64ths,
+    with ``steps-1`` dividing the span so each per-step alpha is
+    representable), the one transcendental ``n^alpha`` is quantized to
+    integer micro-units at birth (the temperature_mixture discipline),
+    and the per-step share is an integer ``DIV`` over exact sums —
+    every emitted cell is a BIGINT any ANSI engine reproduces.
+
+    Scale shape: ONE partial-agg shuffle for the |groups| counts; the
+    step dimension is a bounded ``sequence`` explode of that tiny frame
+    (|groups| x steps rows). The corpus is scanned once, never shuffled.
+
+    Returns (step, group, n, alpha_64, w_micro, share_ppm).
+    """
+    if steps < 2:
+        raise ValueError(f"steps must be >= 2 (got {steps})")
+    span = alpha_end_64 - alpha_start_64
+    if span % (steps - 1) != 0:
+        raise ValueError(
+            f"steps-1 ({steps - 1}) must divide alpha_end_64-alpha_start_64 "
+            f"({span}) so every per-step alpha is an exact 64th"
+        )
+    delta = span // (steps - 1)
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    per_step = counts.select(
+        F.explode(F.sequence(F.lit(0), F.lit(steps - 1))).alias("step"),
+        F.col(group_col),
+        F.col("n"),
+    ).withColumn(
+        "alpha_64",
+        (F.lit(alpha_start_64) + F.col("step") * F.lit(delta)).cast("long"),
+    )
+    w_micro = F.floor(
+        F.pow(F.col("n").cast("double"), F.col("alpha_64").cast("double") / F.lit(64.0))
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    weighted = per_step.withColumn("w_micro", w_micro)
+    return weighted.select(
+        F.col("step").cast("long").alias("step"),
+        group_col,
+        "n",
+        "alpha_64",
+        "w_micro",
+        F.expr(
+            "CAST((CAST(w_micro AS DECIMAL(38,0)) * 1000000)"
+            " DIV SUM(w_micro) OVER (PARTITION BY step) AS BIGINT)"
+        ).alias("share_ppm"),
+    )

@@ -1336,3 +1336,86 @@ def gini_coefficient(
         n.cast("long").alias("n_rows"),
         (F.lit(2.0) * six / (n * sx) - (n + F.lit(1.0)) / n).alias("gini"),
     )
+
+
+def interpolate_segments(
+    obs: DataFrame,
+    queries: DataFrame,
+    key_col: str,
+    obs_ts_col: str,
+    value_col: str,
+    query_ts_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Relational linear interpolation — the ORACLE-PROVABLE twin of
+    :func:`interpolate_at` (which runs vectorized ``np.interp`` inside a
+    cogrouped-pandas Arrow batch and is gated rows-only). This twin is
+    exact-integer end to end, so an ANSI oracle replays every cell:
+
+    - observation values quantize AT BIRTH to ``floor(value * scale)``
+      BIGINT micro-units; duplicate (key, ts) observations collapse to
+      their MAX micro-value (a deterministic tie rule both engines share);
+    - per key, consecutive observations form half-open segments
+      [t0, t1) via one ``lead`` window (micros since epoch — integers);
+    - a query at ``t0 <= q < t1`` gets
+      ``v0m + ((v1m - v0m) * (q - t0)) DIV (t1 - t0)`` — one integer
+      multiply + truncating division (Spark ``DIV`` and DuckDB ``//``
+      both truncate toward zero, verified including negatives);
+    - a query exactly at a key's LAST observation gets that value
+      (the half-open segments cover every earlier observation point);
+    - out-of-range queries are DROPPED (the float twin returns NULL —
+      documented semantic difference, keeps the output hash-stable).
+
+    Scale shape: both sides shuffle once on the key (the same partial
+    requirement as the cogroup twin); the segment join is an equi-join
+    on the key with the range test as a residual filter, so Catalyst
+    plans a plain shuffled hash/sort-merge join — no cartesian, no
+    range explosion. Per-key observation counts bound the window state.
+
+    Returns (key, query_ts, value_micro).
+    """
+    k, ts, v, qts = key_col, obs_ts_col, value_col, query_ts_col
+    dedup = (
+        obs.select(
+            F.col(k),
+            F.unix_micros(F.col(ts)).alias("__t"),
+            F.floor(F.col(v).cast("double") * scale).cast("long").alias("__vm"),
+        )
+        .groupBy(k, "__t")
+        .agg(F.max("__vm").alias("__vm"))
+    )
+    w = Window.partitionBy(k).orderBy("__t")
+    seg = dedup.select(
+        F.col(k),
+        F.col("__t").alias("__t0"),
+        F.col("__vm").alias("__v0"),
+        F.lead("__t").over(w).alias("__t1"),
+        F.lead("__vm").over(w).alias("__v1"),
+    )
+    q = queries.select(F.col(k), F.col(qts), F.unix_micros(F.col(qts)).alias("__q"))
+    inner = (
+        q.join(
+            seg.filter(F.col("__t1").isNotNull()),
+            on=[
+                q[k] == seg[k],
+                F.col("__q") >= F.col("__t0"),
+                F.col("__q") < F.col("__t1"),
+            ],
+        )
+        .select(
+            q[k].alias(k),
+            F.col(qts),
+            F.expr(
+                "CAST(CAST(__v0 AS DECIMAL(38,0))"
+                " + ((CAST(__v1 AS DECIMAL(38,0)) - __v0) * (__q - __t0))"
+                " DIV (__t1 - __t0) AS BIGINT)"
+            ).alias("value_micro"),
+        )
+    )
+    last = dedup.groupBy(k).agg(
+        F.max("__t").alias("__t"),
+    ).join(dedup, [k, "__t"]).select(F.col(k), "__t", "__vm")
+    at_last = q.join(
+        last, on=[q[k] == last[k], F.col("__q") == F.col("__t")]
+    ).select(q[k].alias(k), F.col(qts), F.col("__vm").alias("value_micro"))
+    return inner.unionByName(at_last)

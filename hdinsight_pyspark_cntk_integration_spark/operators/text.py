@@ -2024,3 +2024,171 @@ def oov_rate(
             ).cast("long").alias("oov_micro"),
         )
     )
+
+
+def bigram_crossentropy(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-EVAL-document cross-entropy under the TRAIN corpus's add-one-
+    smoothed bigram LM — the n-gram-LM contamination/memorization score
+    (an eval doc whose bigrams are suspiciously likely under the training
+    distribution is a leak candidate; the LM-based upgrade of the set-
+    overlap test in ``operators.pipeline.contamination_overlap``):
+
+        P(w2|w1) = (c_train(w1 w2) + 1) / (c_train(w1 .) + V_train)
+
+    The single unified formula also prices unseen bigrams (c12=0) and
+    unseen left-words (c1=0 -> ln(1/V)) — no special cases to diverge
+    between engines. Same micro-unit float discipline as
+    ``bigram_logprob``: ln is evaluated once per DISTINCT eval bigram on
+    exact integer counts and floored to micro-nats; every per-document
+    reduction is an exact integer sum.
+
+    Scale shape: train bigram/marginal counts are partial-agg shuffles
+    of the train shingle stream; the eval side (benchmarks/generations —
+    orders of magnitude smaller) LEFT-joins those tables co-keyed on
+    (w1, w2) and (w1). V_train is one bounded driver scalar (the
+    ``bigram_logprob`` precedent). No broadcast of SF-scaled sides.
+
+    Returns (id, n_bigrams, n_seen, xent_micro, mean_xent_micro) —
+    n_seen/n_bigrams is the overlap rate, mean_xent_micro the
+    contamination score (LOW = likely contaminated).
+    """
+
+    def _pairs(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col),
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+            ).alias("t"),
+        )
+        return (
+            toks.select(
+                F.col(id_col),
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                        F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                    )
+                ).alias("bg"),
+            )
+            .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+            .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        )
+
+    tp = _pairs(train)
+    corpus = tp.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    c1 = corpus.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    v_train = (
+        tp.select(F.col("w1").alias("w"))
+        .union(tp.select(F.col("w2").alias("w")))
+        .distinct()
+        .count()
+    )
+    ep = _pairs(eval_df)
+    etf = ep.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    scored = (
+        etf.join(corpus, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .select(
+            id_col,
+            "tf",
+            F.coalesce(F.col("c12"), F.lit(0).cast("long")).alias("c12"),
+            F.coalesce(F.col("c1"), F.lit(0).cast("long")).alias("c1"),
+        )
+        .withColumn(
+            "lp_micro",
+            F.floor(
+                F.log(
+                    (F.col("c12") + F.lit(1)).cast("double")
+                    / (F.col("c1") + F.lit(int(v_train))).cast("double")
+                )
+                * F.lit(1_000_000.0)
+            ).cast("long"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("c12") > 0, F.col("tf")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_seen"),
+        (-F.sum(F.col("tf") * F.col("lp_micro"))).cast("long").alias("xent_micro"),
+        F.expr(
+            "CAST(CAST(-SUM(tf * lp_micro) AS DECIMAL(38,0)) DIV SUM(tf) AS BIGINT)"
+        ).alias("mean_xent_micro"),
+    )
+
+
+def quality_calibration(
+    df: DataFrame,
+    dim: int = 64,
+    n_bins: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+    min_tokens: int = 60,
+) -> DataFrame:
+    """Per-domain calibration table for a fasttext-style linear quality
+    classifier over the hashing-trick bag-of-words: each document gets an
+    EXACT INTEGER score ``sum_b count(doc, b) * w_b`` with deterministic
+    integer weights ``w_b = ((b+1) * 2654435761 mod 1000003) mod 17 - 8``
+    (the Knuth mixer — a fixed pseudo-random linear probe, the shape a
+    trained classifier would have), documents are ntile'd into
+    ``n_bins`` score bins PER DOMAIN (ordered by score then id — fully
+    deterministic), and each (domain, bin) row reports how often the
+    proxy label (token count >= ``min_tokens``) fires — the calibration
+    curve quality pipelines audit before trusting a classifier cut on a
+    new domain.
+
+    Everything is exact integer arithmetic on md5-bucket counts, so an
+    ANSI oracle reproduces every cell (ntile semantics verified
+    identical Spark<->DuckDB, first ``n mod k`` tiles one row larger).
+
+    Scale shape: ONE shingle explode feeds the (doc, bucket) partial-agg
+    count; scores are a per-doc re-aggregation of that table; the ntile
+    window shuffles |docs| (id, domain, score) triples on the domain key
+    — never the token stream. Domains are bounded (sources), so the
+    window state per task is one domain's scores.
+
+    Returns (domain, bin, n_docs, n_pos, min_score, max_score).
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1 (got {n_bins})")
+    from pyspark.sql import Window
+
+    counts = hashed_bow(df, text_col=text_col, id_col=id_col, dim=dim)
+    w_b = (
+        F.pmod(
+            F.pmod((F.col("bucket") + 1) * F.lit(2654435761), F.lit(1_000_003)),
+            F.lit(17),
+        )
+        - F.lit(8)
+    ).cast("long")
+    scores = (
+        counts.withColumn("__w", w_b)
+        .groupBy(id_col)
+        .agg(F.sum(F.col("n") * F.col("__w")).cast("long").alias("score"))
+    )
+    labels = df.select(
+        F.col(id_col),
+        F.col(domain_col).alias("domain"),
+        (token_count(text_col) >= min_tokens).cast("int").alias("pos"),
+    )
+    binned = scores.join(labels, id_col).withColumn(
+        "bin",
+        F.ntile(n_bins)
+        .over(Window.partitionBy("domain").orderBy("score", id_col))
+        .cast("long"),
+    )
+    return binned.groupBy("domain", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )

@@ -91,3 +91,97 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     back = eio.read_parquet(spark, out)
     assert back.count() == N_CLEAN
     assert set(back.select("split").distinct().toPandas()["split"]) <= {"train", "val", "test"}
+
+
+# --- bigram_crossentropy (round 11, LM contamination score) ---
+
+
+def test_bigram_crossentropy_planted(spark):
+    """A verbatim train copy scores lower cross-entropy and full overlap
+    vs a novel-words doc; counts are exact."""
+    train = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "a dog ran")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "purple zebra quantum")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.bigram_crossentropy(train, ev).collect()}
+    leak, novel = out[10], out[11]
+    assert leak["n_bigrams"] == 2 and leak["n_seen"] == 2
+    assert novel["n_bigrams"] == 2 and novel["n_seen"] == 0
+    assert leak["mean_xent_micro"] < novel["mean_xent_micro"]
+    # exact value: V=6 train words {the,cat,sat,ran,a,dog};
+    # P(cat|the)=(2+1)/(2+6), P(sat|cat)=(1+1)/(2+6)
+    import math
+    lp1 = math.floor(math.log(3 / 8) * 1e6)
+    lp2 = math.floor(math.log(2 / 8) * 1e6)
+    assert leak["xent_micro"] == -(lp1 + lp2)
+    # unseen bigrams with unseen w1: ln(1/V)
+    lpu = math.floor(math.log(1 / 6) * 1e6)
+    assert novel["xent_micro"] == -2 * lpu
+
+
+def test_bigram_crossentropy_partition_invariance(spark, sf_dir):
+    from hdinsight_pyspark_cntk_integration_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) != 0)
+    ev = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    a = sorted(map(tuple, tx.bigram_crossentropy(train, ev).collect()))
+    b = sorted(
+        map(
+            tuple,
+            tx.bigram_crossentropy(train.repartition(13), ev.repartition(3)).collect(),
+        )
+    )
+    assert a == b
+
+
+# --- quality_calibration (round 11, per-domain classifier calibration) ---
+
+
+def test_quality_calibration_bins_partition_docs(spark, sf_dir):
+    from hdinsight_pyspark_cntk_integration_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tx.quality_calibration(docs, dim=64, n_bins=10, min_tokens=60).collect()
+    # per domain: bin doc counts sum to the domain's doc count and bins
+    # are 1..10 with sizes differing by at most one (ntile contract)
+    per_domain: dict[str, list] = {}
+    for r in out:
+        per_domain.setdefault(r["domain"], []).append(r)
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy(F.col("source").alias("source"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for dom, rows in per_domain.items():
+        assert sum(r["n_docs"] for r in rows) == totals[dom]
+        sizes = [r["n_docs"] for r in rows]
+        assert max(sizes) - min(sizes) <= 1
+        assert {r["bin"] for r in rows} == set(range(1, len(rows) + 1))
+        assert all(0 <= r["n_pos"] <= r["n_docs"] for r in rows)
+        # bins are ordered by score: min/max ranges must not overlap
+        srt = sorted(rows, key=lambda r: r["bin"])
+        for a, b in zip(srt, srt[1:]):
+            assert a["max_score"] <= b["min_score"]
+
+
+def test_quality_calibration_score_is_exact_weighted_bow(spark):
+    """One known doc: score equals the hand-computed Knuth-mixed sum."""
+    import hashlib
+
+    text = "alpha beta alpha"
+    df = spark.createDataFrame([(7, text, "d")], "doc_id long, text string, source string")
+    out = tx.quality_calibration(df, dim=64, n_bins=1, min_tokens=2).collect()
+    assert len(out) == 1
+    expected = 0
+    for tok, cnt in [("alpha", 2), ("beta", 1)]:
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 64
+        expected += cnt * (((b + 1) * 2654435761) % 1_000_003 % 17 - 8)
+    r = out[0]
+    assert r["min_score"] == r["max_score"] == expected
+    assert r["n_pos"] == 1  # 3 tokens >= 2

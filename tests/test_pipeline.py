@@ -811,3 +811,103 @@ def test_span_plan_validation(spark):
         pl.span_corruption_plan(base, noise_num=20, noise_den=20)
     with pytest.raises(ValueError):
         pl.span_corruption_plan(base, mean_span=0)
+
+
+# --- pack_bestfit (round 11, oracle-provable BFD packing) ---
+
+
+def test_pack_bestfit_planted(spark):
+    """Known BFD trace, one shard: items (8,5,4,3,2) budget 10 ->
+    8 opens bin1; 5 opens bin2 (8+5>10); 4 joins bin2 (fullest fit:
+    bin2=5 vs none eligible... bin1=8+4>10, bin2=5+4<=10) -> bin2=9;
+    3 -> bin1=8+3>10, bin2=9+3>10 -> bin3; 2 -> fullest eligible is
+    bin2(9)? 9+2>10; bin1 8+2=10 ok -> bin1."""
+    rows = [(i * 1, sz) for i, sz in enumerate([8, 5, 4, 3, 2])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = {
+        r["doc_id"]: r["bin"]
+        for r in pl.pack_bestfit(df, budget=10, n_shards=1).collect()
+    }
+    assert out == {0: 1, 1: 2, 2: 2, 3: 3, 4: 1}
+
+
+def test_pack_bestfit_properties(spark, sf_dir):
+    """Every doc assigned once; no bin exceeds budget unless it holds a
+    single oversized item; bins are contiguous 1..max per shard."""
+    from hdinsight_pyspark_cntk_integration_spark.functions.textfns import token_count
+    from hdinsight_pyspark_cntk_integration_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    out = pl.pack_bestfit(docs, budget=120, n_shards=4)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    sizes = {r["doc_id"]: r["n_tokens"] for r in docs.collect()}
+    loads: dict[tuple, int] = {}
+    members: dict[tuple, int] = {}
+    for r in rows:
+        key = (r["shard"], r["bin"])
+        loads[key] = loads.get(key, 0) + sizes[r["doc_id"]]
+        members[key] = members.get(key, 0) + 1
+    for key, load in loads.items():
+        assert load <= 120 or members[key] == 1, (key, load, members[key])
+    by_shard: dict[int, set] = {}
+    for shard, b in loads:
+        by_shard.setdefault(shard, set()).add(b)
+    for shard, bins in by_shard.items():
+        assert bins == set(range(1, max(bins) + 1)), (shard, bins)
+
+
+def test_pack_bestfit_oversized_item_own_bin(spark):
+    df = spark.createDataFrame(
+        [(0, 50), (1, 3), (2, 3)], "doc_id long, n_tokens long"
+    )
+    out = {r["doc_id"]: r["bin"] for r in pl.pack_bestfit(df, budget=10, n_shards=1).collect()}
+    # 50 opens bin1 (overfull, never eligible again); 3 and 3 share bin2
+    assert out == {0: 1, 1: 2, 2: 2}
+
+
+def test_pack_bestfit_validation(spark):
+    df = spark.range(3).select(F.col("id").alias("doc_id"), F.lit(5).alias("n_tokens"))
+    with pytest.raises(ValueError):
+        pl.pack_bestfit(df, budget=0, n_shards=2)
+    with pytest.raises(ValueError):
+        pl.pack_bestfit(df, budget=10, n_shards=0)
+
+
+# --- curriculum_schedule (round 11, temporal temperature twin) ---
+
+
+def test_curriculum_schedule_shares_and_endpoints(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "doc_id long, source string",
+    )
+    out = pl.curriculum_schedule(df, steps=17, group_col="source").collect()
+    assert len(out) == 17 * 2
+    by_step: dict[int, dict[str, int]] = {}
+    for r in out:
+        by_step.setdefault(r["step"], {})[r["source"]] = r["share_ppm"]
+        if r["step"] == 0:
+            assert r["alpha_64"] == 64
+        if r["step"] == 16:
+            assert r["alpha_64"] == 16
+    for step, shares in by_step.items():
+        total = sum(shares.values())
+        assert 1_000_000 - 2 <= total <= 1_000_000, (step, total)
+    # annealing flattens: the big group's share is non-increasing in step
+    big = [by_step[s]["big"] for s in range(17)]
+    assert all(a >= b for a, b in zip(big, big[1:])), big
+    # alpha=1 start is exactly proportional: 90/100 of a million (floor)
+    assert by_step[0]["big"] == 900_000
+
+
+def test_curriculum_schedule_validation(spark):
+    df = spark.range(4).select(F.col("id").alias("doc_id"), F.lit("s").alias("source"))
+    with pytest.raises(ValueError):
+        pl.curriculum_schedule(df, steps=1, group_col="source")
+    with pytest.raises(ValueError):
+        # 16 steps -> 15 intervals, span 48 not divisible by 15
+        pl.curriculum_schedule(df, steps=16, group_col="source")

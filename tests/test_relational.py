@@ -764,3 +764,68 @@ def test_skyline_2d_grouped_matches_per_group_naive(spark):
         )
         for g, i, p, s in rows
     )
+
+
+# --- interpolate_segments (round 11, oracle-provable interpolation) ---
+
+
+def test_interpolate_segments_planted(spark):
+    import datetime as dt
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    obs = spark.createDataFrame(
+        [(1, ts(0), 0.0), (1, ts(10), 10.0), (2, ts(0), 4.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    qs = spark.createDataFrame(
+        [(1, ts(5)), (1, ts(10)), (1, ts(11)), (2, ts(0)), (2, ts(1))],
+        "user_id long, ts timestamp",
+    )
+    out = {
+        (r["user_id"], r["ts"].second): r["value_micro"]
+        for r in rel.interpolate_segments(obs, qs, "user_id", "ts", "value", "ts").collect()
+    }
+    # midpoint interpolates, endpoint exact, out-of-range dropped,
+    # single-obs key answers only the exact point
+    assert out == {(1, 5): 5_000_000, (1, 10): 10_000_000, (2, 0): 4_000_000}
+
+
+def test_interpolate_segments_matches_float_twin(spark, sf_dir):
+    """On the gate slice, the provable twin agrees with interpolate_at
+    (np.interp) to within 1 micro-unit on every in-range point."""
+    from hdinsight_pyspark_cntk_integration_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.filter(F.col("event_type") == "view")
+    qs = ev.filter(F.col("event_type") == "click")
+    prov = {
+        (r["user_id"], r["ts"]): r["value_micro"]
+        for r in rel.interpolate_segments(obs, qs, "user_id", "ts", "value", "ts").collect()
+    }
+    ref = {
+        (r["user_id"], r["ts"]): r["value"]
+        for r in rel.interpolate_at(obs, qs, "user_id", "ts", "value", "ts").collect()
+        # drop out-of-range points (surface as NULL or NaN)
+        if r["value"] is not None and r["value"] == r["value"]
+    }
+    # the float twin keeps duplicate-ts obs differently (keep=last vs max)
+    # only where duplicates exist; fixture event ts are unique per user.
+    assert set(prov) == set(ref)
+    for k, vm in prov.items():
+        assert abs(vm - ref[k] * 1_000_000) <= 1.0, (k, vm, ref[k])
+
+
+def test_interpolate_segments_duplicate_ts_takes_max(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 1, 1, 0, 0, 10)
+    obs = spark.createDataFrame(
+        [(1, t0, 1.0), (1, t0, 3.0), (1, t1, 3.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    qs = spark.createDataFrame([(1, t0)], "user_id long, ts timestamp")
+    out = rel.interpolate_segments(obs, qs, "user_id", "ts", "value", "ts").collect()
+    assert len(out) == 1 and out[0]["value_micro"] == 3_000_000
