@@ -1,0 +1,123 @@
+"""Scale rehearsal (VERDICT r10 order #5): measure wall time + shuffle
+write bytes for the heaviest production dedup/ANN paths at 1x (base SF
+dir) vs FACTORx (the content-disjoint fixture built by
+tools/make_scale_fixture.py), and print per-query scaling exponents
+log(t_Nx / t_1x) / log(N). Sub-linear-to-linear exponents (<= ~1.2 on
+wall time, ~1.0 on shuffle bytes) are the empirical evidence that the
+banded/bucketed paths carry no hidden quadratic term.
+
+The five targets run UNBOUNDED at the operator level (gate wrappers
+slice their inputs for cheap oracles; the rehearsal must not):
+repeated_passages_maximal, sentence_dedup, embedding_dedup (banded
+candidates), minhash_lsh_candidates, ivf_topk.
+
+Each query: one warm run (parquet footers, codegen), then two timed
+runs forced through the noop sink; the MIN is the scaling estimator
+(robust to one-off GC pauses). Shuffle bytes diff the Spark REST API's
+completed-stage totals around the final timed run.
+
+Usage: python tools/scale_rehearsal.py [BASE] [FIXTURE] [FACTOR] [OUT_JSON]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hdinsight_pyspark_cntk_integration_spark import get_spark
+from hdinsight_pyspark_cntk_integration_spark.operators import dedup as dd
+from hdinsight_pyspark_cntk_integration_spark.operators import similarity as sim
+from hdinsight_pyspark_cntk_integration_spark.sources.catalog import load_table
+
+
+def _targets(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return {
+        "repeated_passages_maximal": lambda: dd.repeated_passages_maximal(
+            docs, ns=(8, 16, 32), min_docs=2, adaptive=True
+        ),
+        "sentence_dedup": lambda: dd.sentence_dedup(docs, min_docs=2),
+        "minhash_lsh_candidates": lambda: dd.minhash_lsh_candidates(docs),
+        "embedding_dedup": lambda: dd.embedding_dedup(emb),
+        "ivf_topk": lambda: sim.ivf_topk(
+            emb,
+            sim.self_queries(emb, [0, 1, 2]),
+            sim.grid_centroids(emb, num=8),
+            k=10,
+            nprobe=4,
+        ),
+    }
+
+
+def _stage_totals(spark) -> tuple[int, int]:
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app}/stages?status=complete"
+    ) as r:
+        stages = json.load(r)
+    return (
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        sum(s.get("inputBytes", 0) for s in stages),
+    )
+
+
+def run(base: str, fixture: str, factor: int, out_json: str) -> None:
+    spark = get_spark(app_name="scale-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    results: dict[str, dict] = {}
+    for scale, sf_dir in [("1x", base), (f"{factor}x", fixture)]:
+        for name, make in _targets(spark, sf_dir).items():
+            make().write.format("noop").mode("overwrite").save()  # warm
+            samples = []
+            sw0 = inp0 = 0
+            for i in range(2):
+                if i == 1:
+                    sw0, inp0 = _stage_totals(spark)
+                t0 = time.perf_counter()
+                make().write.format("noop").mode("overwrite").save()
+                samples.append(round(time.perf_counter() - t0, 3))
+            sw1, inp1 = _stage_totals(spark)
+            rec = results.setdefault(name, {})
+            rec[scale] = {
+                "samples": samples,
+                "t_min": min(samples),
+                "shuffle_write_bytes": sw1 - sw0,
+                "input_bytes": inp1 - inp0,
+            }
+            print(f"{scale:>4} {name}: {samples} shuffleMB="
+                  f"{(sw1 - sw0) / 1e6:.1f} inputMB={(inp1 - inp0) / 1e6:.1f}",
+                  flush=True)
+
+    big = f"{factor}x"
+    for name, rec in results.items():
+        t_exp = math.log(rec[big]["t_min"] / rec["1x"]["t_min"]) / math.log(factor)
+        sw1x = max(rec["1x"]["shuffle_write_bytes"], 1)
+        s_exp = math.log(
+            max(rec[big]["shuffle_write_bytes"], 1) / sw1x
+        ) / math.log(factor)
+        rec["time_exponent"] = round(t_exp, 3)
+        rec["shuffle_exponent"] = round(s_exp, 3)
+        print(f"{name}: time_exp={t_exp:.3f} shuffle_exp={s_exp:.3f}", flush=True)
+
+    with open(out_json, "w") as f:
+        json.dump({"factor": factor, "base": base, "fixture": fixture,
+                   "results": results}, f, indent=2)
+    print(f"wrote {out_json}")
+
+
+if __name__ == "__main__":
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    fixture = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/fixtures/x10"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    out_json = sys.argv[4] if len(sys.argv) > 4 else "SCALING_DATA.json"
+    run(base, fixture, factor, out_json)
