@@ -567,6 +567,28 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return hashed.select(F.col(id_col), fold_bits(F.col("th")).alias("simhash"))
 
 
+def recommended_num_planes(n_rows: int, target_bucket: int = 32) -> int:
+    """Plane count that keeps hyperplane-LSH buckets near ``target_bucket``
+    rows: ``ceil(log2(n_rows / target_bucket))``, clamped to [4, 24].
+
+    Candidate volume per band is Σ|bucket|² ≈ n²/2^planes under a
+    near-uniform sign distribution, so a FIXED plane count turns 10x the
+    corpus into ~100x the candidate pairs. Scaling planes with log2 of
+    the corpus holds per-bucket density (and therefore shuffled pair
+    volume per row) roughly constant — measured in the round-11 scale
+    rehearsal (SCALING.md): at 10x embeddings, 8 planes shuffled 113 MB
+    (exponent 1.83 vs 1x) while 12 planes shuffled 23 MB (exponent 1.13)
+    with wall time 30.6s -> 8.7s. Raise ``bands`` alongside (the LSH
+    S-curve: P(candidate) = 1-(1-p^r)^b) when recall at the verify
+    threshold must be preserved.
+    """
+    import math
+
+    if n_rows < 1:
+        raise ValueError(f"n_rows must be >= 1 (got {n_rows})")
+    return max(4, min(24, math.ceil(math.log2(max(n_rows / target_bucket, 2)))))
+
+
 def embedding_near_dup_candidates(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -576,6 +598,11 @@ def embedding_near_dup_candidates(
     seed: int = 42,
 ) -> DataFrame:
     """Cosine near-dup candidates via banded random-hyperplane LSH.
+
+    SIZE THE SIGNATURE TO THE CORPUS: ``num_planes`` must grow with
+    log2(n) (use :func:`recommended_num_planes`) — a fixed plane count
+    makes candidate volume quadratic in corpus size (measured: round-11
+    scale rehearsal, SCALING.md).
 
     Each band hashes the vector to the sign bits of ``num_planes``
     pseudo-random hyperplane dots; same-(band, bucket) pairs become
@@ -1302,7 +1329,10 @@ def embedding_dedup(
 
     Candidates default to banded random-hyperplane LSH
     (:func:`embedding_near_dup_candidates` — Σ|bucket|² per band, never
-    n²; probabilistic recall amplified by banding). Pass ``candidates``
+    n²; probabilistic recall amplified by banding). Size ``num_planes``
+    with :func:`recommended_num_planes` — at a fixed plane count the
+    candidate volume grows quadratically with the corpus (measured,
+    SCALING.md). Pass ``candidates``
     explicitly for an exact generator (the oracle-checkable gate does:
     all-pairs is fine at fixture scale, and the closure downstream of
     the pair set is deterministic either way).

@@ -1177,3 +1177,20 @@ def test_simhash_banded_pairs_families_and_validation(spark):
         dd.simhash_banded_pairs(df, bits=64, bands=5)
     with _pytest.raises(ValueError):
         dd.simhash_banded_pairs(df, hash_family="sha1")
+
+
+# --- recommended_num_planes (round 11, SCALING.md finding #2) ---
+
+
+def test_recommended_num_planes_scales_log2():
+    import pytest as _pytest
+
+    # target_bucket=32 default: planes ~ ceil(log2(n/32)), clamped [4,24]
+    assert dd.recommended_num_planes(2_000) == 6
+    assert dd.recommended_num_planes(20_000) == 10
+    assert dd.recommended_num_planes(1_000_000_000) == 24  # clamp high
+    assert dd.recommended_num_planes(10) == 4  # clamp low
+    # +10x corpus => ~log2(10) ~ 3-4 more planes (density held)
+    assert 3 <= dd.recommended_num_planes(20_000) - dd.recommended_num_planes(2_000) <= 4
+    with _pytest.raises(ValueError):
+        dd.recommended_num_planes(0)

@@ -70,7 +70,19 @@ def _stage_totals(spark) -> tuple[int, int]:
 
 
 def run(base: str, fixture: str, factor: int, out_json: str) -> None:
-    spark = get_spark(app_name="scale-rehearsal")
+    # Cluster-realistic heap: the engine's local sessions never set
+    # spark.driver.memory, so local mode runs on the 1g JVM default —
+    # fine at sf0.1, but the 10x corpus OOMs the gram explode there
+    # (measured: repeated_passages_maximal, 32 tasks, Java heap space).
+    # A production executor gets 8-32g for its handful of task slots;
+    # give the one local JVM the equivalent so the rehearsal measures
+    # the ALGORITHM's scaling, not an artificial 1g ceiling.
+    spark = get_spark(
+        app_name="scale-rehearsal",
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
 
