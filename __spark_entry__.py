@@ -5669,6 +5669,33 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.quality_calibration(docs, dim=64, n_bins=10, min_tokens=60)
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-argmax exact dedup (operators.dedup.
+    exact_dedup_keep_best): duplicates planted by unioning an
+    id-shifted copy of every document; a Knuth-mixer stand-in
+    classifier score picks each cluster's keeper (max score, min-id
+    ties) via ONE partial-aggregable struct max — the keep-best
+    representative rule curation pipelines use instead of min-id."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select((F.col("doc_id") + F.lit(500000)).alias("doc_id"), "text")
+    both = docs.unionByName(copies)
+    score = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(1_000_003)) * F.lit(2654435761),
+        F.lit(1_000_003),
+    ).cast("long")
+    return dd.exact_dedup_keep_best(both.withColumn("score", score), "score")
+
+
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard packing dashboard (operators.pipeline.
+    packing_efficiency, budget=256, 8 shards): blocks cut + fill ppm in
+    exact integer cells, consistent with pack_chunks' block math by
+    construction. One |shards|-row partial-agg shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    return pl.packing_efficiency(base, budget=256, n_shards=8)
+
+
 def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic curriculum-mixture schedule (operators.pipeline.
     curriculum_schedule, 17 steps, alpha 1 -> 1/4 in exact 3/64
@@ -6086,6 +6113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_lm": q_contamination_lm,
         "quality_calibration": q_quality_calibration,
         "curriculum_schedule": q_curriculum_schedule,
+        "dedup_keep_best": q_dedup_keep_best,
+        "packing_efficiency": q_packing_efficiency,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -12959,5 +12988,48 @@ def oracle_sql() -> dict[str, str]:
                // SUM(w_micro) OVER (PARTITION BY step) AS BIGINT)
             AS share_ppm
         FROM w
+    """
+    # dedup_keep_best: keep-best semantics replayed with a window
+    # (the Spark path is a partial-agg struct max — same total order).
+    oracles["dedup_keep_best"] = f"""
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 500000, text FROM documents
+        ),
+        scored AS (
+          SELECT doc_id,
+            CAST(((doc_id % 1000003) * 2654435761) % 1000003 AS BIGINT)
+              AS score,
+            md5({_NORM_TEXT}) AS fingerprint
+          FROM all_docs
+        ),
+        r AS (
+          SELECT fingerprint, doc_id, score,
+            ROW_NUMBER() OVER (
+              PARTITION BY fingerprint ORDER BY score DESC, doc_id
+            ) AS rn,
+            COUNT(*) OVER (PARTITION BY fingerprint) AS n_copies
+          FROM scored
+        )
+        SELECT fingerprint, doc_id, score, CAST(n_copies AS BIGINT) AS n_copies
+        FROM r WHERE rn = 1
+    """
+    oracles["packing_efficiency"] = f"""
+        WITH agg AS (
+          SELECT doc_id % 8 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM({_N_TOKENS}) AS BIGINT) AS total_tokens
+          FROM documents GROUP BY 1
+        )
+        SELECT CAST(shard AS BIGINT) AS shard, n_docs, total_tokens,
+          CASE WHEN total_tokens <= 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(FLOOR((total_tokens - 1) / 256) + 1 AS BIGINT)
+          END AS n_blocks,
+          CASE WHEN total_tokens <= 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((CAST(total_tokens AS HUGEINT) * 1000000)
+                 // (256 * (CAST(FLOOR((total_tokens - 1) / 256) AS HUGEINT) + 1))
+                 AS BIGINT)
+          END AS fill_ppm
+        FROM agg
     """
     return oracles

@@ -209,6 +209,8 @@ PIPELINE = [
     "contamination_lm",
     "quality_calibration",
     "curriculum_schedule",
+    "dedup_keep_best",
+    "packing_efficiency",
 ]
 
 

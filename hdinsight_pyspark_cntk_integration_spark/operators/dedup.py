@@ -1722,3 +1722,46 @@ def simhash_banded_pairs(
         cands.select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= radius)
     )
+
+
+def exact_dedup_keep_best(
+    df: DataFrame,
+    score_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup keeping the BEST-quality member of each duplicate
+    cluster instead of the min-id one — the representative-selection
+    rule real curation pipelines use (when a page is crawled twice, keep
+    the copy with the higher quality score, not the older id; cf. the
+    keep-best convention in RefinedWeb-style dedup stages). Deterministic
+    total order: max ``score_col``, ties broken by min ``id_col``.
+
+    Same scale shape as :func:`exact_dedup`: one shuffle on the md5
+    fingerprint, and the aggregation is a max over (score, -id) packed
+    into ONE struct max — a partial-aggregable reduction (map-side
+    combine), not a window sort, so the shuffle moves one candidate row
+    per (partition, fingerprint), never the cluster.
+
+    Returns (fingerprint, id keeper, score of keeper, n_copies).
+    """
+    neg_id = (-F.col(id_col)).alias("__nid")
+    packed = F.struct(F.col(score_col).alias("__s"), neg_id)
+    return (
+        df.select(
+            fingerprint_md5(text_col).alias("fingerprint"),
+            F.col(id_col),
+            F.col(score_col),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.max(packed).alias("__best"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+        .select(
+            "fingerprint",
+            (-F.col("__best.__nid")).cast("long").alias(id_col),
+            F.col("__best.__s").alias(score_col),
+            "n_copies",
+        )
+    )

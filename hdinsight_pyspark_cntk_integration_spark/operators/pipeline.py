@@ -1440,3 +1440,55 @@ def curriculum_schedule(
             " DIV SUM(w_micro) OVER (PARTITION BY step) AS BIGINT)"
         ).alias("share_ppm"),
     )
+
+
+def packing_efficiency(
+    df: DataFrame,
+    budget: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Per-shard efficiency report for :func:`pack_chunks`-style
+    concat-and-chunk packing: how many budget-token blocks each shard
+    cuts and how full they are — the dashboard row a packing job emits
+    so an imbalanced shard key or a bad budget shows up before training.
+
+    Block count is the closed form of ``pack_chunks``'s block math
+    (blocks = ceil(total_tokens / budget); the concatenated stream cuts
+    into exactly that many, the last one partial), so this report stays
+    consistent with the packer by construction. ``fill_ppm`` =
+    total_tokens · 1e6 DIV (blocks · budget) — exact integer cells only.
+
+    ONE partial-agg shuffle over |shards| rows; the corpus is scanned
+    once and never shuffled.
+
+    Returns (shard, n_docs, total_tokens, n_blocks, fill_ppm).
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1 (got {budget})")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("long")
+    agg = df.groupBy(shard.alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col(tokens_col).cast("long")).cast("long").alias("total_tokens"),
+    )
+    n_blocks = F.when(F.col("total_tokens") <= 0, F.lit(0).cast("long")).otherwise(
+        F.floor((F.col("total_tokens") - 1) / budget).cast("long") + 1
+    )
+    return agg.select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        n_blocks.alias("n_blocks"),
+        F.when(F.col("total_tokens") <= 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                f"CAST((CAST(total_tokens AS DECIMAL(38,0)) * 1000000)"
+                f" DIV (CAST({int(budget)} AS DECIMAL(38,0))"
+                f" * (FLOOR((total_tokens - 1) / {int(budget)}) + 1)) AS BIGINT)"
+            )
+        )
+        .alias("fill_ppm"),
+    )

@@ -1194,3 +1194,34 @@ def test_recommended_num_planes_scales_log2():
     assert 3 <= dd.recommended_num_planes(20_000) - dd.recommended_num_planes(2_000) <= 4
     with _pytest.raises(ValueError):
         dd.recommended_num_planes(0)
+
+
+# --- exact_dedup_keep_best (round 11, quality-argmax representative) ---
+
+
+def test_exact_dedup_keep_best_picks_max_score_min_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the same text", 10),
+            (2, "The  SAME   text", 30),   # normalizes equal; best score
+            (3, "the same text", 30),      # score tie -> min id wins (2)
+            (4, "unique text", 5),
+        ],
+        "doc_id long, text string, score long",
+    )
+    out = {r["doc_id"]: r for r in dd.exact_dedup_keep_best(df, "score").collect()}
+    assert set(out) == {2, 4}
+    assert out[2]["n_copies"] == 3 and out[2]["score"] == 30
+    assert out[4]["n_copies"] == 1 and out[4]["score"] == 5
+
+
+def test_exact_dedup_keep_best_matches_exact_dedup_clusters(spark, sf_dir):
+    """Same fingerprint clustering as exact_dedup — only the keeper rule
+    differs; cluster count and n_copies multiset must match."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "score", F.pmod(F.col("doc_id") * 7919, F.lit(104729)).cast("long")
+    )
+    best = dd.exact_dedup_keep_best(docs, "score").collect()
+    base = dd.exact_dedup(docs).collect()
+    assert sorted(r["n_copies"] for r in best) == sorted(r["n_copies"] for r in base)
+    assert {r["fingerprint"] for r in best} == {r["fingerprint"] for r in base}

@@ -911,3 +911,38 @@ def test_curriculum_schedule_validation(spark):
     with pytest.raises(ValueError):
         # 16 steps -> 15 intervals, span 48 not divisible by 15
         pl.curriculum_schedule(df, steps=16, group_col="source")
+
+
+# --- packing_efficiency (round 11, packer dashboard) ---
+
+
+def test_packing_efficiency_matches_pack_chunks_blocks(spark, sf_dir):
+    """n_blocks must equal the actual block count pack_chunks cuts per
+    shard (max last_block + 1), and fill_ppm the exact integer ratio."""
+    from hdinsight_pyspark_cntk_integration_spark.functions.textfns import token_count
+    from hdinsight_pyspark_cntk_integration_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    eff = {r["shard"]: r for r in pl.packing_efficiency(docs, budget=256, n_shards=8).collect()}
+    packed = pl.pack_chunks(docs, budget=256, n_shards=8).collect()
+    actual_blocks: dict[int, int] = {}
+    for r in packed:
+        actual_blocks[r["shard"]] = max(actual_blocks.get(r["shard"], 0), r["last_block"] + 1)
+    for shard, r in eff.items():
+        assert r["n_blocks"] == actual_blocks[shard], (shard, r, actual_blocks[shard])
+        assert r["fill_ppm"] == r["total_tokens"] * 1_000_000 // (256 * r["n_blocks"])
+        assert 0 < r["fill_ppm"] <= 1_000_000
+
+
+def test_packing_efficiency_empty_shard_and_validation(spark):
+    df = spark.createDataFrame([(0, 0), (1, 10)], "doc_id long, n_tokens long")
+    out = {r["shard"]: r for r in pl.packing_efficiency(df, budget=8, n_shards=2).collect()}
+    assert out[0]["n_blocks"] == 0 and out[0]["fill_ppm"] == 0  # zero tokens
+    assert out[0]["n_docs"] == 1
+    assert out[1]["n_blocks"] == 2 and out[1]["fill_ppm"] == 625_000
+    with pytest.raises(ValueError):
+        pl.packing_efficiency(df, budget=0, n_shards=2)
+    with pytest.raises(ValueError):
+        pl.packing_efficiency(df, budget=8, n_shards=0)
