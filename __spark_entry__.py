@@ -5669,6 +5669,22 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.quality_calibration(docs, dim=64, n_bins=10, min_tokens=60)
 
 
+def q_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 generation-eval overlap (operators.text.rouge_n):
+    references = documents; 'generations' = the same documents with
+    every 3rd token dropped (a deterministic lossy summary), so recall
+    is high and precision exact. Set-based ROUGE — every emitted cell
+    is an integer micro-unit from exact counts; the oracle replays the
+    token drop with list_select over a 1-based index filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    kept = F.filter(toks, lambda t, i: F.pmod(i + 1, F.lit(3)) != 0)
+    gens = docs.select("doc_id", F.array_join(kept, " ").alias("text"))
+    return tx.rouge_n(docs, gens, n=2)
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-argmax exact dedup (operators.dedup.
     exact_dedup_keep_best): duplicates planted by unioning an
@@ -6115,6 +6131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_schedule": q_curriculum_schedule,
         "dedup_keep_best": q_dedup_keep_best,
         "packing_efficiency": q_packing_efficiency,
+        "rouge_overlap": q_rouge_overlap,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -13031,5 +13048,54 @@ def oracle_sql() -> dict[str, str]:
                  AS BIGINT)
           END AS fill_ppm
         FROM agg
+    """
+    # rouge_overlap: set-based ROUGE-2 of every-3rd-token-dropped
+    # 'generations' vs their reference docs; all-integer micro cells.
+    oracles["rouge_overlap"] = r"""
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS l
+          FROM documents
+        ),
+        gtoks AS MATERIALIZED (
+          SELECT doc_id,
+            list_select(l, list_filter(range(1, len(l) + 1), i -> i % 3 != 0)) AS l
+          FROM toks
+        ),
+        rg AS MATERIALIZED (
+          SELECT doc_id, g FROM (
+            SELECT doc_id,
+              unnest(list_distinct(list_transform(
+                generate_series(1, greatest(len(l) - 1, 1)),
+                i -> array_to_string(l[i:i+1], ' ')))) AS g
+            FROM toks
+          ) WHERE length(g) > 0
+        ),
+        gg AS MATERIALIZED (
+          SELECT doc_id, g FROM (
+            SELECT doc_id,
+              unnest(list_distinct(list_transform(
+                generate_series(1, greatest(len(l) - 1, 1)),
+                i -> array_to_string(l[i:i+1], ' ')))) AS g
+            FROM gtoks
+          ) WHERE length(g) > 0
+        ),
+        nr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ref FROM rg GROUP BY 1),
+        ng AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_gen FROM gg GROUP BY 1),
+        m AS (
+          SELECT rg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_match
+          FROM rg JOIN gg ON rg.doc_id = gg.doc_id AND rg.g = gg.g
+          GROUP BY 1
+        )
+        SELECT nr.doc_id, nr.n_ref, ng.n_gen,
+          COALESCE(m.n_match, 0) AS n_match,
+          CAST((CAST(COALESCE(m.n_match, 0) AS HUGEINT) * 1000000)
+               // nr.n_ref AS BIGINT) AS recall_micro,
+          CAST((CAST(COALESCE(m.n_match, 0) AS HUGEINT) * 1000000)
+               // ng.n_gen AS BIGINT) AS precision_micro,
+          CAST((CAST(COALESCE(m.n_match, 0) AS HUGEINT) * 2000000)
+               // (nr.n_ref + ng.n_gen) AS BIGINT) AS f1_micro
+        FROM nr JOIN ng ON nr.doc_id = ng.doc_id
+        LEFT JOIN m ON nr.doc_id = m.doc_id
     """
     return oracles

@@ -211,6 +211,7 @@ PIPELINE = [
     "curriculum_schedule",
     "dedup_keep_best",
     "packing_efficiency",
+    "rouge_overlap",
 ]
 
 

@@ -2192,3 +2192,77 @@ def quality_calibration(
         F.min("score").alias("min_score"),
         F.max("score").alias("max_score"),
     )
+
+
+def rouge_n(
+    refs: DataFrame,
+    gens: DataFrame,
+    id_col: str = "doc_id",
+    ref_text_col: str = "text",
+    gen_text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """ROUGE-N overlap between paired reference and generated texts (Lin
+    2004): per id, the distinct word n-gram recall/precision/F1 of the
+    generation against its reference — the standard summarization /
+    generation-eval metric, and the pairwise audit decontamination
+    pipelines run on (train doc, generated sample) pairs.
+
+    Set-based form (distinct n-grams, as in ROUGE's original recall):
+    F1 over sets is the Dice coefficient ``2|A∩B| / (|A|+|B|)``, so all
+    three scores are integer micro-units from exact integer counts —
+    hash-gate safe with no float discipline needed at all. Pairs where
+    either side has zero n-grams are dropped (no 0/0 convention to
+    diverge between engines).
+
+    Scale shape: both sides explode once to (id, gram) and the match
+    count is a co-keyed join on (id, gram) — shuffle volume linear in
+    gram count, no cross-id pairing ever materializes. The three count
+    tables re-aggregate the same exploded frames.
+
+    Returns (id, n_ref, n_gen, n_match, recall_micro, precision_micro,
+    f1_micro).
+    """
+    from hdinsight_pyspark_cntk_integration_spark.operators.dedup import word_shingles
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1 (got {n})")
+    r = refs.select(
+        F.col(id_col), F.explode(word_shingles(ref_text_col, n)).alias("g")
+    ).filter(F.length("g") > 0)
+    g = gens.select(
+        F.col(id_col), F.explode(word_shingles(gen_text_col, n)).alias("g")
+    ).filter(F.length("g") > 0)
+    nr = r.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_ref"))
+    ng = g.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_gen"))
+    m = (
+        r.join(g, [id_col, "g"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_match"))
+    )
+    joined = (
+        nr.join(ng, id_col)
+        .join(m, id_col, "left")
+        .select(
+            id_col,
+            "n_ref",
+            "n_gen",
+            F.coalesce(F.col("n_match"), F.lit(0).cast("long")).alias("n_match"),
+        )
+    )
+    dec = "CAST({x} AS DECIMAL(38,0))"
+    return joined.select(
+        id_col,
+        "n_ref",
+        "n_gen",
+        "n_match",
+        F.expr(
+            f"CAST({dec.format(x='n_match')} * 1000000 DIV n_ref AS BIGINT)"
+        ).alias("recall_micro"),
+        F.expr(
+            f"CAST({dec.format(x='n_match')} * 1000000 DIV n_gen AS BIGINT)"
+        ).alias("precision_micro"),
+        F.expr(
+            f"CAST({dec.format(x='n_match')} * 2000000 DIV (n_ref + n_gen) AS BIGINT)"
+        ).alias("f1_micro"),
+    )

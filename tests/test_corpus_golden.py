@@ -185,3 +185,42 @@ def test_quality_calibration_score_is_exact_weighted_bow(spark):
     r = out[0]
     assert r["min_score"] == r["max_score"] == expected
     assert r["n_pos"] == 1  # 3 tokens >= 2
+
+
+# --- rouge_n (round 11, generation-eval overlap) ---
+
+
+def test_rouge_n_planted_exact(spark):
+    refs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y z"), (3, "only")],
+        "doc_id long, text string",
+    )
+    gens = spark.createDataFrame(
+        [(1, "a b c d"), (2, "p q r"), (3, "only")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.rouge_n(refs, gens, n=2).collect()}
+    # identical -> perfect scores
+    assert out[1]["n_ref"] == out[1]["n_gen"] == out[1]["n_match"] == 3
+    assert out[1]["recall_micro"] == out[1]["precision_micro"] == out[1]["f1_micro"] == 1_000_000
+    # disjoint -> zeros
+    assert out[2]["n_match"] == 0 and out[2]["f1_micro"] == 0
+    # single-token docs form one 1-token gram; identical -> perfect
+    assert out[3]["n_ref"] == 1 and out[3]["f1_micro"] == 1_000_000
+
+
+def test_rouge_n_partial_overlap_dice(spark):
+    refs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    gens = spark.createDataFrame([(1, "a b x")], "doc_id long, text string")
+    r = tx.rouge_n(refs, gens, n=2).collect()[0]
+    # ref grams {a b, b c}; gen grams {a b, b x}; match {a b}
+    assert (r["n_ref"], r["n_gen"], r["n_match"]) == (2, 2, 1)
+    assert r["recall_micro"] == 500_000 and r["precision_micro"] == 500_000
+    assert r["f1_micro"] == 500_000
+
+
+def test_rouge_n_validation(spark):
+    import pytest as _pytest
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        tx.rouge_n(df, df, n=0)
