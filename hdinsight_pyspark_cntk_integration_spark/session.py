@@ -19,6 +19,15 @@ from pyspark.sql import SparkSession
 # a starting point; AQE coalesces the excess at runtime, so oversizing is
 # cheap while undersizing (giant partitions that spill) is not.
 _DEFAULTS = {
+    # Local-mode driver heap: Spark's 1g launch default is marginal for a
+    # 32-thread local JVM — broadcast builds near the 64 MB threshold and
+    # 10x-fixture explodes OOM it intermittently (measured round 11:
+    # bench run died in notEnoughMemoryToBuildAndBroadcastTableError;
+    # SCALING.md finding #3). Only effective when this process launches
+    # the JVM (local mode — exactly where it's needed); on a real
+    # cluster the externally configured session wins. Override via
+    # extra_conf or SPARK_GRAFT_DRIVER_MEM.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     # Runtime re-planning: coalesce small shuffle partitions, split skewed
     # ones, convert to broadcast joins when runtime stats allow.
     "spark.sql.adaptive.enabled": "true",

@@ -80,7 +80,7 @@ def run(base: str, fixture: str, factor: int, out_json: str) -> None:
     spark = get_spark(
         app_name="scale-rehearsal",
         extra_conf={
-            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
