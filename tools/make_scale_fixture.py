@@ -98,14 +98,50 @@ def build(base: str, out: str, factor: int) -> None:
         os.path.join(out, "embeddings.parquet")
     )
 
+    # relational fact tables: copy k>0 offsets the ORDER KEY on both
+    # sides consistently (join integrity preserved); dimension foreign
+    # keys stay, so each customer/part/supplier simply carries factor x
+    # the business — the realistic way a fact table grows.
+    # a prior fixture build symlinked these into the (read-only) base
+    # dir — remove the links BEFORE Spark's overwrite can follow them
+    for name in ["orders", "lineitem"]:
+        dst = os.path.join(out, f"{name}.parquet")
+        if os.path.islink(dst):
+            os.remove(dst)
+
+    orders = load_table(spark, base, "orders")
+    li = load_table(spark, base, "lineitem")
+    o_parts, l_parts = [], []
+    for k in range(factor):
+        off = F.lit(k * _ID_OFFSET)
+        o_parts.append(
+            orders.withColumn("o_orderkey", (F.col("o_orderkey") + off).alias("o_orderkey"))
+            if k
+            else orders
+        )
+        l_parts.append(
+            li.withColumn("l_orderkey", (F.col("l_orderkey") + off).alias("l_orderkey"))
+            if k
+            else li
+        )
+    big_o, big_l = o_parts[0], l_parts[0]
+    for p in o_parts[1:]:
+        big_o = big_o.unionByName(p)
+    for p in l_parts[1:]:
+        big_l = big_l.unionByName(p)
+    big_o.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(out, "orders.parquet")
+    )
+    big_l.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "lineitem.parquet")
+    )
+
     for name in [
         "region",
         "nation",
         "customer",
         "supplier",
         "part",
-        "orders",
-        "lineitem",
         "events",
     ]:
         src = os.path.join(base, f"{name}.parquet")

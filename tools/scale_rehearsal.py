@@ -36,6 +36,26 @@ from hdinsight_pyspark_cntk_integration_spark.operators import similarity as sim
 from hdinsight_pyspark_cntk_integration_spark.sources.catalog import load_table
 
 
+def _relational_targets(spark, sf_dir):
+    """Headline TPC-H-shape queries over the FACTOR-scaled fact tables
+    (the fixture offsets o_orderkey/l_orderkey per copy, preserving join
+    integrity; dimensions stay 1x as they would in a real warehouse).
+    Registry wrappers are used directly — they are unbounded."""
+    import __spark_entry__ as e  # noqa: deferred — tools add repo root to sys.path
+
+    qs = e.queries()
+    return {
+        name: (lambda n=name: qs[n](spark, sf_dir))
+        for name in [
+            "pricing_summary",
+            "top_revenue_orders",
+            "region_revenue",
+            "window_topn",
+            "min_cost_supplier",
+        ]
+    }
+
+
 def _targets(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -69,7 +89,8 @@ def _stage_totals(spark) -> tuple[int, int]:
     )
 
 
-def run(base: str, fixture: str, factor: int, out_json: str) -> None:
+def run(base: str, fixture: str, factor: int, out_json: str,
+        target_set: str = "dedup") -> None:
     # Cluster-realistic heap: the engine's local sessions never set
     # spark.driver.memory, so local mode runs on the 1g JVM default —
     # fine at sf0.1, but the 10x corpus OOMs the gram explode there
@@ -86,9 +107,10 @@ def run(base: str, fixture: str, factor: int, out_json: str) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    make_targets = _relational_targets if target_set == "relational" else _targets
     results: dict[str, dict] = {}
     for scale, sf_dir in [("1x", base), (f"{factor}x", fixture)]:
-        for name, make in _targets(spark, sf_dir).items():
+        for name, make in make_targets(spark, sf_dir).items():
             make().write.format("noop").mode("overwrite").save()  # warm
             samples = []
             sw0 = inp0 = 0
@@ -132,4 +154,5 @@ if __name__ == "__main__":
     fixture = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/fixtures/x10"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     out_json = sys.argv[4] if len(sys.argv) > 4 else "SCALING_DATA.json"
-    run(base, fixture, factor, out_json)
+    target_set = sys.argv[5] if len(sys.argv) > 5 else "dedup"
+    run(base, fixture, factor, out_json, target_set)
