@@ -569,6 +569,13 @@ def pq_topk_adc(
     subvector distances; each row's approximate distance is then m table
     lookups + a sum — no float vector is ever touched at scan time.
 
+    SIZE THE CANDIDATE BUDGET TO THE CORPUS: recall@fixed-k decays as n
+    grows (quantized near-ties crowd the ranking — measured round 11 on
+    near-uniform fixture vectors: top-10 recall 10/10 at n=500 fell to
+    6/10 at n=2000 with k=50; k = max(50, n/10) restored ~8/10, while
+    raising k_codes did NOT help). Use k ∝ n/10 and re-rank the
+    candidates exactly (quantized_rerank / the gate's exact verify).
+
     The scan is one Arrow pass (table broadcast in the closure) feeding
     the bounded two-stage top-k, so reducer memory stays
     partitions×k-bounded. This is the classic IVFADC scan half; compose
