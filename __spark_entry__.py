@@ -5737,6 +5737,127 @@ def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@3 estimator (operators.stats.pass_at_k): problems
+    = orders, samples = their line items, 'pass' = l_returnflag 'R'.
+    Exact falling-factorial combinatorics — the k! cancels — so every
+    cell is an integer; output is the bounded (n, c) profile, two
+    partial-agg shuffles total."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    li = load_table(spark, sf_dir, "lineitem")
+    samples = li.select(
+        F.col("l_orderkey").alias("problem_id"),
+        (F.col("l_returnflag") == "R").cast("int").alias("correct"),
+    )
+    return st.pass_at_k(samples, "problem_id", "correct", k=3)
+
+
+def q_self_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote self-consistency accuracy (operators.stats.
+    self_consistency): problems = event users, gold = Knuth-mixed
+    user_id mod 7, sampled answers = gold with 2/3 deterministic
+    'sampling fidelity' else a mixed alternative — the eval a pipeline
+    runs over k chain-of-thought samples per question. Struct-min
+    argmax, no window; single corpus row of exact integers."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def mix(c):
+        return F.pmod(F.pmod(c, F.lit(1_000_003)) * F.lit(2654435761), F.lit(1_000_003))
+
+    gold = F.pmod(mix(F.col("user_id")), F.lit(7))
+    s = mix(F.col("event_id"))
+    alt = F.pmod(mix(F.col("event_id") + F.lit(13)), F.lit(7))
+    samples = ev.select(
+        F.col("user_id").alias("problem_id"),
+        F.when(F.pmod(s, F.lit(3)) < 2, gold).otherwise(alt).cast("long").alias(
+            "answer"
+        ),
+        gold.cast("long").alias("gold"),
+    )
+    return st.self_consistency(samples)
+
+
+def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center diversity selection (operators.similarity.
+    kcenter_select, k=8): the farthest-point exemplar picker over the
+    bounded vec_id < 500 pool, micro-quantized integer squared-L2
+    throughout, per-round 1-row struct argmax (no global window, no
+    collect). Oracle = 7 unrolled MATERIALIZED CTE rounds."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return sim.kcenter_select(emb, k=8)
+
+
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference strengths via Hunter's MM iteration
+    (operators.stats.bradley_terry_quantized, 4 rounds): 20 synthetic
+    'models' play one match per lineitem row (winner by Knuth-mixed
+    coin), the pairwise-comparison fit an RLHF/eval pipeline runs.
+    Matches collapse once to the bounded pair table; every MM round is
+    integer-exact and SQL-unrolled."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def mix(c):
+        return F.pmod(F.pmod(c, F.lit(1_000_003)) * F.lit(2654435761), F.lit(1_000_003))
+
+    i = F.pmod(F.col("l_suppkey"), F.lit(20))
+    j = F.pmod(F.col("l_partkey"), F.lit(20))
+    win = F.pmod(mix(F.col("l_orderkey") * 8 + F.col("l_linenumber")), F.lit(2)) == 0
+    m = li.filter(i != j).select(
+        F.when(win, i).otherwise(j).cast("long").alias("winner"),
+        F.when(win, j).otherwise(i).cast("long").alias("loser"),
+    )
+    return st.bradley_terry_quantized(m, iters=4)
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement (operators.stats.fleiss_kappa): every
+    document rated by 5 deterministic synthetic 'raters' — category =
+    Knuth-mixed doc property with 1/4 per-rater disagreement noise —
+    the redundant-judgment QA gate a labeling pipeline runs. Exact
+    integer numerator/denominator + truncated kappa_micro."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def mix(c):
+        return F.pmod(F.pmod(c, F.lit(1_000_003)) * F.lit(2654435761), F.lit(1_000_003))
+
+    rated = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("rater"),
+    )
+    base = F.pmod(mix(F.col("item_id")), F.lit(4))
+    s = mix(F.col("item_id") * 5 + F.col("rater"))
+    alt = F.pmod(mix(F.col("item_id") * 5 + F.col("rater") + 101), F.lit(4))
+    rated = rated.select(
+        "item_id",
+        F.when(F.pmod(s, F.lit(4)) < 3, base).otherwise(alt).cast("long").alias(
+            "category"
+        ),
+    )
+    return st.fleiss_kappa(rated)
+
+
+def q_bleu_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clipped n-gram precision, the BLEU core (operators.text.
+    bleu_clipped_precision, n <= 2): references = documents,
+    'generations' = the same documents with every 4th token dropped.
+    MULTISET-clipped counts (vs rouge_overlap's set semantics); both
+    orders explode in ONE pass per side; all cells exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    kept = F.filter(toks, lambda t, i: F.pmod(i + 1, F.lit(4)) != 0)
+    gens = docs.select("doc_id", F.array_join(kept, " ").alias("text"))
+    return tx.bleu_clipped_precision(docs, gens, n_max=2)
+
+
 # Driver-gate window (ROTATION.md): the driver records the FIRST 50
 # entries of queries() in CORRECTNESS_r{N}.json. Round 11 executes the
 # committed plan: the 19 queries added in round 9 (cohens_d …
@@ -6145,6 +6266,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "packing_efficiency": q_packing_efficiency,
         "rouge_overlap": q_rouge_overlap,
+        "pass_at_k": q_pass_at_k,
+        "self_consistency": q_self_consistency,
+        "bleu_clipped": q_bleu_clipped,
+        "fleiss_kappa": q_fleiss_kappa,
+        "kcenter_select": q_kcenter_select,
+        "bradley_terry": q_bradley_terry,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -13110,5 +13237,274 @@ def oracle_sql() -> dict[str, str]:
                // (nr.n_ref + ng.n_gen) AS BIGINT) AS f1_micro
         FROM nr JOIN ng ON nr.doc_id = ng.doc_id
         LEFT JOIN m ON nr.doc_id = m.doc_id
+    """
+    # pass_at_k: unbiased pass@3 over (order -> line items); the k!
+    # cancels, so the estimator is a ratio of falling factorials —
+    # numerator crosses zero exactly when n-c < 3. All-integer.
+    oracles["pass_at_k"] = """
+        WITH per AS (
+          SELECT l_orderkey,
+            CAST(COUNT(*) AS BIGINT) AS n_samples,
+            CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_correct
+          FROM lineitem GROUP BY 1
+        )
+        SELECT n_samples, n_correct,
+          CAST(COUNT(*) AS BIGINT) AS n_problems,
+          CAST(1000000 - (CAST(1000000 AS HUGEINT)
+              * (n_samples - n_correct)
+              * (n_samples - n_correct - 1)
+              * (n_samples - n_correct - 2))
+            // (CAST(n_samples AS HUGEINT)
+              * (n_samples - 1) * (n_samples - 2)) AS BIGINT)
+            AS pass_at_k_micro
+        FROM per WHERE n_samples >= 3 GROUP BY 1, 2
+    """
+    # self_consistency: majority-vote accuracy; the struct-min argmax
+    # is replayed as arg_min over the encoded key -votes*8 + answer
+    # (answers live in [0,7), so the encoding is order-isomorphic).
+    oracles["self_consistency"] = """
+        WITH base AS (
+          SELECT user_id AS problem_id,
+            (((user_id % 1000003) * 2654435761) % 1000003) % 7 AS gold,
+            (((event_id % 1000003) * 2654435761) % 1000003) AS s,
+            ((((event_id + 13) % 1000003) * 2654435761) % 1000003) % 7 AS alt
+          FROM events
+        ),
+        samp AS (
+          SELECT problem_id, gold,
+            CASE WHEN s % 3 < 2 THEN gold ELSE alt END AS answer
+          FROM base
+        ),
+        counts AS (
+          SELECT problem_id, answer, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM samp GROUP BY 1, 2
+        ),
+        top AS (
+          SELECT problem_id,
+            arg_min(answer, (-cnt) * 8 + answer) AS majority,
+            MAX(cnt) AS votes,
+            CAST(SUM(cnt) AS BIGINT) AS n_votes
+          FROM counts GROUP BY 1
+        ),
+        gold AS (SELECT problem_id, MIN(gold) AS gold FROM samp GROUP BY 1),
+        per AS (
+          SELECT t.votes, t.n_votes,
+            CASE WHEN t.majority = g.gold THEN 1 ELSE 0 END AS ok
+          FROM top t JOIN gold g USING (problem_id)
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_problems,
+          CAST(SUM(ok) AS BIGINT) AS n_majority_correct,
+          CAST((CAST(SUM(ok) AS HUGEINT) * 1000000) // COUNT(*)
+               AS BIGINT) AS accuracy_micro,
+          CAST(SUM((CAST(votes AS HUGEINT) * 1000000) // n_votes)
+               // COUNT(*) AS BIGINT) AS mean_vote_share_micro
+        FROM per
+    """
+    # bleu_clipped: corpus clipped n-gram precision (n = 1, 2) of
+    # every-4th-token-dropped 'generations' vs their references —
+    # MULTISET counts (no list_distinct), credit clipped per (doc, n,
+    # gram) at the reference count.
+    oracles["bleu_clipped"] = r"""
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS l
+          FROM documents
+        ),
+        gtoks AS MATERIALIZED (
+          SELECT doc_id,
+            list_select(l, list_filter(range(1, len(l) + 1), i -> i % 4 != 0)) AS l
+          FROM toks
+        ),
+        rg AS MATERIALIZED (
+          SELECT doc_id, n, g FROM (
+            SELECT doc_id, 1 AS n,
+              unnest(list_transform(generate_series(1, greatest(len(l), 1)),
+                i -> array_to_string(l[i:i], ' '))) AS g
+            FROM toks
+            UNION ALL
+            SELECT doc_id, 2 AS n,
+              unnest(list_transform(generate_series(1, greatest(len(l) - 1, 1)),
+                i -> array_to_string(l[i:i+1], ' '))) AS g
+            FROM toks
+          ) WHERE length(g) > 0
+        ),
+        gg AS MATERIALIZED (
+          SELECT doc_id, n, g FROM (
+            SELECT doc_id, 1 AS n,
+              unnest(list_transform(generate_series(1, greatest(len(l), 1)),
+                i -> array_to_string(l[i:i], ' '))) AS g
+            FROM gtoks
+            UNION ALL
+            SELECT doc_id, 2 AS n,
+              unnest(list_transform(generate_series(1, greatest(len(l) - 1, 1)),
+                i -> array_to_string(l[i:i+1], ' '))) AS g
+            FROM gtoks
+          ) WHERE length(g) > 0
+        ),
+        rc AS (SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS c
+               FROM rg GROUP BY 1, 2, 3),
+        gc AS (SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS c
+               FROM gg GROUP BY 1, 2, 3),
+        clip AS (
+          SELECT gc.n, CAST(SUM(LEAST(gc.c, rc.c)) AS BIGINT) AS total_clipped
+          FROM gc JOIN rc
+            ON gc.doc_id = rc.doc_id AND gc.n = rc.n AND gc.g = rc.g
+          GROUP BY 1
+        ),
+        rt AS (SELECT n, CAST(SUM(c) AS BIGINT) AS total_ref FROM rc GROUP BY 1),
+        gt AS (SELECT n, CAST(SUM(c) AS BIGINT) AS total_gen FROM gc GROUP BY 1)
+        SELECT CAST(rt.n AS INT) AS n, rt.total_ref, gt.total_gen,
+          COALESCE(clip.total_clipped, 0) AS total_clipped,
+          CAST((CAST(COALESCE(clip.total_clipped, 0) AS HUGEINT) * 1000000)
+               // gt.total_gen AS BIGINT) AS precision_micro
+        FROM rt JOIN gt ON rt.n = gt.n
+        LEFT JOIN clip ON rt.n = clip.n
+    """
+    # fleiss_kappa: chance-corrected agreement of 5 deterministic
+    # synthetic raters per document; kappa as an exact integer
+    # num/den pair plus truncated micro ratio (HUGEINT // truncates
+    # toward zero, matching Spark's DECIMAL DIV).
+    oracles["fleiss_kappa"] = """
+        WITH rated AS (
+          SELECT d.doc_id AS item_id, r.rater,
+            CASE WHEN (((d.doc_id * 5 + r.rater) % 1000003) * 2654435761)
+                     % 1000003 % 4 < 3
+              THEN (((d.doc_id % 1000003) * 2654435761) % 1000003) % 4
+              ELSE ((((d.doc_id * 5 + r.rater + 101) % 1000003) * 2654435761)
+                   % 1000003) % 4
+            END AS category
+          FROM documents d
+          CROSS JOIN (SELECT unnest(range(0, 5)) AS rater) r
+        ),
+        nij AS (
+          SELECT item_id, category, CAST(COUNT(*) AS BIGINT) AS c
+          FROM rated GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT CAST(SUM(c * c) AS BIGINT) AS s_sq,
+            CAST(SUM(c) AS BIGINT) AS t,
+            CAST(COUNT(DISTINCT item_id) AS BIGINT) AS n_items
+          FROM nij
+        ),
+        col2 AS (
+          SELECT CAST(SUM(cj * cj) AS BIGINT) AS c_sq FROM (
+            SELECT CAST(SUM(c) AS BIGINT) AS cj FROM nij GROUP BY category
+          )
+        )
+        SELECT n_items,
+          CAST(t // n_items AS BIGINT) AS n_raters,
+          t AS total_ratings, s_sq, c_sq,
+          CAST((((CAST(s_sq AS HUGEINT) - t) * t
+                 - (t // n_items - 1) * CAST(c_sq AS HUGEINT)) * 1000000)
+               // NULLIF((t // n_items - 1)
+                 * (CAST(t AS HUGEINT) * t - c_sq), 0) AS BIGINT)
+            AS kappa_micro
+        FROM tot CROSS JOIN col2
+    """
+    # kcenter_select: greedy farthest-point over micro-quantized
+    # integers, 7 unrolled rounds; per-round pick replayed as
+    # ORDER BY dmin DESC, id ASC LIMIT 1 (== max(struct(dmin, -id))).
+    _kc_rounds = []
+    for _r in range(2, 9):
+        _prev = f"s{_r - 1}"
+        _kc_rounds.append(f"""
+        d{_r} AS MATERIALIZED (
+          SELECT id, MIN(dd) AS dmin FROM (
+            SELECT e.id, s.id AS sid,
+              SUM(CAST(e.qv - s.c AS HUGEINT) * (e.qv - s.c)) AS dd
+            FROM ex e JOIN {_prev} s ON e.pos = s.pos
+            WHERE e.id NOT IN (SELECT DISTINCT id FROM {_prev})
+            GROUP BY 1, 2
+          ) GROUP BY id
+        ),
+        p{_r} AS MATERIALIZED (
+          SELECT id, CAST(dmin AS BIGINT) AS dmin
+          FROM d{_r} ORDER BY dmin DESC, id ASC LIMIT 1
+        ),
+        s{_r} AS MATERIALIZED (
+          SELECT * FROM {_prev}
+          UNION ALL
+          SELECT CAST({_r} AS BIGINT) AS rank, e.id, e.pos, e.qv AS c,
+            p.dmin
+          FROM ex e JOIN p{_r} p ON e.id = p.id
+        )""")
+    oracles["kcenter_select"] = f"""
+        WITH q AS MATERIALIZED (
+          SELECT vec_id AS id,
+            list_transform(CAST(embedding AS DOUBLE[]),
+              x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qv
+          FROM embeddings WHERE vec_id < 500 AND embedding IS NOT NULL
+        ),
+        ex AS MATERIALIZED (
+          SELECT id, UNNEST(qv) AS qv,
+            generate_subscripts(qv, 1) AS pos
+          FROM q
+        ),
+        s1 AS MATERIALIZED (
+          SELECT CAST(1 AS BIGINT) AS rank, e.id, e.pos, e.qv AS c,
+            CAST(NULL AS BIGINT) AS dmin
+          FROM ex e WHERE e.id = (SELECT MIN(id) FROM q)
+        ),{",".join(_kc_rounds)}
+        SELECT DISTINCT rank, id AS vec_id, dmin FROM s8
+    """
+    # bradley_terry: Hunter-MM over the bounded directed pair table,
+    # 4 unrolled rounds, term-wise truncating division at scale^2.
+    _bt_rounds = []
+    for _r in range(1, 5):
+        _prev = f"r{_r - 1}"
+        _bt_rounds.append(f"""
+        d{_r} AS MATERIALIZED (
+          SELECT dir.i AS p,
+            SUM((CAST(n AS HUGEINT) * 1000000000000) // (ri.r + rj.r)) AS d
+          FROM dir
+          JOIN {_prev} ri ON dir.i = ri.p
+          JOIN {_prev} rj ON dir.j = rj.p
+          GROUP BY 1
+        ),
+        r{_r} AS MATERIALIZED (
+          SELECT b.p,
+            GREATEST((CAST(b.wins + 1 AS HUGEINT) * 1000000000000) // d.d,
+                     1) AS r
+          FROM base b JOIN d{_r} d ON b.p = d.p
+        )""")
+    oracles["bradley_terry"] = f"""
+        WITH src AS MATERIALIZED (
+          SELECT l_suppkey % 20 AS i, l_partkey % 20 AS j,
+            ((((l_orderkey * 8 + l_linenumber) % 1000003) * 2654435761)
+             % 1000003) % 2 = 0 AS win
+          FROM lineitem WHERE l_suppkey % 20 <> l_partkey % 20
+        ),
+        m AS MATERIALIZED (
+          SELECT CAST(CASE WHEN win THEN i ELSE j END AS BIGINT) AS w,
+            CAST(CASE WHEN win THEN j ELSE i END AS BIGINT) AS l
+          FROM src
+        ),
+        pairs AS MATERIALIZED (
+          SELECT LEAST(w, l) AS a, GREATEST(w, l) AS b,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM m GROUP BY 1, 2
+        ),
+        dir AS MATERIALIZED (
+          SELECT a AS i, b AS j, n FROM pairs
+          UNION ALL
+          SELECT b AS i, a AS j, n FROM pairs
+        ),
+        wins AS (SELECT w AS p, CAST(COUNT(*) AS BIGINT) AS wins
+                 FROM m GROUP BY 1),
+        base AS MATERIALIZED (
+          SELECT pl.p, COALESCE(wins.wins, 0) AS wins
+          FROM (SELECT DISTINCT i AS p FROM dir) pl
+          LEFT JOIN wins ON pl.p = wins.p
+        ),
+        r0 AS MATERIALIZED (
+          SELECT p, CAST(1000000 AS HUGEINT) AS r FROM base
+        ),{",".join(_bt_rounds)}
+        SELECT b.p AS player, b.wins, nm.n_matches,
+          CAST(r4.r AS BIGINT) AS rating_micro
+        FROM base b
+        JOIN (SELECT i AS p, CAST(SUM(n) AS BIGINT) AS n_matches
+              FROM dir GROUP BY 1) nm ON b.p = nm.p
+        JOIN r4 ON b.p = r4.p
     """
     return oracles

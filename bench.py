@@ -212,6 +212,12 @@ PIPELINE = [
     "dedup_keep_best",
     "packing_efficiency",
     "rouge_overlap",
+    "pass_at_k",
+    "self_consistency",
+    "bleu_clipped",
+    "fleiss_kappa",
+    "kcenter_select",
+    "bradley_terry",
 ]
 
 

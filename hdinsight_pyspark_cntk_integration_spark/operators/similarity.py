@@ -1562,3 +1562,104 @@ def power_iteration_quantized(
             .localCheckpoint(eager=True)
         )
     return vec.select(F.col("pos").cast("long").alias("pos"), F.col("v").alias("component_micro"))
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Greedy k-center / farthest-point diversity selection (Gonzalez
+    1985) over micro-quantized integer embeddings — the coverage-style
+    seed selector curation pipelines use to pick maximally-diverse
+    exemplars (and the classic 2-approximation to the k-center
+    objective). Each round adds the point FARTHEST from the selected
+    set (max over min squared L2), ties on the smaller id.
+
+    Oracle-provable by the kmeans_quantized discipline: components
+    quantize AT BIRTH (``floor(v_i * scale)``), every distance is an
+    exact integer squared-L2 accumulated in DECIMAL(38,0), the first
+    center is the smallest id, and the per-round global argmax is ONE
+    partial-aggregable ``max(struct(dmin, -id))`` — a 1-row aggregate,
+    never a global window or a driver collect. Each round
+    localCheckpoints the selected set (the connected_components
+    lesson). The full loop unrolls to k-1 MATERIALIZED CTE rounds.
+
+    Input contract: a BOUNDED candidate pool (k-center is inherently
+    k·|pool| work; callers pre-slice with a filter or a top-k, the way
+    mmr_rerank bounds its pools). dmin must fit BIGINT on output:
+    scale²·(2·max|v|)²·dim < 2^63 — with scale 1e6, unit-norm vectors
+    and dim ≤ 512 the headroom is >100×.
+
+    Returns (rank, <id_col>, dmin): selection order 1..k and the exact
+    integer squared distance to the previously-selected set at
+    selection time (NULL for rank 1).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    v = F.col(vec_col).cast("array<double>")
+    q = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.transform(v, lambda x: F.floor(x * scale).cast("long")).alias("__qv"),
+    )
+    ex = q.select(
+        "__id", F.posexplode("__qv").alias("pos", "qv")
+    ).localCheckpoint(eager=True)
+    first = q.select(F.min("__id").alias("__id"))
+    selected = (
+        ex.join(first, "__id")
+        .select(
+            F.lit(1).cast("long").alias("rank"),
+            "__id",
+            "pos",
+            F.col("qv").alias("c"),
+            F.lit(None).cast("long").alias("dmin"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for r in range(2, k + 1):
+        rem = ex.join(selected.select("__id").distinct(), "__id", "left_anti")
+        dm = (
+            rem.join(
+                selected.select(
+                    F.col("__id").alias("__sid"), "pos", "c"
+                ),
+                "pos",
+            )
+            .groupBy("__id", "__sid")
+            .agg(
+                F.sum(
+                    (F.col("qv") - F.col("c")).cast("decimal(38,0)")
+                    * (F.col("qv") - F.col("c"))
+                ).alias("d")
+            )
+            .groupBy("__id")
+            .agg(F.min("d").alias("dmin"))
+        )
+        pick = (
+            dm.groupBy()
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("dmin").alias("d"), (-F.col("__id")).alias("nid")
+                    )
+                ).alias("s")
+            )
+            .select(
+                (-F.col("s.nid")).cast("long").alias("__id"),
+                F.col("s.d").cast("long").alias("dmin"),
+            )
+        )
+        newsel = ex.join(pick, "__id").select(
+            F.lit(r).cast("long").alias("rank"),
+            "__id",
+            "pos",
+            F.col("qv").alias("c"),
+            "dmin",
+        )
+        selected = selected.unionByName(newsel).localCheckpoint(eager=True)
+    return selected.select(
+        "rank", F.col("__id").alias(id_col), "dmin"
+    ).distinct()

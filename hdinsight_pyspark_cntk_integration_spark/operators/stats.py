@@ -2836,3 +2836,290 @@ def vector_dq(
         F.sum(F.col("__nullc").cast("long")).cast("long").alias("n_null_comp"),
         F.sum(F.col("__zero").cast("long")).cast("long").alias("n_allzero"),
     )
+
+
+def pass_at_k(
+    df: DataFrame,
+    problem_col: str = "problem_id",
+    correct_col: str = "correct",
+    k: int = 3,
+) -> DataFrame:
+    """Unbiased pass@k estimator (Chen et al. 2021, "Evaluating Large
+    Language Models Trained on Code", eq. 1) over per-sample eval rows:
+    for a problem with n samples of which c pass,
+    ``pass@k = 1 - C(n-c, k) / C(n, k)`` — the probability that at
+    least one of k drawn samples passes. The standard code-generation
+    eval metric a training-data pipeline computes over its eval grid.
+
+    Exact integer form: the binomial ratio's k! cancels, so
+    ``C(n-c,k)/C(n,k) = prod_{i<k}(n-c-i) / prod_{i<k}(n-i)`` — two
+    falling-factorial products. The numerator crosses a zero factor
+    whenever n-c < k, so it is exactly 0 there (pass@k = 1) with no
+    case split, and pass@k in micro-units is
+    ``1e6 - (1e6 * num) DIV den``. Every cell is an exact integer —
+    hash-gate safe with no float discipline needed.
+
+    Output is the BOUNDED (n_samples, n_correct) profile, not one row
+    per problem: problems sharing (n, c) share the estimator, so the
+    result is at most |n-domain|·|c-domain| rows regardless of corpus
+    size. Columns (n_samples, n_correct, n_problems, pass_at_k_micro).
+
+    Scale shape: one partial-agg shuffle to (problem → n, c), one to
+    the tiny (n, c) profile. Products accumulate in DECIMAL(38,0);
+    the documented bound is n^k · 1e6 < 10^38 (n ≤ ~10^10 at k = 3 —
+    far beyond any per-problem sample count).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    per = (
+        df.groupBy(problem_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            F.sum(F.col(correct_col).cast("long")).cast("long").alias("n_correct"),
+        )
+        .filter(F.col("n_samples") >= k)
+    )
+    prof = per.groupBy("n_samples", "n_correct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_problems")
+    )
+    num = "CAST(1 AS DECIMAL(38,0))"
+    den = "CAST(1 AS DECIMAL(38,0))"
+    for i in range(k):
+        num += f" * (n_samples - n_correct - {i})"
+        den += f" * (n_samples - {i})"
+    micro = (
+        f"CAST(1000000 - (CAST(1000000 AS DECIMAL(38,0)) * ({num}))"
+        f" DIV ({den}) AS BIGINT)"
+    )
+    return prof.select(
+        "n_samples",
+        "n_correct",
+        "n_problems",
+        F.expr(micro).alias("pass_at_k_micro"),
+    )
+
+
+def self_consistency(
+    df: DataFrame,
+    problem_col: str = "problem_id",
+    answer_col: str = "answer",
+    gold_col: str = "gold",
+) -> DataFrame:
+    """Self-consistency majority-vote accuracy (Wang et al. 2022,
+    "Self-Consistency Improves Chain of Thought Reasoning"): per
+    problem, k sampled answers vote; the majority answer (ties broken
+    by SMALLEST answer value, deterministically) is compared to the
+    problem's gold answer. ``gold_col`` rides on every sample row
+    (constant per problem).
+
+    The per-problem argmax is ONE partial-aggregable struct min over
+    the (problem, answer) vote counts — ``min(struct(-votes, answer))``
+    orders by most votes then smallest answer, so no window and no
+    per-problem sort. Output is a single corpus row: (n_problems,
+    n_majority_correct, accuracy_micro, mean_vote_share_micro), where
+    accuracy_micro = correct·1e6 DIV problems and mean_vote_share_micro
+    is the mean of per-problem floor(votes·1e6 / n_votes) — every cell
+    an exact integer.
+
+    Scale shape: two partial-agg shuffles keyed on the problem id
+    (vote counts, then argmax+totals) and a 1-row final aggregate.
+    """
+    counts = df.groupBy(problem_col, answer_col).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    top = counts.groupBy(problem_col).agg(
+        F.min(
+            F.struct(
+                (-F.col("cnt")).alias("neg_votes"),
+                F.col(answer_col).alias("answer"),
+            )
+        ).alias("s"),
+        F.sum("cnt").cast("long").alias("n_votes"),
+    )
+    gold = df.groupBy(problem_col).agg(F.min(gold_col).alias("gold"))
+    per = top.join(gold, problem_col).select(
+        F.col(problem_col),
+        (-F.col("s.neg_votes")).cast("long").alias("votes"),
+        F.col("n_votes"),
+        (F.col("s.answer") == F.col("gold")).cast("long").alias("ok"),
+    )
+    return per.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_problems"),
+        F.sum("ok").cast("long").alias("n_majority_correct"),
+        F.expr(
+            "CAST(CAST(SUM(ok) AS DECIMAL(38,0)) * 1000000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("accuracy_micro"),
+        F.expr(
+            "CAST(SUM(CAST(votes AS DECIMAL(38,0)) * 1000000 DIV n_votes)"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("mean_vote_share_micro"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str = "item_id",
+    category_col: str = "category",
+) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) — chance-corrected inter-annotator
+    agreement over items each rated by the same number n of raters:
+    ``kappa = (P̄ − P̄e) / (1 − P̄e)`` with P̄ the mean pairwise
+    agreement per item and P̄e the squared-marginal chance agreement.
+    The QA metric a labeling/curation pipeline runs over redundant
+    human or model judgments before trusting them as filters.
+
+    Exact rational form: with per-(item, category) counts n_ij,
+    S = Σ n_ij², T = total ratings, N = items, n = T/N, and
+    C2 = Σ_j (Σ_i n_ij)², the identity
+    ``kappa = ((S − T)·T − (n−1)·C2) / ((n−1)·(T² − C2))`` holds —
+    every term an exact integer. The ratio is evaluated entirely in
+    DECIMAL(38,0) (safe to T < ~10^16 ratings) and emitted as
+    ``kappa_micro`` (integer DIV — truncation toward zero in both
+    Spark and DuckDB, and kappa CAN be negative for worse-than-chance
+    raters). Denominator 0 (all ratings in one category) yields NULL
+    kappa. The exact input sums (s_sq, c_sq, total_ratings) ride
+    along so a caller can reconstruct the full-precision rational.
+
+    Input is one row per (item, rater) assignment; rater identity never
+    matters, only counts. Uniform n per item is the caller's contract
+    (Fleiss' requirement); n is derived as T DIV N.
+
+    Scale shape: one partial-agg shuffle to (item, category) counts —
+    bounded by items × category domain — then two tiny reductions
+    (per-item and per-category) into a single row. Nothing global ever
+    sorts.
+    """
+    nij = df.groupBy(item_col, category_col).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = nij.groupBy().agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s_sq"),
+        F.sum("c").cast("long").alias("t"),
+        F.countDistinct(item_col).cast("long").alias("n_items"),
+    )
+    col2 = (
+        nij.groupBy(category_col)
+        .agg(F.sum("c").cast("long").alias("cj"))
+        .groupBy()
+        .agg(F.sum(F.col("cj") * F.col("cj")).cast("long").alias("c_sq"))
+    )
+    d = "CAST({x} AS DECIMAL(38,0))"
+    num = (
+        f"(({d.format(x='s_sq')} - t) * t"
+        f" - (t DIV n_items - 1) * {d.format(x='c_sq')})"
+    )
+    den = f"((t DIV n_items - 1) * ({d.format(x='t')} * t - c_sq))"
+    return tot.crossJoin(col2).select(
+        "n_items",
+        F.expr("CAST(t DIV n_items AS BIGINT)").alias("n_raters"),
+        F.col("t").alias("total_ratings"),
+        "s_sq",
+        "c_sq",
+        F.expr(
+            f"CAST(({num} * 1000000) DIV NULLIF({den}, 0) AS BIGINT)"
+        ).alias("kappa_micro"),
+    )
+
+
+def bradley_terry_quantized(
+    matches: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    iters: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Bradley-Terry pairwise-preference strengths by Hunter's (2004)
+    MM iteration, micro-quantized integers throughout — the ranking
+    model preference/RLHF pipelines fit over pairwise comparisons
+    (model A beat model B), and the kmeans_provable discipline applied
+    to it. Input is one row per match (winner id, loser id).
+
+    Quantized MM round, every step an exact integer:
+    ``D_i = Σ_j (n_ij · scale²) DIV (π_i + π_j)`` (term-wise truncating
+    division over the directed pair table), then
+    ``π'_i = ((W_i + 1) · scale²) DIV D_i``, floored at 1. The +1 on
+    wins is explicit Laplace regularization: the textbook MM update is
+    undefined for players with zero wins (their strength collapses to
+    0 and later rounds divide by π_i + π_j = 0); the floor keeps every
+    rating positive. Ratings are scale-free, so no normalization pass
+    — determinism comes from the fixed ``iters`` and the fixed
+    truncation points, replayed by an ANSI oracle as ``iters``
+    unrolled MATERIALIZED CTE rounds over the pair table.
+
+    Scale shape: matches collapse ONCE into the (unordered pair → n)
+    table — one partial-agg shuffle, bounded by the PLAYER-pair domain
+    (players², not matches) — and every MM round joins only that pair
+    table against the |players|-row rating table. 100 TB of match logs
+    cost one aggregation; the loop never rescans them.
+
+    Returns (player, wins, n_matches, rating_micro) — wins/matches
+    exact counts, rating in scale units (π₀ = scale for everyone).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1 (got {iters})")
+    w_c, l_c = F.col(winner_col), F.col(loser_col)
+    m = matches.select(
+        w_c.cast("long").alias("__w"), l_c.cast("long").alias("__l")
+    )
+    pairs = (
+        m.select(
+            F.least("__w", "__l").alias("a"), F.greatest("__w", "__l").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    dirp = pairs.select(
+        F.col("a").alias("i"), F.col("b").alias("j"), "n"
+    ).unionByName(
+        pairs.select(F.col("b").alias("i"), F.col("a").alias("j"), "n")
+    ).localCheckpoint(eager=True)
+    wins = m.groupBy(F.col("__w").alias("p")).agg(
+        F.count(F.lit(1)).cast("long").alias("wins")
+    )
+    players = dirp.select(F.col("i").alias("p")).distinct()
+    base = (
+        players.join(wins, "p", "left")
+        .select(
+            "p",
+            F.coalesce(F.col("wins"), F.lit(0).cast("long")).alias("wins"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sq = scale * scale
+    rating = base.select("p", F.lit(scale).cast("long").alias("r"))
+    for _ in range(iters):
+        d = (
+            dirp.join(rating.select(F.col("p").alias("i"), F.col("r").alias("ri")), "i")
+            .join(rating.select(F.col("p").alias("j"), F.col("r").alias("rj")), "j")
+            .groupBy(F.col("i").alias("p"))
+            .agg(
+                F.sum(
+                    F.expr(f"CAST(n AS DECIMAL(38,0)) * {sq} DIV (ri + rj)")
+                ).alias("d")
+            )
+        )
+        rating = (
+            base.join(d, "p")
+            .select(
+                "p",
+                F.expr(
+                    f"CAST(GREATEST(CAST(wins + 1 AS DECIMAL(38,0)) * {sq}"
+                    f" DIV d, 1) AS BIGINT)"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    n_m = dirp.groupBy(F.col("i").alias("p")).agg(
+        F.sum("n").cast("long").alias("n_matches")
+    )
+    return (
+        base.join(n_m, "p")
+        .join(rating, "p")
+        .select(
+            F.col("p").alias("player"),
+            "wins",
+            "n_matches",
+            F.col("r").alias("rating_micro"),
+        )
+    )

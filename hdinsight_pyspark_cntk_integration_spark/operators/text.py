@@ -2266,3 +2266,90 @@ def rouge_n(
             f"CAST({dec.format(x='n_match')} * 2000000 DIV (n_ref + n_gen) AS BIGINT)"
         ).alias("f1_micro"),
     )
+
+
+def bleu_clipped_precision(
+    refs: DataFrame,
+    gens: DataFrame,
+    id_col: str = "doc_id",
+    ref_text_col: str = "text",
+    gen_text_col: str = "text",
+    n_max: int = 2,
+) -> DataFrame:
+    """Corpus-level clipped n-gram precision — the modified-precision
+    core of BLEU (Papineni et al. 2002, eq. 2) — between paired
+    reference and generated texts. Distinct from ``rouge_n``'s
+    set-based overlap: counts here are MULTISET counts, and each
+    generated gram's credit is clipped at the reference's count of
+    that gram (the device that stops "the the the the" from scoring).
+
+    Per n in 1..n_max the corpus aggregate is
+    ``precision_n = Σ_id Σ_g min(cnt_gen(id,g), cnt_ref(id,g)) /
+    Σ_id Σ_g cnt_gen(id,g)`` — exact integers, emitted in micro-units
+    via integer DIV. The brevity penalty's exp() is deliberately NOT
+    folded in (it would break hash-exactness); total_ref/total_gen per
+    row carry the length statistics a caller needs to apply it.
+
+    Scale shape: each side explodes once to (id, n, gram) — all n
+    orders in one pass over each corpus — then two partial-agg
+    shuffles: multiset counts keyed (id, n, gram), and the clip join
+    co-keyed on the same triple (inner join: grams absent from the
+    reference clip to 0 and drop). Final aggregate is n_max rows.
+    Shuffle volume is linear in gram count; no cross-id pairing.
+
+    Returns (n, total_ref, total_gen, total_clipped, precision_micro).
+    """
+    from hdinsight_pyspark_cntk_integration_spark.operators.dedup import word_ngrams
+
+    if n_max < 1:
+        raise ValueError(f"n_max must be >= 1 (got {n_max})")
+
+    def grams(df: DataFrame, text_col: str) -> DataFrame:
+        def tag(n: int):
+            # single-arg lambda: a two-arg lambda would make
+            # F.transform pass (element, index) and shadow the
+            # captured n with the gram position.
+            return F.transform(
+                word_ngrams(text_col, n),
+                lambda g: F.struct(F.lit(n).cast("int").alias("n"), g.alias("g")),
+            )
+
+        arrs = [tag(n) for n in range(1, n_max + 1)]
+        return (
+            df.select(F.col(id_col), F.explode(F.concat(*arrs)).alias("x"))
+            .select(id_col, F.col("x.n").alias("n"), F.col("x.g").alias("g"))
+            .filter(F.length("g") > 0)
+            .groupBy(id_col, "n", "g")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+
+    rc = grams(refs, ref_text_col)
+    gc = grams(gens, gen_text_col)
+    clip = (
+        gc.alias("g")
+        .join(rc.alias("r"), [id_col, "n", "g"])
+        .groupBy("n")
+        .agg(
+            F.sum(F.least(F.col("g.c"), F.col("r.c"))).cast("long").alias(
+                "total_clipped"
+            )
+        )
+    )
+    gt = gc.groupBy("n").agg(F.sum("c").cast("long").alias("total_gen"))
+    rt = rc.groupBy("n").agg(F.sum("c").cast("long").alias("total_ref"))
+    return (
+        rt.join(gt, "n")
+        .join(clip, "n", "left")
+        .select(
+            F.col("n").cast("int").alias("n"),
+            "total_ref",
+            "total_gen",
+            F.coalesce(F.col("total_clipped"), F.lit(0).cast("long")).alias(
+                "total_clipped"
+            ),
+            F.expr(
+                "CAST(CAST(COALESCE(total_clipped, 0) AS DECIMAL(38,0)) * 1000000"
+                " DIV total_gen AS BIGINT)"
+            ).alias("precision_micro"),
+        )
+    )

@@ -224,3 +224,38 @@ def test_rouge_n_validation(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         tx.rouge_n(df, df, n=0)
+
+
+# --- bleu_clipped_precision (round 11, multiset-clipped BLEU core) ---
+
+
+def test_bleu_clip_caps_repeated_grams(spark):
+    # the BLEU motivating case: gen = "the the the", ref has ONE "the"
+    # -> unigram credit clips at 1 of 3 (set-based rouge would give 1/1)
+    refs = spark.createDataFrame([(1, "the cat sat")], "doc_id long, text string")
+    gens = spark.createDataFrame([(1, "the the the")], "doc_id long, text string")
+    out = {r["n"]: r for r in tx.bleu_clipped_precision(refs, gens, n_max=2).collect()}
+    assert (out[1]["total_gen"], out[1]["total_clipped"]) == (3, 1)
+    assert out[1]["precision_micro"] == 333_333
+    # bigrams: gen {"the the": 2}, ref has none -> 0
+    assert (out[2]["total_gen"], out[2]["total_clipped"]) == (2, 0)
+    assert out[2]["precision_micro"] == 0
+
+
+def test_bleu_clip_identical_is_perfect(spark):
+    refs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "x y")], "doc_id long, text string"
+    )
+    out = {r["n"]: r for r in tx.bleu_clipped_precision(refs, refs, n_max=2).collect()}
+    for n in (1, 2):
+        assert out[n]["total_ref"] == out[n]["total_gen"] == out[n]["total_clipped"]
+        assert out[n]["precision_micro"] == 1_000_000
+    # multiset check: doc 1 has "a b" twice and both count
+    assert out[2]["total_clipped"] == 3 + 1
+
+
+def test_bleu_clip_validation(spark):
+    import pytest as _pytest
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        tx.bleu_clipped_precision(df, df, n_max=0)

@@ -649,3 +649,34 @@ def test_power_iteration_quantized_matches_eigenvector(spark):
     assert abs(float(v @ top)) > 0.999
     again = sim.power_iteration_quantized(df, rounds=8).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# --- kcenter_select (round 11, farthest-point diversity selection) ---
+
+
+def test_kcenter_picks_farthest_points(spark):
+    # 1-D line: points at 0, 1, 10, 11, 20 (ids 1..5).
+    # start = min id (x=0); farthest = 20; then 10 or 11 -> 10 wins
+    # (d to {0,20}: 10->min(100,100)=100; 11->min(121,81)=81), then 11? no:
+    # after {0,20,10}: 1 -> min(1,361,81)=1; 11 -> min(121,81,1)=1 ->
+    # tie on dmin=1*SCALE^2, smaller id wins -> id 2 (x=1).
+    rows = [(1, [0.0]), (2, [1.0]), (3, [10.0]), (4, [11.0]), (5, [20.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["rank"]: r for r in sim.kcenter_select(df, k=4, scale=1).collect()}
+    assert [out[r]["vec_id"] for r in (1, 2, 3, 4)] == [1, 5, 3, 2]
+    assert out[1]["dmin"] is None
+    assert out[2]["dmin"] == 400  # 20^2
+    assert out[3]["dmin"] == 100  # min(10^2, 10^2)
+    assert out[4]["dmin"] == 1  # tie with id 4, smaller id selected
+
+
+def test_kcenter_quantization_and_validation(spark):
+    import pytest as _pytest
+
+    rows = [(1, [0.5, 0.5]), (2, [-0.5, 0.25])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["rank"]: r for r in sim.kcenter_select(df, k=2).collect()}
+    # quantized at 1e6: d = (500000-(-500000))^2 + (500000-250000)^2
+    assert out[2]["dmin"] == 1_000_000_000_000 + 62_500_000_000
+    with _pytest.raises(ValueError):
+        sim.kcenter_select(df, k=0)

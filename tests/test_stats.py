@@ -1586,3 +1586,162 @@ def test_vector_dq_counts_every_defect(spark):
     assert r["n_nonfinite"] == 2 and r["n_allzero"] == 1
     with pytest.raises(ValueError):
         st.vector_dq(df, "vec_id", "embedding", expected_dim=0)
+
+
+# --- pass_at_k (round 11, code-eval estimator) ---
+
+
+def test_pass_at_k_known_combinatorics(spark):
+    # problem 1: n=5, c=2 -> pass@3 = 1 - C(3,3)/C(5,3) = 1 - 1/10 = 0.9
+    # problem 2: n=3, c=0 -> pass@3 = 0
+    # problem 3: n=4, c=4 -> numerator zero-crosses -> pass@3 = 1
+    # problem 4: n=2 (< k) -> filtered out entirely
+    rows = (
+        [(1, x) for x in (1, 1, 0, 0, 0)]
+        + [(2, 0), (2, 0), (2, 0)]
+        + [(3, 1), (3, 1), (3, 1), (3, 1)]
+        + [(4, 1), (4, 1)]
+    )
+    df = spark.createDataFrame(rows, "problem_id long, correct int")
+    out = {
+        (r["n_samples"], r["n_correct"]): r
+        for r in st.pass_at_k(df, k=3).collect()
+    }
+    assert set(out) == {(5, 2), (3, 0), (4, 4)}
+    assert out[(5, 2)]["pass_at_k_micro"] == 900_000
+    assert out[(3, 0)]["pass_at_k_micro"] == 0
+    assert out[(4, 4)]["pass_at_k_micro"] == 1_000_000
+    assert all(r["n_problems"] == 1 for r in out.values())
+
+
+def test_pass_at_k_floor_rounding_and_validation(spark):
+    # n=4, c=1 -> 1 - C(3,3)/C(4,3) = 1 - 1/4 = 0.75 exactly
+    df = spark.createDataFrame(
+        [(1, 1), (1, 0), (1, 0), (1, 0)], "problem_id long, correct int"
+    )
+    [r] = st.pass_at_k(df, k=3).collect()
+    assert r["pass_at_k_micro"] == 750_000
+    with pytest.raises(ValueError):
+        st.pass_at_k(df, k=0)
+
+
+# --- self_consistency (round 11, majority-vote eval) ---
+
+
+def test_self_consistency_majority_and_tiebreak(spark):
+    # p1: votes {7:2, 3:1}, gold 7 -> correct, share 2/3
+    # p2: tie {1:1, 5:1}, tie-break smallest answer -> 1, gold 5 -> wrong
+    rows = [
+        (1, 7, 7), (1, 7, 7), (1, 3, 7),
+        (2, 5, 5), (2, 1, 5),
+    ]
+    df = spark.createDataFrame(rows, "problem_id long, answer long, gold long")
+    [r] = st.self_consistency(df).collect()
+    assert r["n_problems"] == 2
+    assert r["n_majority_correct"] == 1
+    assert r["accuracy_micro"] == 500_000
+    # shares: floor(2e6/3)=666666, floor(1e6/2)=500000 -> mean 583333
+    assert r["mean_vote_share_micro"] == (666_666 + 500_000) // 2
+
+
+def test_self_consistency_unanimous(spark):
+    df = spark.createDataFrame(
+        [(1, 4, 4), (1, 4, 4)], "problem_id long, answer long, gold long"
+    )
+    [r] = st.self_consistency(df).collect()
+    assert r["n_majority_correct"] == 1 and r["accuracy_micro"] == 1_000_000
+    assert r["mean_vote_share_micro"] == 1_000_000
+
+
+# --- fleiss_kappa (round 11, inter-annotator agreement) ---
+
+
+def test_fleiss_kappa_perfect_and_worse_than_chance(spark):
+    # perfect within-item agreement -> kappa = 1
+    rows = [(1, "a"), (1, "a"), (2, "a"), (2, "a"), (3, "b"), (3, "b")]
+    df = spark.createDataFrame(rows, "item_id long, category string")
+    [r] = st.fleiss_kappa(df).collect()
+    assert (r["n_items"], r["n_raters"], r["total_ratings"]) == (3, 2, 6)
+    assert r["kappa_micro"] == 1_000_000
+    # systematic disagreement, balanced marginals -> kappa = -1
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, "item_id long, category string")
+    [r] = st.fleiss_kappa(df).collect()
+    assert r["kappa_micro"] == -1_000_000
+
+
+def test_fleiss_kappa_degenerate_single_category_null(spark):
+    # every rating identical: 1 - Pe = 0 -> kappa undefined -> NULL
+    rows = [(1, "a"), (1, "a"), (2, "a"), (2, "a")]
+    df = spark.createDataFrame(rows, "item_id long, category string")
+    [r] = st.fleiss_kappa(df).collect()
+    assert r["kappa_micro"] is None
+
+
+def test_fleiss_kappa_matches_fraction_reference(spark):
+    # 4 items x 3 raters, mixed agreement; reference via exact fractions
+    from fractions import Fraction
+
+    ratings = {1: ["a", "a", "b"], 2: ["b", "b", "b"], 3: ["a", "c", "c"], 4: ["a", "a", "a"]}
+    rows = [(i, c) for i, cats in ratings.items() for c in cats]
+    df = spark.createDataFrame(rows, "item_id long, category string")
+    [r] = st.fleiss_kappa(df).collect()
+    n_items, n = 4, 3
+    t = n_items * n
+    from collections import Counter
+
+    s_sq = sum(c * c for cats in ratings.values() for c in Counter(cats).values())
+    col = Counter(c for cats in ratings.values() for c in cats)
+    c_sq = sum(v * v for v in col.values())
+    num = (s_sq - t) * t - (n - 1) * c_sq
+    den = (n - 1) * (t * t - c_sq)
+    expected = int(Fraction(num * 1_000_000, den))  # trunc toward zero
+    assert (r["s_sq"], r["c_sq"]) == (s_sq, c_sq)
+    assert r["kappa_micro"] == expected
+
+
+# --- bradley_terry_quantized (round 11, pairwise-preference ranking) ---
+
+
+def test_bradley_terry_orders_by_strength(spark):
+    # round-robin: 1 beats 2 twice, 2 beats 3 twice, 1 beats 3 twice,
+    # plus one upset each way to keep all wins positive.
+    rows = (
+        [(1, 2)] * 4 + [(2, 1)] + [(2, 3)] * 4 + [(3, 2)] + [(1, 3)] * 4 + [(3, 1)]
+    )
+    df = spark.createDataFrame(rows, "winner long, loser long")
+    out = {r["player"]: r for r in st.bradley_terry_quantized(df, iters=4).collect()}
+    assert out[1]["wins"] == 8 and out[1]["n_matches"] == 10
+    # monotone: more wins against the same opposition -> higher rating
+    assert out[1]["rating_micro"] > out[2]["rating_micro"] > out[3]["rating_micro"]
+    assert all(r["rating_micro"] >= 1 for r in out.values())
+
+
+def test_bradley_terry_matches_python_reference(spark):
+    # replay the quantized MM update exactly in Python
+    matches = [(1, 2), (1, 2), (2, 3), (3, 1)]
+    df = spark.createDataFrame(matches, "winner long, loser long")
+    out = {r["player"]: r["rating_micro"] for r in st.bradley_terry_quantized(df, iters=4).collect()}
+
+    from collections import Counter
+
+    wins = Counter(w for w, _ in matches)
+    pairs = Counter(tuple(sorted(m)) for m in matches)
+    players = sorted({p for m in matches for p in m})
+    SQ = 1_000_000**2
+    r = {p: 1_000_000 for p in players}
+    for _ in range(4):
+        d = {}
+        for (a, b), n in pairs.items():
+            d[a] = d.get(a, 0) + (n * SQ) // (r[a] + r[b])
+            d[b] = d.get(b, 0) + (n * SQ) // (r[a] + r[b])
+        r = {p: max(((wins.get(p, 0) + 1) * SQ) // d[p], 1) for p in players}
+    assert out == r
+
+
+def test_bradley_terry_zero_win_player_survives(spark):
+    df = spark.createDataFrame([(1, 2), (1, 2)], "winner long, loser long")
+    out = {r["player"]: r for r in st.bradley_terry_quantized(df).collect()}
+    assert out[2]["wins"] == 0
+    assert out[2]["rating_micro"] >= 1
+    assert out[1]["rating_micro"] > out[2]["rating_micro"]
