@@ -5780,6 +5780,95 @@ def q_self_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.self_consistency(samples)
 
 
+def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal effect size between returned and non-returned line items
+    on quantity (operators.stats.cliffs_delta): all-pairs dominance
+    computed from the 50-value distinct-quantity aggregate — one
+    partial-agg shuffle + a domain-bounded prefix sum, never n_a·n_b
+    pairs. Exact integer cells; truncating signed micro ratio."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return st.cliffs_delta(li, "l_returnflag", "l_quantity", "R", "N")
+
+
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing count-of-counts smoothing table (operators.text.
+    good_turing_counts, r <= 10, word TRIGRAMS — the fixture's unigram
+    vocabulary is closed at 31 types so only the n=3 tail is sparse
+    enough to smooth): N_r exact counts, r* = (r+1)N_{r+1}/N_r micro-
+    truncated; N_{r+1} by self-join (frequency gaps make lead() wrong).
+    Window-free; shuffles bounded by gram then frequency domains."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.good_turing_counts(docs, r_max=10, n=3)
+
+
+def _synthetic_ranking(spark: SparkSession, sf_dir: str, with_rel: bool):
+    """Shared deterministic retrieval fixture for the eval gates: every
+    events user is a query over 10 candidate docs; scores (and graded
+    relevance for NDCG) are Knuth-mixed so both engines replay the
+    exact ranking."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def mix(c):
+        return F.pmod(F.pmod(c, F.lit(1_000_003)) * F.lit(2654435761), F.lit(1_000_003))
+
+    users = ev.select("user_id").distinct()
+    cand = users.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("d")
+    )
+    s = mix(F.col("user_id") * 16 + F.col("d"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("s"), F.asc("d"))
+    base = cand.select(
+        F.col("user_id").alias("query_id"),
+        F.col("d").cast("long").alias("doc_id"),
+        s.alias("s"),
+        *(
+            [
+                F.pmod(mix(F.col("user_id") * 16 + F.col("d") + 3), F.lit(4))
+                .cast("long")
+                .alias("rel")
+            ]
+            if with_rel
+            else []
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("doc_id"))
+    return users, base.select(
+        "query_id",
+        "doc_id",
+        *(["rel"] if with_rel else []),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@5 + recall@5 (operators.similarity.retrieval_metrics) over
+    the deterministic synthetic ranking — one gold doc per query from
+    an independent Knuth mix, so hits/misses are data-driven. Rank
+    filter before the co-keyed gold join; one corpus row, all
+    integers."""
+
+    def mix(c):
+        return F.pmod(F.pmod(c, F.lit(1_000_003)) * F.lit(2654435761), F.lit(1_000_003))
+
+    users, ranked = _synthetic_ranking(spark, sf_dir, with_rel=False)
+    gold = users.select(
+        F.col("user_id").alias("query_id"),
+        F.pmod(mix(F.col("user_id") + 7), F.lit(10)).cast("long").alias("doc_id"),
+    )
+    return sim.retrieval_metrics(ranked, gold, k=5)
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mean NDCG@8 (operators.similarity.ndcg_at_k) over the
+    synthetic graded ranking: the log2 discount table is floored to
+    integer micro-weights ONCE in Python and embedded identically in
+    both engines, so no libm bit-identity is ever trusted."""
+    _, ranked = _synthetic_ranking(spark, sf_dir, with_rel=True)
+    return sim.ndcg_at_k(ranked, k=8)
+
+
 def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center diversity selection (operators.similarity.
     kcenter_select, k=8): the farthest-point exemplar picker over the
@@ -6272,6 +6361,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fleiss_kappa": q_fleiss_kappa,
         "kcenter_select": q_kcenter_select,
         "bradley_terry": q_bradley_terry,
+        "cliffs_delta": q_cliffs_delta,
+        "good_turing": q_good_turing,
+        "retrieval_mrr": q_retrieval_mrr,
+        "ndcg_eval": q_ndcg_eval,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -13506,5 +13599,163 @@ def oracle_sql() -> dict[str, str]:
         JOIN (SELECT i AS p, CAST(SUM(n) AS BIGINT) AS n_matches
               FROM dir GROUP BY 1) nm ON b.p = nm.p
         JOIN r4 ON b.p = r4.p
+    """
+    # cliffs_delta: all-pairs dominance from the distinct-value
+    # aggregate (the mann_whitney shape); signed micro ratio truncates
+    # toward zero in both engines.
+    oracles["cliffs_delta"] = """
+        WITH vc AS (
+          SELECT l_quantity AS v,
+            CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_b
+          FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1
+        ),
+        c AS (
+          SELECT n_a, n_b,
+            COALESCE(SUM(n_b) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          FROM vc
+        ),
+        agg AS (
+          SELECT CAST(SUM(n_a) AS BIGINT) AS n_a,
+            CAST(SUM(n_b) AS BIGINT) AS n_b,
+            CAST(SUM(n_a * cb) AS BIGINT) AS n_gt,
+            CAST(SUM(n_a * n_b) AS BIGINT) AS n_ties
+          FROM c
+        )
+        SELECT n_a, n_b, n_gt,
+          CAST(n_a * n_b - n_gt - n_ties AS BIGINT) AS n_lt,
+          n_ties,
+          CAST((CAST(n_gt AS HUGEINT) - (n_a * n_b - n_gt - n_ties))
+               * 1000000 // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+            AS delta_micro
+        FROM agg
+    """
+    # good_turing: count-of-counts + Turing discounts; N_{r+1} by
+    # self-join on r+1 (frequency gaps make lead() wrong).
+    oracles["good_turing"] = r"""
+        WITH lists AS (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS l
+          FROM documents
+        ),
+        toks AS (
+          SELECT unnest(list_transform(
+            generate_series(1, greatest(len(l) - 2, 1)),
+            i -> array_to_string(l[i:i+2], ' '))) AS tok
+          FROM lists
+        ),
+        freq AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS r
+          FROM toks WHERE length(tok) > 0 GROUP BY 1
+        ),
+        cc AS (
+          SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r
+          FROM freq WHERE r <= 11 GROUP BY 1
+        )
+        SELECT l.r, l.n_r,
+          COALESCE(n.n_r, 0) AS n_r_next,
+          CAST((l.r + 1) * CAST(COALESCE(n.n_r, 0) AS HUGEINT) * 1000000
+               // l.n_r AS BIGINT) AS r_star_micro
+        FROM cc l LEFT JOIN cc n ON n.r = l.r + 1
+        WHERE l.r <= 10
+    """
+    # retrieval_mrr / ndcg_eval: the shared deterministic ranking
+    # fixture — every events user queries 10 candidate docs with
+    # Knuth-mixed scores (and graded relevance for NDCG).
+    _rank_fixture = """
+        users AS (SELECT DISTINCT user_id FROM events),
+        cand AS (
+          SELECT user_id, d.d,
+            ((((user_id * 16 + d.d) % 1000003) * 2654435761) % 1000003)
+              AS s,
+            ((((user_id * 16 + d.d + 3) % 1000003) * 2654435761)
+              % 1000003) % 4 AS rel
+          FROM users CROSS JOIN (SELECT unnest(range(0, 10)) AS d) d
+        ),
+        ranked AS (
+          SELECT user_id AS query_id, CAST(d AS BIGINT) AS doc_id, rel,
+            CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY s DESC, d ASC) AS BIGINT) AS rank
+          FROM cand
+        )"""
+    oracles["retrieval_mrr"] = f"""
+        WITH {_rank_fixture},
+        gold AS (
+          SELECT user_id AS query_id,
+            CAST(((((user_id + 7) % 1000003) * 2654435761) % 1000003)
+                 % 10 AS BIGINT) AS doc_id
+          FROM users
+        ),
+        topk AS (SELECT * FROM ranked WHERE rank <= 5),
+        hits AS (
+          SELECT t.query_id, MIN(rank) AS first,
+            CAST(COUNT(*) AS BIGINT) AS hits
+          FROM topk t
+          JOIN gold g ON t.query_id = g.query_id AND t.doc_id = g.doc_id
+          GROUP BY 1
+        ),
+        gn AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS g
+               FROM gold GROUP BY 1),
+        per AS (
+          SELECT COALESCE(h.hits, 0) AS h, COALESCE(gn.g, 0) AS g,
+            COALESCE(CAST(1000000 AS HUGEINT) // h.first, 0) AS rr
+          FROM (SELECT DISTINCT query_id FROM ranked) q
+          LEFT JOIN hits h ON q.query_id = h.query_id
+          LEFT JOIN gn ON q.query_id = gn.query_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+          CAST(SUM(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_hit_queries,
+          CAST(SUM(rr) // COUNT(*) AS BIGINT) AS mrr_micro,
+          CAST(SUM(h) AS BIGINT) AS n_hits,
+          CAST(SUM(g) AS BIGINT) AS n_gold,
+          CAST(CAST(SUM(h) AS HUGEINT) * 1000000 // NULLIF(SUM(g), 0)
+               AS BIGINT) AS recall_at_k_micro
+        FROM per
+    """
+    import math as _math
+
+    _ndcg_case_rank = (
+        "CASE rank "
+        + " ".join(
+            f"WHEN {i} THEN CAST({int(_math.floor(1e12 / _math.log2(i + 1)))}"
+            " AS HUGEINT)"
+            for i in range(1, 9)
+        )
+        + " END"
+    )
+    _ndcg_case_pos = _ndcg_case_rank.replace("CASE rank", "CASE pos")
+    oracles["ndcg_eval"] = f"""
+        WITH {_rank_fixture},
+        top AS (SELECT * FROM ranked WHERE rank <= 8),
+        dcg AS (
+          SELECT query_id,
+            SUM(CAST(rel AS HUGEINT) * ({_ndcg_case_rank})) AS dcg
+          FROM top GROUP BY 1
+        ),
+        ip AS (
+          SELECT query_id, rel,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY rel DESC, rank ASC) AS pos
+          FROM top
+        ),
+        idcg AS (
+          SELECT query_id,
+            SUM(CAST(rel AS HUGEINT) * ({_ndcg_case_pos})) AS idcg
+          FROM ip GROUP BY 1
+        ),
+        per AS (
+          SELECT d.dcg, i.idcg, (d.dcg * 1000000) // i.idcg AS nd
+          FROM dcg d JOIN idcg i ON d.query_id = i.query_id
+          WHERE i.idcg > 0
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+          CAST(SUM(dcg) AS BIGINT) AS sum_dcg,
+          CAST(SUM(idcg) AS BIGINT) AS sum_idcg,
+          CAST(SUM(nd) // COUNT(*) AS BIGINT) AS mean_ndcg_micro
+        FROM per
     """
     return oracles

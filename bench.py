@@ -218,6 +218,10 @@ PIPELINE = [
     "fleiss_kappa",
     "kcenter_select",
     "bradley_terry",
+    "cliffs_delta",
+    "good_turing",
+    "retrieval_mrr",
+    "ndcg_eval",
 ]
 
 

@@ -3123,3 +3123,59 @@ def bradley_terry_quantized(
             F.col("r").alias("rating_micro"),
         )
     )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Cliff's delta (Cliff 1993) — the nonparametric ordinal effect
+    size ``(#{a > b} − #{a < b}) / (n_a · n_b)`` over all cross-group
+    pairs: the robust "how often does A beat B" companion to the
+    rank-sum test, used to judge whether a quality/metric shift is
+    practically meaningful, not just significant.
+
+    Computed WITHOUT forming pairs and WITHOUT a global row sort (the
+    mann_whitney_u discipline): one partial-agg shuffle collapses the
+    rows to (value, n_a, n_b) distinct-value counts — bounded by the
+    value DOMAIN — and ``#{a > b} = Σ_v n_a(v) · cum_b_before(v)``
+    from a prefix sum over that aggregate. ``#{a < b}`` falls out of
+    the identity gt + lt + ties = n_a·n_b. Every cell is an exact
+    integer; delta_micro is a truncating DECIMAL DIV (negative deltas
+    truncate identically in Spark and DuckDB).
+
+    Returns one row (n_a, n_b, n_gt, n_lt, n_ties, delta_micro).
+    """
+    vc = _two_group_value_counts(df, group_col, value_col, group_a, group_b)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    c = vc.select(
+        "n_a",
+        "n_b",
+        F.coalesce(F.sum("n_b").over(w), F.lit(0)).cast("long").alias("cb"),
+    )
+    return (
+        c.groupBy()
+        .agg(
+            F.sum("n_a").cast("long").alias("n_a"),
+            F.sum("n_b").cast("long").alias("n_b"),
+            F.sum(F.col("n_a") * F.col("cb")).cast("long").alias("n_gt"),
+            F.sum(F.col("n_a") * F.col("n_b")).cast("long").alias("n_ties"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "n_gt",
+            (F.col("n_a") * F.col("n_b") - F.col("n_gt") - F.col("n_ties"))
+            .cast("long")
+            .alias("n_lt"),
+            "n_ties",
+            F.expr(
+                "CAST((CAST(n_gt AS DECIMAL(38,0))"
+                " - (n_a * n_b - n_gt - n_ties)) * 1000000"
+                " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).alias("delta_micro"),
+        )
+    )

@@ -2353,3 +2353,64 @@ def bleu_clipped_precision(
             ).alias("precision_micro"),
         )
     )
+
+
+def good_turing_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    r_max: int = 10,
+    n: int = 1,
+) -> DataFrame:
+    """Good-Turing count-of-counts and discounted counts (Good 1953)
+    over the corpus word n-gram frequency distribution: ``N_r`` =
+    number of gram types observed exactly r times, and the Turing
+    estimate ``r* = (r+1) · N_{r+1} / N_r`` — the smoothing table an
+    n-gram LM pipeline derives to reallocate mass to unseen events
+    (``N_1 / total`` is the missing-mass estimate), and a corpus-
+    health signal in its own right (a healthy Zipfian corpus has
+    smoothly decaying N_r). Higher ``n`` reaches the sparse tail where
+    the estimate matters; n=1 on a tiny closed vocabulary is
+    legitimately empty.
+
+    All-integer: N_r are exact counts and r*_micro is a truncating
+    DECIMAL DIV. ``N_{r+1}`` comes from a self-join on r+1, NOT a lead
+    window — frequency values have gaps (no gram may occur exactly 7
+    times) and lead() over the existing rows would silently pick the
+    wrong neighbor; the join also keeps the plan window-free.
+
+    Scale shape: one explode + (gram) partial-agg shuffle for the
+    frequency table, one (r) partial-agg to the count-of-counts table
+    — bounded by the frequency DOMAIN, tiny after the r ≤ r_max+1
+    filter — then a self-join on that tiny table.
+
+    Returns (r, n_r, n_r_next, r_star_micro) for r in 1..r_max.
+    """
+    from hdinsight_pyspark_cntk_integration_spark.operators.dedup import word_ngrams
+
+    if r_max < 1:
+        raise ValueError(f"r_max must be >= 1 (got {r_max})")
+    if n < 1:
+        raise ValueError(f"n must be >= 1 (got {n})")
+    toks = df.select(F.explode(word_ngrams(text_col, n)).alias("tok")).filter(
+        F.length("tok") > 0
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("r"))
+    cc = (
+        freq.filter(F.col("r") <= r_max + 1)
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    )
+    nxt = cc.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next"))
+    return (
+        cc.filter(F.col("r") <= r_max)
+        .join(nxt, "r", "left")
+        .select(
+            "r",
+            "n_r",
+            F.coalesce(F.col("n_r_next"), F.lit(0).cast("long")).alias("n_r_next"),
+            F.expr(
+                "CAST((r + 1) * CAST(COALESCE(n_r_next, 0) AS DECIMAL(38,0))"
+                " * 1000000 DIV n_r AS BIGINT)"
+            ).alias("r_star_micro"),
+        )
+    )

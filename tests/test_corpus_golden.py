@@ -259,3 +259,37 @@ def test_bleu_clip_validation(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         tx.bleu_clipped_precision(df, df, n_max=0)
+
+
+# --- good_turing_counts (round 11, count-of-counts smoothing) ---
+
+
+def test_good_turing_known_counts(spark):
+    # tokens: a x3, b x2, c x1 -> N_1 = N_2 = N_3 = 1
+    df = spark.createDataFrame([(1, "a b c a b a")], "doc_id long, text string")
+    out = {r["r"]: r for r in tx.good_turing_counts(df, r_max=3, n=1).collect()}
+    assert {r: out[r]["n_r"] for r in out} == {1: 1, 2: 1, 3: 1}
+    assert out[1]["r_star_micro"] == 2_000_000  # 2 * N_2 / N_1
+    assert out[2]["r_star_micro"] == 3_000_000  # 3 * N_3 / N_2
+    assert out[3]["r_star_micro"] == 0  # N_4 = 0
+
+
+def test_good_turing_gap_uses_join_not_lead(spark):
+    # freqs: a x1, b x1, c x3 -> N_1 = 2, N_2 = 0, N_3 = 1.
+    # a lead() over existing rows would wrongly pair N_1 with N_3.
+    df = spark.createDataFrame([(1, "a b c c c")], "doc_id long, text string")
+    out = {r["r"]: r for r in tx.good_turing_counts(df, r_max=3, n=1).collect()}
+    assert out[1]["n_r"] == 2 and out[1]["n_r_next"] == 0
+    assert out[1]["r_star_micro"] == 0
+    assert out[3]["n_r"] == 1
+    assert 2 not in out  # no N_2 row
+
+
+def test_good_turing_validation(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        tx.good_turing_counts(df, r_max=0)
+    with _pytest.raises(ValueError):
+        tx.good_turing_counts(df, n=0)

@@ -272,6 +272,12 @@ _INTENTIONAL_LINT = {
     #   <= n_buckets (default 256) rows by construction, never the doc
     #   count; pinned by test_heaps_law_bucketing_caps_curve_points
     "heaps_law": {"global-window"},
+    # cliffs_delta — same shape as rank_sum_test: the dominance prefix
+    #   sum runs over the two-group DISTINCT-VALUE aggregate (bounded
+    #   by the value domain, 50 quantity values here), never the row
+    #   stream — that is exactly how the all-pairs statistic avoids
+    #   materializing n_a*n_b pairs
+    "cliffs_delta": {"global-window"},
 }
 
 

@@ -680,3 +680,56 @@ def test_kcenter_quantization_and_validation(spark):
     assert out[2]["dmin"] == 1_000_000_000_000 + 62_500_000_000
     with _pytest.raises(ValueError):
         sim.kcenter_select(df, k=0)
+
+
+# --- retrieval_metrics / ndcg_at_k (round 11, retrieval eval) ---
+
+
+def test_retrieval_metrics_mrr_and_recall(spark):
+    # q1: gold doc at rank 2 -> rr = 500000; q2: gold outside top-3 ->
+    # 0; q3: no gold at all -> still counts in the denominator
+    ranked = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2), (2, 22, 3), (2, 23, 4),
+         (3, 30, 1)],
+        "query_id long, doc_id long, rank long",
+    )
+    gold = spark.createDataFrame(
+        [(1, 11), (2, 23)], "query_id long, doc_id long"
+    )
+    [r] = sim.retrieval_metrics(ranked, gold, k=3).collect()
+    assert r["n_queries"] == 3 and r["n_hit_queries"] == 1
+    assert r["mrr_micro"] == 500_000 // 3 * 1  # trunc(500000/3)
+    assert r["mrr_micro"] == 166_666
+    assert (r["n_hits"], r["n_gold"]) == (1, 2)
+    assert r["recall_at_k_micro"] == 500_000
+
+
+def test_ndcg_perfect_vs_inverted(spark):
+    import math
+
+    # perfect ordering: rel already descending -> ndcg = 1
+    perfect = spark.createDataFrame(
+        [(1, 1, 3), (1, 2, 2), (1, 3, 1)], "query_id long, rank long, rel long"
+    )
+    [r] = sim.ndcg_at_k(perfect, k=3).collect()
+    assert r["mean_ndcg_micro"] == 1_000_000
+    # inverted ordering: replay the integer weight table exactly
+    inv = spark.createDataFrame(
+        [(1, 1, 1), (1, 2, 2), (1, 3, 3)], "query_id long, rank long, rel long"
+    )
+    w = {i: int(math.floor(1e12 / math.log2(i + 1))) for i in (1, 2, 3)}
+    dcg = 1 * w[1] + 2 * w[2] + 3 * w[3]
+    idcg = 3 * w[1] + 2 * w[2] + 1 * w[3]
+    [r] = sim.ndcg_at_k(inv, k=3).collect()
+    assert (r["sum_dcg"], r["sum_idcg"]) == (dcg, idcg)
+    assert r["mean_ndcg_micro"] == dcg * 1_000_000 // idcg
+
+
+def test_ndcg_all_zero_rel_query_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 0), (1, 2, 0), (2, 1, 2)], "query_id long, rank long, rel long"
+    )
+    [r] = sim.ndcg_at_k(df, k=2).collect()
+    assert r["n_queries"] == 1  # query 1 has idcg 0 -> excluded
+    assert r["mean_ndcg_micro"] == 1_000_000

@@ -1745,3 +1745,26 @@ def test_bradley_terry_zero_win_player_survives(spark):
     assert out[2]["wins"] == 0
     assert out[2]["rating_micro"] >= 1
     assert out[1]["rating_micro"] > out[2]["rating_micro"]
+
+
+# --- cliffs_delta (round 11, ordinal effect size) ---
+
+
+def test_cliffs_delta_hand_case(spark):
+    # a = {1,2}, b = {1,3}: pairs (1,1)=tie (1,3)=lt (2,1)=gt (2,3)=lt
+    rows = [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = st.cliffs_delta(df, "g", "v", "a", "b").collect()
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert (r["n_gt"], r["n_lt"], r["n_ties"]) == (1, 2, 1)
+    assert r["n_gt"] + r["n_lt"] + r["n_ties"] == r["n_a"] * r["n_b"]
+    assert r["delta_micro"] == -250_000  # (1-2)/4
+
+
+def test_cliffs_delta_complete_dominance(spark):
+    rows = [("a", 10.0), ("a", 11.0), ("b", 1.0), ("b", 2.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = st.cliffs_delta(df, "g", "v", "a", "b").collect()
+    assert r["delta_micro"] == 1_000_000
+    [r] = st.cliffs_delta(df, "g", "v", "b", "a").collect()
+    assert r["delta_micro"] == -1_000_000
