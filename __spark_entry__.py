@@ -5780,6 +5780,36 @@ def q_self_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.self_consistency(samples)
 
 
+def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired model comparison on a shared eval set (operators.stats.
+    mcnemar_test): two deterministic synthetic 'classifiers' score
+    every document (Knuth-mixed ~60% accuracy each, independent
+    errors); only the discordant cells drive the continuity-corrected
+    statistic. One boolean-projection reduce, zero joins."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def mix(c):
+        return F.pmod(F.pmod(c, F.lit(1_000_003)) * F.lit(2654435761), F.lit(1_000_003))
+
+    scored = docs.select(
+        (F.pmod(mix(F.col("doc_id")), F.lit(5)) < 3).alias("correct_a"),
+        (F.pmod(mix(F.col("doc_id") + 29), F.lit(5)) < 3).alias("correct_b"),
+    )
+    return st.mcnemar_test(scored)
+
+
+def q_chao1_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 asymptotic vocabulary-richness estimate (operators.text.
+    chao1_vocab) over word TRIGRAM types (the fixture's unigram
+    vocabulary is closed, so only n=3 has singletons/doubletons):
+    bias-corrected S_obs + N1(N1-1)/(2(N2+1)) as one exact truncated
+    micro cell. Two domain-bounded shuffles, window-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.chao1_vocab(docs, n=3)
+
+
 def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordinal effect size between returned and non-returned line items
     on quantity (operators.stats.cliffs_delta): all-pairs dominance
@@ -6365,6 +6395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "good_turing": q_good_turing,
         "retrieval_mrr": q_retrieval_mrr,
         "ndcg_eval": q_ndcg_eval,
+        "mcnemar_test": q_mcnemar_test,
+        "chao1_vocab": q_chao1_vocab,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -13757,5 +13789,63 @@ def oracle_sql() -> dict[str, str]:
           CAST(SUM(idcg) AS BIGINT) AS sum_idcg,
           CAST(SUM(nd) // COUNT(*) AS BIGINT) AS mean_ndcg_micro
         FROM per
+    """
+    # mcnemar_test: continuity-corrected paired comparison of two
+    # deterministic synthetic classifiers; discordant cells only.
+    oracles["mcnemar_test"] = """
+        WITH scored AS (
+          SELECT
+            (((doc_id % 1000003) * 2654435761) % 1000003) % 5 < 3
+              AS a,
+            ((((doc_id + 29) % 1000003) * 2654435761) % 1000003) % 5 < 3
+              AS b
+          FROM documents
+        ),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+            CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_both_right,
+            CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_only_a,
+            CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_only_b,
+            CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_both_wrong
+          FROM scored
+        )
+        SELECT n_items, n_both_right, n_only_a, n_only_b, n_both_wrong,
+          CAST((ABS(CAST(n_only_a AS HUGEINT) - n_only_b) - 1)
+               * (ABS(CAST(n_only_a AS HUGEINT) - n_only_b) - 1)
+               * 1000000 // NULLIF(n_only_a + n_only_b, 0) AS BIGINT)
+            AS chi2_micro
+        FROM agg
+    """
+    # chao1_vocab: bias-corrected Chao1 richness over word trigram
+    # types (same gram construction as good_turing).
+    oracles["chao1_vocab"] = r"""
+        WITH lists AS (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS l
+          FROM documents
+        ),
+        toks AS (
+          SELECT unnest(list_transform(
+            generate_series(1, greatest(len(l) - 2, 1)),
+            i -> array_to_string(l[i:i+2], ' '))) AS tok
+          FROM lists
+        ),
+        freq AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS r
+          FROM toks WHERE length(tok) > 0 GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS s_obs,
+          CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+          CAST(CAST(COUNT(*) AS HUGEINT) * 1000000
+               + CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+               * (SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) - 1) * 1000000
+               // (2 * (SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) + 1))
+               AS BIGINT) AS chao1_micro
+        FROM freq
     """
     return oracles

@@ -222,6 +222,8 @@ PIPELINE = [
     "good_turing",
     "retrieval_mrr",
     "ndcg_eval",
+    "mcnemar_test",
+    "chao1_vocab",
 ]
 
 

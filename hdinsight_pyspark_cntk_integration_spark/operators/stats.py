@@ -3179,3 +3179,47 @@ def cliffs_delta(
             ).alias("delta_micro"),
         )
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    a_col: str = "correct_a",
+    b_col: str = "correct_b",
+) -> DataFrame:
+    """McNemar's paired test (McNemar 1947, continuity-corrected) over
+    per-item binary outcomes of two systems on the SAME items — the
+    standard "is model B actually better than model A" check when both
+    were scored on one eval set (marginal accuracies alone double-count
+    the items both get right). Only the discordant counts matter:
+    b = #(A right, B wrong), c = #(A wrong, B right), and the statistic
+    is ``(|b − c| − 1)² / (b + c)``.
+
+    All-integer: the four contingency cells are exact counts and the
+    statistic is one truncating DECIMAL DIV in micro-units (NULL when
+    b + c = 0 — the systems never disagree, nothing to test).
+
+    Scale shape: a single partial-agg reduce over boolean projections —
+    zero joins, zero windows, one 1-row output.
+
+    Returns (n_items, n_both_right, n_only_a, n_only_b, n_both_wrong,
+    chi2_micro).
+    """
+    a = F.col(a_col).cast("boolean")
+    b = F.col(b_col).cast("boolean")
+    return df.select(
+        (a & b).cast("long").alias("__rr"),
+        (a & ~b).cast("long").alias("__ro"),
+        (~a & b).cast("long").alias("__or"),
+        (~a & ~b).cast("long").alias("__ww"),
+    ).groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("__rr").cast("long").alias("n_both_right"),
+        F.sum("__ro").cast("long").alias("n_only_a"),
+        F.sum("__or").cast("long").alias("n_only_b"),
+        F.sum("__ww").cast("long").alias("n_both_wrong"),
+        F.expr(
+            "CAST((ABS(CAST(SUM(__ro) AS DECIMAL(38,0)) - SUM(__or)) - 1)"
+            " * (ABS(CAST(SUM(__ro) AS DECIMAL(38,0)) - SUM(__or)) - 1)"
+            " * 1000000 DIV NULLIF(SUM(__ro) + SUM(__or), 0) AS BIGINT)"
+        ).alias("chi2_micro"),
+    )

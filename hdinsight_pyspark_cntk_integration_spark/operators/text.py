@@ -2414,3 +2414,47 @@ def good_turing_counts(
             ).alias("r_star_micro"),
         )
     )
+
+
+def chao1_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 1,
+) -> DataFrame:
+    """Chao1 species-richness estimate (Chao 1984, bias-corrected form)
+    of the corpus word n-gram vocabulary: ``S_obs + N₁(N₁−1) /
+    (2(N₂+1))`` from the singleton/doubleton counts — "how many gram
+    types exist that this corpus hasn't seen yet", the coverage answer
+    a corpus-growth or dedup-saturation decision needs (Heaps' law
+    gives the growth CURVE; Chao1 gives the asymptote estimate).
+
+    The bias-corrected form is defined even when N₂ = 0, and is an
+    exact rational of integer counts — one truncating DECIMAL DIV
+    emits it in micro-units.
+
+    Scale shape: the same two domain-bounded partial-agg shuffles as
+    good_turing_counts (gram frequencies, then one reduce) — the
+    count-of-counts never materializes beyond r ≤ 2 flags.
+
+    Returns one row (s_obs, n1, n2, chao1_micro).
+    """
+    from hdinsight_pyspark_cntk_integration_spark.operators.dedup import word_ngrams
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1 (got {n})")
+    toks = df.select(F.explode(word_ngrams(text_col, n)).alias("tok")).filter(
+        F.length("tok") > 0
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("r"))
+    return freq.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("s_obs"),
+        F.sum((F.col("r") == 1).cast("long")).cast("long").alias("n1"),
+        F.sum((F.col("r") == 2).cast("long")).cast("long").alias("n2"),
+        F.expr(
+            "CAST(COUNT(*) * CAST(1000000 AS DECIMAL(38,0))"
+            " + CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS DECIMAL(38,0))"
+            " * (SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) - 1) * 1000000"
+            " DIV (2 * (SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) + 1))"
+            " AS BIGINT)"
+        ).alias("chao1_micro"),
+    )

@@ -293,3 +293,31 @@ def test_good_turing_validation(spark):
         tx.good_turing_counts(df, r_max=0)
     with _pytest.raises(ValueError):
         tx.good_turing_counts(df, n=0)
+
+
+# --- chao1_vocab (round 11, vocabulary richness estimate) ---
+
+
+def test_chao1_known_counts(spark):
+    # unigrams: a x1, b x1, c x2, d x3 -> S=4, N1=2, N2=1
+    # chao1 = 4 + 2*1/(2*2) = 4.5
+    df = spark.createDataFrame([(1, "a b c c d d d")], "doc_id long, text string")
+    [r] = tx.chao1_vocab(df, n=1).collect()
+    assert (r["s_obs"], r["n1"], r["n2"]) == (4, 2, 1)
+    assert r["chao1_micro"] == 4_500_000
+
+
+def test_chao1_no_doubletons_defined(spark):
+    # N2 = 0: bias-corrected form stays finite: 2 + 1*0/(2*1)... N1=2:
+    # chao1 = 2 + 2*1/2 = 3
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    [r] = tx.chao1_vocab(df, n=1).collect()
+    assert (r["s_obs"], r["n1"], r["n2"]) == (2, 2, 0)
+    assert r["chao1_micro"] == 3_000_000
+
+
+def test_chao1_closed_vocab_no_extra(spark):
+    # every type seen >= 3 times -> N1 = N2 = 0 -> chao1 == S_obs
+    df = spark.createDataFrame([(1, "a a a b b b")], "doc_id long, text string")
+    [r] = tx.chao1_vocab(df, n=1).collect()
+    assert r["chao1_micro"] == r["s_obs"] * 1_000_000

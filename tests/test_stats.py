@@ -1768,3 +1768,35 @@ def test_cliffs_delta_complete_dominance(spark):
     assert r["delta_micro"] == 1_000_000
     [r] = st.cliffs_delta(df, "g", "v", "b", "a").collect()
     assert r["delta_micro"] == -1_000_000
+
+
+# --- mcnemar_test (round 11, paired model comparison) ---
+
+
+def test_mcnemar_known_cells(spark):
+    # items: both-right x2, only-a x3, only-b x1, both-wrong x1
+    rows = (
+        [(True, True)] * 2 + [(True, False)] * 3 + [(False, True)] + [(False, False)]
+    )
+    df = spark.createDataFrame(rows, "correct_a boolean, correct_b boolean")
+    [r] = st.mcnemar_test(df).collect()
+    assert (r["n_both_right"], r["n_only_a"], r["n_only_b"], r["n_both_wrong"]) == (
+        2, 3, 1, 1,
+    )
+    # (|3-1| - 1)^2 / (3+1) = 1/4
+    assert r["chi2_micro"] == 250_000
+
+
+def test_mcnemar_no_disagreement_null(spark):
+    rows = [(True, True), (False, False)]
+    df = spark.createDataFrame(rows, "correct_a boolean, correct_b boolean")
+    [r] = st.mcnemar_test(df).collect()
+    assert r["chi2_micro"] is None
+
+
+def test_mcnemar_equal_discordance_continuity(spark):
+    # b == c: statistic is (0-1)^2/(b+c) = 1/(2b)
+    rows = [(True, False)] * 2 + [(False, True)] * 2
+    df = spark.createDataFrame(rows, "correct_a boolean, correct_b boolean")
+    [r] = st.mcnemar_test(df).collect()
+    assert r["chi2_micro"] == 250_000

@@ -56,6 +56,29 @@ def _relational_targets(spark, sf_dir):
     }
 
 
+def _texteval_targets(spark, sf_dir):
+    """Round-11 corpus-scan eval paths: each explodes every document
+    into (multi-order) grams, so the claim to verify is that shuffle
+    volume tracks total gram count (linear), with no pairwise blowup —
+    the clip/overlap joins are co-keyed on (doc, gram)."""
+    from pyspark.sql import functions as F
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    kept = F.filter(toks, lambda t, i: F.pmod(i + 1, F.lit(4)) != 0)
+    gens = docs.select("doc_id", F.array_join(kept, " ").alias("text"))
+    return {
+        "bleu_clipped": lambda: tx.bleu_clipped_precision(docs, gens, n_max=2),
+        "rouge_overlap": lambda: tx.rouge_n(docs, gens, n=2),
+        "good_turing": lambda: tx.good_turing_counts(docs, r_max=10, n=3),
+        "chao1_vocab": lambda: tx.chao1_vocab(docs, n=3),
+    }
+
+
 def _targets(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -107,7 +130,10 @@ def run(base: str, fixture: str, factor: int, out_json: str,
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    make_targets = _relational_targets if target_set == "relational" else _targets
+    make_targets = {
+        "relational": _relational_targets,
+        "texteval": _texteval_targets,
+    }.get(target_set, _targets)
     results: dict[str, dict] = {}
     for scale, sf_dir in [("1x", base), (f"{factor}x", fixture)]:
         for name, make in make_targets(spark, sf_dir).items():
