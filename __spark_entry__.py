@@ -5780,6 +5780,26 @@ def q_self_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.self_consistency(samples)
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators.pipeline.k_anonymity, k=5) of the
+    customer table under the (nation, market-segment) quasi-identifier
+    pair — the pre-release governance check: class sizes, the minimum,
+    and the re-identifiable exposure mass. One domain-bounded
+    partial-agg shuffle + a 1-row reduce."""
+    cust = load_table(spark, sf_dir, "customer")
+    return pl.k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+def q_ablation_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic overlapping ablation-arm bookkeeping (operators.
+    pipeline.ablation_arms, 8 arms): bit i of the Knuth-mixed doc id
+    selects arm i; output is the full arm-overlap matrix (diagonal =
+    arm sizes) an ablation suite verifies for balance before training.
+    Co-keyed self-join, 64-row result."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pl.ablation_arms(docs, n_arms=8)
+
+
 def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paired model comparison on a shared eval set (operators.stats.
     mcnemar_test): two deterministic synthetic 'classifiers' score
@@ -6397,6 +6417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_eval": q_ndcg_eval,
         "mcnemar_test": q_mcnemar_test,
         "chao1_vocab": q_chao1_vocab,
+        "k_anonymity": q_k_anonymity,
+        "ablation_arms": q_ablation_arms,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -13847,5 +13869,41 @@ def oracle_sql() -> dict[str, str]:
                // (2 * (SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) + 1))
                AS BIGINT) AS chao1_micro
         FROM freq
+    """
+    # k_anonymity: equivalence-class audit under the (nation, segment)
+    # quasi-identifier pair; exposure mass = rows in classes < k.
+    oracles["k_anonymity"] = """
+        WITH classes AS (
+          SELECT c_nationkey, c_mktsegment,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM customer GROUP BY 1, 2
+        )
+        SELECT CAST(5 AS BIGINT) AS k,
+          CAST(SUM(n) AS BIGINT) AS n_rows,
+          CAST(COUNT(*) AS BIGINT) AS n_classes,
+          CAST(MIN(n) AS BIGINT) AS min_class_size,
+          CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_violating_classes,
+          CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+            AS n_violating_rows
+        FROM classes
+    """
+    # ablation_arms: bit i of the Knuth bucket selects arm i; the
+    # co-keyed self-join yields the 8x8 overlap matrix.
+    oracles["ablation_arms"] = """
+        WITH m AS (
+          SELECT doc_id,
+            ((doc_id % 1000003) * 2654435761) % 1000003 AS mm
+          FROM documents
+        ),
+        ex AS (
+          SELECT doc_id, i.i FROM m
+          CROSS JOIN (SELECT unnest(range(0, 8)) AS i) i
+          WHERE ((mm >> i.i) & 1) = 1
+        )
+        SELECT CAST(a.i AS BIGINT) AS arm_i, CAST(b.i AS BIGINT) AS arm_j,
+          CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM ex a JOIN ex b ON a.doc_id = b.doc_id
+        GROUP BY 1, 2
     """
     return oracles

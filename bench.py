@@ -224,6 +224,8 @@ PIPELINE = [
     "ndcg_eval",
     "mcnemar_test",
     "chao1_vocab",
+    "k_anonymity",
+    "ablation_arms",
 ]
 
 

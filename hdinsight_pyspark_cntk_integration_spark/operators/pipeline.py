@@ -1492,3 +1492,94 @@ def packing_efficiency(
         )
         .alias("fill_ppm"),
     )
+
+
+def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int = 5) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over a quasi-identifier column
+    set: every record should share its quasi-identifier combination
+    with at least k−1 others, or it is re-identifiable by linkage —
+    the governance check a training-data release runs before shipping
+    user-derived tables. This is the AUDIT (measure + locate exposure
+    mass), not the suppression transform.
+
+    All-integer single row: (k, n_rows, n_classes, min_class_size,
+    n_violating_classes, n_violating_rows). ``n_violating_rows`` is
+    the exposure mass — how many records sit in classes smaller than
+    k; ``min_class_size >= k`` iff the table is k-anonymous.
+
+    Scale shape: one partial-agg shuffle to the equivalence classes
+    (bounded by the quasi-identifier DOMAIN product, not rows), one
+    1-row reduce. Zero joins, zero windows.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    return classes.groupBy().agg(
+        F.lit(k).cast("long").alias("k"),
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("__n").cast("long").alias("min_class_size"),
+        F.sum((F.col("__n") < k).cast("long")).cast("long").alias(
+            "n_violating_classes"
+        ),
+        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_violating_rows"),
+    )
+
+
+def ablation_arms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_arms: int = 8,
+) -> DataFrame:
+    """Deterministic overlapping ablation-arm assignment: arm i holds
+    the records whose Knuth-mixed id has bit i set — each arm an
+    independent ≈50% sample, every pair of arms ≈25% overlapping, and
+    every assignment replayable from the id alone (the epoch_shuffle
+    determinism contract applied to ablation bookkeeping). The output
+    is the full arm-overlap matrix — diagonal = arm sizes — which is
+    what an ablation suite checks to verify its arms are balanced and
+    pairwise independent BEFORE burning training runs on them.
+    (Balance is approximate: the mixer's modulus 1_000_003 is not a
+    power of two, so bit i of the bucket is ~50% ± 2^{i+1}/1e6.)
+
+    Scale shape: one projection explodes each id into its ≤ n_arms set
+    bits (linear, constant factor n_arms/2), the overlap join is
+    co-keyed on the id (never cross-id), and the result aggregate is
+    n_arms² rows. n_arms ≤ 16 keeps the constant honest.
+
+    Returns (arm_i, arm_j, n_docs) for every set-bit pair per record,
+    diagonal included.
+    """
+    from hdinsight_pyspark_cntk_integration_spark.operators.pipeline import (
+        hash_bucket,
+    )
+
+    if not 1 <= n_arms <= 16:
+        raise ValueError(f"n_arms must be in [1, 16] (got {n_arms})")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        hash_bucket(id_col, method="knuth").alias("__m"),
+    )
+    ex = base.select(
+        "__id",
+        "__m",
+        F.explode(F.sequence(F.lit(0), F.lit(n_arms - 1))).alias("i"),
+    ).filter(F.expr("pmod(shiftright(__m, i), 2) = 1"))
+    a = ex.select("__id", F.col("i").alias("arm_i"))
+    b = ex.select("__id", F.col("i").alias("arm_j"))
+    return (
+        a.join(b, "__id")
+        .groupBy("arm_i", "arm_j")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(
+            F.col("arm_i").cast("long").alias("arm_i"),
+            F.col("arm_j").cast("long").alias("arm_j"),
+            "n_docs",
+        )
+    )

@@ -946,3 +946,66 @@ def test_packing_efficiency_empty_shard_and_validation(spark):
         pl.packing_efficiency(df, budget=0, n_shards=2)
     with pytest.raises(ValueError):
         pl.packing_efficiency(df, budget=8, n_shards=0)
+
+
+# --- k_anonymity (round 11, governance audit) ---
+
+
+def test_k_anonymity_counts_exposure(spark):
+    rows = [("a", 1)] * 2 + [("b", 1)] * 5
+    df = spark.createDataFrame(rows, "seg string, nat int")
+    [r] = pl.k_anonymity(df, ["seg", "nat"], k=3).collect()
+    assert (r["n_rows"], r["n_classes"], r["min_class_size"]) == (7, 2, 2)
+    assert (r["n_violating_classes"], r["n_violating_rows"]) == (1, 2)
+
+
+def test_k_anonymity_anonymous_table(spark):
+    rows = [("a", 1)] * 3 + [("b", 2)] * 4
+    df = spark.createDataFrame(rows, "seg string, nat int")
+    [r] = pl.k_anonymity(df, ["seg", "nat"], k=3).collect()
+    assert r["min_class_size"] == 3 and r["n_violating_rows"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pl.k_anonymity(df, [], k=3)
+    with _pytest.raises(ValueError):
+        pl.k_anonymity(df, ["seg"], k=0)
+
+
+# --- ablation_arms (round 11, ablation bookkeeping) ---
+
+
+def test_ablation_arms_matches_python_mixer(spark):
+    ids = list(range(1, 101))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {
+        (r["arm_i"], r["arm_j"]): r["n_docs"]
+        for r in pl.ablation_arms(df, n_arms=4).collect()
+    }
+    from collections import Counter
+
+    ref = Counter()
+    for i in ids:
+        m = ((i % 1_000_003) * 2654435761) % 1_000_003
+        arms = [a for a in range(4) if (m >> a) & 1]
+        for x in arms:
+            for y in arms:
+                ref[(x, y)] += 1
+    assert out == dict(ref)
+
+
+def test_ablation_arms_matrix_invariants(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    rows = pl.ablation_arms(df, n_arms=8).collect()
+    m = {(r["arm_i"], r["arm_j"]): r["n_docs"] for r in rows}
+    for (i, j), n in m.items():
+        assert m[(j, i)] == n  # symmetric
+        if i != j:
+            assert n <= min(m[(i, i)], m[(j, j)])  # overlap bound
+    # every arm is a rough half-sample of 500 docs
+    for a in range(8):
+        assert 150 <= m[(a, a)] <= 350
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pl.ablation_arms(df, n_arms=0)
