@@ -5780,6 +5780,15 @@ def q_self_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.self_consistency(samples)
 
 
+def q_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training transform (operators.pipeline.
+    fim_split): every document cut at two Knuth-mixed char offsets and
+    re-emitted in PSM order — pure projection, zero shuffles; the
+    oracle replays the exact substr arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pl.fim_split(docs)
+
+
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit (operators.pipeline.k_anonymity, k=5) of the
     customer table under the (nation, market-segment) quasi-identifier
@@ -6419,6 +6428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chao1_vocab": q_chao1_vocab,
         "k_anonymity": q_k_anonymity,
         "ablation_arms": q_ablation_arms,
+        "fim_split": q_fim_split,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -13905,5 +13915,30 @@ def oracle_sql() -> dict[str, str]:
           CAST(COUNT(*) AS BIGINT) AS n_docs
         FROM ex a JOIN ex b ON a.doc_id = b.doc_id
         GROUP BY 1, 2
+    """
+    # fim_split: PSM reorder at two Knuth-mixed character offsets;
+    # pure 1-based substr arithmetic, identical clamps in both engines.
+    oracles["fim_split"] = """
+        WITH cuts AS (
+          SELECT doc_id, text,
+            CAST(length(text) AS BIGINT) AS n_chars,
+            CAST(1 + (((doc_id % 1000003) * 2654435761) % 1000003)
+                 % greatest(length(text) - 1, 1) AS BIGINT) AS a
+          FROM documents
+        ),
+        spans AS (
+          SELECT doc_id, text, n_chars, a,
+            CAST(a + 1 + ((((doc_id + 31) % 1000003) * 2654435761)
+                 % 1000003) % greatest(n_chars - a, 1) AS BIGINT) AS b
+          FROM cuts
+        )
+        SELECT doc_id, n_chars, a AS cut_a, b AS cut_b,
+          substr(text, 1, CAST(a - 1 AS INT)) AS prefix,
+          substr(text, CAST(a AS INT), CAST(b - a AS INT)) AS middle,
+          substr(text, CAST(b AS INT)) AS suffix,
+          substr(text, 1, CAST(a - 1 AS INT))
+            || substr(text, CAST(b AS INT))
+            || substr(text, CAST(a AS INT), CAST(b - a AS INT)) AS psm_text
+        FROM spans
     """
     return oracles

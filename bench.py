@@ -226,6 +226,7 @@ PIPELINE = [
     "chao1_vocab",
     "k_anonymity",
     "ablation_arms",
+    "fim_split",
 ]
 
 

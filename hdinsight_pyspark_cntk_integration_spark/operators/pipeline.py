@@ -1583,3 +1583,74 @@ def ablation_arms(
             "n_docs",
         )
     )
+
+
+def fim_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic fill-in-the-middle split (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle"):
+    each document is cut into (prefix, middle, suffix) at two
+    Knuth-mixed character offsets and re-emitted in PSM order
+    (prefix ‖ suffix ‖ middle) — the data transform FIM-capable code
+    models train on. Sentinel tokens are the tokenizer's concern and
+    deliberately not inserted here.
+
+    Cut rule, replayable from the id alone (the span_corruption
+    determinism contract): with n = char length, cut a = 1 +
+    mix(id) mod max(n−1, 1) starts the middle, and the middle runs
+    blen = 1 + mix(id+31) mod max(n−a, 1) chars — so for n ≥ 2 all
+    three spans lie in-bounds, prefix may be empty, middle and suffix
+    are non-empty, and the three lengths always sum to n (pinned in
+    pytest). Both engines use 1-based substr with identical clamp
+    semantics, so the emitted strings hash-match exactly.
+
+    Scale shape: a pure per-row projection — zero shuffles, zero
+    joins; Catalyst collapses the whole thing into the scan stage.
+
+    Returns (id, n_chars, cut_a, cut_b, prefix, middle, suffix,
+    psm_text).
+    """
+    n = F.length(F.col(text_col))
+
+    def mix(c):
+        return F.pmod(
+            F.pmod(c, F.lit(1_000_003)) * F.lit(2654435761), F.lit(1_000_003)
+        )
+
+    a = (F.lit(1) + F.pmod(mix(F.col(id_col)), F.greatest(n - 1, F.lit(1)))).cast(
+        "long"
+    )
+    blen = (
+        F.lit(1) + F.pmod(mix(F.col(id_col) + 31), F.greatest(n - a, F.lit(1)))
+    ).cast("long")
+    b = (a + blen).cast("long")
+    t = F.col(text_col)
+    prefix = F.substring(t, F.lit(1), (a - 1).cast("int"))
+    middle = F.substring(t, a.cast("int"), blen.cast("int"))
+    out = df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        a.alias("cut_a"),
+        b.alias("cut_b"),
+        prefix.alias("prefix"),
+        middle.alias("middle"),
+        t.alias("__t"),
+        b.alias("__b"),
+    )
+    return out.select(
+        id_col,
+        "n_chars",
+        "cut_a",
+        "cut_b",
+        "prefix",
+        "middle",
+        F.expr("substring(__t, cast(__b as int))").alias("suffix"),
+        F.concat(
+            F.col("prefix"),
+            F.expr("substring(__t, cast(__b as int))"),
+            F.col("middle"),
+        ).alias("psm_text"),
+    )

@@ -1009,3 +1009,34 @@ def test_ablation_arms_matrix_invariants(spark):
 
     with _pytest.raises(ValueError):
         pl.ablation_arms(df, n_arms=0)
+
+
+# --- fim_split (round 11, fill-in-the-middle transform) ---
+
+
+def test_fim_split_spans_partition_text(spark):
+    rows = [(i, "abcdefghij"[: 2 + i]) for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for r in pl.fim_split(df).collect():
+        # the three spans partition the text exactly, in order
+        assert r["prefix"] + r["middle"] + r["suffix"] == dict(rows)[r["doc_id"]]
+        assert len(r["prefix"]) + len(r["middle"]) + len(r["suffix"]) == r["n_chars"]
+        # middle and suffix are non-empty for n >= 2; PSM reorders only
+        assert len(r["middle"]) >= 1 and len(r["suffix"]) >= 1
+        assert sorted(r["psm_text"]) == sorted(r["prefix"] + r["middle"] + r["suffix"])
+        assert r["psm_text"] == r["prefix"] + r["suffix"] + r["middle"]
+
+
+def test_fim_split_replayable_and_degenerate(spark):
+    df = spark.createDataFrame(
+        [(7, "hello world"), (8, "x"), (9, "")], "doc_id long, text string"
+    )
+    a = {r["doc_id"]: r for r in pl.fim_split(df).collect()}
+    b = {r["doc_id"]: r for r in pl.fim_split(df).collect()}
+    assert a == b  # deterministic replay
+    # cuts derive from the id alone: same id -> same cut on same text
+    m = ((7 % 1_000_003) * 2654435761) % 1_000_003
+    assert a[7]["cut_a"] == 1 + m % max(len("hello world") - 1, 1)
+    # degenerate single-char / empty docs stay in-bounds
+    assert a[8]["prefix"] == "" and a[8]["middle"] == "x" and a[8]["suffix"] == ""
+    assert a[9]["psm_text"] == ""
