@@ -79,6 +79,21 @@ def _texteval_targets(spark, sf_dir):
     }
 
 
+def _pairjoin_targets(spark, sf_dir):
+    """The exact prefix-filtered similarity JOINS — the one operator
+    class where a quadratic candidate blowup is a genuine structural
+    risk (every pair that survives the prefix filter is verified).
+    The claim to measure: candidates (and hence shuffled bytes) track
+    the PLANTED-overlap pair count, not n²."""
+    docs = load_table(spark, sf_dir, "documents")
+    return {
+        "set_similarity_join": lambda: dd.set_similarity_join(
+            docs, threshold=0.6
+        ),
+        "containment_join": lambda: dd.containment_join(docs, threshold=0.6),
+    }
+
+
 def _targets(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -133,6 +148,7 @@ def run(base: str, fixture: str, factor: int, out_json: str,
     make_targets = {
         "relational": _relational_targets,
         "texteval": _texteval_targets,
+        "pairjoin": _pairjoin_targets,
     }.get(target_set, _targets)
     results: dict[str, dict] = {}
     for scale, sf_dir in [("1x", base), (f"{factor}x", fixture)]:
