@@ -5780,6 +5780,47 @@ def q_self_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.self_consistency(samples)
 
 
+def q_dawid_skene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-EM Dawid-Skene consensus labeling (operators.stats.
+    dawid_skene_hard, 2 rounds): the fleiss_kappa rating fixture with
+    RATER-DEPENDENT quality (rater r is right with probability
+    (4+r)/10, so rater 0 is noise and rater 4 is strong) — accuracy
+    weighting should separate them where majority vote can't. Output
+    is the per-rater accuracy report, all exact integers."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def mix(c):
+        return F.pmod(F.pmod(c, F.lit(1_000_003)) * F.lit(2654435761), F.lit(1_000_003))
+
+    rated = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("rater"),
+    )
+    base = F.pmod(mix(F.col("item_id")), F.lit(4))
+    s = mix(F.col("item_id") * 5 + F.col("rater"))
+    alt = F.pmod(mix(F.col("item_id") * 5 + F.col("rater") + 101), F.lit(4))
+    rated = rated.select(
+        "item_id",
+        "rater",
+        F.when(F.pmod(s, F.lit(10)) < F.col("rater") + 4, base)
+        .otherwise(alt)
+        .cast("long")
+        .alias("label"),
+    )
+    return st.dawid_skene_hard(rated, iters=2)
+
+
+def q_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding S-curve planning table (operators.dedup.
+    lsh_plan): candidate probability 1-(1-s^r)^b over a 1/64 Jaccard
+    grid for the standard (r, b) combos — exponents unrolled to chain
+    multiplies so both engines run the identical IEEE sequence. The
+    table an engineer reads before parameterizing a 100 TB dedup."""
+    return dd.lsh_plan(spark)
+
+
 def q_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fill-in-the-middle training transform (operators.pipeline.
     fim_split): every document cut at two Knuth-mixed char offsets and
@@ -6429,6 +6470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "ablation_arms": q_ablation_arms,
         "fim_split": q_fim_split,
+        "dawid_skene": q_dawid_skene,
+        "lsh_plan": q_lsh_plan,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -13916,6 +13959,79 @@ def oracle_sql() -> dict[str, str]:
         FROM ex a JOIN ex b ON a.doc_id = b.doc_id
         GROUP BY 1, 2
     """
+    # dawid_skene: hard-EM consensus labeling, 2 unrolled rounds; the
+    # struct-min argmaxes replay as arg_min over -w*8 + label (labels
+    # in [0,8), order-isomorphic).
+    oracles["dawid_skene"] = """
+        WITH rated AS MATERIALIZED (
+          SELECT d.doc_id AS it, r.rater AS r,
+            CASE WHEN (((d.doc_id * 5 + r.rater) % 1000003) * 2654435761)
+                     % 1000003 % 10 < r.rater + 4
+              THEN (((d.doc_id % 1000003) * 2654435761) % 1000003) % 4
+              ELSE ((((d.doc_id * 5 + r.rater + 101) % 1000003)
+                   * 2654435761) % 1000003) % 4
+            END AS l
+          FROM documents d
+          CROSS JOIN (SELECT unnest(range(0, 5)) AS rater) r
+        ),
+        c0 AS MATERIALIZED (
+          SELECT it, arg_min(l, (-n) * 8 + l) AS c FROM (
+            SELECT it, l, CAST(COUNT(*) AS BIGINT) AS n
+            FROM rated GROUP BY 1, 2
+          ) GROUP BY it
+        ),
+        a1 AS MATERIALIZED (
+          SELECT v.r,
+            CAST((CAST(SUM(CASE WHEN v.l = c.c THEN 1 ELSE 0 END)
+                 AS HUGEINT) * 1000000) // COUNT(*) AS BIGINT) AS acc
+          FROM rated v JOIN c0 c ON v.it = c.it GROUP BY 1
+        ),
+        c1 AS MATERIALIZED (
+          SELECT it, arg_min(l, (-w) * 8 + l) AS c FROM (
+            SELECT v.it, v.l, CAST(SUM(a.acc) AS BIGINT) AS w
+            FROM rated v JOIN a1 a ON v.r = a.r GROUP BY 1, 2
+          ) GROUP BY it
+        ),
+        a2 AS MATERIALIZED (
+          SELECT v.r,
+            CAST((CAST(SUM(CASE WHEN v.l = c.c THEN 1 ELSE 0 END)
+                 AS HUGEINT) * 1000000) // COUNT(*) AS BIGINT) AS acc
+          FROM rated v JOIN c1 c ON v.it = c.it GROUP BY 1
+        ),
+        c2 AS MATERIALIZED (
+          SELECT it, arg_min(l, (-w) * 8 + l) AS c FROM (
+            SELECT v.it, v.l, CAST(SUM(a.acc) AS BIGINT) AS w
+            FROM rated v JOIN a2 a ON v.r = a.r GROUP BY 1, 2
+          ) GROUP BY it
+        )
+        SELECT v.r AS rater, CAST(COUNT(*) AS BIGINT) AS n_votes,
+          CAST(SUM(CASE WHEN v.l = c.c THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_agree,
+          CAST((CAST(SUM(CASE WHEN v.l = c.c THEN 1 ELSE 0 END)
+               AS HUGEINT) * 1000000) // COUNT(*) AS BIGINT)
+            AS accuracy_micro
+        FROM rated v JOIN c2 c ON v.it = c.it GROUP BY 1
+    """
+    # lsh_plan: the S-curve table from the SAME chain-multiply SQL
+    # builder the Spark side uses — identical IEEE op sequence.
+    from hdinsight_pyspark_cntk_integration_spark.operators.dedup import (
+        lsh_candidate_prob_sql,
+    )
+
+    _lsh_parts = []
+    for _r in (2, 4, 8):
+        for _b in (4, 8, 16, 32):
+            _p = lsh_candidate_prob_sql("CAST(s_64 AS DOUBLE) / 64.0", _r, _b)
+            _lsh_parts.append(
+                f"SELECT CAST({_r} AS BIGINT) AS r, CAST({_b} AS BIGINT) AS b,"
+                f" CAST(s_64 AS BIGINT) AS s_64,"
+                f" CAST(FLOOR({_p} * 1000000) AS BIGINT) AS prob_micro"
+                " FROM grid"
+            )
+    oracles["lsh_plan"] = (
+        "WITH grid AS (SELECT unnest(range(1, 64)) AS s_64) "
+        + " UNION ALL ".join(_lsh_parts)
+    )
     # fim_split: PSM reorder at two Knuth-mixed character offsets;
     # pure 1-based substr arithmetic, identical clamps in both engines.
     oracles["fim_split"] = """

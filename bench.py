@@ -227,6 +227,8 @@ PIPELINE = [
     "k_anonymity",
     "ablation_arms",
     "fim_split",
+    "dawid_skene",
+    "lsh_plan",
 ]
 
 

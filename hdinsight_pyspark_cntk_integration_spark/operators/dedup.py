@@ -1765,3 +1765,61 @@ def exact_dedup_keep_best(
             "n_copies",
         )
     )
+
+
+def lsh_candidate_prob_sql(s_expr: str, r: int, b: int) -> str:
+    """SQL text for the MinHash-LSH banding S-curve ``1 − (1 − s^r)^b``
+    — the probability a pair with Jaccard similarity ``s`` becomes a
+    candidate under ``b`` bands of ``r`` rows. The exponents are
+    unrolled into CHAIN MULTIPLIES of the same literal shape in any
+    engine, so both sides evaluate the identical sequence of
+    correctly-rounded IEEE ops and the result is bit-identical —
+    no pow() implementation is ever trusted (the ndcg discount-table
+    discipline applied to the S-curve).
+    """
+    if r < 1 or b < 1:
+        raise ValueError(f"need r >= 1, b >= 1 (got r={r}, b={b})")
+    sr = " * ".join([f"({s_expr})"] * r)
+    one_minus = f"(1.0 - ({sr}))"
+    omb = " * ".join([one_minus] * b)
+    return f"(1.0 - ({omb}))"
+
+
+def lsh_plan(
+    spark,
+    r_values: tuple[int, ...] = (2, 4, 8),
+    b_values: tuple[int, ...] = (4, 8, 16, 32),
+) -> DataFrame:
+    """Banding-parameter planning table for MinHash LSH: for every
+    (rows-per-band r, bands b) combination, the candidate probability
+    across a 1/64-step Jaccard grid — the table an engineer reads to
+    pick (r, b) for a target similarity threshold before launching a
+    100 TB dedup (the S-curve threshold sits near ``(1/b)^(1/r)``).
+
+    Determinism: grid points s = g/64 are exact binary fractions, the
+    S-curve is chain-multiplied (``lsh_candidate_prob_sql``) so both
+    engines run the same correctly-rounded IEEE sequence, and the
+    probability is micro-floored at the end. Output is the full
+    |r_values|·|b_values|·63-row table — a driver-side-literal
+    generator, no input table, no shuffle.
+
+    Returns (r, b, s_64, prob_micro).
+    """
+    frames = []
+    for r in r_values:
+        for b in b_values:
+            p = lsh_candidate_prob_sql("CAST(s_64 AS DOUBLE) / 64.0", r, b)
+            frames.append(
+                spark.range(1, 64)
+                .selectExpr("id AS s_64")
+                .selectExpr(
+                    f"CAST({r} AS BIGINT) AS r",
+                    f"CAST({b} AS BIGINT) AS b",
+                    "CAST(s_64 AS BIGINT) AS s_64",
+                    f"CAST(FLOOR({p} * 1000000) AS BIGINT) AS prob_micro",
+                )
+            )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -3223,3 +3223,98 @@ def mcnemar_test(
             " * 1000000 DIV NULLIF(SUM(__ro) + SUM(__or), 0) AS BIGINT)"
         ).alias("chi2_micro"),
     )
+
+
+def dawid_skene_hard(
+    df: DataFrame,
+    item_col: str = "item_id",
+    rater_col: str = "rater",
+    label_col: str = "label",
+    iters: int = 2,
+) -> DataFrame:
+    """Hard-assignment Dawid-Skene consensus labeling (Dawid & Skene
+    1979, the hard-EM variant — the kmeans_quantized discipline
+    applied to annotator aggregation): the principled successor to
+    plain majority vote when raters differ in quality. Round 0 sets
+    each item's consensus to its majority label (ties → smallest
+    label); each subsequent round scores every rater's accuracy
+    against the current consensus in exact integer micro-units, then
+    re-labels each item by the accuracy-weighted vote
+    ``argmax_k Σ_{r voted k} acc_r`` (ties → smallest label). Good
+    raters gain weight, noisy raters lose it, and systematically
+    contrarian raters stop dragging the consensus.
+
+    Every step is exact integer arithmetic: accuracies are truncating
+    ``1e6 DIV`` ratios, vote weights are sums of those micro values,
+    and both argmaxes are partial-aggregable struct-mins
+    (``min(struct(-weight, label))``) — no windows, no collect. The
+    full ``iters``-round loop unrolls to MATERIALIZED oracle CTEs
+    (labels must be small non-negative integers < 8 so the oracle's
+    arg_min key encoding ``-w*8 + label`` is order-isomorphic to the
+    struct ordering).
+
+    Scale shape: per round, one (item, label) partial-agg shuffle for
+    the weighted votes and one rater-keyed aggregate for accuracies —
+    both bounded by item and rater domains; labels localCheckpoint
+    each round (the connected_components lesson).
+
+    Returns the per-rater report after ``iters`` rounds:
+    (rater, n_votes, n_agree, accuracy_micro).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1 (got {iters})")
+    votes = df.select(
+        F.col(item_col).alias("__it"),
+        F.col(rater_col).alias("__r"),
+        F.col(label_col).cast("long").alias("__l"),
+    ).localCheckpoint(eager=True)
+
+    def argmax_label(weighted: DataFrame, w_col: str) -> DataFrame:
+        return (
+            weighted.groupBy("__it")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col(w_col)).alias("nw"), F.col("__l").alias("l")
+                    )
+                ).alias("s")
+            )
+            .select("__it", F.col("s.l").alias("__c"))
+        )
+
+    counts = votes.groupBy("__it", "__l").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    labels = argmax_label(counts, "__n").localCheckpoint(eager=True)
+    acc = None
+    for _ in range(iters):
+        joined = votes.join(labels, "__it")
+        acc = joined.groupBy("__r").agg(
+            F.count(F.lit(1)).cast("long").alias("n_votes"),
+            F.sum((F.col("__l") == F.col("__c")).cast("long"))
+            .cast("long")
+            .alias("n_agree"),
+            F.expr(
+                "CAST(CAST(SUM(CASE WHEN __l = __c THEN 1 ELSE 0 END)"
+                " AS DECIMAL(38,0)) * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("accuracy_micro"),
+        ).localCheckpoint(eager=True)
+        weighted = (
+            votes.join(acc.select("__r", "accuracy_micro"), "__r")
+            .groupBy("__it", "__l")
+            .agg(F.sum("accuracy_micro").cast("long").alias("__w"))
+        )
+        labels = argmax_label(weighted, "__w").localCheckpoint(eager=True)
+    final = votes.join(labels, "__it").groupBy("__r").agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes"),
+        F.sum((F.col("__l") == F.col("__c")).cast("long"))
+        .cast("long")
+        .alias("n_agree"),
+        F.expr(
+            "CAST(CAST(SUM(CASE WHEN __l = __c THEN 1 ELSE 0 END)"
+            " AS DECIMAL(38,0)) * 1000000 DIV COUNT(*) AS BIGINT)"
+        ).alias("accuracy_micro"),
+    )
+    return final.select(
+        F.col("__r").alias("rater"), "n_votes", "n_agree", "accuracy_micro"
+    )

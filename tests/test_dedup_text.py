@@ -1225,3 +1225,25 @@ def test_exact_dedup_keep_best_matches_exact_dedup_clusters(spark, sf_dir):
     base = dd.exact_dedup(docs).collect()
     assert sorted(r["n_copies"] for r in best) == sorted(r["n_copies"] for r in base)
     assert {r["fingerprint"] for r in best} == {r["fingerprint"] for r in base}
+
+
+# --- lsh_plan (round 11, banding S-curve planner) ---
+
+
+def test_lsh_plan_known_point_and_monotone(spark):
+    from hdinsight_pyspark_cntk_integration_spark.operators import dedup as dd
+
+    rows = {(r["r"], r["b"], r["s_64"]): r["prob_micro"]
+            for r in dd.lsh_plan(spark).collect()}
+    # s=0.5, r=2, b=4: 1 - (1 - 0.25)^4 = 0.68359375 exactly
+    assert rows[(2, 4, 32)] == 683_593
+    # S-curve is monotone in s for fixed (r, b)
+    for (r, b) in [(2, 4), (8, 32)]:
+        probs = [rows[(r, b, s)] for s in range(1, 64)]
+        assert probs == sorted(probs)
+    # more bands -> higher candidate probability at the same s
+    assert rows[(4, 32, 32)] >= rows[(4, 8, 32)] >= rows[(4, 4, 32)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dd.lsh_candidate_prob_sql("s", 0, 4)

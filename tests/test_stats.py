@@ -1800,3 +1800,74 @@ def test_mcnemar_equal_discordance_continuity(spark):
     df = spark.createDataFrame(rows, "correct_a boolean, correct_b boolean")
     [r] = st.mcnemar_test(df).collect()
     assert r["chi2_micro"] == 250_000
+
+
+# --- dawid_skene_hard (round 11, consensus labeling) ---
+
+
+def test_dawid_skene_matches_python_replay(spark):
+    # deterministic mixed-quality votes; replay the hard-EM loop exactly
+    votes = []
+    for it in range(1, 21):
+        for r in range(3):
+            m = (((it * 3 + r) % 1_000_003) * 2654435761) % 1_000_003
+            true = (it * 7) % 4
+            label = true if m % 10 < 4 + 2 * r else (m % 4)
+            votes.append((it, r, label))
+    df = spark.createDataFrame(votes, "item_id long, rater long, label long")
+    out = {r["rater"]: r for r in st.dawid_skene_hard(df, iters=2).collect()}
+
+    from collections import defaultdict
+
+    def argmax(weights):  # max weight, ties -> smallest label
+        return min(weights, key=lambda l: (-weights[l], l))
+
+    by_item = defaultdict(list)
+    for it, r, l in votes:
+        by_item[it].append((r, l))
+    labels = {}
+    for it, vs in by_item.items():
+        w = defaultdict(int)
+        for _, l in vs:
+            w[l] += 1
+        labels[it] = argmax(w)
+    for _ in range(2):
+        agree, total = defaultdict(int), defaultdict(int)
+        for it, vs in by_item.items():
+            for r, l in vs:
+                total[r] += 1
+                agree[r] += l == labels[it]
+        acc = {r: agree[r] * 1_000_000 // total[r] for r in total}
+        labels = {}
+        for it, vs in by_item.items():
+            w = defaultdict(int)
+            for r, l in vs:
+                w[l] += acc[r]
+            labels[it] = argmax(w)
+    agree, total = defaultdict(int), defaultdict(int)
+    for it, vs in by_item.items():
+        for r, l in vs:
+            total[r] += 1
+            agree[r] += l == labels[it]
+    for r in total:
+        assert out[r]["n_votes"] == total[r]
+        assert out[r]["n_agree"] == agree[r]
+        assert out[r]["accuracy_micro"] == agree[r] * 1_000_000 // total[r]
+
+
+def test_dawid_skene_rewards_reliable_rater(spark):
+    # rater 2 always matches the eventual consensus; rater 0 is noise
+    votes = []
+    for it in range(1, 31):
+        t = it % 4
+        votes.append((it, 0, ((it * 2654435761) % 1_000_003) % 4))
+        votes.append((it, 1, t))
+        votes.append((it, 2, t))
+    df = spark.createDataFrame(votes, "item_id long, rater long, label long")
+    out = {r["rater"]: r["accuracy_micro"] for r in st.dawid_skene_hard(df).collect()}
+    assert out[2] == 1_000_000 and out[1] == 1_000_000
+    assert out[0] < 1_000_000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        st.dawid_skene_hard(df, iters=0)
