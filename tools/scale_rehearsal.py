@@ -79,6 +79,26 @@ def _texteval_targets(spark, sf_dir):
     }
 
 
+def _pipeline_targets(spark, sf_dir):
+    """Training-data pipeline heavies: iterative BPE training (16
+    corpus-wide pair-count rounds), Bloom-prefiltered decontamination
+    (broadcast bucket filter + exact verify join), tf-idf (shared
+    token exchange), and DSIR importance weights — the claim is that
+    each round / join moves bytes linear in the corpus."""
+    import __spark_entry__ as e  # noqa: deferred — tools add repo root to sys.path
+
+    qs = e.queries()
+    return {
+        name: (lambda n=name: qs[n](spark, sf_dir))
+        for name in [
+            "bpe_vocab",
+            "decontaminate_bloom",
+            "tfidf_top_terms",
+            "dsir_weights",
+        ]
+    }
+
+
 def _pairjoin_targets(spark, sf_dir):
     """The exact prefix-filtered similarity JOINS — the one operator
     class where a quadratic candidate blowup is a genuine structural
@@ -149,6 +169,7 @@ def run(base: str, fixture: str, factor: int, out_json: str,
         "relational": _relational_targets,
         "texteval": _texteval_targets,
         "pairjoin": _pairjoin_targets,
+        "pipeline": _pipeline_targets,
     }.get(target_set, _targets)
     results: dict[str, dict] = {}
     for scale, sf_dir in [("1x", base), (f"{factor}x", fixture)]:
