@@ -35,6 +35,7 @@ from hdinsight_pyspark_cntk_integration_spark.operators import (
     relational as rel,
     scoring as sc,
     similarity as sim,
+    stats as st,
     text as tx,
 )
 from hdinsight_pyspark_cntk_integration_spark.sources.catalog import load_table
@@ -2636,10 +2637,21 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs + exact Jaccard verify (rows-only
-    check; LSH banding isn't ANSI-SQL-expressible)."""
+    """MinHash-LSH candidate pairs + exact Jaccard verify, ORACLE-PAIRED
+    (VERDICT r11 order #3): the gate runs hash_family="md5" — the
+    engine-portable md5-prefix shingle hash and raw min-tuple band keys
+    — over the FULL documents table at 32 hashes / 8 bands (S-curve
+    threshold ≈ (1/8)^(1/4) ≈ 0.59 Jaccard), so DuckDB replays the
+    ENTIRE pipeline bit-for-bit and the driver row is hash-checked, not
+    rows-only. The production default stays the 2-3x-faster xxhash64
+    family (operators.dedup.minhash_lsh_candidates default), pinned by
+    the planted-pair pytest (tests/test_dedup.py) and identical in plan
+    shape. Differs from the minhash_provable twin in scope (unbounded)
+    and banding (32/8 vs 16/4)."""
     docs = load_table(spark, sf_dir, "documents")
-    cands = dd.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
+    cands = dd.minhash_lsh_candidates(
+        docs, num_hashes=32, bands=8, hash_family="md5"
+    )
     return dd.jaccard_pairs(docs, cands, threshold=0.5)
 
 
@@ -3025,8 +3037,11 @@ def q_near_dup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos-0.9 pair ~1-10⁻¹⁶ capture probability, the fixture's hardest
     pairs sit near the 0.4 verify threshold)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # num_planes pinned (not self-sized): the 60% recall floor below is
+    # calibrated to the r=8, b=64 S-curve; self-sizing would move the
+    # operating point with SF and decouple the gate from its bound.
     cands = dd.embedding_near_dup_candidates(
-        emb, id_col="vec_id", vec_col="embedding", bands=64
+        emb, id_col="vec_id", vec_col="embedding", num_planes=8, bands=64
     )
     a, b, cos = _emb_pair_sides(emb)
     lsh = (
@@ -4975,8 +4990,9 @@ def q_near_dup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicate the existing corpus (ids < 400). Both sides banded
     with the same hash family (base band table persistable at scale);
     candidates are cross-side band collisions ONLY, then exact n-gram
-    Jaccard verifies. Rows-only by banding non-determinism-vs-SQL, like
-    minhash_near_dup; the planted-pair pytest is the semantic gate."""
+    Jaccard verifies. Rows-only (xxhash64 banding isn't SQL-replayable);
+    the planted-pair pytest + the near_dup_against_exact twin are the
+    semantic gate."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.filter(F.col("doc_id") < 400)
     new = docs.filter(F.col("doc_id") >= 400)
@@ -6047,71 +6063,249 @@ def q_bleu_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bleu_clipped_precision(docs, gens, n_max=2)
 
 
+def _mix(c):
+    """The engine-wide Knuth-mix fixture mixer (see fleiss/dawid/ndcg
+    fixtures): deterministic, SQL-replayable pseudo-randomness."""
+    return F.pmod(F.pmod(c, F.lit(1_000_003)) * F.lit(2654435761), F.lit(1_000_003))
+
+
+def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha over RAGGED synthetic ratings (operators.
+    stats.krippendorff_alpha — the missing-data agreement statistic
+    Fleiss can't express): each of 5 raters rates a document only when
+    a Knuth-mixed coin admits it (~60-80% participation, so items
+    carry 0..5 ratings and the single-rating exclusion is exercised),
+    labels from the fleiss fixture scheme. Per-item micro truncation +
+    one final DIV, replayed exactly by the oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    raters = spark.range(5).select(F.col("id").alias("rater"))
+    rated = docs.crossJoin(raters).filter(
+        F.pmod(_mix(F.col("doc_id") * 11 + F.col("rater") * 3), F.lit(10))
+        < 6 + F.pmod(F.col("rater"), F.lit(3))
+    )
+    s = _mix(F.col("doc_id") * 5 + F.col("rater"))
+    base = F.pmod(_mix(F.col("doc_id")), F.lit(4))
+    alt = F.pmod(_mix(F.col("doc_id") * 5 + F.col("rater") + 101), F.lit(4))
+    rated = rated.select(
+        F.col("doc_id").alias("item_id"),
+        F.col("rater"),
+        F.when(F.pmod(s, F.lit(4)) < 3, base).otherwise(alt).cast("long").alias(
+            "label"
+        ),
+    )
+    return st.krippendorff_alpha(rated)
+
+
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across 4 synthetic 'model variants' on the shared
+    document eval set (operators.stats.cochran_q — the k-way McNemar
+    an eval harness runs first): correctness bits from a Knuth-mixed
+    per-(doc, variant) threshold that gives the variants different
+    marginal accuracies. All-integer identity, one truncating DIV."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    variants = spark.range(4).select(F.col("id").alias("variant"))
+    cells = docs.crossJoin(variants).select(
+        F.col("doc_id").alias("item_id"),
+        F.col("variant"),
+        (
+            F.pmod(_mix(F.col("doc_id") * 7 + F.col("variant") * 13), F.lit(10))
+            < 5 + F.col("variant")
+        ).cast("int").alias("correct"),
+    )
+    return st.cochran_q(cells, "item_id", "variant", "correct")
+
+
+def q_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's W over 5 synthetic judges ranking 20 documents
+    (operators.stats.kendall_w): each judge's ranking is a row_number
+    over a Knuth-mixed (judge, item) score with the item id as the
+    deterministic tie-break — always a 1..20 permutation, so the
+    no-ties identity applies exactly. One window per judge-partition,
+    then the all-integer W."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 20
+    ).select("doc_id")
+    judges = spark.range(5).select(F.col("id").alias("judge"))
+    scored = docs.crossJoin(judges).select(
+        "judge",
+        F.col("doc_id").alias("item_id"),
+        _mix(F.col("doc_id") * 17 + F.col("judge") * 29).alias("__s"),
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("judge").orderBy(F.col("__s"), F.col("item_id"))
+    ranked = scored.select(
+        "judge", "item_id", F.row_number().over(w).cast("long").alias("rank")
+    )
+    return st.kendall_w(ranked)
+
+
+def q_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank over paired per-document scores
+    (operators.stats.wilcoxon_signed_rank): system X scores
+    mix(id)%50, system Y mix(id+13)%50 — zero differences and tied
+    |d| magnitudes both occur at corpus size, exercising the drop and
+    average-rank (doubled-integer) paths. z from exact integers
+    through one IEEE sqrt."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.pmod(_mix(F.col("doc_id")), F.lit(50)).cast("long").alias("x"),
+        F.pmod(_mix(F.col("doc_id") + 13), F.lit(50)).cast("long").alias("y"),
+    )
+    return st.wilcoxon_signed_rank(pairs)
+
+
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test of 4 synthetic systems on the shared
+    document blocks (operators.stats.friedman_test): within-block
+    ranks by (Knuth-mixed score, system id) — the documented
+    deterministic tie-break — then the all-integer chi-square."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    systems = spark.range(4).select(F.col("id").alias("sys"))
+    cells = docs.crossJoin(systems).select(
+        F.col("doc_id").alias("item_id"),
+        F.col("sys").alias("treatment"),
+        F.pmod(_mix(F.col("doc_id") * 19 + F.col("sys") * 23), F.lit(1000))
+        .cast("long")
+        .alias("score"),
+    )
+    return st.friedman_test(cells, "item_id", "treatment", "score")
+
+
+def q_item_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical item analysis of a synthetic eval matrix (operators.
+    stats.item_analysis): 16 items x the document 'subjects', outcome
+    by a mixed threshold that couples item difficulty with a latent
+    per-subject ability — so discrimination is genuinely positive for
+    most items and the rest-score point-biserial has signal. Exact
+    moments into one IEEE sqrt per item."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    items = spark.range(16).select(F.col("id").alias("item"))
+    ability = F.pmod(_mix(F.col("doc_id")), F.lit(10))
+    noise = F.pmod(_mix(F.col("doc_id") * 31 + F.col("item") * 7), F.lit(10))
+    cells = docs.crossJoin(items).select(
+        F.col("item").alias("item_id"),
+        F.col("doc_id").alias("subject"),
+        ((ability * 2 + noise) > (F.col("item") + 9)).cast("int").alias(
+            "correct"
+        ),
+    )
+    return st.item_analysis(cells, "item_id", "subject", "correct")
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (operators.pipeline.l_diversity, l=3) of the
+    customer table: quasi-identifiers (nation, market segment),
+    sensitive attribute = account-balance band (acctbal DIV 2000) —
+    the homogeneity-attack check k_anonymity (same quasi-pair, gated
+    alongside) cannot see."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(2000.0))
+        .cast("long")
+        .alias("bal_band"),
+    )
+    return pl.l_diversity(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_band", l=3
+    )
+
+
+def q_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style linearized multiplicative-weights domain
+    reweighting (operators.pipeline.mixture_reweight, 4 rounds) over
+    the documents sources: per-doc proxy 'loss' = (mix(doc_id) % 1000)
+    / 1000 — O(1)-normalized as the linearized update expects (both
+    engines run the identical IEEE divide+multiply+floor), eta = 1/2.
+    One corpus collapse + 4 integer rounds on the bounded domain
+    table, oracle-unrolled like bradley_terry."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("source").alias("domain"),
+        (F.pmod(_mix(F.col("doc_id")), F.lit(1000)) / F.lit(1000.0)).alias(
+            "loss"
+        ),
+    )
+    return pl.mixture_reweight(docs, "domain", "loss", rounds=4)
+
+
+def q_span_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QA token-overlap F1 (operators.text.span_f1): gold = documents,
+    predictions = the every-4th-token-dropped corruption (the
+    bleu_clipped fixture) — so overlap is exactly the kept tokens and
+    the metric's clip/empty conventions are exercised corpus-wide."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    kept = F.filter(toks, lambda t, i: F.pmod(i + 1, F.lit(4)) != 0)
+    preds = docs.select("doc_id", F.array_join(kept, " ").alias("text"))
+    return tx.span_f1(docs, preds)
+
+
 # Driver-gate window (ROTATION.md): the driver records the FIRST 50
-# entries of queries() in CORRECTNESS_r{N}.json. Round 11 executes the
-# committed plan: the 19 queries added in round 9 (cohens_d …
-# minhash_provable) + the 7 queries added in round 10 (span_corruption
-# … pca_provable) + 24 re-gate picks (the 12 headline queries plus the
-# highest-traffic dedup/ANN/pipeline gates, per VERDICT r10 order #1).
-# Rows-only by design in this window: minhash_near_dup (randomized
-# xxhash64 LSH; planted-pair pytest twin + the oracle-paired
-# minhash_provable twin gated alongside). Rotated-out queries stay
-# covered by the full-registry PARITY_r{N}.json run every round.
+# entries of queries() in CORRECTNESS_r{N}.json. Round 12 executes the
+# committed plan (ROTATION.md "Round 12 window"): the 25 queries added
+# in round 11 (interpolate_provable … lsh_plan), then the 9 round-12
+# additions (krippendorff_alpha … span_f1 — per the committed policy
+# they displace re-gates from the END of the list, which drops the
+# scoring/streaming cohort + token_stats to the head of the round-13
+# re-gate queue), then the 16 TPC-H/relational re-gates last
+# driver-gated in CORRECTNESS_r10. Rotated-out queries stay covered by
+# the full-registry PARITY_r{N}.json run every round.
 _GATE_WINDOW = [
-    # 19 round-9 additions
-    "cohens_d",
-    "weighted_median",
-    "jackknife_nations",
-    "bootstrap_mean",
-    "control_chart",
-    "lorenz_customers",
-    "hits_trade",
-    "grouping_sets_sql",
-    "k_truss_trade",
-    "reciprocity_trade",
-    "exact_quantiles",
-    "mase_monthly",
-    "twa_value",
-    "negative_samples",
-    "psi_drift",
-    "trimmed_mean",
-    "vector_dq",
-    "knn_label_noise",
-    "minhash_provable",
-    # 7 round-10 additions
-    "span_corruption",
-    "nearest_centroid",
-    "tokenizer_fertility",
-    "mmr_rerank",
-    "simhash_provable",
-    "kmeans_provable",
-    "pca_provable",
-    # 24 re-gate picks: the 12 headline queries …
-    "pricing_summary",
-    "top_revenue_orders",
-    "region_revenue",
-    "window_topn",
-    "asof_join",
-    "tumbling_hourly",
-    "json_extract",
-    "dedup_exact",
-    "token_stats",
-    "similarity_topk",
-    "score_confusion",
-    "minhash_near_dup",
-    # … plus the highest-traffic dedup/ANN/pipeline gates
-    "embedding_dedup",
-    "sentence_dedup",
-    "decontaminate_bloom",
-    "ivf_topk",
-    "repeated_passages_maximal",
-    "gopher_rules",
-    "hybrid_rrf",
-    "hard_negatives",
-    "quantized_rerank",
-    "pq_ann",
-    "bpe_vocab",
-    "phash_near_dup",
+    # 25 round-11 additions
+    "interpolate_provable",
+    "pack_bestfit",
+    "contamination_lm",
+    "quality_calibration",
+    "curriculum_schedule",
+    "dedup_keep_best",
+    "packing_efficiency",
+    "rouge_overlap",
+    "pass_at_k",
+    "self_consistency",
+    "bleu_clipped",
+    "fleiss_kappa",
+    "kcenter_select",
+    "bradley_terry",
+    "cliffs_delta",
+    "good_turing",
+    "retrieval_mrr",
+    "ndcg_eval",
+    "mcnemar_test",
+    "chao1_vocab",
+    "k_anonymity",
+    "ablation_arms",
+    "fim_split",
+    "dawid_skene",
+    "lsh_plan",
+    # 9 round-12 additions
+    "krippendorff_alpha",
+    "cochran_q",
+    "kendall_w",
+    "wilcoxon_signed",
+    "friedman_test",
+    "item_analysis",
+    "l_diversity",
+    "mixture_reweight",
+    "span_f1",
+    # 16 re-gates: TPC-H/relational family (last gated r10) …
+    "correlated_avg_qty",
+    "intersect",
+    "unpivot",
+    "order_count_distribution",
+    "disjunctive_filter",
+    "parts_supplier_count",
+    "high_balance_light_buyers",
+    "nation_value_share",
+    "nation_trade_pairs",
+    "returned_item_revenue",
+    "market_share",
+    "top_supplier",
+    "big_orders",
+    "limit_offset",
+    "salted_join",
+    "zorder_key",
 ]
 
 
@@ -6472,6 +6666,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_split": q_fim_split,
         "dawid_skene": q_dawid_skene,
         "lsh_plan": q_lsh_plan,
+        # round-12 additions
+        "krippendorff_alpha": q_krippendorff_alpha,
+        "cochran_q": q_cochran_q,
+        "kendall_w": q_kendall_w,
+        "wilcoxon_signed": q_wilcoxon_signed,
+        "friedman_test": q_friedman_test,
+        "item_analysis": q_item_analysis,
+        "l_diversity": q_l_diversity,
+        "mixture_reweight": q_mixture_reweight,
+        "span_f1": q_span_f1,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -12543,6 +12747,78 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(cm.nc AS DOUBLE)
             / CAST(na.nh + nb.nh - cm.nc AS DOUBLE) >= 0.5
     """
+    # minhash_near_dup (VERDICT r11 order #3): the same md5-family
+    # replay as minhash_provable, but UNBOUNDED scope and the gate's
+    # 32-hash/8-band configuration. Generated from the engine's own
+    # affine constants (operators.dedup._P/_A_MULT/_B_MULT) so the SQL
+    # stays in lock-step with minhash_cols by construction instead of
+    # by hand-copied literals.
+    _mh_P, _mh_A, _mh_B = dd._P, dd._A_MULT, dd._B_MULT
+    _mh_mins = ",\n            ".join(
+        f"MIN(({(2 * j + 1) * _mh_A % _mh_P} * hv + {(j + 1) * _mh_B % _mh_P})"
+        f" % {_mh_P}) AS m{j}"
+        for j in range(32)
+    )
+    _mh_bands = "\n          UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bh FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(m{j} AS VARCHAR)" for j in range(b * 4, b * 4 + 4)
+            ),
+        )
+        for b in range(8)
+    )
+    oracles["minhash_near_dup"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+          FROM documents
+        ),
+        sh AS MATERIALIZED (
+          SELECT doc_id, UNNEST(list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 1)),
+            i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+          FROM d
+        ),
+        h AS MATERIALIZED (
+          SELECT DISTINCT doc_id,
+            CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+              % {_mh_P} AS hv
+          FROM sh
+        ),
+        sig AS MATERIALIZED (
+          SELECT doc_id,
+            {_mh_mins}
+          FROM h GROUP BY doc_id
+        ),
+        bandkeys AS MATERIALIZED (
+          {_mh_bands}
+        ),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bandkeys a
+          JOIN bandkeys b ON b.band = a.band AND b.bh = a.bh
+            AND a.doc_id < b.doc_id
+        ),
+        cnt AS MATERIALIZED (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nh FROM h GROUP BY 1
+        ),
+        common AS (
+          SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS nc
+          FROM cand c
+          JOIN h x ON x.doc_id = c.id_a
+          JOIN h y ON y.doc_id = c.id_b AND y.hv = x.hv
+          GROUP BY 1, 2
+        )
+        SELECT cm.id_a, cm.id_b,
+          CAST(cm.nc AS DOUBLE)
+            / CAST(na.nh + nb.nh - cm.nc AS DOUBLE) AS jaccard
+        FROM common cm
+        JOIN cnt na ON na.doc_id = cm.id_a
+        JOIN cnt nb ON nb.doc_id = cm.id_b
+        WHERE CAST(cm.nc AS DOUBLE)
+            / CAST(na.nh + nb.nh - cm.nc AS DOUBLE) >= 0.5
+    """
     oracles["knn_label_noise"] = """
         WITH e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
@@ -13554,12 +13830,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         rt AS (SELECT n, CAST(SUM(c) AS BIGINT) AS total_ref FROM rc GROUP BY 1),
         gt AS (SELECT n, CAST(SUM(c) AS BIGINT) AS total_gen FROM gc GROUP BY 1)
-        SELECT CAST(rt.n AS INT) AS n, rt.total_ref, gt.total_gen,
+        SELECT CAST(COALESCE(rt.n, gt.n) AS INT) AS n,
+          COALESCE(rt.total_ref, 0) AS total_ref,
+          COALESCE(gt.total_gen, 0) AS total_gen,
           COALESCE(clip.total_clipped, 0) AS total_clipped,
-          CAST((CAST(COALESCE(clip.total_clipped, 0) AS HUGEINT) * 1000000)
-               // gt.total_gen AS BIGINT) AS precision_micro
-        FROM rt JOIN gt ON rt.n = gt.n
-        LEFT JOIN clip ON rt.n = clip.n
+          COALESCE(CAST((CAST(COALESCE(clip.total_clipped, 0) AS HUGEINT)
+               * 1000000) // NULLIF(gt.total_gen, 0) AS BIGINT), 0)
+            AS precision_micro
+        FROM rt FULL OUTER JOIN gt ON rt.n = gt.n
+        LEFT JOIN clip ON COALESCE(rt.n, gt.n) = clip.n
     """
     # fleiss_kappa: chance-corrected agreement of 5 deterministic
     # synthetic raters per document; kappa as an exact integer
@@ -13664,8 +13943,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         r{_r} AS MATERIALIZED (
           SELECT b.p,
-            GREATEST((CAST(b.wins + 1 AS HUGEINT) * 1000000000000) // d.d,
-                     1) AS r
+            GREATEST(COALESCE((CAST(b.wins + 1 AS HUGEINT) * 1000000000000)
+                     // NULLIF(d.d, 0), 1), 1) AS r
           FROM base b JOIN d{_r} d ON b.p = d.p
         )""")
     oracles["bradley_terry"] = f"""
@@ -13809,7 +14088,8 @@ def oracle_sql() -> dict[str, str]:
         per AS (
           SELECT COALESCE(h.hits, 0) AS h, COALESCE(gn.g, 0) AS g,
             COALESCE(CAST(1000000 AS HUGEINT) // h.first, 0) AS rr
-          FROM (SELECT DISTINCT query_id FROM ranked) q
+          FROM (SELECT query_id FROM ranked UNION
+                SELECT query_id FROM gold) q
           LEFT JOIN hits h ON q.query_id = h.query_id
           LEFT JOIN gn ON q.query_id = gn.query_id
         )
@@ -13950,7 +14230,7 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         ),
         ex AS (
-          SELECT doc_id, i.i FROM m
+          SELECT DISTINCT doc_id, i.i FROM m
           CROSS JOIN (SELECT unnest(range(0, 8)) AS i) i
           WHERE ((mm >> i.i) & 1) = 1
         )
@@ -14056,5 +14336,325 @@ def oracle_sql() -> dict[str, str]:
             || substr(text, CAST(b AS INT))
             || substr(text, CAST(a AS INT), CAST(b - a AS INT)) AS psm_text
         FROM spans
+    """
+    # ---- round-12 additions ----
+    # krippendorff_alpha: ragged-participation raters; per-item micro
+    # truncation then one final DIV, exactly the operator's two
+    # truncation points (HUGEINT // truncates toward zero = DECIMAL DIV).
+    oracles["krippendorff_alpha"] = """
+        WITH rated AS MATERIALIZED (
+          SELECT d.doc_id AS it, r.rater AS r,
+            CASE WHEN (((d.doc_id * 5 + r.rater) % 1000003) * 2654435761)
+                     % 1000003 % 4 < 3
+              THEN (((d.doc_id % 1000003) * 2654435761) % 1000003) % 4
+              ELSE ((((d.doc_id * 5 + r.rater + 101) % 1000003)
+                   * 2654435761) % 1000003) % 4
+            END AS l
+          FROM documents d
+          CROSS JOIN (SELECT unnest(range(0, 5)) AS rater) r
+          WHERE ((((d.doc_id * 11 + r.rater * 3) % 1000003) * 2654435761)
+                 % 1000003) % 10 < 6 + (r.rater % 3)
+        ),
+        nuc AS (SELECT it, l, CAST(COUNT(*) AS BIGINT) AS c
+                FROM rated GROUP BY 1, 2),
+        per AS MATERIALIZED (
+          SELECT it, CAST(SUM(c) AS BIGINT) AS m,
+            CAST(SUM(c * c) AS BIGINT) AS s2
+          FROM nuc GROUP BY 1 HAVING SUM(c) >= 2
+        ),
+        multi AS (SELECT nuc.* FROM nuc JOIN per ON nuc.it = per.it),
+        cat AS (SELECT l, CAST(SUM(c) AS BIGINT) AS cj FROM multi GROUP BY 1),
+        ctot AS (SELECT CAST(SUM(cj * cj) AS BIGINT) AS c_sq,
+                 CAST(SUM(cj) AS BIGINT) AS n FROM cat),
+        obs AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+            SUM((CAST(m AS HUGEINT) * m - s2) * 1000000 // (m - 1))
+              AS do_scaled
+          FROM per
+        )
+        SELECT n_items, n AS n_ratings,
+          CAST(do_scaled AS BIGINT) AS do_scaled,
+          CAST(CAST(n AS HUGEINT) * n - c_sq AS BIGINT) AS de_num,
+          CAST(n - 1 AS BIGINT) AS de_den,
+          CAST(1000000 - (do_scaled * (n - 1))
+               // NULLIF(CAST(n AS HUGEINT) * n - c_sq, 0) AS BIGINT)
+            AS alpha_micro
+        FROM obs CROSS JOIN ctot
+    """
+    oracles["cochran_q"] = """
+        WITH cells AS MATERIALIZED (
+          SELECT d.doc_id AS it, v.variant AS tr,
+            CASE WHEN ((((d.doc_id * 7 + v.variant * 13) % 1000003)
+                 * 2654435761) % 1000003) % 10 < 5 + v.variant
+              THEN 1 ELSE 0 END AS x
+          FROM documents d
+          CROSS JOIN (SELECT unnest(range(0, 4)) AS variant) v
+        ),
+        rows_ AS (
+          SELECT it, CAST(SUM(x) AS BIGINT) AS ri,
+            CAST(COUNT(*) AS BIGINT) AS ki
+          FROM cells GROUP BY 1
+        ),
+        rt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(ri * ri) AS BIGINT) AS r_sq,
+               CAST(SUM(ki) AS BIGINT) AS n_cells FROM rows_),
+        ct AS (
+          SELECT CAST(SUM(gj * gj) AS BIGINT) AS g_sq,
+            CAST(SUM(gj) AS BIGINT) AS t
+          FROM (SELECT CAST(SUM(x) AS BIGINT) AS gj FROM cells GROUP BY tr)
+        )
+        SELECT n_items, CAST(n_cells // n_items AS BIGINT) AS k,
+          t AS total_successes, g_sq, r_sq,
+          CAST((n_cells // n_items - 1)
+            * ((n_cells // n_items) * CAST(g_sq AS HUGEINT)
+               - CAST(t AS HUGEINT) * t) * 1000000
+            // NULLIF((n_cells // n_items) * CAST(t AS HUGEINT) - r_sq, 0)
+            AS BIGINT) AS q_micro
+        FROM rt CROSS JOIN ct
+    """
+    oracles["kendall_w"] = """
+        WITH scored AS (
+          SELECT j.judge, i.doc_id AS it,
+            (((i.doc_id * 17 + j.judge * 29) % 1000003) * 2654435761)
+              % 1000003 AS s
+          FROM (SELECT doc_id FROM documents WHERE doc_id < 20) i
+          CROSS JOIN (SELECT unnest(range(0, 5)) AS judge) j
+        ),
+        ranked AS (
+          SELECT judge, it,
+            CAST(ROW_NUMBER() OVER (PARTITION BY judge ORDER BY s, it)
+                 AS BIGINT) AS rk
+          FROM scored
+        ),
+        sums AS (
+          SELECT it, CAST(SUM(rk) AS BIGINT) AS ri,
+            CAST(COUNT(*) AS BIGINT) AS mi
+          FROM ranked GROUP BY 1
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+                CAST(SUM(mi) // COUNT(*) AS BIGINT) AS n_judges FROM sums),
+        dev AS (
+          SELECT t.n_items, t.n_judges,
+            CAST(2 AS HUGEINT) * s.ri - t.n_judges * (t.n_items + 1) AS d
+          FROM sums s CROSS JOIN tot t
+        )
+        SELECT n_items, n_judges, CAST(SUM(d * d) AS BIGINT) AS s_dev,
+          CAST(CAST(SUM(d * d) AS HUGEINT) * 3000000
+            // NULLIF(CAST(n_judges AS HUGEINT) * n_judges
+              * (CAST(n_items AS HUGEINT) * n_items * n_items - n_items), 0)
+            AS BIGINT) AS w_micro
+        FROM dev GROUP BY 1, 2
+    """
+    oracles["wilcoxon_signed"] = """
+        WITH base AS (
+          SELECT CAST(((doc_id % 1000003) * 2654435761) % 1000003 % 50
+                 AS BIGINT)
+            - CAST((((doc_id + 13) % 1000003) * 2654435761) % 1000003 % 50
+                 AS BIGINT) AS d
+          FROM documents
+        ),
+        vc AS (
+          SELECT ABS(d) AS a, CAST(COUNT(*) AS BIGINT) AS t,
+            CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS np
+          FROM base WHERE d <> 0 GROUP BY 1
+        ),
+        r AS (
+          SELECT a, t, np,
+            COALESCE(SUM(t) OVER (ORDER BY a
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          FROM vc
+        ),
+        agg AS (
+          SELECT CAST(SUM(t) AS BIGINT) AS n,
+            CAST(SUM(np * (2 * cb + t + 1)) AS BIGINT) AS w2p,
+            CAST(SUM((t - np) * (2 * cb + t + 1)) AS BIGINT) AS w2m
+          FROM r
+        ),
+        z AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_zero
+              FROM base WHERE d = 0)
+        SELECT agg.n AS n_pairs, z.n_zero,
+          agg.w2p AS w_plus_double, agg.w2m AS w_minus_double,
+          CAST(FLOOR((agg.w2p - agg.n * (agg.n + 1) / 2.0)
+            / sqrt(agg.n * (agg.n + 1) * (2 * agg.n + 1) / 6.0)
+            * 1000000.0) AS BIGINT) AS z_micro
+        FROM agg CROSS JOIN z
+    """
+    oracles["friedman_test"] = """
+        WITH cells AS (
+          SELECT d.doc_id AS b, s.sys AS tr,
+            (((d.doc_id * 19 + s.sys * 23) % 1000003) * 2654435761)
+              % 1000003 % 1000 AS score
+          FROM documents d
+          CROSS JOIN (SELECT unnest(range(0, 4)) AS sys) s
+        ),
+        ranked AS (
+          SELECT b, tr,
+            CAST(ROW_NUMBER() OVER (PARTITION BY b ORDER BY score, tr)
+                 AS BIGINT) AS rk
+          FROM cells
+        ),
+        rj AS (
+          SELECT tr, CAST(SUM(rk) AS BIGINT) AS rj,
+            CAST(COUNT(*) AS BIGINT) AS nb
+          FROM ranked GROUP BY 1
+        )
+        SELECT CAST(MAX(nb) AS BIGINT) AS n_blocks,
+          CAST(COUNT(*) AS BIGINT) AS k,
+          CAST(SUM(rj * rj) AS BIGINT) AS r_sq,
+          CAST((12 * CAST(SUM(rj * rj) AS HUGEINT)
+            - 3 * CAST(MAX(nb) AS HUGEINT) * MAX(nb) * COUNT(*)
+              * (COUNT(*) + 1) * (COUNT(*) + 1)) * 1000000
+            // NULLIF(CAST(MAX(nb) AS HUGEINT) * COUNT(*)
+                      * (COUNT(*) + 1), 0) AS BIGINT) AS chi2_micro
+        FROM rj
+    """
+    oracles["item_analysis"] = """
+        WITH cells AS MATERIALIZED (
+          SELECT i.item AS item, d.doc_id AS s,
+            CASE WHEN ((((d.doc_id % 1000003) * 2654435761) % 1000003)
+                       % 10) * 2
+                   + (((((d.doc_id * 31 + i.item * 7) % 1000003)
+                       * 2654435761) % 1000003) % 10)
+                 > i.item + 9 THEN 1 ELSE 0 END AS x
+          FROM documents d
+          CROSS JOIN (SELECT unnest(range(0, 16)) AS item) i
+        ),
+        tot AS (SELECT s, CAST(SUM(x) AS BIGINT) AS tot
+                FROM cells GROUP BY 1),
+        j AS (SELECT c.item, c.x, t.tot - c.x AS y
+              FROM cells c JOIN tot t ON c.s = t.s),
+        m AS (
+          SELECT item, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+            CAST(SUM(x * x) AS BIGINT) AS sxx,
+            CAST(SUM(y * y) AS BIGINT) AS syy,
+            CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM j GROUP BY 1
+        )
+        SELECT CAST(item AS BIGINT) AS item, n AS n_subjects,
+          sx AS n_correct,
+          CAST(CAST(sx AS HUGEINT) * 1000000 // n AS BIGINT) AS p_micro,
+          CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+              / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                     * CAST(n * syy - sy * sy AS DOUBLE))
+              * 1000000.0) AS BIGINT)
+            ELSE NULL END AS r_pb_micro
+        FROM m
+    """
+    oracles["l_diversity"] = """
+        WITH cells AS (
+          SELECT c_nationkey, c_mktsegment,
+            CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 2000.0) AS BIGINT)
+              AS sv,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM customer GROUP BY 1, 2, 3
+        ),
+        classes AS (
+          SELECT c_nationkey, c_mktsegment,
+            CAST(SUM(n) AS BIGINT) AS rws,
+            CAST(COUNT(*) AS BIGINT) AS nd
+          FROM cells GROUP BY 1, 2
+        )
+        SELECT CAST(3 AS BIGINT) AS l,
+          CAST(SUM(rws) AS BIGINT) AS n_rows,
+          CAST(COUNT(*) AS BIGINT) AS n_classes,
+          CAST(MIN(nd) AS BIGINT) AS min_distinct,
+          CAST(SUM(CASE WHEN nd < 3 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_violating_classes,
+          CAST(SUM(CASE WHEN nd < 3 THEN rws ELSE 0 END) AS BIGINT)
+            AS n_violating_rows
+        FROM classes
+    """
+    # mixture_reweight: 4 unrolled linearized-MW rounds over the bounded
+    # domain table (the bradley_terry generated-rounds pattern);
+    # eta = 1/2 at scale 1e6 -> bracket denominator 2e12.
+    _mw_rounds = []
+    for _r in range(1, 5):
+        _prev = f"w{_r - 1}"
+        _mw_rounds.append(f"""
+        bar{_r} AS MATERIALIZED (
+          SELECT CAST(SUM(w.w * CAST(p.loss_micro AS HUGEINT)) // SUM(w.w)
+                 AS HUGEINT) AS bar
+          FROM {_prev} w JOIN per p ON w.domain = p.domain
+        ),
+        w{_r} AS MATERIALIZED (
+          SELECT w.domain,
+            GREATEST(GREATEST(w.w * (2000000
+                + 1 * (CAST(p.loss_micro AS HUGEINT) - b.bar)),
+              w.w * 2) // 2000000, 1) AS w
+          FROM {_prev} w JOIN per p ON w.domain = p.domain
+          CROSS JOIN bar{_r} b
+        )""")
+    oracles["mixture_reweight"] = f"""
+        WITH per AS MATERIALIZED (
+          SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(CAST(FLOOR(
+              ((((doc_id % 1000003) * 2654435761) % 1000003 % 1000)
+               / 1000.0)
+              * 1000000.0) AS HUGEINT)) // COUNT(*) AS BIGINT)
+              AS loss_micro
+          FROM documents GROUP BY 1
+        ),
+        w0 AS MATERIALIZED (
+          SELECT domain, CAST(1000000 AS HUGEINT) AS w FROM per
+        ),{",".join(_mw_rounds)},
+        tw AS (SELECT CAST(SUM(w) AS HUGEINT) AS tw FROM w4)
+        SELECT p.domain, p.n_docs, p.loss_micro,
+          CAST(w.w AS BIGINT) AS weight,
+          CAST(w.w * 1000000 // t.tw AS BIGINT) AS share_micro
+        FROM per p JOIN w4 w ON p.domain = w.domain CROSS JOIN tw t
+    """
+    oracles["span_f1"] = r"""
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS l
+          FROM documents
+        ),
+        gtok AS (
+          SELECT doc_id, t FROM (SELECT doc_id, unnest(l) AS t FROM toks)
+          WHERE length(t) > 0
+        ),
+        ptok AS (
+          SELECT doc_id, t FROM (
+            SELECT doc_id, unnest(list_select(l,
+              list_filter(range(1, len(l) + 1), i -> i % 4 != 0))) AS t
+            FROM toks
+          ) WHERE length(t) > 0
+        ),
+        gc AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS cg
+               FROM gtok GROUP BY 1, 2),
+        pc AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS cp
+               FROM ptok GROUP BY 1, 2),
+        o AS (
+          SELECT g.doc_id, CAST(SUM(LEAST(g.cg, p.cp)) AS BIGINT) AS o
+          FROM gc g JOIN pc p ON g.doc_id = p.doc_id AND g.t = p.t
+          GROUP BY 1
+        ),
+        lg AS (SELECT doc_id, CAST(SUM(cg) AS BIGINT) AS lg
+               FROM gc GROUP BY 1),
+        lp AS (SELECT doc_id, CAST(SUM(cp) AS BIGINT) AS lp
+               FROM pc GROUP BY 1),
+        per AS (
+          SELECT COALESCE(lg.lg, 0) AS lg, COALESCE(lp.lp, 0) AS lp,
+            COALESCE(o.o, 0) AS o,
+            CASE WHEN COALESCE(lg.lg, 0) + COALESCE(lp.lp, 0) = 0
+              THEN CAST(1000000 AS BIGINT)
+              ELSE CAST(2 * CAST(COALESCE(o.o, 0) AS HUGEINT) * 1000000
+                   // (COALESCE(lg.lg, 0) + COALESCE(lp.lp, 0)) AS BIGINT)
+            END AS f1
+          FROM (SELECT doc_id FROM documents) ids
+          LEFT JOIN lg ON ids.doc_id = lg.doc_id
+          LEFT JOIN lp ON ids.doc_id = lp.doc_id
+          LEFT JOIN o ON ids.doc_id = o.doc_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+          CAST(SUM(f1) // COUNT(*) AS BIGINT) AS mean_f1_micro,
+          CAST(SUM(CASE WHEN f1 = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_perfect,
+          CAST(SUM(o) AS BIGINT) AS total_overlap,
+          CAST(SUM(lg) AS BIGINT) AS total_gold_tokens,
+          CAST(SUM(lp) AS BIGINT) AS total_pred_tokens
+        FROM per
     """
     return oracles

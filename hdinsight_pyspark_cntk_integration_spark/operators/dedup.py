@@ -593,16 +593,22 @@ def embedding_near_dup_candidates(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 8,
+    num_planes: int | None = None,
     bands: int = 16,
     seed: int = 42,
 ) -> DataFrame:
     """Cosine near-dup candidates via banded random-hyperplane LSH.
 
-    SIZE THE SIGNATURE TO THE CORPUS: ``num_planes`` must grow with
-    log2(n) (use :func:`recommended_num_planes`) — a fixed plane count
-    makes candidate volume quadratic in corpus size (measured: round-11
-    scale rehearsal, SCALING.md).
+    THE SIGNATURE SIZES ITSELF TO THE CORPUS: ``num_planes=None``
+    (default) derives the plane count from :func:`recommended_num_planes`
+    on a ``df.count()`` — one cheap metadata-or-scan pass before the
+    expensive candidate stage, amortized to nothing against the bucket
+    self-join it right-sizes. A FIXED plane count makes candidate volume
+    quadratic in corpus size (measured: round-11 scale rehearsal,
+    SCALING.md — shuffle exponent 1.83 at fixed 8 planes vs 1.13 sized;
+    re-measured with the self-sizing default in round 12). Pass an
+    explicit ``num_planes`` to pin the signature (tests, replaying a
+    persisted index, or recall tuning alongside ``bands``).
 
     Each band hashes the vector to the sign bits of ``num_planes``
     pseudo-random hyperplane dots; same-(band, bucket) pairs become
@@ -627,6 +633,8 @@ def embedding_near_dup_candidates(
     rows (constant factor) before the bucket self-join; dedup of the pair
     list is one extra shuffle.
     """
+    if num_planes is None:
+        num_planes = recommended_num_planes(df.count())
     total = bands * num_planes
 
     @F.pandas_udf("array<string>")
@@ -1315,7 +1323,7 @@ def embedding_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    num_planes: int = 8,
+    num_planes: int | None = None,
     bands: int = 16,
     seed: int = 42,
     candidates: DataFrame | None = None,
@@ -1329,10 +1337,11 @@ def embedding_dedup(
 
     Candidates default to banded random-hyperplane LSH
     (:func:`embedding_near_dup_candidates` — Σ|bucket|² per band, never
-    n²; probabilistic recall amplified by banding). Size ``num_planes``
-    with :func:`recommended_num_planes` — at a fixed plane count the
-    candidate volume grows quadratically with the corpus (measured,
-    SCALING.md). Pass ``candidates``
+    n²; probabilistic recall amplified by banding), which SELF-SIZES
+    ``num_planes`` from the corpus row count when left as ``None``
+    (default) — at a fixed plane count the candidate volume grows
+    quadratically with the corpus (measured, SCALING.md; pass an
+    explicit ``num_planes`` only to pin a signature). Pass ``candidates``
     explicitly for an exact generator (the oracle-checkable gate does:
     all-pairs is fine at fixture scale, and the closure downstream of
     the pair set is deterministic either way).

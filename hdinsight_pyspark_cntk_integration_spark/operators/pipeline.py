@@ -1549,9 +1549,14 @@ def ablation_arms(
     power of two, so bit i of the bucket is ~50% ± 2^{i+1}/1e6.)
 
     Scale shape: one projection explodes each id into its ≤ n_arms set
-    bits (linear, constant factor n_arms/2), the overlap join is
-    co-keyed on the id (never cross-id), and the result aggregate is
-    n_arms² rows. n_arms ≤ 16 keeps the constant honest.
+    bits (linear, constant factor n_arms/2), the membership pairs are
+    distinct-ed on (id, arm) BEFORE the self-join (ADVICE r11: without
+    it a duplicate id contributes quadratically — twice-appearing doc
+    → 4× in every overlap cell; the distinct makes n_docs count
+    DISTINCT ids per cell and shares the join's shuffle key), the
+    overlap join is co-keyed on the id (never cross-id), and the
+    result aggregate is n_arms² rows. n_arms ≤ 16 keeps the constant
+    honest.
 
     Returns (arm_i, arm_j, n_docs) for every set-bit pair per record,
     diagonal included.
@@ -1566,11 +1571,16 @@ def ablation_arms(
         F.col(id_col).alias("__id"),
         hash_bucket(id_col, method="knuth").alias("__m"),
     )
-    ex = base.select(
-        "__id",
-        "__m",
-        F.explode(F.sequence(F.lit(0), F.lit(n_arms - 1))).alias("i"),
-    ).filter(F.expr("pmod(shiftright(__m, i), 2) = 1"))
+    ex = (
+        base.select(
+            "__id",
+            "__m",
+            F.explode(F.sequence(F.lit(0), F.lit(n_arms - 1))).alias("i"),
+        )
+        .filter(F.expr("pmod(shiftright(__m, i), 2) = 1"))
+        .select("__id", "i")
+        .distinct()
+    )
     a = ex.select("__id", F.col("i").alias("arm_i"))
     b = ex.select("__id", F.col("i").alias("arm_j"))
     return (
@@ -1653,4 +1663,153 @@ def fim_split(
             F.expr("substring(__t, cast(__b as int))"),
             F.col("middle"),
         ).alias("psm_text"),
+    )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the attack
+    k-anonymity misses: a class of k identical quasi-identifiers is
+    still a disclosure if all k records share ONE sensitive value
+    (the homogeneity attack — "every 35-year-old in 94xxx has the
+    same diagnosis"). Each equivalence class must carry at least
+    ``l`` DISTINCT sensitive values. Run alongside
+    :func:`k_anonymity` before releasing user-derived tables; this is
+    the AUDIT (measure + exposure mass), not the suppression
+    transform, and it audits distinct-l (the entropy-l variant needs
+    per-class entropies — see ``token_entropy`` for the machinery).
+
+    All-integer single row: (l, n_rows, n_classes, min_distinct,
+    n_violating_classes, n_violating_rows) — ``min_distinct >= l``
+    iff the table is l-diverse; ``n_violating_rows`` is the exposure
+    mass sitting in homogeneous classes.
+
+    Scale shape: one partial-agg shuffle to (class, sensitive) cells
+    — bounded by the domain product — one class-keyed reduce, one
+    1-row reduce. The count-distinct is exact but never global: it
+    collapses per class from the already-aggregated cell table.
+    """
+    if l < 1:
+        raise ValueError(f"l must be >= 1 (got {l})")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    cells = df.groupBy(
+        *quasi_cols, F.col(sensitive_col).alias("__sv")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    classes = cells.groupBy(*quasi_cols).agg(
+        F.sum("__n").cast("long").alias("__rows"),
+        F.count(F.lit(1)).cast("long").alias("__nd"),
+    )
+    return classes.groupBy().agg(
+        F.lit(l).cast("long").alias("l"),
+        F.sum("__rows").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("__nd").cast("long").alias("min_distinct"),
+        F.sum((F.col("__nd") < l).cast("long")).cast("long").alias(
+            "n_violating_classes"
+        ),
+        F.sum(F.when(F.col("__nd") < l, F.col("__rows")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_violating_rows"),
+    )
+
+
+def mixture_reweight(
+    df: DataFrame,
+    domain_col: str,
+    loss_col: str,
+    rounds: int = 4,
+    eta_num: int = 1,
+    eta_den: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Linearized multiplicative-weights domain reweighting — the
+    deterministic core of DoReMi-style mixture optimization (Xie et
+    al. 2023, arXiv:2305.10429): domains whose mean excess loss is
+    above the current weighted average gain sampling weight, those
+    below lose it, for a FIXED number of rounds. The knob a pretraining
+    pipeline turns to re-balance web/code/books proportions from
+    per-domain proxy losses instead of hand-tuning. DoReMi's
+    exponentiated update ``w·exp(eta·excess)`` is linearized to
+    ``w·(1 + eta·excess/scale)`` (clamped >= 1) so every round is
+    EXACT integer arithmetic — no transcendentals, fully
+    oracle-unrollable; for the small per-round steps the linear and
+    exponential updates agree to first order (document the
+    difference, don't hide it).
+
+    Per round, all in integer micro-units: the weighted mean loss
+    ``bar = (Σ w_d·loss_d) DIV (Σ w_d)``; each domain's excess
+    ``e_d = loss_d − bar`` (positive = underperforming = upweight);
+    ``w'_d = max(max(w_d·(scale·eta_den + eta_num·e_d), w_d·eta_den)
+    DIV (scale·eta_den), 1)`` — the inner max keeps the bracket
+    positive (a domain loses at most half its weight per round at
+    eta <= 1), the outer max is the bradley_terry-style fixpoint
+    floor: a weight can decay to 1 but never to 0. Losses are expected
+    O(1) (normalize upstream): an excess beyond ±scale·eta_den/eta_num
+    saturates at the halving floor rather than erroring, but then the
+    update is a step function of sign, not a gradient — the gate
+    fixture normalizes to [0, 1) for this reason. Weights are
+    relative
+    (scale-free); the final row emits them with their micro share of
+    the total.
+
+    Scale shape: ONE corpus pass collapses rows to the bounded
+    per-domain mean-loss table (losses quantized to micro at
+    aggregation); every round after that is arithmetic on |domains|
+    rows with a 1-row weighted-mean reduce — 100 TB of documents cost
+    one aggregation, the loop never rescans them.
+
+    Returns (domain, n_docs, loss_micro, weight, share_micro).
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1 (got {rounds})")
+    if eta_num < 0 or eta_den < 1:
+        raise ValueError("eta must be a non-negative rational (num>=0, den>=1)")
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr(
+            f"CAST(CAST(SUM(CAST(FLOOR({loss_col} * {scale}) AS DECIMAL(38,0)))"
+            f" AS DECIMAL(38,0)) DIV COUNT(*) AS BIGINT)"
+        ).alias("loss_micro"),
+    ).localCheckpoint(eager=True)
+    weights = per.select("domain", F.lit(scale).cast("long").alias("w"))
+    denom = scale * eta_den
+    for _ in range(rounds):
+        j = per.join(weights, "domain")
+        bar = j.groupBy().agg(
+            F.expr(
+                "CAST(SUM(CAST(w AS DECIMAL(38,0)) * loss_micro)"
+                " DIV SUM(w) AS BIGINT)"
+            ).alias("bar")
+        )
+        weights = (
+            j.crossJoin(F.broadcast(bar))
+            .select(
+                "domain",
+                F.expr(
+                    f"CAST(GREATEST(GREATEST(CAST(w AS DECIMAL(38,0))"
+                    f" * ({scale}L * {eta_den} + {eta_num} * (loss_micro - bar)),"
+                    f" CAST(w AS DECIMAL(38,0)) * {eta_den})"
+                    f" DIV {denom}, 1) AS BIGINT)"
+                ).alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    tot = weights.groupBy().agg(F.sum("w").cast("long").alias("tw"))
+    return (
+        per.join(weights, "domain")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "domain",
+            "n_docs",
+            "loss_micro",
+            F.col("w").alias("weight"),
+            F.expr(
+                "CAST(CAST(w AS DECIMAL(38,0)) * 1000000 DIV tw AS BIGINT)"
+            ).alias("share_micro"),
+        )
     )

@@ -1503,11 +1503,20 @@ def power_iteration_quantized(
         n_rows * (2 * scale_in * A)^2 <= 1e19 / (scale_v * dim^1.5)
 
     With the defaults (scale_in=1e3, scale_v=1e6) and unit-range
-    embeddings (A=1) at dim=64 that is ``n_rows <= ~5,000``. This op
-    is the bounded ORACLE-GATE twin (the registered gate slices
-    ``vec_id < 500``); the unbounded-corpus production path is the
-    float ``power_iteration_top_component``, whose rows-only gate this
-    twin exists to certify. For larger exact runs, shrink ``scale_in``
+    embeddings (A=1) at dim=64 that is ``n_rows <= ~5,000``. The bound
+    is ENFORCED at runtime (VERDICT r11 #6, the theil_sen precedent):
+    after the covariance materializes, a raise_error guard fused into
+    the starting vector checks the measured quantities directly —
+    ``dim^3 · max|cv|^2 · scale_v^2 < 9.9e37`` (the sufficient form of
+    the inequality above with n_rows·(2·scale_in·A)² replaced by the
+    actual max|cv|, margin for the double-precision check itself) and
+    that no covariance cell already NULL'ed — so a silent
+    DECIMAL(38,0) overflow is impossible: out-of-range input fails
+    loudly at plan materialization. This op is the bounded ORACLE-GATE
+    twin (the registered gate slices ``vec_id < 500``); the
+    unbounded-corpus production path is the float
+    ``power_iteration_top_component``, whose rows-only gate this twin
+    exists to certify. For larger exact runs, shrink ``scale_in``
     /``scale_v`` per the inequality above.
 
     Returns (pos, component_micro) — the direction scaled to ~scale_v.
@@ -1537,9 +1546,45 @@ def power_iteration_quantized(
         )
         .localCheckpoint(eager=True)
     )
+    # Runtime overflow guard (VERDICT r11 #6): fused into the starting
+    # vector's value column so Catalyst can never prune it — vec feeds
+    # every iteration, and the eager checkpoint evaluates the check
+    # HERE, before any DECIMAL(38,0) accumulation can silently NULL.
+    chk = cov.groupBy().agg(
+        F.countDistinct("j").cast("double").alias("__dim"),
+        F.max(F.abs(F.col("cv")).cast("double")).alias("__cmax"),
+        F.max(F.col("cv").isNull().cast("int")).alias("__ovf"),
+    )
+    ok = (F.col("__ovf") == 0) & (
+        F.pow(F.col("__dim"), F.lit(3.0))
+        * F.pow(F.col("__cmax") * float(scale_v), F.lit(2.0))
+        < F.lit(9.9e37)
+    )
     vec = (
         cov.select(F.col("j").alias("pos")).distinct()
-        .select("pos", F.lit(scale_v).cast("long").alias("v"))
+        .join(F.broadcast(chk))
+        .select(
+            "pos",
+            F.when(ok, F.lit(scale_v).cast("long"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "power_iteration_quantized: input exceeds the "
+                            "DECIMAL(38,0) bound (dim^3 * max|cv|^2 * "
+                            f"scale_v^2 >= 9.9e37 with scale_v={scale_v}; "
+                            "max|cv|="
+                        ),
+                        F.col("__cmax").cast("string"),
+                        F.lit(
+                            ") — slice fewer rows or shrink "
+                            "scale_in/scale_v per the docstring inequality"
+                        ),
+                    )
+                ).cast("long")
+            )
+            .alias("v"),
+        )
         .localCheckpoint(eager=True)
     )
     for _ in range(rounds):
@@ -1685,6 +1730,13 @@ def retrieval_metrics(
     convention), MRR is the truncated mean of those micro values, and
     recall is total hits over total gold. Exact hash-gate cells.
 
+    The query universe is the UNION of ranked's and gold's distinct
+    query ids (ADVICE r11): a gold pair whose query was never ranked
+    still counts — it contributes rr=0 to the MRR denominator and its
+    gold rows to n_gold, deflating recall@k the way the gold-anchored
+    convention requires, instead of silently vanishing. (The reverse
+    case — a ranked query with no gold — likewise counts with rr=0.)
+
     Scale shape: the rank filter prunes to ≤ k rows per query BEFORE
     the co-keyed (query, doc) gold join; two partial-agg shuffles on
     the query key, then a 1-row reduce. No windows, no sorts.
@@ -1706,9 +1758,11 @@ def retrieval_metrics(
         )
     )
     gn = gold.groupBy(query_id).agg(F.count(F.lit(1)).cast("long").alias("__gold"))
+    universe = (
+        ranked.select(query_id).union(gold.select(query_id)).distinct()
+    )
     per = (
-        ranked.select(query_id)
-        .distinct()
+        universe
         .join(hits, query_id, "left")
         .join(gn, query_id, "left")
         .select(

@@ -3042,7 +3042,14 @@ def bradley_terry_quantized(
     wins is explicit Laplace regularization: the textbook MM update is
     undefined for players with zero wins (their strength collapses to
     0 and later rounds divide by π_i + π_j = 0); the floor keeps every
-    rating positive. Ratings are scale-free, so no normalization pass
+    rating positive. The D_i sum itself is guarded with NULLIF(d, 0) +
+    COALESCE→1 (ADVICE r11): if every term truncates to 0 (an
+    undefeated player's rating blowing past n·scale² of its opponents'
+    combined ratings), the update saturates the player at rating 1
+    EXPLICITLY in both engines, instead of riding Spark's
+    null-skipping GREATEST while DuckDB's //0 diverges — the
+    saturation edge is a defined fixpoint, not an engine accident.
+    Ratings are scale-free, so no normalization pass
     — determinism comes from the fixed ``iters`` and the fixed
     truncation points, replayed by an ANSI oracle as ``iters``
     unrolled MATERIALIZED CTE rounds over the pair table.
@@ -3104,8 +3111,8 @@ def bradley_terry_quantized(
             .select(
                 "p",
                 F.expr(
-                    f"CAST(GREATEST(CAST(wins + 1 AS DECIMAL(38,0)) * {sq}"
-                    f" DIV d, 1) AS BIGINT)"
+                    f"CAST(GREATEST(COALESCE(CAST(wins + 1 AS DECIMAL(38,0))"
+                    f" * {sq} DIV NULLIF(d, 0), 1), 1) AS BIGINT)"
                 ).alias("r"),
             )
             .localCheckpoint(eager=True)
@@ -3317,4 +3324,410 @@ def dawid_skene_hard(
     )
     return final.select(
         F.col("__r").alias("rater"), "n_votes", "n_agree", "accuracy_micro"
+    )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    item_col: str = "item_id",
+    rater_col: str = "rater",
+    label_col: str = "label",
+) -> DataFrame:
+    """Krippendorff's alpha, nominal metric (Krippendorff 1970/2004)
+    — the inter-annotator agreement statistic that, unlike Fleiss'
+    kappa, is DEFINED for missing data: items may carry any number of
+    ratings, and raters need not overlap. The right QA gate for real
+    curation pipelines, where redundancy is ragged (spot double-rating,
+    model+human mixes) rather than the uniform n-per-item Fleiss
+    requires.
+
+    Exact form (coincidence-matrix algebra for nominal data): over
+    items with m_u >= 2 ratings, each item's observed-disagreement
+    contribution is the ordered disagreeing pair count over m_u - 1:
+    ``t_u = (m_u^2 - SUM_c n_uc^2) / (m_u - 1)``; expected
+    disagreement is ``D_e = (n^2 - SUM_c n_c^2) / (n - 1)`` over the
+    pooled category totals, and ``alpha = 1 - D_o / D_e`` with
+    ``D_o = SUM_u t_u``. The per-item division is the ONE non-integer
+    step, so it is micro-quantized at the established truncation
+    point: ``t_u_scaled = (pairs_u * 1e6) DIV (m_u - 1)``, exact and
+    identically replayed by the oracle; the final
+    ``alpha_micro = 1e6 - (D_o_scaled * (n - 1)) DIV (n^2 - SUM n_c^2)``
+    is one more truncating DIV (alpha CAN be negative; truncation is
+    toward zero in both engines). Degenerate corpora (one category
+    overall) yield NULL alpha.
+
+    Single-rating items are excluded everywhere (they carry no
+    agreement information — the standard convention), including from
+    n and the category totals.
+
+    Scale shape: one partial-agg shuffle to (item, label) counts, one
+    item-keyed reduce for the per-item terms, two scalar reductions.
+    No windows, no collect, rater identity never shuffled.
+
+    Returns one row (n_items, n_ratings, do_scaled, de_num, de_den,
+    alpha_micro).
+    """
+    nuc = df.groupBy(
+        F.col(item_col).alias("__it"), F.col(label_col).alias("__l")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    per_item = nuc.groupBy("__it").agg(
+        F.sum("c").cast("long").alias("m"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    ).filter(F.col("m") >= 2)
+    multi = nuc.join(per_item.select("__it"), "__it")
+    cat = multi.groupBy("__l").agg(F.sum("c").cast("long").alias("cj"))
+    cat_tot = cat.groupBy().agg(
+        F.sum(F.col("cj") * F.col("cj")).cast("long").alias("c_sq"),
+        F.sum("cj").cast("long").alias("n"),
+    )
+    obs = per_item.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(
+            F.expr(
+                "CAST((CAST(m AS DECIMAL(38,0)) * m - s2) * 1000000"
+                " DIV (m - 1) AS DECIMAL(38,0))"
+            )
+        ).alias("do_scaled"),
+    )
+    return obs.crossJoin(cat_tot).select(
+        "n_items",
+        F.col("n").alias("n_ratings"),
+        F.col("do_scaled").cast("decimal(38,0)").cast("long").alias("do_scaled"),
+        F.expr("CAST(CAST(n AS DECIMAL(38,0)) * n - c_sq AS BIGINT)").alias(
+            "de_num"
+        ),
+        F.expr("CAST(n - 1 AS BIGINT)").alias("de_den"),
+        F.expr(
+            "CAST(1000000 - (do_scaled * (n - 1))"
+            " DIV NULLIF(CAST(n AS DECIMAL(38,0)) * n - c_sq, 0) AS BIGINT)"
+        ).alias("alpha_micro"),
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    item_col: str = "item_id",
+    treatment_col: str = "treatment",
+    outcome_col: str = "correct",
+) -> DataFrame:
+    """Cochran's Q test (Cochran 1950) — k matched binary classifiers
+    on the same n items: do the systems differ at all? The k-way
+    generalization of McNemar (k=2 reduces to it, sans continuity
+    correction), and the right FIRST test before pairwise McNemars
+    when an eval harness compares many model variants at once.
+
+    All-integer identity: with column totals G_j (per treatment), row
+    totals R_i (per item), and T = SUM G_j,
+    ``Q = (k-1) * (k * SUM G_j^2 - T^2) / (k*T - SUM R_i^2)`` — every
+    term an exact count, one truncating micro DIV at the end (NULL
+    when the denominator is 0: all items unanimous across systems,
+    nothing to test). Uniform k per item is the caller's contract
+    (matched design); k is derived as total_cells DIV n_items.
+
+    Scale shape: two partial-agg shuffles (per-item and per-treatment
+    totals — the treatment domain is bounded), then a 1-row reduce.
+
+    Returns one row (n_items, k, total_successes, g_sq, r_sq,
+    q_micro).
+    """
+    cells = df.select(
+        F.col(item_col).alias("__it"),
+        F.col(treatment_col).alias("__tr"),
+        F.col(outcome_col).cast("boolean").cast("long").alias("__x"),
+    )
+    rows = cells.groupBy("__it").agg(
+        F.sum("__x").cast("long").alias("ri"),
+        F.count(F.lit(1)).cast("long").alias("ki"),
+    )
+    row_tot = rows.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.col("ri") * F.col("ri")).cast("long").alias("r_sq"),
+        F.sum("ki").cast("long").alias("n_cells"),
+    )
+    col_tot = (
+        cells.groupBy("__tr")
+        .agg(F.sum("__x").cast("long").alias("gj"))
+        .groupBy()
+        .agg(
+            F.sum(F.col("gj") * F.col("gj")).cast("long").alias("g_sq"),
+            F.sum("gj").cast("long").alias("t"),
+        )
+    )
+    return row_tot.crossJoin(col_tot).select(
+        "n_items",
+        F.expr("CAST(n_cells DIV n_items AS BIGINT)").alias("k"),
+        F.col("t").alias("total_successes"),
+        "g_sq",
+        "r_sq",
+        F.expr(
+            "CAST((n_cells DIV n_items - 1)"
+            " * ((n_cells DIV n_items) * CAST(g_sq AS DECIMAL(38,0))"
+            "    - CAST(t AS DECIMAL(38,0)) * t) * 1000000"
+            " DIV NULLIF((n_cells DIV n_items) * CAST(t AS DECIMAL(38,0))"
+            "            - r_sq, 0) AS BIGINT)"
+        ).alias("q_micro"),
+    )
+
+
+def kendall_w(
+    df: DataFrame,
+    judge_col: str = "judge",
+    item_col: str = "item_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Kendall's coefficient of concordance W (Kendall & Babington
+    Smith 1939) — m judges each ranking the same n items: how much do
+    the rankings agree as a GROUP (1 = identical orders, 0 = no
+    association)? The multi-ranker complement to pairwise Kendall tau;
+    an eval pipeline runs it over per-model preference rankings before
+    trusting an aggregate leaderboard.
+
+    All-integer identity (no ties — each judge's ranks are a
+    permutation of 1..n, the caller's contract; use a deterministic
+    tie-break upstream): with item rank sums R_i,
+    ``W = 12 * SUM (R_i - m(n+1)/2)^2 / (m^2 (n^3 - n))``, computed in
+    the half-integer-free form ``3 * SUM (2 R_i - m(n+1))^2 /
+    (m^2 (n^3 - n))`` — exact integers end to end, one truncating
+    micro DIV (NULL for n < 2). m is derived as total_ranks DIV n.
+
+    Scale shape: one item-keyed partial-agg shuffle for rank sums,
+    one 1-row reduce. Judge identity never shuffled.
+
+    Returns one row (n_items, n_judges, s_dev, w_micro).
+    """
+    sums = df.groupBy(F.col(item_col).alias("__it")).agg(
+        F.sum(F.col(rank_col).cast("long")).cast("long").alias("ri"),
+        F.count(F.lit(1)).cast("long").alias("mi"),
+    )
+    tot = sums.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.expr("CAST(SUM(mi) DIV COUNT(*) AS BIGINT)").alias("n_judges"),
+    )
+    # 1-row totals broadcast back onto the n_items rank sums: the
+    # deviation needs m and n per row, and a scalar crossJoin is the
+    # window-free way to provide them.
+    dev = sums.crossJoin(F.broadcast(tot)).select(
+        "n_items",
+        "n_judges",
+        F.expr(
+            "CAST(2 AS DECIMAL(38,0)) * ri - n_judges * (n_items + 1)"
+        ).alias("__d"),
+    )
+    return dev.groupBy("n_items", "n_judges").agg(
+        F.expr("CAST(SUM(__d * __d) AS BIGINT)").alias("s_dev"),
+        F.expr(
+            "CAST(CAST(SUM(__d * __d) AS DECIMAL(38,0)) * 3000000"
+            " DIV NULLIF(CAST(n_judges AS DECIMAL(38,0)) * n_judges"
+            " * (CAST(n_items AS DECIMAL(38,0)) * n_items * n_items"
+            "    - n_items), 0) AS BIGINT)"
+        ).alias("w_micro"),
+    )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Wilcoxon signed-rank test (Wilcoxon 1945) over paired
+    measurements — the non-parametric "did system Y beat system X on
+    the same items" check for ORDINAL per-item scores (where McNemar
+    needs binary outcomes and a paired t-test trusts normality).
+    Zero differences drop (the standard convention); ties in |d| get
+    average ranks.
+
+    All-integer discipline: ranks are carried DOUBLED (average ranks
+    are half-integers; 2·rank is always integral), built without any
+    global sort from the per-|d| value counts and a cumulative count
+    over the bounded DISTINCT-|d| table (the cliffs_delta shape):
+    a value with cb smaller |d|'s below it and t occurrences spans
+    doubled-ranks ``2·cb + 1 … 2·cb + 2t - 1``, averaging
+    ``2·cb + t + 1``. W+ (doubled) sums those over positive d's. The
+    normal approximation is emitted as ``z_micro``: with
+    ``num = W2+ − n(n+1)/2`` and ``s2 = n(n+1)(2n+1)/6`` (always
+    integral), ``z = num / (2·sqrt(s2/4)) = num / sqrt(s2)`` — exact
+    integers into one fp64 sqrt + divide + floor, bit-identical in
+    any IEEE engine. No tie correction on the variance (documented:
+    with heavy ties prefer the exact integer cells also returned).
+
+    Scale shape: one projection, one partial-agg shuffle to distinct
+    |d| counts (bounded by the value domain), one window over that
+    bounded table, a 1-row reduce.
+
+    Returns one row (n_pairs, n_zero, w_plus_double, w_minus_double,
+    z_micro).
+    """
+    from pyspark.sql import Window
+
+    d = F.col(x_col).cast("long") - F.col(y_col).cast("long")
+    base = df.select(d.alias("__d")).filter(F.col("__d").isNotNull())
+    nz = base.filter(F.col("__d") != 0).select(
+        F.abs("__d").alias("__a"), (F.col("__d") > 0).cast("long").alias("__p")
+    )
+    vc = nz.groupBy("__a").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("__p").cast("long").alias("np"),
+    )
+    w = Window.orderBy("__a").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vc.select(
+        "__a", "t", "np",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).cast("long").alias("cb"),
+    )
+    agg = ranked.groupBy().agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(
+            (F.col("np") * (F.lit(2) * F.col("cb") + F.col("t") + 1))
+        ).cast("long").alias("w2p"),
+        F.sum(
+            ((F.col("t") - F.col("np"))
+             * (F.lit(2) * F.col("cb") + F.col("t") + 1))
+        ).cast("long").alias("w2m"),
+    )
+    n_zero = base.filter(F.col("__d") == 0).groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_zero")
+    )
+    return agg.crossJoin(n_zero).select(
+        F.col("n").alias("n_pairs"),
+        "n_zero",
+        F.col("w2p").alias("w_plus_double"),
+        F.col("w2m").alias("w_minus_double"),
+        F.floor(
+            (F.col("w2p") - F.col("n") * (F.col("n") + 1) / F.lit(2.0))
+            .cast("double")
+            / F.sqrt(
+                (F.col("n") * (F.col("n") + 1) * (2 * F.col("n") + 1)
+                 / F.lit(6.0)).cast("double")
+            )
+            * F.lit(1000000.0)
+        ).cast("long").alias("z_micro"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str = "item_id",
+    treatment_col: str = "treatment",
+    value_col: str = "score",
+) -> DataFrame:
+    """Friedman rank test (Friedman 1937) — k systems scored on the
+    same n items ("blocks"): rank the systems WITHIN each item, then
+    test whether the rank sums differ. The non-parametric k-way
+    repeated-measures ANOVA an eval harness runs before pairwise
+    post-hocs; the ordinal-score complement to Cochran's Q.
+
+    Determinism contract: within-block ranks come from ``row_number``
+    over ``(value, treatment)`` — the treatment id is the documented
+    tie-break, so ranks are ALWAYS a 1..k permutation (no average-rank
+    fractions, no tie-corrected denominator) and the statistic is a
+    defined function of the data, identically replayed by the oracle.
+
+    All-integer identity: with within-block ranks summed per treatment
+    to R_j, ``chi2_F = 12·SUM R_j² / (n·k·(k+1)) − 3·n·(k+1)``
+    computed as the single rational
+    ``(12·SUM R_j² − 3·n²·k·(k+1)²) / (n·k·(k+1))`` — exact integers,
+    one truncating micro DIV (NULL for k < 2). k derives as
+    total_cells DIV n_blocks (uniform k per block is the matched
+    design's contract).
+
+    Scale shape: ONE block-partitioned window (k rows per partition),
+    one treatment-keyed partial-agg shuffle (bounded domain), a 1-row
+    reduce.
+
+    Returns one row (n_blocks, k, r_sq, chi2_micro).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.col(block_col)).orderBy(
+        F.col(value_col), F.col(treatment_col)
+    )
+    ranked = df.select(
+        F.col(block_col).alias("__b"),
+        F.col(treatment_col).alias("__tr"),
+        F.row_number().over(w).cast("long").alias("__r"),
+    )
+    rj = ranked.groupBy("__tr").agg(
+        F.sum("__r").cast("long").alias("rj"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+    )
+    return rj.groupBy().agg(
+        F.max("nb").cast("long").alias("n_blocks"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("rj") * F.col("rj")).cast("long").alias("r_sq"),
+        F.expr(
+            "CAST((12 * CAST(SUM(rj * rj) AS DECIMAL(38,0))"
+            " - 3 * CAST(MAX(nb) AS DECIMAL(38,0)) * MAX(nb) * COUNT(*)"
+            "   * (COUNT(*) + 1) * (COUNT(*) + 1)) * 1000000"
+            " DIV NULLIF(CAST(MAX(nb) AS DECIMAL(38,0)) * COUNT(*)"
+            "            * (COUNT(*) + 1), 0) AS BIGINT)"
+        ).alias("chi2_micro"),
+    )
+
+
+def item_analysis(
+    df: DataFrame,
+    item_col: str = "item_id",
+    subject_col: str = "subject",
+    outcome_col: str = "correct",
+) -> DataFrame:
+    """Classical-test-theory item analysis over an eval matrix
+    (subjects × items, binary outcomes): per-item DIFFICULTY (the
+    p-value — fraction answering correctly) and DISCRIMINATION (the
+    point-biserial correlation of the item outcome with the subject's
+    rest-score, i.e. total EXCLUDING the item — the uncorrected form
+    inflates easy-item discrimination by self-correlation). The
+    question-bank QA an eval pipeline runs to find broken items:
+    near-0 or negative r_pb means the "hard" item is noise, p near 1
+    means it measures nothing.
+
+    Integer discipline: per-subject totals and all moment sums are
+    exact integers; ``p_micro`` is a truncating DIV. The point-
+    biserial ``r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²)·(n·Σy² −
+    (Σy)²))`` takes exact-integer moments into one fp64 sqrt + divide
+    + floor (bit-identical in IEEE engines); NULL when either
+    variance is 0 (unanimous item or constant rest-scores).
+
+    Scale shape: one subject-keyed partial-agg for totals, one
+    broadcast-joinable map back (subject totals are |subjects| rows —
+    AQE broadcasts when small, shuffles on the key otherwise), one
+    item-keyed partial-agg. No windows.
+
+    Returns (item, n_subjects, n_correct, p_micro, r_pb_micro).
+    """
+    cells = df.select(
+        F.col(item_col).alias("__item"),
+        F.col(subject_col).alias("__s"),
+        F.col(outcome_col).cast("boolean").cast("long").alias("__x"),
+    )
+    totals = cells.groupBy("__s").agg(
+        F.sum("__x").cast("long").alias("__tot")
+    )
+    joined = cells.join(totals, "__s").select(
+        "__item", "__x", (F.col("__tot") - F.col("__x")).alias("__y")
+    )
+    n = F.count(F.lit(1)).cast("long")
+    sx = F.sum("__x").cast("long")
+    sy = F.sum("__y").cast("long")
+    sxx = F.sum(F.col("__x") * F.col("__x")).cast("long")
+    syy = F.sum(F.col("__y") * F.col("__y")).cast("long")
+    sxy = F.sum(F.col("__x") * F.col("__y")).cast("long")
+    num = (n * sxy - sx * sy).cast("double")
+    var_x = (n * sxx - sx * sx).cast("double")
+    var_y = (n * syy - sy * sy).cast("double")
+    return joined.groupBy("__item").agg(
+        n.alias("n_subjects"),
+        sx.alias("n_correct"),
+        F.expr(
+            "CAST(CAST(SUM(__x) AS DECIMAL(38,0)) * 1000000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("p_micro"),
+        F.when(
+            (var_x > 0) & (var_y > 0),
+            F.floor(num / F.sqrt(var_x * var_y) * F.lit(1000000.0)),
+        ).cast("long").alias("r_pb_micro"),
+    ).select(
+        F.col("__item").alias("item"),
+        "n_subjects",
+        "n_correct",
+        "p_micro",
+        "r_pb_micro",
     )

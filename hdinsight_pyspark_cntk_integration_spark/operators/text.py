@@ -2294,8 +2294,13 @@ def bleu_clipped_precision(
     orders in one pass over each corpus — then two partial-agg
     shuffles: multiset counts keyed (id, n, gram), and the clip join
     co-keyed on the same triple (inner join: grams absent from the
-    reference clip to 0 and drop). Final aggregate is n_max rows.
-    Shuffle volume is linear in gram count; no cross-id pairing.
+    reference clip to 0 and drop). Final aggregate is n_max rows —
+    ALWAYS n_max rows (ADVICE r11): the ref/gen totals meet in a full
+    outer join, so an order with grams on only one side (every
+    reference shorter than n words, say) still emits its row with the
+    missing total as 0 and precision_micro 0, instead of vanishing
+    from a caller's 1..n_max iteration. precision_micro is 0 (not
+    NULL) when total_gen is 0 — documented convention.
 
     Returns (n, total_ref, total_gen, total_clipped, precision_micro).
     """
@@ -2337,19 +2342,21 @@ def bleu_clipped_precision(
     )
     gt = gc.groupBy("n").agg(F.sum("c").cast("long").alias("total_gen"))
     rt = rc.groupBy("n").agg(F.sum("c").cast("long").alias("total_ref"))
+    zero = F.lit(0).cast("long")
     return (
-        rt.join(gt, "n")
+        rt.join(gt, "n", "full_outer")
         .join(clip, "n", "left")
         .select(
             F.col("n").cast("int").alias("n"),
-            "total_ref",
-            "total_gen",
-            F.coalesce(F.col("total_clipped"), F.lit(0).cast("long")).alias(
-                "total_clipped"
-            ),
-            F.expr(
-                "CAST(CAST(COALESCE(total_clipped, 0) AS DECIMAL(38,0)) * 1000000"
-                " DIV total_gen AS BIGINT)"
+            F.coalesce(F.col("total_ref"), zero).alias("total_ref"),
+            F.coalesce(F.col("total_gen"), zero).alias("total_gen"),
+            F.coalesce(F.col("total_clipped"), zero).alias("total_clipped"),
+            F.coalesce(
+                F.expr(
+                    "CAST(CAST(COALESCE(total_clipped, 0) AS DECIMAL(38,0))"
+                    " * 1000000 DIV NULLIF(total_gen, 0) AS BIGINT)"
+                ),
+                zero,
             ).alias("precision_micro"),
         )
     )
@@ -2457,4 +2464,96 @@ def chao1_vocab(
             " DIV (2 * (SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) + 1))"
             " AS BIGINT)"
         ).alias("chao1_micro"),
+    )
+
+
+def span_f1(
+    gold: DataFrame,
+    pred: DataFrame,
+    id_col: str = "doc_id",
+    gold_text_col: str = "text",
+    pred_text_col: str = "text",
+) -> DataFrame:
+    """Token-overlap F1 between paired gold and predicted answer texts
+    (the SQuAD/QA eval metric, Rajpurkar et al. 2016): per item, the
+    multiset token overlap ``o = Σ_t min(cnt_gold(t), cnt_pred(t))``
+    gives ``F1 = 2o / (|gold| + |pred|)``; the corpus row reports the
+    truncated-mean F1 plus exact totals. The per-item clip is BLEU's
+    unigram clip applied symmetrically (rouge_n is the set-based
+    cousin; this is the multiset form QA grading specifies).
+
+    Conventions, all explicit: tokens are lowercased
+    whitespace-splits (the engine-wide normalizer); an item where
+    BOTH sides are empty scores F1 = 1e6 (vacuous truth, the SQuAD
+    convention); one side empty scores 0. Items present in only one
+    input are dropped by the inner id join — pad upstream if absence
+    must score 0. Per-item ``f1 = (2o·1e6) DIV (lg + lp)`` truncates
+    at the established point; the corpus mean truncates once more.
+
+    Scale shape: each side explodes once to (id, token) counts —
+    co-keyed (id, token) clip join, id-keyed reduce, 1-row corpus
+    reduce. Shuffle linear in token count, never cross-item.
+
+    Returns one row (n_items, mean_f1_micro, n_perfect, total_overlap,
+    total_gold_tokens, total_pred_tokens).
+    """
+
+    def counts(df: DataFrame, text_col: str, cname: str) -> DataFrame:
+        toks = F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+            " ",
+        )
+        return (
+            df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("__t"))
+            .filter(F.length("__t") > 0)
+            .groupBy("__id", "__t")
+            .agg(F.count(F.lit(1)).cast("long").alias(cname))
+        )
+
+    gc = counts(gold, gold_text_col, "cg")
+    pc = counts(pred, pred_text_col, "cp")
+    overlap = (
+        gc.join(pc, ["__id", "__t"])
+        .groupBy("__id")
+        .agg(F.sum(F.least("cg", "cp")).cast("long").alias("o"))
+    )
+    lg = gc.groupBy("__id").agg(F.sum("cg").cast("long").alias("lg"))
+    lp = pc.groupBy("__id").agg(F.sum("cp").cast("long").alias("lp"))
+    # ids present in either side's ORIGINAL input (an empty/whitespace
+    # text has no token rows but must still score) — inner join of the
+    # two id universes implements the documented pairing contract.
+    ids = (
+        gold.select(F.col(id_col).alias("__id")).distinct()
+        .join(pred.select(F.col(id_col).alias("__id")).distinct(), "__id")
+    )
+    per = (
+        ids.join(lg, "__id", "left")
+        .join(lp, "__id", "left")
+        .join(overlap, "__id", "left")
+        .select(
+            F.coalesce("lg", F.lit(0)).cast("long").alias("lg"),
+            F.coalesce("lp", F.lit(0)).cast("long").alias("lp"),
+            F.coalesce("o", F.lit(0)).cast("long").alias("o"),
+        )
+        .select(
+            "lg", "lp", "o",
+            F.when(F.col("lg") + F.col("lp") == 0, F.lit(1000000).cast("long"))
+            .otherwise(
+                F.expr(
+                    "CAST(2 * CAST(o AS DECIMAL(38,0)) * 1000000"
+                    " DIV (lg + lp) AS BIGINT)"
+                )
+            )
+            .alias("f1"),
+        )
+    )
+    return per.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.expr("CAST(SUM(f1) DIV COUNT(*) AS BIGINT)").alias("mean_f1_micro"),
+        F.sum((F.col("f1") == 1000000).cast("long")).cast("long").alias(
+            "n_perfect"
+        ),
+        F.sum("o").cast("long").alias("total_overlap"),
+        F.sum("lg").cast("long").alias("total_gold_tokens"),
+        F.sum("lp").cast("long").alias("total_pred_tokens"),
     )

@@ -261,6 +261,29 @@ def test_bleu_clip_validation(spark):
         tx.bleu_clipped_precision(df, df, n_max=0)
 
 
+def test_bleu_clip_one_sided_order_still_emits_row(spark):
+    """ADVICE r11: an n-gram order with grams on only one side must
+    emit its row with the missing total 0 and precision 0, not vanish
+    — a caller iterating 1..n_max gets exactly n_max rows."""
+    # ref text is empty -> no ref grams at ANY order (word_ngrams
+    # clamps short-but-nonempty docs to one gram, so empty is the
+    # genuinely one-sided case); gen has grams at both orders
+    refs = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    gens = spark.createDataFrame([(1, "the cat sat")], "doc_id long, text string")
+    out = {r["n"]: r for r in tx.bleu_clipped_precision(refs, gens, n_max=2).collect()}
+    assert sorted(out) == [1, 2]
+    for n in (1, 2):
+        assert out[n]["total_ref"] == 0 and out[n]["total_gen"] > 0
+        assert out[n]["total_clipped"] == 0 and out[n]["precision_micro"] == 0
+    # the mirror case: no gen grams; precision_micro is 0 by the
+    # documented total_gen=0 convention (never a divide error)
+    out2 = {r["n"]: r for r in tx.bleu_clipped_precision(gens, refs, n_max=2).collect()}
+    assert sorted(out2) == [1, 2]
+    for n in (1, 2):
+        assert out2[n]["total_ref"] > 0 and out2[n]["total_gen"] == 0
+        assert out2[n]["precision_micro"] == 0
+
+
 # --- good_turing_counts (round 11, count-of-counts smoothing) ---
 
 
@@ -321,3 +344,34 @@ def test_chao1_closed_vocab_no_extra(spark):
     df = spark.createDataFrame([(1, "a a a b b b")], "doc_id long, text string")
     [r] = tx.chao1_vocab(df, n=1).collect()
     assert r["chao1_micro"] == r["s_obs"] * 1_000_000
+
+
+# --- span_f1 (round 12, QA token-overlap eval) ---
+
+
+def test_span_f1_hand_case(spark):
+    gold = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "alpha beta"), (3, "")],
+        "doc_id long, text string",
+    )
+    pred = spark.createDataFrame(
+        [(1, "the cat"), (2, "gamma delta"), (3, "")],
+        "doc_id long, text string",
+    )
+    [r] = tx.span_f1(gold, pred).collect()
+    # item 1: o=2, lg=3, lp=2 -> f1 = 4e6 DIV 5 = 800000
+    # item 2: no overlap -> 0; item 3: both empty -> 1e6 (vacuous)
+    assert r["n_items"] == 3
+    assert r["mean_f1_micro"] == (800_000 + 0 + 1_000_000) // 3
+    assert r["n_perfect"] == 1
+    assert (r["total_overlap"], r["total_gold_tokens"], r["total_pred_tokens"]) == (2, 5, 4)
+
+
+def test_span_f1_multiset_clip_and_pairing(spark):
+    # repeated token: gold "a a b", pred "a a a" -> o = min(2,3)=2 for
+    # 'a' -> f1 = 2*2/(3+3) = 666666 micro (truncated)
+    gold = spark.createDataFrame([(1, "a a b"), (9, "only gold")], "doc_id long, text string")
+    pred = spark.createDataFrame([(1, "a a a"), (8, "only pred")], "doc_id long, text string")
+    [r] = tx.span_f1(gold, pred).collect()
+    assert r["n_items"] == 1  # unpaired ids drop by contract
+    assert r["mean_f1_micro"] == 4_000_000 // 6

@@ -1196,6 +1196,30 @@ def test_recommended_num_planes_scales_log2():
         dd.recommended_num_planes(0)
 
 
+def test_embedding_candidates_self_size_default(spark):
+    """num_planes=None (round-12 default, VERDICT r11 #2) derives the
+    plane count from the corpus row count: the candidate set must equal
+    the explicit recommended_num_planes(n) run bit-for-bit (same seed →
+    same planes), and a tiny corpus must clamp to the 4-plane floor."""
+    rows = [
+        (i, [float((i * 7 + j * 3) % 5 - 2) for j in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    auto = {
+        (r["id_a"], r["id_b"])
+        for r in dd.embedding_near_dup_candidates(df).collect()
+    }
+    pinned = {
+        (r["id_a"], r["id_b"])
+        for r in dd.embedding_near_dup_candidates(
+            df, num_planes=dd.recommended_num_planes(40)
+        ).collect()
+    }
+    assert auto == pinned
+    assert dd.recommended_num_planes(40) == 4  # 40 rows clamps to floor
+
+
 # --- exact_dedup_keep_best (round 11, quality-argmax representative) ---
 
 

@@ -1011,6 +1011,23 @@ def test_ablation_arms_matrix_invariants(spark):
         pl.ablation_arms(df, n_arms=0)
 
 
+def test_ablation_arms_duplicate_ids_count_once(spark):
+    """ADVICE r11: a duplicate id must not inflate overlap cells
+    quadratically — n_docs counts DISTINCT ids per cell."""
+    ids = list(range(1, 51))
+    once = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    doubled = spark.createDataFrame([(i,) for i in ids + ids], "doc_id long")
+    m1 = {
+        (r["arm_i"], r["arm_j"]): r["n_docs"]
+        for r in pl.ablation_arms(once, n_arms=4).collect()
+    }
+    m2 = {
+        (r["arm_i"], r["arm_j"]): r["n_docs"]
+        for r in pl.ablation_arms(doubled, n_arms=4).collect()
+    }
+    assert m1 == m2
+
+
 # --- fim_split (round 11, fill-in-the-middle transform) ---
 
 
@@ -1040,3 +1057,70 @@ def test_fim_split_replayable_and_degenerate(spark):
     # degenerate single-char / empty docs stay in-bounds
     assert a[8]["prefix"] == "" and a[8]["middle"] == "x" and a[8]["suffix"] == ""
     assert a[9]["psm_text"] == ""
+
+
+# --- round-12 governance + mixture ops ---
+
+
+def test_l_diversity_hand_case(spark):
+    # class (30, 94xxx): 3 rows, ONE sensitive value -> homogeneity
+    # violation at l=2; class (40, 95xxx): 2 rows, 2 distinct -> ok
+    rows = [
+        (30, "94xxx", "flu"), (30, "94xxx", "flu"), (30, "94xxx", "flu"),
+        (40, "95xxx", "flu"), (40, "95xxx", "cold"),
+    ]
+    df = spark.createDataFrame(rows, "age long, zip string, dx string")
+    [r] = pl.l_diversity(df, ["age", "zip"], "dx", l=2).collect()
+    assert (r["l"], r["n_rows"], r["n_classes"]) == (2, 5, 2)
+    assert r["min_distinct"] == 1
+    assert (r["n_violating_classes"], r["n_violating_rows"]) == (1, 3)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pl.l_diversity(df, [], "dx")
+    with _pytest.raises(ValueError):
+        pl.l_diversity(df, ["age"], "dx", l=0)
+
+
+def test_mixture_reweight_matches_python_replay(spark):
+    # 2 domains, constant per-doc losses 0.2 / 0.8 -> the lossier
+    # domain must gain share; replay the integer update exactly
+    rows = [("web", 0.2)] * 3 + [("code", 0.8)] * 2
+    df = spark.createDataFrame(rows, "domain string, loss double")
+    out = {
+        r["domain"]: r
+        for r in pl.mixture_reweight(df, "domain", "loss", rounds=3).collect()
+    }
+    SCALE = 1_000_000
+    per = {"web": 200_000, "code": 800_000}
+    w = {d: SCALE for d in per}
+    for _ in range(3):
+        bar = sum(w[d] * per[d] for d in per) // sum(w.values())
+        w = {
+            d: max(
+                max(w[d] * (SCALE * 2 + 1 * (per[d] - bar)), w[d] * 2)
+                // (SCALE * 2),
+                1,
+            )
+            for d in per
+        }
+    tw = sum(w.values())
+    for d in per:
+        assert out[d]["loss_micro"] == per[d]
+        assert out[d]["weight"] == w[d]
+        assert out[d]["share_micro"] == w[d] * SCALE // tw
+    assert out["code"]["share_micro"] > out["web"]["share_micro"]
+    assert out["web"]["n_docs"] == 3
+
+
+def test_mixture_reweight_floor_keeps_weights_positive(spark):
+    # an extreme eta would zero the low-loss domain without the floor
+    rows = [("a", 0.0)] * 5 + [("b", 1.0)] * 5
+    df = spark.createDataFrame(rows, "domain string, loss double")
+    out = {
+        r["domain"]: r["weight"]
+        for r in pl.mixture_reweight(
+            df, "domain", "loss", rounds=4, eta_num=10, eta_den=1
+        ).collect()
+    }
+    assert out["a"] >= 1 and out["b"] > out["a"]

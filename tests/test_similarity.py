@@ -651,6 +651,27 @@ def test_power_iteration_quantized_matches_eigenvector(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
+def test_power_iteration_quantized_overflow_raises(spark):
+    """VERDICT r11 #6: input past the documented DECIMAL(38,0) bound
+    must fail LOUDLY at materialization (raise_error, the theil_sen
+    precedent) — never a silent NULL overflow. scale_in=1e9 on
+    unit-range vectors blows max|cv| far past the dim^3 inequality."""
+    import pytest as _pytest
+
+    rows = [
+        (i, [float((-1) ** i), float((-1) ** (i + 1)), 1.0, -1.0])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with _pytest.raises(Exception, match="power_iteration_quantized"):
+        sim.power_iteration_quantized(df, rounds=1, scale_in=10**9).collect()
+    # and the in-bound default still runs clean (non-degenerate input:
+    # the symmetric ±1 vectors above make Cv=0 for the all-ones start)
+    rows2 = [(i, [float(i % 5), 1.0, 0.0, 0.0]) for i in range(50)]
+    df2 = spark.createDataFrame(rows2, "vec_id long, embedding array<float>")
+    assert sim.power_iteration_quantized(df2, rounds=1).count() == 4
+
+
 # --- kcenter_select (round 11, farthest-point diversity selection) ---
 
 
@@ -703,6 +724,24 @@ def test_retrieval_metrics_mrr_and_recall(spark):
     assert r["mrr_micro"] == 166_666
     assert (r["n_hits"], r["n_gold"]) == (1, 2)
     assert r["recall_at_k_micro"] == 500_000
+
+
+def test_retrieval_metrics_gold_only_query_deflates(spark):
+    """ADVICE r11: a gold pair whose query never appears in `ranked`
+    must still count — rr=0 in the MRR denominator, its gold rows in
+    n_gold — deflating recall rather than silently vanishing."""
+    ranked = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, rank long"
+    )
+    gold = spark.createDataFrame(
+        [(1, 10), (9, 90)], "query_id long, doc_id long"  # q9 never ranked
+    )
+    [r] = sim.retrieval_metrics(ranked, gold, k=2).collect()
+    assert r["n_queries"] == 2          # 1 ranked + 1 gold-only
+    assert r["n_hit_queries"] == 1
+    assert r["mrr_micro"] == 500_000    # (1000000 + 0) / 2
+    assert (r["n_hits"], r["n_gold"]) == (1, 2)
+    assert r["recall_at_k_micro"] == 500_000  # 1/2, not 1/1
 
 
 def test_ndcg_perfect_vs_inverted(spark):

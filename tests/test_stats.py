@@ -1747,6 +1747,19 @@ def test_bradley_terry_zero_win_player_survives(spark):
     assert out[1]["rating_micro"] > out[2]["rating_micro"]
 
 
+def test_bradley_terry_d_zero_saturates_to_one(spark):
+    """ADVICE r11: when every D_i term truncates to 0 the update must
+    saturate the rating at the explicit fixpoint 1 — not ride Spark's
+    null-skipping GREATEST over a DIV-by-zero NULL. scale=1 forces the
+    edge on round 1: D = (1·1²) DIV (1+1) = 0 for both players."""
+    df = spark.createDataFrame([(1, 2)], "winner long, loser long")
+    out = {
+        r["player"]: r["rating_micro"]
+        for r in st.bradley_terry_quantized(df, iters=2, scale=1).collect()
+    }
+    assert out == {1: 1, 2: 1}
+
+
 # --- cliffs_delta (round 11, ordinal effect size) ---
 
 
@@ -1871,3 +1884,159 @@ def test_dawid_skene_rewards_reliable_rater(spark):
 
     with _pytest.raises(ValueError):
         st.dawid_skene_hard(df, iters=0)
+
+
+# --- round-12 eval/agreement stats ---
+
+
+def test_krippendorff_alpha_hand_case(spark):
+    # 2 raters, 4 double-rated items (one disagreement) + 1 single-
+    # rated item that must be EXCLUDED everywhere: alpha = 1 - 2/(30/7)
+    rows = [
+        (1, "r1", "A"), (1, "r2", "A"),
+        (2, "r1", "B"), (2, "r2", "B"),
+        (3, "r1", "A"), (3, "r2", "B"),
+        (4, "r1", "B"), (4, "r2", "B"),
+        (5, "r1", "A"),  # single rating: no agreement information
+    ]
+    df = spark.createDataFrame(rows, "item_id long, rater string, label string")
+    [r] = st.krippendorff_alpha(df).collect()
+    assert r["n_items"] == 4 and r["n_ratings"] == 8
+    assert r["do_scaled"] == 2_000_000
+    assert (r["de_num"], r["de_den"]) == (30, 7)
+    assert r["alpha_micro"] == 1_000_000 - 14_000_000 // 30  # 533334
+
+
+def test_krippendorff_alpha_perfect_and_degenerate(spark):
+    perfect = spark.createDataFrame(
+        [(i, r, "X" if i % 2 else "Y") for i in range(4) for r in ("a", "b")],
+        "item_id long, rater string, label string",
+    )
+    [r] = st.krippendorff_alpha(perfect).collect()
+    assert r["alpha_micro"] == 1_000_000
+    # one category overall -> D_e = 0 -> NULL alpha
+    degen = spark.createDataFrame(
+        [(i, r, "X") for i in range(3) for r in ("a", "b")],
+        "item_id long, rater string, label string",
+    )
+    [r2] = st.krippendorff_alpha(degen).collect()
+    assert r2["alpha_micro"] is None
+
+
+def test_cochran_q_hand_case(spark):
+    # 3 systems, 4 items: G=(2,3,1), R=(2,3,1,0) -> Q = 2*6/4 = 3
+    rows = [
+        (1, "a", 1), (1, "b", 1), (1, "c", 0),
+        (2, "a", 1), (2, "b", 1), (2, "c", 1),
+        (3, "a", 0), (3, "b", 1), (3, "c", 0),
+        (4, "a", 0), (4, "b", 0), (4, "c", 0),
+    ]
+    df = spark.createDataFrame(rows, "item_id long, treatment string, correct int")
+    [r] = st.cochran_q(df).collect()
+    assert (r["n_items"], r["k"], r["total_successes"]) == (4, 3, 6)
+    assert (r["g_sq"], r["r_sq"]) == (14, 14)
+    assert r["q_micro"] == 3_000_000
+    # unanimous rows only -> denominator 0 -> NULL
+    u = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 1), (2, "a", 0), (2, "b", 0)],
+        "item_id long, treatment string, correct int",
+    )
+    [r2] = st.cochran_q(u).collect()
+    assert r2["q_micro"] is None
+
+
+def test_kendall_w_extremes(spark):
+    # identical rankings -> W = 1
+    same = spark.createDataFrame(
+        [(j, i, i) for j in range(3) for i in range(1, 4)],
+        "judge long, item_id long, rank long",
+    )
+    [r] = st.kendall_w(same).collect()
+    assert (r["n_items"], r["n_judges"]) == (3, 3)
+    assert r["w_micro"] == 1_000_000
+    # Latin-square rotation -> every rank sum equal -> W = 0
+    rot = [
+        (0, 1, 1), (0, 2, 2), (0, 3, 3),
+        (1, 1, 2), (1, 2, 3), (1, 3, 1),
+        (2, 1, 3), (2, 2, 1), (2, 3, 2),
+    ]
+    [r2] = st.kendall_w(
+        spark.createDataFrame(rot, "judge long, item_id long, rank long")
+    ).collect()
+    assert r2["s_dev"] == 0 and r2["w_micro"] == 0
+
+
+def test_wilcoxon_signed_rank_hand_case(spark):
+    # d = x-y in {1,-2,3,-4,5}: W+ = 1+3+5 = 9 (doubled 18),
+    # z = 3/sqrt(55) -> 404519 micro (floor)
+    rows = [(11, 10), (10, 12), (13, 10), (6, 10), (15, 10)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    [r] = st.wilcoxon_signed_rank(df).collect()
+    assert (r["n_pairs"], r["n_zero"]) == (5, 0)
+    assert (r["w_plus_double"], r["w_minus_double"]) == (18, 12)
+    assert r["z_micro"] == 404519
+
+
+def test_wilcoxon_ties_and_zeros(spark):
+    # d in {1, 1, -1, 0}: zero drops; |d|=1 x3 -> avg rank 2
+    # (doubled 4): W2+ = 8, W2- = 4
+    rows = [(2, 1), (3, 2), (1, 2), (5, 5)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    [r] = st.wilcoxon_signed_rank(df).collect()
+    assert (r["n_pairs"], r["n_zero"]) == (3, 1)
+    assert (r["w_plus_double"], r["w_minus_double"]) == (8, 4)
+    # doubled ranks always sum to n(n+1)
+    assert r["w_plus_double"] + r["w_minus_double"] == 3 * 4
+
+
+def test_friedman_hand_case(spark):
+    # 2 blocks, 3 treatments, identical order -> R=(2,4,6), chi2 = 4
+    rows = [
+        (1, "a", 10), (1, "b", 20), (1, "c", 30),
+        (2, "a", 10), (2, "b", 20), (2, "c", 30),
+    ]
+    df = spark.createDataFrame(rows, "item_id long, treatment string, score long")
+    [r] = st.friedman_test(df).collect()
+    assert (r["n_blocks"], r["k"], r["r_sq"]) == (2, 3, 56)
+    assert r["chi2_micro"] == 4_000_000
+    # tie-break convention: equal scores rank by treatment id, so a
+    # fully-tied block is a defined 1..k permutation, not an error
+    tied = spark.createDataFrame(
+        [(1, "a", 5), (1, "b", 5), (1, "c", 5)],
+        "item_id long, treatment string, score long",
+    )
+    [r2] = st.friedman_test(tied).collect()
+    assert (r2["n_blocks"], r2["k"], r2["r_sq"]) == (1, 3, 14)
+
+
+def test_item_analysis_hand_case(spark):
+    # 4 subjects x 3 items; rest-score point-biserial by hand:
+    # item a: r = 4/sqrt(32), item b/c: 3/sqrt(33)
+    rows = [
+        (1, "a", 1), (1, "b", 1), (1, "c", 1),
+        (2, "a", 1), (2, "b", 0), (2, "c", 1),
+        (3, "a", 0), (3, "b", 0), (3, "c", 1),
+        (4, "a", 0), (4, "b", 0), (4, "c", 0),
+    ]
+    df = spark.createDataFrame(rows, "subject long, item_id string, correct int")
+    out = {
+        r["item"]: r
+        for r in st.item_analysis(df, "item_id", "subject", "correct").collect()
+    }
+    import math
+
+    assert out["a"]["n_subjects"] == 4 and out["a"]["n_correct"] == 2
+    assert out["a"]["p_micro"] == 500_000
+    assert out["a"]["r_pb_micro"] == math.floor(4 / math.sqrt(32) * 1e6)
+    assert out["b"]["r_pb_micro"] == math.floor(3 / math.sqrt(33) * 1e6)
+    assert out["c"]["r_pb_micro"] == math.floor(3 / math.sqrt(33) * 1e6)
+    # unanimous item -> zero variance -> NULL discrimination
+    uni = spark.createDataFrame(
+        [(s, "z", 1) for s in range(4)] + [(s, "w", s % 2) for s in range(4)],
+        "subject long, item_id string, correct int",
+    )
+    out2 = {
+        r["item"]: r
+        for r in st.item_analysis(uni, "item_id", "subject", "correct").collect()
+    }
+    assert out2["z"]["r_pb_micro"] is None

@@ -99,6 +99,29 @@ def _pipeline_targets(spark, sf_dir):
     }
 
 
+def _graph_targets(spark, sf_dir):
+    """Round-12 graph heavies (VERDICT r11 order #5): every one derives
+    its graph FROM the lineitem fact log (the 10x fixture scales the
+    log; the distilled nation / supplier-part graph stays roughly
+    fixed, as fact-derived graphs do in production) — so the claim to
+    verify is that the edge-extraction scan + groupBy dominates and
+    scales linearly, while the iterative rounds run on the bounded
+    distilled graph and add CONSTANT work, i.e. overall exponents well
+    under 1 on wall time and ~<=1 on shuffle bytes."""
+    import __spark_entry__ as e  # noqa: deferred — tools add repo root to sys.path
+
+    qs = e.queries()
+    return {
+        name: (lambda n=name: qs[n](spark, sf_dir))
+        for name in [
+            "assortativity",
+            "bfs_supply_chain",
+            "k_truss_trade",
+            "sssp_trade",
+        ]
+    }
+
+
 def _pairjoin_targets(spark, sf_dir):
     """The exact prefix-filtered similarity JOINS — the one operator
     class where a quadratic candidate blowup is a genuine structural
@@ -170,6 +193,7 @@ def run(base: str, fixture: str, factor: int, out_json: str,
         "texteval": _texteval_targets,
         "pairjoin": _pairjoin_targets,
         "pipeline": _pipeline_targets,
+        "graph": _graph_targets,
     }.get(target_set, _targets)
     results: dict[str, dict] = {}
     for scale, sf_dir in [("1x", base), (f"{factor}x", fixture)]:
