@@ -171,7 +171,7 @@ def _stage_totals(spark) -> tuple[int, int]:
 
 
 def run(base: str, fixture: str, factor: int, out_json: str,
-        target_set: str = "dedup") -> None:
+        target_set: str = "dedup", only: str | None = None) -> None:
     # Cluster-realistic heap: the engine's local sessions never set
     # spark.driver.memory, so local mode runs on the 1g JVM default —
     # fine at sf0.1, but the 10x corpus OOMs the gram explode there
@@ -195,9 +195,12 @@ def run(base: str, fixture: str, factor: int, out_json: str,
         "pipeline": _pipeline_targets,
         "graph": _graph_targets,
     }.get(target_set, _targets)
+    keep = set(only.split(",")) if only else None
     results: dict[str, dict] = {}
     for scale, sf_dir in [("1x", base), (f"{factor}x", fixture)]:
         for name, make in make_targets(spark, sf_dir).items():
+            if keep is not None and name not in keep:
+                continue
             make().write.format("noop").mode("overwrite").save()  # warm
             samples = []
             sw0 = inp0 = 0
@@ -242,4 +245,5 @@ if __name__ == "__main__":
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     out_json = sys.argv[4] if len(sys.argv) > 4 else "SCALING_DATA.json"
     target_set = sys.argv[5] if len(sys.argv) > 5 else "dedup"
-    run(base, fixture, factor, out_json, target_set)
+    only = sys.argv[6] if len(sys.argv) > 6 else None
+    run(base, fixture, factor, out_json, target_set, only)
