@@ -6228,6 +6228,128 @@ def q_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pl.mixture_reweight(docs, "domain", "loss", rounds=4)
 
 
+def q_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's quadratic weighted kappa (operators.stats.
+    weighted_kappa) over two synthetic graders of the documents: B
+    repeats A's ordinal grade 70% of the time (Knuth-mixed coin),
+    else re-draws — so near-diagonal mass dominates and the quadratic
+    penalty has signal. Cross-multiplied exact identity, one DIV."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = F.pmod(_mix(F.col("doc_id")), F.lit(4))
+    b = F.when(
+        F.pmod(_mix(F.col("doc_id") * 3 + 1), F.lit(10)) < 7, a
+    ).otherwise(F.pmod(_mix(F.col("doc_id") + 55), F.lit(4)))
+    pairs = docs.select(
+        a.cast("long").alias("rating_a"), b.cast("long").alias("rating_b")
+    )
+    return st.weighted_kappa(pairs)
+
+
+def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel common odds ratio (operators.stats.
+    mantel_haenszel) across customer-nation strata: synthetic
+    treatment by id parity (Knuth-mixed), outcome probability lifted
+    under treatment — the stratified Simpson's-paradox guard, with
+    the crude OR alongside. Stratum-bounded cells, 1-row reduce."""
+    cust = load_table(spark, sf_dir, "customer")
+    t = F.pmod(_mix(F.col("c_custkey")), F.lit(2))
+    y = (
+        F.pmod(_mix(F.col("c_custkey") * 3 + t), F.lit(10)) < 3 + t * 2
+    ).cast("int")
+    cells = cust.select(
+        F.col("c_nationkey").alias("stratum"),
+        t.cast("int").alias("treated"),
+        y.alias("outcome"),
+    )
+    return st.mantel_haenszel(cells)
+
+
+def q_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal threshold + held-out coverage (operators.stats.
+    conformal_calibration, alpha=1/10): documents split 4:1 into
+    calibration/test by id mod 5, integer nonconformity scores from
+    the Knuth mix. The order statistic comes from the bounded
+    distinct-value cumulative table — no global sort of rows."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.pmod(_mix(F.col("doc_id")), F.lit(1000)).alias("score")
+    )
+    cal = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) != 0)
+    test = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    return st.conformal_calibration(cal, test)
+
+
+def q_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean pinball loss at tau in {0.1, 0.5, 0.9} (operators.stats.
+    pinball_loss) for a synthetic quantile forecast of per-document
+    scores: y and yhat are independent Knuth mixes, so each tau's
+    loss is a data-driven exact integer. One scan, three sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.pmod(_mix(F.col("doc_id")), F.lit(100)).cast("long").alias("y"),
+        F.pmod(_mix(F.col("doc_id") + 13), F.lit(100)).cast("long").alias(
+            "yhat"
+        ),
+    )
+    return st.pinball_loss(pairs)
+
+
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score (operators.stats.
+    brier_decomposition, 10 bins): micro-probability forecasts from
+    one Knuth mix, outcomes drawn by a second independent mix UNDER
+    the forecast (so the fixture is roughly calibrated and REL is
+    small while RES is genuine). All defined truncation points."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = F.pmod(_mix(F.col("doc_id")), F.lit(1000)) * 1000 + 500
+    y = (F.pmod(_mix(F.col("doc_id") * 7 + 1), F.lit(1000000)) < p).cast(
+        "int"
+    )
+    return st.brier_decomposition(
+        docs.select(p.cast("long").alias("p_micro"), y.alias("outcome"))
+    )
+
+
+def q_sprt_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT replay (operators.stats.sprt_eval, H0 p=1/2 vs H1
+    p=3/5, alpha=beta=5%) over the document eval stream in id order:
+    outcomes from a Knuth-mixed 60%-ish coin, so the walk drifts
+    upward and the early-stopping step is a defined function of the
+    data. Eval-set-bounded global prefix sum by contract."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("item_id"),
+        (F.pmod(_mix(F.col("doc_id")), F.lit(10)) < 6).cast("int").alias(
+            "correct"
+        ),
+    )
+    return st.sprt_eval(docs)
+
+
+def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage pattern table (operators.mining.
+    fellegi_sunter_patterns) over customers blocked by (nation,
+    market segment) — never all-pairs: agreement bits on the
+    account-balance band and a synthetic Knuth-mixed region code,
+    default m/u priors,
+    Python-embedded integer micro-nat weights (the ndcg discount
+    discipline). Output is the 2^2-bounded pattern table."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import mining as mn
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("blk_nation"),
+        F.col("c_mktsegment").alias("blk_seg"),
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0))
+        .cast("long")
+        .alias("bal_band"),
+        F.pmod(_mix(F.col("c_custkey") * 7), F.lit(100)).cast("long").alias(
+            "region_code"
+        ),
+    )
+    return mn.fellegi_sunter_patterns(
+        cust, ["blk_nation", "blk_seg"], ["bal_band", "region_code"], "id"
+    )
+
+
 def q_span_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QA token-overlap F1 (operators.text.span_f1): gold = documents,
     predictions = the every-4th-token-dropped corruption (the
@@ -6676,6 +6798,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "mixture_reweight": q_mixture_reweight,
         "span_f1": q_span_f1,
+        # round-12 batch 2 (gated round 13 — the window was full; see
+        # ROTATION.md overflow policy)
+        "weighted_kappa": q_weighted_kappa,
+        "mantel_haenszel": q_mantel_haenszel,
+        "conformal_calibration": q_conformal_calibration,
+        "pinball_loss": q_pinball_loss,
+        "brier_decomposition": q_brier_decomposition,
+        "sprt_eval": q_sprt_eval,
+        "fellegi_sunter": q_fellegi_sunter,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -14656,5 +14787,238 @@ def oracle_sql() -> dict[str, str]:
           CAST(SUM(lg) AS BIGINT) AS total_gold_tokens,
           CAST(SUM(lp) AS BIGINT) AS total_pred_tokens
         FROM per
+    """
+    # ---- round-12 batch 2 ----
+    oracles["weighted_kappa"] = """
+        WITH pairs AS MATERIALIZED (
+          SELECT ((doc_id % 1000003) * 2654435761) % 1000003 % 4 AS a,
+            CASE WHEN (((doc_id * 3 + 1) % 1000003) * 2654435761)
+                     % 1000003 % 10 < 7
+              THEN ((doc_id % 1000003) * 2654435761) % 1000003 % 4
+              ELSE (((doc_id + 55) % 1000003) * 2654435761) % 1000003 % 4
+            END AS b
+          FROM documents
+        ),
+        obs AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM((a - b) * (a - b)) AS BIGINT) AS swo,
+            CAST(MAX(GREATEST(a, b)) + 1 AS BIGINT) AS c
+          FROM pairs
+        ),
+        ra AS (SELECT a AS i, CAST(COUNT(*) AS BIGINT) AS ri
+               FROM pairs GROUP BY 1),
+        cb AS (SELECT b AS j, CAST(COUNT(*) AS BIGINT) AS cj
+               FROM pairs GROUP BY 1),
+        exp AS (
+          SELECT CAST(SUM((i - j) * (i - j) * ri * cj) AS BIGINT) AS swe
+          FROM ra CROSS JOIN cb
+        )
+        SELECT n AS n_items, c AS n_categories, swo AS sum_w_obs,
+          swe AS sum_w_exp,
+          CAST(1000000 - CAST(n AS HUGEINT) * swo * 1000000
+               // NULLIF(swe, 0) AS BIGINT) AS kappa_micro
+        FROM obs CROSS JOIN exp
+    """
+    oracles["mantel_haenszel"] = """
+        WITH src AS (
+          SELECT c_nationkey AS s,
+            ((c_custkey % 1000003) * 2654435761) % 1000003 % 2 AS t
+          , c_custkey FROM customer
+        ),
+        labeled AS (
+          SELECT s, t,
+            CASE WHEN (((c_custkey * 3 + t) % 1000003) * 2654435761)
+                     % 1000003 % 10 < 3 + t * 2 THEN 1 ELSE 0 END AS y
+          FROM src
+        ),
+        cells AS (
+          SELECT s,
+            CAST(SUM(CASE WHEN t = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+            CAST(SUM(CASE WHEN t = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+            CAST(SUM(CASE WHEN t = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+            CAST(SUM(CASE WHEN t = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+          FROM labeled GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+          CAST(SUM(a + b + c + d) AS BIGINT) AS n_rows,
+          CAST(SUM(CAST(a AS HUGEINT) * d * 1000000
+               // NULLIF(a + b + c + d, 0)) AS BIGINT) AS sum_r_micro,
+          CAST(SUM(CAST(b AS HUGEINT) * c * 1000000
+               // NULLIF(a + b + c + d, 0)) AS BIGINT) AS sum_s_micro,
+          CAST(SUM(CAST(a AS HUGEINT) * d * 1000000
+                   // NULLIF(a + b + c + d, 0)) * 1000000
+               // NULLIF(SUM(CAST(b AS HUGEINT) * c * 1000000
+                   // NULLIF(a + b + c + d, 0)), 0) AS BIGINT)
+            AS or_mh_micro,
+          CAST(CAST(SUM(a) AS HUGEINT) * SUM(d) * 1000000
+               // NULLIF(CAST(SUM(b) AS HUGEINT) * SUM(c), 0) AS BIGINT)
+            AS or_crude_micro
+        FROM cells
+    """
+    oracles["conformal_calibration"] = """
+        WITH scored AS (
+          SELECT doc_id,
+            CAST(((doc_id % 1000003) * 2654435761) % 1000003 % 1000
+                 AS BIGINT) AS v
+          FROM documents
+        ),
+        vc AS (
+          SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM scored
+          WHERE doc_id % 5 <> 0 GROUP BY 1
+        ),
+        cum AS (
+          SELECT v,
+            SUM(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+            SUM(c) OVER () AS n
+          FROM vc
+        ),
+        q AS (
+          SELECT CAST(MIN(v) AS BIGINT) AS qhat,
+            CAST(MAX(n) AS BIGINT) AS n_cal,
+            CAST(MAX(((n + 1) * 9 + 9) // 10) AS BIGINT) AS k
+          FROM cum WHERE cm >= ((n + 1) * 9 + 9) // 10
+        )
+        SELECT q.n_cal, q.k, q.qhat,
+          CAST(COUNT(*) AS BIGINT) AS n_test,
+          CAST(SUM(CASE WHEN s.v <= q.qhat THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_covered,
+          CAST(CAST(SUM(CASE WHEN s.v <= q.qhat THEN 1 ELSE 0 END)
+               AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT)
+            AS coverage_micro,
+          CAST(900000 AS BIGINT) AS target_micro
+        FROM scored s CROSS JOIN q
+        WHERE s.doc_id % 5 = 0
+        GROUP BY 1, 2, 3
+    """
+    oracles["pinball_loss"] = """
+        WITH d AS (
+          SELECT CAST(((doc_id % 1000003) * 2654435761) % 1000003 % 100
+                 AS BIGINT)
+            - CAST((((doc_id + 13) % 1000003) * 2654435761) % 1000003
+                 % 100 AS BIGINT) AS d
+          FROM documents
+        ),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(GREATEST(1 * d, -9 * d)) AS BIGINT) AS s1,
+            CAST(SUM(GREATEST(5 * d, -5 * d)) AS BIGINT) AS s5,
+            CAST(SUM(GREATEST(9 * d, -1 * d)) AS BIGINT) AS s9
+          FROM d
+        )
+        SELECT CAST(1 AS BIGINT) AS tau_num, CAST(10 AS BIGINT) AS tau_den,
+          n, s1 AS sum_loss_den,
+          CAST(CAST(s1 AS HUGEINT) * 1000000 // NULLIF(n * 10, 0)
+               AS BIGINT) AS mean_loss_micro
+        FROM agg
+        UNION ALL
+        SELECT 5, 10, n, s5,
+          CAST(CAST(s5 AS HUGEINT) * 1000000 // NULLIF(n * 10, 0) AS BIGINT)
+        FROM agg
+        UNION ALL
+        SELECT 9, 10, n, s9,
+          CAST(CAST(s9 AS HUGEINT) * 1000000 // NULLIF(n * 10, 0) AS BIGINT)
+        FROM agg
+    """
+    oracles["brier_decomposition"] = """
+        WITH f AS (
+          SELECT ((doc_id % 1000003) * 2654435761) % 1000003 % 1000
+                 * 1000 + 500 AS p,
+            CASE WHEN (((doc_id * 7 + 1) % 1000003) * 2654435761)
+                 % 1000003 % 1000000
+                 < ((doc_id % 1000003) * 2654435761) % 1000003 % 1000
+                   * 1000 + 500 THEN 1 ELSE 0 END AS y
+          FROM documents
+        ),
+        per AS (
+          SELECT LEAST(p * 10 // 1000000, 9) AS k,
+            CAST(COUNT(*) AS BIGINT) AS nk,
+            CAST(SUM(p) // COUNT(*) AS BIGINT) AS fk,
+            CAST(CAST(SUM(y) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT)
+              AS ok,
+            CAST(SUM(y) AS BIGINT) AS yk
+          FROM f GROUP BY 1
+        ),
+        base AS (
+          SELECT CAST(SUM(nk) AS BIGINT) AS n,
+            CAST(CAST(SUM(yk) AS HUGEINT) * 1000000 // SUM(nk) AS BIGINT)
+              AS obar
+          FROM per
+        ),
+        comps AS (
+          SELECT b.n, b.obar,
+            CAST(SUM(nk * CAST(fk - ok AS HUGEINT) * (fk - ok))
+                 // (MAX(b.n) * 1000000) AS BIGINT) AS rel_micro,
+            CAST(SUM(nk * CAST(ok - b.obar AS HUGEINT) * (ok - b.obar))
+                 // (MAX(b.n) * 1000000) AS BIGINT) AS res_micro,
+            CAST(CAST(b.obar AS HUGEINT) * (1000000 - b.obar) // 1000000
+                 AS BIGINT) AS unc_micro
+          FROM per CROSS JOIN base b GROUP BY 1, 2
+        )
+        SELECT n, CAST(10 AS BIGINT) AS n_bins, rel_micro, res_micro,
+          unc_micro,
+          CAST(rel_micro - res_micro + unc_micro AS BIGINT)
+            AS brier_check_micro
+        FROM comps
+    """
+    import math as _m
+
+    _sprt_pos = _m.floor(_m.log(6 / 5) * 1e6)
+    _sprt_neg = _m.floor(_m.log(4 / 5) * 1e6)
+    _sprt_up = _m.floor(_m.log(19.0) * 1e6)
+    _sprt_lo = _m.floor(_m.log(1 / 19) * 1e6)
+    oracles["sprt_eval"] = f"""
+        WITH walk AS (
+          SELECT doc_id,
+            CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000003 % 10 < 6
+              THEN 1 ELSE 0 END AS y,
+            CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS step,
+            SUM(CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000003
+                     % 10 < 6
+                THEN {_sprt_pos} ELSE {_sprt_neg} END)
+              OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr
+          FROM documents
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+          CAST(SUM(y) AS BIGINT) AS n_successes,
+          CAST(arg_max(llr, step) AS BIGINT) AS final_llr_micro,
+          CAST({_sprt_up} AS BIGINT) AS upper_micro,
+          CAST({_sprt_lo} AS BIGINT) AS lower_micro,
+          CAST(MIN(CASE WHEN llr >= {_sprt_up} OR llr <= {_sprt_lo}
+               THEN step END) AS BIGINT) AS first_cross_step,
+          COALESCE(
+            CASE WHEN MIN(CASE WHEN llr >= {_sprt_up} THEN step END)
+                 <= COALESCE(MIN(CASE WHEN llr <= {_sprt_lo} THEN step END),
+                             9223372036854775807)
+              THEN 'accept_h1'
+              WHEN MIN(CASE WHEN llr <= {_sprt_lo} THEN step END)
+                   IS NOT NULL THEN 'accept_h0'
+            END, 'continue') AS decision
+        FROM walk
+    """
+    _fs_wa = _m.floor(_m.log(9.0) * 1e6)
+    _fs_wd = _m.floor(_m.log(1 / 9) * 1e6)
+    oracles["fellegi_sunter"] = f"""
+        WITH c AS MATERIALIZED (
+          SELECT c_custkey AS id, c_nationkey AS bn, c_mktsegment AS bs,
+            CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT)
+              AS band,
+            ((c_custkey * 7 % 1000003) * 2654435761) % 1000003 % 100 AS pre
+          FROM customer
+        ),
+        pairs AS (
+          SELECT
+            (CASE WHEN a.band = b.band THEN 1 ELSE 0 END)
+            + (CASE WHEN a.pre = b.pre THEN 2 ELSE 0 END) AS pattern,
+            (CASE WHEN a.band = b.band THEN {_fs_wa} ELSE {_fs_wd} END)
+            + (CASE WHEN a.pre = b.pre THEN {_fs_wa} ELSE {_fs_wd} END)
+              AS weight_micro
+          FROM c a JOIN c b ON a.bn = b.bn AND a.bs = b.bs AND a.id < b.id
+        )
+        SELECT CAST(pattern AS BIGINT) AS pattern,
+          CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          CAST(weight_micro AS BIGINT) AS weight_micro
+        FROM pairs GROUP BY pattern, weight_micro
     """
     return oracles

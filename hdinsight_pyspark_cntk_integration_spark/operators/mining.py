@@ -923,3 +923,88 @@ def diff_in_diff(
         F.floor(se * F.lit(10_000.0)).cast("long").alias("se_micro"),
         F.floor(did / se * micro).cast("long").alias("t_micro"),
     )
+
+
+def fellegi_sunter_patterns(
+    df: DataFrame,
+    block_cols: list[str],
+    compare_cols: list[str],
+    id_col: str,
+    m_micro: list[int] | None = None,
+    u_micro: list[int] | None = None,
+) -> DataFrame:
+    """Fellegi-Sunter record-linkage pattern table (Fellegi & Sunter
+    1969) — the probabilistic dedup/integration scorer for STRUCTURED
+    records (the relational sibling of text minhash): candidate pairs
+    come from blocking (equal ``block_cols`` — never all-pairs), each
+    pair is reduced to its field-agreement bit pattern over
+    ``compare_cols``, and every pattern gets the match weight
+    ``Σ_f agree_f ? ln(m_f/u_f) : ln((1−m_f)/(1−u_f))`` — positive
+    weight = evidence the pair is the same entity.
+
+    m/u probabilities (P(agree | match), P(agree | non-match)) are
+    caller-supplied micro integers (defaults 900000/100000 per field —
+    the conventional starting prior; fit them offline with EM if
+    labels exist). The per-field ln weights are computed ONCE in
+    Python and embedded as integer micro-nat literals in both engines
+    (the ndcg discount-table discipline), so the weight of a pattern
+    is an exact integer sum.
+
+    Scale shape: one self-join co-keyed on the blocking columns
+    (candidate volume = Σ block² — pick blocks like a banding scheme),
+    a pure projection to bit patterns, one partial-agg shuffle to the
+    2^F-bounded pattern table. The id inequality keeps pairs ordered;
+    pattern weights are plan-time constants.
+
+    Returns (pattern, n_pairs, weight_micro) — pattern is the
+    agreement bitmask (bit f set = field f agreed), one row per
+    OBSERVED pattern.
+    """
+    import math
+
+    nf = len(compare_cols)
+    if nf == 0 or nf > 16:
+        raise ValueError("compare_cols must have 1..16 fields")
+    if not block_cols:
+        raise ValueError("block_cols must be non-empty (no all-pairs)")
+    m_micro = m_micro or [900_000] * nf
+    u_micro = u_micro or [100_000] * nf
+    if len(m_micro) != nf or len(u_micro) != nf:
+        raise ValueError("m_micro/u_micro must match compare_cols length")
+    w_agree = [
+        math.floor(math.log(m / u) * 1e6) for m, u in zip(m_micro, u_micro)
+    ]
+    w_disagree = [
+        math.floor(math.log((1e6 - m) / (1e6 - u)) * 1e6)
+        for m, u in zip(m_micro, u_micro)
+    ]
+    a = df.alias("a")
+    b = df.alias("b")
+    pair = a.join(b, block_cols).filter(
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    bits = [
+        F.when(
+            F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")), F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        for i, c in enumerate(compare_cols)
+    ]
+    weight = None
+    for i, c in enumerate(compare_cols):
+        term = F.when(
+            F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")),
+            F.lit(w_agree[i]),
+        ).otherwise(F.lit(w_disagree[i]))
+        weight = term if weight is None else weight + term
+    pattern = None
+    for bcol in bits:
+        pattern = bcol if pattern is None else pattern + bcol
+    return (
+        pair.select(
+            pattern.cast("long").alias("pattern"),
+            weight.cast("long").alias("weight_micro"),
+        )
+        .groupBy("pattern", "weight_micro")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select("pattern", "n_pairs", "weight_micro")
+    )

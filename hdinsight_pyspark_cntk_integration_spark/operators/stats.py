@@ -3731,3 +3731,467 @@ def item_analysis(
         "p_micro",
         "r_pb_micro",
     )
+
+
+def weighted_kappa(
+    df: DataFrame,
+    a_col: str = "rating_a",
+    b_col: str = "rating_b",
+    n_categories: int | None = None,
+    weights: str = "quadratic",
+) -> DataFrame:
+    """Cohen's weighted kappa (Cohen 1968) — two raters, ORDINAL
+    categories 0..C-1: disagreement is penalized by distance, so
+    confusing adjacent grades costs |i−j| (linear) or (i−j)²
+    (quadratic, the default — the form equivalent to an ICC and the
+    standard for graded eval rubrics). The ordinal complement to
+    Fleiss/Krippendorff nominal agreement.
+
+    All-integer identity: with observed pair counts o_ij and marginals
+    r_i, c_j over n items, ``kappa_w = 1 − n·Σ w_ij·o_ij / Σ
+    w_ij·r_i·c_j`` — every term exact (the expected matrix never
+    divides by n; it is cross-multiplied away), one truncating micro
+    DIV (NULL when the expected disagreement is 0: a rater never
+    varies). ``n_categories`` is reporting-only (defaults to 1 + max
+    observed rating; absent categories contribute zero to every sum,
+    so the identity never needs the full domain); the w table is C²,
+    bounded.
+
+    Scale shape: one partial-agg shuffle to the C²-bounded observed
+    matrix, two C-bounded marginal reductions, a cross of marginals
+    (C² rows), a 1-row reduce.
+
+    Returns one row (n_items, n_categories, sum_w_obs, sum_w_exp,
+    kappa_micro).
+    """
+    if weights not in ("quadratic", "linear"):
+        raise ValueError(f"weights must be quadratic|linear (got {weights!r})")
+    pw = 2 if weights == "quadratic" else 1
+    pairs = df.select(
+        F.col(a_col).cast("long").alias("__a"),
+        F.col(b_col).cast("long").alias("__b"),
+    )
+    o = pairs.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    wcol = (
+        (F.col("__a") - F.col("__b")) * (F.col("__a") - F.col("__b"))
+        if pw == 2
+        else F.abs(F.col("__a") - F.col("__b"))
+    )
+    c_expr = (
+        F.max(F.lit(n_categories)).cast("long")
+        if n_categories is not None
+        else (F.max(F.greatest("__a", "__b")) + 1).cast("long")
+    )
+    obs = o.groupBy().agg(
+        F.sum("o").cast("long").alias("n"),
+        F.sum(wcol.cast("long") * F.col("o")).cast("long").alias("swo"),
+        c_expr.alias("c"),
+    )
+    ra = pairs.groupBy(F.col("__a").alias("__i")).agg(
+        F.count(F.lit(1)).cast("long").alias("ri")
+    )
+    cb = pairs.groupBy(F.col("__b").alias("__j")).agg(
+        F.count(F.lit(1)).cast("long").alias("cj")
+    )
+    wexp = (
+        (F.col("__i") - F.col("__j")) * (F.col("__i") - F.col("__j"))
+        if pw == 2
+        else F.abs(F.col("__i") - F.col("__j"))
+    )
+    exp = (
+        ra.crossJoin(cb)
+        .select(
+            (wexp.cast("long") * F.col("ri") * F.col("cj")).alias("__t")
+        )
+        .groupBy()
+        .agg(F.sum("__t").cast("long").alias("swe"))
+    )
+    return obs.crossJoin(exp).select(
+        F.col("n").alias("n_items"),
+        F.col("c").alias("n_categories"),
+        F.col("swo").alias("sum_w_obs"),
+        F.col("swe").alias("sum_w_exp"),
+        F.expr(
+            "CAST(1000000 - CAST(n AS DECIMAL(38,0)) * swo * 1000000"
+            " DIV NULLIF(swe, 0) AS BIGINT)"
+        ).alias("kappa_micro"),
+    )
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    stratum_col: str = "stratum",
+    treatment_col: str = "treated",
+    outcome_col: str = "outcome",
+) -> DataFrame:
+    """Mantel-Haenszel common odds ratio (Mantel & Haenszel 1959)
+    across 2x2 strata — the Simpson's-paradox guard an ablation
+    analysis runs before trusting a pooled contingency table: the
+    crude OR mixes stratum composition with effect; the MH estimate
+    weights each stratum's OR by b_i·c_i/n_i and is valid under
+    confounding by stratum.
+
+    Integer discipline: per-stratum cells (a=treated-success,
+    b=treated-failure, c=control-success, d=control-failure) are
+    exact; the per-stratum terms ``R_i = a_i·d_i·1e6 DIV n_i`` and
+    ``S_i = b_i·c_i·1e6 DIV n_i`` micro-truncate at ONE defined point
+    each (both engines replay it), then ``OR_MH = ΣR·1e6 DIV ΣS``.
+    The crude OR rides along so the Simpson gap is visible in one
+    row. NULL ORs when a denominator is 0.
+
+    Scale shape: one partial-agg shuffle to the stratum-bounded cell
+    table, a 1-row reduce. Zero joins.
+
+    Returns one row (n_strata, n_rows, sum_r_micro, sum_s_micro,
+    or_mh_micro, or_crude_micro).
+    """
+    t = F.col(treatment_col).cast("boolean")
+    y = F.col(outcome_col).cast("boolean")
+    cells = df.groupBy(F.col(stratum_col).alias("__s")).agg(
+        F.sum((t & y).cast("long")).cast("long").alias("a"),
+        F.sum((t & ~y).cast("long")).cast("long").alias("b"),
+        F.sum((~t & y).cast("long")).cast("long").alias("c"),
+        F.sum((~t & ~y).cast("long")).cast("long").alias("d"),
+    )
+    return cells.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(F.col("a") + F.col("b") + F.col("c") + F.col("d"))
+        .cast("long")
+        .alias("n_rows"),
+        F.sum(
+            F.expr(
+                "CAST(CAST(a AS DECIMAL(38,0)) * d * 1000000"
+                " DIV NULLIF(a + b + c + d, 0) AS DECIMAL(38,0))"
+            )
+        ).cast("decimal(38,0)").cast("long").alias("sum_r_micro"),
+        F.sum(
+            F.expr(
+                "CAST(CAST(b AS DECIMAL(38,0)) * c * 1000000"
+                " DIV NULLIF(a + b + c + d, 0) AS DECIMAL(38,0))"
+            )
+        ).cast("decimal(38,0)").cast("long").alias("sum_s_micro"),
+        F.expr(
+            "CAST(SUM(CAST(CAST(a AS DECIMAL(38,0)) * d * 1000000"
+            "   DIV NULLIF(a + b + c + d, 0) AS DECIMAL(38,0))) * 1000000"
+            " DIV NULLIF(SUM(CAST(CAST(b AS DECIMAL(38,0)) * c * 1000000"
+            "   DIV NULLIF(a + b + c + d, 0) AS DECIMAL(38,0))), 0)"
+            " AS BIGINT)"
+        ).alias("or_mh_micro"),
+        F.expr(
+            "CAST(CAST(SUM(a) AS DECIMAL(38,0)) * SUM(d) * 1000000"
+            " DIV NULLIF(CAST(SUM(b) AS DECIMAL(38,0)) * SUM(c), 0)"
+            " AS BIGINT)"
+        ).alias("or_crude_micro"),
+    )
+
+
+def conformal_calibration(
+    cal: DataFrame,
+    test: DataFrame,
+    score_col: str = "score",
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+) -> DataFrame:
+    """Split-conformal calibration + coverage check (Vovk et al. 2005;
+    the distribution-free uncertainty wrapper a scoring pipeline puts
+    around ANY model): from a calibration set of integer nonconformity
+    scores, the threshold is the k-th smallest with
+    ``k = ceil((n+1)·(1−α))``, and a held-out set then verifies the
+    finite-sample guarantee (coverage >= 1−α in expectation). α is a
+    RATIONAL (alpha_num/alpha_den) so k is exact integer arithmetic:
+    ``k = ((n+1)·(alpha_den−alpha_num) + alpha_den − 1) DIV alpha_den``.
+
+    The order statistic is found WITHOUT a global sort: scores
+    collapse to the bounded distinct-value count table, a cumulative
+    count over it (the cliffs_delta/wilcoxon window shape) locates the
+    smallest value whose cumulative count reaches k. Scores must be
+    integers (micro-quantize upstream — the established discipline).
+
+    Scale shape: two partial-agg shuffles to distinct-value tables,
+    one window over the bounded distinct values, one broadcastable
+    1-row threshold joined into a 1-row coverage reduce.
+
+    Returns one row (n_cal, k, qhat, n_test, n_covered,
+    coverage_micro, target_micro).
+    """
+    if not (0 < alpha_num < alpha_den):
+        raise ValueError("alpha must be a rational in (0, 1)")
+    from pyspark.sql import Window
+
+    n_keep = alpha_den - alpha_num
+    vc = cal.groupBy(F.col(score_col).cast("long").alias("__v")).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vc.select(
+        "__v", F.sum("__c").over(w).cast("long").alias("__cum"),
+        F.sum("__c").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("__n"),
+    )
+    k_expr = f"CAST(((__n + 1) * {n_keep} + {alpha_den} - 1) DIV {alpha_den} AS BIGINT)"
+    qhat = (
+        cum.filter(F.expr(f"__cum >= {k_expr}"))
+        .groupBy()
+        .agg(
+            F.min("__v").cast("long").alias("qhat"),
+            F.max("__n").cast("long").alias("n_cal"),
+            F.expr(f"MAX({k_expr})").alias("k"),
+        )
+    )
+    cov = test.select(F.col(score_col).cast("long").alias("__t")).crossJoin(
+        F.broadcast(qhat)
+    ).groupBy("n_cal", "k", "qhat").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum((F.col("__t") <= F.col("qhat")).cast("long"))
+        .cast("long")
+        .alias("n_covered"),
+        F.expr(
+            "CAST(CAST(SUM(CASE WHEN __t <= qhat THEN 1 ELSE 0 END)"
+            " AS DECIMAL(38,0)) * 1000000 DIV COUNT(*) AS BIGINT)"
+        ).alias("coverage_micro"),
+    )
+    return cov.select(
+        "n_cal", "k", "qhat", "n_test", "n_covered", "coverage_micro",
+        F.lit(1_000_000 * n_keep // alpha_den).cast("long").alias(
+            "target_micro"
+        ),
+    )
+
+
+def pinball_loss(
+    df: DataFrame,
+    actual_col: str = "y",
+    forecast_col: str = "yhat",
+    taus: list[tuple[int, int]] = ((1, 10), (5, 10), (9, 10)),
+) -> DataFrame:
+    """Mean pinball (quantile) loss at a grid of quantile levels — the
+    proper scoring rule for quantile forecasts (the forecasting eval
+    complement to holt_winters/mase): for level τ and error d = y − ŷ,
+    ``loss = max(τ·d, (τ−1)·d)``. Each τ is a RATIONAL num/den so the
+    per-row loss ``max(num·d, (num−den)·d)`` is an exact integer in
+    den-scaled units; the mean micro-truncates once per level:
+    ``mean_micro = Σ·1e6 DIV (n·den)``. Inputs must be integers
+    (quantize upstream).
+
+    Scale shape: one projection per τ folded into a single explode-free
+    aggregate pass (each τ is its own SUM over the same scan), 1-row
+    output per τ via an unpivot of bounded width.
+
+    Returns (tau_num, tau_den, n, sum_loss_den, mean_loss_micro).
+    """
+    if not taus:
+        raise ValueError("taus must be non-empty")
+    d = F.col(actual_col).cast("long") - F.col(forecast_col).cast("long")
+    base = df.select(d.alias("__d"))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for num, den in taus:
+        if not (0 < num < den):
+            raise ValueError(f"tau must be in (0,1): {num}/{den}")
+        aggs.append(
+            F.sum(
+                F.greatest(
+                    F.lit(num) * F.col("__d"),
+                    F.lit(num - den) * F.col("__d"),
+                )
+            ).cast("long").alias(f"s_{num}_{den}")
+        )
+    one = base.groupBy().agg(*aggs)
+    parts = []
+    for num, den in taus:
+        parts.append(
+            one.select(
+                F.lit(num).cast("long").alias("tau_num"),
+                F.lit(den).cast("long").alias("tau_den"),
+                F.col("n"),
+                F.col(f"s_{num}_{den}").alias("sum_loss_den"),
+                F.expr(
+                    f"CAST(CAST(s_{num}_{den} AS DECIMAL(38,0)) * 1000000"
+                    f" DIV NULLIF(n * {den}, 0) AS BIGINT)"
+                ).alias("mean_loss_micro"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def brier_decomposition(
+    df: DataFrame,
+    prob_col: str = "p_micro",
+    outcome_col: str = "outcome",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score over binned
+    forecasts: ``Brier = REL − RES + UNC`` with reliability
+    ``Σ n_k (f̄_k − ō_k)² / n``, resolution ``Σ n_k (ō_k − ō)² / n``
+    and uncertainty ``ō(1 − ō)`` — the calibration audit that says
+    WHERE a probability forecast loses (miscalibrated bins vs no
+    discriminative power), one level deeper than calibration_bins'
+    per-bin table.
+
+    Integer discipline: forecasts arrive micro-quantized (prob_col in
+    [0, 1e6] — the established at-birth convention); bins are
+    ``floor(p·n_bins / 1e6)`` clamped to n_bins−1; per-bin means f̄_k,
+    ō_k and the base rate ō micro-truncate at defined points, and the
+    three components are then exact integer sums of squared micro
+    differences, each divided once. The recomposed
+    ``brier_check_micro = rel − res + unc`` rides along (the identity
+    holds only up to the three truncations — emit it, don't hide it).
+
+    Scale shape: one partial-agg shuffle to ≤ n_bins cells, a scalar
+    base-rate reduce, a 1-row output.
+
+    Returns one row (n, n_bins, rel_micro, res_micro, unc_micro,
+    brier_check_micro).
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2 (got {n_bins})")
+    p = F.col(prob_col).cast("long")
+    y = F.col(outcome_col).cast("boolean").cast("long")
+    binned = df.select(
+        F.least(
+            F.expr(f"CAST({prob_col} * {n_bins} DIV 1000000 AS BIGINT)"),
+            F.lit(n_bins - 1).cast("long"),
+        ).alias("__k"),
+        p.alias("__p"),
+        y.alias("__y"),
+    )
+    per = binned.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.expr("CAST(SUM(__p) DIV COUNT(*) AS BIGINT)").alias("fk"),
+        F.expr(
+            "CAST(CAST(SUM(__y) AS DECIMAL(38,0)) * 1000000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("ok"),
+        F.sum("__y").cast("long").alias("yk"),
+    )
+    # the corpus base rate is a 1-row reduce of the bounded bin table,
+    # broadcast back for the resolution term (window-free)
+    base = per.groupBy().agg(
+        F.sum("nk").cast("long").alias("n"),
+        F.expr(
+            "CAST(CAST(SUM(yk) AS DECIMAL(38,0)) * 1000000"
+            " DIV SUM(nk) AS BIGINT)"
+        ).alias("obar"),
+    )
+    joined = per.crossJoin(F.broadcast(base))
+    return joined.groupBy("n", "obar").agg(
+        F.expr(
+            "CAST(SUM(nk * CAST(fk - ok AS DECIMAL(38,0))"
+            " * CAST(fk - ok AS DECIMAL(38,0))) DIV (MAX(n) * 1000000)"
+            " AS BIGINT)"
+        ).alias("rel_micro"),
+        F.expr(
+            "CAST(SUM(nk * CAST(ok - obar AS DECIMAL(38,0))"
+            " * CAST(ok - obar AS DECIMAL(38,0))) DIV (MAX(n) * 1000000)"
+            " AS BIGINT)"
+        ).alias("res_micro"),
+        F.expr(
+            "CAST(CAST(obar AS DECIMAL(38,0)) * (1000000 - obar)"
+            " DIV 1000000 AS BIGINT)"
+        ).alias("unc_micro"),
+    ).select(
+        F.col("n"),
+        F.lit(n_bins).cast("long").alias("n_bins"),
+        "rel_micro", "res_micro", "unc_micro",
+        (F.col("rel_micro") - F.col("res_micro") + F.col("unc_micro"))
+        .cast("long")
+        .alias("brier_check_micro"),
+    )
+
+
+def sprt_eval(
+    df: DataFrame,
+    order_col: str = "item_id",
+    outcome_col: str = "correct",
+    llr_pos_micro: int | None = None,
+    llr_neg_micro: int | None = None,
+    p0_num: int = 1,
+    p0_den: int = 2,
+    p1_num: int = 3,
+    p1_den: int = 5,
+    alpha_micro: int = 50_000,
+    beta_micro: int = 50_000,
+) -> DataFrame:
+    """Wald's sequential probability ratio test replay (Wald 1945)
+    over an ordered stream of binary outcomes — "could this eval have
+    stopped early?": H0: p = p0 vs H1: p = p1; each success adds
+    ``ln(p1/p0)``, each failure ``ln((1−p1)/(1−p0))``, and the walk
+    stops at ``ln((1−β)/α)`` (accept H1) or ``ln(β/(1−α))`` (accept
+    H0). The per-step increments and both thresholds are computed
+    ONCE in Python and embedded as integer micro-nat literals in both
+    engines (the ndcg discount-table discipline) — no engine
+    transcendental is ever compared.
+
+    The cumulative walk is one window over ``order_col`` — a GLOBAL
+    ordered prefix sum, so this op is EVAL-SET-BOUNDED by contract
+    (thousands-to-millions of items, not corpus-scale; that is what a
+    sequential test is for). Crossing detection is then a 1-row
+    aggregate: the smallest step index whose cumulative LLR exits the
+    band (conditional struct-mins — no second pass, no collect).
+
+    Returns one row (n_items, n_successes, final_llr_micro,
+    upper_micro, lower_micro, first_cross_step, decision) — decision
+    'accept_h1' / 'accept_h0' at the FIRST crossing (Wald's sampling
+    plan), 'continue' if the walk never exits.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    if llr_pos_micro is None:
+        llr_pos_micro = math.floor(
+            math.log((p1_num * p0_den) / (p0_num * p1_den)) * 1e6
+        )
+    if llr_neg_micro is None:
+        llr_neg_micro = math.floor(
+            math.log(
+                ((p1_den - p1_num) * p0_den) / ((p0_den - p0_num) * p1_den)
+            )
+            * 1e6
+        )
+    upper = math.floor(math.log((1e6 - beta_micro) / alpha_micro) * 1e6)
+    lower = math.floor(math.log(beta_micro / (1e6 - alpha_micro)) * 1e6)
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    wr = Window.orderBy(order_col)
+    walk = df.select(
+        F.col(order_col),
+        F.col(outcome_col).cast("boolean").cast("long").alias("__y"),
+    ).select(
+        "__y",
+        F.row_number().over(wr).cast("long").alias("__step"),
+        F.sum(
+            F.when(F.col("__y") == 1, F.lit(llr_pos_micro)).otherwise(
+                F.lit(llr_neg_micro)
+            )
+        ).over(w).cast("long").alias("__llr"),
+    )
+    up, lo = F.lit(upper).cast("long"), F.lit(lower).cast("long")
+    return walk.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("__y").cast("long").alias("n_successes"),
+        F.max(F.struct(F.col("__step"), F.col("__llr")))["__llr"]
+        .cast("long")
+        .alias("final_llr_micro"),
+        F.max(up).alias("upper_micro"),
+        F.max(lo).alias("lower_micro"),
+        F.min(
+            F.when((F.col("__llr") >= up) | (F.col("__llr") <= lo),
+                   F.col("__step"))
+        ).cast("long").alias("first_cross_step"),
+        F.coalesce(
+            F.min(
+                F.when(F.col("__llr") >= up,
+                       F.struct(F.col("__step"), F.lit("accept_h1").alias("d")))
+                .when(F.col("__llr") <= lo,
+                      F.struct(F.col("__step"), F.lit("accept_h0").alias("d")))
+            )["d"],
+            F.lit("continue"),
+        ).alias("decision"),
+    )

@@ -1320,3 +1320,50 @@ def test_diff_in_diff_thin_cell_drops(spark):
     ]
     df = spark.createDataFrame(rows, "tr boolean, po boolean, v double")
     assert mn.diff_in_diff(df, "tr", "po", "v").count() == 0
+
+
+# --- fellegi_sunter_patterns (round 12, probabilistic record linkage) ---
+
+
+def test_fellegi_sunter_patterns_hand_case(spark):
+    import math
+
+    rows = [(1, "blk", "x", "p"), (2, "blk", "x", "p"),
+            (3, "blk", "x", "q"), (4, "blk", "y", "q")]
+    df = spark.createDataFrame(rows, "id long, blk string, f1 string, f2 string")
+    out = {
+        r["pattern"]: r
+        for r in mn.fellegi_sunter_patterns(
+            df, ["blk"], ["f1", "f2"], "id"
+        ).collect()
+    }
+    wa = math.floor(math.log(9.0) * 1e6)       # agree: ln(.9/.1)
+    wd = math.floor(math.log(1 / 9) * 1e6)     # disagree: ln(.1/.9)
+    # pairs: (1,2)->11b=3, (1,3)&(2,3)->01b=1, (3,4)->10b=2, (1,4)&(2,4)->0
+    assert out[3]["n_pairs"] == 1 and out[3]["weight_micro"] == 2 * wa
+    assert out[1]["n_pairs"] == 2 and out[1]["weight_micro"] == wa + wd
+    assert out[2]["n_pairs"] == 1 and out[2]["weight_micro"] == wa + wd
+    assert out[0]["n_pairs"] == 2 and out[0]["weight_micro"] == 2 * wd
+    # blocking is mandatory: cross-block pairs never appear
+    rows2 = rows + [(5, "other", "x", "p")]
+    df2 = spark.createDataFrame(rows2, "id long, blk string, f1 string, f2 string")
+    total = sum(
+        r["n_pairs"]
+        for r in mn.fellegi_sunter_patterns(df2, ["blk"], ["f1", "f2"], "id").collect()
+    )
+    assert total == 6  # id 5 in its own block contributes nothing
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mn.fellegi_sunter_patterns(df, [], ["f1"], "id")
+
+
+def test_fellegi_sunter_null_safe_agreement(spark):
+    # NULL == NULL counts as agreement via eqNullSafe; NULL vs value not
+    rows = [(1, "b", None), (2, "b", None), (3, "b", "z")]
+    df = spark.createDataFrame(rows, "id long, blk string, f1 string")
+    out = {
+        r["pattern"]: r["n_pairs"]
+        for r in mn.fellegi_sunter_patterns(df, ["blk"], ["f1"], "id").collect()
+    }
+    assert out == {1: 1, 0: 2}

@@ -2040,3 +2040,105 @@ def test_item_analysis_hand_case(spark):
         for r in st.item_analysis(uni, "item_id", "subject", "correct").collect()
     }
     assert out2["z"]["r_pb_micro"] is None
+
+
+# --- round-12 batch 2: ordinal agreement / stratified OR / conformal /
+# forecast eval / calibration decomposition / sequential testing ---
+
+
+def test_weighted_kappa_hand_case(spark):
+    # o: (0,0)x2 (1,1)x2 (0,1)x1 (2,2)x1 -> swo=1 (quadratic);
+    # marginals a=(3,2,1) b=(2,3,1) -> swe=38; kappa = 1 - 6/38
+    rows = [(0, 0), (0, 0), (1, 1), (1, 1), (0, 1), (2, 2)]
+    df = spark.createDataFrame(rows, "rating_a long, rating_b long")
+    [r] = st.weighted_kappa(df).collect()
+    assert (r["n_items"], r["n_categories"]) == (6, 3)
+    assert (r["sum_w_obs"], r["sum_w_exp"]) == (1, 38)
+    assert r["kappa_micro"] == 1_000_000 - 6_000_000 // 38  # 842106
+    # linear weights change the metric; perfect agreement is 1e6 in both
+    perfect = spark.createDataFrame(
+        [(i % 3, i % 3) for i in range(9)], "rating_a long, rating_b long"
+    )
+    for wt in ("quadratic", "linear"):
+        [p] = st.weighted_kappa(perfect, weights=wt).collect()
+        assert p["kappa_micro"] == 1_000_000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        st.weighted_kappa(df, weights="cubic")
+
+
+def test_mantel_haenszel_hand_case(spark):
+    # stratum 1: a=10 b=10 c=5 d=15; stratum 2: a=2 b=8 c=4 d=16
+    rows = (
+        [("s1", 1, 1)] * 10 + [("s1", 1, 0)] * 10
+        + [("s1", 0, 1)] * 5 + [("s1", 0, 0)] * 15
+        + [("s2", 1, 1)] * 2 + [("s2", 1, 0)] * 8
+        + [("s2", 0, 1)] * 4 + [("s2", 0, 0)] * 16
+    )
+    df = spark.createDataFrame(rows, "stratum string, treated int, outcome int")
+    [r] = st.mantel_haenszel(df).collect()
+    assert (r["n_strata"], r["n_rows"]) == (2, 70)
+    r1, s1 = 10 * 15 * 10**6 // 40, 10 * 5 * 10**6 // 40
+    r2, s2 = 2 * 16 * 10**6 // 30, 8 * 4 * 10**6 // 30
+    assert r["sum_r_micro"] == r1 + r2 and r["sum_s_micro"] == s1 + s2
+    assert r["or_mh_micro"] == (r1 + r2) * 10**6 // (s1 + s2)
+    assert r["or_crude_micro"] == 12 * 31 * 10**6 // (18 * 9)
+
+
+def test_conformal_calibration_hand_case(spark):
+    cal = spark.createDataFrame([(i,) for i in range(1, 11)], "score long")
+    test = spark.createDataFrame([(i,) for i in range(1, 21)], "score long")
+    [r] = st.conformal_calibration(cal, test).collect()
+    # n=10, alpha=1/10 -> k = ceil(11*0.9) = 10 -> qhat = 10
+    assert (r["n_cal"], r["k"], r["qhat"]) == (10, 10, 10)
+    assert (r["n_test"], r["n_covered"]) == (20, 10)
+    assert r["coverage_micro"] == 500_000 and r["target_micro"] == 900_000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        st.conformal_calibration(cal, test, alpha_num=0)
+
+
+def test_pinball_loss_hand_case(spark):
+    df = spark.createDataFrame([(12, 10), (9, 10)], "y long, yhat long")
+    out = {
+        (r["tau_num"], r["tau_den"]): r
+        for r in st.pinball_loss(df, taus=[(1, 10), (1, 2), (9, 10)]).collect()
+    }
+    # d = {2, -1}: tau=.5 -> mean .75; tau=.1 -> mean .55; tau=.9 -> .95
+    assert out[(1, 2)]["mean_loss_micro"] == 750_000
+    assert out[(1, 10)]["mean_loss_micro"] == 550_000
+    assert out[(9, 10)]["mean_loss_micro"] == 950_000
+    assert all(r["n"] == 2 for r in out.values())
+
+
+def test_brier_decomposition_murphy_identity(spark):
+    # p=.25 on 4 items (1 success), p=.75 on 4 (3 successes):
+    # REL=0, RES=62500, UNC=250000 -> Brier 187500 = mean (p-y)^2
+    rows = [(250_000, 1), (250_000, 0), (250_000, 0), (250_000, 0),
+            (750_000, 1), (750_000, 1), (750_000, 1), (750_000, 0)]
+    df = spark.createDataFrame(rows, "p_micro long, outcome int")
+    [r] = st.brier_decomposition(df).collect()
+    assert (r["n"], r["n_bins"]) == (8, 10)
+    assert (r["rel_micro"], r["res_micro"], r["unc_micro"]) == (0, 62_500, 250_000)
+    assert r["brier_check_micro"] == 187_500
+
+
+def test_sprt_eval_crossing(spark):
+    import math
+
+    # 20 straight successes at p0=1/2 vs p1=3/5: crossing at step 17
+    df = spark.createDataFrame([(i, 1) for i in range(1, 21)], "item_id long, correct int")
+    [r] = st.sprt_eval(df).collect()
+    pos = math.floor(math.log(1.2) * 1e6)
+    assert (r["n_items"], r["n_successes"]) == (20, 20)
+    assert r["final_llr_micro"] == 20 * pos
+    assert r["upper_micro"] == math.floor(math.log(19.0) * 1e6)
+    assert r["first_cross_step"] == 17 and r["decision"] == "accept_h1"
+    # alternating outcomes never cross: decision 'continue'
+    alt = spark.createDataFrame(
+        [(i, i % 2) for i in range(1, 21)], "item_id long, correct int"
+    )
+    [r2] = st.sprt_eval(alt).collect()
+    assert r2["decision"] == "continue" and r2["first_cross_step"] is None
