@@ -3968,6 +3968,18 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pl.bpe_merge_table(spark, merges)
 
 
+def q_wordpiece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece merge-table training (operators.pipeline.
+    wordpiece_train — the bpe_train likelihood objective): 12 rounds,
+    frequency floor 2, fusing the pair maximizing the exact integer
+    ``c·1e12 DIV (c_a·c_b)``. Same wrapped-delimiter replay and
+    unrolled-CTE oracle form as bpe_vocab, plus one vocabulary-bounded
+    symbol aggregate and two bounded joins per round."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = pl.wordpiece_train(docs, num_merges=12, min_pair_count=2)
+    return pl.bpe_merge_table(spark, merges)
+
+
 def _bpe_vocab_oracle(num_merges: int) -> str:
     """Generate the unrolled-round DuckDB oracle for q_bpe_vocab."""
     parts = [
@@ -3989,6 +4001,52 @@ def _bpe_vocab_oracle(num_merges: int) -> str:
     FROM (SELECT string_split(trim(w), '  ') AS l, cnt FROM w{k - 1}) WHERE len(l) >= 2
   ) GROUP BY a, b
 ), b{k} AS (SELECT a, b FROM p{k} ORDER BY c DESC, a, b LIMIT 1
+), w{k} AS MATERIALIZED (
+  SELECT replace(w, ' ' || (SELECT a FROM b{k}) || '  ' || (SELECT b FROM b{k}) || ' ',
+                 ' ' || (SELECT a FROM b{k}) || (SELECT b FROM b{k}) || ' ') AS w, cnt
+  FROM w{k - 1}
+)"""
+        )
+    selects = [
+        f"SELECT CAST({k} AS INTEGER) AS merge_rank, a AS lhs, b AS rhs, a || b AS merged FROM b{k}"
+        for k in range(1, num_merges + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _wordpiece_vocab_oracle(num_merges: int, min_pair_count: int) -> str:
+    """Unrolled-round DuckDB oracle for q_wordpiece_vocab: the
+    _bpe_vocab_oracle round shape plus a per-round symbol-count CTE
+    and the likelihood-score argmax (HUGEINT // = Spark DECIMAL DIV)."""
+    parts = [
+        r"""WITH w0 AS MATERIALIZED (
+  SELECT ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS w,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS word
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE length(word) > 0
+  GROUP BY word
+)"""
+    ]
+    for k in range(1, num_merges + 1):
+        parts.append(
+            f""", s{k} AS MATERIALIZED (
+  SELECT s, SUM(cnt) AS sc FROM (
+    SELECT unnest(string_split(trim(w), '  ')) AS s, cnt FROM w{k - 1}
+  ) GROUP BY s
+), p{k} AS MATERIALIZED (
+  SELECT pr['a'] AS a, pr['b'] AS b, SUM(cnt) AS c FROM (
+    SELECT cnt, unnest(list_transform(range(len(l) - 1), i -> {{'a': l[i+1], 'b': l[i+2]}})) AS pr
+    FROM (SELECT string_split(trim(w), '  ') AS l, cnt FROM w{k - 1}) WHERE len(l) >= 2
+  ) GROUP BY a, b HAVING SUM(cnt) >= {min_pair_count}
+), b{k} AS (
+  SELECT p.a, p.b FROM p{k} p
+  JOIN s{k} sa ON sa.s = p.a
+  JOIN s{k} sb ON sb.s = p.b
+  ORDER BY (CAST(p.c AS HUGEINT) * 1000000000000
+            // (CAST(sa.sc AS HUGEINT) * sb.sc)) DESC, p.c DESC, p.a, p.b
+  LIMIT 1
 ), w{k} AS MATERIALIZED (
   SELECT replace(w, ' ' || (SELECT a FROM b{k}) || '  ' || (SELECT b FROM b{k}) || ' ',
                  ' ' || (SELECT a FROM b{k}) || (SELECT b FROM b{k}) || ' ') AS w, cnt
@@ -6807,6 +6865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier_decomposition": q_brier_decomposition,
         "sprt_eval": q_sprt_eval,
         "fellegi_sunter": q_fellegi_sunter,
+        "wordpiece_vocab": q_wordpiece_vocab,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -8285,6 +8344,7 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(DISTINCT doc_id) >= 2
         """,
         "bpe_vocab": _bpe_vocab_oracle(16),
+        "wordpiece_vocab": _wordpiece_vocab_oracle(12, 2),
         "triangle_count": r"""
             WITH w AS (
               SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS wt

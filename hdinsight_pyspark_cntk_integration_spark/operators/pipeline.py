@@ -791,11 +791,27 @@ def bpe_train(
     text_col: str = "text",
     num_merges: int = 24,
     checkpoint_every: int = 8,
+    score: str = "count",
+    min_pair_count: int = 1,
 ) -> list[tuple[int, str, str, str]]:
     """Distributed BPE merge-table training (Sennrich et al. 2016,
-    arXiv:1508.07909): iteratively find the most frequent adjacent
-    symbol pair (weighted by word frequency) and fuse it, ``num_merges``
-    rounds. Returns [(merge_rank, lhs, rhs, merged)].
+    arXiv:1508.07909): iteratively find the best adjacent symbol pair
+    (weighted by word frequency) and fuse it, ``num_merges`` rounds.
+    Returns [(merge_rank, lhs, rhs, merged)].
+
+    ``score`` selects the merge objective:
+
+    - ``"count"`` (default): classic BPE — raw pair frequency.
+    - ``"likelihood"``: the WordPiece objective (Schuster & Nakajima
+      2012; Wu et al. 2016 §4.1) — ``freq(ab) / (freq(a)·freq(b))``,
+      the pair whose fusion most raises unigram-LM corpus likelihood.
+      Evaluated as the exact truncating integer
+      ``c · 1e12 DIV (c_a · c_b)`` over current-round symbol counts
+      (one extra vocabulary-bounded aggregate + two joins per round);
+      ties break (score DESC, count DESC, lhs, rhs). Because isolated
+      singleton pairs maximize the raw likelihood ratio, WordPiece
+      training needs ``min_pair_count`` > 1 in practice (the gate uses
+      2) — the standard frequency floor.
 
     Scale shape per round: ONE partial-agg groupBy over the distinct-
     word table's exploded symbol pairs (map-side combine shrinks the
@@ -804,11 +820,15 @@ def bpe_train(
     projection applies the merge — no shuffle. Rounds are bounded by
     ``num_merges``; ``localCheckpoint`` every ``checkpoint_every``
     rounds truncates the growing replace-expression lineage. Ties break
-    deterministically on (count DESC, lhs ASC, rhs ASC) in binary
-    collation, which DuckDB shares — the oracle unrolls the same rounds
-    as chained CTEs and must reproduce the table exactly."""
+    deterministically in binary collation, which DuckDB shares — the
+    oracle unrolls the same rounds as chained CTEs and must reproduce
+    the table exactly."""
     if num_merges < 1:
         raise ValueError(f"num_merges must be >= 1 (got {num_merges})")
+    if score not in ("count", "likelihood"):
+        raise ValueError(f"score must be count|likelihood (got {score!r})")
+    if min_pair_count < 1:
+        raise ValueError(f"min_pair_count must be >= 1 (got {min_pair_count})")
     work = bpe_word_counts(df, text_col).select(
         _bpe_wrap(F.col("word")).alias("w"), "cnt"
     ).localCheckpoint(eager=True)
@@ -828,7 +848,36 @@ def bpe_train(
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("cnt").alias("c"))
         )
-        best = pairs.orderBy(F.desc("c"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if min_pair_count > 1:
+            pairs = pairs.filter(F.col("c") >= min_pair_count)
+        if score == "likelihood":
+            # current-round symbol counts over ALL words (length-1
+            # survivors included — a fully-merged word still
+            # contributes its symbol's frequency to the denominator)
+            scnt = (
+                work.select(
+                    F.explode(F.split(F.trim(F.col("w")), "  ")).alias("s"),
+                    "cnt",
+                )
+                .groupBy("s")
+                .agg(F.sum("cnt").alias("sc"))
+            )
+            scored = (
+                pairs.join(scnt.select(F.col("s").alias("a"), F.col("sc").alias("ca")), "a")
+                .join(scnt.select(F.col("s").alias("b"), F.col("sc").alias("cb")), "b")
+                .select(
+                    "a", "b", "c",
+                    F.expr(
+                        "CAST(c AS DECIMAL(38,0)) * 1000000000000"
+                        " DIV (CAST(ca AS DECIMAL(38,0)) * cb)"
+                    ).alias("score"),
+                )
+            )
+            best = scored.orderBy(
+                F.desc("score"), F.desc("c"), F.asc("a"), F.asc("b")
+            ).limit(1).collect()
+        else:
+            best = pairs.orderBy(F.desc("c"), F.asc("a"), F.asc("b")).limit(1).collect()
         if not best:
             break
         a, b = best[0]["a"], best[0]["b"]
@@ -840,6 +889,28 @@ def bpe_train(
         if (k + 1) % checkpoint_every == 0:
             work = work.localCheckpoint(eager=True)
     return merges
+
+
+def wordpiece_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 24,
+    min_pair_count: int = 2,
+) -> list[tuple[int, str, str, str]]:
+    """WordPiece merge-table training (Schuster & Nakajima 2012; the
+    tokenizer family BERT ships): :func:`bpe_train` with the
+    likelihood objective — per round, fuse the adjacent pair
+    maximizing ``freq(ab)/(freq(a)·freq(b))`` above the frequency
+    floor. Same wrapped-delimiter replay, same per-round scale shape
+    (one pair aggregate + one vocabulary-bounded symbol aggregate),
+    same deterministic tie-break, same unrolled-CTE oracle form."""
+    return bpe_train(
+        df,
+        text_col,
+        num_merges=num_merges,
+        score="likelihood",
+        min_pair_count=min_pair_count,
+    )
 
 
 def bpe_merge_table(spark, merges: list[tuple[int, str, str, str]]) -> DataFrame:

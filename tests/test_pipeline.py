@@ -1124,3 +1124,37 @@ def test_mixture_reweight_floor_keeps_weights_positive(spark):
         ).collect()
     }
     assert out["a"] >= 1 and out["b"] > out["a"]
+
+
+# --- wordpiece_train (round 12, likelihood-objective merges) ---
+
+
+def test_wordpiece_vs_bpe_first_merge(spark):
+    """WordPiece's likelihood score must pick the rarely-apart pair
+    (c,d) over the more frequent (a,b) that BPE picks: score(c,d) =
+    3/(3*3) > score(a,b) = 5/(15*15)."""
+    rows = [("ab",)] * 5 + [("a",)] * 10 + [("b",)] * 10 + [("cd",)] * 3
+    df = spark.createDataFrame(rows, "text string")
+    bpe = pl.bpe_train(df, num_merges=1)
+    assert [(m[1], m[2]) for m in bpe] == [("a", "b")]
+    wp = pl.wordpiece_train(df, num_merges=2, min_pair_count=2)
+    assert [(m[1], m[2]) for m in wp] == [("c", "d"), ("a", "b")]
+    # encoding with the learned table replays identically
+    enc = pl.bpe_encode(
+        df.limit(1).selectExpr("1 as doc_id", "text"), wp
+    ).collect()
+    assert enc[0]["tokens"] == ["ab"]
+
+
+def test_wordpiece_frequency_floor_and_validation(spark):
+    import pytest as _pytest
+
+    rows = [("xy",)] + [("ab",)] * 5
+    df = spark.createDataFrame(rows, "text string")
+    # min_pair_count=2 excludes the singleton (x,y) pair entirely
+    wp = pl.wordpiece_train(df, num_merges=3, min_pair_count=2)
+    assert [(m[1], m[2]) for m in wp] == [("a", "b")]  # stops when dry
+    with _pytest.raises(ValueError):
+        pl.bpe_train(df, score="entropy")
+    with _pytest.raises(ValueError):
+        pl.bpe_train(df, min_pair_count=0)

@@ -206,6 +206,20 @@ def test_apply_changes_no_cartesian_bounded_shuffles(spark, sf_dir):
 # global window remains in its plan.)
 _INTENTIONAL_LINT = {
     "pack_chunks_global": {"global-window"},
+    # wilcoxon_signed — the cumulative-rank window runs over the
+    #   DISTINCT-|d| aggregate (bounded by the difference-value
+    #   domain, 100 values in the gate fixture), never the row
+    #   stream; the rank_sum_test precedent
+    "wilcoxon_signed": {"global-window"},
+    # conformal_calibration — the order-statistic cumsum runs over the
+    #   DISTINCT-score aggregate (bounded by the score domain), never
+    #   rows; that is exactly how the k-th smallest avoids a global
+    #   row sort
+    "conformal_calibration": {"global-window"},
+    # sprt_eval — the ONE genuinely global ordered prefix sum, over
+    #   the EVAL-SET stream; documented as eval-set-bounded by
+    #   contract (a sequential test is ordered by definition)
+    "sprt_eval": {"global-window"},
     "vocab": {"global-window"},
     "tokenize_ids": {"global-window"},
     "epoch_shuffle": {"global-window"},
