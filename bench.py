@@ -462,6 +462,55 @@ def bucketed_join_bench(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
+def _registry_parity_timings(here: str) -> dict[str, object]:
+    """Per-round timing trail for the non-swept registry (the
+    relational/scalar-function families — sub-second single-exchange
+    Catalyst built-ins): promoted from the newest per-round
+    full-registry parity artifact (PARITY_r{N}.json, the canonical
+    round artifact; suffixed mid-round snapshots like _batch1 are
+    ignored) rather than re-timed here, so every registered query has
+    a committed round-over-round timing record without doubling the
+    bench wall time."""
+    swept = set(HEADLINE) | set(PIPELINE)
+    parity_files = sorted(
+        (f for f in os.listdir(here) if re.fullmatch(r"PARITY_r\d+\.json", f)),
+        key=lambda f: int(re.search(r"_r(\d+)", f).group(1)),
+    )
+    if not parity_files:
+        return {}
+    src = parity_files[-1]
+    try:
+        with open(os.path.join(here, src)) as f:
+            parity = json.load(f)
+        return {
+            "source_artifact": src,
+            "sf_dir": parity.get("sf_dir"),
+            "sec": {
+                name: rec.get("sec")
+                for name, rec in parity.get("queries", {}).items()
+                if name not in swept
+            },
+        }
+    except (OSError, ValueError):
+        return {"source_artifact": src, "error": "unreadable"}
+
+
+def refresh_registry_timings() -> None:
+    """Rewrite ONLY BENCH_SAMPLES.json's registry_parity_sec section
+    from the newest parity artifact (``python bench.py
+    --refresh-registry-timings``) — for when the full-registry parity
+    regen lands after the timed bench run, without re-paying the
+    bench's half hour."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "BENCH_SAMPLES.json")
+    with open(path) as f:
+        detail = json.load(f)
+    detail["registry_parity_sec"] = _registry_parity_timings(here)
+    with open(path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(f"refreshed registry_parity_sec in {path}")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -544,30 +593,7 @@ def main() -> None:
     # therefore still leaves a visible round-over-round trail, in
     # "registry_parity_sec" below (keyed by the artifact it came from).
     here = os.path.dirname(os.path.abspath(__file__))
-    swept = set(HEADLINE) | set(PIPELINE)
-    registry_parity: dict[str, object] = {}
-    parity_files = sorted(
-        (f for f in os.listdir(here)
-         if re.fullmatch(r"PARITY_r\d+[a-z0-9_]*\.json", f)),
-        key=lambda f: (int(re.search(r"_r(\d+)", f).group(1)), f),
-    )
-    if parity_files:
-        src = parity_files[-1]
-        try:
-            with open(os.path.join(here, src)) as f:
-                parity = json.load(f)
-            registry_parity = {
-                "source_artifact": src,
-                "sf_dir": parity.get("sf_dir"),
-                "sec": {
-                    name: rec.get("sec")
-                    for name, rec in parity.get("queries", {}).items()
-                    if name not in swept
-                },
-            }
-        except (OSError, ValueError):
-            registry_parity = {"source_artifact": src, "error": "unreadable"}
-
+    registry_parity = _registry_parity_timings(here)
     detail_path = os.path.join(here, "BENCH_SAMPLES.json")
     with open(detail_path, "w") as f:
         json.dump(
@@ -630,4 +656,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--refresh-registry-timings" in sys.argv:
+        refresh_registry_timings()
+    else:
+        main()
