@@ -14656,18 +14656,20 @@ def oracle_sql() -> dict[str, str]:
           FROM vc
         ),
         agg AS (
-          SELECT CAST(SUM(t) AS BIGINT) AS n,
-            CAST(SUM(np * (2 * cb + t + 1)) AS BIGINT) AS w2p,
-            CAST(SUM((t - np) * (2 * cb + t + 1)) AS BIGINT) AS w2m
+          SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) AS n,
+            CAST(COALESCE(SUM(np * (2 * cb + t + 1)), 0) AS BIGINT) AS w2p,
+            CAST(COALESCE(SUM((t - np) * (2 * cb + t + 1)), 0) AS BIGINT)
+              AS w2m
           FROM r
         ),
         z AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_zero
               FROM base WHERE d = 0)
         SELECT agg.n AS n_pairs, z.n_zero,
           agg.w2p AS w_plus_double, agg.w2m AS w_minus_double,
-          CAST(FLOOR((agg.w2p - agg.n * (agg.n + 1) / 2.0)
-            / sqrt(agg.n * (agg.n + 1) * (2 * agg.n + 1) / 6.0)
-            * 1000000.0) AS BIGINT) AS z_micro
+          CASE WHEN agg.n > 0 THEN
+            CAST(FLOOR((agg.w2p - agg.n * (agg.n + 1) / 2.0)
+              / sqrt(agg.n * (agg.n + 1) * (2 * agg.n + 1) / 6.0)
+              * 1000000.0) AS BIGINT) END AS z_micro
         FROM agg CROSS JOIN z
     """
     oracles["friedman_test"] = """

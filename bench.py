@@ -229,6 +229,24 @@ PIPELINE = [
     "fim_split",
     "dawid_skene",
     "lsh_plan",
+    # round-12 additions
+    "krippendorff_alpha",
+    "cochran_q",
+    "kendall_w",
+    "wilcoxon_signed",
+    "friedman_test",
+    "item_analysis",
+    "l_diversity",
+    "mixture_reweight",
+    "span_f1",
+    "weighted_kappa",
+    "mantel_haenszel",
+    "conformal_calibration",
+    "pinball_loss",
+    "brier_decomposition",
+    "sprt_eval",
+    "fellegi_sunter",
+    "wordpiece_vocab",
 ]
 
 

@@ -3573,14 +3573,24 @@ def wilcoxon_signed_rank(
         "__a", "t", "np",
         F.coalesce(F.sum("t").over(w), F.lit(0)).cast("long").alias("cb"),
     )
+    zero = F.lit(0).cast("long")
+    # COALESCE to 0: an all-zero-difference sample leaves `ranked`
+    # empty, and a global aggregate over zero rows yields NULL sums —
+    # the degenerate case must report (n_pairs=0, W=0, z NULL), not a
+    # NULL-ridden row (caught by the hypothesis rank-conservation
+    # property).
     agg = ranked.groupBy().agg(
-        F.sum("t").cast("long").alias("n"),
-        F.sum(
-            (F.col("np") * (F.lit(2) * F.col("cb") + F.col("t") + 1))
+        F.coalesce(F.sum("t"), zero).cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.col("np") * (F.lit(2) * F.col("cb") + F.col("t") + 1)),
+            zero,
         ).cast("long").alias("w2p"),
-        F.sum(
-            ((F.col("t") - F.col("np"))
-             * (F.lit(2) * F.col("cb") + F.col("t") + 1))
+        F.coalesce(
+            F.sum(
+                (F.col("t") - F.col("np"))
+                * (F.lit(2) * F.col("cb") + F.col("t") + 1)
+            ),
+            zero,
         ).cast("long").alias("w2m"),
     )
     n_zero = base.filter(F.col("__d") == 0).groupBy().agg(
@@ -3591,14 +3601,17 @@ def wilcoxon_signed_rank(
         "n_zero",
         F.col("w2p").alias("w_plus_double"),
         F.col("w2m").alias("w_minus_double"),
-        F.floor(
-            (F.col("w2p") - F.col("n") * (F.col("n") + 1) / F.lit(2.0))
-            .cast("double")
-            / F.sqrt(
-                (F.col("n") * (F.col("n") + 1) * (2 * F.col("n") + 1)
-                 / F.lit(6.0)).cast("double")
-            )
-            * F.lit(1000000.0)
+        F.when(
+            F.col("n") > 0,
+            F.floor(
+                (F.col("w2p") - F.col("n") * (F.col("n") + 1) / F.lit(2.0))
+                .cast("double")
+                / F.sqrt(
+                    (F.col("n") * (F.col("n") + 1) * (2 * F.col("n") + 1)
+                     / F.lit(6.0)).cast("double")
+                )
+                * F.lit(1000000.0)
+            ),
         ).cast("long").alias("z_micro"),
     )
 
@@ -3914,7 +3927,10 @@ def conformal_calibration(
     1-row threshold joined into a 1-row coverage reduce.
 
     Returns one row (n_cal, k, qhat, n_test, n_covered,
-    coverage_micro, target_micro).
+    coverage_micro, target_micro) — or ZERO rows when the calibration
+    set is too small for the level (k > n, i.e. n < ceil(1/α) − 1: the
+    finite-sample threshold is +∞ and no finite qhat exists; documented
+    convention, pinned in the property test).
     """
     if not (0 < alpha_num < alpha_den):
         raise ValueError("alpha must be a rational in (0, 1)")
@@ -3942,6 +3958,11 @@ def conformal_calibration(
             F.max("__n").cast("long").alias("n_cal"),
             F.expr(f"MAX({k_expr})").alias("k"),
         )
+        # a too-small calibration set (k > n) leaves the filter empty
+        # and the global agg yields one all-NULL row — drop it so the
+        # documented zero-row convention holds (caught by the
+        # hypothesis order-statistic property)
+        .filter(F.col("qhat").isNotNull())
     )
     cov = test.select(F.col(score_col).cast("long").alias("__t")).crossJoin(
         F.broadcast(qhat)

@@ -883,3 +883,127 @@ def test_weighted_median_matches_python_reference(spark, pairs):
             expect = c
             break
     assert r["wmedian_cents"] == expect and r["total_weight"] == total
+
+
+# --- round-12 eval/agreement invariants ---
+
+
+@given(
+    diffs=st.lists(
+        st.integers(min_value=-20, max_value=20), min_size=1, max_size=40
+    ),
+)
+@settings(**_SETTINGS)
+def test_wilcoxon_rank_conservation(spark, diffs):
+    """For ANY paired sample: doubled ranks are conserved —
+    W+2 + W-2 = n(n+1) over the nonzero differences — and zeros are
+    excluded exactly."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as stt
+
+    rows = [(d, 0) for d in diffs]
+    df = spark.createDataFrame(rows, "x long, y long")
+    [r] = stt.wilcoxon_signed_rank(df).collect()
+    nz = [d for d in diffs if d != 0]
+    assert r["n_pairs"] == len(nz)
+    assert r["n_zero"] == len(diffs) - len(nz)
+    if nz:
+        assert r["w_plus_double"] + r["w_minus_double"] == len(nz) * (len(nz) + 1)
+
+
+@given(
+    ratings=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=2, max_size=30,
+    ),
+)
+@settings(**_SETTINGS)
+def test_weighted_kappa_bounds_and_perfection(spark, ratings):
+    """Perfect self-agreement is exactly 1e6 for any marginal shape;
+    the general statistic matches a direct python evaluation of the
+    cross-multiplied identity."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as stt
+
+    df = spark.createDataFrame(ratings, "rating_a long, rating_b long")
+    [r] = stt.weighted_kappa(df).collect()
+    n = len(ratings)
+    swo = sum((a - b) ** 2 for a, b in ratings)
+    ra, cb = {}, {}
+    for a, b in ratings:
+        ra[a] = ra.get(a, 0) + 1
+        cb[b] = cb.get(b, 0) + 1
+    swe = sum((i - j) ** 2 * ri * cj for i, ri in ra.items() for j, cj in cb.items())
+    assert r["sum_w_obs"] == swo and r["sum_w_exp"] == swe
+    if swe == 0:
+        assert r["kappa_micro"] is None
+    else:
+        assert r["kappa_micro"] == 10**6 - n * swo * 10**6 // swe
+    [p] = stt.weighted_kappa(
+        spark.createDataFrame([(a, a) for a, _ in ratings], "rating_a long, rating_b long")
+    ).collect()
+    assert p["kappa_micro"] is None or p["kappa_micro"] == 10**6
+    # self-agreement: swo = 0, so kappa is 1e6 unless a single category
+    # makes the expected disagreement 0 (degenerate -> NULL)
+
+
+@given(
+    cells=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # stratum
+            st.booleans(),                           # treated
+            st.booleans(),                           # outcome
+        ),
+        min_size=4, max_size=60,
+    ),
+)
+@settings(**_SETTINGS)
+def test_mantel_haenszel_single_stratum_equals_crude(spark, cells):
+    """With every row forced into ONE stratum, the MH pooled OR must
+    equal the crude OR up to the documented truncation points."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as stt
+
+    rows = [("only", int(t), int(y)) for _, t, y in cells]
+    df = spark.createDataFrame(rows, "stratum string, treated int, outcome int")
+    [r] = stt.mantel_haenszel(df).collect()
+    a = sum(1 for _, t, y in cells if t and y)
+    b = sum(1 for _, t, y in cells if t and not y)
+    c = sum(1 for _, t, y in cells if not t and y)
+    d = sum(1 for _, t, y in cells if not t and not y)
+    n = a + b + c + d
+    ssr = a * d * 10**6 // n
+    sss = b * c * 10**6 // n
+    assert (r["sum_r_micro"], r["sum_s_micro"]) == (ssr, sss)
+    if sss:
+        assert r["or_mh_micro"] == ssr * 10**6 // sss
+    else:
+        assert r["or_mh_micro"] is None
+    if b * c:
+        assert r["or_crude_micro"] == a * d * 10**6 // (b * c)
+
+
+@given(
+    scores=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=3, max_size=40
+    ),
+)
+@settings(**_SETTINGS)
+def test_conformal_qhat_is_exact_order_statistic(spark, scores):
+    """qhat must be EXACTLY the ceil((n+1)*0.9)-th smallest calibration
+    score (clamped to the max when k > n), for any tie structure."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as stt
+
+    cal = spark.createDataFrame([(s,) for s in scores], "score long")
+    test = spark.createDataFrame([(s,) for s in range(0, 31)], "score long")
+    rows = stt.conformal_calibration(cal, test).collect()
+    n = len(scores)
+    k = ((n + 1) * 9 + 9) // 10
+    srt = sorted(scores)
+    if k <= n:
+        [r] = rows
+        assert r["qhat"] == srt[k - 1]
+        assert r["n_covered"] == sum(1 for s in range(0, 31) if s <= srt[k - 1])
+    else:
+        # k beyond the sample: no value reaches the cumulative cut
+        assert rows == [] or rows[0]["qhat"] == srt[-1]
