@@ -6408,6 +6408,30 @@ def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage (operators.mining.
+    sorted_neighborhood_patterns — the LINEAR-candidate scale path for
+    fellegi_sunter, Hernández & Stolfo 1995): customers blocked by
+    nation, sorted by account balance (id tie-break), window 3; same
+    compare fields and embedded micro-nat weights as the blocked gate.
+    Candidates = n·window by construction — the plan explodes each
+    record into 3 (block, rn+offset) probe keys, never block² pairs."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import mining as mn
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("blk_nation"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+        F.pmod(_mix(F.col("c_custkey") * 7), F.lit(100)).cast("long").alias(
+            "region_code"
+        ),
+    )
+    return mn.sorted_neighborhood_patterns(
+        cust, ["blk_nation"], "bal", ["seg", "region_code"], "id", window=3
+    )
+
+
 def q_span_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QA token-overlap F1 (operators.text.span_f1): gold = documents,
     predictions = the every-4th-token-dropped corruption (the
@@ -6866,6 +6890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sprt_eval": q_sprt_eval,
         "fellegi_sunter": q_fellegi_sunter,
         "wordpiece_vocab": q_wordpiece_vocab,
+        "sorted_neighborhood": q_sorted_neighborhood,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -15077,6 +15102,33 @@ def oracle_sql() -> dict[str, str]:
             + (CASE WHEN a.pre = b.pre THEN {_fs_wa} ELSE {_fs_wd} END)
               AS weight_micro
           FROM c a JOIN c b ON a.bn = b.bn AND a.bs = b.bs AND a.id < b.id
+        )
+        SELECT CAST(pattern AS BIGINT) AS pattern,
+          CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          CAST(weight_micro AS BIGINT) AS weight_micro
+        FROM pairs GROUP BY pattern, weight_micro
+    """
+    oracles["sorted_neighborhood"] = f"""
+        WITH c AS MATERIALIZED (
+          SELECT c_custkey AS id, c_nationkey AS bn,
+            CAST(c_acctbal AS DOUBLE) AS bal, c_mktsegment AS seg,
+            ((c_custkey * 7 % 1000003) * 2654435761) % 1000003 % 100
+              AS region_code,
+            CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+              ORDER BY CAST(c_acctbal AS DOUBLE), c_custkey) AS BIGINT)
+              AS rn
+          FROM customer
+        ),
+        pairs AS (
+          SELECT
+            (CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END)
+            + (CASE WHEN a.region_code = b.region_code THEN 2 ELSE 0 END)
+              AS pattern,
+            (CASE WHEN a.seg = b.seg THEN {_fs_wa} ELSE {_fs_wd} END)
+            + (CASE WHEN a.region_code = b.region_code
+               THEN {_fs_wa} ELSE {_fs_wd} END) AS weight_micro
+          FROM c a JOIN c b
+            ON a.bn = b.bn AND b.rn > a.rn AND b.rn <= a.rn + 3
         )
         SELECT CAST(pattern AS BIGINT) AS pattern,
           CAST(COUNT(*) AS BIGINT) AS n_pairs,

@@ -247,6 +247,7 @@ PIPELINE = [
     "sprt_eval",
     "fellegi_sunter",
     "wordpiece_vocab",
+    "sorted_neighborhood",
 ]
 
 

@@ -1367,3 +1367,53 @@ def test_fellegi_sunter_null_safe_agreement(spark):
         for r in mn.fellegi_sunter_patterns(df, ["blk"], ["f1"], "id").collect()
     }
     assert out == {1: 1, 0: 2}
+
+
+# --- sorted_neighborhood_patterns (round 12, linear-candidate linkage) ---
+
+
+def test_sorted_neighborhood_pairs_are_window_bounded(spark):
+    import math
+
+    # one block, sorted by v: ids in v-order are 1,2,3,4,5; window=2
+    # pairs = (1,2)(1,3)(2,3)(2,4)(3,4)(3,5)(4,5) = n*w - w(w+1)/2 = 7
+    rows = [(i, "b", i * 10, "x" if i <= 3 else "y") for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "id long, blk string, v long, f1 string")
+    out = mn.sorted_neighborhood_patterns(
+        df, ["blk"], "v", ["f1"], "id", window=2
+    ).collect()
+    assert sum(r["n_pairs"] for r in out) == 7
+    # agreement counts: pairs within {1,2,3} -> (1,2)(1,3)(2,3) agree;
+    # {4,5} -> (4,5) agrees; cross pairs (2,4)(3,4)(3,5) disagree
+    pat = {r["pattern"]: r["n_pairs"] for r in out}
+    assert pat == {1: 4, 0: 3}
+    wa = math.floor(math.log(9.0) * 1e6)
+    wd = math.floor(math.log(1 / 9) * 1e6)
+    w = {r["pattern"]: r["weight_micro"] for r in out}
+    assert w == {1: wa, 0: wd}
+
+
+def test_sorted_neighborhood_agrees_with_blocked_on_tiny_blocks(spark):
+    """With window >= block size - 1, sorted-neighborhood enumerates
+    exactly the blocked pair set — the two generators must produce the
+    identical pattern table."""
+    rows = [
+        (i, f"blk{i % 3}", (i * 7) % 20, (i * 3) % 4, (i * 5) % 3)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "id long, blk string, v long, f1 long, f2 long")
+    blocked = {
+        (r["pattern"], r["weight_micro"]): r["n_pairs"]
+        for r in mn.fellegi_sunter_patterns(df, ["blk"], ["f1", "f2"], "id").collect()
+    }
+    sn = {
+        (r["pattern"], r["weight_micro"]): r["n_pairs"]
+        for r in mn.sorted_neighborhood_patterns(
+            df, ["blk"], "v", ["f1", "f2"], "id", window=10
+        ).collect()
+    }
+    assert sn == blocked
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mn.sorted_neighborhood_patterns(df, ["blk"], "v", ["f1"], "id", window=0)

@@ -122,6 +122,23 @@ def _graph_targets(spark, sf_dir):
     }
 
 
+def _linkage_targets(spark, sf_dir):
+    """Record-linkage candidate generators over the customer-scaled
+    fixture (tools/make_linkage_fixture.py — the ENTITY table grows,
+    unlike the warehouse-shaped x10 fixture): equality blocking on a
+    fixed-domain key is intrinsically quadratic in block depth (10x
+    records -> ~100x within-block pairs — the claim to MEASURE, not
+    hide), while sorted-neighborhood caps candidates at n*window
+    (linear — the documented scale path)."""
+    import __spark_entry__ as e  # noqa: deferred — tools add repo root to sys.path
+
+    qs = e.queries()
+    return {
+        name: (lambda n=name: qs[n](spark, sf_dir))
+        for name in ["fellegi_sunter", "sorted_neighborhood"]
+    }
+
+
 def _pairjoin_targets(spark, sf_dir):
     """The exact prefix-filtered similarity JOINS — the one operator
     class where a quadratic candidate blowup is a genuine structural
@@ -194,6 +211,7 @@ def run(base: str, fixture: str, factor: int, out_json: str,
         "pairjoin": _pairjoin_targets,
         "pipeline": _pipeline_targets,
         "graph": _graph_targets,
+        "linkage": _linkage_targets,
     }.get(target_set, _targets)
     keep = set(only.split(",")) if only else None
     results: dict[str, dict] = {}
