@@ -1043,6 +1043,11 @@ def sorted_neighborhood_patterns(
     apart (the standard remedy: union several passes with different
     sort keys).
 
+    Sort keys must be NON-NULL (coalesce upstream): ascending NULL
+    placement differs across engines (Spark NULLS FIRST, DuckDB NULLS
+    LAST), so a NULL key would make the neighborhood itself
+    engine-dependent.
+
     Scale shape: one per-block sort window for row numbers (spillable
     partition sort, linear), then the neighbor join is built as an
     EXPLICIT equi-join — each record explodes into ``window`` (block,

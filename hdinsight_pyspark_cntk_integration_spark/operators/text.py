@@ -2487,7 +2487,9 @@ def span_f1(
     BOTH sides are empty scores F1 = 1e6 (vacuous truth, the SQuAD
     convention); one side empty scores 0. Items present in only one
     input are dropped by the inner id join — pad upstream if absence
-    must score 0. Per-item ``f1 = (2o·1e6) DIV (lg + lp)`` truncates
+    must score 0. Ids must be UNIQUE per side (the id-keyed operator
+    contract): duplicate rows for one id sum their token counts,
+    i.e. they score as one concatenated answer, not separately. Per-item ``f1 = (2o·1e6) DIV (lg + lp)`` truncates
     at the established point; the corpus mean truncates once more.
 
     Scale shape: each side explodes once to (id, token) counts —

@@ -139,6 +139,21 @@ def _linkage_targets(spark, sf_dir):
     }
 
 
+def _evalstats_targets(spark, sf_dir):
+    """Round-12 eval/agreement additions that SCAN the corpus (the
+    others are dimension-bounded): span_f1 explodes both sides to
+    (id, token) counts with co-keyed clips, krippendorff/item_analysis
+    cross the documents with a constant rater/item panel — all three
+    should move bytes linear in the corpus with no pairwise term."""
+    import __spark_entry__ as e  # noqa: deferred — tools add repo root to sys.path
+
+    qs = e.queries()
+    return {
+        name: (lambda n=name: qs[n](spark, sf_dir))
+        for name in ["span_f1", "krippendorff_alpha", "item_analysis"]
+    }
+
+
 def _pairjoin_targets(spark, sf_dir):
     """The exact prefix-filtered similarity JOINS — the one operator
     class where a quadratic candidate blowup is a genuine structural
@@ -212,6 +227,7 @@ def run(base: str, fixture: str, factor: int, out_json: str,
         "pipeline": _pipeline_targets,
         "graph": _graph_targets,
         "linkage": _linkage_targets,
+        "evalstats": _evalstats_targets,
     }.get(target_set, _targets)
     keep = set(only.split(",")) if only else None
     results: dict[str, dict] = {}
