@@ -5043,18 +5043,22 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_near_dup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental cross-corpus near-dedup (dedup.near_dup_against):
-    the daily-ingest question — which docs of the new slice (ids ≥ 400)
+    """Incremental cross-corpus near-dedup (dedup.near_dup_against),
+    ORACLE-PAIRED since round 12 via hash_family="md5" (the
+    minhash_near_dup precedent applied to the cross-corpus path): the
+    daily-ingest question — which docs of the new slice (ids ≥ 400)
     near-duplicate the existing corpus (ids < 400). Both sides banded
-    with the same hash family (base band table persistable at scale);
-    candidates are cross-side band collisions ONLY, then exact n-gram
-    Jaccard verifies. Rows-only (xxhash64 banding isn't SQL-replayable);
-    the planted-pair pytest + the near_dup_against_exact twin are the
-    semantic gate."""
+    with the same portable family over the parity-tagged union (16
+    hashes / 4 bands); candidates are cross-side band collisions ONLY,
+    then exact n-gram Jaccard verifies, all replayed bit-for-bit by
+    DuckDB. Production keeps the 2-3x-faster xxhash64 default
+    (planted-pair pytest + the near_dup_against_exact twin)."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.filter(F.col("doc_id") < 400)
     new = docs.filter(F.col("doc_id") >= 400)
-    return dd.near_dup_against(new, base, threshold=0.8)
+    return dd.near_dup_against(
+        new, base, threshold=0.8, num_hashes=16, bands=4, hash_family="md5"
+    )
 
 
 def q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13034,6 +13038,80 @@ def oracle_sql() -> dict[str, str]:
         JOIN cnt nb ON nb.doc_id = cm.id_b
         WHERE CAST(cm.nc AS DOUBLE)
             / CAST(na.nh + nb.nh - cm.nc AS DOUBLE) >= 0.5
+    """
+    # near_dup_against (round 12): the md5-family cross-corpus replay —
+    # parity-tagged union (new = odd tid, base = even), the same 16
+    # affine transforms as minhash_provable, raw min-tuple band keys,
+    # CROSS-parity collisions only, posting-join exact-Jaccard verify.
+    # Generated from the engine's own constants like minhash_near_dup.
+    _nda_mins = ",\n            ".join(
+        f"MIN(({(2 * j + 1) * _mh_A % _mh_P} * hv + {(j + 1) * _mh_B % _mh_P})"
+        f" % {_mh_P}) AS m{j}"
+        for j in range(16)
+    )
+    _nda_bands = "\n          UNION ALL ".join(
+        "SELECT tid, {b} AS band, {key} AS bh FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(m{j} AS VARCHAR)" for j in range(b * 4, b * 4 + 4)
+            ),
+        )
+        for b in range(4)
+    )
+    oracles["near_dup_against"] = f"""
+        WITH d AS (
+          SELECT doc_id * 2 + CASE WHEN doc_id >= 400 THEN 1 ELSE 0 END
+              AS tid,
+            string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+          FROM documents
+        ),
+        sh AS MATERIALIZED (
+          SELECT tid, UNNEST(list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 1)),
+            i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+          FROM d
+        ),
+        h AS MATERIALIZED (
+          SELECT DISTINCT tid,
+            CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+              % {_mh_P} AS hv
+          FROM sh
+        ),
+        sig AS MATERIALIZED (
+          SELECT tid,
+            {_nda_mins}
+          FROM h GROUP BY tid
+        ),
+        bandkeys AS MATERIALIZED (
+          {_nda_bands}
+        ),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT
+            CASE WHEN a.tid % 2 = 1 THEN a.tid ELSE b.tid END AS tn,
+            CASE WHEN a.tid % 2 = 0 THEN a.tid ELSE b.tid END AS tb
+          FROM bandkeys a
+          JOIN bandkeys b ON b.band = a.band AND b.bh = a.bh
+            AND a.tid < b.tid AND (a.tid % 2) <> (b.tid % 2)
+        ),
+        cnt AS MATERIALIZED (
+          SELECT tid, CAST(COUNT(*) AS BIGINT) AS nh FROM h GROUP BY 1
+        ),
+        common AS (
+          SELECT c.tn, c.tb, CAST(COUNT(*) AS BIGINT) AS nc
+          FROM cand c
+          JOIN h x ON x.tid = c.tn
+          JOIN h y ON y.tid = c.tb AND y.hv = x.hv
+          GROUP BY 1, 2
+        )
+        SELECT CAST(cm.tn // 2 AS BIGINT) AS new_id,
+          CAST(cm.tb // 2 AS BIGINT) AS base_id,
+          CAST(cm.nc AS DOUBLE)
+            / CAST(na.nh + nb.nh - cm.nc AS DOUBLE) AS jaccard
+        FROM common cm
+        JOIN cnt na ON na.tid = cm.tn
+        JOIN cnt nb ON nb.tid = cm.tb
+        WHERE CAST(cm.nc AS DOUBLE)
+            / CAST(na.nh + nb.nh - cm.nc AS DOUBLE) >= 0.8
     """
     oracles["knn_label_noise"] = """
         WITH e AS (

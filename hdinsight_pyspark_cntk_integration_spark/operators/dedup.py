@@ -1214,6 +1214,7 @@ def near_dup_against(
     bands: int = 32,
     shingle_k: int = 3,
     shingle_mode: str = "word",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Incremental CROSS-corpus near-dedup: which NEW documents are
     near-duplicates of the EXISTING corpus — the ``dedup_against``
@@ -1227,7 +1228,11 @@ def near_dup_against(
     100 TB you persist the base corpus's band table once and only the
     new slice is shingled per batch); candidates come from band-bucket
     equality ACROSS the two tables only (never base×base or new×new),
-    then exact n-gram Jaccard verifies. Returns (new_id, base_id,
+    then exact n-gram Jaccard verifies. ``hash_family="md5"`` swaps
+    both hash sites for the engine-portable forms (the
+    minhash_lsh_candidates provable path), making the WHOLE
+    cross-corpus pipeline oracle-replayable; production keeps the
+    2-3x-faster xxhash64 default. Returns (new_id, base_id,
     jaccard ≥ threshold) — consumers drop flagged new docs.
     """
     # Band both sides with identical parameters by tagging ids into
@@ -1276,6 +1281,7 @@ def near_dup_against(
         bands=bands,
         shingle_k=shingle_k,
         shingle_mode=shingle_mode,
+        hash_family=hash_family,
     )
     # keep NEW×BASE collisions only (odd tid = new, even = base).
     # pmod, not %: Spark's % keeps the dividend's sign, so a NEGATIVE
