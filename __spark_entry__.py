@@ -6273,6 +6273,25 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (operators.pipeline.t_closeness, t=0.2) of
+    the customer table — quasi (nation, market segment), sensitive =
+    account-balance band, completing the k-anonymity / l-diversity /
+    t-closeness release trilogy over the same identifiers. Exact
+    rational per-class total-variation distances, micro-truncated
+    once per class."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(2000.0))
+        .cast("long")
+        .alias("bal_band"),
+    )
+    return pl.t_closeness(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_band", t_micro=200_000
+    )
+
+
 def q_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoReMi-style linearized multiplicative-weights domain
     reweighting (operators.pipeline.mixture_reweight, 4 rounds) over
@@ -6895,6 +6914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fellegi_sunter": q_fellegi_sunter,
         "wordpiece_vocab": q_wordpiece_vocab,
         "sorted_neighborhood": q_sorted_neighborhood,
+        "t_closeness": q_t_closeness,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -14837,6 +14857,50 @@ def oracle_sql() -> dict[str, str]:
               * 1000000.0) AS BIGINT)
             ELSE NULL END AS r_pb_micro
         FROM m
+    """
+    oracles["t_closeness"] = """
+        WITH cells AS MATERIALIZED (
+          SELECT c_nationkey AS qn, c_mktsegment AS qs,
+            CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 2000.0) AS BIGINT)
+              AS sv,
+            CAST(COUNT(*) AS BIGINT) AS q
+          FROM customer GROUP BY 1, 2, 3
+        ),
+        sizes AS (SELECT qn, qs, CAST(SUM(q) AS BIGINT) AS qc
+                  FROM cells GROUP BY 1, 2),
+        gdist AS (
+          SELECT sv, CAST(SUM(q) AS BIGINT) AS gv,
+            CAST(SUM(SUM(q)) OVER () AS BIGINT) AS gt
+          FROM cells GROUP BY sv
+        ),
+        j AS (
+          SELECT c.qn, c.qs, c.q, s.qc, g.gv, g.gt
+          FROM cells c
+          JOIN sizes s ON c.qn = s.qn AND c.qs = s.qs
+          JOIN gdist g ON c.sv = g.sv
+        ),
+        pc AS (
+          SELECT qn, qs, MAX(qc) AS qc, MAX(gt) AS gt,
+            SUM(ABS(CAST(q AS HUGEINT) * gt - CAST(gv AS HUGEINT) * qc))
+              AS present,
+            CAST(SUM(gv) AS BIGINT) AS gvp
+          FROM j GROUP BY 1, 2
+        ),
+        tvd AS (
+          SELECT qc,
+            CAST((present + CAST(qc AS HUGEINT) * (gt - gvp)) * 1000000
+                 // (2 * CAST(qc AS HUGEINT) * gt) AS BIGINT) AS tvd
+          FROM pc
+        )
+        SELECT CAST(200000 AS BIGINT) AS t_micro,
+          CAST(SUM(qc) AS BIGINT) AS n_rows,
+          CAST(COUNT(*) AS BIGINT) AS n_classes,
+          CAST(MAX(tvd) AS BIGINT) AS max_tvd_micro,
+          CAST(SUM(CASE WHEN tvd > 200000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_violating_classes,
+          CAST(SUM(CASE WHEN tvd > 200000 THEN qc ELSE 0 END) AS BIGINT)
+            AS n_violating_rows
+        FROM tvd
     """
     oracles["l_diversity"] = """
         WITH cells AS (

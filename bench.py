@@ -248,6 +248,7 @@ PIPELINE = [
     "fellegi_sunter",
     "wordpiece_vocab",
     "sorted_neighborhood",
+    "t_closeness",
 ]
 
 

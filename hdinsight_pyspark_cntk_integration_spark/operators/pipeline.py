@@ -1884,3 +1884,99 @@ def mixture_reweight(
             ).alias("share_micro"),
         )
     )
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_micro: int = 200_000,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    attack l-diversity misses: a class can carry l distinct sensitive
+    values and still leak if its DISTRIBUTION diverges from the
+    table's (the skewness attack — "this zip code is 90% one
+    diagnosis, the population 1%"). Each equivalence class's sensitive
+    distribution must sit within ``t`` of the global one; for
+    categorical attributes the distance is total variation,
+    ``TVD = (1/2) Σ_v |q_v/q − g_v/G|``. Completes the release
+    trilogy: :func:`k_anonymity` (class size), :func:`l_diversity`
+    (distinct values), t-closeness (distributional skew).
+
+    EXACT rational form — no per-value float division: with per-class
+    cell counts q_cv, class size q_c, global counts g_v, total G,
+    ``TVD_c = (Σ_{v in class} |q_cv·G − g_v·q_c|
+    + q_c·(G − Σ_{v in class} g_v)) / (2·q_c·G)`` (the absent-value
+    term folds into one subtraction), micro-truncated ONCE per class.
+
+    Scale shape: one partial-agg shuffle to (class, value) cells
+    (domain-product bounded), one class-keyed reduce for sizes, one
+    value-keyed reduce + 1-row total for the global distribution
+    (broadcast back), one class-keyed reduce for the TVDs, one 1-row
+    audit reduce. No windows, no collect.
+
+    Returns one row (t_micro, n_rows, n_classes, max_tvd_micro,
+    n_violating_classes, n_violating_rows).
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if not 0 <= t_micro <= 1_000_000:
+        raise ValueError(f"t_micro must be in [0, 1e6] (got {t_micro})")
+    from pyspark.sql import Window
+
+    cells = df.groupBy(
+        *quasi_cols, F.col(sensitive_col).alias("__sv")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__q"))
+    sizes = cells.groupBy(*quasi_cols).agg(
+        F.sum("__q").cast("long").alias("__qc")
+    )
+    # The grand total rides on the global-distribution table as an
+    # unpartitioned window SUM — over the DISTINCT-value aggregate
+    # (domain-bounded, the conformal/wilcoxon precedent), never rows; a
+    # separate 1-row crossJoin of an ancestor aggregate trips Spark 4's
+    # self-join attribute dedup. Names are case-DISTINCT on purpose:
+    # Spark resolves case-insensitively, so __g/__G would collide.
+    glob = cells.groupBy("__sv").agg(
+        F.sum("__q").cast("long").alias("__gv")
+    ).withColumn(
+        "__gt",
+        F.sum("__gv").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long"),
+    )
+    joined = cells.join(sizes, quasi_cols).join(glob, "__sv")
+    # agg outputs get FRESH names: re-aliasing an aggregate back to a
+    # child name inside the same agg trips the lateral-alias check
+    per_class = joined.groupBy(*quasi_cols).agg(
+        F.max("__qc").cast("long").alias("__qc2"),
+        F.max("__gt").cast("long").alias("__gt2"),
+        F.sum(
+            F.abs(
+                F.col("__q").cast("decimal(38,0)") * F.col("__gt")
+                - F.col("__gv").cast("decimal(38,0)") * F.col("__qc")
+            )
+        ).alias("__present"),
+        F.sum("__gv").cast("long").alias("__gv_present"),
+    )
+    tvd = per_class.select(
+        F.col("__qc2").alias("__qc"),
+        F.expr(
+            "CAST((__present + CAST(__qc2 AS DECIMAL(38,0))"
+            " * (__gt2 - __gv_present)) * 1000000"
+            " DIV (2 * CAST(__qc2 AS DECIMAL(38,0)) * __gt2) AS BIGINT)"
+        ).alias("__tvd"),
+    )
+    return tvd.groupBy().agg(
+        F.max(F.lit(t_micro)).cast("long").alias("t_micro"),
+        F.sum("__qc").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.max("__tvd").cast("long").alias("max_tvd_micro"),
+        F.sum((F.col("__tvd") > t_micro).cast("long")).cast("long").alias(
+            "n_violating_classes"
+        ),
+        F.sum(
+            F.when(F.col("__tvd") > t_micro, F.col("__qc")).otherwise(F.lit(0))
+        ).cast("long").alias("n_violating_rows"),
+    )

@@ -1158,3 +1158,30 @@ def test_wordpiece_frequency_floor_and_validation(spark):
         pl.bpe_train(df, score="entropy")
     with _pytest.raises(ValueError):
         pl.bpe_train(df, min_pair_count=0)
+
+
+def test_t_closeness_hand_case(spark):
+    """Class A: 3 rows all value x; class B: 1 x + 2 y. Global: 4 x,
+    2 y (G=6). TVD_A = |3*6-4*3| + 3*(6-4) over 2*3*6 = 12/36 = 1/3;
+    TVD_B = (|1*6-4*3| + |2*6-2*3|)/(2*3*6) = 12/36 = 1/3."""
+    rows = [("A", "x")] * 3 + [("B", "x")] + [("B", "y")] * 2
+    df = spark.createDataFrame(rows, "grp string, dx string")
+    [r] = pl.t_closeness(df, ["grp"], "dx", t_micro=300_000).collect()
+    assert (r["n_rows"], r["n_classes"]) == (6, 2)
+    assert r["max_tvd_micro"] == 333_333
+    assert (r["n_violating_classes"], r["n_violating_rows"]) == (2, 6)
+    # loose threshold: nothing violates
+    [r2] = pl.t_closeness(df, ["grp"], "dx", t_micro=400_000).collect()
+    assert (r2["n_violating_classes"], r2["n_violating_rows"]) == (0, 0)
+    # a class mirroring the global distribution has TVD 0
+    uni = spark.createDataFrame(
+        [("A", "x"), ("A", "y"), ("B", "x"), ("B", "y")], "grp string, dx string"
+    )
+    [r3] = pl.t_closeness(uni, ["grp"], "dx").collect()
+    assert r3["max_tvd_micro"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pl.t_closeness(df, [], "dx")
+    with _pytest.raises(ValueError):
+        pl.t_closeness(df, ["grp"], "dx", t_micro=2_000_000)
