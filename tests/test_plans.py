@@ -216,6 +216,12 @@ _INTENTIONAL_LINT = {
     #   rows; that is exactly how the k-th smallest avoids a global
     #   row sort
     "conformal_calibration": {"global-window"},
+    # t_closeness — the grand-total window runs over the
+    #   DISTINCT-sensitive-value aggregate (domain-bounded), never
+    #   rows; chosen over a 1-row crossJoin precisely because Spark 4's
+    #   self-join dedup makes the ancestor-aggregate crossJoin
+    #   ambiguous (see the operator's comment)
+    "t_closeness": {"global-window"},
     # sprt_eval — the ONE genuinely global ordered prefix sum, over
     #   the EVAL-SET stream; documented as eval-set-bounded by
     #   contract (a sequential test is ordered by definition)
