@@ -1007,3 +1007,65 @@ def test_conformal_qhat_is_exact_order_statistic(spark, scores):
     else:
         # k beyond the sample: no value reaches the cumulative cut
         assert rows == [] or rows[0]["qhat"] == srt[-1]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # class
+            st.integers(min_value=0, max_value=3),   # sensitive value
+        ),
+        min_size=1, max_size=40,
+    ),
+)
+@settings(**_SETTINGS)
+def test_t_closeness_matches_python_tvd(spark, rows):
+    """max_tvd must equal the python replay of the exact rational TVD
+    (including the absent-value mass) for ANY class/value shape, and a
+    single-class table is always 0-close (its distribution IS the
+    global one)."""
+    df = spark.createDataFrame(
+        [(f"c{c}", v) for c, v in rows], "grp string, sv long"
+    )
+    [r] = pl.t_closeness(df, ["grp"], "sv", t_micro=0).collect()
+    from collections import Counter
+
+    g = Counter(v for _, v in rows)
+    G = len(rows)
+    tvds = []
+    for c in {c for c, _ in rows}:
+        q = Counter(v for cc, v in rows if cc == c)
+        qc = sum(q.values())
+        present = sum(abs(q[v] * G - g[v] * qc) for v in q)
+        absent = qc * (G - sum(g[v] for v in q))
+        tvds.append((present + absent) * 10**6 // (2 * qc * G))
+    assert r["max_tvd_micro"] == max(tvds)
+    assert r["n_violating_classes"] == sum(1 for t in tvds if t > 0)
+    one = spark.createDataFrame(
+        [("only", v) for _, v in rows], "grp string, sv long"
+    )
+    [r1] = pl.t_closeness(one, ["grp"], "sv").collect()
+    assert r1["max_tvd_micro"] == 0
+
+
+@given(
+    n=st.integers(min_value=1, max_value=25),
+    window=st.integers(min_value=1, max_value=6),
+)
+@settings(**_SETTINGS)
+def test_sorted_neighborhood_candidate_count_formula(spark, n, window):
+    """One block of n records at window w must enumerate EXACTLY
+    n*w - w(w+1)/2 pairs when w < n (each of the last w records pairs
+    with fewer), and n(n-1)/2 when w >= n - the linear-candidate
+    contract the linkage rehearsal measures."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import mining as mn
+
+    rows = [(i, "b", i * 3, i % 2) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, blk string, v long, f1 long")
+    out = mn.sorted_neighborhood_patterns(
+        df, ["blk"], "v", ["f1"], "id", window=window
+    ).collect()
+    got = sum(r["n_pairs"] for r in out)
+    w = min(window, n - 1)
+    expect = n * w - w * (w + 1) // 2
+    assert got == expect
