@@ -2643,7 +2643,9 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     — over the FULL documents table at 32 hashes / 8 bands (S-curve
     threshold ≈ (1/8)^(1/4) ≈ 0.59 Jaccard), so DuckDB replays the
     ENTIRE pipeline bit-for-bit and the driver row is hash-checked, not
-    rows-only. The production default stays the 2-3x-faster xxhash64
+    rows-only. Since round 13 the VERIFY-stage shingle sets are also
+    md5 (ADVICE r12: all three hash sites, not just signature + band),
+    so the replay is exact even under intra-document hash collisions. The production default stays the 2-3x-faster xxhash64
     family (operators.dedup.minhash_lsh_candidates default), pinned by
     the planted-pair pytest (tests/test_dedup.py) and identical in plan
     shape. Differs from the minhash_provable twin in scope (unbounded)
@@ -2652,7 +2654,7 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = dd.minhash_lsh_candidates(
         docs, num_hashes=32, bands=8, hash_family="md5"
     )
-    return dd.jaccard_pairs(docs, cands, threshold=0.5)
+    return dd.jaccard_pairs(docs, cands, threshold=0.5, hash_family="md5")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5609,7 +5611,7 @@ def q_minhash_provable(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = dd.minhash_lsh_candidates(
         docs, num_hashes=16, bands=4, hash_family="md5"
     )
-    return dd.jaccard_pairs(docs, cands, threshold=0.5)
+    return dd.jaccard_pairs(docs, cands, threshold=0.5, hash_family="md5")
 
 
 
@@ -6470,69 +6472,70 @@ def q_span_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Driver-gate window (ROTATION.md): the driver records the FIRST 50
-# entries of queries() in CORRECTNESS_r{N}.json. Round 12 executes the
-# committed plan (ROTATION.md "Round 12 window"): the 25 queries added
-# in round 11 (interpolate_provable … lsh_plan), then the 9 round-12
-# additions (krippendorff_alpha … span_f1 — per the committed policy
-# they displace re-gates from the END of the list, which drops the
-# scoring/streaming cohort + token_stats to the head of the round-13
-# re-gate queue), then the 16 TPC-H/relational re-gates last
-# driver-gated in CORRECTNESS_r10. Rotated-out queries stay covered by
-# the full-registry PARITY_r{N}.json run every round.
+# entries of queries() in CORRECTNESS_r{N}.json. Round 13 executes the
+# committed plan (ROTATION.md "Round 13 window"): the 10 round-12
+# batch-2/3 additions that overflowed the round-12 window, then the
+# scoring/streaming cohort + token_stats displaced by the round-12
+# batch-1 additions, then the 31-query text/corpus family (last
+# driver-gated in rounds 7-8 — the oldest re-gate cohort). Round-13
+# additions displace re-gates from the END of this list per the
+# standing policy; displaced queries head the round-14 queue.
+# Rotated-out queries stay covered by the full-registry
+# PARITY_r{N}.json run every round.
 _GATE_WINDOW = [
-    # 25 round-11 additions
-    "interpolate_provable",
-    "pack_bestfit",
-    "contamination_lm",
-    "quality_calibration",
-    "curriculum_schedule",
-    "dedup_keep_best",
-    "packing_efficiency",
-    "rouge_overlap",
-    "pass_at_k",
-    "self_consistency",
-    "bleu_clipped",
-    "fleiss_kappa",
-    "kcenter_select",
-    "bradley_terry",
-    "cliffs_delta",
-    "good_turing",
-    "retrieval_mrr",
-    "ndcg_eval",
-    "mcnemar_test",
-    "chao1_vocab",
-    "k_anonymity",
-    "ablation_arms",
-    "fim_split",
-    "dawid_skene",
-    "lsh_plan",
-    # 9 round-12 additions
-    "krippendorff_alpha",
-    "cochran_q",
-    "kendall_w",
-    "wilcoxon_signed",
-    "friedman_test",
-    "item_analysis",
-    "l_diversity",
-    "mixture_reweight",
-    "span_f1",
-    # 16 re-gates: TPC-H/relational family (last gated r10) …
-    "correlated_avg_qty",
-    "intersect",
-    "unpivot",
-    "order_count_distribution",
-    "disjunctive_filter",
-    "parts_supplier_count",
-    "high_balance_light_buyers",
-    "nation_value_share",
-    "nation_trade_pairs",
-    "returned_item_revenue",
-    "market_share",
-    "top_supplier",
-    "big_orders",
-    "limit_offset",
-    "salted_join",
-    "zorder_key",
+    # 10 round-12 batch-2/3 additions (overflow-gated per ROTATION.md:235)
+    "weighted_kappa",
+    "mantel_haenszel",
+    "conformal_calibration",
+    "pinball_loss",
+    "brier_decomposition",
+    "sprt_eval",
+    "fellegi_sunter",
+    "wordpiece_vocab",
+    "sorted_neighborhood",
+    "t_closeness",
+    # 9 displaced round-12: scoring/streaming cohort + token_stats
+    "score_accuracy",
+    "score_confusion",
+    "accuracy",
+    "confusion_pivot",
+    "tumbling_hourly",
+    "sliding_hourly",
+    "session_window_native",
+    "sessionize",
+    "token_stats",
+    # 31 re-gates: text/corpus family (last gated r7-r8)
+    "tfidf_top_terms",
+    "bm25_search",
+    "unigram_logprob",
+    "bigram_logprob",
+    "kneser_ney",
+    "textrank_keywords",
+    "lang_id",
+    "token_entropy",
+    "readability",
+    "ngram_diversity",
+    "perplexity_buckets",
+    "heaps_law",
+    "zipf_slope",
+    "burstiness",
+    "script_histogram",
+    "oov_rate",
+    "vocab",
+    "token_histogram",
+    "bigram_histogram",
+    "dictionary_tag",
+    "pmi_cooccur",
+    "markov_transitions",
+    "bigram_condprob",
+    "corpus_divergence",
+    "ngram_novelty",
+    "sentence_split",
+    "posexplode_tokens",
+    "repetition_stats",
+    "rolling_fingerprint",
+    "strip_boilerplate",
+    "quality_filter",
 ]
 
 
@@ -15238,10 +15241,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         pairs AS (
           SELECT
-            (CASE WHEN a.band = b.band THEN 1 ELSE 0 END)
-            + (CASE WHEN a.pre = b.pre THEN 2 ELSE 0 END) AS pattern,
-            (CASE WHEN a.band = b.band THEN {_fs_wa} ELSE {_fs_wd} END)
-            + (CASE WHEN a.pre = b.pre THEN {_fs_wa} ELSE {_fs_wd} END)
+            -- IS NOT DISTINCT FROM mirrors the engine's eqNullSafe
+            -- (documented NULL-agreement convention; ADVICE r12)
+            (CASE WHEN a.band IS NOT DISTINCT FROM b.band
+               THEN 1 ELSE 0 END)
+            + (CASE WHEN a.pre IS NOT DISTINCT FROM b.pre
+               THEN 2 ELSE 0 END) AS pattern,
+            (CASE WHEN a.band IS NOT DISTINCT FROM b.band
+               THEN {_fs_wa} ELSE {_fs_wd} END)
+            + (CASE WHEN a.pre IS NOT DISTINCT FROM b.pre
+               THEN {_fs_wa} ELSE {_fs_wd} END)
               AS weight_micro
           FROM c a JOIN c b ON a.bn = b.bn AND a.bs = b.bs AND a.id < b.id
         )
@@ -15263,11 +15272,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         pairs AS (
           SELECT
-            (CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END)
-            + (CASE WHEN a.region_code = b.region_code THEN 2 ELSE 0 END)
+            -- IS NOT DISTINCT FROM mirrors the engine's eqNullSafe
+            -- (documented NULL-agreement convention; ADVICE r12)
+            (CASE WHEN a.seg IS NOT DISTINCT FROM b.seg
+               THEN 1 ELSE 0 END)
+            + (CASE WHEN a.region_code IS NOT DISTINCT FROM b.region_code
+               THEN 2 ELSE 0 END)
               AS pattern,
-            (CASE WHEN a.seg = b.seg THEN {_fs_wa} ELSE {_fs_wd} END)
-            + (CASE WHEN a.region_code = b.region_code
+            (CASE WHEN a.seg IS NOT DISTINCT FROM b.seg
+               THEN {_fs_wa} ELSE {_fs_wd} END)
+            + (CASE WHEN a.region_code IS NOT DISTINCT FROM b.region_code
                THEN {_fs_wa} ELSE {_fs_wd} END) AS weight_micro
           FROM c a JOIN c b
             ON a.bn = b.bn AND b.rn > a.rn AND b.rn <= a.rn + 3

@@ -531,6 +531,39 @@ def refresh_registry_timings() -> None:
     print(f"refreshed registry_parity_sec in {path}")
 
 
+def _calibration_probe(spark) -> tuple[float, list[float]]:
+    """Fixed-cost host-speed probe (VERDICT r12 "what's wrong" #2): the
+    SAME synthetic query — no SF data, no parquet, pure codegen CPU plus
+    one 97-key shuffle — runs before and after the sweep, and both
+    medians are embedded in the printed bench line. The probe is
+    code-invariant across rounds, so: stable pre≈post medians matching
+    prior rounds ⇒ sweep deltas are code; a probe median that swings
+    (pre vs post, or round over round) ⇒ the host was throttled during
+    the sweep — machine-detectable now, instead of inferred from
+    per-query sample spreads. Returns (median_of_3, raw_samples)."""
+    def once() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(20_000_000)
+            .selectExpr(
+                "xxhash64(id) % 97 AS k",
+                # pmod-bounded summand: 20M × <1e6 stays far under the
+                # long limit, so the probe runs identically in ANSI mode
+                "pmod(xxhash64(id + 1), 1000000) AS v",
+            )
+            .groupBy("k")
+            .agg({"v": "sum"})
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.perf_counter() - t0
+
+    once()  # unmeasured: codegen compile + first-touch
+    samples = [once() for _ in range(3)]
+    return sorted(samples)[1], [round(s, 3) for s in samples]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -562,6 +595,8 @@ def main() -> None:
     # SIDE FILE (BENCH_SAMPLES.json), NOT the printed line: the driver
     # captures only the last 2000 bytes of stdout, and round 5's line
     # outgrew that window, losing the headline medians from the record.
+    calib_pre, calib_pre_samples = _calibration_probe(spark)
+
     per_query: dict[str, float] = {}
     query_samples: dict[str, list[float]] = {}
     total = 0.0
@@ -599,6 +634,8 @@ def main() -> None:
     skew = skew_join_bench(spark)
     bucketed = bucketed_join_bench(spark, sf_dir)
 
+    calib_post, calib_post_samples = _calibration_probe(spark)
+
     pipeline_total = round(sum(pipeline_q.values()), 3)
 
     # Coverage contract (VERDICT r11 order #4): every registered query
@@ -622,6 +659,10 @@ def main() -> None:
                 "pipeline_queries": pipeline_q,
                 "query_samples": query_samples,
                 "registry_parity_sec": registry_parity,
+                "calibration_samples": {
+                    "pre": calib_pre_samples,
+                    "post": calib_post_samples,
+                },
             },
             f,
             indent=1,
@@ -641,6 +682,10 @@ def main() -> None:
             "reference_images_per_sec": 102.2,
             "skew_join_sec": skew,
             "bucketed_join_sec": bucketed,
+            "calib_sec": {
+                "pre": round(calib_pre, 3),
+                "post": round(calib_post, 3),
+            },
         }
     )
     # Hard guard against a repeat of round 5: the driver's tail capture is
@@ -656,6 +701,10 @@ def main() -> None:
                 "queries": per_query,
                 "sf": sf,
                 "images_per_sec": round(images_per_sec, 1),
+                "calib_sec": {
+                    "pre": round(calib_pre, 3),
+                    "post": round(calib_post, 3),
+                },
             }
         )
     # The fallback itself can outgrow the window if per_query gains
@@ -668,6 +717,10 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "images_per_sec": round(images_per_sec, 1),
+                "calib_sec": {
+                    "pre": round(calib_pre, 3),
+                    "post": round(calib_post, 3),
+                },
             }
         )
     assert len(line) <= 1900, "bench output line still exceeds capture window"

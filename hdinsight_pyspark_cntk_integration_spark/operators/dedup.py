@@ -277,10 +277,17 @@ def jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.8,
     shingle_mode: str = "word",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """n-gram Jaccard verification of candidate pairs: |A∩B| / |A∪B| via
     array_intersect/array_union over hashed shingle sets (31-bit hashes —
-    collision effect on Jaccard is ≤ |A|²/2³¹, negligible).
+    collision effect on Jaccard is ≤ |A|²/2³¹, negligible; set semantics
+    hold even under collision because array_intersect/array_union both
+    de-duplicate, matching an oracle's DISTINCT-hash sets).
+    ``hash_family`` selects the shingle hash so an md5-family candidate
+    pipeline verifies over the SAME hash values end-to-end (ADVICE r12:
+    previously the verify stage was pinned to xxhash64, so md5 gates
+    held only while neither family had an intra-document collision).
     Two hash joins keyed by doc id — linear in candidates, never n²."""
     # _spread parallelizes the CPU-heavy shingle projection; the join's
     # own exchange then materializes the shingle arrays, so the post-join
@@ -288,7 +295,8 @@ def jaccard_pairs(
     # union) reads computed values instead of recomputing the tree.
     src, _ = _spread(df)
     sh = src.selectExpr(
-        id_col, f"{_hashed_shingles_sql(text_col, shingle_k, shingle_mode)} AS sh"
+        id_col,
+        f"{_hashed_shingles_sql(text_col, shingle_k, shingle_mode, hash_family)} AS sh",
     )
     out = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -315,6 +323,7 @@ def minhash_dedup(
     shingle_k: int = 3,
     shingle_mode: str = "word",
     transitive: bool = False,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end near-dedup: LSH candidates → exact Jaccard filter →
     survivors. Returns the deduplicated rows of ``df``.
@@ -326,10 +335,12 @@ def minhash_dedup(
     id) per duplicate cluster.
     """
     cands = minhash_lsh_candidates(
-        df, id_col, text_col, num_hashes, bands, shingle_k, shingle_mode
+        df, id_col, text_col, num_hashes, bands, shingle_k, shingle_mode,
+        hash_family,
     )
     confirmed = jaccard_pairs(
-        df, cands, id_col, text_col, shingle_k, threshold, shingle_mode
+        df, cands, id_col, text_col, shingle_k, threshold, shingle_mode,
+        hash_family,
     )
     if transitive:
         return dedup_by_components(df, confirmed, id_col)
@@ -1229,10 +1240,13 @@ def near_dup_against(
     new slice is shingled per batch); candidates come from band-bucket
     equality ACROSS the two tables only (never base×base or new×new),
     then exact n-gram Jaccard verifies. ``hash_family="md5"`` swaps
-    both hash sites for the engine-portable forms (the
-    minhash_lsh_candidates provable path), making the WHOLE
-    cross-corpus pipeline oracle-replayable; production keeps the
-    2-3x-faster xxhash64 default. Returns (new_id, base_id,
+    ALL THREE hash sites — shingle hashing for signatures, band keys,
+    AND the verify-stage shingle sets (ADVICE r12: the verify site was
+    previously pinned to xxhash64, so the oracle replay was exact only
+    absent intra-document collisions mod 2^31-1) — for the
+    engine-portable forms (the minhash_lsh_candidates provable path),
+    making the WHOLE cross-corpus pipeline oracle-replayable hash-for-
+    hash; production keeps the 2-3x-faster xxhash64 default. Returns (new_id, base_id,
     jaccard ≥ threshold) — consumers drop flagged new docs.
     """
     # Band both sides with identical parameters by tagging ids into
@@ -1303,11 +1317,11 @@ def near_dup_against(
     src_base, _ = _spread(base_df)
     sh_new = src_new.selectExpr(
         f"{id_col} AS id_a",
-        f"{_hashed_shingles_sql(text_col, shingle_k, shingle_mode)} AS sh_a",
+        f"{_hashed_shingles_sql(text_col, shingle_k, shingle_mode, hash_family)} AS sh_a",
     )
     sh_base = src_base.selectExpr(
         f"{id_col} AS id_b",
-        f"{_hashed_shingles_sql(text_col, shingle_k, shingle_mode)} AS sh_b",
+        f"{_hashed_shingles_sql(text_col, shingle_k, shingle_mode, hash_family)} AS sh_b",
     )
     out = (
         pairs.join(sh_new, "id_a")

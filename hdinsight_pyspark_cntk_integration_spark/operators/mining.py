@@ -956,6 +956,16 @@ def fellegi_sunter_patterns(
     2^F-bounded pattern table. The id inequality keeps pairs ordered;
     pattern weights are plan-time constants.
 
+    NULL convention (documented; ADVICE r12): field agreement uses
+    null-safe equality (``eqNullSafe`` / SQL ``IS NOT DISTINCT FROM``),
+    so NULL-vs-NULL counts as agreement and earns the positive match
+    weight, while NULL-vs-value disagrees. This is a deliberate choice
+    — a field both sources failed to record is weak shared evidence,
+    and the alternative (excluding NULL comparisons) makes the weight
+    scale vary per pair. Callers wanting the exclusion convention
+    should pre-filter or coalesce the compare columns. The registered
+    oracles mirror this with IS NOT DISTINCT FROM.
+
     Returns (pattern, n_pairs, weight_micro) — pattern is the
     agreement bitmask (bit f set = field f agreed), one row per
     OBSERVED pattern.

@@ -1860,3 +1860,87 @@ def ndcg_at_k(
         F.sum("idcg").cast("long").alias("sum_idcg"),
         F.expr("CAST(SUM(nd) DIV COUNT(*) AS BIGINT)").alias("mean_ndcg_micro"),
     )
+
+
+def rbo_overlap(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    item_col: str = "item",
+    rank_col: str = "rank",
+    k: int = 20,
+    p: float = 0.9,
+) -> DataFrame:
+    """Rank-biased overlap between two top-k rankings (Webber, Moffat &
+    Zobel 2010) — the top-weighted list-similarity measure for
+    comparing two rankers (old vs new retrieval index, two rerankers,
+    yesterday's vs today's popularity list) that, unlike Kendall's
+    tau, handles NON-CONJOINT lists (items present in only one
+    ranking) and discounts disagreement deep in the tail:
+
+        RBO@k = (1−p) · Σ_{d=1..k} p^{d−1} · |A_{1..d} ∩ B_{1..d}| / d
+
+    Determinism (the ndcg discount-table discipline): the k weights
+    (1−p)·p^{d−1}/d are computed ONCE in Python and embedded as double
+    literals in the plan (callers generating an oracle reuse
+    :func:`rbo_weights`), each depth's term floor-quantizes weight ×
+    integer overlap to micro at birth, and the final RBO is an exact
+    BIGINT sum of the k per-depth terms.
+
+    Scale shape: rankings are top-k lists — bounded inputs by
+    contract (produced upstream by a windowed top-k). One item join,
+    one k-row depth spine joined on a k²-bounded inequality, one
+    k-row reduce. Nothing scales with the corpus.
+
+    Returns one row (k, overlap_at_k, rbo_micro).
+    """
+    weights = rbo_weights(k, p)
+    spark = ranked_a.sparkSession
+    both = (
+        ranked_a.select(
+            F.col(item_col).alias("__it"), F.col(rank_col).cast("long").alias("ra")
+        )
+        .filter(F.col("ra") <= k)
+        .join(
+            ranked_b.select(
+                F.col(item_col).alias("__it"),
+                F.col(rank_col).cast("long").alias("rb"),
+            ).filter(F.col("rb") <= k),
+            "__it",
+        )
+        .select(F.greatest("ra", "rb").alias("m"))
+    )
+    depth = spark.range(1, k + 1).select(F.col("id").alias("d"))
+    # overlap(d) = #items with max(rank_a, rank_b) <= d; the inequality
+    # join is k × (<=k) rows — constant-bounded, never corpus-scaled.
+    per_depth = (
+        depth.join(both, both["m"] <= depth["d"], "left")
+        .groupBy("d")
+        .agg(F.count("m").cast("long").alias("overlap"))
+    )
+    w_arr = F.array(*[F.lit(w) for w in weights])
+    terms = per_depth.select(
+        "d",
+        "overlap",
+        F.floor(
+            F.element_at(w_arr, F.col("d").cast("int")) * F.col("overlap")
+            * F.lit(1_000_000.0)
+        ).cast("long").alias("term_micro"),
+    )
+    return terms.groupBy().agg(
+        F.lit(k).cast("long").alias("k"),
+        F.max(F.when(F.col("d") == k, F.col("overlap"))).cast("long").alias(
+            "overlap_at_k"
+        ),
+        F.sum("term_micro").cast("long").alias("rbo_micro"),
+    )
+
+
+def rbo_weights(k: int, p: float = 0.9) -> list[float]:
+    """The k RBO depth weights (1−p)·p^{d−1}/d, d = 1..k — computed
+    once driver-side so an engine plan and a SQL oracle can embed the
+    IDENTICAL double literals (the ndcg discount-table discipline)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    if not (0.0 < p < 1.0):
+        raise ValueError(f"p must be in (0,1) (got {p})")
+    return [(1.0 - p) * (p ** (d - 1)) / d for d in range(1, k + 1)]

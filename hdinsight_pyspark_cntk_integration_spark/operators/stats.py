@@ -3638,7 +3638,12 @@ def friedman_test(
     to R_j, ``chi2_F = 12·SUM R_j² / (n·k·(k+1)) − 3·n·(k+1)``
     computed as the single rational
     ``(12·SUM R_j² − 3·n²·k·(k+1)²) / (n·k·(k+1))`` — exact integers,
-    one truncating micro DIV (NULL for k < 2). k derives as
+    one truncating micro DIV. Degenerate designs: the denominator
+    n·k·(k+1) is 0 (DIV → NULL chi2_micro) only when n or k is 0; at
+    k=1 it is 2n ≠ 0 and the identity collapses to exactly 0 (12·n²·1²
+    − 3·n²·1·4 = 0), so chi2_micro is 0, not NULL — a one-treatment
+    design carries no evidence, which 0 states correctly (ADVICE r12
+    corrected the earlier "NULL for k < 2" claim). k derives as
     total_cells DIV n_blocks (uniform k per block is the matched
     design's contract).
 
@@ -4215,4 +4220,347 @@ def sprt_eval(
             )["d"],
             F.lit("continue"),
         ).alias("decision"),
+    )
+
+
+def benjamini_hochberg(
+    df: DataFrame,
+    id_col: str = "hyp_id",
+    p_micro_col: str = "p_micro",
+    alpha_micro: int = 50_000,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control (Benjamini & Hochberg
+    1995) — the multiple-testing gate for a battery of per-slice
+    hypothesis tests (per-domain drift checks, per-arm metric deltas):
+    sort the m p-values ascending, find the LARGEST rank i with
+    ``p_(i) <= (i/m)·alpha``, and reject hypotheses 1..i.
+
+    Exactness: p-values arrive as micro integers, so the step-up
+    comparison is the exact integer inequality
+    ``p_micro·m <= i·alpha_micro`` — no float thresholds anywhere. The
+    rank is a window over the p-value sort (ties broken by id for a
+    deterministic rejection SET, matching SQL ROW_NUMBER semantics);
+    the cutoff rank is the max passing i, then each hypothesis is
+    flagged by comparing its rank to the cutoff.
+
+    Scale shape: one distinct-sort window over the hypothesis table —
+    BH is defined on the global p-value order, but the hypothesis
+    table is the already-aggregated RESULT of m upstream tests (one
+    row per slice/arm), orders of magnitude smaller than the data that
+    produced it; m in the billions would itself be the anomaly. One
+    window pass + one scalar cutoff join.
+
+    Returns (id, p_micro, rank, m, reject) ordered by rank.
+    """
+    if not (0 < alpha_micro < 1_000_000):
+        raise ValueError(f"alpha_micro must be in (0, 1e6) (got {alpha_micro})")
+    w = Window.orderBy(F.col(p_micro_col), F.col(id_col))
+    ranked = df.select(
+        F.col(id_col),
+        F.col(p_micro_col).cast("long").alias("p_micro"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+    m = ranked.groupBy().agg(F.count(F.lit(1)).cast("long").alias("m"))
+    cut = (
+        ranked.join(F.broadcast(m))
+        .filter(F.col("p_micro") * F.col("m") <= F.col("rank") * F.lit(alpha_micro))
+        .groupBy()
+        .agg(F.max("rank").alias("__cut"))
+    )
+    return (
+        ranked.join(F.broadcast(m))
+        .join(F.broadcast(cut))
+        .select(
+            id_col,
+            "p_micro",
+            "rank",
+            "m",
+            (F.col("rank") <= F.coalesce(F.col("__cut"), F.lit(0))).alias("reject"),
+        )
+    )
+
+
+def icc_oneway(
+    df: DataFrame,
+    item_col: str = "item_id",
+    value_col: str = "rating",
+) -> DataFrame:
+    """One-way random-effects intraclass correlation ICC(1,1)
+    (Shrout & Fleiss 1979, case 1) — reliability of single ratings when
+    each item is rated by a (different) set of k raters: with n items
+    and k ratings per item, ``ICC = (MSB − MSW) / (MSB + (k−1)·MSW)``
+    from the one-way ANOVA mean squares.
+
+    All-integer identity: with integer ratings, per-item sums S_j,
+    grand sum G and Σx², define ``A = n·ΣS_j² − G² (= n·k·SSB)`` and
+    ``B = k·Σx² − ΣS_j² (= k·SSW)`` — both exact BIGINT/DECIMAL. Then
+    ``MSB = A/(n·k·(n−1))`` and ``MSW = B/(n·k·(k−1))`` share the
+    common denominator n·k·(n−1)·(k−1), so the ICC collapses to one
+    truncating micro DIV of two exact integers:
+    ``num = A·(k−1) − B·(n−1)``, ``den = A·(k−1) + B·(n−1)·(k−1)``.
+    No float enters before the single DIV. Uniform k is the one-way
+    design's contract (derived as total DIV n; supply a balanced
+    rating frame).
+
+    Scale shape: one item-keyed partial-agg shuffle (per-item sum and
+    count), one bounded reduce. No windows, no sorts.
+
+    Returns one row (n_items, k, icc_micro).
+    """
+    per = df.groupBy(item_col).agg(
+        F.sum(F.col(value_col).cast("long")).alias("s"),
+        F.sum(F.col(value_col).cast("long") * F.col(value_col).cast("long")).alias(
+            "ss"
+        ),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    tot = per.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("total"),
+        F.sum("s").cast("long").alias("g"),
+        F.sum("ss").cast("long").alias("sx2"),
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("ss2"),
+    )
+    # Common-denominator integer forms (all DECIMAL(38,0)-exact):
+    #   SSB·k·n = n·ΣS² − G²  (k uniform ⇒ ΣS²/k − G²/(nk), scaled by nk)
+    #   SSW·k   = k·Σx² − ΣS²
+    #   MSB ∝ (n·ΣS² − G²) / (k·n·(n−1));  MSW ∝ (k·Σx² − ΣS²) / (k·n·(k−1))
+    # ICC = (MSB−MSW)/(MSB+(k−1)MSW) — multiply through by k·n·(n−1)·(k−1):
+    #   num = (n·ΣS² − G²)·(k−1) − (k·Σx² − ΣS²)·(n−1)
+    #   den = (n·ΣS² − G²)·(k−1) + (k·Σx² − ΣS²)·(n−1)·(k−1)
+    return tot.select(
+        F.col("n").alias("n_items"),
+        F.expr("total DIV n").alias("k"),
+        F.expr(
+            """CAST(
+              (CAST(n AS DECIMAL(38,0)) * ss2 - CAST(g AS DECIMAL(38,0)) * g)
+                * ((total DIV n) - 1) * 1000000
+              - (CAST(total DIV n AS DECIMAL(38,0)) * sx2 - ss2)
+                * (n - 1) * 1000000
+            DIV NULLIF(
+              (CAST(n AS DECIMAL(38,0)) * ss2 - CAST(g AS DECIMAL(38,0)) * g)
+                * ((total DIV n) - 1)
+              + (CAST(total DIV n AS DECIMAL(38,0)) * sx2 - ss2)
+                * (n - 1) * ((total DIV n) - 1), 0)
+            AS BIGINT)"""
+        ).alias("icc_micro"),
+    )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_micro_col: str = "score_micro",
+    label_col: str = "y",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected calibration error (Naeini et al. 2015) — the scalar
+    companion to the reliability table (calibration_bins): bin
+    predictions by score into ``n_bins`` equal-width bins and average
+    |accuracy − confidence| weighted by bin mass:
+    ``ECE = Σ_b (n_b/N)·|acc_b − conf_b|``.
+
+    All-integer identity: scores are micro integers in [0, 1e6], so
+    per bin ``|acc_b − conf_b|·n_b·1e6 = |pos_b·1e6 − Σ score_micro|``
+    is an EXACT integer (both terms are bin-level integer sums), and
+    ``ECE_micro = Σ_b |pos_b·1e6 − conf_sum_b| DIV N`` — a single
+    truncating integer division. No float enters at any point.
+
+    Scale shape: one bounded-key partial-agg shuffle (n_bins keys),
+    one reduce. The bin id is a pure projection.
+
+    Returns one row (n, n_bins, ece_micro).
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1 (got {n_bins})")
+    s = F.col(score_micro_col).cast("long")
+    bin_id = F.least(
+        F.expr(f"CAST({score_micro_col} AS BIGINT) * {n_bins} DIV 1000000"),
+        F.lit(n_bins - 1).cast("long"),
+    )
+    per = (
+        df.select(
+            bin_id.alias("__bin"),
+            s.alias("__s"),
+            F.col(label_col).cast("long").alias("__y"),
+        )
+        .groupBy("__bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_b"),
+            F.sum("__y").cast("long").alias("pos_b"),
+            F.sum("__s").cast("long").alias("conf_sum_b"),
+        )
+    )
+    return per.groupBy().agg(
+        F.sum("n_b").cast("long").alias("n"),
+        F.lit(n_bins).cast("long").alias("n_bins"),
+        F.expr(
+            "CAST(SUM(ABS(CAST(pos_b AS DECIMAL(38,0)) * 1000000"
+            " - conf_sum_b)) DIV NULLIF(SUM(n_b), 0) AS BIGINT)"
+        ).alias("ece_micro"),
+    )
+
+
+def mcc_binary(
+    df: DataFrame,
+    label_col: str = "y",
+    pred_col: str = "yhat",
+) -> DataFrame:
+    """Matthews correlation coefficient for a binary classifier —
+    the single-number confusion summary robust to class imbalance
+    (unlike accuracy): ``MCC = (TP·TN − FP·FN) /
+    √((TP+FP)(TP+FN)(TN+FP)(TN+FN))``.
+
+    Exactness: the four cells are exact BIGINT counts from one
+    aggregate pass; the numerator and the four marginal factors are
+    exact DECIMAL products; the only transcendental is ONE sqrt of an
+    exact integer — a fixed expression both engines evaluate on the
+    identical value — then one floor to micro.
+
+    Scale shape: one reduce (conditional-sum aggregate), no shuffle
+    beyond the partial-agg merge. Returns one row
+    (tp, fp, tn, fn, mcc_micro).
+    """
+    y = F.col(label_col).cast("boolean")
+    p = F.col(pred_col).cast("boolean")
+    cells = df.groupBy().agg(
+        F.sum((y & p).cast("long")).cast("long").alias("tp"),
+        F.sum(((~y) & p).cast("long")).cast("long").alias("fp"),
+        F.sum(((~y) & (~p)).cast("long")).cast("long").alias("tn"),
+        F.sum((y & (~p)).cast("long")).cast("long").alias("fn"),
+    )
+    return cells.select(
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.expr(
+            """CAST(FLOOR(
+              CAST(CAST(tp AS DECIMAL(38,0)) * tn
+                   - CAST(fp AS DECIMAL(38,0)) * fn AS DOUBLE)
+              / NULLIF(SQRT(CAST(
+                  (CAST(tp AS DECIMAL(38,0)) + fp)
+                  * (CAST(tp AS DECIMAL(38,0)) + fn)
+                  * (CAST(tn AS DECIMAL(38,0)) + fp)
+                  * (CAST(tn AS DECIMAL(38,0)) + fn) AS DOUBLE)), 0.0)
+              * 1000000) AS BIGINT)"""
+        ).alias("mcc_micro"),
+    )
+
+
+def cusum_detect(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    target: int,
+    slack: int,
+    threshold: int,
+) -> DataFrame:
+    """One-sided CUSUM change detection (Page 1954) per series — the
+    sequential drift alarm for per-entity metric streams (the temporal
+    complement to ks_drift/psi_drift's batch two-sample tests): with
+    integer observations x_t, the upper CUSUM
+    ``S_t = max(0, S_{t−1} + (x_t − target − slack))`` alarms at the
+    first t where S_t > threshold.
+
+    The textbook recursion looks inherently sequential, but the
+    clamped sum has a closed prefix form: with
+    ``c_t = Σ_{≤t}(x − target − slack)``,
+    ``S_t = c_t − min(0, min_{≤t} c)`` — a running sum and a running
+    min, BOTH plain prefix windows, so the whole detector is two
+    window passes per series partition, exact BIGINT arithmetic
+    throughout.
+
+    Scale shape: one series-partitioned window pass (rows stay in
+    their partition; spillable sort within series), one per-series
+    aggregate. No global sort, no iteration.
+
+    Returns (group, n, max_cusum, first_alarm_step) — first_alarm_step
+    NULL when the series never alarms.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = F.col(value_col).cast("long") - F.lit(int(target)) - F.lit(int(slack))
+    walk = df.select(
+        F.col(group_col).alias("group"),
+        F.col(order_col).alias("__o"),
+        F.sum(d).over(w).cast("long").alias("__c"),
+    ).select(
+        "group",
+        "__o",
+        (
+            F.col("__c")
+            - F.least(
+                F.lit(0).cast("long"),
+                F.min("__c").over(
+                    Window.partitionBy("group")
+                    .orderBy(F.col("__o"))
+                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+        ).alias("__s"),
+        F.row_number()
+        .over(Window.partitionBy("group").orderBy(F.col("__o")))
+        .cast("long")
+        .alias("__step"),
+    )
+    return walk.groupBy("group").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("__s").cast("long").alias("max_cusum"),
+        F.min(
+            F.when(F.col("__s") > F.lit(int(threshold)), F.col("__step"))
+        ).cast("long").alias("first_alarm_step"),
+    )
+
+
+def theil_index(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil T inequality index per group (Theil 1967) — the
+    information-theoretic concentration measure for positive values
+    (spend, token counts, cluster sizes): for group g with members x_i
+    and mean μ_g, ``T_g = (1/n_g) Σ (x_i/μ_g)·ln(x_i/μ_g)``; 0 = all
+    equal, ln(n) = all mass on one member.
+
+    Determinism (the ln-micro discipline): μ_g is fixed as the IEEE
+    double ``CAST(exact DECIMAL sum AS DOUBLE) / n_g``; each member's
+    term ``(x/μ)·ln(x/μ)`` is evaluated on identical doubles in both
+    engines and floored to micro AT BIRTH, so the group reduction is
+    an exact BIGINT sum (order-independent, hash-gate-safe); the mean
+    is one integer DIV. Rows with x <= 0 are excluded (Theil's
+    domain), n_g counts the included rows.
+
+    Scale shape: one group-keyed partial-agg shuffle for (sum, n), a
+    bounded group-stats broadcast back onto the members (group
+    cardinality = the GROUP domain, not the row count), then a second
+    partial-agg sum. Two shuffles total, no windows.
+
+    Returns (group, n, theil_micro) per group.
+    """
+    pos = df.filter(F.col(value_col) > 0).select(
+        F.col(group_col).alias("group"),
+        F.col(value_col).cast("decimal(38,6)").alias("__x"),
+    )
+    stats = pos.groupBy("group").agg(
+        F.sum("__x").alias("__sum"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    joined = pos.join(F.broadcast(stats), "group").select(
+        "group",
+        "n",
+        F.expr(
+            """CAST(FLOOR(
+              (CAST(__x AS DOUBLE) / (CAST(__sum AS DOUBLE) / n))
+              * LN(CAST(__x AS DOUBLE) / (CAST(__sum AS DOUBLE) / n))
+              * 1000000) AS BIGINT)"""
+        ).alias("__t_micro"),
+    )
+    return joined.groupBy("group").agg(
+        F.max("n").alias("n"),
+        F.expr("CAST(SUM(__t_micro) DIV MAX(n) AS BIGINT)").alias("theil_micro"),
     )

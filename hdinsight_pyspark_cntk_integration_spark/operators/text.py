@@ -2294,12 +2294,15 @@ def bleu_clipped_precision(
     orders in one pass over each corpus — then two partial-agg
     shuffles: multiset counts keyed (id, n, gram), and the clip join
     co-keyed on the same triple (inner join: grams absent from the
-    reference clip to 0 and drop). Final aggregate is n_max rows —
-    ALWAYS n_max rows (ADVICE r11): the ref/gen totals meet in a full
-    outer join, so an order with grams on only one side (every
-    reference shorter than n words, say) still emits its row with the
-    missing total as 0 and precision_micro 0, instead of vanishing
-    from a caller's 1..n_max iteration. precision_micro is 0 (not
+    reference clip to 0 and drop). Final aggregate: one row for every
+    order 1..n_max PRESENT ON EITHER SIDE (ADVICE r11/r12): the
+    ref/gen totals meet in a full outer join, so an order with grams
+    on only one side (every reference shorter than n words, say) still
+    emits its row with the missing total as 0 and precision_micro 0 —
+    but an order absent from BOTH corpora (every document on both
+    sides shorter than n tokens) emits no row, since an outer join
+    cannot manufacture keys neither side produced; callers iterating
+    1..n_max should treat a missing order as precision 0. precision_micro is 0 (not
     NULL) when total_gen is 0 — documented convention.
 
     Returns (n, total_ref, total_gen, total_clipped, precision_micro).
@@ -2558,4 +2561,233 @@ def span_f1(
         F.sum("o").cast("long").alias("total_overlap"),
         F.sum("lg").cast("long").alias("total_gold_tokens"),
         F.sum("lp").cast("long").alias("total_pred_tokens"),
+    )
+
+
+def _token_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(token, c) exact counts — the shared first stage of the
+    two-corpus keyword statistics below (one explode + one partial-agg
+    shuffle per corpus, vocab-sized output)."""
+    return (
+        df.select(
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+                "token"
+            )
+        )
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def g_test_keywords(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 30,
+) -> DataFrame:
+    """Dunning log-likelihood (G²) keyword extraction (Dunning 1993) —
+    which tokens are most DISTINCTIVE of corpus A vs corpus B, the
+    statistically-grounded replacement for raw frequency ratios (which
+    explode on rare words): per token, the G-test over the 2×2 table
+    (a = count in A, b = count in B, against totals T_A, T_B):
+
+        G² = 2·[ a·ln(a/E_a) + b·ln(b/E_b)
+               + (T_A−a)·ln((T_A−a)/E_a') + (T_B−b)·ln((T_B−b)/E_b') ]
+
+    with expectations E proportional to row/column marginals. Zero
+    cells contribute 0 (the x·ln x → 0 limit).
+
+    Determinism: all eight operands are exact integers; each token's
+    G² is ONE fixed double expression evaluated per DISTINCT token and
+    floored to micro at birth — the ln-micro discipline
+    (corpus_divergence's contract). ``sign`` is +1 when the token is
+    over-represented in A (a·T_B > b·T_A — integer comparison), −1
+    otherwise.
+
+    Scale shape: one explode + token groupBy per corpus (vocab-sized),
+    one vocab join, 1-row totals broadcast, bounded top-k sort.
+
+    Returns top_k rows (token, cnt_a, cnt_b, sign, g2_micro) by
+    g2_micro desc, token tie-break.
+    """
+    ta = _token_counts(df_a, text_col)
+    tb = _token_counts(df_b, text_col)
+    tot = (
+        ta.groupBy().agg(F.sum("c").cast("long").alias("t_a"))
+        .join(tb.groupBy().agg(F.sum("c").cast("long").alias("t_b")))
+    )
+    j = (
+        ta.withColumnRenamed("c", "cnt_a")
+        .join(tb.withColumnRenamed("c", "cnt_b"), "token", "full")
+        .select(
+            "token",
+            F.coalesce(F.col("cnt_a"), F.lit(0)).cast("long").alias("cnt_a"),
+            F.coalesce(F.col("cnt_b"), F.lit(0)).cast("long").alias("cnt_b"),
+        )
+        .filter(F.col("cnt_a") + F.col("cnt_b") >= min_count)
+        .join(F.broadcast(tot))
+    )
+    # term(x, e_num, e_den) = x * ln(x * e_den / e_num), 0 when x = 0;
+    # expectations: E_a = T_A*(a+b)/T, E_a' = T_A*(T-a-b)/T (T = T_A+T_B)
+    def term(x: str, row_total: str) -> str:
+        return (
+            f"CASE WHEN {x} = 0 THEN 0.0 ELSE CAST({x} AS DOUBLE)"
+            f" * LN(CAST({x} AS DOUBLE) * (CAST(t_a AS DOUBLE) + t_b)"
+            f" / (CAST({row_total} AS DOUBLE) * __col)) END"
+        )
+
+    out = (
+        j.withColumn("__col", (F.col("cnt_a") + F.col("cnt_b")).cast("double"))
+        .withColumn(
+            "__ncol",
+            (F.col("t_a") + F.col("t_b") - F.col("cnt_a") - F.col("cnt_b")).cast(
+                "double"
+            ),
+        )
+        .select(
+            "token",
+            "cnt_a",
+            "cnt_b",
+            F.when(
+                F.col("cnt_a") * F.col("t_b") > F.col("cnt_b") * F.col("t_a"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("sign"),
+            F.expr(
+                "CAST(FLOOR(2.0 * ("
+                + term("cnt_a", "t_a")
+                + " + "
+                + term("cnt_b", "t_b")
+                + " + "
+                + term("(t_a - cnt_a)", "t_a").replace("__col", "__ncol")
+                + " + "
+                + term("(t_b - cnt_b)", "t_b").replace("__col", "__ncol")
+                + ") * 1000000) AS BIGINT)"
+            ).alias("g2_micro"),
+        )
+    )
+    return out.orderBy(F.col("g2_micro").desc(), F.col("token")).limit(top_k)
+
+
+def log_odds_dirichlet(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    alpha0: int = 500,
+    min_count: int = 5,
+    top_k: int = 30,
+) -> DataFrame:
+    """Log-odds ratio with informative Dirichlet prior ("Fightin'
+    Words", Monroe/Colaresi/Quinn 2008) — the keyword-contrast
+    statistic that, unlike raw log-odds or G², shrinks rare-word noise
+    toward the combined-corpus prior and returns a per-token
+    z-score:
+
+        δ_t = ln((a+α_t)/(T_A+α0−a−α_t)) − ln((b+α_t)/(T_B+α0−b−α_t))
+        σ²_t ≈ 1/(a+α_t) + 1/(b+α_t),   z_t = δ_t/σ_t
+
+    with α_t = α0·(a+b)/(T_A+T_B) (prior mass proportional to the
+    pooled frequency).
+
+    Determinism: a, b, totals and α0 are exact integers; α_t, δ, σ and
+    z are ONE fixed double expression per DISTINCT token, floored to
+    micro at birth (ln-micro discipline). Scale shape identical to
+    :func:`g_test_keywords` (two vocab aggs, one join, bounded top-k).
+
+    Returns top_k rows (token, cnt_a, cnt_b, z_micro) by |z| desc,
+    token tie-break.
+    """
+    ta = _token_counts(df_a, text_col)
+    tb = _token_counts(df_b, text_col)
+    tot = (
+        ta.groupBy().agg(F.sum("c").cast("long").alias("t_a"))
+        .join(tb.groupBy().agg(F.sum("c").cast("long").alias("t_b")))
+    )
+    j = (
+        ta.withColumnRenamed("c", "cnt_a")
+        .join(tb.withColumnRenamed("c", "cnt_b"), "token", "full")
+        .select(
+            "token",
+            F.coalesce(F.col("cnt_a"), F.lit(0)).cast("long").alias("cnt_a"),
+            F.coalesce(F.col("cnt_b"), F.lit(0)).cast("long").alias("cnt_b"),
+        )
+        .filter(F.col("cnt_a") + F.col("cnt_b") >= min_count)
+        .join(F.broadcast(tot))
+    )
+    expr = f"""
+      CAST(FLOOR((
+        LN((cnt_a + __alpha) / (CAST(t_a AS DOUBLE) + {alpha0} - cnt_a - __alpha))
+        - LN((cnt_b + __alpha) / (CAST(t_b AS DOUBLE) + {alpha0} - cnt_b - __alpha))
+      ) / SQRT(1.0 / (cnt_a + __alpha) + 1.0 / (cnt_b + __alpha))
+      * 1000000) AS BIGINT)
+    """
+    out = j.withColumn(
+        "__alpha",
+        F.expr(
+            f"CAST({alpha0} AS DOUBLE) * (CAST(cnt_a AS DOUBLE) + cnt_b)"
+            " / (CAST(t_a AS DOUBLE) + t_b)"
+        ),
+    ).select(
+        "token",
+        "cnt_a",
+        "cnt_b",
+        F.expr(expr).alias("z_micro"),
+    )
+    return out.orderBy(F.abs(F.col("z_micro")).desc(), F.col("token")).limit(top_k)
+
+
+def yules_k(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Yule's characteristic K per corpus slice (Yule 1944) — the
+    repetitiveness / vocabulary-richness constant that, unlike raw
+    type-token ratio, is (asymptotically) independent of sample
+    length: with N tokens and V_m = number of types occurring exactly
+    m times,
+
+        K = 10⁴ · (Σ_m m²·V_m − N) / N²
+
+    High K = few types dominate (templated/boilerplate text); low K =
+    rich vocabulary. The length-invariance makes it comparable across
+    sources of wildly different sizes — exactly the slice-level
+    quality signal a mixture builder wants next to heaps_law/zipf.
+
+    Exactness: Σ m²·V_m = Σ_types c², an exact BIGINT sum over the
+    per-(group, token) counts; the single K ratio is one truncating
+    micro DIV of exact DECIMAL integers (K_micro = K·1e6 at the
+    conventional 1e4 scale).
+
+    Scale shape: one explode + (group, token) partial-agg shuffle,
+    one group-keyed reduce — the frequency-spectrum sum folds into
+    Σc² so the spectrum itself is never materialized.
+
+    Returns (group, n_tokens, n_types, k_micro) per slice.
+    """
+    counts = (
+        df.select(
+            F.col(group_col).alias("group"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+                "token"
+            ),
+        )
+        .filter(F.length("token") > 0)
+        .groupBy("group", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return counts.groupBy("group").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.expr(
+            """CAST(
+              (SUM(CAST(c AS DECIMAL(38,0)) * c) - SUM(c))
+              * 10000 * 1000000
+              DIV NULLIF(SUM(CAST(c AS DECIMAL(38,0))) * SUM(c), 0)
+            AS BIGINT)"""
+        ).alias("k_micro"),
     )

@@ -236,10 +236,16 @@ def run(base: str, fixture: str, factor: int, out_json: str,
             if keep is not None and name not in keep:
                 continue
             make().write.format("noop").mode("overwrite").save()  # warm
+            # 3 samples, exponent from t_min (VERDICT r12 "what's wrong"
+            # #3: 2-sample minima under host-throttle noise made the
+            # TIME exponents unreliable — e.g. 10x samples [3.03,
+            # 11.11]; shuffle-BYTE exponents were always robust). The
+            # shuffle/input counters are measured around the LAST run
+            # only (bytes are deterministic per plan, any run works).
             samples = []
             sw0 = inp0 = 0
-            for i in range(2):
-                if i == 1:
+            for i in range(3):
+                if i == 2:
                     sw0, inp0 = _stage_totals(spark)
                 t0 = time.perf_counter()
                 make().write.format("noop").mode("overwrite").save()
