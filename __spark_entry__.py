@@ -6471,6 +6471,270 @@ def q_span_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.span_f1(docs, preds)
 
 
+def q_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR step-up (operators.stats.
+    benjamini_hochberg) over a BOUNDED battery of 200 synthetic
+    hypotheses: p-values are Knuth-mix-uniform micro integers with a
+    planted signal (every 5th hypothesis drawn from [1, 20000] — true
+    effects), alpha = 0.05. The window runs over the 200-row hypothesis
+    table (test RESULTS, never the corpus — allowlisted in
+    tests/test_plans.py); the step-up comparison is exact integer
+    arithmetic. In production the p-column comes from upstream per-slice
+    tests (welch_ttest / mantel_haenszel / ks_drift outputs)."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    mix = F.pmod(
+        F.pmod(F.col("id"), F.lit(1_000_003)) * F.lit(2654435761),
+        F.lit(1_000_003),
+    )
+    hyp = spark.range(0, 200).select(
+        F.col("id").alias("hyp_id"),
+        F.when(
+            F.pmod(F.col("id"), F.lit(5)) == 0, F.pmod(mix, F.lit(20_000)) + 1
+        )
+        .otherwise(F.pmod(mix, F.lit(1_000_000)) + 1)
+        .cast("long")
+        .alias("p_micro"),
+    )
+    return st.benjamini_hochberg(hyp, "hyp_id", "p_micro", alpha_micro=50_000)
+
+
+def q_icc_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way intraclass correlation ICC(1,1) (operators.stats.
+    icc_oneway) over the shared 5-rater synthetic rating fixture (the
+    fleiss_kappa frame: Knuth-mixed doc category with 1/4 per-rater
+    disagreement noise) — single-rating reliability, the continuous
+    complement to the kappa family. Exact-integer rationals end to
+    end; one truncating micro DIV."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def mix(c):
+        return F.pmod(F.pmod(c, F.lit(1_000_003)) * F.lit(2654435761), F.lit(1_000_003))
+
+    rated = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("rater"),
+    )
+    base = F.pmod(mix(F.col("item_id")), F.lit(4))
+    s = mix(F.col("item_id") * 5 + F.col("rater"))
+    alt = F.pmod(mix(F.col("item_id") * 5 + F.col("rater") + 101), F.lit(4))
+    rated = rated.select(
+        "item_id",
+        F.when(F.pmod(s, F.lit(4)) < 3, base).otherwise(alt).cast("long").alias(
+            "rating"
+        ),
+    )
+    return st.icc_oneway(rated, "item_id", "rating")
+
+
+def q_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error (operators.stats.
+    expected_calibration_error) — the scalar roll-up of the
+    calibration_bins reliability table, same fixture (min-max
+    balance score vs urgent-order label, 10 bins). Per-bin
+    |pos·1e6 − Σscore_micro| is an exact integer, so ECE is integer
+    arithmetic end to end with ONE truncating DIV."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    pop = _urgent_labelled_customers(spark, sf_dir)
+    mm = pop.groupBy().agg(F.min("v").alias("__mn"), F.max("v").alias("__mx"))
+    scored = pop.join(F.broadcast(mm)).select(
+        F.floor(
+            (F.col("v") - F.col("__mn"))
+            / (F.col("__mx") - F.col("__mn"))
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("score_micro"),
+        "y",
+    )
+    return st.expected_calibration_error(scored, "score_micro", "y", n_bins=10)
+
+
+def q_mcc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation (operators.stats.mcc_binary) of the
+    balance-threshold classifier (acctbal > 5000 predicts "placed an
+    urgent order") — the imbalance-robust single-number confusion
+    summary next to accuracy/auc_balance. Exact BIGINT cells; one
+    sqrt of an exact integer, floored to micro."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    pop = _urgent_labelled_customers(spark, sf_dir)
+    frame = pop.select("y", (F.col("v") > 5000.0).alias("yhat"))
+    return st.mcc_binary(frame, "y", "yhat")
+
+
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection (operators.stats.cusum_detect)
+    per user over purchase-event cent streams ordered by event id:
+    target 5000 / slack 500 / threshold 50000 cents. The clamped
+    recursion runs as cumsum − running-min — two prefix windows per
+    user partition, exact BIGINT throughout; the temporal drift alarm
+    next to the batch two-sample tests (ks_drift/psi_drift)."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    series = ev.select(
+        F.col("user_id"),
+        F.col("event_id"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = st.cusum_detect(
+        series, "user_id", "event_id", "cents",
+        target=5000, slack=500, threshold=50_000,
+    )
+    return out.select(
+        F.col("group").alias("user_id"), "n", "max_cusum", "first_alarm_step"
+    )
+
+
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of order values per priority class
+    (operators.stats.theil_index) — the information-theoretic
+    concentration measure next to gini/hhi/lorenz: per-row
+    (x/mean)·ln(x/mean) terms floored to micro at birth (ln-micro
+    discipline), exact BIGINT sums, bounded group domain."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    orders = load_table(spark, sf_dir, "orders")
+    frame = orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    out = st.theil_index(frame, "prio", "cents")
+    return out.select(F.col("group").alias("prio"), "n", "theil_micro")
+
+
+def q_g_test_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning G² distinctive keywords (operators.text.g_test_keywords):
+    which tokens most distinguish English documents from the rest of
+    the corpus — the statistically-grounded corpus-contrast next to
+    corpus_divergence's KL contributors. Exact-integer 2x2 cells; one
+    fixed double LLR per distinct token floored to micro (ln-micro
+    discipline); bounded top-30."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.g_test_keywords(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        min_count=5,
+        top_k=30,
+    )
+
+
+def q_log_odds_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-prior log-odds keyword z-scores ("Fightin' Words",
+    operators.text.log_odds_dirichlet) for English vs non-English
+    documents, alpha0 = 500 — the shrinkage-corrected corpus contrast
+    that G² lacks (rare words pull toward the pooled prior instead of
+    dominating). Same ln-micro discipline and scale shape as
+    g_test_keywords; bounded top-30 by |z|."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.log_odds_dirichlet(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        alpha0=500,
+        min_count=5,
+        top_k=30,
+    )
+
+
+def q_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K per language slice (operators.text.
+    yules_k) — the length-invariant vocabulary-repetitiveness constant
+    next to heaps_law/zipf_slope/ngram_diversity. Sigma m^2 V_m folds
+    into an exact BIGINT Sigma c^2; one truncating micro DIV per
+    slice."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = tx.yules_k(docs, "lang", "text")
+    return out.select(F.col("group").alias("lang"), "n_tokens", "n_types", "k_micro")
+
+
+def q_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (operators.similarity.rbo_overlap, p=0.9,
+    k=20) between two nation rankings: revenue rank in 1995 vs 1996 —
+    "how much did the leaderboard move year over year", top-weighted
+    and non-conjoint-safe where kendall_tau is neither. The rank
+    windows run over the 25-row nation aggregate (bounded domain,
+    allowlisted); depth weights are Python-embedded double literals
+    shared with the oracle (ndcg discount-table discipline)."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import similarity as sim
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rev = (
+        orders.join(
+            customer.select("c_custkey", "c_nationkey"),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            F.year("o_orderdate").alias("yr"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("nation", "yr")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+    )
+
+    def ranked(yr: int) -> DataFrame:
+        w = Window.orderBy(F.col("rev").desc(), F.col("nation"))
+        return (
+            rev.filter(F.col("yr") == yr)
+            .select("nation", "rev")
+            .select(
+                F.col("nation").alias("item"),
+                F.row_number().over(w).cast("long").alias("rank"),
+            )
+        )
+
+    return sim.rbo_overlap(ranked(1995), ranked(1996), "item", "rank", k=20, p=0.9)
+
+
+def q_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarsened-exact-matching ATT (operators.mining.cem_att): the
+    effect of being a BUILDING-segment customer on total order spend,
+    matched within nation strata — the design-based causal readout
+    next to diff_in_diff/cuped for observational slices. Outcomes in
+    exact cents; per-stratum and final truncating DIVs mirrored by the
+    oracle."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import mining as mn
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("spend_cents")
+    )
+    frame = customer.join(spend, "c_custkey", "left").select(
+        F.col("c_nationkey").alias("nation"),
+        (F.col("c_mktsegment") == "BUILDING").alias("treated"),
+        F.coalesce(F.col("spend_cents"), F.lit(0)).cast("long").alias("spend"),
+    )
+    return mn.cem_att(frame, "treated", "spend", ["nation"])
+
+
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (operators.pipeline.
+    neyman_allocation): how to split a 1000-row sample budget across
+    nation strata of the customer table by N_h*sigma_h of account
+    balance (cents) — the variance-minimizing upgrade over the
+    proportional split stratified_split uses. Per-stratum sigma floored
+    to micro at birth; allocation weights exact integers."""
+    customer = load_table(spark, sf_dir, "customer")
+    frame = customer.select(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    out = pl.neyman_allocation(frame, "nation", "cents", n_total=1000)
+    return out.select(
+        F.col("stratum").alias("nation"), "n_rows", "sigma_micro", "alloc"
+    )
+
+
 # Driver-gate window (ROTATION.md): the driver records the FIRST 50
 # entries of queries() in CORRECTNESS_r{N}.json. Round 13 executes the
 # committed plan (ROTATION.md "Round 13 window"): the 10 round-12
@@ -6504,7 +6768,21 @@ _GATE_WINDOW = [
     "session_window_native",
     "sessionize",
     "token_stats",
-    # 31 re-gates: text/corpus family (last gated r7-r8)
+    # 12 round-13 additions (displace the last 12 text re-gates to the
+    # round-14 queue head, per the standing end-displacement policy)
+    "benjamini_hochberg",
+    "icc_oneway",
+    "ece_calibration",
+    "mcc_score",
+    "cusum_drift",
+    "theil_index",
+    "g_test_keywords",
+    "log_odds_dirichlet",
+    "yules_k",
+    "rbo_overlap",
+    "cem_att",
+    "neyman_allocation",
+    # 19 re-gates: text/corpus family head (last gated r7-r8)
     "tfidf_top_terms",
     "bm25_search",
     "unigram_logprob",
@@ -6524,18 +6802,6 @@ _GATE_WINDOW = [
     "vocab",
     "token_histogram",
     "bigram_histogram",
-    "dictionary_tag",
-    "pmi_cooccur",
-    "markov_transitions",
-    "bigram_condprob",
-    "corpus_divergence",
-    "ngram_novelty",
-    "sentence_split",
-    "posexplode_tokens",
-    "repetition_stats",
-    "rolling_fingerprint",
-    "strip_boilerplate",
-    "quality_filter",
 ]
 
 
@@ -6918,6 +7184,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_vocab": q_wordpiece_vocab,
         "sorted_neighborhood": q_sorted_neighborhood,
         "t_closeness": q_t_closeness,
+        # round-13 additions
+        "benjamini_hochberg": q_benjamini_hochberg,
+        "icc_oneway": q_icc_oneway,
+        "ece_calibration": q_ece_calibration,
+        "mcc_score": q_mcc_score,
+        "cusum_drift": q_cusum_drift,
+        "theil_index": q_theil_index,
+        "g_test_keywords": q_g_test_keywords,
+        "log_odds_dirichlet": q_log_odds_dirichlet,
+        "yules_k": q_yules_k,
+        "rbo_overlap": q_rbo_overlap,
+        "cem_att": q_cem_att,
+        "neyman_allocation": q_neyman_allocation,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -15290,5 +15569,383 @@ def oracle_sql() -> dict[str, str]:
           CAST(COUNT(*) AS BIGINT) AS n_pairs,
           CAST(weight_micro AS BIGINT) AS weight_micro
         FROM pairs GROUP BY pattern, weight_micro
+    """
+    # ---- round-13 additions ----
+    oracles["benjamini_hochberg"] = """
+        WITH hyp AS (
+          SELECT t.id AS hyp_id,
+            CAST(CASE WHEN t.id % 5 = 0
+              THEN (((t.id % 1000003) * 2654435761) % 1000003) % 20000 + 1
+              ELSE (((t.id % 1000003) * 2654435761) % 1000003) % 1000000 + 1
+            END AS BIGINT) AS p_micro
+          FROM (SELECT unnest(range(0, 200)) AS id) t
+        ),
+        ranked AS (
+          SELECT hyp_id, p_micro,
+            CAST(ROW_NUMBER() OVER (ORDER BY p_micro, hyp_id) AS BIGINT)
+              AS rank,
+            CAST(COUNT(*) OVER () AS BIGINT) AS m
+          FROM hyp
+        ),
+        cut AS (
+          SELECT MAX(rank) AS c FROM ranked
+          WHERE p_micro * m <= rank * 50000
+        )
+        SELECT hyp_id, p_micro, rank, m,
+          rank <= COALESCE((SELECT c FROM cut), 0) AS reject
+        FROM ranked
+    """
+    oracles["icc_oneway"] = """
+        WITH rated AS (
+          SELECT d.doc_id AS item_id,
+            CASE WHEN (((d.doc_id * 5 + r.rater) % 1000003) * 2654435761)
+                     % 1000003 % 4 < 3
+              THEN (((d.doc_id % 1000003) * 2654435761) % 1000003) % 4
+              ELSE ((((d.doc_id * 5 + r.rater + 101) % 1000003) * 2654435761)
+                   % 1000003) % 4
+            END AS rating
+          FROM documents d
+          CROSS JOIN (SELECT unnest(range(0, 5)) AS rater) r
+        ),
+        per AS (
+          SELECT item_id, CAST(SUM(rating) AS BIGINT) AS s,
+            CAST(SUM(rating * rating) AS BIGINT) AS ss,
+            CAST(COUNT(*) AS BIGINT) AS k
+          FROM rated GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(k) AS BIGINT) AS total,
+            CAST(SUM(s) AS BIGINT) AS g,
+            CAST(SUM(ss) AS BIGINT) AS sx2,
+            CAST(SUM(CAST(s AS HUGEINT) * s) AS HUGEINT) AS ss2
+          FROM per
+        )
+        SELECT n AS n_items, CAST(total // n AS BIGINT) AS k,
+          CAST(
+            ((CAST(n AS HUGEINT) * ss2 - CAST(g AS HUGEINT) * g)
+               * ((total // n) - 1)
+             - (CAST(total // n AS HUGEINT) * sx2 - ss2)
+               * (n - 1)) * 1000000
+          // NULLIF(
+            (CAST(n AS HUGEINT) * ss2 - CAST(g AS HUGEINT) * g)
+              * ((total // n) - 1)
+            + (CAST(total // n AS HUGEINT) * sx2 - ss2)
+              * (n - 1) * ((total // n) - 1), 0)
+          AS BIGINT) AS icc_micro
+        FROM tot
+    """
+    oracles["ece_calibration"] = f"""
+        WITH {_URGENT_POP},
+        mm AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM lab),
+        scored AS (
+          SELECT CAST(FLOOR((lab.v - mm.mn) / (mm.mx - mm.mn)
+              * 1000000.0) AS BIGINT) AS smicro,
+            CASE WHEN lab.y THEN 1 ELSE 0 END AS p
+          FROM lab CROSS JOIN mm
+        ),
+        per AS (
+          SELECT LEAST(smicro * 10 // 1000000, 9) AS bin,
+            CAST(COUNT(*) AS BIGINT) AS n_b,
+            CAST(SUM(p) AS BIGINT) AS pos_b,
+            CAST(SUM(smicro) AS BIGINT) AS conf_sum_b
+          FROM scored GROUP BY 1
+        )
+        SELECT CAST(SUM(n_b) AS BIGINT) AS n,
+          CAST(10 AS BIGINT) AS n_bins,
+          CAST(SUM(ABS(CAST(pos_b AS HUGEINT) * 1000000 - conf_sum_b))
+            // NULLIF(SUM(n_b), 0) AS BIGINT) AS ece_micro
+        FROM per
+    """
+    oracles["mcc_score"] = f"""
+        WITH {_URGENT_POP},
+        cells AS (
+          SELECT
+            CAST(SUM(CASE WHEN y AND v > 5000.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp,
+            CAST(SUM(CASE WHEN NOT y AND v > 5000.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fp,
+            CAST(SUM(CASE WHEN NOT y AND NOT (v > 5000.0) THEN 1 ELSE 0 END)
+              AS BIGINT) AS tn,
+            CAST(SUM(CASE WHEN y AND NOT (v > 5000.0) THEN 1 ELSE 0 END)
+              AS BIGINT) AS fn
+          FROM lab
+        )
+        SELECT tp, fp, tn, fn,
+          CAST(FLOOR(
+            CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn
+                 AS DOUBLE)
+            / NULLIF(SQRT(CAST(
+                (CAST(tp AS HUGEINT) + fp)
+                * (CAST(tp AS HUGEINT) + fn)
+                * (CAST(tn AS HUGEINT) + fp)
+                * (CAST(tn AS HUGEINT) + fn) AS DOUBLE)), 0.0)
+            * 1000000) AS BIGINT) AS mcc_micro
+        FROM cells
+    """
+    oracles["cusum_drift"] = """
+        WITH series AS (
+          SELECT user_id, event_id,
+            CAST(FLOOR(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'
+        ),
+        walk AS (
+          SELECT user_id,
+            SUM(cents - 5500) OVER w AS c,
+            CAST(ROW_NUMBER() OVER
+              (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS step
+          FROM series
+          WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        s AS (
+          SELECT user_id, step,
+            c - LEAST(CAST(0 AS BIGINT), MIN(c) OVER
+              (PARTITION BY user_id ORDER BY step
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS sv
+          FROM walk
+        )
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(MAX(sv) AS BIGINT) AS max_cusum,
+          CAST(MIN(CASE WHEN sv > 50000 THEN step END) AS BIGINT)
+            AS first_alarm_step
+        FROM s GROUP BY 1
+    """
+    oracles["theil_index"] = """
+        WITH pos AS (
+          SELECT o_orderpriority AS prio,
+            CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS x
+          FROM orders WHERE FLOOR(o_totalprice * 100) > 0
+        ),
+        stats AS (
+          SELECT prio, CAST(SUM(x) AS HUGEINT) AS sm,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM pos GROUP BY 1
+        ),
+        terms AS (
+          SELECT p.prio, s.n,
+            CAST(FLOOR(
+              (CAST(p.x AS DOUBLE) / (CAST(s.sm AS DOUBLE) / s.n))
+              * LN(CAST(p.x AS DOUBLE) / (CAST(s.sm AS DOUBLE) / s.n))
+              * 1000000) AS BIGINT) AS t_micro
+          FROM pos p JOIN stats s USING (prio)
+        )
+        SELECT prio, CAST(MAX(n) AS BIGINT) AS n,
+          CAST(SUM(t_micro) // MAX(n) AS BIGINT) AS theil_micro
+        FROM terms GROUP BY 1
+    """
+    _gt_tok = (
+        "SELECT UNNEST(string_split(trim(regexp_replace(lower(text),"
+        " '\\s+', ' ', 'g')), ' ')) AS token FROM documents WHERE {side}"
+    )
+    _gt_counts = (
+        "SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM ({tok}) "
+        "WHERE length(token) > 0 GROUP BY token"
+    )
+    _gt_a = _gt_counts.format(tok=_gt_tok.format(side="lang = 'en'"))
+    _gt_b = _gt_counts.format(tok=_gt_tok.format(side="lang <> 'en'"))
+    _gt_term = (
+        "CASE WHEN {x} = 0 THEN 0.0 ELSE CAST({x} AS DOUBLE)"
+        " * LN(CAST({x} AS DOUBLE) * (CAST(t_a AS DOUBLE) + t_b)"
+        " / (CAST({rt} AS DOUBLE) * {col})) END"
+    )
+    oracles["g_test_keywords"] = f"""
+        WITH ta AS MATERIALIZED ({_gt_a}),
+        tb AS MATERIALIZED ({_gt_b}),
+        tot AS (
+          SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM ta) AS t_a,
+                 (SELECT CAST(SUM(c) AS BIGINT) FROM tb) AS t_b
+        ),
+        j AS (
+          SELECT COALESCE(ta.token, tb.token) AS token,
+            CAST(COALESCE(ta.c, 0) AS BIGINT) AS cnt_a,
+            CAST(COALESCE(tb.c, 0) AS BIGINT) AS cnt_b,
+            t_a, t_b,
+            CAST(COALESCE(ta.c, 0) + COALESCE(tb.c, 0) AS DOUBLE) AS col_,
+            CAST(t_a + t_b - COALESCE(ta.c, 0) - COALESCE(tb.c, 0)
+                 AS DOUBLE) AS ncol_
+          FROM ta FULL JOIN tb ON ta.token = tb.token
+          CROSS JOIN tot
+          WHERE COALESCE(ta.c, 0) + COALESCE(tb.c, 0) >= 5
+        )
+        SELECT token, cnt_a, cnt_b,
+          CAST(CASE WHEN cnt_a * t_b > cnt_b * t_a THEN 1 ELSE -1 END
+            AS BIGINT) AS sign,
+          CAST(FLOOR(2.0 * (
+            {_gt_term.format(x="cnt_a", rt="t_a", col="col_")}
+            + {_gt_term.format(x="cnt_b", rt="t_b", col="col_")}
+            + {_gt_term.format(x="(t_a - cnt_a)", rt="t_a", col="ncol_")}
+            + {_gt_term.format(x="(t_b - cnt_b)", rt="t_b", col="ncol_")}
+          ) * 1000000) AS BIGINT) AS g2_micro
+        FROM j
+        ORDER BY g2_micro DESC, token
+        LIMIT 30
+    """
+    oracles["log_odds_dirichlet"] = f"""
+        WITH ta AS MATERIALIZED ({_gt_a}),
+        tb AS MATERIALIZED ({_gt_b}),
+        tot AS (
+          SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM ta) AS t_a,
+                 (SELECT CAST(SUM(c) AS BIGINT) FROM tb) AS t_b
+        ),
+        j AS (
+          SELECT COALESCE(ta.token, tb.token) AS token,
+            CAST(COALESCE(ta.c, 0) AS BIGINT) AS cnt_a,
+            CAST(COALESCE(tb.c, 0) AS BIGINT) AS cnt_b,
+            t_a, t_b,
+            CAST(500 AS DOUBLE)
+              * (CAST(COALESCE(ta.c, 0) AS DOUBLE) + COALESCE(tb.c, 0))
+              / (CAST(t_a AS DOUBLE) + t_b) AS alpha_
+          FROM ta FULL JOIN tb ON ta.token = tb.token
+          CROSS JOIN tot
+          WHERE COALESCE(ta.c, 0) + COALESCE(tb.c, 0) >= 5
+        )
+        SELECT token, cnt_a, cnt_b,
+          CAST(FLOOR((
+            LN((cnt_a + alpha_)
+               / (CAST(t_a AS DOUBLE) + 500 - cnt_a - alpha_))
+            - LN((cnt_b + alpha_)
+               / (CAST(t_b AS DOUBLE) + 500 - cnt_b - alpha_))
+          ) / SQRT(1.0 / (cnt_a + alpha_) + 1.0 / (cnt_b + alpha_))
+          * 1000000) AS BIGINT) AS z_micro
+        FROM j
+        ORDER BY ABS(z_micro) DESC, token
+        LIMIT 30
+    """
+    oracles["yules_k"] = """
+        WITH counts AS (
+          SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT lang,
+              UNNEST(string_split(trim(regexp_replace(lower(text),
+                '\\s+', ' ', 'g')), ' ')) AS token
+            FROM documents
+          ) WHERE length(token) > 0 GROUP BY 1, 2
+        )
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          CAST(COUNT(*) AS BIGINT) AS n_types,
+          CAST((SUM(CAST(c AS HUGEINT) * c) - SUM(c)) * 10000 * 1000000
+            // NULLIF(SUM(CAST(c AS HUGEINT)) * SUM(c), 0) AS BIGINT)
+            AS k_micro
+        FROM counts GROUP BY 1
+    """
+    from hdinsight_pyspark_cntk_integration_spark.operators.similarity import rbo_weights as _rbo_w
+    # Pre-scaled micro weights (one multiply per term — see
+    # rbo_overlap's in-operator note), CAST to DOUBLE because DuckDB
+    # parses bare decimal literals as DECIMAL, which would route the
+    # product through decimal arithmetic instead of Spark's IEEE
+    # doubles (1-micro drift at floor boundaries, caught at sf0.001).
+    _rbo_arr = ", ".join(
+        f"CAST({w * 1_000_000.0!r} AS DOUBLE)" for w in _rbo_w(20, 0.9)
+    )
+    oracles["rbo_overlap"] = f"""
+        WITH rev AS MATERIALIZED (
+          SELECT c.c_nationkey AS nation,
+            EXTRACT(year FROM o.o_orderdate) AS yr,
+            CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS rev
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2
+        ),
+        ra AS (
+          SELECT nation AS item,
+            CAST(ROW_NUMBER() OVER (ORDER BY rev DESC, nation) AS BIGINT)
+              AS ra
+          FROM rev WHERE yr = 1995
+        ),
+        rb AS (
+          SELECT nation AS item,
+            CAST(ROW_NUMBER() OVER (ORDER BY rev DESC, nation) AS BIGINT)
+              AS rb
+          FROM rev WHERE yr = 1996
+        ),
+        both_r AS (
+          SELECT GREATEST(ra.ra, rb.rb) AS m
+          FROM ra JOIN rb USING (item)
+          WHERE ra.ra <= 20 AND rb.rb <= 20
+        ),
+        depth AS (SELECT unnest(range(1, 21)) AS d),
+        per_depth AS (
+          SELECT d, CAST(COUNT(m) AS BIGINT) AS overlap
+          FROM depth LEFT JOIN both_r ON both_r.m <= depth.d
+          GROUP BY 1
+        ),
+        terms AS (
+          SELECT d, overlap,
+            CAST(FLOOR(list_extract([{_rbo_arr}], CAST(d AS INT))
+              * overlap) AS BIGINT) AS term_micro
+          FROM per_depth
+        )
+        SELECT CAST(20 AS BIGINT) AS k,
+          CAST(MAX(CASE WHEN d = 20 THEN overlap END) AS BIGINT)
+            AS overlap_at_k,
+          CAST(SUM(term_micro) AS BIGINT) AS rbo_micro
+        FROM terms
+    """
+    oracles["cem_att"] = """
+        WITH spend AS MATERIALIZED (
+          SELECT o_custkey AS c_custkey,
+            CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS spend_cents
+          FROM orders GROUP BY 1
+        ),
+        frame AS (
+          SELECT c.c_nationkey AS nation,
+            c.c_mktsegment = 'BUILDING' AS treated,
+            CAST(COALESCE(s.spend_cents, 0) AS BIGINT) AS spend
+          FROM customer c LEFT JOIN spend s USING (c_custkey)
+        ),
+        per AS (
+          SELECT nation,
+            CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_t,
+            CAST(SUM(CASE WHEN treated THEN 0 ELSE 1 END) AS BIGINT)
+              AS n_c,
+            CAST(SUM(CASE WHEN treated THEN spend ELSE 0 END) AS BIGINT)
+              AS sy_t,
+            CAST(SUM(CASE WHEN treated THEN 0 ELSE spend END) AS BIGINT)
+              AS sy_c
+          FROM frame GROUP BY 1
+        ),
+        contrib AS (
+          SELECT n_t, n_c,
+            (CAST(sy_t AS HUGEINT) * n_c - CAST(n_t AS HUGEINT) * sy_c)
+              * 1000000 // n_c AS term
+          FROM per WHERE n_t > 0 AND n_c > 0
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_strata_matched,
+          CAST(SUM(n_t) AS BIGINT) AS n_treated,
+          CAST(SUM(n_c) AS BIGINT) AS n_control,
+          CAST(SUM(term) // NULLIF(SUM(n_t), 0) AS BIGINT) AS att_micro
+        FROM contrib
+    """
+    oracles["neyman_allocation"] = """
+        WITH per AS (
+          SELECT c_nationkey AS nation,
+            CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS HUGEINT)
+              AS sx,
+            CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+                 * CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS HUGEINT)
+              AS sx2
+          FROM customer GROUP BY 1
+        ),
+        sig AS (
+          SELECT nation, n_rows,
+            CASE WHEN n_rows < 2 THEN CAST(0 AS BIGINT)
+              ELSE CAST(FLOOR(SQRT(
+                CAST(n_rows * sx2 - sx * sx AS DOUBLE)
+                / (CAST(n_rows AS DOUBLE) * (n_rows - 1))
+              ) * 1000000) AS BIGINT) END AS sigma_micro
+          FROM per
+        ),
+        w AS (
+          SELECT nation, n_rows, sigma_micro,
+            CAST(n_rows AS HUGEINT) * sigma_micro AS wt
+          FROM sig
+        )
+        SELECT nation, n_rows, sigma_micro,
+          CAST(CAST(1000 AS HUGEINT) * wt
+            // NULLIF((SELECT SUM(wt) FROM w), 0) AS BIGINT) AS alloc
+        FROM w
     """
     return oracles

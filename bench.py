@@ -249,6 +249,19 @@ PIPELINE = [
     "wordpiece_vocab",
     "sorted_neighborhood",
     "t_closeness",
+    # round-13 additions
+    "benjamini_hochberg",
+    "icc_oneway",
+    "ece_calibration",
+    "mcc_score",
+    "cusum_drift",
+    "theil_index",
+    "g_test_keywords",
+    "log_odds_dirichlet",
+    "yules_k",
+    "rbo_overlap",
+    "cem_att",
+    "neyman_allocation",
 ]
 
 

@@ -1102,3 +1102,65 @@ def sorted_neighborhood_patterns(
         joined, compare_cols, m_micro, u_micro,
         a_name=lambda c: f"__a_{c}", b_name=lambda c: f"__b_{c}",
     )
+
+
+def cem_att(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    strata_cols: list[str],
+) -> DataFrame:
+    """Coarsened exact matching ATT (Iacus, King & Porro 2012) — the
+    design-based causal estimate for observational slices: coarsen the
+    covariates into the caller's ``strata_cols`` bins, keep only
+    strata containing BOTH treated and control units, weight each
+    stratum's control mean to its treated count, and average:
+
+        ATT = Σ_s (Σ y_treated,s − n_t,s · ȳ_control,s) / Σ_s n_t,s
+
+    (the diff_in_diff/cuped sibling for when assignment isn't an
+    experiment but covariate overlap exists).
+
+    Exactness: outcomes must arrive as integers (micro-quantize
+    upstream); per-stratum sums/counts are exact BIGINT/DECIMAL. The
+    per-stratum term ``(Σy_t·n_c − n_t·Σy_c)·1e6 DIV n_c`` truncates
+    ONCE per stratum and the final ATT is one more truncating DIV —
+    both mirrored verbatim by an oracle, so the result is
+    engine-exact despite the rational stratum means.
+
+    Scale shape: one strata-keyed partial-agg shuffle (conditional
+    sums collapse treated/control in the same pass), one bounded
+    reduce over the stratum table (strata domain = the product of the
+    coarsened bins, not the row count). No joins, no windows.
+
+    Returns one row (n_strata_matched, n_treated, n_control,
+    att_micro) over the matched strata.
+    """
+    if not strata_cols:
+        raise ValueError("strata_cols must be non-empty")
+    t = F.col(treat_col).cast("boolean")
+    y = F.col(outcome_col).cast("long")
+    per = df.groupBy(*strata_cols).agg(
+        F.sum(t.cast("long")).cast("long").alias("n_t"),
+        F.sum((~t).cast("long")).cast("long").alias("n_c"),
+        F.sum(F.when(t, y).otherwise(F.lit(0))).cast("long").alias("sy_t"),
+        F.sum(F.when(~t, y).otherwise(F.lit(0))).cast("long").alias("sy_c"),
+    )
+    matched = per.filter((F.col("n_t") > 0) & (F.col("n_c") > 0))
+    contrib = matched.select(
+        "n_t",
+        "n_c",
+        F.expr(
+            "CAST((CAST(sy_t AS DECIMAL(38,0)) * n_c"
+            " - CAST(n_t AS DECIMAL(38,0)) * sy_c) * 1000000"
+            " DIV n_c AS DECIMAL(38,0))"
+        ).alias("__term"),
+    )
+    return contrib.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata_matched"),
+        F.sum("n_t").cast("long").alias("n_treated"),
+        F.sum("n_c").cast("long").alias("n_control"),
+        F.expr(
+            "CAST(SUM(__term) DIV NULLIF(SUM(n_t), 0) AS BIGINT)"
+        ).alias("att_micro"),
+    )

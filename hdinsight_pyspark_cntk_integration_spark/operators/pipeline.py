@@ -1980,3 +1980,63 @@ def t_closeness(
             F.when(F.col("__tvd") > t_micro, F.col("__qc")).otherwise(F.lit(0))
         ).cast("long").alias("n_violating_rows"),
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    n_total: int,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934) — how
+    many samples to draw per stratum to minimize the estimator's
+    variance under a fixed budget: ``n_h = n · N_h·σ_h / Σ N_h·σ_h``
+    (big AND internally-variable strata earn more samples than big
+    uniform ones — the statistically-correct version of the
+    proportional split a naive pipeline uses).
+
+    Determinism: per-stratum Σx/Σx² are exact DECIMAL sums; the
+    unbiased stddev ``√((n·Σx² − (Σx)²)/(n·(n−1)))`` is ONE fixed
+    double expression per stratum floored to micro AT BIRTH, so the
+    allocation weights ``N_h·σ_micro,h`` are exact integers, their
+    total is an exact integer sum (no float accumulation across
+    strata), and each allocation is one truncating integer DIV.
+    Single-row strata get σ = 0 (no within-variance evidence) and
+    thus 0 allocation.
+
+    Scale shape: one stratum-keyed partial-agg shuffle, a 1-row total
+    broadcast back over the (bounded, stratum-domain-sized) stats
+    table. The data is scanned once.
+
+    Returns (stratum, n_rows, sigma_micro, alloc) per stratum.
+    """
+    if n_total < 1:
+        raise ValueError(f"n_total must be >= 1 (got {n_total})")
+    x = F.col(value_col).cast("decimal(38,6)")
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sx2"),
+    )
+    per = per.withColumn(
+        "sigma_micro",
+        F.expr(
+            """CASE WHEN n_rows < 2 THEN CAST(0 AS BIGINT)
+               ELSE CAST(FLOOR(SQRT(
+                 CAST(n_rows * sx2 - sx * sx AS DOUBLE)
+                 / (CAST(n_rows AS DOUBLE) * (n_rows - 1))
+               ) * 1000000) AS BIGINT) END"""
+        ),
+    ).withColumn(
+        "__w", F.expr("CAST(n_rows AS DECIMAL(38,0)) * sigma_micro")
+    )
+    tot = per.groupBy().agg(F.sum("__w").alias("__tw"))
+    return per.join(F.broadcast(tot)).select(
+        "stratum",
+        "n_rows",
+        "sigma_micro",
+        F.expr(
+            f"CAST(CAST({n_total} AS DECIMAL(38,0)) * __w"
+            " DIV NULLIF(__tw, 0) AS BIGINT)"
+        ).alias("alloc"),
+    )

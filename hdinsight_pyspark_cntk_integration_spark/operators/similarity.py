@@ -1917,13 +1917,17 @@ def rbo_overlap(
         .groupBy("d")
         .agg(F.count("m").cast("long").alias("overlap"))
     )
-    w_arr = F.array(*[F.lit(w) for w in weights])
+    # Pre-scale the weights to micro DRIVER-SIDE so each depth's term is
+    # ONE double multiply (weight_micro × integer overlap) — a two-step
+    # product (w × overlap × 1e6) rounds differently depending on
+    # engine-chosen association when the true value sits on an integer
+    # boundary (observed as ±1-micro drift at sf0.001).
+    w_arr = F.array(*[F.lit(w * 1_000_000.0) for w in weights])
     terms = per_depth.select(
         "d",
         "overlap",
         F.floor(
             F.element_at(w_arr, F.col("d").cast("int")) * F.col("overlap")
-            * F.lit(1_000_000.0)
         ).cast("long").alias("term_micro"),
     )
     return terms.groupBy().agg(

@@ -4333,10 +4333,10 @@ def icc_oneway(
         F.expr("total DIV n").alias("k"),
         F.expr(
             """CAST(
-              (CAST(n AS DECIMAL(38,0)) * ss2 - CAST(g AS DECIMAL(38,0)) * g)
-                * ((total DIV n) - 1) * 1000000
-              - (CAST(total DIV n AS DECIMAL(38,0)) * sx2 - ss2)
-                * (n - 1) * 1000000
+              ((CAST(n AS DECIMAL(38,0)) * ss2 - CAST(g AS DECIMAL(38,0)) * g)
+                 * ((total DIV n) - 1)
+               - (CAST(total DIV n AS DECIMAL(38,0)) * sx2 - ss2)
+                 * (n - 1)) * 1000000
             DIV NULLIF(
               (CAST(n AS DECIMAL(38,0)) * ss2 - CAST(g AS DECIMAL(38,0)) * g)
                 * ((total DIV n) - 1)
@@ -4550,7 +4550,11 @@ def theil_index(
         F.sum("__x").alias("__sum"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
-    joined = pos.join(F.broadcast(stats), "group").select(
+    # no broadcast hint: the stats side is group-domain-sized, which is
+    # USUALLY tiny but not bounded by construction — AQE broadcasts it
+    # at runtime when it is actually small (repo convention: never
+    # force-broadcast anything that scales with an input).
+    joined = pos.join(stats, "group").select(
         "group",
         "n",
         F.expr(

@@ -228,6 +228,13 @@ _INTENTIONAL_LINT = {
     "sprt_eval": {"global-window"},
     "vocab": {"global-window"},
     "tokenize_ids": {"global-window"},
+    # benjamini_hochberg — BH is defined on the global p-value order,
+    # but its input is the 200-row hypothesis battery (upstream test
+    # RESULTS, one row per slice/arm — never the corpus).
+    "benjamini_hochberg": {"global-window"},
+    # rbo_overlap — the rank windows order the 25-row NATION aggregate
+    # and the depth spine is k=20 rows; both bounded domains.
+    "rbo_overlap": {"global-window"},
     "epoch_shuffle": {"global-window"},
     "sentence_split": {"python-row-udf"},
     "distinct_labels": {"global-sort"},

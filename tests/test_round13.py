@@ -1,0 +1,221 @@
+"""Round-13 operator unit tests: hand-computed goldens on tiny frames
+for the multiple-testing / reliability / drift / inequality /
+keyword-contrast / rank-overlap / matching / allocation additions.
+(The sf-level oracle parity gate covers the full-scale behavior; these
+pin the math on inputs small enough to verify by hand.)"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdinsight_pyspark_cntk_integration_spark.operators import mining as mn
+from hdinsight_pyspark_cntk_integration_spark.operators import pipeline as pl
+from hdinsight_pyspark_cntk_integration_spark.operators import similarity as sim
+from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+from hdinsight_pyspark_cntk_integration_spark.operators import text as tx
+
+
+def test_benjamini_hochberg_textbook(spark):
+    # classic example: m=5, alpha=0.25; sorted p = .01,.04,.1,.12,.9
+    # step-up: i=4 passes (.12 <= 4/5*.25 = .2), so reject ranks 1..4.
+    rows = [(1, 100_000), (2, 10_000), (3, 40_000), (4, 120_000), (5, 900_000)]
+    df = spark.createDataFrame(rows, "hyp_id long, p_micro long")
+    out = {
+        r["hyp_id"]: (r["rank"], r["reject"])
+        for r in st.benjamini_hochberg(df, alpha_micro=250_000).collect()
+    }
+    assert out == {2: (1, True), 3: (2, True), 1: (3, True), 4: (4, True), 5: (5, False)}
+
+
+def test_benjamini_hochberg_none_pass(spark):
+    df = spark.createDataFrame(
+        [(1, 800_000), (2, 900_000)], "hyp_id long, p_micro long"
+    )
+    out = st.benjamini_hochberg(df, alpha_micro=50_000).collect()
+    assert all(not r["reject"] for r in out)
+
+
+def test_icc_oneway_golden(spark):
+    # 3 items x 2 ratings: (1,2), (3,3), (5,4).
+    # S=[3,6,9] G=18 sx2=64 ss2=126 n=3 k=2
+    # A = n*ss2 - G^2 = 378-324 = 54; B = k*sx2 - ss2 = 128-126 = 2
+    # num = A*(k-1) - B*(n-1) = 54-4 = 50
+    # den = A*(k-1) + B*(n-1)*(k-1) = 54+4 = 58 -> icc = 50/58
+    rows = [(1, 1), (1, 2), (2, 3), (2, 3), (3, 5), (3, 4)]
+    df = spark.createDataFrame(rows, "item_id long, rating long")
+    r = st.icc_oneway(df).collect()[0]
+    assert (r["n_items"], r["k"]) == (3, 2)
+    assert r["icc_micro"] == (50 * 1_000_000) // 58
+
+
+def test_ece_exact(spark):
+    # two bins: scores .1 (x2, 1 pos) and .95 (x2, 2 pos)
+    # bin0: |1e6*1 - 200000| = 800000 ; bin9: |2e6 - 1900000| = 100000
+    # ece = 900000 / 4 = 225000
+    rows = [(100_000, 1), (100_000, 0), (950_000, 1), (950_000, 1)]
+    df = spark.createDataFrame(rows, "score_micro long, y long")
+    r = st.expected_calibration_error(df).collect()[0]
+    assert (r["n"], r["n_bins"], r["ece_micro"]) == (4, 10, 225_000)
+
+
+def test_mcc_golden(spark):
+    # tp=4 tn=3 fp=1 fn=2: mcc = (12-2)/sqrt(5*6*4*5) = 10/sqrt(600)
+    rows = (
+        [(True, True)] * 4 + [(False, False)] * 3
+        + [(False, True)] * 1 + [(True, False)] * 2
+    )
+    df = spark.createDataFrame(rows, "y boolean, yhat boolean")
+    r = st.mcc_binary(df).collect()[0]
+    assert (r["tp"], r["fp"], r["tn"], r["fn"]) == (4, 1, 3, 2)
+    assert r["mcc_micro"] == math.floor(10.0 / math.sqrt(600.0) * 1e6)
+
+
+def test_mcc_degenerate_null(spark):
+    # all-positive predictions: tn+fn = 0 -> NULL (0 denominator)
+    df = spark.createDataFrame(
+        [(True, True), (False, True)], "y boolean, yhat boolean"
+    )
+    assert st.mcc_binary(df).collect()[0]["mcc_micro"] is None
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    # x = [9, 1, 9, 9, 1], target+slack = 5 -> d = [4,-4,4,4,-4]
+    # recursion S = max(0, S+d): [4,0,4,8,4]; alarm > 7 at step 4
+    rows = [(1, i + 1, x) for i, x in enumerate([9, 1, 9, 9, 1])]
+    df = spark.createDataFrame(rows, "g long, t long, x long")
+    r = st.cusum_detect(df, "g", "t", "x", target=5, slack=0, threshold=7).collect()[0]
+    assert (r["n"], r["max_cusum"], r["first_alarm_step"]) == (5, 8, 4)
+
+
+def test_cusum_never_alarms_null_step(spark):
+    df = spark.createDataFrame([(1, 1, 1), (1, 2, 1)], "g long, t long, x long")
+    r = st.cusum_detect(df, "g", "t", "x", target=5, slack=0, threshold=7).collect()[0]
+    assert r["first_alarm_step"] is None and r["max_cusum"] == 0
+
+
+def test_theil_uniform_is_zero_and_concentrated_is_ln_n(spark):
+    rows = [("u", 5), ("u", 5), ("u", 5), ("c", 30), ("c", 0), ("c", 0)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = {r["group"]: r for r in st.theil_index(df, "g", "x").collect()}
+    assert out["u"]["theil_micro"] == 0
+    # concentrated: only the x>0 row survives -> n=1, T = ln(1) = 0
+    assert out["c"]["n"] == 1 and out["c"]["theil_micro"] == 0
+
+
+def test_theil_two_point(spark):
+    # x = [1, 3]: mean 2, T = ((.5 ln .5) + (1.5 ln 1.5)) / 2
+    df = spark.createDataFrame([("g", 1), ("g", 3)], "g string, x long")
+    r = st.theil_index(df, "g", "x").collect()[0]
+    expect = (
+        math.floor(0.5 * math.log(0.5) * 1e6)
+        + math.floor(1.5 * math.log(1.5) * 1e6)
+    ) // 2
+    assert r["theil_micro"] == expect
+
+
+def test_g_test_flags_planted_token(spark):
+    a = spark.createDataFrame(
+        [(i, "alpha beta beta") for i in range(20)], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(i, "alpha gamma gamma") for i in range(20)], "doc_id long, text string"
+    )
+    out = tx.g_test_keywords(a, b, min_count=5, top_k=3).collect()
+    by_tok = {r["token"]: r for r in out}
+    # beta is A-only, gamma is B-only, alpha is balanced (lowest G2)
+    assert by_tok["beta"]["sign"] == 1 and by_tok["gamma"]["sign"] == -1
+    assert out[0]["token"] in ("beta", "gamma")
+    assert by_tok["beta"]["g2_micro"] > by_tok["alpha"]["g2_micro"]
+
+
+def test_log_odds_shrinks_rare_words(spark):
+    # "big" (50x, A-only) and "small" (5x, A-only) have the same
+    # direction; the Dirichlet prior shrinks the low-count word's
+    # z-score, so z_big > z_small > 0 (raw log-odds would rank them
+    # by ratio alone).
+    a_text = " ".join(["big"] * 50 + ["small"] * 5 + ["pad"] * 45)
+    b_text = " ".join(["pad"] * 100)
+    a = spark.createDataFrame([(1, a_text)], "doc_id long, text string")
+    b = spark.createDataFrame([(1, b_text)], "doc_id long, text string")
+    out = {r["token"]: r["z_micro"] for r in
+           tx.log_odds_dirichlet(a, b, alpha0=20, min_count=5, top_k=10).collect()}
+    assert out["big"] > out["small"] > 0
+    assert out["pad"] < 0  # B-leaning token scores negative
+
+
+def test_yules_k_repetitive_beats_diverse(spark):
+    rep = spark.createDataFrame(
+        [(1, "x x x x x x x x", "rep")], "doc_id long, text string, g string"
+    )
+    div = spark.createDataFrame(
+        [(2, "a b c d e f g h", "div")], "doc_id long, text string, g string"
+    )
+    out = {r["group"]: r["k_micro"] for r in
+           tx.yules_k(rep.unionByName(div), "g", "text").collect()}
+    # diverse: every type once -> sum c^2 = N -> K = 0
+    assert out["div"] == 0 and out["rep"] > 0
+
+
+def test_yules_k_hand_value(spark):
+    # counts: [2, 1, 1] N=4: K = 1e4*(6-4)/16 = 1250 -> micro 1.25e9
+    df = spark.createDataFrame([(1, "a a b c", "g")], "i long, text string, g string")
+    r = tx.yules_k(df, "g", "text").collect()[0]
+    assert (r["n_tokens"], r["n_types"]) == (4, 3)
+    assert r["k_micro"] == (2 * 10_000 * 1_000_000) // 16
+
+
+def test_rbo_identical_lists_is_one(spark):
+    a = spark.createDataFrame([(i, i) for i in range(1, 6)], "item long, rank long")
+    r = sim.rbo_overlap(a, a, k=5, p=0.9).collect()[0]
+    # identical lists: overlap(d)=d, every term = w_d*d; RBO = (1-p)sum p^(d-1)
+    expect = sum(
+        math.floor(w * 1e6 * d) for d, w in
+        zip(range(1, 6), sim.rbo_weights(5, 0.9))
+    )
+    assert r["rbo_micro"] == expect and r["overlap_at_k"] == 5
+
+
+def test_rbo_disjoint_lists_is_zero(spark):
+    a = spark.createDataFrame([(i, i) for i in range(1, 6)], "item long, rank long")
+    b = spark.createDataFrame([(i + 100, i) for i in range(1, 6)], "item long, rank long")
+    r = sim.rbo_overlap(a, b, k=5, p=0.9).collect()[0]
+    assert r["rbo_micro"] == 0 and r["overlap_at_k"] == 0
+
+
+def test_cem_att_hand_computed(spark):
+    # stratum A: treated y=[10], control y=[4, 6] (mean 5)  -> att 5
+    # stratum B: treated y=[8],  control y=[8]              -> att 0
+    # stratum C: treated only -> unmatched, dropped
+    rows = [
+        ("A", True, 10), ("A", False, 4), ("A", False, 6),
+        ("B", True, 8), ("B", False, 8),
+        ("C", True, 100),
+    ]
+    df = spark.createDataFrame(rows, "s string, t boolean, y long")
+    r = mn.cem_att(df, "t", "y", ["s"]).collect()[0]
+    assert (r["n_strata_matched"], r["n_treated"], r["n_control"]) == (2, 2, 3)
+    # terms: A: (10*2 - 1*10)*1e6 // 2 = 5e6 ; B: (8-8) = 0 ; att = 5e6 // 2
+    assert r["att_micro"] == 2_500_000
+
+
+def test_neyman_allocation_favors_variable_stratum(spark):
+    rows = (
+        [("flat", 100)] * 10
+        + [("wild", v) for v in (0, 200, 0, 200, 0, 200, 0, 200, 0, 200)]
+    )
+    df = spark.createDataFrame(rows, "s string, v long")
+    out = {r["stratum"]: r for r in
+           pl.neyman_allocation(df, "s", "v", n_total=100).collect()}
+    assert out["flat"]["sigma_micro"] == 0 and out["flat"]["alloc"] == 0
+    assert out["wild"]["alloc"] == 100
+
+
+def test_neyman_single_row_stratum_zero_sigma(spark):
+    df = spark.createDataFrame([("a", 5), ("b", 1), ("b", 9)], "s string, v long")
+    out = {r["stratum"]: r for r in
+           pl.neyman_allocation(df, "s", "v", n_total=10).collect()}
+    assert out["a"]["sigma_micro"] == 0
+    assert out["b"]["alloc"] == 10
