@@ -6735,6 +6735,121 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (operators.stats.spearman_rho) between
+    customer account balance (cents) and order count — "do richer
+    accounts order more", rank-robustly. Average ranks come from the
+    distinct-VALUE aggregate (doubled-integer ranks, no global row
+    sort; the window is value-domain-bounded, allowlisted like
+    auc_balance/rank_sum_test); one sqrt at the end."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cnt = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    frame = customer.join(cnt, "c_custkey", "left").select(
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+    )
+    return st.spearman_rho(frame, "cents", "n_orders")
+
+
+def q_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma (operators.stats.goodman_kruskal_gamma)
+    between order priority rank (1..5) and a 10-band price tier — the
+    ties-ignoring ordinal association right for coarse scales (tau-a
+    would drown in the ties). Cells bounded 5x10; the pair pass is a
+    cell-table self-join, never a row join."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    orders = load_table(spark, sf_dir, "orders")
+    frame = orders.select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("prio_rank"),
+        F.least(
+            F.floor(F.col("o_totalprice") / 30000.0).cast("long"), F.lit(9)
+        ).alias("price_band"),
+    )
+    return st.goodman_kruskal_gamma(frame, "prio_rank", "price_band")
+
+
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-shift detection (operators.stats.page_hinkley)
+    per user over purchase cent streams ordered by event id — the
+    self-calibrating drift alarm (deviation vs the series' own running
+    mean) next to cusum_drift's fixed-target form. delta = 50 cents,
+    lambda = 1e4 cents, both in micro-cents; per-row running-mean DIV
+    truncation mirrored by the oracle."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    series = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = st.page_hinkley(
+        series, "user_id", "event_id", "cents",
+        delta_micro=50_000_000, lambda_micro=10_000_000_000,
+    )
+    return out.select(
+        F.col("group").alias("user_id"), "n", "max_ph", "first_alarm_step"
+    )
+
+
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-winsorized mean order value per priority class
+    (operators.stats.winsorized_mean) — the clamp-the-tails robust
+    location next to trimmed_mean/robust_means (winsorizing keeps n,
+    so downstream variance math stays honest). Type-1 quantile bounds
+    from the per-group distinct-value aggregate; exact integer mean."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    orders = load_table(spark, sf_dir, "orders")
+    frame = orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    out = st.winsorized_mean(frame, "prio", "cents", alpha_num=5, alpha_den=100)
+    return out.select(
+        F.col("group").alias("prio"), "n", "lo", "hi", "wmean_micro"
+    )
+
+
+def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table (operators.stats.gains_table) for
+    the balance-score vs urgent-order label (the auc_balance fixture):
+    capture and lift per score decile, computed from the distinct-
+    VALUE aggregate (value-domain window, allowlisted) — no global row
+    sort. Tie-blocks land in the bucket of their cumulative END
+    (documented convention; cum_n makes tie spill visible)."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    pop = _urgent_labelled_customers(spark, sf_dir)
+    frame = pop.select(
+        F.floor(F.col("v") * 100).cast("long").alias("score_cents"),
+        F.col("y").cast("long").alias("y"),
+    )
+    return st.gains_table(frame, "score_cents", "y", n_buckets=10)
+
+
+def q_jsd_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (operators.text.jsd_divergence)
+    between English and non-English token distributions — the
+    symmetric bounded drift scalar next to corpus_divergence's
+    directional KL table. Totals cancel inside the ln so every operand
+    is an exact integer product; ln-micro discipline; two truncating
+    DIVs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.jsd_divergence(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+    )
+
+
 # Driver-gate window (ROTATION.md): the driver records the FIRST 50
 # entries of queries() in CORRECTNESS_r{N}.json. Round 13 executes the
 # committed plan (ROTATION.md "Round 13 window"): the 10 round-12
@@ -6768,7 +6883,7 @@ _GATE_WINDOW = [
     "session_window_native",
     "sessionize",
     "token_stats",
-    # 12 round-13 additions (displace the last 12 text re-gates to the
+    # 18 round-13 additions (displace the last 18 text re-gates to the
     # round-14 queue head, per the standing end-displacement policy)
     "benjamini_hochberg",
     "icc_oneway",
@@ -6782,7 +6897,13 @@ _GATE_WINDOW = [
     "rbo_overlap",
     "cem_att",
     "neyman_allocation",
-    # 19 re-gates: text/corpus family head (last gated r7-r8)
+    "spearman_rho",
+    "gk_gamma",
+    "page_hinkley",
+    "winsorized_mean",
+    "gains_table",
+    "jsd_divergence",
+    # 13 re-gates: text/corpus family head (last gated r7-r8)
     "tfidf_top_terms",
     "bm25_search",
     "unigram_logprob",
@@ -6796,12 +6917,6 @@ _GATE_WINDOW = [
     "perplexity_buckets",
     "heaps_law",
     "zipf_slope",
-    "burstiness",
-    "script_histogram",
-    "oov_rate",
-    "vocab",
-    "token_histogram",
-    "bigram_histogram",
 ]
 
 
@@ -7197,6 +7312,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rbo_overlap": q_rbo_overlap,
         "cem_att": q_cem_att,
         "neyman_allocation": q_neyman_allocation,
+        "spearman_rho": q_spearman_rho,
+        "gk_gamma": q_gk_gamma,
+        "page_hinkley": q_page_hinkley,
+        "winsorized_mean": q_winsorized_mean,
+        "gains_table": q_gains_table,
+        "jsd_divergence": q_jsd_divergence,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -15947,5 +16068,201 @@ def oracle_sql() -> dict[str, str]:
           CAST(CAST(1000 AS HUGEINT) * wt
             // NULLIF((SELECT SUM(wt) FROM w), 0) AS BIGINT) AS alloc
         FROM w
+    """
+    oracles["spearman_rho"] = """
+        WITH cnt AS MATERIALIZED (
+          SELECT o_custkey AS c_custkey,
+            CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1
+        ),
+        base AS MATERIALIZED (
+          SELECT CAST(FLOOR(c.c_acctbal * 100) AS BIGINT) AS x,
+            CAST(COALESCE(t.n_orders, 0) AS BIGINT) AS y
+          FROM customer c LEFT JOIN cnt t USING (c_custkey)
+          WHERE c.c_acctbal IS NOT NULL
+        ),
+        rx AS (
+          SELECT x, (SUM(c) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c) * 2
+              + c + 1 AS u
+          FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1)
+        ),
+        ry AS (
+          SELECT y, (SUM(c) OVER (ORDER BY y
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c) * 2
+              + c + 1 AS v
+          FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1)
+        ),
+        ranked AS (
+          SELECT CAST(rx.u AS HUGEINT) AS u, CAST(ry.v AS HUGEINT) AS v
+          FROM base JOIN rx USING (x) JOIN ry USING (y)
+        ),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(u) AS su, SUM(v) AS sv,
+            SUM(u * u) AS suu, SUM(v * v) AS svv, SUM(u * v) AS suv
+          FROM ranked
+        )
+        SELECT n,
+          CAST(FLOOR(
+            CAST(n * suv - su * sv AS DOUBLE)
+            / NULLIF(SQRT(CAST(n * suu - su * su AS DOUBLE)
+                     * CAST(n * svv - sv * sv AS DOUBLE)), 0.0)
+            * 1000000) AS BIGINT) AS rho_micro
+        FROM tot
+    """
+    oracles["gk_gamma"] = """
+        WITH cells AS MATERIALIZED (
+          SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
+            LEAST(CAST(FLOOR(o_totalprice / 30000.0) AS BIGINT), 9) AS y,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1, 2
+        ),
+        pair AS (
+          SELECT a.y < b.y AS conc,
+            CAST(a.c AS HUGEINT) * b.c AS w
+          FROM cells a JOIN cells b
+            ON a.x < b.x AND a.y <> b.y
+        ),
+        tot AS (
+          SELECT SUM(CASE WHEN conc THEN w ELSE 0 END) AS cc,
+            SUM(CASE WHEN conc THEN 0 ELSE w END) AS dd
+          FROM pair
+        )
+        SELECT CAST(cc AS BIGINT) AS concordant,
+          CAST(dd AS BIGINT) AS discordant,
+          CAST((cc - dd) * 1000000 // NULLIF(cc + dd, 0) AS BIGINT)
+            AS gamma_micro
+        FROM tot
+    """
+    oracles["page_hinkley"] = """
+        WITH series AS (
+          SELECT user_id, event_id,
+            CAST(FLOOR(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'
+        ),
+        stepped AS (
+          SELECT user_id,
+            CAST(ROW_NUMBER() OVER w AS BIGINT) AS i,
+            cents * 1000000
+              - (SUM(cents) OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 1000000 // CAST(ROW_NUMBER() OVER w AS BIGINT))
+              - 50000000 AS dev
+          FROM series
+          WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        ),
+        walk AS (
+          SELECT user_id, i,
+            SUM(dev) OVER (PARTITION BY user_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+          FROM stepped
+        ),
+        ph AS (
+          SELECT user_id, i,
+            m - MIN(m) OVER (PARTITION BY user_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+          FROM walk
+        )
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(MAX(p) AS BIGINT) AS max_ph,
+          CAST(MIN(CASE WHEN p > 10000000000 THEN i END) AS BIGINT)
+            AS first_alarm_step
+        FROM ph GROUP BY 1
+    """
+    oracles["winsorized_mean"] = """
+        WITH base AS (
+          SELECT o_orderpriority AS prio,
+            CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v
+          FROM orders
+        ),
+        vc AS (
+          SELECT prio, v, CAST(COUNT(*) AS BIGINT) AS c
+          FROM base GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT prio, v, c,
+            SUM(c) OVER (PARTITION BY prio ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            SUM(c) OVER (PARTITION BY prio) AS n
+          FROM vc
+        ),
+        bounds AS (
+          SELECT prio, CAST(MAX(n) AS BIGINT) AS n,
+            CAST(MIN(CASE WHEN cum >= (n * 5 + 99) // 100 THEN v END)
+              AS BIGINT) AS lo,
+            CAST(MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN v END)
+              AS BIGINT) AS hi
+          FROM cum GROUP BY 1
+        )
+        SELECT b.prio, MAX(bd.n) AS n, MAX(bd.lo) AS lo, MAX(bd.hi) AS hi,
+          CAST(SUM(GREATEST(bd.lo, LEAST(bd.hi, b.v))) * 1000000
+            // MAX(bd.n) AS BIGINT) AS wmean_micro
+        FROM base b JOIN bounds bd USING (prio)
+        GROUP BY 1
+    """
+    oracles["gains_table"] = f"""
+        WITH {_URGENT_POP},
+        base AS (
+          SELECT CAST(FLOOR(v * 100) AS BIGINT) AS s,
+            CASE WHEN y THEN 1 ELSE 0 END AS p
+          FROM lab
+        ),
+        vc AS (
+          SELECT s, CAST(COUNT(*) AS BIGINT) AS c,
+            CAST(SUM(p) AS BIGINT) AS p
+          FROM base GROUP BY 1
+        ),
+        cum AS (
+          SELECT
+            SUM(c) OVER (ORDER BY s DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            SUM(p) OVER (ORDER BY s DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_p,
+            SUM(c) OVER () AS n, SUM(p) OVER () AS tp
+          FROM vc
+        )
+        SELECT CAST((cum - 1) * 10 // n + 1 AS BIGINT) AS bucket,
+          CAST(MAX(cum) AS BIGINT) AS cum_n,
+          CAST(arg_max(cum_p, cum) AS BIGINT) AS cum_pos,
+          CAST(arg_max(cum_p, cum) * 1000000 // NULLIF(MAX(tp), 0)
+            AS BIGINT) AS capture_micro,
+          CAST(CAST(arg_max(cum_p, cum) AS HUGEINT) * MAX(n) * 1000000
+            // NULLIF(CAST(MAX(cum) AS HUGEINT) * MAX(tp), 0) AS BIGINT)
+            AS lift_micro
+        FROM cum GROUP BY 1
+    """
+    oracles["jsd_divergence"] = f"""
+        WITH ta AS MATERIALIZED ({_gt_a}),
+        tb AS MATERIALIZED ({_gt_b}),
+        tot AS (
+          SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM ta) AS t_a,
+                 (SELECT CAST(SUM(c) AS BIGINT) FROM tb) AS t_b
+        ),
+        j AS (
+          SELECT CAST(COALESCE(ta.c, 0) AS BIGINT) AS cnt_a,
+            CAST(COALESCE(tb.c, 0) AS BIGINT) AS cnt_b, t_a, t_b
+          FROM ta FULL JOIN tb ON ta.token = tb.token
+          CROSS JOIN tot
+        ),
+        terms AS (
+          SELECT t_a, t_b,
+            CASE WHEN cnt_a = 0 THEN CAST(0 AS BIGINT)
+              ELSE cnt_a * CAST(FLOOR(LN(
+                2.0 * (CAST(cnt_a AS DOUBLE) * t_b)
+                / (CAST(cnt_a AS DOUBLE) * t_b + CAST(cnt_b AS DOUBLE) * t_a)
+              ) * 1000000) AS BIGINT) END AS wa,
+            CASE WHEN cnt_b = 0 THEN CAST(0 AS BIGINT)
+              ELSE cnt_b * CAST(FLOOR(LN(
+                2.0 * (CAST(cnt_b AS DOUBLE) * t_a)
+                / (CAST(cnt_a AS DOUBLE) * t_b + CAST(cnt_b AS DOUBLE) * t_a)
+              ) * 1000000) AS BIGINT) END AS wb
+          FROM j
+        )
+        SELECT CAST(MAX(t_a) AS BIGINT) AS t_a,
+          CAST(MAX(t_b) AS BIGINT) AS t_b,
+          CAST(SUM(wa) // (2 * MAX(t_a)) + SUM(wb) // (2 * MAX(t_b))
+            AS BIGINT) AS jsd_micro
+        FROM terms
     """
     return oracles

@@ -262,6 +262,12 @@ PIPELINE = [
     "rbo_overlap",
     "cem_att",
     "neyman_allocation",
+    "spearman_rho",
+    "gk_gamma",
+    "page_hinkley",
+    "winsorized_mean",
+    "gains_table",
+    "jsd_divergence",
 ]
 
 

@@ -4568,3 +4568,329 @@ def theil_index(
         F.max("n").alias("n"),
         F.expr("CAST(SUM(__t_micro) DIV MAX(n) AS BIGINT)").alias("theil_micro"),
     )
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation — Pearson's r over average ranks, the
+    monotone-association measure robust to outliers and nonlinearity
+    (the value-based complement to kendall_tau's pair-concordance).
+
+    Computed WITHOUT a global row sort (the 100 TB antipattern): each
+    variable collapses to its distinct-VALUE counts; average ranks fall
+    out of one window over that bounded-domain aggregate as exact
+    HALF-integers, carried as DOUBLED integers (2·rank = 2·cum_before +
+    count + 1). Rows join their two doubled ranks back (hash joins on
+    value), and rho is the textbook moment identity over exact DECIMAL
+    sums of doubled ranks — numerator and the two variance factors are
+    exact integers, so the only float is ONE division by the sqrt of
+    their exact product, floored to micro.
+
+    Scale shape: two distinct-value partial-agg shuffles + their
+    bounded windows, two value-keyed joins back onto the rows, one
+    reduce. NULLs in either column drop (documented).
+
+    Returns one row (n, rho_micro).
+    """
+    base = df.select(F.col(x_col).alias("__x"), F.col(y_col).alias("__y")).filter(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+
+    def doubled_ranks(col: str) -> DataFrame:
+        vc = base.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        w = Window.orderBy(F.col(col)).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return vc.select(
+            col,
+            (
+                (F.sum("c").over(w) - F.col("c")) * 2 + F.col("c") + 1
+            ).cast("long").alias(f"{col}_2r"),
+        )
+
+    rx = doubled_ranks("__x")
+    ry = doubled_ranks("__y")
+    ranked = base.join(rx, "__x").join(ry, "__y")
+    tot = ranked.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__x_2r").cast("decimal(38,0)")).alias("su"),
+        F.sum(F.col("__y_2r").cast("decimal(38,0)")).alias("sv"),
+        F.sum(
+            F.col("__x_2r").cast("decimal(38,0)") * F.col("__x_2r")
+        ).alias("suu"),
+        F.sum(
+            F.col("__y_2r").cast("decimal(38,0)") * F.col("__y_2r")
+        ).alias("svv"),
+        F.sum(
+            F.col("__x_2r").cast("decimal(38,0)") * F.col("__y_2r")
+        ).alias("suv"),
+    )
+    return tot.select(
+        "n",
+        F.expr(
+            """CAST(FLOOR(
+              CAST(n * suv - su * sv AS DOUBLE)
+              / NULLIF(SQRT(CAST(n * suu - su * su AS DOUBLE)
+                       * CAST(n * svv - sv * sv AS DOUBLE)), 0.0)
+              * 1000000) AS BIGINT)"""
+        ).alias("rho_micro"),
+    )
+
+
+def goodman_kruskal_gamma(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Goodman-Kruskal gamma for two ORDINAL variables (Goodman &
+    Kruskal 1954) — concordance over the untied pairs only:
+    ``gamma = (C − D)/(C + D)``, the ordinal-association measure that,
+    unlike kendall_tau's tau-a, ignores ties entirely (right for
+    coarse scales: quality buckets, priority bands, star ratings).
+
+    Never pairs rows: the data collapses to its (x, y) CONTINGENCY
+    cells (bounded by the ordinal domains), and C/D are sums of
+    n₁·n₂ over strictly-ordered CELL pairs — a self-join of the cell
+    table against itself (|cells|² comparisons, domain-bounded, not
+    data-bounded). Counts are exact DECIMAL; gamma is one truncating
+    micro DIV.
+
+    Returns one row (concordant, discordant, gamma_micro).
+    """
+    cells = df.groupBy(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = cells.alias("a")
+    b = cells.alias("b")
+    pair = a.join(
+        b,
+        (F.col("a.x") < F.col("b.x"))
+        & (F.col("a.y") != F.col("b.y")),
+    ).select(
+        (F.col("a.y") < F.col("b.y")).alias("conc"),
+        (F.col("a.c").cast("decimal(38,0)") * F.col("b.c")).alias("w"),
+    )
+    tot = pair.groupBy().agg(
+        F.sum(F.when(F.col("conc"), F.col("w")).otherwise(F.lit(0))).alias("cc"),
+        F.sum(F.when(~F.col("conc"), F.col("w")).otherwise(F.lit(0))).alias("dd"),
+    )
+    return tot.select(
+        F.col("cc").cast("long").alias("concordant"),
+        F.col("dd").cast("long").alias("discordant"),
+        F.expr(
+            "CAST((cc - dd) * 1000000 DIV NULLIF(cc + dd, 0) AS BIGINT)"
+        ).alias("gamma_micro"),
+    )
+
+
+def page_hinkley(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    delta_micro: int,
+    lambda_micro: int,
+) -> DataFrame:
+    """Page-Hinkley mean-shift detection per series (Page 1954; the
+    Gama et al. 2004 streaming form) — the SELF-CALIBRATING drift
+    alarm: unlike cusum_detect's fixed target, PH measures each
+    observation against the series' own RUNNING mean,
+    ``m_t = Σ_{i≤t} (x_i − x̄_i − δ)``, and alarms when
+    ``m_t − min_{s≤t} m_s > λ``.
+
+    Exactness: per-row deviation ``x·1e6 − (cumsum·1e6 DIV i) − δ`` is
+    integer arithmetic with ONE truncating DIV per row (the running
+    mean), mirrored verbatim by an oracle; m_t is then a second exact
+    prefix sum and the running min a third window — all on the same
+    series partition, one window pass in the plan.
+
+    Returns (group, n, max_ph, first_alarm_step) — first_alarm_step
+    NULL when the series never alarms.
+    """
+    wo = Window.partitionBy(group_col).orderBy(F.col(order_col))
+    w = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    x = F.col(value_col).cast("long")
+    stepped = df.select(
+        F.col(group_col).alias("group"),
+        F.col(order_col).alias("__o"),
+        F.row_number().over(wo).cast("long").alias("__i"),
+        F.sum(x).over(w).cast("long").alias("__cum"),
+        x.alias("__x"),
+    ).select(
+        "group",
+        "__o",
+        "__i",
+        F.expr(
+            f"__x * 1000000 - (__cum * 1000000 DIV __i) - {int(delta_micro)}"
+        ).cast("long").alias("__dev"),
+    )
+    w2 = (
+        Window.partitionBy("group")
+        .orderBy(F.col("__o"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walk = stepped.select(
+        "group",
+        "__i",
+        F.sum("__dev").over(w2).cast("long").alias("__m"),
+    ).select(
+        "group",
+        "__i",
+        (F.col("__m") - F.min("__m").over(
+            Window.partitionBy("group")
+            .orderBy(F.col("__i"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )).alias("__ph"),
+    )
+    return walk.groupBy("group").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("__ph").cast("long").alias("max_ph"),
+        F.min(
+            F.when(F.col("__ph") > F.lit(int(lambda_micro)), F.col("__i"))
+        ).cast("long").alias("first_alarm_step"),
+    )
+
+
+def winsorized_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    alpha_num: int = 5,
+    alpha_den: int = 100,
+) -> DataFrame:
+    """Winsorized mean per group — the outlier-robust location estimate
+    that CLAMPS the tails instead of dropping them (trimmed_mean's
+    sibling; winsorizing keeps n constant, so downstream variance math
+    stays honest): values below the α-quantile pull up to it, above
+    the (1−α)-quantile pull down, then a plain mean.
+
+    Quantiles are type-1 (inverted-CDF) over the distinct-VALUE
+    aggregate: lo = smallest v with cum ≥ ⌈α·n⌉, hi = smallest v with
+    cum ≥ ⌈(1−α)·n⌉ — exact integer ceilings (``(n·num + den − 1) DIV
+    den``), no interpolation, engine-exact. One bounded window per
+    group over the value domain, clamp as a join + projection, exact
+    integer mean (one truncating micro DIV).
+
+    Returns (group, n, lo, hi, wmean_micro). Input values must be
+    integers (quantize upstream).
+    """
+    if not (0 < alpha_num * 2 < alpha_den):
+        raise ValueError("alpha must be in (0, 0.5)")
+    x = F.col(value_col).cast("long")
+    vc = df.groupBy(F.col(group_col).alias("group"), x.alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = (
+        Window.partitionBy("group")
+        .orderBy(F.col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vc.select(
+        "group", "v", "c", F.sum("c").over(w).cast("long").alias("cum"),
+        F.sum("c").over(
+            Window.partitionBy("group").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("n"),
+    )
+    lo_t = F.expr(f"(n * {int(alpha_num)} + {int(alpha_den)} - 1) DIV {int(alpha_den)}")
+    hi_t = F.expr(
+        f"(n * {int(alpha_den - alpha_num)} + {int(alpha_den)} - 1)"
+        f" DIV {int(alpha_den)}"
+    )
+    bounds = cum.groupBy("group").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("cum") >= lo_t, F.col("v"))).cast("long").alias("lo"),
+        F.min(F.when(F.col("cum") >= hi_t, F.col("v"))).cast("long").alias("hi"),
+    )
+    clamped = df.select(F.col(group_col).alias("group"), x.alias("v")).join(
+        bounds, "group"
+    )
+    return clamped.groupBy("group").agg(
+        F.max("n").alias("n"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.expr(
+            "CAST(SUM(GREATEST(lo, LEAST(hi, v))) * 1000000 DIV MAX(n)"
+            " AS BIGINT)"
+        ).alias("wmean_micro"),
+    )
+
+
+def gains_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift table — the campaign-targeting readout
+    for a ranking score ("if we act on the top 10%/20%/…, what share
+    of all positives do we capture, and at what lift over random?").
+
+    Computed WITHOUT a global row sort: scores collapse to their
+    distinct-VALUE counts (n, positives per score), one window over
+    that bounded-domain aggregate (descending score) yields cumulative
+    coverage, and each distinct-score block lands in the bucket of its
+    cumulative END position: ``bucket = (cum − 1)·B DIV n + 1``
+    (documented convention: a tie-block spans no bucket boundary — it
+    belongs wholly to the bucket its last row reaches; bucket sizes
+    are therefore approximate under heavy ties, which the emitted
+    cum_n makes visible). All counts exact integers; the two rates are
+    truncating micro DIVs.
+
+    Returns (bucket, cum_n, cum_pos, capture_micro, lift_micro) — one
+    row per non-empty bucket, capture = cum_pos/total_pos, lift =
+    (cum_pos/cum_n)/(total_pos/n).
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1 (got {n_buckets})")
+    y = F.col(label_col).cast("long")
+    vc = df.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(y).cast("long").alias("p"),
+    )
+    w = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vc.select(
+        F.sum("c").over(w).cast("long").alias("cum"),
+        F.sum("p").over(w).cast("long").alias("cum_p"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+        F.sum("p").over(wall).cast("long").alias("tp"),
+    )
+    per_bucket = (
+        cum.select(
+            F.expr(f"(cum - 1) * {n_buckets} DIV n + 1").alias("bucket"),
+            "cum",
+            "cum_p",
+            "n",
+            "tp",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.max("cum").alias("cum_n"),
+            F.max(F.struct(F.col("cum"), F.col("cum_p")))["cum_p"].alias(
+                "cum_pos"
+            ),
+            F.max("n").alias("n"),
+            F.max("tp").alias("tp"),
+        )
+    )
+    return per_bucket.select(
+        "bucket",
+        "cum_n",
+        "cum_pos",
+        F.expr(
+            "CAST(cum_pos * 1000000 DIV NULLIF(tp, 0) AS BIGINT)"
+        ).alias("capture_micro"),
+        F.expr(
+            "CAST(CAST(cum_pos AS DECIMAL(38,0)) * n * 1000000"
+            " DIV NULLIF(CAST(cum_n AS DECIMAL(38,0)) * tp, 0) AS BIGINT)"
+        ).alias("lift_micro"),
+    )

@@ -2791,3 +2791,78 @@ def yules_k(
             AS BIGINT)"""
         ).alias("k_micro"),
     )
+
+
+def jsd_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence between two corpus token distributions
+    — the SYMMETRIC, bounded ([0, ln 2]) drift measure next to
+    corpus_divergence's directional KL contributors (JSD is what you
+    alarm on; the KL contributor table is what you debug with):
+
+        JSD = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m),  m = (p+q)/2
+
+    with p = a/T_A, q = b/T_B over the union vocabulary; zero counts
+    contribute 0 to their own side (x·ln x → 0), and m > 0 everywhere
+    on the union, so no smoothing is needed — one of JSD's advantages
+    over KL.
+
+    Determinism (ln-micro discipline): both per-token terms are fixed
+    double expressions over exact integers — written with the totals
+    INSIDE the ln as ``ln(2·a·T_B / (a·T_B + b·T_A))`` (exact integer
+    products; the p/m ratio's totals cancel) — floored to micro at
+    birth, weighted by the exact count, then integer-summed; the final
+    normalization is one truncating DIV per side.
+
+    Scale shape: one token groupBy per corpus, one vocab-sized full
+    join, 1-row totals broadcast, 1-row reduce.
+
+    Returns one row (t_a, t_b, jsd_micro) with
+    jsd_micro = (Σ_a a·term_a DIV (2·T_A)) + (Σ_b b·term_b DIV (2·T_B)).
+    """
+    ta = _token_counts(df_a, text_col)
+    tb = _token_counts(df_b, text_col)
+    tot = (
+        ta.groupBy().agg(F.sum("c").cast("long").alias("t_a"))
+        .join(tb.groupBy().agg(F.sum("c").cast("long").alias("t_b")))
+    )
+    j = (
+        ta.withColumnRenamed("c", "cnt_a")
+        .join(tb.withColumnRenamed("c", "cnt_b"), "token", "full")
+        .select(
+            "token",
+            F.coalesce(F.col("cnt_a"), F.lit(0)).cast("long").alias("cnt_a"),
+            F.coalesce(F.col("cnt_b"), F.lit(0)).cast("long").alias("cnt_b"),
+        )
+        .join(F.broadcast(tot))
+    )
+    # term_a = ln(p/m) = ln(2·a·T_B / (a·T_B + b·T_A)) — integer operands
+    terms = j.select(
+        "t_a",
+        "t_b",
+        F.expr(
+            """CASE WHEN cnt_a = 0 THEN CAST(0 AS BIGINT)
+               ELSE cnt_a * CAST(FLOOR(LN(
+                 2.0 * (CAST(cnt_a AS DOUBLE) * t_b)
+                 / (CAST(cnt_a AS DOUBLE) * t_b + CAST(cnt_b AS DOUBLE) * t_a)
+               ) * 1000000) AS BIGINT) END"""
+        ).alias("wa"),
+        F.expr(
+            """CASE WHEN cnt_b = 0 THEN CAST(0 AS BIGINT)
+               ELSE cnt_b * CAST(FLOOR(LN(
+                 2.0 * (CAST(cnt_b AS DOUBLE) * t_a)
+                 / (CAST(cnt_a AS DOUBLE) * t_b + CAST(cnt_b AS DOUBLE) * t_a)
+               ) * 1000000) AS BIGINT) END"""
+        ).alias("wb"),
+    )
+    return terms.groupBy().agg(
+        F.max("t_a").alias("t_a"),
+        F.max("t_b").alias("t_b"),
+        F.expr(
+            "CAST(SUM(wa) DIV (2 * MAX(t_a)) + SUM(wb) DIV (2 * MAX(t_b))"
+            " AS BIGINT)"
+        ).alias("jsd_micro"),
+    )

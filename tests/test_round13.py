@@ -219,3 +219,83 @@ def test_neyman_single_row_stratum_zero_sigma(spark):
            pl.neyman_allocation(df, "s", "v", n_total=10).collect()}
     assert out["a"]["sigma_micro"] == 0
     assert out["b"]["alloc"] == 10
+
+
+def test_spearman_perfect_monotone(spark):
+    df = spark.createDataFrame([(1, 10), (2, 20), (3, 35)], "x long, y long")
+    r = st.spearman_rho(df, "x", "y").collect()[0]
+    assert (r["n"], r["rho_micro"]) == (3, 1_000_000)
+
+
+def test_spearman_perfect_inverse_with_ties(spark):
+    # y reversed; ties in x average-rank correctly
+    df = spark.createDataFrame(
+        [(1, 4), (2, 3), (2, 2), (3, 1)], "x long, y long"
+    )
+    r = st.spearman_rho(df, "x", "y").collect()[0]
+    assert r["rho_micro"] <= -940_000  # strong negative (ties damp from -1)
+
+
+def test_gk_gamma_signs(spark):
+    # perfectly concordant ordinals -> gamma = 1
+    conc = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "x long, y long")
+    r = st.goodman_kruskal_gamma(conc, "x", "y").collect()[0]
+    assert (r["concordant"], r["discordant"], r["gamma_micro"]) == (3, 0, 1_000_000)
+    # ties on either axis are ignored entirely
+    tied = spark.createDataFrame([(1, 1), (1, 2), (2, 2), (2, 1)], "x long, y long")
+    r2 = st.goodman_kruskal_gamma(tied, "x", "y").collect()[0]
+    # pairs across x-levels: (1,1)-(2,2) conc, (1,1)-(2,1) tied-y (skip),
+    # (1,2)-(2,2) tied-y (skip), (1,2)-(2,1) disc -> gamma = 0
+    assert (r2["concordant"], r2["discordant"], r2["gamma_micro"]) == (1, 1, 0)
+
+
+def test_page_hinkley_detects_level_shift(spark):
+    # flat 10s then a jump to 100s: running mean lags, PH grows
+    xs = [10] * 5 + [100] * 5
+    rows = [(1, i + 1, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g long, t long, x long")
+    r = st.page_hinkley(df, "g", "t", "x", delta_micro=0,
+                        lambda_micro=50_000_000).collect()[0]
+    assert r["first_alarm_step"] is not None and r["first_alarm_step"] > 5
+    flat = spark.createDataFrame(
+        [(1, i + 1, 10) for i in range(10)], "g long, t long, x long"
+    )
+    r2 = st.page_hinkley(flat, "g", "t", "x", delta_micro=0,
+                         lambda_micro=50_000_000).collect()[0]
+    assert r2["first_alarm_step"] is None
+
+
+def test_winsorized_mean_clamps_tails(spark):
+    # 20 values: one huge outlier; 5% winsorization clamps it to hi
+    vals = list(range(1, 20)) + [1000]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    r = st.winsorized_mean(df, "g", "v", 5, 100).collect()[0]
+    # ceil(.05*20)=1 -> lo = 1; ceil(.95*20)=19 -> hi = 19
+    assert (r["lo"], r["hi"]) == (1, 19)
+    expect = (sum(range(1, 20)) + 19) * 1_000_000 // 20
+    assert r["wmean_micro"] == expect
+
+
+def test_gains_table_perfect_ranker(spark):
+    # scores 10..1, positives are the top 5: first half captures all
+    rows = [(10 - i, 1 if i < 5 else 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "s long, y long")
+    out = {r["bucket"]: r for r in st.gains_table(df, "s", "y", 5).collect()}
+    # bucket 1 = top 20% (2 rows, 2 pos): capture 40%, lift 2x
+    assert out[1]["capture_micro"] == 400_000
+    assert out[1]["lift_micro"] == 2_000_000
+    # by bucket 3 (top 60%) all 5 positives are captured
+    assert out[3]["capture_micro"] == 1_000_000
+
+
+def test_jsd_identical_zero_disjoint_ln2(spark):
+    a = spark.createDataFrame([(1, "x y z x y z")], "doc_id long, text string")
+    same = tx.jsd_divergence(a, a).collect()[0]
+    assert same["jsd_micro"] == 0
+    b = spark.createDataFrame([(1, "p q r p q r")], "doc_id long, text string")
+    dis = tx.jsd_divergence(a, b).collect()[0]
+    # fully disjoint vocabularies -> JSD = ln 2; the per-token floor +
+    # the two final truncating DIVs each shave < 1 micro, so the result
+    # sits within 2 micro BELOW the real value (never above)
+    ln2 = math.floor(math.log(2.0) * 1e6)
+    assert ln2 - 2 <= dis["jsd_micro"] <= ln2
