@@ -4591,7 +4591,12 @@ def spearman_rho(
 
     Scale shape: two distinct-value partial-agg shuffles + their
     bounded windows, two value-keyed joins back onto the rows, one
-    reduce. NULLs in either column drop (documented).
+    reduce. The base projection is deliberately NOT materialized (it is
+    ROW-scale; the house checkpoint idiom is reserved for bounded
+    frames), so the plan scans the source three times — each a
+    2-column pruned scan, which at 100 TB is far cheaper than
+    spilling a row-scale materialization. NULLs in either column drop
+    (documented).
 
     Returns one row (n, rho_micro).
     """
@@ -4893,4 +4898,122 @@ def gains_table(
             "CAST(CAST(cum_pos AS DECIMAL(38,0)) * n * 1000000"
             " DIV NULLIF(CAST(cum_n AS DECIMAL(38,0)) * tp, 0) AS BIGINT)"
         ).alias("lift_micro"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    subject_col: str = "subject",
+    item_col: str = "item_id",
+    value_col: str = "score",
+) -> DataFrame:
+    """Cronbach's alpha — internal-consistency reliability of a k-item
+    battery (does the item set measure ONE construct?), the scale-level
+    companion to item_analysis's per-item diagnostics:
+
+        alpha = k/(k−1) · (1 − Σ_i var_i / var_total)
+
+    over subject × item integer scores (population variances; the n²
+    denominators cancel, so the ratio is exact).
+
+    All-integer identity: per item, ``n·Σx² − (Σx)²``; their sum is
+    num1; per subject totals T give ``num2 = n·ΣT² − G²``; then
+    ``alpha = k·(num2 − num1) / ((k−1)·num2)`` — one truncating micro
+    DIV of exact DECIMAL integers. Uniform k per subject is the
+    battery contract (k derives as total DIV n).
+
+    Scale shape: one (item) partial-agg shuffle, one (subject)
+    partial-agg shuffle, two bounded reduces. No windows.
+
+    Returns one row (n_subjects, k, alpha_micro).
+    """
+    x = F.col(value_col).cast("long")
+    per_item = df.groupBy(item_col).agg(
+        F.sum(x).alias("s"),
+        F.sum(x * x).alias("q"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    item_tot = per_item.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("n").alias("n"),
+        F.sum(
+            F.col("n").cast("decimal(38,0)") * F.col("q")
+            - F.col("s").cast("decimal(38,0)") * F.col("s")
+        ).alias("num1"),
+    )
+    per_subj = df.groupBy(subject_col).agg(F.sum(x).cast("long").alias("t"))
+    subj_tot = per_subj.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n2"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("t")).alias("st2"),
+        F.sum("t").cast("decimal(38,0)").alias("g"),
+    )
+    j = item_tot.join(subj_tot)
+    return j.select(
+        F.col("n2").alias("n_subjects"),
+        F.col("k"),
+        F.expr(
+            """CAST(
+              CAST(k AS DECIMAL(38,0))
+                * ((n2 * st2 - g * g) - num1) * 1000000
+              DIV NULLIF((k - 1) * (n2 * st2 - g * g), 0)
+            AS BIGINT)"""
+        ).alias("alpha_micro"),
+    )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard per group — kaplan_meier's
+    estimator sibling on the SAME risk-set aggregate: instead of the
+    survival product, the cumulative hazard ``H(t) = Σ_{u≤t} d_u/n_u``
+    (the quantity additive-hazards models and log-rank-style
+    comparisons consume directly; S ≈ exp(−H) ties the two).
+
+    Exactness: per-time increments ``d·1e6 DIV n`` are truncating
+    integer DIVs AT BIRTH (each < 1e6 shaved by < 1 micro, the same
+    compounding bound the micro-nat discipline documents), and the
+    cumulative sum is an exact integer window over the (group, t)
+    aggregate — order-independent, hash-gate-safe.
+
+    Shape: identical to kaplan_meier — one (group, t) partial agg,
+    windows over the aggregate only.
+
+    Returns (group, t, n_risk, n_events, cum_hazard_micro).
+    """
+    rows = df.select(
+        F.col(group_col).alias("group"),
+        F.col(duration_col).cast("long").alias("t"),
+        F.col(event_col).cast("boolean").alias("__e"),
+    ).filter(F.col("t").isNotNull())
+    per_t = rows.groupBy("group", "t").agg(
+        F.sum(F.when(F.col("__e"), 1).otherwise(0)).cast("long").alias("d"),
+        F.sum(F.when(F.col("__e"), 0).otherwise(1)).cast("long").alias("c"),
+    )
+    w_tot = Window.partitionBy("group")
+    w_before = (
+        Window.partitionBy("group").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("group").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    leave = (F.col("d") + F.col("c")).cast("long")
+    n_risk = (
+        F.sum(leave).over(w_tot)
+        - F.coalesce(F.sum(leave).over(w_before), F.lit(0))
+    ).cast("long")
+    staged = per_t.select(
+        "group", "t", "d", n_risk.alias("n_risk")
+    ).withColumn("__h", F.expr("d * 1000000 DIV n_risk").cast("long"))
+    return staged.select(
+        "group",
+        "t",
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.sum("__h").over(w_cum).cast("long").alias("cum_hazard_micro"),
     )

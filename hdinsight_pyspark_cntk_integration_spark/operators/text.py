@@ -2580,6 +2580,32 @@ def _token_counts(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def _two_corpus_vocab(
+    df_a: DataFrame, df_b: DataFrame, text_col: str
+) -> DataFrame:
+    """(token, cnt_a, cnt_b) over the union vocabulary, MATERIALIZED
+    (localCheckpoint — vocab-bounded): the two-corpus keyword
+    statistics each need the vocab table twice (totals + the per-token
+    pass), and Spark recomputes shared subplans, so without the
+    checkpoint each reuse re-scans both corpora (observed: 4 parquet
+    scans for a 2-corpus query). One corpus scan per side, then every
+    consumer reads the compact materialization."""
+    j = (
+        _token_counts(df_a, text_col).withColumnRenamed("c", "cnt_a")
+        .join(
+            _token_counts(df_b, text_col).withColumnRenamed("c", "cnt_b"),
+            "token",
+            "full",
+        )
+        .select(
+            "token",
+            F.coalesce(F.col("cnt_a"), F.lit(0)).cast("long").alias("cnt_a"),
+            F.coalesce(F.col("cnt_b"), F.lit(0)).cast("long").alias("cnt_b"),
+        )
+    )
+    return j.localCheckpoint(eager=True)
+
+
 def g_test_keywords(
     df_a: DataFrame,
     df_b: DataFrame,
@@ -2606,28 +2632,21 @@ def g_test_keywords(
     over-represented in A (a·T_B > b·T_A — integer comparison), −1
     otherwise.
 
-    Scale shape: one explode + token groupBy per corpus (vocab-sized),
-    one vocab join, 1-row totals broadcast, bounded top-k sort.
+    Scale shape: one explode + token groupBy per corpus (vocab-sized)
+    into the shared materialized vocab table (ONE corpus scan per
+    side — see ``_two_corpus_vocab``), totals from that table as a
+    1-row broadcast, bounded top-k sort.
 
     Returns top_k rows (token, cnt_a, cnt_b, sign, g2_micro) by
     g2_micro desc, token tie-break.
     """
-    ta = _token_counts(df_a, text_col)
-    tb = _token_counts(df_b, text_col)
-    tot = (
-        ta.groupBy().agg(F.sum("c").cast("long").alias("t_a"))
-        .join(tb.groupBy().agg(F.sum("c").cast("long").alias("t_b")))
+    vocab = _two_corpus_vocab(df_a, df_b, text_col)
+    tot = vocab.groupBy().agg(
+        F.sum("cnt_a").cast("long").alias("t_a"),
+        F.sum("cnt_b").cast("long").alias("t_b"),
     )
-    j = (
-        ta.withColumnRenamed("c", "cnt_a")
-        .join(tb.withColumnRenamed("c", "cnt_b"), "token", "full")
-        .select(
-            "token",
-            F.coalesce(F.col("cnt_a"), F.lit(0)).cast("long").alias("cnt_a"),
-            F.coalesce(F.col("cnt_b"), F.lit(0)).cast("long").alias("cnt_b"),
-        )
-        .filter(F.col("cnt_a") + F.col("cnt_b") >= min_count)
-        .join(F.broadcast(tot))
+    j = vocab.filter(F.col("cnt_a") + F.col("cnt_b") >= min_count).join(
+        F.broadcast(tot)
     )
     # term(x, e_num, e_den) = x * ln(x * e_den / e_num), 0 when x = 0;
     # expectations: E_a = T_A*(a+b)/T, E_a' = T_A*(T-a-b)/T (T = T_A+T_B)
@@ -2696,27 +2715,19 @@ def log_odds_dirichlet(
     Determinism: a, b, totals and α0 are exact integers; α_t, δ, σ and
     z are ONE fixed double expression per DISTINCT token, floored to
     micro at birth (ln-micro discipline). Scale shape identical to
-    :func:`g_test_keywords` (two vocab aggs, one join, bounded top-k).
+    :func:`g_test_keywords` (one scan per corpus into the shared
+    materialized vocab table, 1-row totals broadcast, bounded top-k).
 
     Returns top_k rows (token, cnt_a, cnt_b, z_micro) by |z| desc,
     token tie-break.
     """
-    ta = _token_counts(df_a, text_col)
-    tb = _token_counts(df_b, text_col)
-    tot = (
-        ta.groupBy().agg(F.sum("c").cast("long").alias("t_a"))
-        .join(tb.groupBy().agg(F.sum("c").cast("long").alias("t_b")))
+    vocab = _two_corpus_vocab(df_a, df_b, text_col)
+    tot = vocab.groupBy().agg(
+        F.sum("cnt_a").cast("long").alias("t_a"),
+        F.sum("cnt_b").cast("long").alias("t_b"),
     )
-    j = (
-        ta.withColumnRenamed("c", "cnt_a")
-        .join(tb.withColumnRenamed("c", "cnt_b"), "token", "full")
-        .select(
-            "token",
-            F.coalesce(F.col("cnt_a"), F.lit(0)).cast("long").alias("cnt_a"),
-            F.coalesce(F.col("cnt_b"), F.lit(0)).cast("long").alias("cnt_b"),
-        )
-        .filter(F.col("cnt_a") + F.col("cnt_b") >= min_count)
-        .join(F.broadcast(tot))
+    j = vocab.filter(F.col("cnt_a") + F.col("cnt_b") >= min_count).join(
+        F.broadcast(tot)
     )
     expr = f"""
       CAST(FLOOR((
@@ -2817,28 +2828,19 @@ def jsd_divergence(
     birth, weighted by the exact count, then integer-summed; the final
     normalization is one truncating DIV per side.
 
-    Scale shape: one token groupBy per corpus, one vocab-sized full
-    join, 1-row totals broadcast, 1-row reduce.
+    Scale shape: one token groupBy per corpus into the shared
+    materialized vocab table (one corpus scan per side), 1-row totals
+    broadcast, 1-row reduce.
 
     Returns one row (t_a, t_b, jsd_micro) with
     jsd_micro = (Σ_a a·term_a DIV (2·T_A)) + (Σ_b b·term_b DIV (2·T_B)).
     """
-    ta = _token_counts(df_a, text_col)
-    tb = _token_counts(df_b, text_col)
-    tot = (
-        ta.groupBy().agg(F.sum("c").cast("long").alias("t_a"))
-        .join(tb.groupBy().agg(F.sum("c").cast("long").alias("t_b")))
+    vocab = _two_corpus_vocab(df_a, df_b, text_col)
+    tot = vocab.groupBy().agg(
+        F.sum("cnt_a").cast("long").alias("t_a"),
+        F.sum("cnt_b").cast("long").alias("t_b"),
     )
-    j = (
-        ta.withColumnRenamed("c", "cnt_a")
-        .join(tb.withColumnRenamed("c", "cnt_b"), "token", "full")
-        .select(
-            "token",
-            F.coalesce(F.col("cnt_a"), F.lit(0)).cast("long").alias("cnt_a"),
-            F.coalesce(F.col("cnt_b"), F.lit(0)).cast("long").alias("cnt_b"),
-        )
-        .join(F.broadcast(tot))
-    )
+    j = vocab.join(F.broadcast(tot))
     # term_a = ln(p/m) = ln(2·a·T_B / (a·T_B + b·T_A)) — integer operands
     terms = j.select(
         "t_a",

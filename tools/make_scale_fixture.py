@@ -33,6 +33,26 @@ from hdinsight_pyspark_cntk_integration_spark.sources.catalog import load_table
 _ID_OFFSET = 10_000_000
 
 
+def build_events(spark, base: str, out: str, factor: int) -> None:
+    dst = os.path.join(out, "events.parquet")
+    if os.path.islink(dst):
+        os.remove(dst)
+    ev = load_table(spark, base, "events")
+    parts = []
+    for k in range(factor):
+        off = F.lit(k * _ID_OFFSET)
+        parts.append(
+            ev.withColumn("event_id", F.col("event_id") + off)
+            .withColumn("user_id", F.col("user_id") + off)
+            if k
+            else ev
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.repartition(16).write.mode("overwrite").parquet(dst)
+
+
 def build(base: str, out: str, factor: int) -> None:
     spark = get_spark(app_name="scale-fixture")
     spark.sparkContext.setLogLevel("ERROR")
@@ -136,13 +156,18 @@ def build(base: str, out: str, factor: int) -> None:
         os.path.join(out, "lineitem.parquet")
     )
 
+    # events: copy k>0 offsets BOTH event_id and user_id — disjoint
+    # users, so the per-series window operators (sessionize, cusum,
+    # page_hinkley) see factor x the series at the same per-series
+    # length: the realistic way an event stream grows.
+    build_events(spark, base, out, factor)
+
     for name in [
         "region",
         "nation",
         "customer",
         "supplier",
         "part",
-        "events",
     ]:
         src = os.path.join(base, f"{name}.parquet")
         dst = os.path.join(out, f"{name}.parquet")

@@ -169,6 +169,33 @@ def _pairjoin_targets(spark, sf_dir):
     }
 
 
+def _round13_targets(spark, sf_dir):
+    """Round-13 additions that SCAN an SF-scaled input (the rest are
+    dimension/battery-bounded): the two-corpus keyword statistics and
+    Yule's K scan documents (x10 fixture: disjoint vocab per copy, so
+    the vocab table also grows ~10x — the worst case for the
+    materialized-join path); theil/winsorized/gains/spearman scan
+    orders/customer; cusum/page_hinkley scan events (x10 = 10x the
+    SERIES at equal length — the partitioned-window claim)."""
+    import __spark_entry__ as e  # noqa: deferred — tools add repo root to sys.path
+
+    qs = e.queries()
+    return {
+        name: (lambda n=name: qs[n](spark, sf_dir))
+        for name in [
+            "g_test_keywords",
+            "jsd_divergence",
+            "yules_k",
+            "theil_index",
+            "winsorized_mean",
+            "gains_table",
+            "spearman_rho",
+            "cusum_drift",
+            "page_hinkley",
+        ]
+    }
+
+
 def _targets(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -228,6 +255,7 @@ def run(base: str, fixture: str, factor: int, out_json: str,
         "graph": _graph_targets,
         "linkage": _linkage_targets,
         "evalstats": _evalstats_targets,
+        "round13": _round13_targets,
     }.get(target_set, _targets)
     keep = set(only.split(",")) if only else None
     results: dict[str, dict] = {}
