@@ -6850,6 +6850,80 @@ def q_jsd_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha (operators.stats.cronbach_alpha) of the 5-rater
+    synthetic battery (the fleiss/icc fixture transposed: documents as
+    subjects, raters as battery items, ratings as scores) — the
+    scale-level internal-consistency companion to item_analysis and
+    icc_oneway. Exact integer rationals, one truncating micro DIV."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def mix(c):
+        return F.pmod(F.pmod(c, F.lit(1_000_003)) * F.lit(2654435761), F.lit(1_000_003))
+
+    rated = docs.select(
+        F.col("doc_id").alias("subject"),
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("item_id"),
+    )
+    base = F.pmod(mix(F.col("subject")), F.lit(4))
+    s = mix(F.col("subject") * 5 + F.col("item_id"))
+    alt = F.pmod(mix(F.col("subject") * 5 + F.col("item_id") + 101), F.lit(4))
+    rated = rated.select(
+        "subject",
+        "item_id",
+        F.when(F.pmod(s, F.lit(4)) < 3, base).otherwise(alt).cast("long").alias(
+            "score"
+        ),
+    )
+    return st.cronbach_alpha(rated, "subject", "item_id", "score")
+
+
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard per market segment
+    (operators.stats.nelson_aalen) over the SAME time-to-repurchase
+    frame as kaplan_meier — the additive-hazard estimator sibling on
+    the shared risk-set aggregate. Per-time d*1e6 DIV n increments,
+    exact integer cumulative window."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    out = st.nelson_aalen(
+        _repurchase_subjects(spark, sf_dir), "segment", "dur", "ev"
+    )
+    return out.select(
+        F.col("group").alias("segment"), "t", "n_risk", "n_events",
+        "cum_hazard_micro",
+    )
+
+
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism per-nation customer-count release
+    (operators.pipeline.dp_noisy_counts, epsilon = ln 3 in micro,
+    sensitivity 1) — the publication step after the k-anonymity /
+    l-diversity / t-closeness audit trilogy. Gate runs the
+    engine-portable md5 noise family so DuckDB replays the seeded
+    inverse-CDF draw bit-for-bit; the docstring documents why
+    production must swap in a secret random seed."""
+    customer = load_table(spark, sf_dir, "customer")
+    return pl.dp_noisy_counts(
+        customer, "c_nationkey",
+        epsilon_micro=1_098_612, sensitivity=1, seed=7, hash_family="md5",
+    )
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed hashing-trick bag-of-words (operators.text.
+    feature_hashing, dim=32) over the documents corpus — the
+    vocabulary-free vectorizer (no fitted state, pure projection;
+    the 100 TB-friendly complement to the fitted vocab/tokenize_ids
+    path). Gate uses the md5 family for bit-for-bit oracle replay;
+    features emitted as the sorted "idx:val" string (the array-free
+    gate discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.feature_hashing(docs, "doc_id", "text", dim=32, hash_family="md5")
+
+
 # Driver-gate window (ROTATION.md): the driver records the FIRST 50
 # entries of queries() in CORRECTNESS_r{N}.json. Round 13 executes the
 # committed plan (ROTATION.md "Round 13 window"): the 10 round-12
@@ -6883,7 +6957,7 @@ _GATE_WINDOW = [
     "session_window_native",
     "sessionize",
     "token_stats",
-    # 18 round-13 additions (displace the last 18 text re-gates to the
+    # 22 round-13 additions (displace the last 22 text re-gates to the
     # round-14 queue head, per the standing end-displacement policy)
     "benjamini_hochberg",
     "icc_oneway",
@@ -6903,7 +6977,11 @@ _GATE_WINDOW = [
     "winsorized_mean",
     "gains_table",
     "jsd_divergence",
-    # 13 re-gates: text/corpus family head (last gated r7-r8)
+    "cronbach_alpha",
+    "nelson_aalen",
+    "dp_noisy_counts",
+    "feature_hashing",
+    # 9 re-gates: text/corpus family head (last gated r7-r8)
     "tfidf_top_terms",
     "bm25_search",
     "unigram_logprob",
@@ -6913,10 +6991,6 @@ _GATE_WINDOW = [
     "lang_id",
     "token_entropy",
     "readability",
-    "ngram_diversity",
-    "perplexity_buckets",
-    "heaps_law",
-    "zipf_slope",
 ]
 
 
@@ -7318,6 +7392,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_mean": q_winsorized_mean,
         "gains_table": q_gains_table,
         "jsd_divergence": q_jsd_divergence,
+        "cronbach_alpha": q_cronbach_alpha,
+        "nelson_aalen": q_nelson_aalen,
+        "dp_noisy_counts": q_dp_noisy_counts,
+        "feature_hashing": q_feature_hashing,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -16264,5 +16342,130 @@ def oracle_sql() -> dict[str, str]:
           CAST(SUM(wa) // (2 * MAX(t_a)) + SUM(wb) // (2 * MAX(t_b))
             AS BIGINT) AS jsd_micro
         FROM terms
+    """
+    oracles["cronbach_alpha"] = """
+        WITH rated AS (
+          SELECT d.doc_id AS subject, r.item_id,
+            CASE WHEN (((d.doc_id * 5 + r.item_id) % 1000003) * 2654435761)
+                     % 1000003 % 4 < 3
+              THEN (((d.doc_id % 1000003) * 2654435761) % 1000003) % 4
+              ELSE ((((d.doc_id * 5 + r.item_id + 101) % 1000003)
+                    * 2654435761) % 1000003) % 4
+            END AS score
+          FROM documents d
+          CROSS JOIN (SELECT unnest(range(0, 5)) AS item_id) r
+        ),
+        per_item AS (
+          SELECT item_id, CAST(SUM(score) AS HUGEINT) AS s,
+            CAST(SUM(score * score) AS HUGEINT) AS q,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM rated GROUP BY 1
+        ),
+        item_tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k, MAX(n) AS n,
+            SUM(n * q - s * s) AS num1
+          FROM per_item
+        ),
+        per_subj AS (
+          SELECT subject, CAST(SUM(score) AS BIGINT) AS t
+          FROM rated GROUP BY 1
+        ),
+        subj_tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n2,
+            SUM(CAST(t AS HUGEINT) * t) AS st2,
+            CAST(SUM(t) AS HUGEINT) AS g
+          FROM per_subj
+        )
+        SELECT n2 AS n_subjects, k,
+          CAST(CAST(k AS HUGEINT)
+              * ((n2 * st2 - g * g) - num1) * 1000000
+            // NULLIF((k - 1) * (n2 * st2 - g * g), 0) AS BIGINT)
+            AS alpha_micro
+        FROM item_tot CROSS JOIN subj_tot
+    """
+    oracles["nelson_aalen"] = """
+        WITH h AS (SELECT MAX(o_orderdate) AS hz FROM orders),
+        base AS (
+          SELECT c.c_mktsegment AS segment, o.o_orderdate,
+            LEAD(o.o_orderdate) OVER (
+              PARTITION BY o.o_custkey
+              ORDER BY o.o_orderdate, o.o_orderkey) AS nxt
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        r AS (
+          SELECT segment,
+            CAST(datediff('day', o_orderdate,
+              COALESCE(nxt, (SELECT hz FROM h))) AS BIGINT) AS t,
+            (nxt IS NOT NULL) AS e
+          FROM base
+        ),
+        per_t AS (
+          SELECT segment, t,
+            CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+            CAST(SUM(CASE WHEN e THEN 0 ELSE 1 END) AS BIGINT) AS c
+          FROM r GROUP BY 1, 2
+        ),
+        staged AS (
+          SELECT segment, t, d,
+            CAST(SUM(d + c) OVER (PARTITION BY segment)
+              - COALESCE(SUM(d + c) OVER (
+                  PARTITION BY segment ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n
+          FROM per_t
+        )
+        SELECT segment, t, n AS n_risk, d AS n_events,
+          CAST(SUM(d * 1000000 // n) OVER (
+            PARTITION BY segment ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_hazard_micro
+        FROM staged
+    """
+    # b literal generated from the SAME arithmetic the operator embeds
+    # (sensitivity*1e6/epsilon_micro) so the doubles match bit-for-bit.
+    _dp_b = 1.0 * 1_000_000.0 / 1_098_612
+    oracles["dp_noisy_counts"] = f"""
+        WITH per AS (
+          SELECT c_nationkey AS grp, CAST(COUNT(*) AS BIGINT) AS n
+          FROM customer GROUP BY 1
+        ),
+        noisy AS (
+          SELECT grp, n,
+            (CAST(('0x' || substr(md5(CAST(grp AS VARCHAR) || ':' || '7'),
+              1, 15)) AS BIGINT) % 1999999 + 1 - 1000000) / 1000000.0 AS u
+          FROM per
+        )
+        SELECT grp AS "group",
+          CAST(n * 1000000 + CAST(FLOOR(
+            -({_dp_b!r}) * SIGN(u) * LN(1.0 - ABS(u)) * 1000000)
+            AS BIGINT) AS BIGINT) AS released_micro,
+          CAST(1098612 AS BIGINT) AS epsilon_micro,
+          CAST(1 AS BIGINT) AS sensitivity
+        FROM noisy
+    """
+    oracles["feature_hashing"] = """
+        WITH toks AS (
+          SELECT doc_id AS id,
+            UNNEST(string_split(trim(regexp_replace(lower(text),
+              '\\s+', ' ', 'g')), ' ')) AS token
+          FROM documents
+        ),
+        cell AS (
+          SELECT id,
+            CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % 32
+              AS idx,
+            CAST(('0x' || substr(md5(token || '#s'), 1, 15)) AS BIGINT)
+              % 2 * 2 - 1 AS sgn
+          FROM toks WHERE length(token) > 0
+        ),
+        agg AS (
+          SELECT id, idx, CAST(SUM(sgn) AS BIGINT) AS val
+          FROM cell GROUP BY 1, 2
+          HAVING SUM(sgn) <> 0
+        )
+        SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS nnz,
+          string_agg(CAST(idx AS VARCHAR) || ':' || CAST(val AS VARCHAR),
+            ' ' ORDER BY idx) AS features
+        FROM agg GROUP BY 1
     """
     return oracles

@@ -268,6 +268,10 @@ PIPELINE = [
     "winsorized_mean",
     "gains_table",
     "jsd_divergence",
+    "cronbach_alpha",
+    "nelson_aalen",
+    "dp_noisy_counts",
+    "feature_hashing",
 ]
 
 

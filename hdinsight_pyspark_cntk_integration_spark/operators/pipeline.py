@@ -2040,3 +2040,71 @@ def neyman_allocation(
             " DIV NULLIF(__tw, 0) AS BIGINT)"
         ).alias("alloc"),
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon_micro: int = 1_000_000,
+    sensitivity: int = 1,
+    seed: int = 0,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Laplace-mechanism count release per group (Dwork et al. 2006) —
+    the differential-privacy publication step after the
+    k_anonymity / l_diversity / t_closeness audit trilogy: each
+    group's count is released as ``n + Lap(sensitivity/epsilon)``.
+
+    Noise derivation: a per-group uniform u ∈ (−1, 1) comes from a
+    seeded hash of the group key (``xxhash64`` in production; the
+    engine-portable md5-prefix family for oracle replay — the
+    minhash_lsh_candidates precedent), then the Laplace inverse CDF
+    ``noise = −b·sign(u)·ln(1 − |u|)`` with b = sensitivity/epsilon.
+    u is an exact rational (hash % 1999999 mapped to ±0.999999), the
+    ln is ONE fixed double expression floored to micro at birth, and
+    the release is integer micro arithmetic.
+
+    SECURITY NOTE (documented, deliberate): hash-seeded noise makes
+    the release REPRODUCIBLE — what a test/oracle gate needs, and what
+    real DP forbids (an adversary knowing the seed removes the noise).
+    Production must supply a fresh random seed per release and treat
+    the seed as a secret; the mechanism, sensitivity accounting, and
+    scale shape are what this operator contributes.
+
+    Scale shape: one group-keyed partial-agg shuffle, a pure
+    projection for the noise. Returns (group, released_micro,
+    epsilon_micro, sensitivity).
+    """
+    if epsilon_micro <= 0:
+        raise ValueError(f"epsilon_micro must be > 0 (got {epsilon_micro})")
+    per = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    gs = "CAST(group AS STRING)"
+    if hash_family == "xxhash64":
+        h = f"pmod(xxhash64(concat({gs}, ':', '{int(seed)}')), 1999999)"
+    elif hash_family == "md5":
+        h = (
+            f"pmod(cast(conv(substring(md5(concat({gs}, ':', '{int(seed)}')),"
+            f" 1, 15), 16, 10) as bigint), 1999999)"
+        )
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r} (xxhash64|md5)")
+    b = float(sensitivity) * 1_000_000.0 / float(epsilon_micro)
+    noisy = per.withColumn(
+        "__u", F.expr(f"({h} + 1 - 1000000) / 1000000.0")
+    ).withColumn(
+        "__noise",
+        F.expr(
+            f"CAST(FLOOR(-({b!r}) * SIGN(__u) * LN(1.0 - ABS(__u))"
+            " * 1000000) AS BIGINT)"
+        ),
+    )
+    return noisy.select(
+        "group",
+        (F.col("__n") * F.lit(1_000_000) + F.col("__noise")).cast("long").alias(
+            "released_micro"
+        ),
+        F.lit(int(epsilon_micro)).cast("long").alias("epsilon_micro"),
+        F.lit(int(sensitivity)).cast("long").alias("sensitivity"),
+    )

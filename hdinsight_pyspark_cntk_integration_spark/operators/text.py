@@ -2868,3 +2868,80 @@ def jsd_divergence(
             " AS BIGINT)"
         ).alias("jsd_micro"),
     )
+
+
+def feature_hashing(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Hashing-trick (signed) bag-of-words features (Weinberger et al.
+    2009) — the vocabulary-free vectorizer a large-scale pipeline uses
+    when a fitted vocabulary is a bottleneck or a privacy surface:
+    every token maps to ``idx = H(token) mod dim`` with sign
+    ``±1 = H(token ∥ '#s') mod 2``, and a document's feature is the
+    signed occurrence sum per index (the sign unbiases collisions in
+    expectation — the standard trick).
+
+    No fitted state, no vocabulary table, no driver round-trip — the
+    whole vectorizer is a projection, which is the point at 100 TB.
+    Entries that cancel to exactly 0 are dropped (documented; keeps
+    the output sparse). ``hash_family="md5"`` swaps the engine-portable
+    hash so an oracle replays bit-for-bit.
+
+    Scale shape: one explode + (id, idx) partial-agg shuffle, one
+    id-keyed groupBy assembling the bounded (≤ dim) feature list via
+    sort_array(collect_list) — deterministic, and ≤ dim entries per
+    doc by construction.
+
+    Returns (id, nnz, features) with features = "idx:val idx:val …"
+    sorted by idx.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1 (got {dim})")
+    if hash_family == "xxhash64":
+        idx = f"pmod(xxhash64(token), {dim})"
+        sgn = "pmod(xxhash64(concat(token, '#s')), 2) * 2 - 1"
+    elif hash_family == "md5":
+        idx = (
+            f"pmod(cast(conv(substring(md5(token), 1, 15), 16, 10)"
+            f" as bigint), {dim})"
+        )
+        sgn = (
+            "pmod(cast(conv(substring(md5(concat(token, '#s')), 1, 15),"
+            " 16, 10) as bigint), 2) * 2 - 1"
+        )
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r} (xxhash64|md5)")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "token"
+        ),
+    ).filter(F.length("token") > 0)
+    cell = (
+        toks.selectExpr("id", f"{idx} AS idx", f"{sgn} AS sgn")
+        .groupBy("id", "idx")
+        .agg(F.sum("sgn").cast("long").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+    return (
+        cell.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nnz"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("idx"), F.col("val")))
+                    ),
+                    lambda s: F.concat_ws(
+                        ":", s["idx"].cast("string"), s["val"].cast("string")
+                    ),
+                ),
+                " ",
+            ).alias("features"),
+        )
+        .select(F.col("id").alias(id_col), "nnz", "features")
+    )

@@ -299,3 +299,64 @@ def test_jsd_identical_zero_disjoint_ln2(spark):
     # sits within 2 micro BELOW the real value (never above)
     ln2 = math.floor(math.log(2.0) * 1e6)
     assert ln2 - 2 <= dis["jsd_micro"] <= ln2
+
+
+def test_cronbach_alpha_perfect_consistency(spark):
+    # two items that always agree exactly -> alpha = 1
+    rows = [(s, i, s % 3) for s in range(6) for i in (0, 1)]
+    df = spark.createDataFrame(rows, "subject long, item_id long, score long")
+    r = st.cronbach_alpha(df).collect()[0]
+    assert (r["n_subjects"], r["k"], r["alpha_micro"]) == (6, 2, 1_000_000)
+
+
+def test_cronbach_alpha_uncorrelated_near_zero(spark):
+    # independent checkerboard items: covariance 0 -> alpha = 0
+    rows = [(s, 0, s % 2) for s in range(8)] + [(s, 1, (s // 2) % 2) for s in range(8)]
+    df = spark.createDataFrame(rows, "subject long, item_id long, score long")
+    r = st.cronbach_alpha(df).collect()[0]
+    assert abs(r["alpha_micro"]) < 1_000  # 0 within micro truncation
+
+
+def test_nelson_aalen_hand_curve(spark):
+    # one group: events at t=1 (n=4), t=2 (n=3), censor at t=3 (n=2... )
+    rows = [("g", 1, True), ("g", 2, True), ("g", 3, False), ("g", 3, True)]
+    df = spark.createDataFrame(rows, "g string, dur long, ev boolean")
+    out = {r["t"]: r for r in st.nelson_aalen(df, "g", "dur", "ev").collect()}
+    # t=1: d=1 n=4 -> 250000 ; t=2: d=1 n=3 -> +333333 ; t=3: d=1 n=2 -> +500000
+    assert out[1]["cum_hazard_micro"] == 250_000
+    assert out[2]["cum_hazard_micro"] == 250_000 + 333_333
+    assert out[3]["cum_hazard_micro"] == 250_000 + 333_333 + 500_000
+    assert (out[1]["n_risk"], out[2]["n_risk"], out[3]["n_risk"]) == (4, 3, 2)
+
+
+def test_dp_noisy_counts_reproducible_and_centered(spark):
+    from hdinsight_pyspark_cntk_integration_spark.operators import pipeline as pl2
+
+    df = spark.createDataFrame(
+        [(g, i) for g in range(40) for i in range(10)], "g long, i long"
+    )
+    a = {r["group"]: r["released_micro"]
+         for r in pl2.dp_noisy_counts(df, "g", seed=1).collect()}
+    b = {r["group"]: r["released_micro"]
+         for r in pl2.dp_noisy_counts(df, "g", seed=1).collect()}
+    c = {r["group"]: r["released_micro"]
+         for r in pl2.dp_noisy_counts(df, "g", seed=2).collect()}
+    assert a == b          # seeded determinism
+    assert a != c          # seed changes the draw
+    # Laplace(1) noise around true count 10e6: mean abs noise ~1e6
+    errs = [abs(v - 10_000_000) for v in a.values()]
+    assert 0 < sum(errs) / len(errs) < 3_000_000
+
+
+def test_feature_hashing_shape_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b a c"), (3, "z z z z")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           tx.feature_hashing(df, dim=8, hash_family="md5").collect()}
+    assert out[1]["features"] == out[2]["features"]  # same text, same vector
+    assert out[1]["nnz"] <= 3 and out[3]["nnz"] == 1
+    # single repeated token: |val| = 4 at one index
+    idx, val = out[3]["features"].split(":")
+    assert abs(int(val)) == 4 and 0 <= int(idx) < 8
