@@ -272,6 +272,9 @@ PIPELINE = [
     "nelson_aalen",
     "dp_noisy_counts",
     "feature_hashing",
+    "wasserstein_drift",
+    "roc_points",
+    "average_precision",
 ]
 
 

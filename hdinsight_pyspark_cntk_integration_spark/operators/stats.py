@@ -5017,3 +5017,162 @@ def nelson_aalen(
         F.col("d").alias("n_events"),
         F.sum("__h").over(w_cum).cast("long").alias("cum_hazard_micro"),
     )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """1-Wasserstein (earth-mover) distance between two groups' value
+    distributions — the INTEGRAL drift measure next to ks_drift's
+    supremum (KS says "the worst CDF gap"; W1 says "how much mass must
+    move how far", the quantity that tracks gradual shift a sup-norm
+    misses): for 1-D distributions, ``W1 = ∫ |F_a(v) − F_b(v)| dv``,
+    exactly a sum over the pooled distinct values of
+    ``|cum_a·n_b − cum_b·n_a| · (v_next − v)`` scaled by 1/(n_a·n_b).
+
+    Exactness: EVERYTHING is integer — cumulative counts from one
+    window over the pooled distinct-VALUE aggregate, the segment gap,
+    the cross products in DECIMAL — and the single division to micro
+    happens ONCE at the end. No float enters at any point (the rare
+    fully-exact transcendental-free distance).
+
+    Scale shape: one partial-agg shuffle to the pooled value domain,
+    one value-domain window (the rank_sum_test class), a 1-row reduce.
+    Values must be integers (quantize upstream).
+
+    Returns one row (n_a, n_b, w1_micro) — w1 in VALUE units × 1e-6.
+    """
+    vc = _two_group_value_counts(df, group_col, value_col, group_a, group_b)
+    w = Window.orderBy(F.col("v")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lead_w = Window.orderBy(F.col("v"))
+    cum = vc.select(
+        F.col("v").cast("long").alias("v"),
+        F.sum("n_a").over(w).cast("long").alias("ca"),
+        F.sum("n_b").over(w).cast("long").alias("cb"),
+        F.lead(F.col("v").cast("long")).over(lead_w).alias("vn"),
+    )
+    seg = cum.filter(F.col("vn").isNotNull()).select(
+        "ca",
+        "cb",
+        (F.col("vn") - F.col("v")).alias("gap"),
+    )
+    tot_ab = df.filter(F.col(group_col).isin([group_a, group_b])).groupBy().agg(
+        F.sum((F.col(group_col) == group_a).cast("long")).cast("long").alias("n_a"),
+        F.sum((F.col(group_col) == group_b).cast("long")).cast("long").alias("n_b"),
+    )
+    terms = seg.join(F.broadcast(tot_ab)).select(
+        "n_a",
+        "n_b",
+        F.expr(
+            "ABS(CAST(ca AS DECIMAL(38,0)) * n_b"
+            " - CAST(cb AS DECIMAL(38,0)) * n_a) * gap"
+        ).alias("__t"),
+    )
+    return terms.groupBy().agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.expr(
+            "CAST(SUM(__t) * 1000000"
+            " DIV NULLIF(CAST(MAX(n_a) AS DECIMAL(38,0)) * MAX(n_b), 0)"
+            " AS BIGINT)"
+        ).alias("w1_micro"),
+    )
+
+
+def roc_points(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """ROC curve points — (threshold, TPR, FPR) at every distinct score
+    (predict positive when score ≥ threshold), the curve behind
+    auc_balance's scalar: what you plot, and where you read off an
+    operating point under a false-positive budget.
+
+    Computed from the distinct-VALUE aggregate (positives/negatives
+    per score, one DESCENDING cumulative window — the rank_sum_test
+    class); rates are truncating micro DIVs of exact counts. Curve
+    cardinality = |distinct scores| (value-domain-bounded; quantize
+    the score upstream to cap it — the calibration_bins discipline).
+
+    Returns (threshold, tp, fp, tpr_micro, fpr_micro) ordered by
+    threshold (one row per distinct score).
+    """
+    y = F.col(label_col).cast("long")
+    vc = df.groupBy(F.col(score_col).alias("threshold")).agg(
+        F.sum(y).cast("long").alias("p"),
+        F.sum(F.lit(1) - y).cast("long").alias("q"),
+    )
+    w = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return vc.select(
+        "threshold",
+        F.sum("p").over(w).cast("long").alias("tp"),
+        F.sum("q").over(w).cast("long").alias("fp"),
+        F.expr(
+            "CAST(SUM(p) OVER (ORDER BY threshold DESC"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000"
+            " DIV NULLIF(SUM(p) OVER (), 0) AS BIGINT)"
+        ).alias("tpr_micro"),
+        F.expr(
+            "CAST(SUM(q) OVER (ORDER BY threshold DESC"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000"
+            " DIV NULLIF(SUM(q) OVER (), 0) AS BIGINT)"
+        ).alias("fpr_micro"),
+    )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Average precision (area under the precision-recall curve, the
+    step form) — the ranking-quality scalar that, unlike ROC-AUC,
+    stays honest under extreme class imbalance (the retrieval/filter
+    regime): descending by score, ``AP = Σ_k P@k · [y_k = 1] / P``.
+
+    Tie convention (documented, oracle-mirrored): ties are evaluated
+    as a BLOCK at the block's END — every positive in a tied block
+    earns the precision at the block boundary (the pessimistic
+    convention; optimistic/interpolated variants differ only within
+    blocks). Per block the contribution is
+    ``pos_b · ((cum_pos·1e6) DIV cum_n)`` — one truncating DIV per
+    distinct score — and the final mean is one more DIV by P.
+
+    Scale shape: distinct-score aggregate + one descending cumulative
+    window (value-domain-bounded), 1-row reduce.
+
+    Returns one row (n, n_pos, ap_micro).
+    """
+    y = F.col(label_col).cast("long")
+    vc = df.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(y).cast("long").alias("p"),
+    )
+    w = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vc.select(
+        "p",
+        F.sum("c").over(w).cast("long").alias("cum"),
+        F.sum("p").over(w).cast("long").alias("cum_p"),
+    )
+    return cum.groupBy().agg(
+        F.expr("CAST(MAX(cum) AS BIGINT)").alias("n"),
+        F.sum("p").cast("long").alias("n_pos"),
+        F.expr(
+            "CAST(SUM(p * ((cum_p * 1000000) DIV cum))"
+            " DIV NULLIF(SUM(p), 0) AS BIGINT)"
+        ).alias("ap_micro"),
+    )

@@ -235,11 +235,15 @@ _INTENTIONAL_LINT = {
     # rbo_overlap — the rank windows order the 25-row NATION aggregate
     # and the depth spine is k=20 rows; both bounded domains.
     "rbo_overlap": {"global-window"},
-    # spearman_rho / gains_table — rank/coverage windows run over the
+    # spearman_rho / gains_table / wasserstein_drift / roc_points /
+    # average_precision — rank/coverage/CDF windows run over the
     # distinct-VALUE aggregate (value-domain-bounded, never the row
     # stream): the rank_sum_test / auc_balance class.
     "spearman_rho": {"global-window"},
     "gains_table": {"global-window"},
+    "wasserstein_drift": {"global-window"},
+    "roc_points": {"global-window"},
+    "average_precision": {"global-window"},
     "epoch_shuffle": {"global-window"},
     "sentence_split": {"python-row-udf"},
     "distinct_labels": {"global-sort"},

@@ -360,3 +360,39 @@ def test_feature_hashing_shape_and_determinism(spark):
     # single repeated token: |val| = 4 at one index
     idx, val = out[3]["features"].split(":")
     assert abs(int(val)) == 4 and 0 <= int(idx) < 8
+
+
+def test_wasserstein_hand_value(spark):
+    # A = {0, 10}, B = {5, 15}: W1 = 5 exactly (shift everything by 5)
+    rows = [("a", 0), ("a", 10), ("b", 5), ("b", 15)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = st.wasserstein_1d(df, "g", "v", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"], r["w1_micro"]) == (2, 2, 5_000_000)
+
+
+def test_wasserstein_identical_zero(spark):
+    rows = [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    assert st.wasserstein_1d(df, "g", "v", "a", "b").collect()[0]["w1_micro"] == 0
+
+
+def test_roc_points_perfect_separation(spark):
+    rows = [(9, 1), (8, 1), (2, 0), (1, 0)]
+    df = spark.createDataFrame(rows, "s long, y long")
+    out = {r["threshold"]: r for r in st.roc_points(df, "s", "y").collect()}
+    assert out[8]["tpr_micro"] == 1_000_000 and out[8]["fpr_micro"] == 0
+    assert out[1]["tpr_micro"] == 1_000_000 and out[1]["fpr_micro"] == 1_000_000
+
+
+def test_average_precision_perfect_and_worst(spark):
+    perfect = spark.createDataFrame(
+        [(4, 1), (3, 1), (2, 0), (1, 0)], "s long, y long"
+    )
+    r = st.average_precision(perfect, "s", "y").collect()[0]
+    assert (r["n"], r["n_pos"], r["ap_micro"]) == (4, 2, 1_000_000)
+    worst = spark.createDataFrame(
+        [(4, 0), (3, 0), (2, 1), (1, 1)], "s long, y long"
+    )
+    r2 = st.average_precision(worst, "s", "y").collect()[0]
+    # positives at ranks 3, 4: AP = (1/3 + 2/4)/2 = 5/12 (micro-truncated)
+    assert abs(r2["ap_micro"] - (5 * 1_000_000) // 12) <= 1
