@@ -6912,12 +6912,13 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Signed hashing-trick bag-of-words (operators.text.
-    feature_hashing, dim=32) over the documents corpus — the
-    vocabulary-free vectorizer (no fitted state, pure projection;
-    the 100 TB-friendly complement to the fitted vocab/tokenize_ids
-    path). Gate uses the md5 family for bit-for-bit oracle replay;
+def q_feature_hashing_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIGNED hashing-trick bag-of-words (operators.text.
+    feature_hashing, dim=32) — the collision-unbiasing upgrade of the
+    unsigned hashed_bow behind the existing feature_hashing query
+    (each token also draws a ±1 sign, so colliding tokens cancel in
+    expectation instead of inflating the bucket). Vocabulary-free,
+    pure projection; md5 family for bit-for-bit oracle replay;
     features emitted as the sorted "idx:val" string (the array-free
     gate discipline)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -6977,6 +6978,23 @@ def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.average_precision(frame, "score_cents", "y")
 
 
+def q_benford_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit CHI-SQUARE audit (operators.stats.
+    benford_digits) of order totals in cents — the scalar-alarm
+    upgrade of the existing benford_digits share table (per-digit
+    chi-square terms; their sum vs a chi2(8) critical value is the
+    alarm). Digits from the decimal string (no float log10 at power
+    boundaries); expected probabilities are Python-embedded double
+    literals shared with the oracle (ndcg discipline)."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    orders = load_table(spark, sf_dir, "orders")
+    frame = orders.select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return st.benford_digits(frame, "cents")
+
+
 # Driver-gate window (ROTATION.md): the driver records the FIRST 50
 # entries of queries() in CORRECTNESS_r{N}.json. Round 13 executes the
 # committed plan (ROTATION.md "Round 13 window"): the 10 round-12
@@ -7010,7 +7028,7 @@ _GATE_WINDOW = [
     "session_window_native",
     "sessionize",
     "token_stats",
-    # 25 round-13 additions (displace the last 25 text re-gates to the
+    # 26 round-13 additions (displace the last 26 text re-gates to the
     # round-14 queue head, per the standing end-displacement policy)
     "benjamini_hochberg",
     "icc_oneway",
@@ -7033,17 +7051,17 @@ _GATE_WINDOW = [
     "cronbach_alpha",
     "nelson_aalen",
     "dp_noisy_counts",
-    "feature_hashing",
+    "feature_hashing_signed",
     "wasserstein_drift",
     "roc_points",
     "average_precision",
-    # 6 re-gates: text/corpus family head (last gated r7-r8)
+    "benford_chi2",
+    # 5 re-gates: text/corpus family head (last gated r7-r8)
     "tfidf_top_terms",
     "bm25_search",
     "unigram_logprob",
     "bigram_logprob",
     "kneser_ney",
-    "textrank_keywords",
 ]
 
 
@@ -7448,10 +7466,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cronbach_alpha": q_cronbach_alpha,
         "nelson_aalen": q_nelson_aalen,
         "dp_noisy_counts": q_dp_noisy_counts,
-        "feature_hashing": q_feature_hashing,
+        "feature_hashing_signed": q_feature_hashing_signed,
         "wasserstein_drift": q_wasserstein_drift,
         "roc_points": q_roc_points,
         "average_precision": q_average_precision,
+        "benford_chi2": q_benford_chi2,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -16499,7 +16518,7 @@ def oracle_sql() -> dict[str, str]:
           CAST(1 AS BIGINT) AS sensitivity
         FROM noisy
     """
-    oracles["feature_hashing"] = """
+    oracles["feature_hashing_signed"] = """
         WITH toks AS (
           SELECT doc_id AS id,
             UNNEST(string_split(trim(regexp_replace(lower(text),
@@ -16618,5 +16637,22 @@ def oracle_sql() -> dict[str, str]:
           CAST(SUM(p * ((cum_p * 1000000) // cum))
             // NULLIF(SUM(p), 0) AS BIGINT) AS ap_micro
         FROM cum
+    """
+    oracles["benford_chi2"] = """
+        WITH digits AS (
+          SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM (
+            SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v
+            FROM orders
+          ) WHERE v > 0 GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS N_ FROM digits)
+        SELECT digit, n,
+          CAST(FLOOR((CASE digit WHEN 1 THEN CAST(0.3010299956639812 AS DOUBLE) WHEN 2 THEN CAST(0.17609125905568124 AS DOUBLE) WHEN 3 THEN CAST(0.12493873660829992 AS DOUBLE) WHEN 4 THEN CAST(0.09691001300805642 AS DOUBLE) WHEN 5 THEN CAST(0.07918124604762482 AS DOUBLE) WHEN 6 THEN CAST(0.06694678963061322 AS DOUBLE) WHEN 7 THEN CAST(0.05799194697768673 AS DOUBLE) WHEN 8 THEN CAST(0.05115252244738129 AS DOUBLE) WHEN 9 THEN CAST(0.04575749056067514 AS DOUBLE) END) * 1000000) AS BIGINT) AS expected_micro,
+          CAST(FLOOR(
+            (n - N_ * (CASE digit WHEN 1 THEN CAST(0.3010299956639812 AS DOUBLE) WHEN 2 THEN CAST(0.17609125905568124 AS DOUBLE) WHEN 3 THEN CAST(0.12493873660829992 AS DOUBLE) WHEN 4 THEN CAST(0.09691001300805642 AS DOUBLE) WHEN 5 THEN CAST(0.07918124604762482 AS DOUBLE) WHEN 6 THEN CAST(0.06694678963061322 AS DOUBLE) WHEN 7 THEN CAST(0.05799194697768673 AS DOUBLE) WHEN 8 THEN CAST(0.05115252244738129 AS DOUBLE) WHEN 9 THEN CAST(0.04575749056067514 AS DOUBLE) END)) * (n - N_ * (CASE digit WHEN 1 THEN CAST(0.3010299956639812 AS DOUBLE) WHEN 2 THEN CAST(0.17609125905568124 AS DOUBLE) WHEN 3 THEN CAST(0.12493873660829992 AS DOUBLE) WHEN 4 THEN CAST(0.09691001300805642 AS DOUBLE) WHEN 5 THEN CAST(0.07918124604762482 AS DOUBLE) WHEN 6 THEN CAST(0.06694678963061322 AS DOUBLE) WHEN 7 THEN CAST(0.05799194697768673 AS DOUBLE) WHEN 8 THEN CAST(0.05115252244738129 AS DOUBLE) WHEN 9 THEN CAST(0.04575749056067514 AS DOUBLE) END))
+            / (N_ * (CASE digit WHEN 1 THEN CAST(0.3010299956639812 AS DOUBLE) WHEN 2 THEN CAST(0.17609125905568124 AS DOUBLE) WHEN 3 THEN CAST(0.12493873660829992 AS DOUBLE) WHEN 4 THEN CAST(0.09691001300805642 AS DOUBLE) WHEN 5 THEN CAST(0.07918124604762482 AS DOUBLE) WHEN 6 THEN CAST(0.06694678963061322 AS DOUBLE) WHEN 7 THEN CAST(0.05799194697768673 AS DOUBLE) WHEN 8 THEN CAST(0.05115252244738129 AS DOUBLE) WHEN 9 THEN CAST(0.04575749056067514 AS DOUBLE) END)) * 1000000) AS BIGINT) AS chi2_term_micro
+        FROM digits CROSS JOIN tot
     """
     return oracles

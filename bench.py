@@ -271,10 +271,11 @@ PIPELINE = [
     "cronbach_alpha",
     "nelson_aalen",
     "dp_noisy_counts",
-    "feature_hashing",
+    "feature_hashing_signed",
     "wasserstein_drift",
     "roc_points",
     "average_precision",
+    "benford_chi2",
 ]
 
 

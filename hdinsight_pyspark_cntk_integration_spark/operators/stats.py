@@ -5176,3 +5176,56 @@ def average_precision(
             " DIV NULLIF(SUM(p), 0) AS BIGINT)"
         ).alias("ap_micro"),
     )
+
+
+def benford_digits(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Benford's-law first-digit audit — the classic fabricated-data /
+    corrupted-feed screen for naturally-scaled positive quantities
+    (amounts, populations, counts): lawful data has
+    ``P(d) = log10(1 + 1/d)``; uniform or hand-typed data doesn't.
+
+    The first digit comes from the decimal STRING of the positive
+    integer value (exact in every engine — no float log10 at
+    power-of-ten boundaries); the nine expected probabilities are
+    Python-computed double literals embedded in the plan (the ndcg
+    discount-table discipline), and each digit's chi-square term
+    ``(n_d − N·p_d)²/(N·p_d)`` is ONE fixed double expression floored
+    to micro. Non-positive values drop (Benford's domain).
+
+    Scale shape: one projection + one 9-key partial-agg shuffle, a
+    1-row total broadcast. Returns 9 rows (digit, n, expected_micro,
+    chi2_term_micro) — Σ chi2_term_micro vs a chi-square(8) critical
+    value is the caller's alarm.
+    """
+    import math
+
+    probs = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+    v = F.col(value_col).cast("long")
+    digits = (
+        df.filter(v > 0)
+        .select(F.substring(v.cast("string"), 1, 1).cast("long").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = digits.groupBy().agg(F.sum("n").cast("long").alias("__N"))
+    p_expr = "CASE digit " + " ".join(
+        f"WHEN {d} THEN CAST({p!r} AS DOUBLE)" for d, p in probs.items()
+    ) + " END"
+    return (
+        digits.join(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.expr(
+                f"CAST(FLOOR(({p_expr}) * 1000000) AS BIGINT)"
+            ).alias("expected_micro"),
+            F.expr(
+                f"""CAST(FLOOR(
+                  (n - __N * ({p_expr})) * (n - __N * ({p_expr}))
+                  / (__N * ({p_expr})) * 1000000) AS BIGINT)"""
+            ).alias("chi2_term_micro"),
+        )
+    )
