@@ -6995,6 +6995,71 @@ def q_benford_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.benford_digits(frame, "cents")
 
 
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) recalibration of the balance-percent score
+    against the urgent-order label (operators.stats.
+    isotonic_calibration) — the monotone map that reliability-diagram
+    miscalibration feeds into; computed via the minimax identity over
+    the ~100-level score domain (bounded segments, never row pairs;
+    windows over the level aggregate — allowlisted)."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    pop = _urgent_labelled_customers(spark, sf_dir)
+    mm = pop.groupBy().agg(F.min("v").alias("__mn"), F.max("v").alias("__mx"))
+    scored = pop.join(F.broadcast(mm)).select(
+        F.floor(
+            (F.col("v") - F.col("__mn")) / (F.col("__mx") - F.col("__mn"))
+            * F.lit(100.0)
+        ).cast("long").alias("pct"),
+        F.col("y").cast("long").alias("y"),
+    )
+    return st.isotonic_calibration(scored, "pct", "y")
+
+
+def q_diebold_mariano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diebold-Mariano forecast comparison (operators.stats.
+    diebold_mariano): over the per-nation monthly revenue series, does
+    the naive lag-1 forecast beat the 2-month-average forecast in
+    absolute cents error? Per-target losses from windows over the
+    bounded (nation, month) aggregate; DM from exact integer sums,
+    one sqrt."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    monthly = (
+        orders.join(
+            customer.select("c_custkey", "c_nationkey"),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("m"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("nation", "m")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+    )
+    w = Window.partitionBy("nation").orderBy("m")
+    losses = (
+        monthly.select(
+            "nation",
+            "m",
+            "rev",
+            F.lag("rev", 1).over(w).alias("__p1"),
+            F.lag("rev", 2).over(w).alias("__p2"),
+        )
+        .filter(F.col("__p2").isNotNull())
+        .select(
+            F.abs(F.col("rev") - F.col("__p1")).alias("loss_a"),
+            F.abs(
+                F.col("rev") - F.expr("(__p1 + __p2) DIV 2")
+            ).alias("loss_b"),
+        )
+    )
+    return st.diebold_mariano(losses, "loss_a", "loss_b")
+
+
 # Driver-gate window (ROTATION.md): the driver records the FIRST 50
 # entries of queries() in CORRECTNESS_r{N}.json. Round 13 executes the
 # committed plan (ROTATION.md "Round 13 window"): the 10 round-12
@@ -7028,7 +7093,7 @@ _GATE_WINDOW = [
     "session_window_native",
     "sessionize",
     "token_stats",
-    # 26 round-13 additions (displace the last 26 text re-gates to the
+    # 28 round-13 additions (displace the last 28 text re-gates to the
     # round-14 queue head, per the standing end-displacement policy)
     "benjamini_hochberg",
     "icc_oneway",
@@ -7056,12 +7121,12 @@ _GATE_WINDOW = [
     "roc_points",
     "average_precision",
     "benford_chi2",
-    # 5 re-gates: text/corpus family head (last gated r7-r8)
+    "isotonic_calibration",
+    "diebold_mariano",
+    # 3 re-gates: text/corpus family head (last gated r7-r8)
     "tfidf_top_terms",
     "bm25_search",
     "unigram_logprob",
-    "bigram_logprob",
-    "kneser_ney",
 ]
 
 
@@ -7471,6 +7536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_points": q_roc_points,
         "average_precision": q_average_precision,
         "benford_chi2": q_benford_chi2,
+        "isotonic_calibration": q_isotonic_calibration,
+        "diebold_mariano": q_diebold_mariano,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -16654,5 +16721,81 @@ def oracle_sql() -> dict[str, str]:
             (n - N_ * (CASE digit WHEN 1 THEN CAST(0.3010299956639812 AS DOUBLE) WHEN 2 THEN CAST(0.17609125905568124 AS DOUBLE) WHEN 3 THEN CAST(0.12493873660829992 AS DOUBLE) WHEN 4 THEN CAST(0.09691001300805642 AS DOUBLE) WHEN 5 THEN CAST(0.07918124604762482 AS DOUBLE) WHEN 6 THEN CAST(0.06694678963061322 AS DOUBLE) WHEN 7 THEN CAST(0.05799194697768673 AS DOUBLE) WHEN 8 THEN CAST(0.05115252244738129 AS DOUBLE) WHEN 9 THEN CAST(0.04575749056067514 AS DOUBLE) END)) * (n - N_ * (CASE digit WHEN 1 THEN CAST(0.3010299956639812 AS DOUBLE) WHEN 2 THEN CAST(0.17609125905568124 AS DOUBLE) WHEN 3 THEN CAST(0.12493873660829992 AS DOUBLE) WHEN 4 THEN CAST(0.09691001300805642 AS DOUBLE) WHEN 5 THEN CAST(0.07918124604762482 AS DOUBLE) WHEN 6 THEN CAST(0.06694678963061322 AS DOUBLE) WHEN 7 THEN CAST(0.05799194697768673 AS DOUBLE) WHEN 8 THEN CAST(0.05115252244738129 AS DOUBLE) WHEN 9 THEN CAST(0.04575749056067514 AS DOUBLE) END))
             / (N_ * (CASE digit WHEN 1 THEN CAST(0.3010299956639812 AS DOUBLE) WHEN 2 THEN CAST(0.17609125905568124 AS DOUBLE) WHEN 3 THEN CAST(0.12493873660829992 AS DOUBLE) WHEN 4 THEN CAST(0.09691001300805642 AS DOUBLE) WHEN 5 THEN CAST(0.07918124604762482 AS DOUBLE) WHEN 6 THEN CAST(0.06694678963061322 AS DOUBLE) WHEN 7 THEN CAST(0.05799194697768673 AS DOUBLE) WHEN 8 THEN CAST(0.05115252244738129 AS DOUBLE) WHEN 9 THEN CAST(0.04575749056067514 AS DOUBLE) END)) * 1000000) AS BIGINT) AS chi2_term_micro
         FROM digits CROSS JOIN tot
+    """
+    oracles["isotonic_calibration"] = f"""
+        WITH {_URGENT_POP},
+        mm AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM lab),
+        scored AS (
+          SELECT CAST(FLOOR((lab.v - mm.mn) / (mm.mx - mm.mn) * 100.0)
+              AS BIGINT) AS s,
+            CASE WHEN lab.y THEN 1 ELSE 0 END AS y
+          FROM lab CROSS JOIN mm
+        ),
+        lv AS (
+          SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(y) AS BIGINT) AS pos
+          FROM scored GROUP BY 1
+        ),
+        cum AS (
+          SELECT s, n, pos,
+            SUM(n) OVER (ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+            SUM(pos) OVER (ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+          FROM lv
+        ),
+        segs AS (
+          SELECT a.s AS j, b.s AS k,
+            CAST(b.cp - (a.cp - a.pos) AS DOUBLE)
+              / CAST(b.cn - (a.cn - a.n) AS DOUBLE) AS avg
+          FROM cum a JOIN cum b ON a.s <= b.s
+        ),
+        inner_m AS (
+          SELECT i.s AS i, g.j, MIN(g.avg) AS minavg
+          FROM cum i JOIN segs g ON g.j <= i.s AND g.k >= i.s
+          GROUP BY 1, 2
+        ),
+        fit AS (
+          SELECT i, CAST(FLOOR(MAX(minavg) * 1000000.0) AS BIGINT)
+            AS iso_micro
+          FROM inner_m GROUP BY 1
+        )
+        SELECT cum.s AS score, cum.n, cum.pos, fit.iso_micro
+        FROM cum JOIN fit ON fit.i = cum.s
+    """
+    oracles["diebold_mariano"] = """
+        WITH monthly AS MATERIALIZED (
+          SELECT c.c_nationkey AS nation,
+            EXTRACT(year FROM o.o_orderdate) * 12
+              + EXTRACT(month FROM o.o_orderdate) - 1 AS m,
+            CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS rev
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2
+        ),
+        lagged AS (
+          SELECT rev,
+            LAG(rev, 1) OVER (PARTITION BY nation ORDER BY m) AS p1,
+            LAG(rev, 2) OVER (PARTITION BY nation ORDER BY m) AS p2
+          FROM monthly
+        ),
+        losses AS (
+          SELECT ABS(rev - p1) AS la,
+            ABS(rev - (CAST(p1 + p2 AS HUGEINT) // 2)) AS lb
+          FROM lagged WHERE p2 IS NOT NULL
+        ),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(la - lb) AS HUGEINT) AS s,
+            SUM(CAST(la - lb AS HUGEINT) * (la - lb)) AS q
+          FROM losses
+        )
+        SELECT n,
+          CAST(s * 1000000 // NULLIF(n, 0) AS BIGINT) AS mean_diff_micro,
+          CAST(FLOOR(
+            CAST(s AS DOUBLE) * SQRT(CAST(n - 1 AS DOUBLE))
+            / NULLIF(SQRT(CAST(n * q - s * s AS DOUBLE)), 0.0)
+            * 1000000) AS BIGINT) AS dm_micro
+        FROM tot
     """
     return oracles

@@ -276,6 +276,8 @@ PIPELINE = [
     "roc_points",
     "average_precision",
     "benford_chi2",
+    "isotonic_calibration",
+    "diebold_mariano",
 ]
 
 

@@ -5229,3 +5229,121 @@ def benford_digits(
             ).alias("chi2_term_micro"),
         )
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Isotonic (monotone) calibration of a binary-outcome rate against
+    a score — the nonparametric recalibration map (PAVA fit) that
+    Platt scaling can't match when the miscalibration isn't sigmoid:
+    fitted rates are the pool-adjacent-violators solution, computed
+    here via the MINIMAX identity ``ŷ_i = max_{j≤i} min_{k≥i}
+    avg(y_j..y_k)`` — no sequential pooling loop, so the whole fit is
+    three bounded joins/aggregates.
+
+    CONTRACT: the score must be pre-quantized to a BOUNDED level
+    domain (the calibration_bins discipline — e.g. 100 levels): the
+    minimax enumerates level SEGMENTS, |levels|³/6 tiny rows for ~100
+    levels, and none of it scales with the row count (rows only feed
+    the per-level aggregate).
+
+    Determinism: segment averages are divisions of exact integer
+    cumulative sums (identical doubles in both engines); min/max over
+    those doubles are order-independent; ONE floor to micro at the
+    end.
+
+    Returns (score, n, pos, iso_micro) per level, iso monotone
+    non-decreasing in score.
+    """
+    y = F.col(label_col).cast("long")
+    lv = df.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y).cast("long").alias("pos"),
+    )
+    w = Window.orderBy(F.col("s")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = lv.select(
+        "s",
+        "n",
+        "pos",
+        F.sum("n").over(w).cast("long").alias("cn"),
+        F.sum("pos").over(w).cast("long").alias("cp"),
+    )
+    a = cum.select(
+        F.col("s").alias("j"),
+        (F.col("cn") - F.col("n")).alias("cn_before"),
+        (F.col("cp") - F.col("pos")).alias("cp_before"),
+    )
+    b = cum.select(
+        F.col("s").alias("k"), F.col("cn").alias("cn_k"), F.col("cp").alias("cp_k")
+    )
+    segs = a.join(b, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("cp_k") - F.col("cp_before")).cast("double")
+            / (F.col("cn_k") - F.col("cn_before")).cast("double")
+        ).alias("avg"),
+    )
+    lev = cum.select(F.col("s").alias("i"))
+    tri = lev.join(
+        segs, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i"))
+    )
+    inner = tri.groupBy("i", "j").agg(F.min("avg").alias("minavg"))
+    fit = inner.groupBy("i").agg(
+        F.floor(F.max("minavg") * F.lit(1_000_000.0)).cast("long").alias(
+            "iso_micro"
+        )
+    )
+    return (
+        cum.join(fit, cum["s"] == fit["i"])
+        .select("s", "n", "pos", "iso_micro")
+        .withColumnRenamed("s", "score")
+    )
+
+
+def diebold_mariano(
+    df: DataFrame,
+    loss_a_col: str,
+    loss_b_col: str,
+) -> DataFrame:
+    """Diebold-Mariano forecast-comparison test (Diebold & Mariano
+    1995, the iid-differential form) — is forecaster A's loss
+    significantly different from B's on the same targets? The
+    decision-grade companion to pinball_loss/mase (which score one
+    forecaster in isolation): with per-target loss differential
+    ``d = loss_a − loss_b``,
+
+        DM = mean(d) / √(var(d)/n) = S·√(n−1) / √(n·Q − S²)
+
+    over exact integer sums S = Σd, Q = Σd² — ONE fixed double
+    expression, floored to micro. (The HAC-corrected form for
+    h-step-overlap forecasts adds autocovariance terms; per-target
+    iid losses — the eval-set regime — use this one.)
+
+    Scale shape: a single partial-agg reduce. Integer losses required
+    (quantize upstream). DM is NULL when all differentials are equal
+    (zero variance). Returns one row (n, mean_diff_micro, dm_micro).
+    """
+    d = F.col(loss_a_col).cast("long") - F.col(loss_b_col).cast("long")
+    tot = df.select(d.alias("__d")).groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__d").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("__d").cast("decimal(38,0)") * F.col("__d")).alias("q"),
+    )
+    return tot.select(
+        "n",
+        F.expr("CAST(s * 1000000 DIV NULLIF(n, 0) AS BIGINT)").alias(
+            "mean_diff_micro"
+        ),
+        F.expr(
+            """CAST(FLOOR(
+              CAST(s AS DOUBLE) * SQRT(CAST(n - 1 AS DOUBLE))
+              / NULLIF(SQRT(CAST(n * q - s * s AS DOUBLE)), 0.0)
+              * 1000000) AS BIGINT)"""
+        ).alias("dm_micro"),
+    )

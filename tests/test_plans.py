@@ -244,6 +244,9 @@ _INTENTIONAL_LINT = {
     "wasserstein_drift": {"global-window"},
     "roc_points": {"global-window"},
     "average_precision": {"global-window"},
+    # isotonic_calibration — level-domain windows + bounded segment
+    # joins over the ~100-level quantized score (contract-bounded).
+    "isotonic_calibration": {"global-window"},
     "epoch_shuffle": {"global-window"},
     "sentence_split": {"python-row-udf"},
     "distinct_labels": {"global-sort"},

@@ -396,3 +396,45 @@ def test_average_precision_perfect_and_worst(spark):
     r2 = st.average_precision(worst, "s", "y").collect()[0]
     # positives at ranks 3, 4: AP = (1/3 + 2/4)/2 = 5/12 (micro-truncated)
     assert abs(r2["ap_micro"] - (5 * 1_000_000) // 12) <= 1
+
+
+def test_isotonic_pava_pools_violators(spark):
+    # level rates: s=1 -> 1.0, s=2 -> 0.0, s=3 -> 1.0
+    # PAVA pools levels 1-2 (violation): fit = [0.5, 0.5, 1.0]
+    rows = [(1, 1), (1, 1), (2, 0), (2, 0), (3, 1), (3, 1)]
+    df = spark.createDataFrame(rows, "s long, y long")
+    out = {r["score"]: r["iso_micro"] for r in
+           st.isotonic_calibration(df, "s", "y").collect()}
+    assert out == {1: 500_000, 2: 500_000, 3: 1_000_000}
+    # already-monotone input is returned unchanged
+    mono = spark.createDataFrame(
+        [(1, 0), (1, 0), (2, 1), (2, 0), (3, 1), (3, 1)], "s long, y long"
+    )
+    out2 = {r["score"]: r["iso_micro"] for r in
+            st.isotonic_calibration(mono, "s", "y").collect()}
+    assert out2 == {1: 0, 2: 500_000, 3: 1_000_000}
+
+
+def test_isotonic_output_is_monotone(spark):
+    rows = [(s, (s * 7 + i) % 3 == 0) for s in range(10) for i in range(8)]
+    df = spark.createDataFrame(
+        [(s, int(y)) for s, y in rows], "s long, y long"
+    )
+    out = sorted(
+        (r["score"], r["iso_micro"])
+        for r in st.isotonic_calibration(df, "s", "y").collect()
+    )
+    fits = [f for _, f in out]
+    assert fits == sorted(fits)
+
+
+def test_diebold_mariano_signs(spark):
+    # A always worse by a constant 2 with some jitter -> positive DM
+    rows = [(10 + (i % 3), 8 + (i % 2)) for i in range(20)]
+    df = spark.createDataFrame(rows, "la long, lb long")
+    r = st.diebold_mariano(df, "la", "lb").collect()[0]
+    assert r["dm_micro"] > 0 and r["mean_diff_micro"] > 0
+    # identical losses -> zero-variance NULL
+    same = spark.createDataFrame([(5, 5), (7, 7)], "la long, lb long")
+    r2 = st.diebold_mariano(same, "la", "lb").collect()[0]
+    assert r2["dm_micro"] is None and r2["mean_diff_micro"] == 0
