@@ -117,7 +117,7 @@ def running_counts_stateful(
         update_fn,
         outputStructType=f"{key_col} long, total long",
         stateStructType="total long",
-        outputMode="update",
+        outputMode=output_mode,
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
@@ -384,4 +384,81 @@ def dedup_stateful_first_seen(
         stateStructType="seen boolean",
         outputMode="append",
         timeoutConf=timeout,
+    )
+
+
+def cusum_stateful(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "cents",
+    target: int = 5000,
+    slack: int = 500,
+    threshold: int = 50_000,
+    output_mode: str = "update",
+) -> DataFrame:
+    """Continuous one-sided CUSUM drift alarm via
+    ``applyInPandasWithState`` — the STREAMING twin of
+    ``operators.stats.cusum_detect`` (same recursion
+    ``S = max(0, S + (x − target − slack))``, same alarm
+    ``S > threshold``), for the monitoring loop that can't wait for
+    the nightly batch: state per key is four longs
+    (S, max_S, step, first_alarm_step), updated each micro-batch in
+    ``order_col`` order within the batch.
+
+    ORDERING CONTRACT (documented): cross-batch order is the stream's
+    arrival order — exactness vs the batch detector requires the
+    source to deliver each key's rows in ``order_col`` order across
+    batches (true for the replay source and any log-compacted feed);
+    within a batch rows are sorted explicitly. State scales with
+    |keys|, never |events|.
+
+    Emits one row per (key, batch) with the running detector state —
+    ``update`` mode by default; pass ``output_mode="append"`` for
+    sinks that cannot recover updates from a checkpoint (parquet —
+    the restart-safe alerting log; dedupe on max n per key
+    downstream). Downstream alerting keys on first_alarm_step
+    becoming non-NULL. Returns (key, n, max_cusum, first_alarm_step)
+    exactly matching the batch operator's columns after the final
+    batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    drift = int(target) + int(slack)
+    thr = int(threshold)
+
+    def update_fn(key, pdfs, state):
+        if state.exists:
+            s, mx, step, alarm = state.get
+        else:
+            s, mx, step, alarm = 0, 0, 0, 0  # alarm 0 = never (step is 1-based)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            for x in pdf[value_col].astype("int64"):
+                s = s + (int(x) - drift)
+                if s < 0:
+                    s = 0
+                step += 1
+                if s > mx:
+                    mx = s
+                if alarm == 0 and s > thr:
+                    alarm = step
+        state.update((s, mx, step, alarm))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n": [step],
+                "max_cusum": [mx],
+                "first_alarm_step": [alarm if alarm > 0 else None],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update_fn,
+        outputStructType=f"{key_col} long, n long, max_cusum long,"
+        " first_alarm_step long",
+        stateStructType="s long, mx long, step long, alarm long",
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
