@@ -7060,6 +7060,72 @@ def q_diebold_mariano(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.diebold_mariano(losses, "loss_a", "loss_b")
 
 
+def q_log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test (operators.stats.log_rank_test) over the
+    kaplan_meier time-to-repurchase frame: BUILDING vs MACHINERY
+    segments — are the repurchase curves different, risk-set-weighted?
+    The inferential closer of the KM / Nelson-Aalen family; per-time E
+    and V terms floored to micro at birth, windows over the pooled
+    time domain (allowlisted)."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    subj = _repurchase_subjects(spark, sf_dir).filter(
+        F.col("segment").isin(["BUILDING", "MACHINERY"])
+    )
+    return st.log_rank_test(subj, "segment", "dur", "ev", "BUILDING", "MACHINERY")
+
+
+def q_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test (operators.stats.
+    two_proportion_ztest): do BUILDING and MACHINERY customers convert
+    to urgent orders at different rates? The per-slice battery member
+    whose p-values feed benjamini_hochberg; exact counts, one fixed
+    double z floored to micro."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("__u", F.lit(1))
+    )
+    frame = customer.join(urgent, "c_custkey", "left").select(
+        "c_mktsegment",
+        F.coalesce(F.col("__u"), F.lit(0)).cast("long").alias("converted"),
+    )
+    return st.two_proportion_ztest(
+        frame, "c_mktsegment", "converted", "BUILDING", "MACHINERY"
+    )
+
+
+def q_post_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified arm contrast (operators.stats.
+    post_stratified_mean): the Knuth-mix A/B assignment over customers
+    (the ab-test fixture family), outcome = account balance cents,
+    post-stratified by nation — the after-the-fact variance reduction
+    cuped_ab gets from a covariate, from a stratum instead. Matched
+    strata only (cem_att convention); exact integer arithmetic with
+    per-stratum truncating DIVs."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    customer = load_table(spark, sf_dir, "customer")
+    arm = F.when(
+        F.pmod(
+            F.pmod(F.col("c_custkey"), F.lit(1_000_003)) * F.lit(2654435761),
+            F.lit(1_000_003),
+        ) % 2 == 0,
+        "A",
+    ).otherwise("B")
+    frame = customer.select(
+        arm.alias("arm"),
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    return st.post_stratified_mean(frame, "arm", "nation", "cents", "A", "B")
+
+
 # Driver-gate window (ROTATION.md): the driver records the FIRST 50
 # entries of queries() in CORRECTNESS_r{N}.json. Round 13 executes the
 # committed plan (ROTATION.md "Round 13 window"): the 10 round-12
@@ -7093,7 +7159,7 @@ _GATE_WINDOW = [
     "session_window_native",
     "sessionize",
     "token_stats",
-    # 28 round-13 additions (displace the last 28 text re-gates to the
+    # 31 round-13 additions (displace ALL remaining text re-gates to the
     # round-14 queue head, per the standing end-displacement policy)
     "benjamini_hochberg",
     "icc_oneway",
@@ -7123,10 +7189,9 @@ _GATE_WINDOW = [
     "benford_chi2",
     "isotonic_calibration",
     "diebold_mariano",
-    # 3 re-gates: text/corpus family head (last gated r7-r8)
-    "tfidf_top_terms",
-    "bm25_search",
-    "unigram_logprob",
+    "log_rank_test",
+    "two_proportion_z",
+    "post_stratified",
 ]
 
 
@@ -7538,6 +7603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_chi2": q_benford_chi2,
         "isotonic_calibration": q_isotonic_calibration,
         "diebold_mariano": q_diebold_mariano,
+        "log_rank_test": q_log_rank_test,
+        "two_proportion_z": q_two_proportion_z,
+        "post_stratified": q_post_stratified,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -16797,5 +16865,141 @@ def oracle_sql() -> dict[str, str]:
             / NULLIF(SQRT(CAST(n * q - s * s AS DOUBLE)), 0.0)
             * 1000000) AS BIGINT) AS dm_micro
         FROM tot
+    """
+    oracles["log_rank_test"] = """
+        WITH h AS (SELECT MAX(o_orderdate) AS hz FROM orders),
+        base AS (
+          SELECT c.c_mktsegment AS segment, o.o_orderdate,
+            LEAD(o.o_orderdate) OVER (
+              PARTITION BY o.o_custkey
+              ORDER BY o.o_orderdate, o.o_orderkey) AS nxt
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        ),
+        r AS (
+          SELECT segment = 'BUILDING' AS ga,
+            CAST(datediff('day', o_orderdate,
+              COALESCE(nxt, (SELECT hz FROM h))) AS BIGINT) AS t,
+            (nxt IS NOT NULL) AS e
+          FROM base
+        ),
+        per_t AS (
+          SELECT t,
+            CAST(SUM(CASE WHEN ga AND e THEN 1 ELSE 0 END) AS BIGINT)
+              AS da,
+            CAST(SUM(CASE WHEN ga AND NOT e THEN 1 ELSE 0 END) AS BIGINT)
+              AS ca,
+            CAST(SUM(CASE WHEN NOT ga AND e THEN 1 ELSE 0 END) AS BIGINT)
+              AS db,
+            CAST(SUM(CASE WHEN NOT ga AND NOT e THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+          FROM r GROUP BY 1
+        ),
+        staged AS (
+          SELECT t, da, db,
+            CAST(SUM(da + ca) OVER ()
+              - COALESCE(SUM(da + ca) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS na,
+            CAST(SUM(db + cb) OVER ()
+              - COALESCE(SUM(db + cb) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS nb
+          FROM per_t
+        ),
+        terms AS (
+          SELECT da,
+            CAST(FLOOR(CAST(da + db AS DOUBLE) * na / (na + nb)
+              * 1000000) AS BIGINT) AS e_micro,
+            CASE WHEN na + nb < 2 THEN CAST(0 AS BIGINT)
+              ELSE CAST(FLOOR(
+                CAST(da + db AS DOUBLE)
+                * (CAST(na AS DOUBLE) / (na + nb))
+                * (1.0 - CAST(na AS DOUBLE) / (na + nb))
+                * (CAST(na + nb - da - db AS DOUBLE) / (na + nb - 1))
+                * 1000000) AS BIGINT) END AS v_micro
+          FROM staged WHERE da + db > 0
+        ),
+        tot AS (
+          SELECT CAST(SUM(da) AS BIGINT) AS o_a,
+            CAST(SUM(e_micro) AS BIGINT) AS e_a_micro,
+            CAST(SUM(v_micro) AS BIGINT) AS v_micro
+          FROM terms
+        )
+        SELECT o_a, e_a_micro, v_micro,
+          CAST(FLOOR(
+            (CAST(o_a AS DOUBLE) * 1000000 - e_a_micro)
+            / NULLIF(SQRT(CAST(v_micro AS DOUBLE) * 1000000), 0.0)
+            * 1000000) AS BIGINT) AS z_micro
+        FROM tot
+    """
+    oracles["two_proportion_z"] = """
+        WITH urgent AS (
+          SELECT DISTINCT o_custkey AS c_custkey, 1 AS u
+          FROM orders WHERE o_orderpriority = '1-URGENT'
+        ),
+        frame AS (
+          SELECT c.c_mktsegment AS g,
+            CAST(COALESCE(u.u, 0) AS BIGINT) AS s
+          FROM customer c LEFT JOIN urgent u USING (c_custkey)
+          WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        ),
+        tot AS (
+          SELECT
+            CAST(SUM(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_a,
+            CAST(SUM(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_b,
+            CAST(SUM(CASE WHEN g = 'BUILDING' THEN s ELSE 0 END) AS BIGINT)
+              AS x_a,
+            CAST(SUM(CASE WHEN g = 'MACHINERY' THEN s ELSE 0 END) AS BIGINT)
+              AS x_b
+          FROM frame
+        )
+        SELECT n_a, n_b, x_a, x_b,
+          CASE WHEN n_a = 0 OR n_b = 0
+              OR x_a + x_b = 0 OR x_a + x_b = n_a + n_b
+          THEN CAST(NULL AS BIGINT)
+          ELSE CAST(FLOOR(
+            (CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+            / SQRT(
+              (CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+              * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+              * (1.0 / n_a + 1.0 / n_b))
+            * 1000000) AS BIGINT) END AS z_micro
+        FROM tot
+    """
+    oracles["post_stratified"] = """
+        WITH frame AS (
+          SELECT CASE WHEN ((c_custkey % 1000003) * 2654435761)
+                   % 1000003 % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+            c_nationkey AS s,
+            CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS y
+          FROM customer
+        ),
+        per AS (
+          SELECT s,
+            CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+              AS na,
+            CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+              AS nb,
+            CAST(SUM(CASE WHEN arm = 'A' THEN y ELSE 0 END) AS BIGINT)
+              AS sya,
+            CAST(SUM(CASE WHEN arm = 'B' THEN y ELSE 0 END) AS BIGINT)
+              AS syb
+          FROM frame GROUP BY 1
+        ),
+        matched AS (
+          SELECT na, nb,
+            CAST(na + nb AS HUGEINT)
+              * ((sya * 1000000 // na) - (syb * 1000000 // nb)) AS term
+          FROM per WHERE na > 0 AND nb > 0
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+          CAST(SUM(na) AS BIGINT) AS n_a,
+          CAST(SUM(nb) AS BIGINT) AS n_b,
+          CAST(SUM(term) // NULLIF(SUM(na) + SUM(nb), 0) AS BIGINT)
+            AS diff_micro
+        FROM matched
     """
     return oracles

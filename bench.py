@@ -278,6 +278,9 @@ PIPELINE = [
     "benford_chi2",
     "isotonic_calibration",
     "diebold_mariano",
+    "log_rank_test",
+    "two_proportion_z",
+    "post_stratified",
 ]
 
 

@@ -5347,3 +5347,201 @@ def diebold_mariano(
               * 1000000) AS BIGINT)"""
         ).alias("dm_micro"),
     )
+
+
+def log_rank_test(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-group log-rank test (Mantel 1966) — the inferential sibling
+    of the kaplan_meier / nelson_aalen estimators: are the two
+    survival curves DIFFERENT, weighting every event time by its risk
+    set? At each pooled event time t with d_t events, n_t at risk and
+    n_{a,t} at risk in group A:
+
+        O = Σ d_{a,t},  E = Σ d_t·n_{a,t}/n_t,
+        V = Σ d_t·(n_a/n_t)·(1 − n_a/n_t)·(n_t − d_t)/(n_t − 1)
+
+    and z = (O − E)/√V (χ² = z² against 1 df).
+
+    Determinism: risk sets are exact integer cumulative windows over
+    the pooled distinct-TIME aggregate (the kaplan_meier shape); each
+    time's E and V terms are ONE fixed double expression over exact
+    integers floored to micro AT BIRTH, so the three totals are exact
+    BIGINT sums and the final z is one sqrt over micro integers.
+    Times with n_t = 1 contribute V = 0 by the (n_t − 1) guard.
+
+    Scale shape: one (group, t)-collapsed partial agg, windows over
+    the time domain, a 1-row reduce.
+
+    Returns one row (o_a, e_a_micro, v_micro, z_micro).
+    """
+    rows = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        (F.col(group_col) == group_a).alias("__ga"),
+        F.col(duration_col).cast("long").alias("t"),
+        F.col(event_col).cast("boolean").alias("__e"),
+    ).filter(F.col("t").isNotNull())
+    per_t = rows.groupBy("t").agg(
+        F.sum(F.when(F.col("__ga") & F.col("__e"), 1).otherwise(0))
+        .cast("long").alias("da"),
+        F.sum(F.when(F.col("__ga") & ~F.col("__e"), 1).otherwise(0))
+        .cast("long").alias("ca"),
+        F.sum(F.when(~F.col("__ga") & F.col("__e"), 1).otherwise(0))
+        .cast("long").alias("db"),
+        F.sum(F.when(~F.col("__ga") & ~F.col("__e"), 1).otherwise(0))
+        .cast("long").alias("cb"),
+    )
+    w_tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    staged = per_t.select(
+        "t",
+        "da",
+        "db",
+        (
+            F.sum(F.col("da") + F.col("ca")).over(w_tot)
+            - F.coalesce(F.sum(F.col("da") + F.col("ca")).over(w_before), F.lit(0))
+        ).cast("long").alias("na"),
+        (
+            F.sum(F.col("db") + F.col("cb")).over(w_tot)
+            - F.coalesce(F.sum(F.col("db") + F.col("cb")).over(w_before), F.lit(0))
+        ).cast("long").alias("nb"),
+    ).filter(F.col("da") + F.col("db") > 0)
+    terms = staged.select(
+        "da",
+        F.expr(
+            """CAST(FLOOR(CAST(da + db AS DOUBLE) * na / (na + nb)
+               * 1000000) AS BIGINT)"""
+        ).alias("e_micro"),
+        F.expr(
+            """CASE WHEN na + nb < 2 THEN CAST(0 AS BIGINT)
+               ELSE CAST(FLOOR(
+                 CAST(da + db AS DOUBLE)
+                 * (CAST(na AS DOUBLE) / (na + nb))
+                 * (1.0 - CAST(na AS DOUBLE) / (na + nb))
+                 * (CAST(na + nb - da - db AS DOUBLE) / (na + nb - 1))
+                 * 1000000) AS BIGINT) END"""
+        ).alias("v_micro"),
+    )
+    tot = terms.groupBy().agg(
+        F.sum("da").cast("long").alias("o_a"),
+        F.sum("e_micro").cast("long").alias("e_a_micro"),
+        F.sum("v_micro").cast("long").alias("v_micro"),
+    )
+    return tot.select(
+        "o_a",
+        "e_a_micro",
+        "v_micro",
+        F.expr(
+            """CAST(FLOOR(
+              (CAST(o_a AS DOUBLE) * 1000000 - e_a_micro)
+              / NULLIF(SQRT(CAST(v_micro AS DOUBLE) * 1000000), 0.0)
+              * 1000000) AS BIGINT)"""
+        ).alias("z_micro"),
+    )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Pooled two-proportion z-test — the conversion-rate / pass-rate
+    A-vs-B readout (the per-slice test whose p-values feed
+    benjamini_hochberg when run as a battery):
+
+        z = (p̂_a − p̂_b) / √(p̂·(1−p̂)·(1/n_a + 1/n_b)),  p̂ pooled.
+
+    Exact integer counts from one conditional-sum reduce; z is ONE
+    fixed double expression floored to micro. NULL when either arm is
+    empty or the pooled rate is degenerate (0 or 1 — zero variance).
+
+    Returns one row (n_a, n_b, x_a, x_b, z_micro).
+    """
+    ga = F.col(group_col) == group_a
+    gb = F.col(group_col) == group_b
+    s = F.col(success_col).cast("long")
+    tot = df.filter(ga | gb).groupBy().agg(
+        F.sum(ga.cast("long")).cast("long").alias("n_a"),
+        F.sum(gb.cast("long")).cast("long").alias("n_b"),
+        F.sum(F.when(ga, s).otherwise(0)).cast("long").alias("x_a"),
+        F.sum(F.when(gb, s).otherwise(0)).cast("long").alias("x_b"),
+    )
+    return tot.select(
+        "n_a",
+        "n_b",
+        "x_a",
+        "x_b",
+        F.expr(
+            """CASE WHEN n_a = 0 OR n_b = 0
+                 OR x_a + x_b = 0 OR x_a + x_b = n_a + n_b
+               THEN CAST(NULL AS BIGINT)
+               ELSE CAST(FLOOR(
+                 (CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                 / SQRT(
+                   (CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                   * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                   * (1.0 / n_a + 1.0 / n_b))
+                 * 1000000) AS BIGINT) END"""
+        ).alias("z_micro"),
+    )
+
+
+def post_stratified_mean(
+    df: DataFrame,
+    arm_col: str,
+    stratum_col: str,
+    value_col: str,
+    arm_a,
+    arm_b,
+) -> DataFrame:
+    """Post-stratified treatment-effect estimate — the variance
+    reduction you get AFTER the fact when assignment ignored a known
+    prognostic stratum (the non-covariate sibling of cuped_ab): weight
+    each stratum's within-arm mean difference by the stratum's POOLED
+    population share,
+
+        Δ_ps = Σ_s (N_s/N) · (ȳ_{a,s} − ȳ_{b,s})
+
+    over strata containing BOTH arms (matched strata, the cem_att
+    convention; dropped-strata mass is visible via n_strata vs the
+    caller's stratum count).
+
+    Exactness: integer outcomes; per-stratum means truncate ONCE each
+    (micro DIV), the weighted combination is exact DECIMAL, one final
+    DIV by the matched-population total. Returns one row
+    (n_strata, n_a, n_b, diff_micro).
+    """
+    a = F.col(arm_col) == arm_a
+    b = F.col(arm_col) == arm_b
+    y = F.col(value_col).cast("long")
+    per = df.filter(a | b).groupBy(F.col(stratum_col).alias("s")).agg(
+        F.sum(a.cast("long")).cast("long").alias("na"),
+        F.sum(b.cast("long")).cast("long").alias("nb"),
+        F.sum(F.when(a, y).otherwise(0)).cast("long").alias("sya"),
+        F.sum(F.when(b, y).otherwise(0)).cast("long").alias("syb"),
+    )
+    matched = per.filter((F.col("na") > 0) & (F.col("nb") > 0)).select(
+        "na",
+        "nb",
+        F.expr(
+            "CAST(CAST(na + nb AS DECIMAL(38,0))"
+            " * ((sya * 1000000 DIV na) - (syb * 1000000 DIV nb))"
+            " AS DECIMAL(38,0))"
+        ).alias("__term"),
+    )
+    return matched.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+        F.expr(
+            "CAST(SUM(__term) DIV NULLIF(SUM(na) + SUM(nb), 0) AS BIGINT)"
+        ).alias("diff_micro"),
+    )

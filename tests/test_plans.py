@@ -247,6 +247,9 @@ _INTENTIONAL_LINT = {
     # isotonic_calibration — level-domain windows + bounded segment
     # joins over the ~100-level quantized score (contract-bounded).
     "isotonic_calibration": {"global-window"},
+    # log_rank_test — risk-set windows over the pooled distinct-TIME
+    # aggregate (the kaplan_meier shape, time-domain-bounded).
+    "log_rank_test": {"global-window"},
     "epoch_shuffle": {"global-window"},
     "sentence_split": {"python-row-udf"},
     "distinct_labels": {"global-sort"},

@@ -438,3 +438,52 @@ def test_diebold_mariano_signs(spark):
     same = spark.createDataFrame([(5, 5), (7, 7)], "la long, lb long")
     r2 = st.diebold_mariano(same, "la", "lb").collect()[0]
     assert r2["dm_micro"] is None and r2["mean_diff_micro"] == 0
+
+
+def test_log_rank_identical_groups_zero(spark):
+    # same survival experience in both groups -> O == E, z ~ 0
+    rows = []
+    for g in ("a", "b"):
+        rows += [(g, 1, True), (g, 2, True), (g, 3, False)]
+    df = spark.createDataFrame(rows, "g string, dur long, ev boolean")
+    r = st.log_rank_test(df, "g", "dur", "ev", "a", "b").collect()[0]
+    assert abs(r["o_a"] * 1_000_000 - r["e_a_micro"]) <= 2  # micro truncation
+    assert abs(r["z_micro"]) <= 10
+
+
+def test_log_rank_separated_groups(spark):
+    # group a all events early, group b all censored late -> strong signal
+    rows = [("a", 1, True)] * 5 + [("b", 10, False)] * 5
+    df = spark.createDataFrame(rows, "g string, dur long, ev boolean")
+    r = st.log_rank_test(df, "g", "dur", "ev", "a", "b").collect()[0]
+    # O_a = 5, E_a = 5 * 5/10 = 2.5 -> positive z
+    assert r["o_a"] == 5 and r["z_micro"] > 1_000_000
+
+
+def test_two_proportion_z_hand_value(spark):
+    # a: 30/100, b: 20/100; pooled .25
+    rows = [("a", 1)] * 30 + [("a", 0)] * 70 + [("b", 1)] * 20 + [("b", 0)] * 80
+    df = spark.createDataFrame(rows, "g string, s long")
+    r = st.two_proportion_ztest(df, "g", "s", "a", "b").collect()[0]
+    expect = math.floor(
+        (0.30 - 0.20) / math.sqrt(0.25 * 0.75 * (1 / 100 + 1 / 100)) * 1e6
+    )
+    assert (r["n_a"], r["x_a"], r["x_b"]) == (100, 30, 20)
+    assert abs(r["z_micro"] - expect) <= 1
+    # degenerate: all successes -> NULL
+    d = spark.createDataFrame([("a", 1), ("b", 1)], "g string, s long")
+    assert st.two_proportion_ztest(d, "g", "s", "a", "b").collect()[0]["z_micro"] is None
+
+
+def test_post_stratified_corrects_imbalance(spark):
+    # stratum X: outcome 100; stratum Y: outcome 0. Arm A oversampled in
+    # X, so the naive diff is positive; within-stratum diffs are ZERO,
+    # so the post-stratified estimate is 0.
+    rows = (
+        [("A", "X", 100)] * 8 + [("A", "Y", 0)] * 2
+        + [("B", "X", 100)] * 2 + [("B", "Y", 0)] * 8
+    )
+    df = spark.createDataFrame(rows, "arm string, s string, y long")
+    r = st.post_stratified_mean(df, "arm", "s", "y", "A", "B").collect()[0]
+    assert (r["n_strata"], r["n_a"], r["n_b"]) == (2, 10, 10)
+    assert r["diff_micro"] == 0
