@@ -7126,6 +7126,24 @@ def q_post_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.post_stratified_mean(frame, "arm", "nation", "cents", "A", "B")
 
 
+def q_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus semantic contamination (operators.dedup.
+    embedding_contamination): which "eval" vectors (vec_id < 100)
+    near-duplicate the "train" slice (100 <= vec_id < 600) at cosine
+    >= 0.3 — the paraphrase-leakage scan token contamination misses.
+    Gate passes the exact bounded cross-candidate set so the DuckDB
+    brute-force oracle is checkable (the embedding_dedup precedent);
+    the production path is the parity-tagged banded-LSH generator
+    (planted-pair pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") < 100)
+    tr = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 600))
+    cand = ev.select(F.col("vec_id").alias("eval_id")).join(
+        F.broadcast(tr.select(F.col("vec_id").alias("train_id")))
+    )
+    return dd.embedding_contamination(ev, tr, threshold=0.3, candidates=cand)
+
+
 # Driver-gate window (ROTATION.md): the driver records the FIRST 50
 # entries of queries() in CORRECTNESS_r{N}.json. Round 13 executes the
 # committed plan (ROTATION.md "Round 13 window"): the 10 round-12
@@ -7606,6 +7624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_rank_test": q_log_rank_test,
         "two_proportion_z": q_two_proportion_z,
         "post_stratified": q_post_stratified,
+        "embedding_contamination": q_embedding_contamination,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -17001,5 +17020,19 @@ def oracle_sql() -> dict[str, str]:
           CAST(SUM(term) // NULLIF(SUM(na) + SUM(nb), 0) AS BIGINT)
             AS diff_micro
         FROM matched
+    """
+    oracles["embedding_contamination"] = """
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )
+        SELECT a.vec_id AS eval_id, b.vec_id AS train_id,
+          list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) AS cos
+        FROM e a JOIN e b
+          ON a.vec_id < 100 AND b.vec_id >= 100 AND b.vec_id < 600
+        WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= 0.3
     """
     return oracles

@@ -281,6 +281,7 @@ PIPELINE = [
     "log_rank_test",
     "two_proportion_z",
     "post_stratified",
+    "embedding_contamination",
 ]
 
 

@@ -1852,3 +1852,103 @@ def lsh_plan(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def embedding_contamination(
+    eval_df: DataFrame,
+    train_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int | None = None,
+    bands: int = 16,
+    seed: int = 42,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-corpus SEMANTIC contamination scan — which eval items are
+    embedding-near-duplicates of something in the training corpus:
+    the embedding-space analogue of :func:`near_dup_against` (n-gram
+    contamination catches copies; this catches paraphrases and
+    translations the token overlap misses — the leakage mode
+    benchmark-hygiene audits increasingly target).
+
+    Candidates default to the banded hyperplane LSH over the
+    parity-tagged union (eval = odd tid, train = even — the
+    near_dup_against construction, so only CROSS-corpus bucket
+    collisions survive and yesterday's banded train table is
+    persistable); the plane count self-sizes from the union row count
+    when ``num_planes`` is None. Pass ``candidates`` (eval_id,
+    train_id) explicitly for an exact generator (the oracle-checkable
+    gate does, on bounded slices).
+
+    Verify is EXACT cosine ≥ threshold with per-row precomputed norms
+    (the embedding_dedup arithmetic tree — identical doubles to the
+    DuckDB list_dot_product oracle). Returns (eval_id, train_id, cos)
+    — consumers quarantine flagged eval items or drop the training
+    side, per policy.
+    """
+    from hdinsight_pyspark_cntk_integration_spark.functions.vector import dot, l2_norm
+
+    if candidates is None:
+        integral = {"tinyint", "smallint", "int", "bigint"}
+        for side, frame in (("eval_df", eval_df), ("train_df", train_df)):
+            dtype = dict(frame.dtypes).get(id_col)
+            if dtype not in integral:
+                raise TypeError(
+                    f"embedding_contamination requires an integral {id_col!r};"
+                    f" {side}.{id_col} is {dtype!r}"
+                )
+
+        def _tag(offset: int):
+            idl = F.col(id_col).cast("long")
+            return F.when(
+                F.abs(idl) < F.lit(1 << 62), idl * 2 + offset
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("embedding_contamination: |id| >= 2^62"
+                              " overflows the parity tag: "),
+                        idl.cast("string"),
+                    )
+                ).cast("long")
+            )
+
+        union = eval_df.select(
+            _tag(1).alias("__tid"), F.col(vec_col)
+        ).unionByName(train_df.select(_tag(0).alias("__tid"), F.col(vec_col)))
+        cands = embedding_near_dup_candidates(
+            union, id_col="__tid", vec_col=vec_col,
+            num_planes=num_planes, bands=bands, seed=seed,
+        )
+        par_a = F.pmod(F.col("id_a"), F.lit(2))
+        par_b = F.pmod(F.col("id_b"), F.lit(2))
+        candidates = (
+            cands.filter(par_a != par_b)
+            .select(
+                F.shiftright(
+                    F.when(par_a == 1, F.col("id_a")).otherwise(F.col("id_b")), 1
+                ).cast("long").alias("eval_id"),
+                F.shiftright(
+                    F.when(par_a == 0, F.col("id_a")).otherwise(F.col("id_b")), 1
+                ).cast("long").alias("train_id"),
+            )
+            .distinct()
+        )
+    ea = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.col(vec_col).alias("__va"),
+        l2_norm(vec_col).alias("__na"),
+    )
+    tb = train_df.select(
+        F.col(id_col).alias("train_id"),
+        F.col(vec_col).alias("__vb"),
+        l2_norm(vec_col).alias("__nb"),
+    )
+    denom = F.col("__na") * F.col("__nb")
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(dot("__va", "__vb") / denom)
+    return (
+        candidates.join(ea, "eval_id")
+        .join(tb, "train_id")
+        .select("eval_id", "train_id", cos.alias("cos"))
+        .filter(F.col("cos") >= float(threshold))
+    )

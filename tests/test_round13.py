@@ -487,3 +487,38 @@ def test_post_stratified_corrects_imbalance(spark):
     r = st.post_stratified_mean(df, "arm", "s", "y", "A", "B").collect()[0]
     assert (r["n_strata"], r["n_a"], r["n_b"]) == (2, 10, 10)
     assert r["diff_micro"] == 0
+
+
+def test_embedding_contamination_lsh_planted_pair(spark):
+    # plant a near-identical eval/train pair; the parity-tagged LSH
+    # production path must surface it, and every emitted pair must be
+    # a true >= threshold pair (verify-exact containment)
+    import random
+
+    rnd = random.Random(7)
+    def vec(seed):
+        r = random.Random(seed)
+        return [r.uniform(-1, 1) for _ in range(16)]
+
+    base = vec(42)
+    near = [x + 0.01 for x in base]
+    train_rows = [(i, vec(i)) for i in range(100, 140)] + [(199, base)]
+    eval_rows = [(i, vec(1000 + i)) for i in range(10)] + [(99, near)]
+    tr = spark.createDataFrame(train_rows, "vec_id long, embedding array<float>")
+    ev = spark.createDataFrame(eval_rows, "vec_id long, embedding array<float>")
+    from hdinsight_pyspark_cntk_integration_spark.operators import dedup as dd2
+
+    got = dd2.embedding_contamination(
+        ev, tr, threshold=0.95, num_planes=4, bands=16
+    ).collect()
+    pairs = {(r["eval_id"], r["train_id"]) for r in got}
+    assert (99, 199) in pairs
+    assert all(r["cos"] >= 0.95 for r in got)
+
+
+def test_embedding_contamination_rejects_string_ids(spark):
+    from hdinsight_pyspark_cntk_integration_spark.operators import dedup as dd2
+
+    df = spark.createDataFrame([("a", [1.0, 0.0])], "vec_id string, embedding array<float>")
+    with pytest.raises(TypeError):
+        dd2.embedding_contamination(df, df)
