@@ -117,7 +117,7 @@ def running_counts_stateful(
         update_fn,
         outputStructType=f"{key_col} long, total long",
         stateStructType="total long",
-        outputMode=output_mode,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 

@@ -375,6 +375,12 @@ _SF_BROADCAST_ALLOW = {
     # CMS cells: (depth <= 4) x (width) sketch coordinates — bounded by
     # the sketch shape, not the data.
     "cms_counts",
+    # embedding_contamination gate: the broadcast side is the train
+    # SLICE bounded by a literal id range (vec_id in [100, 600) — max
+    # 500 rows at every SF), feeding the exact cross-candidate set the
+    # brute-force oracle requires; the production path is the
+    # parity-tagged LSH generator with no broadcast.
+    "embedding_contamination",
 }
 
 
