@@ -7144,6 +7144,23 @@ def q_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.embedding_contamination(ev, tr, threshold=0.3, candidates=cand)
 
 
+def q_dp_noisy_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace clipped-sum release (operators.pipeline.dp_noisy_sum):
+    per-nation total account balance in cents, each customer clipped
+    to $5,000 (C = 500000 cents) before summation so sensitivity is
+    exactly C; epsilon = ln 3. Completes the DP release pair with
+    dp_noisy_counts; md5 noise family for bit-for-bit oracle replay."""
+    customer = load_table(spark, sf_dir, "customer")
+    frame = customer.select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    return pl.dp_noisy_sum(
+        frame, "c_nationkey", "cents", clip=500_000,
+        epsilon_micro=1_098_612, seed=11, hash_family="md5",
+    )
+
+
 # Driver-gate window (ROTATION.md): the driver records the FIRST 50
 # entries of queries() in CORRECTNESS_r{N}.json. Round 13 executes the
 # committed plan (ROTATION.md "Round 13 window"): the 10 round-12
@@ -7625,6 +7642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_proportion_z": q_two_proportion_z,
         "post_stratified": q_post_stratified,
         "embedding_contamination": q_embedding_contamination,
+        "dp_noisy_sum": q_dp_noisy_sum,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -17034,5 +17052,28 @@ def oracle_sql() -> dict[str, str]:
         WHERE list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v))
                * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+    """
+    _dps_b = 500_000.0 * 1_000_000.0 / 1_098_612
+    oracles["dp_noisy_sum"] = f"""
+        WITH per AS (
+          SELECT c_nationkey AS grp,
+            CAST(SUM(LEAST(GREATEST(
+              CAST(FLOOR(c_acctbal * 100) AS BIGINT), 0), 500000))
+              AS BIGINT) AS s
+          FROM customer GROUP BY 1
+        ),
+        noisy AS (
+          SELECT grp, s,
+            (CAST(('0x' || substr(md5(CAST(grp AS VARCHAR) || ':' || '11'),
+              1, 15)) AS BIGINT) % 1999999 + 1 - 1000000) / 1000000.0 AS u
+          FROM per
+        )
+        SELECT grp AS "group",
+          CAST(s * 1000000 + CAST(FLOOR(
+            -({_dps_b!r}) * SIGN(u) * LN(1.0 - ABS(u)) * 1000000)
+            AS BIGINT) AS BIGINT) AS released_micro,
+          CAST(1098612 AS BIGINT) AS epsilon_micro,
+          CAST(500000 AS BIGINT) AS clip
+        FROM noisy
     """
     return oracles

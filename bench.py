@@ -282,6 +282,7 @@ PIPELINE = [
     "two_proportion_z",
     "post_stratified",
     "embedding_contamination",
+    "dp_noisy_sum",
 ]
 
 

@@ -2080,6 +2080,25 @@ def dp_noisy_counts(
     per = df.groupBy(F.col(group_col).alias("group")).agg(
         F.count(F.lit(1)).cast("long").alias("__n")
     )
+    b = float(sensitivity) * 1_000_000.0 / float(epsilon_micro)
+    noisy = _with_seeded_laplace(per, seed, b, hash_family)
+    return noisy.select(
+        "group",
+        (F.col("__n") * F.lit(1_000_000) + F.col("__noise")).cast("long").alias(
+            "released_micro"
+        ),
+        F.lit(int(epsilon_micro)).cast("long").alias("epsilon_micro"),
+        F.lit(int(sensitivity)).cast("long").alias("sensitivity"),
+    )
+
+
+def _with_seeded_laplace(
+    per: DataFrame, seed: int, b: float, hash_family: str
+) -> DataFrame:
+    """Attach a ``__noise`` micro column — Lap(b) via the inverse CDF
+    over a seeded per-group hash uniform (see dp_noisy_counts' security
+    note: reproducible on purpose for gates; production supplies a
+    secret random seed). ``per`` must carry a ``group`` column."""
     gs = "CAST(group AS STRING)"
     if hash_family == "xxhash64":
         h = f"pmod(xxhash64(concat({gs}, ':', '{int(seed)}')), 1999999)"
@@ -2090,8 +2109,7 @@ def dp_noisy_counts(
         )
     else:
         raise ValueError(f"unknown hash_family {hash_family!r} (xxhash64|md5)")
-    b = float(sensitivity) * 1_000_000.0 / float(epsilon_micro)
-    noisy = per.withColumn(
+    return per.withColumn(
         "__u", F.expr(f"({h} + 1 - 1000000) / 1000000.0")
     ).withColumn(
         "__noise",
@@ -2100,11 +2118,51 @@ def dp_noisy_counts(
             " * 1000000) AS BIGINT)"
         ),
     )
+
+
+def dp_noisy_sum(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    clip: int,
+    epsilon_micro: int = 1_000_000,
+    seed: int = 0,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Laplace-mechanism CLIPPED-SUM release per group — the metric
+    companion to :func:`dp_noisy_counts` (counts bound sensitivity for
+    free; sums must CLIP each contribution to a bound C first, which
+    is where real DP releases win or lose utility):
+
+        release = Σ min(max(y, 0), C) + Lap(C/ε)
+
+    The clip is applied per row BEFORE aggregation (exact integers);
+    the clipped total's sensitivity is exactly C, so the noise scale
+    is C/ε. Same seeded inverse-CDF noise machinery and SECURITY NOTE
+    as dp_noisy_counts (reproducible for gates; production seeds must
+    be secret and fresh). Emitting n alongside would spend extra
+    budget — deliberately NOT returned.
+
+    Scale shape: one projection (clip) + one group-keyed partial-agg
+    shuffle + the per-group noise projection. Returns
+    (group, released_micro, epsilon_micro, clip).
+    """
+    if epsilon_micro <= 0:
+        raise ValueError(f"epsilon_micro must be > 0 (got {epsilon_micro})")
+    if clip <= 0:
+        raise ValueError(f"clip must be > 0 (got {clip})")
+    y = F.col(value_col).cast("long")
+    clipped = F.least(F.greatest(y, F.lit(0)), F.lit(int(clip)))
+    per = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.sum(clipped).cast("long").alias("__s")
+    )
+    b = float(clip) * 1_000_000.0 / float(epsilon_micro)
+    noisy = _with_seeded_laplace(per, seed, b, hash_family)
     return noisy.select(
         "group",
-        (F.col("__n") * F.lit(1_000_000) + F.col("__noise")).cast("long").alias(
+        (F.col("__s") * F.lit(1_000_000) + F.col("__noise")).cast("long").alias(
             "released_micro"
         ),
         F.lit(int(epsilon_micro)).cast("long").alias("epsilon_micro"),
-        F.lit(int(sensitivity)).cast("long").alias("sensitivity"),
+        F.lit(int(clip)).cast("long").alias("clip"),
     )

@@ -522,3 +522,42 @@ def test_embedding_contamination_rejects_string_ids(spark):
     df = spark.createDataFrame([("a", [1.0, 0.0])], "vec_id string, embedding array<float>")
     with pytest.raises(TypeError):
         dd2.embedding_contamination(df, df)
+
+
+def test_benford_chi2_uniform_vs_benford(spark):
+    # genuinely Benford-ish data (powers spanning magnitudes) has small
+    # chi2 terms; uniform same-magnitude data is flagged hard
+    import itertools
+
+    benford_vals = [int(1.7 ** k) for k in range(1, 60)]
+    uni_vals = list(range(500, 560))
+    b = spark.createDataFrame([(v,) for v in benford_vals], "v long")
+    u = spark.createDataFrame([(v,) for v in uni_vals], "v long")
+    tb = sum(r["chi2_term_micro"] for r in st.benford_digits(b, "v").collect())
+    tu = sum(r["chi2_term_micro"] for r in st.benford_digits(u, "v").collect())
+    assert tu > tb  # uniform-magnitude data deviates far more
+    # digit-5-only data: its count equals N, expectation log10(1.2)
+    out = {r["digit"]: r for r in st.benford_digits(u, "v").collect()}
+    assert set(out) == {5} and out[5]["n"] == 60
+    # non-positive values are excluded (Benford's domain)
+    z = spark.createDataFrame([(0,), (-5,), (7,)], "v long")
+    rows = st.benford_digits(z, "v").collect()
+    assert len(rows) == 1 and rows[0]["digit"] == 7 and rows[0]["n"] == 1
+
+
+def test_dp_noisy_sum_clips_before_summing(spark):
+    from hdinsight_pyspark_cntk_integration_spark.operators import pipeline as pl2
+
+    # one whale (1000) and one negative row; clip to 10 -> clipped sum 10+0+5
+    df = spark.createDataFrame(
+        [("g", 1000), ("g", -50), ("g", 5)], "g string, y long"
+    )
+    r = pl2.dp_noisy_sum(df, "g", "y", clip=10, epsilon_micro=10_000_000,
+                         seed=3).collect()[0]
+    # high epsilon -> tiny noise; release within 1 unit of the clipped sum
+    assert abs(r["released_micro"] - 15_000_000) < 1_000_000
+    # reproducible per seed, different across seeds
+    a = pl2.dp_noisy_sum(df, "g", "y", clip=10, seed=3).collect()[0]["released_micro"]
+    b = pl2.dp_noisy_sum(df, "g", "y", clip=10, seed=3).collect()[0]["released_micro"]
+    c = pl2.dp_noisy_sum(df, "g", "y", clip=10, seed=4).collect()[0]["released_micro"]
+    assert a == b and a != c
