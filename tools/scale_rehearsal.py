@@ -180,7 +180,7 @@ def _round13_targets(spark, sf_dir):
     import __spark_entry__ as e  # noqa: deferred — tools add repo root to sys.path
 
     qs = e.queries()
-    return {
+    targets = {
         name: (lambda n=name: qs[n](spark, sf_dir))
         for name in [
             "g_test_keywords",
@@ -194,6 +194,21 @@ def _round13_targets(spark, sf_dir):
             "page_hinkley",
         ]
     }
+
+    # the cross-corpus LSH contamination path, PRODUCTION form (banded
+    # candidates over the parity-tagged union — the gate form passes
+    # exact bounded candidates instead): eval = every 10th vector,
+    # train = the rest, so both sides scale with the fixture.
+    def _contamination():
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        ev = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
+        tr = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
+        return dd.embedding_contamination(ev, tr, threshold=0.9)
+
+    targets["embedding_contamination_lsh"] = _contamination
+    return targets
 
 
 def _targets(spark, sf_dir):
