@@ -7161,6 +7161,39 @@ def q_dp_noisy_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance (operators.stats.tv_distance) between
+    BUILDING and MACHINERY balance-cent distributions — the
+    probability-mass drift scalar completing the exact drift trio with
+    ks_drift (sup) and wasserstein_drift (transport). Fully exact:
+    one truncating DIV, no float, no window."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    customer = load_table(spark, sf_dir, "customer")
+    frame = customer.select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    return st.tv_distance(frame, "c_mktsegment", "cents", "BUILDING", "MACHINERY")
+
+
+def q_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Squared Hellinger distance (operators.stats.hellinger_distance)
+    between BUILDING and MACHINERY balance-cent distributions — the
+    smooth, metrizable drift member next to tv/wasserstein/jsd;
+    per-value sqrt terms micro-floored at birth."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    customer = load_table(spark, sf_dir, "customer")
+    frame = customer.select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    return st.hellinger_distance(
+        frame, "c_mktsegment", "cents", "BUILDING", "MACHINERY"
+    )
+
+
 # Driver-gate window (ROTATION.md): the driver records the FIRST 50
 # entries of queries() in CORRECTNESS_r{N}.json. Round 13 executes the
 # committed plan (ROTATION.md "Round 13 window"): the 10 round-12
@@ -7643,6 +7676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "post_stratified": q_post_stratified,
         "embedding_contamination": q_embedding_contamination,
         "dp_noisy_sum": q_dp_noisy_sum,
+        "tv_drift": q_tv_drift,
+        "hellinger_drift": q_hellinger_drift,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -17075,5 +17110,65 @@ def oracle_sql() -> dict[str, str]:
           CAST(1098612 AS BIGINT) AS epsilon_micro,
           CAST(500000 AS BIGINT) AS clip
         FROM noisy
+    """
+    oracles["tv_drift"] = """
+        WITH base AS (
+          SELECT c_mktsegment AS g,
+            CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS v
+          FROM customer
+          WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        ),
+        vc AS (
+          SELECT v,
+            CAST(SUM(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT)
+              AS ca,
+            CAST(SUM(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT)
+              AS cb
+          FROM base GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(SUM(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_b
+          FROM base
+        )
+        SELECT n_a, n_b,
+          CAST(SUM(ABS(CAST(ca AS HUGEINT) * n_b
+                - CAST(cb AS HUGEINT) * n_a)) * 1000000
+            // NULLIF(2 * CAST(n_a AS HUGEINT) * n_b, 0) AS BIGINT)
+            AS tv_micro
+        FROM vc CROSS JOIN tot
+        GROUP BY n_a, n_b
+    """
+    oracles["hellinger_drift"] = """
+        WITH base AS (
+          SELECT c_mktsegment AS g,
+            CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS v
+          FROM customer
+          WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        ),
+        vc AS (
+          SELECT v,
+            CAST(SUM(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT)
+              AS ca,
+            CAST(SUM(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT)
+              AS cb
+          FROM base GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(SUM(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_b
+          FROM base
+        )
+        SELECT n_a, n_b,
+          CAST(SUM(CAST(FLOOR(
+            (SQRT(CAST(ca AS DOUBLE) / n_a) - SQRT(CAST(cb AS DOUBLE) / n_b))
+            * (SQRT(CAST(ca AS DOUBLE) / n_a) - SQRT(CAST(cb AS DOUBLE) / n_b))
+            * 500000) AS BIGINT)) AS BIGINT) AS h2_micro
+        FROM vc CROSS JOIN tot
+        GROUP BY n_a, n_b
     """
     return oracles

@@ -283,6 +283,8 @@ PIPELINE = [
     "post_stratified",
     "embedding_contamination",
     "dp_noisy_sum",
+    "tv_drift",
+    "hellinger_drift",
 ]
 
 

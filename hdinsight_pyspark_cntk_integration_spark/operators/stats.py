@@ -5545,3 +5545,101 @@ def post_stratified_mean(
             "CAST(SUM(__term) DIV NULLIF(SUM(na) + SUM(nb), 0) AS BIGINT)"
         ).alias("diff_micro"),
     )
+
+
+def tv_distance(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Total-variation distance between two groups' value
+    distributions — the third exact member of the drift family
+    (ks_drift = sup CDF gap, wasserstein_1d = transport cost, TV =
+    probability-mass disagreement; the same statistic t_closeness
+    applies per equivalence class, here as a standalone two-slice
+    scalar): ``TV = ½ Σ_v |p_v − q_v|``.
+
+    FULLY exact: per distinct value ``|c_a·n_b − c_b·n_a|`` is an
+    exact DECIMAL integer, the sum is exact, and the single division
+    ``Σ·1e6 DIV (2·n_a·n_b)`` truncates once. No float, no window —
+    one value-domain partial-agg shuffle and a reduce.
+
+    Returns one row (n_a, n_b, tv_micro).
+    """
+    vc = _two_group_value_counts(
+        df, group_col, value_col, group_a, group_b
+    ).select(
+        F.col("n_a").alias("ca"), F.col("n_b").alias("cb")
+    )
+    tot = df.filter(F.col(group_col).isin([group_a, group_b])).groupBy().agg(
+        F.sum((F.col(group_col) == group_a).cast("long")).cast("long").alias("n_a"),
+        F.sum((F.col(group_col) == group_b).cast("long")).cast("long").alias("n_b"),
+    )
+    terms = vc.join(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        F.expr(
+            "ABS(CAST(ca AS DECIMAL(38,0)) * n_b"
+            " - CAST(cb AS DECIMAL(38,0)) * n_a)"
+        ).alias("__t"),
+    )
+    return terms.groupBy().agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.expr(
+            "CAST(SUM(__t) * 1000000"
+            " DIV NULLIF(2 * CAST(MAX(n_a) AS DECIMAL(38,0)) * MAX(n_b), 0)"
+            " AS BIGINT)"
+        ).alias("tv_micro"),
+    )
+
+
+def hellinger_distance(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Squared Hellinger distance between two groups' value
+    distributions — the drift-family member that, unlike TV, rewards
+    AGREEMENT IN SHAPE smoothly (½ Σ (√p − √q)², bounded [0, 1];
+    H² = 1 exactly when supports are disjoint) and, unlike JSD, is a
+    proper metric after one sqrt:
+
+        H² = ½ Σ_v (√(c_a,v/n_a) − √(c_b,v/n_b))²
+
+    Determinism: each distinct value's term is ONE fixed double
+    expression over exact integer counts floored to micro at birth
+    (the ln-micro discipline's sqrt sibling), so the reduction is an
+    exact BIGINT sum; one value-domain partial agg, one reduce, no
+    window.
+
+    Returns one row (n_a, n_b, h2_micro).
+    """
+    vc = _two_group_value_counts(
+        df, group_col, value_col, group_a, group_b
+    ).select(
+        F.col("n_a").alias("ca"), F.col("n_b").alias("cb")
+    )
+    tot = df.filter(F.col(group_col).isin([group_a, group_b])).groupBy().agg(
+        F.sum((F.col(group_col) == group_a).cast("long")).cast("long").alias("n_a"),
+        F.sum((F.col(group_col) == group_b).cast("long")).cast("long").alias("n_b"),
+    )
+    terms = vc.join(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        F.expr(
+            """CAST(FLOOR(
+              (SQRT(CAST(ca AS DOUBLE) / n_a) - SQRT(CAST(cb AS DOUBLE) / n_b))
+              * (SQRT(CAST(ca AS DOUBLE) / n_a) - SQRT(CAST(cb AS DOUBLE) / n_b))
+              * 500000) AS BIGINT)"""
+        ).alias("__t"),
+    )
+    return terms.groupBy().agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum("__t").cast("long").alias("h2_micro"),
+    )

@@ -561,3 +561,29 @@ def test_dp_noisy_sum_clips_before_summing(spark):
     b = pl2.dp_noisy_sum(df, "g", "y", clip=10, seed=3).collect()[0]["released_micro"]
     c = pl2.dp_noisy_sum(df, "g", "y", clip=10, seed=4).collect()[0]["released_micro"]
     assert a == b and a != c
+
+
+def test_tv_and_hellinger_bounds(spark):
+    # identical distributions -> 0; disjoint supports -> TV = 1, H2 = 1
+    same = spark.createDataFrame(
+        [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (1, 2, 3)],
+        "g string, v long",
+    )
+    r = st.tv_distance(same, "g", "v", "a", "b").collect()[0]
+    h = st.hellinger_distance(same, "g", "v", "a", "b").collect()[0]
+    assert r["tv_micro"] == 0 and h["h2_micro"] == 0
+    disj = spark.createDataFrame(
+        [("a", v) for v in (1, 2)] + [("b", v) for v in (10, 20)],
+        "g string, v long",
+    )
+    r2 = st.tv_distance(disj, "g", "v", "a", "b").collect()[0]
+    h2 = st.hellinger_distance(disj, "g", "v", "a", "b").collect()[0]
+    assert r2["tv_micro"] == 1_000_000
+    assert 999_990 <= h2["h2_micro"] <= 1_000_000  # per-value floors
+
+
+def test_tv_hand_value(spark):
+    # p = (.5, .5, 0), q = (0, .5, .5): TV = .5
+    rows = [("a", 1), ("a", 2), ("b", 2), ("b", 3)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    assert st.tv_distance(df, "g", "v", "a", "b").collect()[0]["tv_micro"] == 500_000
