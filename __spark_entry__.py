@@ -7195,71 +7195,71 @@ def q_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Driver-gate window (ROTATION.md): the driver records the FIRST 50
-# entries of queries() in CORRECTNESS_r{N}.json. Round 13 executes the
-# committed plan (ROTATION.md "Round 13 window"): the 10 round-12
-# batch-2/3 additions that overflowed the round-12 window, then the
-# scoring/streaming cohort + token_stats displaced by the round-12
-# batch-1 additions, then the 31-query text/corpus family (last
-# driver-gated in rounds 7-8 — the oldest re-gate cohort). Round-13
-# additions displace re-gates from the END of this list per the
-# standing policy; displaced queries head the round-14 queue.
+# entries of queries() in CORRECTNESS_r{N}.json. Round 14 executes the
+# committed plan (ROTATION.md "Round 14 window") WITHOUT in-round
+# displacement (VERDICT r13 #1 — a re-gate floor now applies; round-14
+# additions land at the catalog END and gate as round-15 overflow):
+# slots 1-4 the round-13 overflow additions, slots 5-33 the 29-query
+# text/corpus re-gate backlog (last driver-gated rounds 7-8), slots
+# 34-43 the ten queries carried from round 12's displacement, slots
+# 44-50 the head of the round-2 cohort (last CORRECTNESS row: round 2).
 # Rotated-out queries stay covered by the full-registry
 # PARITY_r{N}.json run every round.
 _GATE_WINDOW = [
-    # 10 round-12 batch-2/3 additions (overflow-gated per ROTATION.md:235)
-    "weighted_kappa",
-    "mantel_haenszel",
-    "conformal_calibration",
-    "pinball_loss",
-    "brier_decomposition",
-    "sprt_eval",
-    "fellegi_sunter",
-    "wordpiece_vocab",
-    "sorted_neighborhood",
-    "t_closeness",
-    # 9 displaced round-12: scoring/streaming cohort + token_stats
-    "score_accuracy",
-    "score_confusion",
-    "accuracy",
-    "confusion_pivot",
-    "tumbling_hourly",
-    "sliding_hourly",
-    "session_window_native",
-    "sessionize",
-    "token_stats",
-    # 31 round-13 additions (displace ALL remaining text re-gates to the
-    # round-14 queue head, per the standing end-displacement policy)
-    "benjamini_hochberg",
-    "icc_oneway",
-    "ece_calibration",
-    "mcc_score",
-    "cusum_drift",
-    "theil_index",
-    "g_test_keywords",
-    "log_odds_dirichlet",
-    "yules_k",
-    "rbo_overlap",
-    "cem_att",
-    "neyman_allocation",
-    "spearman_rho",
-    "gk_gamma",
-    "page_hinkley",
-    "winsorized_mean",
-    "gains_table",
-    "jsd_divergence",
-    "cronbach_alpha",
-    "nelson_aalen",
-    "dp_noisy_counts",
-    "feature_hashing_signed",
-    "wasserstein_drift",
-    "roc_points",
-    "average_precision",
-    "benford_chi2",
-    "isotonic_calibration",
-    "diebold_mariano",
-    "log_rank_test",
-    "two_proportion_z",
-    "post_stratified",
+    # 4 round-13 overflow additions (already parity-green at 3 SFs)
+    "tv_drift",
+    "hellinger_drift",
+    "dp_noisy_sum",
+    "embedding_contamination",
+    # 29 text/corpus re-gates (displacement order, newest first)
+    "tfidf_top_terms",
+    "bm25_search",
+    "unigram_logprob",
+    "textrank_keywords",
+    "lang_id",
+    "token_entropy",
+    "readability",
+    "ngram_diversity",
+    "perplexity_buckets",
+    "heaps_law",
+    "zipf_slope",
+    "burstiness",
+    "script_histogram",
+    "oov_rate",
+    "vocab",
+    "token_histogram",
+    "bigram_histogram",
+    "dictionary_tag",
+    "pmi_cooccur",
+    "markov_transitions",
+    "bigram_condprob",
+    "corpus_divergence",
+    "ngram_novelty",
+    "sentence_split",
+    "posexplode_tokens",
+    "repetition_stats",
+    "rolling_fingerprint",
+    "strip_boilerplate",
+    "quality_filter",
+    # 10 carried from round 12's displacement
+    "adaptive_quality",
+    "contamination_overlap",
+    "ngram_jaccard_adjacent",
+    "edit_distance_pairs",
+    "inverted_index",
+    "bpe_token_count",
+    "tokenize_ids",
+    "fingerprints",
+    "url_dedup",
+    "pii_redact",
+    # 7-slot head of the round-2 cohort
+    "approx_distinct",
+    "cube",
+    "dedup_keep_first_rows",
+    "distinct_labels",
+    "embedding_centroids",
+    "embedding_pair_cosine",
+    "exists_late_ship",
 ]
 
 
@@ -16423,11 +16423,21 @@ def oracle_sql() -> dict[str, str]:
           SELECT nation, n_rows, sigma_micro,
             CAST(n_rows AS HUGEINT) * sigma_micro AS wt
           FROM sig
-        )
+        ),
+        tot AS (SELECT SUM(wt) AS tw FROM w),
+        base AS (
+          SELECT nation, n_rows, sigma_micro,
+            CAST(CAST(1000 AS HUGEINT) * wt // NULLIF(tw, 0) AS BIGINT)
+              AS fl,
+            CAST(1000 AS HUGEINT) * wt % NULLIF(tw, 0) AS rem
+          FROM w CROSS JOIN tot
+        ),
+        used AS (SELECT CAST(SUM(fl) AS BIGINT) AS used FROM base)
         SELECT nation, n_rows, sigma_micro,
-          CAST(CAST(1000 AS HUGEINT) * wt
-            // NULLIF((SELECT SUM(wt) FROM w), 0) AS BIGINT) AS alloc
-        FROM w
+          CAST(fl + CASE WHEN ROW_NUMBER()
+              OVER (ORDER BY rem DESC, nation ASC) <= 1000 - used
+            THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        FROM base CROSS JOIN used
     """
     oracles["spearman_rho"] = """
         WITH cnt AS MATERIALIZED (
@@ -16846,13 +16856,21 @@ def oracle_sql() -> dict[str, str]:
         FROM cum
     """
     oracles["benford_chi2"] = """
-        WITH digits AS (
+        WITH observed AS (
           SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
             CAST(COUNT(*) AS BIGINT) AS n
           FROM (
             SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v
             FROM orders
           ) WHERE v > 0 GROUP BY 1
+        ),
+        spine AS (
+          SELECT CAST(digit AS BIGINT) AS digit
+          FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) s(digit)
+        ),
+        digits AS (
+          SELECT spine.digit, CAST(COALESCE(observed.n, 0) AS BIGINT) AS n
+          FROM spine LEFT JOIN observed USING (digit)
         ),
         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS N_ FROM digits)
         SELECT digit, n,
