@@ -2004,12 +2004,25 @@ def neyman_allocation(
     Single-row strata get σ = 0 (no within-variance evidence) and
     thus 0 allocation.
 
-    Scale shape: one stratum-keyed partial-agg shuffle, a 1-row total
-    broadcast back over the (bounded, stratum-domain-sized) stats
-    table. The data is scanned once.
+    Budget exactness (ADVICE r13): the truncating per-stratum DIV
+    leaves up to n_strata−1 samples unassigned; the leftover is
+    redistributed by LARGEST REMAINDER (Hamilton's method) — strata
+    ranked by the exact integer remainder ``(n·w_h) mod Σw``
+    descending, ties by stratum ascending, each of the first L taking
+    +1 — so ``Σ alloc = n_total`` exactly whenever Σ N_h·σ_h > 0
+    (all-zero-variance input keeps the NULL-allocation convention:
+    Neyman weights carry no evidence). A zero-remainder stratum never
+    receives a +1 (L·Σw = Σ remainders and each remainder < Σw, so
+    L ≤ #nonzero remainders).
+
+    Scale shape: one stratum-keyed partial-agg shuffle, two 1-row
+    scalar broadcasts, and one rank window over the (bounded,
+    stratum-domain-sized) stats table. The data is scanned once.
 
     Returns (stratum, n_rows, sigma_micro, alloc) per stratum.
     """
+    from pyspark.sql import Window
+
     if n_total < 1:
         raise ValueError(f"n_total must be >= 1 (got {n_total})")
     x = F.col(value_col).cast("decimal(38,6)")
@@ -2031,14 +2044,39 @@ def neyman_allocation(
         "__w", F.expr("CAST(n_rows AS DECIMAL(38,0)) * sigma_micro")
     )
     tot = per.groupBy().agg(F.sum("__w").alias("__tw"))
-    return per.join(F.broadcast(tot)).select(
-        "stratum",
-        "n_rows",
-        "sigma_micro",
-        F.expr(
-            f"CAST(CAST({n_total} AS DECIMAL(38,0)) * __w"
-            " DIV NULLIF(__tw, 0) AS BIGINT)"
-        ).alias("alloc"),
+    base = (
+        per.join(F.broadcast(tot))
+        .withColumn(
+            "__fl",
+            F.expr(
+                f"CAST(CAST({n_total} AS DECIMAL(38,0)) * __w"
+                " DIV NULLIF(__tw, 0) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "__rem",
+            F.expr(
+                f"CAST(CAST({n_total} AS DECIMAL(38,0)) * __w"
+                " % NULLIF(__tw, 0) AS DECIMAL(38,0))"
+            ),
+        )
+    )
+    used = base.groupBy().agg(F.sum("__fl").cast("long").alias("__used"))
+    wrank = Window.orderBy(F.col("__rem").desc(), F.col("stratum"))
+    return (
+        base.join(F.broadcast(used))
+        .withColumn("__rk", F.row_number().over(wrank).cast("long"))
+        .select(
+            "stratum",
+            "n_rows",
+            "sigma_micro",
+            (
+                F.col("__fl")
+                + F.when(
+                    F.col("__rk") <= F.lit(n_total) - F.col("__used"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("alloc"),
+        )
     )
 
 

@@ -4250,10 +4250,19 @@ def benjamini_hochberg(
     produced it; m in the billions would itself be the anomaly. One
     window pass + one scalar cutoff join.
 
+    NULL convention (ADVICE r13): rows with a NULL p-value are DROPPED
+    before ranking — under Spark's ascending NULLS FIRST they would
+    take the lowest ranks, inflate m, and (being incomparable in the
+    step-up filter yet rank-below any non-null cutoff) be marked
+    rejected while shifting every real hypothesis's rank. A missing
+    p-value is an upstream-test failure, not evidence; callers who
+    need them surfaced should audit ``p IS NULL`` separately.
+
     Returns (id, p_micro, rank, m, reject) ordered by rank.
     """
     if not (0 < alpha_micro < 1_000_000):
         raise ValueError(f"alpha_micro must be in (0, 1e6) (got {alpha_micro})")
+    df = df.filter(F.col(p_micro_col).isNotNull())
     w = Window.orderBy(F.col(p_micro_col), F.col(id_col))
     ranked = df.select(
         F.col(id_col),
@@ -5196,19 +5205,31 @@ def benford_digits(
     to micro. Non-positive values drop (Benford's domain).
 
     Scale shape: one projection + one 9-key partial-agg shuffle, a
-    1-row total broadcast. Returns 9 rows (digit, n, expected_micro,
-    chi2_term_micro) — Σ chi2_term_micro vs a chi-square(8) critical
-    value is the caller's alarm.
+    1-row total broadcast. Returns ALL 9 rows (digit, n,
+    expected_micro, chi2_term_micro) — unobserved digits appear with
+    ``n = 0`` and contribute their full ``(0 − N·p_d)²/(N·p_d) =
+    N·p_d`` term (ADVICE r13: dropping them understated the statistic
+    exactly for the most anomalous feeds, e.g. a single-digit
+    corpus). Σ chi2_term_micro vs a chi-square(8) critical value is
+    the caller's alarm. Requires ≥1 positive value (N = 0 yields
+    NULL terms — nothing to audit).
     """
     import math
 
     probs = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
     v = F.col(value_col).cast("long")
-    digits = (
+    observed = (
         df.filter(v > 0)
         .select(F.substring(v.cast("string"), 1, 1).cast("long").alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("long").alias("digit")
+    )
+    digits = (
+        spine.join(observed, "digit", "left")
+        .select("digit", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"))
     )
     tot = digits.groupBy().agg(F.sum("n").cast("long").alias("__N"))
     p_expr = "CASE digit " + " ".join(

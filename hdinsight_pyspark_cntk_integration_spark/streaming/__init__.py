@@ -433,8 +433,14 @@ def cusum_stateful(
             s, mx, step, alarm = state.get
         else:
             s, mx, step, alarm = 0, 0, 0, 0  # alarm 0 = never (step is 1-based)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order_col)
+        # Drain the whole micro-batch for this key BEFORE sorting: a
+        # key's rows can span multiple Arrow chunks (default 10k rows)
+        # and applyInPandasWithState guarantees grouping, not order —
+        # chunk-local sorts would run the walk out of order (ADVICE
+        # r13). One concat per (key, batch); state stays four longs.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(order_col)
             for x in pdf[value_col].astype("int64"):
                 s = s + (int(x) - drift)
                 if s < 0:

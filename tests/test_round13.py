@@ -221,6 +221,43 @@ def test_neyman_single_row_stratum_zero_sigma(spark):
     assert out["b"]["alloc"] == 10
 
 
+def test_neyman_largest_remainder_exhausts_budget(spark):
+    # three equal-weight strata, n_total=10: floor share 3 each leaves
+    # 1 unassigned; largest-remainder hands it to the tie-break-first
+    # stratum so the total is exactly the budget (ADVICE r13)
+    rows = [(s, v) for s in ("a", "b", "c") for v in (0, 100)]
+    df = spark.createDataFrame(rows, "s string, v long")
+    out = {r["stratum"]: r["alloc"] for r in
+           pl.neyman_allocation(df, "s", "v", n_total=10).collect()}
+    assert sum(out.values()) == 10
+    assert sorted(out.values()) == [3, 3, 4] and out["a"] == 4
+    # and a budget below the stratum count still allocates every sample
+    out2 = {r["stratum"]: r["alloc"] for r in
+            pl.neyman_allocation(df, "s", "v", n_total=2).collect()}
+    assert sum(out2.values()) == 2
+    # all-zero-variance input keeps the NULL convention (no evidence)
+    flat = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 7), ("b", 7)], "s string, v long"
+    )
+    out3 = pl.neyman_allocation(flat, "s", "v", n_total=10).collect()
+    assert all(r["alloc"] is None for r in out3)
+
+
+def test_benjamini_hochberg_drops_null_p(spark):
+    # NULL p-values are upstream-test failures: they must not take the
+    # lowest ranks, inflate m, or appear in the output (ADVICE r13)
+    rows = [(1, 100_000), (2, 10_000), (3, 40_000), (4, 120_000),
+            (5, 900_000), (6, None), (7, None)]
+    df = spark.createDataFrame(rows, "hyp_id long, p_micro long")
+    out = {
+        r["hyp_id"]: (r["rank"], r["m"], r["reject"])
+        for r in st.benjamini_hochberg(df, alpha_micro=250_000).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out == {2: (1, 5, True), 3: (2, 5, True), 1: (3, 5, True),
+                   4: (4, 5, True), 5: (5, 5, False)}
+
+
 def test_spearman_perfect_monotone(spark):
     df = spark.createDataFrame([(1, 10), (2, 20), (3, 35)], "x long, y long")
     r = st.spearman_rho(df, "x", "y").collect()[0]
@@ -536,13 +573,23 @@ def test_benford_chi2_uniform_vs_benford(spark):
     tb = sum(r["chi2_term_micro"] for r in st.benford_digits(b, "v").collect())
     tu = sum(r["chi2_term_micro"] for r in st.benford_digits(u, "v").collect())
     assert tu > tb  # uniform-magnitude data deviates far more
-    # digit-5-only data: its count equals N, expectation log10(1.2)
+    # digit-5-only data: ALL 9 digits emitted; missing digits carry
+    # n=0 and a full (0-N*p)^2/(N*p) = N*p term (ADVICE r13)
     out = {r["digit"]: r for r in st.benford_digits(u, "v").collect()}
-    assert set(out) == {5} and out[5]["n"] == 60
+    assert set(out) == set(range(1, 10)) and out[5]["n"] == 60
+    assert all(out[d]["n"] == 0 for d in range(1, 10) if d != 5)
+    n_total = 60
+    for d in range(1, 10):
+        if d == 5:
+            continue
+        p = __import__("math").log10(1.0 + 1.0 / d)
+        expect = int((n_total * p) * 1_000_000)
+        assert abs(out[d]["chi2_term_micro"] - expect) <= 1
     # non-positive values are excluded (Benford's domain)
     z = spark.createDataFrame([(0,), (-5,), (7,)], "v long")
-    rows = st.benford_digits(z, "v").collect()
-    assert len(rows) == 1 and rows[0]["digit"] == 7 and rows[0]["n"] == 1
+    rows = {r["digit"]: r for r in st.benford_digits(z, "v").collect()}
+    assert len(rows) == 9 and rows[7]["n"] == 1
+    assert sum(r["n"] for r in rows.values()) == 1
 
 
 def test_dp_noisy_sum_clips_before_summing(spark):

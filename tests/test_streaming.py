@@ -667,6 +667,57 @@ def test_cusum_stateful_stream_matches_batch(spark, sf_dir, tmp_path):
     q.stop()
 
 
+def test_cusum_stateful_multichunk_key_sorts_whole_batch(spark, tmp_path):
+    """A key's rows in ONE micro-batch can span multiple Arrow record
+    batches — applyInPandasWithState guarantees grouping, not order, so
+    chunk-local sorting would run the CUSUM walk out of order (ADVICE
+    r13). Force tiny Arrow chunks, feed one key's rows physically
+    REVERSED in the source file, and assert exact parity with the batch
+    detector (order-sensitive values: alarms + resets interleaved)."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as bstats
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        # values alternate spike/quiet so S resets between spikes: the
+        # walk's max_cusum and first alarm depend on true event order
+        vals = [(i, 9000 if i % 7 < 3 else 1000) for i in range(1, 61)]
+        rows = [(1, i, v) for i, v in vals]
+        series = spark.createDataFrame(
+            rows, "user_id long, event_id long, cents long"
+        )
+        src = str(tmp_path / "cusum_chunks")
+        # reversed physical order within the single batch file
+        series.orderBy(F.col("event_id").desc()).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(series.schema).parquet(src)
+        out = st.cusum_stateful(
+            stream, "user_id", "event_id", "cents",
+            target=5000, slack=500, threshold=8_000,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("cusum_chunked")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck_chunks"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "select * from cusum_chunked order by n desc limit 1"
+        ).collect()[0]
+        exp = bstats.cusum_detect(
+            series, "user_id", "event_id", "cents",
+            target=5000, slack=500, threshold=8_000,
+        ).collect()[0]
+        assert got["n"] == exp["n"] == 60
+        assert got["max_cusum"] == exp["max_cusum"]
+        assert got["first_alarm_step"] == exp["first_alarm_step"]
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
 def test_cusum_stateful_restart_resumes_state(spark, sf_dir, tmp_path):
     """Restart probe (the class of bug single-run tests miss): run the
     stateful CUSUM over batch A, STOP, add batch B, restart on the SAME
