@@ -3947,9 +3947,12 @@ def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd k-means over embeddings (operators.similarity.kmeans_lloyd,
     k=8, 3 sweeps, deterministic smallest-id init): cluster sizes +
-    inertia. Rows-only by design: centroid means are float sums in
-    partition order, so boundary assignments aren't bit-stable (the
-    numpy-parity pytest is the value gate)."""
+    inertia. PRODUCTION PATH, registry-demoted round 14 (VERDICT r13
+    #3): centroid means are float sums in partition order, so boundary
+    assignments aren't bit-stable; the oracle-green gate form is
+    kmeans_provable (micro-quantized integer Lloyd), and this float
+    path stays pinned by the numpy-parity pytest + the registry-demoted
+    smoke pin in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.kmeans_summary(emb, k=8, iters=3)
 
@@ -4147,10 +4150,12 @@ def q_interpolate_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped-pandas interpolated point lookup (relational.
     interpolate_at): each event's value re-estimated 30 minutes later
     from the surrounding observations via per-key vectorized np.interp.
-    Rows-only by design: np.interp's slope evaluation order is numpy's,
-    not reproducible as an identical SQL operation tree (the window-form
-    twin interpolate_linear carries the oracle-green burden; the pytest
-    twin check pins agreement between the two on grid points)."""
+    PRODUCTION PATH, registry-demoted round 14 (VERDICT r13 #3):
+    np.interp's slope evaluation order is numpy's, not reproducible as
+    an identical SQL operation tree; the oracle-green gate form is
+    interpolate_provable (integer segment arithmetic), and this pandas
+    path stays pinned by the grid-agreement pytest + the
+    registry-demoted smoke pin in tests/test_relational.py."""
     ev = load_table(spark, sf_dir, "events")
     queries = ev.select(
         "user_id", (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("qts")
@@ -7313,11 +7318,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_profile": q_key_skew_profile,
         "hll_distinct_bounded": q_hll_distinct_bounded,
         "posexplode_tokens": q_posexplode_tokens,
-        "kmeans_clusters": q_kmeans_clusters,
         "pagerank_nations": q_pagerank_nations,
         "price_histogram": q_price_histogram,
         "interpolate_linear": q_interpolate_linear,
-        "interpolate_at": q_interpolate_at,
         "dq_checks": q_dq_checks,
         "edit_distance_pairs": q_edit_distance_pairs,
         "inverted_index": q_inverted_index,

@@ -281,6 +281,10 @@ _INTENTIONAL_LINT = {
     # benford_digits — the expected-share window runs over the 9
     #   leading-digit buckets, never rows
     "benford_digits": {"global-window"},
+    # neyman_allocation — the largest-remainder rank window (ADVICE
+    #   r13 budget-exactness fix) runs over the per-STRATUM stats
+    #   table (|strata| = 25 nations), never the customer stream
+    "neyman_allocation": {"global-window"},
     # mutual_information — the marginal/total windows run over the
     #   (x,y) CELL aggregate, bounded by the category-domain product;
     #   the operator is documented as categorical-only for this reason

@@ -829,3 +829,15 @@ def test_interpolate_segments_duplicate_ts_takes_max(spark):
     qs = spark.createDataFrame([(1, t0)], "user_id long, ts timestamp")
     out = rel.interpolate_segments(obs, qs, "user_id", "ts", "value", "ts").collect()
     assert len(out) == 1 and out[0]["value_micro"] == 3_000_000
+
+
+def test_interpolate_at_production_wrapper_smoke(spark, sf_dir):
+    """interpolate_at was registry-demoted round 14 (the oracle-green
+    gate form is interpolate_provable); this pin keeps the production
+    cogrouped-pandas wrapper exercised end-to-end at fixture scale."""
+    import __spark_entry__ as entry
+
+    df = entry.q_interpolate_at(spark, sf_dir)
+    rows = df.limit(50).collect()
+    assert len(rows) > 0
+    assert {"user_id", "qts", "value"} <= set(df.columns)

@@ -772,3 +772,15 @@ def test_ndcg_all_zero_rel_query_dropped(spark):
     [r] = sim.ndcg_at_k(df, k=2).collect()
     assert r["n_queries"] == 1  # query 1 has idcg 0 -> excluded
     assert r["mean_ndcg_micro"] == 1_000_000
+
+
+def test_kmeans_clusters_production_wrapper_smoke(spark, sf_dir):
+    """kmeans_clusters was registry-demoted round 14 (the oracle-green
+    gate form is kmeans_provable); this pin keeps the production float
+    Lloyd wrapper exercised end-to-end at fixture scale."""
+    import __spark_entry__ as entry
+
+    df = entry.q_kmeans_clusters(spark, sf_dir)
+    rows = df.collect()
+    assert 0 < len(rows) <= 8
+    assert sum(r["n"] for r in rows) > 0
