@@ -6165,6 +6165,33 @@ def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.krippendorff_alpha(rated)
 
 
+def q_krippendorff_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDINAL Krippendorff's alpha over ragged synthetic Likert
+    ratings (operators.stats.krippendorff_ordinal) — the same
+    participation coin as krippendorff_alpha but a 1..5 ordered scale,
+    so a 1-vs-5 disagreement costs more than a 1-vs-2 (cumulative-
+    margin distance, integer-exact; the nominal form can't tell them
+    apart). Per-item micro truncation + one final DIV, replayed
+    exactly by the oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    raters = spark.range(5).select(F.col("id").alias("rater"))
+    rated = docs.crossJoin(raters).filter(
+        F.pmod(_mix(F.col("doc_id") * 11 + F.col("rater") * 3), F.lit(10))
+        < 6 + F.pmod(F.col("rater"), F.lit(3))
+    )
+    s = _mix(F.col("doc_id") * 5 + F.col("rater"))
+    base = F.pmod(_mix(F.col("doc_id")), F.lit(5))
+    alt = F.pmod(_mix(F.col("doc_id") * 5 + F.col("rater") + 101), F.lit(5))
+    rated = rated.select(
+        F.col("doc_id").alias("item_id"),
+        F.col("rater"),
+        (F.lit(1) + F.when(F.pmod(s, F.lit(4)) < 3, base).otherwise(alt))
+        .cast("long")
+        .alias("label"),
+    )
+    return st.krippendorff_ordinal(rated)
+
+
 def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cochran's Q across 4 synthetic 'model variants' on the shared
     document eval set (operators.stats.cochran_q — the k-way McNemar
@@ -7681,6 +7708,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_noisy_sum": q_dp_noisy_sum,
         "tv_drift": q_tv_drift,
         "hellinger_drift": q_hellinger_drift,
+        # round-14 additions (gate as round-15 overflow per the
+        # re-gate floor policy, ROTATION.md)
+        "krippendorff_ordinal": q_krippendorff_ordinal,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -17191,5 +17221,60 @@ def oracle_sql() -> dict[str, str]:
             * 500000) AS BIGINT)) AS BIGINT) AS h2_micro
         FROM vc CROSS JOIN tot
         GROUP BY n_a, n_b
+    """
+    oracles["krippendorff_ordinal"] = """
+        WITH rated AS MATERIALIZED (
+          SELECT d.doc_id AS it, r.rater AS r,
+            1 + CASE WHEN (((d.doc_id * 5 + r.rater) % 1000003)
+                          * 2654435761) % 1000003 % 4 < 3
+              THEN (((d.doc_id % 1000003) * 2654435761) % 1000003) % 5
+              ELSE ((((d.doc_id * 5 + r.rater + 101) % 1000003)
+                   * 2654435761) % 1000003) % 5
+            END AS l
+          FROM documents d
+          CROSS JOIN (SELECT unnest(range(0, 5)) AS rater) r
+          WHERE ((((d.doc_id * 11 + r.rater * 3) % 1000003) * 2654435761)
+                 % 1000003) % 10 < 6 + (r.rater % 3)
+        ),
+        nuc AS (SELECT it, l, CAST(COUNT(*) AS BIGINT) AS c
+                FROM rated GROUP BY 1, 2),
+        per AS MATERIALIZED (
+          SELECT it, CAST(SUM(c) AS BIGINT) AS m
+          FROM nuc GROUP BY 1 HAVING SUM(c) >= 2
+        ),
+        multi AS (SELECT nuc.* FROM nuc JOIN per ON nuc.it = per.it),
+        cat AS (SELECT l, CAST(SUM(c) AS BIGINT) AS cj FROM multi GROUP BY 1),
+        catc AS (
+          SELECT l, cj,
+            SUM(cj) OVER (ORDER BY l
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM cat
+        ),
+        wp AS (
+          SELECT a.l AS lc, b.l AS lk, a.cj AS cjc, b.cj AS cjk,
+            CAST(2 * (b.cum - a.cum) + a.cj - b.cj AS HUGEINT)
+              * CAST(2 * (b.cum - a.cum) + a.cj - b.cj AS HUGEINT) AS w
+          FROM catc a JOIN catc b ON a.l < b.l
+        ),
+        ctot AS (SELECT CAST(SUM(cj) AS BIGINT) AS n FROM cat),
+        de AS (SELECT SUM(CAST(cjc AS HUGEINT) * cjk * w) AS de_num FROM wp),
+        ip AS (
+          SELECT a.it, SUM(CAST(a.c AS HUGEINT) * b.c * wp.w) AS pd
+          FROM multi a
+          JOIN multi b ON a.it = b.it AND a.l < b.l
+          JOIN wp ON wp.lc = a.l AND wp.lk = b.l
+          GROUP BY 1
+        ),
+        obs AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+            SUM(COALESCE(pd, 0) * 1000000 // (m - 1)) AS do_scaled
+          FROM per LEFT JOIN ip USING (it)
+        )
+        SELECT n_items, n AS n_ratings,
+          CAST((do_scaled * (n - 1)) // NULLIF(de_num, 0) AS BIGINT)
+            AS disagreement_micro,
+          CAST(1000000 - (do_scaled * (n - 1)) // NULLIF(de_num, 0)
+            AS BIGINT) AS alpha_micro
+        FROM obs CROSS JOIN ctot CROSS JOIN de
     """
     return oracles

@@ -3404,6 +3404,135 @@ def krippendorff_alpha(
     )
 
 
+def krippendorff_ordinal(
+    df: DataFrame,
+    item_col: str = "item_id",
+    rater_col: str = "rater",
+    label_col: str = "label",
+) -> DataFrame:
+    """Krippendorff's alpha, ORDINAL metric (Krippendorff 2004 §11.3)
+    — inter-annotator agreement for Likert-style ordered scales, the
+    common real-world annotation-QA case the nominal form
+    (``krippendorff_alpha``) under-penalizes: a 1-vs-5 disagreement
+    must cost more than a 1-vs-2, and the ordinal distance
+    ``delta²(c,k) = (SUM_{g=c..k} n_g − (n_c + n_k)/2)²`` weights each
+    category pair by the cumulative pooled margins between them.
+
+    Exact integer form: with margins n_g over multi-rated items and
+    their running sum over the ordered label domain, the DOUBLED
+    distance ``w(c,k) = (2·S(c,k) − n_c − n_k)²`` (S = inclusive
+    margin sum c..k) is an exact integer; the /4 cancels between D_o
+    and D_e, as does the both-directions pair factor 2, so
+    ``alpha = 1 − (n−1)·[Σ_u Σ_{c<k} n_uc·n_uk·w / (m_u−1)]
+    / Σ_{c<k} n_c·n_k·w``. The per-item division is the ONE
+    non-integer step, micro-quantized at the established truncation
+    point; the final alpha is one more truncating DIV (NULL when every
+    rating is one category — nothing to scale against). With exactly
+    TWO categories w is constant, so ordinal alpha equals nominal
+    alpha by construction (pytest-pinned invariant).
+
+    Single-rating items are excluded everywhere (no agreement
+    information), exactly as in the nominal form.
+
+    Scale shape: one (item,label) partial-agg shuffle; the margin
+    cumsum + pair-weight table live on the LABEL DOMAIN (bounded — a
+    rating scale, never the corpus) and broadcast back; the per-item
+    pair sum is a contingency-cell self-join (≤ |labels|² cells per
+    item, the goodman_kruskal_gamma discipline), never a row-pair
+    join. Intermediate products are DECIMAL(38,0)-exact.
+
+    Returns one row (n_items, n_ratings, disagreement_micro,
+    alpha_micro) — the raw D_o/D_e integers grow like n_items·n² and
+    can exceed BIGINT at scale, so only their micro-scaled ratio is
+    emitted (``alpha_micro = 1e6 − disagreement_micro``); the internal
+    arithmetic is DECIMAL(38,0)-exact throughout.
+    """
+    nuc = df.groupBy(
+        F.col(item_col).alias("__it"), F.col(label_col).cast("long").alias("__l")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    per_item = (
+        nuc.groupBy("__it")
+        .agg(F.sum("c").cast("long").alias("m"))
+        .filter(F.col("m") >= 2)
+    )
+    multi = nuc.join(per_item, "__it")
+    cat = multi.groupBy("__l").agg(F.sum("c").cast("long").alias("cj"))
+    wcum = Window.orderBy("__l").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cat = cat.select(
+        "__l", "cj", F.sum("cj").over(wcum).cast("long").alias("cum")
+    )
+    lo = cat.select(
+        F.col("__l").alias("lc"), F.col("cj").alias("cjc"),
+        F.col("cum").alias("cumc"),
+    )
+    hi = cat.select(
+        F.col("__l").alias("lk"), F.col("cj").alias("cjk"),
+        F.col("cum").alias("cumk"),
+    )
+    # w(c,k) = (2*(cum_k - cum_c) + cj_c - cj_k)^2  [= (2S - n_c - n_k)^2]
+    wpairs = (
+        lo.join(hi, F.col("lc") < F.col("lk"))
+        .select(
+            "lc",
+            "lk",
+            "cjc",
+            "cjk",
+            F.expr(
+                "CAST(2 * (cumk - cumc) + cjc - cjk AS DECIMAL(38,0))"
+                " * CAST(2 * (cumk - cumc) + cjc - cjk AS DECIMAL(38,0))"
+            ).alias("w"),
+        )
+    )
+    cat_tot = cat.groupBy().agg(F.sum("cj").cast("long").alias("n"))
+    de = wpairs.groupBy().agg(
+        F.sum(
+            F.expr("CAST(cjc AS DECIMAL(38,0)) * cjk") * F.col("w")
+        ).alias("de_num")
+    )
+    a = multi.select("__it", F.col("__l").alias("lc"), F.col("c").alias("ca"))
+    b = multi.select(
+        F.col("__it").alias("__itb"), F.col("__l").alias("lk"),
+        F.col("c").alias("cb"),
+    )
+    item_pairs = (
+        a.join(b, (F.col("__it") == F.col("__itb")) & (F.col("lc") < F.col("lk")))
+        .join(F.broadcast(wpairs.select("lc", "lk", "w")), ["lc", "lk"])
+        .groupBy("__it")
+        .agg(
+            F.sum(
+                F.expr("CAST(ca AS DECIMAL(38,0)) * cb") * F.col("w")
+            ).alias("pd")
+        )
+    )
+    obs = (
+        per_item.join(item_pairs, "__it", "left")
+        .select(
+            "m",
+            F.coalesce(F.col("pd"), F.lit(0).cast("decimal(38,0)")).alias("pd"),
+        )
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(
+                F.expr("CAST(pd * 1000000 DIV (m - 1) AS DECIMAL(38,0))")
+            ).alias("do_scaled"),
+        )
+    )
+    return obs.crossJoin(cat_tot).crossJoin(de).select(
+        "n_items",
+        F.col("n").alias("n_ratings"),
+        F.expr(
+            "CAST((do_scaled * (n - 1)) DIV NULLIF(de_num, 0) AS BIGINT)"
+        ).alias("disagreement_micro"),
+        F.expr(
+            "CAST(1000000 - (do_scaled * (n - 1))"
+            " DIV NULLIF(de_num, 0) AS BIGINT)"
+        ).alias("alpha_micro"),
+    )
+
+
 def cochran_q(
     df: DataFrame,
     item_col: str = "item_id",

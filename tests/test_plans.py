@@ -285,6 +285,9 @@ _INTENTIONAL_LINT = {
     #   r13 budget-exactness fix) runs over the per-STRATUM stats
     #   table (|strata| = 25 nations), never the customer stream
     "neyman_allocation": {"global-window"},
+    # krippendorff_ordinal — the margin cumsum runs over the LABEL
+    #   domain (a 1..5 rating scale), never items or ratings
+    "krippendorff_ordinal": {"global-window"},
     # mutual_information — the marginal/total windows run over the
     #   (x,y) CELL aggregate, bounded by the category-domain product;
     #   the operator is documented as categorical-only for this reason

@@ -2142,3 +2142,103 @@ def test_sprt_eval_crossing(spark):
     )
     [r2] = st.sprt_eval(alt).collect()
     assert r2["decision"] == "continue" and r2["first_cross_step"] is None
+
+
+def test_krippendorff_ordinal_two_categories_equals_nominal(spark):
+    # with exactly two categories the ordinal pair weight is constant,
+    # so ordinal alpha == nominal alpha by construction
+    rows = [
+        (1, "r1", 0), (1, "r2", 0),
+        (2, "r1", 1), (2, "r2", 1),
+        (3, "r1", 0), (3, "r2", 1),
+        (4, "r1", 1), (4, "r2", 1),
+        (5, "r1", 0),  # single rating excluded everywhere
+    ]
+    df = spark.createDataFrame(rows, "item_id long, rater string, label long")
+    [o] = st.krippendorff_ordinal(df).collect()
+    [n] = st.krippendorff_alpha(df).collect()
+    assert o["n_items"] == n["n_items"] == 4
+    assert o["n_ratings"] == n["n_ratings"] == 8
+    assert o["alpha_micro"] == n["alpha_micro"]
+
+
+def test_krippendorff_ordinal_perfect_and_degenerate(spark):
+    perfect = spark.createDataFrame(
+        [(i, r, 1 if i % 2 else 5) for i in range(4) for r in ("a", "b")],
+        "item_id long, rater string, label long",
+    )
+    [r] = st.krippendorff_ordinal(perfect).collect()
+    assert r["alpha_micro"] == 1_000_000 and r["disagreement_micro"] == 0
+    degen = spark.createDataFrame(
+        [(i, r, 3) for i in range(3) for r in ("a", "b")],
+        "item_id long, rater string, label long",
+    )
+    [r2] = st.krippendorff_ordinal(degen).collect()
+    assert r2["alpha_micro"] is None
+
+
+def test_krippendorff_ordinal_penalizes_distance(spark):
+    # same disagreement COUNT, but 1-vs-5 disagreements must score
+    # lower than 1-vs-2 ones on a 1..5 scale (the nominal form can't
+    # tell them apart) — anchor items pin the margins of every level
+    anchors = [(100 + l, r, l) for l in (1, 2, 3, 4, 5) for r in ("a", "b")]
+    near = anchors + [(1, "a", 1), (1, "b", 2), (2, "a", 1), (2, "b", 2)]
+    far = anchors + [(1, "a", 1), (1, "b", 5), (2, "a", 1), (2, "b", 5)]
+    dn = spark.createDataFrame(near, "item_id long, rater string, label long")
+    df_ = spark.createDataFrame(far, "item_id long, rater string, label long")
+    [rn] = st.krippendorff_ordinal(dn).collect()
+    [rf] = st.krippendorff_ordinal(df_).collect()
+    assert rn["alpha_micro"] > rf["alpha_micro"]
+    # nominal alpha sees the same disagreement count in both
+    from pyspark.sql import functions as F
+
+    [nn] = st.krippendorff_alpha(
+        dn.withColumn("label", F.col("label").cast("string"))
+    ).collect()
+    [nf] = st.krippendorff_alpha(
+        df_.withColumn("label", F.col("label").cast("string"))
+    ).collect()
+    assert nn["do_scaled"] == nf["do_scaled"]
+
+
+def test_krippendorff_ordinal_matches_float_reference(spark):
+    # exact micro result vs the standard float formulation computed in
+    # numpy on a ragged 3-rater, 5-level fixture
+    import numpy as np
+
+    rng = [(i, r, 1 + ((i * 7 + r * 3) % 5)) for i in range(12)
+           for r in range(3) if (i * 5 + r) % 4 != 0]
+    df = spark.createDataFrame(rng, "item_id long, rater long, label long")
+    [got] = st.krippendorff_ordinal(df).collect()
+
+    from collections import Counter, defaultdict
+    per = defaultdict(Counter)
+    for i, r, l in rng:
+        per[i][l] += 1
+    per = {i: c for i, c in per.items() if sum(c.values()) >= 2}
+    margins = Counter()
+    for c in per.values():
+        margins.update(c)
+    labels = sorted(margins)
+    n = sum(margins.values())
+
+    def delta2(c, k):
+        lo_, hi_ = min(c, k), max(c, k)
+        s = sum(margins[g] for g in labels if lo_ <= g <= hi_)
+        return (s - (margins[c] + margins[k]) / 2.0) ** 2
+
+    d_o = 0.0
+    for cnt in per.values():
+        m = sum(cnt.values())
+        for c in cnt:
+            for k in cnt:
+                if c < k:
+                    d_o += cnt[c] * cnt[k] * delta2(c, k) / (m - 1)
+    d_e = 0.0
+    for c in labels:
+        for k in labels:
+            if c < k:
+                d_e += margins[c] * margins[k] * delta2(c, k)
+    alpha = 1.0 - (n - 1) * d_o / d_e
+    assert got["n_ratings"] == n
+    assert abs(got["alpha_micro"] / 1e6 - alpha) < 2e-6
