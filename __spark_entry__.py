@@ -5838,6 +5838,22 @@ def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.pass_at_k(samples, "problem_id", "correct", k=3)
 
 
+def q_pass_at_k_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus pass@3 with Wilson uncertainty bounds (operators.stats.
+    pass_at_k_ci) over the q_pass_at_k fixture — the go/no-go number an
+    eval dashboard reads. The summed estimator mass is an exact
+    integer; the Wilson bounds are one fixed fp64 tree over it
+    (wilson_ci discipline), micro-floored, oracle-replayed."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    li = load_table(spark, sf_dir, "lineitem")
+    samples = li.select(
+        F.col("l_orderkey").alias("problem_id"),
+        (F.col("l_returnflag") == "R").cast("int").alias("correct"),
+    )
+    return st.pass_at_k_ci(samples, "problem_id", "correct", k=3)
+
+
 def q_self_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Majority-vote self-consistency accuracy (operators.stats.
     self_consistency): problems = event users, gold = Knuth-mixed
@@ -7711,6 +7727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-14 additions (gate as round-15 overflow per the
         # re-gate floor policy, ROTATION.md)
         "krippendorff_ordinal": q_krippendorff_ordinal,
+        "pass_at_k_ci": q_pass_at_k_ci,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -17276,5 +17293,66 @@ def oracle_sql() -> dict[str, str]:
           CAST(1000000 - (do_scaled * (n - 1)) // NULLIF(de_num, 0)
             AS BIGINT) AS alpha_micro
         FROM obs CROSS JOIN ctot CROSS JOIN de
+    """
+    oracles["pass_at_k_ci"] = """
+        WITH per AS (
+          SELECT l_orderkey,
+            CAST(COUNT(*) AS BIGINT) AS n_samples,
+            CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_correct
+          FROM lineitem GROUP BY 1
+        ),
+        prof AS (
+          SELECT n_samples, n_correct,
+            CAST(COUNT(*) AS BIGINT) AS n_problems,
+            CAST(1000000 - (CAST(1000000 AS HUGEINT)
+                * (n_samples - n_correct)
+                * (n_samples - n_correct - 1)
+                * (n_samples - n_correct - 2))
+              // (CAST(n_samples AS HUGEINT)
+                * (n_samples - 1) * (n_samples - 2)) AS BIGINT)
+              AS pmic
+          FROM per WHERE n_samples >= 3 GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT CAST(SUM(n_problems) AS BIGINT) AS n_problems,
+            CAST(SUM(n_problems * pmic) AS BIGINT) AS s_micro
+          FROM prof
+        )
+        SELECT CAST(3 AS BIGINT) AS k, n_problems,
+          CAST(floor(CAST(s_micro AS DOUBLE)
+            / (CAST(n_problems AS DOUBLE) * 1000000.0)
+            * 1000000.0) AS BIGINT) AS pass_at_k_mean_micro,
+          CAST(floor((
+            (CAST(s_micro AS DOUBLE)
+               / (CAST(n_problems AS DOUBLE) * 1000000.0)
+              + 1.96 * 1.96 / (2.0 * CAST(n_problems AS DOUBLE)))
+            / (1.0 + 1.96 * 1.96 / CAST(n_problems AS DOUBLE))
+            - 1.96 * sqrt(
+                CAST(s_micro AS DOUBLE)
+                  / (CAST(n_problems AS DOUBLE) * 1000000.0)
+                * (1.0 - CAST(s_micro AS DOUBLE)
+                  / (CAST(n_problems AS DOUBLE) * 1000000.0))
+                / CAST(n_problems AS DOUBLE)
+                + 1.96 * 1.96 / (4.0 * CAST(n_problems AS DOUBLE)
+                  * CAST(n_problems AS DOUBLE)))
+              / (1.0 + 1.96 * 1.96 / CAST(n_problems AS DOUBLE))
+          ) * 1000000.0) AS BIGINT) AS lo_micro,
+          CAST(floor((
+            (CAST(s_micro AS DOUBLE)
+               / (CAST(n_problems AS DOUBLE) * 1000000.0)
+              + 1.96 * 1.96 / (2.0 * CAST(n_problems AS DOUBLE)))
+            / (1.0 + 1.96 * 1.96 / CAST(n_problems AS DOUBLE))
+            + 1.96 * sqrt(
+                CAST(s_micro AS DOUBLE)
+                  / (CAST(n_problems AS DOUBLE) * 1000000.0)
+                * (1.0 - CAST(s_micro AS DOUBLE)
+                  / (CAST(n_problems AS DOUBLE) * 1000000.0))
+                / CAST(n_problems AS DOUBLE)
+                + 1.96 * 1.96 / (4.0 * CAST(n_problems AS DOUBLE)
+                  * CAST(n_problems AS DOUBLE)))
+              / (1.0 + 1.96 * 1.96 / CAST(n_problems AS DOUBLE))
+          ) * 1000000.0) AS BIGINT) AS hi_micro
+        FROM tot
     """
     return oracles

@@ -2899,6 +2899,67 @@ def pass_at_k(
     )
 
 
+def pass_at_k_ci(
+    df: DataFrame,
+    problem_col: str = "problem_id",
+    correct_col: str = "correct",
+    k: int = 3,
+    z: float = 1.96,
+) -> DataFrame:
+    """Corpus-level pass@k with a Wilson score interval (VERDICT r12
+    #6 / r13 #5) — the uncertainty an eval dashboard needs next to the
+    point estimate: the mean over problems of the unbiased per-problem
+    ``pass_at_k`` estimator, with Wilson bounds computed as if each
+    problem contributed a Bernoulli observation at its estimator value.
+
+    That Bernoulli treatment is the standard dashboard approximation:
+    the per-problem estimator is a bounded [0,1] value, not a coin
+    flip, and Bernoulli variance p(1−p) DOMINATES the variance of any
+    bounded [0,1] variable with the same mean — so the interval is
+    conservative (never too narrow), which is the safe failure mode
+    for a go/no-go eval gate.
+
+    Exactness: the summed estimator mass ``s_micro = Σ_problems
+    pass@k_micro`` is an exact integer (profile-weighted sum of the
+    exact per-profile falling-factorial estimates); the Wilson bounds
+    are ONE fixed fp64 expression tree over (s_micro, n) — the
+    wilson_ci discipline — micro-floored, identically replayed by the
+    oracle.
+
+    Scale shape: the pass_at_k profile aggregation (two partial-agg
+    shuffles, bounded output) plus a 1-row reduce.
+
+    Returns one row (k, n_problems, pass_at_k_mean_micro, lo_micro,
+    hi_micro).
+    """
+    if z <= 0:
+        raise ValueError(f"z must be > 0 (got {z})")
+    prof = pass_at_k(df, problem_col, correct_col, k)
+    tot = prof.groupBy().agg(
+        F.sum("n_problems").cast("long").alias("n_problems"),
+        F.sum(F.col("n_problems") * F.col("pass_at_k_micro"))
+        .cast("long")
+        .alias("s_micro"),
+    )
+    zd = F.lit(float(z))
+    n = F.col("n_problems").cast("double")
+    p = F.col("s_micro").cast("double") / (n * F.lit(1_000_000.0))
+    z2 = zd * zd
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (F.lit(2.0) * n)) / denom
+    half = zd * F.sqrt(
+        p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n)
+    ) / denom
+    micro = F.lit(1_000_000.0)
+    return tot.select(
+        F.lit(int(k)).cast("long").alias("k"),
+        "n_problems",
+        F.floor(p * micro).cast("long").alias("pass_at_k_mean_micro"),
+        F.floor((center - half) * micro).cast("long").alias("lo_micro"),
+        F.floor((center + half) * micro).cast("long").alias("hi_micro"),
+    )
+
+
 def self_consistency(
     df: DataFrame,
     problem_col: str = "problem_id",

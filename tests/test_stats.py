@@ -2242,3 +2242,30 @@ def test_krippendorff_ordinal_matches_float_reference(spark):
     alpha = 1.0 - (n - 1) * d_o / d_e
     assert got["n_ratings"] == n
     assert abs(got["alpha_micro"] / 1e6 - alpha) < 2e-6
+
+
+def test_pass_at_k_ci_brackets_and_shrinks(spark):
+    # 30 problems, 4 samples each, known per-problem pass counts
+    rows = [(p, s, 1 if s < p % 3 else 0) for p in range(30) for s in range(4)]
+    df = spark.createDataFrame(rows, "problem_id long, sample long, correct long")
+    [r] = st.pass_at_k_ci(df, "problem_id", "correct", k=2).collect()
+    assert r["k"] == 2 and r["n_problems"] == 30
+    assert 0 <= r["lo_micro"] <= r["pass_at_k_mean_micro"] <= r["hi_micro"] <= 1_000_000
+    # mean must equal the profile-weighted pass_at_k mean exactly
+    prof = st.pass_at_k(df, "problem_id", "correct", k=2).collect()
+    s_micro = sum(p["n_problems"] * p["pass_at_k_micro"] for p in prof)
+    import math
+    assert r["pass_at_k_mean_micro"] == math.floor(s_micro / 30 / 1e6 * 1e6)
+    # 4x the problems at the same rate -> strictly narrower interval
+    rows4 = [(p, s, 1 if s < p % 3 else 0) for p in range(120) for s in range(4)]
+    df4 = spark.createDataFrame(rows4, "problem_id long, sample long, correct long")
+    [r4] = st.pass_at_k_ci(df4, "problem_id", "correct", k=2).collect()
+    assert (r4["hi_micro"] - r4["lo_micro"]) < (r["hi_micro"] - r["lo_micro"])
+    # degenerate extremes stay inside [0, 1] (the Wilson property)
+    allpass = spark.createDataFrame(
+        [(p, s, 1) for p in range(5) for s in range(3)],
+        "problem_id long, sample long, correct long",
+    )
+    [ra] = st.pass_at_k_ci(allpass, "problem_id", "correct", k=2).collect()
+    assert ra["pass_at_k_mean_micro"] == 1_000_000
+    assert ra["lo_micro"] < 1_000_000 and ra["hi_micro"] >= 1_000_000
