@@ -7043,6 +7043,30 @@ def q_benford_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.benford_digits(frame, "cents")
 
 
+def q_cusum_two_sided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift alarm (operators.stats.cusum_two_sided)
+    per user over purchase-event cent streams — the symmetric
+    completion of cusum_drift (a metric can degrade both ways): both
+    clamped walks run as cumsum − clamped-running-min prefix windows
+    in ONE window pass per user partition, exact BIGINT; alarm side
+    reported at the first breaching step."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    series = ev.select(
+        F.col("user_id"),
+        F.col("event_id"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = st.cusum_two_sided(
+        series, "user_id", "event_id", "cents",
+        target=5000, slack=500, threshold=25_000,
+    )
+    return out.withColumnRenamed("group", "user_id")
+
+
 def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic (PAVA) recalibration of the balance-percent score
     against the urgent-order label (operators.stats.
@@ -7728,6 +7752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-gate floor policy, ROTATION.md)
         "krippendorff_ordinal": q_krippendorff_ordinal,
         "pass_at_k_ci": q_pass_at_k_ci,
+        "cusum_two_sided": q_cusum_two_sided,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -17354,5 +17379,46 @@ def oracle_sql() -> dict[str, str]:
               / (1.0 + 1.96 * 1.96 / CAST(n_problems AS DOUBLE))
           ) * 1000000.0) AS BIGINT) AS hi_micro
         FROM tot
+    """
+    oracles["cusum_two_sided"] = """
+        WITH series AS (
+          SELECT user_id, event_id,
+            CAST(FLOOR(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'
+        ),
+        walk AS (
+          SELECT user_id,
+            SUM(cents - 5500) OVER w AS cu,
+            SUM(4500 - cents) OVER w AS cd,
+            CAST(ROW_NUMBER() OVER
+              (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS step
+          FROM series
+          WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        s AS (
+          SELECT user_id, step,
+            cu - LEAST(CAST(0 AS BIGINT), MIN(cu) OVER wm) AS su,
+            cd - LEAST(CAST(0 AS BIGINT), MIN(cd) OVER wm) AS sd
+          FROM walk
+          WINDOW wm AS (PARTITION BY user_id ORDER BY step
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        agg AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(MAX(su) AS BIGINT) AS max_cusum_upper,
+            CAST(MAX(sd) AS BIGINT) AS max_cusum_lower,
+            CAST(MIN(CASE WHEN su > 25000 OR sd > 25000 THEN step END)
+              AS BIGINT) AS first_alarm_step
+          FROM s GROUP BY 1
+        )
+        SELECT a.user_id, a.n, a.max_cusum_upper, a.max_cusum_lower,
+          a.first_alarm_step,
+          CASE WHEN a.first_alarm_step IS NULL THEN NULL
+               WHEN s.su > 25000 AND s.sd > 25000 THEN 'both'
+               WHEN s.su > 25000 THEN 'upper' ELSE 'lower' END
+            AS alarm_side
+        FROM agg a LEFT JOIN s
+          ON s.user_id = a.user_id AND s.step = a.first_alarm_step
     """
     return oracles

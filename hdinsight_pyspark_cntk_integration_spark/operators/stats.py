@@ -4715,6 +4715,110 @@ def cusum_detect(
     )
 
 
+def cusum_two_sided(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    target: int,
+    slack: int,
+    threshold: int,
+) -> DataFrame:
+    """Two-sided CUSUM change detection (Page 1954) per series — the
+    symmetric completion of ``cusum_detect`` (VERDICT r13 #6): the
+    upper walk ``S⁺_t = max(0, S⁺ + (x − target − slack))`` catches
+    upward drift, the lower walk ``S⁻_t = max(0, S⁻ + (target − slack
+    − x))`` catches downward drift, and the series alarms at the first
+    step where EITHER exceeds the threshold. A one-sided monitor on a
+    metric that can degrade both ways (latency up, revenue down) is
+    half a detector.
+
+    Same closed prefix form as the one-sided operator, mirrored: each
+    clamped recursion is a running sum minus its clamped running min,
+    and the lower walk's prefix sum is just the NEGATED upper-deviation
+    sum shifted by 2·slack — so both walks come out of ONE window pass
+    per series partition (the two prefix sums share the window frame),
+    exact BIGINT throughout.
+
+    Returns (group, n, max_cusum_upper, max_cusum_lower,
+    first_alarm_step, alarm_side) — alarm_side 'upper'/'lower'/'both'
+    by which walk breached at the first alarm step, NULL when the
+    series never alarms.
+    """
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy(group_col).orderBy(F.col(order_col))
+    dup = F.col(value_col).cast("long") - F.lit(int(target)) - F.lit(int(slack))
+    ddn = F.lit(int(target)) - F.lit(int(slack)) - F.col(value_col).cast("long")
+    thr = F.lit(int(threshold))
+    walk = (
+        df.select(
+            F.col(group_col).alias("group"),
+            F.col(order_col).alias("__o"),
+            F.sum(dup).over(wcum).cast("long").alias("__cu"),
+            F.sum(ddn).over(wcum).cast("long").alias("__cd"),
+            F.row_number().over(wo).cast("long").alias("__step"),
+        )
+        .select(
+            "group",
+            "__step",
+            (
+                F.col("__cu")
+                - F.least(
+                    F.lit(0).cast("long"),
+                    F.min("__cu").over(
+                        Window.partitionBy("group")
+                        .orderBy(F.col("__step"))
+                        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                    ),
+                )
+            ).alias("__su"),
+            (
+                F.col("__cd")
+                - F.least(
+                    F.lit(0).cast("long"),
+                    F.min("__cd").over(
+                        Window.partitionBy("group")
+                        .orderBy(F.col("__step"))
+                        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                    ),
+                )
+            ).alias("__sd"),
+        )
+    )
+    agg = walk.groupBy("group").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("__su").cast("long").alias("max_cusum_upper"),
+        F.max("__sd").cast("long").alias("max_cusum_lower"),
+        F.min(
+            F.when((F.col("__su") > thr) | (F.col("__sd") > thr), F.col("__step"))
+        ).cast("long").alias("first_alarm_step"),
+        F.min(
+            F.when(
+                (F.col("__su") > thr) | (F.col("__sd") > thr),
+                F.struct(
+                    F.col("__step").alias("step"),
+                    F.when((F.col("__su") > thr) & (F.col("__sd") > thr), "both")
+                    .when(F.col("__su") > thr, "upper")
+                    .otherwise("lower")
+                    .alias("side"),
+                ),
+            )
+        ).alias("__first"),
+    )
+    return agg.select(
+        "group",
+        "n",
+        "max_cusum_upper",
+        "max_cusum_lower",
+        "first_alarm_step",
+        F.col("__first.side").alias("alarm_side"),
+    )
+
+
 def theil_index(
     df: DataFrame,
     group_col: str,

@@ -468,3 +468,85 @@ def cusum_stateful(
         outputMode=output_mode,
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def page_hinkley_stateful(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "cents",
+    delta_micro: int = 0,
+    lambda_micro: int = 50_000_000,
+    output_mode: str = "update",
+) -> DataFrame:
+    """Continuous Page-Hinkley mean-shift alarm via
+    ``applyInPandasWithState`` — the STREAMING twin of
+    ``operators.stats.page_hinkley`` (VERDICT r13 #6), completing the
+    streaming drift-alarm pair next to ``cusum_stateful``: each
+    observation is measured against the key's RUNNING mean
+    (self-calibrating — no fixed target to configure), with the exact
+    batch arithmetic ``dev = x·1e6 − (cum·1e6 DIV step) − δ`` (ONE
+    truncating DIV per row, emulated exactly for negative sums),
+    ``m += dev``, alarm when ``m − min_{s≤t} m > λ``.
+
+    State per key is six longs (cum, m, min_m, step, first_alarm,
+    max_ph) — scales with |keys|, never |events|. Ordering contract
+    and chunk handling are identical to cusum_stateful: the whole
+    micro-batch is drained and sorted ONCE per key (a key's rows can
+    span Arrow record batches), and cross-batch exactness requires
+    the source to deliver each key's rows in ``order_col`` order
+    across batches.
+
+    Emits one row per (key, batch): (key, n, max_ph,
+    first_alarm_step) — exactly the batch operator's columns after
+    the final batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    dlt = int(delta_micro)
+    lam = int(lambda_micro)
+
+    def tdiv(a: int, b: int) -> int:
+        """Truncating (toward-zero) integer division — Spark SQL DIV."""
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    def update_fn(key, pdfs, state):
+        if state.exists:
+            cum, m, minm, step, alarm, maxph = state.get
+        else:
+            cum, m, minm, step, alarm, maxph = 0, 0, 0, 0, 0, 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(order_col)
+            for x in pdf[value_col].astype("int64"):
+                step += 1
+                cum += int(x)
+                m += int(x) * 1_000_000 - tdiv(cum * 1_000_000, step) - dlt
+                if step == 1 or m < minm:
+                    minm = m
+                ph = m - minm
+                if ph > maxph:
+                    maxph = ph
+                if alarm == 0 and ph > lam:
+                    alarm = step
+        state.update((cum, m, minm, step, alarm, maxph))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n": [step],
+                "max_ph": [maxph],
+                "first_alarm_step": [alarm if alarm > 0 else None],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update_fn,
+        outputStructType=f"{key_col} long, n long, max_ph long,"
+        " first_alarm_step long",
+        stateStructType="cum long, m long, minm long, step long,"
+        " alarm long, maxph long",
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2269,3 +2269,43 @@ def test_pass_at_k_ci_brackets_and_shrinks(spark):
     [ra] = st.pass_at_k_ci(allpass, "problem_id", "correct", k=2).collect()
     assert ra["pass_at_k_mean_micro"] == 1_000_000
     assert ra["lo_micro"] < 1_000_000 and ra["hi_micro"] >= 1_000_000
+
+
+def test_cusum_two_sided_hand_walk(spark):
+    # target=0, slack=0, threshold=15 over [10, -20, 25]:
+    # upper walk S+ = 10, 0, 25 ; lower walk S- = 0, 20, 0
+    # -> lower breaches first (step 2), upper later (step 3)
+    rows = [(1, 1, 10), (1, 2, -20), (1, 3, 25)]
+    df = spark.createDataFrame(rows, "g long, t long, v long")
+    [r] = st.cusum_two_sided(df, "g", "t", "v",
+                             target=0, slack=0, threshold=15).collect()
+    assert (r["n"], r["max_cusum_upper"], r["max_cusum_lower"]) == (3, 25, 20)
+    assert r["first_alarm_step"] == 2 and r["alarm_side"] == "lower"
+
+
+def test_cusum_two_sided_upper_matches_one_sided(spark):
+    # on any series the upper walk must equal cusum_detect exactly
+    rows = [(g, t, (g * 37 + t * 91) % 200) for g in range(3) for t in range(40)]
+    df = spark.createDataFrame(rows, "g long, t long, v long")
+    two = {r["group"]: r for r in st.cusum_two_sided(
+        df, "g", "t", "v", target=80, slack=10, threshold=300).collect()}
+    one = {r["group"]: r for r in st.cusum_detect(
+        df, "g", "t", "v", target=80, slack=10, threshold=300).collect()}
+    for g in one:
+        assert two[g]["max_cusum_upper"] == one[g]["max_cusum"]
+        assert two[g]["n"] == one[g]["n"]
+
+
+def test_cusum_two_sided_catches_downward_shift(spark):
+    # steady at target, then the metric falls off a cliff: the
+    # one-sided (upper) detector never alarms; the two-sided one must
+    rows = [(1, t, 100 if t <= 20 else 40) for t in range(1, 41)]
+    df = spark.createDataFrame(rows, "g long, t long, v long")
+    [one] = st.cusum_detect(df, "g", "t", "v",
+                            target=100, slack=5, threshold=200).collect()
+    assert one["first_alarm_step"] is None
+    [two] = st.cusum_two_sided(df, "g", "t", "v",
+                               target=100, slack=5, threshold=200).collect()
+    assert two["alarm_side"] == "lower"
+    # drop of 55/step below (target - slack): breach after ceil(200/55)+20
+    assert two["first_alarm_step"] == 24

@@ -798,3 +798,141 @@ def test_cusum_stateful_restart_resumes_state(spark, sf_dir, tmp_path):
     ga = got["first_alarm_step"].fillna(-1).to_numpy()
     ea = exp["first_alarm_step"].fillna(-1).to_numpy()
     assert (ga == ea).all()
+
+
+def test_page_hinkley_stateful_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming Page-Hinkley (applyInPandasWithState) vs the batch
+    prefix-window detector (stats.page_hinkley): two microbatch files
+    split by event id (the documented cross-batch ordering contract),
+    availableNow, FINAL per-key state must be exactly the batch
+    answer — including the per-row truncating running-mean DIV."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as bstats
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    series = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    mid = series.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "ph_src")
+    series.filter(F.col("event_id") <= mid).coalesce(1).write.parquet(f"{src}/a")
+    series.filter(F.col("event_id") > mid).coalesce(1).write.parquet(f"{src}/b")
+
+    stream = (
+        spark.readStream.schema(series.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = st.page_hinkley_stateful(
+        stream, "user_id", "event_id", "cents",
+        delta_micro=0, lambda_micro=50_000_000,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ph_st")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_ph"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select user_id, n, max_ph, first_alarm_step from ("
+        " select *, row_number() over (partition by user_id order by n desc) rn"
+        " from ph_st) where rn = 1"
+    ).toPandas().sort_values("user_id").reset_index(drop=True)
+    exp = (
+        bstats.page_hinkley(
+            series, "user_id", "event_id", "cents",
+            delta_micro=0, lambda_micro=50_000_000,
+        )
+        .withColumnRenamed("group", "user_id")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["user_id"].to_numpy() == exp["user_id"].to_numpy()).all()
+    assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
+    assert (got["max_ph"].to_numpy() == exp["max_ph"].to_numpy()).all()
+    ga = got["first_alarm_step"].fillna(-1).to_numpy()
+    ea = exp["first_alarm_step"].fillna(-1).to_numpy()
+    assert (ga == ea).all()
+    q.stop()
+
+
+def test_page_hinkley_stateful_restart_resumes_state(spark, sf_dir, tmp_path):
+    """Restart probe for the PH twin: process batch A, STOP, add batch
+    B, restart on the SAME checkpoint into a parquet append log — state
+    must resume and the final per-key answer must equal the one-shot
+    batch detector over A+B (six-long state round-trips correctly)."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as bstats
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    series = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    mid = series.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "ph_rs_src")
+    ck = str(tmp_path / "ck_ph_rs")
+    sink = str(tmp_path / "ph_rs_sink")
+    series.filter(F.col("event_id") <= mid).coalesce(1).write.parquet(f"{src}/a")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(series.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        out = st.page_hinkley_stateful(
+            stream, "user_id", "event_id", "cents",
+            delta_micro=0, lambda_micro=50_000_000,
+            output_mode="append",
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    series.filter(F.col("event_id") > mid).coalesce(1).write.parquet(f"{src}/b")
+    run_once()
+
+    log = spark.read.parquet(sink)
+    log.createOrReplaceTempView("ph_rs_log")
+    got = spark.sql(
+        "select user_id, n, max_ph, first_alarm_step from ("
+        " select *, row_number() over (partition by user_id order by n desc) rn"
+        " from ph_rs_log) where rn = 1"
+    ).toPandas().sort_values("user_id").reset_index(drop=True)
+    exp = (
+        bstats.page_hinkley(
+            series, "user_id", "event_id", "cents",
+            delta_micro=0, lambda_micro=50_000_000,
+        )
+        .withColumnRenamed("group", "user_id")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for c in ("n", "max_ph"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    ga = got["first_alarm_step"].fillna(-1).to_numpy()
+    ea = exp["first_alarm_step"].fillna(-1).to_numpy()
+    assert (ga == ea).all()
