@@ -7233,6 +7233,27 @@ def q_dp_noisy_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dp_noisy_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace mean release with a basic-composition epsilon ledger
+    (operators.pipeline.dp_noisy_mean): per-nation mean account
+    balance in cents, clip C = 500000, epsilon_total = ln 4 split
+    60/40 between the clipped-sum and count releases (the ledger
+    columns sum to the total by construction). Two independent md5
+    noise draws (disjoint seed tags) for bit-for-bit oracle replay;
+    the released mean is one double division of the two released
+    integers."""
+    customer = load_table(spark, sf_dir, "customer")
+    frame = customer.select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    return pl.dp_noisy_mean(
+        frame, "c_nationkey", "cents", clip=500_000,
+        epsilon_micro=1_386_294, sum_share_micro=600_000,
+        seed=7, hash_family="md5",
+    )
+
+
 def q_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Total-variation distance (operators.stats.tv_distance) between
     BUILDING and MACHINERY balance-cent distributions — the
@@ -7753,6 +7774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "krippendorff_ordinal": q_krippendorff_ordinal,
         "pass_at_k_ci": q_pass_at_k_ci,
         "cusum_two_sided": q_cusum_two_sided,
+        "dp_noisy_mean": q_dp_noisy_mean,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -17420,5 +17442,44 @@ def oracle_sql() -> dict[str, str]:
             AS alarm_side
         FROM agg a LEFT JOIN s
           ON s.user_id = a.user_id AND s.step = a.first_alarm_step
+    """
+    oracles["dp_noisy_mean"] = """
+        WITH per AS (
+          SELECT c_nationkey AS grp,
+            CAST(SUM(LEAST(GREATEST(
+              CAST(FLOOR(c_acctbal * 100) AS BIGINT), 0), 500000))
+              AS BIGINT) AS s,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM customer GROUP BY 1
+        ),
+        noisy AS (
+          SELECT grp, s, n,
+            (CAST(('0x' || substr(md5(CAST(grp AS VARCHAR) || ':' || '7'),
+              1, 15)) AS BIGINT) % 1999999 + 1 - 1000000) / 1000000.0 AS us,
+            (CAST(('0x' || substr(md5(CAST(grp AS VARCHAR) || ':'
+              || '1000010'), 1, 15)) AS BIGINT) % 1999999 + 1 - 1000000)
+              / 1000000.0 AS uc
+          FROM per
+        ),
+        rel AS (
+          SELECT grp,
+            CAST(s * 1000000 + CAST(FLOOR(
+              -(601123.3793713693) * SIGN(us) * LN(1.0 - ABS(us)) * 1000000)
+              AS BIGINT) AS BIGINT) AS released_sum_micro,
+            CAST(n * 1000000 + CAST(FLOOR(
+              -(1.803367970020811) * SIGN(uc) * LN(1.0 - ABS(uc)) * 1000000)
+              AS BIGINT) AS BIGINT) AS released_count_micro
+          FROM noisy
+        )
+        SELECT grp AS "group", released_sum_micro, released_count_micro,
+          CASE WHEN released_count_micro <= 0 THEN NULL
+            ELSE CAST(FLOOR(CAST(released_sum_micro AS DOUBLE)
+              / CAST(released_count_micro AS DOUBLE) * 1000000) AS BIGINT)
+          END AS mean_micro,
+          CAST(831776 AS BIGINT) AS epsilon_sum_micro,
+          CAST(554518 AS BIGINT) AS epsilon_count_micro,
+          CAST(1386294 AS BIGINT) AS epsilon_total_micro,
+          CAST(500000 AS BIGINT) AS clip
+        FROM rel
     """
     return oracles
