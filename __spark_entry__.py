@@ -7233,6 +7233,37 @@ def q_dp_noisy_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises statistic (operators.stats.
+    cvm_distance) between BUILDING and MACHINERY balance-cent
+    distributions — the L2/integrated member completing the exact
+    drift family with ks (sup), wasserstein (L1 transport), tv
+    (mass), hellinger, jsd. Fully exact: integer cumulative counts
+    over the value domain, one truncating micro DIV."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    customer = load_table(spark, sf_dir, "customer")
+    frame = customer.select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    return st.cvm_distance(
+        frame, "c_mktsegment", "cents", "BUILDING", "MACHINERY"
+    )
+
+
+def q_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient U(lang | source) over documents
+    (operators.stats.theil_u) — mutual_information's normalized,
+    DIRECTIONAL scalar: how much of the language distribution does
+    knowing the source remove? ln-micro terms floored at birth, exact
+    BIGINT sums, one clamped truncating DIV."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    docs = load_table(spark, sf_dir, "documents")
+    return st.theil_u(docs, "lang", "source")
+
+
 def q_dp_noisy_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Laplace mean release with a basic-composition epsilon ledger
     (operators.pipeline.dp_noisy_mean): per-nation mean account
@@ -7775,6 +7806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pass_at_k_ci": q_pass_at_k_ci,
         "cusum_two_sided": q_cusum_two_sided,
         "dp_noisy_mean": q_dp_noisy_mean,
+        "cvm_drift": q_cvm_drift,
+        "theil_u": q_theil_u,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -17481,5 +17514,77 @@ def oracle_sql() -> dict[str, str]:
           CAST(1386294 AS BIGINT) AS epsilon_total_micro,
           CAST(500000 AS BIGINT) AS clip
         FROM rel
+    """
+    oracles["cvm_drift"] = """
+        WITH sub AS (
+          SELECT c_mktsegment AS g,
+            CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS v
+          FROM customer
+          WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        ),
+        vc AS (
+          SELECT v,
+            CAST(SUM(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+            CAST(SUM(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+          FROM sub GROUP BY 1
+        ),
+        cum AS (
+          SELECT ca, cb,
+            SUM(ca) OVER w AS cuma, SUM(cb) OVER w AS cumb
+          FROM vc
+          WINDOW w AS (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                CAST(SUM(cb) AS BIGINT) AS n_b FROM vc)
+        SELECT n_a, n_b,
+          CAST(SUM(CAST(ca + cb AS HUGEINT)
+              * (CAST(cuma AS HUGEINT) * n_b - CAST(cumb AS HUGEINT) * n_a)
+              * (CAST(cuma AS HUGEINT) * n_b - CAST(cumb AS HUGEINT) * n_a))
+            * 1000000
+            // NULLIF(CAST(n_a AS HUGEINT) * n_b
+              * (n_a + n_b) * (n_a + n_b), 0) AS BIGINT) AS cvm_micro
+        FROM cum CROSS JOIN tot GROUP BY n_a, n_b
+    """
+    oracles["theil_u"] = """
+        WITH cells AS (
+          SELECT lang AS x, source AS y, CAST(COUNT(*) AS BIGINT) AS n_xy
+          FROM documents
+          WHERE lang IS NOT NULL AND source IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT x, n_xy,
+            SUM(n_xy) OVER (PARTITION BY x) AS n_x,
+            SUM(n_xy) OVER (PARTITION BY y) AS n_y,
+            SUM(n_xy) OVER () AS n
+          FROM cells
+        ),
+        staged AS (
+          SELECT x, n_x, n,
+            CAST(FLOOR(
+              CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE)
+              * LN((CAST(n_xy AS DOUBLE) / CAST(n_x AS DOUBLE))
+                   * (CAST(n AS DOUBLE) / CAST(n_y AS DOUBLE)))
+              * 1000000) AS BIGINT) AS mi
+          FROM m
+        ),
+        per_x AS (
+          SELECT MAX(n) AS n, CAST(SUM(mi) AS BIGINT) AS mi_x,
+            CAST(FLOOR(
+              CAST(MAX(n_x) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+              * LN(CAST(MAX(n) AS DOUBLE) / CAST(MAX(n_x) AS DOUBLE))
+              * 1000000) AS BIGINT) AS hx
+          FROM staged GROUP BY x
+        ),
+        cc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells)
+        SELECT CAST(MAX(n) AS BIGINT) AS n, n_cells,
+          CAST(SUM(mi_x) AS BIGINT) AS mi_micro,
+          CAST(SUM(hx) AS BIGINT) AS hx_micro,
+          CAST(CAST(GREATEST(SUM(mi_x), 0) AS HUGEINT) * 1000000
+            // NULLIF(CAST(SUM(hx) AS BIGINT), 0) AS BIGINT) AS u_micro
+        FROM per_x CROSS JOIN cc GROUP BY n_cells
     """
     return oracles

@@ -329,6 +329,98 @@ def mutual_information(
     )
 
 
+def theil_u(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil's uncertainty coefficient U(X|Y) = I(X;Y) / H(X) — the
+    NORMALIZED, asymmetric categorical-association measure
+    (``mutual_information``'s dashboard-ready scalar): how much of X's
+    entropy does knowing Y remove? 0 = independent, 1 = Y determines
+    X. Unlike Cramér's V it is directional (U(X|Y) ≠ U(Y|X)), which is
+    what a metadata audit usually wants ("does `source` determine
+    `lang`?").
+
+    The ln-micro discipline end to end: each (x,y) cell's MI term
+    ``(n_xy/n)·ln((n_xy·n)/(n_x·n_y))`` and each x-margin's entropy
+    term ``(n_x/n)·ln(n/n_x)`` is ONE fixed double expression over
+    exact counts, floored to micro AT BIRTH, so both sums are exact
+    BIGINT reductions (order-independent) and the ratio is one final
+    truncating DIV. NULL x or y rows are excluded (MI semantics;
+    mirrored in the oracle).
+
+    Scale shape: one partial-agg shuffle to the (x,y) cells; marginals
+    are windows OVER THE CELLS (domain-bounded — categorical columns,
+    not keys; the mutual_information contract). Degenerate X (one
+    category, H(X)=0) yields NULL.
+
+    Returns one row (n, n_cells, mi_micro, hx_micro, u_micro).
+    """
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    )
+    n_x = F.sum("n_xy").over(Window.partitionBy("x"))
+    n_y = F.sum("n_xy").over(Window.partitionBy("y"))
+    n = F.sum("n_xy").over(Window.partitionBy())
+    staged = cells.select(
+        "x",
+        "n_xy",
+        n_x.cast("long").alias("n_x"),
+        n_y.cast("long").alias("n_y"),
+        n.cast("long").alias("n"),
+    ).select(
+        "x",
+        "n_x",
+        "n",
+        F.expr(
+            """CAST(FLOOR(
+              CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE)
+              * LN((CAST(n_xy AS DOUBLE) / CAST(n_x AS DOUBLE))
+                   * (CAST(n AS DOUBLE) / CAST(n_y AS DOUBLE)))
+              * 1000000) AS BIGINT)"""
+        ).alias("__mi"),
+    )
+    # per-cell flooring can push a near-independence MI a few micro
+    # BELOW zero (true MI >= 0); U clamps that quantization noise at 0,
+    # which also keeps the final DIV on non-negative operands (Spark
+    # DIV truncates toward zero, DuckDB // floors — identical only
+    # there; the oracle mirrors the clamp).
+    per_x = staged.groupBy("x").agg(
+        F.max("n_x").alias("n_x"),
+        F.max("n").alias("n"),
+        F.sum("__mi").cast("long").alias("__mi_x"),
+    ).select(
+        "n",
+        "__mi_x",
+        F.expr(
+            """CAST(FLOOR(
+              CAST(n_x AS DOUBLE) / CAST(n AS DOUBLE)
+              * LN(CAST(n AS DOUBLE) / CAST(n_x AS DOUBLE))
+              * 1000000) AS BIGINT)"""
+        ).alias("__hx"),
+    )
+    counts = cells.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells")
+    )
+    return per_x.groupBy().agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum("__mi_x").cast("long").alias("mi_micro"),
+        F.sum("__hx").cast("long").alias("hx_micro"),
+    ).crossJoin(F.broadcast(counts)).select(
+        "n",
+        "n_cells",
+        "mi_micro",
+        "hx_micro",
+        F.expr(
+            "CAST(CAST(GREATEST(mi_micro, 0) AS DECIMAL(38,0)) * 1000000"
+            " DIV NULLIF(hx_micro, 0) AS BIGINT)"
+        ).alias("u_micro"),
+    )
+
+
 def theil_sen(
     df: DataFrame,
     group_col: str,
@@ -5957,4 +6049,71 @@ def hellinger_distance(
         F.max("n_a").alias("n_a"),
         F.max("n_b").alias("n_b"),
         F.sum("__t").cast("long").alias("h2_micro"),
+    )
+
+
+def cvm_distance(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Cramér-von Mises statistic between two groups'
+    value distributions — the INTEGRATED-squared member completing the
+    exact drift family (ks_drift = sup CDF gap, wasserstein_1d = L1
+    transport, tv/hellinger = mass disagreement; CvM = the L2 gap,
+    sensitive to many small CDF deviations a single-point KS supremum
+    misses): evaluated at every pooled observation,
+
+        T = n·m/(n+m)² · Σ_z (F_a(z) − F_b(z))²
+          = Σ_v (c_av + c_bv)·(A_v·m − B_v·n)² / (n·m·(n+m)²)
+
+    with A/B the cumulative counts at distinct value v — so the whole
+    statistic is one exact integer sum over the DISTINCT-VALUE
+    aggregate (the ks_drift shape: cumsums over the value domain,
+    never a row sort) and ONE truncating micro DIV at the end. Fully
+    exact, no float anywhere.
+
+    DECIMAL bound (documented): the summed term reaches ~n⁵ at equal
+    slice sizes; DECIMAL(38,0) holds exactly to ~10^6 rows per slice —
+    beyond that, quantize values into bounded bins first (the
+    histogram discipline all drift scalars share).
+
+    Returns one row (n_a, n_b, cvm_micro).
+    """
+    vc = _two_group_value_counts(df, group_col, value_col, group_a, group_b)
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vc.select(
+        F.col("n_a").alias("ca"),
+        F.col("n_b").alias("cb"),
+        F.sum("n_a").over(w).cast("long").alias("cuma"),
+        F.sum("n_b").over(w).cast("long").alias("cumb"),
+    )
+    tot = df.filter(F.col(group_col).isin([group_a, group_b])).groupBy().agg(
+        F.sum((F.col(group_col) == group_a).cast("long")).cast("long").alias("n_a"),
+        F.sum((F.col(group_col) == group_b).cast("long")).cast("long").alias("n_b"),
+    )
+    terms = cum.join(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        F.expr(
+            "CAST(ca + cb AS DECIMAL(38,0))"
+            " * (CAST(cuma AS DECIMAL(38,0)) * n_b"
+            "    - CAST(cumb AS DECIMAL(38,0)) * n_a)"
+            " * (CAST(cuma AS DECIMAL(38,0)) * n_b"
+            "    - CAST(cumb AS DECIMAL(38,0)) * n_a)"
+        ).alias("__t"),
+    )
+    return terms.groupBy().agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.expr(
+            "CAST(SUM(__t) * 1000000"
+            " DIV NULLIF(CAST(MAX(n_a) AS DECIMAL(38,0)) * MAX(n_b)"
+            "   * (MAX(n_a) + MAX(n_b)) * (MAX(n_a) + MAX(n_b)), 0)"
+            " AS BIGINT)"
+        ).alias("cvm_micro"),
     )

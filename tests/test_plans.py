@@ -288,6 +288,12 @@ _INTENTIONAL_LINT = {
     # krippendorff_ordinal — the margin cumsum runs over the LABEL
     #   domain (a 1..5 rating scale), never items or ratings
     "krippendorff_ordinal": {"global-window"},
+    # cvm_drift — pooled-CDF cumsums over the DISTINCT-VALUE
+    #   aggregate (the ks_drift shape), never rows
+    "cvm_drift": {"global-window"},
+    # theil_u — marginal windows over the (x,y) CELL aggregate,
+    #   domain-bounded (the mutual_information contract)
+    "theil_u": {"global-window"},
     # mutual_information — the marginal/total windows run over the
     #   (x,y) CELL aggregate, bounded by the category-domain product;
     #   the operator is documented as categorical-only for this reason

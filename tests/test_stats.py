@@ -2309,3 +2309,56 @@ def test_cusum_two_sided_catches_downward_shift(spark):
     assert two["alarm_side"] == "lower"
     # drop of 55/step below (target - slack): breach after ceil(200/55)+20
     assert two["first_alarm_step"] == 24
+
+
+def test_cvm_distance_hand_case_and_zero(spark):
+    # a=[1,2], b=[3,4]: T = (nm/N^2) * sum (F_a-F_b)^2 over pooled
+    # points = (4/16) * (0.25 + 1 + 0.25 + 0) = 0.375 exactly
+    rows = [("a", 1), ("a", 2), ("b", 3), ("b", 4)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    [r] = st.cvm_distance(df, "g", "v", "a", "b").collect()
+    assert (r["n_a"], r["n_b"], r["cvm_micro"]) == (2, 2, 375_000)
+    # identical samples -> exactly 0
+    same = spark.createDataFrame(
+        [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (1, 2, 3)],
+        "g string, v long",
+    )
+    [rz] = st.cvm_distance(same, "g", "v", "a", "b").collect()
+    assert rz["cvm_micro"] == 0
+
+
+def test_cvm_distance_orders_separation(spark):
+    # fully separated slices must score far above interleaved ones
+    sep = spark.createDataFrame(
+        [("a", v) for v in range(10)] + [("b", v + 100) for v in range(10)],
+        "g string, v long",
+    )
+    mix = spark.createDataFrame(
+        [("a", 2 * v) for v in range(10)] + [("b", 2 * v + 1) for v in range(10)],
+        "g string, v long",
+    )
+    [rs] = st.cvm_distance(sep, "g", "v", "a", "b").collect()
+    [rm] = st.cvm_distance(mix, "g", "v", "a", "b").collect()
+    assert rs["cvm_micro"] > 10 * rm["cvm_micro"] > 0
+
+
+def test_theil_u_determined_independent_asymmetric(spark):
+    # Y determines X (X = Y mod 2, Y uniform on 0..3):
+    # U(X|Y) = 1, U(Y|X) = H(X)/H(Y) = 1/2
+    rows = [(y % 2, y) for y in range(4) for _ in range(5)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    [r] = st.theil_u(df, "x", "y").collect()
+    assert abs(r["u_micro"] - 1_000_000) <= 300
+    [rr] = st.theil_u(df, "y", "x").collect()
+    assert abs(rr["u_micro"] - 500_000) <= 300
+    # independence -> every cell's PMI term is ln(1) = 0 -> U = 0
+    ind = spark.createDataFrame(
+        [(x, y) for x in range(3) for y in range(4) for _ in range(2)],
+        "x long, y long",
+    )
+    [ri] = st.theil_u(ind, "x", "y").collect()
+    assert ri["mi_micro"] == 0 and ri["u_micro"] == 0
+    # degenerate X (one category): H(X) = 0 -> NULL
+    deg = spark.createDataFrame([(1, y) for y in range(4)], "x long, y long")
+    [rd] = st.theil_u(deg, "x", "y").collect()
+    assert rd["u_micro"] is None
