@@ -7233,6 +7233,58 @@ def q_dp_noisy_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_krippendorff_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL Krippendorff's alpha (operators.stats.
+    krippendorff_interval) over the same ragged 1..5 fixture as the
+    ordinal gate — squared-difference distance, the numeric-scale
+    member completing the alpha family. All-integer coincidence
+    algebra, one micro truncation per item + one final DIV."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    raters = spark.range(5).select(F.col("id").alias("rater"))
+    rated = docs.crossJoin(raters).filter(
+        F.pmod(_mix(F.col("doc_id") * 11 + F.col("rater") * 3), F.lit(10))
+        < 6 + F.pmod(F.col("rater"), F.lit(3))
+    )
+    s = _mix(F.col("doc_id") * 5 + F.col("rater"))
+    base = F.pmod(_mix(F.col("doc_id")), F.lit(5))
+    alt = F.pmod(_mix(F.col("doc_id") * 5 + F.col("rater") + 101), F.lit(5))
+    rated = rated.select(
+        F.col("doc_id").alias("item_id"),
+        F.col("rater"),
+        (F.lit(1) + F.when(F.pmod(s, F.lit(4)) < 3, base).otherwise(alt))
+        .cast("long")
+        .alias("label"),
+    )
+    return st.krippendorff_interval(rated)
+
+
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test (operators.stats.cochran_armitage):
+    is the fulfilled-order rate monotone in order PRIORITY (the digit
+    of o_orderpriority, an ordered 1..5 exposure)? The 2xk trend
+    screen chi_square's order-blind association can't express; exact
+    DECIMAL moments, one fp64 z floored to micro."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    orders = load_table(spark, sf_dir, "orders")
+    frame = orders.select(
+        F.substring(F.col("o_orderpriority"), 1, 1).cast("long").alias("dose"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("is_final"),
+    )
+    return st.cochran_armitage(frame, "dose", "is_final")
+
+
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-diversity profile (operators.text.
+    lexical_diversity): TTR + Herdan C + Guiraud R per document — the
+    per-doc richness signals a quality filter thresholds on, next to
+    the slice-level constants (yules_k, heaps_law). One explode +
+    (doc, token) agg + doc-keyed reduce; micro-floored fp64 at
+    birth."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.lexical_diversity(docs)
+
+
 def q_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Cramér-von Mises statistic (operators.stats.
     cvm_distance) between BUILDING and MACHINERY balance-cent
@@ -7808,6 +7860,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_noisy_mean": q_dp_noisy_mean,
         "cvm_drift": q_cvm_drift,
         "theil_u": q_theil_u,
+        "krippendorff_interval": q_krippendorff_interval,
+        "cochran_armitage": q_cochran_armitage,
+        "lexical_diversity": q_lexical_diversity,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -17586,5 +17641,100 @@ def oracle_sql() -> dict[str, str]:
           CAST(CAST(GREATEST(SUM(mi_x), 0) AS HUGEINT) * 1000000
             // NULLIF(CAST(SUM(hx) AS BIGINT), 0) AS BIGINT) AS u_micro
         FROM per_x CROSS JOIN cc GROUP BY n_cells
+    """
+    oracles["krippendorff_interval"] = """
+        WITH rated AS MATERIALIZED (
+          SELECT d.doc_id AS it, r.rater AS r,
+            1 + CASE WHEN (((d.doc_id * 5 + r.rater) % 1000003)
+                          * 2654435761) % 1000003 % 4 < 3
+              THEN (((d.doc_id % 1000003) * 2654435761) % 1000003) % 5
+              ELSE ((((d.doc_id * 5 + r.rater + 101) % 1000003)
+                   * 2654435761) % 1000003) % 5
+            END AS l
+          FROM documents d
+          CROSS JOIN (SELECT unnest(range(0, 5)) AS rater) r
+          WHERE ((((d.doc_id * 11 + r.rater * 3) % 1000003) * 2654435761)
+                 % 1000003) % 10 < 6 + (r.rater % 3)
+        ),
+        nuc AS (SELECT it, l, CAST(COUNT(*) AS BIGINT) AS c
+                FROM rated GROUP BY 1, 2),
+        per AS MATERIALIZED (
+          SELECT it, CAST(SUM(c) AS BIGINT) AS m
+          FROM nuc GROUP BY 1 HAVING SUM(c) >= 2
+        ),
+        multi AS (SELECT nuc.* FROM nuc JOIN per ON nuc.it = per.it),
+        cat AS (SELECT l, CAST(SUM(c) AS BIGINT) AS cj FROM multi GROUP BY 1),
+        ctot AS (SELECT CAST(SUM(cj) AS BIGINT) AS n FROM cat),
+        de AS (
+          SELECT SUM(CAST(a.cj AS HUGEINT) * b.cj
+            * CAST(b.l - a.l AS HUGEINT) * (b.l - a.l)) AS de_num
+          FROM cat a JOIN cat b ON a.l < b.l
+        ),
+        ip AS (
+          SELECT a.it, SUM(CAST(a.c AS HUGEINT) * b.c
+            * CAST(b.l - a.l AS HUGEINT) * (b.l - a.l)) AS pd
+          FROM multi a JOIN multi b ON a.it = b.it AND a.l < b.l
+          GROUP BY 1
+        ),
+        obs AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+            SUM(COALESCE(pd, 0) * 1000000 // (m - 1)) AS do_scaled
+          FROM per LEFT JOIN ip USING (it)
+        )
+        SELECT n_items, n AS n_ratings,
+          CAST((do_scaled * (n - 1)) // NULLIF(de_num, 0) AS BIGINT)
+            AS disagreement_micro,
+          CAST(1000000 - (do_scaled * (n - 1)) // NULLIF(de_num, 0)
+            AS BIGINT) AS alpha_micro
+        FROM obs CROSS JOIN ctot CROSS JOIN de
+    """
+    oracles["cochran_armitage"] = """
+        WITH per AS (
+          SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r
+          FROM orders GROUP BY 1
+        ),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k,
+            CAST(SUM(n) AS BIGINT) AS n_total,
+            CAST(SUM(r) AS BIGINT) AS n_cases,
+            SUM(CAST(w AS HUGEINT) * r) AS wr,
+            SUM(CAST(w AS HUGEINT) * n) AS wn,
+            SUM(CAST(w AS HUGEINT) * w * n) AS w2n
+          FROM per
+        )
+        SELECT k, n_total, n_cases,
+          CASE WHEN n_cases = 0 OR n_cases = n_total OR k < 2 THEN NULL
+            ELSE CAST(FLOOR(
+              CAST(wr * n_total - wn * n_cases AS DOUBLE)
+              / SQRT(CAST(CAST(n_cases AS HUGEINT) * (n_total - n_cases)
+                  * (n_total * w2n - wn * wn) AS DOUBLE)
+                / CAST(n_total AS DOUBLE))
+              * 1000000) AS BIGINT) END AS z_micro
+        FROM agg
+    """
+    oracles["lexical_diversity"] = """
+        WITH counts AS (
+          SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT doc_id,
+              UNNEST(string_split(trim(regexp_replace(lower(text),
+                '\\s+', ' ', 'g')), ' ')) AS token
+            FROM documents
+          ) WHERE length(token) > 0 GROUP BY 1, 2
+        )
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          CAST(COUNT(*) AS BIGINT) AS n_types,
+          CAST(CAST(COUNT(*) AS HUGEINT) * 1000000 // SUM(c) AS BIGINT)
+            AS ttr_micro,
+          CASE WHEN SUM(c) < 2 THEN NULL
+            ELSE CAST(FLOOR(
+              LN(CAST(COUNT(*) AS DOUBLE)) / LN(CAST(SUM(c) AS DOUBLE))
+              * 1000000) AS BIGINT) END AS herdan_c_micro,
+          CAST(FLOOR(
+            CAST(COUNT(*) AS DOUBLE) / SQRT(CAST(SUM(c) AS DOUBLE))
+            * 1000000) AS BIGINT) AS guiraud_r_micro
+        FROM counts GROUP BY 1
     """
     return oracles

@@ -3686,6 +3686,166 @@ def krippendorff_ordinal(
     )
 
 
+def cochran_armitage(
+    df: DataFrame,
+    dose_col: str,
+    case_col: str,
+) -> DataFrame:
+    """Cochran-Armitage trend test (Cochran 1954; Armitage 1955) — is
+    a binary outcome's rate MONOTONE in an ordered exposure? The 2×k
+    contingency test that chi_square (association, order-blind)
+    cannot express: with integer dose scores w_i, group sizes n_i,
+    case counts r_i, totals N/R,
+
+        T = Σ w_i (r_i − n_i·R/N),
+        Var = R(N−R)·(N·Σw_i²n_i − (Σw_i n_i)²) / N³,
+        Z = T / √Var
+
+    The right screen for "does quality-score bucket predict
+    pass-rate" style eval questions where buckets are ordered.
+
+    Exactness: ``A = Σ w_i(r_i·N − n_i·R) = T·N`` and
+    ``V3 = R(N−R)(N·Σw²n − (Σwn)²) = Var·N³`` are exact
+    DECIMAL(38,0) integers (V3 reaches ~N⁴ — decimal-exact to ~10⁹
+    rows); Z = A/√(V3/N) is ONE fixed fp64 expression over them,
+    micro-floored. NULL when Var = 0 (all cases, no cases, or one
+    dose level — no trend to test). Dose values must be integers
+    (quantize upstream).
+
+    Scale shape: one dose-keyed partial-agg shuffle (k ≤ dose
+    domain), one 1-row reduce over the bounded group table.
+
+    Returns one row (k, n_total, n_cases, z_micro).
+    """
+    w = F.col(dose_col).cast("long")
+    case = F.col(case_col).cast("boolean").cast("long")
+    per = df.groupBy(w.alias("__w")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(case).cast("long").alias("__r"),
+    )
+    return per.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__n").cast("long").alias("n_total"),
+        F.sum("__r").cast("long").alias("n_cases"),
+        F.sum(F.expr("CAST(__w AS DECIMAL(38,0)) * __r")).alias("__wr"),
+        F.sum(F.expr("CAST(__w AS DECIMAL(38,0)) * __n")).alias("__wn"),
+        F.sum(F.expr("CAST(__w AS DECIMAL(38,0)) * __w * __n")).alias("__w2n"),
+    ).select(
+        "k",
+        "n_total",
+        "n_cases",
+        F.expr(
+            """CASE WHEN n_cases = 0 OR n_cases = n_total OR k < 2 THEN NULL
+               ELSE CAST(FLOOR(
+                 CAST(__wr * n_total - __wn * n_cases AS DOUBLE)
+                 / SQRT(CAST(CAST(n_cases AS DECIMAL(38,0))
+                     * (n_total - n_cases)
+                     * (n_total * __w2n - __wn * __wn) AS DOUBLE)
+                   / CAST(n_total AS DOUBLE))
+                 * 1000000) AS BIGINT) END"""
+        ).alias("z_micro"),
+    )
+
+
+def krippendorff_interval(
+    df: DataFrame,
+    item_col: str = "item_id",
+    rater_col: str = "rater",
+    label_col: str = "label",
+) -> DataFrame:
+    """Krippendorff's alpha, INTERVAL metric (Krippendorff 2004
+    §11.3) — agreement for numeric scales where the DIFFERENCE is
+    meaningful (scores, counts, millisecond ratings): pair distance
+    ``delta²(c,k) = (c − k)²``, completing the alpha family
+    (nominal = krippendorff_alpha, ordinal = krippendorff_ordinal,
+    interval = this). Values must be integer-quantized upstream
+    (the engine-wide discipline).
+
+    Same coincidence algebra as the ordinal form with the
+    margin-independent squared-difference weight — so NO window at
+    all: the pair-weight table is computed directly on the label-pair
+    join, ``alpha = 1 − (n−1)·[Σ_u Σ_{c<k} n_uc·n_uk·(c−k)² /
+    (m_u−1)] / Σ_{c<k} n_c·n_k·(c−k)²``, one micro truncation per
+    item + one final truncating DIV (NULL when every rating is one
+    value). Single-rating items are excluded everywhere.
+
+    Scale shape: one (item,label) partial-agg shuffle, a
+    contingency-cell self-join per item (≤ |values|² cells), a
+    value-domain pair aggregate for D_e. DECIMAL(38,0)-exact
+    intermediates.
+
+    Returns one row (n_items, n_ratings, disagreement_micro,
+    alpha_micro).
+    """
+    nuc = df.groupBy(
+        F.col(item_col).alias("__it"), F.col(label_col).cast("long").alias("__l")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    per_item = (
+        nuc.groupBy("__it")
+        .agg(F.sum("c").cast("long").alias("m"))
+        .filter(F.col("m") >= 2)
+    )
+    multi = nuc.join(per_item, "__it")
+    cat = multi.groupBy("__l").agg(F.sum("c").cast("long").alias("cj"))
+    lo = cat.select(F.col("__l").alias("lc"), F.col("cj").alias("cjc"))
+    hi = cat.select(F.col("__l").alias("lk"), F.col("cj").alias("cjk"))
+    de = (
+        lo.join(hi, F.col("lc") < F.col("lk"))
+        .groupBy()
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(cjc AS DECIMAL(38,0)) * cjk"
+                    " * CAST(lk - lc AS DECIMAL(38,0)) * (lk - lc)"
+                )
+            ).alias("de_num")
+        )
+    )
+    cat_tot = cat.groupBy().agg(F.sum("cj").cast("long").alias("n"))
+    a = multi.select("__it", F.col("__l").alias("lc"), F.col("c").alias("ca"))
+    b = multi.select(
+        F.col("__it").alias("__itb"), F.col("__l").alias("lk"),
+        F.col("c").alias("cb"),
+    )
+    item_pairs = (
+        a.join(b, (F.col("__it") == F.col("__itb")) & (F.col("lc") < F.col("lk")))
+        .groupBy("__it")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(ca AS DECIMAL(38,0)) * cb"
+                    " * CAST(lk - lc AS DECIMAL(38,0)) * (lk - lc)"
+                )
+            ).alias("pd")
+        )
+    )
+    obs = (
+        per_item.join(item_pairs, "__it", "left")
+        .select(
+            "m",
+            F.coalesce(F.col("pd"), F.lit(0).cast("decimal(38,0)")).alias("pd"),
+        )
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(
+                F.expr("CAST(pd * 1000000 DIV (m - 1) AS DECIMAL(38,0))")
+            ).alias("do_scaled"),
+        )
+    )
+    return obs.crossJoin(cat_tot).crossJoin(de).select(
+        "n_items",
+        F.col("n").alias("n_ratings"),
+        F.expr(
+            "CAST((do_scaled * (n - 1)) DIV NULLIF(de_num, 0) AS BIGINT)"
+        ).alias("disagreement_micro"),
+        F.expr(
+            "CAST(1000000 - (do_scaled * (n - 1))"
+            " DIV NULLIF(de_num, 0) AS BIGINT)"
+        ).alias("alpha_micro"),
+    )
+
+
 def cochran_q(
     df: DataFrame,
     item_col: str = "item_id",

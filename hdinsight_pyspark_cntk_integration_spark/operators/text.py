@@ -2751,6 +2751,68 @@ def log_odds_dirichlet(
     return out.orderBy(F.abs(F.col("z_micro")).desc(), F.col("token")).limit(top_k)
 
 
+def lexical_diversity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document lexical-diversity profile — the three classic
+    type/token richness measures a curation pipeline reads together
+    (each corrects the previous one's length bias differently):
+
+        TTR       = V / N            (raw, length-biased)
+        Herdan C  = ln V / ln N      (log-log, ~length-stable)
+        Guiraud R = V / √N           (root TTR)
+
+    next to the corpus-slice constants (yules_k, heaps_law): these are
+    the PER-DOC signals a quality filter thresholds on (templated spam
+    has pathologically low diversity at any length).
+
+    Exactness: N and V are exact counts from one (doc, token)
+    aggregate; each measure is ONE fixed fp64 expression over them,
+    micro-floored at birth. Herdan is NULL at N = 1 (ln 1 = 0 — a
+    one-token document has no log-log slope); TTR/Guiraud are defined
+    everywhere (N ≥ 1 after the empty-token filter).
+
+    Scale shape: one explode + (doc, token) partial-agg shuffle, one
+    doc-keyed reduce. The whitespace/lowercase tokenization is the
+    yules_k convention.
+
+    Returns (doc_id, n_tokens, n_types, ttr_micro, herdan_c_micro,
+    guiraud_r_micro) per document with ≥ 1 token.
+    """
+    counts = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+                "token"
+            ),
+        )
+        .filter(F.length("token") > 0)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.expr(
+            """CAST(CAST(COUNT(*) AS DECIMAL(38,0)) * 1000000
+               DIV SUM(c) AS BIGINT)"""
+        ).alias("ttr_micro"),
+        F.expr(
+            """CASE WHEN SUM(c) < 2 THEN NULL
+               ELSE CAST(FLOOR(
+                 LN(CAST(COUNT(*) AS DOUBLE)) / LN(CAST(SUM(c) AS DOUBLE))
+                 * 1000000) AS BIGINT) END"""
+        ).alias("herdan_c_micro"),
+        F.expr(
+            """CAST(FLOOR(
+              CAST(COUNT(*) AS DOUBLE) / SQRT(CAST(SUM(c) AS DOUBLE))
+              * 1000000) AS BIGINT)"""
+        ).alias("guiraud_r_micro"),
+    )
+
+
 def yules_k(
     df: DataFrame,
     group_col: str = "source",

@@ -2362,3 +2362,72 @@ def test_theil_u_determined_independent_asymmetric(spark):
     deg = spark.createDataFrame([(1, y) for y in range(4)], "x long, y long")
     [rd] = st.theil_u(deg, "x", "y").collect()
     assert rd["u_micro"] is None
+
+
+def test_krippendorff_interval_two_values_equals_family(spark):
+    # adjacent integer values make the interval weight constant ->
+    # interval == ordinal == nominal on the same data
+    rows = [
+        (1, "r1", 0), (1, "r2", 0),
+        (2, "r1", 1), (2, "r2", 1),
+        (3, "r1", 0), (3, "r2", 1),
+        (4, "r1", 1), (4, "r2", 1),
+    ]
+    df = spark.createDataFrame(rows, "item_id long, rater string, label long")
+    [i] = st.krippendorff_interval(df).collect()
+    [o] = st.krippendorff_ordinal(df).collect()
+    [n] = st.krippendorff_alpha(df).collect()
+    assert i["alpha_micro"] == o["alpha_micro"] == n["alpha_micro"]
+
+
+def test_krippendorff_interval_penalizes_distance(spark):
+    anchors = [(100 + l, r, l) for l in (1, 2, 3, 4, 5) for r in ("a", "b")]
+    near = anchors + [(1, "a", 1), (1, "b", 2)]
+    far = anchors + [(1, "a", 1), (1, "b", 5)]
+    dn = spark.createDataFrame(near, "item_id long, rater string, label long")
+    df_ = spark.createDataFrame(far, "item_id long, rater string, label long")
+    [rn] = st.krippendorff_interval(dn).collect()
+    [rf] = st.krippendorff_interval(df_).collect()
+    assert rn["alpha_micro"] > rf["alpha_micro"]
+    # perfect agreement and one-value degeneracy
+    perfect = spark.createDataFrame(
+        [(i, r, 10 * i) for i in range(4) for r in ("a", "b")],
+        "item_id long, rater string, label long",
+    )
+    [rp] = st.krippendorff_interval(perfect).collect()
+    assert rp["alpha_micro"] == 1_000_000
+    degen = spark.createDataFrame(
+        [(i, r, 7) for i in range(3) for r in ("a", "b")],
+        "item_id long, rater string, label long",
+    )
+    [rd] = st.krippendorff_interval(degen).collect()
+    assert rd["alpha_micro"] is None
+
+
+def test_cochran_armitage_hand_case(spark):
+    import math
+
+    # doses 0/1/2, 10 subjects each, cases 1/3/6 -> clear rising trend
+    rows = ([(0, 1)] * 1 + [(0, 0)] * 9 + [(1, 1)] * 3 + [(1, 0)] * 7
+            + [(2, 1)] * 6 + [(2, 0)] * 4)
+    df = spark.createDataFrame(rows, "dose long, case long")
+    [r] = st.cochran_armitage(df, "dose", "case").collect()
+    assert (r["k"], r["n_total"], r["n_cases"]) == (3, 30, 10)
+    # float reference
+    N, R = 30, 10
+    per = {0: (10, 1), 1: (10, 3), 2: (10, 6)}
+    t = sum(w * (ri - ni * R / N) for w, (ni, ri) in per.items())
+    var = (R * (N - R) * (N * sum(w * w * ni for w, (ni, _) in per.items())
+           - sum(w * ni for w, (ni, _) in per.items()) ** 2)) / N ** 3
+    z = t / math.sqrt(var)
+    assert abs(r["z_micro"] / 1e6 - z) < 2e-6 and r["z_micro"] > 2_000_000
+    # flat rates -> |z| tiny; degenerate all-cases -> NULL
+    flat = spark.createDataFrame(
+        [(d, 1 if i < 3 else 0) for d in range(3) for i in range(10)],
+        "dose long, case long",
+    )
+    [rf] = st.cochran_armitage(flat, "dose", "case").collect()
+    assert abs(rf["z_micro"]) < 2
+    allc = spark.createDataFrame([(d, 1) for d in range(3)], "dose long, case long")
+    [ra] = st.cochran_armitage(allc, "dose", "case").collect()
+    assert ra["z_micro"] is None
