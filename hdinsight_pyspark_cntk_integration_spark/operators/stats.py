@@ -3649,9 +3649,13 @@ def krippendorff_ordinal(
         F.col("__it").alias("__itb"), F.col("__l").alias("lk"),
         F.col("c").alias("cb"),
     )
+    # no broadcast hint on wpairs: it is label-domain-bounded (≤
+    # |scale|²/2 rows) but DERIVED from the input table, and the repo
+    # convention (test-enforced) never force-broadcasts anything rooted
+    # at an SF table — AQE broadcasts it at runtime when it is small.
     item_pairs = (
         a.join(b, (F.col("__it") == F.col("__itb")) & (F.col("lc") < F.col("lk")))
-        .join(F.broadcast(wpairs.select("lc", "lk", "w")), ["lc", "lk"])
+        .join(wpairs.select("lc", "lk", "w"), ["lc", "lk"])
         .groupBy("__it")
         .agg(
             F.sum(
