@@ -7439,6 +7439,180 @@ _GATE_WINDOW = [
 ]
 
 
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five market segments' balance-cent
+    distributions (operators.stats.kruskal_wallis) — the k-group
+    omnibus rank test between mann_whitney_u (k=2) and friedman_test
+    (blocked): does ANY segment's balance distribution sit shifted?
+    Doubled-rank integers over the distinct-value aggregate, never a
+    row sort; exact tie correction."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    customer = load_table(spark, sf_dir, "customer")
+    frame = customer.select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    return st.kruskal_wallis(frame, "c_mktsegment", "cents")
+
+
+def q_ad_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling statistic (operators.stats.
+    ad_distance) between BUILDING and MACHINERY balance-cent
+    distributions — the tail-weighted member completing the exact
+    drift family (ks = sup, cvm = L2, wasserstein = transport,
+    tv/hellinger = mass): each CDF-gap term is divided by B(N-B), so
+    tail drift a uniform integral dilutes gets amplified. Same shape
+    as cvm_drift: value-domain cumsums, per-block micro DIV."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    customer = load_table(spark, sf_dir, "customer")
+    frame = customer.select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    return st.ad_distance(
+        frame, "c_mktsegment", "cents", "BUILDING", "MACHINERY"
+    )
+
+
+def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across order priorities (operators.stats.
+    mood_median on o_totalprice cents): do the five priorities split
+    their order-value mass the same way around the GRAND median? The
+    robust one-cut location screen next to kruskal_wallis's full-rank
+    H — grand median read off the value-domain cumsum, then a k×2
+    chi-square with exact integer numerators."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    orders = load_table(spark, sf_dir, "orders")
+    frame = orders.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return st.mood_median(frame, "o_orderpriority", "cents")
+
+
+def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-trend test (operators.stats.
+    jonckheere_terpstra): does order value trend monotonically with
+    priority (the 1..5 digit of o_orderpriority as an ordered dose)?
+    The continuous-response k-group companion to cochran_armitage's
+    binary trend — pairwise dominance counts off the (group x value)
+    grid, |V|·k² work, never an all-row pair join."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    orders = load_table(spark, sf_dir, "orders")
+    frame = orders.select(
+        F.substring(F.col("o_orderpriority"), 1, 1).cast("long").alias("dose"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return st.jonckheere_terpstra(frame, "dose", "cents")
+
+
+def q_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gwet's AC1 agreement (operators.stats.gwet_ac1) over the SAME
+    ragged synthetic ratings the krippendorff_alpha gate uses — the
+    prevalence-stable coefficient that resists the kappa paradox on
+    skewed label distributions (compare the two gates' values on
+    identical data). Items with a single rating excluded from both
+    terms (documented); micro-truncation at birth, exact sums."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    raters = spark.range(5).select(F.col("id").alias("rater"))
+    rated = docs.crossJoin(raters).filter(
+        F.pmod(_mix(F.col("doc_id") * 7 + F.col("rater")), F.lit(10))
+        < 6 + F.pmod(F.col("rater"), F.lit(3))
+    )
+    s = _mix(F.col("doc_id") * 3 + F.col("rater"))
+    base = F.pmod(_mix(F.col("doc_id")), F.lit(4))
+    alt = F.pmod(s, F.lit(4))
+    rated = rated.select(
+        F.col("doc_id").alias("item"),
+        F.col("rater"),
+        F.concat(
+            F.lit("L"),
+            F.when(F.pmod(s, F.lit(4)) < 3, base).otherwise(alt),
+        ).alias("label"),
+    )
+    return st.gwet_ac1(rated, "item", "rater", "label")
+
+
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Durbin-Watson on the monthly revenue series
+    (operators.stats.durbin_watson): lag-1 serial-correlation
+    diagnostic per series — DW ~ 2 means the month-to-month revenue
+    innovations are uncorrelated; -> 0 flags persistent momentum the
+    forecasting operators (holt_linear) should model. Fully integer
+    via the multiply-through trick; one series-keyed shuffle."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    pts = _monthly_nation_revenue(spark, sf_dir)
+    return st.durbin_watson(pts, "nation", "t", "v")
+
+
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Ljung-Box portmanteau Q at lags 1..6 (operators.
+    stats.ljung_box) on the monthly revenue series — "is ANY
+    autocorrelation structure present", the whiteness screen composed
+    from the exact ACF operator (autocorrelation gate): per-lag
+    truncating micro DIV over the integer acf_micro, exact sums."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    pts = _monthly_nation_revenue(spark, sf_dir)
+    return st.ljung_box(pts, "nation", "t", "v", max_lag=6)
+
+
+def q_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' maximum-normed-residual test on customer balance cents
+    (operators.stats.grubbs_test): is the single most extreme balance
+    an outlier under normality? ONE aggregate — the extreme deviation
+    is provably at the min or max, so no join-back; exact integer
+    moments, one fp64 sqrt micro-floored."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    customer = load_table(spark, sf_dir, "customer")
+    frame = customer.select(
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents")
+    )
+    return st.grubbs_test(frame, "cents")
+
+
+def q_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett variance-homogeneity test across market segments
+    (operators.stats.bartlett_test on balance cents) — the
+    normal-theory sharp companion to the robust levene_bf gate (the
+    pair's disagreement is itself a tail-weight diagnostic). Every
+    cross-group sum integer (micro/pico floored at birth), one fp64
+    closing expression."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    customer = load_table(spark, sf_dir, "customer")
+    frame = customer.select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    return st.bartlett_test(frame, "c_mktsegment", "cents")
+
+
+def q_chrf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus chrF per character-n-gram order (operators.text.
+    chrf_score, n <= 3, beta = 2): references = documents,
+    'hypotheses' = the same documents with every 4th token dropped
+    (the bleu_clipped fixture) — the tokenizer-free generation metric
+    that gives partial credit where BLEU's word grams score 0. Each
+    per-order score is one truncating micro DIV over three exact
+    integer corpus totals."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    kept = F.filter(toks, lambda t, i: F.pmod(i + 1, F.lit(4)) != 0)
+    hyps = docs.select("doc_id", F.array_join(kept, " ").alias("text"))
+    return tx.chrf_score(docs, hyps, n_max=3, beta=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Full registry, gate window first.
 
@@ -7863,6 +8037,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "krippendorff_interval": q_krippendorff_interval,
         "cochran_armitage": q_cochran_armitage,
         "lexical_diversity": q_lexical_diversity,
+        "kruskal_wallis": q_kruskal_wallis,
+        "ad_drift": q_ad_drift,
+        "mood_median": q_mood_median,
+        "jonckheere_terpstra": q_jonckheere_terpstra,
+        "gwet_ac1": q_gwet_ac1,
+        "durbin_watson": q_durbin_watson,
+        "ljung_box": q_ljung_box,
+        "grubbs_test": q_grubbs_test,
+        "bartlett_test": q_bartlett_test,
+        "chrf_score": q_chrf_score,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -17736,5 +17920,412 @@ def oracle_sql() -> dict[str, str]:
             CAST(COUNT(*) AS DOUBLE) / SQRT(CAST(SUM(c) AS DOUBLE))
             * 1000000) AS BIGINT) AS guiraud_r_micro
         FROM counts GROUP BY 1
+    """
+    oracles["kruskal_wallis"] = """
+        WITH sub AS (
+          SELECT c_mktsegment AS g,
+            CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS v
+          FROM customer
+          WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+        ),
+        gv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS n_gv
+               FROM sub GROUP BY 1, 2),
+        tv AS (SELECT v, CAST(SUM(n_gv) AS BIGINT) AS t FROM gv GROUP BY 1),
+        ranks AS (
+          SELECT v, t,
+            CAST(2 * COALESCE(SUM(t) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + t + 1 AS BIGINT) AS r2
+          FROM tv
+        ),
+        per_g AS (
+          SELECT gv.g, CAST(SUM(n_gv) AS BIGINT) AS n_g,
+            CAST(SUM(n_gv * r2) AS BIGINT) AS r2_g
+          FROM gv JOIN ranks USING (v) GROUP BY 1
+        ),
+        terms AS (
+          SELECT CAST(CAST(r2_g AS HUGEINT) * r2_g * 3000000 // n_g
+            AS HUGEINT) AS tt
+          FROM per_g
+        ),
+        ties AS (
+          SELECT SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_num,
+            CAST(SUM(t) AS BIGINT) AS n
+          FROM tv
+        )
+        SELECT MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+          CAST(SUM(tt) // (CAST(MAX(n) AS HUGEINT) * (MAX(n) + 1))
+            - 3000000 * (CAST(MAX(n) AS HUGEINT) + 1) AS BIGINT) AS h_micro,
+          CAST((SUM(tt) // (CAST(MAX(n) AS HUGEINT) * (MAX(n) + 1))
+              - 3000000 * (CAST(MAX(n) AS HUGEINT) + 1))
+            * (CAST(MAX(n) AS HUGEINT) * MAX(n) * MAX(n) - MAX(n))
+            // NULLIF(CAST(MAX(n) AS HUGEINT) * MAX(n) * MAX(n)
+              - MAX(n) - MAX(tie_num), 0) AS BIGINT) AS h_tie_micro
+        FROM terms CROSS JOIN ties
+    """
+    oracles["ad_drift"] = """
+        WITH sub AS (
+          SELECT c_mktsegment AS g,
+            CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS v
+          FROM customer
+          WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        ),
+        vc AS (
+          SELECT v,
+            CAST(SUM(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+            CAST(SUM(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+          FROM sub GROUP BY 1
+        ),
+        cum AS (
+          SELECT ca + cb AS l,
+            SUM(ca) OVER w AS cuma, SUM(ca + cb) OVER w AS bj
+          FROM vc
+          WINDOW w AS (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                CAST(SUM(cb) AS BIGINT) AS n_b FROM vc),
+        terms AS (
+          SELECT n_a, n_b,
+            CAST(CAST(l AS HUGEINT) * 1000000
+              * (CAST(cuma AS HUGEINT) * (n_a + n_b)
+                 - CAST(bj AS HUGEINT) * n_a)
+              * (CAST(cuma AS HUGEINT) * (n_a + n_b)
+                 - CAST(bj AS HUGEINT) * n_a)
+              // (CAST(bj AS HUGEINT) * (n_a + n_b - bj)) AS HUGEINT) AS tt
+          FROM cum CROSS JOIN tot
+          WHERE bj < n_a + n_b
+        )
+        SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+          CAST(SUM(tt) * (MAX(n_a) + MAX(n_b) - 1)
+            // NULLIF(CAST(MAX(n_a) AS HUGEINT) * MAX(n_b), 0)
+            AS BIGINT) AS ad_micro
+        FROM terms
+    """
+    oracles["mood_median"] = """
+        WITH sub AS (
+          SELECT o_orderpriority AS g,
+            CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+          FROM orders
+          WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        ),
+        gv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS n_gv
+               FROM sub GROUP BY 1, 2),
+        tv AS (SELECT v, CAST(SUM(n_gv) AS BIGINT) AS t FROM gv GROUP BY 1),
+        cum AS (
+          SELECT v, CAST(SUM(t) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum
+          FROM tv
+        ),
+        ntot AS (SELECT CAST(SUM(t) AS BIGINT) AS n FROM tv),
+        med AS (
+          SELECT MIN(v) AS median_v, MAX(n) AS n
+          FROM cum CROSS JOIN ntot WHERE 2 * cum >= n
+        ),
+        cells AS (
+          SELECT gv.g, med.n, med.median_v,
+            CAST(SUM(n_gv) AS BIGINT) AS n_g,
+            CAST(SUM(CASE WHEN gv.v <= med.median_v THEN n_gv
+              ELSE 0 END) AS BIGINT) AS a_g
+          FROM gv CROSS JOIN med GROUP BY gv.g, med.n, med.median_v
+        ),
+        staged AS (
+          SELECT n, median_v, n_g, a_g,
+            CAST(SUM(a_g) OVER () AS BIGINT) AS tot_a
+          FROM cells
+        ),
+        terms AS (
+          SELECT n, median_v,
+            CAST((CAST(a_g AS HUGEINT) * n - CAST(n_g AS HUGEINT) * tot_a)
+              * (CAST(a_g AS HUGEINT) * n - CAST(n_g AS HUGEINT) * tot_a)
+              * 1000000
+              // NULLIF(CAST(n AS HUGEINT) * n_g * tot_a, 0)
+              AS BIGINT) AS ta,
+            CAST((CAST(n_g - a_g AS HUGEINT) * n
+                - CAST(n_g AS HUGEINT) * (n - tot_a))
+              * (CAST(n_g - a_g AS HUGEINT) * n
+                - CAST(n_g AS HUGEINT) * (n - tot_a))
+              * 1000000
+              // NULLIF(CAST(n AS HUGEINT) * n_g * (n - tot_a), 0)
+              AS BIGINT) AS tb
+          FROM staged
+        )
+        SELECT MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+          MAX(median_v) AS median_v,
+          CAST(SUM(ta) + SUM(tb) AS BIGINT) AS chi2_micro
+        FROM terms
+    """
+    oracles["jonckheere_terpstra"] = """
+        WITH sub AS (
+          SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
+            CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+          FROM orders
+          WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        ),
+        gv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS n_gv
+               FROM sub GROUP BY 1, 2),
+        spine AS (
+          SELECT vv.v, gg.g
+          FROM (SELECT DISTINCT v FROM gv) vv
+          CROSS JOIN (SELECT DISTINCT g FROM gv) gg
+        ),
+        grid AS (
+          SELECT spine.g, spine.v,
+            CAST(COALESCE(gv.n_gv, 0) AS BIGINT) AS n_gv,
+            CAST(COALESCE(SUM(COALESCE(gv.n_gv, 0)) OVER (
+              PARTITION BY spine.g ORDER BY spine.v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cumlt
+          FROM spine LEFT JOIN gv
+            ON spine.g = gv.g AND spine.v = gv.v
+        ),
+        jt AS (
+          SELECT CAST(SUM(hi.n_gv * (2 * lo.cumlt + lo.n_gv))
+            AS BIGINT) AS jt2
+          FROM grid lo JOIN grid hi ON lo.v = hi.v AND lo.g < hi.g
+        ),
+        moments AS (
+          SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+            CAST(COUNT(*) AS BIGINT) AS k,
+            SUM(CAST(n_g AS HUGEINT) * n_g) AS sum_sq,
+            SUM(CAST(n_g AS HUGEINT) * n_g * (2 * n_g + 3)) AS sum_var
+          FROM (SELECT g, CAST(SUM(n_gv) AS BIGINT) AS n_g
+                FROM gv GROUP BY 1)
+        )
+        SELECT n, k, jt2,
+          CAST(FLOOR(
+            (CAST(jt2 AS DOUBLE)
+             - (CAST(n AS DOUBLE) * n - CAST(sum_sq AS DOUBLE)) / 2)
+            / SQRT(4.0 * (CAST(n AS DOUBLE) * n * (2 * n + 3)
+                          - CAST(sum_var AS DOUBLE)) / 72)
+            * 1000000) AS BIGINT) AS z_micro
+        FROM jt CROSS JOIN moments
+    """
+    oracles["gwet_ac1"] = """
+        WITH rated AS MATERIALIZED (
+          SELECT d.doc_id AS item, r.rater AS rater,
+            'L' || CAST(CASE
+              WHEN (((d.doc_id * 3 + r.rater) % 1000003) * 2654435761)
+                   % 1000003 % 4 < 3
+              THEN (((d.doc_id % 1000003) * 2654435761) % 1000003) % 4
+              ELSE (((d.doc_id * 3 + r.rater) % 1000003) * 2654435761)
+                   % 1000003 % 4
+            END AS VARCHAR) AS label
+          FROM documents d
+          CROSS JOIN (SELECT unnest(range(0, 5)) AS rater) r
+          WHERE ((((d.doc_id * 7 + r.rater) % 1000003) * 2654435761)
+                 % 1000003) % 10 < 6 + (r.rater % 3)
+        ),
+        cells0 AS (
+          SELECT item, label, CAST(COUNT(*) AS BIGINT) AS r_ic
+          FROM rated GROUP BY 1, 2
+        ),
+        cells AS (
+          SELECT item, label, r_ic,
+            CAST(SUM(r_ic) OVER (PARTITION BY item) AS BIGINT) AS r_i
+          FROM cells0
+          QUALIFY r_i >= 2
+        ),
+        per_item AS (
+          SELECT item,
+            CAST(SUM(r_ic * (r_ic - 1)) * 1000000
+              // (MAX(r_i) * (MAX(r_i) - 1)) AS BIGINT) AS pa_item
+          FROM cells GROUP BY 1
+        ),
+        pa AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+            CAST(SUM(pa_item) // COUNT(*) AS BIGINT) AS pa_micro
+          FROM per_item
+        ),
+        pi AS (
+          SELECT label,
+            CAST(SUM(r_ic * 1000000 // r_i) AS BIGINT) AS pi_num
+          FROM cells GROUP BY 1
+        ),
+        pe AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS q,
+            CAST(SUM(CAST(pi_num // n_items AS HUGEINT)
+              * (1000000 - pi_num // n_items) // 1000000)
+              // NULLIF(COUNT(*) - 1, 0) AS BIGINT) AS pe_micro
+          FROM pi CROSS JOIN pa
+        )
+        SELECT n_items, q, pa_micro, pe_micro,
+          CAST((pa_micro - pe_micro) * 1000000
+            // NULLIF(1000000 - pe_micro, 0) AS BIGINT) AS ac1_micro
+        FROM pa CROSS JOIN pe
+    """
+    oracles["grubbs_test"] = """
+        WITH agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(FLOOR(c_acctbal * 100) AS HUGEINT)) AS s,
+            SUM(CAST(FLOOR(c_acctbal * 100) AS HUGEINT)
+              * CAST(FLOOR(c_acctbal * 100) AS HUGEINT)) AS q,
+            CAST(MIN(FLOOR(c_acctbal * 100)) AS BIGINT) AS mn,
+            CAST(MAX(FLOOR(c_acctbal * 100)) AS BIGINT) AS mx
+          FROM customer WHERE c_acctbal IS NOT NULL
+        )
+        SELECT n,
+          CASE WHEN CAST(mx AS HUGEINT) * n - s
+            >= s - CAST(mn AS HUGEINT) * n THEN mx ELSE mn END AS outlier_v,
+          CAST(FLOOR(
+            CAST(GREATEST(CAST(mx AS HUGEINT) * n - s,
+                          s - CAST(mn AS HUGEINT) * n) AS DOUBLE)
+            / (CAST(n AS DOUBLE)
+               * SQRT((CAST(q AS DOUBLE) * n
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * (n - 1))))
+            * 1000000) AS BIGINT) AS g_micro
+        FROM agg
+    """
+    oracles["bartlett_test"] = """
+        WITH per_g AS (
+          SELECT c_mktsegment AS g, CAST(COUNT(*) AS BIGINT) AS n_g,
+            SUM(CAST(FLOOR(c_acctbal * 100) AS HUGEINT)) AS s_g,
+            SUM(CAST(FLOOR(c_acctbal * 100) AS HUGEINT)
+              * CAST(FLOOR(c_acctbal * 100) AS HUGEINT)) AS q_g
+          FROM customer
+          WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+          GROUP BY 1 HAVING COUNT(*) >= 2
+        ),
+        staged AS (
+          SELECT n_g,
+            CAST(q_g * 1000000 - s_g * s_g * 1000000 // n_g
+              AS HUGEINT) AS w_micro,
+            CAST(FLOOR(
+              (n_g - 1) * LN((CAST(q_g AS DOUBLE) * n_g
+                              - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE))
+                             / (CAST(n_g AS DOUBLE) * (n_g - 1)))
+              * 1000000) AS BIGINT) AS ln_micro,
+            CAST(1000000000000 // (n_g - 1) AS BIGINT) AS inv_pico
+          FROM per_g
+        )
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+          CAST(COUNT(*) AS BIGINT) AS k,
+          CAST(FLOOR(
+            ((CAST(SUM(n_g) AS DOUBLE) - COUNT(*))
+               * LN(CAST(SUM(w_micro) AS DOUBLE)
+                    / (1000000.0 * (CAST(SUM(n_g) AS DOUBLE) - COUNT(*))))
+             - CAST(SUM(ln_micro) AS DOUBLE) / 1000000.0)
+            / (1.0 + (CAST(SUM(inv_pico) AS DOUBLE) / 1e12
+                      - 1.0 / (CAST(SUM(n_g) AS DOUBLE) - COUNT(*)))
+                     / (3.0 * (COUNT(*) - 1)))
+            * 1000000) AS BIGINT) AS bartlett_micro
+        FROM staged
+    """
+    oracles["durbin_watson"] = f"""
+        WITH pts AS ({_MONTHLY_PTS}),
+        lagged AS (
+          SELECT nation, v,
+            lag(v) OVER (PARTITION BY nation ORDER BY t) AS p,
+            SUM(CAST(v AS HUGEINT)) OVER (PARTITION BY nation) AS s,
+            CAST(COUNT(*) OVER (PARTITION BY nation) AS BIGINT) AS n
+          FROM pts
+        ),
+        g AS (
+          SELECT nation, CAST(MAX(n) AS BIGINT) AS n,
+            SUM(CAST(v - p AS HUGEINT) * (v - p)) AS num,
+            SUM((CAST(v AS HUGEINT) * n - s)
+              * (CAST(v AS HUGEINT) * n - s)) AS den
+          FROM lagged GROUP BY 1
+        )
+        SELECT nation AS "key", n,
+          CAST(num * CAST(n AS HUGEINT) * n * 1000000
+            // NULLIF(den, 0) AS BIGINT) AS dw_micro
+        FROM g
+    """
+    oracles["ljung_box"] = f"""
+        WITH pts AS ({_MONTHLY_PTS}),
+        lagged AS (
+          SELECT nation, v, {_acf_lagcols}
+          FROM pts WINDOW w AS (PARTITION BY nation ORDER BY t)
+        ),
+        g AS (
+          SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(v AS HUGEINT)) AS s,
+            SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS q,
+            {_acf_aggs}
+          FROM lagged GROUP BY 1
+        ),
+        stacked AS ({_acf_stack}),
+        scored AS (
+          SELECT nation, lag, n, m AS n_used,
+            CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * p
+              - CAST(n AS HUGEINT) * s * (tt + h)
+              + CAST(m AS HUGEINT) * s * s AS num,
+            CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * q - s * s) AS den
+          FROM stacked
+        ),
+        acf AS (
+          SELECT nation, lag, n,
+            CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+              * 1000000.0) AS BIGINT) AS acf_micro
+          FROM scored WHERE n_used > 0 AND den <> 0
+        )
+        SELECT nation AS "key", MAX(n) AS n,
+          CAST(COUNT(*) AS BIGINT) AS n_lags,
+          CAST(SUM(CAST(n AS HUGEINT) * (n + 2) * acf_micro * acf_micro
+            // (CAST(n - lag AS HUGEINT) * 1000000)) AS BIGINT) AS q_micro
+        FROM acf GROUP BY nation
+    """
+    oracles["chrf_score"] = r"""
+        WITH refs AS MATERIALIZED (
+          SELECT doc_id,
+            trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+          FROM documents
+        ),
+        toks AS (
+          SELECT doc_id,
+            string_split(t, ' ') AS l
+          FROM refs
+        ),
+        hyps AS MATERIALIZED (
+          SELECT doc_id,
+            trim(regexp_replace(lower(array_to_string(
+              list_select(l, list_filter(range(1, len(l) + 1),
+                i -> i % 4 != 0)), ' ')), '\s+', ' ', 'g')) AS t
+          FROM toks
+        ),
+        ords AS (SELECT unnest(range(1, 4)) AS n),
+        rg AS MATERIALIZED (
+          SELECT doc_id, CAST(o.n AS INT) AS n, substr(t, gs.i, o.n) AS g
+          FROM refs CROSS JOIN ords o
+          CROSS JOIN LATERAL (SELECT unnest(
+            range(1, greatest(length(refs.t) - o.n + 1, 0) + 1)) AS i) gs
+        ),
+        hg AS MATERIALIZED (
+          SELECT doc_id, CAST(o.n AS INT) AS n, substr(t, gs.i, o.n) AS g
+          FROM hyps CROSS JOIN ords o
+          CROSS JOIN LATERAL (SELECT unnest(
+            range(1, greatest(length(hyps.t) - o.n + 1, 0) + 1)) AS i) gs
+        ),
+        rc AS (SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS c
+               FROM rg GROUP BY 1, 2, 3),
+        hc AS (SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS c
+               FROM hg GROUP BY 1, 2, 3),
+        clip AS (
+          SELECT hc.n, CAST(SUM(LEAST(hc.c, rc.c)) AS BIGINT)
+            AS total_clipped
+          FROM hc JOIN rc
+            ON hc.doc_id = rc.doc_id AND hc.n = rc.n AND hc.g = rc.g
+          GROUP BY 1
+        ),
+        rt AS (SELECT n, CAST(SUM(c) AS BIGINT) AS total_ref
+               FROM rc GROUP BY 1),
+        ht AS (SELECT n, CAST(SUM(c) AS BIGINT) AS total_hyp
+               FROM hc GROUP BY 1)
+        SELECT CAST(COALESCE(rt.n, ht.n) AS INT) AS n,
+          COALESCE(rt.total_ref, 0) AS total_ref,
+          COALESCE(ht.total_hyp, 0) AS total_hyp,
+          COALESCE(clip.total_clipped, 0) AS total_clipped,
+          COALESCE(CAST(CAST(5 AS HUGEINT)
+              * COALESCE(clip.total_clipped, 0) * 1000000
+              // NULLIF(4 * COALESCE(rt.total_ref, 0)
+                + COALESCE(ht.total_hyp, 0), 0) AS BIGINT), 0)
+            AS chrf_micro
+        FROM rt FULL OUTER JOIN ht ON rt.n = ht.n
+        LEFT JOIN clip ON COALESCE(rt.n, ht.n) = clip.n
     """
     return oracles

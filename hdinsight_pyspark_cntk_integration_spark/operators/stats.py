@@ -6281,3 +6281,643 @@ def cvm_distance(
             " AS BIGINT)"
         ).alias("cvm_micro"),
     )
+
+
+def ad_distance(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Anderson-Darling statistic (Scholz & Stephens 1987,
+    the ties/right-continuous-ECDF A2kN form, k=2) — the
+    VARIANCE-WEIGHTED member completing the exact drift family: where
+    cvm_distance integrates the squared CDF gap uniformly, AD divides
+    each term by B(N-B), up-weighting the distribution TAILS where
+    drift detectors are usually blind.  For k=2 the inner sample sum
+    collapses algebraically (N·cumb - n_b·B = -(N·cuma - n_a·B)), so
+
+        A2 = (N-1)/(n_a·n_b) · SUM_{blocks j: B_j < N}
+               l_j · (N·cuma_j - n_a·B_j)^2 / (B_j·(N-B_j))
+
+    with l_j the pooled count in distinct-value block j, B_j the
+    pooled cumulative count, cuma_j group a's cumulative count — the
+    ks_drift/cvm shape exactly: one shuffle to the DISTINCT-VALUE
+    aggregate, cumsums over the value domain, never a row sort.
+    Per-block truncating micro DIV, then one exact final DIV: fully
+    integer, order-independent, hash-gate-safe.
+
+    DECIMAL bound (documented): the per-block numerator reaches
+    ~l·N^4·1e6; DECIMAL(38,0) holds exactly to ~10^6 rows per slice —
+    beyond that, quantize values into bounded bins first (the
+    histogram discipline all drift scalars share).
+
+    Returns one row (n_a, n_b, ad_micro) with ad_micro = floor(A2·1e6)
+    up to the documented per-block truncation.
+    """
+    vc = _two_group_value_counts(df, group_col, value_col, group_a, group_b)
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vc.select(
+        (F.col("n_a") + F.col("n_b")).cast("long").alias("l"),
+        F.sum("n_a").over(w).cast("long").alias("cuma"),
+        F.sum(F.col("n_a") + F.col("n_b")).over(w).cast("long").alias("bj"),
+    )
+    tot = df.filter(F.col(group_col).isin([group_a, group_b])).groupBy().agg(
+        F.sum((F.col(group_col) == group_a).cast("long")).cast("long").alias("n_a"),
+        F.sum((F.col(group_col) == group_b).cast("long")).cast("long").alias("n_b"),
+    )
+    terms = (
+        cum.join(F.broadcast(tot))
+        .filter(F.col("bj") < F.col("n_a") + F.col("n_b"))
+        .withColumn(
+            "__a",
+            F.expr(
+                "CAST(l AS DECIMAL(38,0)) * 1000000"
+                " * (CAST(cuma AS DECIMAL(38,0)) * (n_a + n_b)"
+                "    - CAST(bj AS DECIMAL(38,0)) * n_a)"
+                " * (CAST(cuma AS DECIMAL(38,0)) * (n_a + n_b)"
+                "    - CAST(bj AS DECIMAL(38,0)) * n_a)"
+            ),
+        )
+        .withColumn(
+            "__b", F.expr("CAST(bj AS DECIMAL(38,0)) * (n_a + n_b - bj)")
+        )
+        .select(
+            "n_a",
+            "n_b",
+            # pmod identity, not DIV (BIGINT-narrowing): the per-block
+            # quotient can pass int64 under heavy ties near the slice
+            # bound; this keeps the truncating quotient in DECIMAL
+            F.expr(
+                "CAST((__a - pmod(__a, __b)) / __b AS DECIMAL(38,0))"
+            ).alias("__t"),
+        )
+    )
+    return terms.groupBy().agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.expr(
+            "CAST(SUM(__t) * (MAX(n_a) + MAX(n_b) - 1)"
+            " DIV NULLIF(CAST(MAX(n_a) AS DECIMAL(38,0)) * MAX(n_b), 0)"
+            " AS BIGINT)"
+        ).alias("ad_micro"),
+    )
+
+
+def kruskal_wallis(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Kruskal-Wallis H: the k-group generalization of the rank-sum
+    test (one-way ANOVA on ranks) — the missing member between
+    mann_whitney_u (k=2) and friedman_test (blocked designs).  Like
+    every rank statistic in this module it NEVER sorts rows: one
+    shuffle collapses the table to (group, value) cell counts, the
+    rank window runs over the pooled DISTINCT-VALUE aggregate (bounded
+    by the value domain), and average-rank ties fall out exactly via
+    the doubled-rank integers r2(v) = 2·cum_before(v) + t(v) + 1
+    (twice the average rank — so every intermediate stays integral).
+
+        H = 3/(N(N+1)) · SUM_g R2_g^2 / n_g  -  3(N+1)
+        H_ties = H · (N^3-N) / (N^3-N - SUM_v (t_v^3-t_v))
+
+    with R2_g = SUM_v n_gv·r2_v the doubled rank sum of group g.
+    Per-group truncating micro DIV, exact integer sums everywhere
+    else; the tie-corrected value applies one further exact DECIMAL
+    scale.  DECIMAL bound: R2_g^2·3e6 ~ 1.2e7·N^4 fits DECIMAL(38,0)
+    to N ~ 4e7 rows; quantize first beyond that.
+
+    Returns one row (n, k, h_micro, h_tie_micro); under H0 compare
+    against chi-square(k-1).
+    """
+    sub = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    gv = sub.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(F.count("*").cast("long").alias("n_gv"))
+    tv = gv.groupBy("v").agg(F.sum("n_gv").cast("long").alias("t"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranks = tv.select(
+        "v",
+        "t",
+        (
+            F.lit(2) * F.coalesce(F.sum("t").over(w), F.lit(0))
+            + F.col("t")
+            + F.lit(1)
+        ).cast("long").alias("r2"),
+    )
+    per_g = (
+        gv.join(ranks, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("n_gv").cast("long").alias("n_g"),
+            F.sum(F.col("n_gv") * F.col("r2")).cast("long").alias("r2_g"),
+        )
+        .select(
+            "n_g",
+            # pmod identity, not DIV: the per-group quotient
+            # R2^2 3e6 / n_g passes int64 around N ~ 1e5 and Spark's
+            # DIV narrows to BIGINT (silent wrap); this keeps the
+            # exact truncating quotient in DECIMAL(38,0)
+            F.expr(
+                "CAST((CAST(r2_g AS DECIMAL(38,0)) * r2_g * 3000000"
+                " - pmod(CAST(r2_g AS DECIMAL(38,0)) * r2_g * 3000000, n_g))"
+                " / n_g AS DECIMAL(38,0))"
+            ).alias("__t"),
+        )
+    )
+    ties = tv.groupBy().agg(
+        F.sum(
+            F.expr("CAST(t AS DECIMAL(38,0)) * t * t - t")
+        ).alias("tie_num"),
+        F.sum("t").cast("long").alias("n"),
+    )
+    return per_g.join(F.broadcast(ties)).groupBy().agg(
+        F.max("n").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.expr(
+            "CAST(SUM(__t) DIV (CAST(MAX(n) AS DECIMAL(38,0)) * (MAX(n) + 1))"
+            " - 3000000 * (CAST(MAX(n) AS DECIMAL(38,0)) + 1) AS BIGINT)"
+        ).alias("h_micro"),
+        F.expr(
+            "CAST((SUM(__t) DIV (CAST(MAX(n) AS DECIMAL(38,0)) * (MAX(n) + 1))"
+            "   - 3000000 * (CAST(MAX(n) AS DECIMAL(38,0)) + 1))"
+            " * (CAST(MAX(n) AS DECIMAL(38,0)) * MAX(n) * MAX(n) - MAX(n))"
+            " DIV NULLIF(CAST(MAX(n) AS DECIMAL(38,0)) * MAX(n) * MAX(n)"
+            "   - MAX(n) - MAX(tie_num), 0) AS BIGINT)"
+        ).alias("h_tie_micro"),
+    )
+
+
+def mood_median(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Mood's median test: k-group chi-square on counts at-or-below vs
+    above the pooled GRAND median — the robust location screen that,
+    unlike kruskal_wallis, only asks "is each group's mass split the
+    same way around one global cut point" (insensitive to tail shape).
+    The grand median is read off the pooled DISTINCT-VALUE cumsum
+    (lower median: smallest v with 2·cum(v) >= N — documented
+    convention), never a row sort; the k×2 table then comes from one
+    more cell aggregate and
+
+        chi2 = SUM_cells (obs·N - n_g·colTot)^2 / (N·n_g·colTot)
+
+    with one truncating micro DIV per cell (exact integer numerators,
+    DECIMAL-safe to N ~ 1e8).  Returns one row
+    (n, k, median_v, chi2_micro); under H0 compare chi-square(k-1).
+    """
+    sub = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    gv = sub.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(F.count("*").cast("long").alias("n_gv"))
+    tv = gv.groupBy("v").agg(F.sum("n_gv").cast("long").alias("t"))
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = tv.select(
+        "v", F.sum("t").over(w).cast("long").alias("cum")
+    )
+    med = (
+        cum.join(F.broadcast(tv.groupBy().agg(F.sum("t").cast("long").alias("n"))))
+        .filter(F.lit(2) * F.col("cum") >= F.col("n"))
+        .groupBy()
+        .agg(F.min("v").alias("median_v"), F.max("n").alias("n"))
+    )
+    cells = (
+        gv.join(F.broadcast(med))
+        .groupBy("g")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("median_v").alias("median_v"),
+            F.sum("n_gv").cast("long").alias("n_g"),
+            F.sum(
+                F.when(F.col("v") <= F.col("median_v"), F.col("n_gv"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("a_g"),
+        )
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    terms = cells.select(
+        "n",
+        "median_v",
+        "n_g",
+        "a_g",
+        F.sum("a_g").over(wt).cast("long").alias("tot_a"),
+    ).select(
+        "n",
+        "median_v",
+        F.expr(
+            "CAST((CAST(a_g AS DECIMAL(38,0)) * n - CAST(n_g AS DECIMAL(38,0)) * tot_a)"
+            " * (CAST(a_g AS DECIMAL(38,0)) * n - CAST(n_g AS DECIMAL(38,0)) * tot_a)"
+            " * 1000000 DIV NULLIF(CAST(n AS DECIMAL(38,0)) * n_g * tot_a, 0)"
+            " AS BIGINT)"
+        ).alias("__ta"),
+        F.expr(
+            "CAST((CAST(n_g - a_g AS DECIMAL(38,0)) * n"
+            "    - CAST(n_g AS DECIMAL(38,0)) * (n - tot_a))"
+            " * (CAST(n_g - a_g AS DECIMAL(38,0)) * n"
+            "    - CAST(n_g AS DECIMAL(38,0)) * (n - tot_a))"
+            " * 1000000 DIV NULLIF(CAST(n AS DECIMAL(38,0)) * n_g * (n - tot_a), 0)"
+            " AS BIGINT)"
+        ).alias("__tb"),
+    )
+    return terms.groupBy().agg(
+        F.max("n").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.max("median_v").alias("median_v"),
+        (F.sum("__ta") + F.sum("__tb")).cast("long").alias("chi2_micro"),
+    )
+
+
+def jonckheere_terpstra(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED alternative across k
+    groups (dose-response on a continuous/ordinal response — the
+    k-group continuous analogue of cochran_armitage's 2xk binary
+    trend, and the directional screen kruskal_wallis's omnibus H
+    cannot express): JT = SUM_{i<j} U_ij, the Mann-Whitney count of
+    pairs (x in group i, y in group j, groups ordered) with x < y,
+    ties counted half.  Doubled to stay integral:
+
+        JT2 = SUM_{i<j} SUM_v n_jv · (2·cumlt_i(v) + n_iv)
+
+    where cumlt_i(v) is group i's cumulative count strictly below v.
+    Computed on the (group x distinct-value) GRID — one shuffle to
+    cell counts, per-group cumsums over the value-domain spine, then a
+    value-key join of the grid with itself restricted to ordered group
+    pairs: |V|·k^2 work, bounded by the value domain and the (small,
+    by contract) ordered-group count, never an all-row pair join.
+
+    The z-score uses the standard no-ties moments (documented
+    approximation — conservative under light ties):
+        E[JT2] = (N^2 - SUM n_g^2) / 2
+        Var[JT2] = 4·(N^2(2N+3) - SUM n_g^2(2n_g+3)) / 72
+    computed as one deterministic fp64 expression from exact integer
+    sums, micro-floored at birth.
+
+    Returns one row (n, k, jt2, z_micro).
+    """
+    sub = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    gv = sub.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(F.count("*").cast("long").alias("n_gv"))
+    spine = gv.select("v").distinct().crossJoin(
+        F.broadcast(gv.select("g").distinct())
+    )
+    grid = spine.join(gv, ["g", "v"], "left").select(
+        "g", "v", F.coalesce("n_gv", F.lit(0)).cast("long").alias("n_gv")
+    )
+    wg = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    grid = grid.select(
+        "g",
+        "v",
+        "n_gv",
+        F.coalesce(F.sum("n_gv").over(wg), F.lit(0))
+        .cast("long")
+        .alias("cumlt"),
+    )
+    lo = grid.select(
+        F.col("g").alias("gi"),
+        F.col("v"),
+        F.col("n_gv").alias("n_iv"),
+        F.col("cumlt").alias("cumlt_i"),
+    )
+    hi = grid.select(
+        F.col("g").alias("gj"), F.col("v"), F.col("n_gv").alias("n_jv")
+    )
+    jt2 = (
+        lo.join(hi, "v")
+        .filter(F.col("gi") < F.col("gj"))
+        .groupBy()
+        .agg(
+            F.sum(
+                F.col("n_jv")
+                * (F.lit(2) * F.col("cumlt_i") + F.col("n_iv"))
+            ).cast("long").alias("jt2")
+        )
+    )
+    moments = gv.groupBy("g").agg(
+        F.sum("n_gv").cast("long").alias("n_g")
+    ).groupBy().agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.expr("CAST(n_g AS DECIMAL(38,0)) * n_g")).alias("sum_sq"),
+        F.sum(
+            F.expr("CAST(n_g AS DECIMAL(38,0)) * n_g * (2 * n_g + 3)")
+        ).alias("sum_var"),
+    )
+    return jt2.join(F.broadcast(moments)).select(
+        "n",
+        "k",
+        "jt2",
+        F.expr(
+            """CAST(FLOOR(
+              (CAST(jt2 AS DOUBLE)
+               - (CAST(n AS DOUBLE) * n - CAST(sum_sq AS DOUBLE)) / 2)
+              / SQRT(4.0 * (CAST(n AS DOUBLE) * n * (2 * n + 3)
+                            - CAST(sum_var AS DOUBLE)) / 72)
+              * 1000000) AS BIGINT)"""
+        ).alias("z_micro"),
+    )
+
+
+def gwet_ac1(
+    df: DataFrame, item_col: str, rater_col: str, label_col: str
+) -> DataFrame:
+    """Gwet's AC1 inter-rater agreement — the chance-corrected
+    coefficient that stays stable under skewed label prevalence, where
+    fleiss_kappa and krippendorff_alpha collapse toward 0 (the
+    well-known kappa paradox); the natural annotation-QA companion in
+    the agreement family.  Multi-rater, missing-data tolerant: items
+    with fewer than 2 ratings are excluded from BOTH the observed and
+    the chance term (documented convention).
+
+        pa   = mean_i SUM_c r_ic(r_ic - 1) / (r_i(r_i - 1))
+        pi_c = mean_i r_ic / r_i
+        pe   = SUM_c pi_c(1 - pi_c) / (q - 1)
+        AC1  = (pa - pe) / (1 - pe)
+
+    One shuffle to (item, label) cell counts, an item-keyed reduce for
+    both per-item terms (micro-truncated at birth, then exact integer
+    sums — the krippendorff discipline), a q-row label reduce for pe.
+    Returns one row (n_items, q, pa_micro, pe_micro, ac1_micro).
+    """
+    cells = (
+        df.filter(
+            F.col(item_col).isNotNull()
+            & F.col(rater_col).isNotNull()
+            & F.col(label_col).isNotNull()
+        )
+        .groupBy(
+            F.col(item_col).alias("item"), F.col(label_col).alias("label")
+        )
+        .agg(F.count("*").cast("long").alias("r_ic"))
+    )
+    wi = Window.partitionBy("item")
+    cells = cells.select(
+        "item",
+        "label",
+        "r_ic",
+        F.sum("r_ic").over(wi).cast("long").alias("r_i"),
+    ).filter(F.col("r_i") >= 2)
+    per_item = cells.groupBy("item").agg(
+        F.expr(
+            "CAST(SUM(r_ic * (r_ic - 1)) * 1000000"
+            " DIV (MAX(r_i) * (MAX(r_i) - 1)) AS BIGINT)"
+        ).alias("pa_item")
+    )
+    pa = per_item.groupBy().agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.expr("CAST(SUM(pa_item) DIV COUNT(*) AS BIGINT)").alias("pa_micro"),
+    )
+    pi = cells.groupBy("label").agg(
+        F.expr("CAST(SUM(r_ic * 1000000 DIV r_i) AS BIGINT)").alias("pi_num")
+    )
+    pe = pi.join(F.broadcast(pa.select("n_items"))).select(
+        F.expr("CAST(pi_num DIV n_items AS BIGINT)").alias("pi_c")
+    ).groupBy().agg(
+        F.count("*").cast("long").alias("q"),
+        F.expr(
+            "CAST(SUM(CAST(pi_c AS DECIMAL(38,0)) * (1000000 - pi_c)"
+            " DIV 1000000) DIV NULLIF(COUNT(*) - 1, 0) AS BIGINT)"
+        ).alias("pe_micro"),
+    )
+    return pa.join(F.broadcast(pe)).select(
+        "n_items",
+        "q",
+        "pa_micro",
+        "pe_micro",
+        F.expr(
+            "CAST((pa_micro - pe_micro) * 1000000"
+            " DIV NULLIF(1000000 - pe_micro, 0) AS BIGINT)"
+        ).alias("ac1_micro"),
+    )
+
+
+def durbin_watson(
+    df: DataFrame, key_col: str, order_col: str, value_col: str
+) -> DataFrame:
+    """Per-series Durbin-Watson statistic — the lag-1 residual
+    autocorrelation diagnostic (DW ~ 2(1-r1): 2 = uncorrelated, -> 0 =
+    positive serial correlation, -> 4 = negative), applied to any
+    integer-quantized residual/value series (grouped_ols residuals,
+    detrended rollups).  FULLY integer-exact via the multiply-through
+    trick: with d_t = n·x_t - S (so mean-centering never leaves the
+    integers), the n^2 factors cancel and
+
+        DW = SUM_{t>=2} (x_t - x_{t-1})^2 · n^2 / SUM_t (n·x_t - S)^2
+
+    Both sums accumulate in DECIMAL(38,0) (ANSI: overflow is loud);
+    one truncating micro DIV at the end.  CONTRACT (the
+    autocorrelation convention): value_col integer-quantized, series
+    bounded (pre-aggregated rollups, not raw rows) — DECIMAL holds to
+    ~1e12 per |n·x| term.  One shuffle: the partition-total and lag
+    windows share the series key.  Constant series (den = 0) return
+    NULL.  Returns (key, n, dw_micro).
+    """
+    wk = Window.partitionBy(key_col)
+    wo = Window.partitionBy(key_col).orderBy(order_col)
+    v = F.col(value_col).cast("long")
+    staged = df.select(
+        F.col(key_col).alias("key"),
+        v.alias("__v"),
+        F.lag(v).over(wo).alias("__p"),
+        F.sum(v).over(wk).cast("decimal(38,0)").alias("__s"),
+        F.count(F.lit(1)).over(wk).cast("long").alias("__n"),
+    )
+    return (
+        staged.groupBy("key")
+        .agg(
+            F.max("__n").alias("n"),
+            F.sum(
+                F.expr(
+                    "CAST(__v - __p AS DECIMAL(38,0)) * (__v - __p)"
+                )
+            ).alias("__num"),
+            F.sum(
+                F.expr(
+                    "(CAST(__v AS DECIMAL(38,0)) * __n - __s)"
+                    " * (CAST(__v AS DECIMAL(38,0)) * __n - __s)"
+                )
+            ).alias("__den"),
+        )
+        .select(
+            "key",
+            "n",
+            F.expr(
+                "CAST(__num * CAST(n AS DECIMAL(38,0)) * n * 1000000"
+                " DIV NULLIF(__den, 0) AS BIGINT)"
+            ).alias("dw_micro"),
+        )
+    )
+
+
+def ljung_box(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 6,
+) -> DataFrame:
+    """Per-series Ljung-Box portmanteau Q over lags 1..max_lag — "is
+    there ANY autocorrelation structure left", the whiteness test run
+    on forecast residuals (holt_linear, seasonal_decompose) before
+    trusting a model.  Composes the exact ACF operator: with r_l the
+    micro-floored autocorrelations from ``autocorrelation`` (same
+    contract: integer-quantized values, bounded pre-aggregated
+    series),
+
+        Q = n(n+2) · SUM_l r_l^2 / (n - l)
+
+    each lag term truncating-micro-DIV'd at birth from the integer
+    acf_micro, then summed exactly — order-independent,
+    hash-gate-safe.  Under H0 compare chi-square(max_lag).  Lags
+    dropped by the ACF (no overlap / degenerate) simply don't
+    contribute; n_lags reports how many survived.
+    Returns (key, n, n_lags, q_micro).
+    """
+    acf = autocorrelation(df, key_col, order_col, value_col, max_lag)
+    key = acf.columns[0]
+    return (
+        acf.select(
+            F.col(key).alias("key"),
+            "n",
+            F.expr(
+                "CAST(CAST(n AS DECIMAL(38,0)) * (n + 2)"
+                " * acf_micro * acf_micro"
+                " DIV (CAST(n - lag AS DECIMAL(38,0)) * 1000000)"
+                " AS BIGINT)"
+            ).alias("__t"),
+        )
+        .groupBy("key")
+        .agg(
+            F.max("n").alias("n"),
+            F.count("*").cast("long").alias("n_lags"),
+            F.sum("__t").cast("long").alias("q_micro"),
+        )
+    )
+
+
+def grubbs_test(df: DataFrame, value_col: str) -> DataFrame:
+    """Grubbs' maximum-normed-residual outlier test: G = max|x - xbar|
+    / s — the single-pass "is the most extreme point an outlier"
+    screen next to outlier_zscore's per-row flags.  The extreme
+    deviation is attained at the min or max value, so the WHOLE test
+    is ONE aggregate (no join-back, no second pass): with exact
+    integer S = sum x, Q = sum x^2,
+
+        G = max(n·max(x) - S, S - n·min(x)) / (n·sqrt((nQ - S^2)/(n(n-1))))
+
+    computed as one deterministic fp64 expression over the exact
+    integer moments, micro-floored.  CONTRACT: value_col
+    integer-quantized (cents); DECIMAL(38,0) moments are loud on
+    overflow.  Returns one row (n, outlier_v, g_micro) where
+    outlier_v is the extreme value on the larger-deviation side (ties
+    break to the max side, documented).
+    """
+    v = F.col(value_col).cast("long")
+    agg = df.filter(v.isNotNull()).groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v.cast("decimal(38,0)")).alias("s"),
+        F.sum(v.cast("decimal(38,0)") * v).alias("q"),
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+    )
+    return agg.select(
+        "n",
+        F.expr(
+            "CASE WHEN CAST(mx AS DECIMAL(38,0)) * n - s"
+            " >= s - CAST(mn AS DECIMAL(38,0)) * n THEN mx ELSE mn END"
+        ).alias("outlier_v"),
+        F.expr(
+            """CAST(FLOOR(
+              CAST(GREATEST(CAST(mx AS DECIMAL(38,0)) * n - s,
+                            s - CAST(mn AS DECIMAL(38,0)) * n) AS DOUBLE)
+              / (CAST(n AS DOUBLE)
+                 * SQRT((CAST(q AS DOUBLE) * n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * (n - 1))))
+              * 1000000) AS BIGINT)"""
+        ).alias("g_micro"),
+    )
+
+
+def bartlett_test(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Bartlett's test for homogeneity of variances across k groups —
+    the parametric (normal-theory) companion to levene_bf: sharper
+    under normality, famously sensitive to heavy tails (that contrast
+    is the point of having both).
+
+        T = [ (N-k)·ln(Sp^2) - SUM_g (n_g-1)·ln(s_g^2) ] / C
+        C = 1 + (SUM_g 1/(n_g-1) - 1/(N-k)) / (3(k-1))
+
+    Exactness discipline (the theil_u pattern): every cross-group SUM
+    is over integers — per-group moments (n_g, S_g, Q_g) are exact
+    DECIMAL; the within-group sum of squares contributes
+    w_g = Q_g·1e6 - S_g^2·1e6 DIV n_g (micro-truncated at birth), the
+    log terms contribute floor((n_g-1)·ln(s_g^2)·1e6), and the
+    correction reciprocals 1e12 DIV (n_g-1) — so the final statistic
+    is ONE deterministic fp64 expression over exact integer sums,
+    micro-floored, order-independent under any partitioning.  Groups
+    with n_g < 2 are excluded (documented).  CONTRACT: value_col
+    integer-quantized.  Returns one row (n, k, bartlett_micro);
+    under H0 compare chi-square(k-1).
+    """
+    v = F.col(value_col).cast("long")
+    per_g = (
+        df.filter(F.col(group_col).isNotNull() & v.isNotNull())
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum(v.cast("decimal(38,0)")).alias("s_g"),
+            F.sum(v.cast("decimal(38,0)") * v).alias("q_g"),
+        )
+        .filter(F.col("n_g") >= 2)
+    )
+    staged = per_g.select(
+        "n_g",
+        # NOT `DIV`: Spark's DIV always narrows to BIGINT and the
+        # quotient here (~S^2 1e6 / n) exceeds int64 well before the
+        # DECIMAL bound — the pmod identity keeps the exact truncating
+        # quotient in DECIMAL(38,0)
+        F.expr(
+            "CAST(q_g * 1000000"
+            " - (s_g * s_g * 1000000 - pmod(s_g * s_g * 1000000, n_g)) / n_g"
+            " AS DECIMAL(38,0))"
+        ).alias("w_micro"),
+        F.expr(
+            """CAST(FLOOR(
+              (n_g - 1) * LN((CAST(q_g AS DOUBLE) * n_g
+                              - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE))
+                             / (CAST(n_g AS DOUBLE) * (n_g - 1)))
+              * 1000000) AS BIGINT)"""
+        ).alias("ln_micro"),
+        F.expr("CAST(1000000000000 DIV (n_g - 1) AS BIGINT)").alias("inv_pico"),
+    )
+    return staged.groupBy().agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum("w_micro").alias("__ssw"),
+        F.sum("ln_micro").cast("long").alias("__lnsum"),
+        F.sum("inv_pico").cast("long").alias("__invsum"),
+    ).select(
+        "n",
+        "k",
+        F.expr(
+            """CAST(FLOOR(
+              ((CAST(n AS DOUBLE) - k)
+                 * LN(CAST(__ssw AS DOUBLE) / (1000000.0 * (CAST(n AS DOUBLE) - k)))
+               - CAST(__lnsum AS DOUBLE) / 1000000.0)
+              / (1.0 + (CAST(__invsum AS DOUBLE) / 1e12
+                        - 1.0 / (CAST(n AS DOUBLE) - k)) / (3.0 * (k - 1)))
+              * 1000000) AS BIGINT)"""
+        ).alias("bartlett_micro"),
+    )

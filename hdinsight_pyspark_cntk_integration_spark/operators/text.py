@@ -3007,3 +3007,101 @@ def feature_hashing(
         )
         .select(F.col("id").alias(id_col), "nnz", "features")
     )
+
+
+def chrf_score(
+    refs: DataFrame,
+    hyps: DataFrame,
+    id_col: str = "doc_id",
+    ref_text_col: str = "text",
+    hyp_text_col: str = "text",
+    n_max: int = 4,
+    beta: int = 2,
+) -> DataFrame:
+    """Corpus-level chrF (Popović 2015): character-n-gram F-beta
+    between paired reference and hypothesis texts — the
+    tokenizer-free, morphology-robust generation metric next to
+    bleu_clipped_precision's word n-grams (chrF rewards partial word
+    matches BLEU scores 0).  Counts are MULTISET counts clipped at the
+    reference (the BLEU device), micro-averaged over the corpus per
+    order; with C = Σ clipped, H = Σ hyp grams, R = Σ ref grams the
+    per-order F-beta collapses rationally:
+
+        F_beta = (1+b²)·P·R / (b²·P + R)  =  (1+b²)·C / (b²·R + H)
+
+    so every per-order score is ONE truncating micro DIV over three
+    exact integers — no float anywhere.  Normalization convention
+    (documented, applied identically both sides): lowercase, collapse
+    internal whitespace runs to one space, trim; spaces participate in
+    n-grams (word-boundary signal).  Orders present on NEITHER side
+    emit no row; chrf_micro is 0 (not NULL) when b²R + H = 0.  Callers
+    wanting the headline chrF average the per-order rows.
+
+    Scale shape (the bleu shape exactly): each side explodes once to
+    (id, n, gram) — all orders in one pass, ~n_max·len(text) cells per
+    doc — then two partial-agg shuffles (multiset counts keyed
+    (id, n, gram); the clip join co-keyed on the same triple) and a
+    final n_max-row reduce.  Returns
+    (n, total_ref, total_hyp, total_clipped, chrf_micro).
+    """
+    if n_max < 1:
+        raise ValueError(f"n_max must be >= 1 (got {n_max})")
+    if beta < 1:
+        raise ValueError(f"beta must be >= 1 (got {beta})")
+
+    def grams(df: DataFrame, text_col: str) -> DataFrame:
+        norm = F.trim(
+            F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+        )
+        def tag(n: int):
+            arr = F.expr(
+                f"transform(sequence(1, length(__t) - {n} + 1),"
+                f" i -> struct(CAST({n} AS INT) AS n, substr(__t, i, {n}) AS g))"
+            )
+            return F.when(F.length("__t") >= n, arr).otherwise(
+                F.array().cast("array<struct<n:int,g:string>>")
+            )
+
+        staged = df.select(F.col(id_col), norm.alias("__t"))
+        arrs = [tag(n) for n in range(1, n_max + 1)]
+        return (
+            staged.select(F.col(id_col), F.explode(F.concat(*arrs)).alias("x"))
+            .select(id_col, F.col("x.n").alias("n"), F.col("x.g").alias("g"))
+            .groupBy(id_col, "n", "g")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+
+    rc = grams(refs, ref_text_col)
+    hc = grams(hyps, hyp_text_col)
+    clip = (
+        hc.alias("h")
+        .join(rc.alias("r"), [id_col, "n", "g"])
+        .groupBy("n")
+        .agg(
+            F.sum(F.least(F.col("h.c"), F.col("r.c"))).cast("long").alias(
+                "total_clipped"
+            )
+        )
+    )
+    ht = hc.groupBy("n").agg(F.sum("c").cast("long").alias("total_hyp"))
+    rt = rc.groupBy("n").agg(F.sum("c").cast("long").alias("total_ref"))
+    zero = F.lit(0).cast("long")
+    b2 = beta * beta
+    return (
+        rt.join(ht, "n", "full_outer")
+        .join(clip, "n", "left")
+        .select(
+            "n",
+            F.coalesce("total_ref", zero).alias("total_ref"),
+            F.coalesce("total_hyp", zero).alias("total_hyp"),
+            F.coalesce("total_clipped", zero).alias("total_clipped"),
+        )
+        .withColumn(
+            "chrf_micro",
+            F.expr(
+                f"CAST(COALESCE(CAST({1 + b2} AS DECIMAL(38,0)) * total_clipped"
+                f" * 1000000 DIV NULLIF({b2} * total_ref + total_hyp, 0), 0)"
+                " AS BIGINT)"
+            ),
+        )
+    )

@@ -291,6 +291,16 @@ _INTENTIONAL_LINT = {
     # cvm_drift — pooled-CDF cumsums over the DISTINCT-VALUE
     #   aggregate (the ks_drift shape), never rows
     "cvm_drift": {"global-window"},
+    # ad_drift — identical shape to cvm_drift: pooled-CDF cumsums
+    #   over the DISTINCT-VALUE aggregate, never rows
+    "ad_drift": {"global-window"},
+    # kruskal_wallis — the doubled-rank window runs over the pooled
+    #   DISTINCT-VALUE aggregate (the rank_sum_test shape), never rows
+    "kruskal_wallis": {"global-window"},
+    # mood_median — the grand-median cumsum runs over the
+    #   DISTINCT-VALUE aggregate and the column-total window over the
+    #   k-row cell table, never rows
+    "mood_median": {"global-window"},
     # theil_u — marginal windows over the (x,y) CELL aggregate,
     #   domain-bounded (the mutual_information contract)
     "theil_u": {"global-window"},
@@ -394,6 +404,11 @@ _SF_BROADCAST_ALLOW = {
     # brute-force oracle requires; the production path is the
     # parity-tagged LSH generator with no broadcast.
     "embedding_contamination",
+    # jonckheere_terpstra: the broadcast side is DISTINCT ordered
+    # doses — bounded by the ordered-treatment domain by contract (a
+    # 1..5 priority digit here; a trend test over unbounded group
+    # count is undefined), never the order stream.
+    "jonckheere_terpstra",
 }
 
 

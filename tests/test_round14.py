@@ -1,0 +1,253 @@
+"""Round-14 operator unit tests: hand-computed goldens on tiny frames
+for the k-group rank / trend / agreement / series-diagnostic /
+variance-homogeneity / chrF additions.  (The sf-level oracle parity
+gate covers full-scale behavior; these pin the math on inputs small
+enough to verify by hand.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+from hdinsight_pyspark_cntk_integration_spark.operators import text as tx
+
+
+def test_kruskal_wallis_no_tie_hand_case(spark):
+    # a=[1,2,3], b=[4,5,6]: ranks 1..6, R_a=6, R_b=15
+    # H = 12/(6*7) * (36/3 + 225/3) - 3*7 = 3.857142...
+    rows = [("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5), ("b", 6)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    [r] = st.kruskal_wallis(df, "g", "v").collect()
+    assert (r["n"], r["k"], r["h_micro"]) == (6, 2, 3_857_142)
+    # no ties -> the corrected value is identical
+    assert r["h_tie_micro"] == r["h_micro"]
+
+
+def test_kruskal_wallis_ties_and_identity(spark):
+    # identical groups -> H == 0 (up to the documented truncation)
+    rows = [("a", v) for v in (1, 2, 2, 3)] + [("b", v) for v in (1, 2, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    [r] = st.kruskal_wallis(df, "g", "v").collect()
+    assert abs(r["h_micro"]) <= 2
+    # ties present -> the correction divides by a smaller denominator,
+    # so |h_tie| >= |h|
+    assert abs(r["h_tie_micro"]) >= abs(r["h_micro"])
+    # 3 groups: degrees of freedom via k
+    rows3 = rows + [("c", v) for v in (10, 11, 12, 13)]
+    [r3] = st.kruskal_wallis(
+        spark.createDataFrame(rows3, "g string, v long"), "g", "v"
+    ).collect()
+    assert r3["k"] == 3 and r3["h_micro"] > r["h_micro"]
+
+
+def test_ad_distance_hand_case_and_zero(spark):
+    # a=[1,2], b=[3,4]: blocks (B=1,2,3), d=(2,4,2) ->
+    # A2 = 3 * (4/3 + 4 + 4/3) / 4 = 5 exactly (micro 4999999 after
+    # the documented per-block truncation)
+    rows = [("a", 1), ("a", 2), ("b", 3), ("b", 4)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    [r] = st.ad_distance(df, "g", "v", "a", "b").collect()
+    assert (r["n_a"], r["n_b"], r["ad_micro"]) == (2, 2, 4_999_999)
+    same = spark.createDataFrame(
+        [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (1, 2, 3)],
+        "g string, v long",
+    )
+    [rz] = st.ad_distance(same, "g", "v", "a", "b").collect()
+    assert rz["ad_micro"] == 0
+
+
+def test_ad_distance_tail_sensitivity_vs_cvm(spark):
+    # one far-tail point moved: AD's B(N-B) weighting reacts more
+    # strongly (relative to its own null scale) than the uniform CvM
+    base = [("a", v) for v in range(10)] + [("b", v) for v in range(10)]
+    tail = [("a", v) for v in range(10)] + [
+        ("b", v) for v in list(range(9)) + [500]
+    ]
+    [rb] = st.ad_distance(
+        spark.createDataFrame(base, "g string, v long"), "g", "v", "a", "b"
+    ).collect()
+    [rt] = st.ad_distance(
+        spark.createDataFrame(tail, "g string, v long"), "g", "v", "a", "b"
+    ).collect()
+    assert rb["ad_micro"] == 0 and rt["ad_micro"] > 0
+
+
+def test_mood_median_separation_and_median_convention(spark):
+    # a=1..4, b=5..8: lower median = 4 (smallest v with 2*cum >= N),
+    # complete separation -> chi2 = 8 exactly
+    rows = [("a", v) for v in range(1, 5)] + [("b", v) for v in range(5, 9)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    [r] = st.mood_median(df, "g", "v").collect()
+    assert (r["n"], r["k"], r["median_v"], r["chi2_micro"]) == (
+        8, 2, 4, 8_000_000,
+    )
+    # identical groups -> chi2 == 0
+    same = [("a", v) for v in (1, 2, 3, 4)] + [("b", v) for v in (1, 2, 3, 4)]
+    [rz] = st.mood_median(
+        spark.createDataFrame(same, "g string, v long"), "g", "v"
+    ).collect()
+    assert rz["chi2_micro"] == 0
+
+
+def test_jonckheere_terpstra_hand_case(spark):
+    # g1=[1,2], g2=[3,4]: JT = U_12 = 4 (all ascending), JT2 = 8
+    # E[JT2] = (16-8)/2 = 4; Var[JT2] = 4*(16*11 - 8*7)/72 = 20/3
+    # z = 4 / sqrt(20/3) = 1.549193
+    df = spark.createDataFrame([(1, 1), (1, 2), (2, 3), (2, 4)], "g long, v long")
+    [r] = st.jonckheere_terpstra(df, "g", "v").collect()
+    assert (r["n"], r["k"], r["jt2"], r["z_micro"]) == (4, 2, 8, 1_549_193)
+
+
+def test_jonckheere_terpstra_ties_and_direction(spark):
+    # ties count half: g1=[1], g2=[1] -> JT2 = 1 (2*0 + 1)
+    df = spark.createDataFrame([(1, 1), (2, 1)], "g long, v long")
+    [r] = st.jonckheere_terpstra(df, "g", "v").collect()
+    assert r["jt2"] == 1
+    # descending trend scores below the mean -> negative z
+    desc = spark.createDataFrame(
+        [(1, v) for v in (5, 6)] + [(2, v) for v in (3, 4)] + [(3, v) for v in (1, 2)],
+        "g long, v long",
+    )
+    [rd] = st.jonckheere_terpstra(desc, "g", "v").collect()
+    assert rd["jt2"] == 0 and rd["z_micro"] < 0
+
+
+def test_gwet_ac1_full_agreement_and_skew_stability(spark):
+    # 2 raters, 2 items, full agreement across 2 labels -> AC1 = 1
+    rows = [(1, 0, "a"), (1, 1, "a"), (2, 0, "b"), (2, 1, "b")]
+    df = spark.createDataFrame(rows, "item long, rater long, label string")
+    [r] = st.gwet_ac1(df, "item", "rater", "label").collect()
+    assert (r["n_items"], r["q"], r["pa_micro"], r["ac1_micro"]) == (
+        2, 2, 1_000_000, 1_000_000,
+    )
+    # kappa paradox fixture: 9 agreeing "a" items + 1 agreeing "b" item,
+    # perfect agreement but extreme prevalence. AC1 must stay 1 (pa=1);
+    # pe is small, not ~1.
+    skew = [(i, rr, "a") for i in range(9) for rr in (0, 1)] + [
+        (9, 0, "b"), (9, 1, "b")
+    ]
+    [rs] = st.gwet_ac1(
+        spark.createDataFrame(skew, "item long, rater long, label string"),
+        "item", "rater", "label",
+    ).collect()
+    assert rs["pa_micro"] == 1_000_000 and rs["ac1_micro"] == 1_000_000
+    # single-rating items excluded from both terms
+    ragged = rows + [(3, 0, "a")]
+    [rr_] = st.gwet_ac1(
+        spark.createDataFrame(ragged, "item long, rater long, label string"),
+        "item", "rater", "label",
+    ).collect()
+    assert rr_["n_items"] == 2
+
+
+def test_durbin_watson_hand_and_alternation(spark):
+    # [1,2,3,4]: d = n*x - S = (-6,-2,2,6); diffs n*(1,1,1)
+    # DW = 16*3 / 80 = 0.6
+    df = spark.createDataFrame([(1, t, t) for t in range(1, 5)], "k long, t long, v long")
+    [r] = st.durbin_watson(df, "k", "t", "v").collect()
+    assert (r["key"], r["n"], r["dw_micro"]) == (1, 4, 600_000)
+    # perfectly alternating series -> DW near 4 (negative correlation)
+    alt = spark.createDataFrame(
+        [(1, t, 10 if t % 2 else -10) for t in range(1, 9)],
+        "k long, t long, v long",
+    )
+    [ra] = st.durbin_watson(alt, "k", "t", "v").collect()
+    assert ra["dw_micro"] > 3_000_000
+    # constant series -> NULL (den = 0)
+    const = spark.createDataFrame(
+        [(1, t, 7) for t in range(1, 5)], "k long, t long, v long"
+    )
+    [rc] = st.durbin_watson(const, "k", "t", "v").collect()
+    assert rc["dw_micro"] is None
+
+
+def test_ljung_box_periodic_hand_case(spark):
+    # period-3 series over 12 points: r1=-0.5, r2=-0.375, r3=0.75
+    # Q = 12*14*(0.25/11 + 0.140625/10 + 0.5625/9) = 16.680...
+    df = spark.createDataFrame(
+        [(1, t, (t % 3) * 10) for t in range(1, 13)], "k long, t long, v long"
+    )
+    [r] = st.ljung_box(df, "k", "t", "v", max_lag=3).collect()
+    assert (r["key"], r["n"], r["n_lags"]) == (1, 12, 3)
+    assert r["q_micro"] == 16_680_681
+    # white-ish tiny series: Q stays far below the periodic one
+    quiet = spark.createDataFrame(
+        [(1, t, v) for t, v in enumerate([3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8])],
+        "k long, t long, v long",
+    )
+    [rq] = st.ljung_box(quiet, "k", "t", "v", max_lag=3).collect()
+    assert rq["q_micro"] < r["q_micro"]
+
+
+def test_grubbs_hand_case_and_sides(spark):
+    # [1,2,3,4,100]: maxd = 5*100-110 = 390, s = sqrt(1902.5)
+    # G = 390 / (5*s) = 1.788266...
+    df = spark.createDataFrame([(v,) for v in (1, 2, 3, 4, 100)], "v long")
+    [r] = st.grubbs_test(df, "v").collect()
+    assert (r["n"], r["outlier_v"], r["g_micro"]) == (5, 100, 1_788_266)
+    # low-side outlier is picked when its deviation dominates
+    [rl] = st.grubbs_test(
+        spark.createDataFrame([(v,) for v in (-100, 1, 2, 3, 4)], "v long"), "v"
+    ).collect()
+    assert rl["outlier_v"] == -100
+
+
+def test_bartlett_equal_and_unequal_variances(spark):
+    # identical variances -> T ~ 0 (micro truncation only)
+    rows = [("a", v) for v in (1, 2, 3, 4, 5)] + [("b", v) for v in (2, 3, 4, 5, 6)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    [r] = st.bartlett_test(df, "g", "v").collect()
+    assert (r["n"], r["k"]) == (10, 2) and abs(r["bartlett_micro"]) <= 5
+    # 4x variance ratio: T = (8 ln 6.25 - 4 ln 2.5 - 4 ln 10) / 1.125
+    #                      = 1.586799...
+    rows4 = [("a", v) for v in (1, 2, 3, 4, 5)] + [
+        ("b", 2 * v) for v in (1, 2, 3, 4, 5)
+    ]
+    [r4] = st.bartlett_test(
+        spark.createDataFrame(rows4, "g string, v long"), "g", "v"
+    ).collect()
+    assert r4["bartlett_micro"] == 1_586_799
+    # groups below 2 observations are excluded
+    ragged = rows + [("c", 7)]
+    [rr] = st.bartlett_test(
+        spark.createDataFrame(ragged, "g string, v long"), "g", "v"
+    ).collect()
+    assert (rr["n"], rr["k"]) == (10, 2)
+
+
+def test_chrf_identity_partial_and_fbeta_weighting(spark):
+    refs = spark.createDataFrame(
+        [(1, "the cat"), (2, "a dog")], "doc_id long, text string"
+    )
+    # identical corpora -> chrF = 1 at every order
+    for row in tx.chrf_score(refs, refs, n_max=3).collect():
+        assert row["chrf_micro"] == 1_000_000
+        assert row["total_ref"] == row["total_hyp"] == row["total_clipped"]
+    # one substituted char: per-order F = 5C/(4R+H)
+    hyps = spark.createDataFrame(
+        [(1, "the bat"), (2, "a dog")], "doc_id long, text string"
+    )
+    out = {r["n"]: r for r in tx.chrf_score(refs, hyps, n_max=2).collect()}
+    assert out[1]["total_clipped"] == 11  # 12 unigrams, 'c'->'b'
+    assert out[1]["chrf_micro"] == 5 * 11 * 1_000_000 // (4 * 12 + 12)
+    assert out[2]["chrf_micro"] == 5 * 8 * 1_000_000 // (4 * 10 + 10)
+    # beta=2 weights recall: hyp missing half the ref scores lower than
+    # hyp with the same overlap but extra junk (precision loss)
+    short = spark.createDataFrame([(1, "abcd")], "doc_id long, text string")
+    full = spark.createDataFrame([(1, "abcdefgh")], "doc_id long, text string")
+    rec = {r["n"]: r["chrf_micro"] for r in tx.chrf_score(full, short, n_max=1).collect()}
+    prec = {r["n"]: r["chrf_micro"] for r in tx.chrf_score(short, full, n_max=1).collect()}
+    assert rec[1] < prec[1]
+    # normalization: case and whitespace runs are canonicalized
+    messy = spark.createDataFrame([(1, "  THE   cat "), (2, "A  DOG")], "doc_id long, text string")
+    for row in tx.chrf_score(refs, messy, n_max=2).collect():
+        assert row["chrf_micro"] == 1_000_000
+
+
+def test_chrf_rejects_bad_params(spark):
+    refs = None
+    with pytest.raises(ValueError):
+        tx.chrf_score(refs, refs, n_max=0)
+    with pytest.raises(ValueError):
+        tx.chrf_score(refs, refs, beta=0)
