@@ -7613,6 +7613,76 @@ def q_chrf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.chrf_score(docs, hyps, n_max=3, beta=2)
 
 
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality screen on customer balance cents
+    (operators.stats.jarque_bera): the moment test run BEFORE trusting
+    the normal-theory members (grubbs_test, bartlett_test) — on this
+    uniform-ish column the kurtosis term alone should reject hard.
+    Four exact DECIMAL power sums, one deterministic fp64 close."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    customer = load_table(spark, sf_dir, "customer")
+    frame = customer.select(
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents")
+    )
+    return st.jarque_bera(frame, "cents")
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Wald-Wolfowitz runs test on the monthly revenue
+    series (operators.stats.runs_test): are the above/below-mean signs
+    randomly ordered, or does revenue trend/oscillate? The
+    order-sensitive randomness screen beside durbin_watson's
+    parametric lag-1 — exact integer signs via the multiply-through
+    trick, one series-keyed shuffle."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    pts = _monthly_nation_revenue(spark, sf_dir)
+    return st.runs_test(pts, "nation", "t", "v")
+
+
+def q_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's trend test (operators.stats.page_trend_test): blocking
+    on order month, do the five priority classes' monthly revenue
+    totals INCREASE in priority order? The directional blocked-design
+    counterpart to friedman_test (omnibus) and jonckheere_terpstra
+    (unblocked) — block-partitioned doubled ranks, one exact
+    aggregate, no global window."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("m"),
+        F.substring(F.col("o_orderpriority"), 1, 1).cast("long").alias("prio"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    return st.page_trend_test(cells, "m", "prio", "cents")
+
+
+def q_dp_exponential_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-mechanism DP median of customer balance cents
+    (operators.pipeline.dp_exponential_quantile, epsilon = 2 in
+    micro, md5 noise family): the value-SELECTION release completing
+    the Laplace numeric family (counts/sum/mean) — a median cannot be
+    'noised', it must be chosen, and the Gumbel-max argmax over the
+    value-domain aggregate is that choice. Seeded hash noise replayed
+    bit-for-bit by the oracle; the operator docstring carries the
+    production secret-seed requirement."""
+    customer = load_table(spark, sf_dir, "customer")
+    frame = customer.select(
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents")
+    )
+    return pl.dp_exponential_quantile(
+        frame, "cents", q_micro=500_000, epsilon_micro=2_000_000,
+        seed=11, hash_family="md5",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Full registry, gate window first.
 
@@ -8047,6 +8117,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grubbs_test": q_grubbs_test,
         "bartlett_test": q_bartlett_test,
         "chrf_score": q_chrf_score,
+        "jarque_bera": q_jarque_bera,
+        "runs_test": q_runs_test,
+        "page_trend_test": q_page_trend_test,
+        "dp_exponential_quantile": q_dp_exponential_quantile,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -18327,5 +18401,155 @@ def oracle_sql() -> dict[str, str]:
             AS chrf_micro
         FROM rt FULL OUTER JOIN ht ON rt.n = ht.n
         LEFT JOIN clip ON COALESCE(rt.n, ht.n) = clip.n
+    """
+    oracles["jarque_bera"] = """
+        WITH agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(FLOOR(c_acctbal * 100) AS HUGEINT)) AS s1,
+            SUM(CAST(FLOOR(c_acctbal * 100) AS HUGEINT)
+              * CAST(FLOOR(c_acctbal * 100) AS HUGEINT)) AS q2,
+            SUM(CAST(FLOOR(c_acctbal * 100) AS HUGEINT)
+              * CAST(FLOOR(c_acctbal * 100) AS HUGEINT)
+              * CAST(FLOOR(c_acctbal * 100) AS HUGEINT)) AS q3,
+            SUM(CAST(FLOOR(c_acctbal * 100) AS HUGEINT)
+              * CAST(FLOOR(c_acctbal * 100) AS HUGEINT)
+              * CAST(FLOOR(c_acctbal * 100) AS HUGEINT)
+              * CAST(FLOOR(c_acctbal * 100) AS HUGEINT)) AS q4
+          FROM customer WHERE c_acctbal IS NOT NULL
+        ),
+        mom AS (
+          SELECT n,
+            (CAST(q2 AS DOUBLE) / n
+             - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS m2,
+            (CAST(q3 AS DOUBLE) / n
+             - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(q2 AS DOUBLE) / n)
+             + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+               * (CAST(s1 AS DOUBLE) / n)) AS m3,
+            (CAST(q4 AS DOUBLE) / n
+             - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(q3 AS DOUBLE) / n)
+             + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+               * (CAST(q2 AS DOUBLE) / n)
+             - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+               * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS m4
+          FROM agg
+        )
+        SELECT n,
+          CAST(FLOOR((m3 / (m2 * SQRT(m2))) * 1000000) AS BIGINT)
+            AS skew_micro,
+          CAST(FLOOR((m4 / (m2 * m2)) * 1000000) AS BIGINT) AS kurt_micro,
+          CAST(FLOOR(n * ((m3 / (m2 * SQRT(m2))) * (m3 / (m2 * SQRT(m2))) / 6
+            + ((m4 / (m2 * m2)) - 3) * ((m4 / (m2 * m2)) - 3) / 24)
+            * 1000000) AS BIGINT) AS jb_micro
+        FROM mom
+    """
+    oracles["runs_test"] = f"""
+        WITH pts AS ({_MONTHLY_PTS}),
+        staged AS (
+          SELECT nation, t,
+            CAST(v AS HUGEINT)
+              * CAST(COUNT(*) OVER (PARTITION BY nation) AS HUGEINT)
+              - SUM(CAST(v AS HUGEINT)) OVER (PARTITION BY nation) AS d
+          FROM pts
+        ),
+        signed AS (
+          SELECT nation,
+            CASE WHEN d > 0 THEN 1 ELSE -1 END AS s,
+            lag(CASE WHEN d > 0 THEN 1 ELSE -1 END)
+              OVER (PARTITION BY nation ORDER BY t) AS p
+          FROM staged WHERE d <> 0
+        ),
+        g AS (
+          SELECT nation AS "key",
+            CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            CAST(1 + SUM(CASE WHEN p IS NOT NULL AND s <> p
+              THEN 1 ELSE 0 END) AS BIGINT) AS runs
+          FROM signed GROUP BY 1
+        )
+        SELECT "key", n1, n2, runs,
+          CASE WHEN n1 * n2 = 0 OR n1 + n2 < 2 THEN NULL ELSE
+          CAST(FLOOR(
+            (CAST(runs AS DOUBLE)
+             - (2.0 * CAST(n1 AS DOUBLE) * n2 / (n1 + n2) + 1))
+            / SQRT(2.0 * CAST(n1 AS DOUBLE) * n2
+                   * (2.0 * CAST(n1 AS DOUBLE) * n2 - n1 - n2)
+                   / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                      * (n1 + n2 - 1)))
+            * 1000000) AS BIGINT) END AS z_micro
+        FROM g
+    """
+    oracles["page_trend_test"] = """
+        WITH cells AS (
+          SELECT CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1
+              AS BIGINT) AS blk,
+            CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS trt,
+            CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS val
+          FROM orders GROUP BY 1, 2
+        ),
+        ktot AS (SELECT CAST(COUNT(DISTINCT trt) AS BIGINT) AS k
+                 FROM cells),
+        complete AS (
+          SELECT cells.*, ktot.k,
+            COUNT(*) OVER (PARTITION BY blk) AS bk
+          FROM cells CROSS JOIN ktot
+          QUALIFY bk = k
+        ),
+        ranked AS (
+          SELECT trt, k,
+            CAST(2 * (RANK() OVER (PARTITION BY blk ORDER BY val) - 1)
+              + COUNT(*) OVER (PARTITION BY blk, val)
+              + 1 AS BIGINT) AS r2
+          FROM complete
+        ),
+        agg AS (
+          SELECT CAST(MAX(k) AS BIGINT) AS k,
+            CAST(COUNT(*) // MAX(k) AS BIGINT) AS b,
+            CAST(SUM(trt * r2) AS BIGINT) AS l2
+          FROM ranked
+        )
+        SELECT b, k, l2,
+          CASE WHEN k < 2 OR b < 1 THEN NULL ELSE
+          CAST(FLOOR(
+            (CAST(l2 AS DOUBLE)
+             - CAST(b AS DOUBLE) * k * (k + 1) * (k + 1) / 2)
+            / SQRT(CAST(b AS DOUBLE) * k * k * (k + 1) * (k + 1)
+                   * (k - 1) / 36)
+            * 1000000) AS BIGINT) END AS z_micro
+        FROM agg
+    """
+    oracles["dp_exponential_quantile"] = """
+        WITH vc AS (
+          SELECT CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS v,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1
+        ),
+        cum AS (
+          SELECT v,
+            CAST(SUM(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+            CAST(SUM(c) OVER () AS BIGINT) AS n
+          FROM vc
+        ),
+        tgt AS (
+          SELECT *, GREATEST(CAST(n AS HUGEINT) * 500000 // 1000000, 1) AS r
+          FROM cum
+        ),
+        scored AS (
+          SELECT *,
+            -CAST(2.0 AS DOUBLE) * ABS(cum - r) / 2.0
+              - LN(-LN(((CAST(('0x' || substr(md5(
+                  CAST(v AS VARCHAR) || ':' || '11'), 1, 15)) AS BIGINT)
+                  % 1999999) + 1) / 2000000.0)) AS score
+          FROM tgt
+        )
+        SELECT MAX(n) AS n,
+          CAST(500000 AS BIGINT) AS q_micro,
+          CAST(2000000 AS BIGINT) AS epsilon_micro,
+          (SELECT v FROM scored ORDER BY score DESC, v DESC LIMIT 1)
+            AS released_v,
+          MIN(CASE WHEN cum >= r THEN v END) AS true_v
+        FROM scored
     """
     return oracles

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _KNUTH_MULT = 2654435761  # 2^32 * (golden ratio - 1), Knuth's constant
@@ -2291,4 +2291,85 @@ def dp_noisy_mean(
         F.lit(eps_cnt).cast("long").alias("epsilon_count_micro"),
         F.lit(int(epsilon_micro)).cast("long").alias("epsilon_total_micro"),
         F.lit(int(clip)).cast("long").alias("clip"),
+    )
+
+
+def dp_exponential_quantile(
+    df: DataFrame,
+    value_col: str,
+    q_micro: int = 500_000,
+    epsilon_micro: int = 1_000_000,
+    seed: int = 0,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Exponential-mechanism quantile release (McSherry & Talwar 2007)
+    — the NON-numeric DP release completing the Laplace family
+    (dp_noisy_counts/sum/mean add noise to a number; a median must
+    instead SELECT a value, which is exactly what the exponential
+    mechanism does): each candidate value v is scored by utility
+    u(v) = -|cum(v) - r| (how far its rank sits from the target rank
+    r = q·n), and one candidate is drawn with P(v) ∝ exp(ε·u/2)
+    via the Gumbel-max trick — argmax over score + Gumbel noise,
+    which turns the whole release into ONE deterministic max_by over
+    the DISTINCT-VALUE aggregate (the ks_drift shape; candidate set =
+    observed distinct values, documented; rank sensitivity Δu = 1).
+
+    Noise derivation (the dp_noisy_counts discipline): per-candidate
+    uniform from a seeded hash of the value, g = -ln(-ln(u)); the
+    same SECURITY NOTE applies — hash-seeded noise is reproducible BY
+    DESIGN for the oracle gate; production must supply a fresh secret
+    seed per release.
+
+    Scale shape: one partial-agg shuffle to value counts, a cumsum
+    over the value domain, one argmax — no row-level pass after the
+    aggregate.  Returns one row
+    (n, q_micro, epsilon_micro, released_v, true_v).
+    """
+    if not 0 < q_micro < 1_000_000:
+        raise ValueError(f"q_micro must be in (0, 1e6) (got {q_micro})")
+    if epsilon_micro <= 0:
+        raise ValueError(f"epsilon_micro must be > 0 (got {epsilon_micro})")
+    v = F.col(value_col).cast("long")
+    vc = df.filter(v.isNotNull()).groupBy(v.alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vc.select(
+        "v",
+        F.sum("c").over(w).cast("long").alias("cum"),
+        F.sum("c").over(wt).cast("long").alias("n"),
+    ).withColumn(
+        "r", F.expr(f"GREATEST(CAST(n AS DECIMAL(38,0)) * {int(q_micro)} DIV 1000000, 1)")
+    )
+    vs = "CAST(v AS STRING)"
+    if hash_family == "xxhash64":
+        h = f"pmod(xxhash64(concat({vs}, ':', '{int(seed)}')), 1999999)"
+    elif hash_family == "md5":
+        h = (
+            f"pmod(cast(conv(substring(md5(concat({vs}, ':', '{int(seed)}')),"
+            f" 1, 15), 16, 10) as bigint), 1999999)"
+        )
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r} (xxhash64|md5)")
+    eps = float(epsilon_micro) / 1_000_000.0
+    scored = cum.withColumn(
+        "__score",
+        # CAST AS DOUBLE: a bare float repr literal is DECIMAL in
+        # Spark (scale-rounded ops) but DOUBLE in DuckDB
+        F.expr(
+            f"-CAST({eps!r} AS DOUBLE) * ABS(cum - r) / 2.0"
+            f" - LN(-LN(({h} + 1) / 2000000.0))"
+        ),
+    )
+    return scored.groupBy().agg(
+        F.max("n").alias("n"),
+        F.lit(int(q_micro)).cast("long").alias("q_micro"),
+        F.lit(int(epsilon_micro)).cast("long").alias("epsilon_micro"),
+        F.expr("max_by(v, struct(__score, v))").alias("released_v"),
+        F.min(F.when(F.col("cum") >= F.col("r"), F.col("v"))).alias("true_v"),
     )

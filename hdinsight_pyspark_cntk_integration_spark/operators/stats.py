@@ -6921,3 +6921,214 @@ def bartlett_test(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
               * 1000000) AS BIGINT)"""
         ).alias("bartlett_micro"),
     )
+
+
+def jarque_bera(df: DataFrame, value_col: str) -> DataFrame:
+    """Jarque-Bera normality test: JB = n·(S²/6 + (K-3)²/24) from
+    sample skewness S and kurtosis K — the moment-based "is this
+    column even roughly normal" screen run before trusting grubbs/
+    bartlett (both normal-theory) or z-score outlier fences.
+
+    ONE aggregate: the four raw power sums Σx..Σx⁴ accumulate as
+    exact DECIMAL(38,0) integers (ANSI: overflow is loud), and the
+    central moments come from the textbook expansion
+
+        m2 = Q2/n - μ²,  m3 = Q3/n - 3μQ2/n + 2μ³,
+        m4 = Q4/n - 4μQ3/n + 6μ²Q2/n - 3μ⁴   (μ = S1/n)
+
+    evaluated as one deterministic fp64 expression over the exact
+    integers — order-independent under any partitioning, so the
+    micro-floored outputs hash-match the oracle. CONTRACT: value_col
+    integer-quantized; x⁴ sums bound DECIMAL(38,0) to |x| ~ 1e6 at
+    ~1e13 rows — shift/rescale heavy-magnitude columns first (the
+    expansion's cancellation also behaves best near zero mean).
+
+    Returns one row (n, skew_micro, kurt_micro, jb_micro); under H0
+    compare JB against chi-square(2).
+    """
+    v = F.col(value_col).cast("long")
+    dec = "decimal(38,0)"
+    agg = df.filter(v.isNotNull()).groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v.cast(dec)).alias("s1"),
+        F.sum(v.cast(dec) * v).alias("q2"),
+        F.sum(v.cast(dec) * v * v).alias("q3"),
+        F.sum(v.cast(dec) * v * v * v).alias("q4"),
+    )
+    mu = "(CAST(s1 AS DOUBLE) / n)"
+    m2 = f"(CAST(q2 AS DOUBLE) / n - {mu} * {mu})"
+    m3 = (
+        f"(CAST(q3 AS DOUBLE) / n - 3 * {mu} * (CAST(q2 AS DOUBLE) / n)"
+        f" + 2 * {mu} * {mu} * {mu})"
+    )
+    m4 = (
+        f"(CAST(q4 AS DOUBLE) / n - 4 * {mu} * (CAST(q3 AS DOUBLE) / n)"
+        f" + 6 * {mu} * {mu} * (CAST(q2 AS DOUBLE) / n)"
+        f" - 3 * {mu} * {mu} * {mu} * {mu})"
+    )
+    # m2*sqrt(m2), not POW(m2,1.5): SQRT is IEEE-correctly-rounded
+    # (bit-identical across engines); pow is not
+    skew = f"({m3} / ({m2} * SQRT({m2})))"
+    kurt = f"({m4} / ({m2} * {m2}))"
+    return agg.select(
+        "n",
+        F.expr(f"CAST(FLOOR({skew} * 1000000) AS BIGINT)").alias("skew_micro"),
+        F.expr(f"CAST(FLOOR({kurt} * 1000000) AS BIGINT)").alias("kurt_micro"),
+        F.expr(
+            f"CAST(FLOOR(n * ({skew} * {skew} / 6"
+            f" + ({kurt} - 3) * ({kurt} - 3) / 24) * 1000000) AS BIGINT)"
+        ).alias("jb_micro"),
+    )
+
+
+def runs_test(
+    df: DataFrame, key_col: str, order_col: str, value_col: str
+) -> DataFrame:
+    """Per-series Wald-Wolfowitz runs test: dichotomize each series at
+    its own MEAN (sign of n·x_t - S — exact integers via the
+    multiply-through trick; exact-mean points are dropped, documented)
+    and count sign runs R.  Too FEW runs = momentum/trending, too MANY
+    = oscillation — the order-sensitive randomness screen the
+    value-only tests (jarque_bera, grubbs) cannot see, and the
+    cheapest one (durbin_watson's nonparametric sibling).
+
+        E[R] = 2·n1·n2/m + 1,
+        Var[R] = 2·n1·n2·(2·n1·n2 - m) / (m²·(m-1)),  m = n1+n2
+
+    z = (R - E)/sqrt(Var) as one deterministic fp64 over exact
+    integer counts, micro-floored.  Shape: the partition-total and
+    the two ordered windows share the series key — one shuffle; the
+    post-filter lag window reuses the same partitioning.  Degenerate
+    series (n1·n2 = 0 or m < 2) return NULL z.
+    Returns (key, n1, n2, runs, z_micro).
+    """
+    wk = Window.partitionBy(key_col)
+    wo = Window.partitionBy(key_col).orderBy(order_col)
+    v = F.col(value_col).cast("long")
+    staged = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).alias("__o"),
+        (
+            v.cast("decimal(38,0)") * F.count(F.lit(1)).over(wk)
+            - F.sum(v.cast("decimal(38,0)")).over(wk)
+        ).alias("__d"),
+    ).filter(F.col("__d") != 0)
+    w2 = Window.partitionBy("key").orderBy("__o")
+    signed = staged.select(
+        "key",
+        F.signum(F.col("__d").cast("double")).cast("int").alias("__s"),
+        F.lag(F.signum(F.col("__d").cast("double")).cast("int"))
+        .over(w2)
+        .alias("__p"),
+    )
+    return (
+        signed.groupBy("key")
+        .agg(
+            F.sum((F.col("__s") == 1).cast("long")).cast("long").alias("n1"),
+            F.sum((F.col("__s") == -1).cast("long")).cast("long").alias("n2"),
+            (
+                F.lit(1)
+                + F.sum(
+                    (
+                        F.col("__p").isNotNull()
+                        & (F.col("__s") != F.col("__p"))
+                    ).cast("long")
+                )
+            ).cast("long").alias("runs"),
+        )
+        .select(
+            "key",
+            "n1",
+            "n2",
+            "runs",
+            # CAST(n1 AS DOUBLE) up front: a bare `2.0 * n1 * n2 /
+            # (n1+n2)` is DECIMAL arithmetic in Spark (scale-6 rounded
+            # division) but DOUBLE in DuckDB — the early cast pins both
+            # engines to the identical IEEE operation sequence
+            F.expr(
+                """CASE WHEN n1 * n2 = 0 OR n1 + n2 < 2 THEN NULL ELSE
+                CAST(FLOOR(
+                  (CAST(runs AS DOUBLE)
+                   - (2.0 * CAST(n1 AS DOUBLE) * n2 / (n1 + n2) + 1))
+                  / SQRT(2.0 * CAST(n1 AS DOUBLE) * n2
+                         * (2.0 * CAST(n1 AS DOUBLE) * n2 - n1 - n2)
+                         / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                            * (n1 + n2 - 1)))
+                  * 1000000) AS BIGINT) END"""
+            ).alias("z_micro"),
+        )
+    )
+
+
+def page_trend_test(
+    df: DataFrame, block_col: str, treat_col: str, value_col: str
+) -> DataFrame:
+    """Page's trend test for an ORDERED alternative across k
+    treatments in b blocks — friedman_test's DIRECTIONAL sibling
+    (Friedman asks "any difference among treatments, blocking out the
+    block effect"; Page asks "do they INCREASE in the stated order"),
+    and the blocked-design counterpart of jonckheere_terpstra.
+    Doubled within-block average ranks keep everything integral:
+
+        L2 = SUM_blocks SUM_j j · r2_bj = 2L,
+        E[L2] = b·k·(k+1)²/2  (always an integer),
+        Var[L2] = 4·Var[L] = b·k²·(k+1)²·(k-1)/36
+
+    with the no-ties moments (documented approximation, conservative
+    under light ties).  CONTRACT: one observation per
+    (block, treatment); blocks missing any treatment are dropped
+    (documented — the Friedman completeness convention); treat_col is
+    the ordered 1..k weight.  Shape: rank windows are BLOCK-partitioned
+    (k rows each), then one exact aggregate — no global window at all.
+    Returns one row (b, k, l2, z_micro).
+    """
+    sub = df.filter(
+        F.col(block_col).isNotNull()
+        & F.col(treat_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(block_col).alias("blk"),
+        F.col(treat_col).cast("long").alias("trt"),
+        F.col(value_col).cast("long").alias("val"),
+    )
+    k_tot = sub.select(F.countDistinct("trt").alias("k"))
+    wb = Window.partitionBy("blk")
+    complete = (
+        sub.withColumn("__bk", F.count(F.lit(1)).over(wb))
+        .join(F.broadcast(k_tot))
+        .filter(F.col("__bk") == F.col("k"))
+    )
+    wv = Window.partitionBy("blk").orderBy("val")
+    ranked = complete.select(
+        "blk",
+        "trt",
+        "k",
+        # doubled average rank from block-local count-below/ties:
+        # 2*cnt_less + ties + 1, via rank() and its tie width
+        (
+            F.lit(2) * (F.rank().over(wv) - 1)
+            + F.count(F.lit(1)).over(
+                Window.partitionBy("blk", "val")
+            )
+            + F.lit(1)
+        ).cast("long").alias("r2"),
+    )
+    agg = ranked.groupBy().agg(
+        F.max("k").cast("long").alias("k"),
+        (F.count(F.lit(1)) / F.max("k")).cast("long").alias("b"),
+        F.sum(F.col("trt") * F.col("r2")).cast("long").alias("l2"),
+    )
+    return agg.select(
+        "b",
+        "k",
+        "l2",
+        F.expr(
+            """CASE WHEN k < 2 OR b < 1 THEN NULL ELSE
+            CAST(FLOOR(
+              (CAST(l2 AS DOUBLE)
+               - CAST(b AS DOUBLE) * k * (k + 1) * (k + 1) / 2)
+              / SQRT(CAST(b AS DOUBLE) * k * k * (k + 1) * (k + 1)
+                     * (k - 1) / 36)
+              * 1000000) AS BIGINT) END"""
+        ).alias("z_micro"),
+    )

@@ -301,6 +301,10 @@ _INTENTIONAL_LINT = {
     #   DISTINCT-VALUE aggregate and the column-total window over the
     #   k-row cell table, never rows
     "mood_median": {"global-window"},
+    # dp_exponential_quantile — the rank cumsum runs over the
+    #   DISTINCT-VALUE candidate aggregate (the ks_drift shape),
+    #   never rows
+    "dp_exponential_quantile": {"global-window"},
     # theil_u — marginal windows over the (x,y) CELL aggregate,
     #   domain-bounded (the mutual_information contract)
     "theil_u": {"global-window"},

@@ -251,3 +251,91 @@ def test_chrf_rejects_bad_params(spark):
         tx.chrf_score(refs, refs, n_max=0)
     with pytest.raises(ValueError):
         tx.chrf_score(refs, refs, beta=0)
+
+
+def test_jarque_bera_symmetric_hand_case(spark):
+    # [1..5]: m2=2, m3=0 (exact), m4=6.8 -> skew 0, kurt 1.7
+    # JB = 5*(0 + 1.69/24) = 0.3520833...
+    df = spark.createDataFrame([(v,) for v in (1, 2, 3, 4, 5)], "v long")
+    [r] = st.jarque_bera(df, "v").collect()
+    assert (r["n"], r["skew_micro"], r["kurt_micro"], r["jb_micro"]) == (
+        5, 0, 1_700_000, 352_083,
+    )
+    # a heavy right tail drives skew positive and JB up
+    [rs] = st.jarque_bera(
+        spark.createDataFrame([(v,) for v in (1, 2, 3, 4, 100)], "v long"), "v"
+    ).collect()
+    assert rs["skew_micro"] > 1_000_000 and rs["jb_micro"] > r["jb_micro"]
+
+
+def test_runs_test_alternating_and_trending(spark):
+    # [1,2]*4: signs alternate -> runs=8, n1=n2=4
+    # z = (8-5)/sqrt(768/448) = 2.2912878...
+    alt = spark.createDataFrame(
+        [(1, t, 1 + t % 2) for t in range(8)], "k long, t long, v long"
+    )
+    [r] = st.runs_test(alt, "k", "t", "v").collect()
+    assert (r["n1"], r["n2"], r["runs"], r["z_micro"]) == (4, 4, 8, 2_291_287)
+    # a step series has exactly 2 runs -> strongly negative z
+    step = spark.createDataFrame(
+        [(1, t, 0 if t < 4 else 10) for t in range(8)], "k long, t long, v long"
+    )
+    [rt] = st.runs_test(step, "k", "t", "v").collect()
+    assert rt["runs"] == 2 and rt["z_micro"] < -2_000_000
+    # constant series: every d==0 row drops -> degenerate NULL z
+    const = spark.createDataFrame(
+        [(1, t, 5) for t in range(4)], "k long, t long, v long"
+    )
+    out = st.runs_test(const, "k", "t", "v").collect()
+    assert out == [] or out[0]["z_micro"] is None
+
+
+def test_page_trend_monotone_hand_case(spark):
+    # 2 blocks, k=3, values strictly increasing in treatment order:
+    # L2 = 2*(1*2+2*4+3*6) = 56, E[L2]=48, sd[L2]=4 -> z = 2
+    rows = [(b, j, 10 * j + b) for b in (1, 2) for j in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "blk long, trt long, val long")
+    [r] = st.page_trend_test(df, "blk", "trt", "val").collect()
+    assert (r["b"], r["k"], r["l2"], r["z_micro"]) == (2, 3, 56, 2_000_000)
+    # blocks missing a treatment are dropped
+    ragged = rows + [(3, 1, 5)]
+    [rr] = st.page_trend_test(
+        spark.createDataFrame(ragged, "blk long, trt long, val long"),
+        "blk", "trt", "val",
+    ).collect()
+    assert rr["b"] == 2
+    # perfectly decreasing order -> z = -2
+    rows_d = [(b, j, -10 * j) for b in (1, 2) for j in (1, 2, 3)]
+    [rd] = st.page_trend_test(
+        spark.createDataFrame(rows_d, "blk long, trt long, val long"),
+        "blk", "trt", "val",
+    ).collect()
+    assert rd["z_micro"] == -2_000_000
+
+
+def test_dp_exponential_quantile_conventions(spark):
+    from hdinsight_pyspark_cntk_integration_spark.operators import pipeline as pl
+
+    df = spark.createDataFrame([(v,) for v in range(1, 10)], "v long")
+    # huge epsilon: the utility term dominates the Gumbel noise, so the
+    # release collapses onto the true target-rank value
+    [r] = pl.dp_exponential_quantile(
+        df, "v", q_micro=500_000, epsilon_micro=60_000_000, seed=3
+    ).collect()
+    # r = floor(0.5*9) = 4 -> lower-median convention value 4
+    assert (r["n"], r["true_v"]) == (9, 4)
+    assert r["released_v"] == r["true_v"]
+    # reproducible: same seed -> identical release; md5 family too
+    [r2] = pl.dp_exponential_quantile(
+        df, "v", q_micro=500_000, epsilon_micro=60_000_000, seed=3
+    ).collect()
+    assert r2["released_v"] == r["released_v"]
+    [rm] = pl.dp_exponential_quantile(
+        df, "v", q_micro=500_000, epsilon_micro=60_000_000, seed=3,
+        hash_family="md5",
+    ).collect()
+    assert rm["true_v"] == 4
+    with pytest.raises(ValueError):
+        pl.dp_exponential_quantile(df, "v", q_micro=0)
+    with pytest.raises(ValueError):
+        pl.dp_exponential_quantile(df, "v", epsilon_micro=0)
