@@ -7683,6 +7683,40 @@ def q_dp_exponential_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel test between click and error event value-cents
+    (operators.stats.brunner_munzel) — the variance-robust upgrade of
+    the rank_sum_test gate on the SAME two slices (their disagreement
+    is itself a heteroscedasticity signal): stochastic-dominance
+    effect p_hat plus the BM W and Welch-type df, all from the two
+    doubled-midrank systems over the distinct-value aggregate."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    ev = load_table(spark, sf_dir, "events")
+    frame = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return st.brunner_munzel(frame, "event_type", "cents", "click", "error")
+
+
+def q_bayes_ab_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Bayesian A/B on a deterministic user split of the events
+    stream (operators.stats.bayes_ab_prob): arm = Knuth-mixed user_id
+    parity, success = purchase event; emits P(arm B converts better)
+    under Beta(1,1) priors — the no-approximation decision scalar
+    beside two_proportion_z. Both engines run the identical Stirling
+    lnGamma text; terms pico-floored at birth, exact integer sum."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    ev = load_table(spark, sf_dir, "events")
+    frame = ev.select(
+        F.pmod(_mix(F.col("user_id")), F.lit(2)).alias("arm"),
+        (F.col("event_type") == "purchase").alias("ok"),
+    )
+    return st.bayes_ab_prob(frame, "arm", "ok", 0, 1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Full registry, gate window first.
 
@@ -8121,6 +8155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runs_test": q_runs_test,
         "page_trend_test": q_page_trend_test,
         "dp_exponential_quantile": q_dp_exponential_quantile,
+        "brunner_munzel": q_brunner_munzel,
+        "bayes_ab_prob": q_bayes_ab_prob,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -18551,5 +18587,128 @@ def oracle_sql() -> dict[str, str]:
             AS released_v,
           MIN(CASE WHEN cum >= r THEN v END) AS true_v
         FROM scored
+    """
+    oracles["brunner_munzel"] = """
+        WITH sub AS (
+          SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS g,
+            CAST(FLOOR(value * 100) AS BIGINT) AS v
+          FROM events WHERE event_type IN ('click', 'error')
+        ),
+        gv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS n_gv
+               FROM sub GROUP BY 1, 2),
+        tv AS (SELECT v, CAST(SUM(n_gv) AS BIGINT) AS t FROM gv GROUP BY 1),
+        pooled AS (
+          SELECT v,
+            CAST(2 * COALESCE(SUM(t) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + t + 1 AS BIGINT) AS r2p
+          FROM tv
+        ),
+        cells AS (
+          SELECT gv.g, gv.v, gv.n_gv,
+            CAST(2 * COALESCE(SUM(n_gv) OVER (PARTITION BY g ORDER BY gv.v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + n_gv + 1 AS BIGINT) AS r2w,
+            pooled.r2p
+          FROM gv JOIN pooled ON gv.v = pooled.v
+        ),
+        per_g AS (
+          SELECT g, CAST(SUM(n_gv) AS BIGINT) AS n_g,
+            CAST(SUM(n_gv * r2p) AS BIGINT) AS r2_g
+          FROM cells GROUP BY 1
+        ),
+        staged AS (
+          SELECT cells.g, MAX(n_g) AS n_g, MAX(r2_g) AS r2_g,
+            SUM(CAST(n_gv AS HUGEINT)
+              * (CAST(n_g AS HUGEINT) * (r2p - r2w)
+                 - (CAST(r2_g AS HUGEINT) - CAST(n_g AS HUGEINT) * (n_g + 1)))
+              * (CAST(n_g AS HUGEINT) * (r2p - r2w)
+                 - (CAST(r2_g AS HUGEINT) - CAST(n_g AS HUGEINT) * (n_g + 1))))
+              AS dev2
+          FROM cells JOIN per_g ON cells.g = per_g.g
+          GROUP BY cells.g
+        ),
+        wide AS (
+          SELECT
+            MAX(CASE WHEN g = 'a' THEN n_g END) AS a_n,
+            MAX(CASE WHEN g = 'a' THEN r2_g END) AS a_r2,
+            MAX(CASE WHEN g = 'a' THEN dev2 END) AS a_dev2,
+            MAX(CASE WHEN g = 'b' THEN n_g END) AS b_n,
+            MAX(CASE WHEN g = 'b' THEN r2_g END) AS b_r2,
+            MAX(CASE WHEN g = 'b' THEN dev2 END) AS b_dev2
+          FROM staged
+        )
+        SELECT a_n AS n_a, b_n AS n_b,
+          CAST((CAST(b_r2 AS HUGEINT) - CAST(b_n AS HUGEINT) * (b_n + 1))
+            * 1000000 // (2 * CAST(b_n AS HUGEINT) * a_n) AS BIGINT)
+            AS p_hat_micro,
+          CASE WHEN a_dev2 + b_dev2 = 0 THEN NULL ELSE
+          CAST(FLOOR(
+            CAST(a_n AS DOUBLE) * b_n
+            * (CAST(b_r2 AS DOUBLE) / (2.0 * b_n)
+               - CAST(a_r2 AS DOUBLE) / (2.0 * a_n))
+            / ((CAST(a_n AS DOUBLE) + b_n)
+               * SQRT((CAST(a_dev2 AS DOUBLE) / (4.0 * a_n * (a_n - 1)))
+                      + (CAST(b_dev2 AS DOUBLE) / (4.0 * b_n * (b_n - 1)))))
+            * 1000000) AS BIGINT) END AS w_micro,
+          CASE WHEN a_dev2 + b_dev2 = 0 THEN NULL ELSE
+          CAST(FLOOR(
+            ((CAST(a_dev2 AS DOUBLE) / (4.0 * a_n * (a_n - 1)))
+             + (CAST(b_dev2 AS DOUBLE) / (4.0 * b_n * (b_n - 1))))
+            * ((CAST(a_dev2 AS DOUBLE) / (4.0 * a_n * (a_n - 1)))
+               + (CAST(b_dev2 AS DOUBLE) / (4.0 * b_n * (b_n - 1))))
+            / ((CAST(a_dev2 AS DOUBLE) / (4.0 * a_n * (a_n - 1)))
+                 * (CAST(a_dev2 AS DOUBLE) / (4.0 * a_n * (a_n - 1)))
+                 / (a_n - 1)
+               + (CAST(b_dev2 AS DOUBLE) / (4.0 * b_n * (b_n - 1)))
+                 * (CAST(b_dev2 AS DOUBLE) / (4.0 * b_n * (b_n - 1)))
+                 / (b_n - 1))
+            * 1000000) AS BIGINT) END AS df_micro
+        FROM wide
+    """
+    from hdinsight_pyspark_cntk_integration_spark.operators.stats import (
+        _lngamma_sql as _lg,
+    )
+
+    def _lnb(x: str, y: str) -> str:
+        return f"({_lg(x)} + {_lg(y)} - {_lg(f'({x}) + ({y})')})"
+
+    _bayes_term = (
+        f"({_lnb('aa + i', 'ba + bb')} - LN(CAST(bb + i AS DOUBLE))"
+        f" - {_lnb('1 + i', 'bb')} - {_lnb('aa', 'ba')})"
+    )
+    oracles["bayes_ab_prob"] = f"""
+        WITH arms AS (
+          SELECT
+            CAST(SUM(CASE WHEN arm = 0 AND ok THEN 1 ELSE 0 END) AS BIGINT)
+              AS succ_a,
+            CAST(SUM(CASE WHEN arm = 0 AND NOT ok THEN 1 ELSE 0 END)
+              AS BIGINT) AS fail_a,
+            CAST(SUM(CASE WHEN arm = 1 AND ok THEN 1 ELSE 0 END) AS BIGINT)
+              AS succ_b,
+            CAST(SUM(CASE WHEN arm = 1 AND NOT ok THEN 1 ELSE 0 END)
+              AS BIGINT) AS fail_b
+          FROM (
+            SELECT ((user_id % 1000003) * 2654435761) % 1000003 % 2 AS arm,
+              event_type = 'purchase' AS ok
+            FROM events
+          )
+        ),
+        params AS (
+          SELECT *, succ_a + 1 AS aa, fail_a + 1 AS ba,
+            succ_b + 1 AS ab, fail_b + 1 AS bb
+          FROM arms
+        ),
+        terms AS (
+          SELECT params.*,
+            CAST(FLOOR(EXP({_bayes_term}) * 1000000000000) AS BIGINT) AS t
+          FROM params CROSS JOIN (SELECT range AS i FROM range(0, 1048576))
+          WHERE i < ab
+        )
+        SELECT MAX(succ_a) AS succ_a, MAX(fail_a) AS fail_a,
+          MAX(succ_b) AS succ_b, MAX(fail_b) AS fail_b,
+          CASE WHEN MAX(ab) > 1048576 THEN NULL
+            ELSE CAST(SUM(t) // 1000000 AS BIGINT) END AS p_b_micro
+        FROM terms
     """
     return oracles

@@ -7132,3 +7132,235 @@ def page_trend_test(
               * 1000000) AS BIGINT) END"""
         ).alias("z_micro"),
     )
+
+
+def brunner_munzel(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Brunner-Munzel test (the "generalized Wilcoxon"): tests
+    P(X < Y) + P(X = Y)/2 = 1/2 WITHOUT mann_whitney_u's
+    equal-variance/shape assumption — the robust default for two-slice
+    comparisons with different spreads (the nonparametric analogue of
+    Welch vs Student).  Everything derives from the two midrank
+    systems (pooled and within-group), both read off the
+    DISTINCT-VALUE aggregate — never a row sort:
+
+        phat = (Rbar_b - (n_b+1)/2) / n_a     (common-language effect)
+        W = n_a·n_b·(Rbar_b - Rbar_a) / ((n_a+n_b)·sqrt(n_a·S2_a + n_b·S2_b))
+
+    with S2_i the sample variance of (pooled rank - within rank) in
+    group i.  Exactness: doubled ranks keep midranks integral; the
+    per-group deviation sum is multiplied through by n_i so
+
+        4·n_i²·(n_i-1)·S2_i = Σ_v n_iv·(n_i·(r2p_v - r2w_iv) - D_i)²,
+        D_i = R2_i - n_i·(n_i+1)
+
+    is an exact DECIMAL integer (R2_i = Σ n_iv·r2p_v, the doubled
+    pooled rank sum).  W and the Welch-type df close in ONE
+    deterministic fp64 expression each, micro-floored.  DECIMAL
+    bound: the deviation sum reaches ~n_i²·N²·n ~ N^5; quantize past
+    ~1e6 rows per slice (the drift-family discipline).
+
+    Returns one row (n_a, n_b, p_hat_micro, w_micro, df_micro).
+    """
+    sub = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.when(F.col(group_col) == group_a, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("g"),
+        F.col(value_col).alias("v"),
+    )
+    gv = sub.groupBy("g", "v").agg(F.count("*").cast("long").alias("n_gv"))
+    tv = gv.groupBy("v").agg(F.sum("n_gv").cast("long").alias("t"))
+    wp = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    pooled = tv.select(
+        "v",
+        (
+            F.lit(2) * F.coalesce(F.sum("t").over(wp), F.lit(0))
+            + F.col("t")
+            + F.lit(1)
+        ).cast("long").alias("r2p"),
+    )
+    ww = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cells = gv.select(
+        "g",
+        "v",
+        "n_gv",
+        (
+            F.lit(2) * F.coalesce(F.sum("n_gv").over(ww), F.lit(0))
+            + F.col("n_gv")
+            + F.lit(1)
+        ).cast("long").alias("r2w"),
+    ).join(pooled, "v")
+    per_g = cells.groupBy("g").agg(
+        F.sum("n_gv").cast("long").alias("n_g"),
+        F.sum(F.col("n_gv") * F.col("r2p")).cast("long").alias("r2_g"),
+    )
+    staged = cells.join(per_g, "g").groupBy("g").agg(
+        F.max("n_g").alias("n_g"),
+        F.max("r2_g").alias("r2_g"),
+        F.sum(
+            F.expr(
+                "CAST(n_gv AS DECIMAL(38,0))"
+                " * (CAST(n_g AS DECIMAL(38,0)) * (r2p - r2w)"
+                "    - (CAST(r2_g AS DECIMAL(38,0)) - CAST(n_g AS DECIMAL(38,0)) * (n_g + 1)))"
+                " * (CAST(n_g AS DECIMAL(38,0)) * (r2p - r2w)"
+                "    - (CAST(r2_g AS DECIMAL(38,0)) - CAST(n_g AS DECIMAL(38,0)) * (n_g + 1)))"
+            )
+        ).alias("dev2"),
+    )
+    wide = (
+        staged.groupBy()
+        .pivot("g", ["a", "b"])
+        .agg(
+            F.max("n_g").alias("n"),
+            F.max("r2_g").alias("r2"),
+            F.max("dev2").alias("dev2"),
+        )
+    )
+    # s2v_i = n_i * S2_i = dev2_i / (4*n_i*(n_i-1))  [exact ratio,
+    # evaluated in fp64]; W and df close deterministically
+    s2va = "(CAST(a_dev2 AS DOUBLE) / (4.0 * a_n * (a_n - 1)))"
+    s2vb = "(CAST(b_dev2 AS DOUBLE) / (4.0 * b_n * (b_n - 1)))"
+    return wide.select(
+        F.col("a_n").alias("n_a"),
+        F.col("b_n").alias("n_b"),
+        F.expr(
+            "CAST((CAST(b_r2 AS DECIMAL(38,0)) - CAST(b_n AS DECIMAL(38,0)) * (b_n + 1))"
+            " * 1000000 DIV (2 * CAST(b_n AS DECIMAL(38,0)) * a_n) AS BIGINT)"
+        ).alias("p_hat_micro"),
+        F.expr(
+            f"""CASE WHEN a_dev2 + b_dev2 = 0 THEN NULL ELSE
+            CAST(FLOOR(
+              CAST(a_n AS DOUBLE) * b_n
+              * (CAST(b_r2 AS DOUBLE) / (2.0 * b_n)
+                 - CAST(a_r2 AS DOUBLE) / (2.0 * a_n))
+              / ((CAST(a_n AS DOUBLE) + b_n)
+                 * SQRT({s2va} + {s2vb}))
+              * 1000000) AS BIGINT) END"""
+        ).alias("w_micro"),
+        F.expr(
+            f"""CASE WHEN a_dev2 + b_dev2 = 0 THEN NULL ELSE
+            CAST(FLOOR(
+              ({s2va} + {s2vb}) * ({s2va} + {s2vb})
+              / ({s2va} * {s2va} / (a_n - 1)
+                 + {s2vb} * {s2vb} / (b_n - 1))
+              * 1000000) AS BIGINT) END"""
+        ).alias("df_micro"),
+    )
+
+
+def _lngamma_sql(z: str) -> str:
+    """ln Gamma(z) for INTEGER z >= 1 as one engine-portable SQL text:
+    shift z by 8 (lnGamma(z) = lnGamma(z+8) - SUM ln(z+i)) into the
+    Stirling region, then the 4-correction-term Stirling series —
+    absolute error < 1e-12 for the shifted argument (>= 9).  The SAME
+    string is compiled by Spark and DuckDB, so both engines execute
+    the identical IEEE sequence (LN/EXP agreement is the ln-micro
+    discipline's documented empirical contract)."""
+    w = f"(CAST({z} AS DOUBLE) + 8.0)"
+    shift = " + ".join(f"LN(CAST({z} AS DOUBLE) + {i}.0)" for i in range(8))
+    return (
+        f"(({w} - 0.5) * LN({w}) - {w} + 0.9189385332046727"
+        f" + 1.0 / (12.0 * {w}) - 1.0 / (360.0 * {w} * {w} * {w})"
+        f" + 1.0 / (1260.0 * {w} * {w} * {w} * {w} * {w})"
+        f" - 1.0 / (1680.0 * POW({w}, 7.0))"
+        f" - ({shift}))"
+    )
+
+
+def bayes_ab_prob(
+    df: DataFrame,
+    arm_col: str,
+    success_col: str,
+    arm_a,
+    arm_b,
+    max_terms: int = 1_048_576,
+) -> DataFrame:
+    """Exact Bayesian A/B posterior P(p_B > p_A) under independent
+    Beta(1,1) priors — the decision-ready companion to the frequentist
+    battery (two_proportion_z, sprt_eval, ab_test_lift): "given the
+    observed conversions, how likely is B actually better", with no
+    normal approximation.  Closed form (Cook 2005):
+
+        P = SUM_{i=0}^{a_B-1} B(a_A+i, b_A+b_B)
+                              / ((b_B+i) · B(1+i, b_B) · B(a_A, b_A))
+
+    with a = successes+1, b = failures+1 — every Beta function a
+    ratio of integer Gammas, evaluated through the engine-portable
+    Stirling lnGamma text (identical IEEE sequence both engines), one
+    exp per term, each term PICO-floored at birth, then an exact
+    integer sum (order-independent, hash-gate-safe).
+
+    Scale shape: the two arm aggregates are one shuffle; the term
+    index comes from a SPLITTABLE range spine capped at ``max_terms``
+    (documented contract: a_B <= max_terms — raise the cap for
+    larger eval arms, or bucket upstream; terms far from the mode
+    underflow exp() to exact 0 and cost nothing but the scan).  The
+    spine join is a broadcast of the one-row arm stats — no
+    driver-side loop, no collect.
+
+    Returns one row (succ_a, fail_a, succ_b, fail_b, p_b_micro).
+    """
+    spark = df.sparkSession
+    arms = (
+        df.filter(F.col(arm_col).isin([arm_a, arm_b]))
+        .groupBy()
+        .agg(
+            F.sum(
+                ((F.col(arm_col) == arm_a) & F.col(success_col)).cast("long")
+            ).cast("long").alias("succ_a"),
+            F.sum(
+                ((F.col(arm_col) == arm_a) & ~F.col(success_col)).cast("long")
+            ).cast("long").alias("fail_a"),
+            F.sum(
+                ((F.col(arm_col) == arm_b) & F.col(success_col)).cast("long")
+            ).cast("long").alias("succ_b"),
+            F.sum(
+                ((F.col(arm_col) == arm_b) & ~F.col(success_col)).cast("long")
+            ).cast("long").alias("fail_b"),
+        )
+        .select(
+            "succ_a", "fail_a", "succ_b", "fail_b",
+            (F.col("succ_a") + 1).alias("aa"),
+            (F.col("fail_a") + 1).alias("ba"),
+            (F.col("succ_b") + 1).alias("ab"),
+            (F.col("fail_b") + 1).alias("bb"),
+        )
+    )
+    spine = spark.range(int(max_terms)).select(F.col("id").alias("i"))
+    lnb = lambda x, y: (
+        f"({_lngamma_sql(x)} + {_lngamma_sql(y)} - {_lngamma_sql(f'({x}) + ({y})')})"
+    )
+    term_ln = (
+        f"({lnb('aa + i', 'ba + bb')} - LN(CAST(bb + i AS DOUBLE))"
+        f" - {lnb('1 + i', 'bb')} - {lnb('aa', 'ba')})"
+    )
+    terms = (
+        spine.join(F.broadcast(arms))
+        .filter(F.col("i") < F.col("ab"))
+        .withColumn(
+            "__t",
+            F.expr(
+                f"CAST(FLOOR(EXP({term_ln}) * 1000000000000) AS BIGINT)"
+            ),
+        )
+    )
+    return terms.groupBy().agg(
+        F.max("succ_a").alias("succ_a"),
+        F.max("fail_a").alias("fail_a"),
+        F.max("succ_b").alias("succ_b"),
+        F.max("fail_b").alias("fail_b"),
+        # NULL, never a silently truncated sum, when the arm outgrows
+        # the spine cap (both engines truncate identically, so parity
+        # alone could not catch it)
+        F.expr(
+            f"CASE WHEN MAX(ab) > {int(max_terms)} THEN NULL"
+            " ELSE CAST(SUM(__t) DIV 1000000 AS BIGINT) END"
+        ).alias("p_b_micro"),
+    )

@@ -305,6 +305,11 @@ _INTENTIONAL_LINT = {
     #   DISTINCT-VALUE candidate aggregate (the ks_drift shape),
     #   never rows
     "dp_exponential_quantile": {"global-window"},
+    # brunner_munzel — the pooled-midrank window runs over the
+    #   DISTINCT-VALUE aggregate (the rank_sum_test shape); the
+    #   within-group windows are group-partitioned on the same
+    #   aggregate
+    "brunner_munzel": {"global-window"},
     # theil_u — marginal windows over the (x,y) CELL aggregate,
     #   domain-bounded (the mutual_information contract)
     "theil_u": {"global-window"},

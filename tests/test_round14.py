@@ -339,3 +339,63 @@ def test_dp_exponential_quantile_conventions(spark):
         pl.dp_exponential_quantile(df, "v", q_micro=0)
     with pytest.raises(ValueError):
         pl.dp_exponential_quantile(df, "v", epsilon_micro=0)
+
+
+def test_brunner_munzel_scipy_docs_case(spark):
+    # the scipy.stats.brunnermunzel documentation example:
+    # W = 3.1374674823029505, df = 17.6828...
+    x1 = [1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 2, 4, 1, 1]
+    x2 = [3, 3, 4, 3, 1, 2, 3, 1, 1, 5, 4]
+    rows = [("a", v) for v in x1] + [("b", v) for v in x2]
+    df = spark.createDataFrame(rows, "g string, v long")
+    [r] = st.brunner_munzel(df, "g", "v", "a", "b").collect()
+    assert (r["n_a"], r["n_b"], r["w_micro"]) == (14, 11, 3_137_467)
+    assert r["df_micro"] == 17_682_841
+    # identical groups: phat = 1/2, W = 0 (up to micro truncation)
+    same = [("a", v) for v in (1, 2, 3, 4)] + [("b", v) for v in (1, 2, 3, 4)]
+    [rz] = st.brunner_munzel(
+        spark.createDataFrame(same, "g string, v long"), "g", "v", "a", "b"
+    ).collect()
+    assert rz["p_hat_micro"] == 500_000 and abs(rz["w_micro"]) <= 1
+    # complete dominance: phat = 1
+    dom = [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (10, 11, 12)]
+    [rd] = st.brunner_munzel(
+        spark.createDataFrame(dom, "g string, v long"), "g", "v", "a", "b"
+    ).collect()
+    assert rd["p_hat_micro"] == 1_000_000 and rd["w_micro"] is None
+
+
+def test_bayes_ab_prob_closed_form_and_symmetry(spark):
+    # A: 3/10, B: 7/10 -> P(B>A) = 0.9569455... (exact closed form)
+    rows = [("A", i < 3) for i in range(10)] + [("B", i < 7) for i in range(10)]
+    df = spark.createDataFrame(rows, "arm string, ok boolean")
+    [r] = st.bayes_ab_prob(df, "arm", "ok", "A", "B", max_terms=1024).collect()
+    assert (r["succ_a"], r["fail_a"], r["succ_b"], r["fail_b"]) == (3, 7, 7, 3)
+    assert r["p_b_micro"] == 956_945
+    # swapping arms complements: P(A>B) = 1 - P(B>A) - P(equal-mass=0)
+    [rs] = st.bayes_ab_prob(df, "arm", "ok", "B", "A", max_terms=1024).collect()
+    assert abs(r["p_b_micro"] + rs["p_b_micro"] - 1_000_000) <= 2
+    # identical arms -> exactly 1/2 by symmetry (up to truncation)
+    same = [("A", i < 5) for i in range(10)] + [("B", i < 5) for i in range(10)]
+    [re_] = st.bayes_ab_prob(
+        spark.createDataFrame(same, "arm string, ok boolean"),
+        "arm", "ok", "A", "B", max_terms=1024,
+    ).collect()
+    assert abs(re_["p_b_micro"] - 500_000) <= 2
+    # spine-cap guard: arm B larger than max_terms -> NULL, never a
+    # silently truncated sum
+    [rg] = st.bayes_ab_prob(df, "arm", "ok", "A", "B", max_terms=4).collect()
+    assert rg["p_b_micro"] is None
+
+
+def test_lngamma_sql_matches_lgamma(spark):
+    import math
+
+    expr = st._lngamma_sql("CAST(id AS BIGINT)")
+    rows = (
+        spark.range(1, 200)
+        .selectExpr("id", f"{expr} AS lg")
+        .collect()
+    )
+    for r in rows:
+        assert abs(r["lg"] - math.lgamma(r["id"])) < 1e-10, r["id"]
