@@ -7717,6 +7717,40 @@ def q_bayes_ab_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.bayes_ab_prob(frame, "arm", "ok", 0, 1)
 
 
+def q_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's exact test (operators.stats.fisher_exact): is
+    order-final status associated with URGENT priority, conditioning
+    on both margins — the exact small-cell member closing the
+    contingency family next to chi_square/g_test/mcnemar/
+    mantel_haenszel. Hypergeometric masses through the portable
+    Stirling lnGamma text; support-spine capped with the
+    NULL-not-truncate guard."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    orders = load_table(spark, sf_dir, "orders")
+    frame = orders.select(
+        (F.col("o_orderstatus") == "F").alias("is_final"),
+        (F.substring(F.col("o_orderpriority"), 1, 1) == "1").alias("is_urgent"),
+    )
+    return st.fisher_exact(frame, "is_final", "is_urgent")
+
+
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the TOTAL document
+    population from two independent deterministic fingerprint samples
+    (operators.stats.capture_recapture) — the dedup-pipeline "how big
+    is the true corpus given two partial scans and their overlap"
+    estimator, chao1_vocab's two-sample sibling. One aggregate; the
+    estimate should bracket the actual documents rowcount."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.pmod(_mix(F.col("doc_id")), F.lit(10)) < 3).alias("s1"),
+        (F.pmod(_mix(F.col("doc_id") * 13 + 7), F.lit(10)) < 3).alias("s2"),
+    )
+    return st.capture_recapture(docs, "s1", "s2")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Full registry, gate window first.
 
@@ -8157,6 +8191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_exponential_quantile": q_dp_exponential_quantile,
         "brunner_munzel": q_brunner_munzel,
         "bayes_ab_prob": q_bayes_ab_prob,
+        "fisher_exact": q_fisher_exact,
+        "capture_recapture": q_capture_recapture,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -18710,5 +18746,83 @@ def oracle_sql() -> dict[str, str]:
           CASE WHEN MAX(ab) > 1048576 THEN NULL
             ELSE CAST(SUM(t) // 1000000 AS BIGINT) END AS p_b_micro
         FROM terms
+    """
+
+    def _lnc(n: str, k: str) -> str:
+        return (
+            f"({_lg(f'({n}) + 1')} - {_lg(f'({k}) + 1')}"
+            f" - {_lg(f'({n}) - ({k}) + 1')})"
+        )
+
+    _f_lnp = f"({_lnc('r1', 'k')} + {_lnc('r2', 'c1 - k')} - {_lnc('nn', 'c1')})"
+    _f_lnp_obs = (
+        f"({_lnc('r1', 'n11')} + {_lnc('r2', 'c1 - n11')} - {_lnc('nn', 'c1')})"
+    )
+    oracles["fisher_exact"] = f"""
+        WITH cells AS (
+          SELECT
+            CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+            CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+              AS n10,
+            CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+              AS n01,
+            CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+              AS n00
+          FROM (
+            SELECT o_orderstatus = 'F' AS a,
+              substr(o_orderpriority, 1, 1) = '1' AS b
+            FROM orders
+          )
+        ),
+        m AS (
+          SELECT *, n11 + n10 AS r1, n01 + n00 AS r2,
+            n11 + n01 AS c1, n11 + n10 + n01 + n00 AS nn
+          FROM cells
+        ),
+        terms AS (
+          SELECT m.*, range + GREATEST(0, c1 - r2) AS k
+          FROM m CROSS JOIN range(0, 1048576)
+          WHERE range + GREATEST(0, c1 - r2) <= LEAST(r1, c1)
+        ),
+        scored AS (
+          SELECT *,
+            CASE WHEN EXP({_f_lnp}) <= EXP({_f_lnp_obs}) * (1.0 + 1e-7)
+              THEN CAST(FLOOR(EXP({_f_lnp}) * 1000000000000) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS t
+          FROM terms
+        )
+        SELECT MAX(n11) AS n11, MAX(n10) AS n10,
+          MAX(n01) AS n01, MAX(n00) AS n00,
+          CAST(CAST(MAX(n11) AS HUGEINT) * MAX(n00) * 1000000
+            // NULLIF(CAST(MAX(n10) AS HUGEINT) * MAX(n01), 0) AS BIGINT)
+            AS odds_ratio_micro,
+          CASE WHEN MAX(LEAST(r1, c1)) - MAX(GREATEST(0, c1 - r2))
+              + 1 > 1048576 THEN NULL
+            ELSE CAST(LEAST(SUM(t) // 1000000, 1000000) AS BIGINT) END
+            AS p_two_micro
+        FROM scored
+    """
+    oracles["capture_recapture"] = """
+        WITH flags AS (
+          SELECT
+            (((doc_id % 1000003) * 2654435761) % 1000003) % 10 < 3 AS s1,
+            ((((doc_id * 13 + 7) % 1000003) * 2654435761) % 1000003) % 10 < 3
+              AS s2
+          FROM documents
+        ),
+        agg AS (
+          SELECT CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            CAST(SUM(CASE WHEN s1 AND s2 THEN 1 ELSE 0 END) AS BIGINT) AS m
+          FROM flags
+        )
+        SELECT n1, n2, m,
+          CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1) * 1000000
+            // (m + 1) - 1000000 AS BIGINT) AS n_hat_micro,
+          CAST(FLOOR(1.959964 * SQRT(
+            CAST(n1 + 1 AS DOUBLE) * (n2 + 1) * (n1 - m) * (n2 - m)
+            / (CAST(m + 1 AS DOUBLE) * (m + 1) * (m + 2)))
+            * 1000000) AS BIGINT) AS half_ci_micro
+        FROM agg
     """
     return oracles

@@ -7364,3 +7364,145 @@ def bayes_ab_prob(
             " ELSE CAST(SUM(__t) DIV 1000000 AS BIGINT) END"
         ).alias("p_b_micro"),
     )
+
+
+def fisher_exact(
+    df: DataFrame,
+    flag_a_col: str,
+    flag_b_col: str,
+    max_terms: int = 1_048_576,
+) -> DataFrame:
+    """Fisher's exact test on the 2x2 table of two boolean flags — the
+    SMALL-EXPECTED-COUNT member closing the contingency family
+    (chi_square and g_test assume large cells; mcnemar pairs;
+    mantel_haenszel stratifies; Fisher conditions on both margins and
+    is exact at any size).  Hypergeometric mass through the
+    engine-portable Stirling lnGamma text (bayes_ab_prob's
+    discipline):
+
+        ln P(k) = lnC(r1,k) + lnC(r2,c1-k) - lnC(N,c1)
+
+    over the support k in [max(0, c1-r2), min(r1, c1)]; the
+    two-sided p sums every table with P(k) <= P(obs)·(1 + 1e-7)
+    (the standard relative tolerance, documented — both engines
+    compute identical doubles so the comparison set is identical).
+    Terms pico-floored at birth, exact integer sum; the support spine
+    is a splittable capped range with the NULL-not-truncate guard.
+
+    Returns one row (n11, n10, n01, n00, odds_ratio_micro — the
+    sample OR, NULL on a zero denominator — and p_two_micro).
+    """
+    spark = df.sparkSession
+    a = F.col(flag_a_col).cast("boolean")
+    b = F.col(flag_b_col).cast("boolean")
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy()
+        .agg(
+            F.sum((a & b).cast("long")).cast("long").alias("n11"),
+            F.sum((a & ~b).cast("long")).cast("long").alias("n10"),
+            F.sum((~a & b).cast("long")).cast("long").alias("n01"),
+            F.sum((~a & ~b).cast("long")).cast("long").alias("n00"),
+        )
+        .select(
+            "n11", "n10", "n01", "n00",
+            (F.col("n11") + F.col("n10")).alias("r1"),
+            (F.col("n01") + F.col("n00")).alias("r2"),
+            (F.col("n11") + F.col("n01")).alias("c1"),
+            (F.col("n11") + F.col("n10") + F.col("n01") + F.col("n00"))
+            .alias("nn"),
+        )
+    )
+    lnc = lambda n, k: (
+        f"({_lngamma_sql(f'({n}) + 1')} - {_lngamma_sql(f'({k}) + 1')}"
+        f" - {_lngamma_sql(f'({n}) - ({k}) + 1')})"
+    )
+    # the row-constant pieces (observed-table mass, the lnC(N,c1)
+    # normalizer) are computed ONCE on the 1-row cells frame before
+    # the spine join, and the per-row mass once per row — the naive
+    # inline form re-expands the Stirling text 4x per row and its
+    # codegen compile alone dominated the wall time
+    cells = cells.withColumn(
+        "__lnc_norm", F.expr(lnc("nn", "c1"))
+    ).withColumn(
+        "__lnp_obs",
+        F.expr(
+            f"{lnc('r1', 'n11')} + {lnc('r2', 'c1 - n11')} - __lnc_norm"
+        ),
+    )
+    spine = spark.range(int(max_terms)).select(F.col("id").alias("__i"))
+    terms = (
+        spine.join(F.broadcast(cells))
+        .withColumn("k", F.expr("__i + GREATEST(0, c1 - r2)"))
+        .filter(F.col("k") <= F.least(F.col("r1"), F.col("c1")))
+        .withColumn(
+            "__lnp",
+            F.expr(f"{lnc('r1', 'k')} + {lnc('r2', 'c1 - k')} - __lnc_norm"),
+        )
+        .withColumn(
+            "__t",
+            F.expr(
+                "CASE WHEN EXP(__lnp) <= EXP(__lnp_obs) * (1.0 + 1e-7)"
+                " THEN CAST(FLOOR(EXP(__lnp) * 1000000000000) AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+    )
+    return terms.groupBy().agg(
+        F.max("n11").alias("n11"),
+        F.max("n10").alias("n10"),
+        F.max("n01").alias("n01"),
+        F.max("n00").alias("n00"),
+        F.expr(
+            "CAST(CAST(MAX(n11) AS DECIMAL(38,0)) * MAX(n00) * 1000000"
+            " DIV NULLIF(CAST(MAX(n10) AS DECIMAL(38,0)) * MAX(n01), 0)"
+            " AS BIGINT)"
+        ).alias("odds_ratio_micro"),
+        F.expr(
+            f"""CASE WHEN MAX(LEAST(r1, c1)) - MAX(GREATEST(0, c1 - r2))
+                   + 1 > {int(max_terms)} THEN NULL
+            ELSE CAST(LEAST(SUM(__t) DIV 1000000, 1000000) AS BIGINT) END"""
+        ).alias("p_two_micro"),
+    )
+
+
+def capture_recapture(
+    df: DataFrame, flag1_col: str, flag2_col: str
+) -> DataFrame:
+    """Chapman capture-recapture population estimate from two
+    independent 'capture' passes — the dedup-pipeline question "how
+    many distinct items exist in TOTAL, given two samples and their
+    overlap" (true cluster population behind a partial dedup scan,
+    species-richness style, chao1_vocab's two-sample sibling):
+
+        N_hat = (n1+1)(n2+1)/(m+1) - 1
+        Var   = (n1+1)(n2+1)(n1-m)(n2-m) / ((m+1)²(m+2))
+
+    (Chapman's bias-corrected Lincoln-Petersen; m = caught in both).
+    ONE aggregate over the two flags; the estimate is one truncating
+    micro DIV over exact integers and the CI half-width one fp64
+    sqrt, micro-floored.  Returns one row
+    (n1, n2, m, n_hat_micro, half_ci_micro).
+    """
+    f1 = F.col(flag1_col).cast("boolean")
+    f2 = F.col(flag2_col).cast("boolean")
+    agg = df.filter(f1.isNotNull() & f2.isNotNull()).groupBy().agg(
+        F.sum(f1.cast("long")).cast("long").alias("n1"),
+        F.sum(f2.cast("long")).cast("long").alias("n2"),
+        F.sum((f1 & f2).cast("long")).cast("long").alias("m"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "m",
+        F.expr(
+            "CAST(CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1) * 1000000"
+            " DIV (m + 1) - 1000000 AS BIGINT)"
+        ).alias("n_hat_micro"),
+        F.expr(
+            """CAST(FLOOR(1.959964 * SQRT(
+              CAST(n1 + 1 AS DOUBLE) * (n2 + 1) * (n1 - m) * (n2 - m)
+              / (CAST(m + 1 AS DOUBLE) * (m + 1) * (m + 2)))
+              * 1000000) AS BIGINT)"""
+        ).alias("half_ci_micro"),
+    )

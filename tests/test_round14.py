@@ -399,3 +399,55 @@ def test_lngamma_sql_matches_lgamma(spark):
     )
     for r in rows:
         assert abs(r["lg"] - math.lgamma(r["id"])) < 1e-10, r["id"]
+
+
+def test_fisher_exact_scipy_case_and_guard(spark):
+    # scipy.stats.fisher_exact([[8,2],[1,5]]): p = 0.0349650..., OR 20
+    rows = (
+        [(True, True)] * 8 + [(True, False)] * 2
+        + [(False, True)] * 1 + [(False, False)] * 5
+    )
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    [r] = st.fisher_exact(df, "a", "b", max_terms=64).collect()
+    assert (r["n11"], r["n10"], r["n01"], r["n00"]) == (8, 2, 1, 5)
+    assert r["odds_ratio_micro"] == 20_000_000
+    assert r["p_two_micro"] == 34_965
+    # independence (balanced table): p = 1 exactly (clamped)
+    bal = (
+        [(True, True)] * 4 + [(True, False)] * 4
+        + [(False, True)] * 4 + [(False, False)] * 4
+    )
+    [rb] = st.fisher_exact(
+        spark.createDataFrame(bal, "a boolean, b boolean"), "a", "b",
+        max_terms=64,
+    ).collect()
+    # full-support sum of pico-floored terms lands within truncation
+    # of exactly 1
+    assert rb["p_two_micro"] >= 999_998
+    # support larger than the spine cap -> NULL, never truncation
+    [rg] = st.fisher_exact(df, "a", "b", max_terms=2).collect()
+    assert rg["p_two_micro"] is None
+    # zero cell: odds ratio NULL (division), p still defined
+    z = [(True, True)] * 5 + [(False, False)] * 5
+    [rz] = st.fisher_exact(
+        spark.createDataFrame(z, "a boolean, b boolean"), "a", "b",
+        max_terms=64,
+    ).collect()
+    assert rz["odds_ratio_micro"] is None and rz["p_two_micro"] is not None
+
+
+def test_capture_recapture_chapman_hand_case(spark):
+    # n1=10, n2=8, m=4 -> Chapman 11*9/5 - 1 = 18.8
+    rows = [(i < 10, 6 <= i < 14) for i in range(20)]
+    df = spark.createDataFrame(rows, "f1 boolean, f2 boolean")
+    [r] = st.capture_recapture(df, "f1", "f2").collect()
+    assert (r["n1"], r["n2"], r["m"], r["n_hat_micro"]) == (
+        10, 8, 4, 18_800_000,
+    )
+    assert r["half_ci_micro"] > 0
+    # complete overlap: estimate collapses to the sample size, CI 0
+    full = [(True, True)] * 7 + [(False, False)] * 3
+    [rf] = st.capture_recapture(
+        spark.createDataFrame(full, "f1 boolean, f2 boolean"), "f1", "f2"
+    ).collect()
+    assert rf["n_hat_micro"] == 7_000_000 and rf["half_ci_micro"] == 0
