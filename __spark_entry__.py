@@ -7751,6 +7751,43 @@ def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.capture_recapture(docs, "s1", "s2")
 
 
+def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over (l_partkey, l_suppkey)
+    (functions.layout.hilbert_key2) — zorder_key's locality upgrade:
+    no Morton diagonal jumps, so consecutive keys are always adjacent
+    cells and range filters on either column touch strictly fewer row
+    groups at the same 16-bit quantization. Pure unrolled shift/mask
+    CASE pipeline, bit-for-bit oracle-checked, pytest-pinned to the
+    textbook xy2d walk."""
+    from hdinsight_pyspark_cntk_integration_spark.functions.layout import hilbert_key2
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.pmod(F.col("l_partkey"), F.lit(65536)).alias("__a"),
+        F.pmod(F.col("l_suppkey"), F.lit(65536)).alias("__b"),
+    )
+    return hilbert_key2(li, "__a", "__b").drop("__a", "__b")
+
+
+def q_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA across market segments
+    (operators.stats.welch_anova on balance cents) — the k-group mean
+    comparison that stays valid exactly when bartlett_test/levene_bf
+    flag unequal variances (anova_f's assumption); weights rescaled by
+    the exact integer pooled variance so every cross-group float
+    reduction is birth-floored, then the single Sp2 rescale undone in
+    the closing expression."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    customer = load_table(spark, sf_dir, "customer")
+    frame = customer.select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    return st.welch_anova(frame, "c_mktsegment", "cents")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Full registry, gate window first.
 
@@ -8193,6 +8230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bayes_ab_prob": q_bayes_ab_prob,
         "fisher_exact": q_fisher_exact,
         "capture_recapture": q_capture_recapture,
+        "hilbert_key": q_hilbert_key,
+        "welch_anova": q_welch_anova,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -18824,5 +18863,89 @@ def oracle_sql() -> dict[str, str]:
             / (CAST(m + 1 AS DOUBLE) * (m + 1) * (m + 2)))
             * 1000000) AS BIGINT) AS half_ci_micro
         FROM agg
+    """
+    from hdinsight_pyspark_cntk_integration_spark.functions.layout import (
+        hilbert_key2_sql,
+    )
+
+    oracles["hilbert_key"] = hilbert_key2_sql(
+        "l_partkey % 65536",
+        "l_suppkey % 65536",
+        ["l_orderkey", "l_linenumber"],
+        "lineitem",
+    )
+    _w_sp2 = "(CAST(ssw AS DOUBLE) / (1000000.0 * (n - k)))"
+    _w_s2g = (
+        "((CAST(q_g AS DOUBLE) * n_g"
+        " - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE))"
+        " / (CAST(n_g AS DOUBLE) * (n_g - 1)))"
+    )
+    _w_xw = "(CAST(wx_tot AS DOUBLE) / w_tot)"
+    oracles["welch_anova"] = f"""
+        WITH per_g AS (
+          SELECT c_mktsegment AS g, CAST(COUNT(*) AS BIGINT) AS n_g,
+            SUM(CAST(FLOOR(c_acctbal * 100) AS HUGEINT)) AS s_g,
+            SUM(CAST(FLOOR(c_acctbal * 100) AS HUGEINT)
+              * CAST(FLOOR(c_acctbal * 100) AS HUGEINT)) AS q_g
+          FROM customer
+          WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+          GROUP BY 1
+          HAVING COUNT(*) >= 2
+            AND SUM(CAST(FLOOR(c_acctbal * 100) AS HUGEINT)
+                * CAST(FLOOR(c_acctbal * 100) AS HUGEINT)) * COUNT(*)
+              > SUM(CAST(FLOOR(c_acctbal * 100) AS HUGEINT))
+                * SUM(CAST(FLOOR(c_acctbal * 100) AS HUGEINT))
+        ),
+        pg AS (
+          SELECT *,
+            CAST(q_g * 1000000 - s_g * s_g * 1000000 // n_g
+              AS HUGEINT) AS w_ssw
+          FROM per_g
+        ),
+        tot0 AS (
+          SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+            CAST(COUNT(*) AS BIGINT) AS k, SUM(w_ssw) AS ssw
+          FROM pg
+        ),
+        staged AS (
+          SELECT n_g, n, k, ssw,
+            CAST(FLOOR({_w_sp2} * n_g / {_w_s2g} * 1000000) AS BIGINT)
+              AS w_micro,
+            CAST(FLOOR({_w_sp2} * n_g / {_w_s2g}
+              * (CAST(s_g AS DOUBLE) / n_g) * 1000000) AS BIGINT)
+              AS wx_micro
+          FROM pg CROSS JOIN tot0
+        ),
+        tot1 AS (
+          SELECT CAST(SUM(w_micro) AS BIGINT) AS w_tot,
+            CAST(SUM(wx_micro) AS BIGINT) AS wx_tot
+          FROM staged
+        ),
+        final AS (
+          SELECT n, k, ssw,
+            CAST(FLOOR(
+              CAST(w_micro AS DOUBLE) / 1000000.0
+              * (CAST(wx_micro AS DOUBLE) / w_micro - {_w_xw})
+              * (CAST(wx_micro AS DOUBLE) / w_micro - {_w_xw})
+              * 1000000) AS BIGINT) AS num_micro,
+            CAST(FLOOR(
+              (1.0 - CAST(w_micro AS DOUBLE) / w_tot)
+              * (1.0 - CAST(w_micro AS DOUBLE) / w_tot)
+              / (n_g - 1) * 1000000000000) AS BIGINT) AS lam_pico
+          FROM staged CROSS JOIN tot1
+        )
+        SELECT MAX(n) AS n, MAX(k) AS k,
+          CAST(FLOOR(
+            (CAST(SUM(num_micro) AS DOUBLE) / 1000000.0 / (MAX(k) - 1))
+            / (CAST(MAX(ssw) AS DOUBLE) / (1000000.0 * (MAX(n) - MAX(k))))
+            / (1.0 + (2.0 * (MAX(k) - 2)
+                      / (CAST(MAX(k) AS DOUBLE) * MAX(k) - 1))
+                     * (CAST(SUM(lam_pico) AS DOUBLE) / 1e12))
+            * 1000000) AS BIGINT) AS f_micro,
+          CAST(FLOOR(
+            (CAST(MAX(k) AS DOUBLE) * MAX(k) - 1)
+            / (3.0 * (CAST(SUM(lam_pico) AS DOUBLE) / 1e12))
+            * 1000000) AS BIGINT) AS df2_micro
+        FROM final
     """
     return oracles

@@ -7506,3 +7506,120 @@ def capture_recapture(
               * 1000000) AS BIGINT)"""
         ).alias("half_ci_micro"),
     )
+
+
+def welch_anova(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA — "are the k group means
+    equal" WITHOUT anova_f's pooled-variance assumption (the k-group
+    Welch t, exactly as bartlett_test/levene_bf are the screens that
+    tell you anova_f's assumption failed):
+
+        w_g = n_g/s_g²,  xbar_w = Σ w_g xbar_g / W
+        F* = [Σ w_g (xbar_g - xbar_w)² / (k-1)]
+             / [1 + (2(k-2)/(k²-1)) · Λ]
+        Λ  = Σ (1 - w_g/W)² / (n_g - 1),   df2 = (k²-1)/(3Λ)
+
+    Determinism discipline: the weights are rescaled by the EXACT
+    pooled variance (bartlett's integer SSW) to O(n_g) magnitude so
+    micro-flooring keeps ~1e-9 relative precision (raw n/s² weights in
+    cents² would floor to 0), then every cross-group float reduction
+    is birth-floored to an integer (w to micro, w·xbar to micro, the
+    Λ terms to pico) and summed exactly — the theil_u pattern, so the
+    oracle hash-matches under any partitioning.  Λ and df2 are
+    invariant under the rescale; the numerator is not, so the closing
+    expression divides the ONE Sp² factor back out.
+    Groups with n_g < 2 or zero variance are excluded (documented).
+    Returns one row (n, k, f_micro, df2_micro).
+    """
+    v = F.col(value_col).cast("long")
+    per_g = (
+        df.filter(F.col(group_col).isNotNull() & v.isNotNull())
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum(v.cast("decimal(38,0)")).alias("s_g"),
+            F.sum(v.cast("decimal(38,0)") * v).alias("q_g"),
+        )
+        .filter(
+            (F.col("n_g") >= 2)
+            & (F.col("q_g") * F.col("n_g") > F.col("s_g") * F.col("s_g"))
+        )
+    )
+    per_g = per_g.withColumn(
+        "w_ssw",
+        F.expr(
+            "CAST(q_g * 1000000"
+            " - (s_g * s_g * 1000000 - pmod(s_g * s_g * 1000000, n_g)) / n_g"
+            " AS DECIMAL(38,0))"
+        ),
+    )
+    tot0 = per_g.groupBy().agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum("w_ssw").alias("ssw"),
+    )
+    # scaled weight w~ = Sp^2 * n_g / s_g^2 with both variances as
+    # deterministic fp64 over exact integers; birth-floored
+    sp2 = "(CAST(ssw AS DOUBLE) / (1000000.0 * (n - k)))"
+    s2g = (
+        "((CAST(q_g AS DOUBLE) * n_g"
+        " - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE))"
+        " / (CAST(n_g AS DOUBLE) * (n_g - 1)))"
+    )
+    staged = per_g.join(F.broadcast(tot0)).select(
+        "n_g",
+        "n",
+        "k",
+        "ssw",
+        F.expr(
+            f"CAST(FLOOR({sp2} * n_g / {s2g} * 1000000) AS BIGINT)"
+        ).alias("w_micro"),
+        F.expr(
+            f"CAST(FLOOR({sp2} * n_g / {s2g}"
+            " * (CAST(s_g AS DOUBLE) / n_g) * 1000000) AS BIGINT)"
+        ).alias("wx_micro"),
+    )
+    tot1 = staged.groupBy().agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.max("ssw").alias("ssw"),
+        F.sum("w_micro").cast("long").alias("w_tot"),
+        F.sum("wx_micro").cast("long").alias("wx_tot"),
+    )
+    xw = "(CAST(wx_tot AS DOUBLE) / w_tot)"
+    final = staged.join(F.broadcast(tot1.select("w_tot", "wx_tot"))).select(
+        "n",
+        "k",
+        "ssw",
+        F.expr(
+            f"""CAST(FLOOR(
+              CAST(w_micro AS DOUBLE) / 1000000.0
+              * (CAST(wx_micro AS DOUBLE) / w_micro - {xw})
+              * (CAST(wx_micro AS DOUBLE) / w_micro - {xw})
+              * 1000000) AS BIGINT)"""
+        ).alias("num_micro"),
+        F.expr(
+            f"""CAST(FLOOR(
+              (1.0 - CAST(w_micro AS DOUBLE) / w_tot)
+              * (1.0 - CAST(w_micro AS DOUBLE) / w_tot)
+              / (n_g - 1) * 1000000000000) AS BIGINT)"""
+        ).alias("lam_pico"),
+    )
+    return final.groupBy().agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.expr(
+            """CAST(FLOOR(
+              (CAST(SUM(num_micro) AS DOUBLE) / 1000000.0 / (MAX(k) - 1))
+              / (CAST(MAX(ssw) AS DOUBLE) / (1000000.0 * (MAX(n) - MAX(k))))
+              / (1.0 + (2.0 * (MAX(k) - 2) / (CAST(MAX(k) AS DOUBLE) * MAX(k) - 1))
+                       * (CAST(SUM(lam_pico) AS DOUBLE) / 1e12))
+              * 1000000) AS BIGINT)"""
+        ).alias("f_micro"),
+        F.expr(
+            """CAST(FLOOR(
+              (CAST(MAX(k) AS DOUBLE) * MAX(k) - 1)
+              / (3.0 * (CAST(SUM(lam_pico) AS DOUBLE) / 1e12))
+              * 1000000) AS BIGINT)"""
+        ).alias("df2_micro"),
+    )

@@ -451,3 +451,77 @@ def test_capture_recapture_chapman_hand_case(spark):
         spark.createDataFrame(full, "f1 boolean, f2 boolean"), "f1", "f2"
     ).collect()
     assert rf["n_hat_micro"] == 7_000_000 and rf["half_ci_micro"] == 0
+
+
+def test_hilbert_key_reference_walk_and_adjacency(spark):
+    from hdinsight_pyspark_cntk_integration_spark.functions.layout import (
+        hilbert_key2,
+    )
+
+    def xy2d(order, x, y):
+        d, s = 0, order // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    import random
+
+    random.seed(7)
+    pts = [(random.randrange(65536), random.randrange(65536)) for _ in range(64)]
+    pts += [(0, 0), (65535, 65535), (0, 65535), (65535, 0), (1, 0), (0, 1)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r["x"], r["y"]): r["hkey"] for r in hilbert_key2(df, "x", "y").collect()}
+    assert all(got[(x, y)] == xy2d(65536, x, y) for x, y in pts)
+    # the defining Hilbert property: consecutive keys are ADJACENT
+    # cells (Manhattan distance 1) — Morton order violates this at
+    # every quadrant jump
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], "x long, y long"
+    )
+    inv = {
+        r["hkey"]: (r["x"], r["y"])
+        for r in hilbert_key2(grid, "x", "y", bits=3).collect()
+    }
+    assert sorted(inv) == list(range(64))
+    assert all(
+        abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1]) == 1
+        for d in range(63)
+    )
+
+
+def test_welch_anova_reference_and_robustness(spark):
+    # hand-verified reference (numpy replication of Welch 1951):
+    # a var 2.5, b var 10, c var 22.5 -> F* = 4.346268..., df2 = 6.750307
+    rows = (
+        [("a", v) for v in (1, 2, 3, 4, 5)]
+        + [("b", v) for v in (2, 4, 6, 8, 10)]
+        + [("c", v) for v in (3, 6, 9, 12, 15)]
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    [r] = st.welch_anova(df, "g", "v").collect()
+    assert (r["n"], r["k"]) == (15, 3)
+    assert abs(r["f_micro"] - 4_346_268) <= 5
+    assert r["df2_micro"] == 6_750_307
+    # equal means, unequal variances: F ~ 0
+    eq = (
+        [("a", v) for v in (4, 5, 6)]
+        + [("b", v) for v in (0, 5, 10)]
+        + [("c", v) for v in (-5, 5, 15)]
+    )
+    [re_] = st.welch_anova(
+        spark.createDataFrame(eq, "g string, v long"), "g", "v"
+    ).collect()
+    assert re_["f_micro"] <= 1
+    # degenerate groups (constant / singleton) are excluded
+    dg = rows + [("d", 7), ("e", 3), ("e", 3)]
+    [rd] = st.welch_anova(
+        spark.createDataFrame(dg, "g string, v long"), "g", "v"
+    ).collect()
+    assert rd["k"] == 3
