@@ -7788,6 +7788,40 @@ def q_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.welch_anova(frame, "c_mktsegment", "cents")
 
 
+def q_poisson_two_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact conditional two-rate test (operators.stats.
+    poisson_two_rate): do odd- and even-mixed-user slices throw error
+    events at the same rate, conditioning on the total error count —
+    the counting-process member beside two_proportion_z and
+    fisher_exact. Binomial masses through the portable Stirling
+    lnGamma text; support spine capped with the NULL-not-truncate
+    guard."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    ev = load_table(spark, sf_dir, "events")
+    frame = ev.select(
+        F.pmod(_mix(F.col("user_id")), F.lit(2)).alias("slice"),
+        (F.col("event_type") == "error").alias("is_err"),
+    )
+    return st.poisson_two_rate(frame, "slice", "is_err", 0, 1)
+
+
+def q_pot_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold GPD tail fit of order values
+    (operators.stats.pot_tail, threshold = $450k in cents — the top
+    ~decile): the tail-risk profile (shape xi, scale beta, exceedance
+    share) the body statistics discard — is the spend tail heavy
+    (xi > 0) or exponential-ish? One filtered aggregate, exact
+    integer excess moments, two fp64 closes."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    orders = load_table(spark, sf_dir, "orders")
+    frame = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return st.pot_tail(frame, "cents", 45_000_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Full registry, gate window first.
 
@@ -8232,6 +8266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capture_recapture": q_capture_recapture,
         "hilbert_key": q_hilbert_key,
         "welch_anova": q_welch_anova,
+        "poisson_two_rate": q_poisson_two_rate,
+        "pot_tail": q_pot_tail,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -18947,5 +18983,91 @@ def oracle_sql() -> dict[str, str]:
             / (3.0 * (CAST(SUM(lam_pico) AS DOUBLE) / 1e12))
             * 1000000) AS BIGINT) AS df2_micro
         FROM final
+    """
+    _p_lnp = (
+        f"({_lnc('nn', 'k')} + k * lnp0 + (nn - k) * lnq0)"
+    )
+    _p_lnp_obs = (
+        f"({_lnc('nn', 'x_a')} + x_a * lnp0 + (nn - x_a) * lnq0)"
+    )
+    oracles["poisson_two_rate"] = f"""
+        WITH cells AS (
+          SELECT
+            CAST(SUM(CASE WHEN slc = 0 AND is_err THEN 1 ELSE 0 END)
+              AS BIGINT) AS x_a,
+            CAST(SUM(CASE WHEN slc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_a,
+            CAST(SUM(CASE WHEN slc = 1 AND is_err THEN 1 ELSE 0 END)
+              AS BIGINT) AS x_b,
+            CAST(SUM(CASE WHEN slc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t_b
+          FROM (
+            SELECT ((user_id % 1000003) * 2654435761) % 1000003 % 2 AS slc,
+              event_type = 'error' AS is_err
+            FROM events
+          )
+        ),
+        params AS (
+          SELECT *, x_a + x_b AS nn,
+            LN(CAST(t_a AS DOUBLE) / (CAST(t_a AS DOUBLE) + t_b)) AS lnp0,
+            LN(CAST(t_b AS DOUBLE) / (CAST(t_a AS DOUBLE) + t_b)) AS lnq0
+          FROM cells
+        ),
+        obs AS (SELECT *, {_p_lnp_obs} AS lnp_obs FROM params),
+        terms AS (
+          SELECT obs.*, range AS k
+          FROM obs CROSS JOIN range(0, 1048576)
+          WHERE range <= nn
+        ),
+        scored AS (
+          SELECT *,
+            CASE WHEN EXP({_p_lnp}) <= EXP(lnp_obs) * (1.0 + 1e-7)
+              THEN CAST(FLOOR(EXP({_p_lnp}) * 1000000000000) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS t
+          FROM terms
+        )
+        SELECT MAX(x_a) AS x_a, MAX(t_a) AS t_a,
+          MAX(x_b) AS x_b, MAX(t_b) AS t_b,
+          CAST(CAST(MAX(x_a) AS HUGEINT) * MAX(t_b) * 1000000
+            // NULLIF(CAST(MAX(x_b) AS HUGEINT) * MAX(t_a), 0) AS BIGINT)
+            AS rate_ratio_micro,
+          CASE WHEN MAX(nn) + 1 > 1048576 THEN NULL
+            ELSE CAST(LEAST(SUM(t) // 1000000, 1000000) AS BIGINT) END
+            AS p_two_micro
+        FROM scored
+    """
+    oracles["pot_tail"] = """
+        WITH agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN v > 45000000 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_exceed,
+            SUM(CASE WHEN v > 45000000
+              THEN CAST(v - 45000000 AS HUGEINT) END) AS s,
+            SUM(CASE WHEN v > 45000000
+              THEN CAST(v - 45000000 AS HUGEINT) * (v - 45000000) END) AS q
+          FROM (
+            SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+            FROM orders WHERE o_totalprice IS NOT NULL
+          )
+        )
+        SELECT n, n_exceed,
+          CAST(CAST(n_exceed AS HUGEINT) * 1000000 // NULLIF(n, 0)
+            AS BIGINT) AS exceed_share_micro,
+          CASE WHEN n_exceed < 2 OR CAST(q AS DOUBLE) * n_exceed
+              <= CAST(s AS DOUBLE) * CAST(s AS DOUBLE) THEN NULL ELSE
+          CAST(FLOOR((1.0 - (CAST(s AS DOUBLE) / n_exceed)
+              * (CAST(s AS DOUBLE) / n_exceed)
+              / ((CAST(q AS DOUBLE) * n_exceed
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                 / (CAST(n_exceed AS DOUBLE) * (n_exceed - 1))))
+            / 2.0 * 1000000) AS BIGINT) END AS xi_micro,
+          CASE WHEN n_exceed < 2 OR CAST(q AS DOUBLE) * n_exceed
+              <= CAST(s AS DOUBLE) * CAST(s AS DOUBLE) THEN NULL ELSE
+          CAST(FLOOR((CAST(s AS DOUBLE) / n_exceed)
+            * ((CAST(s AS DOUBLE) / n_exceed)
+               * (CAST(s AS DOUBLE) / n_exceed)
+               / ((CAST(q AS DOUBLE) * n_exceed
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                  / (CAST(n_exceed AS DOUBLE) * (n_exceed - 1)))
+               + 1.0) / 2.0 * 1000000) AS BIGINT) END AS beta_micro
+        FROM agg
     """
     return oracles

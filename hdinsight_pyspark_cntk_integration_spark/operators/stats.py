@@ -7623,3 +7623,165 @@ def welch_anova(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
               * 1000000) AS BIGINT)"""
         ).alias("df2_micro"),
     )
+
+
+def poisson_two_rate(
+    df: DataFrame,
+    group_col: str,
+    event_col: str,
+    group_a,
+    group_b,
+    max_terms: int = 1_048_576,
+) -> DataFrame:
+    """Exact conditional two-rate (Poisson) comparison — "is the event
+    RATE in slice B different from slice A", the counting-process
+    member beside two_proportion_z (per-trial) and fisher_exact
+    (2x2): conditional on the total event count N = x_a + x_b,
+    x_a ~ Binomial(N, p0) with p0 = t_a/(t_a+t_b) under equal rates,
+    where the exposures t are the slice row counts.  Binomial masses
+    through the portable Stirling lnGamma text; the two-sided p sums
+    every k with P(k) <= P(obs)·(1+1e-7) (the fisher_exact
+    convention).  Terms pico-floored, exact integer sum; support
+    spine capped with the NULL-not-truncate guard.  CONTRACT: use on
+    pre-aggregated slices (support = N+1 terms).
+
+    Returns one row (x_a, t_a, x_b, t_b, rate_ratio_micro,
+    p_two_micro).
+    """
+    spark = df.sparkSession
+    ev = F.col(event_col).cast("boolean")
+    cells = (
+        df.filter(F.col(group_col).isin([group_a, group_b]) & ev.isNotNull())
+        .groupBy()
+        .agg(
+            F.sum(((F.col(group_col) == group_a) & ev).cast("long"))
+            .cast("long").alias("x_a"),
+            F.sum((F.col(group_col) == group_a).cast("long"))
+            .cast("long").alias("t_a"),
+            F.sum(((F.col(group_col) == group_b) & ev).cast("long"))
+            .cast("long").alias("x_b"),
+            F.sum((F.col(group_col) == group_b).cast("long"))
+            .cast("long").alias("t_b"),
+        )
+        .withColumn("nn", F.expr("x_a + x_b"))
+        .withColumn(
+            "lnp0", F.expr(
+                "LN(CAST(t_a AS DOUBLE) / (CAST(t_a AS DOUBLE) + t_b))"
+            )
+        )
+        .withColumn(
+            "lnq0", F.expr(
+                "LN(CAST(t_b AS DOUBLE) / (CAST(t_a AS DOUBLE) + t_b))"
+            )
+        )
+    )
+    lnc = lambda n, k: (
+        f"({_lngamma_sql(f'({n}) + 1')} - {_lngamma_sql(f'({k}) + 1')}"
+        f" - {_lngamma_sql(f'({n}) - ({k}) + 1')})"
+    )
+    cells = cells.withColumn(
+        "__lnp_obs",
+        F.expr(f"{lnc('nn', 'x_a')} + x_a * lnp0 + (nn - x_a) * lnq0"),
+    )
+    spine = spark.range(int(max_terms)).select(F.col("id").alias("k"))
+    terms = (
+        spine.join(F.broadcast(cells))
+        .filter(F.col("k") <= F.col("nn"))
+        .withColumn(
+            "__lnp",
+            F.expr(f"{lnc('nn', 'k')} + k * lnp0 + (nn - k) * lnq0"),
+        )
+        .withColumn(
+            "__t",
+            F.expr(
+                "CASE WHEN EXP(__lnp) <= EXP(__lnp_obs) * (1.0 + 1e-7)"
+                " THEN CAST(FLOOR(EXP(__lnp) * 1000000000000) AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+    )
+    return terms.groupBy().agg(
+        F.max("x_a").alias("x_a"),
+        F.max("t_a").alias("t_a"),
+        F.max("x_b").alias("x_b"),
+        F.max("t_b").alias("t_b"),
+        F.expr(
+            "CAST(CAST(MAX(x_a) AS DECIMAL(38,0)) * MAX(t_b) * 1000000"
+            " DIV NULLIF(CAST(MAX(x_b) AS DECIMAL(38,0)) * MAX(t_a), 0)"
+            " AS BIGINT)"
+        ).alias("rate_ratio_micro"),
+        F.expr(
+            f"CASE WHEN MAX(nn) + 1 > {int(max_terms)} THEN NULL"
+            " ELSE CAST(LEAST(SUM(__t) DIV 1000000, 1000000) AS BIGINT) END"
+        ).alias("p_two_micro"),
+    )
+
+
+def pot_tail(
+    df: DataFrame,
+    value_col: str,
+    threshold: int,
+) -> DataFrame:
+    """Peaks-over-threshold tail profile: method-of-moments fit of the
+    Generalized Pareto Distribution to the excesses over a caller-set
+    threshold (Pickands-Balkema-de Haan: excesses over a high cut are
+    GPD whatever the body looks like) — the tail-RISK summary the
+    body statistics (winsorize, mad_outliers) deliberately discard:
+    latency SLOs, max-loss, extreme doc lengths.
+
+        xi_hat    = (1 - mbar²/s²) / 2        (MOM shape; >0 = heavy)
+        beta_hat  = mbar·(mbar²/s² + 1) / 2   (MOM scale)
+
+    with mbar/s² the mean/variance of the excesses — exact integer
+    moments from ONE filtered aggregate (the grubbs shape), both
+    estimates closing in single deterministic fp64 expressions,
+    micro-floored.  Also emits the empirical exceedance share
+    (n_exceed/n in micro) — the caller multiplies the fitted tail by
+    it for absolute return levels.  Degenerate tails (n_exceed < 2 or
+    zero variance) return NULL fits.
+    Returns one row (n, n_exceed, exceed_share_micro, xi_micro,
+    beta_micro).
+    """
+    v = F.col(value_col).cast("long")
+    agg = df.filter(v.isNotNull()).groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((v > threshold).cast("long")).cast("long").alias("n_exceed"),
+        F.sum(
+            F.when(v > threshold, (v - F.lit(threshold)).cast("decimal(38,0)"))
+        ).alias("s"),
+        F.sum(
+            F.when(
+                v > threshold,
+                (v - F.lit(threshold)).cast("decimal(38,0)")
+                * (v - F.lit(threshold)),
+            )
+        ).alias("q"),
+    )
+    mbar = "(CAST(s AS DOUBLE) / n_exceed)"
+    s2 = (
+        "((CAST(q AS DOUBLE) * n_exceed"
+        " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+        " / (CAST(n_exceed AS DOUBLE) * (n_exceed - 1)))"
+    )
+    guard = (
+        "n_exceed < 2 OR CAST(q AS DOUBLE) * n_exceed"
+        " <= CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+    )
+    return agg.select(
+        "n",
+        "n_exceed",
+        F.expr(
+            "CAST(CAST(n_exceed AS DECIMAL(38,0)) * 1000000"
+            " DIV NULLIF(n, 0) AS BIGINT)"
+        ).alias("exceed_share_micro"),
+        F.expr(
+            f"""CASE WHEN {guard} THEN NULL ELSE
+            CAST(FLOOR((1.0 - {mbar} * {mbar} / {s2}) / 2.0 * 1000000)
+              AS BIGINT) END"""
+        ).alias("xi_micro"),
+        F.expr(
+            f"""CASE WHEN {guard} THEN NULL ELSE
+            CAST(FLOOR({mbar} * ({mbar} * {mbar} / {s2} + 1.0) / 2.0
+              * 1000000) AS BIGINT) END"""
+        ).alias("beta_micro"),
+    )

@@ -525,3 +525,48 @@ def test_welch_anova_reference_and_robustness(spark):
         spark.createDataFrame(dg, "g string, v long"), "g", "v"
     ).collect()
     assert rd["k"] == 3
+
+
+def test_poisson_two_rate_binomtest_case(spark):
+    # equal exposures condition to Binomial(10, 1/2):
+    # scipy.stats.binomtest(8, 10, 0.5).pvalue = 0.109375 exactly
+    rows = [("a", i < 8) for i in range(100)] + [("b", i < 2) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, e boolean")
+    [r] = st.poisson_two_rate(df, "g", "e", "a", "b", max_terms=64).collect()
+    assert (r["x_a"], r["t_a"], r["x_b"], r["t_b"]) == (8, 100, 2, 100)
+    assert r["rate_ratio_micro"] == 4_000_000
+    assert r["p_two_micro"] == 109_375
+    # symmetric data: p = 1 (clamped within truncation)
+    sym = [("a", i < 5) for i in range(100)] + [("b", i < 5) for i in range(100)]
+    [rs] = st.poisson_two_rate(
+        spark.createDataFrame(sym, "g string, e boolean"), "g", "e", "a", "b",
+        max_terms=64,
+    ).collect()
+    assert rs["p_two_micro"] >= 999_998
+    # support above the cap -> NULL, never truncation
+    [rg] = st.poisson_two_rate(df, "g", "e", "a", "b", max_terms=4).collect()
+    assert rg["p_two_micro"] is None
+
+
+def test_pot_tail_exponential_and_heavy(spark):
+    import math
+    import random
+
+    random.seed(1)
+    # exponential excesses (scale 100): xi ~ 0, beta ~ 100 (cents)
+    vals = [int(1000 - 100 * math.log(random.random())) for _ in range(4000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    [r] = st.pot_tail(df, "v", 1000).collect()
+    assert abs(r["xi_micro"]) < 100_000          # |xi| < 0.1
+    assert 85_000_000 < r["beta_micro"] < 115_000_000
+    # pareto-ish heavy tail (xi = 0.5): u^-2 inverse-CDF draws
+    heavy = [int(1000 + 100 * (random.random() ** -0.5 - 1)) for _ in range(4000)]
+    [rh] = st.pot_tail(
+        spark.createDataFrame([(v,) for v in heavy], "v long"), "v", 1000
+    ).collect()
+    assert rh["xi_micro"] > 200_000              # clearly heavy
+    # degenerate tail -> NULL fits
+    [rd] = st.pot_tail(
+        spark.createDataFrame([(v,) for v in (1, 2, 3)], "v long"), "v", 1000
+    ).collect()
+    assert rd["xi_micro"] is None and rd["n_exceed"] == 0
