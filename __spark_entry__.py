@@ -7822,6 +7822,69 @@ def q_pot_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.pot_tail(frame, "cents", 45_000_000)
 
 
+def q_benjamini_yekutieli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Yekutieli FDR step-up (operators.stats.
+    benjamini_yekutieli) over the SAME 200-hypothesis planted-signal
+    battery the benjamini_hochberg gate uses — the
+    arbitrary-dependence-robust sibling: its harmonic c(m) penalty
+    must reject a SUBSET of BH's set on identical input (the
+    power-for-safety trade made visible). Exact integer step-up in
+    DECIMAL; c(m) from truncating pico reciprocals."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    mix = F.pmod(
+        F.pmod(F.col("id"), F.lit(1_000_003)) * F.lit(2654435761),
+        F.lit(1_000_003),
+    )
+    hyp = spark.range(0, 200).select(
+        F.col("id").alias("hyp_id"),
+        F.when(
+            F.pmod(F.col("id"), F.lit(5)) == 0, F.pmod(mix, F.lit(20_000)) + 1
+        )
+        .otherwise(F.pmod(mix, F.lit(1_000_000)) + 1)
+        .cast("long")
+        .alias("p_micro"),
+    )
+    return st.benjamini_yekutieli(hyp, "hyp_id", "p_micro", alpha_micro=50_000)
+
+
+def q_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test per order priority
+    (operators.stats.seasonal_mann_kendall, period 12) on the same
+    monthly revenue series as the mann_kendall gate: is revenue
+    trending AFTER the annual cycle is blocked out (Jan only compares
+    with Jan)? Per-season S and tie-corrected variances sum; pair
+    join keyed (priority, season)."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    orders = load_table(spark, sf_dir, "orders")
+    series = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long").alias("m"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long").alias("rev")
+    )
+    return st.seasonal_mann_kendall(series, "priority", "m", "rev", period=12)
+
+
+def q_dunn_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc pairwise z after the kruskal_wallis gate
+    (operators.stats.dunn_test on the SAME segment/balance-cents
+    frame): WHICH segment pairs differ, from the same pooled doubled
+    ranks the omnibus H used. k² pair rows over the k-row per-group
+    rank table; feed benjamini_hochberg for multiplicity."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    customer = load_table(spark, sf_dir, "customer")
+    frame = customer.select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    return st.dunn_test(frame, "c_mktsegment", "cents")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Full registry, gate window first.
 
@@ -8268,6 +8331,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_anova": q_welch_anova,
         "poisson_two_rate": q_poisson_two_rate,
         "pot_tail": q_pot_tail,
+        "benjamini_yekutieli": q_benjamini_yekutieli,
+        "seasonal_mann_kendall": q_seasonal_mann_kendall,
+        "dunn_test": q_dunn_test,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -19069,5 +19135,120 @@ def oracle_sql() -> dict[str, str]:
                   / (CAST(n_exceed AS DOUBLE) * (n_exceed - 1)))
                + 1.0) / 2.0 * 1000000) AS BIGINT) END AS beta_micro
         FROM agg
+    """
+    oracles["benjamini_yekutieli"] = """
+        WITH hyp AS (
+          SELECT t.id AS hyp_id,
+            CAST(CASE WHEN t.id % 5 = 0
+              THEN (((t.id % 1000003) * 2654435761) % 1000003) % 20000 + 1
+              ELSE (((t.id % 1000003) * 2654435761) % 1000003) % 1000000 + 1
+            END AS BIGINT) AS p_micro
+          FROM (SELECT unnest(range(0, 200)) AS id) t
+        ),
+        ranked AS (
+          SELECT hyp_id, p_micro,
+            CAST(ROW_NUMBER() OVER (ORDER BY p_micro, hyp_id) AS BIGINT)
+              AS rank,
+            CAST(COUNT(*) OVER () AS BIGINT) AS m
+          FROM hyp
+        ),
+        harm AS (
+          SELECT CAST(SUM(1000000000000 // rank) AS BIGINT) AS c_pico
+          FROM ranked
+        ),
+        cut AS (
+          SELECT MAX(rank) AS c FROM ranked CROSS JOIN harm
+          WHERE CAST(p_micro AS HUGEINT) * m * c_pico
+            <= CAST(rank AS HUGEINT) * 50000 * 1000000000000
+        )
+        SELECT hyp_id, p_micro, rank, m,
+          rank <= COALESCE((SELECT c FROM cut), 0) AS reject
+        FROM ranked
+    """
+    oracles["seasonal_mann_kendall"] = """
+        WITH ser AS MATERIALIZED (
+          SELECT o_orderpriority AS priority,
+            CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                 AS BIGINT) AS m,
+            CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS rev
+          FROM orders GROUP BY 1, 2
+        ),
+        pts AS (SELECT priority, m, m % 12 AS season, rev FROM ser),
+        s AS (
+          SELECT a.priority,
+            CAST(SUM(sign(b.rev - a.rev)) AS BIGINT) AS s_stat
+          FROM pts a JOIN pts b
+            ON b.priority = a.priority AND b.season = a.season
+              AND a.m < b.m
+          GROUP BY 1
+        ),
+        sn AS (SELECT priority, season, CAST(COUNT(*) AS BIGINT) AS ns
+               FROM pts GROUP BY 1, 2),
+        sties AS (
+          SELECT priority, season,
+            CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+          FROM (SELECT priority, season, rev,
+                CAST(COUNT(*) AS BIGINT) AS t
+                FROM pts GROUP BY 1, 2, 3)
+          GROUP BY 1, 2
+        ),
+        vps AS (
+          SELECT sn.priority, sn.ns,
+            CAST(sn.ns * (sn.ns - 1) * (2 * sn.ns + 5) - sties.tt
+              AS BIGINT) AS v18
+          FROM sn JOIN sties
+            ON sn.priority = sties.priority AND sn.season = sties.season
+        ),
+        tot AS (
+          SELECT priority, CAST(SUM(ns) AS BIGINT) AS n,
+            CAST(SUM(v18) AS BIGINT) AS var18
+          FROM vps GROUP BY 1
+        )
+        SELECT s.priority, tot.n, s.s_stat, tot.var18,
+          CAST(floor(CASE
+            WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
+              / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+            WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
+              / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+            ELSE 0.0 END * 1000000.0) AS BIGINT) AS z_micro
+        FROM s JOIN tot USING (priority) WHERE tot.var18 > 0
+    """
+    oracles["dunn_test"] = """
+        WITH sub AS (
+          SELECT c_mktsegment AS g,
+            CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS v
+          FROM customer
+          WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+        ),
+        gv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS n_gv
+               FROM sub GROUP BY 1, 2),
+        tv AS (SELECT v, CAST(SUM(n_gv) AS BIGINT) AS t FROM gv GROUP BY 1),
+        ranks AS (
+          SELECT v,
+            CAST(2 * COALESCE(SUM(t) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + t + 1 AS BIGINT) AS r2
+          FROM tv
+        ),
+        per_g AS (
+          SELECT gv.g, CAST(SUM(n_gv) AS BIGINT) AS n_g,
+            CAST(SUM(n_gv * r2) AS BIGINT) AS r2_g
+          FROM gv JOIN ranks USING (v) GROUP BY 1
+        ),
+        ties AS (
+          SELECT SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_num,
+            CAST(SUM(t) AS BIGINT) AS n
+          FROM tv
+        )
+        SELECT lo.g AS g_i, hi.g AS g_j,
+          CAST(FLOOR(
+            (CAST(lo.r2_g AS DOUBLE) / (2.0 * lo.n_g)
+             - CAST(hi.r2_g AS DOUBLE) / (2.0 * hi.n_g))
+            / SQRT((CAST(n AS DOUBLE) * (n + 1) / 12.0
+                    - CAST(tie_num AS DOUBLE) / (12.0 * (n - 1)))
+                   * (1.0 / lo.n_g + 1.0 / hi.n_g))
+            * 1000000) AS BIGINT) AS z_micro
+        FROM per_g lo JOIN per_g hi ON lo.g < hi.g CROSS JOIN ties
     """
     return oracles

@@ -7785,3 +7785,219 @@ def pot_tail(
               * 1000000) AS BIGINT) END"""
         ).alias("beta_micro"),
     )
+
+
+def benjamini_yekutieli(
+    df: DataFrame,
+    id_col: str = "hyp_id",
+    p_micro_col: str = "p_micro",
+    alpha_micro: int = 50_000,
+) -> DataFrame:
+    """Benjamini-Yekutieli step-up FDR control — benjamini_hochberg's
+    DEPENDENCY-ROBUST sibling: BH's guarantee needs independent (or
+    PRDS) p-values, which a battery of per-slice tests on the SAME
+    underlying rows rarely satisfies; BY divides the threshold by the
+    harmonic factor c(m) = Σ 1/j and holds under ARBITRARY dependence
+    (at the price of power).  Exact integer step-up (the BH
+    discipline): c(m) accumulates as Σ (1e12 DIV j) over the rank
+    spine — truncating per term, deterministic — and the comparison
+    is ``p_micro·m·c_pico <= rank·alpha_micro·1e12`` in DECIMAL.
+    Same NULL-drop convention and shape as BH (one window over the
+    already-aggregated hypothesis table).
+    Returns (id, p_micro, rank, m, reject) — BH's schema.
+    """
+    if not (0 < alpha_micro < 1_000_000):
+        raise ValueError(f"alpha_micro must be in (0, 1e6) (got {alpha_micro})")
+    df = df.filter(F.col(p_micro_col).isNotNull())
+    w = Window.orderBy(F.col(p_micro_col), F.col(id_col))
+    ranked = df.select(
+        F.col(id_col),
+        F.col(p_micro_col).cast("long").alias("p_micro"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+    m = ranked.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.expr("1000000000000 DIV rank")).cast("long").alias("c_pico"),
+    )
+    cut = (
+        ranked.join(F.broadcast(m))
+        .filter(
+            F.expr(
+                f"CAST(p_micro AS DECIMAL(38,0)) * m * c_pico"
+                f" <= CAST(rank AS DECIMAL(38,0)) * {int(alpha_micro)}"
+                " * 1000000000000"
+            )
+        )
+        .groupBy()
+        .agg(F.max("rank").alias("__cut"))
+    )
+    return (
+        ranked.join(F.broadcast(m))
+        .join(F.broadcast(cut))
+        .select(
+            id_col,
+            "p_micro",
+            "rank",
+            "m",
+            (F.col("rank") <= F.coalesce(F.col("__cut"), F.lit(0))).alias(
+                "reject"
+            ),
+        )
+    )
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    part_col: str,
+    seq_col: str,
+    value_col: str,
+    period: int = 12,
+) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (Hirsch & Slack 1984) — the
+    monotone-trend question for series with a seasonal cycle, where
+    plain mann_kendall confounds trend with seasonality: S is computed
+    WITHIN each season (Jan vs Jan, Feb vs Feb, …) and the per-season
+    statistics and variances SUM, so the seasonal cycle never enters
+    a comparison.
+
+        S = Σ_seasons S_s,   Var = Σ_seasons Var_s (tie-corrected)
+
+    with mann_kendall's continuity-corrected Z on the totals.  Same
+    contract and shape as mann_kendall, with the pair self-join keyed
+    (partition, season) — series² work per season, never across
+    seasons.  Partitions with S-variance 0 drop.
+    Returns (part, n, s_stat, var18, z_micro).
+    """
+    if period < 2:
+        raise ValueError(f"period must be >= 2 (got {period})")
+    pts = df.select(
+        F.col(part_col).alias("__p"),
+        F.col(seq_col).cast("long").alias("__i"),
+        F.pmod(F.col(seq_col).cast("long"), F.lit(period)).alias("__s"),
+        F.round(F.col(value_col) * 100).cast("long").alias("__x"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    s_agg = (
+        a.join(
+            b,
+            (F.col("a.__p") == F.col("b.__p"))
+            & (F.col("a.__s") == F.col("b.__s"))
+            & (F.col("a.__i") < F.col("b.__i")),
+        )
+        .groupBy(F.col("a.__p").alias("__p"))
+        .agg(
+            F.sum(F.signum(F.col("b.__x") - F.col("a.__x")).cast("long"))
+            .cast("long").alias("s_stat")
+        )
+    )
+    season_n = pts.groupBy("__p", "__s").agg(
+        F.count(F.lit(1)).cast("long").alias("__ns")
+    )
+    season_ties = (
+        pts.groupBy("__p", "__s", "__x")
+        .agg(F.count(F.lit(1)).cast("long").alias("__t"))
+        .groupBy("__p", "__s")
+        .agg(
+            F.sum(
+                F.col("__t") * (F.col("__t") - 1) * (2 * F.col("__t") + 5)
+            ).cast("long").alias("__ties")
+        )
+    )
+    var_per_season = season_n.join(season_ties, ["__p", "__s"]).select(
+        "__p",
+        "__ns",
+        (
+            F.col("__ns") * (F.col("__ns") - 1) * (2 * F.col("__ns") + 5)
+            - F.col("__ties")
+        ).cast("long").alias("__v18"),
+    )
+    totals = var_per_season.groupBy("__p").agg(
+        F.sum("__ns").cast("long").alias("n"),
+        F.sum("__v18").cast("long").alias("var18"),
+    )
+    joined = s_agg.join(totals, "__p")
+    s = F.col("s_stat").cast("double")
+    vard = F.col("var18").cast("double") / F.lit(18.0)
+    z = (
+        F.when(F.col("s_stat") > 0, (s - F.lit(1.0)) / F.sqrt(vard))
+        .when(F.col("s_stat") < 0, (s + F.lit(1.0)) / F.sqrt(vard))
+        .otherwise(F.lit(0.0))
+    )
+    return joined.filter(F.col("var18") > 0).select(
+        F.col("__p").alias(part_col),
+        "n",
+        "s_stat",
+        "var18",
+        F.floor(z * F.lit(1_000_000.0)).cast("long").alias("z_micro"),
+    )
+
+
+def dunn_test(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Dunn's post-hoc pairwise test after kruskal_wallis: WHICH group
+    pairs differ, using the SAME pooled doubled ranks the omnibus H
+    used (never re-ranking per pair — that is the defining difference
+    from running mann_whitney_u per pair, and why Dunn is the correct
+    follow-up).  For each ordered pair i < j:
+
+        z_ij = (R2_i/(2n_i) - R2_j/(2n_j))
+               / sqrt((N(N+1)/12 - T/(12(N-1))) · (1/n_i + 1/n_j))
+
+    with T = Σ_v (t_v³ - t_v) the pooled tie sum — exact integers
+    everywhere, one fp64 close per pair, micro-floored.  The k-row
+    per-group rank table self-joins (k² pairs, group-domain bounded).
+    Feed the emitted pairs to benjamini_hochberg/holm for the
+    multiplicity correction.  Returns (g_i, g_j, z_micro) for every
+    i < j by group name order.
+    """
+    sub = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    gv = sub.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(F.count("*").cast("long").alias("n_gv"))
+    tv = gv.groupBy("v").agg(F.sum("n_gv").cast("long").alias("t"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranks = tv.select(
+        "v",
+        (
+            F.lit(2) * F.coalesce(F.sum("t").over(w), F.lit(0))
+            + F.col("t")
+            + F.lit(1)
+        ).cast("long").alias("r2"),
+    )
+    per_g = (
+        gv.join(ranks, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("n_gv").cast("long").alias("n_g"),
+            F.sum(F.col("n_gv") * F.col("r2")).cast("long").alias("r2_g"),
+        )
+    )
+    ties = tv.groupBy().agg(
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * t * t - t")).alias("tie_num"),
+        F.sum("t").cast("long").alias("n"),
+    )
+    lo = per_g.select(
+        F.col("g").alias("g_i"),
+        F.col("n_g").alias("n_i"),
+        F.col("r2_g").alias("r2_i"),
+    )
+    hi = per_g.select(
+        F.col("g").alias("g_j"),
+        F.col("n_g").alias("n_j"),
+        F.col("r2_g").alias("r2_j"),
+    )
+    pairs = lo.join(hi, F.col("g_i") < F.col("g_j")).join(F.broadcast(ties))
+    return pairs.select(
+        "g_i",
+        "g_j",
+        F.expr(
+            """CAST(FLOOR(
+              (CAST(r2_i AS DOUBLE) / (2.0 * n_i)
+               - CAST(r2_j AS DOUBLE) / (2.0 * n_j))
+              / SQRT((CAST(n AS DOUBLE) * (n + 1) / 12.0
+                      - CAST(tie_num AS DOUBLE) / (12.0 * (n - 1)))
+                     * (1.0 / n_i + 1.0 / n_j))
+              * 1000000) AS BIGINT)"""
+        ).alias("z_micro"),
+    )

@@ -310,6 +310,12 @@ _INTENTIONAL_LINT = {
     #   within-group windows are group-partitioned on the same
     #   aggregate
     "brunner_munzel": {"global-window"},
+    # benjamini_yekutieli — the BH shape exactly: the rank window
+    #   runs over the already-aggregated m-row hypothesis table
+    "benjamini_yekutieli": {"global-window"},
+    # dunn_test — the pooled-rank window runs over the DISTINCT-VALUE
+    #   aggregate (the kruskal_wallis shape), never rows
+    "dunn_test": {"global-window"},
     # theil_u — marginal windows over the (x,y) CELL aggregate,
     #   domain-bounded (the mutual_information contract)
     "theil_u": {"global-window"},

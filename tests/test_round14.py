@@ -570,3 +570,62 @@ def test_pot_tail_exponential_and_heavy(spark):
         spark.createDataFrame([(v,) for v in (1, 2, 3)], "v long"), "v", 1000
     ).collect()
     assert rd["xi_micro"] is None and rd["n_exceed"] == 0
+
+
+def test_benjamini_yekutieli_vs_bh_hand_case(spark):
+    # same classic battery as the BH test: m=5, alpha=0.25
+    # c(5) = 2.283333; BY rejects ranks 1..2 where BH rejects 1..4
+    rows = [(1, 100_000), (2, 10_000), (3, 40_000), (4, 120_000), (5, 900_000)]
+    df = spark.createDataFrame(rows, "hyp_id long, p_micro long")
+    by = {
+        r["hyp_id"]: r["reject"]
+        for r in st.benjamini_yekutieli(df, alpha_micro=250_000).collect()
+    }
+    assert by == {2: True, 3: True, 1: False, 4: False, 5: False}
+    bh = {
+        r["hyp_id"]: r["reject"]
+        for r in st.benjamini_hochberg(df, alpha_micro=250_000).collect()
+    }
+    # BY's rejection set is a subset of BH's on identical input
+    assert all(bh[h] for h, rej in by.items() if rej)
+    assert sum(by.values()) < sum(bh.values())
+    with pytest.raises(ValueError):
+        st.benjamini_yekutieli(df, alpha_micro=0)
+
+
+def test_seasonal_mann_kendall_blocks_cycle(spark):
+    # trend + period-4 cycle: within-season slopes all positive
+    # each season: 6 strictly increasing points -> S_s = 15, S = 60
+    # var18_s = 6*5*17 = 510 -> var18 = 2040; z = 59/sqrt(2040/18)
+    rows = [(1, t, float(10 * (t % 4) + t)) for t in range(24)]
+    df = spark.createDataFrame(rows, "p long, t long, v double")
+    [r] = st.seasonal_mann_kendall(df, "p", "t", "v", period=4).collect()
+    assert (r["n"], r["s_stat"], r["var18"], r["z_micro"]) == (
+        24, 60, 2040, 5_542_084,
+    )
+    # a PURE cycle has zero within-season variance -> drops entirely
+    pure = spark.createDataFrame(
+        [(1, t, float(10 * (t % 4))) for t in range(24)],
+        "p long, t long, v double",
+    )
+    assert st.seasonal_mann_kendall(pure, "p", "t", "v", period=4).collect() == []
+    with pytest.raises(ValueError):
+        st.seasonal_mann_kendall(df, "p", "t", "v", period=1)
+
+
+def test_dunn_test_pairwise_hand_case(spark):
+    # a=[1,2,3], b=[4,5,6], c=[7,8,9]: mean ranks 2, 5, 8
+    # sigma2 = (9*10/12)*(2/3) = 5 -> adjacent pairs z = -3/sqrt(5)
+    rows = (
+        [("a", v) for v in (1, 2, 3)]
+        + [("b", v) for v in (4, 5, 6)]
+        + [("c", v) for v in (7, 8, 9)]
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        (r["g_i"], r["g_j"]): r["z_micro"]
+        for r in st.dunn_test(df, "g", "v").collect()
+    }
+    assert out[("a", "b")] == out[("b", "c")] == -1_341_641
+    assert out[("a", "c")] == -2_683_282
+    assert len(out) == 3
