@@ -211,6 +211,35 @@ def _round13_targets(spark, sf_dir):
     return targets
 
 
+def _round14_targets(spark, sf_dir):
+    """Round-14 additions that SCAN an SF-scaled input (the
+    spine/battery-bounded members — fisher, bayes, BY — are
+    support-bounded by construction): the k-group rank family
+    (kruskal_wallis, dunn_test, brunner_munzel — distinct-value
+    aggregates whose value domain ALSO grows ~10x in the offset
+    fixture, the worst case), the ordered-trend pair/grid joins
+    (jonckheere_terpstra: |V|·k² grid; seasonal_mann_kendall:
+    per-(priority, season) series² pair join), the drift/normality
+    scans (ad_drift, jarque_bera), and the char-3-gram chrF corpus
+    scan (documents, both sides)."""
+    import __spark_entry__ as e  # noqa: deferred — tools add repo root to sys.path
+
+    qs = e.queries()
+    return {
+        name: (lambda n=name: qs[n](spark, sf_dir))
+        for name in [
+            "kruskal_wallis",
+            "dunn_test",
+            "brunner_munzel",
+            "jonckheere_terpstra",
+            "seasonal_mann_kendall",
+            "ad_drift",
+            "jarque_bera",
+            "chrf_score",
+        ]
+    }
+
+
 def _targets(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -271,6 +300,7 @@ def run(base: str, fixture: str, factor: int, out_json: str,
         "linkage": _linkage_targets,
         "evalstats": _evalstats_targets,
         "round13": _round13_targets,
+        "round14": _round14_targets,
     }.get(target_set, _targets)
     keep = set(only.split(",")) if only else None
     results: dict[str, dict] = {}
