@@ -18276,14 +18276,15 @@ def oracle_sql() -> dict[str, str]:
                 CAST(SUM(cb) AS BIGINT) AS n_b FROM vc),
         terms AS (
           SELECT n_a, n_b,
+            CASE WHEN bj < n_a + n_b THEN
             CAST(CAST(l AS HUGEINT) * 1000000
               * (CAST(cuma AS HUGEINT) * (n_a + n_b)
                  - CAST(bj AS HUGEINT) * n_a)
               * (CAST(cuma AS HUGEINT) * (n_a + n_b)
                  - CAST(bj AS HUGEINT) * n_a)
-              // (CAST(bj AS HUGEINT) * (n_a + n_b - bj)) AS HUGEINT) AS tt
+              // (CAST(bj AS HUGEINT) * (n_a + n_b - bj)) AS HUGEINT)
+            ELSE CAST(0 AS HUGEINT) END AS tt
           FROM cum CROSS JOIN tot
-          WHERE bj < n_a + n_b
         )
         SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b,
           CAST(SUM(tt) * (MAX(n_a) + MAX(n_b) - 1)
@@ -19242,13 +19243,15 @@ def oracle_sql() -> dict[str, str]:
           FROM tv
         )
         SELECT lo.g AS g_i, hi.g AS g_j,
+          CASE WHEN tie_num >= CAST(n AS HUGEINT) * n * n - n
+          THEN NULL ELSE
           CAST(FLOOR(
             (CAST(lo.r2_g AS DOUBLE) / (2.0 * lo.n_g)
              - CAST(hi.r2_g AS DOUBLE) / (2.0 * hi.n_g))
             / SQRT((CAST(n AS DOUBLE) * (n + 1) / 12.0
                     - CAST(tie_num AS DOUBLE) / (12.0 * (n - 1)))
                    * (1.0 / lo.n_g + 1.0 / hi.n_g))
-            * 1000000) AS BIGINT) AS z_micro
+            * 1000000) AS BIGINT) END AS z_micro
         FROM per_g lo JOIN per_g hi ON lo.g < hi.g CROSS JOIN ties
     """
     return oracles

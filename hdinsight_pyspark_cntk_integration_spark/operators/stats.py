@@ -6329,9 +6329,12 @@ def ad_distance(
         F.sum((F.col(group_col) == group_a).cast("long")).cast("long").alias("n_a"),
         F.sum((F.col(group_col) == group_b).cast("long")).cast("long").alias("n_b"),
     )
+    # the bj = N block contributes 0 by definition and is zeroed in
+    # the term (not filtered out): an all-tied pooled sample must
+    # yield ad_micro = 0, not an empty frame aggregating to NULL
+    # (hypothesis-caught edge)
     terms = (
         cum.join(F.broadcast(tot))
-        .filter(F.col("bj") < F.col("n_a") + F.col("n_b"))
         .withColumn(
             "__a",
             F.expr(
@@ -6352,7 +6355,9 @@ def ad_distance(
             # quotient can pass int64 under heavy ties near the slice
             # bound; this keeps the truncating quotient in DECIMAL
             F.expr(
-                "CAST((__a - pmod(__a, __b)) / __b AS DECIMAL(38,0))"
+                "CASE WHEN bj < n_a + n_b THEN"
+                " CAST((__a - pmod(__a, __b)) / __b AS DECIMAL(38,0))"
+                " ELSE CAST(0 AS DECIMAL(38,0)) END"
             ).alias("__t"),
         )
     )
@@ -7991,13 +7996,17 @@ def dunn_test(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     return pairs.select(
         "g_i",
         "g_j",
+        # all-values-tied degenerates sigma^2 to exactly 0 (tie_num =
+        # N^3 - N): NULL, not a divide-by-zero (hypothesis-caught edge)
         F.expr(
-            """CAST(FLOOR(
+            """CASE WHEN tie_num >= CAST(n AS DECIMAL(38,0)) * n * n - n
+            THEN NULL ELSE
+            CAST(FLOOR(
               (CAST(r2_i AS DOUBLE) / (2.0 * n_i)
                - CAST(r2_j AS DOUBLE) / (2.0 * n_j))
               / SQRT((CAST(n AS DOUBLE) * (n + 1) / 12.0
                       - CAST(tie_num AS DOUBLE) / (12.0 * (n - 1)))
                      * (1.0 / n_i + 1.0 / n_j))
-              * 1000000) AS BIGINT)"""
+              * 1000000) AS BIGINT) END"""
         ).alias("z_micro"),
     )

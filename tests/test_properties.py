@@ -1069,3 +1069,63 @@ def test_sorted_neighborhood_candidate_count_formula(spark, n, window):
     w = min(window, n - 1)
     expect = n * w - w * (w + 1) // 2
     assert got == expect
+
+
+@given(
+    a=st.lists(st.integers(min_value=-50, max_value=50), min_size=2, max_size=12),
+    b=st.lists(st.integers(min_value=-50, max_value=50), min_size=2, max_size=12),
+    c=st.lists(st.integers(min_value=-50, max_value=50), min_size=2, max_size=12),
+)
+@settings(**_SETTINGS)
+def test_rank_family_monotone_invariance(spark, a, b, c):
+    """Rank statistics depend on values only through their ORDER: a
+    strictly monotone transform (here 7x + 3) must leave
+    kruskal_wallis, jonckheere_terpstra, and dunn_test bit-identical.
+    This catches any accidental dependence on magnitudes (a mean or
+    variance sneaking into a 'rank' path)."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as stt
+
+    rows = (
+        [(1, v) for v in a] + [(2, v) for v in b] + [(3, v) for v in c]
+    )
+    base = spark.createDataFrame(rows, "g long, v long")
+    xform = spark.createDataFrame(
+        [(g, 7 * v + 3) for g, v in rows], "g long, v long"
+    )
+    kw0 = stt.kruskal_wallis(base, "g", "v").collect()
+    kw1 = stt.kruskal_wallis(xform, "g", "v").collect()
+    assert kw0 == kw1
+    jt0 = stt.jonckheere_terpstra(base, "g", "v").collect()
+    jt1 = stt.jonckheere_terpstra(xform, "g", "v").collect()
+    assert jt0 == jt1
+    d0 = sorted(map(tuple, stt.dunn_test(base, "g", "v").collect()))
+    d1 = sorted(map(tuple, stt.dunn_test(xform, "g", "v").collect()))
+    assert d0 == d1
+
+
+@given(
+    a=st.lists(st.integers(min_value=-30, max_value=30), min_size=2, max_size=14),
+    b=st.lists(st.integers(min_value=-30, max_value=30), min_size=2, max_size=14),
+)
+@settings(**_SETTINGS)
+def test_two_sample_rank_identities(spark, a, b):
+    """Cross-operator identities on ANY two-sample input: (1) the
+    Brunner-Munzel effect p_hat equals Mann-Whitney U_b normalized by
+    n_a*n_b (both count B-over-A dominance with half ties) up to the
+    documented micro truncation; (2) ad_distance and cvm_distance are
+    both ZERO iff the two samples coincide as multisets."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as stt
+
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    [bm] = stt.brunner_munzel(df, "g", "v", "a", "b").collect()
+    [mw] = stt.mann_whitney_u(df, "g", "v", "a", "b").collect()
+    expect = int(mw["u_b"] * 1_000_000) // (len(a) * len(b))
+    assert abs(bm["p_hat_micro"] - expect) <= 1
+    [ad] = stt.ad_distance(df, "g", "v", "a", "b").collect()
+    [cvm] = stt.cvm_distance(df, "g", "v", "a", "b").collect()
+    same = sorted(a) == sorted(b)
+    if same:
+        assert ad["ad_micro"] == 0 and cvm["cvm_micro"] == 0
+    else:
+        assert ad["ad_micro"] > 0 and cvm["cvm_micro"] >= 0
