@@ -550,3 +550,87 @@ def page_hinkley_stateful(
         outputMode=output_mode,
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def heavy_hitters_stateful(
+    events: DataFrame,
+    item_col: str = "item",
+    n_counters: int = 8,
+    n_shards: int = 4,
+    output_mode: str = "update",
+) -> DataFrame:
+    """Continuous Misra-Gries heavy-hitters via
+    ``applyInPandasWithState`` — the STREAMING twin of the batch
+    ``heavy_users`` sketch, completing the custom-stateful trio with
+    cusum_stateful / page_hinkley_stateful: "which items are trending
+    RIGHT NOW" without waiting for the nightly exact count.
+
+    Sharding: items are hash-partitioned into ``n_shards`` state
+    groups (each item lives in exactly ONE shard), and every shard
+    maintains an independent ``n_counters``-counter Misra-Gries
+    summary — so state is n_shards·n_counters (item, count) pairs
+    TOTAL, never |items|, and the union of shard candidates is a
+    superset of every item with true count > n_shard/(n_counters+1)
+    (the MG guarantee per shard:
+    true − n_shard/(n_counters+1) <= count_min <= true).
+
+    Determinism note (documented): which NON-heavy items survive as
+    candidates depends on arrival order (the decrement cascade); the
+    bounds above hold for ANY order, and when a shard's distinct-item
+    count never exceeds n_counters the sketch is EXACT counts,
+    order-free — that regime is the batch-parity pytest pin.
+
+    Emits one row per (shard, candidate, batch):
+    (shard, item, count_min, n_shard) — ``update`` mode by default
+    (parquet sinks: pass "append" and dedupe on max n_shard
+    downstream, the cusum_stateful convention).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    k = int(n_counters)
+
+    def update_fn(key, pdfs, state):
+        if state.exists:
+            items, counts, n = state.get
+            d = dict(zip(list(items), [int(c) for c in counts]))
+            n = int(n)
+        else:
+            d, n = {}, 0
+        for pdf in pdfs:
+            for it in pdf["__item"].astype(str):
+                n += 1
+                if it in d:
+                    d[it] += 1
+                elif len(d) < k:
+                    d[it] = 1
+                else:
+                    for kk in list(d):
+                        d[kk] -= 1
+                        if d[kk] == 0:
+                            del d[kk]
+        state.update((list(d.keys()), [int(v) for v in d.values()], n))
+        cand = sorted(d.items())
+        yield pd.DataFrame(
+            {
+                "shard": [int(key[0])] * len(cand),
+                "item": [c[0] for c in cand],
+                "count_min": [c[1] for c in cand],
+                "n_shard": [n] * len(cand),
+            }
+        )
+
+    staged = events.select(
+        F.pmod(F.xxhash64(F.col(item_col).cast("string")), F.lit(int(n_shards)))
+        .cast("long")
+        .alias("__shard"),
+        F.col(item_col).cast("string").alias("__item"),
+    )
+    return staged.groupBy("__shard").applyInPandasWithState(
+        update_fn,
+        outputStructType="shard long, item string, count_min long,"
+        " n_shard long",
+        stateStructType="items array<string>, counts array<long>, n long",
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

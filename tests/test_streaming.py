@@ -936,3 +936,153 @@ def test_page_hinkley_stateful_restart_resumes_state(spark, sf_dir, tmp_path):
     ga = got["first_alarm_step"].fillna(-1).to_numpy()
     ea = exp["first_alarm_step"].fillna(-1).to_numpy()
     assert (ga == ea).all()
+
+
+def test_heavy_hitters_stateful_exact_regime_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """Sharded Misra-Gries stream vs exact batch counts in the EXACT
+    regime (distinct items per shard <= n_counters -> no decrement ever
+    fires, sketch == truth for any arrival order): stream event_type
+    frequencies (5 distinct items) through two microbatch files with a
+    generous counter budget and assert the final per-item count_min IS
+    the exact groupBy count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("event_type").alias("item")
+    )
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "hh_src")
+    ev.filter(F.col("event_id") <= mid).coalesce(1).write.parquet(f"{src}/a")
+    ev.filter(F.col("event_id") > mid).coalesce(1).write.parquet(f"{src}/b")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = st.heavy_hitters_stateful(
+        stream, "item", n_counters=8, n_shards=3
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_st")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_hh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select item, count_min from ("
+        " select *, row_number() over (partition by shard, item"
+        " order by n_shard desc) rn from hh_st) where rn = 1"
+    ).toPandas()
+    exact = {
+        r["item"]: r["c"]
+        for r in ev.groupBy("item").agg(F.count("*").alias("c")).collect()
+    }
+    assert dict(zip(got["item"], got["count_min"])) == exact
+    # shard totals partition the stream
+    tot = spark.sql(
+        "select sum(n_shard) s from ("
+        " select shard, max(n_shard) n_shard from hh_st group by shard)"
+    ).collect()[0]["s"]
+    assert tot == ev.count()
+
+
+def test_heavy_hitters_stateful_decrement_bounds(spark, tmp_path):
+    """Overflow regime: 1 shard, 2 counters, adversarial tail of
+    singletons around one dominant item. The MG bounds must hold
+    (true - n/(k+1) <= count_min <= true) and the dominant item must
+    survive as a candidate."""
+    rows = [(i, "big") for i in range(60)] + [
+        (100 + j, f"tail{j}") for j in range(30)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, item string")
+    src = str(tmp_path / "hh2_src")
+    df.coalesce(1).write.parquet(f"{src}/a")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = st.heavy_hitters_stateful(stream, "item", n_counters=2, n_shards=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_bounds")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_hh2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["item"]: r["count_min"]
+        for r in spark.sql(
+            "select item, count_min from ("
+            " select *, row_number() over (partition by item"
+            " order by n_shard desc) rn from hh_bounds) where rn = 1"
+        ).collect()
+    }
+    assert "big" in got
+    n, k = 90, 2
+    assert 60 - n // (k + 1) <= got["big"] <= 60
+    for item, c in got.items():
+        true = 60 if item == "big" else 1
+        assert true - n // (k + 1) <= c <= true
+
+
+def test_heavy_hitters_stateful_restart_resumes_state(spark, sf_dir, tmp_path):
+    """Restart probe for the sharded Misra-Gries sketch: run over batch
+    A, STOP, add batch B, restart on the same checkpoint — sketch state
+    must resume (not reset, not re-ingest A), so in the exact regime the
+    final counts equal the one-shot batch counts over A+B."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("event_type").alias("item")
+    )
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "hh_rs_src")
+    ck = str(tmp_path / "ck_hh_rs")
+    sink = str(tmp_path / "hh_rs_sink")
+    ev.filter(F.col("event_id") <= mid).coalesce(1).write.parquet(f"{src}/a")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        out = st.heavy_hitters_stateful(
+            stream, "item", n_counters=8, n_shards=3, output_mode="append"
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    ev.filter(F.col("event_id") > mid).coalesce(1).write.parquet(f"{src}/b")
+    run_once()
+
+    log = spark.read.parquet(sink)
+    log.createOrReplaceTempView("hh_rs_log")
+    got = {
+        r["item"]: r["count_min"]
+        for r in spark.sql(
+            "select item, count_min from ("
+            " select *, row_number() over (partition by shard, item"
+            " order by n_shard desc) rn from hh_rs_log) where rn = 1"
+        ).collect()
+    }
+    exact = {
+        r["item"]: r["c"]
+        for r in ev.groupBy("item").agg(F.count("*").alias("c")).collect()
+    }
+    assert got == exact
