@@ -7885,6 +7885,72 @@ def q_dunn_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.dunn_test(frame, "c_mktsegment", "cents")
 
 
+def q_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm step-down FWER control (operators.stats.holm_bonferroni)
+    over the SAME 200-hypothesis battery as the BH and BY gates —
+    completing the multiple-testing trio with all three directly
+    comparable on identical input (Holm's FWER set ⊆ BY ⊆ BH).
+    Exact integer step-down; stop rank = MIN failing rank."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    mix = F.pmod(
+        F.pmod(F.col("id"), F.lit(1_000_003)) * F.lit(2654435761),
+        F.lit(1_000_003),
+    )
+    hyp = spark.range(0, 200).select(
+        F.col("id").alias("hyp_id"),
+        F.when(
+            F.pmod(F.col("id"), F.lit(5)) == 0, F.pmod(mix, F.lit(20_000)) + 1
+        )
+        .otherwise(F.pmod(mix, F.lit(1_000_000)) + 1)
+        .cast("long")
+        .alias("p_micro"),
+    )
+    return st.holm_bonferroni(hyp, "hyp_id", "p_micro", alpha_micro=50_000)
+
+
+def q_icc_twoway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICC(2,1) two-way random single-rating reliability
+    (operators.stats.icc_twoway): the COMPLETE-design companion to the
+    icc_oneway gate — same 5 synthetic raters, but every rater rates
+    EVERY document (no participation coin), so rater bias is a
+    separable column effect. All-integer mean-square identity, one
+    truncating micro DIV, no float anywhere."""
+    from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    raters = spark.range(5).select(F.col("id").alias("rater"))
+    rated = docs.crossJoin(raters)
+    s = _mix(F.col("doc_id") * 5 + F.col("rater"))
+    base = F.pmod(_mix(F.col("doc_id")), F.lit(5))
+    alt = F.pmod(_mix(F.col("doc_id") * 5 + F.col("rater") + 101), F.lit(5))
+    rated = rated.select(
+        F.col("doc_id").alias("item_id"),
+        F.col("rater"),
+        (F.lit(1) + F.when(F.pmod(s, F.lit(4)) < 3, base).otherwise(alt))
+        .cast("long")
+        .alias("rating"),
+    )
+    return st.icc_twoway(rated)
+
+
+def q_dp_above_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse Vector Technique release over per-nation customer counts
+    (operators.pipeline.dp_above_threshold, md5 family, threshold = 60
+    — the sf0.01 per-nation scale, so the gate SF sees genuinely
+    mixed outcomes — 3 releases max, epsilon = ln 9): which
+    nations' customer counts clear the bar, answered in nation order
+    until the third positive — the budget-scales-with-positives DP
+    primitive completing the release family (counts/sum/mean/
+    quantile). Both noisy draws seeded and oracle-replayed
+    bit-for-bit; the production secret-seed note applies."""
+    customer = load_table(spark, sf_dir, "customer")
+    return pl.dp_above_threshold(
+        customer, "c_nationkey", threshold=60, max_releases=3,
+        epsilon_micro=2_197_224, seed=5, hash_family="md5",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Full registry, gate window first.
 
@@ -8334,6 +8400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benjamini_yekutieli": q_benjamini_yekutieli,
         "seasonal_mann_kendall": q_seasonal_mann_kendall,
         "dunn_test": q_dunn_test,
+        "holm_bonferroni": q_holm_bonferroni,
+        "icc_twoway": q_icc_twoway,
+        "dp_above_threshold": q_dp_above_threshold,
     }
     missing = [n for n in _GATE_WINDOW if n not in catalog]
     assert not missing, f"gate window names not in catalog: {missing}"
@@ -19253,5 +19322,118 @@ def oracle_sql() -> dict[str, str]:
                    * (1.0 / lo.n_g + 1.0 / hi.n_g))
             * 1000000) AS BIGINT) END AS z_micro
         FROM per_g lo JOIN per_g hi ON lo.g < hi.g CROSS JOIN ties
+    """
+    oracles["holm_bonferroni"] = """
+        WITH hyp AS (
+          SELECT t.id AS hyp_id,
+            CAST(CASE WHEN t.id % 5 = 0
+              THEN (((t.id % 1000003) * 2654435761) % 1000003) % 20000 + 1
+              ELSE (((t.id % 1000003) * 2654435761) % 1000003) % 1000000 + 1
+            END AS BIGINT) AS p_micro
+          FROM (SELECT unnest(range(0, 200)) AS id) t
+        ),
+        ranked AS (
+          SELECT hyp_id, p_micro,
+            CAST(ROW_NUMBER() OVER (ORDER BY p_micro, hyp_id) AS BIGINT)
+              AS rank,
+            CAST(COUNT(*) OVER () AS BIGINT) AS m
+          FROM hyp
+        ),
+        stop AS (
+          SELECT MIN(rank) AS s FROM ranked
+          WHERE p_micro * (m - rank + 1) > 50000
+        )
+        SELECT hyp_id, p_micro, rank, m,
+          rank < COALESCE((SELECT s FROM stop),
+                          (SELECT MAX(m) + 1 FROM ranked)) AS reject
+        FROM ranked
+    """
+    oracles["icc_twoway"] = """
+        WITH rated AS MATERIALIZED (
+          SELECT d.doc_id AS i, r.rater AS r,
+            1 + CASE WHEN (((d.doc_id * 5 + r.rater) % 1000003)
+                     * 2654435761) % 1000003 % 4 < 3
+              THEN (((d.doc_id % 1000003) * 2654435761) % 1000003) % 5
+              ELSE ((((d.doc_id * 5 + r.rater + 101) % 1000003)
+                   * 2654435761) % 1000003) % 5
+            END AS x
+          FROM documents d
+          CROSS JOIN (SELECT unnest(range(0, 5)) AS rater) r
+        ),
+        rows_ AS (SELECT i, SUM(CAST(x AS HUGEINT)) AS ri
+                  FROM rated GROUP BY 1),
+        cols_ AS (SELECT r, SUM(CAST(x AS HUGEINT)) AS cj
+                  FROM rated GROUP BY 1),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS nk,
+            SUM(CAST(x AS HUGEINT)) AS g,
+            SUM(CAST(x AS HUGEINT) * x) AS q
+          FROM rated
+        ),
+        rs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(ri * ri) AS sr2 FROM rows_),
+        cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               SUM(cj * cj) AS sc2 FROM cols_)
+        SELECT n AS n_items, k,
+          CAST(
+            (CAST(n AS HUGEINT) * (k - 1)
+               * (CAST(n AS HUGEINT) * sr2 - g * g)
+             - CAST(n AS HUGEINT)
+               * (CAST(nk AS HUGEINT) * q - g * g
+                  - (CAST(n AS HUGEINT) * sr2 - g * g)
+                  - (CAST(k AS HUGEINT) * sc2 - g * g)))
+            * 1000000
+            // NULLIF(
+            CAST(n AS HUGEINT) * (k - 1)
+              * (CAST(n AS HUGEINT) * sr2 - g * g)
+            + (CAST(k AS HUGEINT) - 1) * n
+              * (CAST(nk AS HUGEINT) * q - g * g
+                 - (CAST(n AS HUGEINT) * sr2 - g * g)
+                 - (CAST(k AS HUGEINT) * sc2 - g * g))
+            + CAST(k AS HUGEINT)
+              * ((CAST(n AS HUGEINT) - 1)
+                  * (CAST(k AS HUGEINT) * sc2 - g * g)
+                 - (CAST(nk AS HUGEINT) * q - g * g
+                    - (CAST(n AS HUGEINT) * sr2 - g * g)
+                    - (CAST(k AS HUGEINT) * sc2 - g * g))), 0)
+            AS BIGINT) AS icc21_micro
+        FROM tot CROSS JOIN rs CROSS JOIN cs
+    """
+    _svt_b_thr = 2.0 * 1_000_000.0 / 2_197_224.0
+    _svt_b_cnt = 4.0 * 3 * 1_000_000.0 / 2_197_224.0
+    oracles["dp_above_threshold"] = f"""
+        WITH per AS (
+          SELECT c_nationkey AS grp, CAST(COUNT(*) AS BIGINT) AS n
+          FROM customer GROUP BY 1
+        ),
+        noisy AS (
+          SELECT grp, n,
+            60 * 1000000 + CAST(FLOOR(-CAST({_svt_b_thr!r} AS DOUBLE)
+              * SIGN((CAST(('0x' || substr(md5('T' || ':' || '5'), 1, 15))
+                  AS BIGINT) % 1999999 + 1 - 1000000) / 1000000.0)
+              * LN(1.0 - ABS((CAST(('0x' || substr(md5('T' || ':' || '5'),
+                  1, 15)) AS BIGINT) % 1999999 + 1 - 1000000) / 1000000.0))
+              * 1000000) AS BIGINT) AS thr_micro,
+            n * 1000000 + CAST(FLOOR(-CAST({_svt_b_cnt!r} AS DOUBLE)
+              * SIGN((CAST(('0x' || substr(md5(CAST(grp AS VARCHAR) || ':'
+                  || '5'), 1, 15)) AS BIGINT) % 1999999 + 1 - 1000000)
+                  / 1000000.0)
+              * LN(1.0 - ABS((CAST(('0x' || substr(md5(CAST(grp AS VARCHAR)
+                  || ':' || '5'), 1, 15)) AS BIGINT) % 1999999 + 1
+                  - 1000000) / 1000000.0))
+              * 1000000) AS BIGINT) AS cnt_micro
+          FROM per
+        ),
+        scanned AS (
+          SELECT grp, n,
+            CASE WHEN cnt_micro >= thr_micro THEN 1 ELSE 0 END AS pos,
+            CAST(SUM(CASE WHEN cnt_micro >= thr_micro THEN 1 ELSE 0 END)
+              OVER (ORDER BY grp
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_pos
+          FROM noisy
+        )
+        SELECT grp AS "group", n, pos = 1 AS released
+        FROM scanned WHERE cum_pos - pos < 3
     """
     return oracles

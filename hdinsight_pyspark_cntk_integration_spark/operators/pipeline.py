@@ -2373,3 +2373,87 @@ def dp_exponential_quantile(
         F.expr("max_by(v, struct(__score, v))").alias("released_v"),
         F.min(F.when(F.col("cum") >= F.col("r"), F.col("v"))).alias("true_v"),
     )
+
+
+def dp_above_threshold(
+    df: DataFrame,
+    group_col: str,
+    threshold: int,
+    max_releases: int = 3,
+    epsilon_micro: int = 1_000_000,
+    seed: int = 0,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Sparse Vector Technique (AboveThreshold, Dwork & Roth 2014
+    §3.6): scan a sequence of count queries and RELEASE only the
+    indices whose noisy count clears a noisy threshold, stopping after
+    ``max_releases`` positives — the DP primitive whose cost scales
+    with the number of POSITIVE answers, not the number of questions
+    (the reason monitoring dashboards can afford hundreds of "is this
+    slice anomalous?" probes under one small budget).  Budget split
+    (documented, the standard composition): epsilon/2 on the
+    threshold draw, epsilon/(4·max_releases) on each count draw.
+
+    Determinism (the dp_noisy_counts discipline): both Laplace draws
+    are seeded-hash inverse-CDF (threshold noise from the literal tag
+    ``'T'``, count noise from the group key; disjoint tags), so the
+    whole release — including the STOP position — is bit-for-bit
+    oracle-replayable; the SECURITY NOTE applies: production supplies
+    a fresh secret seed.  The scan order is the group-key order
+    (deterministic by construction); the stop is a cumulative-count
+    window over the ALREADY-AGGREGATED k-row query table, never rows.
+
+    Returns the ANSWERED prefix: (group, n, released) — groups after
+    the ``max_releases``-th positive are unanswered (absent), exactly
+    as the mechanism must refuse them.
+    """
+    if epsilon_micro <= 0:
+        raise ValueError(f"epsilon_micro must be > 0 (got {epsilon_micro})")
+    if max_releases < 1:
+        raise ValueError(f"max_releases must be >= 1 (got {max_releases})")
+    per = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    b_thr = 2.0 * 1_000_000.0 / float(epsilon_micro)
+    b_cnt = 4.0 * float(max_releases) * 1_000_000.0 / float(epsilon_micro)
+
+    def lap(tag_expr: str, b: float) -> str:
+        if hash_family == "xxhash64":
+            h = f"pmod(xxhash64(concat({tag_expr}, ':', '{int(seed)}')), 1999999)"
+        elif hash_family == "md5":
+            h = (
+                f"pmod(cast(conv(substring(md5(concat({tag_expr}, ':',"
+                f" '{int(seed)}')), 1, 15), 16, 10) as bigint), 1999999)"
+            )
+        else:
+            raise ValueError(
+                f"unknown hash_family {hash_family!r} (xxhash64|md5)"
+            )
+        u = f"(({h} + 1 - 1000000) / 1000000.0)"
+        return (
+            f"CAST(FLOOR(-CAST({b!r} AS DOUBLE) * SIGN({u})"
+            f" * LN(1.0 - ABS({u})) * 1000000) AS BIGINT)"
+        )
+
+    noisy = per.withColumn(
+        "__thr_micro",
+        F.expr(f"{int(threshold)} * 1000000 + {lap(chr(39) + 'T' + chr(39), b_thr)}"),
+    ).withColumn(
+        "__cnt_micro",
+        F.expr(f"n * 1000000 + {lap('CAST(group AS STRING)', b_cnt)}"),
+    ).withColumn(
+        "__pos", (F.col("__cnt_micro") >= F.col("__thr_micro")).cast("long")
+    )
+    w = Window.orderBy("group").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scanned = noisy.withColumn(
+        "__cum_pos", F.sum("__pos").over(w).cast("long")
+    )
+    return scanned.filter(
+        (F.col("__cum_pos") - F.col("__pos")) < F.lit(int(max_releases))
+    ).select(
+        "group",
+        "n",
+        (F.col("__pos") == 1).alias("released"),
+    )

@@ -8010,3 +8010,151 @@ def dunn_test(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
               * 1000000) AS BIGINT) END"""
         ).alias("z_micro"),
     )
+
+
+def holm_bonferroni(
+    df: DataFrame,
+    id_col: str = "hyp_id",
+    p_micro_col: str = "p_micro",
+    alpha_micro: int = 50_000,
+) -> DataFrame:
+    """Holm step-DOWN familywise-error control — the third member of
+    the multiple-testing trio (benjamini_hochberg / benjamini_yekutieli
+    control FDR; Holm controls FWER — "no false rejection AT ALL" —
+    at Bonferroni's guarantee with uniformly more power, under any
+    dependence): walk the p-values ascending and reject while
+    ``p_(i) <= alpha/(m - i + 1)``; the FIRST failure stops everything
+    after it (the step-down defining property, vs BH's step-up scan
+    from the other end).  Exact integer comparison
+    ``p_micro·(m - rank + 1) <= alpha_micro``; the stop rank is the
+    MIN failing rank over the same one-window shape as BH (the
+    hypothesis table is already aggregate-sized).  Same NULL-drop
+    convention.  Returns (id, p_micro, rank, m, reject) — the family
+    schema, so the three gates are directly comparable on identical
+    input (Holm ⊆ ... ⊆ BH is pytest-pinned).
+    """
+    if not (0 < alpha_micro < 1_000_000):
+        raise ValueError(f"alpha_micro must be in (0, 1e6) (got {alpha_micro})")
+    df = df.filter(F.col(p_micro_col).isNotNull())
+    w = Window.orderBy(F.col(p_micro_col), F.col(id_col))
+    ranked = df.select(
+        F.col(id_col),
+        F.col(p_micro_col).cast("long").alias("p_micro"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+    m = ranked.groupBy().agg(F.count(F.lit(1)).cast("long").alias("m"))
+    stop = (
+        ranked.join(F.broadcast(m))
+        .filter(
+            F.col("p_micro") * (F.col("m") - F.col("rank") + 1)
+            > F.lit(int(alpha_micro))
+        )
+        .groupBy()
+        .agg(F.min("rank").alias("__stop"))
+    )
+    return (
+        ranked.join(F.broadcast(m))
+        .join(F.broadcast(stop))
+        .select(
+            id_col,
+            "p_micro",
+            "rank",
+            "m",
+            (
+                F.col("rank")
+                < F.coalesce(F.col("__stop"), F.col("m") + 1)
+            ).alias("reject"),
+        )
+    )
+
+
+def icc_twoway(
+    df: DataFrame,
+    item_col: str = "item_id",
+    rater_col: str = "rater",
+    value_col: str = "rating",
+) -> DataFrame:
+    """Two-way random-effects intraclass correlation ICC(2,1)
+    (Shrout & Fleiss case 2) — single-rating reliability when the SAME
+    k raters rate every item (the common annotation-platform design),
+    so rater bias is a separable column effect icc_oneway's one-way
+    model confounds into error:
+
+        ICC(2,1) = (MSR - MSE) / (MSR + (k-1)·MSE + k·(MSC - MSE)/n)
+
+    All-integer identity (the icc_oneway discipline, one level up):
+    with exact sums G, Σx², row sums R_i, column sums C_j define
+    A = n·ΣR_i² - G² (= nk·SSR), B = k·ΣC_j² - G² (= nk·SSC),
+    T = nk·Σx² - G², E = T - A - B (= nk·SSE); multiplying numerator
+    and denominator by n·nk(n-1)(k-1) clears every mean-square
+    denominator at once:
+
+        num = n·(k-1)·A - n·E
+        den = n·(k-1)·A + (k-1)·n·E + k·((n-1)·B - E)
+
+    ONE truncating micro DIV of two exact DECIMAL integers — no float
+    ever.  COMPLETE
+    design is the contract (k derived as total DIV n, the icc_oneway
+    convention).  Returns one row (n_items, k, icc21_micro).
+    """
+    cells = (
+        df.filter(
+            F.col(item_col).isNotNull()
+            & F.col(rater_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(item_col).alias("i"),
+            F.col(rater_col).alias("r"),
+            F.col(value_col).cast("long").alias("x"),
+        )
+    )
+    rows_ = cells.groupBy("i").agg(
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("ri"),
+        F.count(F.lit(1)).cast("long").alias("ki"),
+    )
+    cols_ = cells.groupBy("r").agg(
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("cj")
+    )
+    tot = cells.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("g"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("q"),
+    )
+    rs = rows_.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("ri * ri")).alias("sr2"),
+    )
+    cs = cols_.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.expr("cj * cj")).alias("sc2"),
+    )
+    wide = tot.join(F.broadcast(rs)).join(F.broadcast(cs))
+    return wide.select(
+        F.col("n").alias("n_items"),
+        "k",
+        F.expr(
+            """CAST(
+              (CAST(n AS DECIMAL(38,0)) * (k - 1)
+                 * (CAST(n AS DECIMAL(38,0)) * sr2 - g * g)
+               - CAST(n AS DECIMAL(38,0))
+                 * (CAST(nk AS DECIMAL(38,0)) * q - g * g
+                    - (CAST(n AS DECIMAL(38,0)) * sr2 - g * g)
+                    - (CAST(k AS DECIMAL(38,0)) * sc2 - g * g)))
+              * 1000000
+              DIV NULLIF(
+              CAST(n AS DECIMAL(38,0)) * (k - 1)
+                * (CAST(n AS DECIMAL(38,0)) * sr2 - g * g)
+              + (CAST(k AS DECIMAL(38,0)) - 1) * n
+                * (CAST(nk AS DECIMAL(38,0)) * q - g * g
+                   - (CAST(n AS DECIMAL(38,0)) * sr2 - g * g)
+                   - (CAST(k AS DECIMAL(38,0)) * sc2 - g * g))
+              + CAST(k AS DECIMAL(38,0))
+                * ((CAST(n AS DECIMAL(38,0)) - 1)
+                    * (CAST(k AS DECIMAL(38,0)) * sc2 - g * g)
+                   - (CAST(nk AS DECIMAL(38,0)) * q - g * g
+                      - (CAST(n AS DECIMAL(38,0)) * sr2 - g * g)
+                      - (CAST(k AS DECIMAL(38,0)) * sc2 - g * g))), 0)
+              AS BIGINT)"""
+        ).alias("icc21_micro"),
+    )

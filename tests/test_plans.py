@@ -316,6 +316,12 @@ _INTENTIONAL_LINT = {
     # dunn_test — the pooled-rank window runs over the DISTINCT-VALUE
     #   aggregate (the kruskal_wallis shape), never rows
     "dunn_test": {"global-window"},
+    # holm_bonferroni — the BH shape: rank window over the m-row
+    #   hypothesis table
+    "holm_bonferroni": {"global-window"},
+    # dp_above_threshold — the SVT stop scan is a cumsum over the
+    #   ALREADY-AGGREGATED k-row group table (25 nations), never rows
+    "dp_above_threshold": {"global-window"},
     # theil_u — marginal windows over the (x,y) CELL aggregate,
     #   domain-bounded (the mutual_information contract)
     "theil_u": {"global-window"},

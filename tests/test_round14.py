@@ -629,3 +629,78 @@ def test_dunn_test_pairwise_hand_case(spark):
     assert out[("a", "b")] == out[("b", "c")] == -1_341_641
     assert out[("a", "c")] == -2_683_282
     assert len(out) == 3
+
+
+def test_holm_vs_by_vs_bh_nesting(spark):
+    # the classic battery: Holm (FWER) rejects {1,2}; BY {1,2}; BH {1..4}
+    # thresholds alpha/(m-i+1): .05,.0625,.0833...: i=3 fails -> stop
+    rows = [(1, 100_000), (2, 10_000), (3, 40_000), (4, 120_000), (5, 900_000)]
+    df = spark.createDataFrame(rows, "hyp_id long, p_micro long")
+    holm = {
+        r["hyp_id"]: r["reject"]
+        for r in st.holm_bonferroni(df, alpha_micro=250_000).collect()
+    }
+    assert holm == {2: True, 3: True, 1: False, 4: False, 5: False}
+    bh = {
+        r["hyp_id"]: r["reject"]
+        for r in st.benjamini_hochberg(df, alpha_micro=250_000).collect()
+    }
+    # FWER control is never more permissive than FDR control
+    assert all(bh[h] for h, rej in holm.items() if rej)
+    # all-tiny battery: everything rejected (stop rank absent)
+    tiny = spark.createDataFrame([(i, 10) for i in range(1, 5)],
+                                 "hyp_id long, p_micro long")
+    out = st.holm_bonferroni(tiny, alpha_micro=50_000).collect()
+    assert all(r["reject"] for r in out)
+    with pytest.raises(ValueError):
+        st.holm_bonferroni(df, alpha_micro=1_000_000)
+
+
+def test_icc_twoway_shrout_fleiss_canonical(spark):
+    # Shrout & Fleiss 1979, Table 2: 6 targets x 4 judges,
+    # ICC(2,1) = 0.28976... (the paper's canonical worked example)
+    data = [
+        (1, [9, 2, 5, 8]), (2, [6, 1, 3, 2]), (3, [8, 4, 6, 8]),
+        (4, [7, 1, 2, 6]), (5, [10, 5, 6, 9]), (6, [6, 2, 4, 7]),
+    ]
+    rows = [(i, j, v) for i, vals in data for j, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "item_id long, rater long, rating long")
+    [r] = st.icc_twoway(df).collect()
+    assert (r["n_items"], r["k"], r["icc21_micro"]) == (6, 4, 289_763)
+    # perfect agreement -> ICC = 1
+    perf = [(i, j, i) for i in range(1, 5) for j in range(3)]
+    [rp] = st.icc_twoway(
+        spark.createDataFrame(perf, "item_id long, rater long, rating long")
+    ).collect()
+    assert rp["icc21_micro"] == 1_000_000
+
+
+def test_dp_above_threshold_stop_and_budget_semantics(spark):
+    from hdinsight_pyspark_cntk_integration_spark.operators import pipeline as pl
+
+    rows = [(g,) for g in range(1, 11) for _ in range(g)]
+    df = spark.createDataFrame(rows, "g long")
+    # huge epsilon: noise negligible -> releases are exactly the first
+    # max_releases groups with count >= threshold, then the scan STOPS
+    out = sorted(
+        tuple(r) for r in pl.dp_above_threshold(
+            df, "g", threshold=5, max_releases=2,
+            epsilon_micro=50_000_000, seed=3,
+        ).collect()
+    )
+    assert out == [
+        (1, 1, False), (2, 2, False), (3, 3, False), (4, 4, False),
+        (5, 5, True), (6, 6, True),
+    ]
+    # reproducible under the same seed; md5 family runs too
+    out2 = sorted(
+        tuple(r) for r in pl.dp_above_threshold(
+            df, "g", threshold=5, max_releases=2,
+            epsilon_micro=50_000_000, seed=3, hash_family="md5",
+        ).collect()
+    )
+    assert [o[0] for o in out2] == [1, 2, 3, 4, 5, 6]
+    with pytest.raises(ValueError):
+        pl.dp_above_threshold(df, "g", threshold=5, max_releases=0)
+    with pytest.raises(ValueError):
+        pl.dp_above_threshold(df, "g", threshold=5, epsilon_micro=0)
