@@ -253,9 +253,19 @@ def minhash_lsh_candidates(
     structs = ", ".join(
         f"struct({b} AS band, {_bh(b)} AS bh)" for b in range(bands)
     )
-    banded = hashed.select(
-        F.col(id_col), F.expr(f"explode(array({structs}))").alias("x")
-    ).select(id_col, "x.band", "x.bh")
+    # Optimization r14: the band table is materialized — BOTH sides of
+    # the bucket self-join below read it, and unmaterialized each side
+    # re-ran the full shingle + num_hashes-transform projection (the
+    # query's dominant CPU). (id, band, bh) is the LSH signature index
+    # every production near-dup system persists; it is num_hashes/r
+    # short rows per doc, far smaller than the text it replaces.
+    banded = (
+        hashed.select(
+            F.col(id_col), F.expr(f"explode(array({structs}))").alias("x")
+        )
+        .select(id_col, "x.band", "x.bh")
+        .localCheckpoint(eager=True)
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -294,10 +304,14 @@ def jaccard_pairs(
     # jaccard projection (which references each side twice: intersect +
     # union) reads computed values instead of recomputing the tree.
     src, _ = _spread(df)
+    # Optimization r14: materialized — the shingle-set table feeds BOTH
+    # sides of the verify join; unmaterialized, each side re-ran the
+    # regex + shingle + hash projection over the corpus. The hashed set
+    # (8 B per token) is strictly smaller than the text it derives from.
     sh = src.selectExpr(
         id_col,
         f"{_hashed_shingles_sql(text_col, shingle_k, shingle_mode, hash_family)} AS sh",
-    )
+    ).localCheckpoint(eager=True)
     out = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -384,16 +398,27 @@ def connected_components(
     # cosine, re-executed per round (VERDICT r8 #5; measured by
     # tools/profile_embedding_dedup.py). One eager checkpoint makes
     # every caller pay for pair generation exactly once.
+    # Optimization r14: the checkpoint used to retain the distinct's
+    # hash(src, dst) partitioning, which does NOT satisfy the per-round
+    # neighbor join's hash(dst) requirement — so EVERY round re-shuffled
+    # the full edge list. Repartitioning on dst before the (one-time)
+    # materialization makes the per-round join reuse the edge layout and
+    # shuffle only the |nodes|-row label frame.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .repartition(F.col("dst"))
         .localCheckpoint(eager=True)
     )
+    # node-partitioned label table: every per-round join below keys on
+    # node id, so materializing the layout once makes the rounds
+    # exchange only partial-agg and node-scale frames.
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
+        .repartition(F.col("node"))
         .localCheckpoint(eager=True)
     )
     if max_iters < 1:
@@ -405,15 +430,31 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("nmin"))
         )
-        hopped = labels.join(neighbor_min, labels.node == neighbor_min.src, "left").select(
+        # One-hop min adoption, then pointer jump THROUGH THE PREVIOUS
+        # round's materialized label table: comp'' = least(comp',
+        # labels_prev[comp']). Jumping through `labels` (already
+        # checkpointed) instead of through `hopped` itself keeps the
+        # round at ONE materialization + one convergence count — the
+        # r14-interim form checkpointed `hopped` too (to stop the
+        # edge-scale neighbor_min subtree running twice), but that
+        # spent a third blocking job per round; referencing the
+        # previous table gets the same single-evaluation property for
+        # free. Reach still doubles per round (comp' sees one hop
+        # beyond the previous reach, the jump adds the previous reach
+        # again), and the fixed point — every label the component min
+        # — is the same: labels only ever decrease toward reachable
+        # node ids, and a state stable under one-hop adoption is
+        # constant across every edge.
+        hopped = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
             "node",
             F.col("comp").alias("prev"),
-            F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+            ).alias("comp"),
         )
-        # Pointer jump: comp ← label(comp). Labels are always node ids
-        # (min over node ids), so the parent lookup is a self-join; the
-        # left-join + coalesce guards the (impossible in practice) miss.
-        parent = hopped.select(
+        parent = labels.select(
             F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
         )
         new_labels = (
@@ -425,6 +466,7 @@ def connected_components(
                     "comp"
                 ),
             )
+            .repartition(F.col("node"))
             .localCheckpoint(eager=True)
         )
         n_changed = new_labels.filter(F.col("comp") != F.col("prev")).count()
@@ -744,25 +786,30 @@ def repeated_passages(
     grams = df.select(
         F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("passage")
     ).filter(F.length("passage") > 0)
-    if not via_hash:
+
+    # Optimization r14: mixing count_distinct with plain aggregates
+    # plans as an Expand that DOUBLES the gram stream through the
+    # exchange; the stacked two-stage form below (per-(passage, doc)
+    # occurrence counts, then per-passage rollup) shuffles each gram
+    # row once, with identical results: n_docs = count of (passage,
+    # doc) groups, n_occurrences = sum of their occurrence counts,
+    # first_doc_id = min over group mins.
+    def survivors_by(key: Column, key_name: str) -> DataFrame:
         return (
-            grams.groupBy("passage")
+            grams.groupBy(key.alias(key_name), F.col(id_col))
+            .agg(F.count(F.lit(1)).alias("__occ"))
+            .groupBy(key_name)
             .agg(
-                F.count_distinct(id_col).alias("n_docs"),
-                F.count(F.lit(1)).alias("n_occurrences"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("__occ").alias("n_occurrences"),
                 F.min(id_col).alias("first_doc_id"),
             )
             .filter(F.col("n_docs") >= min_docs)
         )
-    survivors = (
-        grams.groupBy(F.xxhash64("passage").alias("__ph"))
-        .agg(
-            F.count_distinct(id_col).alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occurrences"),
-            F.min(id_col).alias("first_doc_id"),
-        )
-        .filter(F.col("n_docs") >= min_docs)
-    )
+
+    if not via_hash:
+        return survivors_by(F.col("passage"), "passage")
+    survivors = survivors_by(F.xxhash64("passage"), "__ph")
     texts = (
         grams.select(F.xxhash64("passage").alias("__ph"), "passage")
         .join(F.broadcast(survivors.select("__ph")), "__ph", "left_semi")
@@ -945,12 +992,16 @@ def repeated_passages_maximal(
             F.col("g.n_words").alias("n_words"),
             F.col("g.passage").alias("passage"),
         )
+        # Two-stage aggregate (optimization r14): see repeated_passages —
+        # avoids the Expand that doubles the gram stream.
         surv = (
             grams.filter(F.length("passage") > 0)
+            .groupBy("n_words", "passage", F.col(id_col))
+            .agg(F.count(F.lit(1)).alias("__occ"))
             .groupBy("n_words", "passage")
             .agg(
-                F.count_distinct(id_col).alias("n_docs"),
-                F.count(F.lit(1)).alias("n_occurrences"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("__occ").alias("n_occurrences"),
                 F.min(id_col).alias("first_doc_id"),
             )
             .filter(F.col("n_docs") >= min_docs)
@@ -1006,10 +1057,12 @@ def repeated_passages_maximal(
                     F.col(id_col),
                     F.explode(word_ngrams(text_col, L)).alias("passage"),
                 )
+                .groupBy("passage", F.col(id_col))
+                .agg(F.count(F.lit(1)).alias("__occ"))
                 .groupBy("passage")
                 .agg(
-                    F.count_distinct(id_col).alias("n_docs"),
-                    F.count(F.lit(1)).alias("n_occurrences"),
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("__occ").alias("n_occurrences"),
                     F.min(id_col).alias("first_doc_id"),
                 )
                 .filter(F.col("n_docs") >= min_docs)
@@ -1113,18 +1166,26 @@ def set_similarity_join(
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1] (got {threshold})")
 
-    sh = df.select(
-        F.col(id_col).alias("__id"), word_shingles(text_col, shingle_n).alias("__s")
-    ).filter(F.size("__s") > 0)
-
-    freq = (
-        sh.select(F.explode("__s").alias("__tok"))
-        .groupBy("__tok")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
+    # Optimization r14: the shingle table is materialized ONCE — it used
+    # to be re-derived FIVE times in one plan (global frequencies, the
+    # ranked prefix stream, the postings side, and both verify sides),
+    # each a full regex + shingling pass over the corpus. The shingle
+    # arrays are comparable in size to the text they replace, and every
+    # downstream step (two explodes, the ranking window, the verify
+    # joins) now reads the materialized arrays instead.
+    sh = (
+        df.select(
+            F.col(id_col).alias("__id"), word_shingles(text_col, shingle_n).alias("__s")
+        )
+        .filter(F.size("__s") > 0)
+        .localCheckpoint(eager=True)
     )
-    toks = sh.select(
+
+    exploded = sh.select(
         "__id", F.size("__s").alias("__sz"), F.explode("__s").alias("__tok")
-    ).join(freq, "__tok")
+    )
+    freq = exploded.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    toks = exploded.join(freq, "__tok")
     w = Window.partitionBy("__id").orderBy("__cnt", "__tok")
     # prefix length |S| - ceil(t|S|) + 1, all-integer: ceil(a/b) = (a+b-1) div b
     # (integer `div`, not float /+floor — a float quotient can round up
@@ -1139,10 +1200,10 @@ def set_similarity_join(
         .filter(F.col("__pos") <= plen)
         .select(F.col("__id").alias("__ida"), F.col("__sz").alias("__sza"), "__tok")
     )
-    postings = sh.select(
+    postings = exploded.select(
         F.col("__id").alias("__idb"),
-        F.size("__s").alias("__szb"),
-        F.explode("__s").alias("__tok"),
+        F.col("__sz").alias("__szb"),
+        "__tok",
     )
     # Length filter: Jaccard >= t forces t·|A| <= |B| and t·|B| <= |A|
     # (|A∩B| <= min size, |A∪B| >= max size) — prunes candidates before
@@ -1597,18 +1658,21 @@ def containment_join(
     frac = Fraction(str(threshold))
     num, den = frac.numerator, frac.denominator
 
-    sh = df.select(
-        F.col(id_col).alias("__id"), word_shingles(text_col, shingle_n).alias("__s")
-    ).filter(F.size("__s") > 0)
-
-    freq = (
-        sh.select(F.explode("__s").alias("__tok"))
-        .groupBy("__tok")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
+    # Optimization r14: shingle table materialized once (see
+    # set_similarity_join — identical five-derivation pattern).
+    sh = (
+        df.select(
+            F.col(id_col).alias("__id"), word_shingles(text_col, shingle_n).alias("__s")
+        )
+        .filter(F.size("__s") > 0)
+        .localCheckpoint(eager=True)
     )
-    toks = sh.select(
+
+    exploded = sh.select(
         "__id", F.size("__s").alias("__sz"), F.explode("__s").alias("__tok")
-    ).join(freq, "__tok")
+    )
+    freq = exploded.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    toks = exploded.join(freq, "__tok")
     w = Window.partitionBy("__id").orderBy("__cnt", "__tok")
     # prefix length |A| - ceil(t|A|) + 1; integer ceil via div
     plen = (
@@ -1621,10 +1685,10 @@ def containment_join(
         .filter(F.col("__pos") <= plen)
         .select(F.col("__id").alias("__ida"), F.col("__sz").alias("__sza"), "__tok")
     )
-    postings = sh.select(
+    postings = exploded.select(
         F.col("__id").alias("__idb"),
-        F.size("__s").alias("__szb"),
-        F.explode("__s").alias("__tok"),
+        F.col("__sz").alias("__szb"),
+        "__tok",
     )
     # length prune: |A∩B| <= |B| forces ceil(t·|A|) <= |B|
     cand = (

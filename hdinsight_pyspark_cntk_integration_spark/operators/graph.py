@@ -53,13 +53,23 @@ def pagerank_integer(
     e = edges.select(
         F.col(src).alias("__src"), F.col(dst).alias("__dst"), F.col(weight).alias("__w")
     )
+    # Optimization r14: materialize the two loop-invariant frames. The
+    # node table and the out-weight-annotated edge list were re-derived
+    # EVERY sweep (nodes: union+distinct over the edges, iters+1 times;
+    # ew: edge scan + out-weight aggregate + join, iters times). The
+    # adjacency structure is what every iterative graph engine pins
+    # down once; per sweep the plan now only shuffles the |nodes|-row
+    # rank frame and the dst-keyed contributions — and the checkpointed
+    # ew keeps its hash(__src) partitioning, so the per-sweep rank join
+    # moves ranks only, never the edge list.
     nodes = (
         e.select(F.col("__src").alias("node"))
         .union(e.select(F.col("__dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     outw = e.groupBy("__src").agg(F.sum("__w").cast("long").alias("__out_w"))
-    ew = e.join(outw, "__src")
+    ew = e.join(outw, "__src").localCheckpoint(eager=True)
     base = _MICRO - damping_ppm
     dec = "decimal(38,0)"
     ranks = nodes.select("node", F.lit(_MICRO).cast("long").alias("rank_micro"))
@@ -218,7 +228,11 @@ def bfs_hops(
     e = edges.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d"))
     if symmetric:
         e = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    e = e.distinct().localCheckpoint()
+    # Optimization r14: hash(s)-partition BEFORE the one-time checkpoint
+    # — distinct's hash(s, d) layout does not satisfy the per-round
+    # frontier join's hash(s) requirement, so every round used to
+    # re-shuffle the full edge list; now only the frontier moves.
+    e = e.distinct().repartition(F.col("s")).localCheckpoint()
     reached = spark.createDataFrame([(int(source), 0)], "node bigint, hop int")
     for i in range(1, max_hops + 1):
         frontier = reached.filter(F.col("hop") == i - 1).select(
@@ -472,6 +486,11 @@ def harmonic_centrality(
         .filter(F.col("s") != F.col("d"))
         .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
         .distinct()
+        # Optimization r14: s-partitioned before the one-time
+        # checkpoint so the per-round frontier join reuses the edge
+        # layout instead of re-shuffling the edge list every round
+        # (see bfs_hops).
+        .repartition(F.col("s"))
         .localCheckpoint(eager=True)
     )
     reached = und.select(F.col("s").alias("source")).distinct().select(
@@ -538,7 +557,10 @@ def hierarchy_rollup(
     e = edges.select(
         F.col(child).alias("__c"), F.col(parent).alias("__p")
     ).filter(F.col("__c").isNotNull() & F.col("__p").isNotNull()).distinct()
-    e = e.localCheckpoint(eager=True)
+    # Optimization r14: child-partitioned before the one-time
+    # checkpoint — the per-round lift joins on __c, so only the
+    # frontier moves per round (see bfs_hops).
+    e = e.repartition(F.col("__c")).localCheckpoint(eager=True)
     base = values.select(
         F.col(node).alias("__n"), F.col(value).cast("long").alias("__v")
     )
@@ -641,6 +663,10 @@ def sssp_weighted(
         )
         .groupBy("s", "d")
         .agg(F.min("w").alias("w"))
+        # Optimization r14: s-partitioned before the one-time checkpoint
+        # so the per-round frontier join reuses the edge layout instead
+        # of re-shuffling the edge list every round (see bfs_hops).
+        .repartition(F.col("s"))
         .localCheckpoint(eager=True)
     )
     dist = spark.createDataFrame(
@@ -717,28 +743,46 @@ def assortativity(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = und.groupBy(F.col("s").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
+    # Optimization r14 — symmetric-pair moment identities. Over the
+    # symmetrized ordered-pair stream, node s appears as source exactly
+    # deg(s) times, so Σ_pairs 1 = Σ deg, Σ_pairs deg(s) = Σ deg²,
+    # Σ_pairs deg(s)² = Σ deg³, and by symmetry the y-moments equal the
+    # x-moments EXACTLY (same decimal sums of the same multiset). Only
+    # the cross moment needs the edge list: Σ_pairs deg(s)·deg(d)
+    # = Σ_s deg(s)·(Σ_{d∈N(s)} deg(d)) — ONE node-keyed join to fetch
+    # neighbor degrees plus one degree-table-sized join, instead of the
+    # former TWO full edge-list joins (and the degree table, referenced
+    # three ways, is checkpointed — it was re-aggregated per reference).
+    deg = (
+        und.groupBy(F.col("s").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=True)
     )
-    pairs = (
-        und.join(deg.select(F.col("node").alias("s"), F.col("deg").alias("__dx")), "s")
-        .join(deg.select(F.col("node").alias("d"), F.col("deg").alias("__dy")), "d")
-        .select(
-            F.col("__dx").cast(dec).alias("__x"),
-            F.col("__dy").cast(dec).alias("__y"),
+    nbr = (
+        und.join(deg.select(F.col("node").alias("d"), F.col("deg").alias("__dy")), "d")
+        .groupBy("s")
+        .agg(F.sum(F.col("__dy").cast(dec)).cast(dec).alias("__u"))
+    )
+    cross = (
+        nbr.join(deg.select(F.col("node").alias("s"), F.col("deg").alias("__dx")), "s")
+        .groupBy()
+        .agg(F.sum(F.col("__dx").cast(dec) * F.col("__u")).cast(dec).alias("__sxy"))
+    )
+    dg = F.col("deg").cast(dec)
+    m = (
+        deg.groupBy()
+        .agg(
+            F.sum("deg").cast("long").alias("__np"),
+            F.sum(dg * dg).cast(dec).alias("__sx"),
+            F.sum(dg * dg).cast(dec).alias("__sy"),
+            F.sum(dg * dg * dg).cast(dec).alias("__sxx"),
+            F.sum(dg * dg * dg).cast(dec).alias("__syy"),
         )
+        .join(F.broadcast(cross))
     )
-    m = pairs.groupBy().agg(
-        F.count(F.lit(1)).cast("long").alias("__np"),
-        F.sum("__x").cast(dec).alias("__sx"),
-        F.sum("__y").cast(dec).alias("__sy"),
-        F.sum(F.col("__x") * F.col("__y")).cast(dec).alias("__sxy"),
-        F.sum(F.col("__x") * F.col("__x")).cast(dec).alias("__sxx"),
-        F.sum(F.col("__y") * F.col("__y")).cast(dec).alias("__syy"),
-    )
-    counts = und.groupBy().agg(
-        F.countDistinct("s").cast("long").alias("n_nodes"),
-        (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+    counts = deg.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (F.sum("deg") / 2).cast("long").alias("n_edges"),
     )
     n = F.col("__np").cast("double")
     sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
@@ -887,6 +931,13 @@ def hits_scores(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Optimization r14: HITS alternates join keys (s for the authority
+    # sweep, d for the hub sweep), so ONE edge layout cannot serve both
+    # — materialize the classic CSR/CSC pair once (two shuffles, paid
+    # once) and every sweep thereafter moves only the |nodes|-row score
+    # frame instead of re-shuffling the edge list.
+    es = e.repartition(F.col("s")).localCheckpoint(eager=True)
+    ed = e.repartition(F.col("d")).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))
@@ -897,13 +948,13 @@ def hits_scores(
     auth = None
     for _ in range(iters):
         auth = (
-            e.join(hub.select(F.col("node").alias("s"), "h"), "s")
+            es.join(hub.select(F.col("node").alias("s"), "h"), "s")
             .groupBy(F.col("d").alias("node"))
             .agg(F.sum("h").cast("long").alias("a"))
             .localCheckpoint(eager=True)
         )
         hub = (
-            e.join(auth.select(F.col("node").alias("d"), "a"), "d")
+            ed.join(auth.select(F.col("node").alias("d"), "a"), "d")
             .groupBy(F.col("s").alias("node"))
             .agg(F.sum("a").cast("long").alias("h"))
             .localCheckpoint(eager=True)

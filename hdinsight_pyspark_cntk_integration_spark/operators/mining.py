@@ -72,9 +72,20 @@ def frequent_pairs(
         min_pair_support = min_support
 
     # Presence, not multiplicity: one row per (basket, item).
-    bi = df.select(
-        F.col(basket_col).alias("__basket"), F.col(item_col).alias("__item")
-    ).distinct()
+    # Optimization r14: materialized — `bi` is referenced FOUR times
+    # (item counts, basket total, both sides of the pair self-join), and
+    # unmaterialized each reference re-ran the upstream join + distinct
+    # (15 Exchanges at the gate). The presence table is the standard
+    # Apriori transaction table (≤ |baskets|·|item domain| rows, strictly
+    # smaller than the input stream); one materialization replaces four
+    # full input derivations.
+    bi = (
+        df.select(
+            F.col(basket_col).alias("__basket"), F.col(item_col).alias("__item")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     item_counts = bi.groupBy("__item").agg(F.count(F.lit(1)).cast("long").alias("n_item"))
     frequent = item_counts.filter(F.col("n_item") >= min_support)

@@ -1153,17 +1153,6 @@ def knn_label_disagreement(
         F.col(label_col).alias("__lbl"),
         l2_norm(vec_col).alias("__nrm"),
     )
-    if candidates is None:
-        ids = base.select(F.col("__id"))
-        candidates = ids.select(F.col("__id").alias("id")).join(
-            F.broadcast(ids.select(F.col("__id").alias("neighbor"))),
-            F.col("id") != F.col("neighbor"),
-        )
-    else:
-        candidates = candidates.select(
-            F.col(candidates.columns[0]).alias("id"),
-            F.col(candidates.columns[1]).alias("neighbor"),
-        ).filter(F.col("id") != F.col("neighbor")).distinct()
     a = base.select(
         F.col("__id").alias("id"), F.col("__v").alias("__va"),
         F.col("__lbl").alias("label"), F.col("__nrm").alias("__na"),
@@ -1174,11 +1163,26 @@ def knn_label_disagreement(
     )
     denom = F.col("__na") * F.col("__nb")
     cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(dot("__va", "__vb") / denom)
-    scored = (
-        candidates.join(a, "id")
-        .join(b, "neighbor")
-        .select("id", "label", "neighbor", "__nlbl", cos.alias("__cos"))
-    )
+    if candidates is None:
+        # Optimization r14: the exact all-pairs gate form scores the
+        # pairs DIRECTLY (one broadcast join with the id≠neighbor
+        # predicate — the allowlisted bounded-slice broadcast) instead
+        # of first materializing an id×id candidate frame and paying
+        # two more vector-fetch joins; the pair set and every cosine
+        # are identical.
+        scored = a.join(F.broadcast(b), F.col("id") != F.col("neighbor")).select(
+            "id", "label", "neighbor", "__nlbl", cos.alias("__cos")
+        )
+    else:
+        candidates = candidates.select(
+            F.col(candidates.columns[0]).alias("id"),
+            F.col(candidates.columns[1]).alias("neighbor"),
+        ).filter(F.col("id") != F.col("neighbor")).distinct()
+        scored = (
+            candidates.join(a, "id")
+            .join(b, "neighbor")
+            .select("id", "label", "neighbor", "__nlbl", cos.alias("__cos"))
+        )
     w_rank = Window.partitionBy("id").orderBy(F.desc("__cos"), F.col("neighbor"))
     top = scored.withColumn("__rn", F.row_number().over(w_rank)).filter(
         F.col("__rn") <= k
@@ -1258,29 +1262,71 @@ def nearest_centroid(
             ).alias("__q"),
         )
     )
+    # Optimization r14: the centroid table collapses to |labels| rows of
+    # (component-sum ARRAY, member count) — bounded, so it is built once
+    # and checkpointed (house idiom), then broadcast against the corpus.
+    # Each vector's |labels| dot products run as an in-row DECIMAL(38,0)
+    # zip — the same exact products and sums the previous
+    # (explode ⋈ centroid-components → corpus×dim×|labels|-row hash
+    # aggregate) produced, without the explode, the pos-keyed join, the
+    # wide aggregation, or the per-vector ranking window (the argmax is
+    # now a partial-aggregable struct-min with the identical
+    # desc-score/asc-label tie order).
     exploded = quantized.select(
         "__vid", "__lbl", F.posexplode("__q").alias("pos", "qv")
     )
-    cent = exploded.groupBy(F.col("__lbl").alias("__c"), "pos").agg(
-        F.sum(F.col("qv").cast("decimal(38,0)")).alias("__s"),
-    )
-    n_c = quantized.groupBy(F.col("__lbl").alias("__c")).agg(
-        F.count(F.lit(1)).cast("long").alias("__n")
+    cent = (
+        exploded.groupBy(F.col("__lbl").alias("__c"), "pos")
+        .agg(
+            F.sum(F.col("qv").cast("decimal(38,0)")).alias("__s"),
+            F.count(F.lit(1)).cast("long").alias("__cnt"),
+        )
+        .groupBy("__c")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("__s")))
+                ),
+                lambda s: s["__s"],
+            ).alias("__cs"),
+            F.max("__cnt").cast("long").alias("__n"),
+        )
+        .localCheckpoint(eager=True)
     )
     dots = (
-        exploded.join(F.broadcast(cent), "pos")
-        .groupBy("__vid", "__lbl", "__c")
-        .agg(F.sum(F.col("qv").cast("decimal(38,0)") * F.col("__s")).alias("__dot"))
-        .join(F.broadcast(n_c), "__c")
+        quantized.join(F.broadcast(cent))
         .select(
-            "__vid", "__lbl", "__c",
-            F.expr(f"CAST((__dot * {scale}) DIV __n AS DECIMAL(38,0))").alias("__score"),
+            "__vid",
+            "__lbl",
+            "__c",
+            F.aggregate(
+                F.zip_with(
+                    F.col("__q"),
+                    F.col("__cs"),
+                    lambda a, b: a.cast("decimal(38,0)") * b,
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, t: acc + t,
+            ).alias("__dot"),
+            F.col("__n"),
+        )
+        .select(
+            "__vid",
+            "__lbl",
+            "__c",
+            F.expr(f"CAST((__dot * {scale}) DIV __n AS DECIMAL(38,0))").alias(
+                "__score"
+            ),
         )
     )
-    pick = Window.partitionBy("__vid").orderBy(F.desc("__score"), F.asc("__c"))
     assigned = (
-        dots.withColumn("__rn", F.row_number().over(pick))
-        .filter(F.col("__rn") == 1)
+        dots.groupBy("__vid", "__lbl")
+        .agg(
+            F.min(
+                F.struct((-F.col("__score")).alias("ns"), F.col("__c").alias("c"))
+            ).alias("s")
+        )
+        .select("__lbl", F.col("s.c").alias("__c"))
     )
     return (
         assigned.groupBy(
@@ -1341,36 +1387,64 @@ def mmr_rerank(
         .select(query_id, corpus_id, "__cv", F.col("score").alias("__rel"))
         .localCheckpoint(eager=True)
     )
-    first = Window.partitionBy(query_id).orderBy(F.desc("__rel"), F.asc(corpus_id))
-    selected = (
-        cand.withColumn("__rn", F.row_number().over(first))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-        .withColumn("rank", F.lit(1))
-        .localCheckpoint(eager=True)
+    # Optimization r14 — incremental greedy state. Per round the max
+    # similarity to the selected set obeys ms(x, S ∪ {c}) =
+    # greatest(ms(x, S), cos(x, c)) (float max is order-free), so each
+    # round is ONE per-query window argmax (struct max over the pool —
+    # the identical desc-key/asc-id tie order the row_number form had)
+    # plus a map-side state update pulling the picked row's vector out
+    # of the same window — no anti-join, no pool×selected re-join, no
+    # per-round materialization: all k rounds fuse into one linear plan
+    # over the checkpointed candidate pool (one job instead of ~3/round).
+    wq = Window.partitionBy(query_id)
+    state = cand.select(
+        query_id,
+        corpus_id,
+        "__cv",
+        "__rel",
+        F.lit(False).alias("__sel"),
+        F.lit(None).cast("long").alias("rank"),
+        F.lit(None).cast("double").alias("__ms"),
     )
-    for r in range(2, k + 1):
-        rem = cand.join(
-            selected.select(query_id, corpus_id), [query_id, corpus_id], "left_anti"
-        )
-        sims = (
-            rem.join(
-                selected.select(F.col(query_id), F.col("__cv").alias("__sv")),
-                query_id,
+    for r in range(1, k + 1):
+        key = (
+            F.struct(F.col("__rel").alias("d"), (-F.col(corpus_id)).alias("nid"))
+            if r == 1
+            else F.struct(
+                (
+                    F.lit(lam) * F.col("__rel") - F.lit(1.0 - lam) * F.col("__ms")
+                ).alias("d"),
+                (-F.col(corpus_id)).alias("nid"),
             )
-            .groupBy(query_id, corpus_id, "__cv", "__rel")
-            .agg(F.max(cosine_similarity("__cv", "__sv")).alias("__ms"))
         )
-        mmr = F.lit(lam) * F.col("__rel") - F.lit(1.0 - lam) * F.col("__ms")
-        w = Window.partitionBy(query_id).orderBy(F.desc(mmr), F.asc(corpus_id))
-        pick = (
-            sims.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(query_id, corpus_id, "__cv", "__rel")
-            .withColumn("rank", F.lit(r))
+        pick = F.max(
+            F.when(
+                ~F.col("__sel"),
+                F.struct(key["d"].alias("d"), key["nid"].alias("nid"),
+                         F.col("__cv").alias("cv")),
+            )
+        ).over(wq)
+        is_pick = ~F.col("__sel") & (
+            key == F.struct(pick["d"].alias("d"), pick["nid"].alias("nid"))
         )
-        selected = selected.union(pick).localCheckpoint(eager=True)
-    return selected.select(
+        state = state.select(
+            query_id,
+            corpus_id,
+            "__cv",
+            "__rel",
+            (F.col("__sel") | is_pick).alias("__sel"),
+            F.when(F.col("__sel"), F.col("rank"))
+            .when(is_pick, F.lit(r).cast("long"))
+            .alias("rank"),
+            F.when(F.col("__sel") | is_pick, F.col("__ms"))
+            .otherwise(
+                F.greatest(
+                    F.col("__ms"), cosine_similarity(F.col("__cv"), pick["cv"])
+                )
+            )
+            .alias("__ms"),
+        )
+    return state.filter(F.col("__sel")).select(
         query_id,
         F.col("rank").cast("long").alias("rank"),
         corpus_id,
@@ -1587,24 +1661,31 @@ def power_iteration_quantized(
         )
         .localCheckpoint(eager=True)
     )
+    # Optimization r14: the norm is computed as an unbounded window over
+    # the dim-sized w vector (dim is fixed and tiny — the value-domain-
+    # bounded window class) instead of a 1-row aggregate + broadcast
+    # join. That removes the diamond (w was referenced by both the norm
+    # and the re-quantization), so NO per-round materialization is
+    # needed: all `rounds` iterations fuse into ONE linear plan over the
+    # checkpointed dim²-bounded covariance — one Spark job instead of
+    # 2 jobs (checkpoint + broadcast build) per round. The arithmetic is
+    # unchanged: same DECIMAL(38,0) sums, same single sqrt per round.
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     for _ in range(rounds):
         w = (
             cov.join(vec, cov.j == vec.pos)
             .groupBy(F.col("i").alias("pos"))
             .agg(F.sum(F.col("cv") * F.col("v")).alias("w"))
         )
-        nrm = w.groupBy().agg(
-            F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nr")
-        )
-        vec = (
-            w.join(F.broadcast(nrm))
-            .select(
-                "pos",
-                F.floor(F.col("w").cast("double") / F.col("nr") * scale_v)
-                .cast("long")
-                .alias("v"),
+        vec = w.select(
+            "pos",
+            F.floor(
+                F.col("w").cast("double")
+                / F.sqrt(F.sum(F.col("w") * F.col("w")).over(wall).cast("double"))
+                * scale_v
             )
-            .localCheckpoint(eager=True)
+            .cast("long")
+            .alias("v"),
         )
     return vec.select(F.col("pos").cast("long").alias("pos"), F.col("v").alias("component_micro"))
 
@@ -1644,70 +1725,93 @@ def kcenter_select(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1 (got {k})")
+
+    # Optimization r14 — incremental farthest-point state. The classic
+    # identity dmin(x, S ∪ {c}) = min(dmin(x, S), d(x, c)) lets each
+    # round update a per-point running dmin with ONE map-side pass
+    # (array zip in DECIMAL — the same exact integers the exploded
+    # (pos-join + double groupBy) form produced) plus the unchanged
+    # 1-row partial-aggregable struct argmax; the O(pool·|selected|)
+    # per-round re-scoring, the pos-keyed join, and the anti-join all
+    # disappear. Per round: one argmax broadcast + one checkpointed map.
+    def d2(a: Column, b: Column) -> Column:
+        # exact integer squared L2, accumulated in DECIMAL(38,0); the
+        # docstring's BIGINT bound on dmin makes the long cast safe
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y).cast("decimal(38,0)") * (x - y)),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, t: acc + t,
+        ).cast("long")
+
     v = F.col(vec_col).cast("array<double>")
     q = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         F.transform(v, lambda x: F.floor(x * scale).cast("long")).alias("__qv"),
     )
-    ex = q.select(
-        "__id", F.posexplode("__qv").alias("pos", "qv")
-    ).localCheckpoint(eager=True)
-    first = q.select(F.min("__id").alias("__id"))
-    selected = (
-        ex.join(first, "__id")
+    first = q.groupBy().agg(
+        F.min(F.struct(F.col("__id").alias("i"), F.col("__qv").alias("qv"))).alias("s")
+    ).select(F.col("s.i").alias("__pid"), F.col("s.qv").alias("__pqv"))
+    state = (
+        q.join(F.broadcast(first))
         .select(
-            F.lit(1).cast("long").alias("rank"),
             "__id",
-            "pos",
-            F.col("qv").alias("c"),
-            F.lit(None).cast("long").alias("dmin"),
+            "__qv",
+            (F.col("__id") == F.col("__pid")).alias("__sel"),
+            F.when(F.col("__id") == F.col("__pid"), F.lit(1).cast("long")).alias(
+                "__rank"
+            ),
+            F.lit(None).cast("long").alias("__dminsel"),
+            d2(F.col("__qv"), F.col("__pqv")).alias("__dmin"),
         )
         .localCheckpoint(eager=True)
     )
     for r in range(2, k + 1):
-        rem = ex.join(selected.select("__id").distinct(), "__id", "left_anti")
-        dm = (
-            rem.join(
-                selected.select(
-                    F.col("__id").alias("__sid"), "pos", "c"
-                ),
-                "pos",
-            )
-            .groupBy("__id", "__sid")
-            .agg(
-                F.sum(
-                    (F.col("qv") - F.col("c")).cast("decimal(38,0)")
-                    * (F.col("qv") - F.col("c"))
-                ).alias("d")
-            )
-            .groupBy("__id")
-            .agg(F.min("d").alias("dmin"))
-        )
         pick = (
-            dm.groupBy()
+            state.filter(~F.col("__sel"))
+            .groupBy()
             .agg(
                 F.max(
                     F.struct(
-                        F.col("dmin").alias("d"), (-F.col("__id")).alias("nid")
+                        F.col("__dmin").alias("d"),
+                        (-F.col("__id")).alias("nid"),
+                        F.col("__qv").alias("qv"),
                     )
                 ).alias("s")
             )
             .select(
-                (-F.col("s.nid")).cast("long").alias("__id"),
-                F.col("s.d").cast("long").alias("dmin"),
+                (-F.col("s.nid")).cast("long").alias("__pid"),
+                F.col("s.qv").alias("__pqv"),
             )
         )
-        newsel = ex.join(pick, "__id").select(
-            F.lit(r).cast("long").alias("rank"),
-            "__id",
-            "pos",
-            F.col("qv").alias("c"),
-            "dmin",
+        new_sel = F.col("__sel") | (F.col("__id") == F.col("__pid"))
+        state = (
+            state.join(F.broadcast(pick))
+            .select(
+                "__id",
+                "__qv",
+                new_sel.alias("__sel"),
+                F.when(F.col("__sel"), F.col("__rank"))
+                .when(F.col("__id") == F.col("__pid"), F.lit(r).cast("long"))
+                .alias("__rank"),
+                F.when(F.col("__sel"), F.col("__dminsel"))
+                .when(F.col("__id") == F.col("__pid"), F.col("__dmin"))
+                .alias("__dminsel"),
+                F.when(new_sel, F.col("__dmin"))
+                .otherwise(F.least(F.col("__dmin"), d2(F.col("__qv"), F.col("__pqv"))))
+                .alias("__dmin"),
+            )
+            .localCheckpoint(eager=True)
         )
-        selected = selected.unionByName(newsel).localCheckpoint(eager=True)
-    return selected.select(
-        "rank", F.col("__id").alias(id_col), "dmin"
-    ).distinct()
+    return (
+        state.filter(F.col("__sel"))
+        .select("__rank", "__id", "__dminsel")
+        .select(
+            F.col("__rank").alias("rank"),
+            F.col("__id").alias(id_col),
+            F.col("__dminsel").alias("dmin"),
+        )
+        .distinct()
+    )
 
 
 def retrieval_metrics(
@@ -1746,25 +1850,39 @@ def retrieval_metrics(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1 (got {k})")
+    # Optimization r14: the query universe is derived from the top-k
+    # slice and the gold side meeting in ONE full-outer join, instead of
+    # a separate union+distinct over the unfiltered ranked input — that
+    # re-derived `ranked` (often an expensive upstream ranking) a second
+    # time and paid an extra distinct shuffle. Assumption (tightened,
+    # documented): ranks are 1-based and contiguous per query — true of
+    # every rank producer in this engine (row_number) — so every ranked
+    # query has a rank-1 row and distinct(topk.query) == distinct
+    # (ranked.query). The gold match is a LEFT join marker, so per-query
+    # hit counts and first-gold-rank come out of the same pass.
     topk = ranked.filter(F.col(rank_col) <= k).select(
         F.col(query_id), F.col(doc_id), F.col(rank_col).alias("__rank")
     )
-    hits = (
-        topk.join(gold.select(query_id, doc_id), [query_id, doc_id])
+    per_ranked = (
+        topk.join(
+            gold.select(query_id, doc_id).withColumn("__g", F.lit(1)),
+            [query_id, doc_id],
+            "left",
+        )
         .groupBy(query_id)
         .agg(
-            F.min("__rank").cast("long").alias("__first"),
-            F.count(F.lit(1)).cast("long").alias("__hits"),
+            F.min(F.when(F.col("__g") == 1, F.col("__rank")))
+            .cast("long")
+            .alias("__first"),
+            F.sum(F.coalesce(F.col("__g"), F.lit(0)))
+            .cast("long")
+            .alias("__hits"),
         )
     )
     gn = gold.groupBy(query_id).agg(F.count(F.lit(1)).cast("long").alias("__gold"))
-    universe = (
-        ranked.select(query_id).union(gold.select(query_id)).distinct()
-    )
     per = (
-        universe
-        .join(hits, query_id, "left")
-        .join(gn, query_id, "left")
+        per_ranked
+        .join(gn, query_id, "full_outer")
         .select(
             F.coalesce(F.col("__hits"), F.lit(0).cast("long")).alias("h"),
             F.coalesce(F.col("__gold"), F.lit(0).cast("long")).alias("g"),
@@ -1809,9 +1927,15 @@ def ndcg_at_k(
     all rel=0 have idcg 0 and are excluded from the mean — documented
     convention), and the corpus mean truncates once more.
 
-    Scale shape: rank filter to ≤ k rows per query, ONE
-    query-partitioned window for the ideal re-sort (ties on original
-    rank), two query-keyed partial-agg shuffles, 1-row reduce.
+    Scale shape (optimization r14): rank filter to ≤ k rows per query,
+    then ONE pass computes BOTH sums — the actual-position weight comes
+    straight from ``rank`` and the ideal-position weight from a single
+    query-partitioned window (ties on original rank), so dcg and idcg
+    fall out of the SAME query-keyed partial aggregation. The previous
+    form derived ``top`` twice (one branch per sum) and re-joined the
+    two aggregates; fusing removes one full input derivation, one
+    shuffle, and the query-keyed join, with bit-identical integer
+    arithmetic.
 
     Returns one row (n_queries, sum_dcg, sum_idcg, mean_ndcg_micro).
     """
@@ -1820,33 +1944,38 @@ def ndcg_at_k(
     if k < 1 or k > 64:
         raise ValueError(f"k must be in [1, 64] (got {k})")
     weights = {i: int(math.floor(1e12 / math.log2(i + 1))) for i in range(1, k + 1)}
-    case = (
-        "CASE __pos "
-        + " ".join(f"WHEN {i} THEN CAST({w} AS BIGINT)" for i, w in weights.items())
-        + " END"
-    )
+
+    def case(pos: str) -> str:
+        return (
+            f"CASE {pos} "
+            + " ".join(f"WHEN {i} THEN CAST({w} AS BIGINT)" for i, w in weights.items())
+            + " END"
+        )
+
     top = judged.filter(F.col(rank_col) <= k).select(
         F.col(query_id),
         F.col(rank_col).alias("__rank"),
         F.col(rel_col).cast("long").alias("__rel"),
     )
-    dcg = (
-        top.withColumn("__pos", F.col("__rank"))
-        .select(query_id, "__rel", F.expr(case).alias("__w"))
-        .groupBy(query_id)
-        .agg(F.sum(F.col("__rel").cast("decimal(38,0)") * F.col("__w")).alias("dcg"))
-    )
     ideal_w = Window.partitionBy(query_id).orderBy(
         F.desc("__rel"), F.asc("__rank")
     )
-    idcg = (
-        top.withColumn("__pos", F.row_number().over(ideal_w))
-        .select(query_id, "__rel", F.expr(case).alias("__w"))
+    both = (
+        top.withColumn("__ipos", F.row_number().over(ideal_w))
+        .select(
+            query_id,
+            "__rel",
+            F.expr(case("__rank")).alias("__wa"),
+            F.expr(case("__ipos")).alias("__wi"),
+        )
         .groupBy(query_id)
-        .agg(F.sum(F.col("__rel").cast("decimal(38,0)") * F.col("__w")).alias("idcg"))
+        .agg(
+            F.sum(F.col("__rel").cast("decimal(38,0)") * F.col("__wa")).alias("dcg"),
+            F.sum(F.col("__rel").cast("decimal(38,0)") * F.col("__wi")).alias("idcg"),
+        )
     )
     per = (
-        dcg.join(idcg, query_id)
+        both
         .filter(F.col("idcg") > 0)
         .select(
             "dcg",

@@ -1005,6 +1005,15 @@ def anova_f(
         F.count(F.lit(1)).cast("long").alias("__ng"),
         F.sum(cd).cast(dec).alias("__sg"),
     )
+    return _anova_f_from_moments(grand, per_g)
+
+
+def _anova_f_from_moments(grand: DataFrame, per_g: DataFrame) -> DataFrame:
+    """Shared ANOVA tail: ``grand`` is one row (__n, __s, __q) of exact
+    DECIMAL grand moments, ``per_g`` is (__ng, __sg) per group. Split out
+    of :func:`anova_f` so count-weighted producers (levene_bf's cell
+    table) reuse the IDENTICAL pico/floor expression chain — the output
+    is bit-for-bit the row-level computation's."""
     pico = F.lit(1_000_000_000_000.0)
     sg, ng = F.col("__sg").cast("double"), F.col("__ng").cast("double")
     q = F.col("__q").cast("double")
@@ -1979,14 +1988,73 @@ def levene_bf(
     rows = df.filter(F.col(group_col).isNotNull()).select(
         F.col(group_col).alias("__g"), cents.alias("__c")
     )
-    meds = rows.groupBy("__g").agg(
-        F.expr("percentile(__c, 0.5)").alias("__med")
+    # Optimization r14: the previous form scanned the input THREE times
+    # (exact `percentile` collect for the medians, then anova_f's grand
+    # + per-group moment passes over the deviation rows). ONE pass now
+    # collapses the rows to (group, cent) CELL counts — the
+    # value-domain-bounded aggregate the ks_drift/wasserstein family
+    # already relies on — and every later step is cell-scale:
+    # the interpolating median is read off the per-group cumulative
+    # cell window (lower/upper order statistics; (lo+hi)/2 over
+    # exactly-representable integer doubles is bit-identical to
+    # Spark's `percentile(.., 0.5)` interpolation lower+(hi-lo)*0.5),
+    # and the ANOVA moments are count-weighted cell sums — the same
+    # integer additions row-level anova_f performs, reassociated.
+    dec = "decimal(38,0)"
+    cells = (
+        rows.groupBy("__g", "__c")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+        .localCheckpoint(eager=True)
     )
-    staged = rows.join(F.broadcast(meds), "__g").select(
+    nn = cells.filter(F.col("__c").isNotNull())
+    wg = Window.partitionBy("__g")
+    wcum = Window.partitionBy("__g").orderBy("__c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = nn.select(
         "__g",
-        F.abs(F.col("__c").cast("double") - F.col("__med")).alias("__z"),
+        "__c",
+        F.sum("__cnt").over(wcum).cast("long").alias("__cum"),
+        F.sum("__cnt").over(wg).cast("long").alias("__n"),
     )
-    return anova_f(staged, "__g", "__z")
+    meds = (
+        cum.groupBy("__g")
+        .agg(
+            F.min(
+                F.when(F.col("__cum") >= F.expr("(__n - 1) DIV 2 + 1"), F.col("__c"))
+            ).alias("__lo"),
+            F.min(
+                F.when(F.col("__cum") >= F.expr("__n DIV 2 + 1"), F.col("__c"))
+            ).alias("__hi"),
+        )
+        .select(
+            "__g",
+            (
+                (F.col("__lo").cast("double") + F.col("__hi").cast("double"))
+                / F.lit(2.0)
+            ).alias("__med"),
+        )
+    )
+    # per-cell deviation, re-quantized exactly as anova_f's row path
+    # (z is a half-integer double, so z*100 is an exact integer double)
+    zc = F.round(
+        F.abs(F.col("__c").cast("double") - F.col("__med")) * 100
+    ).cast("long")
+    staged = cells.join(F.broadcast(meds), "__g").select(
+        "__g", "__cnt", zc.alias("__z")
+    )
+    cntd = F.col("__cnt").cast(dec)
+    zd = F.col("__z").cast(dec)
+    grand = staged.groupBy().agg(
+        F.sum("__cnt").cast("long").alias("__n"),
+        F.sum(cntd * zd).cast(dec).alias("__s"),
+        F.sum(cntd * zd * zd).cast(dec).alias("__q"),
+    )
+    per_g = staged.groupBy("__g").agg(
+        F.sum("__cnt").cast("long").alias("__ng"),
+        F.sum(cntd * zd).cast(dec).alias("__sg"),
+    )
+    return _anova_f_from_moments(grand, per_g)
 
 
 def ks_drift(
@@ -3423,11 +3491,20 @@ def dawid_skene_hard(
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1 (got {iters})")
-    votes = df.select(
-        F.col(item_col).alias("__it"),
-        F.col(rater_col).alias("__r"),
-        F.col(label_col).cast("long").alias("__l"),
-    ).localCheckpoint(eager=True)
+    # Optimization r14: votes are hash(__it)-partitioned before the
+    # one-time checkpoint — every per-round step is item-keyed (the
+    # consensus join, the weighted-vote aggregate, the argmax), so the
+    # materialized layout satisfies them all and only the |items|-row
+    # label frame and the tiny per-rater accuracy table move per round.
+    votes = (
+        df.select(
+            F.col(item_col).alias("__it"),
+            F.col(rater_col).alias("__r"),
+            F.col(label_col).cast("long").alias("__l"),
+        )
+        .repartition(F.col("__it"))
+        .localCheckpoint(eager=True)
+    )
 
     def argmax_label(weighted: DataFrame, w_col: str) -> DataFrame:
         return (
@@ -3458,7 +3535,10 @@ def dawid_skene_hard(
                 "CAST(CAST(SUM(CASE WHEN __l = __c THEN 1 ELSE 0 END)"
                 " AS DECIMAL(38,0)) * 1000000 DIV COUNT(*) AS BIGINT)"
             ).alias("accuracy_micro"),
-        ).localCheckpoint(eager=True)
+        )
+        # acc is consumed exactly once (the weighted re-vote below) and
+        # both of its inputs are already materialized — checkpointing it
+        # only added a blocking job per round (optimization r14).
         weighted = (
             votes.join(acc.select("__r", "accuracy_micro"), "__r")
             .groupBy("__it", "__l")
@@ -5148,23 +5228,30 @@ def spearman_rho(
     exact integers, so the only float is ONE division by the sqrt of
     their exact product, floored to micro.
 
-    Scale shape: two distinct-value partial-agg shuffles + their
-    bounded windows, two value-keyed joins back onto the rows, one
-    reduce. The base projection is deliberately NOT materialized (it is
-    ROW-scale; the house checkpoint idiom is reserved for bounded
-    frames), so the plan scans the source three times — each a
-    2-column pruned scan, which at 100 TB is far cheaper than
-    spilling a row-scale materialization. NULLs in either column drop
-    (documented).
+    Scale shape (optimization r14): ONE pass over the rows collapses to
+    the (x, y) CELL counts — bounded by the product of the two value
+    domains, the same boundedness assumption the per-variable rank
+    windows already make — and the cell table is materialized
+    (localCheckpoint, the house idiom for bounded frames). The previous
+    form re-derived the row projection three times (once per rank
+    branch, once for the moment sums) and shuffled ROW-scale data
+    through two rank joins; now every post-scan step — rank windows,
+    rank joins, moment sums (count-weighted, arithmetically identical)
+    — is cell-scale. NULLs in either column drop (documented).
 
     Returns one row (n, rho_micro).
     """
     base = df.select(F.col(x_col).alias("__x"), F.col(y_col).alias("__y")).filter(
         F.col("__x").isNotNull() & F.col("__y").isNotNull()
     )
+    cells = (
+        base.groupBy("__x", "__y")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cn"))
+        .localCheckpoint(eager=True)
+    )
 
     def doubled_ranks(col: str) -> DataFrame:
-        vc = base.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        vc = cells.groupBy(col).agg(F.sum("__cn").cast("long").alias("c"))
         w = Window.orderBy(F.col(col)).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
@@ -5177,19 +5264,20 @@ def spearman_rho(
 
     rx = doubled_ranks("__x")
     ry = doubled_ranks("__y")
-    ranked = base.join(rx, "__x").join(ry, "__y")
+    ranked = cells.join(rx, "__x").join(ry, "__y")
+    cn = F.col("__cn").cast("decimal(38,0)")
     tot = ranked.groupBy().agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("__x_2r").cast("decimal(38,0)")).alias("su"),
-        F.sum(F.col("__y_2r").cast("decimal(38,0)")).alias("sv"),
+        F.sum("__cn").cast("long").alias("n"),
+        F.sum(F.col("__x_2r").cast("decimal(38,0)") * cn).alias("su"),
+        F.sum(F.col("__y_2r").cast("decimal(38,0)") * cn).alias("sv"),
         F.sum(
-            F.col("__x_2r").cast("decimal(38,0)") * F.col("__x_2r")
+            F.col("__x_2r").cast("decimal(38,0)") * F.col("__x_2r") * cn
         ).alias("suu"),
         F.sum(
-            F.col("__y_2r").cast("decimal(38,0)") * F.col("__y_2r")
+            F.col("__y_2r").cast("decimal(38,0)") * F.col("__y_2r") * cn
         ).alias("svv"),
         F.sum(
-            F.col("__x_2r").cast("decimal(38,0)") * F.col("__y_2r")
+            F.col("__x_2r").cast("decimal(38,0)") * F.col("__y_2r") * cn
         ).alias("suv"),
     )
     return tot.select(
@@ -5224,9 +5312,16 @@ def goodman_kruskal_gamma(
 
     Returns one row (concordant, discordant, gamma_micro).
     """
-    cells = df.groupBy(
-        F.col(x_col).alias("x"), F.col(y_col).alias("y")
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # Optimization r14: the cell table is DOMAIN-bounded (the operator's
+    # whole premise), but it is referenced twice by the self-join below
+    # — unmaterialized, each side re-scanned and re-aggregated the full
+    # input. localCheckpoint (the house bounded-frame idiom) makes the
+    # source aggregation run once.
+    cells = (
+        df.groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     a = cells.alias("a")
     b = cells.alias("b")
     pair = a.join(
@@ -5296,16 +5391,21 @@ def page_hinkley(
         .orderBy(F.col("__o"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # The running-min window orders by the SAME physical column as the
+    # two windows before it (__o, which __i follows by construction) so
+    # all three windows share one (group, __o) sort — ordering by the
+    # derived __i forced Catalyst to re-sort (optimization r14).
     walk = stepped.select(
         "group",
         "__i",
+        "__o",
         F.sum("__dev").over(w2).cast("long").alias("__m"),
     ).select(
         "group",
         "__i",
         (F.col("__m") - F.min("__m").over(
             Window.partitionBy("group")
-            .orderBy(F.col("__i"))
+            .orderBy(F.col("__o"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )).alias("__ph"),
     )
@@ -5365,20 +5465,30 @@ def winsorized_mean(
         f"(n * {int(alpha_den - alpha_num)} + {int(alpha_den)} - 1)"
         f" DIV {int(alpha_den)}"
     )
-    bounds = cum.groupBy("group").agg(
-        F.max("n").alias("n"),
-        F.min(F.when(F.col("cum") >= lo_t, F.col("v"))).cast("long").alias("lo"),
-        F.min(F.when(F.col("cum") >= hi_t, F.col("v"))).cast("long").alias("hi"),
+    # Optimization r14: the clamp quantiles become two more windows over
+    # the SAME group partition of the cell table (no extra exchange),
+    # and the clamped mean is the count-weighted cell sum
+    # Σ c·clamp(v) — arithmetically identical to the former row-level
+    # sum — so the row stream is scanned and aggregated exactly ONCE;
+    # the previous form re-scanned the input and hash-joined the bounds
+    # back onto every row.
+    wg = Window.partitionBy("group").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    clamped = df.select(F.col(group_col).alias("group"), x.alias("v")).join(
-        bounds, "group"
+    bounded = cum.select(
+        "group",
+        "v",
+        "c",
+        "n",
+        F.min(F.when(F.col("cum") >= lo_t, F.col("v"))).over(wg).cast("long").alias("lo"),
+        F.min(F.when(F.col("cum") >= hi_t, F.col("v"))).over(wg).cast("long").alias("hi"),
     )
-    return clamped.groupBy("group").agg(
+    return bounded.groupBy("group").agg(
         F.max("n").alias("n"),
         F.max("lo").alias("lo"),
         F.max("hi").alias("hi"),
         F.expr(
-            "CAST(SUM(GREATEST(lo, LEAST(hi, v))) * 1000000 DIV MAX(n)"
+            "CAST(SUM(c * GREATEST(lo, LEAST(hi, v))) * 1000000 DIV MAX(n)"
             " AS BIGINT)"
         ).alias("wmean_micro"),
     )

@@ -538,10 +538,17 @@ def unigram_logprob(
     from pyspark.sql.window import Window
 
     ctf = F.sum("tf").over(Window.partitionBy("token")).cast("long")
-    total = tf.agg(F.sum("tf").cast("double").alias("t")).collect()[0]["t"]
-    with_lp = tf.withColumn(
+    # Optimization r14: the corpus total used to be a driver-blocking
+    # .collect() at DataFrame-BUILD time — a full second derivation of
+    # the exploded token stream (explode + tf aggregation) run before
+    # the main job could even start, plus a py4j sync. As a broadcast
+    # 1-row frame the same double value (SUM(tf) cast double — the
+    # identical aggregate) joins into the one plan: one pass total, and
+    # the log operand arithmetic is unchanged (long/double → double).
+    total = tf.agg(F.sum("tf").cast("double").alias("__t"))
+    with_lp = tf.join(F.broadcast(total)).withColumn(
         "lp_micro",
-        F.floor(F.log(ctf.cast("double") / F.lit(total)) * F.lit(1_000_000.0)).cast(
+        F.floor(F.log(ctf.cast("double") / F.col("__t")) * F.lit(1_000_000.0)).cast(
             "long"
         ),
     )
@@ -861,25 +868,50 @@ def bigram_logprob(
     tf = pairs.groupBy(id_col, "w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
-    corpus = tf.groupBy("w1", "w2").agg(F.sum("tf").cast("long").alias("c12"))
-    c1 = corpus.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
-    vocab_size = (
-        pairs.select(F.col("w1").alias("w")).union(pairs.select(F.col("w2").alias("w")))
-        .distinct()
-        .count()
+    # Optimization r14: the LM table is built ONCE and materialized.
+    # The previous form re-derived the exploded bigram stream ~5× in
+    # one plan — corpus and c1 each expanded `tf`, the vocabulary count
+    # was a driver-blocking .count() at BUILD time that exploded the
+    # corpus twice more (w1 and w2 sides), and the final join expanded
+    # `tf` again (15 Exchanges at the gate). Now: the vocabulary size
+    # comes from the distinct-bigram table itself (every token of the
+    # pair stream appears in some corpus row, so distinct(w1 ∪ w2) is
+    # the SAME set — exact same V), joins as a broadcast 1-row frame
+    # instead of a Python literal (identical long addition → double
+    # arithmetic), and the finished |bigram-types|-row model is
+    # localCheckpoint'ed — the model-scale frame a real pipeline would
+    # persist — so the scoring join reads it instead of re-deriving.
+    # The token stream is now derived exactly twice (model build,
+    # scoring), the unavoidable minimum without materializing the
+    # token-scale tf table itself.
+    corpus = (
+        tf.groupBy("w1", "w2")
+        .agg(F.sum("tf").cast("long").alias("c12"))
+        .localCheckpoint(eager=True)
     )
-    lp = corpus.join(c1, "w1").select(
-        "w1",
-        "w2",
-        F.floor(
-            F.log(
-                (F.col("c12") + F.lit(1)).cast("double")
-                / (F.col("c1") + F.lit(int(vocab_size))).cast("double")
+    c1 = corpus.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    vsize = (
+        corpus.select(F.col("w1").alias("w"))
+        .union(corpus.select(F.col("w2").alias("w")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("__v"))
+    )
+    lp = (
+        corpus.join(c1, "w1")
+        .join(F.broadcast(vsize))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                F.log(
+                    (F.col("c12") + F.lit(1)).cast("double")
+                    / (F.col("c1") + F.col("__v")).cast("double")
+                )
+                * F.lit(1_000_000.0)
             )
-            * F.lit(1_000_000.0)
+            .cast("long")
+            .alias("lp_micro"),
         )
-        .cast("long")
-        .alias("lp_micro"),
     )
     return (
         tf.join(lp, ["w1", "w2"])
@@ -1039,7 +1071,15 @@ def perplexity_buckets(
     then ONE 1-row global percentile aggregate broadcast back over the
     per-doc score table (|docs| rows, never the token stream).
     """
-    scored = bigram_logprob(df, id_col=id_col, text_col=text_col)
+    # Optimization r14: `scored` is referenced twice (tercile thresholds
+    # + final projection); unmaterialized, BOTH the LM build and the
+    # scoring join ran twice. The per-doc score table is the narrow
+    # decision proxy (4 numeric cols/doc — guide §8 "decide with small
+    # rows"): materializing it costs |docs|·~32 B and halves the
+    # pipeline, at any scale cheaper than a second full LM pass.
+    scored = bigram_logprob(df, id_col=id_col, text_col=text_col).localCheckpoint(
+        eager=True
+    )
     th = scored.agg(
         F.expr("percentile(mean_nll, CAST(1 AS DOUBLE)/3)").alias("__t1"),
         F.expr("percentile(mean_nll, CAST(2 AS DOUBLE)/3)").alias("__t2"),
@@ -1100,13 +1140,24 @@ def dsir_weights(
         extra_cols=("__is_t",),
     )
 
-    model = tagged.groupBy("bucket").agg(
-        F.sum(F.col("__is_t").cast("long")).alias("__ct"),
-        F.sum((~F.col("__is_t")).cast("long")).alias("__cr"),
+    # Optimization r14: the model is checkpointed (dim rows — trivially
+    # bounded) and the corpus totals are ITS column sums — exactly the
+    # same integers the old direct aggregate computed, without a third
+    # derivation of the hashed token stream (model, totals and scoring
+    # each re-exploded the corpus before; now the stream is derived
+    # twice — model build and scoring — the minimum without
+    # materializing token-scale data).
+    model = (
+        tagged.groupBy("bucket")
+        .agg(
+            F.sum(F.col("__is_t").cast("long")).alias("__ct"),
+            F.sum((~F.col("__is_t")).cast("long")).alias("__cr"),
+        )
+        .localCheckpoint(eager=True)
     )
-    totals = tagged.agg(
-        F.sum(F.col("__is_t").cast("long")).alias("__tt"),
-        F.sum((~F.col("__is_t")).cast("long")).alias("__tr"),
+    totals = model.agg(
+        F.sum("__ct").alias("__tt"),
+        F.sum("__cr").alias("__tr"),
     )
     # log((ct+1)/(tt+dim)) - log((cr+1)/(tr+dim)) over exact integers,
     # quantized to micro-nats once per bucket (dim rows, not per token).
@@ -1881,6 +1932,10 @@ def ngram_novelty(
         # n-grams only, so keep exactly-n-token grams
         .filter(F.size(F.split(F.col("__g"), " ")) == n)
         .distinct()
+        # Optimization r14: materialized — referenced by BOTH the
+        # doc-frequency aggregate and the join-back; unmaterialized,
+        # each reference re-ran the explode + distinct shuffle.
+        .localCheckpoint(eager=True)
     )
     dfreq = grams.groupBy("__g").agg(F.count(F.lit(1)).cast("long").alias("__df"))
     return (
@@ -2233,22 +2288,31 @@ def rouge_n(
     g = gens.select(
         F.col(id_col), F.explode(word_shingles(gen_text_col, n)).alias("g")
     ).filter(F.length("g") > 0)
-    nr = r.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_ref"))
-    ng = g.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_gen"))
-    m = (
-        r.join(g, [id_col, "g"])
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_match"))
+    # Optimization r14: ONE full-outer join on the (id, gram) key merges
+    # both sides' distinct-gram sets and ONE id-keyed aggregate yields
+    # all three counts — the previous form exploded each side TWICE
+    # (per-side total + match join) and met the aggregates in two more
+    # id joins. Grams are distinct per (id, side) so the outer join is
+    # 1:1; a gram on one side only contributes to that side's total and
+    # 0 to the match, and the n_ref>0 AND n_gen>0 filter reproduces the
+    # old inner nr⋈ng id universe exactly.
+    merged = r.withColumn("__ir", F.lit(1)).join(
+        g.withColumn("__ig", F.lit(1)), [id_col, "g"], "full_outer"
     )
     joined = (
-        nr.join(ng, id_col)
-        .join(m, id_col, "left")
-        .select(
-            id_col,
-            "n_ref",
-            "n_gen",
-            F.coalesce(F.col("n_match"), F.lit(0).cast("long")).alias("n_match"),
+        merged.groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("__ir"), F.lit(0))).cast("long").alias("n_ref"),
+            F.sum(F.coalesce(F.col("__ig"), F.lit(0))).cast("long").alias("n_gen"),
+            F.sum(
+                F.when(
+                    F.col("__ir").isNotNull() & F.col("__ig").isNotNull(), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_match"),
         )
+        .filter((F.col("n_ref") > 0) & (F.col("n_gen") > 0))
     )
     dec = "CAST({x} AS DECIMAL(38,0))"
     return joined.select(
@@ -2331,29 +2395,39 @@ def bleu_clipped_precision(
             .agg(F.count(F.lit(1)).cast("long").alias("c"))
         )
 
+    # Optimization r14: ONE full-outer join on the (id, n, gram) key
+    # merges both sides' multiset counts, and ONE small aggregate then
+    # produces all three totals — the previous form derived each side's
+    # gram table TWICE (clip join + per-side total) and met the three
+    # aggregates in two more joins. A gram missing from one side
+    # contributes 0 to that side's total and 0 to the clip (least with
+    # a 0-coalesced count == the old inner-join semantics), so the
+    # per-order rows are bit-identical, including the "order present on
+    # either side" row set (the outer join's key space IS that union).
     rc = grams(refs, ref_text_col)
     gc = grams(gens, gen_text_col)
-    clip = (
-        gc.alias("g")
-        .join(rc.alias("r"), [id_col, "n", "g"])
-        .groupBy("n")
-        .agg(
-            F.sum(F.least(F.col("g.c"), F.col("r.c"))).cast("long").alias(
-                "total_clipped"
-            )
-        )
-    )
-    gt = gc.groupBy("n").agg(F.sum("c").cast("long").alias("total_gen"))
-    rt = rc.groupBy("n").agg(F.sum("c").cast("long").alias("total_ref"))
     zero = F.lit(0).cast("long")
+    merged = gc.withColumnRenamed("c", "gc").join(
+        rc.withColumnRenamed("c", "rc"), [id_col, "n", "g"], "full_outer"
+    )
     return (
-        rt.join(gt, "n", "full_outer")
-        .join(clip, "n", "left")
+        merged.groupBy("n")
+        .agg(
+            F.sum(F.coalesce(F.col("rc"), zero)).cast("long").alias("total_ref"),
+            F.sum(F.coalesce(F.col("gc"), zero)).cast("long").alias("total_gen"),
+            F.sum(
+                F.least(
+                    F.coalesce(F.col("gc"), zero), F.coalesce(F.col("rc"), zero)
+                )
+            )
+            .cast("long")
+            .alias("total_clipped"),
+        )
         .select(
             F.col("n").cast("int").alias("n"),
-            F.coalesce(F.col("total_ref"), zero).alias("total_ref"),
-            F.coalesce(F.col("total_gen"), zero).alias("total_gen"),
-            F.coalesce(F.col("total_clipped"), zero).alias("total_clipped"),
+            "total_ref",
+            "total_gen",
+            "total_clipped",
             F.coalesce(
                 F.expr(
                     "CAST(CAST(COALESCE(total_clipped, 0) AS DECIMAL(38,0))"
@@ -2517,13 +2591,23 @@ def span_f1(
 
     gc = counts(gold, gold_text_col, "cg")
     pc = counts(pred, pred_text_col, "cp")
-    overlap = (
-        gc.join(pc, ["__id", "__t"])
-        .groupBy("__id")
-        .agg(F.sum(F.least("cg", "cp")).cast("long").alias("o"))
+    # Optimization r14: ONE full-outer join on the (id, token) key
+    # merges both sides' counts, and ONE id-keyed aggregate then yields
+    # overlap AND both length totals — the previous form derived gc and
+    # pc TWICE each (clip join + per-side total) and met the three
+    # aggregates in two more id joins (10 Exchanges at the gate). A
+    # token missing from one side contributes 0 to that side's total
+    # and 0 to the clip (least with a 0-coalesced count == the old
+    # inner-join semantics), so every per-id triple is bit-identical.
+    zero = F.lit(0).cast("long")
+    merged = gc.join(pc, ["__id", "__t"], "full_outer")
+    per_id = merged.groupBy("__id").agg(
+        F.sum(F.least(F.coalesce("cg", zero), F.coalesce("cp", zero)))
+        .cast("long")
+        .alias("o"),
+        F.sum(F.coalesce("cg", zero)).cast("long").alias("lg"),
+        F.sum(F.coalesce("cp", zero)).cast("long").alias("lp"),
     )
-    lg = gc.groupBy("__id").agg(F.sum("cg").cast("long").alias("lg"))
-    lp = pc.groupBy("__id").agg(F.sum("cp").cast("long").alias("lp"))
     # ids present in either side's ORIGINAL input (an empty/whitespace
     # text has no token rows but must still score) — inner join of the
     # two id universes implements the documented pairing contract.
@@ -2532,9 +2616,7 @@ def span_f1(
         .join(pred.select(F.col(id_col).alias("__id")).distinct(), "__id")
     )
     per = (
-        ids.join(lg, "__id", "left")
-        .join(lp, "__id", "left")
-        .join(overlap, "__id", "left")
+        ids.join(per_id, "__id", "left")
         .select(
             F.coalesce("lg", F.lit(0)).cast("long").alias("lg"),
             F.coalesce("lp", F.lit(0)).cast("long").alias("lp"),

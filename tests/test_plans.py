@@ -364,6 +364,12 @@ _INTENTIONAL_LINT = {
     #   stream — that is exactly how the all-pairs statistic avoids
     #   materializing n_a*n_b pairs
     "cliffs_delta": {"global-window"},
+    # pca_provable — the per-round norm window runs over the dim-row
+    #   w vector (dim is FIXED and tiny — the covariance itself is
+    #   dim² rows); replacing the former 1-row aggregate + broadcast
+    #   join with this window is what lets all power-iteration rounds
+    #   fuse into one linear plan (optimization r14)
+    "pca_provable": {"global-window"},
 }
 
 
