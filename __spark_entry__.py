@@ -2651,10 +2651,16 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape. Differs from the minhash_provable twin in scope (unbounded)
     and banding (32/8 vs 16/4)."""
     docs = load_table(spark, sf_dir, "documents")
+    # Optimization r14: ONE hashed-shingle materialization shared by
+    # candidate generation and verify (dd.hashed_shingle_table) — the
+    # projection is the pipeline's dominant CPU and used to run twice.
+    sh = dd.hashed_shingle_table(docs, hash_family="md5")
     cands = dd.minhash_lsh_candidates(
-        docs, num_hashes=32, bands=8, hash_family="md5"
+        docs, num_hashes=32, bands=8, hash_family="md5", shingles=sh
     )
-    return dd.jaccard_pairs(docs, cands, threshold=0.5, hash_family="md5")
+    return dd.jaccard_pairs(
+        docs, cands, threshold=0.5, hash_family="md5", shingles=sh
+    )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5613,10 +5619,15 @@ def q_minhash_provable(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting-join verify stays cheap; the production path keeps the
     xxhash64 family (2-3x faster) with identical plan shape."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1500)
+    # Optimization r14: shared shingle materialization (see
+    # q_minhash_near_dup).
+    sh = dd.hashed_shingle_table(docs, hash_family="md5")
     cands = dd.minhash_lsh_candidates(
-        docs, num_hashes=16, bands=4, hash_family="md5"
+        docs, num_hashes=16, bands=4, hash_family="md5", shingles=sh
     )
-    return dd.jaccard_pairs(docs, cands, threshold=0.5, hash_family="md5")
+    return dd.jaccard_pairs(
+        docs, cands, threshold=0.5, hash_family="md5", shingles=sh
+    )
 
 
 
@@ -6665,11 +6676,20 @@ def q_g_test_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed double LLR per distinct token floored to micro (ln-micro
     discipline); bounded top-30."""
     docs = load_table(spark, sf_dir, "documents")
+    # Optimization r14: the two corpora are complementary slices of ONE
+    # table, so the union vocabulary comes from a single tagged scan
+    # (one tokenize pass instead of two + a full-outer join) — see
+    # text.two_corpus_vocab_tagged. lang IS NOT NULL reproduces the
+    # old pair of filters exactly (NULL lang matched neither side).
+    voc = tx.two_corpus_vocab_tagged(
+        docs.filter(F.col("lang").isNotNull()), F.col("lang") == "en"
+    )
     return tx.g_test_keywords(
         docs.filter(F.col("lang") == "en"),
         docs.filter(F.col("lang") != "en"),
         min_count=5,
         top_k=30,
+        vocab=voc,
     )
 
 
@@ -6681,9 +6701,15 @@ def q_log_odds_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominating). Same ln-micro discipline and scale shape as
     g_test_keywords; bounded top-30 by |z|."""
     docs = load_table(spark, sf_dir, "documents")
+    # Optimization r14: single tagged-scan vocabulary (see
+    # q_g_test_keywords).
+    voc = tx.two_corpus_vocab_tagged(
+        docs.filter(F.col("lang").isNotNull()), F.col("lang") == "en"
+    )
     return tx.log_odds_dirichlet(
         docs.filter(F.col("lang") == "en"),
         docs.filter(F.col("lang") != "en"),
+        vocab=voc,
         alpha0=500,
         min_count=5,
         top_k=30,
@@ -6892,9 +6918,15 @@ def q_jsd_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an exact integer product; ln-micro discipline; two truncating
     DIVs."""
     docs = load_table(spark, sf_dir, "documents")
+    # Optimization r14: single tagged-scan vocabulary (see
+    # q_g_test_keywords).
+    voc = tx.two_corpus_vocab_tagged(
+        docs.filter(F.col("lang").isNotNull()), F.col("lang") == "en"
+    )
     return tx.jsd_divergence(
         docs.filter(F.col("lang") == "en"),
         docs.filter(F.col("lang") != "en"),
+        vocab=voc,
     )
 
 
@@ -6999,16 +7031,43 @@ def q_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar. Exact counts, truncating micro rates."""
     from hdinsight_pyspark_cntk_integration_spark.operators import stats as st
 
+    # Optimization r14: the old form derived the labelled population
+    # TWICE — once for the min/max normalizer (a second customer +
+    # orders scan feeding a BroadcastNestedLoopJoin) and once for the
+    # curve. The percent score is a MONOTONE transform of the raw
+    # balance, so the distinct-RAW-value aggregate (value-domain
+    # bounded, checkpointed) carries everything: min/max are its
+    # extremes, and regrouping its rows by pct yields exactly the
+    # (threshold, p, q) table roc_points built from rows. One corpus
+    # pass total (guide §2.3/§2.4); results bit-identical.
     pop = _urgent_labelled_customers(spark, sf_dir)
-    mm = pop.groupBy().agg(F.min("v").alias("__mn"), F.max("v").alias("__mx"))
-    scored = pop.join(F.broadcast(mm)).select(
-        F.floor(
-            (F.col("v") - F.col("__mn")) / (F.col("__mx") - F.col("__mn"))
-            * F.lit(100.0)
-        ).cast("long").alias("pct"),
-        F.col("y").cast("long").alias("y"),
+    y = F.col("y").cast("long")
+    vc0 = (
+        pop.groupBy(F.col("v").alias("v"))
+        .agg(
+            F.sum(y).cast("long").alias("p"),
+            F.sum(F.lit(1) - y).cast("long").alias("q"),
+        )
+        .localCheckpoint(eager=True)
     )
-    return st.roc_points(scored, "pct", "y")
+    mm = vc0.groupBy().agg(F.min("v").alias("__mn"), F.max("v").alias("__mx"))
+    vc = (
+        vc0.join(F.broadcast(mm))
+        .select(
+            F.floor(
+                (F.col("v") - F.col("__mn")) / (F.col("__mx") - F.col("__mn"))
+                * F.lit(100.0)
+            ).cast("long").alias("threshold"),
+            "p",
+            "q",
+        )
+        .groupBy("threshold")
+        .agg(
+            F.sum("p").cast("long").alias("p"),
+            F.sum("q").cast("long").alias("q"),
+        )
+    )
+    return st._roc_points_from_value_counts(vc)
 
 
 def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -189,6 +189,34 @@ def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
     return F.array(*[F.array_min(F.transform(base, affine(j))) for j in range(num_hashes)])
 
 
+def hashed_shingle_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    shingle_mode: str = "word",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Materialized (id, hs) hashed-shingle-set table (optimization
+    r14): minhash_lsh_candidates and jaccard_pairs each consume the
+    hashed-shingle projection — the near-dup pipeline's dominant CPU —
+    and composed (minhash_dedup, the near-dup gates) they used to run
+    it once PER STAGE. Build it here once and pass it to both via
+    their ``shingles=`` parameter; expressions are identical, so
+    results are bit-for-bit the same. ``_spread`` + the explicit
+    id-keyed exchange parallelize the projection before the one-time
+    materialization (see minhash_lsh_candidates' comment)."""
+    src, n_parts = _spread(df)
+    return (
+        src.selectExpr(
+            id_col,
+            f"{_hashed_shingles_sql(text_col, shingle_k, shingle_mode, hash_family)} AS hs",
+        )
+        .repartition(n_parts, F.col(id_col))
+        .localCheckpoint(eager=True)
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -198,6 +226,7 @@ def minhash_lsh_candidates(
     shingle_k: int = 3,
     shingle_mode: str = "word",
     hash_family: str = "xxhash64",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via banded MinHash-LSH.
 
@@ -230,11 +259,18 @@ def minhash_lsh_candidates(
     # re-evaluated per element and allocate per shingle; see git
     # history.) All expressions are SQL text parsed JVM-side in one call —
     # ~10× cheaper to build than the equivalent py4j Column tree.
-    src, n_parts = _spread(df)
-    hashed = src.selectExpr(
-        id_col,
-        f"{_hashed_shingles_sql(text_col, shingle_k, shingle_mode, hash_family)} AS hs",
-    ).repartition(n_parts, F.col(id_col))
+    # Optimization r14: accept a prebuilt materialized shingle table
+    # (``hashed_shingle_table``) — composed with jaccard_pairs the
+    # hashed-shingle projection is the pipeline's dominant CPU and used
+    # to run once per stage; shared, it runs once per query.
+    if shingles is not None:
+        hashed = shingles
+    else:
+        src, n_parts = _spread(df)
+        hashed = src.selectExpr(
+            id_col,
+            f"{_hashed_shingles_sql(text_col, shingle_k, shingle_mode, hash_family)} AS hs",
+        ).repartition(n_parts, F.col(id_col))
     mins = [
         f"array_min(transform(hs, h -> pmod({(j * 2 + 1) * _A_MULT % _P}L * h"
         f" + {(j + 1) * _B_MULT % _P}L, {_P}L)))"
@@ -288,6 +324,7 @@ def jaccard_pairs(
     threshold: float = 0.8,
     shingle_mode: str = "word",
     hash_family: str = "xxhash64",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """n-gram Jaccard verification of candidate pairs: |A∩B| / |A∪B| via
     array_intersect/array_union over hashed shingle sets (31-bit hashes —
@@ -303,15 +340,20 @@ def jaccard_pairs(
     # own exchange then materializes the shingle arrays, so the post-join
     # jaccard projection (which references each side twice: intersect +
     # union) reads computed values instead of recomputing the tree.
-    src, _ = _spread(df)
     # Optimization r14: materialized — the shingle-set table feeds BOTH
     # sides of the verify join; unmaterialized, each side re-ran the
     # regex + shingle + hash projection over the corpus. The hashed set
     # (8 B per token) is strictly smaller than the text it derives from.
-    sh = src.selectExpr(
-        id_col,
-        f"{_hashed_shingles_sql(text_col, shingle_k, shingle_mode, hash_family)} AS sh",
-    ).localCheckpoint(eager=True)
+    # A prebuilt table (``hashed_shingle_table``, shared with the
+    # candidate stage) skips even that single pass.
+    if shingles is not None:
+        sh = shingles.withColumnRenamed("hs", "sh")
+    else:
+        src, _ = _spread(df)
+        sh = src.selectExpr(
+            id_col,
+            f"{_hashed_shingles_sql(text_col, shingle_k, shingle_mode, hash_family)} AS sh",
+        ).localCheckpoint(eager=True)
     out = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -348,13 +390,16 @@ def minhash_dedup(
     (``connected_components``) and keeps exactly one representative (min
     id) per duplicate cluster.
     """
+    sh = hashed_shingle_table(
+        df, id_col, text_col, shingle_k, shingle_mode, hash_family
+    )
     cands = minhash_lsh_candidates(
         df, id_col, text_col, num_hashes, bands, shingle_k, shingle_mode,
-        hash_family,
+        hash_family, shingles=sh,
     )
     confirmed = jaccard_pairs(
         df, cands, id_col, text_col, shingle_k, threshold, shingle_mode,
-        hash_family,
+        hash_family, shingles=sh,
     )
     if transitive:
         return dedup_by_components(df, confirmed, id_col)
@@ -404,9 +449,25 @@ def connected_components(
     # the full edge list. Repartitioning on dst before the (one-time)
     # materialization makes the per-round join reuse the edge layout and
     # shuffle only the |nodes|-row label frame.
+    # Optimization r14 (cont.): symmetrize via ONE explode instead of a
+    # two-branch union — each union branch re-derived the full upstream
+    # PAIR PLAN (for embedding_dedup: the candidate join + vector
+    # fetches + cosine verify, twice); the explode emits both directed
+    # edges from a single evaluation (see graph.assortativity).
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("__p")
+        )
+        .select("__p.src", "__p.dst")
         .distinct()
         .repartition(F.col("dst"))
         .localCheckpoint(eager=True)
@@ -783,20 +844,17 @@ def repeated_passages(
         raise ValueError(f"need n >= 1 and min_docs >= 1 (got n={n}, min_docs={min_docs})")
     if via_hash is None:
         via_hash = False
-    grams = df.select(
-        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("passage")
-    ).filter(F.length("passage") > 0)
 
-    # Optimization r14: mixing count_distinct with plain aggregates
-    # plans as an Expand that DOUBLES the gram stream through the
-    # exchange; the stacked two-stage form below (per-(passage, doc)
-    # occurrence counts, then per-passage rollup) shuffles each gram
-    # row once, with identical results: n_docs = count of (passage,
-    # doc) groups, n_occurrences = sum of their occurrence counts,
-    # first_doc_id = min over group mins.
-    def survivors_by(key: Column, key_name: str) -> DataFrame:
+    # Optimization r14 (both aggregates below): mixing count_distinct
+    # with plain aggregates plans as an Expand that DOUBLES the gram
+    # stream through the exchange; the stacked two-stage form
+    # (per-(passage, doc) occurrence counts, then per-passage rollup)
+    # shuffles each gram row once, with identical results: n_docs =
+    # count of (passage, doc) groups, n_occurrences = sum of their
+    # occurrence counts, first_doc_id = min over group mins.
+    def survivors_over(rows: DataFrame, key_name: str) -> DataFrame:
         return (
-            grams.groupBy(key.alias(key_name), F.col(id_col))
+            rows.groupBy(key_name, F.col(id_col))
             .agg(F.count(F.lit(1)).alias("__occ"))
             .groupBy(key_name)
             .agg(
@@ -808,7 +866,69 @@ def repeated_passages(
         )
 
     if not via_hash:
-        return survivors_by(F.col("passage"), "passage")
+        # Two-pass hash-prefilter plan (optimization r14, guide §2.3/§8
+        # — same construction as repeated_passages_maximal, see the
+        # long comment there): tokenize ONCE into a materialized token
+        # table; pass 1 runs the min_docs cut on xxhash64(token-slice)
+        # 8-byte keys (no passage string is ever built, ~10× narrower
+        # exchange); pass 2 rebuilds slices from the token table,
+        # broadcast-semi-joins the survivor hash set, materializes
+        # strings for survivors only, and recounts EXACTLY on the
+        # string key (collisions only add pass-2 candidates — no false
+        # negatives, bit-identical output).
+        toks = df.select(
+            F.col(id_col),
+            F.split(normalized_text(text_col), r"\s+").alias("__toks"),
+        ).localCheckpoint(eager=True)
+
+        def slices(as_hash: bool) -> Column:
+            t = F.col("__toks")
+            idx = F.sequence(
+                F.lit(0), F.greatest(F.size(t) - F.lit(n), F.lit(0))
+            )
+            if as_hash:
+                return F.transform(
+                    idx, lambda i: F.xxhash64(F.slice(t, i + 1, n))
+                )
+            return F.transform(idx, lambda i: F.slice(t, i + 1, n))
+
+        hsurv = (
+            survivors_over(
+                toks.select(
+                    F.col(id_col),
+                    F.explode(slices(as_hash=True)).alias("__ph"),
+                ),
+                "__ph",
+            )
+            .select("__ph")
+            .localCheckpoint(eager=True)
+        )
+        exact = (
+            toks.select(
+                F.col(id_col), F.explode(slices(as_hash=False)).alias("__arr")
+            )
+            .select(
+                F.col(id_col),
+                F.xxhash64(F.col("__arr")).alias("__ph"),
+                F.col("__arr"),
+            )
+            .join(F.broadcast(hsurv), "__ph", "left_semi")
+            .select(
+                F.col(id_col), F.array_join("__arr", " ").alias("passage")
+            )
+            .filter(F.length("passage") > 0)
+        )
+        return survivors_over(exact, "passage")
+
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("passage")
+    ).filter(F.length("passage") > 0)
+
+    def survivors_by(key: Column, key_name: str) -> DataFrame:
+        return survivors_over(
+            grams.select(key.alias(key_name), F.col(id_col)), key_name
+        )
+
     survivors = survivors_by(F.xxhash64("passage"), "__ph")
     texts = (
         grams.select(F.xxhash64("passage").alias("__ph"), "passage")
@@ -958,12 +1078,34 @@ def repeated_passages_maximal(
             lvl = survivors[n].withColumn("n_words", F.lit(n))
             surv = lvl if surv is None else surv.unionByName(lvl)
     else:
-        # Fused single-scan plan: ONE pass tokenizes each document once
-        # (lambda-bound) and emits (n_words, passage) for every level,
-        # then ONE partial-agg groupBy on the tagged passage serves all
-        # levels — vs. |levels| scans + |levels| shuffles for the naive
-        # per-level composition (measured 4.0 s → fused below at sf0.1).
-        def tagged(toks: Column) -> Column:
+        # Two-pass hash-prefilter plan (optimization r14, guide §2.3/§8
+        # "shuffle keys and metadata instead of payloads"): the old
+        # single fused scan built the PASSAGE STRING for every gram of
+        # every level (an n-token byte concatenation per gram) and
+        # shuffled those strings (~50-200 B each) through the exchange
+        # — measured 73.8 MB of shuffle and the operator's dominant
+        # CPU at sf0.1. Now:
+        #   pass 0  tokenize ONCE into a materialized (id, tokens)
+        #           table — the regexp split is the most expensive
+        #           per-byte step and the old adaptive path re-ran it
+        #           up to 4 more times (length filter, frontier, ext);
+        #   pass 1  per level, hash the token SLICE directly
+        #           (xxhash64 over array<string> — no string is ever
+        #           built) and run the min_docs cut on 8-byte keys;
+        #   pass 2  rebuild slices from the token table, broadcast-
+        #           semi-join on the survivor hash set, and only THEN
+        #           materialize passage strings — for survivors only —
+        #           recounting EXACTLY on the string key.
+        # Hash collisions can only ADD pass-2 candidates (a true
+        # survivor's (level, hash) group count >= its own doc count, so
+        # no false negatives); the exact recount and min_docs re-cut in
+        # pass 2 make the result bit-identical to the string-key plan.
+        toks = df.select(
+            F.col(id_col),
+            F.split(normalized_text(text_col), r"\s+").alias("__toks"),
+        ).localCheckpoint(eager=True)
+
+        def level_structs(tcol: Column, value_builder) -> Column:
             # NB: closure factory, not a default-arg lambda — pyspark
             # dispatches HOF lambdas on arity, so `lambda i, n=n:` would
             # be called as (element, index) with the level bound to the
@@ -971,26 +1113,63 @@ def repeated_passages_maximal(
             def builder(n: int):
                 return lambda i: F.struct(
                     F.lit(n).alias("n_words"),
-                    F.array_join(F.slice(toks, i + 1, n), " ").alias("passage"),
+                    value_builder(tcol, i, n),
                 )
 
             parts = []
             for n in levels:
                 idx = F.sequence(
-                    F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(0))
+                    F.lit(0), F.greatest(F.size(tcol) - F.lit(n), F.lit(0))
                 )
                 parts.append(F.transform(idx, builder(n)))
             return F.concat(*parts)
 
-        grams = df.select(
+        hgrams = toks.select(
             F.col(id_col),
             F.explode(
-                _bind_once(F.split(normalized_text(text_col), r"\s+"), tagged)
+                level_structs(
+                    F.col("__toks"),
+                    lambda t, i, n: F.xxhash64(F.slice(t, i + 1, n)).alias(
+                        "__ph"
+                    ),
+                )
             ).alias("g"),
         ).select(
             id_col,
             F.col("g.n_words").alias("n_words"),
-            F.col("g.passage").alias("passage"),
+            F.col("g.__ph").alias("__ph"),
+        )
+        hsurv = (
+            hgrams.groupBy("n_words", "__ph", F.col(id_col))
+            .agg(F.count(F.lit(1)).alias("__occ"))
+            .groupBy("n_words", "__ph")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs)
+            .select("n_words", "__ph")
+            .localCheckpoint(eager=True)
+        )
+        grams = (
+            toks.select(
+                F.col(id_col),
+                F.explode(
+                    level_structs(
+                        F.col("__toks"),
+                        lambda t, i, n: F.slice(t, i + 1, n).alias("__arr"),
+                    )
+                ).alias("g"),
+            )
+            .select(
+                id_col,
+                F.col("g.n_words").alias("n_words"),
+                F.xxhash64(F.col("g.__arr")).alias("__ph"),
+                F.col("g.__arr").alias("__arr"),
+            )
+            .join(F.broadcast(hsurv), ["n_words", "__ph"], "left_semi")
+            .select(
+                id_col,
+                "n_words",
+                F.array_join(F.col("__arr"), " ").alias("passage"),
+            )
         )
         # Two-stage aggregate (optimization r14): see repeated_passages —
         # avoids the Expand that doubles the gram stream.
@@ -1019,35 +1198,63 @@ def repeated_passages_maximal(
         # documents with >= L tokens (which also guarantees every
         # emitted gram has exactly L words — no whole-short-doc
         # emissions), one partial-agg groupBy, bounded localCheckpoint.
+        # Optimization r14: the rounds run off the materialized token
+        # table (the via_hash path, which has none, builds it here
+        # once) — the old form re-ran the regexp split per round for
+        # the length filter, the frontier explode AND the extension
+        # explode; and the frontier semi-join now matches on slice
+        # HASHES (no string build — collisions only widen the
+        # frontier, which the exact extension recount absorbs).
+        if via_hash:
+            toks = df.select(
+                F.col(id_col),
+                F.split(normalized_text(text_col), r"\s+").alias("__toks"),
+            ).localCheckpoint(eager=True)
+
+        def slice_grams(n: int, as_hash: bool) -> Column:
+            t = F.col("__toks")
+            idx = F.sequence(
+                F.lit(0), F.greatest(F.size(t) - F.lit(n), F.lit(0))
+            )
+            if as_hash:
+                return F.transform(
+                    idx, lambda i: F.xxhash64(F.slice(t, i + 1, n))
+                )
+            return F.transform(
+                idx, lambda i: F.array_join(F.slice(t, i + 1, n), " ")
+            )
+
         top = levels[-1]
         while top * 2 <= max_level:
             L = top * 2
-            cand = df.filter(
-                F.size(F.split(normalized_text(text_col), r"\s+")) >= L
-            )
+            cand = toks.filter(F.size("__toks") >= L)
             # Cheap impossibility check before the gram explode: an
             # L-gram shared by min_docs documents needs at least
             # min_docs documents of >= L tokens. The count reads only
-            # the text column (no gram construction) and usually kills
-            # the final empty probe level outright.
+            # the token-count column (no gram construction) and usually
+            # kills the final empty probe level outright.
             if cand.limit(min_docs).count() < min_docs:
                 break
             # Frontier restriction: a doc containing an L-gram repeated
             # in >= min_docs docs necessarily contains that gram's first
             # top-words subgram, which occurs in the same docs and so is
             # a level-`top` PRE-suppression survivor. Semi-joining the
-            # long docs' top-grams against the bounded survivor set
-            # (broadcast) shrinks the L-gram groupBy — the expensive
+            # long docs' top-gram HASHES against the bounded survivor
+            # set (broadcast) shrinks the L-gram groupBy — the expensive
             # shuffle — from "every long doc" to "docs already known to
             # carry boilerplate". The membership pass is map-side only
-            # (broadcast semi-join + a distinct over doc ids).
-            top_pass = surv.filter(F.col("n_words") == top).select("passage")
+            # (broadcast semi-join + a distinct over doc ids); the
+            # token/space round-trip is lossless (tokens contain no
+            # whitespace), so hash(split(passage)) == hash(slice).
+            top_pass = surv.filter(F.col("n_words") == top).select(
+                F.xxhash64(F.split(F.col("passage"), " ")).alias("__ph")
+            )
             frontier = (
                 cand.select(
                     F.col(id_col),
-                    F.explode(word_ngrams(text_col, top)).alias("passage"),
+                    F.explode(slice_grams(top, as_hash=True)).alias("__ph"),
                 )
-                .join(F.broadcast(top_pass), "passage", "left_semi")
+                .join(F.broadcast(top_pass), "__ph", "left_semi")
                 .select(id_col)
                 .distinct()
             )
@@ -1055,7 +1262,7 @@ def repeated_passages_maximal(
             ext = (
                 cand.select(
                     F.col(id_col),
-                    F.explode(word_ngrams(text_col, L)).alias("passage"),
+                    F.explode(slice_grams(L, as_hash=False)).alias("passage"),
                 )
                 .groupBy("passage", F.col(id_col))
                 .agg(F.count(F.lit(1)).alias("__occ"))

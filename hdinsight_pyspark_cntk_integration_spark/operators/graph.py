@@ -227,7 +227,17 @@ def bfs_hops(
     spark = edges.sparkSession
     e = edges.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d"))
     if symmetric:
-        e = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        # Optimization r14: symmetrize via ONE explode instead of a
+        # two-branch union (each branch re-derives and re-scans the
+        # source) — see assortativity.
+        e = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("s"), F.col("d")),
+                    F.struct(F.col("d").alias("s"), F.col("s").alias("d")),
+                )
+            ).alias("__p")
+        ).select("__p.s", "__p.d")
     # Optimization r14: hash(s)-partition BEFORE the one-time checkpoint
     # — distinct's hash(s, d) layout does not satisfy the per-round
     # frontier join's hash(s) requirement, so every round used to
@@ -279,7 +289,18 @@ def k_core(
         raise ValueError(f"max_iters must be >= 1 (got {max_iters})")
     und = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        # Optimization r14: one-explode symmetrization (see
+        # assortativity) — the old two-branch union re-scanned the
+        # edge source once per direction.
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("s"), F.col("d")),
+                    F.struct(F.col("d").alias("s"), F.col("s").alias("d")),
+                )
+            ).alias("__p")
+        )
+        .select("__p.s", "__p.d")
         .filter(F.col("s") != F.col("d"))
         .distinct()
         .localCheckpoint(eager=True)
@@ -337,7 +358,18 @@ def label_propagation(
         raise ValueError(f"rounds must be >= 1 (got {rounds})")
     und = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        # Optimization r14: one-explode symmetrization (see
+        # assortativity) — the old two-branch union re-scanned the
+        # edge source once per direction.
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("s"), F.col("d")),
+                    F.struct(F.col("d").alias("s"), F.col("s").alias("d")),
+                )
+            ).alias("__p")
+        )
+        .select("__p.s", "__p.d")
         .filter(F.col("s") != F.col("d"))
         .distinct()
         .localCheckpoint(eager=True)
@@ -482,7 +514,18 @@ def harmonic_centrality(
         raise ValueError(f"max_hops must be >= 1 (got {max_hops})")
     und = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        # Optimization r14: one-explode symmetrization (see
+        # assortativity) — the old two-branch union re-scanned the
+        # edge source once per direction.
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("s"), F.col("d")),
+                    F.struct(F.col("d").alias("s"), F.col("s").alias("d")),
+                )
+            ).alias("__p")
+        )
+        .select("__p.s", "__p.d")
         .filter(F.col("s") != F.col("d"))
         .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
         .distinct()
@@ -738,8 +781,21 @@ def assortativity(
             & (F.col("s") != F.col("d"))
         )
     )
+    # Optimization r14: symmetrize via ONE explode instead of a
+    # two-branch union — the union's branches each re-derive (and
+    # re-scan) the source; explode(array(fwd, rev)) emits both ordered
+    # pairs from a single pass (measured: und build 7.8 → 5.8 s CPU,
+    # 4.3 → 2.8 s wall at sf0.1).
     und = (
-        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("s"), F.col("d")),
+                    F.struct(F.col("d").alias("s"), F.col("s").alias("d")),
+                )
+            ).alias("__p")
+        )
+        .select("__p.s", "__p.d")
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -5716,31 +5716,36 @@ def wasserstein_1d(
     Returns one row (n_a, n_b, w1_micro) — w1 in VALUE units × 1e-6.
     """
     vc = _two_group_value_counts(df, group_col, value_col, group_a, group_b)
+    # Optimization r14: the group totals n_a/n_b are EXACTLY the column
+    # sums of the value-counts table — the old second corpus scan
+    # (filter + 1-row aggregate, broadcast-joined back) recomputed the
+    # same integers. An unbounded frame over the SAME (no-partition,
+    # ORDER BY v) window spec shares the cumulative window's single
+    # sort, so the totals now cost nothing: one corpus scan total, no
+    # BroadcastNestedLoopJoin (guide §2.3 "aggregate before you
+    # shuffle" / §2.4).
     w = Window.orderBy(F.col("v")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(F.col("v")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     lead_w = Window.orderBy(F.col("v"))
     cum = vc.select(
         F.col("v").cast("long").alias("v"),
         F.sum("n_a").over(w).cast("long").alias("ca"),
         F.sum("n_b").over(w).cast("long").alias("cb"),
+        F.sum("n_a").over(w_all).cast("long").alias("n_a"),
+        F.sum("n_b").over(w_all).cast("long").alias("n_b"),
         F.lead(F.col("v").cast("long")).over(lead_w).alias("vn"),
     )
-    seg = cum.filter(F.col("vn").isNotNull()).select(
-        "ca",
-        "cb",
-        (F.col("vn") - F.col("v")).alias("gap"),
-    )
-    tot_ab = df.filter(F.col(group_col).isin([group_a, group_b])).groupBy().agg(
-        F.sum((F.col(group_col) == group_a).cast("long")).cast("long").alias("n_a"),
-        F.sum((F.col(group_col) == group_b).cast("long")).cast("long").alias("n_b"),
-    )
-    terms = seg.join(F.broadcast(tot_ab)).select(
+    terms = cum.filter(F.col("vn").isNotNull()).select(
         "n_a",
         "n_b",
         F.expr(
             "ABS(CAST(ca AS DECIMAL(38,0)) * n_b"
-            " - CAST(cb AS DECIMAL(38,0)) * n_a) * gap"
+            " - CAST(cb AS DECIMAL(38,0)) * n_a)"
+            " * (vn - v)"
         ).alias("__t"),
     )
     return terms.groupBy().agg(
@@ -5778,6 +5783,16 @@ def roc_points(
         F.sum(y).cast("long").alias("p"),
         F.sum(F.lit(1) - y).cast("long").alias("q"),
     )
+    return _roc_points_from_value_counts(vc)
+
+
+def _roc_points_from_value_counts(vc: DataFrame) -> DataFrame:
+    """roc_points' curve tail over a prebuilt (threshold, p, q)
+    distinct-score aggregate — split out (optimization r14) so a
+    caller that already holds a value-counts table (e.g. because the
+    scoring transform is a monotone function of a raw score whose
+    min/max the caller needs too) can reuse it instead of re-scanning
+    the corpus. Same expressions, same results."""
     w = Window.orderBy(F.col("threshold").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -2688,12 +2688,50 @@ def _two_corpus_vocab(
     return j.localCheckpoint(eager=True)
 
 
+def two_corpus_vocab_tagged(
+    df: DataFrame, is_a, text_col: str = "text"
+) -> DataFrame:
+    """(token, cnt_a, cnt_b) union-vocabulary table from ONE tagged
+    corpus scan (optimization r14): when the two corpora are
+    complementary slices of the SAME frame (the common contrast setup
+    — e.g. lang == 'en' vs the rest), `_two_corpus_vocab`'s shape
+    (one scan + tokenize pass PER SIDE, then a full-outer join) pays
+    twice for what one pass computes: explode once with the boolean
+    ``is_a`` tag carried through, then conditional sums per token.
+    Bit-identical table — a token absent from one side gets an exact
+    0 from the conditional sum, exactly what the old join's COALESCE
+    produced. Rows where ``is_a`` is NULL must be pre-filtered by the
+    caller (they belong to neither corpus). Materialized
+    (localCheckpoint) like `_two_corpus_vocab`, for the same reason.
+    Pass the result as the ``vocab=`` argument of g_test_keywords /
+    log_odds_dirichlet / jsd_divergence."""
+    a_col = F.col(is_a) if isinstance(is_a, str) else is_a
+    tagged = df.select(
+        F.col(text_col).alias("__txt"), a_col.cast("boolean").alias("__a")
+    )
+    exploded = (
+        tagged.select(
+            "__a",
+            F.explode(F.split(F.lower(F.trim(F.col("__txt"))), r"\s+")).alias(
+                "token"
+            ),
+        )
+        .filter(F.length("token") > 0)
+    )
+    vocab = exploded.groupBy("token").agg(
+        F.sum(F.col("__a").cast("long")).cast("long").alias("cnt_a"),
+        F.sum((~F.col("__a")).cast("long")).cast("long").alias("cnt_b"),
+    )
+    return vocab.localCheckpoint(eager=True)
+
+
 def g_test_keywords(
     df_a: DataFrame,
     df_b: DataFrame,
     text_col: str = "text",
     min_count: int = 5,
     top_k: int = 30,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Dunning log-likelihood (G²) keyword extraction (Dunning 1993) —
     which tokens are most DISTINCTIVE of corpus A vs corpus B, the
@@ -2722,7 +2760,8 @@ def g_test_keywords(
     Returns top_k rows (token, cnt_a, cnt_b, sign, g2_micro) by
     g2_micro desc, token tie-break.
     """
-    vocab = _two_corpus_vocab(df_a, df_b, text_col)
+    if vocab is None:
+        vocab = _two_corpus_vocab(df_a, df_b, text_col)
     tot = vocab.groupBy().agg(
         F.sum("cnt_a").cast("long").alias("t_a"),
         F.sum("cnt_b").cast("long").alias("t_b"),
@@ -2781,6 +2820,7 @@ def log_odds_dirichlet(
     alpha0: int = 500,
     min_count: int = 5,
     top_k: int = 30,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Log-odds ratio with informative Dirichlet prior ("Fightin'
     Words", Monroe/Colaresi/Quinn 2008) — the keyword-contrast
@@ -2803,7 +2843,8 @@ def log_odds_dirichlet(
     Returns top_k rows (token, cnt_a, cnt_b, z_micro) by |z| desc,
     token tie-break.
     """
-    vocab = _two_corpus_vocab(df_a, df_b, text_col)
+    if vocab is None:
+        vocab = _two_corpus_vocab(df_a, df_b, text_col)
     tot = vocab.groupBy().agg(
         F.sum("cnt_a").cast("long").alias("t_a"),
         F.sum("cnt_b").cast("long").alias("t_b"),
@@ -2952,6 +2993,7 @@ def jsd_divergence(
     df_a: DataFrame,
     df_b: DataFrame,
     text_col: str = "text",
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Jensen-Shannon divergence between two corpus token distributions
     — the SYMMETRIC, bounded ([0, ln 2]) drift measure next to
@@ -2979,7 +3021,8 @@ def jsd_divergence(
     Returns one row (t_a, t_b, jsd_micro) with
     jsd_micro = (Σ_a a·term_a DIV (2·T_A)) + (Σ_b b·term_b DIV (2·T_B)).
     """
-    vocab = _two_corpus_vocab(df_a, df_b, text_col)
+    if vocab is None:
+        vocab = _two_corpus_vocab(df_a, df_b, text_col)
     tot = vocab.groupBy().agg(
         F.sum("cnt_a").cast("long").alias("t_a"),
         F.sum("cnt_b").cast("long").alias("t_b"),

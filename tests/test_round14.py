@@ -704,3 +704,46 @@ def test_dp_above_threshold_stop_and_budget_semantics(spark):
         pl.dp_above_threshold(df, "g", threshold=5, max_releases=0)
     with pytest.raises(ValueError):
         pl.dp_above_threshold(df, "g", threshold=5, epsilon_micro=0)
+
+
+def test_tagged_vocab_matches_two_frame_vocab(spark):
+    # optimization r14: the single-tagged-scan vocabulary must be
+    # bit-identical to the two-frame full-outer-join vocabulary,
+    # including exact zeros for one-sided tokens and exclusion of
+    # rows whose tag is pre-filtered (NULL lang in the gate queries).
+    from pyspark.sql import functions as F
+
+    from hdinsight_pyspark_cntk_integration_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "alpha beta beta"),
+            (2, "en", "alpha shared"),
+            (3, "de", "gamma shared shared"),
+            (4, "fr", "gamma delta"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    old = {
+        r["token"]: (r["cnt_a"], r["cnt_b"])
+        for r in tx._two_corpus_vocab(
+            df.filter(F.col("lang") == "en"),
+            df.filter(F.col("lang") != "en"),
+            "text",
+        ).collect()
+    }
+    new = {
+        r["token"]: (r["cnt_a"], r["cnt_b"])
+        for r in tx.two_corpus_vocab_tagged(
+            df.filter(F.col("lang").isNotNull()), F.col("lang") == "en"
+        ).collect()
+    }
+    assert len(old) > 0 and old == new
+    # and the keyword statistics accept it as a drop-in
+    via_vocab = tx.jsd_divergence(None, None, vocab=tx.two_corpus_vocab_tagged(
+        df, F.col("lang") == "en")).collect()[0]
+    direct = tx.jsd_divergence(
+        df.filter(F.col("lang") == "en"),
+        df.filter(F.col("lang") != "en"),
+    ).collect()[0]
+    assert via_vocab == direct
