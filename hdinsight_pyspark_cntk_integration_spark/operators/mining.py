@@ -691,23 +691,36 @@ def attribution(
     touches = tagged.filter(
         (~F.col("__conv")) & F.col("__next_conv").isNotNull()
     )
-    per_conv = touches.groupBy("__u", "__next_conv").agg(
-        F.count(F.lit(1)).cast("long").alias("__n"),
-        F.min_by(
-            "__ch", F.struct(F.col("__ts"), F.col("__id"))
-        ).alias("__first_ch"),
-        F.max_by(
-            "__ch", F.struct(F.col("__ts"), F.col("__id"))
-        ).alias("__last_ch"),
-    )
+    # Collapse the touch stream ONCE to the (user, conversion, channel)
+    # grain before anything else reads it: per-cell count plus the
+    # min/max (ts, id) struct. Every downstream model is derivable from
+    # this table — count n = Σ cnt, first/last channel = argmin/argmax
+    # over the per-channel extrema ((ts, id) is unique per event, so the
+    # per-channel minima are distinct and the two-level argmin equals
+    # the per-touch argmin), and each channel's linear credit is
+    # cnt · (1e6 DIV n). Unmaterialized, the event scan + user window
+    # ran FOUR times (per_conv, linear's two sides, and the join
+    # re-derivation); now the corpus is scanned and windowed once.
+    pcc = touches.groupBy("__u", "__next_conv", "__ch").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt"),
+        F.min(F.struct(F.col("__ts"), F.col("__id"))).alias("__mn"),
+        F.max(F.struct(F.col("__ts"), F.col("__id"))).alias("__mx"),
+    ).localCheckpoint(eager=True)
+    per_conv = pcc.groupBy("__u", "__next_conv").agg(
+        F.sum("__cnt").cast("long").alias("__n"),
+        F.min_by("__ch", F.col("__mn")).alias("__first_ch"),
+        F.max_by("__ch", F.col("__mx")).alias("__last_ch"),
+    ).localCheckpoint(eager=True)
     linear = (
-        touches.join(
+        pcc.join(
             per_conv.select("__u", "__next_conv", "__n"), ["__u", "__next_conv"]
         )
         .groupBy(F.col("__ch").alias("channel"))
         .agg(
-            F.sum(F.expr("1000000 div __n")).cast("long").alias("linear_micro"),
-            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum(F.col("__cnt") * F.expr("1000000 div __n"))
+            .cast("long")
+            .alias("linear_micro"),
+            F.sum("__cnt").cast("long").alias("n_touches"),
         )
     )
     firsts = per_conv.groupBy(F.col("__first_ch").alias("channel")).agg(

@@ -1244,17 +1244,25 @@ def negative_sampling(
         raise ValueError(f"unknown hash method {method!r} (knuth)")
     from pyspark.sql import Window
 
-    # dense catalog rank 0..n−1, deterministic by item id
+    # dense catalog rank 0..n−1, deterministic by item id. Materialized
+    # ONCE (bounded |catalog| rows by contract): it feeds both the __n
+    # scalar and the rank-lookup broadcast — unmaterialized, the item
+    # scan + distinct ran twice (and the scalar count a third time).
     catalog = items.select(F.col(item_col).alias("__iid")).distinct().select(
         "__iid",
         (F.row_number().over(Window.orderBy("__iid")) - 1)
         .cast("long")
         .alias("__rank"),
-    )
+    ).localCheckpoint(eager=True)
     n_items = catalog.groupBy().agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    # The distinct positive-pair table feeds BOTH the k-way explode and
+    # the anti-join's build side; as two lazy references the anti-join
+    # branch acquires IsNotNull pushed filters, the subtrees stop being
+    # identical, ReuseExchange cannot fire, and the event stream is
+    # scanned + distinct-shuffled twice. Materialize it once.
     pos = positives.select(
         F.col(user_col).alias("__u"), F.col(item_col).alias("__i")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     exploded = pos.select(
         "__u", "__i",
         F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),

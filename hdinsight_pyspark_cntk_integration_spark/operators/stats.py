@@ -3290,20 +3290,29 @@ def bradley_terry_quantized(
     m = matches.select(
         w_c.cast("long").alias("__w"), l_c.cast("long").alias("__l")
     )
+    # ONE scan of the match log: the directed (winner, loser) count table
+    # (bounded by players², not matches) feeds both the unordered pair
+    # table and the per-player win counts — its per-pair sums are exactly
+    # the counts the two separate scans produced.
+    dcnt = m.groupBy("__w", "__l").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint(eager=True)
     pairs = (
-        m.select(
-            F.least("__w", "__l").alias("a"), F.greatest("__w", "__l").alias("b")
+        dcnt.select(
+            F.least("__w", "__l").alias("a"),
+            F.greatest("__w", "__l").alias("b"),
+            "n",
         )
         .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .agg(F.sum("n").cast("long").alias("n"))
     )
     dirp = pairs.select(
         F.col("a").alias("i"), F.col("b").alias("j"), "n"
     ).unionByName(
         pairs.select(F.col("b").alias("i"), F.col("a").alias("j"), "n")
     ).localCheckpoint(eager=True)
-    wins = m.groupBy(F.col("__w").alias("p")).agg(
-        F.count(F.lit(1)).cast("long").alias("wins")
+    wins = dcnt.groupBy(F.col("__w").alias("p")).agg(
+        F.sum("n").cast("long").alias("wins")
     )
     players = dirp.select(F.col("i").alias("p")).distinct()
     base = (

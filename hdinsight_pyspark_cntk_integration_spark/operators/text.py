@@ -420,19 +420,35 @@ def bm25_scores(
     arbitrary row order), keeping the float sum deterministic.
 
     Scale shape: one explode pass repartitioned on token for tf+df (same
-    single-exchange trick as ``tfidf_top_terms``), doc lengths from a
-    second projection-only pass, idf table is |terms| rows (broadcast),
-    final top-k via a bounded sort. The corpus is never self-joined.
+    single-exchange trick as ``tfidf_top_terms``), doc lengths from one
+    materialized projection-only pass whose 1-row (N, avgdl) aggregate
+    broadcasts into the same plan (no driver actions), final top-k via a
+    bounded sort. The corpus is never self-joined.
     """
     terms = list(terms)
     if not terms:
         raise ValueError("bm25_scores needs at least one term")
-    n_docs = df.count()  # one cheap action; N is a scalar in the formula
+    # Optimization r14: N and avgdl used to be TWO driver-blocking
+    # actions (df.count() + a sum collect) — two extra corpus scans and
+    # two py4j syncs before the main job could start. The doc-length
+    # table (id, len — the narrow per-doc proxy) is materialized ONCE;
+    # the (N, avgdl) scalars become a broadcast 1-row aggregate of it
+    # inside the one plan. avgdl = long/long in IEEE double — the exact
+    # division Python performed on the collected ints — and N flows in
+    # as the same double the old float(n_docs) literal held, so every
+    # downstream operand is bit-identical.
     lens = df.select(
         F.col(id_col), token_count(F.col(text_col)).alias("__dl")
+    ).localCheckpoint(eager=True)
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("long").alias("__nd"),
+        F.sum("__dl").cast("long").alias("__tt"),
+    ).select(
+        F.col("__nd").cast("double").alias("__ndocs"),
+        (F.col("__tt").cast("double") / F.col("__nd").cast("double")).alias(
+            "__avgdl"
+        ),
     )
-    total_tokens = lens.agg(F.sum("__dl").cast("long").alias("t")).collect()[0]["t"]
-    avgdl = float(total_tokens) / float(n_docs)  # exact-int division: engine-identical
 
     # Single-exchange token stats (the tfidf_top_terms trick): ONE explode
     # pass repartitioned on token computes per-(doc,term) tf, per-term df
@@ -452,41 +468,49 @@ def bm25_scores(
     )
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).cast("long").alias("tf"))
     dfreq = F.count(F.lit(1)).over(Window.partitionBy("token")).cast("long")
-    # idf quantized to micro-units immediately (see docstring).
-    idf_micro = F.floor(
-        F.log(
-            F.lit(1.0)
-            + (F.lit(float(n_docs)) - F.col("__df").cast("double") + F.lit(0.5))
-            / (F.col("__df").cast("double") + F.lit(0.5))
-        )
-        * F.lit(1_000_000.0)
-    ).cast("long")
-    scored = tf.withColumn("__df", dfreq).withColumn("__idf_micro", idf_micro)
-    # Pivot (tf, idf) into per-term columns BEFORE touching doc lengths:
+    scored = tf.withColumn("__df", dfreq)
+    # Pivot (tf, df) into per-term columns BEFORE touching doc lengths:
     # one groupBy(doc) exchange, then the lens join runs on that same
-    # partitioning. Scores are added in fixed written term order — never
-    # a float SUM over an engine-chosen row order.
+    # partitioning. The idf is applied after the 1-row stats broadcast
+    # attaches — the SAME formula on the SAME per-term df value, just
+    # evaluated where N lives now (it is a deterministic function of
+    # __df and N, so quantization is unchanged). Scores are added in
+    # fixed written term order — never a float SUM over an
+    # engine-chosen row order.
     per_term = scored.groupBy(id_col).agg(
         *[
             c
             for i, t in enumerate(terms)
             for c in (
                 F.max(F.when(F.col("token") == t, F.col("tf"))).alias(f"__tf{i}"),
-                F.max(F.when(F.col("token") == t, F.col("__idf_micro"))).alias(f"__idf{i}"),
+                F.max(F.when(F.col("token") == t, F.col("__df"))).alias(f"__dfv{i}"),
             )
         ]
     )
-    joined = per_term.join(lens, id_col)
+    joined = per_term.join(lens, id_col).join(F.broadcast(stats))
 
     def term_score(i: int):
+        # idf quantized to micro-units at first evaluation (see
+        # docstring) — identical operand order to the pre-r14 form.
+        dfv = F.col(f"__dfv{i}").cast("double")
+        idf_micro = F.floor(
+            F.log(
+                F.lit(1.0)
+                + (F.col("__ndocs") - dfv + F.lit(0.5)) / (dfv + F.lit(0.5))
+            )
+            * F.lit(1_000_000.0)
+        ).cast("long")
         tfc = F.col(f"__tf{i}").cast("double")
         tnorm = tfc * F.lit(k1 + 1.0) / (
             tfc
             + F.lit(k1)
-            * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl").cast("double") / F.lit(avgdl))
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("__dl").cast("double") / F.col("__avgdl")
+            )
         )
         return F.coalesce(
-            (F.col(f"__idf{i}").cast("double") / F.lit(1_000_000.0)) * tnorm, F.lit(0.0)
+            (idf_micro.cast("double") / F.lit(1_000_000.0)) * tnorm, F.lit(0.0)
         )
 
     score = term_score(0)
@@ -688,8 +712,12 @@ def corpus_divergence(
             .agg(F.count(F.lit(1)).cast("long").alias("c"))
         )
 
-    ta = counts(df_a)
-    tb = counts(df_b)
+    # Materialize the vocab-sized per-version count tables ONCE: each is
+    # read three times (total, union vocabulary, final join) and as lazy
+    # references every read re-ran the corpus scan + explode — the
+    # docstring's "touched once per version" only holds materialized.
+    ta = counts(df_a).localCheckpoint(eager=True)
+    tb = counts(df_b).localCheckpoint(eager=True)
     t_a = ta.agg(F.sum("c")).collect()[0][0] or 0
     t_b = tb.agg(F.sum("c")).collect()[0][0] or 0
     v = (
@@ -2136,11 +2164,22 @@ def bigram_crossentropy(
         )
 
     tp = _pairs(train)
-    corpus = tp.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    # The |bigram-types|-row LM table is the thing a real pipeline
+    # persists: materialize it once. It feeds the marginal c1, the
+    # scoring join AND the V_train vocabulary — as lazy references the
+    # train corpus was exploded three times (the scoring-join agg plus
+    # BOTH branches of the old tp-based vocabulary union).
+    corpus = tp.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    ).localCheckpoint(eager=True)
     c1 = corpus.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    # V_train from the materialized bigram table: its distinct w1 ∪ w2
+    # is EXACTLY the token set the per-occurrence stream yielded (corpus
+    # holds every distinct pair), so the count is unchanged — but the
+    # action now reads bigram-type-scale rows, not the corpus.
     v_train = (
-        tp.select(F.col("w1").alias("w"))
-        .union(tp.select(F.col("w2").alias("w")))
+        corpus.select(F.col("w1").alias("w"))
+        .union(corpus.select(F.col("w2").alias("w")))
         .distinct()
         .count()
     )
