@@ -892,17 +892,17 @@ def repeated_passages(
                 )
             return F.transform(idx, lambda i: F.slice(t, i + 1, n))
 
-        hsurv = (
-            survivors_over(
-                toks.select(
-                    F.col(id_col),
-                    F.explode(slices(as_hash=True)).alias("__ph"),
-                ),
-                "__ph",
-            )
-            .select("__ph")
-            .localCheckpoint(eager=True)
-        )
+        # hsurv is consumed exactly once, as the broadcast build side of
+        # the pass-2 semi-join — left lazy (optimization r14 batch 3) so
+        # pass 1 runs inside the one job as the BroadcastExchange build
+        # instead of paying a separate blocking checkpoint job.
+        hsurv = survivors_over(
+            toks.select(
+                F.col(id_col),
+                F.explode(slices(as_hash=True)).alias("__ph"),
+            ),
+            "__ph",
+        ).select("__ph")
         exact = (
             toks.select(
                 F.col(id_col), F.explode(slices(as_hash=False)).alias("__arr")
@@ -1139,6 +1139,10 @@ def repeated_passages_maximal(
             F.col("g.n_words").alias("n_words"),
             F.col("g.__ph").alias("__ph"),
         )
+        # Consumed exactly once as the pass-2 broadcast build side —
+        # left lazy (optimization r14 batch 3): pass 1 runs inside the
+        # one job as the BroadcastExchange build, not a separate
+        # blocking checkpoint job.
         hsurv = (
             hgrams.groupBy("n_words", "__ph", F.col(id_col))
             .agg(F.count(F.lit(1)).alias("__occ"))
@@ -1146,7 +1150,6 @@ def repeated_passages_maximal(
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .filter(F.col("n_docs") >= min_docs)
             .select("n_words", "__ph")
-            .localCheckpoint(eager=True)
         )
         grams = (
             toks.select(
