@@ -876,7 +876,13 @@ def repeated_passages(
         # strings for survivors only, and recounts EXACTLY on the
         # string key (collisions only add pass-2 candidates — no false
         # negatives, bit-identical output).
-        toks = df.select(
+        # Optimization r15: _spread before the tokenize checkpoint — on
+        # a single-file scan the regexp split AND every downstream
+        # explode inherit the checkpoint's ONE partition and serialize
+        # on one core (measured: the two heaviest stages of this
+        # operator ran as 1 task each at sf0.1). No-op on wide scans.
+        src, _ = _spread(df)
+        toks = src.select(
             F.col(id_col),
             F.split(normalized_text(text_col), r"\s+").alias("__toks"),
         ).localCheckpoint(eager=True)
@@ -1100,7 +1106,13 @@ def repeated_passages_maximal(
         # survivor's (level, hash) group count >= its own doc count, so
         # no false negatives); the exact recount and min_docs re-cut in
         # pass 2 make the result bit-identical to the string-key plan.
-        toks = df.select(
+        # Optimization r15: _spread before the tokenize checkpoint (see
+        # repeated_passages) — the tokenize and BOTH gram explodes run
+        # at the checkpoint's width, and a single-file scan serialized
+        # them on one core (stage profile at sf0.1: 1.9 s + 3.6 s CPU
+        # in two 1-task stages). No-op on wide scans.
+        src, _ = _spread(df)
+        toks = src.select(
             F.col(id_col),
             F.split(normalized_text(text_col), r"\s+").alias("__toks"),
         ).localCheckpoint(eager=True)
@@ -1209,7 +1221,8 @@ def repeated_passages_maximal(
         # HASHES (no string build — collisions only widen the
         # frontier, which the exact extension recount absorbs).
         if via_hash:
-            toks = df.select(
+            src, _ = _spread(df)
+            toks = src.select(
                 F.col(id_col),
                 F.split(normalized_text(text_col), r"\s+").alias("__toks"),
             ).localCheckpoint(eager=True)
@@ -1354,16 +1367,16 @@ def set_similarity_join(
     p = |S| - ceil(t·|S|) + 1, any pair with Jaccard >= t MUST share a
     token inside the prefix of each side (if all shared tokens hid in
     the suffix of size ceil(t|S|)-1 < t|S| <= |A∩B|, contradiction), so
-    joining prefix tokens against full token postings generates a
-    guaranteed candidate superset. Verification is exact set
-    intersection; the threshold test is exact integer arithmetic
-    (inter · den >= num · uni with threshold = num/den), so the DuckDB
-    brute-force oracle matches bit-for-bit.
+    joining prefix tokens against prefix tokens generates a guaranteed
+    candidate superset. Verification is exact set intersection; the
+    threshold test is exact integer arithmetic (inter · den >= num ·
+    uni with threshold = num/den), so the DuckDB brute-force oracle
+    matches bit-for-bit.
 
     Scale shape: candidate cost is Σ over PREFIX-token postings of
     |posting|² — prefix tokens are the RAREST tokens of each set, which
     is the entire point: frequent tokens never generate candidates from
-    the prefix side. Everything else is bounded joins on id/token keys;
+    either side. Everything else is bounded joins on id/token keys;
     the only window is per-document token ranking (state = one doc's
     token set). Brute-force n² never happens.
     """
@@ -1383,16 +1396,25 @@ def set_similarity_join(
     # arrays are comparable in size to the text they replace, and every
     # downstream step (two explodes, the ranking window, the verify
     # joins) now reads the materialized arrays instead.
+    # Optimization r15: the table also carries __h = xxhash64 per
+    # shingle, so candidate generation and the pass-1 verify below move
+    # 8-byte longs through every exchange instead of ~25-byte shingle
+    # strings (§2.3 narrower types). __h is positionally aligned with
+    # __s and NOT deduplicated: a cross-string hash collision may leave
+    # duplicate longs, which only ever ENLARGES posting lists and the
+    # pass-1 upper bound — superset-safe at every site (proofs below).
+    src, _ = _spread(df)
     sh = (
-        df.select(
+        src.select(
             F.col(id_col).alias("__id"), word_shingles(text_col, shingle_n).alias("__s")
         )
         .filter(F.size("__s") > 0)
+        .withColumn("__h", F.transform("__s", lambda x: F.xxhash64(x)))
         .localCheckpoint(eager=True)
     )
 
     exploded = sh.select(
-        "__id", F.size("__s").alias("__sz"), F.explode("__s").alias("__tok")
+        "__id", F.size("__h").alias("__sz"), F.explode("__h").alias("__tok")
     )
     freq = exploded.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
     toks = exploded.join(freq, "__tok")
@@ -1405,35 +1427,112 @@ def set_similarity_join(
         - F.expr(f"(({num}L * __sz + {den - 1}L) div {den}L)")
         + F.lit(1)
     )
+    # Optimization r15 (All-Pairs, Bayardo WWW'07): candidates come from
+    # PREFIX x PREFIX, not prefix x full postings. Correctness: for any
+    # pair with Jaccard >= t, the globally SMALLEST common token w* must
+    # sit inside BOTH prefixes — if w* fell outside side S's prefix of
+    # length |S| - ceil(t|S|) + 1, every common token (all >= w* in the
+    # order, hence at later positions) would fit in the ceil(t|S|) - 1
+    # suffix slots, giving |A∩B| < t|S| <= t|A∪B| <= |A∩B|,
+    # contradiction. The argument survives hashed tokens: "common token"
+    # becomes "common hash VALUE" (a superset of common strings, counted
+    # with A-side multiplicity >= |A∩B|), positions of equal hashes are
+    # contiguous under the (__cnt, __tok) order so the first occurrence
+    # of w* bounds every common-hash element's position, and the same
+    # counting contradiction applies. Collisions only merge posting
+    # lists — candidates are only ever ADDED.
+    # Materialized once: both join sides read the same ranked table, and
+    # as a lazy reference each side would re-run the freq join + window.
     prefix = (
         toks.withColumn("__pos", F.row_number().over(w))
         .filter(F.col("__pos") <= plen)
-        .select(F.col("__id").alias("__ida"), F.col("__sz").alias("__sza"), "__tok")
+        .select("__id", "__sz", "__pos", "__tok")
+        .localCheckpoint(eager=True)
     )
-    postings = exploded.select(
+    pa = prefix.select(
+        F.col("__id").alias("__ida"),
+        F.col("__sz").alias("__sza"),
+        F.col("__pos").alias("__pa"),
+        "__tok",
+    )
+    pb = prefix.select(
         F.col("__id").alias("__idb"),
         F.col("__sz").alias("__szb"),
+        F.col("__pos").alias("__pb"),
         "__tok",
     )
     # Length filter: Jaccard >= t forces t·|A| <= |B| and t·|B| <= |A|
     # (|A∩B| <= min size, |A∪B| >= max size) — prunes candidates before
     # the verify join ever sees them, all-integer.
+    #
+    # Positional filter (PPJoin, Xiao et al. 2008): every document's
+    # tokens are ranked by the SAME global (__cnt, __tok) order, so
+    # positions are monotone in that order in every document, and
+    # min(__pa)/min(__pb) over a pair's matches are BOTH attained at the
+    # pair's smallest common prefix token. For a qualifying pair that
+    # token is w* (proof above), and every common token lies at
+    # position >= pos(w*) on each side, so
+    #   |A∩B| <= min(|A| - ia, |B| - ib) + 1 =: ubound.
+    # Jaccard >= t = num/den  ⟺  (num+den)·|A∩B| >= num·(|A|+|B|), so
+    # pairs with (num+den)·ubound < num·(|A|+|B|) cannot qualify and are
+    # dropped BEFORE the verify join ever materializes their shingle
+    # arrays. Qualifying pairs always pass (ubound >= |A∩B|); dropped
+    # pairs would have failed the exact verify anyway — superset-safe.
     cand = (
-        prefix.join(postings, "__tok")
+        pa.join(pb, "__tok")
         .filter(
             (F.col("__ida") < F.col("__idb"))
             & (F.lit(num) * F.col("__sza") <= F.lit(den) * F.col("__szb"))
             & (F.lit(num) * F.col("__szb") <= F.lit(den) * F.col("__sza"))
         )
+        .groupBy("__ida", "__idb", "__sza", "__szb")
+        .agg(F.min("__pa").alias("__ia"), F.min("__pb").alias("__ib"))
+        .filter(
+            (
+                F.least(
+                    F.col("__sza") - F.col("__ia"), F.col("__szb") - F.col("__ib")
+                )
+                + F.lit(1)
+            )
+            * F.lit(num + den)
+            >= F.lit(num) * (F.col("__sza") + F.col("__szb"))
+        )
+        .select("__ida", "__idb", "__sza", "__szb")
+    )
+    # Optimization r15: TWO-PASS verify (the r14 passage-mining
+    # pattern). Pass 1 bounds the intersection from the hashed arrays:
+    # every string shingle s in A∩B has xxhash64(s) present in both __ha
+    # and __hb, hence NOT in array_except(__ha, __hb); the map from A∩B
+    # into A's positions is injective, so
+    #   |A∩B| <= |{elements of __ha whose value is in __hb}|
+    #          <= size(__ha) - size(array_except(__ha, __hb)) =: ub
+    # (array_except returns DISTINCT values, which can only shrink the
+    # subtrahend — ub stays an upper bound). Jaccard >= t = num/den is
+    # equivalent to inter·(num+den) >= num·(|A|+|B|), monotone in inter,
+    # so testing ub keeps a guaranteed superset. Pass 2 recomputes the
+    # intersection EXACTLY on the string arrays for the (output-sized)
+    # survivor set — the declared result is bit-identical, but the
+    # expensive string array_intersect now runs on ~0.1% of the pairs
+    # and the per-pair verify join ships long arrays, not strings.
+    ha = sh.select(F.col("__id").alias("__ida"), F.col("__h").alias("__ha"))
+    hb = sh.select(F.col("__id").alias("__idb"), F.col("__h").alias("__hb"))
+    ub = F.size("__ha") - F.size(F.array_except("__ha", "__hb"))
+    pass1 = (
+        cand.join(ha, "__ida")
+        .join(hb, "__idb")
+        .withColumn("__ub", ub)
+        .filter(
+            F.col("__ub") * F.lit(num + den)
+            >= F.lit(num) * (F.col("__sza") + F.col("__szb"))
+        )
         .select("__ida", "__idb")
-        .distinct()
     )
     a = sh.select(F.col("__id").alias("__ida"), F.col("__s").alias("__sa"))
     b = sh.select(F.col("__id").alias("__idb"), F.col("__s").alias("__sb"))
     inter = F.size(F.array_intersect("__sa", "__sb"))
     uni = F.size("__sa") + F.size("__sb") - inter
     return (
-        cand.join(a, "__ida")
+        pass1.join(a, "__ida")
         .join(b, "__idb")
         .withColumn("__i", inter)
         .withColumn("__u", uni)
@@ -1870,16 +1969,27 @@ def containment_join(
 
     # Optimization r14: shingle table materialized once (see
     # set_similarity_join — identical five-derivation pattern).
+    # Optimization r15: it also carries __h = xxhash64 per shingle,
+    # positionally aligned with __s, so candidate generation and the
+    # pass-1 verify move longs through every exchange instead of
+    # shingle strings (§2.3). A positional PPJoin filter was tried here
+    # and REJECTED on measurement: it requires ranking the FULL
+    # postings side (an extra window + materialization the asymmetric
+    # join otherwise avoids) and cut candidates only ~19% at t=0.6 —
+    # CPU went UP (11.2 → 12.0 s at sf0.1). The two-pass hash verify
+    # below attacks the actual dominant cost instead.
+    src, _ = _spread(df)
     sh = (
-        df.select(
+        src.select(
             F.col(id_col).alias("__id"), word_shingles(text_col, shingle_n).alias("__s")
         )
         .filter(F.size("__s") > 0)
+        .withColumn("__h", F.transform("__s", lambda x: F.xxhash64(x)))
         .localCheckpoint(eager=True)
     )
 
     exploded = sh.select(
-        "__id", F.size("__s").alias("__sz"), F.explode("__s").alias("__tok")
+        "__id", F.size("__h").alias("__sz"), F.explode("__h").alias("__tok")
     )
     freq = exploded.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
     toks = exploded.join(freq, "__tok")
@@ -1890,6 +2000,13 @@ def containment_join(
         - F.expr(f"(({num}L * __sz + {den - 1}L) div {den}L)")
         + F.lit(1)
     )
+    # Hashed-token prefix correctness: the docstring's contradiction
+    # argument runs on hash VALUES — common hashes (counted with A-side
+    # multiplicity) are >= |A∩B| strings, equal hash values occupy
+    # contiguous positions under the (__cnt, __tok) order so the first
+    # occurrence of the smallest common hash bounds every common
+    # element's position, and collisions only MERGE posting lists —
+    # candidates are only ever added, never lost.
     prefix = (
         toks.withColumn("__pos", F.row_number().over(w))
         .filter(F.col("__pos") <= plen)
@@ -1908,14 +2025,35 @@ def containment_join(
             & (F.expr(f"(({num}L * __sza + {den - 1}L) div {den}L)")
                <= F.col("__szb"))
         )
-        .select("__ida", "__idb")
+        .select("__ida", "__idb", "__sza")
         .distinct()
+    )
+    # Optimization r15: TWO-PASS verify (the r14 passage-mining
+    # pattern; full proof at the set_similarity_join twin). Pass 1
+    # bounds the intersection from the hashed arrays —
+    #   |A∩B| <= size(__ha) - size(array_except(__ha, __hb)) =: ub
+    # — and containment >= t = num/den is monotone in the intersection
+    # (inter·den >= num·|A|), so testing ub keeps a guaranteed
+    # superset. Pass 2 recomputes the intersection EXACTLY on the
+    # string arrays for the output-sized survivor set: bit-identical
+    # result, with the expensive string array_intersect on ~0.1% of
+    # the candidate pairs and long arrays (not strings) shipped
+    # through the per-pair verify join.
+    ha = sh.select(F.col("__id").alias("__ida"), F.col("__h").alias("__ha"))
+    hb = sh.select(F.col("__id").alias("__idb"), F.col("__h").alias("__hb"))
+    ub = F.size("__ha") - F.size(F.array_except("__ha", "__hb"))
+    pass1 = (
+        cand.join(ha, "__ida")
+        .join(hb, "__idb")
+        .withColumn("__ub", ub)
+        .filter(F.col("__ub") * F.lit(den) >= F.lit(num) * F.col("__sza"))
+        .select("__ida", "__idb")
     )
     a = sh.select(F.col("__id").alias("__ida"), F.col("__s").alias("__sa"))
     b = sh.select(F.col("__id").alias("__idb"), F.col("__s").alias("__sb"))
     inter = F.size(F.array_intersect("__sa", "__sb"))
     return (
-        cand.join(a, "__ida")
+        pass1.join(a, "__ida")
         .join(b, "__idb")
         .withColumn("__i", inter)
         .filter(F.col("__i") * F.lit(den) >= F.lit(num) * F.size("__sa"))

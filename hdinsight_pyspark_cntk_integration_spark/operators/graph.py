@@ -303,6 +303,19 @@ def k_core(
         .select("__p.s", "__p.d")
         .filter(F.col("s") != F.col("d"))
         .distinct()
+        # Optimization r15 (repartition-before-checkpoint, the r14
+        # bfs/sssp layout): the surviving-edge frame is kept hash-
+        # partitioned on s across rounds, so the per-round degree count
+        # AND the s-side semi-join reuse the checkpoint's partitioning
+        # (only the node-sized keep frame moves). The d-side semi-join
+        # is the one edge-sized exchange left per round — and its
+        # output, partitioned by d, is re-labeled via the SYMMETRY of
+        # und (the surviving edge set equals its own swap, because an
+        # edge survives iff BOTH endpoints are kept): swapping the
+        # column names yields the same set, already partitioned by the
+        # new s, so no repartition is ever paid again. Previously every
+        # round reshuffled the full edge frame twice (both semi-joins).
+        .repartition("s")
         .localCheckpoint(eager=True)
     )
     cur = und
@@ -320,6 +333,10 @@ def k_core(
         cur = (
             cur.join(keep, cur.s == keep.node, "left_semi")
             .join(keep.withColumnRenamed("node", "node2"), cur.d == F.col("node2"), "left_semi")
+            # swap, not repartition: the set is symmetric and the d-side
+            # semi-join left it partitioned by d — renaming d to s hands
+            # the next round its required layout for free.
+            .select(F.col("d").alias("s"), F.col("s").alias("d"))
             .localCheckpoint(eager=True)
         )
         n_nodes = n_keep

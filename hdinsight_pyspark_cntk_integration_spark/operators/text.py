@@ -544,10 +544,10 @@ def unigram_logprob(
     per-document reduction is an exact BIGINT sum (order-independent,
     hash-gate-safe). The emitted mean is one int/int IEEE division.
 
-    Scale shape: explode → repartition(token) computes (doc,token) tf and
-    corpus ctf on one exchange; the |vocab|-row logprob table broadcasts
-    back; the per-doc total is a BIGINT partial-agg sum. No self-joins,
-    no float accumulation anywhere.
+    Scale shape: explode → repartition(token) computes (doc,token) tf,
+    the vocab-grain ctf aggregate AND the logprob re-attach join on one
+    exchange (hash join, no stream sort); the per-doc total is a BIGINT
+    partial-agg sum. No self-joins, no float accumulation anywhere.
     """
     n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     toks = (
@@ -559,9 +559,6 @@ def unigram_logprob(
         .repartition(n_shuffle, "token")
     )
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    from pyspark.sql.window import Window
-
-    ctf = F.sum("tf").over(Window.partitionBy("token")).cast("long")
     # Optimization r14: the corpus total used to be a driver-blocking
     # .collect() at DataFrame-BUILD time — a full second derivation of
     # the exploded token stream (explode + tf aggregation) run before
@@ -570,12 +567,26 @@ def unigram_logprob(
     # identical aggregate) joins into the one plan: one pass total, and
     # the log operand arithmetic is unchanged (long/double → double).
     total = tf.agg(F.sum("tf").cast("double").alias("__t"))
-    with_lp = tf.join(F.broadcast(total)).withColumn(
-        "lp_micro",
-        F.floor(F.log(ctf.cast("double") / F.col("__t")) * F.lit(1_000_000.0)).cast(
-            "long"
-        ),
+    # Optimization r15: the per-token corpus frequency used to be an
+    # unbounded window (sum over partitionBy(token)) — a full sort of
+    # the (doc, token) tf stream just to attach one number per token.
+    # It is now a vocab-grain aggregate joined back with a SHUFFLE_HASH
+    # hint: both sides inherit the token repartition above (zero new
+    # exchanges), and the hash join replaces the window's stream sort
+    # outright (§2.4 — share one exchange; §3.1 — hash beats sort when
+    # the build side is the bounded vocab slice). lp_micro is a
+    # deterministic function of (ctf, __t), so computing it once per
+    # DISTINCT token instead of per (doc, token) row is value-identical.
+    vocab = tf.groupBy("token").agg(F.sum("tf").cast("long").alias("__ctf"))
+    lp = vocab.join(F.broadcast(total)).select(
+        "token",
+        F.floor(
+            F.log(F.col("__ctf").cast("double") / F.col("__t")) * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("lp_micro"),
     )
+    with_lp = tf.join(lp.hint("shuffle_hash"), "token")
     return (
         with_lp.groupBy(id_col)
         .agg(
@@ -697,8 +708,13 @@ def corpus_divergence(
     engines feed ln identical doubles.
 
     Scale shape: one token groupBy per version (partial agg; vocab-sized
-    outputs), one vocab-sized join, three bounded scalar actions for the
-    totals, and a bounded top-k. The corpus is touched once per version.
+    outputs), one vocab-sized FULL OUTER join serving both the union
+    vocabulary and the contributor rows, the three scalar totals as ONE
+    in-plan broadcast 1-row aggregate of that join (no driver actions —
+    Optimization r15, the bm25 pattern from r14 #43: previously two
+    ``.collect()``s and a ``.count()`` cost three blocking jobs and
+    three py4j syncs per call), and a bounded top-k. The corpus is
+    touched once per version.
     """
     def counts(df: DataFrame) -> DataFrame:
         return (
@@ -712,24 +728,44 @@ def corpus_divergence(
             .agg(F.count(F.lit(1)).cast("long").alias("c"))
         )
 
-    # Materialize the vocab-sized per-version count tables ONCE: each is
-    # read three times (total, union vocabulary, final join) and as lazy
-    # references every read re-ran the corpus scan + explode — the
-    # docstring's "touched once per version" only holds materialized.
-    ta = counts(df_a).localCheckpoint(eager=True)
-    tb = counts(df_b).localCheckpoint(eager=True)
-    t_a = ta.agg(F.sum("c")).collect()[0][0] or 0
-    t_b = tb.agg(F.sum("c")).collect()[0][0] or 0
-    v = (
-        ta.select("token").union(tb.select("token")).distinct().count()
+    # Materialize the vocab-sized FULL OUTER join ONCE: the totals
+    # aggregate and the contributor rows both read it, and as a lazy
+    # reference each read would re-run both corpus scans + explodes —
+    # the docstring's "touched once per version" only holds
+    # materialized. A token in neither corpus cannot appear, so
+    # count(*) over this join IS the union-vocabulary size V; sum over
+    # a side's counts (nulls ignored) IS that side's total.
+    fo = (
+        counts(df_a)
+        .withColumnRenamed("c", "ca")
+        .join(counts(df_b).withColumnRenamed("c", "cb"), "token", "full_outer")
+        .localCheckpoint(eager=True)
     )
-    j = ta.join(tb.withColumnRenamed("c", "cb"), "token", "left").select(
-        "token",
-        F.col("c").alias("cnt_a"),
-        F.coalesce(F.col("cb"), F.lit(0)).cast("long").alias("cnt_b"),
+    # the 0-coalesce mirrors the old `or 0` on the collected scalars
+    # (an all-NULL side sums to NULL, e.g. when one corpus is empty)
+    totals = fo.agg(
+        F.coalesce(F.sum("ca"), F.lit(0)).cast("long").alias("__ta"),
+        F.coalesce(F.sum("cb"), F.lit(0)).cast("long").alias("__tb"),
+        F.count(F.lit(1)).cast("long").alias("__v"),
     )
-    arg = (F.col("cnt_a").cast("double") * F.lit(float(t_b + v))) / (
-        F.lit(float(t_a)) * (F.col("cnt_b") + F.lit(1)).cast("double")
+    j = (
+        fo.filter(F.col("ca").isNotNull())
+        .select(
+            "token",
+            F.col("ca").alias("cnt_a"),
+            F.coalesce(F.col("cb"), F.lit(0)).cast("long").alias("cnt_b"),
+        )
+        .join(F.broadcast(totals))
+    )
+    # operand order mirrors the oracle: (cnt_a · (T_B + V)) / (T_A ·
+    # (cnt_b + 1)); the totals are exact BIGINTs well under 2^53, so
+    # casting the in-plan sum to double yields the identical IEEE value
+    # the old float(t_b + v) literal produced.
+    arg = (
+        F.col("cnt_a").cast("double")
+        * (F.col("__tb") + F.col("__v")).cast("double")
+    ) / (
+        F.col("__ta").cast("double") * (F.col("cnt_b") + F.lit(1)).cast("double")
     )
     out = j.select(
         "token",
@@ -2410,24 +2446,49 @@ def bleu_clipped_precision(
 
     Returns (n, total_ref, total_gen, total_clipped, precision_micro).
     """
-    from hdinsight_pyspark_cntk_integration_spark.operators.dedup import word_ngrams
+    from hdinsight_pyspark_cntk_integration_spark.operators.dedup import (
+        _bind_once,
+        normalized_text,
+    )
 
     if n_max < 1:
         raise ValueError(f"n_max must be >= 1 (got {n_max})")
 
     def grams(df: DataFrame, text_col: str) -> DataFrame:
-        def tag(n: int):
-            # single-arg lambda: a two-arg lambda would make
-            # F.transform pass (element, index) and shadow the
-            # captured n with the gram position.
-            return F.transform(
-                word_ngrams(text_col, n),
-                lambda g: F.struct(F.lit(n).cast("int").alias("n"), g.alias("g")),
-            )
+        # Optimization r15: tokenize ONCE per document. The previous
+        # form called word_ngrams(text_col, n) once per order — each
+        # call re-ran the normalize-regex + split pipeline over the
+        # text (n_max full tokenizations per document, §2.3 "don't
+        # compute things twice"). The token array is now lambda-bound a
+        # single time and every order's gram array is built from it;
+        # the n=1 order maps tokens directly instead of paying an
+        # array_join(slice(...)) per gram. Gram values (including the
+        # short-document edge where slice() yields a truncated gram)
+        # are bit-identical to the word_ngrams form.
+        def all_grams(toks: Column) -> Column:
+            def order(n: int) -> Column:
+                if n == 1:
+                    gs = toks
+                else:
+                    idx = F.sequence(
+                        F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(0))
+                    )
+                    gs = F.transform(
+                        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+                    )
+                # single-arg lambda: a two-arg lambda would make
+                # F.transform pass (element, index) and shadow the
+                # captured n with the gram position.
+                return F.transform(
+                    gs,
+                    lambda g: F.struct(F.lit(n).cast("int").alias("n"), g.alias("g")),
+                )
 
-        arrs = [tag(n) for n in range(1, n_max + 1)]
+            return F.concat(*[order(n) for n in range(1, n_max + 1)])
+
+        tagged = _bind_once(F.split(normalized_text(text_col), r"\s+"), all_grams)
         return (
-            df.select(F.col(id_col), F.explode(F.concat(*arrs)).alias("x"))
+            df.select(F.col(id_col), F.explode(tagged).alias("x"))
             .select(id_col, F.col("x.n").alias("n"), F.col("x.g").alias("g"))
             .filter(F.length("g") > 0)
             .groupBy(id_col, "n", "g")

@@ -1046,6 +1046,77 @@ def test_containment_join_quote_inside_article(spark):
         dd.containment_join(docs, threshold=0.0)
 
 
+def test_similarity_two_pass_verify_borderline(spark):
+    """r15 two-pass hash verify: pairs whose hash upper bound passes
+    pass-1 but whose EXACT string intersection sits just below the
+    threshold must be dropped by pass-2, and exactly-at-threshold pairs
+    kept — the boundary where a sloppy prefilter would change results.
+
+    Docs share enough rare shingles to survive candidate generation and
+    the hash bound; pair (1,2) has Jaccard exactly 0.6 (kept), pair
+    (3,4) has Jaccard just below (dropped). Containment analog: (5,6)
+    exactly at 0.6 kept, (7,8) at 0.59 dropped."""
+    import itertools
+
+    def doc(words):
+        return " ".join(words)
+
+    # 3-shingles of a k-word doc: k-2 distinct shingles (all words unique).
+    # Build A,B sharing a run: A = p + c, B = c + q with c common run.
+    a = [f"a{i}" for i in range(4)] + [f"c{i}" for i in range(14)]
+    b = [f"c{i}" for i in range(14)] + [f"b{i}" for i in range(4)]
+    # |A| = |B| = 16 shingles; common shingles = 12 ("c0..c13" run gives
+    # 12 3-shingles); jaccard = 12/20 = 0.6 exactly.
+    x = [f"x{i}" for i in range(5)] + [f"d{i}" for i in range(14)]
+    y = [f"d{i}" for i in range(14)] + [f"y{i}" for i in range(5)]
+    # |X| = |Y| = 17; common = 12; jaccard = 12/22 < 0.6 — borderline out.
+    p = [f"p{i}" for i in range(12)]
+    q = [f"p{i}" for i in range(12)] + [f"q{i}" for i in range(30)]
+    # containment(P in Q) = 10/10 = 1.0; trim P to get exactly 0.6:
+    # P2 has 10 shingles, 6 inside Q.
+    p2 = [f"p{i}" for i in range(8)] + [f"z{i}" for i in range(4)]
+    # shingles(P2) = 10; common with Q = 6 (p-run of 8 words -> 6
+    # 3-shingles); containment = 6/10 = 0.6 exactly.
+    p3 = [f"p{i}" for i in range(8)] + [f"w{i}" for i in range(5)]
+    # shingles(P3) = 11; common = 6; containment = 6/11 < 0.6.
+    docs = spark.createDataFrame(
+        [(1, doc(a)), (2, doc(b)), (3, doc(x)), (4, doc(y)),
+         (5, doc(p2)), (6, doc(q)), (7, doc(p3)), (8, doc(q + ["qq"]))],
+        "doc_id long, text string",
+    )
+
+    got_j = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dd.set_similarity_join(docs, threshold=0.6).collect()}
+    assert (1, 2) in got_j and abs(got_j[(1, 2)] - 0.6) < 1e-12
+    assert (3, 4) not in got_j
+
+    got_c = {(r["id_a"], r["id_b"]): r["containment"]
+             for r in dd.containment_join(docs, threshold=0.6).collect()}
+    assert got_c.get((5, 6)) == pytest.approx(0.6)
+    assert (7, 8) not in got_c
+    # full brute-force cross-check of every pair in this fixture
+    rows = docs.collect()
+
+    def sh3(t):
+        toks = t.split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {r["doc_id"]: sh3(r["text"]) for r in rows}
+    want_j = {}
+    for i, j in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[i] & sets[j])
+        uni = len(sets[i] | sets[j])
+        if inter * 5 >= 3 * uni:
+            want_j[(i, j)] = inter / uni
+    assert got_j == pytest.approx(want_j)
+    want_c = {}
+    for i in sets:
+        for j in sets:
+            if i != j and len(sets[i] & sets[j]) * 5 >= 3 * len(sets[i]):
+                want_c[(i, j)] = len(sets[i] & sets[j]) / len(sets[i])
+    assert got_c == pytest.approx(want_c)
+
+
 # --- oov_rate -------------------------------------------------------------
 
 
