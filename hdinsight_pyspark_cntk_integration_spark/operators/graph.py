@@ -242,7 +242,11 @@ def bfs_hops(
     # — distinct's hash(s, d) layout does not satisfy the per-round
     # frontier join's hash(s) requirement, so every round used to
     # re-shuffle the full edge list; now only the frontier moves.
-    e = e.distinct().repartition(F.col("s")).localCheckpoint()
+    # Optimization r15: repartition FIRST, then distinct — hash(s)
+    # clusters every (s, d) duplicate into one partition, so the
+    # distinct's aggregate runs exchange-free on the s-layout (subset
+    # rule) and the one-time premium is ONE full-edge exchange, not two.
+    e = e.repartition(F.col("s")).distinct().localCheckpoint()
     reached = spark.createDataFrame([(int(source), 0)], "node bigint, hop int")
     for i in range(1, max_hops + 1):
         frontier = reached.filter(F.col("hop") == i - 1).select(
@@ -301,8 +305,6 @@ def k_core(
             ).alias("__p")
         )
         .select("__p.s", "__p.d")
-        .filter(F.col("s") != F.col("d"))
-        .distinct()
         # Optimization r15 (repartition-before-checkpoint, the r14
         # bfs/sssp layout): the surviving-edge frame is kept hash-
         # partitioned on s across rounds, so the per-round degree count
@@ -315,7 +317,11 @@ def k_core(
         # column names yields the same set, already partitioned by the
         # new s, so no repartition is ever paid again. Previously every
         # round reshuffled the full edge frame twice (both semi-joins).
+        # repartition BEFORE distinct: the s-layout clusters (s, d)
+        # duplicates, so the distinct runs exchange-free on it.
+        .filter(F.col("s") != F.col("d"))
         .repartition("s")
+        .distinct()
         .localCheckpoint(eager=True)
     )
     cur = und
@@ -388,6 +394,12 @@ def label_propagation(
         )
         .select("__p.s", "__p.d")
         .filter(F.col("s") != F.col("d"))
+        # Optimization r15: the per-round neighbor join keys on und.d,
+        # so checkpoint the edge frame d-partitioned (the bfs_hops
+        # layout) — only the |nodes|-row label frame moves per round.
+        # repartition BEFORE distinct: the d-layout clusters (s, d)
+        # duplicates, so the distinct runs exchange-free on it.
+        .repartition(F.col("d"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -545,12 +557,14 @@ def harmonic_centrality(
         .select("__p.s", "__p.d")
         .filter(F.col("s") != F.col("d"))
         .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
-        .distinct()
         # Optimization r14: s-partitioned before the one-time
         # checkpoint so the per-round frontier join reuses the edge
         # layout instead of re-shuffling the edge list every round
-        # (see bfs_hops).
+        # (see bfs_hops). r15: repartition BEFORE distinct — the
+        # s-layout clusters (s, d) duplicates, so the distinct runs
+        # exchange-free and the layout premium is one exchange, not two.
         .repartition(F.col("s"))
+        .distinct()
         .localCheckpoint(eager=True)
     )
     reached = und.select(F.col("s").alias("source")).distinct().select(
@@ -616,11 +630,13 @@ def hierarchy_rollup(
         raise ValueError(f"max_depth must be >= 1 (got {max_depth})")
     e = edges.select(
         F.col(child).alias("__c"), F.col(parent).alias("__p")
-    ).filter(F.col("__c").isNotNull() & F.col("__p").isNotNull()).distinct()
+    ).filter(F.col("__c").isNotNull() & F.col("__p").isNotNull())
     # Optimization r14: child-partitioned before the one-time
     # checkpoint — the per-round lift joins on __c, so only the
-    # frontier moves per round (see bfs_hops).
-    e = e.repartition(F.col("__c")).localCheckpoint(eager=True)
+    # frontier moves per round (see bfs_hops). r15: repartition BEFORE
+    # distinct — the __c layout clusters (__c, __p) duplicates, so the
+    # distinct runs exchange-free (one layout exchange, not two).
+    e = e.repartition(F.col("__c")).distinct().localCheckpoint(eager=True)
     base = values.select(
         F.col(node).alias("__n"), F.col(value).cast("long").alias("__v")
     )
@@ -721,12 +737,15 @@ def sssp_weighted(
         .filter(
             F.col("s").isNotNull() & F.col("d").isNotNull() & F.col("w").isNotNull()
         )
-        .groupBy("s", "d")
-        .agg(F.min("w").alias("w"))
         # Optimization r14: s-partitioned before the one-time checkpoint
         # so the per-round frontier join reuses the edge layout instead
         # of re-shuffling the edge list every round (see bfs_hops).
+        # r15: repartition BEFORE the min-weight groupBy — the s-layout
+        # clusters every (s, d) group, so the aggregate runs
+        # exchange-free (one layout exchange, not two).
         .repartition(F.col("s"))
+        .groupBy("s", "d")
+        .agg(F.min("w").alias("w"))
         .localCheckpoint(eager=True)
     )
     dist = spark.createDataFrame(

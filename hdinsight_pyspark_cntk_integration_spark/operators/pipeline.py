@@ -627,19 +627,26 @@ def temperature_mixture(
         F.pow(F.col("__n").cast("double"), F.lit(float(alpha))) * F.lit(1_000_000.0)
     ).cast("long")
     weights = counts.select(group_col, F.col("__n"), w_micro.alias("__w"))
-    total_w = weights.agg(F.sum("__w").cast("long").alias("t")).collect()[0]["t"]
+    # Optimization r15 (the bm25/corpus_divergence §5 pattern): Σw used
+    # to be a driver .collect() at DataFrame-BUILD time — a second full
+    # derivation of the group-count aggregate run before the main job
+    # could start, plus a py4j sync. As a broadcast 1-row frame the
+    # identical BIGINT joins in-plan; the DECIMAL(38,0) keep-test
+    # arithmetic is unchanged (long column vs long literal).
+    total_w = weights.agg(F.sum("__w").cast("long").alias("__tw"))
     bucket = hash_bucket(id_col, method)
     dec = "decimal(38,0)"
     keep = (
-        bucket.cast(dec) * F.col("__n").cast(dec) * F.lit(total_w).cast(dec)
+        bucket.cast(dec) * F.col("__n").cast(dec) * F.col("__tw").cast(dec)
         < F.lit(int(target_rows)).cast(dec)
         * F.col("__w").cast(dec)
         * F.lit(_KNUTH_MOD).cast(dec)
     )
     return (
         df.join(F.broadcast(weights), group_col)
+        .join(F.broadcast(total_w))
         .filter(keep)
-        .drop("__n", "__w")
+        .drop("__n", "__w", "__tw")
     )
 
 
@@ -741,17 +748,27 @@ def fk_violations(
     one quality report. NULL child keys are orphans by definition here
     (use a separate not-null check to tell the cases apart)."""
     name = check_name or f"fk_{child_key}_in_{parent_key}"
-    n_rows = child.agg(F.count(F.lit(1)).cast("long").alias("n")).collect()[0]["n"]
+    # Optimization r15 (§5): the child row count used to be a driver
+    # .collect() at build time — one extra full child scan + py4j sync.
+    # As a broadcast 1-row frame it joins the (1-row) violation
+    # aggregate in-plan; same BIGINT, one job.
+    n_rows = child.agg(F.count(F.lit(1)).cast("long").alias("__nr"))
     orphans = child.join(
         parent.select(F.col(parent_key)),
         child[child_key] == parent[parent_key],
         "left_anti",
     )
-    return orphans.agg(
-        F.lit(name).alias("check"),
-        F.lit(n_rows).cast("long").alias("n_rows"),
-        F.count(F.lit(1)).cast("long").alias("n_violations"),
-        (F.count(F.lit(1)) == 0).alias("passed"),
+    return (
+        orphans.agg(
+            F.count(F.lit(1)).cast("long").alias("n_violations"),
+        )
+        .join(F.broadcast(n_rows))
+        .select(
+            F.lit(name).alias("check"),
+            F.col("__nr").cast("long").alias("n_rows"),
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
     )
 
 

@@ -271,7 +271,20 @@ def tokenize_to_ids_broadcast(
     """
     import re as _re
 
-    vmap = {r["token"]: r["token_id"] for r in vocab.select("token", "token_id").collect()}
+    # Size guard (r15): the dict is bounded BY CONTRACT (BPE-scale
+    # vocab), but a caller handing a raw token table would otherwise
+    # OOM the driver silently. limit(N+1) bounds the collect itself
+    # (no extra count job): <= N rows come back whole, N+1 means the
+    # contract is broken — fail loudly before broadcasting.
+    _MAX_VOCAB = 5_000_000
+    rows = vocab.select("token", "token_id").limit(_MAX_VOCAB + 1).collect()
+    if len(rows) > _MAX_VOCAB:
+        raise ValueError(
+            f"tokenize_to_ids_broadcast: vocabulary exceeds {_MAX_VOCAB} "
+            "entries — use the join-form tokenize_to_ids for unbounded "
+            "vocabularies"
+        )
+    vmap = {r["token"]: r["token_id"] for r in rows}
     bc = df.sparkSession.sparkContext.broadcast(vmap)
     ws = _re.compile(r"[ \t\n\r\f\v]+")
 
@@ -2169,8 +2182,9 @@ def bigram_crossentropy(
     Scale shape: train bigram/marginal counts are partial-agg shuffles
     of the train shingle stream; the eval side (benchmarks/generations —
     orders of magnitude smaller) LEFT-joins those tables co-keyed on
-    (w1, w2) and (w1). V_train is one bounded driver scalar (the
-    ``bigram_logprob`` precedent). No broadcast of SF-scaled sides.
+    (w1, w2) and (w1). V_train is one bounded in-plan broadcast 1-row
+    aggregate (r15; was a driver scalar). No broadcast of SF-scaled
+    sides.
 
     Returns (id, n_bigrams, n_seen, xent_micro, mean_xent_micro) —
     n_seen/n_bigrams is the overlap rate, mean_xent_micro the
@@ -2211,13 +2225,16 @@ def bigram_crossentropy(
     c1 = corpus.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
     # V_train from the materialized bigram table: its distinct w1 ∪ w2
     # is EXACTLY the token set the per-occurrence stream yielded (corpus
-    # holds every distinct pair), so the count is unchanged — but the
-    # action now reads bigram-type-scale rows, not the corpus.
+    # holds every distinct pair), so the count is unchanged — and the
+    # action reads bigram-type-scale rows, not the corpus.
+    # Optimization r15 (§5): in-plan as a broadcast 1-row aggregate
+    # instead of a driver-blocking .count() + py4j sync; the smoothing
+    # denominator arithmetic is unchanged (long column vs long literal).
     v_train = (
         corpus.select(F.col("w1").alias("w"))
         .union(corpus.select(F.col("w2").alias("w")))
         .distinct()
-        .count()
+        .agg(F.count(F.lit(1)).cast("long").alias("__vt"))
     )
     ep = _pairs(eval_df)
     etf = ep.groupBy(id_col, "w1", "w2").agg(
@@ -2226,18 +2243,20 @@ def bigram_crossentropy(
     scored = (
         etf.join(corpus, ["w1", "w2"], "left")
         .join(c1, ["w1"], "left")
+        .join(F.broadcast(v_train))
         .select(
             id_col,
             "tf",
             F.coalesce(F.col("c12"), F.lit(0).cast("long")).alias("c12"),
             F.coalesce(F.col("c1"), F.lit(0).cast("long")).alias("c1"),
+            F.col("__vt"),
         )
         .withColumn(
             "lp_micro",
             F.floor(
                 F.log(
                     (F.col("c12") + F.lit(1)).cast("double")
-                    / (F.col("c1") + F.lit(int(v_train))).cast("double")
+                    / (F.col("c1") + F.col("__vt")).cast("double")
                 )
                 * F.lit(1_000_000.0)
             ).cast("long"),
