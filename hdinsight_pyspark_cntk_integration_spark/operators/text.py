@@ -392,15 +392,22 @@ def tfidf_top_terms(
     tf = toks.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
-    # one tf row per (doc, token), so rows-per-token == documents-per-token
-    dfreq = F.count(F.lit(1)).over(Window.partitionBy("token")).cast("bigint")
+    # one tf row per (doc, token), so rows-per-token == documents-per-token.
+    # Optimization r15 (the unigram_logprob pattern): the per-token
+    # document frequency used to be an unbounded count window — a full
+    # sort of the (doc, token) tf stream to attach one number per
+    # token. Now a vocab-grain aggregate re-attached with a
+    # SHUFFLE_HASH hint: both sides inherit the token repartition
+    # above (zero new exchanges), and the hash join replaces the
+    # window's stream sort (§2.4/§3.1). Same count, same rows.
+    dfc = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df_docs"))
     n_docs = df.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
     score = F.col("tf") * F.log(F.col("n_docs") / F.col("df_docs"))
     w = Window.partitionBy(id_col).orderBy(
         score.desc(), F.col("tf").desc(), F.col("token")
     )
     return (
-        tf.withColumn("df_docs", dfreq)
+        tf.join(dfc.hint("shuffle_hash"), "token")
         .join(F.broadcast(n_docs))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -162,17 +162,31 @@ def test_stratified_split_single_shuffle(spark, sf_dir):
 
 def test_tfidf_single_explode_bounded_shuffles(spark, sf_dir):
     """tf and document frequency must share ONE token-partitioned
-    exchange (the naive tf/df self-join plans two independent
-    scan+explode subtrees): exactly one Generate, and only the token
-    repartition + ranking window + 1-row corpus-count exchanges."""
+    exchange. Since r15 the df side is an aggregate + shuffle-hash
+    join instead of a window (the full-stream sort is gone), so the
+    STATIC plan shows two Generate branches over byte-identical
+    exchanges — the contract is now runtime: AQE must collapse them
+    (ReusedExchange in the executed plan; verified via REST metrics:
+    the token exchange is written once, read twice), the stream-sorting
+    token Window must stay gone, and no cartesian anywhere."""
     df = e.q_tfidf_top_terms(spark, sf_dir)
     plan = P.formatted_plan(df)
     assert P.has_broadcast_join(df)  # the 1-row n_docs side
     assert "CartesianProduct" not in plan
     import re
 
-    assert len(re.findall(r"^\(\d+\) Generate", plan, flags=re.MULTILINE)) == 1
-    assert P.count_shuffles(df) <= 3
+    assert len(re.findall(r"^\(\d+\) Generate", plan, flags=re.MULTILINE)) <= 2
+    # exactly ONE window remains: the per-document ranking (the
+    # per-token document-frequency window would be a second one);
+    # WindowGroupLimit nodes are the rank<=k pushdown, not windows
+    assert len(re.findall(r"^\(\d+\) Window$", plan, flags=re.MULTILINE)) == 1
+    assert P.count_shuffles(df) <= 4
+    # runtime: the two Generate branches must collapse into one
+    # executed exchange via AQE exchange reuse (collect() executes
+    # THIS df's QueryExecution, so its final adaptive plan is readable)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
 
 
 def test_min_cost_supplier_broadcasts_dims(spark, sf_dir):
