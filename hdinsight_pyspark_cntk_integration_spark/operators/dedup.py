@@ -876,13 +876,12 @@ def repeated_passages(
         # strings for survivors only, and recounts EXACTLY on the
         # string key (collisions only add pass-2 candidates — no false
         # negatives, bit-identical output).
-        # Optimization r15: _spread before the tokenize checkpoint — on
-        # a single-file scan the regexp split AND every downstream
-        # explode inherit the checkpoint's ONE partition and serialize
-        # on one core (measured: the two heaviest stages of this
-        # operator ran as 1 task each at sf0.1). No-op on wide scans.
-        src, _ = _spread(df)
-        toks = src.select(
+        # _spread was tried here (r15) and REJECTED on a median-of-3
+        # wall A/B: 1.59 s without vs 1.87 s with — at n=8 the explode
+        # is light enough that the repartition round-trip costs more
+        # than the parallelism buys (unlike the multi-level maximal
+        # sweep, where the same A/B kept it).
+        toks = df.select(
             F.col(id_col),
             F.split(normalized_text(text_col), r"\s+").alias("__toks"),
         ).localCheckpoint(eager=True)
@@ -1403,9 +1402,12 @@ def set_similarity_join(
     # __s and NOT deduplicated: a cross-string hash collision may leave
     # duplicate longs, which only ever ENLARGES posting lists and the
     # pass-1 upper bound — superset-safe at every site (proofs below).
-    src, _ = _spread(df)
+    # _spread was tried here (r15) and REJECTED on a median-of-3 wall
+    # A/B (set_similarity 1.89 s without vs 3.02 s with; containment
+    # 2.24 vs 3.35): the repartition round-trip of the text costs more
+    # than parallelizing the shingle projection buys at this weight.
     sh = (
-        src.select(
+        df.select(
             F.col(id_col).alias("__id"), word_shingles(text_col, shingle_n).alias("__s")
         )
         .filter(F.size("__s") > 0)
@@ -1978,9 +1980,12 @@ def containment_join(
     # join otherwise avoids) and cut candidates only ~19% at t=0.6 —
     # CPU went UP (11.2 → 12.0 s at sf0.1). The two-pass hash verify
     # below attacks the actual dominant cost instead.
-    src, _ = _spread(df)
+    # _spread was tried here (r15) and REJECTED on a median-of-3 wall
+    # A/B (set_similarity 1.89 s without vs 3.02 s with; containment
+    # 2.24 vs 3.35): the repartition round-trip of the text costs more
+    # than parallelizing the shingle projection buys at this weight.
     sh = (
-        src.select(
+        df.select(
             F.col(id_col).alias("__id"), word_shingles(text_col, shingle_n).alias("__s")
         )
         .filter(F.size("__s") > 0)
