@@ -26,7 +26,7 @@ def sf_dir() -> str:
 
 def pytest_collection_modifyitems(config, items):
     """Fast tier (r15): auto-mark tests listed in slow_tests.txt as
-    `slow` (measured >= 3 s in the committed full-suite duration
+    `slow` (measured >= 2 s in the committed full-suite duration
     profile) so the default run — pytest.ini deselects `slow` — fits
     the driver's verify window. Regenerate the list from a full run:
       pytest tests/ -m "slow or not slow" -q --durations=0
