@@ -7430,71 +7430,71 @@ def q_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Driver-gate window (ROTATION.md): the driver records the FIRST 50
-# entries of queries() in CORRECTNESS_r{N}.json. Round 14 executes the
-# committed plan (ROTATION.md "Round 14 window") WITHOUT in-round
-# displacement (VERDICT r13 #1 — a re-gate floor now applies; round-14
-# additions land at the catalog END and gate as round-15 overflow):
-# slots 1-4 the round-13 overflow additions, slots 5-33 the 29-query
-# text/corpus re-gate backlog (last driver-gated rounds 7-8), slots
-# 34-43 the ten queries carried from round 12's displacement, slots
-# 44-50 the head of the round-2 cohort (last CORRECTNESS row: round 2).
-# Rotated-out queries stay covered by the full-registry
-# PARITY_r{N}.json run every round.
+# entries of queries() in CORRECTNESS_r{N}.json. Round 15 executes the
+# committed plan (ROTATION.md "Round 15 window (50) — committed plan")
+# under the 40-slot re-gate floor: slots 1-10 the TEN oldest round-14
+# additions in landing order (the remaining 27 additions head the
+# round-16 overflow queue, ahead of any round-15 additions — of which
+# there are none: optimization round); slots 11-23 the remaining
+# round-2 cohort; slots 24-50 the next-oldest never-regated cohort
+# from CORRECTNESS_r3/r4 in registry order (27 of the 28; the 28th,
+# set_ops_all, heads the round-16 re-gate queue). Rotated-out
+# queries stay covered by the full-registry PARITY_r{N}.json run
+# every round.
 _GATE_WINDOW = [
-    # 4 round-13 overflow additions (already parity-green at 3 SFs)
-    "tv_drift",
-    "hellinger_drift",
-    "dp_noisy_sum",
-    "embedding_contamination",
-    # 29 text/corpus re-gates (displacement order, newest first)
-    "tfidf_top_terms",
-    "bm25_search",
-    "unigram_logprob",
-    "textrank_keywords",
-    "lang_id",
-    "token_entropy",
-    "readability",
-    "ngram_diversity",
-    "perplexity_buckets",
-    "heaps_law",
-    "zipf_slope",
-    "burstiness",
-    "script_histogram",
-    "oov_rate",
-    "vocab",
-    "token_histogram",
-    "bigram_histogram",
-    "dictionary_tag",
-    "pmi_cooccur",
-    "markov_transitions",
-    "bigram_condprob",
-    "corpus_divergence",
-    "ngram_novelty",
-    "sentence_split",
-    "posexplode_tokens",
-    "repetition_stats",
-    "rolling_fingerprint",
-    "strip_boilerplate",
-    "quality_filter",
-    # 10 carried from round 12's displacement
-    "adaptive_quality",
-    "contamination_overlap",
-    "ngram_jaccard_adjacent",
-    "edit_distance_pairs",
-    "inverted_index",
-    "bpe_token_count",
-    "tokenize_ids",
-    "fingerprints",
-    "url_dedup",
-    "pii_redact",
-    # 7-slot head of the round-2 cohort
-    "approx_distinct",
-    "cube",
-    "dedup_keep_first_rows",
-    "distinct_labels",
-    "embedding_centroids",
-    "embedding_pair_cosine",
-    "exists_late_ship",
+    # 10 oldest round-14 additions (landing order)
+    "krippendorff_ordinal",
+    "pass_at_k_ci",
+    "cusum_two_sided",
+    "dp_noisy_mean",
+    "cvm_drift",
+    "theil_u",
+    "krippendorff_interval",
+    "cochran_armitage",
+    "lexical_diversity",
+    "kruskal_wallis",
+    # 13 remaining round-2 cohort (last CORRECTNESS row: round 2)
+    "funnel_conversion",
+    "having_big_orders",
+    "l2_normalize",
+    "lag_lead",
+    "merge_join",
+    "moving_avg",
+    "null_handling",
+    "percentiles",
+    "promo_revenue_share",
+    "range_join",
+    "running_total",
+    "scalar_functions",
+    "semi_join",
+    # 27 next-oldest never-regated (CORRECTNESS_r3/r4), registry order
+    "simhash",
+    "asof_tolerance",
+    "repeated_passages",
+    "shard_manifest",
+    "point_in_time",
+    "variant_extract",
+    "manifest_diff",
+    "hash_split",
+    "mixture_sample",
+    "pack_chunks",
+    "pack_chunks_global",
+    "waiting_suppliers",
+    "decontaminate",
+    "nation_profit",
+    "min_cost_supplier",
+    "priority_ship_lag",
+    "excess_suppliers",
+    "stratified_split",
+    "chunk_overlap",
+    "quantize_embeddings",
+    "apply_changes",
+    "epoch_shuffle",
+    "resample_ffill",
+    "profile_table",
+    "scd2_history",
+    "group_percentiles",
+    "dedup_incremental",
 ]
 
 
